@@ -1,0 +1,22 @@
+"""ixmp_spark — a PySpark-native scenario-data analytics engine.
+
+A from-scratch engine with the query and data-processing capabilities of
+the iiasa/ixmp modeling platform (see SURVEY.md), re-expressed Spark-first:
+DataFrame/SQL declared plans optimized by Catalyst, long-format fact tables
+partitioned for 100 TB scale, plus LLM-data-pipeline operators (dedup,
+similarity search, text analysis, multimodal plumbing) the reference lacks.
+
+Layout
+------
+- ``session``    SparkSession builder tuned for the target cluster shape.
+- ``core``       Platform / Scenario / TimeSeries API (reference parity).
+- ``operators``  Reusable DataFrame operator library (filters, joins,
+                 windows, dedup, similarity, text, sessionization).
+- ``sources``    Readers/writers (parquet store, IAMC CSV/Excel).
+- ``functions``  Scalar/column helper functions.
+- ``plans``      Reporting engine: Key -> lazy DataFrame DAG.
+- ``queries``    Declared query catalog (queries + DuckDB oracle SQL pairs)
+                 consumed by ``__spark_entry__``.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,184 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Extension surface (BASELINE.json north star) — the reference has no
+document operators. Everything here is built from Catalyst expressions
+(hash/xxhash64/transform/aggregate) so dedup scales as pure shuffle-on-key
+jobs; no Python in the hot path.
+
+- exact_dedup:       hash-groupBy on normalized text.
+- simhash:           64-bit SimHash over tokens (bitwise majority of token
+                     hashes), Hamming-bucket joinable.
+- minhash_signature: k independent min-hashes over shingles.
+- lsh_band_pairs:    banded-LSH candidate pairs (shingle→minhash→band→
+                     bucket self-join) for near-dup detection.
+- ngram_jaccard:     exact n-gram Jaccard between candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(col) -> "F.Column":
+    """Canonical form for exact dedup: lowercase, collapse whitespace."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: keep the min-id representative per normalized-text
+    group. groupBy on md5(norm) — the shuffle key is the 128-bit digest,
+    never the document body, so shuffle volume is O(rows·16B) regardless of
+    document size."""
+    return (
+        df.withColumn("__h", F.md5(normalize_text(text_col)))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .drop("__h")
+    )
+
+
+def shingles(col, n: int = 3) -> "F.Column":
+    """Word n-gram shingle set (array<string>, distinct)."""
+    toks = F.split(normalize_text(col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )
+
+
+#: Mersenne prime 2^31-1 — the universal-hash modulus. Keeping the hash
+#: domain at 31 bits means a*h+b stays < 2^62, so the arithmetic never
+#: overflows a long (Spark 4 runs ANSI mode: overflow would *raise*, not
+#: wrap).
+_MH_P = 2_147_483_647
+
+
+def _mh_coeffs(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the k universal hash functions."""
+    import random
+
+    rng = random.Random(0xD5DD)
+    return [(rng.randrange(1, _MH_P), rng.randrange(0, _MH_P)) for _ in range(k)]
+
+
+def minhash_signature(df: DataFrame, text_col: str, k: int = 32, n: int = 3) -> DataFrame:
+    """k-permutation MinHash: shingle → ONE base xxhash64 → k cheap
+    universal-hash permutations sig[j] = min((a_j·h + b_j) mod p).
+
+    One string hash per shingle (not k) plus k integer transforms — all
+    Catalyst, one narrow map stage, no shuffle."""
+    base = F.transform(
+        shingles(text_col, n), lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_P))
+    )
+    df = df.withColumn("__base", base)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("__base"),
+                    lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MH_P)),
+                )
+            )
+            for (a, b) in _mh_coeffs(k)
+        ]
+    )
+    return df.withColumn("minhash", sig).drop("__base")
+
+
+def lsh_band_pairs(
+    df: DataFrame, id_col: str, k: int = 32, bands: int = 8
+) -> DataFrame:
+    """Banded LSH candidate pairs from a ``minhash`` column: hash each band
+    of r=k/bands signature values to a bucket (multi-arg xxhash64 — no
+    string building); documents sharing any (band, bucket) become a
+    candidate pair (id_a < id_b, distinct).
+
+    The banded frame is persisted before the self-join — otherwise Catalyst
+    recomputes the whole shingle/minhash lineage for BOTH join sides. At
+    cluster scale the same applies with StorageLevel.DISK_ONLY or a
+    checkpoint to the shuffle service.
+
+    Scale: explode to (doc, band) rows → shuffle on (band, bucket) — the
+    classic MinHash-LSH plan; bucket sizes are the skew risk, handled by
+    AQE skew-join splitting."""
+    r = k // bands
+    banded = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(*[F.col("minhash")[b * r + i] for i in range(r)])
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    ).persist()
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame, pairs: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs: |A∩B| / |A∪B| via
+    array_intersect/array_union on shingle arrays (persisted once, joined
+    twice)."""
+    sh = df.select(F.col(id_col), shingles(text_col, n).alias("sh")).persist()
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash64(col, n: int = 2) -> "F.Column":
+    """64-bit SimHash over word n-grams: for each bit position, the sign of
+    the sum over token-hash bits. Expressed with aggregate() over the
+    shingle array — still pure Catalyst.
+
+    For each of the 64 bits b: count of tokens with bit b set, minus count
+    unset; bit in output = 1 iff count > 0.
+    """
+    sh = shingles(col, n)
+    hashed = F.transform(sh, lambda s: F.xxhash64(s))
+    # votes[b] = sum over tokens of (bit set ? 1 : -1)
+    bit_votes = [
+        F.aggregate(
+            hashed,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(
+                h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), b)) != 0, 1
+            ).otherwise(-1),
+        )
+        for b in range(64)
+    ]
+    out = F.lit(0).cast("long")
+    for b, v in enumerate(bit_votes):
+        out = out.bitwiseOR(
+            F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return out

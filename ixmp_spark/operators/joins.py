@@ -1,0 +1,117 @@
+"""Join operators (SURVEY.md §2.3 J1–J8 + as-of extension).
+
+All joins are declared DataFrame joins so Catalyst picks the physical
+strategy; small sides are explicitly broadcast where the data model
+guarantees smallness (codelists, index sets, mapping tables).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def diff(
+    a: DataFrame,
+    b: DataFrame,
+    on: Sequence[str],
+    value_cols: Sequence[str],
+    indicator: str = "_merge",
+) -> DataFrame:
+    """``ixmp.util.diff`` (J1, reference util/__init__.py:136–204): full
+    outer equi-join on the dimension columns with ``_a``/``_b`` suffixed
+    value columns and a pandas-style merge-indicator column.
+
+    Scale note: a full outer join shuffles both sides on ``on``; when both
+    inputs are the engine's fact tables this is co-partitioned by the
+    run_id/name bucketing so AQE turns it into a near-local join.
+    """
+    la = a.select(*on, *[F.col(c).alias(f"{c}_a") for c in value_cols])
+    lb = b.select(*on, *[F.col(c).alias(f"{c}_b") for c in value_cols])
+    av, bv = f"{value_cols[0]}_a", f"{value_cols[0]}_b"
+    joined = la.join(lb, on=list(on), how="full_outer")
+    return joined.withColumn(
+        indicator,
+        F.when(F.col(av).isNotNull() & F.col(bv).isNotNull(), F.lit("both"))
+        .when(F.col(av).isNotNull(), F.lit("left_only"))
+        .otherwise(F.lit("right_only")),
+    )
+
+
+def update_anti(new: DataFrame, existing: DataFrame, on: Sequence[str]) -> DataFrame:
+    """``update_par`` add-missing-keys semantics (J2, util/__init__.py:677–690):
+    keep only rows of ``new`` whose key tuple is absent from ``existing``."""
+    return new.join(existing.select(*on), on=list(on), how="left_anti")
+
+
+def validate_members(
+    data: DataFrame, index_set: DataFrame, key_col: str, member_col: str
+) -> DataFrame:
+    """Write-path key validation (J3, base.py:1070–1074): rows whose key is
+    NOT a member of its index set — must be empty before commit. Index sets
+    are codelist-sized → broadcast anti-join, no shuffle of ``data``."""
+    members = F.broadcast(index_set.select(F.col(member_col).alias(key_col)).distinct())
+    return data.join(members, on=key_col, how="left_anti")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_on: str,
+    right_on: str,
+    left_time: str,
+    right_time: str,
+    tie_break: str,
+) -> DataFrame:
+    """As-of join (extension; SURVEY.md §2.3 notes the reference lacks it):
+    for each left row (uniquely identified by ``left_id``), the latest
+    right row with equal key and ``right_time <= left_time``; ties broken
+    by max ``tie_break``.
+
+    Implementation: equi-join on the key with the time bound as a join-time
+    residual predicate, then a descending row_number per left row. The
+    equi-key keeps it a hash/sort-merge join (shuffle on the key only);
+    AQE splits skewed keys. A union-sort merge (mapPartitions) variant is
+    only needed when per-key fan-out explodes.
+    """
+    joined = left.join(
+        right,
+        (left[left_on] == right[right_on]) & (right[right_time] <= left[left_time]),
+        "inner",
+    )
+    w = Window.partitionBy(left[left_id]).orderBy(
+        right[right_time].desc(), right[tie_break].desc()
+    )
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def cascade_resolve(
+    specific: DataFrame,
+    general: DataFrame,
+    on: Sequence[str],
+    value_col: str,
+    source_names: tuple[str, str] = ("specific", "general"),
+) -> DataFrame:
+    """Meta-cascade precedence (J8, base.py:1126–1135): overlay the more
+    specific scope over the general one — left join + coalesce, with a
+    provenance column. N-level cascades fold this pairwise from most to
+    least specific."""
+    sp = specific.select(*on, F.col(value_col).alias("__v_spec"))
+    ge = general.select(*on, F.col(value_col).alias("__v_gen"))
+    return (
+        ge.join(sp, on=list(on), how="left")
+        .select(
+            *on,
+            F.coalesce("__v_spec", "__v_gen").alias(value_col),
+            F.when(F.col("__v_spec").isNotNull(), F.lit(source_names[0]))
+            .otherwise(F.lit(source_names[1]))
+            .alias("source"),
+        )
+    )

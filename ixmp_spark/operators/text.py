@@ -1,0 +1,100 @@
+"""Text-analysis operators (training-data pipeline extension surface).
+
+Language-ID, quality scoring, token counting, and fingerprinting — all as
+Catalyst column expressions over the ``documents`` table. No Python UDFs:
+these run inside whole-stage codegen and scale linearly with input splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword marker lists for the n-gram heuristic
+_LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "de": ["der", "und", "die"],
+    "fr": ["le", "et", "les"],
+    "es": ["el", "y", "los"],
+}
+
+
+def token_count(col) -> Column:
+    """Whitespace token count (size of split on runs of whitespace)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.split(F.trim(c), r"\s+"))
+
+
+def word_token_count(col) -> Column:
+    """BPE-ish token estimate: count of word/number/punctuation chunks
+    (regexp-based; a real BPE runs as a Pandas UDF in sources/multimodal)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+
+
+def punct_ratio(col) -> Column:
+    """Punctuation chars / total chars (quality-score component)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(F.regexp_replace(c, r"[^.!?,;:]", "")) / F.length(c)
+
+
+def mean_word_len(col) -> Column:
+    """Mean word length: (non-space chars) / tokens."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(F.regexp_replace(c, r"\s", "")) / token_count(c)
+
+
+def stopword_ratio(col, lang: str = "en") -> Column:
+    """Fraction of tokens that are (language-marker) stopwords."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    markers = F.array(*[F.lit(m) for m in _LANG_MARKERS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+    return hits / F.size(toks)
+
+
+def quality_score(col) -> Column:
+    """Composite quality score in [0, 1]: rewards moderate length and word
+    size, penalizes punctuation soup. Deterministic arithmetic only."""
+    c = F.col(col) if isinstance(col, str) else col
+    len_score = F.least(F.length(c) / F.lit(1000.0), F.lit(1.0))
+    wl = mean_word_len(c)
+    wl_score = F.when((wl >= 3) & (wl <= 10), F.lit(1.0)).otherwise(F.lit(0.5))
+    punct_pen = F.least(punct_ratio(c) * 5, F.lit(1.0))
+    return F.round(0.5 * len_score + 0.3 * wl_score + 0.2 * (1 - punct_pen), 4)
+
+
+def fingerprint64(col) -> Column:
+    """Document fingerprint: 64-bit xxhash of the normalized text (the
+    rolling-hash analogue; stable across partitions/engines only within
+    Spark — for cross-engine checks use md5)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.xxhash64(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")))
+
+
+def lang_id(col) -> Column:
+    """N-gram-heuristic language ID: pick the language whose marker
+    stopwords have the most hits; 'und' (undetermined) when no marker hits.
+    Pure case-when over per-language hit counts."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    hits = {}
+    for lang, markers in _LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        hits[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    # reverse order so earlier languages win ties (stable priority)
+    for lang in reversed(list(hits)):
+        expr = F.when(hits[lang] == best, F.lit(lang)).otherwise(expr)
+    return F.when(best == 0, F.lit("und")).otherwise(expr)
+
+
+def text_stats(df: DataFrame, text_col: str) -> DataFrame:
+    """Attach the full stat column family to a documents frame."""
+    return (
+        df.withColumn("n_tokens", token_count(text_col))
+        .withColumn("punct_ratio", F.round(punct_ratio(text_col), 6))
+        .withColumn("mean_word_len", F.round(mean_word_len(text_col), 4))
+        .withColumn("quality", quality_score(text_col))
+    )

@@ -1,0 +1,65 @@
+"""Declared query catalog: every implemented operator from SURVEY.md §2 as a
+(Spark query, DuckDB oracle SQL) pair over the driver-provided tables.
+
+``QUERIES[name]`` is a callable ``(spark, sf_dir) -> DataFrame``;
+``ORACLES[name]`` is ANSI SQL DuckDB runs over the same parquet (views
+``region nation customer supplier part orders lineitem events documents
+embeddings`` are pre-registered by the driver). Names of computed columns
+are aliased identically on both sides — the driver's comparator sorts
+columns by name and hashes values.
+
+Registration happens at import time via the ``@query`` decorator in each
+module below.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Register a declared query; ``oracle=None`` → rows-only check
+    (genuinely non-SQL-expressible ops)."""
+
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-provided parquet table.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in the files — Spark reads it as a
+    nanosecond long (legacy.parquet.nanosAsLong) and we convert to a real
+    timestamp at microsecond precision (integer ``div`` to avoid the
+    double-precision loss of ``/`` on 1e18-scale values; DuckDB truncates
+    the same way)."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+# Import for side effects: each module registers its queries.
+from ixmp_spark.queries import (  # noqa: E402,F401
+    aggregates,
+    events,
+    filters,
+    joins,
+    llm,
+    scalars,
+    scans,
+    setops,
+    windows,
+)

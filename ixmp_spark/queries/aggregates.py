@@ -1,0 +1,190 @@
+"""Aggregations (SURVEY.md §2.4 A1–A7)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ixmp_spark.queries import load, query
+
+
+@query(
+    "a0_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a0_pricing_summary(spark, sf_dir):
+    """Flagship: TPC-H Q1-shaped pricing summary — grouped multi-aggregate
+    with arithmetic inside the sum. Map-side partial aggregation (hash agg)
+    means the shuffle carries 6 groups, not 600k rows; survives any
+    scale-up since cardinality is bounded by the group domain."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "a1_partial_sums_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def a1_partial_sums_cube(spark, sf_dir):
+    """Partial sums over every dimension subset (A1): the Reporter
+    registers, for each quantity x:t-y, sums over all dim subsets
+    (reporter.py:64–69). ``cube`` computes the whole lattice in one pass
+    (grouping-sets expansion, still one shuffle); per-request subsets use
+    plain groupBy in plans/reporter.py."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty")
+    )
+
+
+@query(
+    "a2_named_groups",
+    oracle="""
+    SELECT CASE WHEN n_name < 'J' THEN 'early' ELSE 'late' END AS name_group,
+           round(sum(s_acctbal), 2) AS total_bal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY 1
+    """,
+)
+def a2_named_groups(spark, sf_dir):
+    """Named-group aggregate (A2, genno ``aggregate``): map member labels
+    into named groups, sum within group."""
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .withColumn(
+            "name_group",
+            F.when(F.col("n_name") < "J", F.lit("early")).otherwise(F.lit("late")),
+        )
+        .groupBy("name_group")
+        .agg(F.round(F.sum("s_acctbal"), 2).alias("total_bal"))
+    )
+
+
+@query(
+    "a4_describe_runs",
+    oracle="""
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price,
+           max(CASE WHEN o_orderstatus = 'F' THEN o_orderkey END) AS last_final
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def a4_describe_runs(spark, sf_dir):
+    """Scenario-list describe (A4, util/__init__.py:518–542): per (model,
+    scenario) → N versions, min/max, conditional max (default version) —
+    same shape per customer over orders. min/max/count are exact (no
+    rounding needed)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.max(F.when(F.col("o_orderstatus") == "F", F.col("o_orderkey"))).alias(
+            "last_final"
+        ),
+    )
+
+
+@query(
+    "a5_pivot_wide",
+    oracle="""
+    SELECT l_linestatus,
+           sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS qty_A,
+           sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS qty_N,
+           sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS qty_R
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def a5_pivot_wide(spark, sf_dir):
+    """Long→wide pivot (A5, timeseries.py:381–386 IAMC year-pivot). Pivot
+    values are declared explicitly — at scale an unpinned pivot needs an
+    extra distinct pass; the IAMC writer pins the year list the same way."""
+    li = load(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum("l_quantity"))
+    )
+    return out.select(
+        "l_linestatus",
+        F.col("A").alias("qty_A"),
+        F.col("N").alias("qty_N"),
+        F.col("R").alias("qty_R"),
+    )
+
+
+@query(
+    "a6_weighted_rollup",
+    oracle="""
+    SELECT p.p_brand,
+           round(sum(l.l_quantity * p.p_retailprice), 2) AS weighted_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def a6_weighted_rollup(spark, sf_dir):
+    """Duration-weighted rollup (A6, platform.py:356–361: subannual→annual
+    via timeslice ``duration`` weights): join the weight table (broadcast —
+    it's a codelist) and sum(value * weight)."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.col("l_quantity") * F.col("p_retailprice")), 2).alias(
+                "weighted_qty"
+            )
+        )
+    )
+
+
+@query(
+    "a7_unit_guard",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events,
+           count(DISTINCT value) AS n_distinct_values
+    FROM events GROUP BY event_type
+    """,
+)
+def a7_unit_guard(spark, sf_dir):
+    """Unit-consistency guard (A7, report/operator.py:114–127: a quantity
+    with >1 distinct unit is discarded as 'mixed units') — countDistinct
+    per group is the declarative check."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("value").alias("n_distinct_values"),
+    )

@@ -1,0 +1,280 @@
+"""Joins (SURVEY.md §2.3 J1–J8 + as-of/star extensions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ixmp_spark.operators.joins import (
+    asof_join,
+    cascade_resolve,
+    diff,
+    update_anti,
+    validate_members,
+)
+from ixmp_spark.queries import load, query
+
+
+@query(
+    "j1_diff_full_outer",
+    oracle="""
+    WITH a AS (
+      SELECT c_nationkey AS nationkey, round(sum(c_acctbal), 2) AS value_a
+      FROM customer GROUP BY c_nationkey
+    ), b AS (
+      SELECT s_nationkey AS nationkey, round(sum(s_acctbal), 2) AS value_b
+      FROM supplier GROUP BY s_nationkey
+    )
+    SELECT coalesce(a.nationkey, b.nationkey) AS nationkey,
+           a.value_a, b.value_b,
+           CASE WHEN a.value_a IS NOT NULL AND b.value_b IS NOT NULL THEN 'both'
+                WHEN a.value_a IS NOT NULL THEN 'left_only'
+                ELSE 'right_only' END AS _merge
+    FROM a FULL OUTER JOIN b ON a.nationkey = b.nationkey
+    """,
+)
+def j1_diff_full_outer(spark, sf_dir):
+    """``ixmp.util.diff`` (J1, util/__init__.py:136–204): full outer
+    equi-join of two parameters on shared dims, suffixed value columns,
+    pandas-style merge indicator."""
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    a = c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.round(F.sum("c_acctbal"), 2).alias("value")
+    )
+    b = s.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.round(F.sum("s_acctbal"), 2).alias("value")
+    )
+    return diff(a, b, on=["nationkey"], value_cols=["value"])
+
+
+@query(
+    "j2_update_anti",
+    oracle="""
+    SELECT DISTINCT p.o_custkey, p.o_orderpriority
+    FROM orders p WHERE p.o_orderstatus = 'P'
+      AND NOT EXISTS (
+        SELECT 1 FROM orders f
+        WHERE f.o_orderstatus = 'F'
+          AND f.o_custkey = p.o_custkey
+          AND f.o_orderpriority = p.o_orderpriority
+      )
+    """,
+)
+def j2_update_anti(spark, sf_dir):
+    """``update_par`` add-only-missing-keys (J2, util/__init__.py:677–690)
+    as a left anti-join on the composite key tuple — only (customer,
+    priority) pairs not already present among finalized orders survive."""
+    o = load(spark, sf_dir, "orders")
+    new = (
+        o.where(F.col("o_orderstatus") == "P")
+        .select("o_custkey", "o_orderpriority")
+        .distinct()
+    )
+    existing = o.where(F.col("o_orderstatus") == "F").select(
+        "o_custkey", "o_orderpriority"
+    )
+    return update_anti(new, existing, on=["o_custkey", "o_orderpriority"])
+
+
+@query(
+    "j3_validate_members",
+    oracle="""
+    SELECT o_orderkey, o_custkey
+    FROM orders
+    WHERE o_custkey NOT IN (
+      SELECT c_custkey FROM customer WHERE c_mktsegment <> 'MACHINERY'
+    )
+    """,
+)
+def j3_validate_members(spark, sf_dir):
+    """Write-path key-membership validation (J3, base.py:1070–1074,
+    jdbc.py:1311–1314): broadcast anti-join of fact rows against the index
+    set; non-empty result ⇒ reject the commit. Here the 'index set' is the
+    non-MACHINERY customer list, so the query returns the violations."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    idx = c.where(F.col("c_mktsegment") != "MACHINERY")
+    return validate_members(
+        o.select("o_orderkey", F.col("o_custkey")),
+        idx,
+        key_col="o_custkey",
+        member_col="c_custkey",
+    )
+
+
+@query(
+    "j4_semi_intersect",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    """,
+)
+def j4_semi_intersect(spark, sf_dir):
+    """Read-path filter∩index-set (J4, jdbc.py:1191–1202): semi-join of the
+    fact against the (small, broadcast) allowed-member set."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    bld = c.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    return o.join(F.broadcast(bld), on="o_custkey", how="left_semi").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@query(
+    "j5_map_aggregate",
+    oracle="""
+    SELECT r.r_name, round(sum(c.c_acctbal), 2) AS total_bal,
+           count(*) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def j5_map_aggregate(spark, sf_dir):
+    """``map_as_qty``/broadcast_map (dis)aggregation (J5,
+    report/operator.py:204–241): mapping-set join then group-sum. nation
+    and region are codelists → both broadcast; only the customer agg
+    shuffles, on the 5-value region key (map-side partial agg first)."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+@query(
+    "j8_meta_cascade",
+    oracle="""
+    WITH general AS (
+      SELECT n_regionkey, round(avg(c_acctbal), 4) AS v
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_regionkey
+    ), specific AS (
+      SELECT s_nationkey AS n_nationkey, round(avg(s_acctbal), 4) AS v
+      FROM supplier GROUP BY s_nationkey
+    )
+    SELECT n.n_nationkey, coalesce(sp.v, g.v) AS value,
+           CASE WHEN sp.v IS NOT NULL THEN 'specific' ELSE 'general' END AS source
+    FROM nation n
+    JOIN general g ON n.n_regionkey = g.n_regionkey
+    LEFT JOIN specific sp ON n.n_nationkey = sp.n_nationkey
+    """,
+)
+def j8_meta_cascade(spark, sf_dir):
+    """Meta-cascade precedence resolution (J8, base.py:1126–1135): a
+    specific scope (per-nation supplier avg) overlays a general one
+    (per-region customer avg), with provenance — left join + coalesce."""
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    general = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_regionkey")
+        .agg(F.round(F.avg("c_acctbal"), 4).alias("value"))
+        .join(F.broadcast(n.select("n_nationkey", "n_regionkey")), "n_regionkey")
+        .select("n_nationkey", "value")
+    )
+    specific = s.groupBy(F.col("s_nationkey").alias("n_nationkey")).agg(
+        F.round(F.avg("s_acctbal"), 4).alias("value")
+    )
+    return cascade_resolve(specific, general, on=["n_nationkey"], value_col="value")
+
+
+@query(
+    "jx_asof_join",
+    oracle="""
+    SELECT event_id, last_orderkey, last_totalprice
+    FROM (
+      SELECT e.event_id, o.o_orderkey AS last_orderkey,
+             o.o_totalprice AS last_totalprice,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e
+      JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+    ) WHERE rn = 1
+    """,
+)
+def jx_asof_join(spark, sf_dir):
+    """As-of join (extension — absent in the reference, SURVEY.md §2.3):
+    for each event, the latest order of the same user at-or-before the
+    event time. Tie-break: max orderkey (deterministic on both engines,
+    unlike DuckDB's ASOF JOIN keyword whose tie choice is unspecified)."""
+    e = load(spark, sf_dir, "events")
+    o = load(spark, sf_dir, "orders")
+    out = asof_join(
+        e,
+        o,
+        left_id="event_id",
+        left_on="user_id",
+        right_on="o_custkey",
+        left_time="ts",
+        right_time="o_orderdate",
+        tie_break="o_orderkey",
+    )
+    return out.select(
+        "event_id",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_totalprice").alias("last_totalprice"),
+    )
+
+
+@query(
+    "b_q5_star_join",
+    oracle="""
+    SELECT n.n_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+                   AND s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def b_q5_star_join(spark, sf_dir):
+    """TPC-H Q5-shaped star join (bench headliner): fact ⋈ 5 dims with
+    local-supplier constraint. customer/supplier/nation/region broadcast;
+    only lineitem ⋈ orders shuffles (on orderkey). Date filter pushes to
+    the orders scan before the join."""
+    l = load(spark, sf_dir, "lineitem")  # noqa: E741
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(n),
+            (c.c_nationkey == n.n_nationkey) & (s.s_nationkey == n.n_nationkey),
+        )
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )

@@ -1,0 +1,216 @@
+"""LLM-training-data pipeline queries (north-star extension surface):
+dedup, text analysis, similarity search over documents/embeddings."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ixmp_spark.operators.dedup import (
+    exact_dedup,
+    lsh_band_pairs,
+    minhash_signature,
+    ngram_jaccard,
+    simhash64,
+)
+from ixmp_spark.operators.similarity import brute_force_topk
+from ixmp_spark.operators.text import lang_id, text_stats
+from ixmp_spark.queries import load, query
+
+
+@query(
+    "d1_exact_dedup",
+    oracle=r"""
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+    """,
+)
+def d1_exact_dedup(spark, sf_dir):
+    """Exact dedup by normalized-text hash: one representative (min id) per
+    content group. Shuffle key is the 16-byte digest, not the body."""
+    docs = load(spark, sf_dir, "documents")
+    return exact_dedup(docs, text_col="text", id_col="doc_id")
+
+
+@query(
+    "d2_jaccard_neardup",
+    oracle=r"""
+    WITH sh AS (
+      SELECT doc_id, lang, source,
+             list_distinct(string_split_regex(trim(lower(text)), '\s+')) AS toks
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_filter(a.toks, x -> list_contains(b.toks, x))) * 1.0
+                 / len(list_distinct(a.toks || b.toks)), 6) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_filter(a.toks, x -> list_contains(b.toks, x))) * 1.0
+          / len(list_distinct(a.toks || b.toks)) >= 0.5
+    """,
+)
+def d2_jaccard_neardup(spark, sf_dir):
+    """Near-duplicate pairs by exact token-set Jaccard ≥ 0.5, blocked on
+    (lang, source) so the pair space stays bounded (the unblocked scale
+    path is d3_minhash_lsh). array_intersect/union on distinct token sets —
+    pure Catalyst."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+")).alias("toks"),
+    )
+    a = toks.select(
+        F.col("doc_id").alias("id_a"),
+        "lang",
+        "source",
+        F.col("toks").alias("toks_a"),
+    )
+    b = toks.select(
+        F.col("doc_id").alias("id_b"),
+        "lang",
+        "source",
+        F.col("toks").alias("toks_b"),
+    )
+    jac = F.size(F.array_intersect("toks_a", "toks_b")) / F.size(
+        F.array_union("toks_a", "toks_b")
+    )
+    return (
+        a.join(b, ["lang", "source"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.round(jac, 6))
+        .where(jac >= 0.5)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+@query("d3_minhash_lsh")  # no SQL oracle: xxhash64 not available in DuckDB
+def d3_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup scale path: shingle → 32 min-hashes → 8 bands →
+    bucket self-join → exact 3-gram Jaccard on candidates ≥ 0.3.
+    Rows-only check (the banded-hash family is engine-specific)."""
+    docs = load(spark, sf_dir, "documents")
+    sigs = minhash_signature(docs, "text", k=32, n=3)
+    pairs = lsh_band_pairs(sigs, "doc_id", k=32, bands=8)
+    scored = ngram_jaccard(docs, pairs, "doc_id", "text", n=3)
+    return scored.where(F.col("jaccard") >= 0.3).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@query("d4_simhash")  # no SQL oracle: xxhash64-based bit votes
+def d4_simhash(spark, sf_dir):
+    """64-bit SimHash fingerprints (near-dup via Hamming distance on the
+    fingerprint). Rows-only check; determinism is covered in unit tests."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash64("text", n=2).alias("simhash"))
+
+
+@query(
+    "t1_text_stats",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+           round(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                 * 1.0 / length(text), 6) AS punct_ratio,
+           round(length(regexp_replace(text, '\s', '', 'g')) * 1.0
+                 / len(string_split_regex(trim(text), '\s+')), 4) AS mean_word_len,
+           round(0.5 * least(length(text) / 1000.0, 1.0)
+                 + 0.3 * (CASE WHEN length(regexp_replace(text, '\s', '', 'g')) * 1.0
+                                    / len(string_split_regex(trim(text), '\s+'))
+                               BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END)
+                 + 0.2 * (1 - least(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                                    * 5.0 / length(text), 1.0)), 4) AS quality
+    FROM documents
+    """,
+)
+def t1_text_stats(spark, sf_dir):
+    """Text quality statistics (token count, punctuation ratio, mean word
+    length, composite quality score) — all whole-stage-codegen column
+    expressions; the formula is mirrored exactly in the oracle."""
+    docs = load(spark, sf_dir, "documents")
+    return text_stats(docs, "text").select(
+        "doc_id", "n_tokens", "punct_ratio", "mean_word_len", "quality"
+    )
+
+
+@query(
+    "t2_lang_id",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ), hits AS (
+      SELECT doc_id, lang,
+        len(list_filter(t, x -> list_contains(['the','and','of'], x))) AS h_en,
+        len(list_filter(t, x -> list_contains(['der','und','die'], x))) AS h_de,
+        len(list_filter(t, x -> list_contains(['le','et','les'], x))) AS h_fr,
+        len(list_filter(t, x -> list_contains(['el','y','los'], x))) AS h_es
+      FROM toks
+    )
+    SELECT doc_id, lang AS lang_true,
+           CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+                WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+                WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+                WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+                ELSE 'es' END AS lang_pred
+    FROM hits
+    """,
+)
+def t2_lang_id(spark, sf_dir):
+    """Language-ID n-gram heuristic: marker-stopword hit counts per
+    language, argmax with stable priority (en > de > fr > es on ties),
+    'und' when nothing matches."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_true"),
+        lang_id("text").alias("lang_pred"),
+    )
+
+
+@query(
+    "e1_embed_topk",
+    oracle="""
+    WITH probe AS (
+      SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+      FROM embeddings ORDER BY vec_id LIMIT 1
+    ), scored AS (
+      SELECT e.vec_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pv), 6)
+               AS cosine_sim
+      FROM embeddings e, probe p
+      WHERE e.vec_id <> p.probe_id
+    )
+    SELECT vec_id, cosine_sim FROM scored
+    ORDER BY cosine_sim DESC, vec_id LIMIT 10
+    """,
+)
+def e1_embed_topk(spark, sf_dir):
+    """Brute-force cosine top-10 neighbors of the min-id probe vector —
+    the exact ANN baseline: broadcast probe, map-only scoring pass,
+    TakeOrderedAndProject (per-partition heap, no global sort). The
+    LSH-bucketed scale variant is e2_embed_ann."""
+    emb = load(spark, sf_dir, "embeddings")
+    probe = emb.orderBy("vec_id").limit(1)
+    return brute_force_topk(emb, probe, id_col="vec_id", vec_col="embedding", k=10)
+
+
+@query("e2_embed_ann")  # no SQL oracle: LSH bucketing is engine-specific
+def e2_embed_ann(spark, sf_dir):
+    """ANN via sign-LSH bucketing: deterministic pseudo-random hyperplanes,
+    candidate set = probe's bucket, exact cosine within. Rows-only check;
+    recall vs e1 is asserted in unit tests."""
+    import random
+
+    from ixmp_spark.operators.similarity import bucketed_topk
+
+    rng = random.Random(42)
+    planes = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(4)]
+    emb = load(spark, sf_dir, "embeddings")
+    probe = emb.orderBy("vec_id").limit(1)
+    return bucketed_topk(
+        emb, probe, id_col="vec_id", vec_col="embedding", planes=planes, k=10
+    )

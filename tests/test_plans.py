@@ -1,0 +1,57 @@
+"""Physical-plan assertions: pushdown, pruning, broadcast, no-Python-UDF —
+the 100 TB design contract (SURVEY.md §4), checked on explain output."""
+
+from __future__ import annotations
+
+from ixmp_spark.queries import QUERIES
+
+
+def formatted_plan(df) -> str:
+    # public-API route: capture explain output
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_scan_pushdown_and_pruning(spark, sf_dir):
+    plan = formatted_plan(QUERIES["s1_scan_pushdown"](spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "l_discount" in plan.split("PushedFilters")[1].splitlines()[0]
+    # column pruning: only the needed columns in ReadSchema
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema
+    assert "l_returnflag" not in read_schema
+
+
+def test_star_join_broadcasts(spark, sf_dir):
+    plan = formatted_plan(QUERIES["b_q5_star_join"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # the single big-big join (lineitem x orders) may be SMJ or shuffled
+    # hash; it must NOT be a nested-loop join
+    assert "CartesianProduct" not in plan
+
+
+def test_flagship_partial_aggregation(spark, sf_dir):
+    plan = formatted_plan(QUERIES["a0_pricing_summary"](spark, sf_dir))
+    # map-side partial agg: two HashAggregate nodes around the exchange
+    # (WholeStageCodegen spans only appear in the executed AQE plan, not
+    # the pre-execution formatted plan — covered by bench numbers instead.)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_no_python_udf_in_catalog(spark, sf_dir):
+    """Core + LLM queries must stay JVM-side (no BatchEvalPython /
+    ArrowEvalPython nodes) — UDFs are reserved for genuinely
+    non-expressible ops (none in the current catalog)."""
+    for name, fn in QUERIES.items():
+        plan = formatted_plan(fn(spark, sf_dir))
+        assert "EvalPython" not in plan, f"{name} fell off the JVM path"
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    plan = formatted_plan(QUERIES["o1_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan

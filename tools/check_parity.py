@@ -1,0 +1,110 @@
+"""Local mirror of the driver's correctness gate: run every declared query
+on Spark AND its DuckDB oracle over the same parquet, compare row count,
+schema (sorted column names), and an order-insensitive value hash.
+
+Usage: python tools/check_parity.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def norm_frame(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, canonicalize dtypes, sort rows — the
+    order-insensitive comparable form."""
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64").round(9)
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("Int64")
+        elif pd.api.types.is_datetime64_any_dtype(s):
+            ser = pd.to_datetime(s)
+            if getattr(ser.dt, "tz", None) is not None:
+                ser = ser.dt.tz_localize(None)
+            df[c] = ser.astype("datetime64[ns]")
+        elif pd.api.types.is_bool_dtype(s):
+            df[c] = s.astype("boolean")
+        else:
+            df[c] = s.astype("string")
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    from pandas.util import hash_pandas_object
+
+    return hex(int(hash_pandas_object(df, index=False).sum()) & (2**64 - 1))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    sys.path.insert(0, "/root/repo")
+    from ixmp_spark.queries import ORACLES, QUERIES
+    from ixmp_spark.session import get_spark
+
+    spark = get_spark("parity")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    failures = []
+    for name, fn in sorted(QUERIES.items()):
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            spdf = sdf.toPandas()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        if name not in ORACLES:
+            print(f"ok*   {name}: rows-only ({len(spdf)} rows)")
+            continue
+        try:
+            odf = con.execute(ORACLES[name]).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: oracle error: {e}")
+            continue
+        a, b = norm_frame(spdf), norm_frame(odf)
+        problems = []
+        if len(a) != len(b):
+            problems.append(f"rows {len(a)} vs {len(b)}")
+        if list(a.columns) != list(b.columns):
+            problems.append(f"cols {list(a.columns)} vs {list(b.columns)}")
+        elif [str(t) for t in a.dtypes] != [str(t) for t in b.dtypes]:
+            problems.append(
+                f"dtypes {dict(zip(a.columns, map(str, a.dtypes)))} vs "
+                f"{dict(zip(b.columns, map(str, b.dtypes)))}"
+            )
+        if not problems and value_hash(a) != value_hash(b):
+            merged = a.merge(b, how="outer", indicator=True)
+            bad = merged[merged["_merge"] != "both"]
+            problems.append(f"value mismatch ({len(bad)} differing rows)")
+            print(bad.head(6).to_string())
+        if problems:
+            failures.append(name)
+            print(f"FAIL  {name}: {'; '.join(problems)}")
+        else:
+            print(f"ok    {name}: {len(a)} rows")
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
