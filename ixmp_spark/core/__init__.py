@@ -1,0 +1,12 @@
+"""Core API: Platform / TimeSeries / Scenario (reference parity surface).
+
+Mirrors the object hierarchy of SURVEY.md §1.1 with Spark-native storage:
+data model and call signatures follow the reference; execution is Spark
+DataFrames over the warehouse parquet.
+"""
+
+from ixmp_spark.core.platform import Platform
+from ixmp_spark.core.scenario import Scenario
+from ixmp_spark.core.timeseries import TimeSeries
+
+__all__ = ["Platform", "Scenario", "TimeSeries"]

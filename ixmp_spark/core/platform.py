@@ -1,0 +1,217 @@
+"""Platform: one warehouse connection + platform-wide codelists.
+
+Reference: ixmp/core/platform.py:25 (units, regions + synonyms,
+timeslices, model/scenario registries, meta, docs — SURVEY.md §1.4).
+Codelists are catalog-resident (they are tiny and broadcast into every
+query); fact data lives in per-run parquet read by Spark.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ixmp_spark.sources.warehouse import LocalWarehouse
+
+class Platform:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.wh = LocalWarehouse(root)
+
+    # -- units (doc/data-model.rst:77–84) ---------------------------------
+    def add_unit(self, unit: str, comment: str | None = None) -> None:
+        self.wh.update_catalog(
+            lambda c: c["units"].append(unit) if unit not in c["units"] else None
+        )
+
+    def units(self) -> list[str]:
+        return list(self.wh.catalog()["units"])
+
+    # -- regions: forest + synonym map (doc/data-model.rst:104–113) -------
+    def add_region(
+        self, region: str, hierarchy: str = "common", parent: str | None = None
+    ) -> None:
+        def add(c):
+            c["regions"][region] = {"hierarchy": hierarchy, "parent": parent}
+
+        self.wh.update_catalog(add)
+
+    def add_region_synonym(self, synonym: str, mapped_to: str) -> None:
+        if mapped_to not in self.wh.catalog()["regions"]:
+            raise ValueError(f"unknown region {mapped_to!r}")
+        self.wh.update_catalog(
+            lambda c: c["region_synonyms"].__setitem__(synonym, mapped_to)
+        )
+
+    def regions(self) -> pd.DataFrame:
+        cat = self.wh.catalog()
+        rows = [
+            {"region": r, "mapped_to": None, **attrs}
+            for r, attrs in cat["regions"].items()
+        ] + [
+            {
+                "region": syn,
+                "mapped_to": tgt,
+                "hierarchy": cat["regions"][tgt]["hierarchy"],
+                "parent": cat["regions"][tgt]["parent"],
+            }
+            for syn, tgt in cat["region_synonyms"].items()
+        ]
+        return pd.DataFrame(
+            rows, columns=["region", "mapped_to", "hierarchy", "parent"]
+        )
+
+    def resolve_region(self, region: str) -> str:
+        """Synonym resolution on write (J6, reference platform.py:335–349)."""
+        return self.wh.catalog()["region_synonyms"].get(region, region)
+
+    # -- timeslices (doc/data-model.rst:115–131) --------------------------
+    def add_timeslice(self, name: str, category: str, duration: float) -> None:
+        def add(c):
+            existing = c["timeslices"].get(name)
+            if existing and existing["duration"] != duration:
+                raise ValueError(
+                    f"timeslice {name!r} exists with duration {existing['duration']}"
+                )
+            c["timeslices"][name] = {"category": category, "duration": duration}
+
+        self.wh.update_catalog(add)
+
+    def timeslices(self) -> pd.DataFrame:
+        return pd.DataFrame(
+            [
+                {"name": n, **v}
+                for n, v in self.wh.catalog()["timeslices"].items()
+            ],
+            columns=["name", "category", "duration"],
+        )
+
+    # -- run registry (F6/A4; reference base.py:341–379) ------------------
+    def scenario_list(
+        self,
+        model: str | None = None,
+        scenario: str | None = None,
+        default: bool = True,
+    ) -> pd.DataFrame:
+        rows = []
+        for rid, r in self.wh.catalog()["runs"].items():
+            if model and r["model"] != model:
+                continue
+            if scenario and r["scenario"] != scenario:
+                continue
+            if default and not r["is_default"]:
+                continue
+            rows.append({"run_id": int(rid), **r})
+        cols = [
+            "run_id", "model", "scenario", "version", "scheme", "is_default",
+            "commit", "annotation", "cre_user", "cre_date", "upd_user",
+            "upd_date", "locked",
+        ]
+        return pd.DataFrame(rows, columns=cols).sort_values(
+            ["model", "scenario", "version"], ignore_index=True
+        )
+
+    def runs_df(self) -> DataFrame:
+        """The runs dimension table as a Spark DataFrame (broadcast-sized)."""
+        pdf = self.scenario_list(default=False)
+        return self.spark.createDataFrame(pdf)
+
+    # -- meta: 4 target levels + non-strict cascade (base.py:1116–1220) ---
+    def set_meta(
+        self,
+        name: str,
+        value: Any,
+        model: str | None = None,
+        scenario: str | None = None,
+        version: int | None = None,
+    ) -> None:
+        if version is not None and (model is None or scenario is None):
+            raise ValueError("version-level meta needs model and scenario")
+
+        def upsert(c):
+            c["meta"] = [
+                m
+                for m in c["meta"]
+                if not (
+                    m["name"] == name
+                    and m["model"] == model
+                    and m["scenario"] == scenario
+                    and m["version"] == version
+                )
+            ]
+            c["meta"].append(
+                {
+                    "name": name,
+                    "value": value,
+                    "model": model,
+                    "scenario": scenario,
+                    "version": version,
+                }
+            )
+
+        self.wh.update_catalog(upsert)
+
+    def get_meta(
+        self,
+        model: str | None = None,
+        scenario: str | None = None,
+        version: int | None = None,
+        strict: bool = False,
+    ) -> dict[str, Any]:
+        """strict: only the exact target; non-strict: cascade from less
+        specific targets, more specific wins (J8)."""
+        out: dict[str, Any] = {}
+        entries = self.wh.catalog()["meta"]
+        if strict:
+            for m in entries:
+                if (m["model"], m["scenario"], m["version"]) == (
+                    model, scenario, version,
+                ):
+                    out[m["name"]] = m["value"]
+            return out
+        # specificity order: (model) < (scenario) < (model, scenario)
+        # < (model, scenario, version)
+        levels = [
+            (model, None, None),
+            (None, scenario, None),
+            (model, scenario, None),
+            (model, scenario, version),
+        ]
+        for tgt in levels:
+            for m in entries:
+                if (m["model"], m["scenario"], m["version"]) == tgt:
+                    out[m["name"]] = m["value"]
+        return out
+
+    def remove_meta(
+        self,
+        names: list[str],
+        model: str | None = None,
+        scenario: str | None = None,
+        version: int | None = None,
+    ) -> None:
+        def rm(c):
+            c["meta"] = [
+                m
+                for m in c["meta"]
+                if not (
+                    m["name"] in names
+                    and m["model"] == model
+                    and m["scenario"] == scenario
+                    and m["version"] == version
+                )
+            ]
+
+        self.wh.update_catalog(rm)
+
+    # -- docs (doc/data-model.rst:172–190) --------------------------------
+    def set_doc(self, domain: str, name: str, doc: str) -> None:
+        self.wh.update_catalog(
+            lambda c: c["docs"].setdefault(domain, {}).__setitem__(name, doc)
+        )
+
+    def get_doc(self, domain: str, name: str | None = None):
+        docs = self.wh.catalog()["docs"].get(domain, {})
+        return docs if name is None else docs.get(name)

@@ -1,0 +1,486 @@
+"""Scenario: TimeSeries + GAMS-style model data (sets/pars/vars/equs).
+
+Reference: ixmp/core/scenario.py:44. Items have dynamic, per-scenario
+schemas declared at init_item (SURVEY.md §1.2): 0+ dimensions, each
+indexed by a simple set, optional distinct dim names. Storage is the
+long-format fact tables of SURVEY.md §1.6 (``key array<string>``); the
+named-column views pivot ``element_at(key, i)`` back into idx_name
+columns per item.
+
+Contract highlights mirrored from the reference:
+- item names unique across all four types (doc/data-model.rst:248);
+- all keys are strings; filters coerce + silently ignore non-members
+  (base.py:1001–1005) — read-side permissive;
+- writes are strict: every key must be a member of its index set
+  (base.py:1070–1074) — write-side validation (J3);
+- scalars (0-d par/var/equ) return dicts (base.py:1007–1018).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ixmp_spark.core.timeseries import TimeSeries
+from ixmp_spark.operators.filtering import in_list_filter
+
+_IX_TYPES = ("set", "par", "var", "equ")
+
+
+def _as_str_list(v) -> list[str]:
+    """C1 (reference util/__init__.py:86–110): scalar/list → list[str]."""
+    if v is None:
+        return []
+    if isinstance(v, (str, int, float)):
+        return [str(v)]
+    return [str(x) for x in v]
+
+
+class Scenario(TimeSeries):
+    def __init__(self, platform, model, scenario, version=None, scheme=None,
+                 annotation=None):
+        super().__init__(
+            platform, model, scenario, version=version, scheme=scheme,
+            annotation=annotation,
+        )
+        self.scheme = scheme
+
+    # -- item registry ----------------------------------------------------
+    def _items(self) -> dict:
+        if self._checked_out:
+            return self._staged_items
+        return self.platform.wh.read_items(self.run_id)
+
+    def init_item(
+        self,
+        ix_type: str,
+        name: str,
+        idx_sets: Sequence[str] | None = None,
+        idx_names: Sequence[str] | None = None,
+    ) -> None:
+        """Declare an item (reference scenario.py:562–608,
+        base.py:908–936). idx_names defaults to idx_sets; arity must
+        match; referenced index sets must exist."""
+        if ix_type not in _IX_TYPES:
+            raise ValueError(f"ix_type must be one of {_IX_TYPES}")
+        items = self._items()
+        if name in items:
+            raise ValueError(f"item {name!r} already exists")
+        idx_sets = list(idx_sets or [])
+        idx_names = list(idx_names or idx_sets)
+        if len(idx_names) != len(idx_sets):
+            raise ValueError("idx_names must match idx_sets in length")
+        for s in idx_sets:
+            if s not in items or items[s]["ix_type"] != "set":
+                raise ValueError(f"unknown index set {s!r}")
+            if items[s]["idx_sets"]:
+                raise ValueError(f"{s!r} is not a simple (index) set")
+        items[name] = {"ix_type": ix_type, "idx_sets": idx_sets, "idx_names": idx_names}
+
+    def init_set(self, name, idx_sets=None, idx_names=None):
+        self.init_item("set", name, idx_sets, idx_names)
+
+    def init_par(self, name, idx_sets=None, idx_names=None):
+        self.init_item("par", name, idx_sets, idx_names)
+
+    def init_var(self, name, idx_sets=None, idx_names=None):
+        self.init_item("var", name, idx_sets, idx_names)
+
+    def init_equ(self, name, idx_sets=None, idx_names=None):
+        self.init_item("equ", name, idx_sets, idx_names)
+
+    def init_scalar(self, name, val: float, unit: str, comment=None):
+        self.init_par(name)
+        self.change_scalar(name, val, unit, comment)
+
+    def items(
+        self, ix_type: str | None = None, indexed_by: str | None = None
+    ) -> list[str]:
+        """Sorted item names (O1), optionally of one type / indexed by a
+        given set (F8, reference scenario.py:391–435)."""
+        out = []
+        for name, it in self._items().items():
+            if ix_type and it["ix_type"] != ix_type:
+                continue
+            if indexed_by and indexed_by not in it["idx_sets"]:
+                continue
+            out.append(name)
+        return sorted(out)
+
+    def has_item(self, name: str, ix_type: str | None = None) -> bool:
+        it = self._items().get(name)
+        return it is not None and (ix_type is None or it["ix_type"] == ix_type)
+
+    has_set = lambda self, name: self.has_item(name, "set")  # noqa: E731
+    has_par = lambda self, name: self.has_item(name, "par")  # noqa: E731
+    has_var = lambda self, name: self.has_item(name, "var")  # noqa: E731
+    has_equ = lambda self, name: self.has_item(name, "equ")  # noqa: E731
+
+    def idx_sets(self, name: str) -> list[str]:
+        return list(self._require_item(name)["idx_sets"])
+
+    def idx_names(self, name: str) -> list[str]:
+        return list(self._require_item(name)["idx_names"])
+
+    def _require_item(self, name: str, ix_type: str | None = None) -> dict:
+        it = self._items().get(name)
+        if it is None:
+            raise KeyError(f"no item {name!r}")
+        if ix_type and it["ix_type"] != ix_type:
+            raise ValueError(f"{name!r} is a {it['ix_type']}, not {ix_type}")
+        return it
+
+    # -- writes -----------------------------------------------------------
+    def _set_members(self, set_name: str) -> set[str]:
+        t = self._table("set_data")
+        rows = t[(t["run_id"] == self.run_id) & (t["name"] == set_name)]
+        return {k[0] for k in rows["key"]}
+
+    def _validate_keys(self, item: dict, keys: list[list[str]], name: str) -> None:
+        """J3 write-side strict membership (base.py:1070–1074)."""
+        for dim, set_name in enumerate(item["idx_sets"]):
+            members = self._set_members(set_name)
+            for key in keys:
+                if key[dim] not in members:
+                    raise ValueError(
+                        f"invalid key {key[dim]!r} for dimension "
+                        f"{item['idx_names'][dim]!r} of {name!r}: not in set "
+                        f"{set_name!r}"
+                    )
+
+    def _coerce_keys(
+        self, item: dict, key_or_keys, name: str, arity: int | None = None
+    ) -> list[list[str]]:
+        # simple sets have no idx_sets but their elements are 1-tuples
+        if arity is None:
+            arity = len(item["idx_sets"]) or (
+                1 if item["ix_type"] == "set" else 0
+            )
+        if key_or_keys is None:
+            if arity:
+                raise ValueError(f"{name!r} has {arity} dimensions; key required")
+            return [[]]
+        if isinstance(key_or_keys, pd.DataFrame):
+            cols = [c for c in item["idx_names"] if c in key_or_keys.columns]
+            if len(cols) != arity:
+                raise ValueError(f"need columns {item['idx_names']}")
+            return key_or_keys[cols].astype(str).values.tolist()
+        if isinstance(key_or_keys, str):
+            if arity != 1:
+                raise ValueError(f"{name!r} has {arity} dimensions")
+            return [[key_or_keys]]
+        seq = list(key_or_keys)
+        if not seq:
+            return []
+        if all(isinstance(k, (list, tuple)) for k in seq):
+            out = [_as_str_list(k) for k in seq]
+        elif arity == 1:
+            out = [[str(k)] for k in seq]
+        else:
+            out = [_as_str_list(seq)]
+        for k in out:
+            if len(k) != arity:
+                raise ValueError(
+                    f"key {k} has arity {len(k)}; {name!r} needs {arity}"
+                )
+        return out
+
+    def add_set(self, name: str, key, comment: str | None = None) -> None:
+        """U1: append elements; idempotent on duplicates; arity-validated;
+        indexed-set keys must be members of their index sets."""
+        item = self._require_item(name, "set")
+        keys = self._coerce_keys(item, key, name)
+        if item["idx_sets"]:
+            self._validate_keys(item, keys, name)
+        cur = self._table("set_data")
+        new = pd.DataFrame(
+            {
+                "run_id": self.run_id,
+                "name": name,
+                "key": [list(k) for k in keys],
+                "comment": comment,
+            }
+        )
+        merged = pd.concat([cur, new], ignore_index=True)
+        merged["__k"] = merged["key"].map(tuple)
+        merged = merged.drop_duplicates(subset=["run_id", "name", "__k"]).drop(
+            columns="__k"
+        )
+        self._set_table("set_data", merged)
+
+    def add_par(self, name: str, key_or_data=None, value=None, unit=None,
+                comment=None) -> None:
+        """Add/overwrite parameter elements; accepts a DataFrame with
+        idx_name columns + value + unit, or key(s) + scalar value."""
+        item = self._require_item(name, "par")
+        if isinstance(key_or_data, pd.DataFrame):
+            df = key_or_data
+            keys = self._coerce_keys(item, df, name)
+            values = df["value"].astype(float).tolist()
+            units = (
+                df["unit"].astype(str).tolist()
+                if "unit" in df
+                else [unit or ""] * len(keys)
+            )
+        else:
+            keys = self._coerce_keys(item, key_or_data, name)
+            if len(keys) == 1:
+                values = [float(value)]
+                units = [str(unit or "")]
+            else:
+                values = [float(v) for v in (value if isinstance(value, (list, tuple)) else [value] * len(keys))]
+                units = (
+                    [str(u) for u in unit]
+                    if isinstance(unit, (list, tuple))
+                    else [str(unit or "")] * len(keys)
+                )
+        self._validate_keys(item, keys, name)
+        known_units = set(self.platform.units())
+        bad = set(units) - known_units
+        if bad:
+            raise ValueError(f"unknown units {sorted(bad)}; add_unit first")
+        cur = self._table("par_data")
+        new = pd.DataFrame(
+            {
+                "run_id": self.run_id,
+                "name": name,
+                "key": [list(k) for k in keys],
+                "value": values,
+                "unit": units,
+            }
+        )
+        merged = pd.concat([cur, new], ignore_index=True)
+        merged["__k"] = merged["key"].map(tuple)
+        merged = merged.drop_duplicates(
+            subset=["run_id", "name", "__k"], keep="last"
+        ).drop(columns="__k")
+        self._set_table("par_data", merged)
+
+    def add_scalar(self, name: str, val: float, unit: str, comment=None) -> None:
+        self.add_par(name, None, val, unit, comment)
+
+    def change_scalar(self, name: str, val: float, unit: str, comment=None) -> None:
+        self.add_par(name, None, val, unit, comment)
+
+    def remove_set(self, name: str, key=None) -> None:
+        """U2: drop the whole set, or listed elements."""
+        self._remove_elements("set_data", "set", name, key)
+
+    def remove_par(self, name: str, key=None) -> None:
+        self._remove_elements("par_data", "par", name, key)
+
+    def _remove_elements(self, table: str, ix_type: str, name: str, key) -> None:
+        item = self._require_item(name, ix_type)
+        cur = self._table(table)
+        if key is None:
+            out = cur[~((cur["run_id"] == self.run_id) & (cur["name"] == name))]
+            del self._items()[name]  # whole-item removal drops the registry entry
+        else:
+            keys = {tuple(k) for k in self._coerce_keys(item, key, name)}
+            mask = (
+                (cur["run_id"] == self.run_id)
+                & (cur["name"] == name)
+                & cur["key"].map(lambda k: tuple(k) in keys)
+            )
+            out = cur[~mask]
+        self._set_table(table, out)
+
+    # -- reads (F1–F4) ----------------------------------------------------
+    def _named_view(self, table: str, item: dict, name: str) -> DataFrame:
+        """Pivot ``key array<string>`` into idx_name columns — the dynamic
+        per-item view of SURVEY.md §1.6."""
+        sdf = self._spark_table(table).where(
+            (F.col("run_id") == self.run_id) & (F.col("name") == name)
+        )
+        cols = [
+            F.col("key")[i].alias(n) for i, n in enumerate(item["idx_names"])
+        ]
+        value_cols = {
+            "set_data": [],
+            "par_data": [F.col("value"), F.col("unit")],
+            "sol_data": [F.col("lvl"), F.col("mrg")],
+        }[table]
+        return sdf.select(*cols, *value_cols)
+
+    def _get_elements(self, ix_type: str, name: str, filters=None):
+        item = self._require_item(name, ix_type)
+        table = {"set": "set_data", "par": "par_data"}.get(ix_type, "sol_data")
+        arity = len(item["idx_sets"])
+        if ix_type == "set" and arity == 0:
+            # simple set → pd.Series of str (reference base.py:1007–1009)
+            return self._simple_set_series(name)
+        # 0-d: scalar dict returns (reference base.py:1010–1018)
+        if arity == 0:
+            pdf = self._table(table)
+            row = pdf[(pdf["run_id"] == self.run_id) & (pdf["name"] == name)]
+            if len(row) == 0:
+                raise KeyError(f"scalar {name!r} has no value")
+            r = row.iloc[-1]
+            if ix_type == "par":
+                return {"value": float(r["value"]), "unit": r["unit"]}
+            return {"lvl": float(r["lvl"]), "mrg": float(r["mrg"])}
+        view = self._named_view(table, item, name)
+        if filters:
+            # prune filter keys to actual dims (F9), coerce values to str
+            filters = {
+                d: _as_str_list(v)
+                for d, v in filters.items()
+                if d in item["idx_names"]
+            }
+            view = in_list_filter(view, filters)
+        return view.toPandas()
+
+    def _simple_set_series(self, name: str) -> pd.Series:
+        t = self._table("set_data")
+        rows = t[(t["run_id"] == self.run_id) & (t["name"] == name)]
+        return pd.Series([k[0] for k in rows["key"]], dtype=object, name=name)
+
+    def set(self, name: str, filters: Mapping | None = None):
+        """Simple sets → pd.Series of str; indexed sets → DataFrame."""
+        return self._get_elements("set", name, filters)
+
+    def par(self, name: str, filters: Mapping | None = None):
+        return self._get_elements("par", name, filters)
+
+    def var(self, name: str, filters: Mapping | None = None):
+        return self._get_elements("var", name, filters)
+
+    def equ(self, name: str, filters: Mapping | None = None):
+        return self._get_elements("equ", name, filters)
+
+    def scalar(self, name: str) -> dict:
+        return self._get_elements("par", name)
+
+    def par_spark(self, name: str, filters: Mapping | None = None) -> DataFrame:
+        """Spark-native read path (no driver materialization): the named
+        view with pushdown filters — used by the reporting engine."""
+        item = self._require_item(name, "par")
+        view = self._named_view("par_data", item, name)
+        if filters:
+            filters = {
+                d: _as_str_list(v) for d, v in filters.items()
+                if d in item["idx_names"]
+            }
+            view = in_list_filter(view, filters)
+        return view
+
+    def iter_par_data(self, filters: Mapping | None = None, indexed_by=None):
+        """Yield (name, filtered DataFrame) per parameter (reference
+        scenario.py:459–473): filters pruned per item to relevant dims."""
+        for name in self.items("par", indexed_by=indexed_by):
+            item = self._require_item(name)
+            if not item["idx_sets"]:
+                continue
+            rel = (
+                {d: v for d, v in (filters or {}).items() if d in item["idx_names"]}
+                or None
+            )
+            if filters and not rel:
+                continue
+            df = self.par(name, rel)
+            if len(df):
+                yield name, df
+
+    # -- solution ---------------------------------------------------------
+    def add_solution(self, name: str, data: pd.DataFrame | dict, ix_type: str) -> None:
+        """Store var/equ levels+marginals (S8 ingest path)."""
+        item = self._require_item(name, ix_type)
+        cur = self._table("sol_data")
+        if isinstance(data, dict):
+            new = pd.DataFrame(
+                {
+                    "run_id": [self.run_id],
+                    "name": [name],
+                    "ix_type": [ix_type],
+                    "key": [[]],
+                    "lvl": [float(data["lvl"])],
+                    "mrg": [float(data["mrg"])],
+                }
+            )
+        else:
+            keys = data[item["idx_names"]].astype(str).values.tolist()
+            new = pd.DataFrame(
+                {
+                    "run_id": self.run_id,
+                    "name": name,
+                    "ix_type": ix_type,
+                    "key": [list(k) for k in keys],
+                    "lvl": data["lvl"].astype(float).tolist(),
+                    "mrg": data["mrg"].astype(float).tolist(),
+                }
+            )
+        self._set_table("sol_data", pd.concat([cur, new], ignore_index=True))
+
+    def has_solution(self) -> bool:
+        if self._checked_out and self._staged is not None:
+            return len(self._staged["sol_data"]) > 0
+        return self._has_solution_stored()
+
+    def remove_solution(self, first_model_year: int | None = None) -> None:
+        """Drop var/equ data; non-``meta`` timeseries rows from
+        first_model_year on are dropped too (reference
+        scenario.py:1003–1050, doc/data-model.rst:214–218)."""
+        if self._checked_out:
+            raise RuntimeError("cannot remove solution while checked out")
+        if not self.has_solution():
+            raise ValueError("this Scenario does not have a solution")
+        self.check_out(timeseries_only=True)
+        self._staged["sol_data"] = self._staged["sol_data"].iloc[0:0]
+        ts = self._staged["ts_data"]
+        if first_model_year is not None:
+            drop = (~ts["meta"]) & (ts["year"] >= first_model_year)
+        else:
+            drop = ~ts["meta"]
+        self._staged["ts_data"] = ts[~drop]
+        self.commit(f"remove_solution(first_model_year={first_model_year})")
+
+    # -- clone (SURVEY.md §1.5; reference scenario.py:870–945) ------------
+    def clone(
+        self,
+        model: str | None = None,
+        scenario: str | None = None,
+        annotation: str | None = None,
+        keep_solution: bool = True,
+        shift_first_model_year: int | None = None,
+        platform=None,
+    ) -> "Scenario":
+        """Copy this scenario to a new run (new version under the same or a
+        new (model, scenario)). INSERT-SELECT at warehouse level: fact
+        tables are copied with the new run_id; keep_solution=False drops
+        sol_data + non-meta ts rows; shift_first_model_year clamps."""
+        target_mp = platform or self.platform
+        new = Scenario(
+            target_mp,
+            model or self.model,
+            scenario or self.scenario,
+            version="new",
+            scheme=self.scheme,
+            annotation=annotation,
+        )
+        src = {t: self.platform.wh.read_table(self.run_id, t) for t in
+               ("set_data", "par_data", "sol_data", "ts_data", "geo_data")}
+        if self._checked_out and self._staged is not None:
+            src = {t: self._staged[t].copy() for t in src}
+        for t, df in src.items():
+            df = df.copy()
+            df["run_id"] = new.run_id
+            src[t] = df
+        if not keep_solution:
+            src["sol_data"] = src["sol_data"].iloc[0:0]
+            ts = src["ts_data"]
+            if shift_first_model_year is not None:
+                src["ts_data"] = ts[
+                    ts["meta"] | (ts["year"] < shift_first_model_year)
+                ]
+            else:
+                src["ts_data"] = ts[ts["meta"]]
+        new._staged = src
+        new._staged_items = dict(
+            self._staged_items if self._checked_out else
+            self.platform.wh.read_items(self.run_id)
+        )
+        new.commit(annotation or f"clone of {self.model}/{self.scenario}#{self.version}")
+        return new

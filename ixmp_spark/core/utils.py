@@ -1,0 +1,101 @@
+"""Scenario-level utilities (reference ixmp/util/__init__.py surface)."""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+
+from ixmp_spark.core.scenario import Scenario
+
+
+def diff(a: Scenario, b: Scenario, filters=None) -> Iterator[tuple[str, pd.DataFrame]]:
+    """J1 (reference util/__init__.py:136–204): iterate parameters of two
+    scenarios in name order (merge-join over sorted item names); per par,
+    full-outer merge on dim columns with _a/_b suffixes and a ``_merge``
+    indicator, sorted."""
+    names = sorted(set(a.items("par")) | set(b.items("par")))
+    for name in names:
+        has_a, has_b = a.has_par(name), b.has_par(name)
+        dims_scen = a if has_a else b
+        item = dims_scen._require_item(name, "par")
+        dims = item["idx_names"]
+        if not dims:
+            continue  # scalars handled via scalar() comparison
+        fa = (
+            a.par(name, filters)
+            if has_a
+            else pd.DataFrame(columns=[*dims, "value", "unit"])
+        )
+        fb = (
+            b.par(name, filters)
+            if has_b
+            else pd.DataFrame(columns=[*dims, "value", "unit"])
+        )
+        merged = fa.merge(
+            fb,
+            on=dims,
+            how="outer",
+            suffixes=("_a", "_b"),
+            indicator=True,
+            sort=True,
+        )
+        yield name, merged
+
+
+def parse_url(url: str) -> tuple[str, dict]:
+    """C4 (reference util/__init__.py:340–408):
+    ``ixmp://platform/model/scenario#version`` → (platform, scenario info).
+    """
+    m = re.match(
+        r"(?:(?P<scheme>ixmp)://)?(?P<platform>[^/]+)/"
+        r"(?P<model>[^/]+)/(?P<scenario>[^#]+)(?:#(?P<version>\d+))?$",
+        url,
+    )
+    if not m or (m.group("scheme") is None and "://" in url):
+        raise ValueError(f"cannot parse URL {url!r}")
+    g = m.groupdict()
+    info = {"model": g["model"], "scenario": g["scenario"]}
+    if g["version"]:
+        info["version"] = int(g["version"])
+    return g["platform"], info
+
+
+def update_par(scen: Scenario, name: str, data: pd.DataFrame) -> None:
+    """J2 (reference util/__init__.py:677–690): add only rows whose key
+    tuple is not yet present in the parameter."""
+    item = scen._require_item(name, "par")
+    dims = item["idx_names"]
+    existing = scen.par(name)
+    if len(existing):
+        merged = data.merge(existing[dims].astype(str), on=dims, how="left",
+                            indicator=True)
+        new_rows = data[(merged["_merge"] == "left_only").values]
+    else:
+        new_rows = data
+    if len(new_rows):
+        scen.add_par(name, new_rows)
+
+
+def format_scenario_list(platform, match: str | None = None) -> pd.DataFrame:
+    """A4/F10 (reference util/__init__.py:514–556): per (model, scenario)
+    version stats, optionally regex-filtered on 'model/scenario'."""
+    runs = platform.scenario_list(default=False)
+    if match:
+        pat = re.compile(match)
+        key = runs["model"].str.cat(runs["scenario"], sep="/")
+        runs = runs[key.map(lambda s: bool(pat.search(s)))]
+    out = (
+        runs.assign(
+            default_version=runs["version"].where(runs["is_default"])
+        )
+        .groupby(["model", "scenario"], as_index=False)
+        .agg(
+            N=("version", "count"),
+            min_version=("version", "min"),
+            max_version=("version", "max"),
+            default_version=("default_version", "max"),
+        )
+    )
+    return out

@@ -1,0 +1,294 @@
+"""Local warehouse: the engine's storage layer.
+
+Replaces the reference's JDBC/ixmp4 backends (SURVEY.md §1.6) with a
+Spark-readable parquet layout plus an atomic driver-side catalog:
+
+    <root>/catalog.json                  runs, codelists, meta, docs
+    <root>/runs/<run_id>/                one directory per run (version)
+        items.json                       dynamic item registry
+        set_data.parquet  par_data.parquet  sol_data.parquet
+        ts_data.parquet   geo_data.parquet
+
+Commit protocol (SURVEY.md §7 step 1 "hard part"): all of a commit's
+tables are written into ``.staging-<n>/`` and the directory is swapped in
+with atomic renames; the catalog's ``commit`` counter is flipped last, so
+readers either see the old snapshot or the new one, never a mix. On a
+production cluster the same protocol is one Delta transaction per commit
+(each table write = one AddFile set, visibility = the Delta log); the
+catalog.json is this repo's stand-in for the metastore + Delta log.
+
+Scale design: fact tables are partitioned by ``run_id`` (every query is
+run-scoped — SURVEY.md §4 P11, the dominant pruning axis); model data per
+run is model-sized (the reference stages it in pandas/Java heaps), so the
+write path uses pyarrow directly — no Spark job per small commit — while
+every *read* is a Spark parquet scan with pushdown. Bulk time-series
+ingest goes through the Spark writer (``append_ts_spark``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from typing import Any
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# Long-format fact schemas (SURVEY.md §1.6): keys are array<string> so one
+# schema fits any item arity; labels string, values double, year int.
+SCHEMAS: dict[str, pa.Schema] = {
+    "set_data": pa.schema(
+        [
+            ("run_id", pa.int64()),
+            ("name", pa.string()),
+            ("key", pa.list_(pa.string())),
+            ("comment", pa.string()),
+        ]
+    ),
+    "par_data": pa.schema(
+        [
+            ("run_id", pa.int64()),
+            ("name", pa.string()),
+            ("key", pa.list_(pa.string())),
+            ("value", pa.float64()),
+            ("unit", pa.string()),
+        ]
+    ),
+    "sol_data": pa.schema(
+        [
+            ("run_id", pa.int64()),
+            ("name", pa.string()),
+            ("ix_type", pa.string()),  # 'var' | 'equ'
+            ("key", pa.list_(pa.string())),
+            ("lvl", pa.float64()),
+            ("mrg", pa.float64()),
+        ]
+    ),
+    # FIELDS["ts_get"] + meta flag (reference backend/common.py:33)
+    "ts_data": pa.schema(
+        [
+            ("run_id", pa.int64()),
+            ("region", pa.string()),
+            ("variable", pa.string()),
+            ("unit", pa.string()),
+            ("subannual", pa.string()),
+            ("year", pa.int32()),
+            ("value", pa.float64()),
+            ("meta", pa.bool_()),
+        ]
+    ),
+    # geodata: value is a string (reference timeseries.py:33–41)
+    "geo_data": pa.schema(
+        [
+            ("run_id", pa.int64()),
+            ("region", pa.string()),
+            ("variable", pa.string()),
+            ("unit", pa.string()),
+            ("subannual", pa.string()),
+            ("year", pa.int32()),
+            ("value", pa.string()),
+            ("meta", pa.bool_()),
+        ]
+    ),
+}
+
+FACT_TABLES = tuple(SCHEMAS)
+
+
+def _empty(table: str) -> pd.DataFrame:
+    return SCHEMAS[table].empty_table().to_pandas()
+
+
+class LocalWarehouse:
+    """Catalog + per-run parquet snapshots with atomic commit swap."""
+
+    def __init__(self, root: str):
+        self.root = os.path.abspath(root)
+        os.makedirs(os.path.join(self.root, "runs"), exist_ok=True)
+        self._catalog_path = os.path.join(self.root, "catalog.json")
+        if not os.path.exists(self._catalog_path):
+            self._write_catalog(
+                {
+                    "next_run_id": 1,
+                    "runs": {},
+                    "units": [],
+                    # region -> {hierarchy, parent}; synonyms resolved on write
+                    "regions": {},
+                    "region_synonyms": {},
+                    # name -> {category, duration}; 'Year' predefined
+                    "timeslices": {"Year": {"category": "Common", "duration": 1.0}},
+                    "models": [],
+                    "scenarios": [],
+                    "meta": [],
+                    "docs": {},
+                }
+            )
+
+    # -- catalog ----------------------------------------------------------
+    def catalog(self) -> dict[str, Any]:
+        with open(self._catalog_path) as f:
+            return json.load(f)
+
+    def _write_catalog(self, cat: dict[str, Any]) -> None:
+        tmp = self._catalog_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(cat, f, indent=1)
+        os.replace(tmp, self._catalog_path)  # atomic visibility flip
+
+    def update_catalog(self, fn) -> dict[str, Any]:
+        cat = self.catalog()
+        fn(cat)
+        self._write_catalog(cat)
+        return cat
+
+    # -- runs -------------------------------------------------------------
+    def run_dir(self, run_id: int) -> str:
+        return os.path.join(self.root, "runs", str(run_id))
+
+    def new_run(
+        self, model: str, scenario: str, scheme: str | None = None,
+        annotation: str | None = None, user: str = "ixmp_spark",
+    ) -> tuple[int, int]:
+        """Allocate a run: version = max existing version + 1 (W2)."""
+        out: dict[str, int] = {}
+
+        def alloc(cat):
+            rid = cat["next_run_id"]
+            cat["next_run_id"] = rid + 1
+            versions = [
+                r["version"]
+                for r in cat["runs"].values()
+                if r["model"] == model and r["scenario"] == scenario
+            ]
+            version = (max(versions) + 1) if versions else 1
+            now = time.strftime("%Y-%m-%d %H:%M:%S")
+            cat["runs"][str(rid)] = {
+                "model": model,
+                "scenario": scenario,
+                "version": version,
+                "scheme": scheme,
+                "is_default": False,
+                "commit": 0,
+                "annotation": annotation,
+                "cre_user": user,
+                "cre_date": now,
+                "upd_user": None,
+                "upd_date": None,
+                "locked": False,
+            }
+            if model not in cat["models"]:
+                cat["models"].append(model)
+            if scenario not in cat["scenarios"]:
+                cat["scenarios"].append(scenario)
+            out["rid"], out["version"] = rid, version
+
+        self.update_catalog(alloc)
+        os.makedirs(self.run_dir(out["rid"]), exist_ok=True)
+        self._write_run_tables(
+            out["rid"], {t: _empty(t) for t in FACT_TABLES}, items={}
+        )
+        return out["rid"], out["version"]
+
+    def resolve_run(
+        self, model: str, scenario: str, version: int | None = None
+    ) -> tuple[int, dict[str, Any]]:
+        """Default-version resolution (W1, reference base.py:557–584):
+        explicit version, else the default flag, else max version."""
+        cat = self.catalog()
+        cands = {
+            int(k): v
+            for k, v in cat["runs"].items()
+            if v["model"] == model and v["scenario"] == scenario
+        }
+        if not cands:
+            raise ValueError(f"no runs for model={model!r} scenario={scenario!r}")
+        if version is not None:
+            for rid, r in cands.items():
+                if r["version"] == version:
+                    return rid, r
+            raise ValueError(f"version {version} not found for {model}/{scenario}")
+        defaults = [(rid, r) for rid, r in cands.items() if r["is_default"]]
+        if defaults:
+            return defaults[0]
+        rid = max(cands, key=lambda i: cands[i]["version"])
+        return rid, cands[rid]
+
+    # -- per-run tables ---------------------------------------------------
+    def read_items(self, run_id: int) -> dict[str, Any]:
+        p = os.path.join(self.run_dir(run_id), "items.json")
+        if not os.path.exists(p):
+            return {}
+        with open(p) as f:
+            return json.load(f)
+
+    def read_table(self, run_id: int, table: str) -> pd.DataFrame:
+        p = os.path.join(self.run_dir(run_id), f"{table}.parquet")
+        if not os.path.exists(p):
+            return _empty(table)
+        return pq.read_table(p).to_pandas()
+
+    def table_path(self, run_id: int, table: str) -> str:
+        return os.path.join(self.run_dir(run_id), f"{table}.parquet")
+
+    def _write_run_tables(
+        self,
+        run_id: int,
+        tables: dict[str, pd.DataFrame],
+        items: dict[str, Any] | None = None,
+    ) -> None:
+        """Stage the new snapshot, swap atomically, bump commit counter
+        last — the parquet analogue of one Delta transaction."""
+        rdir = self.run_dir(run_id)
+        staging = os.path.join(rdir, ".staging")
+        shutil.rmtree(staging, ignore_errors=True)
+        os.makedirs(staging)
+        for t, df in tables.items():
+            pq.write_table(
+                pa.Table.from_pandas(
+                    df.reset_index(drop=True), schema=SCHEMAS[t], preserve_index=False
+                ),
+                os.path.join(staging, f"{t}.parquet"),
+                compression="zstd",
+            )
+        if items is not None:
+            with open(os.path.join(staging, "items.json"), "w") as f:
+                json.dump(items, f, indent=1)
+        for fname in os.listdir(staging):
+            os.replace(os.path.join(staging, fname), os.path.join(rdir, fname))
+        shutil.rmtree(staging, ignore_errors=True)
+
+    def commit_run(
+        self,
+        run_id: int,
+        tables: dict[str, pd.DataFrame],
+        items: dict[str, Any],
+        comment: str | None = None,
+        user: str = "ixmp_spark",
+    ) -> None:
+        self._write_run_tables(run_id, tables, items)
+
+        def bump(cat):
+            r = cat["runs"][str(run_id)]
+            r["commit"] += 1
+            r["upd_user"] = user
+            r["upd_date"] = time.strftime("%Y-%m-%d %H:%M:%S")
+            if comment:
+                r["annotation"] = comment
+
+        self.update_catalog(bump)
+
+    def delete_run(self, run_id: int) -> None:
+        shutil.rmtree(self.run_dir(run_id), ignore_errors=True)
+        self.update_catalog(lambda cat: cat["runs"].pop(str(run_id), None))
+
+    def set_default(self, run_id: int) -> None:
+        def flip(cat):
+            me = cat["runs"][str(run_id)]
+            for rid, r in cat["runs"].items():
+                if r["model"] == me["model"] and r["scenario"] == me["scenario"]:
+                    r["is_default"] = rid == str(run_id)
+
+        self.update_catalog(flip)

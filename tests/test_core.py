@@ -1,0 +1,414 @@
+"""Engine-core semantics tests — mirrors the reference's test strategy
+(SURVEY.md §5: Dantzig golden fixture, filter truth tables, lifecycle)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from ixmp_spark.core import Platform, Scenario, TimeSeries
+from ixmp_spark.core.utils import diff, format_scenario_list, parse_url, update_par
+from ixmp_spark.testing import HIST_DF, make_dantzig, solve_dantzig
+
+
+@pytest.fixture()
+def mp(spark, tmp_path):
+    return Platform(spark, str(tmp_path / "wh"))
+
+
+@pytest.fixture()
+def dantzig(mp) -> Scenario:
+    return make_dantzig(mp)
+
+
+# -- item registry & filters (reference test_scenario.py:444–540) ---------
+
+def test_items_registry(dantzig):
+    assert dantzig.items("par") == ["a", "b", "d", "f"]
+    assert dantzig.items("par", indexed_by="i") == ["a", "d"]
+    assert dantzig.items("equ", indexed_by="i") == ["supply"]
+    assert dantzig.idx_sets("d") == ["i", "j"]
+    assert dantzig.idx_names("d") == ["i", "j"]
+    assert dantzig.has_par("d") and not dantzig.has_set("d")
+
+
+def test_simple_set_series(dantzig):
+    i = dantzig.set("i")
+    assert isinstance(i, pd.Series)
+    assert sorted(i) == ["san-diego", "seattle"]
+
+
+def test_par_filter_golden(dantzig):
+    """par('d', filters={'i': ['seattle']}) → 3 rows, unit km
+    (reference test_scenario.py:471–491)."""
+    d = dantzig.par("d", filters={"i": ["seattle"]})
+    assert len(d) == 3
+    assert set(d.columns) == {"i", "j", "value", "unit"}
+    assert (d["unit"] == "km").all()
+    assert sorted(d["j"]) == ["chicago", "new-york", "topeka"]
+    assert d.set_index("j")["value"]["chicago"] == 1.7
+
+
+def test_filter_contract(dantzig):
+    # silent ignore of non-member values (base.py:1001–1005)
+    d = dantzig.par("d", filters={"i": ["seattle", "atlantis"]})
+    assert len(d) == 3
+    # non-str coercion: int filters match their str form
+    dantzig.check_out()
+    dantzig.init_set("year")
+    dantzig.add_set("year", ["2020", "2030"])
+    dantzig.init_par("p_y", idx_sets=["year"])
+    dantzig.add_par("p_y", "2020", 1.0, "cases")
+    dantzig.commit("year par")
+    assert len(dantzig.par("p_y", filters={"year": [2020]})) == 1
+    # irrelevant filter keys are pruned (F9)
+    assert len(dantzig.par("d", filters={"nope": ["x"]})) == 6
+
+
+def test_scalar_roundtrip(dantzig):
+    f = dantzig.scalar("f")
+    assert f == {"value": 90.0, "unit": "USD/km"}
+
+
+def test_write_validation_strict(dantzig):
+    dantzig.check_out()
+    with pytest.raises(ValueError, match="not in set"):
+        dantzig.add_par("d", ["atlantis", "topeka"], 1.0, "km")
+    with pytest.raises(ValueError, match="unknown units"):
+        dantzig.add_par("d", ["seattle", "topeka"], 1.0, "parsec")
+    with pytest.raises(ValueError, match="arity|dimensions"):
+        dantzig.add_set("i", [["a", "b"]])
+    dantzig.discard_changes()
+
+
+def test_iter_par_data(dantzig):
+    got = [(n, len(df)) for n, df in dantzig.iter_par_data({"i": ["seattle"]})]
+    assert got == [("a", 1), ("d", 3)]
+
+
+def test_add_set_idempotent(dantzig):
+    dantzig.check_out()
+    dantzig.add_set("i", "seattle")  # duplicate → no-op
+    dantzig.commit("dup add")
+    assert len(dantzig.set("i")) == 2
+
+
+def test_indexed_set(dantzig):
+    dantzig.check_out()
+    dantzig.init_set("route", idx_sets=["i", "j"])
+    dantzig.add_set("route", [["seattle", "chicago"], ["san-diego", "topeka"]])
+    dantzig.commit("routes")
+    r = dantzig.set("route")
+    assert isinstance(r, pd.DataFrame)
+    assert len(r) == 2
+    # same set twice with distinct dim names (doc/file-io.rst:62–75)
+    dantzig.check_out()
+    dantzig.init_set("pairs", idx_sets=["i", "i"], idx_names=["i", "i2"])
+    dantzig.add_set("pairs", [["seattle", "san-diego"]])
+    dantzig.commit("pairs")
+    p = dantzig.set("pairs")
+    assert list(p.columns) == ["i", "i2"]
+
+
+def test_remove_par_elements(dantzig):
+    dantzig.check_out()
+    dantzig.remove_par("d", [["seattle", "topeka"]])
+    dantzig.commit("rm")
+    assert len(dantzig.par("d")) == 5
+
+
+# -- solution lifecycle (reference test_scenario.py:553–599) --------------
+
+def test_solution_golden(dantzig):
+    solve_dantzig(dantzig)
+    x = dantzig.var("x", filters={"i": ["seattle"]})
+    x = x.set_index("j").loc[["new-york", "chicago", "topeka"]]
+    assert x["lvl"].tolist() == [50.0, 300.0, 0.0]
+    assert x["mrg"].tolist() == [0.0, 0.0, 0.036]
+    z = dantzig.var("z")
+    assert z == {"lvl": 153.675, "mrg": 0.0}
+    assert dantzig.has_solution()
+
+
+def test_checkout_refused_with_solution(dantzig):
+    solve_dantzig(dantzig)
+    with pytest.raises(RuntimeError, match="solution"):
+        dantzig.check_out()
+    dantzig.check_out(timeseries_only=True)  # allowed
+    dantzig.discard_changes()
+
+
+def test_remove_solution(dantzig):
+    solve_dantzig(dantzig)
+    dantzig.remove_solution()
+    assert not dantzig.has_solution()
+    with pytest.raises(ValueError):
+        dantzig.remove_solution()
+
+
+# -- versions & clone (reference test_scenario.py:215–338) ----------------
+
+def test_versions_and_default(mp):
+    s1 = make_dantzig(mp)
+    s2 = s1.clone(annotation="v2")
+    assert (s1.version, s2.version) == (1, 2)
+    # default resolution: s1 was set default → plain load returns v1
+    again = Scenario(mp, "canning problem", "standard")
+    assert again.version == 1
+    s2.set_as_default()
+    assert Scenario(mp, "canning problem", "standard").version == 2
+    # explicit version load
+    assert Scenario(mp, "canning problem", "standard", version=1).version == 1
+    # w/o default flag: max version wins
+    mp.wh.update_catalog(
+        lambda c: [r.__setitem__("is_default", False) for r in c["runs"].values()]
+    )
+    assert Scenario(mp, "canning problem", "standard").version == 2
+
+
+def test_clone_drops_solution(mp):
+    s1 = make_dantzig(mp, solve=True)
+    keep = s1.clone()
+    drop = s1.clone(keep_solution=False)
+    assert keep.has_solution()
+    assert not drop.has_solution()
+    # model data survives either way
+    assert len(drop.par("d")) == 6
+
+
+def test_clone_shift_first_model_year(mp):
+    s1 = make_dantzig(mp, solve=True)
+    s1.check_out(timeseries_only=True)
+    s1.add_timeseries(HIST_DF, meta=True)
+    s1.add_timeseries(
+        pd.DataFrame(
+            {
+                "region": "DantzigLand",
+                "variable": "Demand",
+                "unit": "cases",
+                "year": [2000, 2005, 2010],
+                "value": [850.0, 900.0, 950.0],
+            }
+        )
+    )
+    s1.commit("ts")
+    shifted = s1.clone(keep_solution=False, shift_first_model_year=2005)
+    ts = shifted.timeseries()
+    # meta rows survive; non-meta rows ≥ 2005 dropped
+    dem = ts[ts["variable"] == "Demand"]
+    assert sorted(dem["year"]) == [2000]
+    gdp = ts[ts["variable"] == "GDP"]
+    assert sorted(gdp["year"]) == [2000, 2005, 2010]
+
+
+def test_transact_discard_on_error(dantzig):
+    with pytest.raises(RuntimeError, match="boom"):
+        with dantzig.transact("will fail"):
+            dantzig.add_set("i", "nowhere")
+            raise RuntimeError("boom")
+    assert sorted(dantzig.set("i")) == ["san-diego", "seattle"]
+
+
+# -- timeseries (reference test_timeseries.py:204–345) --------------------
+
+def test_ts_wide_long_roundtrip(mp):
+    ts = TimeSeries(mp, "Douglas Adams", "Hitchhiker", version="new")
+    mp.add_unit("???")
+    mp.add_region("World", hierarchy="common")
+    long = pd.DataFrame(
+        {
+            "region": "World",
+            "variable": "Testing",
+            "unit": "???",
+            "year": [2010, 2020],
+            "value": [23.7, 23.8],
+        }
+    )
+    ts.add_timeseries(long)
+    ts.commit("initial data")
+    got = ts.timeseries()
+    assert got["year"].tolist() == [2010, 2020]
+    assert got["value"].tolist() == [23.7, 23.8]
+    assert "subannual" not in got.columns  # auto-dropped, all 'Year'
+    wide = ts.timeseries(iamc=True)
+    assert wide[2010].tolist() == [23.7]
+    assert list(wide.columns[:5]) == ["model", "scenario", "region", "variable", "unit"]
+
+
+def test_ts_region_synonym(mp):
+    mp.add_unit("???")
+    mp.add_region("World", hierarchy="common")
+    mp.add_region_synonym("Earth", "World")
+    ts = TimeSeries(mp, "m", "s", version="new")
+    ts.add_timeseries(
+        pd.DataFrame(
+            {
+                "region": "Earth",
+                "variable": "Testing",
+                "unit": "???",
+                "year": [2010],
+                "value": [1.0],
+            }
+        )
+    )
+    ts.commit("syn")
+    assert ts.timeseries()["region"].tolist() == ["World"]
+
+
+def test_ts_filters_and_year_lim(mp):
+    mp.add_unit("GWa")
+    mp.add_region("World", hierarchy="common")
+    ts = TimeSeries(mp, "m", "s", version="new")
+    ts.add_timeseries(
+        pd.DataFrame(
+            {
+                "region": "World",
+                "variable": ["v1", "v1", "v2"],
+                "unit": "GWa",
+                "year": [2000, 2010, 2010],
+                "value": [1.0, 2.0, 3.0],
+            }
+        ),
+        year_lim=(2001, None),
+    )
+    ts.commit("clamped")
+    got = ts.timeseries()
+    assert got["year"].tolist() == [2010, 2010]
+    v1 = ts.timeseries(variable="v1")
+    assert v1["value"].tolist() == [2.0]
+    byyear = ts.timeseries(year=2010)
+    assert len(byyear) == 2
+
+
+def test_ts_remove(mp):
+    mp.add_unit("???")
+    mp.add_region("World", hierarchy="common")
+    ts = TimeSeries(mp, "m", "s", version="new")
+    df = pd.DataFrame(
+        {
+            "region": "World",
+            "variable": "Testing",
+            "unit": "???",
+            "year": [2010, 2020],
+            "value": [1.0, 2.0],
+        }
+    )
+    ts.add_timeseries(df)
+    ts.commit("add")
+    ts.check_out()
+    ts.remove_timeseries(df[df["year"] == 2010])
+    ts.commit("rm")
+    assert ts.timeseries()["year"].tolist() == [2020]
+
+
+def test_geodata_roundtrip(mp):
+    mp.add_unit("score")
+    mp.add_region("World", hierarchy="common")
+    ts = TimeSeries(mp, "m", "s", version="new")
+    geo = pd.DataFrame(
+        {
+            "region": "World",
+            "variable": "var1",
+            "subannual": "Year",
+            "year": [2000, 2010, 2020],
+            "value": ["test", "more-test", "2020-test"],
+            "unit": "score",
+            "meta": 0,
+        }
+    )
+    ts.add_geodata(geo)
+    ts.commit("geo")
+    got = ts.get_geodata()
+    assert sorted(got["value"]) == ["2020-test", "more-test", "test"]
+    assert got["value"].dtype == object  # str values, not float
+
+
+# -- platform codelists & meta (reference test_meta.py) -------------------
+
+def test_units_regions_timeslices(mp):
+    mp.add_unit("USD")
+    assert "USD" in mp.units()
+    mp.add_region("World", hierarchy="common")
+    mp.add_region("CountryA", hierarchy="country", parent="World")
+    regs = mp.regions()
+    assert set(regs["region"]) == {"World", "CountryA"}
+    mp.add_timeslice("Summer", "Season", 0.25)
+    with pytest.raises(ValueError, match="duration"):
+        mp.add_timeslice("Summer", "Season", 0.5)
+    tsl = mp.timeslices().set_index("name")
+    assert tsl.loc["Year", "duration"] == 1.0
+    assert tsl.loc["Summer", "duration"] == 0.25
+
+
+def test_meta_cascade(mp, dantzig):
+    mp.set_meta("k_model", "m-level", model="canning problem")
+    mp.set_meta("k_both", 42, model="canning problem", scenario="standard")
+    mp.set_meta(
+        "k_ver", True, model="canning problem", scenario="standard", version=1
+    )
+    mp.set_meta("k_model", "overridden", model="canning problem",
+                scenario="standard")
+    got = mp.get_meta(model="canning problem", scenario="standard", version=1)
+    assert got == {"k_model": "overridden", "k_both": 42, "k_ver": True}
+    strict = mp.get_meta(model="canning problem", strict=True)
+    assert strict == {"k_model": "m-level"}
+    with pytest.raises(ValueError):
+        mp.set_meta("bad", 1, version=3)
+
+
+def test_scenario_list_and_format(mp):
+    s1 = make_dantzig(mp)
+    s1.clone()
+    lst = mp.scenario_list(default=False)
+    assert len(lst) == 2
+    assert mp.scenario_list()["version"].tolist() == [1]  # only default
+    fmt = format_scenario_list(mp)
+    assert fmt.loc[0, "N"] == 2
+    assert fmt.loc[0, "default_version"] == 1
+    assert len(format_scenario_list(mp, match="nothing")) == 0
+    assert len(format_scenario_list(mp, match="canning")) == 1
+
+
+# -- utils ---------------------------------------------------------------
+
+def test_diff(mp):
+    a = make_dantzig(mp)
+    b = a.clone()
+    b.check_out()
+    b.add_par("d", ["seattle", "topeka"], 9.9, "km")
+    b.remove_par("b", ["topeka"])
+    b.commit("changes")
+    out = dict(diff(a, b))
+    d = out["d"].set_index(["i", "j"])
+    assert d.loc[("seattle", "topeka"), "value_a"] == 1.8
+    assert d.loc[("seattle", "topeka"), "value_b"] == 9.9
+    bb = out["b"]
+    assert (bb["_merge"] == "left_only").sum() == 1
+
+
+def test_update_par(mp):
+    scen = make_dantzig(mp)
+    scen.check_out()
+    update_par(
+        scen,
+        "d",
+        pd.DataFrame(
+            [
+                ("seattle", "topeka", 99.0, "km"),  # exists → ignored
+                ("san-diego", "chicago", 77.0, "km"),  # exists → ignored
+            ],
+            columns=["i", "j", "value", "unit"],
+        ),
+    )
+    scen.commit("no-op update")
+    assert scen.par("d").set_index(["i", "j"]).loc[("seattle", "topeka"), "value"] == 1.8
+
+
+def test_parse_url():
+    plat, info = parse_url("ixmp://my-platform/modelA/scen1#3")
+    assert plat == "my-platform"
+    assert info == {"model": "modelA", "scenario": "scen1", "version": 3}
+    plat, info = parse_url("local/m/s")
+    assert plat == "local" and info == {"model": "m", "scenario": "s"}
+    with pytest.raises(ValueError):
+        parse_url("http://bad/url")
