@@ -1,0 +1,275 @@
+"""Reporter: the reference's genno/dask computation graph re-expressed as
+a registry of lazy Spark DataFrames.
+
+Reference behavior (SURVEY.md §3.2; ixmp/report/reporter.py:16–100):
+- ``from_scenario`` registers every par/var/equ as a quantity
+  ``name:dim1-dim2`` plus *all partial sums* over dimension subsets
+  (reporter.py:64–69) and every set as labels;
+- ``get(key)`` resolves only the requested subgraph (lazy);
+- quantities combine by dim alignment: mul/div join on shared dims and
+  broadcast over the rest (J7); ``aggregate`` maps labels into named
+  groups (A2).
+
+Spark mapping: a quantity is a long DataFrame (dim columns + ``value``)
+plus unit metadata carried at the driver (C5/A7: mixed units within one
+quantity are rejected at materialization, like operator.py:114–127).
+The graph is name → thunk returning a DataFrame; Spark's lazy DAG gives
+common-subexpression sharing within one action, and ``persist_key``
+pins hot intermediates across actions (SURVEY.md §4 P6).
+"""
+
+from __future__ import annotations
+
+import itertools
+from collections.abc import Callable, Iterable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class Key:
+    """``name:dim1-dim2`` — a named quantity with an ordered dim set."""
+
+    name: str
+    dims: tuple[str, ...] = ()
+
+    @classmethod
+    def parse(cls, s: "str | Key") -> "Key":
+        if isinstance(s, Key):
+            return s
+        name, _, dims = s.partition(":")
+        return cls(name, tuple(d for d in dims.split("-") if d))
+
+    def __str__(self) -> str:
+        return f"{self.name}:{'-'.join(self.dims)}"
+
+    def drop(self, *dims: str) -> "Key":
+        return Key(self.name, tuple(d for d in self.dims if d not in dims))
+
+
+@dataclass
+class Quantity:
+    """A dimensioned quantity: long DataFrame + unit metadata."""
+
+    df: DataFrame
+    dims: tuple[str, ...]
+    unit: str | None = None
+
+
+class Reporter:
+    def __init__(self):
+        self.graph: dict[str, Callable[[], Quantity]] = {}
+        self._cache: dict[str, Quantity] = {}
+        #: simple-set label lists (reference inserts sets as literal data)
+        self.labels: dict[str, list[str]] = {}
+
+    # -- registry ---------------------------------------------------------
+    def add(self, key: "str | Key", thunk: Callable[[], Quantity]) -> Key:
+        k = Key.parse(key)
+        self.graph[str(k)] = thunk
+        return k
+
+    def add_quantity(
+        self, key: "str | Key", df: DataFrame, unit: str | None = None
+    ) -> Key:
+        k = Key.parse(key)
+        q = Quantity(df, k.dims, unit)
+        self.add(k, lambda: q)
+        self._register_sums(k)
+        return k
+
+    def _register_sums(self, k: Key) -> None:
+        """A1 (reference reporter.py:64–69): register the sum over every
+        proper subset of dims — computed only when requested (lazy)."""
+        for r in range(len(k.dims)):
+            for kept in itertools.combinations(k.dims, r):
+                sk = Key(k.name, kept)
+                self.graph.setdefault(
+                    str(sk), (lambda kk=k, kept=kept: self._sum(kk, kept))
+                )
+
+    def _sum(self, src: Key, kept: tuple[str, ...]) -> Quantity:
+        q = self.get_quantity(src)
+        if kept:
+            df = q.df.groupBy(*kept).agg(F.sum("value").alias("value"))
+        else:
+            df = q.df.agg(F.sum("value").alias("value"))
+        return Quantity(df, kept, q.unit)
+
+    # -- resolution -------------------------------------------------------
+    def get_quantity(self, key: "str | Key") -> Quantity:
+        k = str(Key.parse(key))
+        if k in self._cache:
+            return self._cache[k]
+        if k not in self.graph:
+            raise KeyError(f"no key {k!r}")
+        return self.graph[k]()
+
+    def get(self, key: "str | Key") -> DataFrame:
+        return self.get_quantity(key).df
+
+    def persist_key(self, key: "str | Key") -> None:
+        """P6: pin a hot intermediate across actions (the explicit CSE the
+        dask graph got implicitly)."""
+        q = self.get_quantity(key)
+        q.df = q.df.persist()
+        self._cache[str(Key.parse(key))] = q
+
+    def keys(self) -> list[str]:
+        return sorted(self.graph)
+
+    # -- scenario ingestion (X2: data_for_quantity) -----------------------
+    @classmethod
+    def from_scenario(cls, scen, filters: dict | None = None) -> "Reporter":
+        """Register all scenario items (reference reporter.py:28–100):
+        pars → ``name:dims`` with value/unit; vars/equs → lvl as value and
+        ``name-margin`` for mrg (report/util.py:60–68); sets → label lists.
+        ``filters`` are pruned per item to its dims (F9)."""
+        rep = cls()
+        for name in scen.items("set"):
+            item = scen._require_item(name)
+            if item["idx_sets"]:
+                continue
+            # sets are inserted as literal label data (reporter.py:84–98)
+            rep.labels[name] = list(scen.set(name))
+        for name in scen.items("par"):
+            item = scen._require_item(name)
+            dims = tuple(item["idx_names"])
+            k = Key(name, dims)
+
+            def load_par(scen=scen, name=name, dims=dims):
+                item = scen._require_item(name)
+                if not dims:
+                    s = scen.scalar(name)
+                    sdf = scen.platform.spark.createDataFrame(
+                        [(float(s["value"]),)], "value double"
+                    )
+                    return Quantity(sdf, (), s["unit"])
+                rel = {
+                    d: v for d, v in (filters or {}).items() if d in dims
+                } or None
+                sdf = scen.par_spark(name, rel)
+                units = [
+                    r["unit"] for r in sdf.select("unit").distinct().collect()
+                ]
+                if len(units) > 1:
+                    raise ValueError(f"mixed units {units} for {name!r}")
+                unit = units[0] if units else None
+                return Quantity(sdf.drop("unit"), dims, unit)
+
+            rep.add(k, load_par)
+            rep._register_sums(k)
+        for ix_type in ("var", "equ"):
+            for name in scen.items(ix_type):
+                item = scen._require_item(name)
+                dims = tuple(item["idx_names"])
+                for col, suffix in (("lvl", ""), ("mrg", "-margin")):
+                    k = Key(name + suffix, dims)
+
+                    def load_sol(
+                        scen=scen, name=name, ix_type=ix_type, col=col, dims=dims
+                    ):
+                        d = scen._get_elements(ix_type, name)
+                        if isinstance(d, dict):
+                            sdf = scen.platform.spark.createDataFrame(
+                                [(float(d[col]),)], "value double"
+                            )
+                            return Quantity(sdf, (), None)
+                        sdf = scen.platform.spark.createDataFrame(d)
+                        out = sdf.select(
+                            *dims, F.col(col).alias("value")
+                        )
+                        return Quantity(out, dims, None)
+
+                    rep.add(k, load_sol)
+                    rep._register_sums(k)
+        return rep
+
+    # -- combinators (J7, A2/A3) ------------------------------------------
+    def add_product(self, key: str, a: "str | Key", b: "str | Key") -> Key:
+        """J7: multiply with dim alignment — inner join on shared dims,
+        broadcast over disjoint ones (cross join when none shared)."""
+        return self._binary(key, a, b, lambda x, y: x * y, "mul")
+
+    def add_ratio(self, key: str, a, b) -> Key:
+        return self._binary(key, a, b, lambda x, y: x / y, "div")
+
+    def add_sum(self, key: str, a, b) -> Key:
+        return self._binary(key, a, b, lambda x, y: x + y, "add", outer=True)
+
+    def _binary(self, key, a, b, op, opname, outer=False) -> Key:
+        k = Key.parse(key)
+
+        def compute():
+            qa, qb = self.get_quantity(a), self.get_quantity(b)
+            shared = [d for d in qa.dims if d in qb.dims]
+            da = qa.df.withColumnRenamed("value", "__va")
+            db = qb.df.withColumnRenamed("value", "__vb")
+            if shared:
+                how = "full_outer" if outer else "inner"
+                j = da.join(db, on=shared, how=how)
+            else:
+                j = da.crossJoin(db)
+            va = F.coalesce(F.col("__va"), F.lit(0.0)) if outer else F.col("__va")
+            vb = F.coalesce(F.col("__vb"), F.lit(0.0)) if outer else F.col("__vb")
+            out_dims = tuple(dict.fromkeys([*qa.dims, *qb.dims]))
+            unit = _combine_units(qa.unit, qb.unit, opname)
+            return Quantity(
+                j.select(*out_dims, op(va, vb).alias("value")), out_dims, unit
+            )
+
+        self.add(k, compute)
+        self._register_sums(k)
+        return k
+
+    def add_aggregate(
+        self, key: str, src: "str | Key", dim: str, groups: dict[str, Iterable[str]],
+        keep: bool = False,
+    ) -> Key:
+        """A2 (genno aggregate): map labels of ``dim`` into named groups,
+        sum within group; keep=True also unions the original labels."""
+        k = Key.parse(key)
+
+        def compute():
+            q = self.get_quantity(src)
+            spark = q.df.sparkSession
+            mapping = spark.createDataFrame(
+                [(g, m) for g, members in groups.items() for m in members],
+                f"__group string, {dim} string",
+            )
+            others = [d for d in q.dims if d != dim]
+            agg = (
+                q.df.join(F.broadcast(mapping), dim)
+                .groupBy(*others, "__group")
+                .agg(F.sum("value").alias("value"))
+                .withColumnRenamed("__group", dim)
+                .select(*q.dims, "value")
+            )
+            out = q.df.select(*q.dims, "value").unionByName(agg) if keep else agg
+            return Quantity(out, q.dims, q.unit)
+
+        self.add(k, compute)
+        return k
+
+    def add_group_sum(self, key: str, src, group: str) -> Key:
+        """A3: sum over all dims except ``group``."""
+        k = Key.parse(key)
+        self.add(
+            k, lambda: self._sum(Key.parse(src), (group,))
+        )
+        return k
+
+
+def _combine_units(a: str | None, b: str | None, op: str) -> str | None:
+    """C5 minimal unit algebra (pint stays optional): symbolic combine."""
+    if a is None or b is None:
+        return a or b
+    if op == "mul":
+        return a if b in ("", "1") else (b if a in ("", "1") else f"{a}*{b}")
+    if op == "div":
+        return a if b in ("", "1") else f"{a}/{b}"
+    if a != b:
+        raise ValueError(f"cannot add units {a!r} and {b!r}")
+    return a

@@ -1,0 +1,200 @@
+"""I/O round-trips (S3/S4/S5/S6) and reporting engine (X1–X3, A1–A3, J7)
+— mirrors reference test patterns (SURVEY.md §5.4–5.5)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from ixmp_spark.core import Platform, Scenario, TimeSeries
+from ixmp_spark.plans import Key, Reporter
+from ixmp_spark.sources.scenario_io import (
+    read_scenario_data,
+    write_scenario_data,
+)
+from ixmp_spark.sources.ts_io import export_timeseries_data, import_timeseries
+from ixmp_spark.testing import make_dantzig, solve_dantzig
+
+
+@pytest.fixture()
+def mp(spark, tmp_path):
+    return Platform(spark, str(tmp_path / "wh"))
+
+
+# -- scenario workbook round-trip (reference test_scenario.py:601) --------
+
+def test_workbook_roundtrip(mp, tmp_path):
+    scen = make_dantzig(mp)
+    path = str(tmp_path / "dantzig_wb")
+    write_scenario_data(scen, path)
+
+    dst = Scenario(mp, "canning problem", "copy", version="new")
+    read_scenario_data(dst, path, init_items=True, add_units=True)
+    dst.commit("from workbook")
+
+    assert sorted(dst.set("i")) == ["san-diego", "seattle"]
+    assert dst.items("par") == ["a", "b", "d", "f"]
+    assert dst.idx_sets("d") == ["i", "j"]
+    pd.testing.assert_frame_equal(
+        scen.par("d").sort_values(["i", "j"]).reset_index(drop=True),
+        dst.par("d").sort_values(["i", "j"]).reset_index(drop=True),
+    )
+    assert dst.scalar("f") == {"value": 90.0, "unit": "USD/km"}
+    # var/equ sheets were written but ignored on read (io.py:318–320)
+    assert not dst.has_solution()
+
+
+def test_workbook_sheet_splitting(mp, tmp_path):
+    scen = make_dantzig(mp)
+    path = str(tmp_path / "split_wb")
+    write_scenario_data(scen, path, max_row=2)  # forces d (6 rows) → 3 sheets
+    from ixmp_spark.sources.scenario_io import Workbook
+
+    wb = Workbook.read(path)
+    assert {"d", "d(2)", "d(3)"} <= set(wb.sheets)
+    dst = Scenario(mp, "canning problem", "split-copy", version="new")
+    read_scenario_data(dst, path, init_items=True)
+    dst.commit("from split workbook")
+    assert len(dst.par("d")) == 6
+
+
+def test_workbook_two_pass_inference(mp, tmp_path):
+    """Indexed set sheet appears before its index set in the workbook →
+    the queue defers it (reference io.py:250–308)."""
+    scen = make_dantzig(mp)
+    scen.check_out()
+    scen.init_set("route", idx_sets=["i", "j"])
+    scen.add_set("route", [["seattle", "chicago"]])
+    scen.commit("route")
+    path = str(tmp_path / "wb2")
+    write_scenario_data(scen, path)
+    dst = Scenario(mp, "canning problem", "two-pass", version="new")
+    read_scenario_data(dst, path, init_items=True)
+    dst.commit("ok")
+    assert len(dst.set("route")) == 1
+
+
+# -- TS CSV import/export (S5/S6) -----------------------------------------
+
+def test_ts_csv_import(mp, tmp_path):
+    mp.add_unit("GWa")
+    mp.add_region("World", hierarchy="common")
+    csv = tmp_path / "ts.csv"
+    csv.write_text(
+        "Model,Scenario,Region,Variable,Unit,2010,2020\n"
+        "m,s,World,Testing,GWa,27.3,28.3\n"
+    )
+    ts = TimeSeries(mp, "m", "s", version="new")
+    import_timeseries(ts, str(csv), firstyear=2015)
+    ts.commit("imported")
+    got = ts.timeseries()
+    assert got["year"].tolist() == [2020]  # firstyear clamp dropped 2010
+    assert got["value"].tolist() == [28.3]
+
+
+def test_ts_bulk_export(mp, tmp_path):
+    mp.add_unit("GWa")
+    mp.add_region("World", hierarchy="common")
+    for i, (m, s) in enumerate([("m1", "s1"), ("m2", "s2")]):
+        ts = TimeSeries(mp, m, s, version="new")
+        ts.add_timeseries(
+            pd.DataFrame(
+                {
+                    "region": "World",
+                    "variable": ["v1", "v2"],
+                    "unit": "GWa",
+                    "year": [2020, 2020],
+                    "value": [float(i), float(i) + 0.5],
+                }
+            )
+        )
+        ts.commit("x")
+        ts.set_as_default()
+    out = tmp_path / "export.csv"
+    export_timeseries_data(mp, str(out), variable="v1")
+    got = pd.read_csv(out)
+    assert list(got.columns) == [
+        "MODEL", "SCENARIO", "VERSION", "REGION", "VARIABLE", "UNIT",
+        "SUBANNUAL", "YEAR", "VALUE",
+    ]
+    assert sorted(got["MODEL"]) == ["m1", "m2"]
+    assert (got["VARIABLE"] == "v1").all()
+    # model filter
+    export_timeseries_data(mp, str(out), model="m1")
+    assert pd.read_csv(out)["MODEL"].tolist() == ["m1", "m1"]
+
+
+# -- reporting engine -----------------------------------------------------
+
+@pytest.fixture()
+def rep(mp):
+    scen = make_dantzig(mp, solve=True)
+    return Reporter.from_scenario(scen), scen
+
+
+def test_key_parse():
+    k = Key.parse("x:i-j")
+    assert (k.name, k.dims) == ("x", ("i", "j"))
+    assert str(k.drop("j")) == "x:i"
+
+
+def test_reporter_quantities(rep):
+    r, scen = rep
+    d = r.get("d:i-j").toPandas()
+    assert len(d) == 6
+    assert set(d.columns) == {"i", "j", "value"}
+    # unit metadata carried (C5/A7)
+    assert r.get_quantity("d:i-j").unit == "km"
+    assert r.labels["i"] == ["seattle", "san-diego"]
+
+
+def test_partial_sums(rep):
+    """A1: x:i-j → x:i, x:j, x: — computed on demand."""
+    r, _ = rep
+    by_i = r.get("d:i").toPandas().set_index("i")["value"]
+    assert by_i["seattle"] == pytest.approx(2.5 + 1.7 + 1.8)
+    total = r.get("d:").toPandas()["value"][0]
+    assert total == pytest.approx(11.7)
+    # solution quantities incl. -margin keys (report/util.py:60–68)
+    x_total = r.get("x:").toPandas()["value"][0]
+    assert x_total == pytest.approx(900.0)
+    mrg = r.get("x-margin:i-j").toPandas()
+    assert len(mrg) == 6
+
+
+def test_dim_aligned_product(rep):
+    """J7: d:i-j * f: broadcasts the scalar over both dims; transport
+    cost = sum(d*x)*f/1000... here just d*f shape + unit algebra."""
+    r, _ = rep
+    r.add_product("df:i-j", "d:i-j", "f:")
+    q = r.get_quantity("df:i-j")
+    out = q.df.toPandas().set_index(["i", "j"])["value"]
+    assert out[("seattle", "new-york")] == pytest.approx(2.5 * 90.0)
+    assert q.unit == "km*USD/km"
+    # full objective: sum over i,j of d*x, times f
+    r.add_product("dx:i-j", "d:i-j", "x:i-j")
+    cost = r.get(str(Key("dx", ()))).toPandas()["value"][0] * 90.0 / 1000
+    assert cost == pytest.approx(153.675)
+
+
+def test_aggregate_named_groups(rep):
+    """A2: map market labels into coasts; sum within group."""
+    r, _ = rep
+    r.add_aggregate(
+        "b_region:j", "b:j", "j",
+        {"east": ["new-york"], "central": ["chicago", "topeka"]},
+    )
+    out = r.get("b_region:j").toPandas().set_index("j")["value"]
+    assert out["east"] == 325.0
+    assert out["central"] == 575.0
+
+
+def test_add_with_unit_check(rep):
+    r, _ = rep
+    r.add_sum("ab:i", "a:i", "a:i")
+    out = r.get("ab:i").toPandas().set_index("i")["value"]
+    assert out["seattle"] == 700.0
+    # adding unlike units raises (C5)
+    r.add_sum("bad:i-j", "a:i", "d:i-j")
+    with pytest.raises(ValueError, match="units"):
+        r.get("bad:i-j")
