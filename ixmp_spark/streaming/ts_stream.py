@@ -1,0 +1,135 @@
+"""Streaming ingest + windowed aggregation over event streams.
+
+Design (SURVEY.md §2.9): ``ts_data``/events as a streaming source/sink —
+``readStream`` → transforms → ``writeStream`` with watermarks for late
+data. Batch twins of these operators live in operators/sessions.py; the
+functions here build the *streaming* plans so the same logic runs
+incrementally:
+
+- ``stream_events``: file-source stream over a parquet directory (stands
+  in for Kafka/Kinesis locally; swap ``format``+options on a cluster).
+- ``tumbling_counts``: watermarked tumbling-window counts/sums
+  (``window(ts, '1 hour')``) — late rows beyond the watermark dropped.
+- ``session_aggregates``: native ``session_window`` gap sessionization —
+  the streaming twin of operators/sessions.sessionize.
+- ``dedup_stream``: ``dropDuplicatesWithinWatermark`` keyed dedup.
+- ``write_ts_sink``: append stream into a run-partitioned parquet/Delta
+  directory with checkpointing (exactly-once via the sink's commit log).
+
+Tests drive these with availableNow triggers + memory sinks, which
+exercises the identical incremental plans the always-on mode runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_events(
+    spark: SparkSession, path: str, schema: str = EVENTS_SCHEMA
+) -> DataFrame:
+    """File-source stream (one file per micro-batch by default)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def tumbling_counts(
+    events: DataFrame,
+    duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation: the streaming twin of
+    operators/sessions.tumbling_agg. State is bounded by the watermark —
+    windows older than (max event time − watermark) are finalized and
+    evicted, so the operator runs indefinitely at stable memory."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", duration).alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_aggregates(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Native session_window sessionization (streaming twin of the batch
+    lag+cumsum sessionize): per-user sessions close after ``gap`` of
+    inactivity; watermark bounds state."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stateful stream dedup on event_id within the watermark horizon."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def write_ts_sink(
+    df: DataFrame, path: str, checkpoint: str, partition_by: str = "event_type"
+):
+    """Append sink with checkpointed exactly-once semantics. On a cluster
+    the format is 'delta' (transactional appends); parquet locally."""
+    return (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy(partition_by)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, query_name: str, mode: str = "append"
+) -> DataFrame:
+    """Execute a streaming plan over all currently-available input via a
+    memory sink; returns the materialized result (test/driver helper).
+
+    mode: 'append' for row streams; 'complete' for aggregations (with
+    availableNow the final watermark never advances past the last window,
+    so append mode would hold back unclosed windows)."""
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -1,0 +1,210 @@
+"""Streaming twins, model/solve orchestration, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from ixmp_spark.core import Platform
+from ixmp_spark.core.model import solve
+from ixmp_spark.operators.multimodal import (
+    MEDIA_STRUCT,
+    extract_features,
+    resize_images,
+    sample_frames,
+)
+from ixmp_spark.queries import QUERIES, load
+from ixmp_spark.streaming.ts_stream import (
+    dedup_stream,
+    run_available_now,
+    session_aggregates,
+    stream_events,
+    tumbling_counts,
+    write_ts_sink,
+)
+from ixmp_spark.testing import DANTZIG_SOLUTION, make_dantzig, solve_dantzig
+
+
+@pytest.fixture()
+def mp(spark, tmp_path):
+    return Platform(spark, str(tmp_path / "wh"))
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir, tmp_path_factory):
+    """Re-write events as a clean parquet dir (micro-timestamp) usable as
+    a file-source stream."""
+    out = str(tmp_path_factory.mktemp("stream") / "events")
+    load(spark, sf_dir, "events").repartition(4).write.parquet(out)
+    return out
+
+
+# -- streaming ------------------------------------------------------------
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir, events_dir):
+    stream = stream_events(spark, events_dir)
+    got = run_available_now(
+        tumbling_counts(stream, "1 hour", watermark="100 days"),
+        "t_tumble",
+        mode="complete",
+    ).toPandas()
+    batch = QUERIES["g2_tumbling_window"](spark, sf_dir).toPandas()
+    a = got.groupby("event_type")["n_events"].sum().sort_index()
+    b = batch.groupby("event_type")["n_events"].sum().sort_index()
+    pd.testing.assert_series_equal(a, b, check_dtype=False)
+    assert len(got) == len(batch)
+
+
+def test_streaming_sessions(spark, events_dir):
+    stream = stream_events(spark, events_dir)
+    got = run_available_now(
+        session_aggregates(stream, gap="30 minutes", watermark="100 days"),
+        "t_sess",
+        mode="complete",
+    ).toPandas()
+    assert len(got) > 0
+    # session integrity: events per user conserved
+    per_user = got.groupby("user_id")["n_events"].sum()
+    events = spark.read.parquet(events_dir).toPandas()
+    expect = events.groupby("user_id").size()
+    pd.testing.assert_series_equal(
+        per_user.sort_index(), expect.sort_index(),
+        check_dtype=False, check_names=False,
+    )
+
+
+def test_streaming_dedup_and_sink(spark, events_dir, tmp_path):
+    stream = stream_events(spark, events_dir)
+    deduped = dedup_stream(stream, watermark="100 days")
+    sink = str(tmp_path / "sink")
+    q = write_ts_sink(deduped, sink, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+    written = spark.read.parquet(sink)
+    n_src = spark.read.parquet(events_dir).count()
+    assert written.count() == n_src  # event_ids unique already
+    assert written.select("event_id").distinct().count() == n_src
+    # partitioned sink layout
+    import os
+
+    assert any(p.startswith("event_type=") for p in os.listdir(sink))
+
+
+# -- model / solve --------------------------------------------------------
+
+def test_solve_function_model(mp):
+    scen = make_dantzig(mp)
+    solve(scen, model="function", solve_fn=solve_dantzig)
+    assert scen.has_solution()
+    x = scen.var("x", filters={"i": ["seattle"]}).set_index("j")
+    assert x.loc["topeka", "mrg"] == 0.036
+    # version provenance recorded (record_versions analogue)
+    meta = mp.get_meta(
+        model=scen.model, scenario=scen.scenario, version=scen.version
+    )
+    assert "ixmp_spark_version" in meta
+    # refuse second solve
+    with pytest.raises(ValueError, match="solution"):
+        solve(scen, model="function", solve_fn=solve_dantzig)
+
+
+def test_solve_callback_iteration(mp):
+    scen = make_dantzig(mp)
+    calls = []
+
+    def fn(s):
+        calls.append(1)
+        if len(calls) == 2:
+            solve_dantzig(s)
+
+    solve(
+        scen,
+        model="function",
+        solve_fn=fn,
+        callback=lambda s: s.has_solution(),
+    )
+    assert len(calls) == 2
+
+
+def test_gams_model_clear_error(mp):
+    scen = make_dantzig(mp)
+    with pytest.raises(NotImplementedError, match="gams"):
+        solve(scen, model="gams")
+
+
+# -- multimodal -----------------------------------------------------------
+
+@pytest.fixture()
+def media_df(spark):
+    rows = [
+        (
+            i,
+            {
+                "content": bytes([i]) * (100 + i),
+                "uri": None,
+                "mime": mime,
+                "width": 64,
+                "height": 48,
+                "n_frames": 10 * (i + 1),
+                "sample_rate": None,
+                "duration_s": None,
+            },
+        )
+        for i, mime in enumerate(["image/png", "video/mp4", "image/jpeg"])
+    ]
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("media", MEDIA_STRUCT),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_extract_features(media_df):
+    out = extract_features(media_df).toPandas().sort_values("media_id")
+    assert len(out) == 3
+    assert all(len(f) == 16 for f in out["features"])
+    assert out["n_bytes"].tolist() == [100, 101, 102]
+    # deterministic: same bytes → same features
+    again = extract_features(media_df).toPandas().sort_values("media_id")
+    assert [list(f) for f in out["features"]] == [
+        list(f) for f in again["features"]
+    ]
+
+
+def test_resize_keeps_schema(media_df):
+    out = resize_images(media_df, 32, 32)
+    assert out.schema["media"].dataType == MEDIA_STRUCT
+    pdf = out.toPandas()
+    assert all(m["width"] == 32 for m in pdf["media"])
+    # bytes pass through the stub untouched
+    assert all(len(m["content"]) >= 100 for m in pdf["media"])
+
+
+def test_sample_frames(media_df):
+    out = sample_frames(media_df, every_n=5).toPandas()
+    # 10, 20, 30 frames → 2 + 4 + 6 sampled
+    assert len(out) == 12
+    assert out.groupby("media_id").size().tolist() == [2, 4, 6]
+
+
+def test_unknown_mime_raises(spark, media_df):
+    from pyspark.sql import functions as F
+
+    bad = media_df.withColumn(
+        "media",
+        F.struct(
+            F.col("media.content").alias("content"),
+            F.col("media.uri").alias("uri"),
+            F.lit("application/pdf").alias("mime"),
+            F.col("media.width").alias("width"),
+            F.col("media.height").alias("height"),
+            F.col("media.n_frames").alias("n_frames"),
+            F.col("media.sample_rate").alias("sample_rate"),
+            F.col("media.duration_s").alias("duration_s"),
+        ),
+    )
+    with pytest.raises(Exception, match="no decoder"):
+        extract_features(bad).collect()
