@@ -152,6 +152,63 @@ def ngram_jaccard(
     )
 
 
+def minhash_lsh_neardup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 32,
+    bands: int = 8,
+    n: int = 3,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """End-to-end near-dup pipeline: shingle ONCE (persisted), minhash →
+    banded LSH candidates → exact shingle-Jaccard filter ≥ threshold.
+
+    Composing minhash_signature + lsh_band_pairs + ngram_jaccard naively
+    shingles every document twice; this fused operator computes the
+    shingle arrays a single time and derives both the signatures and the
+    verification joins from the persisted frame — at 100 TB the shingle
+    materialization is the dominant cost, so halving it matters more than
+    any join strategy choice.
+    """
+    # small parquet inputs arrive as 1–2 splits; the shingle transform is
+    # the dominant per-row cost, so spread it across all cores first
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        df.repartition(par)
+        .select(F.col(id_col), shingles(text_col, n).alias("sh"))
+        .persist()
+    )
+    base = F.transform(F.col("sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_P)))
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("__base"),
+                    lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MH_P)),
+                )
+            )
+            for (a, b) in _mh_coeffs(k)
+        ]
+    )
+    sigs = sh.withColumn("__base", base).withColumn("minhash", sig).drop(
+        "__base", "sh"
+    )
+    pairs = lsh_band_pairs(sigs, id_col, k=k, bands=bands)
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def simhash64(col, n: int = 2) -> "F.Column":
     """64-bit SimHash over word n-grams: for each bit position, the sign of
     the sum over token-hash bits. Expressed with aggregate() over the

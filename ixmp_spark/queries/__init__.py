@@ -51,6 +51,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Like ``load`` but round-robin repartitioned across all cores.
+
+    The driver's parquet files are single-row-group → Spark reads them as
+    ONE split, serializing every per-row-expensive transform. For queries
+    whose cost is per-row compute (shingling, regex stats, vector math)
+    the one extra shuffle buys full-core parallelism; pure aggregations
+    stay on ``load`` (map-side partial agg in one pass beats a shuffle).
+    On a real cluster data arrives in many splits and this is a no-op
+    cost-wise."""
+    spark_df = load(spark, sf_dir, name)
+    return spark_df.repartition(spark.sparkContext.defaultParallelism)
+
+
 # Import for side effects: each module registers its queries.
 from ixmp_spark.queries import (  # noqa: E402,F401
     aggregates,

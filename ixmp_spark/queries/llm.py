@@ -7,14 +7,12 @@ from pyspark.sql import functions as F
 
 from ixmp_spark.operators.dedup import (
     exact_dedup,
-    lsh_band_pairs,
-    minhash_signature,
-    ngram_jaccard,
+    minhash_lsh_neardup,
     simhash64,
 )
 from ixmp_spark.operators.similarity import brute_force_topk
 from ixmp_spark.operators.text import lang_id, text_stats
-from ixmp_spark.queries import load, query
+from ixmp_spark.queries import load, load_spread, query
 
 
 @query(
@@ -28,7 +26,7 @@ from ixmp_spark.queries import load, query
 def d1_exact_dedup(spark, sf_dir):
     """Exact dedup by normalized-text hash: one representative (min id) per
     content group. Shuffle key is the 16-byte digest, not the body."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     return exact_dedup(docs, text_col="text", id_col="doc_id")
 
 
@@ -54,7 +52,7 @@ def d2_jaccard_neardup(spark, sf_dir):
     (lang, source) so the pair space stays bounded (the unblocked scale
     path is d3_minhash_lsh). array_intersect/union on distinct token sets —
     pure Catalyst."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
         "lang",
@@ -87,15 +85,12 @@ def d2_jaccard_neardup(spark, sf_dir):
 
 @query("d3_minhash_lsh")  # no SQL oracle: xxhash64 not available in DuckDB
 def d3_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup scale path: shingle → 32 min-hashes → 8 bands →
-    bucket self-join → exact 3-gram Jaccard on candidates ≥ 0.3.
+    """MinHash+LSH near-dup scale path: shingle once → 32 min-hashes →
+    8 bands → bucket self-join → exact 3-gram Jaccard on candidates ≥ 0.3.
     Rows-only check (the banded-hash family is engine-specific)."""
     docs = load(spark, sf_dir, "documents")
-    sigs = minhash_signature(docs, "text", k=32, n=3)
-    pairs = lsh_band_pairs(sigs, "doc_id", k=32, bands=8)
-    scored = ngram_jaccard(docs, pairs, "doc_id", "text", n=3)
-    return scored.where(F.col("jaccard") >= 0.3).select(
-        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    return minhash_lsh_neardup(
+        docs, id_col="doc_id", text_col="text", k=32, bands=8, n=3, threshold=0.3
     )
 
 
@@ -129,7 +124,7 @@ def t1_text_stats(spark, sf_dir):
     """Text quality statistics (token count, punctuation ratio, mean word
     length, composite quality score) — all whole-stage-codegen column
     expressions; the formula is mirrored exactly in the oracle."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     return text_stats(docs, "text").select(
         "doc_id", "n_tokens", "punct_ratio", "mean_word_len", "quality"
     )
@@ -163,7 +158,7 @@ def t2_lang_id(spark, sf_dir):
     """Language-ID n-gram heuristic: marker-stopword hit counts per
     language, argmax with stable priority (en > de > fr > es on ties),
     'und' when nothing matches."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         F.col("lang").alias("lang_true"),
