@@ -27,6 +27,7 @@ BENCH_QUERIES = [
     "s1_scan_pushdown",
     "a0_pricing_summary",
     "a1_partial_sums_cube",
+    "b_q3_shipping_priority",
     "b_q5_star_join",
     "w1_default_version",
     "w3_running_total",

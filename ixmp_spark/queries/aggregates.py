@@ -188,3 +188,22 @@ def a7_unit_guard(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("value").alias("n_distinct_values"),
     )
+
+
+@query(
+    "a3_group_sum",
+    oracle="""
+    SELECT l_returnflag, sum(l_quantity) AS sum_qty,
+           count(DISTINCT l_linestatus) AS n_status
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def a3_group_sum(spark, sf_dir):
+    """``group_sum`` (A3, genno): sum over one dimension within groups of
+    another — groupBy(group).agg(sum) with the summed dim projected away
+    before the shuffle (column pruning keeps the exchange narrow)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.countDistinct("l_linestatus").alias("n_status"),
+    )

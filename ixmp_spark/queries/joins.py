@@ -278,3 +278,80 @@ def b_q5_star_join(spark, sf_dir):
             )
         )
     )
+
+
+@query(
+    "j6_synonym_resolution",
+    oracle="""
+    WITH synonyms(alias_name, canonical) AS (
+      VALUES ('AMERICA-ALT', 'AMERICA'), ('EU', 'EUROPE')
+    )
+    SELECT coalesce(s.canonical, r.r_name) AS region,
+           count(*) AS n_nations
+    FROM nation n
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    LEFT JOIN synonyms s ON r.r_name = s.alias_name
+    GROUP BY 1
+    """,
+)
+def j6_synonym_resolution(spark, sf_dir):
+    """Region-synonym resolution on write (J6, platform.py:335–349):
+    labels arriving via an alias map to the canonical region — left join
+    on the (broadcast, codelist-sized) synonym table + coalesce."""
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    syn = spark.createDataFrame(
+        [("AMERICA-ALT", "AMERICA"), ("EU", "EUROPE")],
+        "alias_name string, canonical string",
+    )
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(syn), r.r_name == syn.alias_name, "left")
+        .select(F.coalesce("canonical", "r_name").alias("region"))
+        .groupBy("region")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )
+
+
+@query(
+    "b_q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l.l_orderkey
+    LIMIT 10
+    """,
+)
+def b_q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3-shaped shipping priority (bench headliner #2): selective
+    dim filter broadcast into the fact join, grouped revenue, top-10 via
+    TakeOrderedAndProject. Tie-break on the unique orderkey keeps the
+    result set deterministic across engines."""
+    c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    l = load(spark, sf_dir, "lineitem").where(  # noqa: E741
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )

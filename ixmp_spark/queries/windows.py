@@ -122,3 +122,27 @@ def o1_topk(spark, sf_dir):
         .limit(100)
         .select("o_orderkey", "o_totalprice")
     )
+
+
+@query(
+    "w5_lag_delta",
+    oracle="""
+    SELECT event_id, user_id,
+           round(value - lag(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id), 6) AS delta,
+           lead(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+    FROM events
+    """,
+)
+def w5_lag_delta(spark, sf_dir):
+    """lag/lead analytics (extension surface, SURVEY.md §2.5): per-user
+    value delta and next event type over a deterministic total order."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
