@@ -42,6 +42,40 @@ BENCH_QUERIES = [
 ]
 
 
+def _ingest_bench(spark, n: int) -> float:
+    import math
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ixmp_spark.core import Platform, Scenario
+
+    root = tempfile.mkdtemp(prefix="ixmp_bench_")
+    try:
+        mp = Platform(spark, root)
+        mp.add_unit("GWa")
+        scen = Scenario(mp, "perf", "add_par", version="new")
+        dim = math.isqrt(n - 1) + 1
+        scen.init_set("s0")
+        scen.add_set("s0", [str(i) for i in range(dim)])
+        scen.init_par("p", idx_sets=["s0", "s0"], idx_names=["a", "b"])
+        src = (
+            spark.range(dim * dim)
+            .select(
+                (F.col("id") % dim).cast("string").alias("a"),
+                (F.col("id") / dim).cast("long").cast("string").alias("b"),
+                F.rand(42).alias("value"),
+            )
+        )
+        t0 = time.perf_counter()
+        scen.add_par_bulk("p", src, unit="GWa")
+        scen.commit("bulk add_par")
+        return time.perf_counter() - t0
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -55,6 +89,11 @@ def main() -> None:
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 4)
+
+    # reference perf parity (BASELINE.md): add_par-shaped bulk ingest of a
+    # random 2-D parameter (testing/data.py:293–319 shape: ceil(sqrt(N))²
+    # cross product, value ~ U[0,1), unit GWa) through the engine path
+    timings["ingest_add_par_1e6"] = round(_ingest_bench(spark, 1_000_000), 4)
 
     total = round(sum(timings.values()), 4)
     print(

@@ -268,15 +268,19 @@ def _unit_exponents(u: str) -> dict[str, int]:
     sign for the following factor — the pint-compatible reading of the
     simple forms the reference stores, e.g. 'USD/km')."""
     exps: dict[str, int] = {}
-    sign = 1
-    for tok in re.findall(r"[*/]|[^*/]+", u.replace(" ", "")):
+    sign = 1  # applies to the NEXT factor only: a/b*c = (a/b)*c
+    # '**N' exponent suffixes (our own canonical output) bind to the name
+    for tok in re.findall(r"[a-zA-Z_%][\w%]*(?:\*\*\d+)?|[*/]", u.replace(" ", "")):
         if tok == "*":
+            sign = 1
             continue
         if tok == "/":
             sign = -1
             continue
-        if tok not in ("", "1"):
-            exps[tok] = exps.get(tok, 0) + sign
+        name, _, exp = tok.partition("**")
+        if name not in ("", "1"):
+            exps[name] = exps.get(name, 0) + sign * (int(exp) if exp else 1)
+        sign = 1
     return {k: v for k, v in exps.items() if v}
 
 

@@ -412,3 +412,33 @@ def test_parse_url():
     assert plat == "local" and info == {"model": "m", "scenario": "s"}
     with pytest.raises(ValueError):
         parse_url("http://bad/url")
+
+
+def test_add_par_bulk(mp, spark):
+    scen = make_dantzig(mp)
+    scen.check_out()
+    import pyspark.sql.functions as F
+
+    src = spark.createDataFrame(
+        [("seattle", "new-york", 7.5), ("san-diego", "chicago", 8.5)],
+        "i string, j string, value double",
+    )
+    scen.add_par_bulk("d", src, unit="km")
+    scen.commit("bulk")
+    d = scen.par("d").set_index(["i", "j"])
+    assert d.loc[("seattle", "new-york"), "value"] == 7.5  # overwritten
+    assert len(d) == 6
+    # distributed validation catches bad keys
+    scen.check_out()
+    bad = spark.createDataFrame([("atlantis", "chicago", 1.0)],
+                                "i string, j string, value double")
+    with pytest.raises(ValueError, match="not in set"):
+        scen.add_par_bulk("d", bad, unit="km")
+    with pytest.raises(ValueError, match="unknown units"):
+        scen.add_par_bulk(
+            "d",
+            spark.createDataFrame([("seattle", "chicago", 1.0)],
+                                  "i string, j string, value double"),
+            unit="parsec",
+        )
+    scen.discard_changes()

@@ -55,3 +55,19 @@ def test_no_python_udf_in_catalog(spark, sf_dir):
 def test_topk_is_take_ordered(spark, sf_dir):
     plan = formatted_plan(QUERIES["o1_topk"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q3_selective_broadcast(spark, sf_dir):
+    plan = formatted_plan(QUERIES["b_q3_shipping_priority"](spark, sf_dir))
+    # the filtered customer dim must broadcast; the mktsegment filter must
+    # reach its scan, not evaluate post-join
+    assert "BroadcastHashJoin" in plan
+    scan_sections = plan.split("PushedFilters")
+    assert any("c_mktsegment" in s.splitlines()[0] for s in scan_sections[1:])
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_asof_join_no_cartesian(spark, sf_dir):
+    plan = formatted_plan(QUERIES["jx_asof_join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
