@@ -1,0 +1,78 @@
+"""Scale-out operators: skew mitigation and co-located (bucketed) joins.
+
+These are the knobs SURVEY.md §4/§1.6 calls for at 100 TB beyond what AQE
+does automatically:
+
+- ``salted_join``: explicit key salting for joins whose hot keys exceed
+  what AQE skew-splitting handles (AQE splits oversized *partitions*;
+  a single key hotter than one partition still needs salting).
+- ``bucket_table`` / ``bucketed_join_ready``: persist a fact table
+  bucketed by its join key so repeated joins/aggregations on that key
+  are exchange-free (the warehouse's par_data/ts_data strategy:
+  partition by run_id, bucket by name/variable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: the (big, skewed) ``left`` gets a random salt
+    in [0, salt); the (smaller) ``right`` is exploded ``salt``× so every
+    salted left row finds its match. Shuffle load of the hottest key
+    spreads across ``salt`` reducers at the cost of replicating the right
+    side ``salt``×.
+
+    Use when one key's row count exceeds a healthy partition; otherwise
+    prefer a plain join + AQE (spark.sql.adaptive.skewJoin).
+    """
+    lsalted = left.withColumn(
+        "__salt", (F.rand(seed=42) * salt).cast("int")
+    )
+    rexploded = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = lsalted.join(rexploded, on=[key, "__salt"], how=how)
+    return out.drop("__salt")
+
+
+def bucket_table(
+    df: DataFrame,
+    spark: SparkSession,
+    table: str,
+    key: str,
+    buckets: int = 32,
+    sort_by: str | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed managed table: later equi-joins and
+    aggregations on ``key`` between tables bucketed the same way need no
+    exchange (Catalyst recognizes the matching hash distribution)."""
+    writer = df.write.bucketBy(buckets, key)
+    if sort_by:
+        writer = writer.sortBy(sort_by)
+    writer.mode("overwrite").format("parquet").saveAsTable(table)
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the physical plan (plan-quality
+    metric used by tests; broadcast exchanges excluded)."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    return sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange" in line and "Broadcast" not in line and "Reused" not in line
+    )

@@ -86,6 +86,64 @@ def hyperplane_lsh_bucket(vec_col, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def ivf_topk(
+    df: DataFrame,
+    probe: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int = 16,
+    n_probe: int = 2,
+    k: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: k-means-partition the corpus, search only
+    the ``n_probe`` clusters nearest to the probe vector.
+
+    Index build = one Spark ML KMeans fit (sampled at cluster scale) +
+    a cluster-id column on the corpus — amortized across queries; each
+    query scans ~n_probe/n_clusters of the data. Recall grows with
+    n_probe; n_probe == n_clusters degenerates to exact search.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    corpus = df.withColumn("__v", array_to_vector(_dvec(vec_col)))
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="__v", predictionCol="__c")
+    model = km.fit(corpus)
+    assigned = model.transform(corpus).drop("__v")
+
+    # rank clusters by distance to the probe vector (driver-side: there
+    # are n_clusters centers, a codelist-sized structure)
+    import math
+
+    pvec = [
+        float(x)
+        for x in probe.select(vec_col).limit(1).collect()[0][0]
+    ]
+    dists = [
+        (ci, math.dist(pvec, list(c)))
+        for ci, c in enumerate(model.clusterCenters())
+    ]
+    nearest = [ci for ci, _ in sorted(dists, key=lambda t: t[1])[:n_probe]]
+
+    p = F.broadcast(
+        probe.select(
+            F.col(id_col).alias("__probe_id"), F.col(vec_col).alias("__probe_vec")
+        )
+    )
+    cand = assigned.where(F.col("__c").isin(nearest)).crossJoin(p).where(
+        F.col(id_col) != F.col("__probe_id")
+    )
+    return (
+        cand.select(
+            F.col(id_col),
+            F.round(cosine(vec_col, "__probe_vec"), 6).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def bucketed_topk(
     df: DataFrame,
     probe: DataFrame,

@@ -207,3 +207,64 @@ def a3_group_sum(spark, sf_dir):
         F.sum("l_quantity").alias("sum_qty"),
         F.countDistinct("l_linestatus").alias("n_status"),
     )
+
+
+@query(
+    "b_q6_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def b_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6-shaped forecast revenue: pure scan-filter-aggregate — the
+    pushdown stress test (all four predicates must reach the parquet scan;
+    no shuffle except the single-row final agg)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "b_q18_large_orders",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, t.total_qty
+    FROM orders o
+    JOIN (
+      SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 150
+    ) t ON o.o_orderkey = t.l_orderkey
+    """,
+)
+def b_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18-shaped large-volume orders: aggregate + HAVING
+    (post-aggregation filter) + join back to the order dimension; the
+    HAVING filter shrinks the aggregated side before the join shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 150)
+    )
+    return o.join(big, o.o_orderkey == big.l_orderkey).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "total_qty"
+    )

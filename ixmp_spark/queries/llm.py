@@ -209,3 +209,19 @@ def e2_embed_ann(spark, sf_dir):
     return bucketed_topk(
         emb, probe, id_col="vec_id", vec_col="embedding", planes=planes, k=10
     )
+
+
+@query("e3_embed_ivf")  # no SQL oracle: k-means index is engine-specific
+def e3_embed_ivf(spark, sf_dir):
+    """IVF ANN: KMeans-partitioned corpus, probe the 2 nearest of 16
+    clusters, exact cosine within — the index-amortized scale path
+    (each query touches ~n_probe/n_clusters of the corpus). Rows-only;
+    recall vs the exact e1 baseline is asserted in unit tests."""
+    from ixmp_spark.operators.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    probe = emb.orderBy("vec_id").limit(1)
+    return ivf_topk(
+        emb, probe, id_col="vec_id", vec_col="embedding",
+        n_clusters=16, n_probe=2, k=10,
+    )

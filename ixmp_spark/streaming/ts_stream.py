@@ -114,6 +114,58 @@ def write_ts_sink(
     )
 
 
+def running_user_totals(
+    events: DataFrame, timeout_minutes: int | None = None
+) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState (the north-star
+    construct for operators Structured Streaming lacks natively): per-user
+    lifetime running totals that survive across micro-batches.
+
+    State = (n_events, sum_value) per user; each micro-batch folds its
+    rows into the state and emits the updated totals.
+
+    ``timeout_minutes`` evicts state after processing-time inactivity,
+    bounding memory for the long tail of one-visit users — use it for
+    always-on streams only: with ``availableNow``/drain-and-stop triggers
+    a processing-time timeout keeps scheduling state-cleanup batches after
+    the input is exhausted and the query never terminates (observed on
+    Spark 4.1), so the default is NoTimeout.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, sum_value double"
+    state_schema = "n long, s double"
+    use_timeout = timeout_minutes is not None
+
+    def fold(key, pdfs, state: GroupState):
+        if use_timeout and state.hasTimedOut:
+            state.remove()
+            return
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        if use_timeout:
+            state.setTimeoutDuration(timeout_minutes * 60_000)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 4)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if use_timeout
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, mode: str = "append"
 ) -> DataFrame:

@@ -11,10 +11,15 @@ SF_DIR = os.environ.get("IXMP_SPARK_TEST_SF", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from ixmp_spark.session import get_spark
 
-    s = get_spark("ixmp_spark_tests", shuffle_partitions=8)
+    wh = str(tmp_path_factory.mktemp("spark-warehouse"))
+    s = get_spark(
+        "ixmp_spark_tests",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": wh},
+    )
     yield s
 
 

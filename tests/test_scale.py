@@ -1,0 +1,90 @@
+"""Scale-operator tests: salted joins match plain joins; bucketed tables
+eliminate the join exchange."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ixmp_spark.operators.scale import bucket_table, exchange_count, salted_join
+from ixmp_spark.queries import load
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = li.join(o, "l_orderkey").agg(
+        F.count(F.lit(1)), F.round(F.sum("l_quantity"), 2)
+    ).collect()
+    salted = salted_join(li, o, "l_orderkey", salt=4).agg(
+        F.count(F.lit(1)), F.round(F.sum("l_quantity"), 2)
+    ).collect()
+    assert plain == salted
+
+
+def test_salted_join_left_outer(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id")
+    users = (
+        load(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+        .where(F.col("user_id") < 50)
+    )
+    plain = ev.join(users, "user_id", "left").count()
+    salted = salted_join(ev, users, "user_id", salt=3, how="left").count()
+    assert plain == salted == ev.count()
+
+
+def test_bucketed_join_no_exchange(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    bucket_table(li, spark, "b_lineitem", "l_orderkey", buckets=8)
+    bucket_table(o, spark, "b_orders", "o_orderkey", buckets=8)
+    bl = spark.table("b_lineitem")
+    bo = spark.table("b_orders")
+    # disable auto-broadcast so the join would otherwise shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey)
+        n_exchange = exchange_count(joined)
+        plain = load(spark, sf_dir, "lineitem").join(
+            load(spark, sf_dir, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        assert exchange_count(plain) >= 2  # both sides shuffle
+        assert n_exchange == 0  # co-located: no exchange at all
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_ivf_recall_vs_exact(spark, sf_dir):
+    """IVF with n_probe=4/8 clusters must recover most of the exact
+    top-10 (and n_probe=n_clusters recovers it fully)."""
+    from ixmp_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    probe = emb.orderBy("vec_id").limit(1)
+    exact = {
+        r["vec_id"]
+        for r in brute_force_topk(emb, probe, "vec_id", "embedding", k=10).collect()
+    }
+    full = {
+        r["vec_id"]
+        for r in ivf_topk(
+            emb, probe, "vec_id", "embedding", n_clusters=8, n_probe=8, k=10
+        ).collect()
+    }
+    assert full == exact  # degenerate IVF == exact search
+    approx = {
+        r["vec_id"]
+        for r in ivf_topk(
+            emb, probe, "vec_id", "embedding", n_clusters=8, n_probe=4, k=10
+        ).collect()
+    }
+    assert len(approx & exact) >= 5  # recall ≥ 0.5 at half the clusters

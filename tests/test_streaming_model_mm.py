@@ -208,3 +208,25 @@ def test_unknown_mime_raises(spark, media_df):
     )
     with pytest.raises(Exception, match="no decoder"):
         extract_features(bad).collect()
+
+
+def test_stateful_running_totals(spark, events_dir):
+    """applyInPandasWithState: state folds across micro-batches (the
+    source feeds one file per trigger → 4 micro-batches); the final
+    per-user totals equal the batch ground truth."""
+    from ixmp_spark.streaming.ts_stream import running_user_totals
+
+    stream = stream_events(spark, events_dir)
+    got = run_available_now(
+        running_user_totals(stream), "t_state", mode="update"
+    ).toPandas()
+    # update mode emits one row per (user, micro-batch); the LAST emission
+    # per user carries the folded lifetime totals
+    final = got.groupby("user_id").last()
+    events = spark.read.parquet(events_dir).toPandas()
+    expect_n = events.groupby("user_id").size()
+    assert final["n_events"].sort_index().tolist() == expect_n.sort_index().tolist()
+    expect_s = events.groupby("user_id")["value"].sum().round(4)
+    assert final["sum_value"].sort_index().tolist() == pytest.approx(
+        expect_s.sort_index().tolist(), abs=1e-3
+    )
