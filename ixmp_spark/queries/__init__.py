@@ -45,6 +45,11 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the same way)."""
     from pyspark.sql import functions as F
 
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS): unreadable without this legacy
+        # conf. Set it here (runtime-settable) so the catalog works under
+        # ANY caller-provided session, not just ixmp_spark.session ones.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
