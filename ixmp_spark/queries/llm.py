@@ -3,6 +3,7 @@ dedup, text analysis, similarity search over documents/embeddings."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ixmp_spark.operators.dedup import (
@@ -224,4 +225,89 @@ def e3_embed_ivf(spark, sf_dir):
     return ivf_topk(
         emb, probe, id_col="vec_id", vec_col="embedding",
         n_clusters=16, n_probe=2, k=10,
+    )
+
+
+@query(
+    "p1_curation_pipeline",
+    oracle=r"""
+    WITH stats AS (
+      SELECT doc_id, lang,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h,
+             len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             round(0.5 * least(length(text) / 1000.0, 1.0)
+                   + 0.3 * (CASE WHEN length(regexp_replace(text, '\s', '', 'g')) * 1.0
+                                      / len(string_split_regex(trim(text), '\s+'))
+                                 BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END)
+                   + 0.2 * (1 - least(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                                      * 5.0 / length(text), 1.0)), 4) AS quality
+      FROM documents
+    ), reps AS (
+      SELECT min(doc_id) AS doc_id FROM stats GROUP BY h
+    )
+    SELECT s.doc_id, s.lang, s.n_tokens, s.quality
+    FROM stats s JOIN reps r ON s.doc_id = r.doc_id
+    WHERE s.lang = 'en' AND s.quality >= 0.55 AND s.n_tokens BETWEEN 30 AND 120
+    """,
+)
+def p1_curation_pipeline(spark, sf_dir):
+    """Composite training-data curation: exact dedup (keep min-id
+    representative) → language filter → quality threshold → token-length
+    band. One declared plan — Catalyst fuses the stat expressions into the
+    scan projection and the dedup is the only shuffle."""
+    docs = load_spread(spark, sf_dir, "documents")
+    stats = text_stats(docs, "text")
+    reps = exact_dedup(docs, text_col="text", id_col="doc_id").select("doc_id")
+    return (
+        stats.join(reps, "doc_id")
+        .where(
+            (F.col("lang") == "en")
+            & (F.col("quality") >= 0.55)
+            & F.col("n_tokens").between(30, 120)
+        )
+        .select("doc_id", "lang", "n_tokens", "quality")
+    )
+
+
+@query(
+    "p2_token_budget_pack",
+    oracle=r"""
+    WITH stats AS (
+      SELECT doc_id,
+             len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+             round(0.5 * least(length(text) / 1000.0, 1.0)
+                   + 0.3 * (CASE WHEN length(regexp_replace(text, '\s', '', 'g')) * 1.0
+                                      / len(string_split_regex(trim(text), '\s+'))
+                                 BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END)
+                   + 0.2 * (1 - least(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                                      * 5.0 / length(text), 1.0)), 4) AS quality
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, n_tokens, quality,
+             CAST(sum(n_tokens) OVER (
+               ORDER BY quality DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens
+      FROM stats
+    )
+    SELECT doc_id, n_tokens, quality, cum_tokens
+    FROM ranked WHERE cum_tokens <= 10000
+    """,
+)
+def p2_token_budget_pack(spark, sf_dir):
+    """Token-budget packing: select the highest-quality documents until a
+    token budget is exhausted — quality-descending running token sum,
+    cut at the budget. The global window is the scale caveat (like the
+    Excel chunker W4): at 100 TB the same selection runs as a two-pass
+    quantile-threshold (approx_percentile on quality, then filter), which
+    avoids the single-partition sort; the exact form is declared here."""
+    docs = load_spread(spark, sf_dir, "documents")
+    stats = text_stats(docs, "text")
+    w = Window.orderBy(F.col("quality").desc(), F.col("doc_id")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        stats.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= 10000)
+        .select("doc_id", "n_tokens", "quality", "cum_tokens")
     )

@@ -139,10 +139,22 @@ class LocalWarehouse:
         os.replace(tmp, self._catalog_path)  # atomic visibility flip
 
     def update_catalog(self, fn) -> dict[str, Any]:
-        cat = self.catalog()
-        fn(cat)
-        self._write_catalog(cat)
-        return cat
+        """Read-modify-write under an advisory file lock: concurrent
+        drivers (e.g. CLI + notebook on the same warehouse) serialize
+        their catalog mutations. On a cluster the metastore/Delta log
+        provides this; locally fcntl does."""
+        import fcntl
+
+        lock_path = self._catalog_path + ".lock"
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            try:
+                cat = self.catalog()
+                fn(cat)
+                self._write_catalog(cat)
+                return cat
+            finally:
+                fcntl.flock(lock, fcntl.LOCK_UN)
 
     # -- runs -------------------------------------------------------------
     def run_dir(self, run_id: int) -> str:

@@ -88,3 +88,32 @@ def test_ivf_recall_vs_exact(spark, sf_dir):
         ).collect()
     }
     assert len(approx & exact) >= 5  # recall ≥ 0.5 at half the clusters
+
+
+def test_concurrent_catalog_updates(spark, tmp_path):
+    """Advisory-locked read-modify-write: parallel unit registrations from
+    multiple processes all survive (no lost updates)."""
+    import subprocess
+    import sys
+
+    root = str(tmp_path / "wh")
+    from ixmp_spark.sources.warehouse import LocalWarehouse
+
+    LocalWarehouse(root)  # init catalog
+    script = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "from ixmp_spark.sources.warehouse import LocalWarehouse\n"
+        f"wh = LocalWarehouse({root!r})\n"
+        "import sys\n"
+        "u = sys.argv[1]\n"
+        "for i in range(20):\n"
+        "    wh.update_catalog(lambda c, u=u, i=i: c['units'].append(f'{u}-{i}')\n"
+        "        if f'{u}-{i}' not in c['units'] else None)\n"
+    )
+    procs = [
+        subprocess.Popen([sys.executable, "-c", script, f"p{k}"])
+        for k in range(4)
+    ]
+    assert all(p.wait() == 0 for p in procs)
+    units = LocalWarehouse(root).catalog()["units"]
+    assert len(units) == 80  # 4 procs x 20 units, none lost
