@@ -20,3 +20,16 @@ Layout
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy re-exports (keep `import ixmp_spark` light for UDF workers)
+    if name in ("Platform", "Scenario", "TimeSeries"):
+        import ixmp_spark.core as core
+
+        return getattr(core, name)
+    if name == "Reporter":
+        from ixmp_spark.plans import Reporter
+
+        return Reporter
+    raise AttributeError(name)

@@ -514,6 +514,37 @@ class Scenario(TimeSeries):
         self._staged["ts_data"] = ts[~drop]
         self.commit(f"remove_solution(first_model_year={first_model_year})")
 
+    # -- workbook I/O (reference scenario.py read_excel/to_excel) ---------
+    def to_excel(self, path, items=None, max_row=None) -> None:
+        """S3 (reference Scenario.to_excel): dump item data to a workbook
+        (.xlsx with openpyxl installed, CSV-dir otherwise)."""
+        from ixmp_spark.sources.scenario_io import EXCEL_MAX_ROWS, write_scenario_data
+
+        write_scenario_data(self, str(path), items=items,
+                            max_row=max_row or EXCEL_MAX_ROWS)
+
+    def read_excel(self, path, add_units=False, init_items=False,
+                   commit_steps=False) -> None:
+        """S4 (reference Scenario.read_excel): two-pass topological load."""
+        from ixmp_spark.sources.scenario_io import read_scenario_data
+
+        read_scenario_data(
+            self, str(path), add_units=add_units, init_items=init_items,
+            commit_steps=commit_steps,
+        )
+
+    def load_scenario_data(self) -> None:
+        """P7 (reference scenario.py:145–160): bulk-load all item data into
+        cache — here persist the run's fact tables."""
+        for t in ("set_data", "par_data", "sol_data"):
+            self._spark_table(t).persist().count()
+
+    def solve(self, model="function", callback=None, **model_options):
+        """Reference Scenario.solve façade over core.model.solve."""
+        from ixmp_spark.core.model import solve as _solve
+
+        return _solve(self, model=model, callback=callback, **model_options)
+
     # -- clone (SURVEY.md §1.5; reference scenario.py:870–945) ------------
     def clone(
         self,

@@ -52,7 +52,8 @@ def g1_sessionize(spark, sf_dir):
 @query(
     "g2_tumbling_window",
     oracle="""
-    SELECT date_trunc('hour', ts) AS window_start, event_type,
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start, event_type,
            count(*) AS n_events, round(sum(value), 4) AS sum_value
     FROM events GROUP BY 1, 2
     """,
@@ -62,4 +63,9 @@ def g2_tumbling_window(spark, sf_dir):
     ``window(ts, '1 hour')``); grouping on the truncated timestamp keeps
     partial aggregation map-side."""
     ev = load(spark, sf_dir, "events")
-    return tumbling_agg(ev, "ts", "hour", "event_type")
+    out = tumbling_agg(ev, "ts", "hour", "event_type")
+    # string-typed window edge: engine-portable hashing (timestamp binary
+    # resolutions differ between engines)
+    return out.withColumn(
+        "window_start", F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
+    )

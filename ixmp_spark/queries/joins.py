@@ -318,7 +318,8 @@ def j6_synonym_resolution(spark, sf_dir):
     oracle="""
     SELECT l.l_orderkey,
            round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
-           o.o_orderdate, o.o_orderpriority
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+           o.o_orderpriority
     FROM customer c
     JOIN orders o   ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON o.o_orderkey = l.l_orderkey
@@ -353,5 +354,10 @@ def b_q3_shipping_priority(spark, sf_dir):
         )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
         .limit(10)
-        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            "o_orderpriority",
+        )
     )

@@ -12,7 +12,9 @@ from ixmp_spark.queries import load, query
 @query(
     "w1_default_version",
     oracle="""
-    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS order_date,
+           o_totalprice
     FROM (
       SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
              row_number() OVER (
@@ -34,7 +36,14 @@ def w1_default_version(spark, sf_dir):
     return (
         o.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
+                "order_date"
+            ),
+            "o_totalprice",
+        )
     )
 
 

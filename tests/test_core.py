@@ -442,3 +442,21 @@ def test_add_par_bulk(mp, spark):
             unit="parsec",
         )
     scen.discard_changes()
+
+
+def test_reference_api_facades(mp, tmp_path):
+    """Reference-named façades: to_excel/read_excel/load_scenario_data/
+    solve + top-level re-exports."""
+    import ixmp_spark
+
+    assert ixmp_spark.Platform is type(mp)
+    scen = make_dantzig(mp)
+    path = str(tmp_path / "facade_wb")
+    scen.to_excel(path)
+    dst = Scenario(mp, "canning problem", "facade", version="new")
+    dst.read_excel(path, init_items=True, add_units=True)
+    dst.commit("facade roundtrip")
+    assert dst.items("par") == ["a", "b", "d", "f"]
+    scen.load_scenario_data()
+    scen.solve(model="function", solve_fn=solve_dantzig)
+    assert scen.has_solution()
