@@ -69,7 +69,8 @@ def _ingest_bench(spark, n: int) -> float:
             )
         )
         t0 = time.perf_counter()
-        scen.add_par_bulk("p", src, unit="GWa")
+        # cross-product generator → keys unique by construction
+        scen.add_par_bulk("p", src, unit="GWa", assume_unique=True)
         scen.commit("bulk add_par")
         return time.perf_counter() - t0
     finally:

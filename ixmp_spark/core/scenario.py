@@ -259,16 +259,27 @@ class Scenario(TimeSeries):
         ).drop(columns="__k")
         self._set_table("par_data", merged)
 
-    def add_par_bulk(self, name: str, sdf: DataFrame, unit: str | None = None) -> None:
+    def add_par_bulk(
+        self,
+        name: str,
+        sdf: DataFrame,
+        unit: str | None = None,
+        assume_unique: bool = False,
+    ) -> None:
         """Spark-native bulk parameter ingest — the scale path for the
         reference's ``add_par`` benchmark shape (test_perf.py:27–35,
         1e2–1e6-row random 2-D parameters).
 
-        Validation stays distributed: each dimension column is checked for
-        index-set membership with a broadcast anti-join (J3) instead of
-        the per-key Python loop; the key array is assembled JVM-side (C7).
-        The frame must carry the item's idx_name columns + ``value``
-        (+ optional ``unit``).
+        Validation stays distributed AND single-pass: index sets and the
+        unit codelist are codelist-sized by design (SURVEY.md §1.4), so
+        membership compiles to one ``isin``-literal filter over the input
+        — one job collects up to 5 violations across all dimensions at
+        once (J3), instead of one broadcast anti-join job per dimension.
+        The key array is assembled JVM-side (C7).
+
+        ``assume_unique=True`` skips the key-dedup shuffle when the caller
+        guarantees distinct key tuples (e.g. a cross-product generator or
+        an upstream dropDuplicates).
         """
         item = self._require_item(name, "par")
         dims = item["idx_names"]
@@ -280,48 +291,25 @@ class Scenario(TimeSeries):
             if unit is None:
                 raise ValueError("need a unit column or unit= argument")
             sdf = sdf.withColumn("unit", F.lit(str(unit)))
-        known_units = self.platform.units()
-        bad_units = (
-            sdf.select("unit").distinct()
-            .join(
-                F.broadcast(
-                    self.platform.spark.createDataFrame(
-                        [(u,) for u in known_units], "unit string"
-                    )
-                ),
-                "unit",
-                "left_anti",
-            )
-            .limit(5)
-            .collect()
-        )
-        if bad_units:
-            raise ValueError(
-                f"unknown units {[r['unit'] for r in bad_units]}; add_unit first"
-            )
+        bad_pred = ~F.col("unit").isin(self.platform.units())
         for dim, set_name in zip(dims, item["idx_sets"]):
-            members = self.platform.spark.createDataFrame(
-                [(m,) for m in sorted(self._set_members(set_name))],
-                f"`{dim}` string",
+            members = sorted(self._set_members(set_name))
+            bad_pred = bad_pred | ~F.col(dim).cast("string").isin(members)
+        violations = sdf.where(bad_pred).limit(5).collect()
+        if violations:
+            raise ValueError(
+                f"invalid rows for {name!r} (key not in set / unknown units): "
+                f"{[r.asDict() for r in violations]}"
             )
-            bad = (
-                sdf.select(F.col(dim).cast("string").alias(dim))
-                .join(F.broadcast(members), dim, "left_anti")
-                .limit(5)
-                .collect()
-            )
-            if bad:
-                raise ValueError(
-                    f"invalid keys {[r[dim] for r in bad]} for dimension "
-                    f"{dim!r} of {name!r}: not in set {item['idx_sets'][dims.index(dim)]!r}"
-                )
         out = sdf.select(
             F.lit(self.run_id).cast("long").alias("run_id"),
             F.lit(name).alias("name"),
             F.array(*[F.col(d).cast("string") for d in dims]).alias("key"),
             F.col("value").cast("double").alias("value"),
             F.col("unit").cast("string").alias("unit"),
-        ).dropDuplicates(["key"])  # key dedup stays distributed
+        )
+        if not assume_unique:
+            out = out.dropDuplicates(["key"])  # key dedup stays distributed
         new = out.toPandas()
         cur = self._table("par_data")
         has_existing = bool(
