@@ -291,16 +291,41 @@ class Scenario(TimeSeries):
             if unit is None:
                 raise ValueError("need a unit column or unit= argument")
             sdf = sdf.withColumn("unit", F.lit(str(unit)))
+        # membership validation: literal isin for codelist-sized sets
+        # (single pass, no join); broadcast anti-join for large sets
+        # (a 100k-member isin literal would blow up the expression tree)
+        LITERAL_MAX = 10_000
         bad_pred = ~F.col("unit").isin(self.platform.units())
+        large_dims: list[tuple[str, str, set]] = []
         for dim, set_name in zip(dims, item["idx_sets"]):
-            members = sorted(self._set_members(set_name))
-            bad_pred = bad_pred | ~F.col(dim).cast("string").isin(members)
+            members = self._set_members(set_name)
+            if len(members) <= LITERAL_MAX:
+                bad_pred = bad_pred | ~F.col(dim).cast("string").isin(
+                    sorted(members)
+                )
+            else:
+                large_dims.append((dim, set_name, members))
         violations = sdf.where(bad_pred).limit(5).collect()
         if violations:
             raise ValueError(
                 f"invalid rows for {name!r} (key not in set / unknown units): "
                 f"{[r.asDict() for r in violations]}"
             )
+        for dim, set_name, members in large_dims:
+            mdf = self.platform.spark.createDataFrame(
+                [(m,) for m in members], f"`{dim}` string"
+            )
+            bad = (
+                sdf.select(F.col(dim).cast("string").alias(dim))
+                .join(F.broadcast(mdf), dim, "left_anti")
+                .limit(5)
+                .collect()
+            )
+            if bad:
+                raise ValueError(
+                    f"invalid keys {[r[dim] for r in bad]} for dimension "
+                    f"{dim!r} of {name!r}: not in set {set_name!r}"
+                )
         out = sdf.select(
             F.lit(self.run_id).cast("long").alias("run_id"),
             F.lit(name).alias("name"),

@@ -262,6 +262,93 @@ class Reporter:
         )
         return k
 
+    def add_select(
+        self, key: str, src: "str | Key", selectors: dict[str, list[str]]
+    ) -> Key:
+        """genno ``select``: keep only listed labels per dim (IN-list —
+        the same F1 contract, so non-member labels are silently ignored)."""
+        from ixmp_spark.operators.filtering import in_list_filter
+
+        k = Key.parse(key)
+
+        def compute():
+            q = self.get_quantity(src)
+            return Quantity(in_list_filter(q.df, selectors), q.dims, q.unit)
+
+        self.add(k, compute)
+        self._register_sums(k)
+        return k
+
+    def add_rename(self, key: str, src: "str | Key", renames: dict[str, str]) -> Key:
+        """C6 dim rename applied inside the graph."""
+        k = Key.parse(key)
+
+        def compute():
+            q = self.get_quantity(src)
+            df = q.df
+            for old, new in renames.items():
+                df = df.withColumnRenamed(old, new)
+            dims = tuple(renames.get(d, d) for d in q.dims)
+            return Quantity(df, dims, q.unit)
+
+        self.add(k, compute)
+        return k
+
+    def add_concat(self, key: str, *srcs: "str | Key") -> Key:
+        """genno ``concat``: union of same-dim quantities (units must
+        agree — A7 guard)."""
+        k = Key.parse(key)
+
+        def compute():
+            qs = [self.get_quantity(s) for s in srcs]
+            dims = qs[0].dims
+            unit = qs[0].unit
+            for q in qs[1:]:
+                if set(q.dims) != set(dims):
+                    raise ValueError(f"dim mismatch {q.dims} vs {dims}")
+                if q.unit != unit:
+                    raise ValueError(f"cannot concat units {q.unit!r}/{unit!r}")
+            out = qs[0].df.select(*dims, "value")
+            for q in qs[1:]:
+                out = out.unionByName(q.df.select(*dims, "value"))
+            return Quantity(out, dims, unit)
+
+        self.add(k, compute)
+        self._register_sums(k)
+        return k
+
+    def add_file(
+        self,
+        key: str,
+        spark,
+        path: str,
+        dims: tuple[str, ...],
+        unit: str | None = None,
+        renames: dict[str, str] | None = None,
+    ) -> Key:
+        """S9 reporting file input (reference report-config ``files:``):
+        CSV → quantity with dim renaming/selection."""
+        k = Key.parse(key)
+
+        def compute():
+            df = spark.read.csv(path, header=True, inferSchema=True)
+            for old, new in (renames or {}).items():
+                df = df.withColumnRenamed(old, new)
+            got_unit = unit
+            if "unit" in df.columns:
+                units = [r["unit"] for r in df.select("unit").distinct().collect()]
+                if len(units) == 1 and got_unit is None:
+                    got_unit = units[0]
+                df = df.drop("unit")
+            out = df.select(
+                *dims, F.col("value").cast("double").alias("value")
+            )
+            return Quantity(out, tuple(dims), got_unit)
+
+        self.add(k, compute)
+        self._register_sums(k)
+        return k
+
 
 def _unit_exponents(u: str) -> dict[str, int]:
     """Parse 'a*b/c*d' → {a:1, b:1, c:-1, d:-1} (left-to-right, '/' flips

@@ -198,3 +198,38 @@ def test_add_with_unit_check(rep):
     r.add_sum("bad:i-j", "a:i", "d:i-j")
     with pytest.raises(ValueError, match="units"):
         r.get("bad:i-j")
+
+
+def test_select_rename_concat(rep):
+    r, _ = rep
+    r.add_select("d_sel:i-j", "d:i-j", {"i": ["seattle", "atlantis"]})
+    sel = r.get("d_sel:i-j").toPandas()
+    assert set(sel["i"]) == {"seattle"}  # non-member silently ignored (F1)
+    r.add_rename("d_rn:plant-market", "d:i-j", {"i": "plant", "j": "market"})
+    rn = r.get_quantity("d_rn:plant-market")
+    assert rn.dims == ("plant", "market")
+    assert set(rn.df.columns) == {"plant", "market", "value"}
+    r.add_concat("ab:i", "a:i", "a:i")
+    assert r.get("ab:i").count() == 4  # unionAll keeps duplicates
+    # partial sums registered on derived keys too
+    assert r.get("d_sel:").toPandas()["value"][0] == pytest.approx(6.0)
+
+
+def test_file_input(rep, spark, tmp_path):
+    """S9: reporting file input with dim rename (reference
+    report-input1.csv shape: extra dim dropped via selection)."""
+    r, _ = rep
+    csv = tmp_path / "input.csv"
+    csv.write_text(
+        "i,j_dim,value,unit\n"
+        "seattle,new-york,2.5,km\n"
+        "seattle,chicago,1.7,km\n"
+    )
+    r.add_file(
+        "d_check:i-j", spark, str(csv), dims=("i", "j"),
+        renames={"j_dim": "j"},
+    )
+    q = r.get_quantity("d_check:i-j")
+    assert q.unit == "km"
+    got = q.df.toPandas().set_index(["i", "j"])["value"]
+    assert got[("seattle", "chicago")] == 1.7

@@ -117,3 +117,51 @@ def test_concurrent_catalog_updates(spark, tmp_path):
     assert all(p.wait() == 0 for p in procs)
     units = LocalWarehouse(root).catalog()["units"]
     assert len(units) == 80  # 4 procs x 20 units, none lost
+
+
+def test_engine_e2e_at_bench_scale(spark, tmp_path):
+    """Engine end-to-end on the bench table: a 600k-row parameter built
+    from lineitem at sf0.1 through add_par_bulk (large index set →
+    broadcast-join validation path), then the filter contract and
+    named-view reads on top."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ixmp_spark.core import Platform, Scenario
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    li = load(spark, sf_dir, "lineitem")
+    mp = Platform(spark, str(tmp_path / "wh_scale"))
+    mp.add_unit("qty")
+    scen = Scenario(mp, "tpch", "lineitem", version="new")
+    scen.init_set("orderkey")
+    orderkeys = [
+        str(r[0]) for r in li.select("l_orderkey").distinct().collect()
+    ]
+    scen.add_set("orderkey", orderkeys)
+    scen.init_set("linenumber")
+    scen.add_set("linenumber", [str(i) for i in range(1, 8)])
+    scen.init_par(
+        "qty", idx_sets=["orderkey", "linenumber"],
+        idx_names=["orderkey", "linenumber"],
+    )
+    src = li.select(
+        F.col("l_orderkey").cast("string").alias("orderkey"),
+        F.col("l_linenumber").cast("string").alias("linenumber"),
+        F.col("l_quantity").alias("value"),
+    )
+    scen.add_par_bulk("qty", src, unit="qty", assume_unique=True)
+    scen.commit("lineitem as parameter")
+
+    assert len(scen.par("qty")) == li.count()
+    one_order = scen.par("qty", filters={"orderkey": [orderkeys[0]]})
+    expect = li.where(
+        F.col("l_orderkey") == int(orderkeys[0])
+    ).count()
+    assert len(one_order) == expect
+    # silent-ignore contract at scale
+    both = scen.par(
+        "qty", filters={"orderkey": [orderkeys[0], "no-such-key"]}
+    )
+    assert len(both) == expect
