@@ -268,3 +268,68 @@ def b_q18_large_orders(spark, sf_dir):
     return o.join(big, o.o_orderkey == big.l_orderkey).select(
         "o_orderkey", "o_custkey", "o_totalprice", "total_qty"
     )
+
+
+@query(
+    "a8_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+           round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
+           count(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def a8_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (extension surface): both
+    engines implement the same continuous-quantile definition so the
+    values hash-match. The approximate sketch variant (scale path: fixed
+    memory, mergeable) is x1_sketches."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "a9_rollup",
+    oracle="""
+    SELECT r_name, n_name, count(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def a9_rollup(spark, sf_dir):
+    """Hierarchical rollup (region → nation → grand total) — the
+    drill-down companion of a1's cube; one shuffle via grouping-sets
+    expansion."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query("x1_sketches")  # no SQL oracle: sketch internals are engine-specific
+def x1_sketches(spark, sf_dir):
+    """Approximate sketch aggregates — the fixed-memory, mergeable scale
+    path for distinct counts and quantiles (HLL++ / KLL-style): at 100 TB
+    exact countDistinct shuffles every distinct value, a sketch ships a
+    few KB per partition. Rows-only check; accuracy bounds are asserted
+    in unit tests against the exact values."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias(
+            "approx_median_price"
+        ),
+    )

@@ -165,3 +165,28 @@ def test_engine_e2e_at_bench_scale(spark, tmp_path):
         "qty", filters={"orderkey": [orderkeys[0], "no-such-key"]}
     )
     assert len(both) == expect
+
+
+def test_sketch_accuracy(spark, sf_dir):
+    """approx_count_distinct within its rsd bound of the exact count;
+    approx_percentile within 2% of the exact median."""
+    rows = {
+        r["l_returnflag"]: r
+        for r in __import__("ixmp_spark.queries", fromlist=["QUERIES"])
+        .QUERIES["x1_sketches"](spark, sf_dir)
+        .collect()
+    }
+    from pyspark.sql import functions as F
+
+    li = load(spark, sf_dir, "lineitem")
+    exact_med = {
+        r["l_returnflag"]: r["m"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_extendedprice, 0.5)").alias("m"))
+        .collect()
+    }
+    for flag, r in rows.items():
+        assert abs(r["approx_orders"] - r["exact_orders"]) <= max(
+            5, 0.06 * r["exact_orders"]
+        )
+        assert abs(r["approx_median_price"] - exact_med[flag]) <= 0.02 * exact_med[flag]
