@@ -190,3 +190,25 @@ def test_sketch_accuracy(spark, sf_dir):
             5, 0.06 * r["exact_orders"]
         )
         assert abs(r["approx_median_price"] - exact_med[flag]) <= 0.02 * exact_med[flag]
+
+
+def test_simhash_properties(spark, sf_dir):
+    """SimHash: deterministic across runs; identical texts → identical
+    fingerprints; near-identical texts → small Hamming distance."""
+    from pyspark.sql import functions as F
+
+    from ixmp_spark.operators.dedup import simhash64
+
+    docs = load(spark, sf_dir, "documents").limit(50)
+    a = docs.select("doc_id", simhash64("text").alias("h")).toPandas()
+    b = docs.select("doc_id", simhash64("text").alias("h")).toPandas()
+    assert a.sort_values("doc_id")["h"].tolist() == b.sort_values("doc_id")["h"].tolist()
+
+    # a doc vs itself with one appended token: small Hamming distance
+    one = docs.limit(1).select(F.col("text"))
+    pair = one.select(
+        simhash64(F.col("text")).alias("h1"),
+        simhash64(F.concat(F.col("text"), F.lit(" extra"))).alias("h2"),
+    ).collect()[0]
+    ham = bin(pair["h1"] ^ pair["h2"]).count("1")
+    assert ham <= 16  # near-dup territory on a 64-bit fingerprint
