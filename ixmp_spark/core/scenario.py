@@ -584,7 +584,12 @@ class Scenario(TimeSeries):
         src = {t: self.platform.wh.read_table(self.run_id, t) for t in
                ("set_data", "par_data", "sol_data", "ts_data", "geo_data")}
         if self._checked_out and self._staged is not None:
-            src = {t: self._staged[t].copy() for t in src}
+            # Spark-staged bulk frames materialize for the pandas-side
+            # predicates below (cloning mid-bulk-edit is the rare path)
+            src = {
+                t: (v.copy() if isinstance(v, pd.DataFrame) else v.toPandas())
+                for t, v in ((t, self._staged[t]) for t in src)
+            }
         for t, df in src.items():
             df = df.copy()
             df["run_id"] = new.run_id

@@ -114,29 +114,38 @@ class TimeSeries:
         return self.platform.wh.catalog()["runs"][str(self.run_id)]["is_default"]
 
     # -- staging access ---------------------------------------------------
+    # A staged table is a pandas DataFrame (model-sized edits) or a Spark
+    # DataFrame (bulk paths) — the warehouse writes either on commit.
     def _table(self, table: str) -> pd.DataFrame:
         if self._checked_out and self._staged is not None:
-            return self._staged[table]
+            staged = self._staged[table]
+            return staged if isinstance(staged, pd.DataFrame) else staged.toPandas()
         return self.platform.wh.read_table(self.run_id, table)
 
-    def _set_table(self, table: str, df: pd.DataFrame) -> None:
+    def _set_table(self, table: str, df) -> None:
         if not self._checked_out:
             raise RuntimeError("not checked out — call check_out() first")
-        self._staged[table] = df.reset_index(drop=True)
+        if isinstance(df, pd.DataFrame):
+            df = df.reset_index(drop=True)
+        self._staged[table] = df
 
     def _spark_table(self, table: str) -> DataFrame:
         """Spark view of the run's committed snapshot (+ staged rows when
         checked out — via createDataFrame, used by tests and reporting)."""
         if self._checked_out and self._staged is not None:
-            pdf = self._staged[table]
-            from ixmp_spark.sources.warehouse import SCHEMAS
+            staged = self._staged[table]
+            if not isinstance(staged, pd.DataFrame):
+                return staged
+            from ixmp_spark.sources.warehouse import SCHEMAS, SPARK_DDL
             import pyarrow as pa
 
             tbl = pa.Table.from_pandas(
-                pdf.reset_index(drop=True), schema=SCHEMAS[table],
+                staged.reset_index(drop=True), schema=SCHEMAS[table],
                 preserve_index=False,
             )
-            return self.platform.spark.createDataFrame(tbl.to_pandas())
+            return self.platform.spark.createDataFrame(
+                tbl.to_pandas(), schema=SPARK_DDL[table]
+            )
         path = self.platform.wh.table_path(self.run_id, table)
         return self.platform.spark.read.parquet(path)
 
@@ -321,13 +330,14 @@ class TimeSeries:
             F.col("value").cast("double"),
             F.lit(bool(meta)).alias("meta"),
         ).where(~F.isnan("value"))
-        # append into staging (pandas-compatible with the snapshot model;
-        # on a cluster this is `out.writeTo(ts_data).append()` in the same
-        # Delta transaction as the commit)
-        new = out.toPandas()
-        cur = self._table("ts_data")
-        merged = pd.concat([cur, new], ignore_index=True).drop_duplicates(
-            subset=_TS_KEY, keep="last"
+        # key upsert entirely Spark-side: new rows win, current rows
+        # survive only where their series key is absent — the commit then
+        # writes the merged frame distributed (no driver materialization;
+        # on a cluster this is one Delta MERGE in the commit transaction)
+        out = out.dropDuplicates(_TS_KEY)
+        cur = self._spark_table("ts_data")
+        merged = out.unionByName(
+            cur.join(out.select(*_TS_KEY), on=_TS_KEY, how="left_anti")
         )
         self._set_table("ts_data", merged)
 

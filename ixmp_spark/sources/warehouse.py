@@ -97,6 +97,28 @@ SCHEMAS: dict[str, pa.Schema] = {
 
 FACT_TABLES = tuple(SCHEMAS)
 
+#: Spark DDL forms of SCHEMAS (explicit schemas for createDataFrame —
+#: inference fails on empty staged frames)
+SPARK_DDL: dict[str, str] = {
+    "set_data": "run_id long, name string, key array<string>, comment string",
+    "par_data": (
+        "run_id long, name string, key array<string>, value double, "
+        "unit string"
+    ),
+    "sol_data": (
+        "run_id long, name string, ix_type string, key array<string>, "
+        "lvl double, mrg double"
+    ),
+    "ts_data": (
+        "run_id long, region string, variable string, unit string, "
+        "subannual string, year int, value double, meta boolean"
+    ),
+    "geo_data": (
+        "run_id long, region string, variable string, unit string, "
+        "subannual string, year int, value string, meta boolean"
+    ),
+}
+
 
 def _empty(table: str) -> pd.DataFrame:
     return SCHEMAS[table].empty_table().to_pandas()
@@ -248,28 +270,49 @@ class LocalWarehouse:
     def _write_run_tables(
         self,
         run_id: int,
-        tables: dict[str, pd.DataFrame],
+        tables: dict[str, Any],
         items: dict[str, Any] | None = None,
     ) -> None:
         """Stage the new snapshot, swap atomically, bump commit counter
-        last — the parquet analogue of one Delta transaction."""
+        last — the parquet analogue of one Delta transaction.
+
+        A table value may be a pandas DataFrame (model-sized data, written
+        by pyarrow as a single file) or a Spark DataFrame (bulk data,
+        written distributed as a parquet *directory* — both pyarrow and
+        Spark read either form transparently). On a cluster both paths are
+        one Delta ``write``/``MERGE`` inside the commit transaction.
+        """
         rdir = self.run_dir(run_id)
         staging = os.path.join(rdir, ".staging")
         shutil.rmtree(staging, ignore_errors=True)
         os.makedirs(staging)
         for t, df in tables.items():
-            pq.write_table(
-                pa.Table.from_pandas(
-                    df.reset_index(drop=True), schema=SCHEMAS[t], preserve_index=False
-                ),
-                os.path.join(staging, f"{t}.parquet"),
-                compression="zstd",
-            )
+            target = os.path.join(staging, f"{t}.parquet")
+            if isinstance(df, pd.DataFrame):
+                pq.write_table(
+                    pa.Table.from_pandas(
+                        df.reset_index(drop=True),
+                        schema=SCHEMAS[t],
+                        preserve_index=False,
+                    ),
+                    target,
+                    compression="zstd",
+                )
+            else:  # Spark DataFrame → distributed directory write
+                cols = [f.name for f in SCHEMAS[t]]
+                df.select(*cols).write.mode("overwrite").parquet(target)
         if items is not None:
             with open(os.path.join(staging, "items.json"), "w") as f:
                 json.dump(items, f, indent=1)
         for fname in os.listdir(staging):
-            os.replace(os.path.join(staging, fname), os.path.join(rdir, fname))
+            dst = os.path.join(rdir, fname)
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            elif os.path.exists(dst) and os.path.isdir(
+                os.path.join(staging, fname)
+            ):
+                os.remove(dst)
+            os.replace(os.path.join(staging, fname), dst)
         shutil.rmtree(staging, ignore_errors=True)
 
     def commit_run(
