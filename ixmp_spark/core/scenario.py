@@ -259,12 +259,16 @@ class Scenario(TimeSeries):
         ).drop(columns="__k")
         self._set_table("par_data", merged)
 
+    #: rows above which bulk ingest stays distributed end-to-end
+    BULK_DISTRIBUTED_THRESHOLD = 2_000_000
+
     def add_par_bulk(
         self,
         name: str,
         sdf: DataFrame,
         unit: str | None = None,
         assume_unique: bool = False,
+        distributed: bool | None = None,
     ) -> None:
         """Spark-native bulk parameter ingest — the scale path for the
         reference's ``add_par`` benchmark shape (test_perf.py:27–35,
@@ -335,19 +339,45 @@ class Scenario(TimeSeries):
         )
         if not assume_unique:
             out = out.dropDuplicates(["key"])  # key dedup stays distributed
+        # Merge strategy is size-aware: up to BULK_DISTRIBUTED_THRESHOLD
+        # rows the frame collects through Arrow and commits via the
+        # single-file pyarrow writer (measurably faster than a Spark
+        # parquet job on driver-manageable data); above it — or with
+        # distributed=True — everything stays Spark-side: per-key
+        # overwrite as a left-anti join + union, distributed directory
+        # write in the commit (Delta MERGE on a cluster).
+        n_rows = out.count()
+        if distributed is None:
+            distributed = n_rows > self.BULK_DISTRIBUTED_THRESHOLD
+        if distributed:
+            cur = self._spark_table("par_data")
+            item_has_rows = (
+                cur.where(F.col("name") == name).limit(1).count() > 0
+            )
+            if item_has_rows:
+                merged = out.unionByName(
+                    cur.join(
+                        out.select("name", "key"),
+                        on=["name", "key"],
+                        how="left_anti",
+                    )
+                )
+            else:
+                merged = out.unionByName(cur)
+            self._set_table("par_data", merged)
+            return
         new = out.toPandas()
-        cur = self._table("par_data")
+        cur_pd = self._table("par_data")
         has_existing = bool(
-            ((cur["run_id"] == self.run_id) & (cur["name"] == name)).any()
+            ((cur_pd["run_id"] == self.run_id) & (cur_pd["name"] == name)).any()
         )
-        merged = pd.concat([cur, new], ignore_index=True)
+        merged_pd = pd.concat([cur_pd, new], ignore_index=True)
         if has_existing:
-            # overlap possible → per-key overwrite (keep='last')
-            merged["__k"] = merged["key"].map(tuple)
-            merged = merged.drop_duplicates(
+            merged_pd["__k"] = merged_pd["key"].map(tuple)
+            merged_pd = merged_pd.drop_duplicates(
                 subset=["run_id", "name", "__k"], keep="last"
             ).drop(columns="__k")
-        self._set_table("par_data", merged)
+        self._set_table("par_data", merged_pd)
 
     def add_scalar(self, name: str, val: float, unit: str, comment=None) -> None:
         self.add_par(name, None, val, unit, comment)

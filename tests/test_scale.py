@@ -212,3 +212,33 @@ def test_simhash_properties(spark, sf_dir):
     ).collect()[0]
     ham = bin(pair["h1"] ^ pair["h2"]).count("1")
     assert ham <= 16  # near-dup territory on a 64-bit fingerprint
+
+
+def test_add_par_bulk_distributed_path(spark, tmp_path):
+    """distributed=True keeps the merge + write Spark-side (directory
+    table) and upserts per key correctly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ixmp_spark.core import Platform, Scenario
+
+    mp = Platform(spark, str(tmp_path / "whd"))
+    mp.add_unit("u")
+    scen = Scenario(mp, "m", "s", version="new")
+    scen.init_set("k")
+    scen.add_set("k", [str(i) for i in range(100)])
+    scen.init_par("p", idx_sets=["k"])
+    src = spark.range(100).selectExpr("cast(id as string) k", "cast(id as double) value")
+    scen.add_par_bulk("p", src, unit="u", distributed=True)
+    scen.commit("v1")
+    assert os.path.isdir(mp.wh.table_path(scen.run_id, "par_data"))
+    assert len(scen.par("p")) == 100
+    # distributed upsert overwrites overlapping keys
+    scen.check_out()
+    upd = spark.range(10).selectExpr("cast(id as string) k", "cast(999 as double) value")
+    scen.add_par_bulk("p", upd, unit="u", distributed=True)
+    scen.commit("v2")
+    p = scen.par("p")
+    assert len(p) == 100
+    assert (p.set_index("k").loc[[str(i) for i in range(10)], "value"] == 999).all()
