@@ -119,3 +119,24 @@ def c10_numeric_guards(spark, sf_dir):
         & ~F.col("value").isin(float("inf"), float("-inf"))
         & (F.col("value") > 0)
     ).select("event_id", "value")
+
+
+@query(
+    "c11_json_extract",
+    oracle=r"""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+           CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_bucket
+    FROM events WHERE event_id < 2000
+    """,
+)
+def c11_json_extract(spark, sf_dir):
+    """JSON property extraction (§2.8 json family — built-in in Spark,
+    absent in the reference beyond string timestamps): get_json_object
+    stays a Catalyst expression, so the projection prunes to the two
+    referenced columns."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.where(F.col("event_id") < 2000).select(
+        "event_id", k.alias("k"), (k % 10).alias("k_bucket")
+    )
