@@ -333,3 +333,56 @@ def x1_sketches(spark, sf_dir):
             "approx_median_price"
         ),
     )
+
+
+@query(
+    "a10_grouping_flag",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+           sum(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def a10_grouping_flag(spark, sf_dir):
+    """CUBE with GROUPING() indicator columns — disambiguates real NULL
+    group labels from subtotal rows (the lattice metadata the Reporter's
+    partial-sum keys encode structurally)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.sum("l_quantity").alias("sum_qty"),
+    )
+
+
+@query(
+    "a11_iamc_year_pivot",
+    oracle="""
+    SELECT o_custkey,
+           round(sum(CASE WHEN year(o_orderdate) = 1996 THEN o_totalprice END), 2) AS y1996,
+           round(sum(CASE WHEN year(o_orderdate) = 1997 THEN o_totalprice END), 2) AS y1997,
+           round(sum(CASE WHEN year(o_orderdate) = 1998 THEN o_totalprice END), 2) AS y1998
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def a11_iamc_year_pivot(spark, sf_dir):
+    """IAMC wide layout (A5 twin on the year axis, reference
+    timeseries.py:481–490): one column per pinned year — exactly how the
+    engine's ``timeseries(iamc=True)`` pivots, with the year list
+    declared up front so no extra distinct pass is needed."""
+    o = load(spark, sf_dir, "orders")
+    out = (
+        o.withColumn("y", F.year("o_orderdate"))
+        .groupBy("o_custkey")
+        .pivot("y", [1996, 1997, 1998])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+    )
+    return out.select(
+        "o_custkey",
+        F.col("1996").alias("y1996"),
+        F.col("1997").alias("y1997"),
+        F.col("1998").alias("y1998"),
+    )

@@ -311,3 +311,26 @@ def p2_token_budget_pack(spark, sf_dir):
         .where(F.col("cum_tokens") <= 10000)
         .select("doc_id", "n_tokens", "quality", "cum_tokens")
     )
+
+
+@query(
+    "t3_bpe_tokens",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_chunks,
+           len(string_split_regex(trim(text), '\s+')) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def t3_bpe_tokens(spark, sf_dir):
+    """BPE-ish token estimate (word/number/punct chunks via regex, the
+    pre-tokenizer shape real BPE uses) vs whitespace tokens — both engines
+    share RE2-compatible semantics for this class."""
+    from ixmp_spark.operators.text import token_count, word_token_count
+
+    docs = load_spread(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        word_token_count("text").alias("n_chunks"),
+        token_count("text").alias("n_ws_tokens"),
+    )

@@ -140,3 +140,26 @@ def c11_json_extract(spark, sf_dir):
     return ev.where(F.col("event_id") < 2000).select(
         "event_id", k.alias("k"), (k % 10).alias("k_bucket")
     )
+
+
+@query(
+    "c12_array_funcs",
+    oracle="""
+    SELECT p_partkey,
+           list_sort(string_split(p_name, ' ')) AS words_sorted,
+           len(string_split(p_name, ' ')) AS n_words,
+           array_to_string(list_sort(string_split(p_name, ' ')), '-') AS joined
+    FROM part WHERE p_partkey < 500
+    """,
+)
+def c12_array_funcs(spark, sf_dir):
+    """Array-function family (§2.8): split / sort_array / size /
+    array_join — the key-tuple machinery (C7) generalized."""
+    p = load(spark, sf_dir, "part")
+    words = F.split("p_name", " ")
+    return p.where(F.col("p_partkey") < 500).select(
+        "p_partkey",
+        F.sort_array(words).alias("words_sorted"),
+        F.size(words).alias("n_words"),
+        F.array_join(F.sort_array(words), "-").alias("joined"),
+    )

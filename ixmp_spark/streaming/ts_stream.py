@@ -166,6 +166,37 @@ def running_user_totals(
     )
 
 
+def stream_timeseries_ingest(ts, stream_df: DataFrame, checkpoint: str):
+    """Streaming ingest into the versioned store: each micro-batch becomes
+    one check_out → add_timeseries_bulk → commit transaction (the
+    warehouse's atomic snapshot swap), so readers only ever see complete
+    batches — the streaming twin of the reference's transactional
+    ``add_timeseries``. Exactly-once across restarts comes from the
+    checkpointed source offsets + idempotent key upsert.
+
+    ``stream_df`` must carry region/variable/unit/year/value (+ optional
+    subannual) columns.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        ts.check_out()
+        try:
+            ts.add_timeseries_bulk(batch_df)
+            ts.commit(f"stream micro-batch {batch_id}")
+        except Exception:
+            ts.discard_changes()
+            raise
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def run_available_now(
     stream_df: DataFrame, query_name: str, mode: str = "append"
 ) -> DataFrame:

@@ -460,3 +460,25 @@ def test_reference_api_facades(mp, tmp_path):
     scen.load_scenario_data()
     scen.solve(model="function", solve_fn=solve_dantzig)
     assert scen.has_solution()
+
+
+def test_clone_across_platforms(mp, spark, tmp_path):
+    """Cross-platform clone (reference scenario.py:1155–1230 generic
+    clone): full model data + TS lands in the other warehouse."""
+    from ixmp_spark.core import Platform
+
+    src = make_dantzig(mp, solve=True)
+    src.check_out(timeseries_only=True)
+    src.add_timeseries(HIST_DF, meta=True)
+    src.commit("ts")
+    other = Platform(spark, str(tmp_path / "wh2"))
+    other.add_unit("USD")
+    other.add_region("DantzigLand", hierarchy="country")
+    cloned = src.clone(platform=other)
+    assert cloned.platform is other
+    assert cloned.version == 1  # fresh (model, scenario) on the target
+    assert len(cloned.par("d")) == 6
+    assert cloned.has_solution()
+    assert cloned.timeseries()["value"].tolist() == [850.0, 900.0, 950.0]
+    # source untouched
+    assert len(mp.scenario_list(default=False)) == 1

@@ -230,3 +230,46 @@ def test_stateful_running_totals(spark, events_dir):
     assert final["sum_value"].sort_index().tolist() == pytest.approx(
         expect_s.sort_index().tolist(), abs=1e-3
     )
+
+
+def test_stream_timeseries_ingest(spark, events_dir, tmp_path):
+    """foreachBatch → one warehouse transaction per micro-batch: the
+    final committed ts_data equals the batch upsert of the same input,
+    and the commit counter shows one commit per non-empty batch."""
+    from pyspark.sql import functions as F
+
+    from ixmp_spark.core import Platform, TimeSeries
+    from ixmp_spark.streaming.ts_stream import stream_timeseries_ingest
+
+    mp = Platform(spark, str(tmp_path / "wh_stream"))
+    mp.add_unit("count")
+    mp.add_region("World", hierarchy="common")
+    ts = TimeSeries(mp, "stream", "ingest", version="new")
+    ts.commit("empty shell")
+
+    def shape(df):
+        return df.select(
+            F.lit("World").alias("region"),
+            F.concat(F.col("event_type"), F.lit("/u"), F.col("user_id")).alias(
+                "variable"
+            ),
+            F.lit("count").alias("unit"),
+            F.dayofmonth("ts").alias("year"),  # stand-in periodic axis
+            F.col("value"),
+        )
+
+    stream = stream_events(spark, events_dir)
+    q = stream_timeseries_ingest(
+        ts, shape(stream), str(tmp_path / "ckpt_ts")
+    )
+    q.awaitTermination()
+
+    got = ts.timeseries_spark()
+    batch_keys = (
+        shape(spark.read.parquet(events_dir))
+        .dropDuplicates(["region", "variable", "unit", "year"])
+        .count()
+    )
+    assert got.count() == batch_keys
+    commits = mp.wh.catalog()["runs"][str(ts.run_id)]["commit"]
+    assert commits >= 2  # shell + ≥1 micro-batch (4 input files)
