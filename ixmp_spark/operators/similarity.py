@@ -105,7 +105,7 @@ def ivf_topk(
     n_probe; n_probe == n_clusters degenerates to exact search.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     corpus = df.withColumn("__v", array_to_vector(_dvec(vec_col)))
     km = KMeans(k=n_clusters, seed=seed, featuresCol="__v", predictionCol="__c")

@@ -5,7 +5,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ixmp_spark.operators.versioning import chunk_index, next_version, resolve_default
+from ixmp_spark.operators.versioning import chunk_index, next_version
 from ixmp_spark.queries import load, query
 
 
