@@ -27,12 +27,18 @@ BENCH_QUERIES = [
     "s1_scan_pushdown",
     "a0_pricing_summary",
     "a1_partial_sums_cube",
+    "b_q2_min_cost_supplier",
     "b_q3_shipping_priority",
     "b_q5_star_join",
+    "b_q7_nation_volume",
+    "b_q10_returned_items",
+    "b_q14_promo_share",
+    "b_q19_disjunctive",
     "w1_default_version",
     "w3_running_total",
     "jx_asof_join",
     "g1_sessionize",
+    "g4_funnel",
     "d1_exact_dedup",
     "d2_jaccard_neardup",
     "d3_minhash_lsh",

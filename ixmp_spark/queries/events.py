@@ -69,3 +69,48 @@ def g2_tumbling_window(spark, sf_dir):
     return out.withColumn(
         "window_start", F.date_format("window_start", "yyyy-MM-dd HH:mm:ss")
     )
+
+
+@query(
+    "g4_funnel",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT
+      count(*) AS n_users,
+      CAST(sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_viewed,
+      CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after_view,
+      CAST(sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                         AND t_purchase > t_click
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+    FROM firsts
+    """,
+)
+def g4_funnel(spark, sf_dir):
+    """Sequential funnel analysis (view → click → purchase ordering per
+    user): first-occurrence timestamps via conditional min, then ordered
+    comparisons — one shuffle on user_id, no self-joins (the naive funnel
+    is an N-way self-join; the conditional-aggregate form scales)."""
+    ev = load(spark, sf_dir, "events")
+    t = lambda et: F.min(F.when(F.col("event_type") == et, F.col("ts")))  # noqa: E731
+    firsts = ev.groupBy("user_id").agg(
+        t("view").alias("t_view"),
+        t("click").alias("t_click"),
+        t("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return firsts.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(viewed.cast("long")).alias("n_viewed"),
+        F.sum(clicked.cast("long")).alias("n_clicked_after_view"),
+        F.sum(purchased.cast("long")).alias("n_full_funnel"),
+    )
