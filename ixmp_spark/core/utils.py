@@ -78,6 +78,69 @@ def update_par(scen: Scenario, name: str, data: pd.DataFrame) -> None:
         scen.add_par(name, new_rows)
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def discard_on_error(ts):
+    """Reference util ``discard_on_error`` (util/__init__.py): run a block
+    against a checked-out TimeSeries; discard staged changes if it
+    raises."""
+    try:
+        yield ts
+    except Exception:
+        if getattr(ts, "_checked_out", False):
+            ts.discard_changes()
+        raise
+
+
+def maybe_check_out(ts, state: bool | None = None) -> bool:
+    """Check out unless already checked out; returns whether a checkout
+    happened (reference maybe_check_out)."""
+    if state or getattr(ts, "_checked_out", False):
+        return False
+    ts.check_out()
+    return True
+
+
+def maybe_commit(ts, condition: bool, message: str) -> bool:
+    """Commit iff ``condition`` (reference maybe_commit); returns whether
+    a commit happened."""
+    if not condition:
+        return False
+    ts.commit(message)
+    return True
+
+
+def isscalar(x) -> bool:
+    """Reference isscalar: True for non-string scalars."""
+    return not isinstance(x, (str, bytes)) and not hasattr(x, "__len__")
+
+
+def maybe_convert_scalar(obj) -> pd.DataFrame:
+    """Reference maybe_convert_scalar: a scalar {'value','unit'} dict →
+    1-row DataFrame; DataFrames pass through."""
+    if isinstance(obj, pd.DataFrame):
+        return obj
+    return pd.DataFrame([obj])
+
+
+def show_versions() -> str:
+    """Reference show_versions: engine + dependency version report."""
+    import pyarrow
+    import pyspark
+
+    import ixmp_spark
+
+    lines = [
+        f"ixmp_spark: {ixmp_spark.__version__}",
+        f"pyspark: {pyspark.__version__}",
+        f"pandas: {pd.__version__}",
+        f"pyarrow: {pyarrow.__version__}",
+    ]
+    return "\n".join(lines)
+
+
 def format_scenario_list(platform, match: str | None = None) -> pd.DataFrame:
     """A4/F10 (reference util/__init__.py:514–556): per (model, scenario)
     version stats, optionally regex-filtered on 'model/scenario'."""

@@ -482,3 +482,34 @@ def test_clone_across_platforms(mp, spark, tmp_path):
     assert cloned.timeseries()["value"].tolist() == [850.0, 900.0, 950.0]
     # source untouched
     assert len(mp.scenario_list(default=False)) == 1
+
+
+def test_small_utils(mp):
+    from ixmp_spark.core.utils import (
+        discard_on_error,
+        isscalar,
+        maybe_check_out,
+        maybe_commit,
+        maybe_convert_scalar,
+        show_versions,
+    )
+
+    scen = make_dantzig(mp)
+    with pytest.raises(RuntimeError, match="kaboom"):
+        with discard_on_error(scen):
+            scen.check_out()
+            scen.add_set("i", "mars")
+            raise RuntimeError("kaboom")
+    assert not scen._checked_out
+    assert sorted(scen.set("i")) == ["san-diego", "seattle"]
+
+    assert maybe_check_out(scen) is True
+    assert maybe_check_out(scen) is False  # already out
+    assert maybe_commit(scen, False, "no") is False
+    assert maybe_commit(scen, True, "yes") is True
+    assert not scen._checked_out
+
+    assert isscalar(3.5) and isscalar(7) and not isscalar("s") and not isscalar([1])
+    df = maybe_convert_scalar({"value": 90.0, "unit": "USD/km"})
+    assert df.loc[0, "value"] == 90.0
+    assert "pyspark" in show_versions()
