@@ -273,3 +273,36 @@ def test_stream_timeseries_ingest(spark, events_dir, tmp_path):
     assert got.count() == batch_keys
     commits = mp.wh.catalog()["runs"][str(ts.run_id)]["commit"]
     assert commits >= 2  # shell + ≥1 micro-batch (4 input files)
+
+
+def test_stream_out_of_warehouse(spark, tmp_path):
+    """readStream over a run's ts_data directory: the warehouse is a
+    streaming SOURCE too — downstream jobs can tail a run's appends."""
+    import pandas as pd
+
+    from ixmp_spark.core import Platform, TimeSeries
+    from ixmp_spark.sources.warehouse import SPARK_DDL
+
+    mp = Platform(spark, str(tmp_path / "wh_out"))
+    mp.add_unit("u")
+    mp.add_region("World", hierarchy="common")
+    ts = TimeSeries(mp, "m", "s", version="new")
+    src = spark.range(500).selectExpr(
+        "'World' region", "concat('v', id % 5) variable", "'u' unit",
+        "cast(2000 + id % 100 as int) year", "cast(id as double) value",
+    )
+    ts.add_timeseries_bulk(src)
+    ts.commit("bulk")
+    stream = (
+        spark.readStream.schema(SPARK_DDL["ts_data"])
+        .parquet(mp.wh.table_path(ts.run_id, "ts_data"))
+    )
+    agg = stream.groupBy("variable").count()
+    got = run_available_now(agg, "t_out", mode="complete").toPandas()
+    batch = (
+        ts.timeseries_spark().groupBy("variable").count().toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        got.sort_values("variable", ignore_index=True),
+        batch.sort_values("variable", ignore_index=True),
+    )
