@@ -98,3 +98,27 @@ def text_stats(df: DataFrame, text_col: str) -> DataFrame:
         .withColumn("mean_word_len", F.round(mean_word_len(text_col), 4))
         .withColumn("quality", quality_score(text_col))
     )
+
+
+#: PII/noise patterns for redaction (RE2-compatible — portable across
+#: Spark and the DuckDB oracle)
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_URL_RE = r"https?://[^\s]+"
+_NUM_RE = r"\b[0-9]{7,}\b"
+
+
+def redact_pii(col) -> Column:
+    """Redact emails, URLs and long digit runs with typed placeholders —
+    the standard pre-training scrub, as chained JVM-side regexp_replace."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.regexp_replace(c, _EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, _URL_RE, "<URL>")
+    return F.regexp_replace(out, _NUM_RE, "<NUM>")
+
+
+def dedup_segments(col, sep: str = ". ") -> Column:
+    """Intra-document segment dedup (C4-style line/paragraph cleaning):
+    split on the separator, drop exact repeats keeping first occurrence,
+    rejoin. array_distinct preserves first-occurrence order."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_join(F.array_distinct(F.split(c, F.lit(sep), -1)), sep)

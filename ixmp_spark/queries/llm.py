@@ -334,3 +334,59 @@ def t3_bpe_tokens(spark, sf_dir):
         word_token_count("text").alias("n_chunks"),
         token_count("text").alias("n_ws_tokens"),
     )
+
+
+@query(
+    "t4_redact_pii",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               'https?://[^\s]+', '<URL>', 'g'),
+             '\b[0-9]{7,}\b', '<NUM>', 'g') AS clean_text,
+           length(text) AS n_before
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def t4_redact_pii(spark, sf_dir):
+    """PII/noise redaction (emails, URLs, long digit runs → typed
+    placeholders) — chained regexp_replace, whole-stage codegen; patterns
+    are RE2-compatible so the oracle is exact."""
+    from ixmp_spark.operators.text import redact_pii
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.where(F.col("doc_id") < 200).select(
+        "doc_id",
+        redact_pii("text").alias("clean_text"),
+        F.length("text").alias("n_before"),
+    )
+
+
+@query(
+    "t5_segment_dedup",
+    oracle="""
+    SELECT doc_id,
+           array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')
+             AS dedup_sorted,
+           len(string_split(text, ' '))
+             - len(list_distinct(string_split(text, ' '))) AS n_removed
+    FROM documents WHERE doc_id < 200
+    """,
+)
+def t5_segment_dedup(spark, sf_dir):
+    """Intra-document segment dedup (C4-style cleaning): split → drop
+    exact repeats → rejoin. The operator (operators/text.dedup_segments)
+    preserves first-occurrence order; this declared check canonicalizes
+    to sorted form because DuckDB's list_distinct reorders — the
+    order-preserving behavior itself is pinned in unit tests."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ", -1)
+    return docs.where(F.col("doc_id") < 200).select(
+        "doc_id",
+        F.array_join(F.array_sort(F.array_distinct(toks)), " ").alias(
+            "dedup_sorted"
+        ),
+        (F.size(toks) - F.size(F.array_distinct(toks))).alias("n_removed"),
+    )

@@ -242,3 +242,20 @@ def test_add_par_bulk_distributed_path(spark, tmp_path):
     p = scen.par("p")
     assert len(p) == 100
     assert (p.set_index("k").loc[[str(i) for i in range(10)], "value"] == 999).all()
+
+
+def test_dedup_segments_order_preserving(spark):
+    """dedup_segments keeps FIRST occurrences in original order (the
+    cross-engine query t5 canonicalizes; this pins the real behavior)."""
+    from ixmp_spark.operators.text import dedup_segments, redact_pii
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("b a b c a",)], "text string")
+    got = df.select(dedup_segments("text", sep=" ").alias("t")).collect()[0]["t"]
+    assert got == "b a c"
+    red = spark.createDataFrame(
+        [("mail me at jo@example.com or https://x.org/page id 123456789",)],
+        "text string",
+    )
+    out = red.select(redact_pii("text").alias("t")).collect()[0]["t"]
+    assert out == "mail me at <EMAIL> or <URL> id <NUM>"
