@@ -66,6 +66,54 @@ class FunctionModel(Model):
 
 
 @register_model
+class ExchangeModel(Model):
+    """External-process solver over the portable exchange format (X4 —
+    the reference's GAMSModel shape with the OS-process boundary intact,
+    GDX swapped for the parquet bundle of sources/model_exchange):
+
+        write_model_input → subprocess [command in_dir out_dir] →
+        read_solution (one commit)
+
+    Options: ``command`` (list[str]), ``workdir``, ``check_solution``,
+    ``var_list``/``equ_list`` — mirroring reference gams.py:366–481.
+    """
+
+    name = "exchange"
+
+    def run(self, scenario: Scenario) -> None:
+        import subprocess
+        import tempfile
+
+        from ixmp_spark.sources.model_exchange import (
+            read_solution,
+            write_model_input,
+        )
+
+        command = self.options["command"]
+        workdir = self.options.get("workdir") or tempfile.mkdtemp(
+            prefix="ixmp_spark_solve_"
+        )
+        in_dir = f"{workdir}/in"
+        out_dir = f"{workdir}/out"
+        write_model_input(scenario, in_dir)
+        proc = subprocess.run(
+            [*command, in_dir, out_dir], capture_output=True, text=True
+        )
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"solver failed (rc={proc.returncode}):\n{proc.stderr[-2000:]}"
+            )
+        read_solution(
+            scenario,
+            out_dir,
+            check_solution=self.options.get("check_solution", True),
+            var_list=self.options.get("var_list"),
+            equ_list=self.options.get("equ_list"),
+            comment=f"solution via {command[0]}",
+        )
+
+
+@register_model
 class GAMSModel(Model):
     """S7/S8 bridge: scenario sets+pars → GDX → ``gams`` subprocess →
     solution GDX → sol_data commit. Requires the public GAMS Transfer

@@ -306,3 +306,126 @@ def test_stream_out_of_warehouse(spark, tmp_path):
         got.sort_values("variable", ignore_index=True),
         batch.sort_values("variable", ignore_index=True),
     )
+
+
+def test_model_exchange_roundtrip(mp, tmp_path):
+    """Full §3.3 solver loop over the portable exchange format: write
+    model input (sets+pars only) → an 'external solver' reads it, computes
+    the Dantzig optimum, writes a solution dir → read_solution commits
+    lvl/mrg — golden values land on the scenario."""
+    from ixmp_spark.sources.model_exchange import (
+        read_model_input,
+        read_solution,
+        write_model_input,
+        write_solution,
+    )
+
+    scen = make_dantzig(mp)
+    in_dir = str(tmp_path / "model_in")
+    write_model_input(scen, in_dir)
+
+    # ---- external solver side (no engine objects) ----
+    data = read_model_input(in_dir)
+    assert sorted(data["i"]) == ["san-diego", "seattle"]
+    assert len(data["d"]) == 6
+    assert data["f"] == {"value": 90.0, "unit": "USD/km"}
+    assert "x" not in data  # var/equ never exported (toGDX contract)
+    out_dir = str(tmp_path / "model_out")
+    write_solution(
+        out_dir,
+        {
+            "x": DANTZIG_SOLUTION["x"],
+            "z": DANTZIG_SOLUTION["z"],
+            "cost": {"lvl": 0.0, "mrg": 1.0},
+            "supply": pd.DataFrame(
+                [("seattle", 350.0, 0.0), ("san-diego", 550.0, 0.0)],
+                columns=["i", "lvl", "mrg"],
+            ),
+            "demand": pd.DataFrame(
+                [("new-york", 325.0, 0.225), ("chicago", 300.0, 0.153),
+                 ("topeka", 275.0, 0.126)],
+                columns=["j", "lvl", "mrg"],
+            ),
+        },
+    )
+    # ---- back on the engine side ----
+    read_solution(scen, out_dir)
+    assert scen.has_solution()
+    x = scen.var("x", filters={"i": ["seattle"]}).set_index("j")
+    assert x.loc["topeka", "mrg"] == 0.036
+    assert scen.var("z") == {"lvl": 153.675, "mrg": 0.0}
+
+    # check_solution gate: missing declared var -> refused, nothing staged
+    scen2 = make_dantzig(mp).clone(keep_solution=False)
+    import shutil
+
+    partial = str(tmp_path / "partial_out")
+    shutil.copytree(out_dir, partial)
+    import os, json
+
+    meta = json.load(open(os.path.join(partial, "solution.json")))
+    del meta["z"]
+    json.dump(meta, open(os.path.join(partial, "solution.json"), "w"))
+    with pytest.raises(ValueError, match="lacks"):
+        read_solution(scen2, partial)
+    assert not scen2.has_solution()
+    # var_list selection imports only what is asked
+    read_solution(scen2, partial, var_list=["x"], equ_list=[])
+    assert len(scen2.var("x")) == 6
+
+
+def test_exchange_model_subprocess(mp, tmp_path):
+    """X4 end-to-end with a REAL external process: a standalone python
+    'solver' reads the exchange bundle, computes the transport optimum
+    (greedy on the known structure), writes the solution; solve()
+    orchestrates and the golden objective lands."""
+    import sys
+    import textwrap
+
+    solver = tmp_path / "toy_solver.py"
+    solver.write_text(textwrap.dedent("""
+        import sys, pandas as pd
+        sys.path.insert(0, '/root/repo')
+        from ixmp_spark.sources.model_exchange import read_model_input, write_solution
+        in_dir, out_dir = sys.argv[1], sys.argv[2]
+        data = read_model_input(in_dir)
+        # known optimum of the Dantzig instance (a real LP solver would
+        # compute from data['a'], data['b'], data['d'], data['f'])
+        x = pd.DataFrame(
+            [("seattle", "new-york", 50.0, 0.0),
+             ("seattle", "chicago", 300.0, 0.0),
+             ("seattle", "topeka", 0.0, 0.036),
+             ("san-diego", "new-york", 275.0, 0.0),
+             ("san-diego", "chicago", 0.0, 0.009),
+             ("san-diego", "topeka", 275.0, 0.0)],
+            columns=["i", "j", "lvl", "mrg"])
+        d = data["d"].set_index(["i", "j"])["value"]
+        f = data["f"]["value"]
+        z = sum(r.lvl * d[(r.i, r.j)] for r in x.itertuples()) * f / 1000
+        write_solution(out_dir, {
+            "x": x, "z": {"lvl": round(z, 3), "mrg": 0.0},
+            "cost": {"lvl": 0.0, "mrg": 1.0},
+            "supply": pd.DataFrame([("seattle", 350.0, 0.0),
+                                    ("san-diego", 550.0, 0.0)],
+                                   columns=["i", "lvl", "mrg"]),
+            "demand": pd.DataFrame([("new-york", 325.0, 0.225),
+                                    ("chicago", 300.0, 0.153),
+                                    ("topeka", 275.0, 0.126)],
+                                   columns=["j", "lvl", "mrg"]),
+        })
+    """))
+    scen = make_dantzig(mp)
+    solve(
+        scen,
+        model="exchange",
+        command=[sys.executable, str(solver)],
+        workdir=str(tmp_path / "solve_run"),
+    )
+    assert scen.var("z") == {"lvl": 153.675, "mrg": 0.0}
+    # failing solver → clear error, no partial solution
+    scen2 = scen.clone(keep_solution=False)
+    bad = tmp_path / "bad_solver.py"
+    bad.write_text("import sys; sys.exit(3)")
+    with pytest.raises(RuntimeError, match="rc=3"):
+        solve(scen2, model="exchange", command=[sys.executable, str(bad)])
+    assert not scen2.has_solution()
