@@ -566,3 +566,35 @@ def b_q2_min_cost_supplier(spark, sf_dir):
         .where(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@query(
+    "j9_left_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           coalesce(t.n_orders, 0) AS n_orders,
+           coalesce(t.total, 0.0) AS total_spent
+    FROM customer c
+    LEFT JOIN (
+      SELECT o_custkey, count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS total
+      FROM orders GROUP BY o_custkey
+    ) t ON c.c_custkey = t.o_custkey
+    """,
+)
+def j9_left_outer(spark, sf_dir):
+    """Left outer join with null-coalesced aggregates: every customer
+    appears, order-less ones with zeros (the read-side counterpart of
+    J2's anti-join)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    t = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+    return c.join(t, c.c_custkey == t.o_custkey, "left").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("total", F.lit(0.0)).alias("total_spent"),
+    )
