@@ -598,3 +598,41 @@ def j9_left_outer(spark, sf_dir):
         F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
         F.coalesce("total", F.lit(0.0)).alias("total_spent"),
     )
+
+
+@query(
+    "j10_band_join",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('small', 0.0, 10.0), ('medium', 10.0, 30.0),
+             ('large', 30.0, 1e9)
+    )
+    SELECT b.band, count(*) AS n_rows,
+           round(sum(l.l_extendedprice), 2) AS total_price
+    FROM lineitem l
+    JOIN bands b ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+    GROUP BY b.band
+    """,
+)
+def j10_band_join(spark, sf_dir):
+    """Range (band) join: non-equi theta join of the fact against a tiny
+    banding dimension — broadcast nested-loop with a 3-row build side
+    (the only sound plan for pure inequality predicates; at scale the
+    alternative is precomputing the band as a CASE column, which Catalyst
+    can do here too but the operator form keeps bands data-driven)."""
+    li = load(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        [("small", 0.0, 10.0), ("medium", 10.0, 30.0), ("large", 30.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    return (
+        li.join(
+            F.broadcast(bands),
+            (li.l_quantity >= bands.lo) & (li.l_quantity < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )

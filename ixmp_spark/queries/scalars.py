@@ -163,3 +163,27 @@ def c12_array_funcs(spark, sf_dir):
         F.size(words).alias("n_words"),
         F.array_join(F.sort_array(words), "-").alias("joined"),
     )
+
+
+@query(
+    "c13_map_explode",
+    oracle="""
+    SELECT event_id, k AS prop_key,
+           CAST(json_extract(props, '$.' || k) AS INTEGER) AS prop_value
+    FROM (
+      SELECT event_id, props, unnest(json_keys(props)) AS k
+      FROM events WHERE event_id < 1000
+    )
+    """,
+)
+def c13_map_explode(spark, sf_dir):
+    """Map-typed columns (§2.8 map family): parse the JSON props into
+    map<string,int> and explode to (key, value) rows — from_json +
+    explode stay JVM-side."""
+    ev = load(spark, sf_dir, "events")
+    return ev.where(F.col("event_id") < 1000).select(
+        "event_id",
+        F.explode(F.from_json("props", "map<string,int>")).alias(
+            "prop_key", "prop_value"
+        ),
+    )

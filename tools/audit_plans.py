@@ -21,7 +21,7 @@ def formatted_plan(df) -> str:
 
 #: queries whose plan legitimately contains a BroadcastNestedLoopJoin —
 #: a broadcast 1-row probe crossJoin is the intended shape
-BNLJ_OK = {"e1_embed_topk", "e2_embed_ann", "e3_embed_ivf"}
+BNLJ_OK = {"e1_embed_topk", "e2_embed_ann", "e3_embed_ivf", "j10_band_join"}
 
 #: multi-stage pipelines where >6 shuffles are inherent (documented):
 #: d3 = repartition + banded self-join + 2 candidate joins + distinct
