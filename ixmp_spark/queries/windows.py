@@ -246,3 +246,33 @@ def w8_topk_per_group(spark, sf_dir):
         .where(F.col("rn") <= 3)
         .select("o_orderpriority", "o_orderkey", "o_totalprice")
     )
+
+
+@query(
+    "w9_moving_avg",
+    oracle="""
+    SELECT event_id, user_id,
+           round(avg(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg,
+           round(min(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_min
+    FROM events
+    """,
+)
+def w9_moving_avg(spark, sf_dir):
+    """Sliding-frame analytics (3-row trailing window per user): the
+    smoothing shape time-series consumers layer on ts_data."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 6).alias("moving_avg"),
+        F.round(F.min("value").over(w), 6).alias("moving_min"),
+    )
