@@ -45,6 +45,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     the same way)."""
     from pyspark.sql import functions as F
 
+    # UTC session semantics regardless of the caller's session config —
+    # the parquet timestamps are naive and the DuckDB oracle reads them
+    # naively, so any non-UTC session TZ would shift formatted outputs.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts is TIMESTAMP(NANOS): unreadable without this legacy
         # conf. Set it here (runtime-settable) so the catalog works under
