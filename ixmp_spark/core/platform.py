@@ -185,6 +185,25 @@ class Platform:
                     out[m["name"]] = m["value"]
         return out
 
+    def search_meta(
+        self, name_pattern: str | None = None, value_pattern: str | None = None
+    ) -> pd.DataFrame:
+        """Regexp search across all meta entries (F10-style match on the
+        key/value space — extension over the reference's exact-target
+        reads)."""
+        import re as _re
+
+        rows = []
+        for m in self.wh.catalog()["meta"]:
+            if name_pattern and not _re.search(name_pattern, m["name"]):
+                continue
+            if value_pattern and not _re.search(value_pattern, str(m["value"])):
+                continue
+            rows.append(m)
+        return pd.DataFrame(
+            rows, columns=["name", "value", "model", "scenario", "version"]
+        )
+
     def remove_meta(
         self,
         names: list[str],

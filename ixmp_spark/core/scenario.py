@@ -381,9 +381,28 @@ class Scenario(TimeSeries):
 
     def add_scalar(self, name: str, val: float, unit: str, comment=None) -> None:
         self.add_par(name, None, val, unit, comment)
+        self._note_scalar_change(name, val, unit, comment)
 
     def change_scalar(self, name: str, val: float, unit: str, comment=None) -> None:
+        """Reference scenario.py change_scalar: overwrite a 0-d parameter;
+        the change is recorded in a per-scenario audit trail (platform
+        meta) so provenance survives commits."""
         self.add_par(name, None, val, unit, comment)
+        self._note_scalar_change(name, val, unit, comment)
+
+    def _note_scalar_change(self, name, val, unit, comment) -> None:
+        # audit trail lives in the docs store (domain 'scalar_audit'),
+        # keyed by run identity — keeps the meta cascade clean
+        import json as _json
+
+        key = f"{self.model}/{self.scenario}/{self.version}/{name}"
+        raw = self.platform.get_doc("scalar_audit", key)
+        trail = _json.loads(raw) if raw else []
+        entry = {"value": float(val), "unit": str(unit)}
+        if comment:
+            entry["comment"] = str(comment)
+        trail.append(entry)
+        self.platform.set_doc("scalar_audit", key, _json.dumps(trail))
 
     def remove_set(self, name: str, key=None) -> None:
         """U2: drop the whole set, or listed elements."""

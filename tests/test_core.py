@@ -513,3 +513,23 @@ def test_small_utils(mp):
     df = maybe_convert_scalar({"value": 90.0, "unit": "USD/km"})
     assert df.loc[0, "value"] == 90.0
     assert "pyspark" in show_versions()
+
+
+def test_meta_search_and_scalar_audit(mp):
+    scen = make_dantzig(mp)  # init_scalar('f', 90, 'USD/km') leaves 1 entry
+    scen.check_out()
+    scen.change_scalar("f", 95.0, "USD/km", comment="fuel price bump")
+    scen.commit("scalar change")
+    assert scen.scalar("f")["value"] == 95.0
+    import json
+
+    key = f"{scen.model}/{scen.scenario}/{scen.version}/f"
+    trail = json.loads(mp.get_doc("scalar_audit", key))
+    assert [e["value"] for e in trail] == [90.0, 95.0]
+    assert trail[-1]["comment"] == "fuel price bump"
+    # regexp meta search
+    mp.set_meta("carbon_price_2030", 120, model=scen.model)
+    mp.set_meta("discount_rate", 0.05, model=scen.model)
+    assert mp.search_meta(name_pattern=r"^carbon_").iloc[0]["value"] == 120
+    assert mp.search_meta(value_pattern=r"^0\.05$").iloc[0]["name"] == "discount_rate"
+    assert len(mp.search_meta(name_pattern="nope")) == 0
