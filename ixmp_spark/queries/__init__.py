@@ -74,15 +74,22 @@ def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark_df.repartition(spark.sparkContext.defaultParallelism)
 
 
-# Import for side effects: each module registers its queries.
+# Import for side effects: each module registers its queries. ORDER IS
+# LOAD-BEARING: the driver's correctness gate checks the FIRST 50 catalog
+# entries in registration order, so every SURVEY §2 core family plus the
+# oracle-paired LLM-pipeline queries must register first (they total
+# exactly 50); rows-only checks and extension/bench queries go last.
 from ixmp_spark.queries import (  # noqa: E402,F401
+    scans,
+    filters,
+    windows,
+    setops,
+    scalars,
+    joins,
     aggregates,
     events,
-    filters,
-    joins,
     llm,
-    scalars,
-    scans,
-    setops,
-    windows,
+    rowsonly,
+    tpch,
+    extensions,
 )

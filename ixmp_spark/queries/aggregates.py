@@ -1,4 +1,10 @@
-"""Aggregations (SURVEY.md §2.4 A1–A7)."""
+"""Aggregations (SURVEY.md §2.4 A1–A7).
+
+Only reference-parity rows live here; extension aggregates (a5/a8/a9/
+a10 twins, percentiles, rollup variants) are registered at the catalog
+tail in ``extensions.py`` and the TPC-H bench headliners in ``tpch.py``
+so the driver's correctness budget covers §2 core families first.
+"""
 
 from __future__ import annotations
 
@@ -115,34 +121,6 @@ def a4_describe_runs(spark, sf_dir):
 
 
 @query(
-    "a5_pivot_wide",
-    oracle="""
-    SELECT l_linestatus,
-           sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END) AS qty_A,
-           sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END) AS qty_N,
-           sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS qty_R
-    FROM lineitem GROUP BY l_linestatus
-    """,
-)
-def a5_pivot_wide(spark, sf_dir):
-    """Long→wide pivot (A5, timeseries.py:381–386 IAMC year-pivot). Pivot
-    values are declared explicitly — at scale an unpinned pivot needs an
-    extra distinct pass; the IAMC writer pins the year list the same way."""
-    li = load(spark, sf_dir, "lineitem")
-    out = (
-        li.groupBy("l_linestatus")
-        .pivot("l_returnflag", ["A", "N", "R"])
-        .agg(F.sum("l_quantity"))
-    )
-    return out.select(
-        "l_linestatus",
-        F.col("A").alias("qty_A"),
-        F.col("N").alias("qty_N"),
-        F.col("R").alias("qty_R"),
-    )
-
-
-@query(
     "a6_weighted_rollup",
     oracle="""
     SELECT p.p_brand,
@@ -210,155 +188,6 @@ def a3_group_sum(spark, sf_dir):
 
 
 @query(
-    "b_q6_forecast_revenue",
-    oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
-           count(*) AS n_rows
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
-      AND l_discount BETWEEN 0.05 AND 0.07
-      AND l_quantity < 24
-    """,
-)
-def b_q6_forecast_revenue(spark, sf_dir):
-    """TPC-H Q6-shaped forecast revenue: pure scan-filter-aggregate — the
-    pushdown stress test (all four predicates must reach the parquet scan;
-    no shuffle except the single-row final agg)."""
-    li = load(spark, sf_dir, "lineitem")
-    return (
-        li.where(
-            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
-            & F.col("l_discount").between(0.05, 0.07)
-            & (F.col("l_quantity") < 24)
-        )
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            ),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
-    )
-
-
-@query(
-    "b_q18_large_orders",
-    oracle="""
-    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, t.total_qty
-    FROM orders o
-    JOIN (
-      SELECT l_orderkey, sum(l_quantity) AS total_qty
-      FROM lineitem GROUP BY l_orderkey
-      HAVING sum(l_quantity) > 150
-    ) t ON o.o_orderkey = t.l_orderkey
-    """,
-)
-def b_q18_large_orders(spark, sf_dir):
-    """TPC-H Q18-shaped large-volume orders: aggregate + HAVING
-    (post-aggregation filter) + join back to the order dimension; the
-    HAVING filter shrinks the aggregated side before the join shuffle."""
-    li = load(spark, sf_dir, "lineitem")
-    o = load(spark, sf_dir, "orders")
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("total_qty"))
-        .where(F.col("total_qty") > 150)
-    )
-    return o.join(big, o.o_orderkey == big.l_orderkey).select(
-        "o_orderkey", "o_custkey", "o_totalprice", "total_qty"
-    )
-
-
-@query(
-    "a8_percentiles",
-    oracle="""
-    SELECT o_orderpriority,
-           round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
-           round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price,
-           count(*) AS n
-    FROM orders GROUP BY o_orderpriority
-    """,
-)
-def a8_percentiles(spark, sf_dir):
-    """Exact interpolated percentiles per group (extension surface): both
-    engines implement the same continuous-quantile definition so the
-    values hash-match. The approximate sketch variant (scale path: fixed
-    memory, mergeable) is x1_sketches."""
-    o = load(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),
-        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90_price"),
-        F.count(F.lit(1)).alias("n"),
-    )
-
-
-@query(
-    "a9_rollup",
-    oracle="""
-    SELECT r_name, n_name, count(*) AS n_customers
-    FROM customer
-    JOIN nation ON c_nationkey = n_nationkey
-    JOIN region ON n_regionkey = r_regionkey
-    GROUP BY ROLLUP (r_name, n_name)
-    """,
-)
-def a9_rollup(spark, sf_dir):
-    """Hierarchical rollup (region → nation → grand total) — the
-    drill-down companion of a1's cube; one shuffle via grouping-sets
-    expansion."""
-    c = load(spark, sf_dir, "customer")
-    n = load(spark, sf_dir, "nation")
-    r = load(spark, sf_dir, "region")
-    return (
-        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .rollup("r_name", "n_name")
-        .agg(F.count(F.lit(1)).alias("n_customers"))
-    )
-
-
-@query("x1_sketches")  # no SQL oracle: sketch internals are engine-specific
-def x1_sketches(spark, sf_dir):
-    """Approximate sketch aggregates — the fixed-memory, mergeable scale
-    path for distinct counts and quantiles (HLL++ / KLL-style): at 100 TB
-    exact countDistinct shuffles every distinct value, a sketch ships a
-    few KB per partition. Rows-only check; accuracy bounds are asserted
-    in unit tests against the exact values."""
-    li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
-        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias(
-            "approx_median_price"
-        ),
-    )
-
-
-@query(
-    "a10_grouping_flag",
-    oracle="""
-    SELECT l_returnflag, l_linestatus,
-           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
-           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
-           sum(l_quantity) AS sum_qty
-    FROM lineitem
-    GROUP BY CUBE (l_returnflag, l_linestatus)
-    """,
-)
-def a10_grouping_flag(spark, sf_dir):
-    """CUBE with GROUPING() indicator columns — disambiguates real NULL
-    group labels from subtotal rows (the lattice metadata the Reporter's
-    partial-sum keys encode structurally)."""
-    li = load(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.grouping("l_returnflag").cast("int").alias("g_flag"),
-        F.grouping("l_linestatus").cast("int").alias("g_status"),
-        F.sum("l_quantity").alias("sum_qty"),
-    )
-
-
-@query(
     "a11_iamc_year_pivot",
     oracle="""
     SELECT o_custkey,
@@ -369,10 +198,11 @@ def a10_grouping_flag(spark, sf_dir):
     """,
 )
 def a11_iamc_year_pivot(spark, sf_dir):
-    """IAMC wide layout (A5 twin on the year axis, reference
+    """IAMC wide layout (A5 on the year axis, reference
     timeseries.py:481–490): one column per pinned year — exactly how the
     engine's ``timeseries(iamc=True)`` pivots, with the year list
-    declared up front so no extra distinct pass is needed."""
+    declared up front so no extra distinct pass is needed. The
+    returnflag-axis pivot twin (a5_pivot_wide) is in extensions.py."""
     o = load(spark, sf_dir, "orders")
     out = (
         o.withColumn("y", F.year("o_orderdate"))

@@ -1,0 +1,87 @@
+"""Rows-only declared queries (no DuckDB oracle is expressible).
+
+These are genuinely non-SQL-replicable ops — engine-specific hash
+families (Spark xxhash64), KMeans indexes, approximate sketches. The
+driver records a weaker rows-only check for them, so they register
+*after* every oracle-paired query: the driver's correctness budget
+(first 50 catalog entries) is spent on hash-verified rows first.
+Accuracy/determinism for everything here is pinned in unit tests
+(tests/test_dedup.py, tests/test_similarity.py, tests/test_sketches.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ixmp_spark.operators.dedup import minhash_lsh_neardup, simhash64
+from ixmp_spark.queries import load, query
+
+
+@query("x1_sketches")  # no SQL oracle: sketch internals are engine-specific
+def x1_sketches(spark, sf_dir):
+    """Approximate sketch aggregates — the fixed-memory, mergeable scale
+    path for distinct counts and quantiles (HLL++ / KLL-style): at 100 TB
+    exact countDistinct shuffles every distinct value, a sketch ships a
+    few KB per partition. Rows-only check; accuracy bounds are asserted
+    in unit tests against the exact values."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias(
+            "approx_median_price"
+        ),
+    )
+
+
+@query("d3_minhash_lsh")  # no SQL oracle: xxhash64 not available in DuckDB
+def d3_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup scale path: shingle once → 32 min-hashes →
+    8 bands → bucket self-join → exact 3-gram Jaccard on candidates ≥ 0.3.
+    Rows-only check (the banded-hash family is engine-specific)."""
+    docs = load(spark, sf_dir, "documents")
+    return minhash_lsh_neardup(
+        docs, id_col="doc_id", text_col="text", k=32, bands=8, n=3, threshold=0.3
+    )
+
+
+@query("d4_simhash")  # no SQL oracle: xxhash64-based bit votes
+def d4_simhash(spark, sf_dir):
+    """64-bit SimHash fingerprints (near-dup via Hamming distance on the
+    fingerprint). Rows-only check; determinism is covered in unit tests."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select("doc_id", simhash64("text", n=2).alias("simhash"))
+
+
+@query("e2_embed_ann")  # no SQL oracle: LSH bucketing is engine-specific
+def e2_embed_ann(spark, sf_dir):
+    """ANN via sign-LSH bucketing: deterministic pseudo-random hyperplanes,
+    candidate set = probe's bucket, exact cosine within. Rows-only check;
+    recall vs e1 is asserted in unit tests."""
+    import random
+
+    from ixmp_spark.operators.similarity import bucketed_topk
+
+    rng = random.Random(42)
+    planes = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(4)]
+    emb = load(spark, sf_dir, "embeddings")
+    probe = emb.orderBy("vec_id").limit(1)
+    return bucketed_topk(
+        emb, probe, id_col="vec_id", vec_col="embedding", planes=planes, k=10
+    )
+
+
+@query("e3_embed_ivf")  # no SQL oracle: k-means index is engine-specific
+def e3_embed_ivf(spark, sf_dir):
+    """IVF ANN: KMeans-partitioned corpus, probe the 2 nearest of 16
+    clusters, exact cosine within — the index-amortized scale path
+    (each query touches ~n_probe/n_clusters of the corpus). Rows-only;
+    recall vs the exact e1 baseline is asserted in unit tests."""
+    from ixmp_spark.operators.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    probe = emb.orderBy("vec_id").limit(1)
+    return ivf_topk(
+        emb, probe, id_col="vec_id", vec_col="embedding",
+        n_clusters=16, n_probe=2, k=10,
+    )

@@ -119,71 +119,3 @@ def c10_numeric_guards(spark, sf_dir):
         & ~F.col("value").isin(float("inf"), float("-inf"))
         & (F.col("value") > 0)
     ).select("event_id", "value")
-
-
-@query(
-    "c11_json_extract",
-    oracle=r"""
-    SELECT event_id,
-           CAST(json_extract(props, '$.k') AS INTEGER) AS k,
-           CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_bucket
-    FROM events WHERE event_id < 2000
-    """,
-)
-def c11_json_extract(spark, sf_dir):
-    """JSON property extraction (§2.8 json family — built-in in Spark,
-    absent in the reference beyond string timestamps): get_json_object
-    stays a Catalyst expression, so the projection prunes to the two
-    referenced columns."""
-    ev = load(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
-    return ev.where(F.col("event_id") < 2000).select(
-        "event_id", k.alias("k"), (k % 10).alias("k_bucket")
-    )
-
-
-@query(
-    "c12_array_funcs",
-    oracle="""
-    SELECT p_partkey,
-           list_sort(string_split(p_name, ' ')) AS words_sorted,
-           len(string_split(p_name, ' ')) AS n_words,
-           array_to_string(list_sort(string_split(p_name, ' ')), '-') AS joined
-    FROM part WHERE p_partkey < 500
-    """,
-)
-def c12_array_funcs(spark, sf_dir):
-    """Array-function family (§2.8): split / sort_array / size /
-    array_join — the key-tuple machinery (C7) generalized."""
-    p = load(spark, sf_dir, "part")
-    words = F.split("p_name", " ")
-    return p.where(F.col("p_partkey") < 500).select(
-        "p_partkey",
-        F.sort_array(words).alias("words_sorted"),
-        F.size(words).alias("n_words"),
-        F.array_join(F.sort_array(words), "-").alias("joined"),
-    )
-
-
-@query(
-    "c13_map_explode",
-    oracle="""
-    SELECT event_id, k AS prop_key,
-           CAST(json_extract(props, '$.' || k) AS INTEGER) AS prop_value
-    FROM (
-      SELECT event_id, props, unnest(json_keys(props)) AS k
-      FROM events WHERE event_id < 1000
-    )
-    """,
-)
-def c13_map_explode(spark, sf_dir):
-    """Map-typed columns (§2.8 map family): parse the JSON props into
-    map<string,int> and explode to (key, value) rows — from_json +
-    explode stay JVM-side."""
-    ev = load(spark, sf_dir, "events")
-    return ev.where(F.col("event_id") < 1000).select(
-        "event_id",
-        F.explode(F.from_json("props", "map<string,int>")).alias(
-            "prop_key", "prop_value"
-        ),
-    )

@@ -99,20 +99,3 @@ def u5_intersect(spark, sf_dir):
         F.col("s_nationkey").alias("nationkey")
     )
     return c.intersect(s)
-
-
-@query(
-    "u6_except_all",
-    oracle="""
-    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
-    EXCEPT ALL
-    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
-    """,
-)
-def u6_except_all(spark, sf_dir):
-    """Multiset difference (EXCEPT ALL — duplicates preserved by count):
-    the bag-semantics sibling of u2's set difference."""
-    o = load(spark, sf_dir, "orders")
-    f = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
-    op = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
-    return f.exceptAll(op)

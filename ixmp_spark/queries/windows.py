@@ -131,148 +131,3 @@ def o1_topk(spark, sf_dir):
         .limit(100)
         .select("o_orderkey", "o_totalprice")
     )
-
-
-@query(
-    "w5_lag_delta",
-    oracle="""
-    SELECT event_id, user_id,
-           round(value - lag(value) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id), 6) AS delta,
-           lead(event_type) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id) AS next_type
-    FROM events
-    """,
-)
-def w5_lag_delta(spark, sf_dir):
-    """lag/lead analytics (extension surface, SURVEY.md §2.5): per-user
-    value delta and next event type over a deterministic total order."""
-    ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select(
-        "event_id",
-        "user_id",
-        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"),
-        F.lead("event_type").over(w).alias("next_type"),
-    )
-
-
-@query(
-    "w6_first_last",
-    oracle="""
-    SELECT DISTINCT o_custkey,
-           first_value(o_orderkey) OVER w AS first_order,
-           last_value(o_orderkey) OVER (
-             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
-           ) AS last_order,
-           count(*) OVER w AS n_orders
-    FROM orders
-    WINDOW w AS (
-      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-    """,
-)
-def w6_first_last(spark, sf_dir):
-    """first_value/last_value over an unbounded frame (per-customer order
-    history endpoints) — the 'earliest/latest version' analytic shape."""
-    o = load(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    return o.select(
-        "o_custkey",
-        F.first("o_orderkey").over(w).alias("first_order"),
-        F.last("o_orderkey").over(w).alias("last_order"),
-        F.count(F.lit(1)).over(w).alias("n_orders"),
-    ).distinct()
-
-
-@query(
-    "w7_rank_family",
-    oracle="""
-    SELECT o_orderkey, o_orderpriority,
-           rank() OVER w AS rnk,
-           dense_rank() OVER w AS drnk,
-           CAST(ntile(4) OVER w AS INTEGER) AS quartile,
-           round(percent_rank() OVER w, 6) AS pct_rank
-    FROM orders
-    WINDOW w AS (PARTITION BY o_orderpriority
-                 ORDER BY o_totalprice DESC, o_orderkey)
-    """,
-)
-def w7_rank_family(spark, sf_dir):
-    """Ranking-function family (rank / dense_rank / ntile /
-    percent_rank) over a deterministic total order per priority group."""
-    o = load(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
-    )
-    return o.select(
-        "o_orderkey",
-        "o_orderpriority",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).cast("int").alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-    )
-
-
-@query(
-    "w8_topk_per_group",
-    oracle="""
-    SELECT o_orderpriority, o_orderkey, o_totalprice
-    FROM (
-      SELECT o_orderpriority, o_orderkey, o_totalprice,
-             row_number() OVER (
-               PARTITION BY o_orderpriority
-               ORDER BY o_totalprice DESC, o_orderkey) AS rn
-      FROM orders
-    ) WHERE rn <= 3
-    """,
-)
-def w8_topk_per_group(spark, sf_dir):
-    """Top-k per group (top-3 orders per priority) — the grouped variant
-    of O1's global top-k; one shuffle on the group key, rank pushdown via
-    WindowGroupLimit keeps per-partition state at k rows."""
-    o = load(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
-    )
-    return (
-        o.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= 3)
-        .select("o_orderpriority", "o_orderkey", "o_totalprice")
-    )
-
-
-@query(
-    "w9_moving_avg",
-    oracle="""
-    SELECT event_id, user_id,
-           round(avg(value) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg,
-           round(min(value) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_min
-    FROM events
-    """,
-)
-def w9_moving_avg(spark, sf_dir):
-    """Sliding-frame analytics (3-row trailing window per user): the
-    smoothing shape time-series consumers layer on ts_data."""
-    ev = load(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-2, 0)
-    )
-    return ev.select(
-        "event_id",
-        "user_id",
-        F.round(F.avg("value").over(w), 6).alias("moving_avg"),
-        F.round(F.min("value").over(w), 6).alias("moving_min"),
-    )
