@@ -114,9 +114,15 @@ class Platform:
         )
 
     def runs_df(self) -> DataFrame:
-        """The runs dimension table as a Spark DataFrame (broadcast-sized)."""
-        pdf = self.scenario_list(default=False)
-        return self.spark.createDataFrame(pdf)
+        """The runs dimension table as a Spark parquet scan (W5 fix:
+        run metadata is a real table, not a driver JSON loop — filters on
+        model/scenario/is_default push down to the scan)."""
+        return self.spark.read.parquet(self.wh.runs_path)
+
+    def meta_df(self) -> DataFrame:
+        """Meta entries as a Spark parquet scan (values JSON-encoded in
+        ``value_json``; use get_meta for typed driver-side access)."""
+        return self.spark.read.parquet(self.wh.meta_path)
 
     # -- meta: 4 target levels + non-strict cascade (base.py:1116–1220) ---
     def set_meta(
@@ -190,19 +196,33 @@ class Platform:
     ) -> pd.DataFrame:
         """Regexp search across all meta entries (F10-style match on the
         key/value space — extension over the reference's exact-target
-        reads)."""
-        import re as _re
+        reads). Runs as a Spark scan over the meta parquet mirror with
+        JVM-side ``rlike`` — at scale the regexps evaluate in the scan,
+        nothing driver-side but the (matched) result."""
+        import json as _json
 
-        rows = []
-        for m in self.wh.catalog()["meta"]:
-            if name_pattern and not _re.search(name_pattern, m["name"]):
-                continue
-            if value_pattern and not _re.search(value_pattern, str(m["value"])):
-                continue
-            rows.append(m)
-        return pd.DataFrame(
-            rows, columns=["name", "value", "model", "scenario", "version"]
-        )
+        from pyspark.sql import functions as F
+
+        sdf = self.meta_df()
+        if name_pattern:
+            sdf = sdf.where(F.col("name").rlike(name_pattern))
+        if value_pattern:
+            # match against the unquoted value rendering (str(value)),
+            # same contract as the driver-side loop this replaces
+            rendered = F.when(
+                F.col("value_json").startswith('"'),
+                F.regexp_replace(
+                    F.regexp_extract("value_json", r'^"(.*)"$', 1), r'\\"', '"'
+                ),
+            ).otherwise(F.col("value_json"))
+            sdf = sdf.where(rendered.rlike(value_pattern))
+        pdf = sdf.toPandas()
+        pdf["value"] = pdf["value_json"].map(_json.loads)
+        out = pdf[["name", "value", "model", "scenario", "version"]].copy()
+        # null targets render as None (driver contract), not NaN
+        for c in ("model", "scenario", "version"):
+            out[c] = out[c].astype(object).where(out[c].notna(), None)
+        return out
 
     def remove_meta(
         self,

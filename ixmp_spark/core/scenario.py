@@ -391,22 +391,106 @@ class Scenario(TimeSeries):
         self._note_scalar_change(name, val, unit, comment)
 
     def _note_scalar_change(self, name, val, unit, comment) -> None:
-        # audit trail lives in the docs store (domain 'scalar_audit'),
-        # keyed by run identity — keeps the meta cascade clean
-        import json as _json
-
-        key = f"{self.model}/{self.scenario}/{self.version}/{name}"
-        raw = self.platform.get_doc("scalar_audit", key)
-        trail = _json.loads(raw) if raw else []
+        # Audit trail lives in the docs store (domain 'scalar_audit'),
+        # keyed by run identity. Entries STAGE with the checkout and
+        # flush only in _post_commit, so provenance records exactly the
+        # committed state (a rolled-back transaction leaves no trace).
         entry = {"value": float(val), "unit": str(unit)}
         if comment:
             entry["comment"] = str(comment)
-        trail.append(entry)
-        self.platform.set_doc("scalar_audit", key, _json.dumps(trail))
+        if not hasattr(self, "_staged_scalar_audit"):
+            self._staged_scalar_audit = []
+        self._staged_scalar_audit.append((name, entry))
+
+    def _post_commit(self) -> None:
+        import json as _json
+
+        for name, entry in getattr(self, "_staged_scalar_audit", []):
+            key = f"{self.model}/{self.scenario}/{self.version}/{name}"
+            raw = self.platform.get_doc("scalar_audit", key)
+            trail = _json.loads(raw) if raw else []
+            trail.append(entry)
+            self.platform.set_doc("scalar_audit", key, _json.dumps(trail))
+        self._staged_scalar_audit = []
+
+    def _discard_staged_extras(self) -> None:
+        self._staged_scalar_audit = []
+
+    # -- category mapping sets (U5; reference base.py:1232–1288, ---------
+    #    jdbc.py:1425–1439; exposed on Scenario as in message_ix)
+    def add_cat(self, name: str, cat: str, keys, is_unique: bool = False) -> None:
+        """``cat_set_elements``: map elements of simple set `name` into
+        category `cat`. Keys must be members of `name`; with
+        ``is_unique=True`` exactly one key is allowed and any existing
+        members of `cat` are replaced (the reference's singleton contract,
+        e.g. the ``firstmodelyear`` category)."""
+        self._require_item(name, "set")
+        key_list = _as_str_list(keys)
+        if is_unique and len(key_list) != 1:
+            raise ValueError(
+                f"is_unique=True requires exactly one key; got {key_list}"
+            )
+        members = self._set_members(name)
+        bad = sorted(set(key_list) - members)
+        if bad:
+            raise ValueError(
+                f"invalid keys {bad} for category {cat!r}: not in set {name!r}"
+            )
+        cur = self._table("cat_data")
+        if is_unique:
+            cur = cur[
+                ~(
+                    (cur["run_id"] == self.run_id)
+                    & (cur["name"] == name)
+                    & (cur["cat"] == cat)
+                )
+            ]
+        new = pd.DataFrame(
+            {"run_id": self.run_id, "name": name, "cat": cat, "key": key_list}
+        )
+        merged = pd.concat([cur, new], ignore_index=True).drop_duplicates(
+            subset=["run_id", "name", "cat", "key"]
+        )
+        self._set_table("cat_data", merged)
+
+    def cat(self, name: str, cat: str) -> list[str]:
+        """``cat_get_elements``: members of category `cat` in mapping
+        `name` (insertion order, as the reference returns them)."""
+        self._require_item(name, "set")
+        t = self._table("cat_data")
+        rows = t[
+            (t["run_id"] == self.run_id) & (t["name"] == name) & (t["cat"] == cat)
+        ]
+        return rows["key"].tolist()
+
+    def cat_list(self, name: str) -> list[str]:
+        """``cat_list``: all categories defined over set `name`."""
+        self._require_item(name, "set")
+        t = self._table("cat_data")
+        rows = t[(t["run_id"] == self.run_id) & (t["name"] == name)]
+        return sorted(rows["cat"].unique().tolist())
+
+    def cat_spark(self, name: str) -> DataFrame:
+        """The category mapping as a Spark frame (cat, key) — the
+        broadcast side of J5-style (dis)aggregation joins."""
+        self._require_item(name, "set")
+        return (
+            self._spark_table("cat_data")
+            .where((F.col("run_id") == self.run_id) & (F.col("name") == name))
+            .select("cat", "key")
+        )
 
     def remove_set(self, name: str, key=None) -> None:
-        """U2: drop the whole set, or listed elements."""
+        """U2: drop the whole set, or listed elements. Whole-set removal
+        also drops any category mappings defined over it."""
+        whole = key is None
         self._remove_elements("set_data", "set", name, key)
+        if whole:
+            c = self._table("cat_data")
+            self._set_table(
+                "cat_data",
+                c[~((c["run_id"] == self.run_id) & (c["name"] == name))],
+            )
 
     def remove_par(self, name: str, key=None) -> None:
         self._remove_elements("par_data", "par", name, key)

@@ -89,23 +89,43 @@ class TimeSeries:
         )
         self._checked_out = False
         self._staged = None
+        self._post_commit()
 
     def discard_changes(self) -> None:
         self._checked_out = False
         self._staged = None
+        self._discard_staged_extras()
+
+    def _post_commit(self) -> None:
+        """Hook: flush commit-coupled side state (subclass extension)."""
+
+    def _discard_staged_extras(self) -> None:
+        """Hook: drop commit-coupled side state on discard."""
 
     @contextmanager
-    def transact(self, message: str = ""):
-        """check_out → yield → commit; discard on error
-        (reference timeseries.py:241–288)."""
-        self.check_out()
+    def transact(
+        self,
+        message: str = "",
+        condition: bool = True,
+        discard_on_error: bool = False,
+    ):
+        """check_out → yield → commit (reference timeseries.py:242–296).
+
+        ``condition=False`` skips checkout/commit entirely (the caller
+        handles the lifecycle). On error the default leaves the object
+        checked out so the caller can inspect or repair staged state;
+        ``discard_on_error=True`` discards staged changes instead."""
+        if condition:
+            self.check_out()
         try:
             yield self
         except Exception:
-            self.discard_changes()
+            if condition and discard_on_error:
+                self.discard_changes()
             raise
         else:
-            self.commit(message)
+            if condition:
+                self.commit(message)
 
     def set_as_default(self) -> None:
         self.platform.wh.set_default(self.run_id)

@@ -33,7 +33,17 @@ def salted_join(
 
     Use when one key's row count exceeds a healthy partition; otherwise
     prefer a plain join + AQE (spark.sql.adaptive.skewJoin).
+
+    Only ``inner`` and ``left`` are supported: with right/full outer the
+    exploded right side would emit ``salt`` duplicate null-padded rows
+    per unmatched right row.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', not {how!r}: the "
+            "salt-exploded right side would duplicate unmatched rows "
+            f"{salt}x under right/full outer joins"
+        )
     lsalted = left.withColumn(
         "__salt", (F.rand(seed=42) * salt).cast("int")
     )

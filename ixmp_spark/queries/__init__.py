@@ -48,6 +48,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # UTC session semantics regardless of the caller's session config —
     # the parquet timestamps are naive and the DuckDB oracle reads them
     # naively, so any non-UTC session TZ would shift formatted outputs.
+    # DELIBERATELY not restored after building the frame: these confs
+    # must be in effect when the query EXECUTES (the driver collects the
+    # returned DataFrame later), not just while the plan is built — a
+    # build-scoped save/restore would silently re-break the semantics at
+    # collect time. Callers who need a different session TZ for their own
+    # queries should use a separate SparkSession (newSession()).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.ts is TIMESTAMP(NANOS): unreadable without this legacy

@@ -82,20 +82,43 @@ def u3_multisheet_concat(spark, sf_dir):
 
 
 @query(
-    "u5_intersect",
+    "u5_cat_mapping",
     oracle="""
-    SELECT DISTINCT c_nationkey AS nationkey FROM customer
-    INTERSECT
-    SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+    WITH catmap(cat, key) AS (
+      VALUES ('america', 'NATION_1'), ('america', 'NATION_4'),
+             ('europe', 'NATION_2'), ('europe', 'NATION_7'),
+             ('asia', 'NATION_11')
+    )
+    SELECT m.cat,
+           list_sort(list(n.n_name)) AS elements,
+           count(*) AS n_elements,
+           count(DISTINCT n.n_regionkey) AS n_regions
+    FROM catmap m JOIN nation n ON n.n_name = m.key
+    GROUP BY m.cat
     """,
 )
-def u5_intersect(spark, sf_dir):
-    """Set intersection (§2.7: only implicit in the reference as J4's
-    filter∩index-set; first-class here)."""
-    c = load(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nationkey")
+def u5_cat_mapping(spark, sf_dir):
+    """Category mapping set read (U5, reference base.py:1232–1288
+    cat_list/cat_get_elements): a (cat, key) mapping broadcast-joined to
+    the categorized set's members, grouped per category — exactly the
+    plan Scenario.cat_spark() feeds into J5-style aggregations. The
+    write-path API (add_cat incl. is_unique replace-singleton) is pinned
+    in tests/test_core.py."""
+    n = load(spark, sf_dir, "nation")
+    catmap = spark.createDataFrame(
+        [
+            ("america", "NATION_1"), ("america", "NATION_4"),
+            ("europe", "NATION_2"), ("europe", "NATION_7"),
+            ("asia", "NATION_11"),
+        ],
+        "cat string, key string",
     )
-    s = load(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey")
+    return (
+        n.join(F.broadcast(catmap), n.n_name == catmap.key)
+        .groupBy("cat")
+        .agg(
+            F.sort_array(F.collect_list("n_name")).alias("elements"),
+            F.count(F.lit(1)).alias("n_elements"),
+            F.countDistinct("n_regionkey").alias("n_regions"),
+        )
     )
-    return c.intersect(s)

@@ -9,10 +9,14 @@ Spark-readable parquet layout plus an atomic driver-side catalog:
         set_data.parquet  par_data.parquet  sol_data.parquet
         ts_data.parquet   geo_data.parquet
 
-Commit protocol (SURVEY.md §7 step 1 "hard part"): all of a commit's
-tables are written into ``.staging-<n>/`` and the directory is swapped in
-with atomic renames; the catalog's ``commit`` counter is flipped last, so
-readers either see the old snapshot or the new one, never a mix. On a
+Commit protocol (SURVEY.md §7 step 1 "hard part"): a commit's tables are
+written into a writer-unique ``.staging-<pid>-<n>/`` dir, then — under an
+exclusive per-run file lock (``.commit.lock``) — swapped in with atomic
+per-file renames and the catalog's ``commit`` counter flipped last.
+Concurrent committers on the same run serialize on the lock; a reader
+that loads multiple tables without the lock can still observe tables
+from two adjacent commits (single-file reads are always atomic) — whole-
+run snapshot isolation is what Delta's log supplies on a cluster. On a
 production cluster the same protocol is one Delta transaction per commit
 (each table write = one AddFile set, visibility = the Delta log); the
 catalog.json is this repo's stand-in for the metastore + Delta log.
@@ -27,10 +31,12 @@ ingest goes through the Spark writer (``append_ts_spark``).
 
 from __future__ import annotations
 
+import itertools
 import json
 import os
 import shutil
 import time
+from contextlib import contextmanager
 from typing import Any
 
 import pandas as pd
@@ -93,6 +99,16 @@ SCHEMAS: dict[str, pa.Schema] = {
             ("meta", pa.bool_()),
         ]
     ),
+    # category mapping sets (U5, reference base.py:1232–1288): categories
+    # over the elements of a simple set; one row per (set, cat, element)
+    "cat_data": pa.schema(
+        [
+            ("run_id", pa.int64()),
+            ("name", pa.string()),  # the categorized set's name
+            ("cat", pa.string()),
+            ("key", pa.string()),
+        ]
+    ),
 }
 
 FACT_TABLES = tuple(SCHEMAS)
@@ -117,7 +133,38 @@ SPARK_DDL: dict[str, str] = {
         "run_id long, region string, variable string, unit string, "
         "subannual string, year int, value string, meta boolean"
     ),
+    "cat_data": "run_id long, name string, cat string, key string",
 }
+
+#: Spark-readable mirrors of the catalog's runs / meta sections — written
+#: alongside catalog.json on every catalog update so scenario_list /
+#: search_meta-style queries run as parquet scans, not driver JSON loops.
+RUNS_SCHEMA = pa.schema(
+    [
+        ("run_id", pa.int64()),
+        ("model", pa.string()),
+        ("scenario", pa.string()),
+        ("version", pa.int32()),
+        ("scheme", pa.string()),
+        ("is_default", pa.bool_()),
+        ("commit", pa.int32()),
+        ("annotation", pa.string()),
+        ("cre_user", pa.string()),
+        ("cre_date", pa.string()),
+        ("upd_user", pa.string()),
+        ("upd_date", pa.string()),
+        ("locked", pa.bool_()),
+    ]
+)
+META_SCHEMA = pa.schema(
+    [
+        ("name", pa.string()),
+        ("value_json", pa.string()),  # JSON-encoded (meta values are typed)
+        ("model", pa.string()),
+        ("scenario", pa.string()),
+        ("version", pa.int32()),
+    ]
+)
 
 
 def _empty(table: str) -> pd.DataFrame:
@@ -131,6 +178,12 @@ class LocalWarehouse:
         self.root = os.path.abspath(root)
         os.makedirs(os.path.join(self.root, "runs"), exist_ok=True)
         self._catalog_path = os.path.join(self.root, "catalog.json")
+        self._staging_seq = itertools.count()
+        if os.path.exists(self._catalog_path) and not os.path.exists(
+            os.path.join(self.root, "runs.parquet")
+        ):
+            # warehouse created before the parquet mirrors existed
+            self._write_catalog_mirrors(self.catalog())
         if not os.path.exists(self._catalog_path):
             self._write_catalog(
                 {
@@ -159,6 +212,50 @@ class LocalWarehouse:
         with open(tmp, "w") as f:
             json.dump(cat, f, indent=1)
         os.replace(tmp, self._catalog_path)  # atomic visibility flip
+        self._write_catalog_mirrors(cat)
+
+    @property
+    def runs_path(self) -> str:
+        """Spark-readable runs dimension table (parquet)."""
+        return os.path.join(self.root, "runs.parquet")
+
+    @property
+    def meta_path(self) -> str:
+        """Spark-readable meta entries table (parquet)."""
+        return os.path.join(self.root, "meta.parquet")
+
+    def _write_catalog_mirrors(self, cat: dict[str, Any]) -> None:
+        """Mirror runs/meta into parquet so registry queries are Spark
+        scans (broadcast-sized dims, but scan-able with pushdown — the
+        catalog JSON stays only the commit pointer / codelist store)."""
+        runs = pd.DataFrame(
+            [{"run_id": int(rid), **r} for rid, r in cat["runs"].items()],
+            columns=[f.name for f in RUNS_SCHEMA],
+        )
+        meta = pd.DataFrame(
+            [
+                {
+                    "name": m["name"],
+                    "value_json": json.dumps(m["value"]),
+                    "model": m["model"],
+                    "scenario": m["scenario"],
+                    "version": m["version"],
+                }
+                for m in cat["meta"]
+            ],
+            columns=[f.name for f in META_SCHEMA],
+        )
+        for path, df, schema in (
+            (self.runs_path, runs, RUNS_SCHEMA),
+            (self.meta_path, meta, META_SCHEMA),
+        ):
+            tmp = path + ".tmp"
+            pq.write_table(
+                pa.Table.from_pandas(df, schema=schema, preserve_index=False),
+                tmp,
+                compression="zstd",
+            )
+            os.replace(tmp, path)
 
     def update_catalog(self, fn) -> dict[str, Any]:
         """Read-modify-write under an advisory file lock: concurrent
@@ -283,7 +380,12 @@ class LocalWarehouse:
         one Delta ``write``/``MERGE`` inside the commit transaction.
         """
         rdir = self.run_dir(run_id)
-        staging = os.path.join(rdir, ".staging")
+        # Unique staging dir per writer: two committers on the same run
+        # never clobber each other's staging mid-write (the table swap
+        # itself is serialized by the per-run lock in commit_run).
+        staging = os.path.join(
+            rdir, f".staging-{os.getpid()}-{next(self._staging_seq)}"
+        )
         shutil.rmtree(staging, ignore_errors=True)
         os.makedirs(staging)
         for t, df in tables.items():
@@ -315,6 +417,22 @@ class LocalWarehouse:
             os.replace(os.path.join(staging, fname), dst)
         shutil.rmtree(staging, ignore_errors=True)
 
+    @contextmanager
+    def _run_lock(self, run_id: int):
+        """Advisory per-run exclusive lock: serializes the table swap +
+        catalog bump of concurrent committers on the same run (the CLI +
+        notebook case). On a cluster the Delta log's optimistic commit
+        provides this; locally fcntl does."""
+        import fcntl
+
+        lock_path = os.path.join(self.run_dir(run_id), ".commit.lock")
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            try:
+                yield
+            finally:
+                fcntl.flock(lock, fcntl.LOCK_UN)
+
     def commit_run(
         self,
         run_id: int,
@@ -323,8 +441,6 @@ class LocalWarehouse:
         comment: str | None = None,
         user: str = "ixmp_spark",
     ) -> None:
-        self._write_run_tables(run_id, tables, items)
-
         def bump(cat):
             r = cat["runs"][str(run_id)]
             r["commit"] += 1
@@ -333,7 +449,9 @@ class LocalWarehouse:
             if comment:
                 r["annotation"] = comment
 
-        self.update_catalog(bump)
+        with self._run_lock(run_id):
+            self._write_run_tables(run_id, tables, items)
+            self.update_catalog(bump)
 
     def delete_run(self, run_id: int) -> None:
         shutil.rmtree(self.run_dir(run_id), ignore_errors=True)

@@ -202,11 +202,26 @@ def test_clone_shift_first_model_year(mp):
 
 
 def test_transact_discard_on_error(dantzig):
+    # discard_on_error=True: staged changes are dropped on error
     with pytest.raises(RuntimeError, match="boom"):
-        with dantzig.transact("will fail"):
+        with dantzig.transact("will fail", discard_on_error=True):
             dantzig.add_set("i", "nowhere")
             raise RuntimeError("boom")
     assert sorted(dantzig.set("i")) == ["san-diego", "seattle"]
+    # default (reference timeseries.py:242): the object stays checked
+    # out with staged state intact so the caller can inspect/repair
+    with pytest.raises(RuntimeError, match="boom2"):
+        with dantzig.transact("will fail too"):
+            dantzig.add_set("i", "nowhere")
+            raise RuntimeError("boom2")
+    assert dantzig._checked_out
+    assert "nowhere" in set(dantzig.set("i"))
+    dantzig.discard_changes()
+    assert sorted(dantzig.set("i")) == ["san-diego", "seattle"]
+    # condition=False: no checkout/commit at all
+    with dantzig.transact("noop", condition=False):
+        pass
+    assert not dantzig._checked_out
 
 
 # -- timeseries (reference test_timeseries.py:204–345) --------------------
@@ -533,3 +548,86 @@ def test_meta_search_and_scalar_audit(mp):
     assert mp.search_meta(name_pattern=r"^carbon_").iloc[0]["value"] == 120
     assert mp.search_meta(value_pattern=r"^0\.05$").iloc[0]["name"] == "discount_rate"
     assert len(mp.search_meta(name_pattern="nope")) == 0
+
+
+def test_scalar_audit_stages_with_transaction(mp):
+    """A rolled-back transaction leaves NO audit trace (provenance
+    matches committed state only)."""
+    import json
+
+    scen = make_dantzig(mp)
+    key = f"{scen.model}/{scen.scenario}/{scen.version}/f"
+    before = json.loads(mp.get_doc("scalar_audit", key))
+    scen.check_out()
+    scen.change_scalar("f", 999.0, "USD/km", comment="never committed")
+    scen.discard_changes()
+    after_raw = mp.get_doc("scalar_audit", key)
+    assert json.loads(after_raw) == before
+    assert scen.scalar("f")["value"] == 90.0
+
+
+def test_cat_mapping_api(mp):
+    """Category mapping set truth table (U5, reference base.py:1232–1288
+    cat_list / cat_get_elements / cat_set_elements incl. is_unique)."""
+    scen = make_dantzig(mp)
+    scen.check_out()
+    # empty before any categories
+    assert scen.cat_list("i") == []
+    assert scen.cat("i", "coastal") == []
+    scen.add_cat("i", "coastal", ["seattle", "san-diego"])
+    scen.add_cat("i", "west", "seattle")
+    assert scen.cat_list("i") == ["coastal", "west"]
+    assert sorted(scen.cat("i", "coastal")) == ["san-diego", "seattle"]
+    assert scen.cat("i", "west") == ["seattle"]
+    # idempotent re-add
+    scen.add_cat("i", "coastal", "seattle")
+    assert sorted(scen.cat("i", "coastal")) == ["san-diego", "seattle"]
+    # membership validation: keys must be elements of the set
+    with pytest.raises(ValueError, match="not in set"):
+        scen.add_cat("i", "coastal", "atlantis")
+    # is_unique: exactly one key, replaces existing members
+    with pytest.raises(ValueError, match="exactly one key"):
+        scen.add_cat("i", "primary", ["seattle", "san-diego"], is_unique=True)
+    scen.add_cat("i", "primary", "seattle", is_unique=True)
+    scen.add_cat("i", "primary", "san-diego", is_unique=True)
+    assert scen.cat("i", "primary") == ["san-diego"]
+    # only sets can be categorized
+    with pytest.raises(ValueError, match="is a par"):
+        scen.add_cat("d", "x", "seattle")
+    scen.commit("categories")
+    # persists across commit + reload
+    reloaded = Scenario(mp, scen.model, scen.scenario, version=scen.version)
+    assert reloaded.cat_list("i") == ["coastal", "primary", "west"]
+    assert reloaded.cat("i", "primary") == ["san-diego"]
+    # Spark view feeds J5-style aggregation joins
+    sdf = reloaded.cat_spark("i")
+    assert sdf.columns == ["cat", "key"]
+    assert sdf.count() == 4
+    # whole-set removal drops its categories
+    scen2 = make_dantzig(mp)
+    scen2.check_out()
+    scen2.init_set("tmp")
+    scen2.add_set("tmp", ["a", "b"])
+    scen2.add_cat("tmp", "g", "a")
+    scen2.remove_set("tmp")
+    assert len(scen2._table("cat_data")) == 0
+
+
+def test_runs_meta_parquet_mirrors(mp):
+    """Registry queries run as Spark parquet scans (runs/meta mirrors are
+    rewritten atomically with every catalog update)."""
+    scen = make_dantzig(mp)
+    scen.set_as_default()
+    runs = mp.runs_df()
+    assert runs.where("is_default").count() == 1
+    row = runs.where("is_default").first()
+    assert (row.model, row.scenario, row.version) == (
+        "canning problem", "standard", 1,
+    )
+    mp.set_meta("mirror_check", {"k": 1}, model=scen.model)
+    meta = mp.meta_df()
+    got = meta.where("name = 'mirror_check'").first()
+    assert got.model == scen.model and got.scenario is None
+    import json
+
+    assert json.loads(got.value_json) == {"k": 1}
