@@ -239,19 +239,36 @@ def p1_curation_pipeline(spark, sf_dir):
 )
 def p2_token_budget_pack(spark, sf_dir):
     """Token-budget packing: select the highest-quality documents until a
-    token budget is exhausted — quality-descending running token sum,
-    cut at the budget. The global window is the scale caveat (like the
-    Excel chunker W4): at 100 TB the same selection runs as a two-pass
-    quantile-threshold (approx_percentile on quality, then filter), which
-    avoids the single-partition sort; the exact form is declared here."""
+    token budget is exhausted — quality-descending running token sum, cut
+    at the budget. EXACT semantics, no global window: the running sum
+    decomposes into (a) per-quality token totals → exclusive prefix sums
+    over the quality domain (ONE ROW PER DISTINCT QUALITY — quality is
+    rounded to 4 dp, so this frame is bounded by the score domain ~1e4,
+    not the corpus; its orderBy window is driver-trivial at any scale),
+    broadcast back; (b) a per-quality-PARTITION window for the local
+    running sum. Quality groups whose offset already exceeds the budget
+    are pruned BEFORE the window, so only boundary groups do window work.
+    """
+    B = 10_000
     docs = load_spread(spark, sf_dir, "documents")
     stats = text_stats(docs, "text")
-    w = Window.orderBy(F.col("quality").desc(), F.col("doc_id")).rowsBetween(
+    w_off = Window.orderBy(F.col("quality").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        stats.groupBy("quality")
+        .agg(F.sum("n_tokens").alias("__qt"))
+        .withColumn("__off", F.coalesce(F.sum("__qt").over(w_off), F.lit(0)))
+        .drop("__qt")
+    )
+    w_loc = Window.partitionBy("quality").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, 0
     )
     return (
-        stats.withColumn("cum_tokens", F.sum("n_tokens").over(w))
-        .where(F.col("cum_tokens") <= 10000)
+        stats.join(F.broadcast(offsets), "quality")
+        .where(F.col("__off") <= B)  # prune whole over-budget groups
+        .withColumn("cum_tokens", F.col("__off") + F.sum("n_tokens").over(w_loc))
+        .where(F.col("cum_tokens") <= B)
         .select("doc_id", "n_tokens", "quality", "cum_tokens")
     )
 

@@ -27,6 +27,64 @@ BNLJ_OK = {"e1_embed_topk", "e2_embed_ann", "e3_embed_ivf", "j10_band_join"}
 #: d3 = repartition + banded self-join + 2 candidate joins + distinct
 SHUFFLE_OK = {"d3_minhash_lsh"}
 
+#: nodes that pass data through without changing its cardinality class
+_PASS_THROUGH = {
+    "Project", "Filter", "Sort", "Coalesce", "AQEShuffleRead",
+    "ShuffleQueryStage", "InputAdapter", "WholeStageCodegen", "ColumnarToRow",
+    "Window", "WindowGroupLimit", "Expand",
+}
+
+#: a SinglePartition exchange is fine iff it reads a frame whose size is
+#: bounded by a group domain, not the data: aggregates, top-k, literals
+_BOUNDED_SOURCES = {
+    "HashAggregate", "SortAggregate", "ObjectHashAggregate",
+    "TakeOrderedAndProject", "LocalTableScan", "Range", "ReusedExchange",
+    "Exchange",  # a nested exchange was already audited on its own
+}
+
+
+def single_partition_violations(plan: str) -> list[str]:
+    """Find Exchange SinglePartition nodes whose input is NOT an
+    aggregated/bounded frame — i.e. global sorts/windows over raw data,
+    the classic 100 TB scale-killer. Parses the formatted-explain tree
+    (node name column position encodes depth) + per-node detail blocks.
+    """
+    import re
+
+    tree: list[tuple[int, str, int]] = []  # (name col, name, id)
+    for line in plan.splitlines():
+        m = re.match(r"^[\s+\-:*>=]*?([A-Za-z][A-Za-z ]*?) \((\d+)\)\s*$", line)
+        if m:
+            tree.append((line.index(m.group(1)), m.group(1).strip(), int(m.group(2))))
+    single_ids = {
+        int(m.group(1))
+        for m in re.finditer(
+            r"\((\d+)\) Exchange[^\n]*\n(?:[^\n]*\n)?Arguments: SinglePartition",
+            plan,
+        )
+    }
+    bad = []
+    for i, (col, name, nid) in enumerate(tree):
+        if name != "Exchange" or nid not in single_ids:
+            continue
+        # descend: first deeper line is the immediate child; skip
+        # cardinality-preserving nodes until something significant
+        j = i + 1
+        child = None
+        while j < len(tree):
+            ccol, cname, cid = tree[j]
+            if ccol <= col:
+                break
+            if cname in _PASS_THROUGH:
+                col = ccol
+                j += 1
+                continue
+            child = cname
+            break
+        if child is not None and child not in _BOUNDED_SOURCES:
+            bad.append(f"SinglePartition exchange over {child}")
+    return bad
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -45,15 +103,15 @@ def main() -> int:
             issues.append("BroadcastNestedLoopJoin")
         if "EvalPython" in plan:
             issues.append("Python UDF in plan")
-        shuffles = sum(
-            1
-            for line in plan.splitlines()
-            if "Exchange" in line
-            and "Broadcast" not in line
-            and "Reused" not in line
-        )
+        # one count per shuffle-exchange NODE (detail-block headers name
+        # each node exactly once; tree lines would double-count, and
+        # BroadcastExchange / ReusedExchange are different node names)
+        import re
+
+        shuffles = len(re.findall(r"^\(\d+\) Exchange\b", plan, re.M))
         if shuffles > 6 and name not in SHUFFLE_OK:
             issues.append(f"{shuffles} shuffle exchanges")
+        issues.extend(single_partition_violations(plan))
         if issues:
             bad += 1
             print(f"FLAG  {name}: {', '.join(issues)}")
