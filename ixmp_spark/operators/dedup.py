@@ -39,6 +39,63 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def jaccard_block_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    threshold: float = 0.5,
+    max_block: int | None = None,
+) -> DataFrame:
+    """Exact token-set Jaccard pairs within blocks — the bounded-input
+    verification path (the unblocked scale path is minhash_lsh_neardup).
+
+    All-pairs WITHIN a block is quadratic in the block size, so this
+    operator enforces an explicit input contract: with ``max_block`` set,
+    one cheap count-per-block aggregation runs first and any oversized
+    block fails fast with its size (an n² job on a hot block would
+    otherwise look like a hang at 100 TB). Callers with legitimately hot
+    blocks should pre-split them (finer block_cols) or use the LSH path.
+    """
+    toks = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        F.array_distinct(F.split(F.trim(F.lower(text_col)), r"\s+")).alias(
+            "toks"
+        ),
+    )
+    if max_block is not None:
+        hot = (
+            toks.groupBy(*block_cols)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > max_block)
+            .limit(5)
+            .collect()
+        )
+        if hot:
+            raise ValueError(
+                f"blocks over max_block={max_block}: "
+                f"{[(tuple(r[c] for c in block_cols), r['n']) for r in hot]}; "
+                "pre-split the block keys or use minhash_lsh_neardup"
+            )
+    a = toks.select(
+        F.col(id_col).alias("id_a"), *block_cols, F.col("toks").alias("toks_a")
+    )
+    b = toks.select(
+        F.col(id_col).alias("id_b"), *block_cols, F.col("toks").alias("toks_b")
+    )
+    jac = F.size(F.array_intersect("toks_a", "toks_b")) / F.size(
+        F.array_union("toks_a", "toks_b")
+    )
+    return (
+        a.join(b, block_cols)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.round(jac, 6))
+        .where(jac >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def shingles(col, n: int = 3) -> "F.Column":
     """Word n-gram shingle set (array<string>, distinct)."""
     toks = F.split(normalize_text(col), " ")

@@ -46,37 +46,20 @@ def d1_exact_dedup(spark, sf_dir):
 )
 def d2_jaccard_neardup(spark, sf_dir):
     """Near-duplicate pairs by exact token-set Jaccard ≥ 0.5, blocked on
-    (lang, source) so the pair space stays bounded (the unblocked scale
-    path is d3_minhash_lsh). array_intersect/union on distinct token sets —
-    pure Catalyst."""
+    (lang, source) — the bounded-input VERIFICATION stage of the dedup
+    family (the unblocked scale path is d3_minhash_lsh). The operator
+    enforces the bound explicitly: any block over max_block rows fails
+    fast with its size instead of silently running an n² join."""
+    from ixmp_spark.operators.dedup import jaccard_block_pairs
+
     docs = load_spread(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        "lang",
-        "source",
-        F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+")).alias("toks"),
-    )
-    a = toks.select(
-        F.col("doc_id").alias("id_a"),
-        "lang",
-        "source",
-        F.col("toks").alias("toks_a"),
-    )
-    b = toks.select(
-        F.col("doc_id").alias("id_b"),
-        "lang",
-        "source",
-        F.col("toks").alias("toks_b"),
-    )
-    jac = F.size(F.array_intersect("toks_a", "toks_b")) / F.size(
-        F.array_union("toks_a", "toks_b")
-    )
-    return (
-        a.join(b, ["lang", "source"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("jaccard", F.round(jac, 6))
-        .where(jac >= 0.5)
-        .select("id_a", "id_b", "jaccard")
+    return jaccard_block_pairs(
+        docs,
+        id_col="doc_id",
+        text_col="text",
+        block_cols=["lang", "source"],
+        threshold=0.5,
+        max_block=100_000,
     )
 
 

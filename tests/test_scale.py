@@ -36,6 +36,43 @@ def test_salted_join_left_outer(spark, sf_dir):
     assert plain == salted == ev.count()
 
 
+def test_salted_join_rejects_outer(spark, sf_dir):
+    """Salting replicates the right side — right/full outer would emit
+    salt× duplicate null-padded rows, so those modes must raise."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey")
+    )
+    for how in ("right", "outer", "full"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(li, o, "l_orderkey", how=how)
+
+
+def test_jaccard_block_guard(spark):
+    """d2's operator fails fast on oversized blocks instead of silently
+    running an n² self-join."""
+    from ixmp_spark.operators.dedup import jaccard_block_pairs
+
+    df = spark.range(40).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id < 30 THEN 'en' ELSE 'de' END AS lang",
+        "'web' AS source",
+        "concat('tok', CAST(id % 7 AS STRING), ' shared words here') AS text",
+    )
+    with pytest.raises(ValueError, match="blocks over max_block"):
+        jaccard_block_pairs(
+            df, "doc_id", "text", ["lang", "source"], max_block=20
+        )
+    # under the bound it runs; pairs stay within blocks
+    out = jaccard_block_pairs(
+        df, "doc_id", "text", ["lang", "source"], threshold=0.9, max_block=50
+    )
+    rows = out.collect()
+    assert all(r.jaccard >= 0.9 for r in rows)
+    langs = df.select("doc_id", "lang").toPandas().set_index("doc_id")["lang"]
+    assert all(langs[r.id_a] == langs[r.id_b] for r in rows)
+
+
 def test_bucketed_join_no_exchange(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
