@@ -43,7 +43,8 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--lastyear", type=int)
 
     sp = sub.add_parser("report", help="compute a reporting key (cli.py:371)")
-    sp.add_argument("key")
+    sp.add_argument("key", nargs="?", help="defaults to the config's 'default:'")
+    sp.add_argument("--config", help="reporting config YAML (cli.py:121)")
 
     sp = sub.add_parser("solve", help="run a model (cli.py:247)")
     sp.add_argument("--model-name", default="gams")
@@ -97,7 +98,23 @@ def main(argv: list[str] | None = None) -> int:
 
         scen = Scenario(mp, args.model, args.scenario, version=args.version)
         rep = Reporter.from_scenario(scen)
-        print(rep.get(args.key).toPandas().to_string(index=False))
+        if args.config:
+            rep.configure(args.config)
+        key = args.key or rep.default_key
+        if not key:
+            raise SystemExit("no key given and no 'default:' in config")
+        q = rep.get_quantity(key)
+        pdf = q.df.toPandas()
+        if q.dims:
+            # reference CLI output shape (tests/report/test_reporter.py:
+            # 193–204): a dim-indexed value series, sorted, with the
+            # trailing dtype/units line
+            ser = pdf.set_index(list(q.dims))["value"].sort_index()
+            body = ser.to_string()
+            print(f"{body}\nName: value, dtype: float64, units: "
+                  f"{q.unit or 'dimensionless'}")
+        else:
+            print(pdf.to_string(index=False))
     elif args.cmd == "solve":
         need_ts()
         from ixmp_spark.core.model import solve as do_solve

@@ -65,6 +65,14 @@ class Reporter:
         self._cache: dict[str, Quantity] = {}
         #: simple-set label lists (reference inserts sets as literal data)
         self.labels: dict[str, list[str]] = {}
+        #: name → full-dimensionality Key: partial sums over any dim
+        #: subset resolve on demand against this (reference
+        #: reporter.py:64–69 enumerates all 2^d subset keys eagerly; we
+        #: register one entry and synthesize the sum at get time — a
+        #: 10-dim parameter costs one dict entry, not 1,024)
+        self.full_keys: dict[str, Key] = {}
+        #: default report key (report-config ``default:`` section)
+        self.default_key: str | None = None
 
     # -- registry ---------------------------------------------------------
     def add(self, key: "str | Key", thunk: Callable[[], Quantity]) -> Key:
@@ -82,14 +90,17 @@ class Reporter:
         return k
 
     def _register_sums(self, k: Key) -> None:
-        """A1 (reference reporter.py:64–69): register the sum over every
-        proper subset of dims — computed only when requested (lazy)."""
-        for r in range(len(k.dims)):
-            for kept in itertools.combinations(k.dims, r):
-                sk = Key(k.name, kept)
-                self.graph.setdefault(
-                    str(sk), (lambda kk=k, kept=kept: self._sum(kk, kept))
-                )
+        """A1 (reference reporter.py:64–69): make sums over every proper
+        dim subset resolvable. One registry entry — ``get_quantity``
+        synthesizes the groupBy-sum on demand for any subset key."""
+        self.full_keys.setdefault(k.name, k)
+
+    def full_key(self, name: str) -> Key:
+        """The full-dimensionality key for ``name`` (reference
+        Reporter.full_key)."""
+        if name not in self.full_keys:
+            raise KeyError(f"no quantity named {name!r}")
+        return self.full_keys[name]
 
     def _sum(self, src: Key, kept: tuple[str, ...]) -> Quantity:
         q = self.get_quantity(src)
@@ -101,10 +112,15 @@ class Reporter:
 
     # -- resolution -------------------------------------------------------
     def get_quantity(self, key: "str | Key") -> Quantity:
-        k = str(Key.parse(key))
+        kk = Key.parse(key)
+        k = str(kk)
         if k in self._cache:
             return self._cache[k]
         if k not in self.graph:
+            # on-demand partial sum against the full-dim key (A1)
+            fk = self.full_keys.get(kk.name)
+            if fk is not None and set(kk.dims) < set(fk.dims):
+                return self._sum(fk, kk.dims)
             raise KeyError(f"no key {k!r}")
         return self.graph[k]()
 
@@ -162,6 +178,7 @@ class Reporter:
 
             rep.add(k, load_par)
             rep._register_sums(k)
+        rep.spark = scen.platform.spark
         for ix_type in ("var", "equ"):
             for name in scen.items(ix_type):
                 item = scen._require_item(name)
@@ -348,6 +365,77 @@ class Reporter:
         self.add(k, compute)
         self._register_sums(k)
         return k
+
+    # -- config file (reference report-config-0.yaml; cli.py:121–138) -----
+    def configure(self, path: str) -> "Reporter":
+        """Load a reference-style reporting config file (YAML).
+
+        Sections (reference tests/data/report-config-0.yaml +
+        doc/reporting.rst):
+
+        - ``default:`` — key computed when the CLI gets no explicit key;
+        - ``files:`` — exogenous CSV inputs (``path`` relative to the
+          config file; ``key``; ``dims`` as a list (project columns) or
+          dict (rename column → dim); omitted = every non-value/unit
+          column);
+        - ``alias:`` — name → existing quantity;
+        - ``units: {apply: {key: unit}}`` — override a quantity's unit.
+
+        Unrecognized sections log a warning (reference behavior)."""
+        import logging
+        import os
+
+        import yaml
+
+        with open(path) as f:
+            cfg = yaml.safe_load(f) or {}
+        base = os.path.dirname(os.path.abspath(path))
+        recognized = {"default", "files", "alias", "units"}
+        for section in cfg:
+            if section not in recognized:
+                logging.getLogger(__name__).warning(
+                    "unrecognized report config section %r", section
+                )
+        if "default" in cfg:
+            self.default_key = str(cfg["default"])
+        for spec in cfg.get("files") or []:
+            p = spec["path"]
+            if not os.path.isabs(p):
+                p = os.path.join(base, p)
+            dims = spec.get("dims")
+            renames = None
+            if isinstance(dims, dict):
+                renames = {str(s): str(d) for s, d in dims.items()}
+                dim_tuple = tuple(renames.values())
+            elif dims is not None:
+                dim_tuple = tuple(str(d) for d in dims)
+            else:  # infer from the CSV header
+                with open(p) as fh:
+                    header = fh.readline().strip().split(",")
+                dim_tuple = tuple(
+                    c for c in header if c not in ("value", "unit")
+                )
+            self.add_file(
+                str(spec["key"]), self.spark, p, dims=dim_tuple,
+                renames=renames,
+            )
+        for alias, target in (cfg.get("alias") or {}).items():
+            tk = self.full_keys.get(str(target))
+            if tk is None:
+                raise KeyError(f"alias target {target!r} is not a quantity")
+            ak = Key(str(alias), tk.dims)
+            self.add(ak, lambda tk=tk: self.get_quantity(tk))
+            self.full_keys.setdefault(ak.name, ak)
+        for key, unit in (cfg.get("units") or {}).get("apply", {}).items():
+            src = self.full_keys.get(str(key), Key.parse(str(key)))
+            orig = self.graph[str(src)]  # wrap, don't recurse
+
+            def reunit(orig=orig, unit=unit):
+                q = orig()
+                return Quantity(q.df, q.dims, str(unit))
+
+            self.add(src, reunit)
+        return self
 
 
 def _unit_exponents(u: str) -> dict[str, int]:

@@ -135,3 +135,72 @@ def test_cli_list_report_export(mp, tmp_path, capsys):
     )
     got = pd.read_csv(outcsv)
     assert got["VALUE"].tolist() == [1.5, 2.5]
+
+
+def test_cli_report_config(mp, tmp_path, capsys):
+    """Reference-style report config file (tests/data/report-config-0.yaml;
+    reference tests/report/test_reporter.py:193–204 expected shape)."""
+    import re
+
+    make_dantzig(mp)
+    root = str(mp.wh.root)
+    (tmp_path / "report-input0.csv").write_text(
+        "i,j,value\n"
+        "seattle,new-york,2.5\nseattle,chicago,1.7\nseattle,topeka,1.8\n"
+        "san-diego,new-york,2.5\nsan-diego,chicago,1.8\nsan-diego,topeka,1.4\n"
+    )
+    (tmp_path / "report-input1.csv").write_text(
+        "i,j_dim,foo,value,unit\n"
+        "seattle,new-york,foo,2.5,km\nseattle,chicago,foo,1.7,km\n"
+        "seattle,topeka,foo,1.8,km\nsan-diego,new-york,foo,2.5,km\n"
+        "san-diego,chicago,foo,1.8,km\nsan-diego,topeka,foo,1.4,km\n"
+    )
+    cfg = tmp_path / "report-config-0.yaml"
+    cfg.write_text(
+        "default: d_check\n"
+        "files:\n"
+        "- path: ./report-input0.csv\n"
+        "  key: d_check\n"
+        "- path: ./report-input1.csv\n"
+        "  key: report-input1-0\n"
+        "  dims: [i, j_dim]\n"
+        "- path: ./report-input1.csv\n"
+        "  key: report-input1-1\n"
+        "  dims: {i: i, j_dim: j}\n"
+        "alias:\n"
+        "  bar: d\n"
+        "notarealsection:\n"
+        "- 0\n"
+    )
+    base = [
+        "--platform", root, "--model", "canning problem",
+        "--scenario", "standard", "report", "--config", str(cfg),
+    ]
+    # explicit key → the file-backed quantity, reference output shape
+    assert cli_main(base + ["d_check"]) == 0
+    out = capsys.readouterr().out
+    assert re.search(
+        r"i\s+j\s*\n"
+        r"san-diego\s+chicago\s+1\.8\s*\n"
+        r"\s+new-york\s+2\.5\s*\n"
+        r"\s+topeka\s+1\.4\s*\n"
+        r"seattle\s+chicago\s+1\.7\s*\n"
+        r"\s+new-york\s+2\.5\s*\n"
+        r"\s+topeka\s+1\.8\s*\n"
+        r"Name: value, dtype: float64, units: dimensionless",
+        out,
+    ), out
+    # no key → the config's default
+    assert cli_main(base) == 0
+    assert "san-diego" in capsys.readouterr().out
+    # dims-as-list drops the extra CSV column; unit inferred from file
+    assert cli_main(base + ["report-input1-0"]) == 0
+    out = capsys.readouterr().out
+    assert "j_dim" in out and "units: km" in out
+    # dims-as-dict renames j_dim → j
+    assert cli_main(base + ["report-input1-1"]) == 0
+    out = capsys.readouterr().out
+    assert "j_dim" not in out and "units: km" in out
+    # alias resolves to the existing scenario quantity
+    assert cli_main(base + ["bar:i-j"]) == 0
+    assert "seattle" in capsys.readouterr().out
