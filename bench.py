@@ -88,8 +88,18 @@ def main() -> None:
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("ixmp_spark_bench")
 
-    # warm-up: JVM + codegen + parquet footer caches
+    # Warm-up: JVM startup, per-query codegen/analysis, parquet footer
+    # caches. Each bench query runs once at the smallest SF first (same
+    # expressions → same generated code), so the timed loop measures
+    # steady-state throughput at the target SF, not compiler latency —
+    # on a real cluster these queries run hot over 100 TB, never cold
+    # over one driver JVM.
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
     QUERIES["a0_pricing_summary"](spark, sf_dir).count()
+    for name in BENCH_QUERIES:
+        QUERIES[name](spark, warm_dir).count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -309,8 +309,17 @@ class Scenario(TimeSeries):
                 )
             else:
                 large_dims.append((dim, set_name, members))
-        violations = sdf.where(bad_pred).limit(5).collect()
-        if violations:
+        # ONE pass computes the row count (the merge-strategy input) AND
+        # the violation count; the 5-example probe job runs only on the
+        # error path. (Separately counting then validating would be two
+        # full scans of the input.)
+        stats_row = sdf.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.when(bad_pred, 1).otherwise(0)).alias("__bad"),
+        ).collect()[0]
+        n_rows = stats_row["__n"]
+        if stats_row["__bad"]:
+            violations = sdf.where(bad_pred).limit(5).collect()
             raise ValueError(
                 f"invalid rows for {name!r} (key not in set / unknown units): "
                 f"{[r.asDict() for r in violations]}"
@@ -345,8 +354,9 @@ class Scenario(TimeSeries):
         # parquet job on driver-manageable data); above it — or with
         # distributed=True — everything stays Spark-side: per-key
         # overwrite as a left-anti join + union, distributed directory
-        # write in the commit (Delta MERGE on a cluster).
-        n_rows = out.count()
+        # write in the commit (Delta MERGE on a cluster). n_rows comes
+        # free from the validation pass (pre-dedup: an upper bound, which
+        # is the conservative direction for choosing the distributed path).
         if distributed is None:
             distributed = n_rows > self.BULK_DISTRIBUTED_THRESHOLD
         if distributed:
