@@ -172,6 +172,19 @@ class TimeSeries:
     def _has_solution_stored(self) -> bool:
         return len(self.platform.wh.read_table(self.run_id, "sol_data")) > 0
 
+    # -- per-commit history (Delta VERSION AS OF analogue) ----------------
+    def commit_history(self) -> list[int]:
+        """Commit numbers of this run's addressable past states."""
+        return self.platform.wh.commit_history(self.run_id)
+
+    def spark_table_at(self, table: str, commit: int) -> DataFrame:
+        """Spark view of a fact table AS OF a past commit (each ixmp
+        commit = one retained snapshot; on a cluster this is Delta time
+        travel on the same transaction boundary)."""
+        return self.platform.spark.read.parquet(
+            self.platform.wh.table_path_at(self.run_id, table, commit)
+        )
+
     # -- time-series data (SURVEY.md §1.3, F5, A5) ------------------------
     def add_timeseries(
         self, df: pd.DataFrame, year_lim=(None, None), meta: bool = False

@@ -4,10 +4,12 @@ Replaces the reference's JDBC/ixmp4 backends (SURVEY.md §1.6) with a
 Spark-readable parquet layout plus an atomic driver-side catalog:
 
     <root>/catalog.json                  runs, codelists, meta, docs
+    <root>/runs.parquet  meta.parquet    Spark-readable catalog mirrors
     <root>/runs/<run_id>/                one directory per run (version)
         items.json                       dynamic item registry
         set_data.parquet  par_data.parquet  sol_data.parquet
-        ts_data.parquet   geo_data.parquet
+        ts_data.parquet   geo_data.parquet  cat_data.parquet
+        history/<commit_n>/              per-commit snapshots (hardlinks)
 
 Commit protocol (SURVEY.md §7 step 1 "hard part"): a commit's tables are
 written into a writer-unique ``.staging-<pid>-<n>/`` dir, then — under an
@@ -450,8 +452,50 @@ class LocalWarehouse:
                 r["annotation"] = comment
 
         with self._run_lock(run_id):
+            commit_n = self.catalog()["runs"][str(run_id)]["commit"] + 1
             self._write_run_tables(run_id, tables, items)
+            self._snapshot_history(run_id, commit_n)
             self.update_catalog(bump)
+
+    # -- per-commit history (SURVEY.md §1.6: one ixmp commit = one Delta
+    #    transaction; locally each commit hardlinks its table files into
+    #    history/<n>/, the stand-in for Delta's VERSION AS OF) ------------
+    def _snapshot_history(self, run_id: int, commit_n: int) -> None:
+        rdir = self.run_dir(run_id)
+        hdir = os.path.join(rdir, "history", str(commit_n))
+        shutil.rmtree(hdir, ignore_errors=True)
+        os.makedirs(hdir)
+        for t in FACT_TABLES:
+            src = os.path.join(rdir, f"{t}.parquet")
+            if not os.path.exists(src):
+                continue
+            dst = os.path.join(hdir, f"{t}.parquet")
+            if os.path.isdir(src):  # Spark directory write
+                shutil.copytree(src, dst, copy_function=os.link)
+            else:
+                os.link(src, dst)  # zero-copy: new name, same immutable file
+        items = os.path.join(rdir, "items.json")
+        if os.path.exists(items):
+            os.link(items, os.path.join(hdir, "items.json"))
+
+    def commit_history(self, run_id: int) -> list[int]:
+        """Addressable committed states of a run, oldest first."""
+        hroot = os.path.join(self.run_dir(run_id), "history")
+        if not os.path.isdir(hroot):
+            return []
+        return sorted(int(d) for d in os.listdir(hroot) if d.isdigit())
+
+    def table_path_at(self, run_id: int, table: str, commit: int) -> str:
+        """Spark-readable path of a table AS OF a past commit."""
+        p = os.path.join(
+            self.run_dir(run_id), "history", str(commit), f"{table}.parquet"
+        )
+        if not os.path.exists(p):
+            raise ValueError(f"run {run_id} has no commit {commit}")
+        return p
+
+    def read_table_at(self, run_id: int, table: str, commit: int) -> pd.DataFrame:
+        return pq.read_table(self.table_path_at(run_id, table, commit)).to_pandas()
 
     def delete_run(self, run_id: int) -> None:
         shutil.rmtree(self.run_dir(run_id), ignore_errors=True)

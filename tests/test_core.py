@@ -613,6 +613,33 @@ def test_cat_mapping_api(mp):
     assert len(scen2._table("cat_data")) == 0
 
 
+def test_per_commit_history(mp):
+    """Every commit leaves an addressable snapshot (the local analogue of
+    one Delta transaction per ixmp commit — SURVEY.md §1.6)."""
+    scen = make_dantzig(mp)
+    n0 = len(scen.commit_history())
+    assert n0 >= 1  # make_dantzig commits at least once
+    with scen.transact("raise seattle->chicago"):
+        scen.add_par("d", ["seattle", "chicago"], 9.9, "km")
+    assert len(scen.commit_history()) == n0 + 1
+    hist = scen.commit_history()
+    # past state still readable: old value in commit n0's snapshot
+    old = mp.wh.read_table_at(scen.run_id, "par_data", hist[-2])
+    old_d = old[(old["name"] == "d")]
+    old_val = {tuple(k): v for k, v in zip(old_d["key"], old_d["value"])}
+    assert old_val[("seattle", "chicago")] == 1.7
+    # current state has the new value
+    assert (
+        scen.par("d", filters={"i": "seattle", "j": "chicago"})["value"].iloc[0]
+        == 9.9
+    )
+    # Spark can scan the historical snapshot directly
+    sdf = scen.spark_table_at("par_data", hist[-2])
+    assert sdf.where("name = 'd'").count() == 6
+    with pytest.raises(ValueError, match="no commit"):
+        mp.wh.read_table_at(scen.run_id, "par_data", 999)
+
+
 def test_runs_meta_parquet_mirrors(mp):
     """Registry queries run as Spark parquet scans (runs/meta mirrors are
     rewritten atomically with every catalog update)."""
