@@ -233,3 +233,68 @@ def test_file_input(rep, spark, tmp_path):
     assert q.unit == "km"
     got = q.df.toPandas().set_index(["i", "j"])["value"]
     assert got[("seattle", "chicago")] == 1.7
+
+
+# -- TS <-> report bridge operators (reference report/operator.py:166–393)
+
+def test_ts_operators_roundtrip(mp, spark):
+    from ixmp_spark.plans.ts_operators import (
+        from_url, get_ts, remove_ts, store_ts, update_scenario,
+    )
+
+    scen = make_dantzig(mp)
+    mp.add_region("World", hierarchy="common")
+    mp.add_unit("GWa")
+    # store_ts: one commit, IAMC normalization applied
+    df1 = pd.DataFrame(
+        {"region": "World", "variable": "Primary Energy", "unit": "GWa",
+         "year": [2010, 2020], "value": [1.0, 2.0]}
+    )
+    df2 = pd.DataFrame(
+        {"region": "World", "variable": "GDP", "unit": "GWa",
+         "year": [2010], "value": [5.0]}
+    )
+    store_ts(scen, df1, df2)
+    got = get_ts(scen, filters={"variable": "Primary Energy"})
+    assert got["value"].tolist() == [1.0, 2.0]
+    # non-strict: a bad frame logs + skips, good frames still commit
+    bad = pd.DataFrame(
+        {"region": "Atlantis", "variable": "X", "unit": "GWa",
+         "year": [2010], "value": [9.9]}
+    )
+    df3 = pd.DataFrame(
+        {"region": "World", "variable": "Emissions", "unit": "GWa",
+         "year": [2030], "value": [3.0]}
+    )
+    store_ts(scen, bad, df3)
+    assert len(get_ts(scen, filters={"variable": "Emissions"})) == 1
+    with pytest.raises(ValueError, match="unknown regions"):
+        store_ts(scen, bad, strict=True)
+    # remove_ts with after=: only later years go
+    remove_ts(scen, after=2020)
+    left = get_ts(scen)
+    assert sorted(left["year"].unique()) == [2010]
+    # update_scenario: computed quantity -> parameter rows via add_par
+    upd = pd.DataFrame(
+        {"i": ["seattle"], "j": ["topeka"], "value": [9.5], "unit": ["km"]}
+    )
+    update_scenario(scen, upd, params=["d"])
+    assert (
+        scen.par("d", filters={"i": "seattle", "j": "topeka"})["value"].iloc[0]
+        == 9.5
+    )
+    # update_scenario from a reporting Quantity (name, qty) pair
+    rep = Reporter.from_scenario(scen)
+    q = rep.get_quantity("d:i-j")
+    update_scenario(scen, ("d", q))
+    # rollback on error leaves the scenario checked in
+    with pytest.raises(KeyError):
+        update_scenario(scen, ("nope", q))
+    assert not scen._checked_out
+    # from_url
+    ts, mp2 = from_url(
+        f"ixmp://wh/canning problem/standard#{scen.version}",
+        spark,
+        platforms={"wh": mp.wh.root},
+    )
+    assert ts.run_id == scen.run_id
