@@ -151,15 +151,31 @@ def bucketed_topk(
     vec_col: str,
     planes: list[list[float]],
     k: int = 10,
+    multi_probe: int = 0,
 ) -> DataFrame:
-    """ANN top-k: score only vectors in the probe's LSH bucket. Recall
-    depends on bucket bits / multi-probing; exactness is traded for a
-    ~2^bits candidate reduction."""
+    """ANN top-k: score only vectors in the probe's LSH bucket(s). Recall
+    depends on bucket bits and ``multi_probe``: with m > 0 the probe also
+    searches every bucket within Hamming distance m of its own (the
+    standard multi-probe LSH recall knob — each extra bit of probing
+    roughly doubles candidates and recovers neighbors that fell on the
+    wrong side of one hyperplane). multi_probe = len(planes) degenerates
+    to the exact scan."""
+    import itertools
+
     with_b = df.withColumn("__bucket", hyperplane_lsh_bucket(vec_col, planes))
+    # probe-side bucket list: own bucket XOR every bit-mask of weight <= m
+    # (a driver-side literal array — len(planes) is small by construction)
+    masks = [0]
+    for m in range(1, multi_probe + 1):
+        for bits in itertools.combinations(range(len(planes)), m):
+            masks.append(sum(1 << b for b in bits))
+    own = hyperplane_lsh_bucket(vec_col, planes)
     p = probe.select(
         F.col(id_col).alias("__probe_id"),
         F.col(vec_col).alias("__probe_vec"),
-        hyperplane_lsh_bucket(vec_col, planes).alias("__bucket"),
+        F.explode(
+            F.array(*[own.bitwiseXOR(F.lit(m).cast("long")) for m in masks])
+        ).alias("__bucket"),
     )
     cand = with_b.join(F.broadcast(p), "__bucket").where(
         F.col(id_col) != F.col("__probe_id")
@@ -171,4 +187,96 @@ def bucketed_topk(
         )
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    max_rows: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, EXACT all-pairs form — the
+    verification path (quadratic; the scale path is
+    ``cosine_lsh_pairs``). Like d2's Jaccard guard, ``max_rows`` is an
+    explicit input contract: exceeding it fails fast instead of silently
+    launching an n² join."""
+    if max_rows is not None:
+        n = df.count()
+        if n > max_rows:
+            raise ValueError(
+                f"{n} vectors exceeds max_rows={max_rows} for exact "
+                "all-pairs cosine; use cosine_lsh_pairs"
+            )
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    sim = cosine("__va", "__vb")
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine_sim", F.round(sim, 6))
+        .where(sim >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
+    )
+
+
+def cosine_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    bands: int = 4,
+    bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup at scale: banded sign-LSH candidate
+    generation + exact cosine verification — the vector twin of the
+    MinHash text plan (shuffle on (band, bucket), never all-pairs).
+
+    Each band hashes every vector with its own ``bits`` random
+    hyperplanes; two vectors are candidates if ANY band agrees on all
+    bits. P[band match] = (1 - θ/π)^bits for angle θ, so more bands →
+    higher recall, more bits → higher precision of candidates. The
+    exact cosine filter makes the OUTPUT exact over the candidate set."""
+    import random
+
+    rng = random.Random(seed)
+    dim = len(df.select(vec_col).limit(1).collect()[0][0])
+    band_planes = [
+        [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(bits)]
+        for _ in range(bands)
+    ]
+    banded = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__vec"),
+        F.posexplode(
+            F.array(
+                *[hyperplane_lsh_bucket(vec_col, planes)
+                  for planes in band_planes]
+            )
+        ).alias("__band", "__bucket"),
+    ).persist()
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__bucket") == F.col("b.__bucket"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.col("a.__vec").alias("__va"),
+            F.col("b.__vec").alias("__vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sim = cosine("__va", "__vb")
+    return (
+        pairs.withColumn("cosine_sim", F.round(sim, 6))
+        .where(sim >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
     )

@@ -413,3 +413,31 @@ def u6_except_all(spark, sf_dir):
     f = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
     op = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
     return f.exceptAll(op)
+
+
+@query(
+    "e4_cosine_neardup",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cosine_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.3
+    """,
+)
+def e4_cosine_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs, exact all-pairs form (the
+    dedup family's vector member; brute-force verification path — the
+    banded sign-LSH scale path is e5_cosine_lsh_pairs). Guarded by the
+    same fail-fast input bound as d2; the threshold cut happens on the
+    6-dp rounded value so both engines cut identically."""
+    from ixmp_spark.operators.similarity import cosine_neardup_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    emb = emb.repartition(spark.sparkContext.defaultParallelism)
+    return cosine_neardup_pairs(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.3,
+        max_rows=50_000,
+    )

@@ -85,3 +85,18 @@ def e3_embed_ivf(spark, sf_dir):
         emb, probe, id_col="vec_id", vec_col="embedding",
         n_clusters=16, n_probe=2, k=10,
     )
+
+
+@query("e5_cosine_lsh_pairs")  # no SQL oracle: hyperplane family is engine-specific
+def e5_cosine_lsh_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup at scale: banded sign-LSH candidates
+    (shuffle on (band, bucket), never all-pairs) + exact cosine filter —
+    the vector twin of d3's MinHash plan. Rows-only; candidate-subset and
+    recall-vs-exact invariants are pinned in unit tests."""
+    from ixmp_spark.operators.similarity import cosine_lsh_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_lsh_pairs(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.3,
+        bands=6, bits=6,
+    )

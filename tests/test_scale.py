@@ -73,6 +73,66 @@ def test_jaccard_block_guard(spark):
     assert all(langs[r.id_a] == langs[r.id_b] for r in rows)
 
 
+def test_cosine_neardup_exact_vs_lsh(spark, sf_dir):
+    """e4/e5 invariants: LSH pairs are a subset of the exact pairs with
+    identical similarity values, and recall in the high-similarity
+    stratum (where near-dup detection actually operates) is high."""
+    from ixmp_spark.operators.similarity import (
+        cosine_lsh_pairs,
+        cosine_neardup_pairs,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    exact = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in cosine_neardup_pairs(
+            emb, "vec_id", "embedding", threshold=0.3
+        ).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.cosine_sim
+        for r in cosine_lsh_pairs(
+            emb, "vec_id", "embedding", threshold=0.3, bands=6, bits=6
+        ).collect()
+    }
+    assert set(lsh) <= set(exact)
+    assert all(exact[p] == s for p, s in lsh.items())
+    # recall where it matters: sign-LSH band-collision probability is
+    # (1 - theta/pi)^bits, so high-cosine pairs are recalled reliably
+    hot = {p for p, s in exact.items() if s >= 0.8}
+    if hot:
+        assert len(hot & set(lsh)) / len(hot) >= 0.8
+
+    # guard: exact form refuses oversized inputs
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_rows"):
+        cosine_neardup_pairs(emb, "vec_id", "embedding", max_rows=10)
+
+
+def test_multi_probe_recall_monotonic(spark, sf_dir):
+    """bucketed_topk's multi_probe knob: candidates grow with m, and the
+    top-k converges toward the exact answer (m = n_planes is exact)."""
+    import random
+
+    from ixmp_spark.operators.similarity import brute_force_topk, bucketed_topk
+
+    rng = random.Random(42)
+    planes = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(4)]
+    emb = load(spark, sf_dir, "embeddings")
+    probe = emb.orderBy("vec_id").limit(1)
+    exact = {r.vec_id for r in brute_force_topk(
+        emb, probe, "vec_id", "embedding", k=10).collect()}
+    recalls = []
+    for m in (0, 2, 4):
+        got = {r.vec_id for r in bucketed_topk(
+            emb, probe, "vec_id", "embedding", planes, k=10, multi_probe=m
+        ).collect()}
+        recalls.append(len(got & exact) / len(exact))
+    assert recalls == sorted(recalls)  # non-decreasing in m
+    assert recalls[-1] == 1.0  # m = n_planes probes every bucket
+
+
 def test_bucketed_join_no_exchange(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
