@@ -673,7 +673,8 @@ class Scenario(TimeSeries):
     # -- workbook I/O (reference scenario.py read_excel/to_excel) ---------
     def to_excel(self, path, items=None, max_row=None) -> None:
         """S3 (reference Scenario.to_excel): dump item data to a workbook
-        (.xlsx with openpyxl installed, CSV-dir otherwise)."""
+        (real .xlsx via the stdlib SpreadsheetML writer; a directory path
+        selects the CSV-dir backend)."""
         from ixmp_spark.sources.scenario_io import EXCEL_MAX_ROWS, write_scenario_data
 
         write_scenario_data(self, str(path), items=items,

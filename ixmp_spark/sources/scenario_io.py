@@ -12,10 +12,11 @@ Reference format (ixmp/backend/io.py:55–361; doc/file-io.rst:20–75):
   once their index sets exist (queue at io.py:250–308), with optional
   ``init_items`` schema inference and ``add_units`` registration.
 
-Workbook backend: real .xlsx via openpyxl when installed; otherwise a
-directory of CSVs with a manifest — identical sheet semantics, so the
-format logic (splitting, mapping, two-pass ordering) is fully exercised
-without the optional dependency.
+Workbook backend: real .xlsx always — written by the stdlib-only
+SpreadsheetML writer (sources/xlsx_lite.py; inline strings, readable by
+Excel/openpyxl/pandas) and read back by openpyxl when installed (full
+fidelity for external files) or xlsx_lite otherwise. Directory paths
+select the CSV-dir backend (same sheet semantics, handy for diffing).
 """
 
 from __future__ import annotations
@@ -51,14 +52,11 @@ class Workbook:
 
     def write(self, path: str) -> None:
         if str(path).endswith(".xlsx"):
-            if not HAVE_OPENPYXL:
-                raise ImportError(
-                    "openpyxl not installed; use a directory path for the "
-                    "CSV workbook backend"
-                )
-            with pd.ExcelWriter(path, engine="openpyxl") as xw:
-                for name, df in self.sheets.items():
-                    df.to_excel(xw, sheet_name=name, index=False)
+            # xlsx_lite writes standard SpreadsheetML (inline strings):
+            # readable by Excel/openpyxl/pandas — no dependency needed
+            from ixmp_spark.sources.xlsx_lite import write_xlsx
+
+            write_xlsx(path, self.sheets)
             return
         os.makedirs(path, exist_ok=True)
         order = []
@@ -73,9 +71,13 @@ class Workbook:
     def read(cls, path: str) -> "Workbook":
         wb = cls()
         if str(path).endswith(".xlsx"):
-            if not HAVE_OPENPYXL:
-                raise ImportError("openpyxl not installed")
-            for name, df in pd.read_excel(path, sheet_name=None).items():
+            if HAVE_OPENPYXL:  # full-fidelity reader for external files
+                for name, df in pd.read_excel(path, sheet_name=None).items():
+                    wb.add(name, df)
+                return wb
+            from ixmp_spark.sources.xlsx_lite import read_xlsx
+
+            for name, df in read_xlsx(path).items():
                 wb.add(name, df)
             return wb
         with open(os.path.join(path, "manifest.json")) as f:

@@ -298,3 +298,99 @@ def test_ts_operators_roundtrip(mp, spark):
         platforms={"wh": mp.wh.root},
     )
     assert ts.run_id == scen.run_id
+
+
+# -- real .xlsx workbooks (S3/S4 file-format contract; sources/xlsx_lite)
+
+def test_xlsx_roundtrip_dantzig(mp, tmp_path):
+    """Scenario -> real .xlsx file -> new scenario (reference
+    test_scenario.py:601 shape, actual SpreadsheetML this time)."""
+    scen = make_dantzig(mp)
+    path = str(tmp_path / "dantzig.xlsx")
+    scen.to_excel(path)
+    import zipfile
+
+    with zipfile.ZipFile(path) as z:  # structurally a real xlsx
+        assert "[Content_Types].xml" in z.namelist()
+        assert "xl/workbook.xml" in z.namelist()
+
+    dst = Scenario(mp, "canning problem", "xlsx copy", version="new")
+    dst.read_excel(path, init_items=True, add_units=True)
+    dst.commit("from xlsx")
+    assert sorted(dst.set("i")) == ["san-diego", "seattle"]
+    assert dst.items("par") == ["a", "b", "d", "f"]
+    pd.testing.assert_frame_equal(
+        scen.par("d").sort_values(["i", "j"]).reset_index(drop=True),
+        dst.par("d").sort_values(["i", "j"]).reset_index(drop=True),
+    )
+    assert dst.scalar("f") == scen.scalar("f")
+
+
+def test_xlsx_lite_types_and_escaping(tmp_path):
+    from ixmp_spark.sources.xlsx_lite import read_xlsx, write_xlsx
+
+    df = pd.DataFrame(
+        {
+            "s": ["a<b>&\"'", "multi word", ""],
+            "i": [1, 2, 3],
+            "f": [1.5, float("nan"), -2.25],
+            "mixed": ["x", 1, 2.5],
+        }
+    )
+    empty = pd.DataFrame({"only_header": []})
+    path = str(tmp_path / "t.xlsx")
+    write_xlsx(path, {"data": df, "empty": empty})
+    got = read_xlsx(path)
+    assert list(got) == ["data", "empty"]
+    d = got["data"]
+    # empty string round-trips as "" (an omitted/NaN cell reads as None)
+    assert d["s"].tolist() == ["a<b>&\"'", "multi word", ""]
+    assert d["i"].tolist() == [1, 2, 3] and str(d["i"].dtype) == "int64"
+    assert d["f"][0] == 1.5 and d["f"][2] == -2.25 and pd.isna(d["f"][1])
+    assert d["mixed"].tolist() == ["x", 1, 2.5]
+    assert list(got["empty"].columns) == ["only_header"] and not len(got["empty"])
+
+
+def test_xlsx_lite_reads_shared_strings(tmp_path):
+    """Files written by Excel/openpyxl use a shared-string table — the
+    reader must resolve t=\"s\" cells through it."""
+    import zipfile
+
+    from ixmp_spark.sources.xlsx_lite import read_xlsx
+
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    path = str(tmp_path / "ss.xlsx")
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr(
+            "[Content_Types].xml",
+            '<?xml version="1.0"?><Types xmlns="http://schemas.'
+            'openxmlformats.org/package/2006/content-types">'
+            '<Default Extension="rels" ContentType="application/vnd.'
+            'openxmlformats-package.relationships+xml"/>'
+            '<Default Extension="xml" ContentType="application/xml"/></Types>',
+        )
+        z.writestr(
+            "xl/workbook.xml",
+            f'<workbook xmlns="{ns}" xmlns:r="http://schemas.openxmlformats.'
+            'org/officeDocument/2006/relationships"><sheets>'
+            '<sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>',
+        )
+        z.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/'
+            '2006/relationships"><Relationship Id="rId1" Type="t" '
+            'Target="worksheets/sheet1.xml"/></Relationships>',
+        )
+        z.writestr(
+            "xl/sharedStrings.xml",
+            f'<sst xmlns="{ns}"><si><t>col</t></si><si><t>hello</t></si></sst>',
+        )
+        z.writestr(
+            "xl/worksheets/sheet1.xml",
+            f'<worksheet xmlns="{ns}"><sheetData>'
+            '<row r="1"><c r="A1" t="s"><v>0</v></c></row>'
+            '<row r="2"><c r="A2" t="s"><v>1</v></c></row>'
+            "</sheetData></worksheet>",
+        )
+    got = read_xlsx(path)
+    assert got["S"]["col"].tolist() == ["hello"]
