@@ -69,26 +69,60 @@ def asof_join(
     """As-of join (extension; SURVEY.md §2.3 notes the reference lacks it):
     for each left row (uniquely identified by ``left_id``), the latest
     right row with equal key and ``right_time <= left_time``; ties broken
-    by max ``tie_break``.
+    by max ``tie_break``. Inner semantics: left rows with no qualifying
+    right row are dropped.
 
-    Implementation: equi-join on the key with the time bound as a join-time
-    residual predicate, then a descending row_number per left row. The
-    equi-key keeps it a hash/sort-merge join (shuffle on the key only);
-    AQE splits skewed keys. A union-sort merge (mapPartitions) variant is
-    only needed when per-key fan-out explodes.
-    """
-    joined = left.join(
-        right,
-        (left[left_on] == right[right_on]) & (right[right_time] <= left[left_time]),
-        "inner",
+    Implementation — union–sort–carry-forward, the fan-out-free plan:
+    both sides union into one stream tagged (key, time, side), sorted per
+    key by (time, side, tie_break) with right rows before left rows at
+    equal time (inclusive bound); a running ``last(right_struct,
+    ignorenulls)`` window carries the latest right row forward onto each
+    left row. ONE shuffle on the key and one sort — no equi-join whose
+    per-left-row candidate set can explode (the old plan joined every
+    left row to ALL earlier right rows of its key before ranking: n·m
+    pairs per key; this plan is n+m log(n+m) per key), and no second
+    shuffle on left_id. Hot keys are a sort, not a blow-up; AQE handles
+    partition-level skew."""
+    rstruct = F.struct(*[right[c] for c in right.columns]).alias("__r")
+    lstruct = F.struct(*[left[c] for c in left.columns]).alias("__l")
+    r = right.select(
+        right[right_on].alias("__k"),
+        right[right_time].alias("__t"),
+        F.lit(0).alias("__side"),
+        right[tie_break].alias("__tie"),
+        rstruct,
+        F.lit(None).cast(
+            "struct<" + ",".join(
+                f"`{f.name}`:{f.dataType.simpleString()}"
+                for f in left.schema.fields
+            ) + ">"
+        ).alias("__l"),
     )
-    w = Window.partitionBy(left[left_id]).orderBy(
-        right[right_time].desc(), right[tie_break].desc()
+    lf = left.select(
+        left[left_on].alias("__k"),
+        left[left_time].alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(dict(right.dtypes)[tie_break]).alias("__tie"),
+        F.lit(None).cast(
+            "struct<" + ",".join(
+                f"`{f.name}`:{f.dataType.simpleString()}"
+                for f in right.schema.fields
+            ) + ">"
+        ).alias("__r"),
+        lstruct,
     )
-    return (
-        joined.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t").asc(), F.col("__side").asc(), F.col("__tie").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = r.unionByName(lf).withColumn(
+        "__carried", F.last("__r", ignorenulls=True).over(w)
+    )
+    out = merged.where((F.col("__side") == 1) & F.col("__carried").isNotNull())
+    return out.select(
+        *[F.col(f"__l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__carried.{c}").alias(c) for c in right.columns],
     )
 
 

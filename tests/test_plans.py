@@ -71,3 +71,6 @@ def test_asof_join_no_cartesian(spark, sf_dir):
     plan = formatted_plan(QUERIES["jx_asof_join"](spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # union-sort-carry-forward: there is NO join operator at all — the
+    # as-of resolves as one windowed pass over the keyed union stream
+    assert "Join" not in plan

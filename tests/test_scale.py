@@ -356,3 +356,32 @@ def test_dedup_segments_order_preserving(spark):
     )
     out = red.select(redact_pii("text").alias("t")).collect()[0]["t"]
     assert out == "mail me at <EMAIL> or <URL> id <NUM>"
+
+
+def test_asof_join_semantics(spark):
+    """Union-sort as-of: inclusive time bound, max-tie_break at equal
+    right times, and inner semantics (left rows before any right row of
+    their key are dropped)."""
+    from ixmp_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "u1", 10), (2, "u1", 5), (3, "u1", 2), (4, "u2", 10)],
+        "event_id long, user string, t long",
+    )
+    right = spark.createDataFrame(
+        # u1: two rows at t=5 (tie -> max rk wins), one at t=3
+        [("u1", 5, 100), ("u1", 5, 101), ("u1", 3, 50), ("u3", 1, 999)],
+        "key string, rt long, rk long",
+    )
+    got = {
+        r.event_id: r.rk
+        for r in asof_join(
+            left, right,
+            left_id="event_id", left_on="user", right_on="key",
+            left_time="t", right_time="rt", tie_break="rk",
+        ).collect()
+    }
+    assert got[1] == 101  # latest rt=5, tie broken by max rk
+    assert got[2] == 101  # inclusive: rt == t qualifies
+    assert 3 not in got  # t=2 precedes every u1 right row -> dropped
+    assert 4 not in got  # u2 has no right rows at all -> dropped
