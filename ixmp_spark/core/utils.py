@@ -162,3 +162,76 @@ def format_scenario_list(platform, match: str | None = None) -> pd.DataFrame:
         )
     )
     return out
+
+
+def as_str_list(arg, **kwargs) -> list[str]:
+    """C1 (reference util/__init__.py:86–110): convert `arg` to a list of
+    str. dict + keyword args → formatted '{key}={value}' parts for string
+    templates; scalars wrap; iterables map str()."""
+    if arg is None:
+        return []
+    if isinstance(arg, str):
+        return [arg.format(**kwargs)] if kwargs else [arg]
+    if isinstance(arg, dict):
+        return [f"{k}={v}" for k, v in arg.items()]
+    try:
+        return [str(x) for x in iter(arg)]
+    except TypeError:
+        return [str(arg)]
+
+
+def is_dict_int_float(value: dict) -> bool:
+    """Reference util/__init__.py:113: True iff every key is an int (type
+    guard for year→value dicts)."""
+    return all(isinstance(k, int) for k in value.keys())
+
+
+def check_year(y, s) -> bool | None:
+    """C3 (reference util/__init__.py:127–134): True if `y` is an int;
+    ValueError naming `s` otherwise; None when `y` is None."""
+    if y is not None:
+        if not isinstance(y, int):
+            raise ValueError(f"arg `{s}` must be an integer!")
+        return True
+    return None
+
+
+def to_iamc_layout(df: pd.DataFrame) -> pd.DataFrame:
+    """C2 (reference util/__init__.py:411–455): reset index; lower-case
+    column names; node→region; require region/variable/unit; default
+    subannual='Year'."""
+    if not list(df.index.names) == [None]:
+        df = df.reset_index()
+    cols = {c: str(c).lower() for c in df.columns}
+    cols.update(node="region")
+    df = df.rename(columns=cols)
+    missing = list({"region", "variable", "unit"} - set(df.columns))
+    if missing:
+        raise ValueError(f"missing required columns {missing!r}")
+    if "subannual" not in df.columns:
+        df = df.assign(subannual="Year")
+    return df
+
+
+def year_list(x) -> list:
+    """C3 (reference util/__init__.py:455–464): elements of `x` castable
+    to int (the year columns of a wide frame)."""
+    out = []
+    for i in x:
+        try:
+            int(i)
+            out.append(i)
+        except (ValueError, TypeError):
+            pass
+    return out
+
+
+def filtered(df: pd.DataFrame, filters) -> pd.DataFrame:
+    """F1's pandas twin (reference util/__init__.py:467–479): AND of
+    per-column IN-list masks, values coerced through as_str_list."""
+    if filters is None:
+        return df
+    mask = pd.Series(True, index=df.index)
+    for k, v in filters.items():
+        mask &= df[k].isin(as_str_list(v))
+    return df[mask]

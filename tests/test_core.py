@@ -658,3 +658,49 @@ def test_runs_meta_parquet_mirrors(mp):
     import json
 
     assert json.loads(got.value_json) == {"k": 1}
+
+
+def test_util_parity_functions():
+    """as_str_list / is_dict_int_float / check_year / to_iamc_layout /
+    year_list / filtered (reference util/__init__.py contracts)."""
+    from ixmp_spark.core.utils import (
+        as_str_list,
+        check_year,
+        filtered,
+        is_dict_int_float,
+        to_iamc_layout,
+        year_list,
+    )
+
+    assert as_str_list(None) == []
+    assert as_str_list("x") == ["x"]
+    assert as_str_list("{a}-{b}", a=1, b=2) == ["1-2"]
+    assert as_str_list({"k": 1, "j": 2}) == ["k=1", "j=2"]
+    assert as_str_list([1, "b"]) == ["1", "b"]
+    assert as_str_list(3) == ["3"]
+
+    assert is_dict_int_float({2010: 1.0, 2020: 2.0})
+    assert not is_dict_int_float({"2010": 1.0})
+
+    assert check_year(2020, "y") is True
+    assert check_year(None, "y") is None
+    with pytest.raises(ValueError, match="`y` must be an integer"):
+        check_year("2020", "y")
+
+    df = pd.DataFrame(
+        {"node": ["World"], "Variable": ["GDP"], "Unit": ["USD"], "2020": [1.0]}
+    ).set_index("node")
+    out = to_iamc_layout(df)
+    # index reset, lower-cased names, node -> region, subannual default
+    assert {"region", "variable", "unit", "subannual"} <= set(out.columns)
+    assert out["region"].iloc[0] == "World"
+    assert out["subannual"].iloc[0] == "Year"
+    with pytest.raises(ValueError, match="missing required"):
+        to_iamc_layout(pd.DataFrame({"variable": ["x"]}))
+
+    assert year_list(["2010", "foo", 2020, "bar"]) == ["2010", 2020]
+
+    data = pd.DataFrame({"i": ["a", "b", "c"], "v": [1, 2, 3]})
+    assert filtered(data, {"i": ["a", "c"]})["v"].tolist() == [1, 3]
+    assert filtered(data, None) is data
+    assert filtered(data, {"i": "b"})["v"].tolist() == [2]
