@@ -5,8 +5,9 @@ data model and call signatures follow the reference; execution is Spark
 DataFrames over the warehouse parquet.
 """
 
+from ixmp_spark.core.itemtype import ItemType
 from ixmp_spark.core.platform import Platform
 from ixmp_spark.core.scenario import Scenario
-from ixmp_spark.core.timeseries import TimeSeries
+from ixmp_spark.core.timeseries import IAMC_IDX, TimeSeries
 
-__all__ = ["Platform", "Scenario", "TimeSeries"]
+__all__ = ["IAMC_IDX", "ItemType", "Platform", "Scenario", "TimeSeries"]

@@ -97,13 +97,23 @@ class Scenario(TimeSeries):
         self.change_scalar(name, val, unit, comment)
 
     def items(
-        self, ix_type: str | None = None, indexed_by: str | None = None
+        self, ix_type=None, indexed_by: str | None = None
     ) -> list[str]:
         """Sorted item names (O1), optionally of one type / indexed by a
-        given set (F8, reference scenario.py:391–435)."""
+        given set (F8, reference scenario.py:391–435). ``ix_type`` takes
+        the lowercase string or an :class:`ItemType` flag combination
+        (reference backend/common.py:59)."""
+        from ixmp_spark.core.itemtype import ItemType
+
+        if isinstance(ix_type, ItemType):
+            allowed = set(ix_type.ix_types())
+        elif ix_type:
+            allowed = {ix_type}
+        else:
+            allowed = None
         out = []
         for name, it in self._items().items():
-            if ix_type and it["ix_type"] != ix_type:
+            if allowed is not None and it["ix_type"] not in allowed:
                 continue
             if indexed_by and indexed_by not in it["idx_sets"]:
                 continue

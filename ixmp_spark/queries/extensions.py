@@ -441,3 +441,42 @@ def e4_cosine_neardup(spark, sf_dir):
         emb, id_col="vec_id", vec_col="embedding", threshold=0.3,
         max_rows=50_000,
     )
+
+
+@query(
+    "g3_retention_cohort",
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS w0
+      FROM events GROUP BY user_id
+    )
+    SELECT strftime(c.w0, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('week', c.w0, date_trunc('week', e.ts)) AS INTEGER)
+             AS week_offset,
+           count(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN cohort c USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def g3_retention_cohort(spark, sf_dir):
+    """Retention cohort matrix (events extension, the g-family's
+    analytics companion): users bucketed by first-seen week, distinct
+    actives per (cohort, week offset). Two shuffles — the per-user min
+    (map-side combined) and the cohort-cell countDistinct; the cohort
+    frame is user-cardinality so it broadcast-joins back onto events.
+    Both engines truncate weeks to Monday and the offsets difference
+    whole truncated weeks, so values hash-match."""
+    ev = load(spark, sf_dir, "events")
+    cohort = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("w0")
+    )
+    return (
+        ev.join(F.broadcast(cohort), "user_id")
+        .groupBy(
+            F.date_format("w0", "yyyy-MM-dd").alias("cohort_week"),
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("w0")) / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )

@@ -113,3 +113,37 @@ def test_filter_contract_edges(spark, sf_dir, filters, expect):
             (li.l_returnflag == "A") & (li.l_linestatus == "F")
         ).count()
         assert n == manual
+
+
+def test_chunk_index_matches_global_order(spark):
+    """The range-partitioned chunk assignment must equal the sequential
+    definition (floor(global_rank / chunk_size)) for arbitrary sizes and
+    chunk widths — the scale-safe plan is a pure refactor of W4."""
+    from ixmp_spark.operators.versioning import chunk_index
+
+    for n, size, parts in ((0, 10, 4), (1, 3, 4), (97, 10, 7), (1000, 64, 32)):
+        df = spark.range(n).selectExpr("id * 37 % 1009 AS k", "id")
+        got = (
+            chunk_index(df, order_by=["k", "id"], chunk_size=size,
+                        num_partitions=parts)
+            .orderBy("k", "id")
+            .collect()
+        )
+        rows = sorted(((r.k, r.id) for r in got))
+        expect = {kv: i // size for i, kv in enumerate(rows)}
+        assert all(expect[(r.k, r.id)] == r.chunk for r in got), (n, size)
+
+
+def test_items_itemtype_flags(spark, tmp_path):
+    from ixmp_spark.core import ItemType, Platform
+    from ixmp_spark.testing import make_dantzig
+
+    scen = make_dantzig(Platform(spark, str(tmp_path / "wh")))
+    assert scen.items(ItemType.PAR) == scen.items("par")
+    assert scen.items(ItemType.SET) == scen.items("set")
+    combo = scen.items(ItemType.VAR | ItemType.EQU)
+    assert combo == sorted(scen.items("var") + scen.items("equ"))
+    assert ItemType.is_model_data(ItemType.PAR)
+    assert not ItemType.is_model_data(ItemType.TS)
+    assert ItemType.from_str("par") is ItemType.PAR
+    assert (ItemType.VAR | ItemType.EQU) == ItemType.SOLUTION
