@@ -20,8 +20,13 @@ def formatted_plan(df) -> str:
 
 
 #: queries whose plan legitimately contains a BroadcastNestedLoopJoin —
-#: a broadcast 1-row probe crossJoin is the intended shape
-BNLJ_OK = {"e1_embed_topk", "e2_embed_ann", "e3_embed_ivf", "j10_band_join"}
+#: a broadcast 1-row probe / scalar-subquery crossJoin (e1/e2/e3/b_q22),
+#: a 3-row band dimension (j10), or the explicitly max_rows-guarded
+#: exact all-pairs verification path (e4)
+BNLJ_OK = {
+    "e1_embed_topk", "e2_embed_ann", "e3_embed_ivf", "j10_band_join",
+    "b_q22", "e4_cosine_neardup",
+}
 
 #: multi-stage pipelines where >6 shuffles are inherent (documented):
 #: d3 = repartition + banded self-join + 2 candidate joins + distinct
