@@ -245,6 +245,68 @@ class Platform:
 
         self.wh.update_catalog(rm)
 
+    # -- logging / export / access façades (reference platform.py:118–425)
+    def set_log_level(self, level) -> None:
+        """Reference platform.py:118–147: set the package log level (and
+        mirror it onto the Spark context where the names map)."""
+        import logging
+
+        logging.getLogger("ixmp_spark").setLevel(level)
+        name = (
+            level if isinstance(level, str)
+            else logging.getLevelName(level)
+        )
+        if name in ("DEBUG", "INFO", "WARN", "WARNING", "ERROR"):
+            self.spark.sparkContext.setLogLevel(
+                "WARN" if name == "WARNING" else name
+            )
+
+    def get_log_level(self) -> str:
+        import logging
+
+        return logging.getLevelName(
+            logging.getLogger("ixmp_spark").getEffectiveLevel()
+        )
+
+    def export_timeseries_data(self, path, **kwargs) -> None:
+        """S6 façade (reference platform.py:197–260): filtered bulk TS
+        CSV export across runs — see sources/ts_io.py."""
+        from ixmp_spark.sources.ts_io import export_timeseries_data
+
+        export_timeseries_data(self, str(path), **kwargs)
+
+    def check_access(self, user: str, models, access: str = "view"):
+        """Reference platform.py:399–425: per-model access check. The
+        local warehouse is single-tenant, so access derives from an
+        optional ``acl`` docs domain ({model: comma-joined users per
+        access level via doc key '<model>:<access>'}); with no ACL entry
+        the platform is open (True). Returns bool for a str `models`,
+        dict[model, bool] for a list."""
+        from ixmp_spark.core.utils import as_str_list
+
+        models_list = as_str_list(models)
+        if not models_list:
+            raise ValueError("must supply at least 1 model name")
+        acl = self.wh.catalog()["docs"].get("acl", {})
+
+        def allowed(model: str) -> bool:
+            entry = acl.get(f"{model}:{access}")
+            if entry is None:
+                return True  # open platform: no ACL configured
+            return user in [u.strip() for u in entry.split(",")]
+
+        result = {m: allowed(m) for m in models_list}
+        return result[models] if isinstance(models, str) else result
+
+    def grant_access(self, user: str, model: str, access: str = "view") -> None:
+        """Register `user` in the ACL for (`model`, `access`) — once any
+        entry exists for that pair, access is restricted to listed users."""
+        cur = self.wh.catalog()["docs"].get("acl", {}).get(f"{model}:{access}")
+        users = [u.strip() for u in cur.split(",")] if cur else []
+        if user not in users:
+            users.append(user)
+        self.set_doc("acl", f"{model}:{access}", ",".join(users))
+
     # -- docs (doc/data-model.rst:172–190) --------------------------------
     def set_doc(self, domain: str, name: str, doc: str) -> None:
         self.wh.update_catalog(

@@ -704,3 +704,33 @@ def test_util_parity_functions():
     assert filtered(data, {"i": ["a", "c"]})["v"].tolist() == [1, 3]
     assert filtered(data, None) is data
     assert filtered(data, {"i": "b"})["v"].tolist() == [2]
+
+
+def test_platform_access_and_logging(mp, tmp_path):
+    # open platform: everything allowed
+    assert mp.check_access("alice", "canning problem") is True
+    assert mp.check_access("alice", ["m1", "m2"]) == {"m1": True, "m2": True}
+    with pytest.raises(ValueError, match="at least 1"):
+        mp.check_access("alice", [])
+    # once an ACL entry exists, that (model, access) pair is restricted
+    mp.grant_access("alice", "m1", "edit")
+    assert mp.check_access("alice", "m1", "edit") is True
+    assert mp.check_access("bob", "m1", "edit") is False
+    assert mp.check_access("bob", "m1", "view") is True  # view unrestricted
+    mp.grant_access("bob", "m1", "edit")
+    assert mp.check_access("bob", "m1", "edit") is True
+    # log level round-trip
+    mp.set_log_level("DEBUG")
+    assert mp.get_log_level() == "DEBUG"
+    mp.set_log_level("WARNING")
+    assert mp.get_log_level() == "WARNING"
+    # export façade
+    make_dantzig(mp)
+    scen = Scenario(mp, "canning problem", "standard")
+    scen.check_out(timeseries_only=True)
+    scen.add_timeseries(HIST_DF)
+    scen.commit("ts")
+    scen.set_as_default()
+    out = tmp_path / "exported.csv"
+    mp.export_timeseries_data(out)
+    assert "GDP" in out.read_text()
