@@ -99,6 +99,20 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def enrich_stream(
+    events: DataFrame, dim: DataFrame, on: str, how: str = "left"
+) -> DataFrame:
+    """Stream–static enrichment join: decorate a stream with a
+    codelist/dimension table (user → segment, region → canonical, …).
+
+    The static side broadcasts into every micro-batch — no state store,
+    no watermark needed (stream-STATIC joins are stateless; only
+    stream-stream joins buffer). On a cluster the static side is
+    re-resolved per batch for Delta tables, so slowly-changing dims pick
+    up updates between micro-batches."""
+    return events.join(F.broadcast(dim), on, how)
+
+
 def write_ts_sink(
     df: DataFrame, path: str, checkpoint: str, partition_by: str = "event_type"
 ):

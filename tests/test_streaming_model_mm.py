@@ -210,6 +210,35 @@ def test_unknown_mime_raises(spark, media_df):
         extract_features(bad).collect()
 
 
+def test_stream_static_enrichment(spark, sf_dir, events_dir):
+    """Stream-static join: every micro-batch enriches against the
+    broadcast dimension; totals match the batch join exactly."""
+    from pyspark.sql import functions as F
+
+    from ixmp_spark.streaming.ts_stream import enrich_stream
+
+    users = (
+        load(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    stream = stream_events(spark, events_dir)
+    enriched = enrich_stream(stream, users, on="user_id")
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("total")
+    )
+    got = run_available_now(agg, "t_enrich", mode="complete").toPandas()
+    batch = (
+        load(spark, sf_dir, "events")
+        .join(users, "user_id", "left")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .toPandas()
+    )
+    a = got.set_index("c_mktsegment").sort_index().round(6)
+    b = batch.set_index("c_mktsegment").sort_index().round(6)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
 def test_stateful_running_totals(spark, events_dir):
     """applyInPandasWithState: state folds across micro-batches (the
     source feeds one file per trigger → 4 micro-batches); the final
