@@ -72,17 +72,16 @@ def bucket_table(
 
 
 def exchange_count(df: DataFrame) -> int:
-    """Number of shuffle exchanges in the physical plan (plan-quality
-    metric used by tests; broadcast exchanges excluded)."""
+    """Number of shuffle-exchange NODES in the physical plan (plan-quality
+    metric used by tests; BroadcastExchange/ReusedExchange excluded).
+    Counts each node once via its formatted-explain detail-block header —
+    tree lines would double-count."""
     import contextlib
     import io
+    import re
 
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     plan = buf.getvalue()
-    return sum(
-        1
-        for line in plan.splitlines()
-        if "Exchange" in line and "Broadcast" not in line and "Reused" not in line
-    )
+    return len(re.findall(r"^\(\d+\) Exchange\b", plan, re.M))

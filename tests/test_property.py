@@ -147,3 +147,50 @@ def test_items_itemtype_flags(spark, tmp_path):
     assert not ItemType.is_model_data(ItemType.TS)
     assert ItemType.from_str("par") is ItemType.PAR
     assert (ItemType.VAR | ItemType.EQU) == ItemType.SOLUTION
+
+
+def test_p2_decomposition_matches_global_window(spark):
+    """The per-quality-group token-budget packing (p2) must select the
+    exact same rows as the single-partition global-window definition, on
+    data with heavy quality-value ties."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.range(500).selectExpr(
+        "id AS doc_id",
+        "CAST(id % 13 AS DOUBLE) / 13 AS quality",  # many ties per value
+        "CAST(id % 37 + 5 AS INT) AS n_tokens",
+    )
+    B = 3000
+    # reference: global running sum (the definition)
+    wg = Window.orderBy(F.col("quality").desc(), F.col("doc_id")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    expect = {
+        (r.doc_id, r.cum_tokens)
+        for r in df.withColumn("cum_tokens", F.sum("n_tokens").over(wg))
+        .where(F.col("cum_tokens") <= B)
+        .collect()
+    }
+    # scale-safe decomposition (the p2 plan)
+    w_off = Window.orderBy(F.col("quality").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        df.groupBy("quality")
+        .agg(F.sum("n_tokens").alias("__qt"))
+        .withColumn("__off", F.coalesce(F.sum("__qt").over(w_off), F.lit(0)))
+        .drop("__qt")
+    )
+    w_loc = Window.partitionBy("quality").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    got = {
+        (r.doc_id, r.cum_tokens)
+        for r in df.join(F.broadcast(offsets), "quality")
+        .where(F.col("__off") <= B)
+        .withColumn("cum_tokens", F.col("__off") + F.sum("n_tokens").over(w_loc))
+        .where(F.col("cum_tokens") <= B)
+        .collect()
+    }
+    assert got == expect and len(got) > 0
