@@ -121,6 +121,56 @@ def resize_images(
     return df.mapInPandas(batches, schema=out_schema)
 
 
+def chunk_audio(
+    df: DataFrame,
+    window_s: float,
+    media_col: str = "media",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Audio chunking pipeline shape: one output row per fixed-duration
+    window of each clip, carrying the byte range a real decoder would
+    slice (PCM-rate arithmetic on the metadata — the waveform decode
+    itself is the stubbed step). The training-data use case is windowed
+    transcription/embedding: downstream operators fan out per chunk, so
+    chunk rows must be explodable WITHOUT shipping or decoding audio
+    bytes — offsets come purely from (sample_rate, duration_s)."""
+    out_schema = (
+        f"{id_col} long, chunk_index int, start_s double, end_s double, "
+        "start_sample long, end_sample long, mime string"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i, m in zip(pdf[id_col], pdf[media_col]):
+                dur = m["duration_s"] or 0.0
+                rate = m["sample_rate"] or 0
+                n = max(1, -(-int(dur * 1e6) // int(window_s * 1e6))) if dur else 0
+                for ci in range(n):
+                    s = ci * window_s
+                    e = min(dur, s + window_s)
+                    rows.append(
+                        {
+                            id_col: i,
+                            "chunk_index": ci,
+                            "start_s": s,
+                            "end_s": e,
+                            "start_sample": int(s * rate),
+                            "end_sample": int(e * rate),
+                            "mime": m["mime"],
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "chunk_index", "start_s", "end_s",
+                    "start_sample", "end_sample", "mime",
+                ],
+            )
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
 def sample_frames(
     df: DataFrame, every_n: int, media_col: str = "media", id_col: str = "media_id"
 ) -> DataFrame:

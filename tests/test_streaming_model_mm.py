@@ -190,6 +190,34 @@ def test_sample_frames(media_df):
     assert out.groupby("media_id").size().tolist() == [2, 4, 6]
 
 
+def test_chunk_audio(spark):
+    """Fixed-window audio chunking: offsets derive from metadata only
+    (no bytes shipped); last chunk clips to the clip duration."""
+    from pyspark.sql import types as T
+
+    from ixmp_spark.operators.multimodal import chunk_audio
+
+    rows = [
+        (1, {"content": None, "uri": "s3://bucket/a.wav", "mime": "audio/wav",
+             "width": None, "height": None, "n_frames": None,
+             "sample_rate": 16000, "duration_s": 10.5}),
+        (2, {"content": b"xx", "uri": None, "mime": "audio/flac",
+             "width": None, "height": None, "n_frames": None,
+             "sample_rate": 8000, "duration_s": 4.0}),
+    ]
+    schema = T.StructType(
+        [T.StructField("media_id", T.LongType()), T.StructField("media", MEDIA_STRUCT)]
+    )
+    df = spark.createDataFrame(rows, schema)
+    got = chunk_audio(df, window_s=4.0).toPandas()
+    one = got[got["media_id"] == 1].sort_values("chunk_index")
+    assert one["chunk_index"].tolist() == [0, 1, 2]
+    assert one["end_s"].tolist() == [4.0, 8.0, 10.5]  # last chunk clipped
+    assert one["end_sample"].tolist() == [64000, 128000, 168000]
+    two = got[got["media_id"] == 2]
+    assert len(two) == 1 and two["end_sample"].iloc[0] == 32000
+
+
 def test_unknown_mime_raises(spark, media_df):
     from pyspark.sql import functions as F
 
