@@ -114,6 +114,114 @@ class ExchangeModel(Model):
 
 
 @register_model
+class TransportModel(Model):
+    """Built-in LP solve of the canonical transport scheme (the
+    reference's own test model — tutorial Dantzig, model/dantzig.py):
+    sets ``i``/``j``; pars ``a(i)`` capacity, ``b(j)`` demand, ``d(i,j)``
+    distance, scalar ``f`` freight. Solved with the engine's two-phase
+    simplex (core/lp.py) — levels AND marginals are computed, not
+    replayed; no external solver required. Writes vars ``x(i,j)``/``z``
+    and equs ``supply(i)``/``demand(j)``/``cost`` exactly like the GAMS
+    round-trip would."""
+
+    name = "transport-lp"
+
+    @classmethod
+    def initialize(cls, scenario: Scenario) -> None:
+        """X6 scheme hook: declare the transport items on a bare run."""
+        import pandas as pd  # noqa: F401
+
+        have = set(scenario.items())
+        def need(n):
+            return n not in have
+        if need("i"):
+            scenario.init_set("i")
+        if need("j"):
+            scenario.init_set("j")
+        for name, idx in (("a", ["i"]), ("b", ["j"]), ("d", ["i", "j"])):
+            if need(name):
+                scenario.init_par(name, idx_sets=idx)
+        if need("f"):
+            scenario.init_par("f")
+        for name, idx in (("x", ["i", "j"]), ("z", None)):
+            if need(name):
+                scenario.init_var(name, idx_sets=idx)
+        for name, idx in (("supply", ["i"]), ("demand", ["j"]), ("cost", None)):
+            if need(name):
+                scenario.init_equ(name, idx_sets=idx)
+
+    def run(self, scenario: Scenario) -> None:
+        import pandas as pd
+
+        from ixmp_spark.core.lp import solve_lp
+
+        # declaration order, not sorted: among alternative optima the
+        # simplex then lands on the same vertex as the reference's GAMS
+        # run (which pivots in declaration order)
+        I = list(scenario.set("i"))
+        J = list(scenario.set("j"))
+        cap = scenario.par("a").set_index("i")["value"]
+        dem = scenario.par("b").set_index("j")["value"]
+        dist = scenario.par("d").set_index(["i", "j"])["value"]
+        f = scenario.scalar("f")["value"]
+        pairs = [(i, j) for i in I for j in J if (i, j) in dist.index]
+        c = [f * dist[p] / 1000.0 for p in pairs]
+        A, b, senses = [], [], []
+        for i in I:  # supply capacity
+            A.append([1.0 if pi == i else 0.0 for pi, pj in pairs])
+            b.append(float(cap[i]))
+            senses.append("<=")
+        for j in J:  # demand satisfaction
+            A.append([1.0 if pj == j else 0.0 for pi, pj in pairs])
+            b.append(float(dem[j]))
+            senses.append(">=")
+        res = solve_lp(c, A, b, senses)
+        if res.status != "optimal":
+            raise RuntimeError(f"transport LP: {res.status}")
+        r9 = lambda v: round(float(v), 9)  # noqa: E731
+
+        scenario.check_out(timeseries_only=True)
+        scenario._ts_only = False  # solution write allowed in solve path
+        scenario.add_solution(
+            "x",
+            pd.DataFrame(
+                [
+                    (i, j, r9(lvl), r9(rc))
+                    for (i, j), lvl, rc in zip(pairs, res.x, res.reduced_costs)
+                ],
+                columns=["i", "j", "lvl", "mrg"],
+            ),
+            "var",
+        )
+        scenario.add_solution("z", {"lvl": r9(res.objective), "mrg": 0.0}, "var")
+        scenario.add_solution("cost", {"lvl": 0.0, "mrg": 1.0}, "equ")
+        shipped = {i: sum(res.x[k] for k, p in enumerate(pairs) if p[0] == i)
+                   for i in I}
+        received = {j: sum(res.x[k] for k, p in enumerate(pairs) if p[1] == j)
+                    for j in J}
+        scenario.add_solution(
+            "supply",
+            pd.DataFrame(
+                [(i, r9(shipped[i]), r9(res.duals[k])) for k, i in enumerate(I)],
+                columns=["i", "lvl", "mrg"],
+            ),
+            "equ",
+        )
+        scenario.add_solution(
+            "demand",
+            pd.DataFrame(
+                [
+                    (j, r9(received[j]), r9(res.duals[len(I) + k]))
+                    for k, j in enumerate(J)
+                ],
+                columns=["j", "lvl", "mrg"],
+            ),
+            "equ",
+        )
+        scenario.commit("solved (built-in simplex)")
+
+
+@register_model
 class GAMSModel(Model):
     """S7/S8 bridge: scenario sets+pars → GDX → ``gams`` subprocess →
     solution GDX → sol_data commit. Requires the public GAMS Transfer

@@ -100,34 +100,13 @@ def make_dantzig(mp: Platform, solve: bool = False) -> Scenario:
 
 
 def solve_dantzig(scen: Scenario) -> None:
-    """Store the canonical LP solution (stand-in for the GAMS round-trip —
-    SURVEY.md §3.3; the lvl/mrg values are the textbook optimum)."""
-    scen.check_out(timeseries_only=True)
-    scen._ts_only = False  # solution write is allowed in the solve path
-    scen.add_solution("x", DANTZIG_SOLUTION["x"], "var")
-    scen.add_solution("z", DANTZIG_SOLUTION["z"], "var")
-    scen.add_solution("cost", {"lvl": 0.0, "mrg": 1.0}, "equ")
-    scen.add_solution(
-        "supply",
-        pd.DataFrame(
-            [("seattle", 350.0, 0.0), ("san-diego", 550.0, 0.0)],
-            columns=["i", "lvl", "mrg"],
-        ),
-        "equ",
-    )
-    scen.add_solution(
-        "demand",
-        pd.DataFrame(
-            [
-                ("new-york", 325.0, 0.225),
-                ("chicago", 300.0, 0.153),
-                ("topeka", 275.0, 0.126),
-            ],
-            columns=["j", "lvl", "mrg"],
-        ),
-        "equ",
-    )
-    scen.commit("solved")
+    """SOLVE the canning problem with the engine's built-in two-phase
+    simplex (core/lp.py via TransportModel) — levels, duals, and reduced
+    costs are computed, not replayed; tests assert the result equals the
+    textbook optimum in ``DANTZIG_SOLUTION``."""
+    from ixmp_spark.core.model import TransportModel
+
+    TransportModel().run(scen)
 
 
 HIST_DF = pd.DataFrame(

@@ -486,3 +486,48 @@ def test_exchange_model_subprocess(mp, tmp_path):
     with pytest.raises(RuntimeError, match="rc=3"):
         solve(scen2, model="exchange", command=[sys.executable, str(bad)])
     assert not scen2.has_solution()
+
+
+def test_transport_lp_model_end_to_end(mp):
+    """Built-in simplex solve through the model registry: computed
+    levels/marginals equal the textbook optimum (incl. degenerate-basis
+    duals), and the X6 initialize hook declares the scheme on a bare run."""
+    from ixmp_spark.core.model import TransportModel
+
+    scen = make_dantzig(mp)
+    solve(scen, model="transport-lp")
+    x = scen.var("x").set_index(["i", "j"])
+    exp = DANTZIG_SOLUTION["x"].set_index(["i", "j"])
+    for key in exp.index:
+        assert x.loc[key, "lvl"] == exp.loc[key, "lvl"], key
+        assert x.loc[key, "mrg"] == exp.loc[key, "mrg"], key
+    assert scen.var("z")["lvl"] == 153.675
+    dem = scen.equ("demand").set_index("j")
+    assert dem["mrg"].to_dict() == {
+        "new-york": 0.225, "chicago": 0.153, "topeka": 0.126,
+    }
+    sup = scen.equ("supply").set_index("i")
+    assert sup["lvl"].to_dict() == {"seattle": 350.0, "san-diego": 550.0}
+    assert (sup["mrg"] == 0.0).all()
+    # X6: initialize declares the scheme on a bare scenario
+    from ixmp_spark.core import Scenario as _S
+
+    bare = _S(mp, "transport", "bare", version="new")
+    TransportModel.initialize(bare)
+    assert bare.has_var("x") and bare.has_equ("demand") and bare.has_par("d")
+    bare.discard_changes()
+
+
+def test_lp_solver_statuses():
+    """solve_lp edge statuses: infeasible and unbounded detected."""
+    from ixmp_spark.core.lp import solve_lp
+
+    infeasible = solve_lp([1.0], [[1.0], [1.0]], [1.0, 3.0], ["<=", ">="])
+    assert infeasible.status == "infeasible"
+    unbounded = solve_lp([-1.0], [[-1.0]], [0.0], ["<="])
+    assert unbounded.status == "unbounded"
+    # equality rows + duals: min x+y st x+y=4, x<=1 -> x=1,y=3
+    r = solve_lp([1.0, 2.0], [[1, 1], [1, 0]], [4.0, 1.0], ["=", "<="])
+    assert r.status == "optimal" and r.objective == 7.0
+    assert list(r.x) == [1.0, 3.0]
+    assert r.duals[0] == 2.0 and r.duals[1] == -1.0
