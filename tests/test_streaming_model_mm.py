@@ -531,3 +531,28 @@ def test_lp_solver_statuses():
     assert r.status == "optimal" and r.objective == 7.0
     assert list(r.x) == [1.0, 3.0]
     assert r.duals[0] == 2.0 and r.duals[1] == -1.0
+
+
+def test_exchange_model_real_solver_cli(mp, tmp_path):
+    """Full reference solve loop with a REAL external solver: the engine
+    writes the exchange bundle, `python -m ixmp_spark.solver_cli`
+    (a separate OS process) computes the optimum with the built-in
+    simplex, and the engine imports the solution in one commit."""
+    import sys
+
+    scen = make_dantzig(mp)
+    solve(
+        scen,
+        model="exchange",
+        command=[sys.executable, "-m", "ixmp_spark.solver_cli"],
+        workdir=str(tmp_path / "xchg"),
+    )
+    assert scen.has_solution()
+    x = scen.var("x").set_index(["i", "j"])
+    exp = DANTZIG_SOLUTION["x"].set_index(["i", "j"])
+    for key in exp.index:
+        assert x.loc[key, "lvl"] == exp.loc[key, "lvl"], key
+        assert x.loc[key, "mrg"] == exp.loc[key, "mrg"], key
+    assert scen.var("z") == {"lvl": 153.675, "mrg": 0.0}
+    dem = scen.equ("demand").set_index("j")
+    assert dem.loc["topeka", "mrg"] == 0.126
