@@ -296,3 +296,66 @@ def simhash64(col, n: int = 2) -> "F.Column":
             )
         )
     return out
+
+
+def winnow_fingerprints(col, k: int = 5, w: int = 4) -> "F.Column":
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03): hash every character k-gram, then keep the minimum hash
+    of each window of ``w`` consecutive k-grams — a position-robust
+    fingerprint set whose overlap measures local similarity (the
+    rolling-hash family member of the dedup suite; SimHash/MinHash are
+    the global-similarity members).
+
+    Guarantees: any shared substring of length >= w + k - 1 contributes
+    at least one shared fingerprint, so containment of fingerprint sets
+    lower-bounds long-match coverage. Pure Catalyst: sequence/transform/
+    slice/array_min — no Python, no shuffle (per-row expression).
+    Returns array<long> (distinct, sorted).
+    """
+    c = normalize_text(col)
+    empty = F.array().cast("array<bigint>")
+
+    def upto(n):  # 1..n, or [] when n < 1 (sequence(1, 0) would DESCEND)
+        return F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+            F.array().cast("array<int>")
+        )
+
+    n_grams = F.length(c) - (k - 1)
+    grams = F.transform(upto(n_grams), lambda i: F.xxhash64(c.substr(i, F.lit(k))))
+    # Sliding-window minima in ONE aggregate pass over the gram hashes.
+    # (The obvious transform(i -> array_min(slice(grams, i, w))) is a
+    # trap: projection collapse INLINES the whole k-gram expression into
+    # every window, re-hashing all n grams per window — O(n²) substr+
+    # xxhash64 per document. The fold keeps a ≤w ring window + result
+    # accumulator, so each hash is computed exactly once.)
+    init = F.struct(empty.alias("win"), empty.alias("out"))
+
+    def step(acc, h):
+        window = F.concat(acc["win"], F.array(h))
+        full = F.size(window) == w
+        return F.struct(
+            F.when(full, F.slice(window, 2, w - 1)).otherwise(window).alias("win"),
+            F.when(
+                full, F.concat(acc["out"], F.array(F.array_min(window)))
+            ).otherwise(acc["out"]).alias("out"),
+        )
+
+    def finish(acc):
+        # shorter than one window but non-empty: the global min is the
+        # sole fingerprint (acc.win holds ALL hashes in that case)
+        return F.when(
+            (F.size(acc["out"]) == 0) & (F.size(acc["win"]) > 0),
+            F.array(F.array_min(acc["win"])),
+        ).otherwise(acc["out"])
+
+    mins = F.aggregate(grams, init, step, finish)
+    return F.array_sort(F.array_distinct(mins))
+
+
+def fingerprint_overlap(fp_a, fp_b) -> "F.Column":
+    """Containment of two fingerprint arrays: |A∩B| / |A| — the
+    winnowing similarity score (asymmetric by design: how much of A's
+    content appears in B)."""
+    a = F.col(fp_a) if isinstance(fp_a, str) else fp_a
+    b = F.col(fp_b) if isinstance(fp_b, str) else fp_b
+    return F.size(F.array_intersect(a, b)) / F.size(a)

@@ -100,3 +100,18 @@ def e5_cosine_lsh_pairs(spark, sf_dir):
         emb, id_col="vec_id", vec_col="embedding", threshold=0.3,
         bands=6, bits=6,
     )
+
+
+@query("t6_winnow_fingerprints")  # no SQL oracle: xxhash64 rolling hashes
+def t6_winnow_fingerprints(spark, sf_dir):
+    """Winnowing document fingerprints (rolling k-gram hash + per-window
+    minima — the local-similarity member of the dedup family; SIGMOD'03).
+    Rows-only; the shared-substring guarantee and overlap behavior are
+    pinned in unit tests."""
+    from ixmp_spark.operators.dedup import winnow_fingerprints
+
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        winnow_fingerprints("text", k=5, w=4).alias("fingerprints"),
+    )

@@ -385,3 +385,44 @@ def test_asof_join_semantics(spark):
     assert got[2] == 101  # inclusive: rt == t qualifies
     assert 3 not in got  # t=2 precedes every u1 right row -> dropped
     assert 4 not in got  # u2 has no right rows at all -> dropped
+
+
+def test_winnow_fingerprints(spark):
+    """Winnowing invariants: near-identical docs overlap heavily,
+    unrelated docs don't; deterministic; degenerate lengths safe."""
+    from ixmp_spark.operators.dedup import (
+        fingerprint_overlap,
+        winnow_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog tonight"),
+            (2, "the quick brown fox jumps over the lazy cat tonight"),
+            (3, "entirely unrelated content about spark query planning"),
+            (4, "tiny"),          # shorter than k -> no fingerprints
+            (5, "sixchar"),       # >= k but < one window -> global min only
+            (6, ""),
+        ],
+        "id long, text string",
+    )
+    fp = df.select("id", winnow_fingerprints("text", k=5, w=4).alias("fp"))
+    rows = {r.id: list(r.fp) for r in fp.collect()}
+    assert rows[4] == [] and rows[6] == []
+    assert len(rows[5]) == 1
+    assert rows[1] == sorted(set(rows[1]))  # distinct + sorted
+    # determinism
+    again = {r.id: list(r.fp) for r in fp.collect()}
+    assert rows == again
+    pairs = (
+        fp.alias("a")
+        .crossJoin(fp.alias("b"))
+        .where("a.id < b.id AND size(a.fp) > 0 AND size(b.fp) > 0")
+        .select(
+            F.col("a.id").alias("ia"), F.col("b.id").alias("ib"),
+            fingerprint_overlap(F.col("a.fp"), F.col("b.fp")).alias("ov"),
+        )
+    )
+    ov = {(r.ia, r.ib): r.ov for r in pairs.collect()}
+    assert ov[(1, 2)] > 0.8      # one word changed -> heavy overlap
+    assert ov[(1, 3)] < 0.1      # unrelated -> (near) zero
