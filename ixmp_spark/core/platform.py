@@ -245,6 +245,16 @@ class Platform:
 
         self.wh.update_catalog(rm)
 
+    # -- connection-lifecycle compat (reference Platform delegates
+    #    open_db/close_db to the JDBC backend; the parquet warehouse has
+    #    no connection to manage, so these are documented no-ops kept so
+    #    reference-written scripts run unchanged) -----------------------
+    def open_db(self) -> None:
+        """No-op (JDBC-backend compat): the warehouse is connectionless."""
+
+    def close_db(self) -> None:
+        """No-op (JDBC-backend compat): nothing to release."""
+
     # -- logging / export / access façades (reference platform.py:118–425)
     def set_log_level(self, level) -> None:
         """Reference platform.py:118–147: set the package log level (and

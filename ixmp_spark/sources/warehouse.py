@@ -497,6 +497,23 @@ class LocalWarehouse:
     def read_table_at(self, run_id: int, table: str, commit: int) -> pd.DataFrame:
         return pq.read_table(self.table_path_at(run_id, table, commit)).to_pandas()
 
+    def vacuum(self, run_id: int, keep_last: int = 1) -> list[int]:
+        """Drop all but the newest ``keep_last`` history snapshots (Delta
+        VACUUM analogue — reclaims the retained-commit storage; hardlinked
+        files shared with the live tables cost nothing until vacuumed).
+        Returns the commit numbers removed."""
+        if keep_last < 0:
+            raise ValueError("keep_last must be >= 0")
+        hist = self.commit_history(run_id)
+        drop = hist[: max(0, len(hist) - keep_last)]
+        with self._run_lock(run_id):
+            for n in drop:
+                shutil.rmtree(
+                    os.path.join(self.run_dir(run_id), "history", str(n)),
+                    ignore_errors=True,
+                )
+        return drop
+
     def delete_run(self, run_id: int) -> None:
         shutil.rmtree(self.run_dir(run_id), ignore_errors=True)
         self.update_catalog(lambda cat: cat["runs"].pop(str(run_id), None))

@@ -640,6 +640,26 @@ def test_per_commit_history(mp):
         mp.wh.read_table_at(scen.run_id, "par_data", 999)
 
 
+def test_history_vacuum(mp):
+    scen = make_dantzig(mp)
+    for v in (91.0, 92.0, 93.0):
+        with scen.transact(f"f={v}"):
+            scen.change_scalar("f", v, "USD/km")
+    hist = scen.commit_history()
+    assert len(hist) >= 4
+    dropped = mp.wh.vacuum(scen.run_id, keep_last=2)
+    assert dropped == hist[:-2]
+    assert scen.commit_history() == hist[-2:]
+    # the kept snapshots still read back
+    kept = mp.wh.read_table_at(scen.run_id, "par_data", hist[-1])
+    assert len(kept) > 0
+    with pytest.raises(ValueError, match="keep_last"):
+        mp.wh.vacuum(scen.run_id, keep_last=-1)
+    # connection-lifecycle compat no-ops
+    mp.open_db()
+    mp.close_db()
+
+
 def test_runs_meta_parquet_mirrors(mp):
     """Registry queries run as Spark parquet scans (runs/meta mirrors are
     rewritten atomically with every catalog update)."""
