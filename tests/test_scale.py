@@ -216,6 +216,56 @@ def test_concurrent_catalog_updates(spark, tmp_path):
     assert len(units) == 80  # 4 procs x 20 units, none lost
 
 
+def test_concurrent_commits_same_run(spark, tmp_path):
+    """Per-run commit lock: parallel committers on the SAME run serialize
+    — every commit lands (counter == total), the final snapshot is one
+    writer's complete table set (never a mix), and each commit left an
+    addressable history snapshot."""
+    import subprocess
+    import sys
+
+    root = str(tmp_path / "wh")
+    from ixmp_spark.sources.warehouse import FACT_TABLES, LocalWarehouse, _empty
+
+    wh = LocalWarehouse(root)
+    rid, _ = wh.new_run("m", "s")
+    import textwrap
+
+    script_path = tmp_path / "committer.py"
+    script_path.write_text(textwrap.dedent(
+        """
+        import sys
+        sys.path.insert(0, '/root/repo')
+        import pandas as pd
+        from ixmp_spark.sources.warehouse import FACT_TABLES, LocalWarehouse, _empty
+
+        root, rid, tag = sys.argv[1], int(sys.argv[2]), sys.argv[3]
+        wh = LocalWarehouse(root)
+        for i in range(5):
+            tables = {t: _empty(t) for t in FACT_TABLES}
+            tables['set_data'] = pd.DataFrame(
+                {'run_id': rid, 'name': 'i',
+                 'key': [[f'{tag}-{i}-{j}'] for j in range(50)],
+                 'comment': tag})
+            wh.commit_run(rid, tables, {}, comment=f'{tag}-{i}')
+        """
+    ))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script_path), root, str(rid), f"w{k}"]
+        )
+        for k in range(3)
+    ]
+    assert all(p.wait() == 0 for p in procs)
+    cat = wh.catalog()["runs"][str(rid)]
+    assert cat["commit"] == 15  # 3 writers x 5 commits, none lost
+    final = wh.read_table(rid, "set_data")
+    # complete single-writer snapshot: all 50 rows share one (tag, i)
+    tags = {(k[0].rsplit("-", 1)[0]) for k in final["key"]}
+    assert len(final) == 50 and len(tags) == 1
+    assert len(wh.commit_history(rid)) == 15
+
+
 def test_engine_e2e_at_bench_scale(spark, tmp_path):
     """Engine end-to-end on the bench table: a 600k-row parameter built
     from lineitem at sf0.1 through add_par_bulk (large index set →
