@@ -480,3 +480,89 @@ def g3_retention_cohort(spark, sf_dir):
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+@query(
+    "g5_hopping_window",
+    oracle="""
+    WITH starts AS (
+      SELECT event_type, value,
+             unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                     time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE
+                    ]) AS win_start,
+             ts
+      FROM events
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M') AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM starts
+    WHERE ts >= win_start AND ts < win_start + INTERVAL 60 MINUTE
+    GROUP BY 1, 2
+    """,
+)
+def g5_hopping_window(spark, sf_dir):
+    """Hopping (sliding) windows: 1-hour windows every 30 minutes — each
+    event lands in exactly two windows (the streaming `window(ts, '1
+    hour', '30 minutes')` shape, here in batch). Spark's window()
+    generates the per-event window structs JVM-side; one shuffle on
+    (window, type). The oracle replicates the assignment by unnesting
+    the two candidate 30-minute-aligned starts per event."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "60 minutes", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "c15_fuzzy_match",
+    oracle="""
+    WITH queries(q) AS (
+      VALUES ('NATON_1'), ('NATIN_12'), ('XATION_5'), ('NATIOM_20')
+    ), scored AS (
+      SELECT q, n_name,
+             levenshtein(q, n_name) AS dist,
+             row_number() OVER (
+               PARTITION BY q ORDER BY levenshtein(q, n_name), n_name
+             ) AS rn
+      FROM queries CROSS JOIN nation
+    )
+    SELECT q AS query, n_name AS best_match, dist
+    FROM scored WHERE rn = 1
+    """,
+)
+def c15_fuzzy_match(spark, sf_dir):
+    """Fuzzy entity matching (entity-resolution shape): misspelled query
+    strings resolve to their nearest codelist entry by Levenshtein edit
+    distance — both engines implement the classic DP definition so
+    distances match exactly. The codelist side broadcasts; per-query
+    top-1 via the rank-window (WindowGroupLimit keeps state at 1 row)."""
+    from pyspark.sql import Window
+
+    n = load(spark, sf_dir, "nation")
+    qs = spark.createDataFrame(
+        [("NATON_1",), ("NATIN_12",), ("XATION_5",), ("NATIOM_20",)],
+        "q string",
+    )
+    w = Window.partitionBy("q").orderBy("dist", "n_name")
+    return (
+        qs.crossJoin(F.broadcast(n.select("n_name")))
+        .withColumn("dist", F.levenshtein("q", "n_name"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(F.col("q").alias("query"), F.col("n_name").alias("best_match"),
+                "dist")
+    )
