@@ -26,6 +26,7 @@ def formatted_plan(df) -> str:
 BNLJ_OK = {
     "e1_embed_topk", "e2_embed_ann", "e3_embed_ivf", "j10_band_join",
     "b_q22", "e4_cosine_neardup",
+    "c15_fuzzy_match",  # 4-row query set x broadcast codelist
 }
 
 #: multi-stage pipelines where >6 shuffles are inherent (documented):
