@@ -73,11 +73,20 @@ class Reporter:
         self.full_keys: dict[str, Key] = {}
         #: default report key (report-config ``default:`` section)
         self.default_key: str | None = None
+        #: key → direct dependency keys (for describe())
+        self.deps: dict[str, list[str]] = {}
 
     # -- registry ---------------------------------------------------------
-    def add(self, key: "str | Key", thunk: Callable[[], Quantity]) -> Key:
+    def add(
+        self,
+        key: "str | Key",
+        thunk: Callable[[], Quantity],
+        deps: "list | None" = None,
+    ) -> Key:
         k = Key.parse(key)
         self.graph[str(k)] = thunk
+        if deps is not None:
+            self.deps[str(k)] = [str(Key.parse(d)) for d in deps]
         return k
 
     def add_quantity(
@@ -101,6 +110,33 @@ class Reporter:
         if name not in self.full_keys:
             raise KeyError(f"no quantity named {name!r}")
         return self.full_keys[name]
+
+    def describe(self, key: "str | Key") -> str:
+        """genno-style subgraph description: the requested key and its
+        dependency tree, one indented line per node (on-demand partial
+        sums shown against their full-dimensionality source)."""
+        lines: list[str] = []
+
+        def walk(k, depth: int, seen: frozenset):
+            kk = Key.parse(k)
+            ks = str(kk)
+            pad = "  " * depth
+            if ks not in self.graph:
+                fk = self.full_keys.get(kk.name)
+                if fk is not None and set(kk.dims) < set(fk.dims):
+                    lines.append(f"{pad}'{ks}' (partial sum)")
+                    walk(fk, depth + 1, seen)
+                    return
+                lines.append(f"{pad}'{ks}' (MISSING)")
+                return
+            lines.append(f"{pad}'{ks}'")
+            if ks in seen:
+                return
+            for d in self.deps.get(ks, []):
+                walk(d, depth + 1, seen | {ks})
+
+        walk(key, 0, frozenset())
+        return "\n".join(lines)
 
     def _sum(self, src: Key, kept: tuple[str, ...]) -> Quantity:
         q = self.get_quantity(src)
@@ -238,7 +274,7 @@ class Reporter:
                 j.select(*out_dims, op(va, vb).alias("value")), out_dims, unit
             )
 
-        self.add(k, compute)
+        self.add(k, compute, deps=[a, b])
         self._register_sums(k)
         return k
 
@@ -268,14 +304,14 @@ class Reporter:
             out = q.df.select(*q.dims, "value").unionByName(agg) if keep else agg
             return Quantity(out, q.dims, q.unit)
 
-        self.add(k, compute)
+        self.add(k, compute, deps=[src])
         return k
 
     def add_group_sum(self, key: str, src, group: str) -> Key:
         """A3: sum over all dims except ``group``."""
         k = Key.parse(key)
         self.add(
-            k, lambda: self._sum(Key.parse(src), (group,))
+            k, lambda: self._sum(Key.parse(src), (group,)), deps=[src]
         )
         return k
 
@@ -292,7 +328,7 @@ class Reporter:
             q = self.get_quantity(src)
             return Quantity(in_list_filter(q.df, selectors), q.dims, q.unit)
 
-        self.add(k, compute)
+        self.add(k, compute, deps=[src])
         self._register_sums(k)
         return k
 
@@ -308,7 +344,7 @@ class Reporter:
             dims = tuple(renames.get(d, d) for d in q.dims)
             return Quantity(df, dims, q.unit)
 
-        self.add(k, compute)
+        self.add(k, compute, deps=[src])
         return k
 
     def add_concat(self, key: str, *srcs: "str | Key") -> Key:
@@ -330,7 +366,7 @@ class Reporter:
                 out = out.unionByName(q.df.select(*dims, "value"))
             return Quantity(out, dims, unit)
 
-        self.add(k, compute)
+        self.add(k, compute, deps=list(srcs))
         self._register_sums(k)
         return k
 
@@ -362,7 +398,7 @@ class Reporter:
             )
             return Quantity(out, tuple(dims), got_unit)
 
-        self.add(k, compute)
+        self.add(k, compute, deps=[])
         self._register_sums(k)
         return k
 
@@ -424,7 +460,7 @@ class Reporter:
             if tk is None:
                 raise KeyError(f"alias target {target!r} is not a quantity")
             ak = Key(str(alias), tk.dims)
-            self.add(ak, lambda tk=tk: self.get_quantity(tk))
+            self.add(ak, lambda tk=tk: self.get_quantity(tk), deps=[tk])
             self.full_keys.setdefault(ak.name, ak)
         for key, unit in (cfg.get("units") or {}).get("apply", {}).items():
             src = self.full_keys.get(str(key), Key.parse(str(key)))

@@ -394,3 +394,20 @@ def test_xlsx_lite_reads_shared_strings(tmp_path):
         )
     got = read_xlsx(path)
     assert got["S"]["col"].tolist() == ["hello"]
+
+
+def test_reporter_describe(rep):
+    """describe(): the dependency tree of a computed key, genno-style."""
+    rep, _ = rep
+    rep.add_product("cost:i-j", "d:i-j", "f:")
+    rep.add_group_sum("total_cost:", "cost:i-j", "i")
+    out = rep.describe("total_cost:")
+    lines = out.splitlines()
+    assert lines[0] == "'total_cost:'"
+    assert "'cost:i-j'" in out and "'d:i-j'" in out and "'f:'" in out
+    # deeper nodes are indented under their dependents
+    assert any(line.startswith("  ") for line in lines)
+    # on-demand partial sums describe against their full key
+    partial = rep.describe("d:i")
+    assert "partial sum" in partial and "'d:i-j'" in partial
+    assert "MISSING" in rep.describe("nope:")
