@@ -20,7 +20,6 @@ pins hot intermediates across actions (SURVEY.md §4 P6).
 
 from __future__ import annotations
 
-import itertools
 import re
 from collections.abc import Callable, Iterable
 from dataclasses import dataclass
