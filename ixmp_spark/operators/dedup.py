@@ -359,3 +359,54 @@ def fingerprint_overlap(fp_a, fp_b) -> "F.Column":
     a = F.col(fp_a) if isinstance(fp_a, str) else fp_a
     b = F.col(fp_b) if isinstance(fp_b, str) else fp_b
     return F.size(F.array_intersect(a, b)) / F.size(a)
+
+
+def contaminated_ids(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+) -> DataFrame:
+    """Cross-corpus contamination check (benchmark decontamination): the
+    ids of training documents that share any word n-gram with the
+    benchmark corpus, with the count of distinct shared grams.
+
+    The industry-standard pre-training step (e.g. GPT-3 App. C uses 13-gram
+    overlap): eval/benchmark text must not leak into the training set.
+
+    Plan shape: both corpora shingle once, grams collapse to a 64-bit
+    xxhash64 BEFORE the join so the shuffle carries (id, 8B) rows, never
+    gram strings; the benchmark side reduces to DISTINCT gram hashes —
+    usually small enough that AQE turns the join into a broadcast on its
+    own (eval suites are MBs against TBs of training data). Inner join +
+    per-id count, so one shuffle each side plus the count aggregation.
+    """
+    tg = train.select(
+        F.col(id_col),
+        F.explode(shingles(text_col, n)).alias("__g"),
+    ).select(id_col, F.xxhash64("__g").alias("__gh"))
+    bg = (
+        bench.select(F.explode(shingles(text_col, n)).alias("__g"))
+        .select(F.xxhash64("__g").alias("__gh"))
+        .distinct()
+    )
+    return (
+        tg.join(bg, "__gh")
+        .groupBy(id_col)
+        .agg(F.countDistinct("__gh").alias("n_shared_grams"))
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 4,
+) -> DataFrame:
+    """Remove contaminated documents from the training corpus: anti-join
+    against :func:`contaminated_ids` (same shingle-hash plan; the train
+    side is scanned twice — at scale, persist the shingled frame)."""
+    bad = contaminated_ids(train, bench, id_col, text_col, n).select(id_col)
+    return train.join(bad, id_col, "left_anti")

@@ -122,3 +122,33 @@ def dedup_segments(col, sep: str = ". ") -> Column:
     rejoin. array_distinct preserves first-occurrence order."""
     c = F.col(col) if isinstance(col, str) else col
     return F.array_join(F.array_distinct(F.split(c, F.lit(sep), -1)), sep)
+
+
+def repetition_signals(df: DataFrame, text_col: str) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1):
+    duplicate-word fraction, duplicate-bigram fraction, and top-word
+    share. High values mark boilerplate/spam for pre-training filters.
+
+    Pure Catalyst: the bigram array is built from one split, and the
+    top-word share folds over the DISTINCT words only (O(distinct·n)
+    per document — bounded by document size, no shuffle; the whole
+    thing is a map-only projection)."""
+    c = F.col(text_col)
+    toks = F.split(F.trim(F.lower(c)), r"\s+")
+    n_toks = F.size(toks)
+    dup_word = 1 - F.size(F.array_distinct(toks)) / n_toks
+    idx2 = F.sequence(F.lit(1), F.greatest(n_toks - 1, F.lit(1)))
+    grams2 = F.transform(
+        idx2, lambda i: F.concat_ws(" ", F.slice(toks, i, 2))
+    )
+    dup_bigram = 1 - F.size(F.array_distinct(grams2)) / F.size(grams2)
+    counts = F.transform(
+        F.array_distinct(toks),
+        lambda w: F.size(F.filter(toks, lambda t: t == w)),
+    )
+    top_share = F.array_max(counts) / n_toks
+    return (
+        df.withColumn("dup_word_frac", F.round(dup_word, 6))
+        .withColumn("dup_bigram_frac", F.round(dup_bigram, 6))
+        .withColumn("top_word_share", F.round(top_share, 6))
+    )

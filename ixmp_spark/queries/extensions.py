@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from ixmp_spark.queries import load, query
+from ixmp_spark.queries import load, load_spread, query
 
 
 @query(
@@ -566,3 +566,150 @@ def c15_fuzzy_match(spark, sf_dir):
         .select(F.col("q").alias("query"), F.col("n_name").alias("best_match"),
                 "dist")
     )
+
+
+@query(
+    "d5_decontaminate",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 4
+                  THEN list_distinct(list_transform(generate_series(1, len(w) - 3),
+                                                    i -> array_to_string(w[i:i+3], ' ')))
+                  ELSE [array_to_string(w, ' ')] END AS g
+      FROM toks
+    ), train AS (SELECT doc_id, unnest(g) AS gram FROM grams WHERE doc_id % 10 <> 0),
+       bench AS (SELECT DISTINCT unnest(g) AS gram FROM grams WHERE doc_id % 10 = 0)
+    SELECT t.doc_id, count(DISTINCT t.gram) AS n_shared_grams
+    FROM train t JOIN bench b ON t.gram = b.gram
+    GROUP BY t.doc_id
+    """,
+)
+def d5_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: training documents (doc_id % 10 ≠ 0)
+    sharing any word 4-gram with the held-out benchmark slice (doc_id %
+    10 = 0), with the shared-gram count. Grams collapse to 64-bit hashes
+    before the join so the shuffle never carries gram strings; the
+    benchmark side reduces to distinct hashes (broadcast-sized for real
+    eval suites). The oracle joins on the gram strings themselves —
+    agreement also certifies the hash join loses nothing."""
+    from ixmp_spark.operators.dedup import contaminated_ids
+
+    docs = load_spread(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    return contaminated_ids(train, bench, id_col="doc_id", text_col="text", n=4)
+
+
+@query(
+    "t7_repetition_signals",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ), g AS (
+      SELECT doc_id, w,
+             list_transform(generate_series(1, greatest(len(w) - 1, 1)),
+                            i -> array_to_string(w[i:i+1], ' ')) AS b2
+      FROM t
+    )
+    SELECT doc_id,
+           round(1 - len(list_distinct(w)) * 1.0 / len(w), 6) AS dup_word_frac,
+           round(1 - len(list_distinct(b2)) * 1.0 / len(b2), 6) AS dup_bigram_frac,
+           round(list_max(list_transform(list_distinct(w),
+                          x -> len(list_filter(w, y -> y = x)))) * 1.0 / len(w), 6)
+             AS top_word_share
+    FROM g
+    """,
+)
+def t7_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals: duplicate-word fraction,
+    duplicate-bigram fraction, top-word share — the boilerplate/spam
+    filters of a pre-training pipeline, as one map-only projection."""
+    from ixmp_spark.operators.text import repetition_signals
+
+    docs = load_spread(spark, sf_dir, "documents")
+    return repetition_signals(docs, "text").select(
+        "doc_id", "dup_word_frac", "dup_bigram_frac", "top_word_share"
+    )
+
+
+@query(
+    "p3_train_val_split",
+    oracle="""
+    SELECT doc_id, lang,
+           CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                     % 10000 < 1000
+                THEN 'val' ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def p3_train_val_split(spark, sf_dir):
+    """Deterministic train/val split: the assignment is a pure function of
+    the document key (md5-hex-prefix bucket), so it is reproducible across
+    runs, engines, and repartitioning — unlike df.sample, whose seeded
+    per-partition RNG changes with the data layout. Map-only, no shuffle."""
+    from ixmp_spark.operators.sampling import train_val_split
+
+    docs = load(spark, sf_dir, "documents")
+    return train_val_split(docs, key_col="doc_id", val_frac=0.1).select(
+        "doc_id", "lang", "split"
+    )
+
+
+@query(
+    "p4_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM (
+      SELECT doc_id, lang,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+               % 10000 AS b
+      FROM documents
+    )
+    WHERE (lang = 'en' AND b < 5000)
+       OR (lang = 'de' AND b < 2500)
+       OR (lang = 'fr' AND b < 2500)
+       OR (lang = 'es' AND b < 2500)
+       OR (lang = 'zh' AND b < 2500)
+    """,
+)
+def p4_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: per-language keep rates (en 50%,
+    others 25%) as content-hash thresholds — the corpus rebalancing step.
+    A pure map-side predicate that pushes below any downstream shuffle."""
+    from ixmp_spark.operators.sampling import stratified_sample
+
+    docs = load(spark, sf_dir, "documents")
+    rates = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25, "zh": 0.25}
+    return stratified_sample(docs, "lang", rates, key_col="doc_id").select(
+        "doc_id", "lang"
+    )
+
+
+@query(
+    "p5_domain_mix",
+    oracle="""
+    SELECT d.doc_id, d.source, t.copy_n
+    FROM documents d,
+         UNNEST(generate_series(1,
+           CASE WHEN d.source IN ('src0', 'src1') THEN 3
+                WHEN d.source = 'src2' THEN 2
+                ELSE 1 END)) AS t(copy_n)
+    """,
+)
+def p5_domain_mix(spark, sf_dir):
+    """Domain-mixture upsampling: integer epoch weights per source (src0/
+    src1 ×3, src2 ×2, rest ×1) via explode(sequence(1, w)) — a same-stage
+    generator, no shuffle; output rows carry the copy index so downstream
+    stages can keep copies apart."""
+    from ixmp_spark.operators.sampling import domain_mix
+
+    docs = load(spark, sf_dir, "documents")
+    return domain_mix(
+        docs, "source", {"src0": 3, "src1": 3, "src2": 2}, copy_col="copy_n"
+    ).select("doc_id", "source", "copy_n")

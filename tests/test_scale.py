@@ -526,3 +526,82 @@ def test_minhash_lsh_vs_spark_ml(spark, sf_dir):
     # exact Jaccard too, after approximate candidate generation)
     assert ours == truth
     assert ml == truth
+
+
+def test_decontaminate_removes_exactly_contaminated(spark, sf_dir):
+    """decontaminate = train MINUS contaminated_ids; a doc duplicated
+    across the split must be flagged, and clean + contaminated partitions
+    the train set."""
+    from ixmp_spark.operators.dedup import contaminated_ids, decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    bad = contaminated_ids(train, bench, "doc_id", "text", n=4)
+    clean = decontaminate(train, bench, "doc_id", "text", n=4)
+    n_train, n_bad, n_clean = train.count(), bad.count(), clean.count()
+    assert n_clean == n_train - n_bad
+    # a benchmark doc injected verbatim into train must be caught
+    planted = train.unionByName(
+        bench.limit(1).withColumn("doc_id", F.lit(999_999))
+    )
+    flagged = contaminated_ids(planted, bench, "doc_id", "text", n=4)
+    assert flagged.where(F.col("doc_id") == 999_999).count() == 1
+    # and every shared gram of the plant is counted (>= 1)
+    assert (
+        flagged.where(F.col("doc_id") == 999_999).first()["n_shared_grams"] >= 1
+    )
+
+
+def test_train_val_split_deterministic_and_sized(spark, sf_dir):
+    """The split is a pure function of the key: stable across
+    repartitioning, ~val_frac sized, and exhaustive."""
+    from ixmp_spark.operators.sampling import train_val_split
+
+    docs = load(spark, sf_dir, "documents")
+    s1 = train_val_split(docs, "doc_id", val_frac=0.2)
+    s2 = train_val_split(docs.repartition(13), "doc_id", val_frac=0.2)
+    a = {r["doc_id"]: r["split"] for r in s1.select("doc_id", "split").collect()}
+    b = {r["doc_id"]: r["split"] for r in s2.select("doc_id", "split").collect()}
+    assert a == b  # layout-independent
+    n = len(a)
+    n_val = sum(1 for v in a.values() if v == "val")
+    assert 0.1 * n < n_val < 0.3 * n  # ~20% within loose tolerance
+
+
+def test_stratified_sample_rates_and_subset(spark, sf_dir):
+    """Kept rows are a subset of the stratum, at roughly the requested
+    rate; unlisted strata are dropped entirely."""
+    from ixmp_spark.operators.sampling import stratified_sample
+
+    docs = load(spark, sf_dir, "documents")
+    kept = stratified_sample(docs, "lang", {"en": 1.0, "de": 0.0}, "doc_id")
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    n_en = docs.where(F.col("lang") == "en").count()
+    assert by_lang.get("en") == n_en  # rate 1.0 keeps everything
+    assert "de" not in by_lang  # rate 0.0 drops everything
+    assert set(by_lang) <= {"en"}  # unlisted strata dropped
+
+
+def test_domain_mix_counts(spark, sf_dir):
+    """Output multiplicity equals the domain weight; copy index is 1..w."""
+    from ixmp_spark.operators.sampling import domain_mix
+
+    docs = load(spark, sf_dir, "documents")
+    mixed = domain_mix(docs, "source", {"src0": 3, "src1": 2})
+    base = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    out = {
+        r["source"]: r["n"]
+        for r in mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for src, n in base.items():
+        want = n * {"src0": 3, "src1": 2}.get(src, 1)
+        assert out[src] == want, src
+    copies = mixed.where(F.col("source") == "src0").groupBy("copy").count()
+    assert {r["copy"] for r in copies.collect()} == {1, 2, 3}
