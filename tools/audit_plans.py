@@ -27,6 +27,7 @@ BNLJ_OK = {
     "e1_embed_topk", "e2_embed_ann", "e3_embed_ivf", "j10_band_join",
     "b_q22", "e4_cosine_neardup",
     "c15_fuzzy_match",  # 4-row query set x broadcast codelist
+    "b_q11", "b_q15",  # 1-row scalar-subquery threshold broadcast
 }
 
 #: multi-stage pipelines where >6 shuffles are inherent (documented):
