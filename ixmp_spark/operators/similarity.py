@@ -221,6 +221,21 @@ def cosine_neardup_pairs(
     )
 
 
+def _sign_lsh_banded(vecs: DataFrame, band_planes) -> DataFrame:
+    """(__id, __band, __bucket) band frame over a (__id, __vec) input —
+    deliberately vector-free so the (band, bucket) candidate self-join
+    shuffles ~24 B/row/band regardless of embedding width."""
+    return vecs.select(
+        "__id",
+        F.posexplode(
+            F.array(
+                *[hyperplane_lsh_bucket("__vec", planes)
+                  for planes in band_planes]
+            )
+        ).alias("__band", "__bucket"),
+    )
+
+
 def cosine_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -229,6 +244,8 @@ def cosine_lsh_pairs(
     bands: int = 4,
     bits: int = 8,
     seed: int = 42,
+    dim: int | None = None,
+    storage_level=None,
 ) -> DataFrame:
     """Embedding-cosine near-dup at scale: banded sign-LSH candidate
     generation + exact cosine verification — the vector twin of the
@@ -238,28 +255,47 @@ def cosine_lsh_pairs(
     hyperplanes; two vectors are candidates if ANY band agrees on all
     bits. P[band match] = (1 - θ/π)^bits for angle θ, so more bands →
     higher recall, more bits → higher precision of candidates. The
-    exact cosine filter makes the OUTPUT exact over the candidate set."""
+    exact cosine filter makes the OUTPUT exact over the candidate set.
+
+    Shuffle discipline: the banded self-join carries ONLY
+    (id, band, bucket) — never the vectors — so exchange volume is
+    rows × bands × ~24 B regardless of embedding width. Vectors are
+    joined back from the persisted (id, vec) projection only for the
+    deduplicated candidate pairs, the same join-back-from-``sh``
+    pattern as ``minhash_lsh_neardup``.
+
+    ``dim`` may be passed to skip the 1-row probe job; when the corpus
+    is empty an empty pairs frame is returned. ``storage_level`` picks
+    the persist level for the (id, vec) and banded intermediates
+    (default MEMORY_AND_DISK; cluster runs over wide embeddings may
+    prefer DISK_ONLY)."""
     import random
 
+    from pyspark import StorageLevel
+
+    if storage_level is None:
+        storage_level = StorageLevel.MEMORY_AND_DISK
+    if dim is None:
+        head = df.select(vec_col).take(1)
+        if not head:
+            return df.select(
+                F.col(id_col).alias("id_a"),
+                F.col(id_col).alias("id_b"),
+                F.lit(0.0).alias("cosine_sim"),
+            ).where(F.lit(False))
+        dim = len(head[0][0])
     rng = random.Random(seed)
-    dim = len(df.select(vec_col).limit(1).collect()[0][0])
     band_planes = [
         [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(bits)]
         for _ in range(bands)
     ]
-    banded = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__vec"),
-        F.posexplode(
-            F.array(
-                *[hyperplane_lsh_bucket(vec_col, planes)
-                  for planes in band_planes]
-            )
-        ).alias("__band", "__bucket"),
-    ).persist()
+    vecs = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+    ).persist(storage_level)
+    banded = _sign_lsh_banded(vecs, band_planes).persist(storage_level)
     a = banded.alias("a")
     b = banded.alias("b")
-    pairs = (
+    cand = (
         a.join(
             b,
             (F.col("a.__band") == F.col("b.__band"))
@@ -269,10 +305,15 @@ def cosine_lsh_pairs(
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            F.col("a.__vec").alias("__va"),
-            F.col("b.__vec").alias("__vb"),
         )
         .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = cand.join(
+        vecs.select(F.col("__id").alias("id_a"), F.col("__vec").alias("__va")),
+        "id_a",
+    ).join(
+        vecs.select(F.col("__id").alias("id_b"), F.col("__vec").alias("__vb")),
+        "id_b",
     )
     sim = cosine("__va", "__vb")
     return (

@@ -355,22 +355,27 @@ def c11_json_extract(spark, sf_dir):
     "c12_array_funcs",
     oracle="""
     SELECT p_partkey,
-           list_sort(string_split(p_name, ' ')) AS words_sorted,
            len(string_split(p_name, ' ')) AS n_words,
-           array_to_string(list_sort(string_split(p_name, ' ')), '-') AS joined
+           array_to_string(list_sort(string_split(p_name, ' ')), '-') AS joined,
+           list_sort(string_split(p_name, ' '))[1] AS first_word,
+           list_sort(string_split(p_name, ' '))[-1] AS last_word
     FROM part WHERE p_partkey < 500
     """,
 )
 def c12_array_funcs(spark, sf_dir):
     """Array-function family (§2.8): split / sort_array / size /
-    array_join — the key-tuple machinery (C7) generalized."""
+    array_join / element_at — the key-tuple machinery (C7) generalized.
+    All result columns are scalar (driver-comparator contract): the
+    sorted array itself is exercised via its join + element_at
+    projections."""
     p = load(spark, sf_dir, "part")
     words = F.split("p_name", " ")
     return p.where(F.col("p_partkey") < 500).select(
         "p_partkey",
-        F.sort_array(words).alias("words_sorted"),
         F.size(words).alias("n_words"),
         F.array_join(F.sort_array(words), "-").alias("joined"),
+        F.element_at(F.sort_array(words), 1).alias("first_word"),
+        F.element_at(F.sort_array(words), -1).alias("last_word"),
     )
 
 

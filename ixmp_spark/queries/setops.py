@@ -90,7 +90,7 @@ def u3_multisheet_concat(spark, sf_dir):
              ('asia', 'NATION_11')
     )
     SELECT m.cat,
-           list_sort(list(n.n_name)) AS elements,
+           array_to_string(list_sort(list(n.n_name)), ',') AS elements,
            count(*) AS n_elements,
            count(DISTINCT n.n_regionkey) AS n_regions
     FROM catmap m JOIN nation n ON n.n_name = m.key
@@ -103,7 +103,12 @@ def u5_cat_mapping(spark, sf_dir):
     the categorized set's members, grouped per category — exactly the
     plan Scenario.cat_spark() feeds into J5-style aggregations. The
     write-path API (add_cat incl. is_unique replace-singleton) is pinned
-    in tests/test_core.py."""
+    in tests/test_core.py.
+
+    The ``elements`` column is a comma-joined string, not array<string>:
+    declared queries must emit driver-sortable scalar columns (the
+    external comparator canonicalizes with pandas sort_values, which
+    cannot hash Python lists)."""
     n = load(spark, sf_dir, "nation")
     catmap = spark.createDataFrame(
         [
@@ -117,7 +122,9 @@ def u5_cat_mapping(spark, sf_dir):
         n.join(F.broadcast(catmap), n.n_name == catmap.key)
         .groupBy("cat")
         .agg(
-            F.sort_array(F.collect_list("n_name")).alias("elements"),
+            F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias(
+                "elements"
+            ),
             F.count(F.lit(1)).alias("n_elements"),
             F.countDistinct("n_regionkey").alias("n_regions"),
         )

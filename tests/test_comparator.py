@@ -1,0 +1,50 @@
+"""The local comparator must match the external driver's strictness: the
+driver's canonicalizer crashes on array/map result columns (pandas
+sort_values over unhashable cells), so norm_frame must reject them loudly
+instead of silently stringifying (VERDICT r2 "What's wrong" #5)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from tools.check_parity import NonScalarColumn, norm_frame
+
+
+def test_list_column_rejected():
+    df = pd.DataFrame({"cat": ["a", "b"], "elements": [["x", "y"], ["z"]]})
+    with pytest.raises(NonScalarColumn, match="elements"):
+        norm_frame(df)
+
+
+def test_ndarray_column_rejected():
+    # Spark toPandas() renders array<string> as numpy arrays, not lists.
+    df = pd.DataFrame(
+        {"k": [1, 2], "v": [np.array(["x"]), np.array(["y", "z"])]}
+    )
+    with pytest.raises(NonScalarColumn, match="'v'"):
+        norm_frame(df)
+
+
+def test_dict_column_rejected():
+    df = pd.DataFrame({"k": [1], "m": [{"a": 1}]})
+    with pytest.raises(NonScalarColumn, match="'m'"):
+        norm_frame(df)
+
+
+def test_scalar_columns_pass():
+    df = pd.DataFrame(
+        {
+            "s": ["b", "a", None],
+            "f": [1.0, 2.5, np.nan],
+            "i": [3, 1, 2],
+            "b": [True, False, True],
+        }
+    )
+    out = norm_frame(df)
+    assert list(out.columns) == ["b", "f", "i", "s"]
+    # leading-None object column still normalizes (None cells are skipped
+    # when probing for non-scalar cells)
+    df2 = pd.DataFrame({"s": [None, "a"]})
+    assert len(norm_frame(df2)) == 2

@@ -110,6 +110,46 @@ def test_cosine_neardup_exact_vs_lsh(spark, sf_dir):
         cosine_neardup_pairs(emb, "vec_id", "embedding", max_rows=10)
 
 
+def test_cosine_lsh_banded_shuffle_is_vector_free(spark, sf_dir):
+    """VERDICT r2 #3: the banded candidate self-join must carry only
+    (id, band, bucket) — vectors are joined back post-dedup from the
+    persisted (id, vec) projection, never shipped through the
+    rows×bands exchange."""
+    from ixmp_spark.operators.similarity import (
+        _sign_lsh_banded,
+        cosine_lsh_pairs,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        F.col("vec_id").alias("__id"), F.col("embedding").alias("__vec")
+    )
+    planes = [[[1.0] * 8] * 2] * 2
+    banded = _sign_lsh_banded(
+        vecs.withColumn("__vec", F.slice("__vec", 1, 8)), planes
+    )
+    assert banded.columns == ["__id", "__band", "__bucket"]
+
+    # the full plan's band-keyed exchanges must not mention the vector col
+    out = cosine_lsh_pairs(emb, "vec_id", "embedding", bands=2, bits=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "hashpartitioning(__band" in line:
+            assert "__vec" not in line, line
+
+    # empty corpus: empty pairs frame, no probe-job crash (ADVICE r2)
+    empty = cosine_lsh_pairs(
+        emb.where(F.lit(False)), "vec_id", "embedding"
+    )
+    assert empty.count() == 0
+    assert empty.columns == ["id_a", "id_b", "cosine_sim"]
+    # explicit dim skips the probe entirely
+    got = cosine_lsh_pairs(
+        emb, "vec_id", "embedding", threshold=0.99, dim=64
+    )
+    assert got.columns == ["id_a", "id_b", "cosine_sim"]
+
+
 def test_multi_probe_recall_monotonic(spark, sf_dir):
     """bucketed_topk's multi_probe knob: candidates grow with m, and the
     top-k converges toward the exact answer (m = n_planes is exact)."""

@@ -18,9 +18,42 @@ TABLES = (
 ).split()
 
 
+class NonScalarColumn(TypeError):
+    """A result column holds list/map/struct cells.
+
+    The external driver's canonicalizer (pandas ``sort_values`` over raw
+    object columns) dies on unhashable cells, so declared queries must
+    emit scalar columns only. Mirror that strictness here instead of
+    silently stringifying — a locally-green query must be driver-green.
+    """
+
+
+def _reject_non_scalar(df: pd.DataFrame) -> None:
+    import numpy as np
+
+    for c in df.columns:
+        s = df[c]
+        if s.dtype != object:
+            continue
+        for v in s:
+            if v is None:
+                continue
+            if isinstance(v, (list, tuple, set, dict, np.ndarray)):
+                raise NonScalarColumn(
+                    f"column {c!r} holds non-scalar cells "
+                    f"({type(v).__name__}); declared queries must emit "
+                    "driver-sortable scalar columns"
+                )
+            break
+
+
 def norm_frame(df: pd.DataFrame) -> pd.DataFrame:
     """Sort columns by name, canonicalize dtypes, sort rows — the
-    order-insensitive comparable form."""
+    order-insensitive comparable form.
+
+    Raises :class:`NonScalarColumn` on array/map/struct-typed columns,
+    matching the external driver comparator's (crash) behavior."""
+    _reject_non_scalar(df)
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         s = df[c]
@@ -81,7 +114,12 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: oracle error: {e}")
             continue
-        a, b = norm_frame(spdf), norm_frame(odf)
+        try:
+            a, b = norm_frame(spdf), norm_frame(odf)
+        except NonScalarColumn as e:
+            failures.append(name)
+            print(f"FAIL  {name}: non-scalar result column: {e}")
+            continue
         problems = []
         if len(a) != len(b):
             problems.append(f"rows {len(a)} vs {len(b)}")
