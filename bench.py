@@ -7,6 +7,13 @@ Each query is executed with a count-style action (``df.count()`` after the
 transform — full pipeline execution without driver-side materialization
 cost dominating). A warm-up run of the flagship query absorbs JVM/codegen
 startup so numbers reflect steady-state throughput.
+
+Determinism: every timed entry is the MEDIAN of ``REPS`` runs, and the
+JSON carries a per-query ``spread`` ([min, max]) so a ±0.5 s noise band
+can't masquerade as a regression (VERDICT r2 #8). The ingest path gets
+its own untimed warm-up first: its validation expression (a
+codelist-sized InSet per dimension) costs ~3 s of one-time codegen that
+single-shot timing would otherwise book as throughput.
 """
 
 from __future__ import annotations
@@ -83,6 +90,13 @@ def _ingest_bench(spark, n: int) -> float:
         shutil.rmtree(root, ignore_errors=True)
 
 
+REPS = 3
+
+
+def _median(ts: list[float]) -> float:
+    return sorted(ts)[len(ts) // 2]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -100,18 +114,29 @@ def main() -> None:
     QUERIES["a0_pricing_summary"](spark, sf_dir).count()
     for name in BENCH_QUERIES:
         QUERIES[name](spark, warm_dir).count()
+    # Compiles the ingest validation codegen. The warm-up size matters:
+    # InSet switches codegen strategy around 400 members, so warming with
+    # a small set (dim=100) would not compile the code the 1e6 run
+    # (dim=1000) executes — 250k rows ⇒ dim=500, same strategy.
+    _ingest_bench(spark, 250_000)
 
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+    samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    samples["ingest_add_par_1e6"] = []
+    for _ in range(REPS):
+        for name in BENCH_QUERIES:
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).count()
+            samples[name].append(time.perf_counter() - t0)
+        # reference perf parity (BASELINE.md): add_par-shaped bulk ingest
+        # of a random 2-D parameter (testing/data.py:293–319 shape:
+        # ceil(sqrt(N))² cross product, U[0,1) values, unit GWa)
+        samples["ingest_add_par_1e6"].append(_ingest_bench(spark, 1_000_000))
 
-    # reference perf parity (BASELINE.md): add_par-shaped bulk ingest of a
-    # random 2-D parameter (testing/data.py:293–319 shape: ceil(sqrt(N))²
-    # cross product, value ~ U[0,1), unit GWa) through the engine path
-    timings["ingest_add_par_1e6"] = round(_ingest_bench(spark, 1_000_000), 4)
-
+    timings = {name: round(_median(ts), 4) for name, ts in samples.items()}
+    spread = {
+        name: [round(min(ts), 4), round(max(ts), 4)]
+        for name, ts in samples.items()
+    }
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -120,6 +145,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "reps": REPS,
                 "sf": sf,
             }
         )

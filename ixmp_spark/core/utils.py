@@ -64,14 +64,27 @@ def parse_url(url: str) -> tuple[str, dict]:
 
 def update_par(scen: Scenario, name: str, data: pd.DataFrame) -> None:
     """J2 (reference util/__init__.py:677–690): add only rows whose key
-    tuple is not yet present in the parameter."""
+    tuple is not yet present in the parameter — "without overwriting".
+
+    Both sides' dim columns are coerced to str before comparing (all
+    keys are strings, §1.2; a caller passing int years must hit the same
+    keys as the stored str form), and the existing key set is
+    de-duplicated before the membership merge so row alignment cannot
+    drift if the store ever held duplicate key rows."""
     item = scen._require_item(name, "par")
     dims = item["idx_names"]
     existing = scen.par(name)
-    if len(existing):
-        merged = data.merge(existing[dims].astype(str), on=dims, how="left",
-                            indicator=True)
-        new_rows = data[(merged["_merge"] == "left_only").values]
+    if not dims:
+        if len(existing):
+            return  # 0-d parameter already has its single value
+        new_rows = data
+    elif len(existing):
+        data = data.copy()
+        for d in dims:
+            data[d] = data[d].astype(str)
+        ex_keys = existing[dims].astype(str).drop_duplicates()
+        merged = data.merge(ex_keys, on=dims, how="left", indicator=True)
+        new_rows = data.loc[(merged["_merge"] == "left_only").to_numpy()]
     else:
         new_rows = data
     if len(new_rows):
@@ -95,9 +108,13 @@ def discard_on_error(ts):
 
 
 def maybe_check_out(ts, state: bool | None = None) -> bool:
-    """Check out unless already checked out; returns whether a checkout
-    happened (reference maybe_check_out)."""
-    if state or getattr(ts, "_checked_out", False):
+    """Check out ``ts`` depending on ``state`` (reference
+    util/__init__.py:253–278): with explicit ``state`` (not None) return
+    it unchanged and attempt NO checkout; with ``state=None``, check out
+    and return True, or return False if already checked out."""
+    if state is not None:
+        return state
+    if getattr(ts, "_checked_out", False):
         return False
     ts.check_out()
     return True

@@ -144,8 +144,17 @@ def minhash_signature(df: DataFrame, text_col: str, k: int = 32, n: int = 3) -> 
     return df.withColumn("minhash", sig).drop("__base")
 
 
+def _level(storage_level):
+    if storage_level is None:
+        from pyspark import StorageLevel
+
+        return StorageLevel.MEMORY_AND_DISK
+    return storage_level
+
+
 def lsh_band_pairs(
-    df: DataFrame, id_col: str, k: int = 32, bands: int = 8
+    df: DataFrame, id_col: str, k: int = 32, bands: int = 8,
+    storage_level=None,
 ) -> DataFrame:
     """Banded LSH candidate pairs from a ``minhash`` column: hash each band
     of r=k/bands signature values to a bucket (multi-arg xxhash64 — no
@@ -153,9 +162,10 @@ def lsh_band_pairs(
     candidate pair (id_a < id_b, distinct).
 
     The banded frame is persisted before the self-join — otherwise Catalyst
-    recomputes the whole shingle/minhash lineage for BOTH join sides. At
-    cluster scale the same applies with StorageLevel.DISK_ONLY or a
-    checkpoint to the shuffle service.
+    recomputes the whole shingle/minhash lineage for BOTH join sides.
+    ``storage_level`` picks the persist level (default MEMORY_AND_DISK);
+    cluster runs where the banded frame outgrows executor memory should
+    pass StorageLevel.DISK_ONLY (or checkpoint to the shuffle service).
 
     Scale: explode to (doc, band) rows → shuffle on (band, bucket) — the
     classic MinHash-LSH plan; bucket sizes are the skew risk, handled by
@@ -171,7 +181,7 @@ def lsh_band_pairs(
                 ]
             )
         ).alias("band", "bucket"),
-    ).persist()
+    ).persist(_level(storage_level))
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -187,12 +197,15 @@ def lsh_band_pairs(
 
 
 def ngram_jaccard(
-    df: DataFrame, pairs: DataFrame, id_col: str, text_col: str, n: int = 3
+    df: DataFrame, pairs: DataFrame, id_col: str, text_col: str, n: int = 3,
+    storage_level=None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs: |A∩B| / |A∪B| via
     array_intersect/array_union on shingle arrays (persisted once, joined
-    twice)."""
-    sh = df.select(F.col(id_col), shingles(text_col, n).alias("sh")).persist()
+    twice; ``storage_level`` as in :func:`lsh_band_pairs`)."""
+    sh = df.select(F.col(id_col), shingles(text_col, n).alias("sh")).persist(
+        _level(storage_level)
+    )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     return (
@@ -217,9 +230,13 @@ def minhash_lsh_neardup(
     bands: int = 8,
     n: int = 3,
     threshold: float = 0.3,
+    storage_level=None,
 ) -> DataFrame:
     """End-to-end near-dup pipeline: shingle ONCE (persisted), minhash →
     banded LSH candidates → exact shingle-Jaccard filter ≥ threshold.
+    ``storage_level`` picks the persist level for the shingle and banded
+    frames (default MEMORY_AND_DISK; DISK_ONLY for cluster runs where
+    shingle arrays outgrow executor memory).
 
     Composing minhash_signature + lsh_band_pairs + ngram_jaccard naively
     shingles every document twice; this fused operator computes the
@@ -234,7 +251,7 @@ def minhash_lsh_neardup(
     sh = (
         df.repartition(par)
         .select(F.col(id_col), shingles(text_col, n).alias("sh"))
-        .persist()
+        .persist(_level(storage_level))
     )
     base = F.transform(F.col("sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_P)))
     sig = F.array(
@@ -251,7 +268,9 @@ def minhash_lsh_neardup(
     sigs = sh.withColumn("__base", base).withColumn("minhash", sig).drop(
         "__base", "sh"
     )
-    pairs = lsh_band_pairs(sigs, id_col, k=k, bands=bands)
+    pairs = lsh_band_pairs(
+        sigs, id_col, k=k, bands=bands, storage_level=storage_level
+    )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
@@ -404,9 +423,23 @@ def decontaminate(
     id_col: str,
     text_col: str,
     n: int = 4,
+    bad: DataFrame | None = None,
 ) -> DataFrame:
     """Remove contaminated documents from the training corpus: anti-join
-    against :func:`contaminated_ids` (same shingle-hash plan; the train
-    side is scanned twice — at scale, persist the shingled frame)."""
-    bad = contaminated_ids(train, bench, id_col, text_col, n).select(id_col)
-    return train.join(bad, id_col, "left_anti")
+    against :func:`contaminated_ids`.
+
+    Plan shape (pinned by test_decontaminate_plan_shape): the train
+    corpus is shingle-hashed exactly ONCE (inside the contaminated-ids
+    subtree); its second appearance is a plain column-pruned scan feeding
+    the anti-join, and the contaminated-id frame — small by construction,
+    it's bounded by the benchmark's vocabulary — broadcasts into that
+    anti-join. Nothing here is worth persisting at 100 TB: re-reading
+    pruned parquet beats caching the corpus, and the expensive gram
+    explosion happens on one side only.
+
+    Callers that already computed :func:`contaminated_ids` (e.g. to
+    report them) should pass the frame as ``bad`` so the gram join isn't
+    evaluated twice."""
+    if bad is None:
+        bad = contaminated_ids(train, bench, id_col, text_col, n)
+    return train.join(bad.select(id_col), id_col, "left_anti")

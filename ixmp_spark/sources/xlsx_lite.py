@@ -26,7 +26,7 @@ from __future__ import annotations
 import re
 import zipfile
 from xml.etree import ElementTree as ET
-from xml.sax.saxutils import escape
+from xml.sax.saxutils import escape, quoteattr
 
 import pandas as pd
 
@@ -115,7 +115,7 @@ def write_xlsx(path: str, sheets: dict[str, pd.DataFrame]) -> None:
             'Target="xl/workbook.xml"/></Relationships>',
         )
         sheet_entries = "".join(
-            f'<sheet name="{escape(n)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+            f'<sheet name={quoteattr(n)} sheetId="{i + 1}" r:id="rId{i + 1}"/>'
             for i, n in enumerate(names)
         )
         z.writestr(

@@ -419,6 +419,52 @@ def test_update_par(mp):
     assert scen.par("d").set_index(["i", "j"]).loc[("seattle", "topeka"), "value"] == 1.8
 
 
+def test_add_par_bulk_quoted_members(mp, spark):
+    """The SQL-parsed membership predicate must survive quotes and
+    backslashes in set members and reject non-members."""
+    mp.add_unit("u")
+    scen = Scenario(mp, "m", "quoted", version="new")
+    scen.init_set("k")
+    weird = ["it's", 'has "dq"', "back\\slash", "plain"]
+    scen.add_set("k", weird)
+    scen.init_par("p", idx_sets=["k"])
+    src = spark.createDataFrame([(w, 1.0) for w in weird], "k string, value double")
+    scen.add_par_bulk("p", src, unit="u")
+    scen.commit("weird keys")
+    assert sorted(scen.par("p")["k"]) == sorted(weird)
+    scen.check_out()
+    bad = spark.createDataFrame([("nope", 1.0)], "k string, value double")
+    with pytest.raises(ValueError, match="invalid rows"):
+        scen.add_par_bulk("p", bad, unit="u")
+    scen.discard_changes()
+
+
+def test_update_par_nonstring_keys(mp):
+    """ADVICE r2: non-str dim values must match stored str keys — the
+    without-overwriting contract holds for a caller passing ints."""
+    scen = make_dantzig(mp)
+    scen.check_out()
+    scen.init_set("yr")
+    scen.add_set("yr", ["2020", "2030"])
+    scen.init_par("cap", idx_sets=["yr"])
+    scen.add_par(
+        "cap",
+        pd.DataFrame({"yr": ["2020"], "value": [1.0], "unit": ["cases"]}),
+    )
+    update_par(
+        scen,
+        "cap",
+        pd.DataFrame(
+            # int 2020 == stored "2020" → ignored; 2030 is new → added
+            {"yr": [2020, 2030], "value": [99.0, 5.0], "unit": ["cases"] * 2}
+        ),
+    )
+    scen.commit("int-keyed update")
+    cap = scen.par("cap").set_index("yr")
+    assert cap.loc["2020", "value"] == 1.0  # NOT overwritten
+    assert cap.loc["2030", "value"] == 5.0
+
+
 def test_parse_url():
     plat, info = parse_url("ixmp://my-platform/modelA/scen1#3")
     assert plat == "my-platform"
@@ -520,9 +566,15 @@ def test_small_utils(mp):
 
     assert maybe_check_out(scen) is True
     assert maybe_check_out(scen) is False  # already out
+    # explicit state: returned unchanged, NO checkout attempted
+    # (reference util/__init__.py:266–267)
+    assert maybe_check_out(scen, True) is True
+    assert maybe_check_out(scen, False) is False
     assert maybe_commit(scen, False, "no") is False
     assert maybe_commit(scen, True, "yes") is True
     assert not scen._checked_out
+    assert maybe_check_out(scen, False) is False  # checked in + explicit
+    assert not scen._checked_out  # ... still no checkout happened
 
     assert isscalar(3.5) and isscalar(7) and not isscalar("s") and not isscalar([1])
     df = maybe_convert_scalar({"value": 90.0, "unit": "USD/km"})

@@ -351,6 +351,21 @@ def test_xlsx_lite_types_and_escaping(tmp_path):
     assert list(got["empty"].columns) == ["only_header"] and not len(got["empty"])
 
 
+def test_xlsx_lite_sheet_name_with_quotes(tmp_path):
+    """ADVICE r2: a sheet name containing a double quote must produce a
+    parseable workbook (sheet names are XML attributes — quoteattr, not
+    escape, which leaves '\"' alone)."""
+    from ixmp_spark.sources.xlsx_lite import read_xlsx, write_xlsx
+
+    df = pd.DataFrame({"v": [1, 2]})
+    path = str(tmp_path / "q.xlsx")
+    names = ['has "quotes"', "it's <odd> & fine"]
+    write_xlsx(path, {n: df for n in names})
+    got = read_xlsx(path)
+    assert list(got) == names
+    assert got[names[0]]["v"].tolist() == [1, 2]
+
+
 def test_xlsx_lite_reads_shared_strings(tmp_path):
     """Files written by Excel/openpyxl use a shared-string table — the
     reader must resolve t=\"s\" cells through it."""

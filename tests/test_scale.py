@@ -593,6 +593,56 @@ def test_decontaminate_removes_exactly_contaminated(spark, sf_dir):
     )
 
 
+def test_storage_level_passthrough(spark, sf_dir):
+    """The LSH/shingle persists honor the storage_level knob (cluster
+    runs over wide embeddings/shingles choose DISK_ONLY)."""
+    from pyspark import StorageLevel
+
+    from ixmp_spark.operators.dedup import minhash_lsh_neardup
+    from ixmp_spark.operators.similarity import cosine_lsh_pairs
+
+    docs = load(spark, sf_dir, "documents").limit(50)
+    emb = load(spark, sf_dir, "embeddings").limit(50)
+    spark.catalog.clearCache()
+    minhash_lsh_neardup(
+        docs, "doc_id", "text", storage_level=StorageLevel.DISK_ONLY
+    ).count()
+    cosine_lsh_pairs(
+        emb, "vec_id", "embedding",
+        storage_level=StorageLevel.DISK_ONLY,
+    ).count()
+    sc = spark.sparkContext
+    infos = sc._jsc.sc().getRDDStorageInfo()
+    levels = {str(i.storageLevel().description()) for i in infos}
+    assert levels, "expected persisted frames"
+    assert all("Memory" not in lv for lv in levels), levels
+    spark.catalog.clearCache()
+
+
+def test_decontaminate_plan_shape(spark, sf_dir):
+    """VERDICT r2 #4 follow-up: the train corpus is gram-hashed exactly
+    once — its anti-join appearance is a plain pruned scan — and the
+    contaminated-id set broadcasts into the anti-join. Also: passing a
+    precomputed ``bad`` frame skips recomputing the gram join."""
+    from ixmp_spark.operators.dedup import contaminated_ids, decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 10 != 0)
+    bench = docs.where(F.col("doc_id") % 10 == 0)
+    clean = decontaminate(train, bench, "doc_id", "text", n=4)
+    plan = clean._jdf.queryExecution().executedPlan().toString()
+    # one shingle computation per corpus: normalize_text inlines its
+    # regexp_replace twice per shingle site (split + size), so 2 sites
+    # (train grams + bench grams) == 4 occurrences; a duplicated train
+    # shingle subtree would push this to 6+
+    assert plan.count("regexp_replace") == 4, plan.count("regexp_replace")
+    assert "LeftAnti" in plan and "BroadcastExchange" in plan
+
+    bad = contaminated_ids(train, bench, "doc_id", "text", n=4)
+    reused = decontaminate(train, bench, "doc_id", "text", bad=bad)
+    assert reused.count() == clean.count()
+
+
 def test_train_val_split_deterministic_and_sized(spark, sf_dir):
     """The split is a pure function of the key: stable across
     repartitioning, ~val_frac sized, and exhaustive."""
