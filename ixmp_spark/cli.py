@@ -1,27 +1,41 @@
 """Command-line interface (reference ixmp/cli.py:71–393 surface).
 
-Commands mirror the reference CLI verbs that make sense without a GAMS
-install: ``list`` (scenario registry), ``export`` (bulk TS CSV),
-``import`` (TS CSV into a run), ``report`` (compute one reporting key),
-``solve`` (run a registered model).
+Verbs mirror the reference CLI:
+
+- ``list`` — scenario registry (cli.py:330)
+- ``export`` — bulk TS CSV (platform.export_timeseries_data surface)
+- ``export-excel`` — scenario data to .xlsx w/ filters (cli.py:229–258)
+- ``import timeseries FILE`` — TS CSV/Excel (cli.py:300–312)
+- ``import scenario FILE`` — Excel scenario data incl. ``--init-items``
+  / ``--add-units`` / ``--discard-solution`` / ``--commit-steps``
+  (cli.py:314–331)
+- ``report [KEY] [--config YAML] [--output PATH]`` — compute a reporting
+  key, optionally writing the result file (cli.py:120–142)
+- ``solve`` — run a registered model (cli.py:247)
+- ``platform add|remove|list`` — platform registry (cli.py:335–365)
+- ``config get|set|show`` — configuration keys (cli.py:191–218)
+- ``show-versions`` (cli.py:145)
+
+``--platform`` accepts a warehouse root path OR a name registered via
+``platform add NAME warehouse PATH``; ``--url ixmp://PLATFORM/MODEL/
+SCENARIO[#VERSION]`` combines platform+scenario selection (cli.py:71–118).
 
     python -m ixmp_spark.cli --platform /path/to/wh list --match canning
-    python -m ixmp_spark.cli --platform WH --model M --scenario S \
-        import ts.csv --firstyear 2005
-    python -m ixmp_spark.cli --platform WH export out.csv --default-only
-    python -m ixmp_spark.cli --platform WH --model M --scenario S \
-        report "d:i"
+    python -m ixmp_spark.cli platform add prod warehouse /data/wh
+    python -m ixmp_spark.cli --url ixmp://prod/M/S report "d:i" -o out.csv
 """
 
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="ixmp_spark")
-    p.add_argument("--platform", required=True, help="warehouse root dir")
+    p.add_argument("--platform", help="warehouse root dir or configured name")
+    p.add_argument("--url", help="ixmp://PLATFORM/MODEL/SCENARIO[#VERSION]")
     p.add_argument("--model")
     p.add_argument("--scenario")
     p.add_argument("--version", type=int)
@@ -30,33 +44,157 @@ def build_parser() -> argparse.ArgumentParser:
     sp = sub.add_parser("list", help="list scenarios (reference cli.py:330)")
     sp.add_argument("--match", help="regex on 'model/scenario'")
 
-    sp = sub.add_parser("export", help="bulk TS export (cli.py:281)")
+    sp = sub.add_parser("export", help="bulk TS export (platform surface)")
     sp.add_argument("path")
     sp.add_argument("--variable", action="append")
     sp.add_argument("--region", action="append")
     sp.add_argument("--default-only", action="store_true")
     sp.add_argument("--export-all-runs", action="store_true")
 
-    sp = sub.add_parser("import", help="TS CSV import (cli.py:281)")
+    sp = sub.add_parser(
+        "export-excel", help="scenario data to .xlsx (cli.py:229–258)"
+    )
     sp.add_argument("path")
-    sp.add_argument("--firstyear", type=int)
-    sp.add_argument("--lastyear", type=int)
+    sp.add_argument("--max-row", type=int)
+    sp.add_argument(
+        "filters", nargs="*", metavar="FILTERS",
+        help="dim_1=val0,val1 dim_2=val2",
+    )
 
-    sp = sub.add_parser("report", help="compute a reporting key (cli.py:371)")
+    sp = sub.add_parser(
+        "import", help="import time series or scenario data (cli.py:289)"
+    )
+    isub = sp.add_subparsers(dest="what", required=True)
+    tsp = isub.add_parser("timeseries", help="TS CSV/Excel (cli.py:300)")
+    tsp.add_argument("file")
+    tsp.add_argument("--firstyear", type=int)
+    tsp.add_argument("--lastyear", type=int)
+    ssp = isub.add_parser("scenario", help="Excel scenario data (cli.py:314)")
+    ssp.add_argument("file")
+    ssp.add_argument("--discard-solution", action="store_true")
+    ssp.add_argument("--add-units", action="store_true")
+    ssp.add_argument("--init-items", action="store_true")
+    ssp.add_argument("--commit-steps", action="store_true")
+
+    sp = sub.add_parser("report", help="compute a reporting key (cli.py:120)")
     sp.add_argument("key", nargs="?", help="defaults to the config's 'default:'")
     sp.add_argument("--config", help="reporting config YAML (cli.py:121)")
+    sp.add_argument(
+        "-o", "--output", help="write the result to a .csv or .xlsx file"
+    )
 
     sp = sub.add_parser("solve", help="run a model (cli.py:247)")
     sp.add_argument("--model-name", default="gams")
+
+    sp = sub.add_parser(
+        "platform", help="configure platforms (cli.py:335–365)"
+    )
+    psub = sp.add_subparsers(dest="action", required=True)
+    ap = psub.add_parser("add", help="platform add NAME warehouse PATH")
+    ap.add_argument("name")
+    ap.add_argument("args", nargs="*")
+    rp = psub.add_parser("remove")
+    rp.add_argument("name")
+    psub.add_parser("list")
+
+    sp = sub.add_parser("config", help="get/set config keys (cli.py:191–218)")
+    csub = sp.add_subparsers(dest="action", required=True)
+    cg = csub.add_parser("get")
+    cg.add_argument("key")
+    cs = csub.add_parser("set")
+    cs.add_argument("key")
+    cs.add_argument("value")
+    csub.add_parser("show")
+
+    sub.add_parser("show-versions", help="package versions (cli.py:145)")
     return p
+
+
+def _resolve_platform(name_or_path: str) -> str:
+    """A directory path is used as-is; otherwise it must be a platform
+    name registered in config (``platform add NAME warehouse PATH``)."""
+    if os.path.isdir(name_or_path):
+        return name_or_path
+    from ixmp_spark.config import config
+
+    try:
+        _, info = config.get_platform_info(name_or_path)
+    except ValueError as e:
+        raise SystemExit(str(e))
+    if info.get("class") != "warehouse":
+        raise SystemExit(
+            f"platform {name_or_path!r} uses backend {info.get('class')!r}; "
+            "the CLI drives warehouse platforms"
+        )
+    return info["path"]
 
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+
+    # config/platform groups operate on the registry only — no Spark
+    if args.cmd == "config":
+        from ixmp_spark.config import config
+
+        if args.action == "get":
+            print(config.get(args.key))
+        elif args.action == "set":
+            try:
+                config.set(args.key, args.value)
+            except KeyError as e:
+                raise SystemExit(f"No registered configuration key {e}")
+            config.save()
+            print(f"Updated {config.path}")
+        else:  # show
+            print(f"Configuration path: {config.path}\n")
+            import json
+
+            print(json.dumps(config.values, indent=2, default=str))
+        return 0
+    if args.cmd == "platform":
+        from ixmp_spark.config import config
+
+        if args.action == "add":
+            config.add_platform(args.name, *args.args)
+            config.save()
+            print(f"Added platform {args.name!r}")
+        elif args.action == "remove":
+            try:
+                config.remove_platform(args.name)
+            except KeyError:
+                raise SystemExit(f"no platform named {args.name!r}")
+            config.save()
+            print(f"Removed platform config for {args.name!r}")
+        else:  # list
+            for name, info in sorted(config.get("platform").items()):
+                print(f"{name}: {info}")
+        return 0
+    if args.cmd == "show-versions":
+        from ixmp_spark.core.utils import show_versions
+
+        print(show_versions())
+        return 0
+
     from ixmp_spark.core import Platform, Scenario, TimeSeries
     from ixmp_spark.session import get_spark
 
-    mp = Platform(get_spark("ixmp_spark_cli"), args.platform)
+    if args.url:
+        if args.platform or args.model or args.scenario or args.version:
+            raise SystemExit(
+                "--platform --model --scenario and/or --version redundant "
+                "with --url"
+            )
+        from ixmp_spark.core.utils import parse_url
+
+        plat_name, info = parse_url(args.url)
+        args.platform = plat_name
+        args.model = info["model"]
+        args.scenario = info["scenario"]
+        args.version = info.get("version")
+    if not args.platform:
+        raise SystemExit("give --platform (or --url) before the command")
+
+    mp = Platform(get_spark("ixmp_spark_cli"), _resolve_platform(args.platform))
 
     def need_ts():
         if not (args.model and args.scenario):
@@ -81,17 +219,46 @@ def main(argv: list[str] | None = None) -> int:
             export_all_runs=args.export_all_runs,
         )
         print(f"wrote {args.path}")
+    elif args.cmd == "export-excel":
+        need_ts()
+        filters = {}
+        for group in args.filters:
+            dim, _, values = group.partition("=")
+            if not _:
+                raise SystemExit(f"filters must be dim=v1,v2 — got {group!r}")
+            filters[dim] = values.split(",")
+        scen = Scenario(mp, args.model, args.scenario, version=args.version)
+        scen.to_excel(args.path, filters=filters or None, max_row=args.max_row)
+        print(f"wrote {args.path}")
     elif args.cmd == "import":
         need_ts()
-        from ixmp_spark.sources.ts_io import import_timeseries
+        if args.what == "timeseries":
+            from ixmp_spark.sources.ts_io import import_timeseries
 
-        ts = TimeSeries(mp, args.model, args.scenario, version=args.version)
-        ts.check_out()
-        import_timeseries(
-            ts, args.path, firstyear=args.firstyear, lastyear=args.lastyear
-        )
-        ts.commit(f"imported {args.path}")
-        print(f"imported {args.path} into {args.model}/{args.scenario}")
+            ts = TimeSeries(mp, args.model, args.scenario, version=args.version)
+            ts.check_out()
+            import_timeseries(
+                ts, args.file, firstyear=args.firstyear, lastyear=args.lastyear
+            )
+            ts.commit(f"imported {args.file}")
+            print(f"imported {args.file} into {args.model}/{args.scenario}")
+        else:  # scenario (reference cli.py:314–331)
+            scen = Scenario(mp, args.model, args.scenario, version=args.version)
+            if scen.has_solution() and args.discard_solution:
+                scen.remove_solution()
+            try:
+                scen.check_out()
+            except ValueError as e:
+                raise SystemExit(str(e))
+            scen.read_excel(
+                args.file,
+                add_units=args.add_units,
+                init_items=args.init_items,
+                commit_steps=args.commit_steps,
+            )
+            if scen._checked_out:
+                scen.commit(f"imported {args.file}")
+            print(f"imported {args.file} into {args.model}/{args.scenario}")
     elif args.cmd == "report":
         need_ts()
         from ixmp_spark.plans import Reporter
@@ -103,6 +270,10 @@ def main(argv: list[str] | None = None) -> int:
         key = args.key or rep.default_key
         if not key:
             raise SystemExit("no key given and no 'default:' in config")
+        if args.output:
+            rep.write(key, args.output)
+            print(f"wrote {args.output}")
+            return 0
         q = rep.get_quantity(key)
         pdf = q.df.toPandas()
         if q.dims:

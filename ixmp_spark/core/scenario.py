@@ -704,13 +704,14 @@ class Scenario(TimeSeries):
         self.commit(f"remove_solution(first_model_year={first_model_year})")
 
     # -- workbook I/O (reference scenario.py read_excel/to_excel) ---------
-    def to_excel(self, path, items=None, max_row=None) -> None:
+    def to_excel(self, path, items=None, filters=None, max_row=None) -> None:
         """S3 (reference Scenario.to_excel): dump item data to a workbook
         (real .xlsx via the stdlib SpreadsheetML writer; a directory path
-        selects the CSV-dir backend)."""
+        selects the CSV-dir backend). ``filters`` restrict written rows
+        per dim (reference cli.py:229–258 export)."""
         from ixmp_spark.sources.scenario_io import EXCEL_MAX_ROWS, write_scenario_data
 
-        write_scenario_data(self, str(path), items=items,
+        write_scenario_data(self, str(path), items=items, filters=filters,
                             max_row=max_row or EXCEL_MAX_ROWS)
 
     def read_excel(self, path, add_units=False, init_items=False,

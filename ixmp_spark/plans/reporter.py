@@ -162,6 +162,27 @@ class Reporter:
     def get(self, key: "str | Key") -> DataFrame:
         return self.get_quantity(key).df
 
+    def write(self, key: "str | Key", path: str) -> None:
+        """Compute ``key`` and write the result to ``path`` (genno
+        ``Computer.write`` surface; reference cli.py:120–142 report
+        output). ``.csv`` writes dims+value(+unit) rows; ``.xlsx`` writes
+        one sheet named after the key via the stdlib SpreadsheetML
+        writer. Driver-side by design: reported quantities are
+        aggregates, not fact tables."""
+        q = self.get_quantity(key)
+        pdf = q.df.toPandas()
+        if q.unit:
+            pdf = pdf.assign(unit=q.unit)
+        if path.endswith(".xlsx"):
+            from ixmp_spark.sources.xlsx_lite import write_xlsx
+
+            sheet = str(Key.parse(key)).replace(":", " ")[:31]
+            write_xlsx(path, {sheet: pdf})
+        elif path.endswith(".csv"):
+            pdf.to_csv(path, index=False)
+        else:
+            raise ValueError(f"unsupported output format: {path!r}")
+
     def persist_key(self, key: "str | Key") -> None:
         """P6: pin a hot intermediate across actions (the explicit CSE the
         dask graph got implicitly)."""

@@ -99,14 +99,28 @@ def _sheet_chunks(name: str, df: pd.DataFrame, max_row: int):
 
 
 def write_scenario_data(
-    scen: Scenario, path: str, items=None, max_row: int = EXCEL_MAX_ROWS
+    scen: Scenario, path: str, items=None, filters=None,
+    max_row: int = EXCEL_MAX_ROWS,
 ) -> None:
-    """S3 (reference io.py:55–154): dump item data to a workbook."""
+    """S3 (reference io.py:55–154): dump item data to a workbook.
+
+    ``filters`` (reference cli.py:229–258 export, ``dim=val0,val1``)
+    restrict the written rows of parameters ONLY (reference io.py:94–102:
+    ``item_filters = None`` for every non-par type); keys are pruned per
+    item to its dims (F9)."""
     wb = Workbook()
     mapping_rows = []
     names = items or (
         scen.items("set") + scen.items("par") + scen.items("var") + scen.items("equ")
     )
+
+    def _rel(item) -> dict | None:
+        if not filters:
+            return None
+        return {
+            d: v for d, v in filters.items() if d in item["idx_names"]
+        } or None
+
     for name in sorted(names):
         item = scen._require_item(name)
         ix_type = item["ix_type"]
@@ -121,7 +135,7 @@ def write_scenario_data(
                 s = scen.scalar(name)
                 data = pd.DataFrame({"value": [s["value"]], "unit": [s["unit"]]})
             else:
-                data = scen.par(name)
+                data = scen.par(name, filters=_rel(item))
         else:
             # var/equ: written for information, ignored on read
             try:

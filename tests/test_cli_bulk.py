@@ -123,7 +123,7 @@ def test_cli_list_report_export(mp, tmp_path, capsys):
         cli_main(
             [
                 "--platform", root, "--model", "canning problem",
-                "--scenario", "standard", "import", str(csv),
+                "--scenario", "standard", "import", "timeseries", str(csv),
             ]
         )
         == 0
@@ -135,6 +135,163 @@ def test_cli_list_report_export(mp, tmp_path, capsys):
     )
     got = pd.read_csv(outcsv)
     assert got["VALUE"].tolist() == [1.5, 2.5]
+
+
+def test_cli_platform_and_config_groups(tmp_path, capsys, monkeypatch):
+    """Reference cli.py:191–218 (config get/set/show) and 335–365
+    (platform add/remove/list) over the warehouse-root config notion."""
+    import importlib
+
+    monkeypatch.setenv("IXMP_SPARK_DATA", str(tmp_path / "cfg"))
+    import ixmp_spark.config as cfgmod
+
+    importlib.reload(cfgmod)
+
+    wh = tmp_path / "wh-root"
+    wh.mkdir()
+    assert cli_main(["platform", "add", "prod", "warehouse", str(wh)]) == 0
+    assert "Added platform" in capsys.readouterr().out
+    assert cli_main(["platform", "add", "default", "prod"]) == 0
+    capsys.readouterr()
+    assert cli_main(["platform", "list"]) == 0
+    out = capsys.readouterr().out
+    assert "prod" in out and str(wh) in out
+
+    # the registered name resolves for real commands
+    assert cli_main(["--platform", "prod", "list"]) == 0
+    assert "no scenarios" in capsys.readouterr().out
+
+    # config get/set/show
+    assert cli_main(["config", "get", "platform"]) == 0
+    assert "prod" in capsys.readouterr().out
+    with pytest.raises(SystemExit, match="No registered"):
+        cli_main(["config", "set", "nokey", "v"])
+    cfgmod.config.register("mykey", str)
+    assert cli_main(["config", "set", "mykey", "myval"]) == 0
+    capsys.readouterr()
+    assert cli_main(["config", "show"]) == 0
+    out = capsys.readouterr().out
+    assert "mykey" in out and "myval" in out
+
+    # remove
+    assert cli_main(["platform", "remove", "prod"]) == 0
+    with pytest.raises(SystemExit, match="not among"):
+        cli_main(["--platform", "prod", "list"])
+    importlib.reload(cfgmod)  # drop the test registry for later tests
+
+
+def test_cli_import_scenario_and_export_excel(mp, tmp_path, capsys):
+    """Reference cli.py:300–331: export scenario data to .xlsx with
+    filters, then import it into a fresh scenario via the CLI."""
+    make_dantzig(mp)
+    root = str(mp.wh.root)
+    xlsx = tmp_path / "dump.xlsx"
+    assert (
+        cli_main(
+            [
+                "--platform", root, "--model", "canning problem",
+                "--scenario", "standard", "export-excel", str(xlsx),
+                "i=seattle",
+            ]
+        )
+        == 0
+    )
+    from ixmp_spark.sources.xlsx_lite import read_xlsx
+
+    sheets = read_xlsx(str(xlsx))
+    assert sheets["d"]["i"].unique().tolist() == ["seattle"]
+    # filters apply to pars ONLY (reference io.py:94–102): the set sheet
+    # keeps every member
+    assert sorted(sheets["i"][sheets["i"].columns[0]]) == [
+        "san-diego", "seattle"
+    ]
+
+    # full export → CLI import into a new scenario (init_items)
+    full = tmp_path / "full.xlsx"
+    assert (
+        cli_main(
+            [
+                "--platform", root, "--model", "canning problem",
+                "--scenario", "standard", "export-excel", str(full),
+            ]
+        )
+        == 0
+    )
+    from ixmp_spark.core import Scenario
+
+    Scenario(mp, "canning problem", "cli-import", version="new").commit("init")
+    assert (
+        cli_main(
+            [
+                "--platform", root, "--model", "canning problem",
+                "--scenario", "cli-import", "import", "scenario", str(full),
+                "--init-items", "--add-units",
+            ]
+        )
+        == 0
+    )
+    dst = Scenario(mp, "canning problem", "cli-import")
+    assert sorted(dst.set("i")) == ["san-diego", "seattle"]
+    assert dst.items("par") == ["a", "b", "d", "f"]
+
+
+def test_cli_report_output_and_url(mp, tmp_path, capsys, monkeypatch):
+    """report --output writes csv/xlsx (Reporter.write); --url selects
+    platform+scenario in one argument (reference cli.py:71–118)."""
+    make_dantzig(mp)
+    root = str(mp.wh.root)
+    out_csv = tmp_path / "d.csv"
+    assert (
+        cli_main(
+            [
+                "--platform", root, "--model", "canning problem",
+                "--scenario", "standard", "report", "d:i-j",
+                "--output", str(out_csv),
+            ]
+        )
+        == 0
+    )
+    got = pd.read_csv(out_csv)
+    assert set(got.columns) == {"i", "j", "value", "unit"}
+    assert len(got) == 6 and (got["unit"] == "km").all()
+
+    out_xlsx = tmp_path / "d.xlsx"
+    assert (
+        cli_main(
+            [
+                "--platform", root, "--model", "canning problem",
+                "--scenario", "standard", "report", "d:i-j",
+                "-o", str(out_xlsx),
+            ]
+        )
+        == 0
+    )
+    from ixmp_spark.sources.xlsx_lite import read_xlsx
+
+    sheets = read_xlsx(str(out_xlsx))
+    assert len(next(iter(sheets.values()))) == 6
+
+    # --url: ixmp://PLATFORM/MODEL/SCENARIO with a registered platform
+    # name (reference URLs address platforms by configured name)
+    import importlib
+
+    monkeypatch.setenv("IXMP_SPARK_DATA", str(tmp_path / "cfg"))
+    import ixmp_spark.config as cfgmod
+
+    importlib.reload(cfgmod)
+    assert cli_main(["platform", "add", "cp", "warehouse", root]) == 0
+    capsys.readouterr()
+    assert (
+        cli_main(["--url=ixmp://cp/canning problem/standard", "report", "d:i"])
+        == 0
+    )
+    assert "seattle" in capsys.readouterr().out
+    with pytest.raises(SystemExit, match="redundant"):
+        cli_main(["--url", "ixmp://cp/m/s", "--model", "m2", "list"])
+    capsys.readouterr()
+    assert cli_main(["show-versions"]) == 0
+    assert "pyspark" in capsys.readouterr().out
+    importlib.reload(cfgmod)
 
 
 def test_cli_report_config(mp, tmp_path, capsys):
