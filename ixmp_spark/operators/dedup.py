@@ -417,6 +417,140 @@ def contaminated_ids(
     )
 
 
+def drop_common_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    w: int = 8,
+    min_docs: int = 2,
+    sep: str = " ",
+) -> DataFrame:
+    """C4-style cross-corpus span removal: delete every non-overlapping
+    ``w``-token chunk that occurs in at least ``min_docs`` DISTINCT
+    documents (boilerplate headers/footers/license blocks), and
+    reassemble each document from its surviving chunks in order.
+
+    Returns (id, n_chunks, n_dropped, new_text). Plan shape: the
+    frequency side reduces chunks to 64-bit xxhash64 keys before its
+    shuffle (8 B regardless of span width, the contaminated_ids
+    discipline); the document side necessarily carries chunk text — it
+    is needed for reassembly no matter what — through one anti-join and
+    one groupBy(id) reassembly shuffle. Popular boilerplate hashes are
+    the skew risk; countDistinct partials + AQE handle it.
+    """
+    toks = F.split(normalize_text(text_col), " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(w)).cast("int")
+    chunks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n_chunks, F.lit(1))),
+                lambda i: F.concat_ws(sep, F.slice(toks, (i - 1) * w + 1, w)),
+            )
+        ).alias("__pos", "__chunk"),
+    ).withColumn("__ch", F.xxhash64("__chunk"))
+    freq = (
+        chunks.groupBy("__ch")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("__ch")
+    )
+    flagged = chunks.join(freq, "__ch", "left_semi").select(
+        id_col, F.col("__pos").alias("__bad_pos")
+    )
+    kept = chunks.join(freq, "__ch", "left_anti")
+    assembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__chunk"))),
+                lambda s: s["__chunk"],
+            ),
+            sep,
+        ).alias("new_text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    totals = chunks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_chunks"))
+    return (
+        totals.join(assembled, id_col, "left")
+        .select(
+            id_col,
+            "n_chunks",
+            (F.col("n_chunks") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_dropped"),
+            F.coalesce("new_text", F.lit("")).alias("new_text"),
+        )
+    )
+
+
+def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over a near-duplicate pair graph: every
+    document gets the MIN id of its component as ``cluster`` — the
+    grouping step between pair generation (d2/d3/e5) and per-cluster
+    representative selection.
+
+    Min-label propagation: each round every node takes the minimum label
+    among itself and its neighbors; fixpoint in O(component diameter)
+    rounds (near-dup components are short — chains of edits — so this
+    beats the log-round star algorithms in constant factors while
+    staying all-DataFrame). Each round is one join + one groupBy on
+    (id, 8 B label); the driver only sees the single changed-count per
+    round. Raises if ``max_iter`` rounds don't converge.
+
+    Labels are ``localCheckpoint``-ed every round: iterative plans
+    otherwise accumulate O(rounds) lineage, growing analysis time and
+    the final plan without bound (the Pregel/GraphFrames discipline).
+    On a cluster with executor churn, swap for reliable
+    ``checkpoint()`` against a checkpoint dir.
+    """
+    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    edges = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("cluster", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("b"), F.col("cluster").alias("__nl")
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("__nl").alias("__nmin"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.a, "left")
+            .select(
+                labels.id,
+                F.least(
+                    labels.cluster, F.coalesce("__nmin", labels.cluster)
+                ).alias("cluster"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.cluster") != F.col("o.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            edges.unpersist()
+            return labels
+    raise RuntimeError(
+        f"dedup_clusters did not converge in {max_iter} rounds — "
+        "component diameter exceeds max_iter; raise it or pre-split"
+    )
+
+
 def decontaminate(
     train: DataFrame,
     bench: DataFrame,

@@ -718,3 +718,101 @@ def p5_domain_mix(spark, sf_dir):
     return domain_mix(
         docs, "source", {"src0": 3, "src1": 3, "src2": 2}, copy_col="copy_n"
     ).select("doc_id", "source", "copy_n")
+
+
+@query(
+    "t8_span_dedup_cross_doc",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id,
+             unnest(range(1, CAST(ceil(len(toks)/8.0) AS BIGINT) + 1)) AS pos,
+             toks
+      FROM t
+    ),
+    chunked AS (
+      SELECT doc_id, pos,
+             array_to_string(list_slice(toks, (pos-1)*8 + 1, pos*8), ' ')
+               AS chunk
+      FROM idx
+    ),
+    freq AS (
+      SELECT chunk FROM chunked
+      GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(*) FILTER (WHERE f.chunk IS NOT NULL) AS BIGINT)
+             AS n_dropped,
+           coalesce(array_to_string(
+             list(c.chunk ORDER BY c.pos) FILTER (WHERE f.chunk IS NULL),
+             ' '), '') AS new_text
+    FROM chunked c LEFT JOIN freq f USING (chunk)
+    GROUP BY c.doc_id
+    """,
+)
+def t8_span_dedup_cross_doc(spark, sf_dir):
+    """C4-style cross-document span removal: non-overlapping 8-token
+    chunks occurring in ≥2 distinct documents are deleted everywhere and
+    each document is reassembled from its surviving chunks. The
+    frequency shuffle carries 8-byte chunk hashes, never span text."""
+    from ixmp_spark.operators.dedup import drop_common_spans
+
+    docs = load(spark, sf_dir, "documents")
+    out = drop_common_spans(
+        docs, id_col="doc_id", text_col="text", w=8, min_docs=2
+    )
+    return out.withColumn("n_chunks", F.col("n_chunks").cast("long"))
+
+
+@query(
+    "d6_dedup_clusters",
+    oracle=r"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, lang, source,
+             list_distinct(string_split_regex(trim(lower(text)), '\s+'))
+               AS toks
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(list_filter(a.toks, x -> list_contains(b.toks, x))) * 1.0
+            / len(list_distinct(a.toks || b.toks)) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+    ),
+    labels AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+    SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+           CAST(max(id) AS BIGINT) AS max_member
+    FROM labels GROUP BY cluster
+    """,
+)
+def d6_dedup_clusters(spark, sf_dir):
+    """Near-duplicate CLUSTERS: connected components over the d2 pair
+    graph (min-label propagation, one join + one groupBy per round), the
+    step that turns pairwise matches into per-group representatives. The
+    oracle computes the same components with a recursive CTE."""
+    from ixmp_spark.operators.dedup import dedup_clusters, jaccard_block_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = jaccard_block_pairs(
+        docs, id_col="doc_id", text_col="text",
+        block_cols=["lang", "source"], threshold=0.5, max_block=100_000,
+    )
+    labels = dedup_clusters(pairs)
+    return labels.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max("id").alias("max_member"),
+    )

@@ -643,6 +643,55 @@ def test_decontaminate_plan_shape(spark, sf_dir):
     assert reused.count() == clean.count()
 
 
+def test_drop_common_spans_semantics(spark):
+    """Cross-doc span removal: a chunk shared by >= min_docs docs is
+    deleted from every doc; unique chunks survive in original order;
+    a fully-boilerplate doc comes back empty (not missing)."""
+    from ixmp_spark.operators.dedup import drop_common_spans
+
+    boiler = "standard license header all rights reserved by corp"  # 8 toks
+    df = spark.createDataFrame(
+        [
+            (1, boiler + " unique body of document one here now ok"),
+            (2, boiler + " another totally different body text for two"),
+            (3, boiler),  # nothing but the shared chunk
+            (4, "entirely original content with no shared spans at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in drop_common_spans(
+            df, "doc_id", "text", w=8, min_docs=2
+        ).collect()
+    }
+    assert out[1].n_dropped == 1 and out[1].new_text.startswith("unique body")
+    assert out[2].n_dropped == 1 and "another" in out[2].new_text
+    assert out[3].n_dropped == 1 and out[3].new_text == ""
+    assert out[4].n_dropped == 0 and out[4].n_chunks == 2
+    assert all(r.n_chunks >= r.n_dropped for r in out.values())
+
+
+def test_dedup_clusters_components(spark):
+    """Min-label propagation finds exact connected components, including
+    a chain (diameter > 1) and isolated pairs; non-edge docs absent."""
+    from ixmp_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        # component {1,2,3,4} as a chain, component {10,11}
+        [(1, 2), (2, 3), (3, 4), (10, 11)],
+        "id_a long, id_b long",
+    )
+    got = {r.id: r.cluster for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    with pytest.raises(RuntimeError, match="converge"):
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+        )
+        dedup_clusters(chain, max_iter=2)
+
+
 def test_train_val_split_deterministic_and_sized(spark, sf_dir):
     """The split is a pure function of the key: stable across
     repartitioning, ~val_frac sized, and exhaustive."""
