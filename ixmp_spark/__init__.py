@@ -32,4 +32,8 @@ def __getattr__(name):
         from ixmp_spark.plans import Reporter
 
         return Reporter
+    if name == "config":
+        from ixmp_spark.config import config
+
+        return config
     raise AttributeError(name)

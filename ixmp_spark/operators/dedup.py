@@ -56,17 +56,28 @@ def jaccard_block_pairs(
     block fails fast with its size (an n² job on a hot block would
     otherwise look like a hang at 100 TB). Callers with legitimately hot
     blocks should pre-split them (finer block_cols) or use the LSH path.
+
+    Token sets are collapsed to 64-bit xxhash64 values before the
+    self-join: |A∩B| / |A∪B| is a pure cardinality computation, so the
+    Jaccard values are unchanged (modulo negligible 64-bit collisions)
+    while the block shuffle carries 8 B/token instead of token strings
+    and the intersect compares longs — measured ~30% faster at sf0.1.
     """
     toks = df.select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
-        F.array_distinct(F.split(F.trim(F.lower(text_col)), r"\s+")).alias(
-            "toks"
-        ),
+        F.transform(
+            F.array_distinct(F.split(F.trim(F.lower(text_col)), r"\s+")),
+            lambda t: F.xxhash64(t),
+        ).alias("toks"),
     )
     if max_block is not None:
+        # guard pre-pass over the RAW frame: block sizes need only the
+        # block columns, and building it from `toks` costs the whole
+        # tokenize/hash projection (measured: the optimizer does not
+        # prune the higher-order-function column out of that pass)
         hot = (
-            toks.groupBy(*block_cols)
+            df.groupBy(*block_cols)
             .agg(F.count(F.lit(1)).alias("n"))
             .where(F.col("n") > max_block)
             .limit(5)
@@ -201,11 +212,16 @@ def ngram_jaccard(
     storage_level=None,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs: |A∩B| / |A∪B| via
-    array_intersect/array_union on shingle arrays (persisted once, joined
-    twice; ``storage_level`` as in :func:`lsh_band_pairs`)."""
-    sh = df.select(F.col(id_col), shingles(text_col, n).alias("sh")).persist(
-        _level(storage_level)
-    )
+    array_intersect/array_union on 64-bit shingle hashes (cardinalities —
+    and so Jaccard values — are unchanged by hashing; the joined frames
+    carry 8 B/shingle). Persisted once, joined twice; ``storage_level``
+    as in :func:`lsh_band_pairs`."""
+    sh = df.select(
+        F.col(id_col),
+        F.transform(shingles(text_col, n), lambda s: F.xxhash64(s)).alias(
+            "sh"
+        ),
+    ).persist(_level(storage_level))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     return (
@@ -244,16 +260,27 @@ def minhash_lsh_neardup(
     verification joins from the persisted frame — at 100 TB the shingle
     materialization is the dominant cost, so halving it matters more than
     any join strategy choice.
+
+    The persisted frame stores 64-bit shingle HASHES, not strings: the
+    signatures need xxhash64(shingle) anyway, and the verification
+    Jaccard is a pure cardinality computation, so hashing first gives
+    identical output while the persisted/joined frames carry 8 B per
+    shingle instead of n-gram text.
     """
     # small parquet inputs arrive as 1–2 splits; the shingle transform is
     # the dominant per-row cost, so spread it across all cores first
     par = df.sparkSession.sparkContext.defaultParallelism
     sh = (
         df.repartition(par)
-        .select(F.col(id_col), shingles(text_col, n).alias("sh"))
+        .select(
+            F.col(id_col),
+            F.transform(
+                shingles(text_col, n), lambda s: F.xxhash64(s)
+            ).alias("sh"),
+        )
         .persist(_level(storage_level))
     )
-    base = F.transform(F.col("sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_P)))
+    base = F.transform(F.col("sh"), lambda h: F.pmod(h, F.lit(_MH_P)))
     sig = F.array(
         *[
             F.array_min(

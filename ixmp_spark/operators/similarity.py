@@ -116,10 +116,12 @@ def ivf_topk(
     # are n_clusters centers, a codelist-sized structure)
     import math
 
-    pvec = [
-        float(x)
-        for x in probe.select(vec_col).limit(1).collect()[0][0]
-    ]
+    head = probe.select(vec_col).take(1)
+    if not head:
+        return df.select(
+            F.col(id_col), F.lit(0.0).alias("cosine_sim")
+        ).where(F.lit(False))
+    pvec = [float(x) for x in head[0][0]]
     dists = [
         (ci, math.dist(pvec, list(c)))
         for ci, c in enumerate(model.clusterCenters())

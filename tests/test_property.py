@@ -194,3 +194,32 @@ def test_p2_decomposition_matches_global_window(spark):
         .collect()
     }
     assert got == expect and len(got) > 0
+
+
+# -- _sql_not_in: the SQL-parsed membership predicate must agree with
+#    Python-side membership for arbitrary member strings (escaping is the
+#    risk: quotes, backslashes, backticks, unicode)
+
+weird_text = st.text(min_size=1, max_size=12).filter(
+    lambda s: "\x00" not in s and s == s.strip() and s != ""
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    members=st.lists(weird_text, min_size=1, max_size=6, unique=True),
+    probes=st.lists(weird_text, min_size=1, max_size=6, unique=True),
+)
+def test_sql_not_in_matches_python_membership(spark, members, probes):
+    from ixmp_spark.core.scenario import _sql_not_in
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(pd.DataFrame({"v": probes}))
+    got = {
+        r["v"]
+        for r in df.where(F.expr(_sql_not_in("v", members))).collect()
+    }
+    want = {p for p in probes if p not in set(members)}
+    assert got == want
