@@ -524,72 +524,109 @@ def drop_common_spans(
     )
 
 
-def dedup_clusters(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+def dedup_clusters(
+    pairs: DataFrame, max_iter: int = 25, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Connected components over a near-duplicate pair graph: every
     document gets the MIN id of its component as ``cluster`` — the
     grouping step between pair generation (d2/d3/e5) and per-cluster
     representative selection.
 
-    Min-label propagation: each round every node takes the minimum label
-    among itself and its neighbors; fixpoint in O(component diameter)
-    rounds (near-dup components are short — chains of edits — so this
-    beats the log-round star algorithms in constant factors while
-    staying all-DataFrame). Each round is one join + one groupBy on
-    (id, 8 B label); the driver only sees the single changed-count per
-    round. Raises if ``max_iter`` rounds don't converge.
+    Min-label propagation WITH pointer doubling: each round every node
+    takes (1) the minimum label among itself and its neighbors, then
+    (2) the label of the node its label points to (path shortcutting).
+    Step 2 halves the remaining label-chain depth each round, so the
+    fixpoint arrives in O(log diameter) rounds instead of O(diameter) —
+    a pathological crawl dup-chain of length 1000 converges in ~11
+    rounds, comfortably inside the default ``max_iter``. At the
+    fixpoint every node's label equals all its neighbors' labels
+    (step 1) and is a self-labeled node (step 2), so each component
+    carries exactly one label — its minimum id. Each round is two
+    joins + one groupBy carrying (id, 8 B label); the driver only sees
+    the single changed-count per round. Raises if ``max_iter`` rounds
+    don't converge.
 
-    Labels are ``localCheckpoint``-ed every round: iterative plans
-    otherwise accumulate O(rounds) lineage, growing analysis time and
-    the final plan without bound (the Pregel/GraphFrames discipline).
-    On a cluster with executor churn, swap for reliable
-    ``checkpoint()`` against a checkpoint dir.
+    Labels are checkpointed every round: iterative plans otherwise
+    accumulate O(rounds) lineage, growing analysis time and the final
+    plan without bound (the Pregel/GraphFrames discipline). By default
+    ``localCheckpoint`` (executor-lifetime blocks — fine for a single
+    job); pass ``checkpoint_dir`` to use reliable ``checkpoint()``
+    against that directory on clusters with executor churn.
     """
+    spark = pairs.sparkSession
+
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint()
+
+    else:
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint()
+
     edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     edges = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).persist()
-    labels = (
-        edges.select(F.col("a").alias("id"))
-        .distinct()
-        .withColumn("cluster", F.col("id"))
-        .localCheckpoint()
-    )
-    for _ in range(max_iter):
-        nbr_min = (
-            edges.join(
-                labels.select(
-                    F.col("id").alias("b"), F.col("cluster").alias("__nl")
-                ),
-                "b",
-            )
-            .groupBy("a")
-            .agg(F.min("__nl").alias("__nmin"))
+    try:
+        labels = _ckpt(
+            edges.select(F.col("a").alias("id"))
+            .distinct()
+            .withColumn("cluster", F.col("id"))
         )
-        new_labels = (
-            labels.join(nbr_min, labels.id == nbr_min.a, "left")
-            .select(
+        for _ in range(max_iter):
+            nbr_min = (
+                edges.join(
+                    labels.select(
+                        F.col("id").alias("b"), F.col("cluster").alias("__nl")
+                    ),
+                    "b",
+                )
+                .groupBy("a")
+                .agg(F.min("__nl").alias("__nmin"))
+            )
+            propagated = labels.join(
+                nbr_min, labels.id == nbr_min.a, "left"
+            ).select(
                 labels.id,
                 F.least(
                     labels.cluster, F.coalesce("__nmin", labels.cluster)
                 ).alias("cluster"),
             )
-            .localCheckpoint()
+            # pointer doubling: cluster <- label(cluster). Every label IS
+            # a node id present in `labels`, so the left join always
+            # matches; shortcutting keeps total work O(E log d).
+            shortcut = labels.select(
+                F.col("id").alias("__lid"), F.col("cluster").alias("__lcl")
+            )
+            new_labels = _ckpt(
+                propagated.join(
+                    shortcut, propagated.cluster == F.col("__lid"), "left"
+                ).select(
+                    "id",
+                    F.least(
+                        "cluster", F.coalesce("__lcl", F.col("cluster"))
+                    ).alias("cluster"),
+                )
+            )
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .where(F.col("n.cluster") != F.col("o.cluster"))
+                .limit(1)
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                return labels
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} rounds — "
+            "component diameter exceeds max_iter; raise it or pre-split"
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.cluster") != F.col("o.cluster"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            edges.unpersist()
-            return labels
-    raise RuntimeError(
-        f"dedup_clusters did not converge in {max_iter} rounds — "
-        "component diameter exceeds max_iter; raise it or pre-split"
-    )
+    finally:
+        edges.unpersist()
 
 
 def decontaminate(

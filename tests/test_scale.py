@@ -692,6 +692,41 @@ def test_dedup_clusters_components(spark):
         dedup_clusters(chain, max_iter=2)
 
 
+def test_dedup_clusters_long_chain(spark):
+    """Adversarial diameter: a 1000-link chain (the crawl dup-chain
+    pathology from VERDICT r3 #3) converges inside the DEFAULT max_iter
+    thanks to pointer doubling — O(log diameter) rounds, not
+    O(diameter) — and still labels every node with the component min."""
+    from ixmp_spark.operators.dedup import dedup_clusters
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1000)], "id_a long, id_b long"
+    )
+    out = dedup_clusters(chain)  # default max_iter=25; needs ~10 rounds
+    got = out.groupBy("cluster").count().collect()
+    assert len(got) == 1
+    assert got[0].cluster == 0 and got[0]["count"] == 1001
+
+
+def test_dedup_clusters_checkpoint_dir(spark, tmp_path):
+    """checkpoint_dir swaps localCheckpoint for reliable checkpoint():
+    same labels, and checkpoint files actually land in the directory."""
+    import os
+
+    from ixmp_spark.operators.dedup import dedup_clusters
+
+    ckpt = str(tmp_path / "ckpt")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    got = {
+        r.id: r.cluster
+        for r in dedup_clusters(pairs, checkpoint_dir=ckpt).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert os.path.isdir(ckpt) and os.listdir(ckpt)
+
+
 def test_train_val_split_deterministic_and_sized(spark, sf_dir):
     """The split is a pure function of the key: stable across
     repartitioning, ~val_frac sized, and exhaustive."""
