@@ -250,6 +250,13 @@ def main(argv: list[str] | None = None) -> int:
                 scen.check_out()
             except ValueError as e:
                 raise SystemExit(str(e))
+            except RuntimeError as e:
+                # --version=new scenarios start checked out (reference
+                # cli.py:314-331 passes through its "not yet saved" analogue);
+                # any other case (e.g. undiscarded solution) gets the clean
+                # message instead of a traceback.
+                if "already checked out" not in str(e):
+                    raise SystemExit(str(e))
             scen.read_excel(
                 args.file,
                 add_units=args.add_units,
@@ -271,7 +278,10 @@ def main(argv: list[str] | None = None) -> int:
         if not key:
             raise SystemExit("no key given and no 'default:' in config")
         if args.output:
-            rep.write(key, args.output)
+            try:
+                rep.write(key, args.output)
+            except ValueError as e:
+                raise SystemExit(str(e))
             print(f"wrote {args.output}")
             return 0
         q = rep.get_quantity(key)

@@ -496,9 +496,6 @@ def drop_common_spans(
         .where(F.col("__nd") >= min_docs)
         .select("__ch")
     )
-    flagged = chunks.join(freq, "__ch", "left_semi").select(
-        id_col, F.col("__pos").alias("__bad_pos")
-    )
     kept = chunks.join(freq, "__ch", "left_anti")
     assembled = kept.groupBy(id_col).agg(
         F.array_join(

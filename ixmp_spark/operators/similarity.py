@@ -107,6 +107,13 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    head = probe.select(vec_col).take(1)
+    if not head:
+        # before the KMeans fit: an empty probe must not pay an index build
+        return df.select(
+            F.col(id_col), F.lit(0.0).alias("cosine_sim")
+        ).where(F.lit(False))
+
     corpus = df.withColumn("__v", array_to_vector(_dvec(vec_col)))
     km = KMeans(k=n_clusters, seed=seed, featuresCol="__v", predictionCol="__c")
     model = km.fit(corpus)
@@ -116,11 +123,6 @@ def ivf_topk(
     # are n_clusters centers, a codelist-sized structure)
     import math
 
-    head = probe.select(vec_col).take(1)
-    if not head:
-        return df.select(
-            F.col(id_col), F.lit(0.0).alias("cosine_sim")
-        ).where(F.lit(False))
     pvec = [float(x) for x in head[0][0]]
     dists = [
         (ci, math.dist(pvec, list(c)))

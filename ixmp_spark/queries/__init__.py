@@ -61,8 +61,18 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # ANY caller-provided session, not just ixmp_spark.session ones.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        # the driver has shipped ts as TIMESTAMP(NANOS) (read as bigint
+        # under the legacy conf) and as TIMESTAMP(MICROS) (read as
+        # timestamp_ntz); normalize both to session-TZ TIMESTAMP so
+        # downstream epoch math (cast to double, unix_*) always works.
+        # Under the UTC session TZ set above, ntz -> ltz preserves the
+        # wall-clock fields DuckDB sees.
+        t = dict(df.dtypes).get("ts")
+        if t == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif t == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -52,7 +52,11 @@ def d2_jaccard_neardup(spark, sf_dir):
     fast with its size instead of silently running an n² join."""
     from ixmp_spark.operators.dedup import jaccard_block_pairs
 
-    docs = load_spread(spark, sf_dir, "documents")
+    # plain load, NOT load_spread: the operator spreads its tokenized
+    # frame internally, and the max_block guard aggregation runs on this
+    # input — off the raw column-pruned scan it is one partial-agg pass
+    # with no preceding repartition shuffle.
+    docs = load(spark, sf_dir, "documents")
     return jaccard_block_pairs(
         docs,
         id_col="doc_id",

@@ -361,3 +361,47 @@ def test_cli_report_config(mp, tmp_path, capsys):
     # alias resolves to the existing scenario quantity
     assert cli_main(base + ["bar:i-j"]) == 0
     assert "seattle" in capsys.readouterr().out
+
+
+def test_cli_import_error_paths(mp, tmp_path, capsys):
+    """Reference cli.py:314–331: a solution-bearing scenario imported
+    without --discard-solution shows a clean message (not a traceback);
+    with the flag the import proceeds; report --output with an unknown
+    extension is likewise a clean SystemExit."""
+    make_dantzig(mp, solve=True)
+    root = str(mp.wh.root)
+    full = tmp_path / "full.xlsx"
+    assert (
+        cli_main(
+            [
+                "--platform", root, "--model", "canning problem",
+                "--scenario", "standard", "export-excel", str(full),
+            ]
+        )
+        == 0
+    )
+    with pytest.raises(SystemExit, match="solution"):
+        cli_main(
+            [
+                "--platform", root, "--model", "canning problem",
+                "--scenario", "standard", "import", "scenario", str(full),
+            ]
+        )
+    assert (
+        cli_main(
+            [
+                "--platform", root, "--model", "canning problem",
+                "--scenario", "standard", "import", "scenario", str(full),
+                "--discard-solution",
+            ]
+        )
+        == 0
+    )
+    with pytest.raises(SystemExit, match="unsupported output format"):
+        cli_main(
+            [
+                "--platform", root, "--model", "canning problem",
+                "--scenario", "standard", "report", "d:i-j",
+                "--output", str(tmp_path / "out.txt"),
+            ]
+        )

@@ -779,3 +779,78 @@ def test_domain_mix_counts(spark, sf_dir):
         assert out[src] == want, src
     copies = mixed.where(F.col("source") == "src0").groupBy("copy").count()
     assert {r["copy"] for r in copies.collect()} == {1, 2, 3}
+
+
+def test_drop_common_spans_skewed_hot_chunk(spark):
+    """VERDICT r3 #6: one boilerplate chunk in 50% of a 40k-doc corpus
+    (the hot-key pathology for t8's frequency aggregation). Two layers:
+
+    1. Plan shape — the countDistinct is two-phase: map-side (chunk, id)
+       dedup + ``partial_count(distinct ...)``, so the ONLY shuffle on
+       the hot chunk hash carries one pre-counted row per map partition,
+       never the 20k raw occurrences. Asserted from the formatted plan.
+    2. End-to-end under skew — correct drops at volume, wall-clock
+       bounded far below what a single-task O(hot²) blowup would cost.
+    """
+    import time
+
+    from ixmp_spark.operators.dedup import drop_common_spans
+
+    n = 40_000
+    boiler = "standard license header all rights reserved by corp"  # 8 toks
+    docs = spark.range(n).selectExpr(
+        "id AS doc_id",
+        f"""CASE WHEN id % 2 = 0
+            THEN concat('{boiler} ', 'unique body marker word tok',
+                        CAST(id AS STRING), ' filler pad words')
+            ELSE concat('original content fresh piece number tok',
+                        CAST(id AS STRING), ' more words')
+            END AS text""",
+    )
+    out = drop_common_spans(docs, "doc_id", "text", w=8, min_docs=2)
+
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "partial_count(distinct" in plan, plan
+
+    t0 = time.time()
+    agg = out.agg(
+        F.sum("n_dropped").alias("nd"),
+        F.sum(F.when(F.col("n_dropped") > 0, 1).otherwise(0)).alias("docs_hit"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    elapsed = time.time() - t0
+    # every even doc loses exactly the boilerplate chunk; odd docs intact
+    assert agg.n == n and agg.nd == n // 2 and agg.docs_hit == n // 2
+    assert elapsed < 90, f"skewed drop_common_spans took {elapsed:.1f}s"
+
+
+def test_dedup_clusters_skewed_star(spark):
+    """VERDICT r3 #6: a star component whose center appears in 50% of
+    all edges (one label dominating the neighbor join + groupBy). The
+    min-aggregation partial-combines the hot node map-side and AQE
+    splits any residual skewed join, so the run must stay near the
+    uniform cost — asserted as a generous wall-clock bound — and label
+    every member with the center's id."""
+    import time
+
+    from ixmp_spark.operators.dedup import dedup_clusters
+
+    n = 50_000
+    star = spark.range(1, n).selectExpr("0 AS id_a", "id AS id_b")
+    # plus an equal volume of uniform 2-cliques so hot edges are 50%
+    pairs = star.unionByName(
+        spark.range(n, 2 * n).selectExpr(
+            "(id * 2) AS id_a", "(id * 2 + 1) AS id_b"
+        )
+    )
+    t0 = time.time()
+    out = dedup_clusters(pairs).persist()
+    star_rows = out.where(F.col("cluster") == 0).count()
+    n_clusters = out.select("cluster").distinct().count()
+    elapsed = time.time() - t0
+    out.unpersist()
+    assert star_rows == n  # center + n-1 leaves
+    assert n_clusters == 1 + n  # the star + n uniform pairs
+    assert elapsed < 120, f"skewed dedup_clusters took {elapsed:.1f}s"
