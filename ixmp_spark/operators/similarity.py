@@ -325,3 +325,89 @@ def cosine_lsh_pairs(
         .where(sim >= threshold)
         .select("id_a", "id_b", "cosine_sim")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int = 16,
+    threshold: float = 0.95,
+    seed: int = 42,
+    max_cluster: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): KMeans-
+    partition the embedding space, find cosine-similar pairs WITHIN each
+    cluster only, connect them into components, and return every vector
+    with its component representative (the min id; singletons represent
+    themselves).
+
+    The cluster assignment is the blocking key — the quadratic pair
+    search runs per cluster, so total work is Σ|cluster|² instead of
+    N². ``max_cluster`` is the same fail-fast input contract as
+    jaccard_block_pairs/cosine_neardup_pairs: a degenerate clustering
+    (one hot cluster) raises with the size rather than silently running
+    an n² join. At corpus scale, raise ``n_clusters`` so the expected
+    cluster size stays bounded; the pair join shuffles (id, 8 B cluster)
+    plus one vector copy per side within each cluster only.
+
+    Output: (id, rep_id, cluster) — ``rep_id == id`` for kept
+    representatives; dropping duplicates = ``where(rep_id == id)``.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from ixmp_spark.operators.dedup import dedup_clusters
+
+    if n_clusters < 2:
+        raise ValueError("n_clusters must be >= 2 (Spark ML KMeans contract)")
+    corpus = df.select(
+        F.col(id_col), F.col(vec_col).alias("__vec")
+    ).withColumn("__v", array_to_vector(_dvec("__vec")))
+    km = KMeans(k=n_clusters, seed=seed, featuresCol="__v", predictionCol="__c")
+    assigned = (
+        km.fit(corpus).transform(corpus).select(id_col, "__vec", "__c").persist()
+    )
+    try:
+        if max_cluster is not None:
+            hot = (
+                assigned.groupBy("__c")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .where(F.col("n") > max_cluster)
+                .limit(5)
+                .collect()
+            )
+            if hot:
+                raise ValueError(
+                    f"clusters over max_cluster={max_cluster}: "
+                    f"{[(r['__c'], r['n']) for r in hot]}; raise n_clusters"
+                )
+        a = assigned.select(
+            F.col(id_col).alias("id_a"), F.col("__vec").alias("__va"), "__c"
+        )
+        b = assigned.select(
+            F.col(id_col).alias("id_b"), F.col("__vec").alias("__vb"), "__c"
+        )
+        sim = cosine("__va", "__vb")
+        pairs = (
+            a.join(b, "__c")
+            .where(F.col("id_a") < F.col("id_b"))
+            .where(sim >= threshold)
+            .select("id_a", "id_b")
+        )
+        labels = dedup_clusters(pairs).select(
+            F.col("id").alias(id_col), F.col("cluster").alias("rep_id")
+        )
+        return (
+            assigned.join(labels, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("rep_id", F.col(id_col)).alias("rep_id"),
+                F.col("__c").alias("cluster"),
+            )
+        )
+    finally:
+        # lazily-built outputs still need the cache during execution;
+        # unpersist with blocking=False only marks it evictable after
+        # the caller's action — the jaccard_block_pairs discipline.
+        assigned.unpersist(False)

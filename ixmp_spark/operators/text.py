@@ -7,7 +7,7 @@ these run inside whole-stage codegen and scale linearly with input splits.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: tiny per-language stopword marker lists for the n-gram heuristic
@@ -151,4 +151,99 @@ def repetition_signals(df: DataFrame, text_col: str) -> DataFrame:
         df.withColumn("dup_word_frac", F.round(dup_word, 6))
         .withColumn("dup_bigram_frac", F.round(dup_bigram, 6))
         .withColumn("top_word_share", F.round(top_share, 6))
+    )
+
+
+def tfidf_topk(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5
+) -> DataFrame:
+    """Per-document top-``k`` keywords by TF-IDF (raw term frequency ×
+    ``ln(N / df)``), ties broken lexicographically.
+
+    Plan shape for scale: explode → groupBy(doc, term) builds the TF
+    table in one keyed shuffle (map-side partial counts); the DF table
+    derives from TF with a second small aggregation keyed on term, so
+    the join back is term-keyed and AQE broadcasts it when the
+    vocabulary is small. The only per-document serialization is the
+    final top-k window, partitioned by document id — never a global
+    sort. N (total documents) is a driver-side scalar probe, the same
+    codelist-size discipline as the similarity probes.
+
+    Output: (id, term, rank, score) — rank 1..k, score rounded to 6
+    decimals.
+    """
+    n_docs = df.count()
+    terms = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(text_col)), r"\s+")).alias("term"),
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    scored = tf.join(dfreq, "term").select(
+        F.col(id_col),
+        "term",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("__df"))).alias(
+            "__s"
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__s"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "rank", F.round("__s", 6).alias("score"))
+    )
+
+
+def bigram_perplexity(
+    df: DataFrame, id_col: str, text_col: str, k_smooth: float = 1.0
+) -> DataFrame:
+    """Per-document perplexity under an add-k-smoothed bigram language
+    model trained on the corpus itself — the classic count-based quality
+    signal (high perplexity = text unlike the corpus; near-duplicate
+    boilerplate scores artificially low).
+
+    ``P(w2|w1) = (c(w1,w2) + k) / (c(w1·) + k·V)`` where ``c(w1·)`` is
+    the count of bigrams starting with ``w1`` and ``V`` the corpus
+    vocabulary size; per-document ``ppl = exp(mean(-ln P))`` over its
+    bigrams. Documents with fewer than two tokens carry no bigram and
+    are absent from the output.
+
+    Plan shape: the bigram stream is built map-side with two shifted
+    ``slice``s zipped together (never an element-at transform over a
+    computed array — that inlines the split per element, the O(n²)
+    projection-collapse trap); counts are two keyed aggregations off the
+    same stream; scoring is two key-equi joins (bigram, then context)
+    that AQE broadcasts for codelist-sized vocabularies and
+    shuffle-joins at corpus scale. V is one countDistinct job.
+    """
+    toks = F.split(F.trim(F.lower(text_col)), r"\s+")
+    n = F.size(toks)
+    zipped = F.arrays_zip(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))).alias("w1"),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))).alias("w2"),
+    )
+    grams = df.select(
+        F.col(id_col), F.explode(zipped).alias("g")
+    ).select(id_col, F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+
+    vocab = (
+        df.select(
+            F.explode(F.split(F.trim(F.lower(text_col)), r"\s+")).alias("t")
+        )
+        .agg(F.countDistinct("t").alias("v"))
+        .collect()[0][0]
+    )
+    bg = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c12"))
+    ctx = grams.groupBy("w1").agg(F.count(F.lit(1)).alias("__c1"))
+    p = (F.col("__c12") + F.lit(k_smooth)) / (
+        F.col("__c1") + F.lit(k_smooth) * F.lit(float(vocab))
+    )
+    return (
+        grams.join(bg, ["w1", "w2"])
+        .join(ctx, "w1")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.exp(F.avg(-F.log(p))), 6).alias("ppl"),
+        )
     )

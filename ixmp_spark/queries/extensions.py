@@ -816,3 +816,81 @@ def d6_dedup_clusters(spark, sf_dir):
         F.count(F.lit(1)).alias("n_members"),
         F.max("id").alias("max_member"),
     )
+
+
+@query(
+    "t9_tfidf_keywords",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+    ),
+    dfq AS (SELECT term, count(*) AS dfn FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * ln(n.n_docs * 1.0 / dfq.dfn) AS s
+      FROM tf JOIN dfq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term,
+           CAST(row_number() OVER (
+             PARTITION BY doc_id ORDER BY s DESC, term) AS BIGINT) AS rank,
+           round(s, 6) AS score
+    FROM scored
+    QUALIFY rank <= 5
+    """,
+)
+def t9_tfidf_keywords(spark, sf_dir):
+    """Top-5 keywords per document by TF-IDF (raw tf × ln(N/df), ties
+    broken lexicographically). TF in one keyed shuffle, DF derived from
+    TF, term-keyed join back, per-document top-k window — no global
+    sort anywhere."""
+    from ixmp_spark.operators.text import tfidf_topk
+
+    docs = load(spark, sf_dir, "documents")
+    return tfidf_topk(docs, id_col="doc_id", text_col="text", k=5)
+
+
+@query(
+    "t10_bigram_perplexity",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
+             unnest(list_slice(toks, 2, len(toks))) AS w2
+      FROM t WHERE len(toks) >= 2
+    ),
+    bg AS (SELECT w1, w2, count(*) AS c12 FROM grams GROUP BY w1, w2),
+    ctx AS (SELECT w1, count(*) AS c1 FROM grams GROUP BY w1),
+    v AS (
+      SELECT count(DISTINCT term) AS vocab FROM (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        FROM documents
+      )
+    )
+    SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(exp(avg(-ln(
+             (bg.c12 + 1.0) / (ctx.c1 + 1.0 * v.vocab)
+           ))), 6) AS ppl
+    FROM grams g
+    JOIN bg USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v
+    GROUP BY g.doc_id
+    """,
+)
+def t10_bigram_perplexity(spark, sf_dir):
+    """Per-document perplexity under an add-1 bigram LM trained on the
+    corpus — the count-based quality signal (boilerplate scores low,
+    off-distribution text high). Bigrams built map-side from two
+    shifted slices; two keyed count aggregations; two equi-joins back."""
+    from ixmp_spark.operators.text import bigram_perplexity
+
+    docs = load(spark, sf_dir, "documents")
+    return bigram_perplexity(docs, id_col="doc_id", text_col="text")

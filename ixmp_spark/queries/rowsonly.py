@@ -115,3 +115,19 @@ def t6_winnow_fingerprints(spark, sf_dir):
         "doc_id",
         winnow_fingerprints("text", k=5, w=4).alias("fingerprints"),
     )
+
+
+@query("e6_semantic_dedup")  # no SQL oracle: k-means blocking is engine-specific
+def e6_semantic_dedup(spark, sf_dir):
+    """SemDeDup: KMeans-blocked cosine near-dup components over the
+    embedding table; every vector mapped to its representative."""
+    from ixmp_spark.operators.similarity import semantic_dedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    out = semantic_dedup(
+        emb, id_col="vec_id", vec_col="embedding",
+        n_clusters=8, threshold=0.92, max_cluster=5000,
+    )
+    return out.select(
+        "vec_id", "rep_id", F.col("cluster").cast("long").alias("cluster")
+    )

@@ -854,3 +854,91 @@ def test_dedup_clusters_skewed_star(spark):
     assert star_rows == n  # center + n-1 leaves
     assert n_clusters == 1 + n  # the star + n uniform pairs
     assert elapsed < 120, f"skewed dedup_clusters took {elapsed:.1f}s"
+
+
+def test_tfidf_topk_hand_computed(spark):
+    """TF-IDF on a 3-doc corpus verified by hand: a corpus-wide term
+    scores 0 (ln(3/3)), a doc-unique term scores tf*ln(3); ties break
+    lexicographically; rank never exceeds k."""
+    import math
+
+    from ixmp_spark.operators.text import tfidf_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple banana apple common"),
+            (2, "banana cherry common"),
+            (3, "dates common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.doc_id, r.term): (r.rank, r.score)
+        for r in tfidf_topk(df, "doc_id", "text", k=2).collect()
+    }
+    # doc 1: apple tf=2 df=1 -> 2*ln(3) top; banana tf=1 df=2 -> ln(1.5)
+    assert out[(1, "apple")][0] == 1
+    assert abs(out[(1, "apple")][1] - round(2 * math.log(3), 6)) < 1e-9
+    assert out[(1, "banana")][0] == 2
+    # 'common' (df=3) scores ln(1)=0 and loses to any positive score
+    assert (1, "common") not in out
+    # doc 3: dates is the only positive-score term; common fills rank 2
+    assert out[(3, "dates")][0] == 1 and out[(3, "common")][0] == 2
+    assert out[(3, "common")][1] == 0.0
+    assert all(rank <= 2 for rank, _ in out.values())
+
+
+def test_bigram_perplexity_semantics(spark):
+    """Add-1 bigram LM: a document repeating the corpus's dominant
+    pattern scores lower perplexity than off-distribution text; docs
+    with <2 tokens are absent; n_bigrams = n_tokens - 1. A hand-checked
+    two-doc corpus pins the exact formula."""
+    import math
+
+    from ixmp_spark.operators.text import bigram_perplexity
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b a b"), (2, "a b a b x y z w"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in bigram_perplexity(df, "doc_id", "text").collect()}
+    assert 3 not in rows  # single token, no bigram
+    assert rows[1].n_bigrams == 7 and rows[2].n_bigrams == 7
+    assert rows[1].ppl < rows[2].ppl  # in-distribution beats off-
+    # hand check doc 1: vocab = {a,b,x,y,z,w,solo} = 7 (doc 3 counts!);
+    # corpus counts c(a,b)=6 c(b,a)=4, contexts c(a·)=6 c(b·)=5; doc 1 is
+    # (a,b)x4 (b,a)x3 -> P(a,b)=(6+1)/(6+7)=7/13, P(b,a)=(4+1)/(5+7)=5/12
+    h = -(4 * math.log(7 / 13) + 3 * math.log(5 / 12)) / 7
+    assert abs(rows[1].ppl - round(math.exp(h), 6)) < 1e-6
+
+
+def test_semantic_dedup_collapses_duplicates(spark):
+    """SemDeDup: exact-duplicate vectors collapse to the min-id rep
+    across the board, near-orthogonal vectors represent themselves, and
+    the max_cluster guard fails fast on a degenerate clustering."""
+    from ixmp_spark.operators.similarity import semantic_dedup
+
+    base = [1.0] + [0.0] * 7
+    other = [0.0] * 7 + [1.0]
+    third = [0.0, 1.0] + [0.0] * 6
+    rows = [
+        (10, base), (11, base), (12, base),   # identical triple
+        (20, other), (21, other),             # identical pair
+        (30, third),                          # singleton
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {
+        r.vec_id: r.rep_id
+        for r in semantic_dedup(
+            df, "vec_id", "embedding", n_clusters=3, threshold=0.99
+        ).collect()
+    }
+    assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30}
+
+    with pytest.raises(ValueError, match="max_cluster"):
+        semantic_dedup(
+            df, "vec_id", "embedding", n_clusters=2, threshold=0.99,
+            max_cluster=2,
+        )
+    with pytest.raises(ValueError, match="n_clusters"):
+        semantic_dedup(df, "vec_id", "embedding", n_clusters=1)
