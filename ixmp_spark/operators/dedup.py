@@ -179,7 +179,8 @@ def _level(storage_level):
 
 def lsh_band_pairs(
     df: DataFrame, id_col: str, k: int = 32, bands: int = 8,
-    storage_level=None,
+    storage_level=None, max_bucket: int | None = None,
+    on_hot: str = "raise",
 ) -> DataFrame:
     """Banded LSH candidate pairs from a ``minhash`` column: hash each band
     of r=k/bands signature values to a bucket (multi-arg xxhash64 — no
@@ -193,8 +194,18 @@ def lsh_band_pairs(
     pass StorageLevel.DISK_ONLY (or checkpoint to the shuffle service).
 
     Scale: explode to (doc, band) rows → shuffle on (band, bucket) — the
-    classic MinHash-LSH plan; bucket sizes are the skew risk, handled by
-    AQE skew-join splitting."""
+    classic MinHash-LSH plan. Bucket sizes are the quadratic risk: one
+    hot bucket of m docs emits m²/2 candidates no matter what AQE does
+    to the shuffle. ``max_bucket`` bounds it: ``on_hot="raise"`` fails
+    fast with the offending sizes (the jaccard_block_pairs contract);
+    ``on_hot="drop"`` excludes oversized buckets from candidate
+    generation — the standard stop-bucket treatment for web-scale
+    dedup, where a bucket shared by thousands of documents is
+    boilerplate that exact-dedup or span-removal handles more cheaply
+    than m² Jaccard verifications. Dropping costs recall only for pairs
+    whose EVERY matching band is hot; with 8+ bands that is rare for
+    genuine near-dups.
+    """
     r = k // bands
     banded = df.select(
         F.col(id_col).alias("__id"),
@@ -207,6 +218,26 @@ def lsh_band_pairs(
             )
         ).alias("band", "bucket"),
     ).persist(_level(storage_level))
+    if max_bucket is not None:
+        sizes = banded.groupBy("band", "bucket").agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        if on_hot == "raise":
+            hot = sizes.where(F.col("__n") > max_bucket).limit(5).collect()
+            if hot:
+                banded.unpersist()
+                raise ValueError(
+                    f"LSH buckets over max_bucket={max_bucket}: "
+                    f"{[((r['band'], r['bucket']), r['__n']) for r in hot]}; "
+                    'use on_hot="drop" or raise bands/k'
+                )
+        elif on_hot == "drop":
+            keep = sizes.where(F.col("__n") <= max_bucket).select(
+                "band", "bucket"
+            )
+            banded = banded.join(keep, ["band", "bucket"], "left_semi")
+        else:
+            raise ValueError(f"on_hot must be 'raise' or 'drop', got {on_hot!r}")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -261,12 +292,15 @@ def minhash_lsh_neardup(
     n: int = 3,
     threshold: float = 0.3,
     storage_level=None,
+    max_bucket: int | None = None,
+    on_hot: str = "raise",
 ) -> DataFrame:
     """End-to-end near-dup pipeline: shingle ONCE (persisted), minhash →
     banded LSH candidates → exact shingle-Jaccard filter ≥ threshold.
     ``storage_level`` picks the persist level for the shingle and banded
     frames (default MEMORY_AND_DISK; DISK_ONLY for cluster runs where
-    shingle arrays outgrow executor memory).
+    shingle arrays outgrow executor memory); ``max_bucket``/``on_hot``
+    bound hot-bucket candidate explosion as in :func:`lsh_band_pairs`.
 
     Composing minhash_signature + lsh_band_pairs + ngram_jaccard naively
     shingles every document twice; this fused operator computes the
@@ -310,7 +344,8 @@ def minhash_lsh_neardup(
         "__base", "sh"
     )
     pairs = lsh_band_pairs(
-        sigs, id_col, k=k, bands=bands, storage_level=storage_level
+        sigs, id_col, k=k, bands=bands, storage_level=storage_level,
+        max_bucket=max_bucket, on_hot=on_hot,
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))

@@ -942,3 +942,40 @@ def test_semantic_dedup_collapses_duplicates(spark):
         )
     with pytest.raises(ValueError, match="n_clusters"):
         semantic_dedup(df, "vec_id", "embedding", n_clusters=1)
+
+
+def test_lsh_hot_bucket_guard(spark):
+    """max_bucket bounds LSH candidate explosion: a corpus where 60% of
+    docs are byte-identical puts them all in the same (band, bucket)
+    everywhere — m²/2 candidates from one key. on_hot='raise' fails fast
+    with the sizes; on_hot='drop' skips the hot buckets but still finds
+    near-dup pairs among the benign docs."""
+    from ixmp_spark.operators.dedup import minhash_lsh_neardup
+
+    boiler = "identical boilerplate body repeated verbatim across the corpus"
+    df = spark.range(100).selectExpr(
+        "id AS doc_id",
+        f"""CASE WHEN id < 60 THEN '{boiler}'
+            WHEN id IN (97, 98) THEN
+              'rare nearly duplicated sentence with trailing token shared here'
+            ELSE concat('unique document number ', CAST(id AS STRING),
+                        ' with entirely distinct words ',
+                        CAST(id * 7 AS STRING))
+            END AS text""",
+    )
+    with pytest.raises(ValueError, match="max_bucket"):
+        minhash_lsh_neardup(
+            df, "doc_id", "text", max_bucket=30, on_hot="raise"
+        ).collect()
+
+    kept = minhash_lsh_neardup(
+        df, "doc_id", "text", threshold=0.5, max_bucket=30, on_hot="drop"
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in kept}
+    assert (97, 98) in got  # benign near-dup pair survives the drop
+    assert not any(a < 60 and b < 60 for a, b in got)  # hot group excluded
+
+    with pytest.raises(ValueError, match="on_hot"):
+        minhash_lsh_neardup(
+            df, "doc_id", "text", max_bucket=30, on_hot="sample"
+        ).collect()
