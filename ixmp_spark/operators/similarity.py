@@ -250,10 +250,16 @@ def cosine_lsh_pairs(
     seed: int = 42,
     dim: int | None = None,
     storage_level=None,
+    max_bucket: int | None = None,
+    on_hot: str = "raise",
 ) -> DataFrame:
     """Embedding-cosine near-dup at scale: banded sign-LSH candidate
     generation + exact cosine verification — the vector twin of the
     MinHash text plan (shuffle on (band, bucket), never all-pairs).
+    ``max_bucket``/``on_hot`` bound hot-bucket candidate explosion
+    exactly as in ``dedup.lsh_band_pairs`` — a near-zero vector (or a
+    duplicated embedding) crowds one bucket in every band and turns the
+    self-join quadratic no matter how the shuffle splits.
 
     Each band hashes every vector with its own ``bits`` random
     hyperplanes; two vectors are candidates if ANY band agrees on all
@@ -297,6 +303,27 @@ def cosine_lsh_pairs(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
     ).persist(storage_level)
     banded = _sign_lsh_banded(vecs, band_planes).persist(storage_level)
+    if max_bucket is not None:
+        sizes = banded.groupBy("__band", "__bucket").agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        if on_hot == "raise":
+            hot = sizes.where(F.col("__n") > max_bucket).limit(5).collect()
+            if hot:
+                banded.unpersist()
+                vecs.unpersist()
+                raise ValueError(
+                    f"LSH buckets over max_bucket={max_bucket}: "
+                    f"{[((r['__band'], r['__bucket']), r['__n']) for r in hot]}; "
+                    'use on_hot="drop" or raise bands/bits'
+                )
+        elif on_hot == "drop":
+            keep = sizes.where(F.col("__n") <= max_bucket).select(
+                "__band", "__bucket"
+            )
+            banded = banded.join(keep, ["__band", "__bucket"], "left_semi")
+        else:
+            raise ValueError(f"on_hot must be 'raise' or 'drop', got {on_hot!r}")
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (

@@ -979,3 +979,28 @@ def test_lsh_hot_bucket_guard(spark):
         minhash_lsh_neardup(
             df, "doc_id", "text", max_bucket=30, on_hot="sample"
         ).collect()
+
+
+def test_cosine_lsh_hot_bucket_guard(spark):
+    """e5's vector twin of the LSH stop-bucket guard: duplicated
+    embeddings crowd one bucket per band; raise mode fails fast, drop
+    mode still recovers pairs among the benign vectors."""
+    from ixmp_spark.operators.similarity import cosine_lsh_pairs
+
+    hotvec = [1.0] * 16
+    rows = [(i, hotvec) for i in range(60)]
+    rows += [(100, [1.0] * 8 + [-1.0] * 8), (101, [1.0] * 8 + [-1.0] * 8)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    with pytest.raises(ValueError, match="max_bucket"):
+        cosine_lsh_pairs(
+            df, "vec_id", "embedding", threshold=0.9, max_bucket=30
+        ).collect()
+
+    kept = cosine_lsh_pairs(
+        df, "vec_id", "embedding", threshold=0.9, max_bucket=30,
+        on_hot="drop",
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in kept}
+    assert (100, 101) in got
+    assert not any(a < 60 and b < 60 for a, b in got)
