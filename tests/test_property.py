@@ -223,3 +223,86 @@ def test_sql_not_in_matches_python_membership(spark, members, probes):
     }
     want = {p for p in probes if p not in set(members)}
     assert got == want
+
+
+# -- t9/t10: TF-IDF and bigram-LM vs a pure-pandas reference model --------
+
+docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["a", "bb", "ccc", "dd", "e", "fff"]),
+        min_size=1, max_size=10,
+    ),
+    min_size=1, max_size=6,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(docs=docs_strategy)
+def test_tfidf_matches_reference(spark, docs):
+    """tfidf_topk == a 10-line pure-Python reference on arbitrary small
+    corpora: same (doc, term, rank) triples, scores equal to 1e-9."""
+    from ixmp_spark.operators.text import tfidf_topk
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.term): (r.rank, r.score)
+        for r in tfidf_topk(df, "doc_id", "text", k=3).collect()
+    }
+    # reference
+    n = len(docs)
+    dfreq: dict[str, int] = {}
+    for toks in docs:
+        for t in set(toks):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    want = {}
+    for i, toks in enumerate(docs):
+        scores = {
+            t: toks.count(t) * math.log(n / dfreq[t]) for t in set(toks)
+        }
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        for rank, (t, s) in enumerate(ranked, 1):
+            want[(i, t)] = (rank, round(s, 6))
+    assert set(got) == set(want)
+    for key, (rank, score) in want.items():
+        assert got[key][0] == rank
+        assert abs(got[key][1] - score) < 1e-9
+
+
+@settings(max_examples=8, deadline=None)
+@given(docs=docs_strategy)
+def test_bigram_perplexity_matches_reference(spark, docs):
+    """bigram_perplexity == the pure-Python add-1 LM on arbitrary small
+    corpora (docs with <2 tokens absent; ppl equal to 1e-6)."""
+    from ixmp_spark.operators.text import bigram_perplexity
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.ppl)
+        for r in bigram_perplexity(df, "doc_id", "text").collect()
+    }
+    vocab = len({t for toks in docs for t in toks})
+    bg: dict[tuple, int] = {}
+    ctx: dict[str, int] = {}
+    for toks in docs:
+        for w1, w2 in zip(toks, toks[1:]):
+            bg[(w1, w2)] = bg.get((w1, w2), 0) + 1
+            ctx[w1] = ctx.get(w1, 0) + 1
+    want = {}
+    for i, toks in enumerate(docs):
+        grams = list(zip(toks, toks[1:]))
+        if not grams:
+            continue
+        h = -sum(
+            math.log((bg[g] + 1.0) / (ctx[g[0]] + vocab)) for g in grams
+        ) / len(grams)
+        want[i] = (len(grams), round(math.exp(h), 6))
+    assert set(got) == set(want)
+    for i, (nb, ppl) in want.items():
+        assert got[i][0] == nb
+        assert abs(got[i][1] - ppl) < 1e-6
