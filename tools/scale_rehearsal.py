@@ -1,0 +1,100 @@
+"""Scale rehearsal: run the dedup family end-to-end on amplified corpora
+and report wall-clock scaling slopes.
+
+The local bench (sf0.1, 5k docs) measures constants; this tool measures
+SHAPE — amplify the documents table Nx with per-replica mutated text
+(plus a controlled fraction of exact duplicates), run each operator at
+increasing scale, and print seconds per scale so a super-linear blowup
+is visible as a slope, not a guess. Usage:
+
+    python tools/scale_rehearsal.py [sf_dir] [factors...]
+
+Defaults: /root/testdata/sf0.1 and factors 1 4 20 (5k / 20k / 100k docs).
+Every operator here is the same code path the catalog queries use.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from ixmp_spark.queries import load  # noqa: E402
+from ixmp_spark.session import get_spark  # noqa: E402
+
+
+def amplify(docs: DataFrame, factor: int) -> DataFrame:
+    """factor replicas per doc: replica 0 is the original; replicas > 0
+    append a replica-distinct token (near-dup of the original); every
+    10th replica of every 10th doc keeps the text verbatim (exact dup).
+    """
+    if factor == 1:
+        return docs
+    r = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("rep")
+    out = docs.select("doc_id", "text", "lang", "source", r)
+    keep_exact = (F.col("doc_id") % 10 == 0) & (F.col("rep") % 10 == 0)
+    return out.select(
+        (F.col("doc_id") * factor + F.col("rep")).alias("doc_id"),
+        F.when(keep_exact | (F.col("rep") == 0), F.col("text"))
+        .otherwise(F.concat_ws(" ", "text", F.concat(F.lit("rep"), "rep")))
+        .alias("text"),
+        "lang",
+        "source",
+    )
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    factors = [int(x) for x in sys.argv[2:]] or [1, 4, 20]
+
+    from ixmp_spark.operators.dedup import (
+        dedup_clusters,
+        drop_common_spans,
+        exact_dedup,
+        minhash_lsh_neardup,
+    )
+
+    spark = get_spark("scale_rehearsal")
+    base = load(spark, sf_dir, "documents")
+    results: dict[str, dict[int, float]] = {}
+
+    for factor in factors:
+        docs = amplify(base, factor).repartition(
+            spark.sparkContext.defaultParallelism
+        ).persist()
+        n = docs.count()
+        print(f"-- factor {factor}: {n} docs", file=sys.stderr)
+
+        t0 = time.time()
+        exact_dedup(docs, text_col="text", id_col="doc_id").count()
+        results.setdefault("d1_exact_dedup", {})[n] = time.time() - t0
+
+        t0 = time.time()
+        pairs = minhash_lsh_neardup(
+            docs, "doc_id", "text", threshold=0.5,
+            max_bucket=200 * factor, on_hot="drop",
+        ).persist()
+        n_pairs = pairs.count()
+        results.setdefault("d3_minhash_lsh", {})[n] = time.time() - t0
+        print(f"   minhash pairs: {n_pairs}", file=sys.stderr)
+
+        t0 = time.time()
+        dedup_clusters(pairs).count()
+        results.setdefault("d6_dedup_clusters", {})[n] = time.time() - t0
+        pairs.unpersist()
+
+        t0 = time.time()
+        drop_common_spans(docs, "doc_id", "text", w=8, min_docs=2).count()
+        results.setdefault("t8_span_dedup", {})[n] = time.time() - t0
+
+        docs.unpersist()
+
+    print(json.dumps({"sf_dir": sf_dir, "results": results}))
+
+
+if __name__ == "__main__":
+    main()
