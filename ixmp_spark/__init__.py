@@ -21,10 +21,24 @@ Layout
 
 __version__ = "0.1.0"
 
+#: reference __init__.py public surface, re-expressed (same names)
+__all__ = [
+    "IAMC_IDX",
+    "ItemType",
+    "ModelError",
+    "Platform",
+    "Reporter",
+    "Scenario",
+    "TimeSeries",
+    "config",
+    "log",
+    "show_versions",
+]
+
 
 def __getattr__(name):
     # lazy re-exports (keep `import ixmp_spark` light for UDF workers)
-    if name in ("Platform", "Scenario", "TimeSeries"):
+    if name in ("Platform", "Scenario", "TimeSeries", "ItemType", "IAMC_IDX"):
         import ixmp_spark.core as core
 
         return getattr(core, name)
@@ -36,4 +50,16 @@ def __getattr__(name):
         from ixmp_spark.config import config
 
         return config
+    if name == "ModelError":
+        from ixmp_spark.core.model import ModelError
+
+        return ModelError
+    if name == "show_versions":
+        from ixmp_spark.core.utils import show_versions
+
+        return show_versions
+    if name == "log":
+        import logging
+
+        return logging.getLogger(__name__)
     raise AttributeError(name)

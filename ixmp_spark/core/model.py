@@ -23,6 +23,13 @@ from ixmp_spark.core.scenario import Scenario
 MODELS: dict[str, type["Model"]] = {}
 
 
+class ModelError(RuntimeError):
+    """Error in model code — :meth:`Model.run` or code called by it
+    (reference model/base.py:18; gams.py:302 wraps solver failures in
+    it). Subclasses RuntimeError so existing callers catching the
+    generic error keep working."""
+
+
 class Model(ABC):
     """Reference model/base.py:22 — name + initialize/enforce/run."""
 
@@ -100,7 +107,7 @@ class ExchangeModel(Model):
             [*command, in_dir, out_dir], capture_output=True, text=True
         )
         if proc.returncode != 0:
-            raise RuntimeError(
+            raise ModelError(
                 f"solver failed (rc={proc.returncode}):\n{proc.stderr[-2000:]}"
             )
         read_solution(
@@ -177,7 +184,7 @@ class TransportModel(Model):
             senses.append(">=")
         res = solve_lp(c, A, b, senses)
         if res.status != "optimal":
-            raise RuntimeError(f"transport LP: {res.status}")
+            raise ModelError(f"transport LP: {res.status}")
         r9 = lambda v: round(float(v), 9)  # noqa: E731
 
         scenario.check_out(timeseries_only=True)

@@ -806,3 +806,19 @@ def test_platform_access_and_logging(mp, tmp_path):
     out = tmp_path / "exported.csv"
     mp.export_timeseries_data(out)
     assert "GDP" in out.read_text()
+
+
+def test_top_level_api_parity():
+    """Reference __init__.py __all__: every public name importable from
+    the package root with the same spelling (reference __init__.py:15–26);
+    ModelError subclasses RuntimeError so legacy catches keep working."""
+    import ixmp_spark
+
+    for name in [
+        "IAMC_IDX", "ItemType", "ModelError", "Platform", "Reporter",
+        "Scenario", "TimeSeries", "config", "log", "show_versions",
+    ]:
+        assert getattr(ixmp_spark, name) is not None
+        assert name in ixmp_spark.__all__
+    assert issubclass(ixmp_spark.ModelError, RuntimeError)
+    assert ixmp_spark.IAMC_IDX == ["model", "scenario", "region", "variable", "unit"]
