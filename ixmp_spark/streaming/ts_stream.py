@@ -230,3 +230,59 @@ def run_available_now(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def stream_documents(
+    spark: SparkSession, path: str, schema: str = DOCS_SCHEMA
+) -> DataFrame:
+    """File-source stream over a documents directory — incremental
+    ingestion of a crawl drop (locally parquet files; Kafka/Kinesis or
+    auto-loader on a cluster)."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def curate_documents_stream(
+    docs: DataFrame,
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    min_quality: float = 0.0,
+) -> DataFrame:
+    """Streaming curation: per-document quality gates + STATEFUL exact
+    dedup by normalized-content digest, the incremental twin of
+    d1_exact_dedup + t1's quality filters.
+
+    The dedup key is md5(normalized text) — 16 bytes of state per unique
+    document seen, kept forever (``dropDuplicates`` without watermark:
+    exact-dedup semantics require remembering every digest; the state
+    store scales as O(unique docs · 16 B), which is the same budget the
+    batch groupBy carries). For a bounded-state variant at ingest rates
+    where that matters, key the stream by (digest, ingest-day) upstream
+    and run the cross-day pass in batch — the standard lambda split.
+
+    Stateless per-row gates run BEFORE the stateful operator so dropped
+    rows never enter the state store.
+    """
+    from ixmp_spark.operators.dedup import normalize_text
+    from ixmp_spark.operators.text import quality_score, token_count
+
+    gated = (
+        docs.withColumn("__toks", token_count(F.col("text")))
+        .withColumn("__q", quality_score(F.col("text")))
+        .where(
+            (F.col("__toks") >= min_tokens)
+            & (F.col("__toks") <= max_tokens)
+            & (F.col("__q") >= min_quality)
+        )
+    )
+    return (
+        gated.withColumn("__digest", F.md5(normalize_text("text")))
+        .dropDuplicates(["__digest"])
+        .drop("__toks", "__digest")
+    )

@@ -556,3 +556,51 @@ def test_exchange_model_real_solver_cli(mp, tmp_path):
     assert scen.var("z") == {"lvl": 153.675, "mrg": 0.0}
     dem = scen.equ("demand").set_index("j")
     assert dem.loc["topeka", "mrg"] == 0.126
+
+
+def test_streaming_document_curation(spark, sf_dir, tmp_path_factory):
+    """Streaming curation pipeline (quality gates + stateful exact dedup)
+    matches its batch twin: same surviving digest set and count. Gates
+    run before the stateful op so dropped rows never enter state."""
+    from pyspark.sql import functions as F
+
+    from ixmp_spark.operators.dedup import normalize_text
+    from ixmp_spark.operators.text import quality_score, token_count
+    from ixmp_spark.streaming.ts_stream import (
+        curate_documents_stream,
+        run_available_now,
+        stream_documents,
+    )
+
+    docs_dir = str(tmp_path_factory.mktemp("docstream") / "documents")
+    base = load(spark, sf_dir, "documents")
+    # inject exact duplicates so the stateful dedup has work to do
+    dup = base.limit(20).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(10_000)
+    )
+    base.unionByName(dup).repartition(4).write.parquet(docs_dir)
+
+    stream = stream_documents(spark, docs_dir)
+    got = run_available_now(
+        curate_documents_stream(stream, min_tokens=20, min_quality=0.6),
+        "t_curate",
+    )
+
+    batch = spark.read.parquet(docs_dir)
+    gated = batch.where(
+        (token_count(F.col("text")) >= 20)
+        & (token_count(F.col("text")) <= 100_000)
+        & (quality_score(F.col("text")) >= 0.6)
+    ).withColumn("__digest", F.md5(normalize_text("text")))
+    want_digests = {
+        r["__digest"] for r in gated.select("__digest").distinct().collect()
+    }
+    assert 0 < len(want_digests) < batch.count()  # gates + dups both bite
+    got_digests = {
+        r["d"]
+        for r in got.select(
+            F.md5(normalize_text("text")).alias("d")
+        ).collect()
+    }
+    assert got_digests == want_digests
+    assert got.count() == len(want_digests)  # exactly one row per digest
