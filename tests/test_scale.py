@@ -603,7 +603,10 @@ def test_storage_level_passthrough(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents").limit(50)
     emb = load(spark, sf_dir, "embeddings").limit(50)
-    spark.catalog.clearCache()
+    sc = spark.sparkContext
+    # baseline: earlier tests' localCheckpoint RDDs survive clearCache
+    # until GC'd, so attribute storage levels to NEW ids only
+    before = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
     minhash_lsh_neardup(
         docs, "doc_id", "text", storage_level=StorageLevel.DISK_ONLY
     ).count()
@@ -611,10 +614,12 @@ def test_storage_level_passthrough(spark, sf_dir):
         emb, "vec_id", "embedding",
         storage_level=StorageLevel.DISK_ONLY,
     ).count()
-    sc = spark.sparkContext
-    infos = sc._jsc.sc().getRDDStorageInfo()
-    levels = {str(i.storageLevel().description()) for i in infos}
-    assert levels, "expected persisted frames"
+    levels = {
+        str(i.storageLevel().description())
+        for i in sc._jsc.sc().getRDDStorageInfo()
+        if i.id() not in before
+    }
+    assert levels, "expected newly persisted frames"
     assert all("Memory" not in lv for lv in levels), levels
     spark.catalog.clearCache()
 
