@@ -425,6 +425,10 @@ def semantic_dedup(
         labels = dedup_clusters(pairs).select(
             F.col("id").alias(id_col), F.col("cluster").alias("rep_id")
         )
+        # the cache stays alive backing the returned plan (the d2/d3/e5
+        # persist discipline — unpersisting here would make the caller's
+        # action recompute the KMeans transform); it evicts under memory
+        # pressure via the MEMORY_AND_DISK default.
         return (
             assigned.join(labels, id_col, "left")
             .select(
@@ -433,8 +437,6 @@ def semantic_dedup(
                 F.col("__c").alias("cluster"),
             )
         )
-    finally:
-        # lazily-built outputs still need the cache during execution;
-        # unpersist with blocking=False only marks it evictable after
-        # the caller's action — the jaccard_block_pairs discipline.
+    except BaseException:
         assigned.unpersist(False)
+        raise
