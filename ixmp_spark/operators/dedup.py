@@ -98,6 +98,7 @@ def jaccard_block_pairs(
             .collect()
         )
         if hot:
+            toks.unpersist()  # fail-fast path must not leak the cache
             raise ValueError(
                 f"blocks over max_block={max_block}: "
                 f"{[(tuple(r[c] for c in block_cols), r['n']) for r in hot]}; "
@@ -343,10 +344,14 @@ def minhash_lsh_neardup(
     sigs = sh.withColumn("__base", base).withColumn("minhash", sig).drop(
         "__base", "sh"
     )
-    pairs = lsh_band_pairs(
-        sigs, id_col, k=k, bands=bands, storage_level=storage_level,
-        max_bucket=max_bucket, on_hot=on_hot,
-    )
+    try:
+        pairs = lsh_band_pairs(
+            sigs, id_col, k=k, bands=bands, storage_level=storage_level,
+            max_bucket=max_bucket, on_hot=on_hot,
+        )
+    except BaseException:
+        sh.unpersist()  # the guard's fail-fast must not leak the shingles
+        raise
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(

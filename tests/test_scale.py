@@ -1009,3 +1009,31 @@ def test_cosine_lsh_hot_bucket_guard(spark):
     got = {(r.id_a, r.id_b) for r in kept}
     assert (100, 101) in got
     assert not any(a < 60 and b < 60 for a, b in got)
+
+
+def test_guard_failfast_does_not_leak_cache(spark):
+    """ADVICE r3 discipline extended to the guard paths: when max_block /
+    max_bucket raise, the operator's persisted intermediates must not
+    stay in the block-manager cache."""
+    from ixmp_spark.operators.dedup import (
+        jaccard_block_pairs,
+        minhash_lsh_neardup,
+    )
+
+    df = spark.range(60).selectExpr(
+        "id AS doc_id", "'en' AS lang", "'web' AS source",
+        "'identical text body shared by every document here' AS text",
+    )
+    sc = spark.sparkContext
+    before = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+    with pytest.raises(ValueError, match="max_block"):
+        jaccard_block_pairs(
+            df, "doc_id", "text", ["lang", "source"], max_block=10
+        )
+    with pytest.raises(ValueError, match="max_bucket"):
+        minhash_lsh_neardup(df, "doc_id", "text", max_bucket=10).collect()
+    leaked = [
+        i.id() for i in sc._jsc.sc().getRDDStorageInfo()
+        if i.id() not in before and i.numCachedPartitions() > 0
+    ]
+    assert not leaked, f"guard raise leaked cached RDDs: {leaked}"
