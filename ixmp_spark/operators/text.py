@@ -247,3 +247,48 @@ def bigram_perplexity(
             F.round(F.exp(F.avg(-F.log(p))), 6).alias("ppl"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 512,
+    stride: int | None = None,
+) -> DataFrame:
+    """Context-window chunking for training: split each document into
+    ``window``-token chunks every ``stride`` tokens (default
+    non-overlapping; stride < window gives overlapping windows), keeping
+    provenance. Output: (id, chunk_idx, n_tokens, chunk).
+
+    Map-only — one split per document and one slice per emitted chunk
+    (the split expression is inlined once per chunk by projection
+    collapse; with training-scale windows that is n/stride ≈ a handful
+    of evaluations per document, NOT the per-element O(n²) trap that
+    per-token transforms hit). The final short chunk is kept (standard
+    packing discipline: downstream padding/packing handles it);
+    documents shorter than one window emit exactly one chunk.
+    """
+    stride = stride or window
+    if stride < 1 or window < 1:
+        raise ValueError("window and stride must be >= 1")
+    toks = F.split(F.trim(F.lower(text_col)), r"\s+")
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(n - F.lit(window) + F.lit(stride), F.lit(1)),
+        F.lit(stride),
+    )
+    chunks = F.transform(starts, lambda i: F.slice(toks, i, window))
+    return (
+        df.select(
+            F.col(id_col),
+            F.posexplode(chunks).alias("chunk_idx", "__toks"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.size("__toks").cast("long").alias("n_tokens"),
+            F.array_join("__toks", " ").alias("chunk"),
+        )
+    )

@@ -894,3 +894,34 @@ def t10_bigram_perplexity(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     return bigram_perplexity(docs, id_col="doc_id", text_col="text")
+
+
+@query(
+    "p6_chunk_documents",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, toks,
+             unnest(range(1, greatest(len(toks) - 64 + 48, 1) + 1, 48))
+               AS start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST((start - 1) / 48 AS BIGINT) AS chunk_idx,
+           CAST(len(list_slice(toks, start, start + 63)) AS BIGINT)
+             AS n_tokens,
+           array_to_string(list_slice(toks, start, start + 63), ' ') AS chunk
+    FROM idx
+    """,
+)
+def p6_chunk_documents(spark, sf_dir):
+    """Context-window chunking for training: 64-token windows every 48
+    tokens (overlapping), provenance kept as (doc_id, chunk_idx).
+    Map-only — one split per document, one slice per emitted chunk."""
+    from ixmp_spark.operators.text import chunk_documents
+
+    docs = load(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", window=64, stride=48)

@@ -1037,3 +1037,35 @@ def test_guard_failfast_does_not_leak_cache(spark):
         if i.id() not in before and i.numCachedPartitions() > 0
     ]
     assert not leaked, f"guard raise leaked cached RDDs: {leaked}"
+
+
+def test_chunk_documents_semantics(spark):
+    """Context-window chunking: stride < window overlaps, short docs emit
+    one chunk, the trailing remainder is kept, and token provenance is
+    exact (hand-checked windows)."""
+    from ixmp_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x y"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.chunk_idx): (r.n_tokens, r.chunk)
+        for r in chunk_documents(df, "doc_id", "text", window=3, stride=2).collect()
+    }
+    assert got == {
+        (1, 0): (3, "a b c"), (1, 1): (3, "c d e"), (1, 2): (3, "e f g"),
+        (2, 0): (2, "x y"), (3, 0): (1, "solo"),
+    }
+    # non-overlapping default covers every token exactly once
+    cover = chunk_documents(df, "doc_id", "text", window=3).collect()
+    per_doc = {}
+    for r in cover:
+        per_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk))
+    rebuilt = {
+        d: " ".join(c for _, c in sorted(rows)) for d, rows in per_doc.items()
+    }
+    assert rebuilt == {1: "a b c d e f g", 2: "x y", 3: "solo"}
+
+    with pytest.raises(ValueError, match="window and stride"):
+        chunk_documents(df, "doc_id", "text", window=0)
