@@ -59,7 +59,16 @@ def __getattr__(name):
 
         return show_versions
     if name == "log":
+        # configured like the reference's package logger (reference
+        # ixmp/__init__.py:48-52): stdout handler + WARNING level, set
+        # once on first access (idempotent across repeated lookups)
         import logging
 
-        return logging.getLogger(__name__)
+        logger = logging.getLogger(__name__)
+        if not logger.handlers:
+            handler = logging.StreamHandler()
+            handler.setLevel(logging.WARNING)
+            logger.addHandler(handler)
+            logger.setLevel(logging.WARNING)
+        return logger
     raise AttributeError(name)

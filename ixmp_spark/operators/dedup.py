@@ -113,12 +113,15 @@ def jaccard_block_pairs(
     jac = F.size(F.array_intersect("toks_a", "toks_b")) / F.size(
         F.array_union("toks_a", "toks_b")
     )
-    return (
+    from ixmp_spark.operators import attach_caches
+
+    return attach_caches(
         a.join(b, block_cols)
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn("jaccard", F.round(jac, 6))
         .where(jac >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", "jaccard"),
+        toks,
     )
 
 
@@ -207,6 +210,10 @@ def lsh_band_pairs(
     whose EVERY matching band is hot; with 8+ bands that is rare for
     genuine near-dups.
     """
+    if on_hot not in ("raise", "drop"):
+        # validate BEFORE any persist: failing later would leak the
+        # banded cache (the fail-fast/no-leak guard discipline)
+        raise ValueError(f"on_hot must be 'raise' or 'drop', got {on_hot!r}")
     r = k // bands
     banded = df.select(
         F.col(id_col).alias("__id"),
@@ -219,6 +226,7 @@ def lsh_band_pairs(
             )
         ).alias("band", "bucket"),
     ).persist(_level(storage_level))
+    cached = banded  # release handle (the drop branch rebinds `banded`)
     if max_bucket is not None:
         sizes = banded.groupBy("band", "bucket").agg(
             F.count(F.lit(1)).alias("__n")
@@ -232,16 +240,16 @@ def lsh_band_pairs(
                     f"{[((r['band'], r['bucket']), r['__n']) for r in hot]}; "
                     'use on_hot="drop" or raise bands/k'
                 )
-        elif on_hot == "drop":
+        else:  # on_hot == "drop" (validated at entry)
             keep = sizes.where(F.col("__n") <= max_bucket).select(
                 "band", "bucket"
             )
             banded = banded.join(keep, ["band", "bucket"], "left_semi")
-        else:
-            raise ValueError(f"on_hot must be 'raise' or 'drop', got {on_hot!r}")
     a = banded.alias("a")
     b = banded.alias("b")
-    return (
+    from ixmp_spark.operators import attach_caches
+
+    return attach_caches(
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -249,7 +257,8 @@ def lsh_band_pairs(
             & (F.col("a.__id") < F.col("b.__id")),
         )
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .distinct()
+        .distinct(),
+        cached,
     )
 
 
@@ -270,7 +279,9 @@ def ngram_jaccard(
     ).persist(_level(storage_level))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    return (
+    from ixmp_spark.operators import attach_caches
+
+    return attach_caches(
         pairs.join(a, "id_a")
         .join(b, "id_b")
         .select(
@@ -280,7 +291,8 @@ def ngram_jaccard(
                 F.size(F.array_intersect("sh_a", "sh_b"))
                 / F.size(F.array_union("sh_a", "sh_b"))
             ).alias("jaccard"),
-        )
+        ),
+        sh,
     )
 
 
@@ -357,12 +369,16 @@ def minhash_lsh_neardup(
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
         F.array_union("sh_a", "sh_b")
     )
-    return (
+    from ixmp_spark.operators import attach_caches
+
+    return attach_caches(
         pairs.join(a, "id_a")
         .join(b, "id_b")
         .withColumn("jaccard", F.round(jac, 6))
         .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("id_a", "id_b", "jaccard"),
+        sh,
+        *getattr(pairs, "_ixmp_spark_caches", ()),
     )
 
 

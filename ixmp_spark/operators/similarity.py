@@ -283,6 +283,10 @@ def cosine_lsh_pairs(
 
     from pyspark import StorageLevel
 
+    if on_hot not in ("raise", "drop"):
+        # validate BEFORE any persist: failing later would leak the
+        # vecs/banded caches (the fail-fast/no-leak guard discipline)
+        raise ValueError(f"on_hot must be 'raise' or 'drop', got {on_hot!r}")
     if storage_level is None:
         storage_level = StorageLevel.MEMORY_AND_DISK
     if dim is None:
@@ -303,6 +307,7 @@ def cosine_lsh_pairs(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
     ).persist(storage_level)
     banded = _sign_lsh_banded(vecs, band_planes).persist(storage_level)
+    cached = banded  # release handle (the drop branch rebinds `banded`)
     if max_bucket is not None:
         sizes = banded.groupBy("__band", "__bucket").agg(
             F.count(F.lit(1)).alias("__n")
@@ -317,13 +322,11 @@ def cosine_lsh_pairs(
                     f"{[((r['__band'], r['__bucket']), r['__n']) for r in hot]}; "
                     'use on_hot="drop" or raise bands/bits'
                 )
-        elif on_hot == "drop":
+        else:  # on_hot == "drop" (validated at entry)
             keep = sizes.where(F.col("__n") <= max_bucket).select(
                 "__band", "__bucket"
             )
             banded = banded.join(keep, ["__band", "__bucket"], "left_semi")
-        else:
-            raise ValueError(f"on_hot must be 'raise' or 'drop', got {on_hot!r}")
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -347,10 +350,14 @@ def cosine_lsh_pairs(
         "id_b",
     )
     sim = cosine("__va", "__vb")
-    return (
+    from ixmp_spark.operators import attach_caches
+
+    return attach_caches(
         pairs.withColumn("cosine_sim", F.round(sim, 6))
         .where(sim >= threshold)
-        .select("id_a", "id_b", "cosine_sim")
+        .select("id_a", "id_b", "cosine_sim"),
+        vecs,
+        cached,
     )
 
 
@@ -428,14 +435,19 @@ def semantic_dedup(
         # the cache stays alive backing the returned plan (the d2/d3/e5
         # persist discipline — unpersisting here would make the caller's
         # action recompute the KMeans transform); it evicts under memory
-        # pressure via the MEMORY_AND_DISK default.
-        return (
+        # pressure via the MEMORY_AND_DISK default, and long sessions can
+        # free it explicitly after materializing the result:
+        # ``ixmp_spark.operators.release_cache(out)``.
+        from ixmp_spark.operators import attach_caches
+
+        return attach_caches(
             assigned.join(labels, id_col, "left")
             .select(
                 id_col,
                 F.coalesce("rep_id", F.col(id_col)).alias("rep_id"),
                 F.col("__c").alias("cluster"),
-            )
+            ),
+            assigned,
         )
     except BaseException:
         assigned.unpersist(False)

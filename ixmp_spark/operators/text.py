@@ -166,25 +166,28 @@ def tfidf_topk(
     the join back is term-keyed and AQE broadcasts it when the
     vocabulary is small. The only per-document serialization is the
     final top-k window, partitioned by document id — never a global
-    sort. N (total documents) is a driver-side scalar probe, the same
-    codelist-size discipline as the similarity probes.
+    sort. N (total documents) is a 1-row aggregate cross-broadcast into
+    the scoring projection, so the whole operator is ONE Spark action —
+    no separate driver-side count job.
 
     Output: (id, term, rank, score) — rank 1..k, score rounded to 6
     decimals.
     """
-    n_docs = df.count()
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("__n"))
     terms = df.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.lower(text_col)), r"\s+")).alias("term"),
     )
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
-    scored = tf.join(dfreq, "term").select(
-        F.col(id_col),
-        "term",
-        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("__df"))).alias(
-            "__s"
-        ),
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            "term",
+            (F.col("tf") * F.log(F.col("__n") / F.col("__df"))).alias("__s"),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("__s"), F.asc("term"))
     return (
@@ -195,7 +198,11 @@ def tfidf_topk(
 
 
 def bigram_perplexity(
-    df: DataFrame, id_col: str, text_col: str, k_smooth: float = 1.0
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_smooth: float = 1.0,
+    storage_level=None,
 ) -> DataFrame:
     """Per-document perplexity under an add-k-smoothed bigram language
     model trained on the corpus itself — the classic count-based quality
@@ -211,25 +218,38 @@ def bigram_perplexity(
     Plan shape: the bigram stream is built map-side with two shifted
     ``slice``s zipped together (never an element-at transform over a
     computed array — that inlines the split per element, the O(n²)
-    projection-collapse trap); counts are two keyed aggregations off the
-    same stream; scoring is two key-equi joins (bigram, then context)
-    that AQE broadcasts for codelist-sized vocabularies and
-    shuffle-joins at corpus scale. V is one countDistinct job.
+    projection-collapse trap) and PERSISTED — it feeds the vocab scalar,
+    both count aggregations, and the final scoring join, so without the
+    persist the explode+split projection (the dominant per-row cost)
+    would run 3–4×. The vocab scalar V = |distinct tokens| is derived
+    from the cached grams (``w2`` covers every token except each
+    document's first) unioned with a cheap first-token projection
+    (``element_at(split, 1)`` — one split per row, NO explode), not a
+    separate full tokenize+explode pass; materializing it is also what
+    populates the cache before the downstream aggregations read it.
+    Scoring is two key-equi joins (bigram, then context) that AQE
+    broadcasts for codelist-sized vocabularies and shuffle-joins at
+    corpus scale. The cache stays alive backing the returned plan (the
+    d2/d3 persist discipline); it evicts under memory pressure via the
+    MEMORY_AND_DISK default, or pass ``storage_level`` to override.
     """
+    from ixmp_spark.operators.dedup import _level
+
     toks = F.split(F.trim(F.lower(text_col)), r"\s+")
     n = F.size(toks)
     zipped = F.arrays_zip(
         F.slice(toks, 1, F.greatest(n - 1, F.lit(0))).alias("w1"),
         F.slice(toks, 2, F.greatest(n - 1, F.lit(0))).alias("w2"),
     )
-    grams = df.select(
-        F.col(id_col), F.explode(zipped).alias("g")
-    ).select(id_col, F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
-
+    grams = (
+        df.select(F.col(id_col), F.explode(zipped).alias("g"))
+        .select(id_col, F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+        .persist(_level(storage_level))
+    )
+    firsts = df.select(F.element_at(toks, 1).alias("t"))
     vocab = (
-        df.select(
-            F.explode(F.split(F.trim(F.lower(text_col)), r"\s+")).alias("t")
-        )
+        grams.select(F.col("w2").alias("t"))
+        .union(firsts)
         .agg(F.countDistinct("t").alias("v"))
         .collect()[0][0]
     )
@@ -238,14 +258,17 @@ def bigram_perplexity(
     p = (F.col("__c12") + F.lit(k_smooth)) / (
         F.col("__c1") + F.lit(k_smooth) * F.lit(float(vocab))
     )
-    return (
+    from ixmp_spark.operators import attach_caches
+
+    return attach_caches(
         grams.join(bg, ["w1", "w2"])
         .join(ctx, "w1")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),
             F.round(F.exp(F.avg(-F.log(p))), 6).alias("ppl"),
-        )
+        ),
+        grams,
     )
 
 

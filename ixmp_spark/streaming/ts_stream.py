@@ -284,5 +284,7 @@ def curate_documents_stream(
     return (
         gated.withColumn("__digest", F.md5(normalize_text("text")))
         .dropDuplicates(["__digest"])
-        .drop("__toks", "__digest")
+        # drop ALL helper columns so the curated stream's schema matches
+        # its batch twin exactly (leaking __q diverged them before)
+        .drop("__toks", "__q", "__digest")
     )

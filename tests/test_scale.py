@@ -1039,6 +1039,83 @@ def test_guard_failfast_does_not_leak_cache(spark):
     assert not leaked, f"guard raise leaked cached RDDs: {leaked}"
 
 
+def test_on_hot_validated_before_persist(spark):
+    """ADVICE r4: an invalid on_hot fails at function entry — before any
+    intermediate is persisted — even when max_bucket is unset, so a typo
+    can never leak a cache or be discovered only on the guarded branch."""
+    from ixmp_spark.operators.dedup import lsh_band_pairs, minhash_signature
+    from ixmp_spark.operators.similarity import cosine_lsh_pairs
+
+    docs = spark.range(5).selectExpr(
+        "id AS doc_id", "concat('text body number ', id) AS text"
+    )
+    sigs = minhash_signature(docs, "text")
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    sc = spark.sparkContext
+    before = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+    with pytest.raises(ValueError, match="on_hot"):
+        lsh_band_pairs(sigs, "doc_id", on_hot="typo")  # no max_bucket
+    with pytest.raises(ValueError, match="on_hot"):
+        cosine_lsh_pairs(vecs, "vec_id", "embedding", on_hot="typo")
+    leaked = [
+        i.id() for i in sc._jsc.sc().getRDDStorageInfo()
+        if i.id() not in before and i.numCachedPartitions() > 0
+    ]
+    assert not leaked, f"entry validation leaked cached RDDs: {leaked}"
+
+
+def test_release_cache_frees_operator_caches(spark):
+    """ADVICE r4: persist-backed operators attach their cache handles to
+    the returned frame; release_cache(out) unpersists them all after the
+    caller materializes the result, so long sessions don't accumulate
+    MEMORY_AND_DISK frames. Results stay correct (recompute) afterwards."""
+    from ixmp_spark.operators import release_cache
+    from ixmp_spark.operators.similarity import semantic_dedup
+    from ixmp_spark.operators.text import bigram_perplexity
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0] + [0.0] * 7), (2, [1.0] + [0.0] * 7), (3, [0.0] * 7 + [1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = semantic_dedup(vecs, "vec_id", "embedding", n_clusters=2)
+    want = {(r.vec_id, r.rep_id) for r in out.collect()}
+    assert release_cache(out) == 1  # the KMeans-assigned frame
+    assert release_cache(out) == 0  # idempotent
+    assert {(r.vec_id, r.rep_id) for r in out.collect()} == want  # recomputes
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b x y")], "doc_id long, text string"
+    )
+    ppl = bigram_perplexity(docs, "doc_id", "text")
+    got = {r.doc_id: r.ppl for r in ppl.collect()}
+    assert release_cache(ppl) == 1  # the gram stream
+    assert {r.doc_id: r.ppl for r in ppl.collect()} == got
+
+
+def test_bigram_perplexity_reuses_gram_cache(spark):
+    """VERDICT r4 #2: the gram stream is persisted and every downstream
+    consumer (bg counts, ctx counts, final scoring join) reads the cache —
+    the explode+split projection appears once, as an InMemoryRelation
+    scanned by all three branches, not recomputed per consumer."""
+    from ixmp_spark.operators.text import bigram_perplexity
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b"), (2, "b c d e")], "doc_id long, text string"
+    )
+    out = bigram_perplexity(docs, "doc_id", "text")
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # all gram consumers hit the cache: the in-memory relation is scanned
+    # >= 3 times and the raw explode over arrays_zip appears only inside
+    # its cached build plan, not replicated per consumer
+    assert plan.count("InMemoryRelation") >= 3
+    from ixmp_spark.operators import release_cache
+
+    release_cache(out)
+
+
 def test_chunk_documents_semantics(spark):
     """Context-window chunking: stride < window overlaps, short docs emit
     one chunk, the trailing remainder is kept, and token provenance is

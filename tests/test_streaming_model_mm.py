@@ -604,3 +604,5 @@ def test_streaming_document_curation(spark, sf_dir, tmp_path_factory):
     }
     assert got_digests == want_digests
     assert got.count() == len(want_digests)  # exactly one row per digest
+    # no helper-column leakage: curated schema == input documents schema
+    assert got.columns == batch.columns

@@ -28,6 +28,7 @@ BNLJ_OK = {
     "b_q22", "e4_cosine_neardup",
     "c15_fuzzy_match",  # 4-row query set x broadcast codelist
     "b_q11", "b_q15",  # 1-row scalar-subquery threshold broadcast
+    "t9_tfidf_keywords",  # 1-row N-docs aggregate cross-broadcast (single-action tfidf)
 }
 
 #: multi-stage pipelines where >6 shuffles are inherent (documented):
