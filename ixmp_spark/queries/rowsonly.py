@@ -131,3 +131,47 @@ def e6_semantic_dedup(spark, sf_dir):
     return out.select(
         "vec_id", "rep_id", F.col("cluster").cast("long").alias("cluster")
     )
+
+
+@query("m1_media_features")  # no SQL oracle: Arrow mapInPandas decode path
+def m1_media_features(spark, sf_dir):
+    """Multimodal decode→features over REAL in-plan media bytes: even
+    documents become 10x1 binary-PPM images whose pixel bytes are the
+    document's first 30 text bytes (a genuine stdlib decode — header
+    parse + numpy pixel array inside the Arrow batches), odd documents
+    ride the documented fingerprint fallback (image/png, PIL absent).
+    Exercises the media-struct schema and mapInPandas batch plumbing at
+    corpus scale; per-format decode values are pinned in unit tests
+    (tests/test_streaming_model_mm.py)."""
+    from ixmp_spark.operators.multimodal import extract_features
+
+    docs = load(spark, sf_dir, "documents")
+    ppm = F.concat(
+        F.lit(b"P6\n10 1\n255\n"),
+        F.substring(F.encode(F.rpad("text", 30, " "), "UTF-8"), 1, 30),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.struct(
+            F.when(F.col("doc_id") % 2 == 0, ppm)
+            .otherwise(F.encode("text", "UTF-8"))
+            .alias("content"),
+            F.lit(None).cast("string").alias("uri"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("image/ppm"))
+            .otherwise(F.lit("image/png"))
+            .alias("mime"),
+            F.lit(10).alias("width"),
+            F.lit(1).alias("height"),
+            F.lit(None).cast("int").alias("n_frames"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("double").alias("duration_s"),
+        ).alias("media"),
+    )
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "mime",
+        "n_bytes",
+        F.round(F.element_at("features", 1), 6).alias("f_mean_r"),
+        F.round(F.element_at("features", 4), 6).alias("f_luma"),
+    )
