@@ -14,6 +14,16 @@ can't masquerade as a regression (VERDICT r2 #8). The ingest path gets
 its own untimed warm-up first: its validation expression (a
 codelist-sized InSet per dimension) costs ~3 s of one-time codegen that
 single-shot timing would otherwise book as throughput.
+
+Methodology fix (round 5): persist-backed queries (d2/d3/t10) release
+their caches between reps (blocking, so cleanup can't bleed into the
+next timing). Before this, Spark's CacheManager matched the identical
+logical plan of reps 2-3 against rep 1's persisted frames ("Asked to
+cache already cached data" in earlier BENCH tails), so those medians
+partly measured cache READS, understating the true one-pass cost —
+which is what a real corpus run pays. Numbers from r5 on are cold per
+rep; comparing d2/d3/t10 against r4 requires adding back ~35% (verified
+by running both methodologies side-by-side, NOTES_r5).
 """
 
 from __future__ import annotations
@@ -50,6 +60,9 @@ BENCH_QUERIES = [
     "d2_jaccard_neardup",
     "d3_minhash_lsh",
     "t1_text_stats",
+    "t9_tfidf_keywords",
+    "t10_bigram_perplexity",
+    "p6_chunk_documents",
     "e1_embed_topk",
     "o1_topk",
 ]
@@ -111,9 +124,13 @@ def main() -> None:
     warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
+    from ixmp_spark.operators import release_cache
+
     QUERIES["a0_pricing_summary"](spark, sf_dir).count()
     for name in BENCH_QUERIES:
-        QUERIES[name](spark, warm_dir).count()
+        df = QUERIES[name](spark, warm_dir)
+        df.count()
+        release_cache(df)
     # Compiles the ingest validation codegen. The warm-up size matters:
     # InSet switches codegen strategy around 400 members, so warming with
     # a small set (dim=100) would not compile the code the 1e6 run
@@ -125,8 +142,14 @@ def main() -> None:
     for _ in range(REPS):
         for name in BENCH_QUERIES:
             t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).count()
+            df = QUERIES[name](spark, sf_dir)
+            df.count()
             samples[name].append(time.perf_counter() - t0)
+            # persist-backed operators attach their cache handles; free
+            # them between runs (blocking) so reps measure the true
+            # one-pass cost instead of re-reading the previous rep's
+            # plan-matched cache, and cleanup never overlaps a timing
+            release_cache(df, blocking=True)
         # reference perf parity (BASELINE.md): add_par-shaped bulk ingest
         # of a random 2-D parameter (testing/data.py:293–319 shape:
         # ceil(sqrt(N))² cross product, U[0,1) values, unit GWa)

@@ -111,14 +111,14 @@ from ixmp_spark.queries import (  # noqa: E402,F401
     extensions,
 )
 
-#: The 50 queries the driver hard-checks, explicitly ordered. Rotation
-#: per VERDICT r3 #7: c3_year_validate / c9_string_cleaning (redundant
-#: with c10's scalar family) and t5_segment_dedup (within-doc twin of
-#: t8's cross-doc span dedup) move to the tail this round so the
-#: flagship LLM operators d5/t8/d6 — oracle-paired and green in the
-#: full-catalog sf0.01 parity run — gain hard driver signal at least
-#: once. All three rotated-out queries stay in the catalog with local
-#: parity coverage.
+#: The 50 queries the driver hard-checks, explicitly ordered.
+#: PINNED as of round 5 (VERDICT r4 #1): the r4 rotation — flagship LLM
+#: operators d5/t8/d6 in; c3_year_validate / c9_string_cleaning /
+#: t5_segment_dedup (redundant scalar/within-doc twins of still-checked
+#: queries) in the tail — is now the STANDING set. Do not rotate again:
+#: every swap risks a driver-window mismatch, and the rotated-out three
+#: keep full-catalog parity coverage (tools/check_parity.py) every
+#: round. The r3 swap-back promise was explicitly released by VERDICT r4.
 _CORE_50 = [
     "s1_scan_pushdown", "s6_bulk_export",
     "f1_filter_in_conj", "f5_ts_selector", "f7_year_clamp",

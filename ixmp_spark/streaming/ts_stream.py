@@ -13,6 +13,8 @@ incrementally:
 - ``session_aggregates``: native ``session_window`` gap sessionization —
   the streaming twin of operators/sessions.sessionize.
 - ``dedup_stream``: ``dropDuplicatesWithinWatermark`` keyed dedup.
+- ``interval_join_stream``: watermarked stream-stream interval join
+  (click → purchase within N minutes) with derived per-side state bounds.
 - ``write_ts_sink``: append stream into a run-partitioned parquet/Delta
   directory with checkpointing (exactly-once via the sink's commit log).
 
@@ -111,6 +113,52 @@ def enrich_stream(
     re-resolved per batch for Delta tables, so slowly-changing dims pick
     up updates between micro-batches."""
     return events.join(F.broadcast(dim), on, how)
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    interval: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join — the standard
+    late-arriving-fact correlation: pair each left event with every
+    right event of the same key whose timestamp falls in
+    ``(left.ts, left.ts + interval]`` (e.g. click → purchase within 30
+    minutes). Inner join, so matches emit as soon as both sides arrive;
+    no waiting for watermark closure.
+
+    State budget (why this runs indefinitely at stable memory): with a
+    watermark on BOTH inputs plus the two-sided time-range condition,
+    Spark derives per-side state retention — left rows are buffered
+    until the right watermark passes ``left.ts + interval`` (they can
+    no longer match), right rows until the left watermark passes
+    ``right.ts`` — so each side's state is bounded by
+    rate × (watermark + interval), independent of stream length. Without
+    the range condition the state would grow forever; this operator
+    makes the bound impossible to forget by constructing the condition
+    from its arguments.
+
+    Output: (key, left_ts, left_type, right_ts, right_type, value_sum,
+    lag_s). The batch twin is the identical join on static frames
+    (tested for multiset equality in tests)."""
+    lw = left.withWatermark("ts", watermark).alias("l")
+    rw = right.withWatermark("ts", watermark).alias("r")
+    cond = F.expr(
+        f"l.{on} = r.{on} AND r.ts > l.ts AND r.ts <= l.ts + interval {interval}"
+    )
+    return lw.join(rw, cond, "inner").select(
+        F.col(f"l.{on}").alias(on),
+        F.col("l.ts").alias("left_ts"),
+        F.col("l.event_type").alias("left_type"),
+        F.col("r.ts").alias("right_ts"),
+        F.col("r.event_type").alias("right_type"),
+        F.round(F.col("l.value") + F.col("r.value"), 4).alias("value_sum"),
+        (
+            F.unix_timestamp("r.ts") - F.unix_timestamp("l.ts")
+        ).cast("long").alias("lag_s"),
+    )
 
 
 def write_ts_sink(
