@@ -225,12 +225,17 @@ def bigram_perplexity(
     from the cached grams (``w2`` covers every token except each
     document's first) unioned with a cheap first-token projection
     (``element_at(split, 1)`` — one split per row, NO explode), not a
-    separate full tokenize+explode pass; materializing it is also what
-    populates the cache before the downstream aggregations read it.
-    Scoring is two key-equi joins (bigram, then context) that AQE
-    broadcasts for codelist-sized vocabularies and shuffle-joins at
-    corpus scale. The cache stays alive backing the returned plan (the
-    d2/d3 persist discipline); it evicts under memory pressure via the
+    separate full tokenize+explode pass. Materializing the cache with
+    one cheap count FIRST (an explicit job, not a ``collect`` of data)
+    keeps the whole-operator contract single-*logical*-action while
+    guaranteeing the three downstream consumers read the cache instead
+    of racing to populate it from concurrent sibling stages. The vocab
+    count itself rides the plan as a broadcast 1-row aggregate (the
+    tfidf_topk pattern) — no scalar leaves the cluster. Scoring is two
+    key-equi joins (bigram, then context) that AQE broadcasts for
+    codelist-sized vocabularies and shuffle-joins at corpus scale. The
+    cache stays alive backing the returned plan (the d2/d3 persist
+    discipline); it evicts under memory pressure via the
     MEMORY_AND_DISK default, or pass ``storage_level`` to override.
     """
     from ixmp_spark.operators.dedup import _level
@@ -246,23 +251,24 @@ def bigram_perplexity(
         .select(id_col, F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
         .persist(_level(storage_level))
     )
+    grams.count()  # materialize the cache once before the fan-out
     firsts = df.select(F.element_at(toks, 1).alias("t"))
     vocab = (
         grams.select(F.col("w2").alias("t"))
         .union(firsts)
-        .agg(F.countDistinct("t").alias("v"))
-        .collect()[0][0]
+        .agg(F.countDistinct("t").cast("double").alias("__v"))
     )
     bg = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c12"))
     ctx = grams.groupBy("w1").agg(F.count(F.lit(1)).alias("__c1"))
     p = (F.col("__c12") + F.lit(k_smooth)) / (
-        F.col("__c1") + F.lit(k_smooth) * F.lit(float(vocab))
+        F.col("__c1") + F.lit(k_smooth) * F.col("__v")
     )
     from ixmp_spark.operators import attach_caches
 
     return attach_caches(
         grams.join(bg, ["w1", "w2"])
         .join(ctx, "w1")
+        .crossJoin(F.broadcast(vocab))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_bigrams"),

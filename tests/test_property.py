@@ -306,3 +306,91 @@ def test_bigram_perplexity_matches_reference(spark, docs):
     for i, (nb, ppl) in want.items():
         assert got[i][0] == nb
         assert abs(got[i][1] - ppl) < 1e-6
+
+
+# -- multimodal codec round-trips (pure functions, no Spark) --------------
+
+rgb_arrays = st.integers(1, 9).flatmap(
+    lambda h: st.integers(1, 9).flatmap(
+        lambda w: st.lists(
+            st.integers(0, 255), min_size=h * w * 3, max_size=h * w * 3
+        ).map(lambda v: (h, w, v))
+    )
+)
+
+
+@given(rgb_arrays)
+@settings(max_examples=40, deadline=None)
+def test_bmp_roundtrip_identity(hwv):
+    """encode→decode is the identity for arbitrary small RGB images —
+    including odd widths whose BMP rows need 4-byte padding."""
+    import numpy as np
+
+    from ixmp_spark.operators.multimodal import _bmp_pixels, _encode_bmp
+
+    h, w, vals = hwv
+    pix = np.array(vals, dtype=np.uint8).reshape(h, w, 3)
+    assert (_bmp_pixels(_encode_bmp(pix)) == pix).all()
+
+
+@given(rgb_arrays)
+@settings(max_examples=40, deadline=None)
+def test_ppm_roundtrip_identity(hwv):
+    import numpy as np
+
+    from ixmp_spark.operators.multimodal import _encode_ppm, _ppm_pixels
+
+    h, w, vals = hwv
+    pix = np.array(vals, dtype=np.uint8).reshape(h, w, 3)
+    assert (_ppm_pixels(_encode_ppm(pix)) == pix).all()
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-1.0, max_value=1.0, allow_nan=False),
+        min_size=1,
+        max_size=400,
+    ),
+    st.sampled_from([8000, 16000, 44100]),
+)
+@settings(max_examples=30, deadline=None)
+def test_wav_roundtrip_samples(values, rate):
+    """WAV encode→decode preserves the waveform to 16-bit quantization
+    (encode truncation + the 32767/32768 scale mismatch bound the error
+    by 2 LSB) and the sample rate exactly."""
+    import io
+    import wave
+
+    import numpy as np
+
+    from ixmp_spark.operators.multimodal import _wav_samples
+
+    vals = np.asarray(values)
+    pcm = (vals * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(pcm.tobytes())
+    got, got_rate = _wav_samples(buf.getvalue())
+    assert got_rate == rate and len(got) == len(vals)
+    assert np.abs(got - vals).max() <= 2.0 / 32768 + 1e-12
+
+
+@given(rgb_arrays, st.integers(1, 6), st.integers(1, 6))
+@settings(max_examples=40, deadline=None)
+def test_resize_nearest_contract(hwv, out_w, out_h):
+    """Nearest-neighbor resize: output shape is exact, every output
+    pixel is some input pixel, and identity-resize is a no-op."""
+    import numpy as np
+
+    from ixmp_spark.operators.multimodal import _resize_nearest
+
+    h, w, vals = hwv
+    pix = np.array(vals, dtype=np.uint8).reshape(h, w, 3)
+    out = _resize_nearest(pix, out_w, out_h)
+    assert out.shape == (out_h, out_w, 3)
+    in_set = {tuple(p) for p in pix.reshape(-1, 3)}
+    assert all(tuple(p) in in_set for p in out.reshape(-1, 3))
+    assert (_resize_nearest(pix, w, h) == pix).all()
