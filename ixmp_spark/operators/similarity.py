@@ -267,6 +267,15 @@ def cosine_lsh_pairs(
     higher recall, more bits → higher precision of candidates. The
     exact cosine filter makes the OUTPUT exact over the candidate set.
 
+    SIZE ``bits`` WITH THE CORPUS: there are only 2^bits buckets per
+    band, so the AVERAGE bucket holds n / 2^bits vectors and the
+    self-join emits Θ(bands · n² / 2^bits) candidates even with zero
+    skew — at n = 250k, bits=8 means ~1k per bucket and ~half a
+    billion candidate rows (measured: it spills the local disk dry).
+    Rule: ``bits >= log2(n / target_bucket)`` with target_bucket in the
+    low hundreds; ``max_bucket`` then only has to police the skewed
+    tail (duplicate crowds), not the average case.
+
     Shuffle discipline: the banded self-join carries ONLY
     (id, band, bucket) — never the vectors — so exchange volume is
     rows × bands × ~24 B regardless of embedding width. Vectors are

@@ -8,9 +8,12 @@ increasing scale, and print seconds per scale so a super-linear blowup
 is visible as a slope, not a guess. Usage:
 
     python tools/scale_rehearsal.py [sf_dir] [factors...]
+    python tools/scale_rehearsal.py --embeddings [sf_dir] [factors...]
 
-Defaults: /root/testdata/sf0.1 and factors 1 4 20 (5k / 20k / 100k docs).
-Every operator here is the same code path the catalog queries use.
+Defaults: /root/testdata/sf0.1 and factors 1 4 20 (5k / 20k / 100k docs);
+embeddings mode defaults to factors 5 25 125 (10k / 50k / 250k vectors,
+base table is 2k x dim-64). Every operator here is the same code path
+the catalog queries use.
 """
 
 from __future__ import annotations
@@ -45,6 +48,96 @@ def amplify(docs: DataFrame, factor: int) -> DataFrame:
         "lang",
         "source",
     )
+
+
+def amplify_vectors(emb: DataFrame, factor: int) -> DataFrame:
+    """factor replicas per vector: replica 0 is the original; replicas
+    > 0 bump ONE rotating coordinate by a replica-dependent step (a
+    distinct but cosine-close vector — the near-duplicate embedding
+    case); every 10th replica of every 10th vector is byte-identical
+    (the exact-duplicate case that crowds LSH buckets and KMeans
+    clusters)."""
+    if factor == 1:
+        return emb
+    r = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("rep")
+    out = emb.select("vec_id", "embedding", r)
+    keep_exact = ((F.col("vec_id") % 10 == 0) & (F.col("rep") % 10 == 0)) | (
+        F.col("rep") == 0
+    )
+    dim = 64
+    bumped = F.transform(
+        "embedding",
+        lambda x, i: F.when(
+            ~keep_exact & (i == F.col("rep") % dim),
+            x + 0.05 * ((F.col("rep") % 3) + 1),
+        ).otherwise(x),
+    )
+    return out.select(
+        (F.col("vec_id") * factor + F.col("rep")).alias("vec_id"),
+        bumped.alias("embedding"),
+    )
+
+
+def main_embeddings() -> None:
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    factors = [int(x) for x in sys.argv[3:]] or [5, 25, 125]
+
+    from ixmp_spark.operators import release_cache
+    from ixmp_spark.operators.similarity import (
+        brute_force_topk,
+        cosine_lsh_pairs,
+        semantic_dedup,
+    )
+
+    spark = get_spark("scale_rehearsal_emb")
+    base = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    results: dict[str, dict[int, float]] = {}
+
+    for factor in factors:
+        vecs = amplify_vectors(base, factor).repartition(
+            spark.sparkContext.defaultParallelism
+        ).persist()
+        n = vecs.count()
+        print(f"-- factor {factor}: {n} vectors", file=sys.stderr)
+
+        probe = vecs.limit(1)
+        t0 = time.time()
+        brute_force_topk(vecs, probe, "vec_id", "embedding", k=10).count()
+        results.setdefault("e1_brute_topk", {})[n] = time.time() - t0
+
+        # the bucket space must scale with the corpus: 2^bits buckets per
+        # band, so bits ~ log2(n / target_bucket). At fixed bits=8, 250k
+        # vectors stuff ~1k into every bucket and the self-join emits
+        # ~500M candidates — the first run of this rehearsal filled the
+        # disk proving it. target ~150/bucket; max_bucket bounds the
+        # skewed tail absolutely (duplicate crowds), not per-factor.
+        import math as _math
+
+        bits = max(8, _math.ceil(_math.log2(max(n, 2) / 150)))
+        t0 = time.time()
+        pairs = cosine_lsh_pairs(
+            vecs, "vec_id", "embedding", threshold=0.95,
+            bands=4, bits=bits, max_bucket=2000, on_hot="drop",
+        )
+        n_pairs = pairs.count()
+        results.setdefault("e5_cosine_lsh", {})[n] = time.time() - t0
+        release_cache(pairs, blocking=True)
+        print(f"   lsh pairs: {n_pairs}", file=sys.stderr)
+
+        # expected cluster size held ~constant by scaling n_clusters
+        t0 = time.time()
+        labels = semantic_dedup(
+            vecs, "vec_id", "embedding",
+            n_clusters=8 * factor, threshold=0.95, max_cluster=50_000,
+        )
+        n_dups = labels.where("rep_id != vec_id").count()
+        results.setdefault("e6_semantic_dedup", {})[n] = time.time() - t0
+        release_cache(labels, blocking=True)
+        print(f"   semantic dups: {n_dups}", file=sys.stderr)
+
+        vecs.unpersist()
+
+    print(json.dumps({"sf_dir": sf_dir, "mode": "embeddings", "results": results}))
 
 
 def main() -> None:
@@ -97,4 +190,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--embeddings":
+        main_embeddings()
+    else:
+        main()
