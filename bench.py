@@ -62,10 +62,18 @@ BENCH_QUERIES = [
     "t1_text_stats",
     "t9_tfidf_keywords",
     "t10_bigram_perplexity",
+    "t11_top_ngrams",
     "p6_chunk_documents",
+    "p7_shuffle_shards",
+    "p8_domain_cap",
     "e1_embed_topk",
     "o1_topk",
 ]
+# NOT in the headline set: t12_bpe_merges — an iterative trainer whose
+# cost is n_merges × per-iteration job latency (driver-loop bound, not
+# data bound at sf0.1); it would dominate the total without measuring
+# anything the per-iteration queries don't. Its medians are recorded in
+# NOTES_r5 instead.
 
 
 def _ingest_bench(spark, n: int) -> float:

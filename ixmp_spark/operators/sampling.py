@@ -12,7 +12,7 @@ engine with md5 (the DuckDB oracle mirrors it verbatim).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: bucket count for hash-based rates; 10_000 gives 0.01% rate granularity
@@ -80,3 +80,88 @@ def domain_mix(
     for domain, mult in weights.items():
         w = F.when(F.col(domain_col) == domain, F.lit(int(mult))).otherwise(w)
     return df.withColumn(copy_col, F.explode(F.sequence(F.lit(1), w)))
+
+
+def shuffle_shards(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int,
+    seed: str = "",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic global shuffle for training export: assign every row
+    a reproducible pseudorandom ``(shard, pos)`` — shard from the md5
+    prefix of (seed ‖ key), position by ranking the REMAINDER of the hash
+    within the shard. Changing ``seed`` produces an independent
+    permutation; the same (seed, corpus) always produces the same one.
+
+    This is the shuffled-shard-export step of training-data assembly
+    (write shard files in (shard, pos) order; a sequential reader then
+    sees a seeded global shuffle). Scale shape: shard assignment is
+    map-only; the only sort is ``row_number`` partitioned BY SHARD — the
+    unit of export parallelism — never a global ORDER BY. Shards are
+    hash-balanced (no skew by construction), so the per-shard sorts are
+    uniform; pick ``n_shards`` so one shard's rows fit an executor
+    (corpus_rows / n_shards ≈ 10–100 M at 100 TB).
+
+    The position ranks by the hex chars AFTER the 8-char shard prefix, so
+    within-shard order is independent of the shard assignment; ``key``
+    breaks the (vanishingly unlikely) hash ties to keep the output a pure
+    function of the data."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    h = F.md5(F.concat(F.lit(str(seed)), F.col(key_col).cast("string")))
+    out = df.withColumn("__h", h).withColumn(
+        shard_col,
+        (
+            F.conv(F.substring("__h", 1, 8), 16, 10).cast("long")
+            % F.lit(int(n_shards))
+        ),
+    )
+    w = Window.partitionBy(shard_col).orderBy(
+        F.substring("__h", 9, 24), F.col(key_col)
+    )
+    return (
+        out.withColumn(pos_col, F.row_number().over(w).cast("long"))
+        .drop("__h")
+    )
+
+
+def cap_per_group(
+    df: DataFrame, group_col: str, key_col: str, cap: int
+) -> DataFrame:
+    """Per-group row cap: keep at most ``cap`` rows per group, selected by
+    deterministic content-hash order (a reproducible pseudorandom sample
+    of each over-cap group). The per-domain / per-source cap step of web
+    corpus curation (bound any one domain's share of the training set).
+
+    Plan shape for scale — the naive version is ONE window over
+    everything, which sorts the entire corpus to discard ranks the
+    under-cap groups never exceed. Instead, a two-path plan:
+
+    1. a column-pruned count aggregation finds the over-cap groups (few,
+       by definition of a cap worth applying — broadcast);
+    2. under-cap groups pass through via a broadcast anti-join — no sort,
+       no shuffle of their rows;
+    3. only over-cap groups (where the skew lives) pay the per-group
+       row_number sort, and AQE sees that shuffle's true size.
+
+    Cost: two scans of the fact (one pruned to ``group_col``) replace a
+    full-corpus sort — at 100 TB scans are bandwidth, sorts are spill.
+    The output equals the single-window plan row-for-row."""
+    if cap < 0:
+        raise ValueError("cap must be >= 0")
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    over = counts.where(F.col("__n") > cap).select(group_col)
+    pass_through = df.join(F.broadcast(over), group_col, "left_anti")
+    hot = df.join(F.broadcast(over), group_col, "semi")
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    capped = (
+        hot.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= cap)
+        .drop("__r")
+    )
+    return pass_through.unionByName(capped)

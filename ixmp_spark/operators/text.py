@@ -218,24 +218,26 @@ def bigram_perplexity(
     Plan shape: the bigram stream is built map-side with two shifted
     ``slice``s zipped together (never an element-at transform over a
     computed array — that inlines the split per element, the O(n²)
-    projection-collapse trap) and PERSISTED — it feeds the vocab scalar,
-    both count aggregations, and the final scoring join, so without the
-    persist the explode+split projection (the dominant per-row cost)
-    would run 3–4×. The vocab scalar V = |distinct tokens| is derived
-    from the cached grams (``w2`` covers every token except each
-    document's first) unioned with a cheap first-token projection
-    (``element_at(split, 1)`` — one split per row, NO explode), not a
-    separate full tokenize+explode pass. Materializing the cache with
-    one cheap count FIRST (an explicit job, not a ``collect`` of data)
-    keeps the whole-operator contract single-*logical*-action while
-    guaranteeing the three downstream consumers read the cache instead
-    of racing to populate it from concurrent sibling stages. The vocab
-    count itself rides the plan as a broadcast 1-row aggregate (the
-    tfidf_topk pattern) — no scalar leaves the cluster. Scoring is two
-    key-equi joins (bigram, then context) that AQE broadcasts for
-    codelist-sized vocabularies and shuffle-joins at corpus scale. The
-    cache stays alive backing the returned plan (the d2/d3 persist
-    discipline); it evicts under memory pressure via the
+    projection-collapse trap) and PERSISTED, together with the
+    pair-count aggregate ``bg`` derived from it. One eager count of
+    ``bg`` materializes BOTH caches in a single corpus pass (persist
+    caches on first computation), and every statistic the model needs
+    is then derived from the small cache, not the big one: the context
+    counts ``c(w1·)`` are the per-``w1`` SUM of ``bg``'s pair counts
+    (each bigram occurrence belongs to exactly one pair group), and the
+    vocab scalar V = |distinct tokens| reads ``bg``'s distinct ``w2``
+    column (every token except each document's first) unioned with a
+    cheap first-token projection (``element_at(split, 1)`` — one split
+    per row, NO explode). The corpus-scale gram stream is therefore
+    read exactly TWICE — once to build the caches, once as the probe
+    side of the final scoring join — where the naive fan-out (vocab,
+    pair counts, context counts, scoring each re-reading grams) pays 5
+    passes. The vocab count rides the plan as a broadcast 1-row
+    aggregate (the tfidf_topk pattern) — no scalar leaves the cluster.
+    Scoring is two key-equi joins (bigram, then context) that AQE
+    broadcasts for codelist-sized vocabularies and shuffle-joins at
+    corpus scale. Both caches stay alive backing the returned plan (the
+    d2/d3 persist discipline); they evict under memory pressure via the
     MEMORY_AND_DISK default, or pass ``storage_level`` to override.
     """
     from ixmp_spark.operators.dedup import _level
@@ -251,15 +253,27 @@ def bigram_perplexity(
         .select(id_col, F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
         .persist(_level(storage_level))
     )
-    grams.count()  # materialize the cache once before the fan-out
+    bg = grams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("__c12")
+    ).persist(_level(storage_level))
+    # ONE corpus pass materializes BOTH caches: computing bg scans the
+    # explode+split projection, which populates the grams cache on the
+    # way (persist caches on first computation), then shuffles into the
+    # pair-vocabulary-sized bg cache. Everything corpus-derived below
+    # reads bg, NOT grams: ctx is the per-w1 sum of bg's pair counts
+    # (identical to counting grams by w1 — each bigram occurrence is in
+    # exactly one pair group) and the vocab scalar's w2 side needs only
+    # DISTINCT tokens, which bg already holds. The final scoring join is
+    # then the only other reader of the corpus-scale cache: 2 passes
+    # over the gram stream total, where the naive fan-out pays 5.
+    bg.count()
     firsts = df.select(F.element_at(toks, 1).alias("t"))
     vocab = (
-        grams.select(F.col("w2").alias("t"))
+        bg.select(F.col("w2").alias("t"))
         .union(firsts)
         .agg(F.countDistinct("t").cast("double").alias("__v"))
     )
-    bg = grams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c12"))
-    ctx = grams.groupBy("w1").agg(F.count(F.lit(1)).alias("__c1"))
+    ctx = bg.groupBy("w1").agg(F.sum("__c12").alias("__c1"))
     p = (F.col("__c12") + F.lit(k_smooth)) / (
         F.col("__c1") + F.lit(k_smooth) * F.col("__v")
     )
@@ -275,6 +289,7 @@ def bigram_perplexity(
             F.round(F.exp(F.avg(-F.log(p))), 6).alias("ppl"),
         ),
         grams,
+        bg,
     )
 
 
@@ -320,4 +335,158 @@ def chunk_documents(
             F.size("__toks").cast("long").alias("n_tokens"),
             F.array_join("__toks", " ").alias("chunk"),
         )
+    )
+
+
+def top_ngrams(
+    df: DataFrame, text_col: str, n: int = 2, k: int = 20
+) -> DataFrame:
+    """Corpus-wide top-``k`` most frequent word ``n``-grams — the standard
+    corpus-statistics probe (boilerplate discovery, contamination grams,
+    stopword audits). Output: (gram, n) ordered by count desc, gram asc
+    (a total order — gram is unique — so top-k is deterministic).
+
+    Plan shape: gram construction is map-side (one split per row, then
+    ``transform`` over the start-position sequence with ``slice`` — a
+    handful of array ops per row, no per-token explode of the split
+    itself); counting is one keyed shuffle with map-side partial
+    aggregation; the top-k is TakeOrderedAndProject over the aggregated
+    gram table — never a global sort of the gram stream. Documents
+    shorter than ``n`` tokens contribute nothing (guarded: Spark's
+    ``sequence(1, 0)`` counts DOWN, so the start sequence only exists
+    when size >= n)."""
+    if n < 1 or k < 1:
+        raise ValueError("n and k must be >= 1")
+    toks = F.split(F.trim(F.lower(text_col)), r"\s+")
+    sz = F.size(toks)
+    starts = F.when(
+        sz >= n, F.sequence(F.lit(1), sz - F.lit(n) + F.lit(1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return (
+        df.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("gram"))
+        .limit(k)
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 32,
+    min_word_freq: int = 1,
+) -> DataFrame:
+    """Learn a byte-pair-encoding merge table from the corpus — the
+    tokenizer-training step of an LLM data pipeline (Sennrich et al.
+    2016's algorithm, re-expressed for Spark).
+
+    Returns the learned merge sequence as a small DataFrame:
+    ``(rank long, left string, right string, merged string, freq long)``
+    — rank 1..n_merges in learning order, ``freq`` the corpus-weighted
+    pair count that won the rank. Training may stop early if no pair
+    remains (tiny corpora); ties break deterministically by
+    (freq desc, left asc, right asc) so the merge sequence is a pure
+    function of the corpus.
+
+    Scale shape — the whole point of BPE's word-frequency formulation:
+    the CORPUS is touched exactly once (tokenize → groupBy word → count,
+    one keyed shuffle with map-side partial counts). Every merge
+    iteration then runs on the WORD table (vocabulary-sized: ~10⁷ rows
+    for a 100 TB web corpus — still a Spark job, never a driver dict,
+    but orders of magnitude below corpus scale). Per iteration: one
+    adjacent-pair aggregation (map-side expression: ``transform`` over
+    shifted indices, weighted by word freq) + a 1-row argmax collect,
+    then a map-only greedy left-to-right merge of the winning pair via
+    an ``aggregate`` lambda over each word's symbol array. The symbol
+    table is re-persisted per round; each round's aggregation job
+    doubles as the materializer of the PREVIOUS round's merge (persist
+    caches on first computation), so the superseded grandparent cache
+    is released one round late and every iteration costs exactly one
+    job. Lineage stays one projection deep per round on top of a
+    cached frame, so no checkpoint is needed at any ``n_merges``.
+
+    Word boundary: each word ends with the conventional ``</w>`` marker
+    symbol, so merges never cross words and end-of-word variants are
+    learned separately (``e+s`` vs ``e+s</w>``)."""
+    if n_merges < 0:
+        raise ValueError("n_merges must be >= 0")
+    spark = df.sparkSession
+    words = (
+        df.select(
+            F.explode(F.split(F.trim(F.lower(text_col)), r"\s+")).alias("w")
+        )
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.col("freq") >= min_word_freq)
+    )
+    syms = words.select(
+        "freq",
+        F.concat(F.split("w", ""), F.array(F.lit("</w>"))).alias("s"),
+    ).persist()
+    merges: list[tuple[int, str, str, str, int]] = []
+    prev: DataFrame | None = None
+    try:
+        for rank in range(1, n_merges + 1):
+            sz = F.size("s")
+            idx = F.when(
+                sz >= 2, F.sequence(F.lit(1), sz - 1)
+            ).otherwise(F.array().cast("array<int>"))
+            pair_structs = F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(F.col("s"), i).alias("left"),
+                    F.element_at(F.col("s"), i + 1).alias("right"),
+                ),
+            )
+            best = (
+                syms.select("freq", F.explode(pair_structs).alias("p"))
+                .groupBy("p.left", "p.right")
+                .agg(F.sum("freq").alias("pair_freq"))
+                .orderBy(F.desc("pair_freq"), F.asc("left"), F.asc("right"))
+                .limit(1)
+                .collect()
+            )
+            # that aggregation job materialized syms' cache as a side
+            # effect (persist caches on first computation), so the
+            # GRANDPARENT frame — syms' own input, already superseded —
+            # is now safe to release. Deferring the release one round
+            # like this means each iteration runs exactly ONE job (the
+            # argmax); an eager materialize-then-release per round would
+            # double the job count for the same lineage depth (every
+            # frame is one projection on top of a cached parent). At
+            # most two vocabulary-sized frames are cached at any time.
+            if prev is not None:
+                prev.unpersist()
+                prev = None
+            if not best:
+                break
+            left, right, freq = best[0].left, best[0].right, best[0].pair_freq
+            merged = left + right
+            merges.append((rank, left, right, merged, int(freq)))
+            nxt = syms.select(
+                "freq",
+                F.aggregate(
+                    "s",
+                    F.array().cast("array<string>"),
+                    lambda acc, x: F.when(
+                        (F.size(acc) > 0)
+                        & (F.element_at(acc, -1) == F.lit(left))
+                        & (x == F.lit(right)),
+                        F.concat(
+                            F.slice(acc, 1, F.size(acc) - 1),
+                            F.array(F.lit(merged)),
+                        ),
+                    ).otherwise(F.concat(acc, F.array(x))),
+                ).alias("s"),
+            ).persist()
+            prev, syms = syms, nxt
+    finally:
+        if prev is not None:
+            prev.unpersist()
+        syms.unpersist()
+    return spark.createDataFrame(
+        merges, "rank long, left string, right string, merged string, freq long"
     )

@@ -925,3 +925,101 @@ def p6_chunk_documents(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     return chunk_documents(docs, "doc_id", "text", window=64, stride=48)
+
+
+@query(
+    "p7_shuffle_shards",
+    oracle="""
+    SELECT doc_id,
+           CAST('0x' || substr(md5('42' || CAST(doc_id AS VARCHAR)), 1, 8)
+                AS BIGINT) % 16 AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY CAST('0x' || substr(md5('42' || CAST(doc_id AS VARCHAR)), 1, 8)
+                               AS BIGINT) % 16
+             ORDER BY substr(md5('42' || CAST(doc_id AS VARCHAR)), 9, 24),
+                      doc_id) AS BIGINT) AS pos
+    FROM documents
+    """,
+)
+def p7_shuffle_shards(spark, sf_dir):
+    """Deterministic global shuffle for training export: seeded md5 of the
+    document key assigns a hash-balanced shard (map-only) and a
+    pseudorandom within-shard position (row_number partitioned BY SHARD —
+    the export parallelism unit — never a global sort). Same seed + same
+    corpus = same permutation, on any engine with md5."""
+    from ixmp_spark.operators.sampling import shuffle_shards
+
+    docs = load(spark, sf_dir, "documents")
+    return shuffle_shards(docs, key_col="doc_id", n_shards=16, seed="42").select(
+        "doc_id", "shard", "pos"
+    )
+
+
+@query(
+    "p8_domain_cap",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+      FROM documents)
+    WHERE r <= 100
+    """,
+)
+def p8_domain_cap(spark, sf_dir):
+    """Per-domain document cap (bound any one domain's share of the
+    corpus), keeping a deterministic hash-ordered sample of over-cap
+    domains. The operator's two-path plan sends under-cap domains through
+    a broadcast anti-join with NO sort and ranks only the over-cap ones —
+    at sf0.01 'en' (218 docs) takes the window path while the other four
+    languages pass through, so the catalog row exercises both paths. The
+    oracle is the equivalent single-window formulation (same rows)."""
+    from ixmp_spark.operators.sampling import cap_per_group
+
+    docs = load(spark, sf_dir, "documents")
+    return cap_per_group(docs, group_col="lang", key_col="doc_id", cap=100).select(
+        "doc_id", "lang"
+    )
+
+
+@query(
+    "t11_top_ngrams",
+    oracle=r"""
+    WITH t AS (
+      SELECT string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ),
+    idx AS (SELECT unnest(range(1, len(toks))) AS pos, toks FROM t),
+    g AS (
+      SELECT array_to_string(list_slice(toks, pos, pos + 1), ' ') AS gram
+      FROM idx
+    )
+    SELECT gram, CAST(count(*) AS BIGINT) AS n
+    FROM g GROUP BY gram ORDER BY n DESC, gram LIMIT 20
+    """,
+)
+def t11_top_ngrams(spark, sf_dir):
+    """Corpus-wide top-20 bigrams (boilerplate / contamination-gram
+    audit): map-side gram construction, one keyed shuffle with partial
+    aggregation, TakeOrderedAndProject for the top-k — the gram stream
+    itself is never globally sorted."""
+    from ixmp_spark.operators.text import top_ngrams
+
+    docs = load_spread(spark, sf_dir, "documents")
+    return top_ngrams(docs, "text", n=2, k=20)
+
+
+@query("t12_bpe_merges")  # rows-only: iterative training, not SQL-expressible
+def t12_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (Sennrich-style merge learning):
+    the corpus is tokenized ONCE into a word-frequency table; every merge
+    iteration then runs on that vocabulary-sized table (pair aggregation
+    + 1-row argmax + map-only greedy merge). Deterministic tie-breaking
+    makes the merge sequence a pure function of the corpus; equivalence
+    with a pure-Python reference BPE is property-tested
+    (tests/test_property.py::test_bpe_train_matches_reference)."""
+    from ixmp_spark.operators.text import bpe_train
+
+    docs = load_spread(spark, sf_dir, "documents")
+    return bpe_train(docs, "text", n_merges=12)

@@ -394,3 +394,72 @@ def test_resize_nearest_contract(hwv, out_w, out_h):
     in_set = {tuple(p) for p in pix.reshape(-1, 3)}
     assert all(tuple(p) in in_set for p in out.reshape(-1, 3))
     assert (_resize_nearest(pix, w, h) == pix).all()
+
+
+# -- t12: distributed BPE merge learning vs a pure-Python reference -------
+
+def _bpe_reference(texts, n_merges):
+    """Sennrich-style BPE on a word-frequency table: overlapping pair
+    counts, greedy left-to-right merge, ties by (freq desc, left asc,
+    right asc)."""
+    import re
+    from collections import Counter
+
+    wc: Counter = Counter()
+    for t in texts:
+        for w in re.split(r"\s+", t.strip().lower()):
+            if w:
+                wc[w] += 1
+    vocab = [(list(w) + ["</w>"], c) for w, c in wc.items()]
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs: Counter = Counter()
+        for s, c in vocab:
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += c
+        if not pairs:
+            break
+        (left, right), freq = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((rank, left, right, left + right, freq))
+        new_vocab = []
+        for s, c in vocab:
+            out: list[str] = []
+            for x in s:
+                if out and out[-1] == left and x == right:
+                    out[-1] = left + right
+                else:
+                    out.append(x)
+            new_vocab.append((out, c))
+        vocab = new_vocab
+    return merges
+
+
+bpe_docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from(["ab", "aab", "b", "aa", "abab", "ba"]),
+        min_size=1, max_size=8,
+    ),
+    min_size=1, max_size=5,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(docs=bpe_docs_strategy)
+def test_bpe_train_matches_reference(spark, docs):
+    """bpe_train's merge sequence equals the pure-Python Sennrich BPE on
+    arbitrary small corpora — rank, pair, merged symbol, and weighted
+    pair frequency all match exactly (the tie-break makes the sequence a
+    pure function of the corpus, so equality is exact, not approximate).
+    Repeated-symbol runs ('aaa') exercise both the overlapping pair
+    COUNT and the non-overlapping greedy MERGE semantics."""
+    from ixmp_spark.operators.text import bpe_train
+
+    texts = [" ".join(toks) for toks in docs]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [
+        (r.rank, r.left, r.right, r.merged, r.freq)
+        for r in bpe_train(df, "text", n_merges=5).collect()
+    ]
+    assert got == _bpe_reference(texts, 5)

@@ -1091,15 +1091,16 @@ def test_release_cache_frees_operator_caches(spark):
     )
     ppl = bigram_perplexity(docs, "doc_id", "text")
     got = {r.doc_id: r.ppl for r in ppl.collect()}
-    assert release_cache(ppl) == 1  # the gram stream
+    assert release_cache(ppl) == 2  # the gram stream + the pair counts
     assert {r.doc_id: r.ppl for r in ppl.collect()} == got
 
 
 def test_bigram_perplexity_reuses_gram_cache(spark):
-    """VERDICT r4 #2: the gram stream is persisted and every downstream
-    consumer (bg counts, ctx counts, final scoring join) reads the cache —
-    the explode+split projection appears once, as an InMemoryRelation
-    scanned by all three branches, not recomputed per consumer."""
+    """VERDICT r4 #2 (tightened in r5): the gram stream AND the pair
+    aggregate bg are persisted; corpus-derived statistics (ctx counts,
+    vocab) read bg's cache while the scoring join probes the grams cache
+    — the explode+split projection appears only inside cached build
+    plans, never replicated per consumer."""
     from ixmp_spark.operators.text import bigram_perplexity
 
     docs = spark.createDataFrame(
@@ -1146,3 +1147,100 @@ def test_chunk_documents_semantics(spark):
 
     with pytest.raises(ValueError, match="window and stride"):
         chunk_documents(df, "doc_id", "text", window=0)
+
+
+def test_shuffle_shards_permutation_and_determinism(spark, sf_dir):
+    """(shard, pos) is a valid shuffle: positions are exactly 1..count
+    within every shard, the assignment is layout-independent, and a
+    different seed yields a different permutation."""
+    from ixmp_spark.operators.sampling import shuffle_shards
+
+    docs = load(spark, sf_dir, "documents")
+    out = shuffle_shards(docs, "doc_id", n_shards=8, seed="s1")
+    rows = out.select("doc_id", "shard", "pos").collect()
+    assert len(rows) == docs.count()
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(8))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # layout-independent: same (seed, corpus) -> same assignment
+    again = {
+        (r["doc_id"]): (r["shard"], r["pos"])
+        for r in shuffle_shards(
+            docs.repartition(13), "doc_id", n_shards=8, seed="s1"
+        ).select("doc_id", "shard", "pos").collect()
+    }
+    assert again == {r["doc_id"]: (r["shard"], r["pos"]) for r in rows}
+    # a different seed is a different permutation
+    other = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in shuffle_shards(docs, "doc_id", n_shards=8, seed="s2")
+        .select("doc_id", "shard", "pos")
+        .collect()
+    }
+    assert other != again
+    with pytest.raises(ValueError):
+        shuffle_shards(docs, "doc_id", n_shards=0)
+
+
+def test_cap_per_group_matches_single_window(spark, sf_dir):
+    """The two-path plan (broadcast pass-through for under-cap groups +
+    window only over the hot ones) returns row-for-row the same set as
+    the naive single-window formulation, and per-group sizes are
+    min(n, cap)."""
+    from pyspark.sql import Window
+
+    from ixmp_spark.operators.sampling import cap_per_group
+
+    docs = load(spark, sf_dir, "documents")
+    cap = 30
+    got = {
+        r["doc_id"]
+        for r in cap_per_group(docs, "lang", "doc_id", cap).select("doc_id").collect()
+    }
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    want = {
+        r["doc_id"]
+        for r in docs.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= cap)
+        .select("doc_id")
+        .collect()
+    }
+    assert got == want
+    sizes = {
+        r["lang"]: r["n"]
+        for r in cap_per_group(docs, "lang", "doc_id", cap)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    full = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sizes == {lang: min(n, cap) for lang, n in full.items()}
+    with pytest.raises(ValueError):
+        cap_per_group(docs, "lang", "doc_id", -1)
+
+
+def test_top_ngrams_hand_computed(spark):
+    """Bigram counts on a fixed corpus, short docs contribute nothing,
+    ties break lexicographically."""
+    from ixmp_spark.operators.text import top_ngrams
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b a b"),
+            (1, "a b c"),
+            (2, "solo"),  # 1 token: no bigram
+        ],
+        "doc_id long, text string",
+    )
+    rows = [(r["gram"], r["n"]) for r in top_ngrams(df, "text", n=2, k=3).collect()]
+    assert rows == [("a b", 3), ("b a", 1), ("b c", 1)]
+    with pytest.raises(ValueError):
+        top_ngrams(df, "text", n=0)
