@@ -514,6 +514,80 @@ def contaminated_ids(
     )
 
 
+def source_overlap(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    n: int = 8,
+    max_sources: int = 64,
+    storage_level=None,
+) -> DataFrame:
+    """Cross-source n-gram containment matrix — corpus governance: for
+    every ordered source pair (a, b), what fraction of a's distinct word
+    ``n``-grams also occur in b (``containment`` is asymmetric: a mirror
+    site is ~fully contained in the original, not vice versa). The
+    standard audit before mixing corpora: it surfaces mirrored dumps,
+    re-crawls, and pipeline double-ingests that per-document dedup only
+    finds pair-by-pair.
+
+    Output: (src_a, src_b, n_common, containment), one row per ordered
+    pair with any overlap; ``containment = n_common / |kept grams of a|``
+    rounded to 6 decimals.
+
+    Plan shape for scale: grams collapse to DISTINCT (source, 8-byte
+    xxhash64) rows before anything else, so every downstream shuffle
+    carries source + 8 B. The pair computation is a self-equi-join on
+    the gram hash: a gram present in s sources fans out to s² pair rows,
+    so grams spread across more than ``max_sources`` sources are DROPPED
+    first (the stop-bucket discipline of lsh_band_pairs — such
+    ubiquitous grams are boilerplate/stop-grams carrying no attribution
+    signal, and they are exactly the ones that would quadratically blow
+    up the join at web scale where a corpus has 10⁵⁺ sources).
+    Containment denominators count the KEPT grams, so the matrix is
+    internally consistent under the guard. Both intermediate frames are
+    persisted — the distinct gram frame (read twice building the guard)
+    and the guarded frame (feeding the sizes and both join sides) — and
+    attached to the result for :func:`release_cache`."""
+    if max_sources < 1:
+        raise ValueError("max_sources must be >= 1")
+    grams = (
+        df.select(
+            F.col(group_col).alias("src"),
+            F.explode(shingles(text_col, n)).alias("__g"),
+        )
+        .select("src", F.xxhash64("__g").alias("g"))
+        .distinct()
+        .persist(_level(storage_level))
+    )
+    kept = grams.join(
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("__s"))
+        .where(F.col("__s") <= max_sources)
+        .select("g"),
+        "g",
+    ).persist(_level(storage_level))
+    sizes = kept.groupBy("src").agg(F.count(F.lit(1)).alias("__n"))
+    a = kept.select(F.col("src").alias("src_a"), "g")
+    b = kept.select(F.col("src").alias("src_b"), "g")
+    from ixmp_spark.operators import attach_caches
+
+    return attach_caches(
+        a.join(b, "g")
+        .where(F.col("src_a") != F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(sizes.withColumnRenamed("src", "src_a"), "src_a")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            F.round(F.col("n_common") / F.col("__n"), 6).alias("containment"),
+        ),
+        grams,
+        kept,
+    )
+
+
 def drop_common_spans(
     df: DataFrame,
     id_col: str,

@@ -1023,3 +1023,48 @@ def t12_bpe_merges(spark, sf_dir):
 
     docs = load_spread(spark, sf_dir, "documents")
     return bpe_train(docs, "text", n_merges=12)
+
+
+@query(
+    "x2_source_overlap",
+    oracle=r"""
+    WITH t AS (
+      SELECT source,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS toks
+      FROM documents
+    ),
+    idx AS (
+      SELECT source, toks,
+             unnest(range(1, greatest(len(toks) - 8, 0) + 2)) AS pos
+      FROM t
+    ),
+    g0 AS (
+      SELECT DISTINCT source,
+             array_to_string(list_slice(toks, pos, pos + 7), ' ') AS g
+      FROM idx
+    ),
+    keep AS (SELECT g FROM g0 GROUP BY g HAVING count(*) <= 64),
+    g1 AS (SELECT g0.source, g0.g FROM g0 JOIN keep USING (g)),
+    sizes AS (SELECT source, count(*) AS n FROM g1 GROUP BY source)
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(count(*) AS BIGINT) AS n_common,
+           round(count(*) * 1.0 / min(s.n), 6) AS containment
+    FROM g1 a
+    JOIN g1 b USING (g)
+    JOIN sizes s ON s.source = a.source
+    WHERE a.source <> b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def x2_source_overlap(spark, sf_dir):
+    """Cross-source 8-gram containment matrix (corpus governance: find
+    mirrored/re-ingested sources before mixing corpora). Grams collapse
+    to distinct (source, 8-byte hash) rows before any join; grams spread
+    across >64 sources are dropped (stop-gram guard — the quadratic
+    fanout bound). The oracle mirrors the gram definition on strings;
+    counts agree unless xxhash64 collides (~1e-10 at this scale)."""
+    from ixmp_spark.operators.dedup import source_overlap
+
+    docs = load_spread(spark, sf_dir, "documents")
+    return source_overlap(docs, group_col="source", text_col="text", n=8)

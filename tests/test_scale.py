@@ -1244,3 +1244,35 @@ def test_top_ngrams_hand_computed(spark):
     assert rows == [("a b", 3), ("b a", 1), ("b c", 1)]
     with pytest.raises(ValueError):
         top_ngrams(df, "text", n=0)
+
+
+def test_source_overlap_semantics(spark):
+    """Containment is asymmetric and exact on a hand-built corpus: src B
+    fully contains src A's grams (copy), src C shares nothing; the
+    stop-gram guard drops grams present in too many sources."""
+    from ixmp_spark.operators import release_cache
+    from ixmp_spark.operators.dedup import source_overlap
+
+    base = "w1 w2 w3 w4 w5"
+    df = spark.createDataFrame(
+        [
+            ("A", base),                     # 1 distinct 4-gram... see n=4
+            ("B", base + " extra tail"),     # contains all of A's grams
+            ("C", "x1 x2 x3 x4 x5 x6"),      # disjoint
+        ],
+        "source string, text string",
+    )
+    out = source_overlap(df, "source", "text", n=4)
+    rows = {(r.src_a, r.src_b): (r.n_common, r.containment) for r in out.collect()}
+    release_cache(out)
+    # A: grams of n=4 over 5 tokens -> positions 1..2 -> 2 grams, both in B
+    assert rows[("A", "B")] == (2, 1.0)
+    n_b = 4  # B: 7 tokens -> 4 grams
+    assert rows[("B", "A")] == (2, round(2 / n_b, 6))
+    assert ("A", "C") not in rows and ("C", "A") not in rows
+    # guard: with max_sources=1 every shared gram is dropped -> no rows
+    assert (
+        source_overlap(df, "source", "text", n=4, max_sources=1).count() == 0
+    )
+    with pytest.raises(ValueError):
+        source_overlap(df, "source", "text", max_sources=0)
