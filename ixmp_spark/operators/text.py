@@ -338,6 +338,21 @@ def chunk_documents(
     )
 
 
+def word_ngrams(text_col, n: int = 2) -> Column:
+    """All word ``n``-grams of a text column as array<string>, in
+    document order with multiplicity (NOT the distinct shingle set —
+    counting operators need every occurrence). Map-side: one split per
+    row, then ``transform`` over the start-position sequence with
+    ``slice``. Documents shorter than ``n`` tokens yield an empty array
+    (guarded: Spark's ``sequence(1, 0)`` counts DOWN)."""
+    toks = F.split(F.trim(F.lower(text_col)), r"\s+")
+    sz = F.size(toks)
+    starts = F.when(
+        sz >= n, F.sequence(F.lit(1), sz - F.lit(n) + F.lit(1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " "))
+
+
 def top_ngrams(
     df: DataFrame, text_col: str, n: int = 2, k: int = 20
 ) -> DataFrame:
@@ -357,14 +372,8 @@ def top_ngrams(
     when size >= n)."""
     if n < 1 or k < 1:
         raise ValueError("n and k must be >= 1")
-    toks = F.split(F.trim(F.lower(text_col)), r"\s+")
-    sz = F.size(toks)
-    starts = F.when(
-        sz >= n, F.sequence(F.lit(1), sz - F.lit(n) + F.lit(1))
-    ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(starts, lambda i: F.array_join(F.slice(toks, i, n), " "))
     return (
-        df.select(F.explode(grams).alias("gram"))
+        df.select(F.explode(word_ngrams(text_col, n)).alias("gram"))
         .groupBy("gram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("gram"))

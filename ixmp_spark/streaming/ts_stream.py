@@ -336,3 +336,40 @@ def curate_documents_stream(
         # its batch twin exactly (leaking __q diverged them before)
         .drop("__toks", "__q", "__digest")
     )
+
+
+def trending_ngrams_stream(
+    docs: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    n: int = 2,
+    duration: str = "1 hour",
+    watermark: str = "2 hours",
+    min_count: int = 2,
+) -> DataFrame:
+    """Windowed corpus n-gram counts over a document ingest stream — the
+    streaming twin of text.top_ngrams per event-time window (a trending
+    boilerplate / contamination-gram monitor on a live crawl feed).
+
+    Emits (window_start, gram, n) for grams reaching ``min_count``
+    within a tumbling window. Deliberately NO global top-k inside the
+    stream: ranking per trigger would need complete output mode — a
+    single-partition global sort re-emitting every window on every
+    micro-batch. The scale-correct split is count-in-stream (bounded
+    state, append mode) + rank-in-batch (t11's TakeOrdered over the
+    tiny emitted table). State budget: one counter per (window, distinct
+    gram) inside the watermark horizon — windows older than (max event
+    time − watermark) finalize and evict; gram explosion is map-side
+    BEFORE the stateful aggregation, so the state store holds counters,
+    never document text. ``min_count`` filters post-aggregation (it
+    cannot reduce state, only output)."""
+    from ixmp_spark.operators.text import word_ngrams
+
+    return (
+        docs.withWatermark(ts_col, watermark)
+        .select(F.col(ts_col), F.explode(word_ngrams(text_col, n)).alias("gram"))
+        .groupBy(F.window(ts_col, duration).alias("win"), "gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_count)
+        .select(F.col("win.start").alias("window_start"), "gram", "n")
+    )

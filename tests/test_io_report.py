@@ -426,3 +426,51 @@ def test_reporter_describe(rep):
     partial = rep.describe("d:i")
     assert "partial sum" in partial and "'d:i-j'" in partial
     assert "MISSING" in rep.describe("nope:")
+
+
+def test_jsonl_read_quarantines_corrupt_lines(spark, tmp_path):
+    """JSONL corpus ingest: explicit schema, malformed lines land in the
+    quarantine frame with their raw text, clean rows parse fully."""
+    from ixmp_spark.sources.docs_io import read_documents_jsonl, split_corrupt
+
+    p = tmp_path / "corpus.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world", "lang": "en", '
+        '"source": "s0", "n_chars": 11}\n'
+        "this line is not json at all\n"
+        '{"doc_id": 2, "text": "zwei", "lang": "de", '
+        '"source": "s1", "n_chars": 4}\n'
+        '{"doc_id": 3, "text": "unterminated\n'
+    )
+    clean, bad = split_corrupt(read_documents_jsonl(spark, str(p)))
+    rows = {r["doc_id"]: r["text"] for r in clean.collect()}
+    assert rows == {1: "hello world", 2: "zwei"}
+    assert "_corrupt_record" not in clean.columns
+    bad_lines = [r["_corrupt_record"] for r in bad.collect()]
+    assert len(bad_lines) == 2
+    assert "not json at all" in bad_lines[0] or "not json at all" in bad_lines[1]
+
+
+def test_jsonl_roundtrip_with_part_cap(spark, sf_dir, tmp_path):
+    """write → read round-trip preserves the corpus; maxRecordsPerFile
+    bounds part size (multiple parts emerge) and gzip parts decompress
+    transparently on read."""
+    from ixmp_spark.queries import load
+    from ixmp_spark.sources.docs_io import (
+        read_documents_jsonl,
+        split_corrupt,
+        write_documents_jsonl,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    out = str(tmp_path / "corpus_out")
+    write_documents_jsonl(docs.coalesce(1), out, max_records_per_file=40)
+    import glob
+
+    parts = glob.glob(out + "/part-*.json.gz")
+    assert len(parts) > 1  # the cap split one writer task into many parts
+    back, bad = split_corrupt(read_documents_jsonl(spark, out))
+    assert bad.count() == 0
+    a = {(r["doc_id"], r["text"]) for r in back.collect()}
+    b = {(r["doc_id"], r["text"]) for r in docs.collect()}
+    assert a == b

@@ -811,3 +811,49 @@ def test_streaming_document_curation(spark, sf_dir, tmp_path_factory):
     assert got.count() == len(want_digests)  # exactly one row per digest
     # no helper-column leakage: curated schema == input documents schema
     assert got.columns == batch.columns
+
+
+def test_streaming_trending_ngrams_matches_batch(spark, sf_dir, tmp_path_factory):
+    """Windowed gram counts over a document ingest stream equal the SAME
+    operator run in batch (withWatermark is a batch no-op) — multiset
+    equality over (window_start, gram, n) — and min_count filters
+    output, not state."""
+    from pyspark.sql import functions as F
+
+    from ixmp_spark.streaming.ts_stream import (
+        run_available_now,
+        trending_ngrams_stream,
+    )
+
+    docs_dir = str(tmp_path_factory.mktemp("ngramstream") / "documents")
+    base = load(spark, sf_dir, "documents").limit(200)
+    # spread ingest times across 6 hours so several windows close
+    stamped = base.withColumn(
+        "ts",
+        F.timestamp_seconds(
+            F.lit(1_700_000_000) + (F.col("doc_id") % 6) * 3600
+        ),
+    ).select("doc_id", "text", "ts")
+    stamped.repartition(4).write.parquet(docs_dir)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(docs_dir)
+    )
+    got = run_available_now(
+        trending_ngrams_stream(stream, min_count=3),
+        "t_trending",
+        mode="complete",
+    ).toPandas()
+
+    want = trending_ngrams_stream(
+        spark.read.parquet(docs_dir), min_count=3
+    ).toPandas()
+
+    assert len(want) > 0  # grams actually trend on testdata
+    assert (want["n"] >= 3).all()
+    key = ["window_start", "gram", "n"]
+    a = got[key].sort_values(key).reset_index(drop=True)
+    b = want[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)

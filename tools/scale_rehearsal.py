@@ -9,11 +9,14 @@ is visible as a slope, not a guess. Usage:
 
     python tools/scale_rehearsal.py [sf_dir] [factors...]
     python tools/scale_rehearsal.py --embeddings [sf_dir] [factors...]
+    python tools/scale_rehearsal.py --text [sf_dir] [factors...]
 
 Defaults: /root/testdata/sf0.1 and factors 1 4 20 (5k / 20k / 100k docs);
 embeddings mode defaults to factors 5 25 125 (10k / 50k / 250k vectors,
-base table is 2k x dim-64). Every operator here is the same code path
-the catalog queries use.
+base table is 2k x dim-64); text mode (tfidf / bigram LM / top-ngrams /
+shuffle shards / domain cap / source overlap) defaults to factors
+1 10 50. Every operator here is the same code path the catalog queries
+use.
 """
 
 from __future__ import annotations
@@ -140,6 +143,68 @@ def main_embeddings() -> None:
     print(json.dumps({"sf_dir": sf_dir, "mode": "embeddings", "results": results}))
 
 
+def main_text() -> None:
+    """Scaling shape of the text/pipeline family. Cost anatomy differs
+    from the dedup family: these are (mostly) single-shuffle aggregation
+    or window plans whose work is linear in tokens, so the interesting
+    question is whether any constant-factor stage (persist, scalar
+    broadcast, per-shard sort) bends the curve as docs × 10 → × 50."""
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    factors = [int(x) for x in sys.argv[3:]] or [1, 10, 50]
+
+    from ixmp_spark.operators import release_cache
+    from ixmp_spark.operators.dedup import source_overlap
+    from ixmp_spark.operators.sampling import cap_per_group, shuffle_shards
+    from ixmp_spark.operators.text import bigram_perplexity, tfidf_topk, top_ngrams
+
+    spark = get_spark("scale_rehearsal_text")
+    base = load(spark, sf_dir, "documents")
+    results: dict[str, dict[int, float]] = {}
+
+    for factor in factors:
+        docs = amplify(base, factor).repartition(
+            spark.sparkContext.defaultParallelism
+        ).persist()
+        n = docs.count()
+        print(f"-- factor {factor}: {n} docs", file=sys.stderr)
+
+        t0 = time.time()
+        tfidf_topk(docs, "doc_id", "text", k=5).count()
+        results.setdefault("t9_tfidf", {})[n] = time.time() - t0
+
+        t0 = time.time()
+        ppl = bigram_perplexity(docs, "doc_id", "text")
+        ppl.count()
+        results.setdefault("t10_bigram_ppl", {})[n] = time.time() - t0
+        release_cache(ppl, blocking=True)
+
+        t0 = time.time()
+        top_ngrams(docs, "text", n=2, k=20).count()
+        results.setdefault("t11_top_ngrams", {})[n] = time.time() - t0
+
+        # shards sized to the corpus: ~20k rows per shard
+        t0 = time.time()
+        shuffle_shards(docs, "doc_id", n_shards=max(16, n // 20_000)).count()
+        results.setdefault("p7_shuffle_shards", {})[n] = time.time() - t0
+
+        # cap held at ~2x the base per-lang share so the hot path always
+        # has work and the pass-through path stays non-empty
+        t0 = time.time()
+        cap_per_group(docs, "lang", "doc_id", cap=400 * factor).count()
+        results.setdefault("p8_domain_cap", {})[n] = time.time() - t0
+
+        t0 = time.time()
+        ov = source_overlap(docs, "source", "text", n=8)
+        n_pairs = ov.count()
+        results.setdefault("x2_source_overlap", {})[n] = time.time() - t0
+        release_cache(ov, blocking=True)
+        print(f"   overlap pairs: {n_pairs}", file=sys.stderr)
+
+        docs.unpersist()
+
+    print(json.dumps({"sf_dir": sf_dir, "mode": "text", "results": results}))
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     factors = [int(x) for x in sys.argv[2:]] or [1, 4, 20]
@@ -192,5 +257,7 @@ def main() -> None:
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--embeddings":
         main_embeddings()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--text":
+        main_text()
     else:
         main()
