@@ -499,3 +499,186 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "rank long, left string, right string, merged string, freq long"
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges,
+    out_col: str = "pieces",
+) -> DataFrame:
+    """Apply a learned BPE merge table (``bpe_train``'s output) to a
+    corpus → ``(id, pieces array<string>, n_tokens)`` — the tokenize
+    step of an LLM data pipeline.
+
+    Scale shape — Python touches only the VOCABULARY, never the corpus:
+    the corpus is tokenized once (map-side posexplode, order kept via
+    the position index); the DISTINCT word table (vocabulary-sized,
+    ~10⁷ rows for a 100 TB web corpus) is encoded by an Arrow-batched
+    ``mapInPandas`` worker; the encoded vocabulary then joins back onto
+    the (id, pos, word) stream (word-keyed — AQE broadcasts it when
+    small) and per-document piece arrays reassemble with one
+    ``collect_list`` shuffle on the id (``array_sort`` on the (pos,
+    pieces) structs restores order — never a global sort). A real merge
+    table has ~32k entries, which is why the per-word merge loop is a
+    Python kernel and not a nested column expression: composing 32k
+    ``aggregate`` folds into one Catalyst projection is infeasible,
+    while the kernel runs on vocabulary rows only and prunes merges
+    whose symbols aren't present in the word (most of them, cheaply).
+
+    Semantics match ``bpe_train`` exactly: merges apply sequentially in
+    rank order, each merging its pair greedily left-to-right — so
+    train→encode round-trips are property-testable against a pure-Python
+    reference. The merge table is a model ARTIFACT (small), so it is
+    collected and broadcast, not joined. Documents with no tokens
+    (empty/whitespace text) are absent from the output."""
+    spark = df.sparkSession
+    if isinstance(merges, DataFrame):
+        seq = [
+            (r["left"], r["right"])
+            for r in merges.orderBy("rank").select("left", "right").collect()
+        ]
+    else:
+        seq = [(left, right) for left, right in merges]
+    bc = spark.sparkContext.broadcast(seq)
+
+    toks = F.filter(
+        F.split(F.trim(F.lower(text_col)), r"\s+"), lambda t: t != F.lit("")
+    )
+    words = df.select(F.col(id_col), F.posexplode(toks).alias("pos", "w"))
+    vocab = words.select("w").distinct()
+
+    def _encode_batches(batches):
+        import pandas as pd
+
+        merge_seq = bc.value
+        for pdf in batches:
+            encoded = []
+            for w in pdf["w"]:
+                syms = list(w) + ["</w>"]
+                present = set(syms)
+                for left, right in merge_seq:
+                    # a merge can only fire if both symbols are present
+                    # NOW; later merges can't resurrect earlier ones
+                    # (sequential semantics), so skipping is sound
+                    if left not in present or right not in present:
+                        continue
+                    nxt: list = []
+                    for x in syms:
+                        if nxt and nxt[-1] == left and x == right:
+                            nxt[-1] = left + right
+                        else:
+                            nxt.append(x)
+                    syms = nxt
+                    present = set(syms)
+                encoded.append(syms)
+            yield pd.DataFrame({"w": pdf["w"], "pieces": encoded})
+
+    enc = vocab.mapInPandas(_encode_batches, "w string, pieces array<string>")
+    return (
+        words.join(enc, "w")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "pieces"))),
+                    lambda s: s["pieces"],
+                )
+            ).alias(out_col)
+        )
+        .withColumn("n_tokens", F.size(out_col).cast("long"))
+    )
+
+
+#: Gopher rule 6's required-stopword list (Rae et al. 2021 §A1.1)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style composite quality gate (Rae et al. 2021 §A1.1):
+    word-count bounds, mean-word-length bounds, symbol-to-word ratio
+    (# and ellipses), alphabetic-word fraction, and required-stopword
+    hits — every signal a map-only column expression over one token
+    split, so the whole filter is a single whole-stage-codegen
+    projection (no shuffle, no UDF).
+
+    Output: (id, n_words, mean_word_len, symbol_ratio, alpha_word_frac,
+    stopword_hits, keep) — the signal columns are kept (not just the
+    boolean) because pipeline audits bin documents by WHICH gate failed.
+    Ratios are NULL and keep=false for token-less documents."""
+    toks = F.filter(
+        F.split(F.trim(F.lower(text_col)), r"\s+"), lambda t: t != F.lit("")
+    )
+    n_words = F.size(toks).cast("long")
+    nw = F.when(n_words > 0, n_words.cast("double"))  # null-safe divisor
+    mwl = (
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        )
+        / nw
+    )
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    symbols = (
+        F.regexp_count(c, F.lit(r"#"))
+        + F.regexp_count(c, F.lit(r"\.\.\."))
+        + F.regexp_count(c, F.lit("…"))
+    )
+    alpha_frac = F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))) / nw
+    stop_hits = F.size(
+        F.array_intersect(toks, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))
+    ).cast("long")
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(symbols / nw, 6).alias("symbol_ratio"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        stop_hits.alias("stopword_hits"),
+    )
+    keep = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("stopword_hits") >= min_stopword_hits)
+    )
+    return out.withColumn("keep", F.coalesce(keep, F.lit(False)))
+
+
+def corpus_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "lang",
+    source_col: str = "source",
+) -> DataFrame:
+    """One-pass per-group corpus profile — the summary a corpus card /
+    mixing decision reads: document and token counts, source diversity,
+    length distribution (mean + interpolated median), and exact-duplicate
+    rate. ONE aggregation shuffle on the group key; every input signal is
+    a map-side expression, and the two distinct-counts expand under the
+    same grouping (Spark plans them as a single expand + aggregate, not
+    separate jobs)."""
+    n_chars = F.length(text_col)
+    cnt = F.count(F.lit(1))
+    return df.groupBy(group_col).agg(
+        cnt.alias("n_docs"),
+        F.sum(token_count(text_col).cast("long")).alias("n_tokens"),
+        F.countDistinct(source_col).alias("n_sources"),
+        F.round(F.avg(n_chars), 6).alias("avg_chars"),
+        F.round(F.percentile(n_chars, F.lit(0.5)), 6).alias("p50_chars"),
+        F.round(F.lit(1.0) - F.countDistinct(text_col) / cnt, 6).alias(
+            "dup_rate"
+        ),
+    )

@@ -1068,3 +1068,104 @@ def x2_source_overlap(spark, sf_dir):
 
     docs = load_spread(spark, sf_dir, "documents")
     return source_overlap(docs, group_col="source", text_col="text", n=8)
+
+
+@query("t13_bpe_encode")  # rows-only: BPE tokenization is not SQL-expressible
+def t13_bpe_encode(spark, sf_dir):
+    """Train a 12-merge BPE table on the corpus and APPLY it — the full
+    tokenizer round-trip (learn → encode) of an LLM pipeline. The encode
+    path keeps Python on the vocabulary only: distinct words are encoded
+    by an Arrow mapInPandas kernel (broadcast merge table), then joined
+    back onto the position-indexed word stream and reassembled per
+    document with one collect_list shuffle. Exact train→encode
+    equivalence with a pure-Python Sennrich BPE is tested
+    (tests/test_llm_ops.py::test_bpe_encode_matches_reference)."""
+    from ixmp_spark.operators.text import bpe_encode, bpe_train
+
+    docs = load_spread(spark, sf_dir, "documents")
+    merges = bpe_train(docs, "text", n_merges=12)
+    return bpe_encode(docs, "doc_id", "text", merges).select(
+        "doc_id", "n_tokens"
+    )
+
+
+@query(
+    "t14_gopher_quality",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         w -> w <> '') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, text, toks,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             CASE WHEN len(toks) > 0 THEN CAST(len(toks) AS DOUBLE) END AS nw
+      FROM t
+    ),
+    m AS (
+      SELECT doc_id, n_words,
+             round(CAST(list_sum(list_transform(toks, w -> length(w)))
+                        AS DOUBLE) / nw, 6) AS mean_word_len,
+             round((len(regexp_extract_all(text, '#'))
+                    + len(regexp_extract_all(text, '\.\.\.'))
+                    + len(regexp_extract_all(text, '…'))) / nw, 6)
+               AS symbol_ratio,
+             round(len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
+                   / nw, 6) AS alpha_word_frac,
+             CAST(len(list_intersect(list_distinct(toks),
+                  ['the','be','to','of','and','that','have','with']))
+                  AS BIGINT) AS stopword_hits
+      FROM s
+    )
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_frac,
+           stopword_hits,
+           coalesce(n_words BETWEEN 30 AND 90
+                    AND mean_word_len BETWEEN 3.0 AND 10.0
+                    AND symbol_ratio <= 0.1
+                    AND alpha_word_frac >= 0.8
+                    AND stopword_hits >= 2, false) AS keep
+    FROM m
+    """,
+)
+def t14_gopher_quality(spark, sf_dir):
+    """Gopher-style composite quality gate (word-count bounds, mean word
+    length, symbol ratio, alphabetic-word fraction, required stopwords)
+    — one map-only whole-stage-codegen projection, signal columns kept
+    so audits can bin documents by which gate failed. Thresholds 30/90
+    words chosen so the sf corpus (10–99 words/doc) splits both ways —
+    the row exercises pass AND fail paths of every rule."""
+    from ixmp_spark.operators.text import gopher_quality_filter
+
+    docs = load_spread(spark, sf_dir, "documents")
+    return gopher_quality_filter(
+        docs, "doc_id", "text", min_words=30, max_words=90
+    )
+
+
+@query(
+    "x3_corpus_stats",
+    oracle=r"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+             AS n_tokens,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           round(avg(length(text)), 6) AS avg_chars,
+           round(quantile_cont(length(text), 0.5), 6) AS p50_chars,
+           round(1.0 - count(DISTINCT text) * 1.0 / count(*), 6) AS dup_rate
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def x3_corpus_stats(spark, sf_dir):
+    """Per-language corpus profile (corpus-card / mixing-decision
+    summary): docs, tokens, source diversity, length mean + interpolated
+    median, exact-duplicate rate — ONE aggregation shuffle; the distinct
+    counts expand under the same grouping (single expand + aggregate,
+    not separate jobs)."""
+    from ixmp_spark.operators.text import corpus_stats
+
+    docs = load_spread(spark, sf_dir, "documents")
+    return corpus_stats(docs)

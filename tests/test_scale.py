@@ -1276,3 +1276,183 @@ def test_source_overlap_semantics(spark):
     )
     with pytest.raises(ValueError):
         source_overlap(df, "source", "text", max_sources=0)
+
+
+def _ref_bpe_encode(word, merges):
+    """Sequential merge application, identical to bpe_train's per-round
+    greedy left-to-right semantics."""
+    syms = list(word) + ["</w>"]
+    for left, right in merges:
+        out = []
+        for x in syms:
+            if out and out[-1] == left and x == right:
+                out[-1] = left + right
+            else:
+                out.append(x)
+        syms = out
+    return syms
+
+
+def test_bpe_encode_matches_reference(spark):
+    """Train merges on a corpus, encode the SAME corpus: per-document
+    piece sequences equal the pure-Python sequential reference exactly
+    (order preserved across the posexplode → join → reassembly path),
+    and unseen symbols at encode time survive as single characters."""
+    import re
+
+    from ixmp_spark.operators.text import bpe_encode, bpe_train
+
+    texts = [
+        "aab aab ab b",
+        "abab aab aa",
+        "b aab abab abab",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges_df = bpe_train(df, "text", n_merges=5)
+    merges = [
+        (r["left"], r["right"]) for r in merges_df.orderBy("rank").collect()
+    ]
+    got = {
+        r["doc_id"]: r["pieces"]
+        for r in bpe_encode(df, "doc_id", "text", merges_df).collect()
+    }
+    for i, t in enumerate(texts):
+        want = [
+            p
+            for w in re.split(r"\s+", t.strip().lower())
+            if w
+            for p in _ref_bpe_encode(w, merges)
+        ]
+        assert got[i] == want, f"doc {i}"
+
+    # unseen word: no merge applies, chars + </w> pass through
+    df2 = spark.createDataFrame([(9, "xyz")], "doc_id long, text string")
+    out2 = bpe_encode(df2, "doc_id", "text", merges_df).collect()[0]
+    assert out2["pieces"] == ["x", "y", "z", "</w>"]
+    assert out2["n_tokens"] == 4
+
+
+def test_gopher_quality_filter_rules(spark):
+    """Each Gopher gate trips on a crafted document; a clean document
+    passes; token-less text yields NULL ratios and keep=false."""
+    from ixmp_spark.operators.text import gopher_quality_filter
+
+    good = "the quick brown fox jumps over that lazy dog with great " * 3
+    docs = [
+        (1, good),                                     # passes all gates
+        (2, "to of in a " * 10),                       # mean word len < 3
+        (3, "### " + good + " ### ... ... ... ..."),   # symbol ratio
+        (4, "the be to 123 456 789 000 111 222 333 " * 4),  # alpha frac
+        (5, "zebra quagga okapi dingo " * 10),         # no stopwords
+        (6, "   "),                                    # token-less
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in gopher_quality_filter(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            "doc_id",
+            "text",
+            min_words=10,
+            max_words=100,
+        ).collect()
+    }
+    assert out[1]["keep"] is True
+    assert out[2]["keep"] is False and out[2]["mean_word_len"] < 3
+    assert out[3]["keep"] is False and out[3]["symbol_ratio"] > 0.1
+    assert out[4]["keep"] is False and out[4]["alpha_word_frac"] < 0.8
+    assert out[5]["keep"] is False and out[5]["stopword_hits"] == 0
+    assert out[6]["keep"] is False and out[6]["n_words"] == 0
+    assert out[6]["mean_word_len"] is None
+    # stopword hits count DISTINCT stopwords present, not occurrences
+    # (doc 2 has 20 'to'/'of' occurrences but only 2 distinct hits)
+    assert out[2]["stopword_hits"] == 2
+
+
+def test_corpus_stats_hand_computed(spark):
+    """Per-group profile on a corpus small enough to check by hand —
+    including the exact-duplicate rate and the interpolated median."""
+    from ixmp_spark.operators.text import corpus_stats
+
+    rows = [
+        (1, "aa bb", "en", "s1"),      # 2 tokens, 5 chars
+        (2, "aa bb", "en", "s2"),      # exact dup of doc 1
+        (3, "cc dd ee", "en", "s1"),   # 3 tokens, 8 chars
+        (4, "ff", "de", "s3"),         # 1 token, 2 chars
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    out = {r["lang"]: r for r in corpus_stats(df).collect()}
+    en = out["en"]
+    assert en["n_docs"] == 3 and en["n_tokens"] == 7 and en["n_sources"] == 2
+    assert en["avg_chars"] == 6.0          # (5 + 5 + 8) / 3
+    assert en["p50_chars"] == 5.0          # median of 5, 5, 8
+    assert en["dup_rate"] == round(1 - 2 / 3, 6)
+    de = out["de"]
+    assert de["n_docs"] == 1 and de["dup_rate"] == 0.0
+
+
+def test_compact_parquet_file_counts(spark, sf_dir, tmp_path):
+    """40 small parts compact into few target-sized files with rows
+    preserved; in-place compaction is refused."""
+    import pytest as _pytest
+
+    from ixmp_spark.queries import load
+    from ixmp_spark.sources.maintenance import (
+        compact_parquet,
+        parquet_file_stats,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    src = str(tmp_path / "frag")
+    docs.repartition(40).write.parquet(src)
+    n_src, total = parquet_file_stats(spark, src)
+    assert n_src == 40
+
+    dest = str(tmp_path / "compact")
+    before, after = compact_parquet(
+        spark, src, dest, target_file_bytes=max(1, total // 2)
+    )
+    assert before == 40 and after <= 4  # ceil rounding + tiny-file floor
+    assert spark.read.parquet(dest).count() == docs.count()
+
+    with _pytest.raises(ValueError):
+        compact_parquet(spark, src, src)
+
+
+def test_compact_parquet_sorted_layout_disjoint(spark, sf_dir, tmp_path):
+    """sort_by clustering: every output file covers a DISJOINT doc_id
+    range (range-partitioned + sorted within), which is what lets
+    parquet min/max row-group stats skip whole files on filtered
+    scans."""
+    import pyarrow.parquet as papq
+
+    from ixmp_spark.queries import load
+    from ixmp_spark.sources.maintenance import compact_parquet
+
+    docs = load(spark, sf_dir, "documents")
+    src = str(tmp_path / "frag2")
+    docs.repartition(16).write.parquet(src)
+    dest = str(tmp_path / "clustered")
+    _, total = __import__(
+        "ixmp_spark.sources.maintenance", fromlist=["parquet_file_stats"]
+    ).parquet_file_stats(spark, src)
+    compact_parquet(
+        spark, src, dest, target_file_bytes=max(1, total // 3),
+        sort_by="doc_id",
+    )
+    import glob
+
+    ranges = []
+    for part in glob.glob(dest + "/part-*.parquet"):
+        ids = papq.read_table(part, columns=["doc_id"])["doc_id"].to_pylist()
+        if ids:
+            assert ids == sorted(ids)  # sorted within the file
+            ranges.append((min(ids), max(ids)))
+    ranges.sort()
+    assert len(ranges) >= 2  # the target actually split the data
+    for (lo_a, hi_a), (lo_b, _) in zip(ranges, ranges[1:]):
+        assert hi_a < lo_b  # disjoint: min/max stats can prune files
+    assert spark.read.parquet(dest).count() == docs.count()
