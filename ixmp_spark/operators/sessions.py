@@ -52,3 +52,46 @@ def tumbling_agg(
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    order_col: str = "event_id",
+    k: int = 50,
+) -> DataFrame:
+    """Markov transition matrix over per-user event paths: for each
+    observed (src → dst) consecutive pair, its count and the conditional
+    probability P(dst | src) — the path-analysis primitive behind "what
+    do users do after X" dashboards and behavioral-cloning datasets.
+
+    Plan shape: ``lead`` over a per-user window (ONE shuffle on the
+    user key — the natural partitioning, since paths never cross
+    users), then a pair aggregation (second keyed shuffle with map-side
+    partials) and a src-keyed window for the row-count normalizer. The
+    global top-k is TakeOrderedAndProject — the pair table (|event
+    types|²) is never globally sorted. ``order_col`` breaks same-
+    timestamp ties so the path — and therefore the matrix — is a pure
+    function of the data, not the partitioning."""
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col), F.col(order_col)
+    )
+    pairs = (
+        df.select(
+            F.col(event_col).alias("src"),
+            F.lead(event_col).over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    src_total = Window.partitionBy("src")
+    return (
+        pairs.withColumn(
+            "prob", F.round(F.col("n") / F.sum("n").over(src_total), 6)
+        )
+        .orderBy(F.desc("n"), F.asc("src"), F.asc("dst"))
+        .limit(k)
+    )

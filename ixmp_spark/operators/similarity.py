@@ -461,3 +461,164 @@ def semantic_dedup(
     except BaseException:
         assigned.unpersist(False)
         raise
+
+
+def pq_train_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 8,
+    bits: int = 4,
+    seed: int = 42,
+    train_fraction: float | None = None,
+):
+    """Product quantization (Jégou et al. 2011): split each dim-``d``
+    vector into ``m`` subvectors, learn a ``2**bits``-centroid KMeans
+    codebook per subspace, and encode every vector as ``m`` small codes.
+
+    Returns ``(codebooks, codes_df)``:
+
+    - ``codebooks`` — ``m × 2**bits × d/m`` nested float list. A MODEL
+      ARTIFACT (for d=64, m=8, bits=4: 1024 floats), carried driver-side
+      and embedded as literals, never joined.
+    - ``codes_df`` — ``(id, codes array<int>)``: the compressed corpus,
+      ``m·bits`` bits of payload per vector vs ``32·d`` for raw floats
+      (32× at d=64/m=8/bits=4). THIS is what PQ buys at 100 TB: the
+      whole corpus' codes fit where 3 TB of raw vectors cannot, and an
+      ANN scan becomes memory-bandwidth over bytes.
+
+    Encoding is pure Catalyst: per subspace, squared distances to the
+    2**bits literal centroids via ``transform`` + ``aggregate`` folds,
+    argmin via ``array_position(.., array_min(..))`` — no Python on the
+    corpus. Training fits ``m`` KMeans models (one per subspace) on a
+    sample (``train_fraction``; codebooks need ~1e3 points per centroid,
+    not the corpus — at 100 TB ALWAYS sample)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    n_cent = 1 << bits
+    head = df.select(F.size(_dvec(vec_col)).alias("d")).take(1)
+    if not head:
+        raise ValueError("pq_train_encode: empty corpus")
+    d = head[0]["d"]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+
+    train = df if train_fraction is None else df.sample(train_fraction, seed)
+    train = train.select(_dvec(vec_col).alias("__v")).persist()
+    try:
+        codebooks = []
+        for j in range(m):
+            sl = train.select(
+                array_to_vector(
+                    F.slice("__v", j * sub + 1, sub)
+                ).alias("__s")
+            )
+            km = KMeans(
+                k=n_cent, seed=seed + j, featuresCol="__s",
+                predictionCol="__c",
+            )
+            codebooks.append(
+                [[float(x) for x in c] for c in km.fit(sl).clusterCenters()]
+            )
+    finally:
+        train.unpersist()
+
+    def _code(j: int) -> Column:
+        cents = F.array(
+            *[
+                F.array(*[F.lit(x) for x in c])
+                for c in codebooks[j]
+            ]
+        )
+        s = F.slice(_dvec(vec_col), j * sub + 1, sub)
+        dists = F.transform(
+            cents,
+            lambda c: F.aggregate(
+                F.zip_with(s, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    codes = df.select(
+        F.col(id_col),
+        F.array(*[_code(j) for j in range(m)]).alias("codes"),
+    )
+    return codebooks, codes
+
+
+def pq_topk(
+    codes_df: DataFrame,
+    codebooks,
+    probe_vec,
+    id_col: str,
+    k: int = 10,
+    rerank: int | None = None,
+    vectors: DataFrame | None = None,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN query over a PQ-encoded corpus by asymmetric distance (ADC):
+    the probe stays a raw vector; per subspace the probe→centroid
+    squared distances form an ``m × 2**bits`` lookup table (computed
+    driver-side — it is tiny — and embedded as literals), and each
+    corpus vector's approximate squared L2 is the sum of ``m`` LUT
+    lookups indexed by its codes. The scan is map-only over the
+    compressed codes + TakeOrderedAndProject — no shuffle, no join,
+    no decompression.
+
+    ``rerank=R`` (with ``vectors=``) upgrades to the standard two-stage
+    search: top-``R`` candidates by ADC, then EXACT squared L2 on just
+    those R raw vectors (an R-row broadcast-side join back to the
+    corpus). With R ≥ corpus size this degenerates to exact search —
+    which is how the test pins correctness. Output: (id, dist2) by
+    ascending distance, ties by id."""
+    m = len(codebooks)
+    pv = [float(x) for x in probe_vec]
+    sub = len(pv) // m
+    lut = [
+        [
+            sum(
+                (pv[j * sub + t] - c[t]) ** 2 for t in range(sub)
+            )
+            for c in codebooks[j]
+        ]
+        for j in range(m)
+    ]
+    lut_lit = F.array(
+        *[F.array(*[F.lit(x) for x in row]) for row in lut]
+    )
+    approx = F.aggregate(
+        F.zip_with(
+            lut_lit,
+            F.col("codes"),
+            lambda row, code: F.element_at(row, code + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = codes_df.select(F.col(id_col), approx.alias("dist2"))
+    if rerank is None:
+        return scored.orderBy(F.asc("dist2"), F.asc(id_col)).limit(k).select(
+            id_col, F.round("dist2", 6).alias("dist2")
+        )
+    if vectors is None:
+        raise ValueError("rerank requires the raw vectors frame")
+    cand = scored.orderBy(F.asc("dist2"), F.asc(id_col)).limit(rerank)
+    probe_lit = F.array(*[F.lit(x) for x in pv])
+    exact = F.aggregate(
+        F.zip_with(
+            _dvec(vec_col), probe_lit, lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        F.broadcast(cand.select(id_col))
+        .join(vectors, id_col)
+        .select(F.col(id_col), F.round(exact, 6).alias("dist2"))
+        .orderBy(F.asc("dist2"), F.asc(id_col))
+        .limit(k)
+    )

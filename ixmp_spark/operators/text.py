@@ -386,6 +386,7 @@ def bpe_train(
     text_col: str,
     n_merges: int = 32,
     min_word_freq: int = 1,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Learn a byte-pair-encoding merge table from the corpus — the
     tokenizer-training step of an LLM data pipeline (Sennrich et al.
@@ -408,13 +409,27 @@ def bpe_train(
     adjacent-pair aggregation (map-side expression: ``transform`` over
     shifted indices, weighted by word freq) + a 1-row argmax collect,
     then a map-only greedy left-to-right merge of the winning pair via
-    an ``aggregate`` lambda over each word's symbol array. The symbol
-    table is re-persisted per round; each round's aggregation job
-    doubles as the materializer of the PREVIOUS round's merge (persist
-    caches on first computation), so the superseded grandparent cache
-    is released one round late and every iteration costs exactly one
-    job. Lineage stays one projection deep per round on top of a
-    cached frame, so no checkpoint is needed at any ``n_merges``.
+    an ``aggregate`` lambda over each word's symbol array.
+
+    The symbol table is LAZILY CHECKPOINTED every round (the
+    dedup_clusters / Pregel discipline): each round's argmax job
+    materializes the previous round's checkpoint as a side effect, so
+    every iteration still costs exactly one job, while the logical plan
+    stays one projection deep FOREVER. This is load-bearing, not
+    hygiene: an earlier persist-chain variant (each round one projection
+    over a cached parent, grandparent unpersisted a round late) went
+    EXPONENTIAL past ~12 merges — Spark's non-cascading cache
+    invalidation recompiles the dependent cached plans on every
+    unpersist, projection collapse then re-inlines the accumulated
+    ``aggregate`` lambdas (each round references ``s`` several times,
+    so the expression tree multiplies per round), and round 17 cost
+    92 s on a 5k-doc corpus where round 11 cost 0.5 s. Caught by
+    ``tools/scale_rehearsal.py --text`` raising ``n_merges`` 12 → 32;
+    pinned by ``tests/test_scale.py::test_bpe_train_rounds_stay_flat``.
+    By default ``localCheckpoint`` (executor-lifetime blocks — fine for
+    a single job); pass ``checkpoint_dir`` for reliable ``checkpoint()``
+    on clusters with executor churn. Checkpoint blocks are released by
+    the ContextCleaner as references drop.
 
     Word boundary: each word ends with the conventional ``</w>`` marker
     symbol, so merges never cross words and end-of-word variants are
@@ -431,51 +446,54 @@ def bpe_train(
         .agg(F.count(F.lit(1)).alias("freq"))
         .where(F.col("freq") >= min_word_freq)
     )
-    syms = words.select(
-        "freq",
-        F.concat(F.split("w", ""), F.array(F.lit("</w>"))).alias("s"),
-    ).persist()
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _ckpt(d: DataFrame) -> DataFrame:
+            return d.checkpoint(eager=False)
+
+    else:
+
+        def _ckpt(d: DataFrame) -> DataFrame:
+            return d.localCheckpoint(eager=False)
+
+    syms = _ckpt(
+        words.select(
+            "freq",
+            F.concat(F.split("w", ""), F.array(F.lit("</w>"))).alias("s"),
+        )
+    )
     merges: list[tuple[int, str, str, str, int]] = []
-    prev: DataFrame | None = None
-    try:
-        for rank in range(1, n_merges + 1):
-            sz = F.size("s")
-            idx = F.when(
-                sz >= 2, F.sequence(F.lit(1), sz - 1)
-            ).otherwise(F.array().cast("array<int>"))
-            pair_structs = F.transform(
-                idx,
-                lambda i: F.struct(
-                    F.element_at(F.col("s"), i).alias("left"),
-                    F.element_at(F.col("s"), i + 1).alias("right"),
-                ),
-            )
-            best = (
-                syms.select("freq", F.explode(pair_structs).alias("p"))
-                .groupBy("p.left", "p.right")
-                .agg(F.sum("freq").alias("pair_freq"))
-                .orderBy(F.desc("pair_freq"), F.asc("left"), F.asc("right"))
-                .limit(1)
-                .collect()
-            )
-            # that aggregation job materialized syms' cache as a side
-            # effect (persist caches on first computation), so the
-            # GRANDPARENT frame — syms' own input, already superseded —
-            # is now safe to release. Deferring the release one round
-            # like this means each iteration runs exactly ONE job (the
-            # argmax); an eager materialize-then-release per round would
-            # double the job count for the same lineage depth (every
-            # frame is one projection on top of a cached parent). At
-            # most two vocabulary-sized frames are cached at any time.
-            if prev is not None:
-                prev.unpersist()
-                prev = None
-            if not best:
-                break
-            left, right, freq = best[0].left, best[0].right, best[0].pair_freq
-            merged = left + right
-            merges.append((rank, left, right, merged, int(freq)))
-            nxt = syms.select(
+    for rank in range(1, n_merges + 1):
+        sz = F.size("s")
+        idx = F.when(
+            sz >= 2, F.sequence(F.lit(1), sz - 1)
+        ).otherwise(F.array().cast("array<int>"))
+        pair_structs = F.transform(
+            idx,
+            lambda i: F.struct(
+                F.element_at(F.col("s"), i).alias("left"),
+                F.element_at(F.col("s"), i + 1).alias("right"),
+            ),
+        )
+        # this argmax job materializes syms' lazy checkpoint as a side
+        # effect, so every iteration costs exactly ONE job and the next
+        # round's plan starts from the checkpointed blocks, not lineage
+        best = (
+            syms.select("freq", F.explode(pair_structs).alias("p"))
+            .groupBy("p.left", "p.right")
+            .agg(F.sum("freq").alias("pair_freq"))
+            .orderBy(F.desc("pair_freq"), F.asc("left"), F.asc("right"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right, freq = best[0].left, best[0].right, best[0].pair_freq
+        merged = left + right
+        merges.append((rank, left, right, merged, int(freq)))
+        syms = _ckpt(
+            syms.select(
                 "freq",
                 F.aggregate(
                     "s",
@@ -490,12 +508,8 @@ def bpe_train(
                         ),
                     ).otherwise(F.concat(acc, F.array(x))),
                 ).alias("s"),
-            ).persist()
-            prev, syms = syms, nxt
-    finally:
-        if prev is not None:
-            prev.unpersist()
-        syms.unpersist()
+            )
+        )
     return spark.createDataFrame(
         merges, "rank long, left string, right string, merged string, freq long"
     )

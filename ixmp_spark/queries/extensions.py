@@ -1169,3 +1169,54 @@ def x3_corpus_stats(spark, sf_dir):
 
     docs = load_spread(spark, sf_dir, "documents")
     return corpus_stats(docs)
+
+
+@query(
+    "g5_event_transitions",
+    oracle="""
+    WITH p AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    c AS (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+      FROM p WHERE dst IS NOT NULL GROUP BY src, dst
+    )
+    SELECT src, dst, n,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY src), 6) AS prob
+    FROM c ORDER BY n DESC, src, dst LIMIT 50
+    """,
+)
+def g5_event_transitions(spark, sf_dir):
+    """Markov transition matrix over per-user event paths (the
+    what-happens-after-X path-analysis primitive): lead over the
+    user-partitioned window (one shuffle on the natural per-user key),
+    pair aggregation with map-side partials, src-windowed normalizer
+    for P(dst | src), TakeOrdered top-50. event_id breaks
+    same-timestamp ties so the matrix is a pure function of the data."""
+    from ixmp_spark.operators.sessions import event_transitions
+
+    ev = load(spark, sf_dir, "events")
+    return event_transitions(ev)
+
+
+@query("e7_embed_pq")  # rows-only: KMeans codebooks are engine-specific
+def e7_embed_pq(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al. 2011): per-subspace KMeans
+    codebooks → corpus compressed to m·bits-bit codes (32× smaller than
+    raw floats — the reason a 100 TB vector corpus becomes scannable) →
+    asymmetric-distance scan (per-subspace LUT literals, map-only, no
+    shuffle) → exact re-rank of the top-64. Recall and the
+    rerank≥corpus ⇒ exact-search degeneracy are pinned in unit tests."""
+    from ixmp_spark.operators.similarity import pq_topk, pq_train_encode
+
+    emb = load(spark, sf_dir, "embeddings")
+    prow = emb.orderBy("vec_id").limit(1).collect()[0]
+    books, codes = pq_train_encode(emb, "vec_id", "embedding", m=8, bits=4)
+    return pq_topk(
+        codes.where(F.col("vec_id") != prow["vec_id"]),
+        books, prow["embedding"], "vec_id", k=10, rerank=64, vectors=emb,
+        vec_col="embedding",
+    )

@@ -1456,3 +1456,159 @@ def test_compact_parquet_sorted_layout_disjoint(spark, sf_dir, tmp_path):
     for (lo_a, hi_a), (lo_b, _) in zip(ranges, ranges[1:]):
         assert hi_a < lo_b  # disjoint: min/max stats can prune files
     assert spark.read.parquet(dest).count() == docs.count()
+
+
+def test_pq_rerank_full_equals_exact(spark, sf_dir):
+    """PQ with rerank ≥ corpus size degenerates to EXACT squared-L2
+    search — the two-stage design's correctness anchor: the ADC stage
+    only selects candidates, the rerank stage computes true distances."""
+    from ixmp_spark.operators.similarity import pq_topk, pq_train_encode
+    from ixmp_spark.queries import load
+
+    emb = load(spark, sf_dir, "embeddings").limit(300).persist()
+    try:
+        n = emb.count()
+        prow = emb.orderBy("vec_id").limit(1).collect()[0]
+        pv = [float(x) for x in prow["embedding"]]
+        books, codes = pq_train_encode(
+            emb, "vec_id", "embedding", m=8, bits=4, seed=7
+        )
+        got = pq_topk(
+            codes.where(F.col("vec_id") != prow["vec_id"]),
+            books, pv, "vec_id", k=10, rerank=n, vectors=emb,
+            vec_col="embedding",
+        ).collect()
+
+        import math
+
+        exact = sorted(
+            (
+                (
+                    round(
+                        sum(
+                            (float(a) - b) ** 2
+                            for a, b in zip(r["embedding"], pv)
+                        ),
+                        6,
+                    ),
+                    r["vec_id"],
+                )
+                for r in emb.collect()
+                if r["vec_id"] != prow["vec_id"]
+            ),
+        )[:10]
+        assert [(r["vec_id"], r["dist2"]) for r in got] == [
+            (vid, d) for d, vid in exact
+        ]
+        assert math.isclose(got[0]["dist2"], exact[0][0])
+    finally:
+        emb.unpersist()
+
+
+def test_pq_finds_planted_neighbors(spark):
+    """ADC-only PQ search (no rerank) recovers a planted near-duplicate
+    group: 20 tiny perturbations of one base vector among 500 spread-out
+    decoys — the probe's top-19 must be dominated by its group."""
+    import random
+
+    from ixmp_spark.operators.similarity import pq_topk, pq_train_encode
+
+    rng = random.Random(3)
+    d = 32
+    base = [rng.gauss(0, 1) for _ in range(d)]
+    rows = []
+    for i in range(20):  # planted group: ids 0..19
+        rows.append((i, [x + rng.gauss(0, 0.01) for x in base]))
+    for i in range(20, 520):  # decoys far away
+        rows.append((i, [rng.gauss(0, 1) * 4 for _ in range(d)]))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    books, codes = pq_train_encode(emb, "vec_id", "embedding", m=8, bits=4)
+    got = pq_topk(
+        codes.where(F.col("vec_id") != 0), books, rows[0][1], "vec_id", k=19
+    ).collect()
+    hits = sum(1 for r in got if 1 <= r["vec_id"] <= 19)
+    assert hits >= 15, f"only {hits}/19 planted neighbors found"
+
+
+def test_pq_code_compression_shape(spark, sf_dir):
+    """Codes are m small ints in [0, 2**bits) — the 32× compression
+    contract — and encoding is deterministic for a fixed seed."""
+    from ixmp_spark.operators.similarity import pq_train_encode
+    from ixmp_spark.queries import load
+
+    emb = load(spark, sf_dir, "embeddings").limit(100)
+    books, codes = pq_train_encode(emb, "vec_id", "embedding", m=8, bits=4)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    rows = codes.collect()
+    assert all(len(r["codes"]) == 8 for r in rows)
+    assert all(0 <= c < 16 for r in rows for c in r["codes"])
+    _, codes2 = pq_train_encode(emb, "vec_id", "embedding", m=8, bits=4)
+    assert {(r["vec_id"], tuple(r["codes"])) for r in rows} == {
+        (r["vec_id"], tuple(r["codes"])) for r in codes2.collect()
+    }
+
+
+def test_event_transitions_hand_computed(spark):
+    """Transition counts and P(dst|src) on a hand-checkable path set;
+    same-timestamp ties resolved by the order column."""
+    from datetime import datetime
+
+    from ixmp_spark.operators.sessions import event_transitions
+
+    def ts(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    rows = [
+        # user 1: a -> b -> a
+        (1, 1, ts(1), "a"),
+        (2, 1, ts(2), "b"),
+        (3, 1, ts(3), "a"),
+        # user 2: a -> b (same ts: event_id orders them)
+        (4, 2, ts(5), "a"),
+        (5, 2, ts(5), "b"),
+        # user 3: single event, no transition
+        (6, 3, ts(9), "c"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {
+        (r["src"], r["dst"]): (r["n"], r["prob"])
+        for r in event_transitions(df).collect()
+    }
+    assert got == {
+        ("a", "b"): (2, 1.0),
+        ("b", "a"): (1, 1.0),
+    }
+
+
+def test_bpe_train_rounds_stay_flat(spark):
+    """Deep merge counts must not blow up: the pre-fix persist-chain
+    variant went EXPONENTIAL in the merge round (plan recompile +
+    projection collapse re-inlining every prior round's aggregate
+    lambda — round 17 alone took 92 s, CORPUS-SIZE-INDEPENDENT since
+    the cost was driver/plan-side). With per-round lazy checkpoints, 40
+    rounds on a tiny corpus finish in seconds; the generous bound below
+    only exists to fail the build if lineage truncation ever regresses."""
+    import time
+
+    from ixmp_spark.operators.text import bpe_train
+
+    texts = [
+        ("the quick brown fox jumps over the lazy dog %d " % i) * 3
+        for i in range(50)
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    t0 = time.time()
+    merges = bpe_train(df, "text", n_merges=40)
+    n = merges.count()
+    elapsed = time.time() - t0
+    assert n == 40
+    assert elapsed < 120, f"40 merge rounds took {elapsed:.0f}s — lineage leak"
+    # determinism across the checkpointed path
+    again = bpe_train(df, "text", n_merges=40)
+    assert [tuple(r) for r in merges.collect()] == [
+        tuple(r) for r in again.collect()
+    ]

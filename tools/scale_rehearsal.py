@@ -138,6 +138,23 @@ def main_embeddings() -> None:
         release_cache(labels, blocking=True)
         print(f"   semantic dups: {n_dups}", file=sys.stderr)
 
+        # PQ: train on a bounded sample (codebooks need ~1e3 pts/centroid,
+        # never the corpus), encode everything, ADC scan + rerank-64
+        from ixmp_spark.operators.similarity import pq_topk, pq_train_encode
+
+        prow = vecs.limit(1).collect()[0]
+        t0 = time.time()
+        frac = min(1.0, 50_000 / max(n, 1))
+        books, codes = pq_train_encode(
+            vecs, "vec_id", "embedding", m=8, bits=4,
+            train_fraction=None if frac >= 1.0 else frac,
+        )
+        pq_topk(
+            codes.where(F.col("vec_id") != prow["vec_id"]), books,
+            prow["embedding"], "vec_id", k=10, rerank=64, vectors=vecs,
+        ).count()
+        results.setdefault("e7_pq_adc", {})[n] = time.time() - t0
+
         vecs.unpersist()
 
     print(json.dumps({"sf_dir": sf_dir, "mode": "embeddings", "results": results}))
@@ -160,6 +177,12 @@ def main_text() -> None:
     spark = get_spark("scale_rehearsal_text")
     base = load(spark, sf_dir, "documents")
     results: dict[str, dict[int, float]] = {}
+
+    # merge table trained ONCE on the base corpus (a model artifact —
+    # per-factor retraining would measure bpe_train, not the encode)
+    from ixmp_spark.operators.text import bpe_train
+
+    _TEXT_MERGES = bpe_train(base, "text", n_merges=32)
 
     for factor in factors:
         docs = amplify(base, factor).repartition(
@@ -199,6 +222,15 @@ def main_text() -> None:
         results.setdefault("x2_source_overlap", {})[n] = time.time() - t0
         release_cache(ov, blocking=True)
         print(f"   overlap pairs: {n_pairs}", file=sys.stderr)
+
+        # tokenizer apply: Python cost is vocabulary-sized, so amplified
+        # corpora (replicated docs, ~fixed vocab) should show near-flat
+        # encode cost until the reassembly shuffle dominates
+        from ixmp_spark.operators.text import bpe_encode
+
+        t0 = time.time()
+        bpe_encode(docs, "doc_id", "text", _TEXT_MERGES).count()
+        results.setdefault("t13_bpe_encode", {})[n] = time.time() - t0
 
         docs.unpersist()
 
