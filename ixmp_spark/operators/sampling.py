@@ -165,3 +165,32 @@ def cap_per_group(
         .drop("__r")
     )
     return pass_through.unionByName(capped)
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    score_col,
+    gamma: float = 1.0,
+    keep_col: str | None = None,
+) -> DataFrame:
+    """Soft quality filtering by importance sampling: keep each row with
+    probability ``clamp(score, 0, 1) ** gamma``, decided by the row's own
+    content hash — the standard alternative to a hard quality threshold
+    (hard cuts discard ALL low-scored text and over-train on the
+    survivors; soft sampling keeps a calibrated trickle, which is how
+    CCNet-style pipelines retain tail diversity).
+
+    ``gamma`` sharpens (>1) or flattens (<1) the score's influence.
+    Deterministic, layout-stable, engine-portable (md5-uniform — the
+    same row keeps/drops identically on any engine and any partitioning)
+    and a pure map-side predicate, so it pushes into the scan.
+    ``keep_col`` attaches the boolean instead of filtering (audit
+    mode)."""
+    c = F.col(score_col) if isinstance(score_col, str) else score_col
+    p = F.pow(F.least(F.greatest(c, F.lit(0.0)), F.lit(1.0)), F.lit(gamma))
+    u = hash_bucket(key_col) / F.lit(float(BUCKETS))
+    keep = u < p
+    if keep_col is not None:
+        return df.withColumn(keep_col, keep)
+    return df.where(keep)

@@ -696,3 +696,104 @@ def corpus_stats(
             "dup_rate"
         ),
     )
+
+
+def normalize_unicode(col, form: str = "NFC") -> Column:
+    """Unicode normalization (NFC/NFKC/NFD/NFKD) — the first step of any
+    crawl-text cleanup (decomposed accents, compatibility ligatures, and
+    width variants otherwise defeat exact dedup and tokenization).
+
+    Spark has no built-in Unicode normalizer, so this is an honest
+    Pandas-UDF case: Arrow-batched, one ``unicodedata.normalize`` per
+    row, no per-row Python boxing beyond the string itself. Everything
+    around it stays JVM-side; the UDF is the narrowest possible kernel
+    (string→string). The hint types are spelled as real objects (not
+    the module's postponed-annotation strings) because pandas_udf
+    resolves them at decoration time."""
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    import pandas
+    from pyspark.sql.functions import pandas_udf
+
+    def _norm(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize(form, x) if x is not None else None
+        )
+
+    _norm.__annotations__ = {"s": pandas.Series, "return": pandas.Series}
+    udf = pandas_udf("string")(_norm)
+    return udf(F.col(col) if isinstance(col, str) else col)
+
+
+def quality_classifier_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    train_fraction: float | None = None,
+    seed: int = 42,
+    **gate_kwargs,
+) -> DataFrame:
+    """Model-based quality scoring (the CCNet / fastText-classifier
+    pattern): featurize every document map-side, train a logistic
+    regression on WEAK labels (the Gopher composite gate — no human
+    labels needed), then score the whole corpus with a calibrated
+    P(keep) in [0, 1]. The score feeds ``sampling.weighted_sample`` for
+    soft filtering, where the hard gate alone would discard all
+    tail-quality text.
+
+    Scale shape: features are the same single-projection column
+    expressions the gate uses (no UDFs, no shuffle); training runs on a
+    SAMPLE (``train_fraction`` — a classifier needs 10⁴–10⁶ examples,
+    never the corpus); scoring is one map-side model.transform. The
+    model is a driver-side artifact like the BPE merge table.
+
+    Output: (id, quality_p double) — deterministic for a fixed seed.
+    ``gate_kwargs`` forward to ``gopher_quality_filter`` so the weak
+    labels match the corpus' length profile."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    labeled = gopher_quality_filter(df, id_col, text_col, **gate_kwargs)
+    feat_cols = [
+        "n_words",
+        "mean_word_len",
+        "symbol_ratio",
+        "alpha_word_frac",
+        "stopword_hits",
+    ]
+    feats = labeled.select(
+        id_col,
+        *[
+            F.coalesce(F.col(c).cast("double"), F.lit(0.0)).alias(c)
+            for c in feat_cols
+        ],
+        F.col("keep").cast("double").alias("__label"),
+    )
+    asm = VectorAssembler(inputCols=feat_cols, outputCol="__features")
+    train = feats if train_fraction is None else feats.sample(
+        train_fraction, seed
+    )
+    # both weak-label classes must be present; a degenerate gate (all
+    # keep / all drop) has nothing to learn from — fail loudly
+    classes = [
+        r["__label"]
+        for r in train.select("__label").distinct().limit(2).collect()
+    ]
+    if len(classes) < 2:
+        raise ValueError(
+            "quality_classifier_scores: weak labels are single-class; "
+            "tune the gate thresholds to the corpus (gate_kwargs)"
+        )
+    lr = LogisticRegression(
+        featuresCol="__features", labelCol="__label", maxIter=50,
+        regParam=0.01,
+    )
+    model = lr.fit(asm.transform(train))
+    scored = model.transform(asm.transform(feats))
+    return scored.select(
+        id_col,
+        F.round(vector_to_array("probability")[1], 6).alias("quality_p"),
+    )

@@ -1220,3 +1220,81 @@ def e7_embed_pq(spark, sf_dir):
         books, prow["embedding"], "vec_id", k=10, rerank=64, vectors=emb,
         vec_col="embedding",
     )
+
+
+@query(
+    "p9_weighted_sample",
+    oracle="""
+    SELECT doc_id, lang
+    FROM (
+      SELECT doc_id, lang,
+             (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 10000) / 10000.0 AS u,
+             least(n_chars / 500.0, 1.0) AS p
+      FROM documents
+    )
+    WHERE u < p
+    """,
+)
+def p9_weighted_sample(spark, sf_dir):
+    """Soft quality filtering (importance sampling): keep each document
+    with probability equal to its score (here a length proxy,
+    min(n_chars/500, 1)) instead of a hard threshold — retains a
+    calibrated trickle of tail-quality text where a hard cut discards
+    it all. Content-hash randomness: deterministic, layout-stable,
+    engine-portable, pure map-side predicate."""
+    from ixmp_spark.operators.sampling import weighted_sample
+
+    docs = load(spark, sf_dir, "documents")
+    score = F.least(F.col("n_chars") / 500.0, F.lit(1.0))
+    return weighted_sample(docs, "doc_id", score).select("doc_id", "lang")
+
+
+@query(
+    "t15_unicode_normalize",
+    oracle="""
+    SELECT doc_id,
+           length(text || 'e' || chr(769)) AS len_raw,
+           length(nfc_normalize(text || 'e' || chr(769))) AS len_nfc,
+           nfc_normalize(text || 'e' || chr(769))
+             = text || chr(233) AS composed
+    FROM documents
+    """,
+)
+def t15_unicode_normalize(spark, sf_dir):
+    """Unicode NFC normalization (Arrow pandas-UDF kernel — Spark has no
+    built-in normalizer). The corpus is ASCII, so the query APPENDS a
+    decomposed 'e'+COMBINING ACUTE to every document before
+    normalizing: length drops by exactly one codepoint and the result
+    equals the precomposed form — real normalization work, verified
+    against DuckDB's nfc_normalize per row."""
+    from ixmp_spark.operators.text import normalize_unicode
+
+    docs = load_spread(spark, sf_dir, "documents")
+    raw = F.concat(F.col("text"), F.lit("é"))
+    norm = normalize_unicode(raw)
+    return docs.select(
+        "doc_id",
+        F.length(raw).cast("long").alias("len_raw"),
+        F.length(norm).cast("long").alias("len_nfc"),
+        (norm == F.concat(F.col("text"), F.lit("é"))).alias("composed"),
+    )
+
+
+@query("t16_quality_scores")  # rows-only: LR weights are engine-specific
+def t16_quality_scores(spark, sf_dir):
+    """Model-based quality scoring (CCNet-pattern): logistic regression
+    trained on the Gopher gate's WEAK labels over map-side features,
+    scoring every document with P(keep). The model is a driver-side
+    artifact; scoring is one map-side transform. Separation and
+    determinism pinned in unit tests."""
+    from ixmp_spark.operators.text import quality_classifier_scores
+
+    docs = load_spread(spark, sf_dir, "documents")
+    # min_stopword_hits=0: the synthetic corpus contains no English
+    # function words, so the stopword gate would make the weak label
+    # single-class (the operator refuses to train on that)
+    return quality_classifier_scores(
+        docs, "doc_id", "text",
+        min_words=30, max_words=90, min_stopword_hits=0,
+    )

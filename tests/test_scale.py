@@ -1612,3 +1612,106 @@ def test_bpe_train_rounds_stay_flat(spark):
     assert [tuple(r) for r in merges.collect()] == [
         tuple(r) for r in again.collect()
     ]
+
+
+def test_weighted_sample_semantics(spark):
+    """Soft quality sampling: score 1 keeps everything, score 0 drops
+    everything, and a mid score keeps roughly that fraction —
+    deterministically (same rows on every run/layout); gamma sharpens."""
+    from ixmp_spark.operators.sampling import weighted_sample
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"), F.lit(0.5).alias("score")
+    )
+    kept = weighted_sample(df, "doc_id", "score")
+    n = kept.count()
+    assert 850 <= n <= 1150  # ~50% of 2000, hash-uniform
+    # deterministic + layout-stable
+    again = weighted_sample(df.repartition(7), "doc_id", "score")
+    assert {r["doc_id"] for r in kept.collect()} == {
+        r["doc_id"] for r in again.collect()
+    }
+    assert weighted_sample(
+        df.withColumn("score", F.lit(1.0)), "doc_id", "score"
+    ).count() == 2000
+    assert weighted_sample(
+        df.withColumn("score", F.lit(0.0)), "doc_id", "score"
+    ).count() == 0
+    # gamma > 1 sharpens: mid scores keep fewer
+    sharp = weighted_sample(df, "doc_id", "score", gamma=2.0).count()
+    assert sharp < n
+    # audit mode attaches the boolean without filtering
+    audited = weighted_sample(df, "doc_id", "score", keep_col="keep")
+    assert audited.count() == 2000
+    assert audited.where("keep").count() == n
+
+
+def test_normalize_unicode_forms(spark):
+    """NFC composes decomposed accents; NFKC folds compatibility chars;
+    NULLs pass through; unknown forms are rejected."""
+    import pytest as _pytest
+
+    from ixmp_spark.operators.text import normalize_unicode
+
+    rows = [
+        (1, "café"),   # cafe + combining acute -> café
+        (2, "ﬁle"),          # ﬁ ligature -> fi under NFKC only
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    nfc = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", normalize_unicode("text").alias("n")
+        ).collect()
+    }
+    assert nfc[1] == "café" and len(nfc[1]) == 4
+    assert nfc[2] == "ﬁle"  # NFC keeps the ligature
+    assert nfc[3] is None
+    nfkc = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", normalize_unicode("text", "NFKC").alias("n")
+        ).collect()
+    }
+    assert nfkc[2] == "file"
+    with _pytest.raises(ValueError):
+        normalize_unicode("text", "NFX")
+
+
+def test_quality_classifier_separates(spark):
+    """The weak-supervised classifier scores clean documents above
+    spam, is deterministic for a fixed seed, and refuses single-class
+    weak labels."""
+    import pytest as _pytest
+
+    from ixmp_spark.operators.text import quality_classifier_scores
+
+    clean = [
+        (i, "the quick brown fox jumps over that lazy dog with vigor "
+            "and purpose today %d" % i)
+        for i in range(60)
+    ]
+    spam = [
+        (100 + i, "### ... ### ... 111 222 333 %d ..." % i)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        clean + spam, "doc_id long, text string"
+    )
+    kw = dict(min_words=5, max_words=100)
+    scores = {
+        r["doc_id"]: r["quality_p"]
+        for r in quality_classifier_scores(df, "doc_id", "text", **kw).collect()
+    }
+    mean_clean = sum(scores[i] for i, _ in clean) / len(clean)
+    mean_spam = sum(scores[i] for i, _ in spam) / len(spam)
+    assert mean_clean > 0.7 > 0.3 > mean_spam
+    again = {
+        r["doc_id"]: r["quality_p"]
+        for r in quality_classifier_scores(df, "doc_id", "text", **kw).collect()
+    }
+    assert scores == again
+    only_clean = spark.createDataFrame(clean, "doc_id long, text string")
+    with _pytest.raises(ValueError, match="single-class"):
+        quality_classifier_scores(only_clean, "doc_id", "text", **kw)

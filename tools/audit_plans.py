@@ -36,6 +36,14 @@ BNLJ_OK = {
 #: d3 = repartition + banded self-join + 2 candidate joins + distinct
 SHUFFLE_OK = {"d3_minhash_lsh"}
 
+#: queries whose Python stage is DELIBERATE — an Arrow-batched kernel for
+#: semantics Spark's built-ins cannot express (the operator docstrings
+#: carry the justification). Any OTHER EvalPython is still a flag: the
+#: hot path must stay JVM-side.
+PYUDF_OK = {
+    "t15_unicode_normalize",  # unicodedata.normalize — no Spark built-in
+}
+
 #: nodes that pass data through without changing its cardinality class
 _PASS_THROUGH = {
     "Project", "Filter", "Sort", "Coalesce", "AQEShuffleRead",
@@ -110,7 +118,7 @@ def main() -> int:
             issues.append("CartesianProduct")
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
             issues.append("BroadcastNestedLoopJoin")
-        if "EvalPython" in plan:
+        if "EvalPython" in plan and name not in PYUDF_OK:
             issues.append("Python UDF in plan")
         # one count per shuffle-exchange NODE (detail-block headers name
         # each node exactly once; tree lines would double-count, and
