@@ -782,3 +782,42 @@ def decontaminate(
     if bad is None:
         bad = contaminated_ids(train, bench, id_col, text_col, n)
     return train.join(bad.select(id_col), id_col, "left_anti")
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    seen_digests: DataFrame,
+    text_col: str,
+    id_col: str,
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Dedup an INCOMING batch against a historical digest index — the
+    steady-state form of exact dedup once a corpus is live: the crawl
+    delta arrives, everything already ingested (by content digest) is
+    dropped, within-batch repeats keep their min-id row, and the
+    survivors' digests are what the caller appends to the index.
+
+    ``seen_digests`` is a 1-column frame of md5 digests (16 B/row — for
+    a 10-billion-doc corpus that's a ~160 GB table, joinable; keep it
+    BUCKETED on the digest in a real deployment so this anti-join and
+    every future one co-locate shuffle-free). The batch side shuffles
+    digests only, never document bodies: the within-batch groupBy keys
+    on the digest, and the history check is a left-anti join on the
+    digest — at typical delta:corpus ratios AQE picks the broadcast
+    side correctly when the DELTA is the small side.
+
+    Returns the surviving rows of ``new_df`` with their ``digest_col``
+    attached (feed `.select(digest_col)` back into the index)."""
+    from pyspark.sql import Window
+
+    hashed = new_df.withColumn(digest_col, F.md5(normalize_text(text_col)))
+    w = Window.partitionBy(digest_col)
+    batch_unique = (
+        hashed.withColumn("__min_id", F.min(id_col).over(w))
+        .where(F.col(id_col) == F.col("__min_id"))
+        .drop("__min_id")
+    )
+    seen = seen_digests.select(
+        F.col(seen_digests.columns[0]).alias(digest_col)
+    )
+    return batch_unique.join(seen, digest_col, "left_anti")

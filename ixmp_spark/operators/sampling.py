@@ -194,3 +194,48 @@ def weighted_sample(
     if keep_col is not None:
         return df.withColumn(keep_col, keep)
     return df.where(keep)
+
+
+def pack_sequences(
+    df: DataFrame,
+    key_col: str,
+    token_col,
+    capacity: int = 2048,
+    n_shards: int = 64,
+    seed: str = "42",
+) -> DataFrame:
+    """Pack documents into fixed-capacity training sequences (T5-style
+    sequence packing): documents are deterministically shuffled into
+    shards, laid end-to-end within each shard, and assigned the
+    sequence index their FIRST token falls in
+    (``floor(tokens_before / capacity)``) — the contiguous-fill
+    packing used when the exporter concatenates-then-splits at the
+    context window. Boundary documents straddle two sequences by
+    design; exact first-fit bin packing is inherently sequential and
+    buys <1% fill at web-corpus length distributions.
+
+    One window over (shard ⨯ hash order) — the shard is the
+    parallelism unit, so no global sort and no driver state; the
+    layout is a pure function of (key, seed, capacity), reproducible
+    on any engine with md5. Output adds: shard, seq (per-shard
+    sequence index), tok_offset (token position of the document inside
+    its sequence)."""
+    if capacity < 1 or n_shards < 1:
+        raise ValueError("capacity and n_shards must be >= 1")
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    h = F.md5(F.concat_ws("|", F.lit(seed), F.col(key_col).cast("string")))
+    shard = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % n_shards
+    ).alias("shard")
+    out = df.withColumn("shard", shard).withColumn("__h", h)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("__h", key_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(tok).over(w), F.lit(0)).cast("long")
+    return (
+        out.withColumn("seq", F.floor(before / capacity).cast("long"))
+        .withColumn("tok_offset", (before % capacity).cast("long"))
+        .drop("__h")
+    )

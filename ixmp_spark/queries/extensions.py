@@ -1298,3 +1298,89 @@ def t16_quality_scores(spark, sf_dir):
         docs, "doc_id", "text",
         min_words=30, max_words=90, min_stopword_hits=0,
     )
+
+
+@query(
+    "d7_incremental_dedup",
+    oracle=r"""
+    WITH hashed AS (
+      SELECT doc_id, lang,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+               AS digest
+      FROM documents
+    ),
+    batch_unique AS (
+      SELECT doc_id, lang, digest FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY digest ORDER BY doc_id) AS rn
+        FROM hashed) WHERE rn = 1
+    ),
+    seen AS (SELECT digest FROM hashed WHERE doc_id % 3 = 0)
+    SELECT b.doc_id, b.lang, b.digest
+    FROM batch_unique b
+    WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.digest = b.digest)
+    """,
+)
+def d7_incremental_dedup(spark, sf_dir):
+    """Incremental exact dedup of an incoming batch against a historical
+    digest index (the steady-state dedup a live corpus runs): every
+    doc_id % 3 == 0 document plays the 'already ingested' history, the
+    full table plays the delta. Within-batch repeats keep min id;
+    history hits drop via a digest-keyed left-anti join — shuffles
+    carry 16-byte digests, never document bodies."""
+    from ixmp_spark.operators.dedup import incremental_dedup, normalize_text
+
+    docs = load(spark, sf_dir, "documents")
+    seen = docs.where(F.col("doc_id") % 3 == 0).select(
+        F.md5(normalize_text("text")).alias("digest")
+    )
+    return incremental_dedup(
+        docs.select("doc_id", "lang", "text"), seen, "text", "doc_id"
+    ).select("doc_id", "lang", "digest")
+
+
+@query(
+    "p10_pack_sequences",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens,
+             md5('42|' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n_tokens, h,
+             CAST('0x' || substr(h, 1, 8) AS BIGINT) % 16 AS shard
+      FROM t
+    ),
+    c AS (
+      SELECT doc_id, n_tokens, shard,
+             CAST(coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS BIGINT) AS before
+      FROM s
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(floor(before / 512) AS BIGINT) AS seq,
+           before % 512 AS tok_offset
+    FROM c
+    """,
+)
+def p10_pack_sequences(spark, sf_dir):
+    """T5-style sequence packing for training export: documents
+    hash-shuffled into 16 shards, laid end-to-end, each assigned the
+    512-token sequence its first token falls in (contiguous fill —
+    exporters concatenate then split at the context window). One
+    window per shard, no global sort, layout a pure function of
+    (key, seed, capacity)."""
+    from ixmp_spark.operators.sampling import pack_sequences
+    from ixmp_spark.operators.text import token_count
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count("text").cast("long")
+    )
+    return pack_sequences(
+        docs, "doc_id", "n_tokens", capacity=512, n_shards=16
+    ).select("doc_id", "shard", "n_tokens", "seq", "tok_offset")

@@ -1715,3 +1715,68 @@ def test_quality_classifier_separates(spark):
     only_clean = spark.createDataFrame(clean, "doc_id long, text string")
     with _pytest.raises(ValueError, match="single-class"):
         quality_classifier_scores(only_clean, "doc_id", "text", **kw)
+
+
+def test_incremental_dedup_semantics(spark):
+    """Batch-vs-history dedup: history hits drop (by content, not id),
+    within-batch repeats keep min id, whitespace/case variants collapse
+    to the same digest, and survivors carry their digest for the index
+    append."""
+    from ixmp_spark.operators.dedup import incremental_dedup, normalize_text
+
+    history = spark.createDataFrame(
+        [("old news",)], "text string"
+    ).select(F.md5(normalize_text("text")).alias("digest"))
+    batch = spark.createDataFrame(
+        [
+            (1, "Old   NEWS"),     # history hit after normalization
+            (2, "fresh story"),
+            (3, "fresh  STORY"),   # within-batch dup of 2
+            (4, "another one"),
+        ],
+        "doc_id long, text string",
+    )
+    out = incremental_dedup(batch, history, "text", "doc_id")
+    rows = {r["doc_id"]: r["digest"] for r in out.collect()}
+    assert set(rows) == {2, 4}
+    assert "digest" in out.columns and all(len(d) == 32 for d in rows.values())
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Contiguous-fill packing: within every (shard, seq) the token
+    offsets tile end-to-end (each doc starts where the previous ended,
+    mod capacity), sequence indices are dense from 0 per shard, and the
+    layout is reproducible and layout-independent."""
+    from ixmp_spark.operators.sampling import pack_sequences
+    from ixmp_spark.operators.text import token_count
+    from ixmp_spark.queries import load
+
+    docs = (
+        load(spark, sf_dir, "documents")
+        .withColumn("n_tokens", token_count("text").cast("long"))
+        .select("doc_id", "n_tokens")
+    )
+    cap = 256
+    out = pack_sequences(docs, "doc_id", "n_tokens", capacity=cap, n_shards=8)
+    rows = out.collect()
+    assert {r["shard"] for r in rows} == set(range(8))
+    # rebuild each shard's layout and verify offsets/seqs
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: (r["seq"], r["tok_offset"]))
+        before = 0
+        seqs = set()
+        for r in rs:
+            assert r["seq"] == before // cap, (shard, r)
+            assert r["tok_offset"] == before % cap, (shard, r)
+            seqs.add(r["seq"])
+            before += r["n_tokens"]
+        assert seqs == set(range(max(seqs) + 1))  # dense from 0
+    # layout-independent determinism
+    again = pack_sequences(
+        docs.repartition(13), "doc_id", "n_tokens", capacity=cap, n_shards=8
+    )
+    key = lambda r: (r["doc_id"], r["shard"], r["seq"], r["tok_offset"])
+    assert sorted(map(key, rows)) == sorted(map(key, again.collect()))
