@@ -106,6 +106,20 @@ def build_parser() -> argparse.ArgumentParser:
     cs.add_argument("value")
     csub.add_parser("show")
 
+    sp = sub.add_parser(
+        "curate",
+        help="corpus curation: quality gates + exact dedup "
+        "(jsonl/parquet in, parquet/jsonl out; extension surface)",
+    )
+    sp.add_argument("input", help="corpus path (.jsonl[.gz] file/dir or parquet dir)")
+    sp.add_argument("output", help="output directory")
+    sp.add_argument("--min-words", type=int, default=50)
+    sp.add_argument("--max-words", type=int, default=100_000)
+    sp.add_argument("--min-stopword-hits", type=int, default=2)
+    sp.add_argument("--no-dedup", action="store_true")
+    sp.add_argument("--out-format", choices=["parquet", "jsonl"], default="parquet")
+    sp.add_argument("--max-records-per-file", type=int, default=None)
+
     sub.add_parser("show-versions", help="package versions (cli.py:145)")
     return p
 
@@ -173,6 +187,73 @@ def main(argv: list[str] | None = None) -> int:
         from ixmp_spark.core.utils import show_versions
 
         print(show_versions())
+        return 0
+    if args.cmd == "curate":
+        # the end-to-end corpus pipeline, one lazy plan: read → gate →
+        # (dedup) → write. No platform needed — pure file-to-file.
+        from ixmp_spark.operators.text import gopher_quality_filter
+        from ixmp_spark.session import get_spark
+
+        spark = get_spark("ixmp_spark_cli")
+        is_jsonl = not os.path.isdir(args.input) or any(
+            f.endswith((".json", ".json.gz", ".jsonl", ".jsonl.gz"))
+            for f in os.listdir(args.input)
+        )
+        if is_jsonl:
+            from ixmp_spark.sources.docs_io import (
+                read_documents_jsonl,
+                split_corrupt,
+            )
+
+            docs, bad = split_corrupt(read_documents_jsonl(spark, args.input))
+        else:
+            docs, bad = spark.read.parquet(args.input), None
+        n_in = docs.count()
+        # attach mode: the gate is a map-side projection ON the scan —
+        # one corpus pass, not a select-then-semi-join double scan
+        signal_cols = [
+            "n_words", "mean_word_len", "symbol_ratio",
+            "alpha_word_frac", "stopword_hits", "keep",
+        ]
+        kept = (
+            gopher_quality_filter(
+                docs, "doc_id", "text",
+                min_words=args.min_words, max_words=args.max_words,
+                min_stopword_hits=args.min_stopword_hits,
+                attach=True,
+            )
+            .where("keep")
+            .drop(*signal_cols)
+        )
+        if not args.no_dedup:
+            from ixmp_spark.operators.dedup import incremental_dedup
+
+            empty = spark.createDataFrame([], "digest string")
+            kept = incremental_dedup(kept, empty, "text", "doc_id").drop(
+                "digest"
+            )
+        if args.out_format == "jsonl":
+            from ixmp_spark.sources.docs_io import write_documents_jsonl
+
+            write_documents_jsonl(
+                kept, args.output,
+                max_records_per_file=args.max_records_per_file,
+            )
+        else:
+            w = kept.write.mode("overwrite")
+            if args.max_records_per_file:
+                w = w.option(
+                    "maxRecordsPerFile", int(args.max_records_per_file)
+                )
+            w.parquet(args.output)
+        n_out = spark.read.format(
+            "json" if args.out_format == "jsonl" else "parquet"
+        ).schema(kept.schema).load(args.output).count()
+        n_bad = bad.count() if bad is not None else 0
+        print(
+            f"read {n_in} docs ({n_bad} corrupt lines quarantined), "
+            f"kept {n_out} -> {args.output}"
+        )
         return 0
 
     from ixmp_spark.core import Platform, Scenario, TimeSeries

@@ -620,6 +620,7 @@ def gopher_quality_filter(
     max_symbol_ratio: float = 0.1,
     min_alpha_word_frac: float = 0.8,
     min_stopword_hits: int = 2,
+    attach: bool = False,
 ) -> DataFrame:
     """Gopher-style composite quality gate (Rae et al. 2021 §A1.1):
     word-count bounds, mean-word-length bounds, symbol-to-word ratio
@@ -631,7 +632,10 @@ def gopher_quality_filter(
     Output: (id, n_words, mean_word_len, symbol_ratio, alpha_word_frac,
     stopword_hits, keep) — the signal columns are kept (not just the
     boolean) because pipeline audits bin documents by WHICH gate failed.
-    Ratios are NULL and keep=false for token-less documents."""
+    Ratios are NULL and keep=false for token-less documents.
+    ``attach=True`` instead RETAINS every input column and appends the
+    signal/keep columns — the single-scan form a pipeline filters on
+    (a select-then-semi-join would scan the corpus twice)."""
     toks = F.filter(
         F.split(F.trim(F.lower(text_col)), r"\s+"), lambda t: t != F.lit("")
     )
@@ -653,14 +657,17 @@ def gopher_quality_filter(
     stop_hits = F.size(
         F.array_intersect(toks, F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]))
     ).cast("long")
-    out = df.select(
-        F.col(id_col),
+    signals = [
         n_words.alias("n_words"),
         F.round(mwl, 6).alias("mean_word_len"),
         F.round(symbols / nw, 6).alias("symbol_ratio"),
         F.round(alpha_frac, 6).alias("alpha_word_frac"),
         stop_hits.alias("stopword_hits"),
-    )
+    ]
+    if attach:
+        out = df.select("*", *signals)
+    else:
+        out = df.select(F.col(id_col), *signals)
     keep = (
         F.col("n_words").between(min_words, max_words)
         & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)

@@ -405,3 +405,40 @@ def test_cli_import_error_paths(mp, tmp_path, capsys):
                 "--output", str(tmp_path / "out.txt"),
             ]
         )
+
+
+def test_cli_curate_end_to_end(spark, tmp_path, capsys):
+    """`curate` runs the full corpus pipeline file-to-file: jsonl in
+    (corrupt line quarantined), Gopher gates, exact dedup, parquet out —
+    and reports honest counts."""
+    from ixmp_spark.cli import main as cli_main
+
+    good = (
+        "the quick brown fox jumps over that lazy dog with great energy "
+        "and a steady purpose every single day"
+    )
+    lines = [
+        '{"doc_id": 1, "text": "%s", "lang": "en", "source": "s", "n_chars": 1}' % good,
+        '{"doc_id": 2, "text": "%s", "lang": "en", "source": "s", "n_chars": 1}' % good,
+        '{"doc_id": 3, "text": "### ... ###", "lang": "en", "source": "s", "n_chars": 1}',
+        "{corrupt",
+    ]
+    src = tmp_path / "corpus.jsonl"
+    src.write_text("\n".join(lines) + "\n")
+    out = tmp_path / "curated"
+    rc = cli_main(
+        ["curate", str(src), str(out), "--min-words", "5"]
+    )
+    assert rc == 0
+    msg = capsys.readouterr().out
+    assert "read 3 docs (1 corrupt lines quarantined), kept 1" in msg
+    got = spark.read.parquet(str(out)).collect()
+    assert len(got) == 1 and got[0]["doc_id"] == 1  # dup kept min id
+    # jsonl output + no-dedup keeps both copies of the good doc
+    out2 = tmp_path / "curated2"
+    rc = cli_main(
+        ["curate", str(src), str(out2), "--min-words", "5",
+         "--no-dedup", "--out-format", "jsonl"]
+    )
+    assert rc == 0
+    assert "kept 2" in capsys.readouterr().out
