@@ -373,3 +373,39 @@ def trending_ngrams_stream(
         .where(F.col("n") >= min_count)
         .select(F.col("win.start").alias("window_start"), "gram", "n")
     )
+
+
+def dedup_stream_vs_index(
+    docs: DataFrame,
+    seen_digests: DataFrame,
+    text_col: str = "text",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Streaming twin of ``dedup.incremental_dedup``: drop incoming
+    documents whose content digest is already in a STATIC history index,
+    then stateful exact dedup among the survivors — the steady-state
+    ingest path once a corpus is live (the batch operator handles
+    backfills; this handles the live feed).
+
+    Plan shape per micro-batch: map-side digest, stream-static LEFT ANTI
+    join against the index (re-read per trigger — refresh the index
+    table and running streams pick it up, the standard slowly-changing
+    stream-static contract), then ``dropDuplicates`` on the digest for
+    within-stream repeats (16 B of state per UNIQUE new document; the
+    index handles everything historical, so state grows only with
+    genuinely novel content — this is what keeps unbounded-stream exact
+    dedup tractable: the index absorbs state at every batch compaction).
+
+    ``seen_digests``: 1-column static frame of md5 hex digests. Output:
+    the surviving rows with ``digest_col`` attached (a foreachBatch sink
+    appends them to the index)."""
+    from ixmp_spark.operators.dedup import normalize_text
+
+    seen = seen_digests.select(
+        F.col(seen_digests.columns[0]).alias(digest_col)
+    )
+    return (
+        docs.withColumn(digest_col, F.md5(normalize_text(text_col)))
+        .join(seen, digest_col, "left_anti")
+        .dropDuplicates([digest_col])
+    )

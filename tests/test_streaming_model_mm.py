@@ -857,3 +857,49 @@ def test_streaming_trending_ngrams_matches_batch(spark, sf_dir, tmp_path_factory
     a = got[key].sort_values(key).reset_index(drop=True)
     b = want[key].sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_streaming_dedup_vs_index(spark, sf_dir, tmp_path_factory):
+    """Stream-vs-history dedup: history digests never emit, within-stream
+    repeats emit once, survivors carry their digest — and the batch twin
+    (incremental_dedup) agrees on the surviving id set."""
+    from pyspark.sql import functions as F
+
+    from ixmp_spark.operators.dedup import incremental_dedup, normalize_text
+    from ixmp_spark.streaming.ts_stream import (
+        dedup_stream_vs_index,
+        run_available_now,
+    )
+
+    docs_dir = str(tmp_path_factory.mktemp("dedupidx") / "docs")
+    base = load(spark, sf_dir, "documents").limit(120).select("doc_id", "text")
+    # duplicate 40 docs within the stream (new ids, same text)
+    dupes = base.limit(40).withColumn("doc_id", F.col("doc_id") + 100_000)
+    base.unionByName(dupes).repartition(5).write.parquet(docs_dir)
+
+    # history: every doc_id % 4 == 0 original document
+    seen = (
+        base.where(F.col("doc_id") % 4 == 0)
+        .select(F.md5(normalize_text("text")).alias("digest"))
+    )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(docs_dir)
+    )
+    got = run_available_now(
+        dedup_stream_vs_index(stream, seen), "t_dedupidx", mode="append"
+    )
+    got_digests = [r["digest"] for r in got.collect()]
+    assert len(got_digests) == len(set(got_digests))  # one emit per digest
+
+    batch = incremental_dedup(
+        spark.read.parquet(docs_dir), seen, "text", "doc_id"
+    )
+    assert {r["digest"] for r in got.collect()} == {
+        r["digest"] for r in batch.collect()
+    }
+    # history digests truly excluded
+    seen_set = {r["digest"] for r in seen.collect()}
+    assert not (set(got_digests) & seen_set)
