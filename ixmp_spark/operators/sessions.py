@@ -95,3 +95,43 @@ def event_transitions(
         .orderBy(F.desc("n"), F.asc("src"), F.asc("dst"))
         .limit(k)
     )
+
+
+def zscore_anomalies(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    value_col: str = "value",
+    window: int = 5,
+    threshold: float = 2.0,
+) -> DataFrame:
+    """Trailing-window z-score anomaly detection per key: each value is
+    compared against the mean/stddev of the PREVIOUS ``window``
+    observations of the same key (strictly preceding frame — the
+    current value never contaminates its own baseline, the classic
+    self-masking bug in rolling anomaly detectors).
+
+    One shuffle on the key; the frame is O(window) rows of state per
+    task. Rows without a computable baseline (fewer than 2 prior
+    observations, or zero variance) get ``z = NULL`` and are never
+    flagged — a constant series then alarms only via the caller's
+    absolute-delta gates, not a 0/0."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.col(order_col))
+        .rowsBetween(-window, -1)
+    )
+    mu = F.avg(value_col).over(w)
+    sd = F.stddev_samp(value_col).over(w)
+    z = F.when(
+        sd.isNotNull() & (sd > 0), (F.col(value_col) - mu) / sd
+    )
+    return df.select(
+        order_col,
+        key_col,
+        value_col,
+        F.round(mu, 6).alias("baseline_mean"),
+        F.round(z, 6).alias("z"),
+        F.coalesce(F.abs(z) > threshold, F.lit(False)).alias("is_anomaly"),
+    )

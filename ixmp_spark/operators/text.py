@@ -804,3 +804,90 @@ def quality_classifier_scores(
         id_col,
         F.round(vector_to_array("probability")[1], 6).alias("quality_p"),
     )
+
+
+def bm25_search(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Lucene idf variant) of documents
+    against a bag of query terms — the lexical-search baseline every
+    corpus tool needs next to the embedding ANN family.
+
+    Plan shape for scale: the posting stream is filtered TO THE QUERY
+    TERMS inside the same projection as the explode, so the shuffle
+    carries only matching (doc, term) hits — for a q-term query that is
+    a ~|q|/|vocab| sliver of the corpus, and Catalyst pushes the filter
+    into the generate. One keyed shuffle builds tf; df(t) is a
+    term-partitioned WINDOW over that same tf frame (≤ |q| partitions
+    over the already-tiny hit table — deriving it as a separate
+    aggregation + join would recompute the whole posting stream, since
+    exchange reuse does not bridge the two consumers); N and avgdl are
+    a 1-row corpus aggregate cross-broadcast into the scoring
+    projection (the t9 single-action pattern). Final top-k is
+    TakeOrderedAndProject.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)). Output: (id, score,
+    n_hits) — rounded to 6, ties by id; documents matching no term are
+    absent."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = [t.lower() for t in query_terms]
+    toks = F.filter(
+        F.split(F.trim(F.lower(text_col)), r"\s+"), lambda t: t != F.lit("")
+    )
+    base = df.select(
+        F.col(id_col), toks.alias("__toks"), F.size(toks).alias("__dl")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+    )
+    qset = F.array(*[F.lit(t) for t in terms])
+    hits = base.select(
+        F.col(id_col),
+        "__dl",
+        F.explode(
+            F.filter("__toks", lambda t: F.array_contains(qset, t))
+        ).alias("term"),
+    )
+    tf = hits.groupBy(id_col, "term", "__dl").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    w_term = Window.partitionBy("term")
+    scored = (
+        tf.withColumn(
+            "__df", F.count(F.lit(1)).over(w_term).cast("double")
+        )
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col(id_col),
+            (
+                F.log(
+                    1.0
+                    + (F.col("__n") - F.col("__df") + 0.5)
+                    / (F.col("__df") + 0.5)
+                )
+                * (F.col("tf") * (k1 + 1))
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("__dl") / F.col("__avgdl"))
+                )
+            ).alias("__s"),
+        )
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.round(F.sum("__s"), 6).alias("score"),
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1384,3 +1384,86 @@ def p10_pack_sequences(spark, sf_dir):
     return pack_sequences(
         docs, "doc_id", "n_tokens", capacity=512, n_shards=16
     ).select("doc_id", "shard", "n_tokens", "seq", "tok_offset")
+
+
+@query(
+    "t17_bm25_search",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         w -> w <> '') AS toks
+      FROM documents
+    ),
+    docs AS (SELECT doc_id, toks, len(toks) AS dl FROM base),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM docs
+    ),
+    hits AS (
+      SELECT doc_id, dl, unnest(list_filter(toks,
+               t -> t IN ('hash', 'join', 'broadcast'))) AS term
+      FROM docs
+    ),
+    tf AS (
+      SELECT doc_id, term, dl, CAST(count(*) AS DOUBLE) AS tf
+      FROM hits GROUP BY doc_id, term, dl
+    ),
+    dfreq AS (
+      SELECT term, CAST(count(*) AS DOUBLE) AS dfr FROM tf GROUP BY term
+    )
+    SELECT doc_id, round(sum(
+             ln(1 + (s.n - d.dfr + 0.5) / (d.dfr + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))
+           ), 6) AS score,
+           CAST(count(*) AS BIGINT) AS n_hits
+    FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+    GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 10
+    """,
+)
+def t17_bm25_search(spark, sf_dir):
+    """BM25 ranked retrieval (query: 'hash join broadcast') — the
+    lexical-search baseline next to the embedding ANN family. The
+    posting stream is filtered to the query terms inside the explode
+    projection, so the shuffle carries only hits; N/avgdl ride a 1-row
+    cross-broadcast (single-action); top-10 is TakeOrdered. The oracle
+    replicates the Robertson/Lucene formula term-for-term."""
+    from ixmp_spark.operators.text import bm25_search
+
+    docs = load_spread(spark, sf_dir, "documents")
+    return bm25_search(
+        docs, "doc_id", "text", ["hash", "join", "broadcast"], k=10
+    )
+
+
+@query(
+    "w10_zscore_outliers",
+    oracle="""
+    SELECT event_id, user_id, value,
+           round(baseline_mean, 6) AS baseline_mean,
+           round(z, 6) AS z,
+           coalesce(abs(z) > 2.0, false) AS is_anomaly
+    FROM (
+      SELECT event_id, user_id, value,
+             avg(value) OVER w AS baseline_mean,
+             CASE WHEN stddev_samp(value) OVER w > 0
+                  THEN (value - avg(value) OVER w)
+                       / stddev_samp(value) OVER w
+             END AS z
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
+    )
+    """,
+)
+def w10_zscore_outliers(spark, sf_dir):
+    """Trailing-window z-score anomaly detection per user (value vs the
+    mean/stddev of its 5 PRIOR observations — strictly preceding frame,
+    so a value never masks itself). One shuffle on the user key,
+    O(window) state per task; z is NULL (never flagged) without a
+    computable baseline."""
+    from ixmp_spark.operators.sessions import zscore_anomalies
+
+    ev = load(spark, sf_dir, "events")
+    return zscore_anomalies(ev, window=5, threshold=2.0)

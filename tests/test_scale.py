@@ -1780,3 +1780,70 @@ def test_pack_sequences_invariants(spark, sf_dir):
     )
     key = lambda r: (r["doc_id"], r["shard"], r["seq"], r["tok_offset"])
     assert sorted(map(key, rows)) == sorted(map(key, again.collect()))
+
+
+def test_bm25_search_hand_computed(spark):
+    """BM25 on a 3-doc corpus against hand-computed scores (Robertson
+    idf, k1=1.2, b=0.75); non-matching docs absent; empty query
+    rejected."""
+    import math
+
+    import pytest as _pytest
+
+    from ixmp_spark.operators.text import bm25_search
+
+    docs = [
+        (1, "spark shuffle join"),          # dl 3, tf(join)=1
+        (2, "join join broadcast hints"),   # dl 4, tf(join)=2
+        (3, "catalyst optimizer"),          # no hit
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["score"], r["n_hits"])
+        for r in bm25_search(df, "doc_id", "text", ["join"], k=10).collect()
+    }
+    assert set(got) == {1, 2}
+
+    def bm25(tf, dl, n=3.0, dfr=2.0, avgdl=3.0, k1=1.2, b=0.75):
+        idf = math.log(1 + (n - dfr + 0.5) / (dfr + 0.5))
+        return round(idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl)), 6)
+
+    assert got[1] == (bm25(1, 3), 1)
+    assert got[2] == (bm25(2, 4), 1)  # n_hits counts distinct terms
+    assert got[2][0] > got[1][0]      # higher tf wins despite longer doc
+    with _pytest.raises(ValueError):
+        bm25_search(df, "doc_id", "text", [])
+
+
+def test_zscore_anomalies_semantics(spark):
+    """A spike after a stable baseline flags; the baseline never includes
+    the current value; short history and zero variance give NULL z and
+    no flag."""
+    from datetime import datetime
+
+    from ixmp_spark.operators.sessions import zscore_anomalies
+
+    def ts(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    rows = (
+        # user 1: stable 10s then a spike at 100
+        [(i, 1, ts(i), 10.0 + (i % 2) * 0.2) for i in range(1, 7)]
+        + [(7, 1, ts(7), 100.0)]
+        # user 2: constant series (zero variance) then a jump
+        + [(10 + i, 2, ts(10 + i), 5.0) for i in range(6)]
+        + [(17, 2, ts(17), 50.0)]
+    )
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    out = {
+        r["event_id"]: r
+        for r in zscore_anomalies(df, window=5, threshold=2.0).collect()
+    }
+    assert out[7]["is_anomaly"] is True and out[7]["z"] > 2
+    assert out[1]["z"] is None and out[1]["is_anomaly"] is False  # no history
+    # zero-variance baseline: z NULL, not flagged, no division error
+    assert out[17]["z"] is None and out[17]["is_anomaly"] is False
+    # stable rows are unflagged
+    assert all(not out[i]["is_anomaly"] for i in range(2, 7))

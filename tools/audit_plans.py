@@ -30,6 +30,7 @@ BNLJ_OK = {
     "b_q11", "b_q15",  # 1-row scalar-subquery threshold broadcast
     "t9_tfidf_keywords",  # 1-row N-docs aggregate cross-broadcast (single-action tfidf)
     "t10_bigram_perplexity",  # 1-row vocab-count aggregate cross-broadcast
+    "t17_bm25_search",  # 1-row N/avgdl corpus-stats aggregate cross-broadcast
 }
 
 #: multi-stage pipelines where >6 shuffles are inherent (documented):
