@@ -800,11 +800,14 @@ def incremental_dedup(
     ``seen_digests`` is a 1-column frame of md5 digests (16 B/row — for
     a 10-billion-doc corpus that's a ~160 GB table, joinable; keep it
     BUCKETED on the digest in a real deployment so this anti-join and
-    every future one co-locate shuffle-free). The batch side shuffles
-    digests only, never document bodies: the within-batch groupBy keys
-    on the digest, and the history check is a left-anti join on the
-    digest — at typical delta:corpus ratios AQE picks the broadcast
-    side correctly when the DELTA is the small side.
+    every future one co-locate shuffle-free). Because the output is the
+    surviving ROWS (unlike ``exact_dedup``, which returns only ids),
+    document bodies must cross the wire exactly once — the digest
+    window that picks the min-id keeper; doing the min-id pick as a
+    light (digest, id) aggregation instead would only ADD a second
+    body-moving join on the way back. The history check then joins on
+    16-byte digests, and at typical delta:corpus ratios AQE broadcasts
+    the delta side.
 
     Returns the surviving rows of ``new_df`` with their ``digest_col``
     attached (feed `.select(digest_col)` back into the index)."""

@@ -1325,9 +1325,10 @@ def d7_incremental_dedup(spark, sf_dir):
     """Incremental exact dedup of an incoming batch against a historical
     digest index (the steady-state dedup a live corpus runs): every
     doc_id % 3 == 0 document plays the 'already ingested' history, the
-    full table plays the delta. Within-batch repeats keep min id;
-    history hits drop via a digest-keyed left-anti join — shuffles
-    carry 16-byte digests, never document bodies."""
+    full table plays the delta. Within-batch repeats keep min id (one
+    digest-keyed window — bodies cross the wire exactly once, the
+    unavoidable minimum when returning surviving rows); history hits
+    drop via a left-anti join on 16-byte digests."""
     from ixmp_spark.operators.dedup import incremental_dedup, normalize_text
 
     docs = load(spark, sf_dir, "documents")
