@@ -175,3 +175,59 @@ def m1_media_features(spark, sf_dir):
         F.round(F.element_at("features", 1), 6).alias("f_mean_r"),
         F.round(F.element_at("features", 4), 6).alias("f_luma"),
     )
+
+
+@query("m2_audio_features")  # no SQL oracle: Arrow mapInPandas decode path
+def m2_audio_features(spark, sf_dir):
+    """Audio twin of m1: every even document becomes a REAL 8-bit-PCM
+    mono WAV whose 32 samples are the document's first 32 text bytes
+    (constant 44-byte RIFF header built driver-side with the stdlib
+    ``wave`` writer — a genuine in-plan decode through ``wave`` +
+    numpy inside the Arrow batches, yielding 16 RMS-segment features);
+    odd documents ride the documented fingerprint fallback (audio/flac,
+    librosa absent). Gives the audio decode path corpus-scale
+    driver-visible signal; exact RMS values are pinned in unit tests."""
+    import io
+    import wave as _wave
+
+    from ixmp_spark.operators.multimodal import extract_features
+
+    buf = io.BytesIO()
+    w = _wave.open(buf, "wb")
+    w.setnchannels(1)
+    w.setsampwidth(1)
+    w.setframerate(8000)
+    w.writeframes(b"\x00" * 32)
+    w.close()
+    header = buf.getvalue()[:-32]  # constant header for 32 sample bytes
+
+    docs = load(spark, sf_dir, "documents")
+    wav = F.concat(
+        F.lit(header),
+        F.substring(F.encode(F.rpad("text", 32, " "), "UTF-8"), 1, 32),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.struct(
+            F.when(F.col("doc_id") % 2 == 0, wav)
+            .otherwise(F.encode("text", "UTF-8"))
+            .alias("content"),
+            F.lit(None).cast("string").alias("uri"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("audio/wav"))
+            .otherwise(F.lit("audio/flac"))
+            .alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("n_frames"),
+            F.lit(8000).alias("sample_rate"),
+            F.lit(0.004).alias("duration_s"),
+        ).alias("media"),
+    )
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "mime",
+        "n_bytes",
+        F.round(F.element_at("features", 1), 6).alias("f_rms_seg1"),
+        F.round(F.element_at("features", 16), 6).alias("f_rms_seg16"),
+    )
