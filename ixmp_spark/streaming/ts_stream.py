@@ -409,3 +409,48 @@ def dedup_stream_vs_index(
         .join(seen, digest_col, "left_anti")
         .dropDuplicates([digest_col])
     )
+
+
+def interval_join_stream_outer(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    interval: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """LEFT OUTER variant of ``interval_join_stream`` — the
+    conversion-funnel shape where the ABSENCE of a match is the signal
+    (click with no purchase within the interval). Same join condition
+    and per-side state bounds, but different EMISSION semantics:
+    matches emit as soon as both sides arrive, while a left row with no
+    match emits (right columns NULL) only once the right watermark
+    passes ``left.ts + interval`` — the earliest moment "no match" is a
+    fact rather than "not yet". That makes null-row latency ≈ watermark
+    + interval BY DESIGN; lowering the watermark trades late-data
+    tolerance for fresher no-match signals. Outer stream-stream joins
+    REQUIRE the watermark + range condition (Spark rejects the query
+    otherwise) — the unbounded-state formulation is unplannable by
+    construction.
+
+    Output schema equals the inner variant's, with right-side fields
+    NULL for unmatched left rows and ``matched`` boolean.
+
+    CALLER CONTRACT (both variants): ``left`` and ``right`` must be
+    built from SEPARATE ``readStream`` source instances, even when they
+    read the same path. Filtering one shared source twice creates a
+    stream self-join whose shared watermark/source node silently
+    suppresses matches (observed: every left row finalized as no-match
+    while its pair sat in the same directory)."""
+    lw = left.withWatermark("ts", watermark).alias("l")
+    rw = right.withWatermark("ts", watermark).alias("r")
+    cond = F.expr(
+        f"l.{on} = r.{on} AND r.ts > l.ts AND r.ts <= l.ts + interval {interval}"
+    )
+    return lw.join(rw, cond, "left_outer").select(
+        F.col(f"l.{on}").alias(on),
+        F.col("l.ts").alias("left_ts"),
+        F.col("l.event_type").alias("left_type"),
+        F.col("r.ts").alias("right_ts"),
+        F.col("r.event_type").alias("right_type"),
+        F.col("r.ts").isNotNull().alias("matched"),
+    )

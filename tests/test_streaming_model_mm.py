@@ -903,3 +903,82 @@ def test_streaming_dedup_vs_index(spark, sf_dir, tmp_path_factory):
     # history digests truly excluded
     seen_set = {r["digest"] for r in seen.collect()}
     assert not (set(got_digests) & seen_set)
+
+
+def test_streaming_interval_join_outer_semantics(spark, tmp_path_factory):
+    """Left-outer stream-stream interval join, driven DETERMINISTICALLY
+    as two checkpointed availableNow runs: run 1 processes the whole
+    timeline in one micro-batch (matches emit immediately; no-match
+    rows cannot — the watermark only takes effect in a later batch);
+    run 2 adds far-future flusher files and resumes from the same
+    checkpoint, so the advanced watermark closes the horizon and every
+    unconverted click emits its NULL-right row. (A single multi-batch
+    run with two maxFilesPerTrigger sources is racy — the sides do not
+    advance in lockstep — which is exactly why real no-match latency is
+    'watermark + interval + one more trigger', and why this test phases
+    the input instead.)"""
+    from datetime import datetime, timedelta
+
+    from ixmp_spark.streaming.ts_stream import interval_join_stream_outer
+
+    def ts(minute):
+        return datetime(2024, 1, 1) + timedelta(minutes=minute)
+
+    schema = (
+        "event_id long, user_id long, ts timestamp, event_type string, "
+        "value double"
+    )
+    base = tmp_path_factory.mktemp("ivouter")
+    d = str(base / "ev")
+    ckpt = str(base / "ckpt")
+    phase1 = [
+        (1, 1, ts(0), "click", 1.0),    # converts 10 min later
+        (2, 1, ts(10), "purchase", 2.0),
+        (3, 2, ts(0), "click", 1.0),    # purchase outside the interval
+        (4, 2, ts(180), "purchase", 2.0),
+        (5, 3, ts(5), "click", 1.0),    # never converts
+    ]
+    spark.createDataFrame(phase1, schema).coalesce(1).write.parquet(d)
+
+    sink = str(base / "sink")
+
+    def run_once():
+        # file sink: the only sink that supports checkpoint recovery,
+        # which the two-phase watermark drive depends on
+        left = spark.readStream.schema(schema).parquet(d)
+        right = spark.readStream.schema(schema).parquet(d)
+        q = (
+            interval_join_stream_outer(
+                left.where("event_type = 'click'"),
+                right.where("event_type = 'purchase'"),
+                interval="30 minutes",
+                watermark="10 minutes",
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(sink).toPandas()
+
+    got1 = run_once()
+    assert got1["matched"].all() and len(got1) == 1  # only the match so far
+    assert got1["user_id"].tolist() == [1]
+
+    # phase 2: flushers push both watermarks past every click + interval
+    flush = [(6, 9, ts(600), "click", 0.0), (7, 9, ts(2000), "purchase", 0.0)]
+    spark.createDataFrame(flush, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(d)
+    got2 = run_once()
+
+    by_user = {u: g for u, g in got2[got2["user_id"] != 9].groupby("user_id")}
+    assert set(by_user) == {1, 2, 3}
+    assert by_user[1]["matched"].tolist() == [True]   # converted (run 1)
+    assert by_user[2]["matched"].tolist() == [False]  # purchase too late
+    assert by_user[3]["matched"].tolist() == [False]  # never converted
+    assert by_user[2]["right_ts"].isna().all()
+    assert by_user[3]["right_ts"].isna().all()
