@@ -135,3 +135,36 @@ def zscore_anomalies(
         F.round(z, 6).alias("z"),
         F.coalesce(F.abs(z) > threshold, F.lit(False)).alias("is_anomaly"),
     )
+
+
+def top_paths(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    order_col: str = "event_id",
+    length: int = 3,
+    k: int = 20,
+) -> DataFrame:
+    """Most-frequent event paths of ``length`` consecutive steps per
+    user (the journey-analysis companion to ``event_transitions``'
+    single-step matrix): one ``lead`` per additional step over the same
+    per-user window — one shuffle on the user key regardless of path
+    length — then a path aggregation and a TakeOrdered top-k. Paths
+    never cross users; rows whose window runs off the end of a user's
+    history are excluded (complete paths only). Deterministic via the
+    ``order_col`` tie-break."""
+    if length < 2:
+        raise ValueError("length must be >= 2")
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(order_col))
+    steps = [F.col(event_col)] + [
+        F.lead(event_col, i).over(w) for i in range(1, length)
+    ]
+    return (
+        df.select(F.concat_ws(" > ", *steps).alias("path"), steps[-1].alias("__last"))
+        .where(F.col("__last").isNotNull())
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(k)
+    )

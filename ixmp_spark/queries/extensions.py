@@ -1468,3 +1468,31 @@ def w10_zscore_outliers(spark, sf_dir):
 
     ev = load(spark, sf_dir, "events")
     return zscore_anomalies(ev, window=5, threshold=2.0)
+
+
+@query(
+    "g6_top_paths",
+    oracle="""
+    WITH p AS (
+      SELECT event_type AS s1,
+             lead(event_type, 1) OVER w AS s2,
+             lead(event_type, 2) OVER w AS s3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT s1 || ' > ' || s2 || ' > ' || s3 AS path,
+           CAST(count(*) AS BIGINT) AS n
+    FROM p WHERE s3 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path LIMIT 20
+    """,
+)
+def g6_top_paths(spark, sf_dir):
+    """Top-20 three-step user journeys — g5's multi-step companion: one
+    lead per extra step over the same per-user window (ONE shuffle on
+    the user key regardless of path length), path aggregation,
+    TakeOrdered. Complete paths only (windows running off a user's
+    history are excluded)."""
+    from ixmp_spark.operators.sessions import top_paths
+
+    ev = load(spark, sf_dir, "events")
+    return top_paths(ev, length=3, k=20)

@@ -1847,3 +1847,34 @@ def test_zscore_anomalies_semantics(spark):
     assert out[17]["z"] is None and out[17]["is_anomaly"] is False
     # stable rows are unflagged
     assert all(not out[i]["is_anomaly"] for i in range(2, 7))
+
+
+def test_top_paths_hand_computed(spark):
+    """Three-step journeys on a hand-checkable event set: complete paths
+    only (no partial windows), counts aggregated across users,
+    length < 2 rejected."""
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from ixmp_spark.operators.sessions import top_paths
+
+    def ts(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    rows = [
+        # user 1: a b c d  -> paths "a>b>c", "b>c>d"
+        (1, 1, ts(1), "a"), (2, 1, ts(2), "b"),
+        (3, 1, ts(3), "c"), (4, 1, ts(4), "d"),
+        # user 2: a b c    -> path "a>b>c"
+        (5, 2, ts(1), "a"), (6, 2, ts(2), "b"), (7, 2, ts(3), "c"),
+        # user 3: two events only -> no length-3 path
+        (8, 3, ts(1), "a"), (9, 3, ts(2), "b"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {r["path"]: r["n"] for r in top_paths(df, length=3).collect()}
+    assert got == {"a > b > c": 2, "b > c > d": 1}
+    with _pytest.raises(ValueError):
+        top_paths(df, length=1)
