@@ -32,6 +32,31 @@ import os
 import sys
 
 
+_JSONL_EXTS = (".json", ".json.gz", ".jsonl", ".jsonl.gz")
+
+
+def _sniff_jsonl(path: str) -> bool:
+    """Decide whether a curate/export input is JSONL or parquet.
+
+    Directories: JSONL iff any entry has a jsonl-ish extension (a parquet
+    dataset directory contains ``part-*.parquet`` / ``_SUCCESS``).
+    Single files: decided strictly by extension — ``.parquet`` is
+    parquet, jsonl-ish is JSONL, anything else is an error. The previous
+    behavior (any non-directory ⇒ JSONL) silently parsed a parquet file
+    as JSON and quarantined every row as corrupt; an ambiguous input
+    must fail loudly instead."""
+    if os.path.isdir(path):
+        return any(f.endswith(_JSONL_EXTS) for f in os.listdir(path))
+    if path.endswith(".parquet"):
+        return False
+    if path.endswith(_JSONL_EXTS):
+        return True
+    raise SystemExit(
+        f"cannot infer input format of {path!r}: expected a directory, "
+        f"a .parquet file, or a {'/'.join(_JSONL_EXTS)} file"
+    )
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="ixmp_spark")
     p.add_argument("--platform", help="warehouse root dir or configured name")
@@ -195,10 +220,7 @@ def main(argv: list[str] | None = None) -> int:
         from ixmp_spark.session import get_spark
 
         spark = get_spark("ixmp_spark_cli")
-        is_jsonl = not os.path.isdir(args.input) or any(
-            f.endswith((".json", ".json.gz", ".jsonl", ".jsonl.gz"))
-            for f in os.listdir(args.input)
-        )
+        is_jsonl = _sniff_jsonl(args.input)
         if is_jsonl:
             from ixmp_spark.sources.docs_io import (
                 read_documents_jsonl,

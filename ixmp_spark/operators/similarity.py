@@ -508,6 +508,18 @@ def pq_train_encode(
     train = df if train_fraction is None else df.sample(train_fraction, seed)
     train = train.select(_dvec(vec_col).alias("__v")).persist()
     try:
+        # fail actionably BEFORE fitting: a thin sample (fewer rows than
+        # centroids) dies inside KMeans with a cryptic error. The count
+        # reads the frame we just persisted, so the pass is not wasted —
+        # every per-subspace fit below reuses the cache.
+        n_train = train.count()
+        if n_train < n_cent:
+            raise ValueError(
+                f"pq_train_encode: training sample has {n_train} rows but "
+                f"each subspace codebook needs >= 2**bits = {n_cent} "
+                f"centroids; raise train_fraction (got {train_fraction}) "
+                "or lower bits"
+            )
         codebooks = []
         for j in range(m):
             sl = train.select(

@@ -51,13 +51,27 @@ def read_documents_jsonl(
     exactly what a quarantine ``count()`` prunes to. A text scan reads
     whole lines either way — JSON parsing cannot skip bytes — so this
     costs nothing, keeps everything lazy/single-pass, and Catalyst's
-    OptimizeJsonExprs still prunes unused fields out of the parse."""
+    OptimizeJsonExprs still prunes unused fields out of the parse.
+
+    Blank / whitespace-only lines are dropped BEFORE parsing: crawl
+    dumps routinely end with a trailing newline or carry empty separator
+    lines, and ``from_json`` parses them to an all-null struct with a
+    null ``_corrupt_record`` — i.e. a phantom "clean" document with no
+    fields. They are not documents and not malformed JSON, so neither
+    the clean nor the quarantine branch should count them (pinned by
+    test_jsonl_blank_lines_are_not_documents).
+    """
     parsed = F.from_json(
         "value",
         f"{schema}, {CORRUPT_COL} string",
         {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
     )
-    return spark.read.text(path).select(parsed.alias("j")).select("j.*")
+    return (
+        spark.read.text(path)
+        .where(F.trim("value") != "")
+        .select(parsed.alias("j"))
+        .select("j.*")
+    )
 
 
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -393,8 +393,21 @@ def dedup_stream_vs_index(
     stream-static contract), then ``dropDuplicates`` on the digest for
     within-stream repeats (16 B of state per UNIQUE new document; the
     index handles everything historical, so state grows only with
-    genuinely novel content — this is what keeps unbounded-stream exact
-    dedup tractable: the index absorbs state at every batch compaction).
+    genuinely novel content).
+
+    STATE-BOUND CONTRACT, stated precisely: ``dropDuplicates`` without a
+    watermark retains every novel digest for the LIFE OF THE QUERY —
+    refreshing the static index does NOT evict state already inside the
+    running query; only a query RESTART does. The operational loop is
+    therefore: periodically fold the sink's digests into the index and
+    restart the stream, which resumes with empty dedup state because the
+    anti-join now filters everything historical. Between restarts, state
+    grows at (novel-doc rate × time-since-restart) × 16 B. When rows
+    carry event time, ``dropDuplicatesWithinWatermark`` bounds state
+    without restarts at the cost of admitting duplicates older than the
+    watermark — the wrong trade for exact corpus dedup, where a repeat
+    of last month's document must still be dropped (that is the index's
+    job, which is why the restart loop is the recommended deployment).
 
     ``seen_digests``: 1-column static frame of md5 hex digests. Output:
     the surviving rows with ``digest_col`` attached (a foreachBatch sink

@@ -442,3 +442,40 @@ def test_cli_curate_end_to_end(spark, tmp_path, capsys):
     )
     assert rc == 0
     assert "kept 2" in capsys.readouterr().out
+
+
+def test_cli_curate_input_format_sniff(spark, tmp_path, capsys):
+    """Format sniffing for file inputs goes strictly by extension: a
+    single .parquet FILE reads as parquet (previously any non-directory
+    was parsed as JSONL, quarantining binary parquet rows as corrupt),
+    and an extension the sniffer cannot classify fails loudly."""
+    import pytest
+
+    from ixmp_spark.cli import main as cli_main
+
+    good = (
+        "the quick brown fox jumps over that lazy dog with great energy "
+        "and a steady purpose every single day"
+    )
+    pq_dir = tmp_path / "one_part"
+    spark.createDataFrame(
+        [(1, good, "en", "s", len(good))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(str(pq_dir))
+    import glob
+    import shutil
+
+    part = glob.glob(str(pq_dir / "part-*.parquet"))[0]
+    single = tmp_path / "corpus.parquet"
+    shutil.copy(part, single)
+    out = tmp_path / "curated_pq"
+    rc = cli_main(["curate", str(single), str(out), "--min-words", "5"])
+    assert rc == 0
+    msg = capsys.readouterr().out
+    assert "read 1 docs" in msg and "kept 1" in msg
+    assert spark.read.parquet(str(out)).count() == 1
+    # unknown extension: loud failure, not silent misparse
+    mystery = tmp_path / "corpus.bin"
+    mystery.write_bytes(b"\x00\x01\x02")
+    with pytest.raises(SystemExit, match="cannot infer input format"):
+        cli_main(["curate", str(mystery), str(tmp_path / "x")])

@@ -451,6 +451,29 @@ def test_jsonl_read_quarantines_corrupt_lines(spark, tmp_path):
     assert "not json at all" in bad_lines[0] or "not json at all" in bad_lines[1]
 
 
+def test_jsonl_blank_lines_are_not_documents(spark, tmp_path):
+    """Blank / whitespace-only lines (trailing newline, separator lines)
+    must appear in NEITHER the clean nor the quarantine frame: they parse
+    to all-null structs with a null _corrupt_record, which previously
+    fabricated phantom clean documents and inflated curate's n_in."""
+    from ixmp_spark.sources.docs_io import read_documents_jsonl, split_corrupt
+
+    p = tmp_path / "corpus.jsonl"
+    p.write_text(
+        "\n"  # leading blank
+        '{"doc_id": 1, "text": "a", "lang": "en", "source": "s", '
+        '"n_chars": 1}\n'
+        "   \n"  # whitespace-only separator
+        "not json\n"
+        '{"doc_id": 2, "text": "b", "lang": "en", "source": "s", '
+        '"n_chars": 1}\n'
+        "\n\n"  # trailing blanks
+    )
+    clean, bad = split_corrupt(read_documents_jsonl(spark, str(p)))
+    assert sorted(r["doc_id"] for r in clean.collect()) == [1, 2]
+    assert bad.count() == 1  # only the genuinely malformed line
+
+
 def test_jsonl_roundtrip_with_part_cap(spark, sf_dir, tmp_path):
     """write → read round-trip preserves the corpus; maxRecordsPerFile
     bounds part size (multiple parts emerge) and gzip parts decompress

@@ -47,15 +47,20 @@ def test_no_python_udf_in_catalog(spark, sf_dir):
     """Core + LLM queries must stay JVM-side (no BatchEvalPython /
     ArrowEvalPython nodes) — UDFs are reserved for genuinely
     non-expressible ops, which must be explicitly allowlisted in
-    tools/audit_plans.py:PYUDF_OK with their justification (currently
-    only t15: unicodedata.normalize has no Spark built-in)."""
-    from tools.audit_plans import PYUDF_OK
+    tools/audit_plans.py:PYUDF_OK with their justification (t15:
+    unicodedata.normalize has no Spark built-in; t13/m1/m2: Arrow
+    mapInPandas kernels for BPE word-encode and binary media decode).
+    The check covers the WHOLE family of Python stages — EvalPython
+    (row-at-a-time + ArrowEvalPython) and the mapInPandas /
+    applyInPandas node names, which carry no 'EvalPython' substring."""
+    from tools.audit_plans import _PYTHON_STAGES, PYUDF_OK
 
     for name, fn in QUERIES.items():
         if name in PYUDF_OK:
             continue
         plan = formatted_plan(fn(spark, sf_dir))
-        assert "EvalPython" not in plan, f"{name} fell off the JVM path"
+        hits = [s for s in _PYTHON_STAGES if s in plan]
+        assert not hits, f"{name} fell off the JVM path: {hits}"
 
 
 def test_topk_is_take_ordered(spark, sf_dir):

@@ -1550,6 +1550,22 @@ def test_pq_code_compression_shape(spark, sf_dir):
     }
 
 
+def test_pq_thin_training_sample_fails_actionably(spark, sf_dir):
+    """A train_fraction that samples fewer rows than 2**bits centroids
+    must raise a clear ValueError naming the knob, not die inside KMeans
+    with a cryptic fit error (and an empty sample likewise)."""
+    import pytest
+
+    from ixmp_spark.operators.similarity import pq_train_encode
+    from ixmp_spark.queries import load
+
+    emb = load(spark, sf_dir, "embeddings").limit(50)
+    with pytest.raises(ValueError, match="train_fraction"):
+        pq_train_encode(
+            emb, "vec_id", "embedding", m=8, bits=4, train_fraction=1e-6
+        )
+
+
 def test_event_transitions_hand_computed(spark):
     """Transition counts and P(dst|src) on a hand-checkable path set;
     same-timestamp ties resolved by the order column."""

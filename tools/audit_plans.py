@@ -43,7 +43,23 @@ SHUFFLE_OK = {"d3_minhash_lsh"}
 #: hot path must stay JVM-side.
 PYUDF_OK = {
     "t15_unicode_normalize",  # unicodedata.normalize — no Spark built-in
+    "t13_bpe_encode",  # Arrow mapInPandas over DISTINCT words only (broadcast merge table)
+    "m1_media_features",  # Arrow mapInPandas binary decode — no JVM codec surface
+    "m2_audio_features",  # Arrow mapInPandas binary decode — no JVM codec surface
 }
+
+#: every physical-plan node name that means "rows leave the JVM for
+#: Python". EvalPython covers row-at-a-time AND ArrowEvalPython (pandas
+#: UDF) via substring; the mapInPandas / applyInPandas families have
+#: their own node names and previously slipped past the audit unflagged.
+_PYTHON_STAGES = (
+    "EvalPython",  # BatchEvalPython + ArrowEvalPython
+    "MapInPandas",
+    "FlatMapGroupsInPandas",  # applyInPandas
+    "FlatMapCoGroupsInPandas",  # cogroup.applyInPandas
+    "MapInArrow",
+    "PythonMapInArrow",
+)
 
 #: nodes that pass data through without changing its cardinality class
 _PASS_THROUGH = {
@@ -119,8 +135,9 @@ def main() -> int:
             issues.append("CartesianProduct")
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
             issues.append("BroadcastNestedLoopJoin")
-        if "EvalPython" in plan and name not in PYUDF_OK:
-            issues.append("Python UDF in plan")
+        py_hits = [s for s in _PYTHON_STAGES if s in plan]
+        if py_hits and name not in PYUDF_OK:
+            issues.append(f"Python stage in plan ({'/'.join(py_hits)})")
         # one count per shuffle-exchange NODE (detail-block headers name
         # each node exactly once; tree lines would double-count, and
         # BroadcastExchange / ReusedExchange are different node names)
