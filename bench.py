@@ -76,7 +76,21 @@ BENCH_QUERIES = [
 # NOTES_r5 instead.
 
 
-def _ingest_bench(spark, n: int) -> float:
+def _ingest_bench(spark, n: int) -> tuple[float, dict[str, float]]:
+    """Run the add_par-shaped bulk ingest once; returns (total_s, phases).
+
+    Phase split (VERDICT r5 #1 — attribute drift, don't shrug at it):
+
+    - ``plan_validate_collect`` — the ``add_par_bulk`` call: plan build,
+      the fused count+violation Spark job, the Arrow ``toPandas``
+      collect and pandas-side merge. CPU/executor-bound.
+    - ``commit_write`` — the ``commit`` call: the pyarrow single-file
+      parquet write of the merged table. tmp-DISK-bound.
+
+    A swing confined to ``commit_write`` that tracks ``disk_probe_ms``
+    in the emitted ``sys`` block is host storage drift; a swing in
+    ``plan_validate_collect`` with stable load/disk context is a plan
+    or code regression and must be chased to a commit."""
     import math
     import shutil
     import tempfile
@@ -105,10 +119,47 @@ def _ingest_bench(spark, n: int) -> float:
         t0 = time.perf_counter()
         # cross-product generator → keys unique by construction
         scen.add_par_bulk("p", src, unit="GWa", assume_unique=True)
+        t1 = time.perf_counter()
         scen.commit("bulk add_par")
-        return time.perf_counter() - t0
+        t2 = time.perf_counter()
+        return t2 - t0, {
+            "plan_validate_collect": t1 - t0,
+            "commit_write": t2 - t1,
+        }
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def _sys_context() -> dict:
+    """Cheap host-drift witnesses recorded alongside the numbers: load
+    average (competing work on a shared sandbox), tmp-disk free bytes,
+    and a raw tmp-disk write+fsync probe (64 MiB) — the microbenchmark
+    that moves when the host's storage is the thing that drifted."""
+    import tempfile
+
+    ctx: dict = {}
+    try:
+        ctx["loadavg_1m"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
+    try:
+        st = os.statvfs(tempfile.gettempdir())
+        ctx["tmp_free_gb"] = round(st.f_bavail * st.f_frsize / 2**30, 1)
+    except OSError:
+        pass
+    try:
+        buf = os.urandom(1 << 20) * 64  # 64 MiB, incompressible
+        t0 = time.perf_counter()
+        with tempfile.NamedTemporaryFile(dir=tempfile.gettempdir()) as f:
+            f.write(buf)
+            f.flush()
+            os.fsync(f.fileno())
+            ctx["disk_probe_ms"] = round(
+                (time.perf_counter() - t0) * 1000, 1
+            )
+    except OSError:
+        pass
+    return ctx
 
 
 REPS = 3
@@ -147,6 +198,8 @@ def main() -> None:
 
     samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
     samples["ingest_add_par_1e6"] = []
+    ingest_phases: dict[str, list[float]] = {}
+    sys_ctx = [_sys_context()]  # before the timed loop
     for _ in range(REPS):
         for name in BENCH_QUERIES:
             t0 = time.perf_counter()
@@ -161,7 +214,11 @@ def main() -> None:
         # reference perf parity (BASELINE.md): add_par-shaped bulk ingest
         # of a random 2-D parameter (testing/data.py:293–319 shape:
         # ceil(sqrt(N))² cross product, U[0,1) values, unit GWa)
-        samples["ingest_add_par_1e6"].append(_ingest_bench(spark, 1_000_000))
+        tot, phases = _ingest_bench(spark, 1_000_000)
+        samples["ingest_add_par_1e6"].append(tot)
+        for ph, v in phases.items():
+            ingest_phases.setdefault(ph, []).append(v)
+    sys_ctx.append(_sys_context())  # after — did the host change under us?
 
     timings = {name: round(_median(ts), 4) for name, ts in samples.items()}
     spread = {
@@ -177,6 +234,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spread,
+                "ingest_phases": {
+                    ph: {
+                        "median": round(_median(ts), 4),
+                        "spread": [round(min(ts), 4), round(max(ts), 4)],
+                    }
+                    for ph, ts in ingest_phases.items()
+                },
+                "sys": {"before": sys_ctx[0], "after": sys_ctx[-1]},
                 "reps": REPS,
                 "sf": sf,
             }

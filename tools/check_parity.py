@@ -2,15 +2,30 @@
 on Spark AND its DuckDB oracle over the same parquet, compare row count,
 schema (sorted column names), and an order-insensitive value hash.
 
+Also the catalog's only full-coverage TIMING sweep (VERDICT r5 #2): the
+driver bench times 28 headline queries, leaving ~100 catalog queries
+with no wall-clock signal — a 10× regression in, say, bpe_encode would
+be invisible. Since this tool already executes every query, it records
+per-query Spark wall time (plan build + execute + toPandas, one rep —
+a regression tripwire, not a steady-state benchmark) into
+``TIMINGS_CATALOG.json``, committed per round so round-over-round deltas
+are diffable.
+
 Usage: python tools/check_parity.py [sf_dir] [query ...]
+(the timing JSON is only written on full-catalog runs)
 """
 
 from __future__ import annotations
 
+import json
+import os
 import sys
+import time
 
 import duckdb
 import pandas as pd
+
+TIMINGS_PATH = os.path.join(os.path.dirname(__file__), "..", "TIMINGS_CATALOG.json")
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -95,12 +110,15 @@ def main() -> int:
         )
 
     failures = []
+    timings: dict[str, float] = {}
     for name, fn in sorted(QUERIES.items()):
         if only and name not in only:
             continue
         try:
+            t0 = time.perf_counter()
             sdf = fn(spark, sf_dir)
             spdf = sdf.toPandas()
+            timings[name] = round(time.perf_counter() - t0, 4)
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
@@ -141,6 +159,23 @@ def main() -> int:
         else:
             print(f"ok    {name}: {len(a)} rows")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    if not only:  # full-catalog run → persist the timing sweep
+        top = sorted(timings.items(), key=lambda kv: -kv[1])[:20]
+        with open(TIMINGS_PATH, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(timings),
+                    "total_s": round(sum(timings.values()), 2),
+                    "top20": dict(top),
+                    "queries": timings,
+                },
+                f,
+                indent=1,
+                sort_keys=False,
+            )
+        print(f"timing sweep -> {os.path.normpath(TIMINGS_PATH)}; top-5: "
+              + ", ".join(f"{n}={t:.2f}s" for n, t in top[:5]))
     return 1 if failures else 0
 
 

@@ -10,6 +10,7 @@ is visible as a slope, not a guess. Usage:
     python tools/scale_rehearsal.py [sf_dir] [factors...]
     python tools/scale_rehearsal.py --embeddings [sf_dir] [factors...]
     python tools/scale_rehearsal.py --text [sf_dir] [factors...]
+    python tools/scale_rehearsal.py --events [sf_dir] [factors...]
 
 Defaults: /root/testdata/sf0.1 and factors 1 4 20 (5k / 20k / 100k docs);
 embeddings mode defaults to factors 5 25 125 (10k / 50k / 250k vectors,
@@ -237,6 +238,103 @@ def main_text() -> None:
     print(json.dumps({"sf_dir": sf_dir, "mode": "text", "results": results}))
 
 
+def amplify_events(events: DataFrame, factor: int, bot_permille: int) -> DataFrame:
+    """factor replicas per event with fresh event ids and per-replica
+    time offsets; ``bot_permille``/1000 of ALL rows are then reassigned
+    to a single bot user (user_id = -1) — the deliberate hot key. The
+    event-family operators all partition windows by user, so one user
+    holding 30–50%% of a 100 TB event log is the family's only skew
+    axis: every other stage is a keyed aggregation AQE can split.
+    ``bot_permille=0`` is the uniform control at identical n, isolating
+    the skew penalty from plain data growth."""
+    out = events
+    if factor > 1:
+        r = F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("rep")
+        out = events.select(
+            "event_id", "ts", "user_id", "event_type", "value", r
+        ).select(
+            (F.col("event_id") * factor + F.col("rep")).alias("event_id"),
+            # spread replicas in time so the bot's stream has distinct,
+            # interleaved timestamps (not factor copies of one instant)
+            (F.col("ts") + F.make_interval(secs=F.col("rep") * 7)).alias("ts"),
+            # replicas become distinct users — growth adds users (the
+            # realistic axis), not events-per-user
+            (F.col("user_id") * factor + F.col("rep")).alias("user_id"),
+            "event_type",
+            "value",
+        )
+    if not bot_permille:
+        return out
+    is_bot = F.pmod(F.xxhash64("event_id", F.lit("bot")), F.lit(1000)) < bot_permille
+    return out.withColumn(
+        "user_id", F.when(is_bot, F.lit(-1)).otherwise(F.col("user_id"))
+    )
+
+
+def main_events() -> None:
+    """Skew rehearsal for the event/session family (VERDICT r5 #3): per
+    factor, run g1 sessionize / g5 transitions / g6 top_paths / w10
+    z-score twice — uniform users vs a bot user holding ~40% of rows —
+    and report both, so the hot-key penalty is a measured ratio at each
+    scale, not a guess."""
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    factors = [int(x) for x in sys.argv[3:]] or [1, 10, 50]
+
+    from ixmp_spark.operators.sessions import (
+        event_transitions,
+        sessionize,
+        top_paths,
+        zscore_anomalies,
+    )
+
+    spark = get_spark("scale_rehearsal_events")
+    base = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    results: dict[str, dict[str, dict[int, float]]] = {}
+
+    for factor in factors:
+        for variant, permille in (("uniform", 0), ("bot40", 400)):
+            ev = amplify_events(base, factor, permille).repartition(
+                spark.sparkContext.defaultParallelism
+            ).persist()
+            n = ev.count()
+            hot = ev.where("user_id = -1").count()
+            print(
+                f"-- factor {factor} [{variant}]: {n} events, "
+                f"hot user holds {hot} ({hot / n:.0%})",
+                file=sys.stderr,
+            )
+
+            t0 = time.time()
+            sessionize(ev, "user_id", "ts", 1800, "event_id").count()
+            results.setdefault("g1_sessionize", {}).setdefault(variant, {})[n] = (
+                time.time() - t0
+            )
+
+            t0 = time.time()
+            event_transitions(ev, "user_id", "ts", "event_type", "event_id").count()
+            results.setdefault("g5_transitions", {}).setdefault(variant, {})[n] = (
+                time.time() - t0
+            )
+
+            t0 = time.time()
+            top_paths(ev, "user_id", "ts", "event_type", "event_id", length=3).count()
+            results.setdefault("g6_top_paths", {}).setdefault(variant, {})[n] = (
+                time.time() - t0
+            )
+
+            t0 = time.time()
+            zscore_anomalies(ev, "user_id", "ts", "event_id", "value").count()
+            results.setdefault("w10_zscore", {}).setdefault(variant, {})[n] = (
+                time.time() - t0
+            )
+
+            ev.unpersist()
+
+    print(json.dumps({"sf_dir": sf_dir, "mode": "events", "results": results}))
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     factors = [int(x) for x in sys.argv[2:]] or [1, 4, 20]
@@ -291,5 +389,7 @@ if __name__ == "__main__":
         main_embeddings()
     elif len(sys.argv) > 1 and sys.argv[1] == "--text":
         main_text()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--events":
+        main_events()
     else:
         main()
