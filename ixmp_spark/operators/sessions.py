@@ -19,6 +19,7 @@ def sessionize(
     ts_col: str,
     gap_seconds: int,
     tie_break: str,
+    bucket: str | None = None,
 ) -> DataFrame:
     """Assign a per-user session id: a new session starts when the gap to
     the previous event exceeds ``gap_seconds``.
@@ -26,16 +27,63 @@ def sessionize(
     lag + running sum of new-session flags — two window passes over the
     same (user) partitioning, so one shuffle total. Deterministic total
     order via (ts, tie_break).
-    """
+
+    ``bucket`` (e.g. ``"day"``): the hot-key form — identical session
+    ids (same oracle) with BOUNDED window partitions. A session id is a
+    running count, so it chunks by prefix-sum decomposition rather than
+    row carries: (1) sessionize each (user, time-bucket) partition
+    locally; (2) per user, over the per-BUCKET summary rows (first/last
+    event ts, local session count — one row per non-empty bucket, so
+    this window is bounded by the time range, not the event rate),
+    decide whether each bucket's first local session continues the
+    previous bucket's last session (boundary gap ≤ ``gap_seconds``) and
+    prefix-sum the global session-count offsets; (3) join the offsets
+    back on (user, bucket) and shift:
+    ``session_id = offset + local_id - merged``. Measured in the
+    --events rehearsal: the plain plan bends 4.2× when one bot user
+    holds 40% of 5M rows; this form caps every task at rate × bucket."""
     w = Window.partitionBy(user_col).orderBy(ts_col, tie_break)
+    if bucket is not None:
+        w = Window.partitionBy(user_col, "__b").orderBy(ts_col, tie_break)
+        df = df.withColumn("__b", F.date_trunc(bucket, F.col(ts_col)))
     # cast("double") = epoch seconds incl. fractional part — matches
     # DuckDB's epoch(); an integer-seconds cast would truncate microseconds
     # and misclassify gaps right at the threshold.
     gap = F.col(ts_col).cast("double") - F.lag(F.col(ts_col).cast("double")).over(w)
     new_sess = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
-    return df.withColumn(
+    local = df.withColumn(
         "session_id",
         F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    if bucket is None:
+        return local
+    summary = local.groupBy(user_col, "__b").agg(
+        F.max("session_id").alias("__n_local"),
+        F.min(F.col(ts_col).cast("double")).alias("__first"),
+        F.max(F.col(ts_col).cast("double")).alias("__last"),
+    )
+    wu = Window.partitionBy(user_col).orderBy("__b")
+    merged = F.when(
+        F.col("__first") - F.lag("__last").over(wu) <= gap_seconds, 1
+    ).otherwise(0)
+    offsets = summary.withColumn("__merged", merged).select(
+        user_col,
+        "__b",
+        "__merged",
+        F.coalesce(
+            F.sum(F.col("__n_local") - F.col("__merged")).over(
+                wu.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("__offset"),
+    )
+    return (
+        local.join(offsets, [user_col, "__b"])
+        .withColumn(
+            "session_id",
+            F.col("__offset") + F.col("session_id") - F.col("__merged"),
+        )
+        .drop("__b", "__offset", "__merged")
     )
 
 
@@ -54,6 +102,94 @@ def tumbling_agg(
     )
 
 
+def _lead_steps_chunked(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    event_col: str,
+    order_col: str,
+    length: int,
+    bucket: str,
+) -> DataFrame:
+    """Exact decomposition of ``[event, lead(event,1..length-1)]`` over a
+    per-user window into BOUNDED partitions — the hot-key mitigation for
+    the event family's only skew axis (measured in the --events
+    rehearsal: one bot user holding 40% of 5M rows made the plain
+    single-window plan 4.6–5.7× slower; at 100 TB that task never
+    finishes).
+
+    Plain plan: ``Window.partitionBy(user)`` puts a user's WHOLE history
+    in one task — partition size scales with data volume. Chunked plan:
+    partition by ``(user, time-bucket)``, so each task is bounded by the
+    key's event RATE × bucket span, which no amount of retained history
+    changes.
+
+    Bucket boundaries are healed exactly with head-row carries: a row's
+    forward chain needs at most ``length-1`` events past its bucket's
+    end, and any such event is necessarily among the first ``length-1``
+    rows of ITS OWN bucket (if it were later, the rows before it in its
+    bucket would fill the chain first). So: take each bucket's first
+    ``length-1`` rows ("heads"), order heads per user (a window whose
+    partitions hold ≤ (length-1) × #buckets rows — bounded by the TIME
+    RANGE, not the data rate), and lag their bucket ids to find, for
+    every head, up to ``length-1`` EARLIER buckets whose chains need it.
+    Replicate the head into each such bucket as a context-only carry
+    row: within the (user, bucket) partition the original rows plus
+    carries, in time order, reproduce the user's true event sequence as
+    far as any in-bucket row's chain reaches. Carries contribute lead
+    CONTEXT but emit no output rows (extra, later-than-needed carries
+    sort past the reachable horizon and are never read). Exactness —
+    chunked ≡ plain row-for-row, sparse single-row buckets included —
+    is pinned by tests and by the g5b/g6b catalog entries sharing
+    g5/g6's oracles."""
+    b = F.date_trunc(bucket, F.col(ts_col))
+    base = df.select(
+        F.col(user_col).alias("__u"),
+        F.col(ts_col).alias("__t"),
+        F.col(order_col).alias("__o"),
+        F.col(event_col).alias("__e"),
+        b.alias("__b"),
+    )
+    wb = Window.partitionBy("__u", "__b").orderBy("__t", "__o")
+    heads = (
+        base.withColumn("__rn", F.row_number().over(wb))
+        .where(F.col("__rn") < length)
+        .drop("__rn")
+    )
+    wu = Window.partitionBy("__u").orderBy("__t", "__o")
+    prev_buckets = F.array(
+        *[F.lag("__b", i).over(wu) for i in range(1, length)]
+    )
+    carries = (
+        heads.withColumn(
+            "__tgts",
+            F.array_distinct(
+                F.filter(
+                    prev_buckets,
+                    lambda x: x.isNotNull() & (x < F.col("__b")),
+                )
+            ),
+        )
+        .select(
+            "__u", "__t", "__o", "__e",
+            F.explode("__tgts").alias("__b"),
+            F.lit(True).alias("__carry"),
+        )
+    )
+    allr = base.withColumn("__carry", F.lit(False)).unionByName(carries)
+    steps = [F.col("__e")] + [
+        F.lead("__e", i).over(wb) for i in range(1, length)
+    ]
+    return (
+        allr.select(
+            "__carry",
+            *[s.alias(f"step_{i}") for i, s in enumerate(steps)],
+        )
+        .where(~F.col("__carry"))
+        .drop("__carry")
+    )
+
+
 def event_transitions(
     df: DataFrame,
     user_col: str = "user_id",
@@ -61,6 +197,7 @@ def event_transitions(
     event_col: str = "event_type",
     order_col: str = "event_id",
     k: int = 50,
+    bucket: str | None = None,
 ) -> DataFrame:
     """Markov transition matrix over per-user event paths: for each
     observed (src → dst) consecutive pair, its count and the conditional
@@ -74,19 +211,38 @@ def event_transitions(
     global top-k is TakeOrderedAndProject — the pair table (|event
     types|²) is never globally sorted. ``order_col`` breaks same-
     timestamp ties so the path — and therefore the matrix — is a pure
-    function of the data, not the partitioning."""
-    w = Window.partitionBy(user_col).orderBy(
-        F.col(ts_col), F.col(order_col)
-    )
-    pairs = (
-        df.select(
-            F.col(event_col).alias("src"),
-            F.lead(event_col).over(w).alias("dst"),
+    function of the data, not the partitioning.
+
+    ``bucket`` (e.g. ``"day"``, ``"hour"``): compute the SAME matrix via
+    :func:`_lead_steps_chunked` — identical output (same oracle), but
+    window partitions bounded by per-key rate × bucket instead of
+    whole-key history. Use it when any single key can hold an unbounded
+    share of the stream (bot traffic, service accounts)."""
+    if bucket is not None:
+        stepped = _lead_steps_chunked(
+            df, user_col, ts_col, event_col, order_col, 2, bucket
         )
-        .where(F.col("dst").isNotNull())
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+        pairs = (
+            stepped.select(
+                F.col("step_0").alias("src"), F.col("step_1").alias("dst")
+            )
+            .where(F.col("dst").isNotNull())
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+    else:
+        w = Window.partitionBy(user_col).orderBy(
+            F.col(ts_col), F.col(order_col)
+        )
+        pairs = (
+            df.select(
+                F.col(event_col).alias("src"),
+                F.lead(event_col).over(w).alias("dst"),
+            )
+            .where(F.col("dst").isNotNull())
+            .groupBy("src", "dst")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
     src_total = Window.partitionBy("src")
     return (
         pairs.withColumn(
@@ -105,6 +261,7 @@ def zscore_anomalies(
     value_col: str = "value",
     window: int = 5,
     threshold: float = 2.0,
+    bucket: str | None = None,
 ) -> DataFrame:
     """Trailing-window z-score anomaly detection per key: each value is
     compared against the mean/stddev of the PREVIOUS ``window``
@@ -116,12 +273,64 @@ def zscore_anomalies(
     task. Rows without a computable baseline (fewer than 2 prior
     observations, or zero variance) get ``z = NULL`` and are never
     flagged — a constant series then alarms only via the caller's
-    absolute-delta gates, not a 0/0."""
-    w = (
-        Window.partitionBy(key_col)
-        .orderBy(F.col(ts_col), F.col(order_col))
-        .rowsBetween(-window, -1)
-    )
+    absolute-delta gates, not a 0/0.
+
+    ``bucket``: hot-key form — identical output with (key, time-bucket)
+    window partitions. The trailing frame needs at most ``window`` rows
+    from before the bucket, and any such row is among the LAST
+    ``window`` rows of its own bucket (tail rows — the time-mirror of
+    ``_lead_steps_chunked``'s head rows); tails are replicated forward
+    into the up-to-``window`` later buckets whose frames reach them, as
+    context-only carry rows. Extra too-early carries sort before the
+    reachable frame and are never read."""
+    is_carry = F.lit(False)
+    if bucket is not None:
+        b = F.date_trunc(bucket, F.col(ts_col))
+        base = df.select(
+            order_col, key_col, value_col, ts_col, b.alias("__b")
+        ).withColumn("__carry", F.lit(False))
+        rev = Window.partitionBy(key_col, "__b").orderBy(
+            F.desc(ts_col), F.desc(order_col)
+        )
+        tails = (
+            base.withColumn("__rn", F.row_number().over(rev))
+            .where(F.col("__rn") <= window)
+            .drop("__rn", "__carry")
+        )
+        wu = Window.partitionBy(key_col).orderBy(
+            F.col(ts_col), F.col(order_col)
+        )
+        next_buckets = F.array(
+            *[F.lead("__b", i).over(wu) for i in range(1, window + 1)]
+        )
+        carries = tails.withColumn(
+            "__tgts",
+            F.array_distinct(
+                F.filter(
+                    next_buckets, lambda x: x.isNotNull() & (x > F.col("__b"))
+                )
+            ),
+        ).select(
+            order_col,
+            key_col,
+            value_col,
+            ts_col,
+            F.explode("__tgts").alias("__b"),
+            F.lit(True).alias("__carry"),
+        )
+        df = base.unionByName(carries)
+        w = (
+            Window.partitionBy(key_col, "__b")
+            .orderBy(F.col(ts_col), F.col(order_col))
+            .rowsBetween(-window, -1)
+        )
+        is_carry = F.col("__carry")
+    else:
+        w = (
+            Window.partitionBy(key_col)
+            .orderBy(F.col(ts_col), F.col(order_col))
+            .rowsBetween(-window, -1)
+        )
     mu = F.avg(value_col).over(w)
     sd = F.stddev_samp(value_col).over(w)
     z = F.when(
@@ -134,7 +343,8 @@ def zscore_anomalies(
         F.round(mu, 6).alias("baseline_mean"),
         F.round(z, 6).alias("z"),
         F.coalesce(F.abs(z) > threshold, F.lit(False)).alias("is_anomaly"),
-    )
+        is_carry.alias("__is_carry"),
+    ).where(~F.col("__is_carry")).drop("__is_carry")
 
 
 def top_paths(
@@ -145,6 +355,7 @@ def top_paths(
     order_col: str = "event_id",
     length: int = 3,
     k: int = 20,
+    bucket: str | None = None,
 ) -> DataFrame:
     """Most-frequent event paths of ``length`` consecutive steps per
     user (the journey-analysis companion to ``event_transitions``'
@@ -153,16 +364,31 @@ def top_paths(
     length — then a path aggregation and a TakeOrdered top-k. Paths
     never cross users; rows whose window runs off the end of a user's
     history are excluded (complete paths only). Deterministic via the
-    ``order_col`` tie-break."""
+    ``order_col`` tie-break.
+
+    ``bucket``: hot-key form via :func:`_lead_steps_chunked` — identical
+    output with rate-bounded window partitions (see event_transitions)."""
     if length < 2:
         raise ValueError("length must be >= 2")
-    w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(order_col))
-    steps = [F.col(event_col)] + [
-        F.lead(event_col, i).over(w) for i in range(1, length)
-    ]
+    if bucket is not None:
+        stepped = _lead_steps_chunked(
+            df, user_col, ts_col, event_col, order_col, length, bucket
+        )
+        cols = [F.col(f"step_{i}") for i in range(length)]
+        paths = stepped.select(
+            F.concat_ws(" > ", *cols).alias("path"),
+            cols[-1].alias("__last"),
+        )
+    else:
+        w = Window.partitionBy(user_col).orderBy(F.col(ts_col), F.col(order_col))
+        steps = [F.col(event_col)] + [
+            F.lead(event_col, i).over(w) for i in range(1, length)
+        ]
+        paths = df.select(
+            F.concat_ws(" > ", *steps).alias("path"), steps[-1].alias("__last")
+        )
     return (
-        df.select(F.concat_ws(" > ", *steps).alias("path"), steps[-1].alias("__last"))
-        .where(F.col("__last").isNotNull())
+        paths.where(F.col("__last").isNotNull())
         .groupBy("path")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("path"))

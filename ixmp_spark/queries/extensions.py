@@ -1202,6 +1202,67 @@ def g5_event_transitions(spark, sf_dir):
     return event_transitions(ev)
 
 
+@query(
+    "g5b_transitions_chunked",
+    oracle="""
+    WITH p AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM events
+    ),
+    c AS (
+      SELECT src, dst, CAST(count(*) AS BIGINT) AS n
+      FROM p WHERE dst IS NOT NULL GROUP BY src, dst
+    )
+    SELECT src, dst, n,
+           round(n * 1.0 / sum(n) OVER (PARTITION BY src), 6) AS prob
+    FROM c ORDER BY n DESC, src, dst LIMIT 50
+    """,
+)
+def g5b_transitions_chunked(spark, sf_dir):
+    """g5's hot-key form: the SAME transition matrix (the oracle is
+    byte-identical to g5's — the driver hash proves chunked ≡ plain)
+    computed with (user, day)-bucketed window partitions + head-row
+    carries (operators/sessions.py:_lead_steps_chunked) instead of one
+    whole-history-per-user window. This is the plan to run when any
+    single key can hold an unbounded share of the stream: partition
+    size is bounded by rate × bucket, so a bot user with 40% of a
+    100 TB event log is many bounded tasks, not one straggler (the
+    --events skew rehearsal measured the plain plan bending 4.6× at
+    40% hot-key share)."""
+    from ixmp_spark.operators.sessions import event_transitions
+
+    ev = load(spark, sf_dir, "events")
+    return event_transitions(ev, bucket="day")
+
+
+@query(
+    "g6b_top_paths_chunked",
+    oracle="""
+    WITH p AS (
+      SELECT event_type AS s1,
+             lead(event_type, 1) OVER w AS s2,
+             lead(event_type, 2) OVER w AS s3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT s1 || ' > ' || s2 || ' > ' || s3 AS path,
+           CAST(count(*) AS BIGINT) AS n
+    FROM p WHERE s3 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path LIMIT 20
+    """,
+)
+def g6b_top_paths_chunked(spark, sf_dir):
+    """g6's hot-key form (same oracle as g6 — chunked ≡ plain by driver
+    hash): 3-step journeys via day-bucketed windows + head carries;
+    see g5b for why this survives a 40%-hot-key event log."""
+    from ixmp_spark.operators.sessions import top_paths
+
+    ev = load(spark, sf_dir, "events")
+    return top_paths(ev, length=3, k=20, bucket="day")
+
+
 @query("e7_embed_pq")  # rows-only: KMeans codebooks are engine-specific
 def e7_embed_pq(spark, sf_dir):
     """Product-quantization ANN (Jégou et al. 2011): per-subspace KMeans
@@ -1468,6 +1529,39 @@ def w10_zscore_outliers(spark, sf_dir):
 
     ev = load(spark, sf_dir, "events")
     return zscore_anomalies(ev, window=5, threshold=2.0)
+
+
+@query(
+    "w10b_zscore_chunked",
+    oracle="""
+    SELECT event_id, user_id, value,
+           round(baseline_mean, 6) AS baseline_mean,
+           round(z, 6) AS z,
+           coalesce(abs(z) > 2.0, false) AS is_anomaly
+    FROM (
+      SELECT event_id, user_id, value,
+             avg(value) OVER w AS baseline_mean,
+             CASE WHEN stddev_samp(value) OVER w > 0
+                  THEN (value - avg(value) OVER w)
+                       / stddev_samp(value) OVER w
+             END AS z
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)
+    )
+    """,
+)
+def w10b_zscore_chunked(spark, sf_dir):
+    """w10's hot-key form (oracle byte-identical — the driver hash
+    proves chunked ≡ plain): trailing z-score over (user, day)-bucketed
+    window partitions with tail-row carries
+    (operators/sessions.py:zscore_anomalies bucket=...). The plain
+    whole-history window bent 2.7× under a 40%-hot user in the --events
+    rehearsal; this form's tasks are bounded by rate × bucket."""
+    from ixmp_spark.operators.sessions import zscore_anomalies
+
+    ev = load(spark, sf_dir, "events")
+    return zscore_anomalies(ev, window=5, threshold=2.0, bucket="day")
 
 
 @query(

@@ -280,6 +280,33 @@ def run_available_now(
     return spark.table(query_name)
 
 
+def run_available_now_with_state(
+    stream_df: DataFrame, query_name: str, mode: str = "append"
+) -> tuple[DataFrame, list[dict]]:
+    """Like :func:`run_available_now` but also returns the final
+    micro-batch's ``stateOperators`` progress block (one dict per
+    stateful operator: ``numRowsTotal``, ``memoryUsedBytes``, ...).
+
+    This is how a state-bound CONTRACT becomes a state-bound
+    MEASUREMENT: every stateful operator in this module documents its
+    retention formula (≈ rate × (watermark + interval) for the interval
+    joins, unique-novel-digests for dedup); tests drive a long
+    availableNow run through this helper and assert the observed
+    ``numRowsTotal`` stays inside the documented bound instead of
+    trusting the docstring (VERDICT r5 #4)."""
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    last = q.lastProgress or {}
+    return spark.table(query_name), list(last.get("stateOperators") or [])
+
+
 DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
 
 

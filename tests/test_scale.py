@@ -1550,6 +1550,94 @@ def test_pq_code_compression_shape(spark, sf_dir):
     }
 
 
+def test_chunked_lead_windows_match_plain(spark, sf_dir):
+    """The bucket-chunked forms of event_transitions / top_paths must be
+    row-identical to the plain whole-history windows — including the
+    hard case the head-carry construction exists for: chains that span
+    MULTIPLE buckets because intermediate buckets hold a single event
+    (a 4-step path across 4 distinct days must still assemble)."""
+    from datetime import datetime
+
+    from ixmp_spark.operators.sessions import event_transitions, top_paths
+    from ixmp_spark.queries import load
+
+    # crafted sparse frame: user 1 has one event per day for 6 days
+    # (every >=2-step chain crosses a bucket boundary), user 2 has a
+    # dense day then a 1-event day then a dense day, user 3 ties on ts
+    rows, eid = [], 0
+    for day in range(1, 7):
+        rows.append((eid, datetime(2024, 3, day, 12), 1, f"e{day % 3}", 1.0))
+        eid += 1
+    for h in range(5):
+        rows.append((eid, datetime(2024, 3, 1, 8 + h), 2, f"d{h % 2}", 1.0))
+        eid += 1
+    rows.append((eid, datetime(2024, 3, 2, 9), 2, "gap", 1.0)); eid += 1
+    for h in range(4):
+        rows.append((eid, datetime(2024, 3, 3, 8 + h), 2, f"f{h % 2}", 1.0))
+        eid += 1
+    rows.append((eid, datetime(2024, 3, 4, 10), 3, "t0", 1.0)); eid += 1
+    rows.append((eid, datetime(2024, 3, 4, 10), 3, "t1", 1.0)); eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    for length in (2, 3, 4):
+        plain = top_paths(ev, length=length, k=100).collect()
+        chunk = top_paths(ev, length=length, k=100, bucket="day").collect()
+        assert sorted((r["path"], r["n"]) for r in plain) == sorted(
+            (r["path"], r["n"]) for r in chunk
+        ), f"length={length}"
+    plain = event_transitions(ev, k=100).collect()
+    chunk = event_transitions(ev, k=100, bucket="day").collect()
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, chunk))
+    # and on the real events table at sf0.01
+    real = load(spark, sf_dir, "events")
+    a = top_paths(real, length=4, k=50).collect()
+    b = top_paths(real, length=4, k=50, bucket="day").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_chunked_sessionize_and_zscore_match_plain(spark):
+    """Bucket-chunked sessionize (prefix-sum stitching) and z-score
+    (tail carries) must equal the plain whole-history windows on the
+    crafted hard cases: sessions continuing across bucket boundaries
+    AND across EMPTY buckets; midnight-gap session breaks; z-score
+    baselines straddling boundaries where a bucket holds fewer rows
+    than the trailing window."""
+    from datetime import datetime, timedelta
+
+    from ixmp_spark.operators.sessions import sessionize, zscore_anomalies
+
+    t0 = datetime(2024, 3, 1, 23, 50)
+    rows, eid = [], 0
+    # user 1: session straddles midnight (10-min gaps), then a break,
+    # then a session that spans an EMPTY day (last event 23:59 Mar 2,
+    # next 00:05 Mar 4 — gap > 1800 = new session, but lag must still
+    # find the Mar-2 event from Mar 4)
+    for i in range(4):
+        rows.append((eid, t0 + timedelta(minutes=10 * i), 1, "a", float(i)))
+        eid += 1
+    rows.append((eid, datetime(2024, 3, 2, 23, 59), 1, "a", 9.0)); eid += 1
+    rows.append((eid, datetime(2024, 3, 4, 0, 5), 1, "a", 1.0)); eid += 1
+    rows.append((eid, datetime(2024, 3, 4, 0, 10), 1, "a", 2.0)); eid += 1
+    # user 2: one event per day → every z-baseline crosses buckets
+    for d in range(1, 9):
+        rows.append((eid, datetime(2024, 3, d, 12), 2, "b", float(d * d)))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
+    )
+    plain = sessionize(ev, "user_id", "ts", 1800, "event_id")
+    chunk = sessionize(ev, "user_id", "ts", 1800, "event_id", bucket="day")
+    key = lambda r: (r["user_id"], r["event_id"], r["session_id"])  # noqa: E731
+    assert sorted(map(key, plain.collect())) == sorted(map(key, chunk.collect()))
+
+    zp = zscore_anomalies(ev, window=3).collect()
+    zc = zscore_anomalies(ev, window=3, bucket="day").collect()
+    assert sorted(map(tuple, zp)) == sorted(map(tuple, zc))
+
+
 def test_pq_thin_training_sample_fails_actionably(spark, sf_dir):
     """A train_fraction that samples fewer rows than 2**bits centroids
     must raise a clear ValueError naming the knob, not die inside KMeans

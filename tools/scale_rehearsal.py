@@ -306,8 +306,14 @@ def main_events() -> None:
                 file=sys.stderr,
             )
 
+            # force the window to actually evaluate: a bare .count() lets
+            # Catalyst prune an unused window projection entirely (the
+            # first run of this rehearsal "measured" g1/w10 flat at 5M
+            # rows for exactly that reason)
             t0 = time.time()
-            sessionize(ev, "user_id", "ts", 1800, "event_id").count()
+            sessionize(ev, "user_id", "ts", 1800, "event_id").agg(
+                F.sum("session_id")
+            ).collect()
             results.setdefault("g1_sessionize", {}).setdefault(variant, {})[n] = (
                 time.time() - t0
             )
@@ -324,11 +330,48 @@ def main_events() -> None:
                 time.time() - t0
             )
 
+            # the mitigation, measured side-by-side: day-bucketed window
+            # chunking must flatten the bot40 curve back toward uniform
             t0 = time.time()
-            zscore_anomalies(ev, "user_id", "ts", "event_id", "value").count()
+            event_transitions(
+                ev, "user_id", "ts", "event_type", "event_id", bucket="day"
+            ).count()
+            results.setdefault("g5_transitions_chunked", {}).setdefault(
+                variant, {}
+            )[n] = time.time() - t0
+
+            t0 = time.time()
+            top_paths(
+                ev, "user_id", "ts", "event_type", "event_id",
+                length=3, bucket="day",
+            ).count()
+            results.setdefault("g6_top_paths_chunked", {}).setdefault(
+                variant, {}
+            )[n] = time.time() - t0
+
+            t0 = time.time()
+            zscore_anomalies(ev, "user_id", "ts", "event_id", "value").agg(
+                F.sum(F.col("is_anomaly").cast("long"))
+            ).collect()
             results.setdefault("w10_zscore", {}).setdefault(variant, {})[n] = (
                 time.time() - t0
             )
+
+            t0 = time.time()
+            sessionize(
+                ev, "user_id", "ts", 1800, "event_id", bucket="day"
+            ).agg(F.sum("session_id")).collect()
+            results.setdefault("g1_sessionize_chunked", {}).setdefault(
+                variant, {}
+            )[n] = time.time() - t0
+
+            t0 = time.time()
+            zscore_anomalies(
+                ev, "user_id", "ts", "event_id", "value", bucket="day"
+            ).agg(F.sum(F.col("is_anomaly").cast("long"))).collect()
+            results.setdefault("w10_zscore_chunked", {}).setdefault(
+                variant, {}
+            )[n] = time.time() - t0
 
             ev.unpersist()
 
