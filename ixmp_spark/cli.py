@@ -145,8 +145,48 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--out-format", choices=["parquet", "jsonl"], default="parquet")
     sp.add_argument("--max-records-per-file", type=int, default=None)
 
+    sp = sub.add_parser(
+        "export-shards",
+        help="curated corpus -> shuffled fixed-capacity training shards "
+        "(gate + dedup + pack + shard in ONE pipeline; extension surface)",
+    )
+    sp.add_argument("input", help="corpus path (.jsonl[.gz] file/dir or parquet dir)")
+    sp.add_argument("output", help="output directory (parquet, partitioned by shard)")
+    sp.add_argument("--min-words", type=int, default=50)
+    sp.add_argument("--max-words", type=int, default=100_000)
+    sp.add_argument("--min-stopword-hits", type=int, default=2)
+    sp.add_argument("--no-dedup", action="store_true")
+    sp.add_argument(
+        "--capacity", type=int, default=2048,
+        help="tokens per packed training sequence",
+    )
+    sp.add_argument(
+        "--n-shards", type=int, default=64,
+        help="shard count (the unit of reader parallelism; size so one "
+        "shard fits an executor)",
+    )
+    sp.add_argument("--seed", default="42", help="shuffle/packing seed")
+    sp.add_argument(
+        "--bpe-merges", type=int, default=None,
+        help="train a BPE merge table of this size on the kept corpus and "
+        "shard token PIECES instead of raw text",
+    )
+
     sub.add_parser("show-versions", help="package versions (cli.py:145)")
     return p
+
+
+def _read_corpus(spark, path: str):
+    """Shared curate/export-shards corpus reader: (docs, quarantine|None)
+    by sniffed format."""
+    if _sniff_jsonl(path):
+        from ixmp_spark.sources.docs_io import (
+            read_documents_jsonl,
+            split_corrupt,
+        )
+
+        return split_corrupt(read_documents_jsonl(spark, path))
+    return spark.read.parquet(path), None
 
 
 def _resolve_platform(name_or_path: str) -> str:
@@ -220,16 +260,7 @@ def main(argv: list[str] | None = None) -> int:
         from ixmp_spark.session import get_spark
 
         spark = get_spark("ixmp_spark_cli")
-        is_jsonl = _sniff_jsonl(args.input)
-        if is_jsonl:
-            from ixmp_spark.sources.docs_io import (
-                read_documents_jsonl,
-                split_corrupt,
-            )
-
-            docs, bad = split_corrupt(read_documents_jsonl(spark, args.input))
-        else:
-            docs, bad = spark.read.parquet(args.input), None
+        docs, bad = _read_corpus(spark, args.input)
         n_in = docs.count()
         # attach mode: the gate is a map-side projection ON the scan —
         # one corpus pass, not a select-then-semi-join double scan
@@ -275,6 +306,94 @@ def main(argv: list[str] | None = None) -> int:
         print(
             f"read {n_in} docs ({n_bad} corrupt lines quarantined), "
             f"kept {n_out} -> {args.output}"
+        )
+        return 0
+    if args.cmd == "export-shards":
+        # curated corpus → training shards, END-TO-END in one composed
+        # lazy pipeline: read → gate (map-side projection on the scan) →
+        # exact dedup → tokenize → pack into fixed-capacity sequences →
+        # shuffled shards → parquet partitioned by shard, rows in
+        # (seq, tok_offset) order so a sequential shard reader streams
+        # packed sequences directly. The corpus is scanned TWICE total
+        # (the honest n_in count + the write); every intermediate stage
+        # composes into the single write job.
+        from pyspark.sql import functions as F
+
+        from ixmp_spark.operators.dedup import incremental_dedup
+        from ixmp_spark.operators.sampling import pack_sequences
+        from ixmp_spark.operators.text import gopher_quality_filter, token_count
+        from ixmp_spark.session import get_spark
+
+        spark = get_spark("ixmp_spark_cli")
+        docs, bad = _read_corpus(spark, args.input)
+        n_in = docs.count()
+        signal_cols = [
+            "n_words", "mean_word_len", "symbol_ratio",
+            "alpha_word_frac", "stopword_hits", "keep",
+        ]
+        kept = (
+            gopher_quality_filter(
+                docs, "doc_id", "text",
+                min_words=args.min_words, max_words=args.max_words,
+                min_stopword_hits=args.min_stopword_hits,
+                attach=True,
+            )
+            .where("keep")
+            .drop(*signal_cols)
+        )
+        if not args.no_dedup:
+            empty = spark.createDataFrame([], "digest string")
+            kept = incremental_dedup(kept, empty, "text", "doc_id").drop(
+                "digest"
+            )
+        if args.bpe_merges:
+            from ixmp_spark.operators.text import bpe_encode, bpe_train
+
+            merges = bpe_train(kept, "text", n_merges=args.bpe_merges)
+            # shards carry token pieces, not raw text: bpe_encode's
+            # output (doc_id, pieces, n_tokens) IS the training payload
+            kept = bpe_encode(kept, "doc_id", "text", merges)
+        else:
+            kept = kept.withColumn(
+                "n_tokens", token_count(F.col("text")).cast("long")
+            )
+        packed = pack_sequences(
+            kept, "doc_id", "n_tokens",
+            capacity=args.capacity, n_shards=args.n_shards, seed=args.seed,
+        )
+        (
+            packed.repartition("shard")
+            .sortWithinPartitions("seq", "tok_offset")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(args.output)
+        )
+        # honest counts from the OUTPUT (cheap — it is the curated
+        # subset), never a third scan of the input. A fully-gated corpus
+        # writes only _SUCCESS: report zero, don't die on schemaless read.
+        from pyspark.errors.exceptions.captured import AnalysisException
+
+        try:
+            back = spark.read.parquet(args.output)
+        except AnalysisException:
+            n_bad = bad.count() if bad is not None else 0
+            print(
+                f"read {n_in} docs ({n_bad} corrupt lines quarantined), "
+                f"kept 0; nothing to pack -> {args.output}"
+            )
+            return 0
+        stats = back.agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.sum("n_tokens").alias("toks"),
+            F.countDistinct("shard").alias("shards"),
+            F.countDistinct("shard", "seq").alias("seqs"),
+        ).collect()[0]
+        n_bad = bad.count() if bad is not None else 0
+        print(
+            f"read {n_in} docs ({n_bad} corrupt lines quarantined), "
+            f"kept {stats['docs']}; packed {stats['toks']} tokens into "
+            f"{stats['seqs']} sequences of {args.capacity} across "
+            f"{stats['shards']} shards -> {args.output}"
         )
         return 0
 

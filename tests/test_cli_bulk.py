@@ -444,6 +444,71 @@ def test_cli_curate_end_to_end(spark, tmp_path, capsys):
     assert "kept 2" in capsys.readouterr().out
 
 
+def test_cli_export_shards_end_to_end(spark, tmp_path, capsys):
+    """export-shards: JSONL corpus -> gated, deduped, packed, shuffled
+    training shards in one command. The test reconstructs the packing
+    invariant from the written files: within every shard, walking rows
+    in (seq, tok_offset) order, each document's first token lands at
+    exactly (running tokens so far) — i.e. seq*capacity + tok_offset is
+    the shard's cumulative token count. Gated and duplicate docs are
+    absent; the honest-counts line matches the files."""
+    import re
+
+    from ixmp_spark.cli import main as cli_main
+
+    words = lambda n, tag: " ".join(  # noqa: E731
+        ("the quick brown fox and some lazy dog with it".split())[i % 9]
+        + (tag if i == 0 else "")
+        for i in range(n)
+    )
+    lines = []
+    for i in range(40):
+        lines.append(
+            '{"doc_id": %d, "text": "%s", "lang": "en", "source": "s", '
+            '"n_chars": 1}' % (i, words(20 + i, f"u{i}"))
+        )
+    # exact duplicate of doc 0 under a new id -> deduped
+    lines.append(lines[0].replace('"doc_id": 0', '"doc_id": 900'))
+    # too-short doc -> gated out
+    lines.append(
+        '{"doc_id": 901, "text": "tiny", "lang": "en", "source": "s", '
+        '"n_chars": 4}'
+    )
+    src = tmp_path / "corpus.jsonl"
+    src.write_text("\n".join(lines) + "\n")
+    out = tmp_path / "shards"
+    rc = cli_main(
+        ["export-shards", str(src), str(out), "--min-words", "10",
+         "--capacity", "64", "--n-shards", "4"]
+    )
+    assert rc == 0
+    msg = capsys.readouterr().out
+    m = re.search(
+        r"read 42 docs \(0 corrupt lines quarantined\), kept (\d+); "
+        r"packed (\d+) tokens into (\d+) sequences of 64 across (\d+) shards",
+        msg,
+    )
+    assert m, msg
+    n_kept, n_toks, n_seqs, n_shards = map(int, m.groups())
+    assert n_kept == 40  # dup + tiny doc gone
+    back = spark.read.parquet(str(out)).toPandas()
+    assert len(back) == 40
+    assert back["doc_id"].is_unique and 900 not in set(back["doc_id"])
+    assert 901 not in set(back["doc_id"])
+    assert back["n_tokens"].sum() == n_toks
+    assert back["shard"].nunique() == n_shards
+    # the packing invariant, reconstructed from the files per shard
+    total_seqs = 0
+    for shard, g in back.groupby("shard"):
+        g = g.sort_values(["seq", "tok_offset"]).reset_index(drop=True)
+        running = 0
+        for _, r in g.iterrows():
+            assert r["seq"] * 64 + r["tok_offset"] == running, (shard, dict(r))
+            running += r["n_tokens"]
+        total_seqs += g["seq"].nunique()
+    assert total_seqs == n_seqs
+
+
 def test_cli_curate_input_format_sniff(spark, tmp_path, capsys):
     """Format sniffing for file inputs goes strictly by extension: a
     single .parquet FILE reads as parquet (previously any non-directory
