@@ -149,3 +149,60 @@ def cascade_resolve(
             .alias("source"),
         )
     )
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int,
+    extra_on: Sequence[str] = (),
+) -> DataFrame:
+    """Point-in-interval (containment) join that stays a HASH join at any
+    scale. A raw ``p.ts BETWEEN i.start AND i.end`` predicate with no
+    equality key gives Catalyst nothing to hash on, so large×large plans
+    degenerate to BroadcastNestedLoopJoin / CartesianProduct — the
+    classic range-join scale killer (Databricks ships a dedicated hint
+    for it; open-source Spark has nothing built in).
+
+    The standard bucketization decomposition, exact: each interval is
+    exploded to the time buckets it covers (``sequence`` of
+    ``floor(epoch/bucket)`` — map-side, no Python), points map to their
+    single bucket, the join becomes an equi-join on (bucket, *extra_on)
+    with the BETWEEN predicate as a post-filter. A (point, interval)
+    pair can meet in at most one bucket — the point's own — so no
+    dedup pass is needed.
+
+    Cost model: the interval side is replicated ``len/bucket + 1`` times
+    (``bucket_seconds`` ≈ the typical interval length keeps the factor
+    ≈ 2); the shuffle is hash-partitioned on bucket values, so time
+    skew follows data skew, not join-shape skew. Output: every point
+    row + every matched interval's columns (inner semantics; points in
+    no interval drop out).
+
+    Columns shared by both inputs must be disambiguated by the caller
+    (select/alias first), as with any join."""
+    pb = F.floor(
+        F.col(ts_col).cast("double") / F.lit(float(bucket_seconds))
+    ).cast("long")
+    ib_first = F.floor(
+        F.col(start_col).cast("double") / F.lit(float(bucket_seconds))
+    ).cast("long")
+    ib_last = F.floor(
+        F.col(end_col).cast("double") / F.lit(float(bucket_seconds))
+    ).cast("long")
+    p = points.withColumn("__bk", pb)
+    iv = intervals.withColumn(
+        "__bk", F.explode(F.sequence(ib_first, ib_last))
+    )
+    on = ["__bk", *extra_on]
+    return (
+        p.join(iv, on)
+        .where(
+            (F.col(ts_col) >= F.col(start_col))
+            & (F.col(ts_col) <= F.col(end_col))
+        )
+        .drop("__bk")
+    )

@@ -48,6 +48,52 @@ def j9_left_outer(spark, sf_dir):
 
 
 @query(
+    "j11_range_join",
+    oracle="""
+    WITH iv AS (
+      SELECT event_id AS purchase_id,
+             ts - INTERVAL 30 MINUTE AS start_ts,
+             ts + INTERVAL 30 MINUTE AS end_ts
+      FROM events WHERE event_type = 'purchase' AND value > 0.95
+    )
+    SELECT iv.purchase_id, CAST(count(*) AS BIGINT) AS n_clicks,
+           round(sum(e.value), 4) AS click_value
+    FROM iv JOIN events e
+      ON e.event_type = 'click'
+     AND e.ts >= iv.start_ts AND e.ts <= iv.end_ts
+    GROUP BY iv.purchase_id
+    """,
+)
+def j11_range_join(spark, sf_dir):
+    """Large×large point-in-interval join via bucketization
+    (operators/joins.py:range_join): clicks within ±30 min of any
+    high-value purchase, with NO equality key — the shape a raw BETWEEN
+    join plans as BroadcastNestedLoopJoin and that open-source Spark
+    has no primitive for. Intervals explode to their covered hour
+    buckets (≈2 copies each), the join hashes on the bucket, BETWEEN
+    post-filters; a pair can meet in at most one bucket so the result
+    needs no dedup. The oracle is the naive BETWEEN join — same rows,
+    provably, on an engine where quadratic cost doesn't matter at
+    sf0.01."""
+    from ixmp_spark.operators.joins import range_join
+
+    ev = load(spark, sf_dir, "events")
+    iv = ev.where(
+        (F.col("event_type") == "purchase") & (F.col("value") > 0.95)
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        (F.col("ts") - F.expr("interval 30 minutes")).alias("start_ts"),
+        (F.col("ts") + F.expr("interval 30 minutes")).alias("end_ts"),
+    )
+    pts = ev.where("event_type = 'click'").select("ts", "value")
+    j = range_join(pts, iv, "ts", "start_ts", "end_ts", bucket_seconds=3600)
+    return j.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.round(F.sum("value"), 4).alias("click_value"),
+    )
+
+
+@query(
     "j10_band_join",
     oracle="""
     WITH bands(band, lo, hi) AS (

@@ -1597,6 +1597,44 @@ def test_chunked_lead_windows_match_plain(spark, sf_dir):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+def test_range_join_hand_computed(spark):
+    """Bucketized containment join: boundary timestamps are inclusive
+    both ends, an interval spanning many buckets matches points in each
+    covered bucket exactly once, overlapping intervals each match, and
+    the plan is a hash join (no BNLJ / cartesian) despite having no
+    natural equality key."""
+    from datetime import datetime, timedelta
+
+    from ixmp_spark.operators.joins import range_join
+
+    t0 = datetime(2024, 5, 1, 0, 0)
+
+    def ts(minute):
+        return t0 + timedelta(minutes=minute)
+
+    pts = spark.createDataFrame(
+        [(i, ts(m)) for i, m in enumerate([0, 30, 60, 90, 150, 240])],
+        "pid long, ts timestamp",
+    )
+    iv = spark.createDataFrame(
+        [
+            (1, ts(0), ts(90)),     # spans 2 hour-buckets; pts 0,1,2,3
+            (2, ts(60), ts(60)),    # zero-length: exactly pt 2
+            (3, ts(89), ts(200)),   # overlaps 1; pts 3,4
+        ],
+        "iid long, start_ts timestamp, end_ts timestamp",
+    )
+    got = range_join(pts, iv, "ts", "start_ts", "end_ts", 3600)
+    pairs = sorted((r["iid"], r["pid"]) for r in got.collect())
+    assert pairs == [(1, 0), (1, 1), (1, 2), (1, 3), (2, 2), (3, 3), (3, 4)]
+    plan_buf = got._jdf.queryExecution().executedPlan().toString() if False else None
+    from tools.audit_plans import formatted_plan
+
+    plan = formatted_plan(got)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_chunked_sessionize_and_zscore_match_plain(spark):
     """Bucket-chunked sessionize (prefix-sum stitching) and z-score
     (tail carries) must equal the plain whole-history windows on the

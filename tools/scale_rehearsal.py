@@ -161,6 +161,169 @@ def main_embeddings() -> None:
     print(json.dumps({"sf_dir": sf_dir, "mode": "embeddings", "results": results}))
 
 
+def main_ann_table() -> None:
+    """Comparative ANN quality table (VERDICT r5 #6): one corpus, one
+    probe set, every method side by side — recall@k vs per-query wall
+    time vs the exact brute-force baseline, with index build time
+    reported separately (the amortization argument made visible).
+
+        python tools/scale_rehearsal.py --ann-table [sf_dir] [factor]
+
+    Default factor 25 → 50k vectors (base table 2k × dim-64)."""
+    import random
+
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 25
+    n_probes, k = 8, 10
+
+    from ixmp_spark.operators.similarity import (
+        brute_force_topk,
+        bucketed_topk,
+        ivf_build,
+        ivf_query,
+        pq_topk,
+        pq_train_encode,
+    )
+
+    spark = get_spark("scale_rehearsal_ann")
+    base = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    vecs = amplify_vectors(base, factor).repartition(
+        spark.sparkContext.defaultParallelism
+    ).persist()
+    n = vecs.count()
+    print(f"-- ann table: {n} vectors, {n_probes} probes, k={k}", file=sys.stderr)
+
+    probes = vecs.orderBy("vec_id").limit(n_probes * 40).collect()
+    probes = probes[:: 40][:n_probes]  # spread probe ids
+
+    def probe_df(row):
+        return spark.createDataFrame(
+            [(row["vec_id"], row["embedding"])],
+            "vec_id long, embedding array<double>",
+        )
+
+    table: list[dict] = []
+
+    def run(method: str, build_s: float, fn) -> None:
+        recalls, times = [], []
+        for row in probes:
+            t0 = time.time()
+            got = {r["vec_id"] for r in fn(probe_df(row), row).collect()}
+            times.append(time.time() - t0)
+            recalls.append(len(got & truth[row["vec_id"]]) / k)
+        table.append(
+            {
+                "method": method,
+                "build_s": round(build_s, 2),
+                "query_s": round(sum(times) / len(times), 3),
+                "recall_at_10": round(sum(recalls) / len(recalls), 3),
+            }
+        )
+        print(f"   {table[-1]}", file=sys.stderr)
+
+    # exact baseline: ground truth + the latency everyone is compared to
+    truth = {}
+    bf_times = []
+    for row in probes:
+        t0 = time.time()
+        truth[row["vec_id"]] = {
+            r["vec_id"]
+            for r in brute_force_topk(
+                vecs, probe_df(row), "vec_id", "embedding", k=k
+            ).collect()
+        }
+        bf_times.append(time.time() - t0)
+    table.append(
+        {
+            "method": "brute_force",
+            "build_s": 0.0,
+            "query_s": round(sum(bf_times) / len(bf_times), 3),
+            "recall_at_10": 1.0,
+        }
+    )
+    print(f"   {table[-1]}", file=sys.stderr)
+
+    # sign-LSH: bits sized to the corpus (same rule as e5);
+    # multi_probe is the recall knob
+    import math as _math
+
+    bits = max(8, _math.ceil(_math.log2(max(n, 2) / 400)))
+    rng = random.Random(42)
+    planes = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(bits)]
+    for mp in (0, 1, 2):
+        run(
+            f"sign_lsh_bits{bits}_mp{mp}",
+            0.0,
+            lambda p, row, mp=mp: bucketed_topk(
+                vecs, p, "vec_id", "embedding", planes, k=k, multi_probe=mp
+            ),
+        )
+    # amortized form: buckets assigned once (the index), queries reuse it
+    from ixmp_spark.operators.similarity import hyperplane_lsh_bucket
+
+    t0 = time.time()
+    bucketed = vecs.withColumn(
+        "__bucket", hyperplane_lsh_bucket("embedding", planes)
+    ).persist()
+    bucketed.count()
+    lsh_build_s = time.time() - t0
+    run(
+        f"sign_lsh_prebuilt_bits{bits}_mp1",
+        lsh_build_s,
+        lambda p, row: bucketed_topk(
+            bucketed, p, "vec_id", "embedding", planes, k=k,
+            multi_probe=1, prebucketed=True,
+        ),
+    )
+
+    # IVF: index built once, queries amortize it
+    n_clusters = max(16, n // 3000)
+    t0 = time.time()
+    centers, assigned = ivf_build(vecs, "embedding", n_clusters=n_clusters)
+    assigned = assigned.persist()
+    assigned.count()
+    ivf_build_s = time.time() - t0
+    for np_ in (1, 2, 4):
+        run(
+            f"ivf_c{n_clusters}_p{np_}",
+            ivf_build_s,
+            lambda p, row, np_=np_: ivf_query(
+                assigned, centers, p, "vec_id", "embedding", n_probe=np_, k=k
+            ),
+        )
+
+    # PQ: codebooks trained once; ADC-only vs exact-rerank
+    t0 = time.time()
+    frac = min(1.0, 50_000 / max(n, 1))
+    books, codes = pq_train_encode(
+        vecs, "vec_id", "embedding", m=8, bits=4,
+        train_fraction=None if frac >= 1.0 else frac,
+    )
+    codes = codes.persist()
+    codes.count()
+    pq_build_s = time.time() - t0
+    run(
+        "pq_adc",
+        pq_build_s,
+        lambda p, row: pq_topk(
+            codes.where(F.col("vec_id") != row["vec_id"]),
+            books, row["embedding"], "vec_id", k=k,
+        ),
+    )
+    run(
+        "pq_adc_rerank64",
+        pq_build_s,
+        lambda p, row: pq_topk(
+            codes.where(F.col("vec_id") != row["vec_id"]),
+            books, row["embedding"], "vec_id", k=k,
+            rerank=64, vectors=vecs,
+        ),
+    )
+
+    print(json.dumps({"sf_dir": sf_dir, "mode": "ann_table", "n": n, "k": k,
+                      "n_probes": n_probes, "table": table}))
+
+
 def main_text() -> None:
     """Scaling shape of the text/pipeline family. Cost anatomy differs
     from the dedup family: these are (mostly) single-shuffle aggregation
@@ -434,5 +597,7 @@ if __name__ == "__main__":
         main_text()
     elif len(sys.argv) > 1 and sys.argv[1] == "--events":
         main_events()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--ann-table":
+        main_ann_table()
     else:
         main()
