@@ -144,6 +144,11 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--no-dedup", action="store_true")
     sp.add_argument("--out-format", choices=["parquet", "jsonl"], default="parquet")
     sp.add_argument("--max-records-per-file", type=int, default=None)
+    sp.add_argument(
+        "--quarantine", default=None, metavar="DIR",
+        help="write corrupt JSONL lines (raw line + any parsed fields) "
+        "here for reprocessing instead of just counting them",
+    )
 
     sp = sub.add_parser(
         "export-shards",
@@ -156,6 +161,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--max-words", type=int, default=100_000)
     sp.add_argument("--min-stopword-hits", type=int, default=2)
     sp.add_argument("--no-dedup", action="store_true")
+    sp.add_argument(
+        "--quarantine", default=None, metavar="DIR",
+        help="write corrupt JSONL lines here for reprocessing",
+    )
     sp.add_argument(
         "--capacity", type=int, default=2048,
         help="tokens per packed training sequence",
@@ -187,6 +196,22 @@ def _read_corpus(spark, path: str):
 
         return split_corrupt(read_documents_jsonl(spark, path))
     return spark.read.parquet(path), None
+
+
+def _quarantine_count(spark, bad, path: str | None) -> int:
+    """Count corrupt rows; with ``path``, also persist them (raw line +
+    any fields that did parse) as JSONL for reprocessing — provenance
+    pipelines keep their rejects, they don't just tally them. The count
+    is read back from the written files so it is the number actually
+    quarantined, and the corpus-side frame still runs exactly once."""
+    if bad is None:
+        return 0
+    if path is None:
+        return bad.count()
+    bad.write.mode("overwrite").json(path)
+    # explicit schema: an all-clean corpus writes only _SUCCESS, which
+    # a schema-inferring read refuses
+    return spark.read.schema(bad.schema).json(path).count()
 
 
 def _resolve_platform(name_or_path: str) -> str:
@@ -302,7 +327,7 @@ def main(argv: list[str] | None = None) -> int:
         n_out = spark.read.format(
             "json" if args.out_format == "jsonl" else "parquet"
         ).schema(kept.schema).load(args.output).count()
-        n_bad = bad.count() if bad is not None else 0
+        n_bad = _quarantine_count(spark, bad, args.quarantine)
         print(
             f"read {n_in} docs ({n_bad} corrupt lines quarantined), "
             f"kept {n_out} -> {args.output}"
@@ -376,7 +401,7 @@ def main(argv: list[str] | None = None) -> int:
         try:
             back = spark.read.parquet(args.output)
         except AnalysisException:
-            n_bad = bad.count() if bad is not None else 0
+            n_bad = _quarantine_count(spark, bad, args.quarantine)
             print(
                 f"read {n_in} docs ({n_bad} corrupt lines quarantined), "
                 f"kept 0; nothing to pack -> {args.output}"
@@ -388,7 +413,7 @@ def main(argv: list[str] | None = None) -> int:
             F.countDistinct("shard").alias("shards"),
             F.countDistinct("shard", "seq").alias("seqs"),
         ).collect()[0]
-        n_bad = bad.count() if bad is not None else 0
+        n_bad = _quarantine_count(spark, bad, args.quarantine)
         print(
             f"read {n_in} docs ({n_bad} corrupt lines quarantined), "
             f"kept {stats['docs']}; packed {stats['toks']} tokens into "

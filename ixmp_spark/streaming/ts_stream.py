@@ -228,6 +228,82 @@ def running_user_totals(
     )
 
 
+def zscore_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    value_col: str = "value",
+    window: int = 5,
+    threshold: float = 2.0,
+) -> DataFrame:
+    """Streaming twin of ``sessions.zscore_anomalies`` (w10): per-key
+    trailing-window z-score against the previous ``window`` observations,
+    state carried across micro-batches via ``applyInPandasWithState``.
+
+    Semantics match the batch operator exactly — strictly-preceding
+    frame (a value never baselines itself), mean over up to ``window``
+    prior values, z NULL (never flagged) below 2 priors or at zero
+    variance — so the batch form IS the backfill path and this is the
+    live path, like dedup vs dedup_stream_vs_index.
+
+    State: the last ``window`` values per key — O(window · #keys)
+    bounded regardless of stream length (8 B × window per key). Caller
+    contract: per-key event-time order must hold ACROSS micro-batches
+    (within a batch this operator sorts by (ts, order); across batches
+    the state is a suffix, so an out-of-order replay would baseline
+    against the wrong suffix — feed historical replays in time order,
+    which file/Kafka sources do naturally for time-partitioned data)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{order_col} long, {key_col} long, {value_col} double, "
+        "baseline_mean double, z double, is_anomaly boolean"
+    )
+    state_schema = "vals array<double>"
+
+    def score(key, pdfs, state: GroupState):
+        vals = list(state.get[0]) if state.exists else []
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if rows.empty:
+            return
+        rows = rows.sort_values([ts_col, order_col])
+        out: dict[str, list] = {
+            order_col: [], value_col: [],
+            "baseline_mean": [], "z": [], "is_anomaly": [],
+        }
+        for r in rows.itertuples(index=False):
+            v = float(getattr(r, value_col))
+            base = vals[-window:]
+            mu = float(np.mean(base)) if base else None
+            sd = float(np.std(base, ddof=1)) if len(base) >= 2 else None
+            z = (v - mu) / sd if sd is not None and sd > 0 else None
+            out[order_col].append(int(getattr(r, order_col)))
+            out[value_col].append(v)
+            out["baseline_mean"].append(
+                round(mu, 6) if mu is not None else None
+            )
+            out["z"].append(round(z, 6) if z is not None else None)
+            out["is_anomaly"].append(
+                bool(z is not None and abs(z) > threshold)
+            )
+            vals.append(v)
+        state.update((vals[-window:],))
+        out_pdf = pd.DataFrame(out)
+        out_pdf.insert(1, key_col, key[0])
+        yield out_pdf
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        score,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_timeseries_ingest(ts, stream_df: DataFrame, checkpoint: str):
     """Streaming ingest into the versioned store: each micro-batch becomes
     one check_out → add_timeseries_bulk → commit transaction (the

@@ -444,6 +444,37 @@ def test_cli_curate_end_to_end(spark, tmp_path, capsys):
     assert "kept 2" in capsys.readouterr().out
 
 
+def test_cli_curate_quarantine_output(spark, tmp_path, capsys):
+    """--quarantine persists the rejects (raw line + parsed fields) as
+    JSONL for reprocessing, and the counts line reflects the number
+    actually written."""
+    import glob
+    import json
+
+    from ixmp_spark.cli import main as cli_main
+
+    good = (
+        "the quick brown fox jumps over that lazy dog with great energy "
+        "and a steady purpose every single day"
+    )
+    src = tmp_path / "c.jsonl"
+    src.write_text(
+        '{"doc_id": 1, "text": "%s", "lang": "en", "source": "s", '
+        '"n_chars": 1}\n{bad json\nworse\n' % good
+    )
+    qdir = tmp_path / "rejects"
+    rc = cli_main(
+        ["curate", str(src), str(tmp_path / "out"), "--min-words", "5",
+         "--quarantine", str(qdir)]
+    )
+    assert rc == 0
+    assert "(2 corrupt lines quarantined)" in capsys.readouterr().out
+    rows = []
+    for f in glob.glob(str(qdir / "part-*")):
+        rows += [json.loads(line) for line in open(f) if line.strip()]
+    assert sorted(r["_corrupt_record"] for r in rows) == ["worse", "{bad json"]
+
+
 def test_cli_export_shards_end_to_end(spark, tmp_path, capsys):
     """export-shards: JSONL corpus -> gated, deduped, packed, shuffled
     training shards in one command. The test reconstructs the packing

@@ -1597,6 +1597,36 @@ def test_chunked_lead_windows_match_plain(spark, sf_dir):
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
 
+def test_bucketed_topk_prebucketed_matches(spark, sf_dir):
+    """The amortized LSH form (caller-persisted __bucket column) must
+    return exactly what the per-query recomputation returns, for both
+    single- and multi-probe."""
+    import random
+
+    from ixmp_spark.operators.similarity import (
+        bucketed_topk,
+        hyperplane_lsh_bucket,
+    )
+    from ixmp_spark.queries import load
+
+    rng = random.Random(7)
+    planes = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(4)]
+    emb = load(spark, sf_dir, "embeddings").limit(400)
+    pre = emb.withColumn(
+        "__bucket", hyperplane_lsh_bucket("embedding", planes)
+    )
+    probe = emb.orderBy("vec_id").limit(1)
+    for mp in (0, 1):
+        a = bucketed_topk(
+            emb, probe, "vec_id", "embedding", planes, k=10, multi_probe=mp
+        ).collect()
+        b = bucketed_topk(
+            pre, probe, "vec_id", "embedding", planes, k=10,
+            multi_probe=mp, prebucketed=True,
+        ).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b], f"mp={mp}"
+
+
 def test_range_join_hand_computed(spark):
     """Bucketized containment join: boundary timestamps are inclusive
     both ends, an interval spanning many buckets matches points in each

@@ -494,6 +494,67 @@ def test_stateful_running_totals(spark, events_dir):
     )
 
 
+def test_streaming_zscore_matches_batch(spark, sf_dir, tmp_path_factory):
+    """zscore_stream (applyInPandasWithState) equals the batch w10
+    operator row-for-row when history is replayed in time order: the
+    feed is 4 sequential time-range files (one per micro-batch), so
+    per-key state crosses batch boundaries mid-window."""
+    import time as _time
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ixmp_spark.operators.sessions import zscore_anomalies
+    from ixmp_spark.streaming.ts_stream import (
+        run_available_now,
+        zscore_stream,
+    )
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "value")
+        .orderBy("ts", "event_id")
+        .toPandas()
+    )
+    feed = str(tmp_path_factory.mktemp("zstream") / "ev")
+    bounds = np.linspace(0, len(ev), 5, dtype=int)
+    quarters = [ev.iloc[a:b] for a, b in zip(bounds[:-1], bounds[1:])]
+    for i, q in enumerate(quarters):
+        spark.createDataFrame(
+            q, "event_id long, ts timestamp, user_id long, value double"
+        ).coalesce(1).write.mode("append").parquet(feed)
+        _time.sleep(1.1)  # distinct mod-times → oldest-first batch order
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    got = (
+        run_available_now(zscore_stream(stream), "t_zstream", mode="append")
+        .toPandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    want = (
+        zscore_anomalies(
+            spark.read.parquet(feed).withColumn("ts", F.col("ts"))
+        )
+        .toPandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    assert len(got) == len(want) == len(ev)
+    assert got["is_anomaly"].tolist() == want["is_anomaly"].tolist()
+    for col in ("baseline_mean", "z"):
+        a, b = got[col].to_numpy(float), want[col].to_numpy(float)
+        both = ~(np.isnan(a) | np.isnan(b))
+        assert (np.isnan(a) == np.isnan(b)).all(), col
+        assert np.allclose(a[both], b[both], atol=2e-6), col
+
+
 def test_stream_timeseries_ingest(spark, events_dir, tmp_path):
     """foreachBatch → one warehouse transaction per micro-batch: the
     final committed ts_data equals the batch upsert of the same input,
