@@ -176,6 +176,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     sp.add_argument("--seed", default="42", help="shuffle/packing seed")
     sp.add_argument(
+        "--split-long-docs", action="store_true",
+        help="split documents longer than --capacity into capacity-token "
+        "chunks (lowercased, provenance kept as doc_id+chunk_idx) before "
+        "packing, so no packed unit exceeds one sequence",
+    )
+    sp.add_argument(
         "--bpe-merges", type=int, default=None,
         help="train a BPE merge table of this size on the kept corpus and "
         "shard token PIECES instead of raw text",
@@ -371,6 +377,12 @@ def main(argv: list[str] | None = None) -> int:
             kept = incremental_dedup(kept, empty, "text", "doc_id").drop(
                 "digest"
             )
+        pack_key = "doc_id"
+        if args.split_long_docs and args.bpe_merges:
+            raise SystemExit(
+                "--split-long-docs splits on whitespace tokens and cannot "
+                "compose with --bpe-merges (piece counts differ); pick one"
+            )
         if args.bpe_merges:
             from ixmp_spark.operators.text import bpe_encode, bpe_train
 
@@ -378,12 +390,28 @@ def main(argv: list[str] | None = None) -> int:
             # shards carry token pieces, not raw text: bpe_encode's
             # output (doc_id, pieces, n_tokens) IS the training payload
             kept = bpe_encode(kept, "doc_id", "text", merges)
+        elif args.split_long_docs:
+            from ixmp_spark.operators.text import chunk_documents
+
+            # capacity-token chunks (map-only), provenance as
+            # (doc_id, chunk_idx); no packed unit then exceeds one
+            # sequence, so a sequence straddle is at most one boundary
+            kept = chunk_documents(
+                kept, "doc_id", "text", window=args.capacity
+            ).select(
+                F.concat_ws("#", "doc_id", "chunk_idx").alias("unit_id"),
+                "doc_id",
+                "chunk_idx",
+                "n_tokens",
+                F.col("chunk").alias("text"),
+            )
+            pack_key = "unit_id"
         else:
             kept = kept.withColumn(
                 "n_tokens", token_count(F.col("text")).cast("long")
             )
         packed = pack_sequences(
-            kept, "doc_id", "n_tokens",
+            kept, pack_key, "n_tokens",
             capacity=args.capacity, n_shards=args.n_shards, seed=args.seed,
         )
         (

@@ -540,6 +540,50 @@ def test_cli_export_shards_end_to_end(spark, tmp_path, capsys):
     assert total_seqs == n_seqs
 
 
+def test_cli_export_shards_split_long_docs(spark, tmp_path, capsys):
+    """--split-long-docs: a document longer than --capacity chunks into
+    capacity-token units before packing (no packed unit exceeds one
+    sequence), and reassembling a doc's chunks in chunk_idx order
+    restores its full token stream."""
+    from ixmp_spark.cli import main as cli_main
+
+    base = (
+        "the quick brown fox and some lazy dog with it over that "
+    )  # 12 words incl. stopwords -> passes gates when repeated
+    long_text = (base * 30).strip()  # 360 tokens
+    short_text = (base * 2).strip()  # 24 tokens
+    src = tmp_path / "c.jsonl"
+    src.write_text(
+        '{"doc_id": 1, "text": "%s", "lang": "en", "source": "s", '
+        '"n_chars": 1}\n'
+        '{"doc_id": 2, "text": "%s", "lang": "en", "source": "s", '
+        '"n_chars": 1}\n' % (long_text, short_text)
+    )
+    out = tmp_path / "shards"
+    rc = cli_main(
+        ["export-shards", str(src), str(out), "--min-words", "10",
+         "--capacity", "64", "--n-shards", "2", "--no-dedup",
+         "--split-long-docs"]
+    )
+    assert rc == 0
+    back = spark.read.parquet(str(out)).toPandas()
+    assert (back["n_tokens"] <= 64).all()
+    d1 = back[back["doc_id"] == 1].sort_values("chunk_idx")
+    assert len(d1) == 6  # ceil(360/64) chunks, last one short
+    assert d1["n_tokens"].sum() == 360
+    rebuilt = " ".join(d1["text"])
+    assert rebuilt == long_text.lower()
+    assert len(back[back["doc_id"] == 2]) == 1
+    # composition guard: BPE + split is an explicit error, not silence
+    import pytest
+
+    with pytest.raises(SystemExit, match="cannot compose"):
+        cli_main(
+            ["export-shards", str(src), str(tmp_path / "x"),
+             "--split-long-docs", "--bpe-merges", "8"]
+        )
+
+
 def test_cli_curate_input_format_sniff(spark, tmp_path, capsys):
     """Format sniffing for file inputs goes strictly by extension: a
     single .parquet FILE reads as parquet (previously any non-directory
