@@ -180,6 +180,118 @@ def _encode_bmp(pixels: np.ndarray) -> bytes:
     return header + info + data
 
 
+AVI_MIMES = ("video/avi", "video/x-msvideo", "video/vnd.avi")
+
+
+def _riff_chunk(fourcc: bytes, data: bytes) -> bytes:
+    pad = b"\x00" if len(data) % 2 else b""
+    return fourcc + struct.pack("<I", len(data)) + data + pad
+
+
+def _riff_list(list_type: bytes, data: bytes) -> bytes:
+    return _riff_chunk(b"LIST", list_type + data)
+
+
+def _encode_avi(frames: list, fps: int = 10) -> bytes:
+    """Encode (h, w, 3) RGB uint8 frames as a minimal VALID uncompressed
+    AVI (RIFF 'AVI ' / 'vids' stream, 'DIB ' handler, 24-bpp bottom-up
+    BGR frames, idx1 index) — the video twin of ``_encode_bmp``, per the
+    public RIFF/AVI and BITMAPINFOHEADER specs. Exists so tests and the
+    m3 catalog row exercise a genuine video container end-to-end without
+    pyav/ffmpeg."""
+    h, w = frames[0].shape[:2]
+    row_bytes = (w * 3 + 3) & ~3
+    payloads = []
+    for f in frames:
+        body = np.zeros((h, row_bytes), dtype=np.uint8)
+        body[:, : w * 3] = f[::-1, :, ::-1].reshape(h, w * 3)
+        payloads.append(body.tobytes())
+    frame_size = h * row_bytes
+    avih = struct.pack(
+        "<14I", int(1_000_000 / fps), frame_size * fps, 0, 0x10,
+        len(frames), 0, 1, frame_size, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4h", b"vids", b"DIB ", 0, 0, 0, 0,
+        1, fps, 0, len(frames), frame_size, 0, 0, 0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 2835, 2835, 0, 0
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi_body = b"".join(_riff_chunk(b"00db", p) for p in payloads)
+    movi = _riff_list(b"movi", movi_body)
+    idx, off = [], 4  # offsets relative to the 'movi' list-type fourcc
+    for p in payloads:
+        idx.append(struct.pack("<4sIII", b"00db", 0x10, off, len(p)))
+        off += 8 + len(p) + (len(p) % 2)
+    idx1 = _riff_chunk(b"idx1", b"".join(idx))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _avi_frames(content: bytes) -> list:
+    """Decode an uncompressed 24-bpp AVI into a list of (h, w, 3) RGB
+    uint8 frames. Walks the RIFF chunk tree: BITMAPINFOHEADER from
+    'strf' in the 'hdrl' list, frame payloads from '..db'/'..dc' chunks
+    in the 'movi' list (bottom-up BGR rows, 4-byte padded — DIB rules,
+    shared with the BMP decoder)."""
+    if content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        raise ValueError("not an AVI: missing RIFF/'AVI ' magic")
+
+    def chunks(buf: bytes, pos: int, end: int):
+        while pos + 8 <= end:
+            fourcc = buf[pos : pos + 4]
+            size = struct.unpack_from("<I", buf, pos + 4)[0]
+            yield fourcc, pos + 8, size
+            pos += 8 + size + (size % 2)
+
+    w = h = bpp = None
+    payloads = []
+    for fourcc, dstart, size in chunks(content, 12, len(content)):
+        if fourcc != b"LIST":
+            continue
+        ltype = content[dstart : dstart + 4]
+        if ltype == b"hdrl":
+            for f2, d2, s2 in chunks(content, dstart + 4, dstart + size):
+                if f2 == b"LIST" and content[d2 : d2 + 4] == b"strl":
+                    for f3, d3, s3 in chunks(content, d2 + 4, d2 + s2):
+                        if f3 == b"strf":
+                            w, h = struct.unpack_from("<ii", content, d3 + 4)
+                            bpp = struct.unpack_from("<H", content, d3 + 14)[0]
+        elif ltype == b"movi":
+            for f2, d2, s2 in chunks(content, dstart + 4, dstart + size):
+                if f2[2:4] in (b"db", b"dc"):
+                    payloads.append(content[d2 : d2 + s2])
+    if w is None or not payloads:
+        raise ValueError("AVI without strf header or frame chunks")
+    if bpp != 24:
+        raise NotImplementedError(f"only 24-bpp DIB AVI supported, got {bpp}")
+    bottom_up, h = h > 0, abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    frames = []
+    for p in payloads:
+        rows = np.frombuffer(
+            p, dtype=np.uint8, count=row_bytes * h
+        ).reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+        if bottom_up:
+            rows = rows[::-1]
+        frames.append(rows[:, :, ::-1].copy())  # BGR -> RGB
+    return frames
+
+
+def _video_features(content: bytes) -> list[float]:
+    """Real video features: the per-frame pixel-feature vectors
+    (mean R/G/B, luminance, 12-bin histogram) averaged across frames."""
+    frames = _avi_frames(content)
+    feats = np.array([_pixel_features(f) for f in frames])
+    return [float(x) for x in feats.mean(axis=0)]
+
+
 def _resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
     """Nearest-neighbor resample of an (h, w, 3) array to (height, width, 3)."""
     src_h, src_w = pixels.shape[:2]
@@ -190,7 +302,8 @@ def _resize_nearest(pixels: np.ndarray, width: int, height: int) -> np.ndarray:
 
 def _decode_bytes(content: bytes, mime: str) -> list[float]:
     """Per-mime decode + feature extraction. Real decoders for the
-    stdlib-parseable formats (WAV / BMP / binary PPM); other image,
+    stdlib-parseable formats (WAV / BMP / binary PPM / uncompressed
+    AVI — one per modality); other image,
     audio, and video mimes produce a deterministic fingerprint vector
     (blake2b of the bytes — the honest fallback while PIL/librosa/pyav
     are absent; a real deployment swaps decoders in here with the same
@@ -201,6 +314,8 @@ def _decode_bytes(content: bytes, mime: str) -> list[float]:
         return _pixel_features(_bmp_pixels(content))
     if mime in PPM_MIMES:
         return _pixel_features(_ppm_pixels(content))
+    if mime in AVI_MIMES:
+        return _video_features(content)
     if mime.startswith(("image/", "audio/", "video/")):
         h = hashlib.blake2b(content, digest_size=FEATURE_DIM * 2).digest()
         return [
@@ -332,12 +447,53 @@ def chunk_audio(
     return df.mapInPandas(batches, schema=out_schema)
 
 
+def extract_frames(
+    df: DataFrame,
+    every_n: int,
+    media_col: str = "media",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """REAL video frame extraction: decode AVI media in-batch
+    (``_avi_frames``) and emit every ``every_n``-th frame as a binary-PPM
+    image row — the decode-then-fan-out shape of a video training
+    pipeline (frames become image-modality rows downstream: resize,
+    feature-extract, dedup). Non-AVI video mimes raise the documented
+    NotImplementedError (pyav/ffmpeg absent); the Spark plumbing —
+    Arrow batches, one output row per kept frame, binary payloads — is
+    the same for any codec swapped in."""
+    out_schema = (
+        f"{id_col} long, frame_index int, width int, height int, "
+        "frame_ppm binary"
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i, m in zip(pdf[id_col], pdf[media_col]):
+                if m["mime"] not in AVI_MIMES:
+                    raise NotImplementedError(
+                        f"no frame decoder for mime {m['mime']!r}"
+                    )
+                frames = _avi_frames(bytes(m["content"]))
+                for fi in range(0, len(frames), every_n):
+                    f = frames[fi]
+                    rows.append(
+                        (int(i), fi, f.shape[1], f.shape[0], _encode_ppm(f))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "frame_index", "width", "height", "frame_ppm"],
+            )
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
 def sample_frames(
     df: DataFrame, every_n: int, media_col: str = "media", id_col: str = "media_id"
 ) -> DataFrame:
     """Frame-sampling pipeline shape for video: one output row per kept
-    frame index (explode without decoding — the frame decode itself is
-    the stubbed step)."""
+    frame index (explode without decoding — cheap INDEX planning from
+    metadata; ``extract_frames`` is the real decode path for AVI)."""
     out_schema = f"{id_col} long, frame_index int, mime string"
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -231,3 +231,57 @@ def m2_audio_features(spark, sf_dir):
         F.round(F.element_at("features", 1), 6).alias("f_rms_seg1"),
         F.round(F.element_at("features", 16), 6).alias("f_rms_seg16"),
     )
+
+
+@query("m3_video_features")  # no SQL oracle: Arrow mapInPandas decode path
+def m3_video_features(spark, sf_dir):
+    """Video twin of m1/m2 — the third modality's REAL decode path gets
+    corpus-scale driver signal: every even document becomes a genuine
+    one-frame 8×1 uncompressed AVI (valid RIFF container built
+    driver-side with ``_encode_avi``; the 24 frame-payload bytes are
+    swapped in-plan for the document's first 24 text bytes — width 8
+    keeps the DIB row 4-byte aligned so the payload is a clean splice),
+    decoded frame-by-frame through the RIFF/DIB parser inside the Arrow
+    batches; odd documents ride the documented fingerprint fallback
+    (video/mp4, pyav/ffmpeg absent). Frame-exact decode values are
+    pinned in tests/test_streaming_model_mm.py."""
+    import numpy as np
+
+    from ixmp_spark.operators.multimodal import _encode_avi, extract_features
+
+    template = _encode_avi([np.zeros((1, 8, 3), dtype=np.uint8)], fps=1)
+    payload = b"\x00" * 24
+    off = template.rindex(payload)  # the single frame's DIB body
+    prefix, suffix = template[:off], template[off + 24:]
+
+    docs = load(spark, sf_dir, "documents")
+    avi = F.concat(
+        F.lit(prefix),
+        F.substring(F.encode(F.rpad("text", 24, " "), "UTF-8"), 1, 24),
+        F.lit(suffix),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.struct(
+            F.when(F.col("doc_id") % 2 == 0, avi)
+            .otherwise(F.encode("text", "UTF-8"))
+            .alias("content"),
+            F.lit(None).cast("string").alias("uri"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("video/avi"))
+            .otherwise(F.lit("video/mp4"))
+            .alias("mime"),
+            F.lit(8).alias("width"),
+            F.lit(1).alias("height"),
+            F.lit(1).alias("n_frames"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(1.0).alias("duration_s"),
+        ).alias("media"),
+    )
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "mime",
+        "n_bytes",
+        F.round(F.element_at("features", 1), 6).alias("f_mean_r"),
+        F.round(F.element_at("features", 4), 6).alias("f_luma"),
+    )

@@ -385,6 +385,67 @@ def test_chunk_audio_reads_wav_header(spark):
     assert got["end_sample"].tolist() == [6000, 12000, 16000]
 
 
+def test_avi_roundtrip_and_frame_extraction(spark):
+    """Real video path: encode known RGB frames as a valid uncompressed
+    AVI (RIFF/DIB), decode them back pixel-for-pixel, extract every 2nd
+    frame through the Spark mapInPandas operator as PPM rows, and check
+    _decode_bytes' per-frame-averaged features."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ixmp_spark.operators.multimodal import (
+        _avi_frames,
+        _decode_bytes,
+        _encode_avi,
+        _ppm_pixels,
+        extract_frames,
+    )
+
+    frames = []
+    for k in range(5):  # solid colors + one gradient, non-padded width 3
+        f = np.zeros((4, 3, 3), dtype=np.uint8)
+        if k < 3:
+            f[:, :, k] = 255  # pure R, G, B
+        else:
+            f[:, :, :] = np.arange(36, dtype=np.uint8).reshape(4, 3, 3) * 7
+        frames.append(f)
+    avi = _encode_avi(frames, fps=5)
+    back = _avi_frames(avi)
+    assert len(back) == 5
+    for a, b in zip(frames, back):
+        assert np.array_equal(a, b)
+
+    feats = _decode_bytes(avi, "video/avi")
+    # mean over 5 frames of per-frame mean-R: frame0 has R=1.0, gradient
+    # frame has small R mean; solid G/B frames contribute 0
+    assert feats[0] == pytest.approx(
+        np.mean([np.mean(f[:, :, 0]) / 255.0 for f in frames]), abs=1e-9
+    )
+
+    media = spark.createDataFrame(
+        [(1, (bytearray(avi), None, "video/avi", 3, 4, 5, None, None))],
+        "media_id long, media struct<content binary, uri string, "
+        "mime string, width int, height int, n_frames int, "
+        "sample_rate int, duration_s double>",
+    )
+    got = (
+        extract_frames(media, every_n=2)
+        .orderBy("frame_index")
+        .collect()
+    )
+    assert [r["frame_index"] for r in got] == [0, 2, 4]
+    assert all(r["width"] == 3 and r["height"] == 4 for r in got)
+    px0 = _ppm_pixels(bytes(got[0]["frame_ppm"]))
+    assert np.array_equal(px0, frames[0])
+    # non-AVI video still gates honestly
+    mp4 = spark.createDataFrame(
+        [(2, (bytearray(b"\x00\x01"), None, "video/mp4", 1, 1, 1, None, None))],
+        media.schema,
+    )
+    with pytest.raises(Exception, match="no frame decoder"):
+        extract_frames(mp4, every_n=1).collect()
+
+
 def test_unknown_mime_raises(spark, media_df):
     from pyspark.sql import functions as F
 

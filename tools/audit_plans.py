@@ -46,6 +46,7 @@ PYUDF_OK = {
     "t13_bpe_encode",  # Arrow mapInPandas over DISTINCT words only (broadcast merge table)
     "m1_media_features",  # Arrow mapInPandas binary decode — no JVM codec surface
     "m2_audio_features",  # Arrow mapInPandas binary decode — no JVM codec surface
+    "m3_video_features",  # Arrow mapInPandas binary decode — no JVM codec surface
 }
 
 #: every physical-plan node name that means "rows leave the JVM for
