@@ -1458,6 +1458,68 @@ def test_compact_parquet_sorted_layout_disjoint(spark, sf_dir, tmp_path):
     assert spark.read.parquet(dest).count() == docs.count()
 
 
+def test_zorder_cluster_bounds_both_dimensions(spark, sf_dir, tmp_path):
+    """Morton clustering: every output file covers a BOUNDED region of
+    BOTH clustered columns, unlike a lexicographic sort which clusters
+    only the leading column. Measured as mean per-file span fraction of
+    each column's domain: z-order must bound both dims well below the
+    random baseline (≈1.0) and beat single-column sort's trailing-dim
+    span; rows survive exactly."""
+    import glob
+
+    import pyarrow.parquet as papq
+
+    from ixmp_spark.queries import load
+    from ixmp_spark.sources.maintenance import (
+        compact_parquet,
+        parquet_file_stats,
+        zorder_cluster,
+    )
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    src = str(tmp_path / "li_frag")
+    # pre-shuffle so the baseline layout has no accidental clustering
+    li.orderBy(F.md5(F.col("l_orderkey").cast("string"))).repartition(
+        8
+    ).write.parquet(src)
+    _, total = parquet_file_stats(spark, src)
+    target = max(1, total // 16)
+
+    def span_fracs(dest, col, domain):
+        spans = []
+        for part in glob.glob(dest + "/part-*.parquet"):
+            vals = papq.read_table(part, columns=[col])[col].to_pylist()
+            if vals:
+                spans.append((max(vals) - min(vals)) / domain)
+        return sum(spans) / len(spans)
+
+    lo_o, hi_o, lo_p, hi_p = li.agg(
+        F.min("l_orderkey"), F.max("l_orderkey"),
+        F.min("l_partkey"), F.max("l_partkey"),
+    ).collect()[0]
+    dom_o, dom_p = hi_o - lo_o, hi_p - lo_p
+
+    dest_sort = str(tmp_path / "lex")
+    compact_parquet(spark, src, dest_sort, target, sort_by="l_orderkey")
+    dest_z = str(tmp_path / "zord")
+    zorder_cluster(
+        spark, src, dest_z, ["l_orderkey", "l_partkey"],
+        target_file_bytes=target,
+    )
+
+    z_o = span_fracs(dest_z, "l_orderkey", dom_o)
+    z_p = span_fracs(dest_z, "l_partkey", dom_p)
+    lex_p = span_fracs(dest_sort, "l_partkey", dom_p)
+    # z-order bounds both dimensions; lexicographic leaves the trailing
+    # column unclustered (span ≈ full domain per file)
+    assert z_o < 0.7 and z_p < 0.7, (z_o, z_p)
+    assert lex_p > 0.9, lex_p
+    assert z_p < lex_p / 1.5
+    assert spark.read.parquet(dest_z).count() == li.count()
+
+
 def test_pq_rerank_full_equals_exact(spark, sf_dir):
     """PQ with rerank ≥ corpus size degenerates to EXACT squared-L2
     search — the two-stage design's correctness anchor: the ADC stage
