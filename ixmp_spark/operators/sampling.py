@@ -239,3 +239,46 @@ def pack_sequences(
         .withColumn("tok_offset", (before % capacity).cast("long"))
         .drop("__h")
     )
+
+
+def temperature_weights(
+    df: DataFrame,
+    domain_col: str,
+    size_col,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based domain sampling weights (the multilingual/
+    multi-domain mixing rule from the T5/mT5/XLM-R line, public):
+    sampling probability p_i ∝ n_i^alpha, where n_i is the domain's
+    size (rows, tokens — whatever ``size_col`` measures). alpha=1 is
+    proportional (big domains dominate), alpha=0 is uniform (small
+    domains overfit); alpha≈0.3–0.7 is the standard compromise.
+
+    Output per domain: ``n`` (observed size), ``p_raw`` (n/Σn),
+    ``p_sample`` (n^alpha normalized), and ``boost`` = p_sample/p_raw —
+    the up/down-sampling factor to hand to ``domain_mix`` /
+    ``weighted_sample``. ONE aggregation shuffle on the domain column
+    (domain cardinality is codelist-sized, so the normalizing sums ride
+    a single-row cross-broadcast, not a second scan)."""
+    sz = F.col(size_col) if isinstance(size_col, str) else size_col
+    per = df.groupBy(domain_col).agg(F.sum(sz).cast("double").alias("n"))
+    totals = per.agg(
+        F.sum("n").alias("__tot"),
+        F.sum(F.pow("n", F.lit(float(alpha)))).alias("__tot_a"),
+    )
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .select(
+            domain_col,
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") / F.col("__tot"), 6).alias("p_raw"),
+            F.round(
+                F.pow("n", F.lit(float(alpha))) / F.col("__tot_a"), 6
+            ).alias("p_sample"),
+            F.round(
+                (F.pow("n", F.lit(float(alpha))) / F.col("__tot_a"))
+                / (F.col("n") / F.col("__tot")),
+                6,
+            ).alias("boost"),
+        )
+    )

@@ -680,3 +680,60 @@ def pq_topk(
         .orderBy(F.asc("dist2"), F.asc(id_col))
         .limit(k)
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    min_sim: float = 0.4,
+    max_sim: float = 0.9,
+    bands: int = 6,
+    bits: int = 4,
+    seed: int = 42,
+    max_bucket: int | None = 2000,
+    on_hot: str = "drop",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training data: for each
+    anchor, up to ``k`` MID-similarity neighbors — cosine in
+    ``[min_sim, max_sim)`` — similar enough to be informative
+    negatives, excluded above ``max_sim`` because near-duplicates are
+    unlabeled positives, not negatives (the standard dedup-before-
+    negatives rule in contrastive-pair pipelines).
+
+    Plan: banded sign-LSH candidates at ``threshold=min_sim`` (NOTE the
+    knob inversion vs near-dup search: mid-similarity pairs need
+    COARSER bands — P[band match] = (1-θ/π)^bits, so fewer bits per
+    band keep ~60°-apart vectors colliding; bits=4/bands=6 gives ~0.7
+    candidate recall at cosine 0.5 where the near-dup defaults would
+    give ~0.1), exact-cosine verified, band-filtered to
+    ``< max_sim``, symmetrized (each pair serves both ends as anchor),
+    then a per-anchor top-k window — rank-limited, so Spark's
+    WindowGroupLimit keeps O(k) rows per anchor per task, never a
+    global sort. Inherits cosine_lsh_pairs' hot-bucket guards."""
+    pairs = cosine_lsh_pairs(
+        df, id_col, vec_col, threshold=min_sim, bands=bands, bits=bits,
+        seed=seed, max_bucket=max_bucket, on_hot=on_hot,
+    ).where(F.col("cosine_sim") < max_sim)
+    sym = pairs.select(
+        F.col("id_a").alias("anchor_id"),
+        F.col("id_b").alias("negative_id"),
+        "cosine_sim",
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("anchor_id"),
+            F.col("id_a").alias("negative_id"),
+            "cosine_sim",
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine_sim"), F.asc("negative_id")
+    )
+    return (
+        sym.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") <= k)
+        .drop("__r")
+    )

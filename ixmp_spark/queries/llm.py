@@ -337,3 +337,35 @@ def t5_segment_dedup(spark, sf_dir):
         ),
         (F.size(toks) - F.size(F.array_distinct(toks))).alias("n_removed"),
     )
+
+
+@query(
+    "p11_temperature_weights",
+    oracle="""
+    WITH per AS (
+      SELECT source, CAST(sum(len(string_split(trim(text), ' '))) AS DOUBLE) AS n
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT sum(n) AS t, sum(pow(n, 0.5)) AS ta FROM per
+    )
+    SELECT per.source, CAST(per.n AS BIGINT) AS n,
+           round(per.n / tot.t, 6) AS p_raw,
+           round(pow(per.n, 0.5) / tot.ta, 6) AS p_sample,
+           round((pow(per.n, 0.5) / tot.ta) / (per.n / tot.t), 6) AS boost
+    FROM per, tot
+    """,
+)
+def p11_temperature_weights(spark, sf_dir):
+    """Temperature-based domain mixing weights (T5/mT5-style p_i ∝
+    n_i^alpha, alpha=0.5) over per-source token counts: the planning
+    step that decides how hard to up/down-sample each domain before
+    ``domain_mix``/``weighted_sample`` execute it. One aggregation
+    shuffle; normalizers ride a 1-row cross-broadcast. NOTE the token
+    count here intentionally matches the oracle's simple
+    split-on-single-space — the operator takes any size expression."""
+    from ixmp_spark.operators.sampling import temperature_weights
+
+    docs = load(spark, sf_dir, "documents")
+    return temperature_weights(
+        docs, "source", F.size(F.split(F.trim("text"), " ", -1)), alpha=0.5
+    )

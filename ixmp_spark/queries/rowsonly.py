@@ -285,3 +285,21 @@ def m3_video_features(spark, sf_dir):
         F.round(F.element_at("features", 1), 6).alias("f_mean_r"),
         F.round(F.element_at("features", 4), 6).alias("f_luma"),
     )
+
+
+@query("e8_hard_negatives")  # no SQL oracle: hyperplane family is engine-specific
+def e8_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining: per-anchor top-k MID-similarity
+    neighbors (cosine in [min_sim, max_sim)) via coarse banded sign-LSH
+    + exact-cosine verify + rank-limited per-anchor window. The
+    [*, max_sim) ceiling excludes near-duplicates — unlabeled positives,
+    not negatives. Rows-only; the planted-structure semantics (near-dup
+    excluded, mid-sim group found) are pinned in
+    tests/test_scale.py::test_hard_negatives_planted_structure."""
+    from ixmp_spark.operators.similarity import hard_negatives
+
+    emb = load(spark, sf_dir, "embeddings")
+    return hard_negatives(
+        emb, "vec_id", "embedding", k=5,
+        min_sim=0.2, max_sim=0.9, bands=6, bits=4, on_hot="drop",
+    )

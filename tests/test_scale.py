@@ -1458,6 +1458,50 @@ def test_compact_parquet_sorted_layout_disjoint(spark, sf_dir, tmp_path):
     assert spark.read.parquet(dest).count() == docs.count()
 
 
+def test_hard_negatives_planted_structure(spark):
+    """Hard-negative mining: for a planted anchor with (a) a near-dup
+    at cosine ~0.999, (b) mid-similarity neighbors ~0.7-0.9, and (c)
+    orthogonal decoys, the mined negatives are exactly the mid-sim
+    group — the near-dup is excluded by max_sim (unlabeled positive)
+    and decoys fall below min_sim."""
+    import math
+    import random
+
+    from ixmp_spark.operators.similarity import hard_negatives
+
+    rng = random.Random(11)
+    d = 32
+    base = [rng.gauss(0, 1) for _ in range(d)]
+    nb = math.sqrt(sum(x * x for x in base))
+    base = [x / nb for x in base]
+
+    def mix(alpha, seed):
+        r = random.Random(seed)
+        noise = [r.gauss(0, 1) for _ in range(d)]
+        nn = math.sqrt(sum(x * x for x in noise))
+        noise = [x / nn for x in noise]
+        v = [alpha * b + math.sqrt(1 - alpha * alpha) * n
+             for b, n in zip(base, noise)]
+        return v
+
+    rows = [(0, base), (1, mix(0.999, 1))]          # anchor + near-dup
+    rows += [(10 + i, mix(0.8, 100 + i)) for i in range(4)]   # hard negs
+    rows += [(100 + i, mix(0.0, 200 + i)) for i in range(30)]  # decoys
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = (
+        hard_negatives(
+            emb, "vec_id", "embedding", k=10,
+            min_sim=0.5, max_sim=0.95, bands=8, bits=3,
+        )
+        .where("anchor_id = 0")
+        .collect()
+    )
+    ids = {r["negative_id"] for r in got}
+    assert 1 not in ids  # near-dup excluded: it is an unlabeled positive
+    assert ids and ids <= {10, 11, 12, 13}, ids
+    assert all(0.5 <= r["cosine_sim"] < 0.95 for r in got)
+
+
 def test_zorder_cluster_bounds_both_dimensions(spark, sf_dir, tmp_path):
     """Morton clustering: every output file covers a BOUNDED region of
     BOTH clustered columns, unlike a lexicographic sort which clusters
