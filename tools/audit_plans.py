@@ -31,11 +31,17 @@ BNLJ_OK = {
     "t9_tfidf_keywords",  # 1-row N-docs aggregate cross-broadcast (single-action tfidf)
     "t10_bigram_perplexity",  # 1-row vocab-count aggregate cross-broadcast
     "t17_bm25_search",  # 1-row N/avgdl corpus-stats aggregate cross-broadcast
+    "p11_temperature_weights",  # 1-row normalizer-totals aggregate cross-broadcast
 }
 
 #: multi-stage pipelines where >6 shuffles are inherent (documented):
 #: d3 = repartition + banded self-join + 2 candidate joins + distinct
-SHUFFLE_OK = {"d3_minhash_lsh"}
+SHUFFLE_OK = {
+    "d3_minhash_lsh",
+    # e8 = the same banded-LSH candidate pipeline as d3/e5 plus the
+    # symmetrize-union + per-anchor top-k window (7 total, documented)
+    "e8_hard_negatives",
+}
 
 #: queries whose Python stage is DELIBERATE — an Arrow-batched kernel for
 #: semantics Spark's built-ins cannot express (the operator docstrings
