@@ -463,3 +463,108 @@ def test_bpe_train_matches_reference(spark, docs):
         for r in bpe_train(df, "text", n_merges=5).collect()
     ]
     assert got == _bpe_reference(texts, 5)
+
+
+# -- r6 exact decompositions: randomized equivalence pins ------------------
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 3),                    # user
+        st.integers(0, 60 * 60 * 24 * 6),     # seconds offset over ~6 days
+        st.sampled_from(["a", "b", "c"]),     # event type
+        st.floats(-5, 5, allow_nan=False),    # value
+    ),
+    min_size=1, max_size=60,
+)
+
+
+def _event_frame(spark, rows):
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 6, 1)
+    return spark.createDataFrame(
+        [
+            (i, t0 + timedelta(seconds=s), u, e, float(v))
+            for i, (u, s, e, v) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double",
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=events_strategy)
+def test_chunked_windows_equal_plain_random(spark, rows):
+    """The bucket-chunked decompositions (head carries / prefix-sum
+    stitching / tail carries) equal their plain whole-history windows on
+    ARBITRARY event frames — random users, random timestamps (bucket
+    boundaries and empty days arise by chance), random path lengths."""
+    from ixmp_spark.operators.sessions import (
+        event_transitions,
+        sessionize,
+        top_paths,
+        zscore_anomalies,
+    )
+
+    ev = _event_frame(spark, rows)
+    a = sessionize(ev, "user_id", "ts", 1800, "event_id")
+    b = sessionize(ev, "user_id", "ts", 1800, "event_id", bucket="day")
+    key = lambda r: (r["event_id"], r["session_id"])  # noqa: E731
+    assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))
+
+    for length in (2, 3):
+        p = top_paths(ev, length=length, k=1000).collect()
+        c = top_paths(ev, length=length, k=1000, bucket="day").collect()
+        assert sorted(map(tuple, p)) == sorted(map(tuple, c))
+
+    p = event_transitions(ev, k=1000).collect()
+    c = event_transitions(ev, k=1000, bucket="day").collect()
+    assert sorted(map(tuple, p)) == sorted(map(tuple, c))
+
+    zp = zscore_anomalies(ev, window=3).collect()
+    zc = zscore_anomalies(ev, window=3, bucket="day").collect()
+    assert sorted(map(tuple, zp)) == sorted(map(tuple, zc))
+
+
+intervals_strategy = st.lists(
+    st.tuples(st.integers(0, 500), st.integers(0, 180)),  # start min, len min
+    min_size=0, max_size=12,
+)
+points_strategy = st.lists(st.integers(0, 700), min_size=0, max_size=40)
+
+
+@settings(max_examples=10, deadline=None)
+@given(iv=intervals_strategy, pts=points_strategy)
+def test_range_join_equals_naive_random(spark, iv, pts):
+    """Bucketized range_join == the naive BETWEEN join on arbitrary
+    point/interval sets (boundary hits, zero-length and multi-bucket
+    intervals, overlapping intervals all arise by generation)."""
+    from datetime import datetime, timedelta
+
+    from ixmp_spark.operators.joins import range_join
+
+    t0 = datetime(2024, 6, 1)
+    points = spark.createDataFrame(
+        [(i, t0 + timedelta(minutes=m)) for i, m in enumerate(pts)],
+        "pid long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (i, t0 + timedelta(minutes=s), t0 + timedelta(minutes=s + ln))
+            for i, (s, ln) in enumerate(iv)
+        ],
+        "iid long, start_ts timestamp, end_ts timestamp",
+    )
+    got = sorted(
+        (r["iid"], r["pid"])
+        for r in range_join(
+            points, intervals, "ts", "start_ts", "end_ts", 3600
+        ).collect()
+    )
+    want = sorted(
+        (i, p_i)
+        for i, (s, ln) in enumerate(iv)
+        for p_i, m in enumerate(pts)
+        if s <= m <= s + ln
+    )
+    assert got == want
