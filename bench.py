@@ -68,6 +68,11 @@ BENCH_QUERIES = [
     "p8_domain_cap",
     "e1_embed_topk",
     "o1_topk",
+    # round 6 additions: the no-equality-key hash range join and the
+    # hot-key-safe chunked window form (its plain twin g1 stays too,
+    # so the chunked constant is visible round-over-round)
+    "j11_range_join",
+    "g5b_transitions_chunked",
 ]
 # NOT in the headline set: t12_bpe_merges — an iterative trainer whose
 # cost is n_merges × per-iteration job latency (driver-loop bound, not

@@ -67,7 +67,8 @@ def j9_left_outer(spark, sf_dir):
 def j11_range_join(spark, sf_dir):
     """Large×large point-in-interval join via bucketization
     (operators/joins.py:range_join): clicks within ±30 min of any
-    high-value purchase, with NO equality key — the shape a raw BETWEEN
+    purchase (value > 0.95 — on this data nearly every purchase, so the
+    interval side is genuinely LARGE), with NO equality key — the shape a raw BETWEEN
     join plans as BroadcastNestedLoopJoin and that open-source Spark
     has no primitive for. Intervals explode to their covered hour
     buckets (≈2 copies each), the join hashes on the bucket, BETWEEN

@@ -52,7 +52,18 @@ def tumbling_counts(
     """Watermarked tumbling-window aggregation: the streaming twin of
     operators/sessions.tumbling_agg. State is bounded by the watermark —
     windows older than (max event time − watermark) are finalized and
-    evicted, so the operator runs indefinitely at stable memory."""
+    evicted, so the operator runs indefinitely at stable memory.
+
+    Late-data semantics AS MEASURED on Spark 4.1.2 (pinned by
+    test_streaming_late_data_semantics_measured, because the folklore
+    "older than watermark ⇒ dropped" is wrong in an important way):
+    stragglers arriving in the same run as the data that advanced the
+    watermark are still ABSORBED into their window — the late-events
+    filter uses the watermark committed at query start — so replaying
+    unordered history through a fresh query is lossless. Only once a
+    window is finalized (watermark committed past it, e.g. across a
+    restart) are late rows dropped — counted in
+    numRowsDroppedByWatermark — and closed windows never revise."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", duration).alias("win"), "event_type")

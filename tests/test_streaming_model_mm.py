@@ -555,6 +555,96 @@ def test_stateful_running_totals(spark, events_dir):
     )
 
 
+def test_streaming_late_data_semantics_measured(spark, tmp_path_factory):
+    """What the watermark ACTUALLY does on this engine build (Spark
+    4.1.2), pinned empirically because the folklore version is wrong in
+    an important way. Measured behavior, three checkpointed availableNow
+    runs over one append-mode file sink:
+
+    1. Stragglers arriving IN THE SAME RUN as the data that advanced the
+       watermark are still ABSORBED into their window (the late-events
+       filter uses the watermark committed at query start, not the
+       in-run value) — so replaying unordered history through a fresh
+       query is lossless, not silently lossy. (A single-run repro shows
+       a 9-days-late row aggregating with numRowsDroppedByWatermark=0
+       despite the progress line showing an advanced watermark.)
+    2. Once a window has been FINALIZED (watermark committed past it —
+       here across a restart), a late row for it is dropped, counted in
+       numRowsDroppedByWatermark, and the closed window's emitted count
+       NEVER revises — the append-mode contract that makes downstream
+       consumers safe."""
+    import time as _time
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    schema = "event_id long, ts timestamp, v double"
+    base = tmp_path_factory.mktemp("latewm")
+    feed, sink, ckpt = (str(base / d) for d in ("ev", "sink", "ck"))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        agg = (
+            stream.withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour"))
+            .count()
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sum(
+            s.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for s in (p.get("stateOperators") or [])
+        )
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+        _time.sleep(1.1)  # distinct mod-times keep batch order stable
+
+    # run 1: on-time rows + a straggler in a LATER file of the same run
+    write([(1, datetime(2024, 1, 10, 8, 30), 1.0)])
+    write([(2, datetime(2024, 1, 1, 12, 0), 1.0)])  # 9 days late, same run
+    dropped1 = run_once()
+    assert dropped1 == 0  # behavior (1): same-run straggler absorbed
+
+    # run 2: far-future flusher — closes both earlier windows
+    write([(3, datetime(2024, 1, 20, 0, 0), 1.0)])
+    run_once()
+    closed = {
+        str(r["window"]["start"]): r["count"]
+        for r in spark.read.schema(
+            "window struct<start timestamp, end timestamp>, count long"
+        ).parquet(sink).collect()
+    }
+    assert closed["2024-01-10 08:00:00"] == 1
+    assert closed["2024-01-01 12:00:00"] == 1  # the absorbed straggler
+
+    # run 3: a late row for the now-CLOSED 08:00 window
+    write([(4, datetime(2024, 1, 10, 8, 45), 9.0)])
+    dropped3 = run_once()
+    assert dropped3 == 1  # behavior (2): counted drop after finalization
+    closed_after = {
+        str(r["window"]["start"]): r["count"]
+        for r in spark.read.schema(
+            "window struct<start timestamp, end timestamp>, count long"
+        ).parquet(sink).collect()
+    }
+    assert closed_after == closed  # closed windows never revise
+
+
 def test_streaming_zscore_matches_batch(spark, sf_dir, tmp_path_factory):
     """zscore_stream (applyInPandasWithState) equals the batch w10
     operator row-for-row when history is replayed in time order: the

@@ -536,6 +536,30 @@ def main_events() -> None:
                 variant, {}
             )[n] = time.time() - t0
 
+            # bucketized range join: clicks within ±30 min of high-value
+            # purchases — interval count grows with the corpus, so the
+            # slope shows the bucket-replication factor staying constant
+            from ixmp_spark.operators.joins import range_join
+
+            # interval COUNT held constant (top-500 by value) across
+            # factors: the slope then isolates the points-side cost;
+            # growing both sides would also grow the TRUE output
+            # quadratically (every point overlaps ~|intervals|·len/span
+            # windows), which is a property of the workload, not the join
+            iv = ev.orderBy(F.desc("value"), "event_id").limit(500).select(
+                F.col("event_id").alias("iv_id"),
+                (F.col("ts") - F.expr("interval 30 minutes")).alias("start_ts"),
+                (F.col("ts") + F.expr("interval 30 minutes")).alias("end_ts"),
+            )
+            pts = ev.select("ts", "value")
+            t0 = time.time()
+            range_join(
+                pts, iv, "ts", "start_ts", "end_ts", 3600
+            ).groupBy("iv_id").count().count()
+            results.setdefault("j11_range_join", {}).setdefault(
+                variant, {}
+            )[n] = time.time() - t0
+
             ev.unpersist()
 
     print(json.dumps({"sf_dir": sf_dir, "mode": "events", "results": results}))
