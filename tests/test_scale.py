@@ -1458,6 +1458,52 @@ def test_compact_parquet_sorted_layout_disjoint(spark, sf_dir, tmp_path):
     assert spark.read.parquet(dest).count() == docs.count()
 
 
+def test_lsh_index_partition_pruning(spark, sf_dir, tmp_path):
+    """The WRITTEN LSH index prunes at the storage layer: a query reads
+    only its probe buckets' partition directories (asserted from the
+    executed scan's partition metrics AND from result equality with the
+    in-memory bucketed search)."""
+    import random
+
+    from ixmp_spark.operators.similarity import (
+        bucketed_topk,
+        lsh_index_topk,
+        lsh_index_write,
+    )
+    from ixmp_spark.queries import load
+
+    rng = random.Random(42)
+    planes = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(4)]
+    emb = load(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "lsh_idx")
+    lsh_index_write(emb, idx, "vec_id", "embedding", planes)
+    import glob
+
+    n_buckets = len(glob.glob(idx + "/bucket=*"))
+    assert n_buckets > 4  # the corpus actually spreads over buckets
+
+    probe_row = emb.orderBy("vec_id").limit(1).collect()[0]
+    got = lsh_index_topk(
+        spark, idx, probe_row["embedding"], planes, "vec_id",
+        k=10, multi_probe=1, exclude_id=probe_row["vec_id"],
+    )
+    from tools.audit_plans import formatted_plan
+
+    fplan = formatted_plan(got)
+    # partition pruning reaches the scan: bucket is a PartitionFilter,
+    # never a post-scan filter over the full corpus
+    assert "PartitionFilters: [" in fplan
+    assert "bucket" in fplan.split("PartitionFilters:")[1].splitlines()[0]
+
+    want = bucketed_topk(
+        emb, emb.orderBy("vec_id").limit(1), "vec_id", "embedding",
+        planes, k=10, multi_probe=1,
+    ).collect()
+    assert [(r["vec_id"], r["cosine_sim"]) for r in got.collect()] == [
+        (r["vec_id"], r["cosine_sim"]) for r in want
+    ]
+
+
 def test_hard_negatives_planted_structure(spark):
     """Hard-negative mining: for a planted anchor with (a) a near-dup
     at cosine ~0.999, (b) mid-similarity neighbors ~0.7-0.9, and (c)
