@@ -206,3 +206,55 @@ def range_join(
         )
         .drop("__bk")
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_cols: tuple[str, str],
+    right_cols: tuple[str, str],
+    bucket_seconds: int,
+    extra_on: Sequence[str] = (),
+) -> DataFrame:
+    """Interval×interval OVERLAP join (``a.start <= b.end AND b.start <=
+    a.end``) that stays a hash join — ``range_join``'s two-sided sibling,
+    same motivation: no equality key ⇒ stock Spark plans a nested-loop.
+
+    Both sides explode to their covered time buckets and equi-join on
+    the bucket. Unlike the point case, an overlapping pair shares SEVERAL
+    buckets; instead of a dedup shuffle, each pair is emitted exactly
+    once with the standard first-shared-bucket guard: keep the match
+    only where the join bucket equals ``max(first_bucket(a),
+    first_bucket(b))`` — every overlapping pair has exactly one such
+    bucket, and non-overlapping same-bucket pairs are removed by the
+    overlap post-filter. Cost model matches range_join: each side
+    replicated ``len/bucket + 1`` times; no global operator anywhere.
+
+    ``left_cols`` / ``right_cols`` = (start, end) column names; shared
+    names must be disambiguated by the caller."""
+    ls, le = left_cols
+    rs, re_ = right_cols
+
+    def buckets(df, s, e):
+        first = F.floor(
+            F.col(s).cast("double") / F.lit(float(bucket_seconds))
+        ).cast("long")
+        last = F.floor(
+            F.col(e).cast("double") / F.lit(float(bucket_seconds))
+        ).cast("long")
+        return df.withColumn("__first", first).withColumn(
+            "__bk", F.explode(F.sequence(first, last))
+        )
+
+    lb = buckets(left, ls, le).withColumnRenamed("__first", "__lfirst")
+    rb = buckets(right, rs, re_).withColumnRenamed("__first", "__rfirst")
+    on = ["__bk", *extra_on]
+    return (
+        lb.join(rb, on)
+        .where(
+            (F.col("__bk") == F.greatest("__lfirst", "__rfirst"))
+            & (F.col(ls) <= F.col(re_))
+            & (F.col(rs) <= F.col(le))
+        )
+        .drop("__bk", "__lfirst", "__rfirst")
+    )

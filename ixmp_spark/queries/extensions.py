@@ -95,6 +95,65 @@ def j11_range_join(spark, sf_dir):
 
 
 @query(
+    "j12_interval_overlap",
+    oracle="""
+    WITH iv AS (
+      SELECT event_id, ts - INTERVAL 30 MINUTE AS s,
+             ts + INTERVAL 30 MINUTE AS e
+      FROM events WHERE event_type = 'purchase'
+      ORDER BY value DESC, event_id LIMIT 300
+    )
+    SELECT a.event_id AS a_id, b.event_id AS b_id,
+           round(epoch(least(a.e, b.e)) - epoch(greatest(a.s, b.s)), 1)
+             AS overlap_s
+    FROM iv a JOIN iv b
+      ON a.event_id < b.event_id AND a.s <= b.e AND b.s <= a.e
+    """,
+)
+def j12_interval_overlap(spark, sf_dir):
+    """Interval×interval overlap self-join with NO equality key
+    (operators/joins.py:interval_overlap_join): which purchase windows
+    overlap, and by how much. Both sides explode to hour buckets, hash
+    join on the bucket, and each overlapping pair emits EXACTLY once via
+    the first-shared-bucket guard (bucket == max of the two start
+    buckets) — no dedup shuffle. The oracle is the naive theta
+    self-join; quadratic there, hash-shaped here."""
+    from ixmp_spark.operators.joins import interval_overlap_join
+
+    ev = load(spark, sf_dir, "events")
+    iv = (
+        ev.where("event_type = 'purchase'")
+        .orderBy(F.desc("value"), "event_id")
+        .limit(300)
+        .select(
+            "event_id",
+            (F.col("ts") - F.expr("interval 30 minutes")).alias("s"),
+            (F.col("ts") + F.expr("interval 30 minutes")).alias("e"),
+        )
+    )
+    a = iv.select(
+        F.col("event_id").alias("a_id"),
+        F.col("s").alias("a_s"),
+        F.col("e").alias("a_e"),
+    )
+    b = iv.select(
+        F.col("event_id").alias("b_id"),
+        F.col("s").alias("b_s"),
+        F.col("e").alias("b_e"),
+    )
+    j = interval_overlap_join(a, b, ("a_s", "a_e"), ("b_s", "b_e"), 3600)
+    return j.where(F.col("a_id") < F.col("b_id")).select(
+        "a_id",
+        "b_id",
+        F.round(
+            F.least("a_e", "b_e").cast("double")
+            - F.greatest("a_s", "b_s").cast("double"),
+            1,
+        ).alias("overlap_s"),
+    )
+
+
+@query(
     "j10_band_join",
     oracle="""
     WITH bands(band, lo, hi) AS (

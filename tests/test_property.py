@@ -568,3 +568,44 @@ def test_range_join_equals_naive_random(spark, iv, pts):
         if s <= m <= s + ln
     )
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(iv=intervals_strategy, iv2=intervals_strategy)
+def test_interval_overlap_join_equals_naive_random(spark, iv, iv2):
+    """interval_overlap_join == the naive theta join on arbitrary
+    interval sets (touching endpoints, containment, multi-bucket spans,
+    same-bucket disjoint pairs all arise by generation)."""
+    from datetime import datetime, timedelta
+
+    from ixmp_spark.operators.joins import interval_overlap_join
+
+    t0 = datetime(2024, 6, 1)
+
+    def frame(rows, p):
+        return spark.createDataFrame(
+            [
+                (
+                    i,
+                    t0 + timedelta(minutes=s),
+                    t0 + timedelta(minutes=s + ln),
+                )
+                for i, (s, ln) in enumerate(rows)
+            ],
+            f"{p}_id long, {p}_s timestamp, {p}_e timestamp",
+        )
+
+    got = sorted(
+        (r["a_id"], r["b_id"])
+        for r in interval_overlap_join(
+            frame(iv, "a"), frame(iv2, "b"), ("a_s", "a_e"),
+            ("b_s", "b_e"), 3600
+        ).collect()
+    )
+    want = sorted(
+        (i, j)
+        for i, (s1, l1) in enumerate(iv)
+        for j, (s2, l2) in enumerate(iv2)
+        if s1 <= s2 + l2 and s2 <= s1 + l1
+    )
+    assert got == want

@@ -1817,6 +1817,47 @@ def test_range_join_hand_computed(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_interval_overlap_join_hand_computed(spark):
+    """interval_overlap_join: touching endpoints count as overlap,
+    multi-bucket spans emit each pair EXACTLY once (the
+    first-shared-bucket guard), disjoint same-bucket pairs are
+    filtered, and the plan stays free of nested-loop joins."""
+    from datetime import datetime, timedelta
+
+    from ixmp_spark.operators.joins import interval_overlap_join
+
+    t0 = datetime(2024, 5, 1, 0, 0)
+
+    def ts(minute):
+        return t0 + timedelta(minutes=minute)
+
+    a = spark.createDataFrame(
+        [
+            (1, ts(0), ts(300)),   # 5h: spans many buckets
+            (2, ts(100), ts(130)),
+            (3, ts(400), ts(410)),
+        ],
+        "a_id long, a_s timestamp, a_e timestamp",
+    )
+    b = spark.createDataFrame(
+        [
+            (10, ts(120), ts(500)),  # overlaps 1 (many shared buckets), 2, 3
+            (11, ts(300), ts(300)),  # touches 1's endpoint exactly
+            (12, ts(131), ts(140)),  # same bucket as 2, DISJOINT from 2
+        ],
+        "b_id long, b_s timestamp, b_e timestamp",
+    )
+    got = interval_overlap_join(a, b, ("a_s", "a_e"), ("b_s", "b_e"), 3600)
+    pairs = sorted((r["a_id"], r["b_id"]) for r in got.collect())
+    assert pairs == [(1, 10), (1, 11), (1, 12), (2, 10), (3, 10)]
+
+    from tools.audit_plans import formatted_plan
+
+    plan = formatted_plan(got)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_chunked_sessionize_and_zscore_match_plain(spark):
     """Bucket-chunked sessionize (prefix-sum stitching) and z-score
     (tail carries) must equal the plain whole-history windows on the
