@@ -38,15 +38,39 @@ _JSONL_EXTS = (".json", ".json.gz", ".jsonl", ".jsonl.gz")
 def _sniff_jsonl(path: str) -> bool:
     """Decide whether a curate/export input is JSONL or parquet.
 
-    Directories: JSONL iff any entry has a jsonl-ish extension (a parquet
-    dataset directory contains ``part-*.parquet`` / ``_SUCCESS``).
-    Single files: decided strictly by extension — ``.parquet`` is
+    Directories: positive parquet evidence wins (``*.parquet`` files or
+    a ``_SUCCESS`` marker, checked at the top level and one level into
+    partition subdirectories) — so a parquet dataset with a stray
+    ``.json`` metadata sidecar is still parquet, and a partitioned JSONL
+    dir whose top level holds only ``key=val/`` subdirectories is still
+    JSONL. A directory with evidence of neither (including an empty one)
+    fails loudly instead of falling through to a confusing parquet-read
+    error. Single files: decided strictly by extension — ``.parquet`` is
     parquet, jsonl-ish is JSONL, anything else is an error. The previous
     behavior (any non-directory ⇒ JSONL) silently parsed a parquet file
     as JSON and quarantined every row as corrupt; an ambiguous input
     must fail loudly instead."""
     if os.path.isdir(path):
-        return any(f.endswith(_JSONL_EXTS) for f in os.listdir(path))
+        levels = [os.listdir(path)]
+        levels.append([
+            os.path.join(d, f)
+            for d in levels[0]
+            if os.path.isdir(os.path.join(path, d))
+            for f in os.listdir(os.path.join(path, d))
+        ])
+        entries = [f for lvl in levels for f in lvl]
+        if any(
+            f.endswith(".parquet") or os.path.basename(f) == "_SUCCESS"
+            for f in entries
+        ):
+            return False
+        if any(f.endswith(_JSONL_EXTS) for f in entries):
+            return True
+        raise SystemExit(
+            f"cannot infer input format of directory {path!r}: no "
+            "*.parquet/_SUCCESS and no *.jsonl entries at the top two "
+            "levels"
+        )
     if path.endswith(".parquet"):
         return False
     if path.endswith(_JSONL_EXTS):

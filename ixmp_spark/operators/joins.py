@@ -194,8 +194,17 @@ def range_join(
         F.col(end_col).cast("double") / F.lit(float(bucket_seconds))
     ).cast("long")
     p = points.withColumn("__bk", pb)
+    # Malformed intervals (end < start) must emit NO candidate rows:
+    # Spark's sequence(first, last) auto-steps -1 when last < first, so a
+    # badly corrupt end (e.g. epoch 0) would explode a huge DESCENDING
+    # bucket list that only the post-filter removes — rows the shuffle
+    # already paid for. Guard to an empty array instead.
     iv = intervals.withColumn(
-        "__bk", F.explode(F.sequence(ib_first, ib_last))
+        "__bk",
+        F.explode(
+            F.when(ib_last >= ib_first, F.sequence(ib_first, ib_last))
+            .otherwise(F.array().cast("array<long>"))
+        ),
     )
     on = ["__bk", *extra_on]
     return (
@@ -242,8 +251,14 @@ def interval_overlap_join(
         last = F.floor(
             F.col(e).cast("double") / F.lit(float(bucket_seconds))
         ).cast("long")
+        # Same end<start guard as range_join: corrupt intervals emit no
+        # candidate buckets rather than a descending-sequence explosion.
         return df.withColumn("__first", first).withColumn(
-            "__bk", F.explode(F.sequence(first, last))
+            "__bk",
+            F.explode(
+                F.when(last >= first, F.sequence(first, last))
+                .otherwise(F.array().cast("array<long>"))
+            ),
         )
 
     lb = buckets(left, ls, le).withColumnRenamed("__first", "__lfirst")

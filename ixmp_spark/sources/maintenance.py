@@ -105,9 +105,21 @@ def zorder_key(df: DataFrame, cols: list[str], bits: int = 16):
     filter on EITHER column (Delta OPTIMIZE ZORDER BY; public Morton
     construction). Numeric columns only; non-numeric dims should hash
     first. The interleave is a driver-built expression of
-    2·bits·len(cols) shifts/ors — pure codegen, no UDF."""
+    2·bits·len(cols) shifts/ors — pure codegen, no UDF.
+
+    ``bits`` is capped so the interleaved key fits a signed 64-bit long:
+    shiftleft past bit 63 wraps mod 64 in Spark, which would silently
+    scramble the Morton order instead of failing."""
     from pyspark.sql import functions as F
 
+    if not cols:
+        raise ValueError("zorder_key: need at least one column")
+    bits = min(bits, 63 // len(cols))
+    if bits < 1:
+        raise ValueError(
+            f"zorder_key: {len(cols)} columns cannot interleave into a "
+            "63-bit key with >=1 bit each"
+        )
     bounds = df.agg(
         *[F.min(c).cast("double").alias(f"mn_{i}") for i, c in enumerate(cols)],
         *[F.max(c).cast("double").alias(f"mx_{i}") for i, c in enumerate(cols)],

@@ -269,8 +269,9 @@ def zscore_stream(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    key_type = events.schema[key_col].dataType.simpleString()
     out_schema = (
-        f"{order_col} long, {key_col} long, {value_col} double, "
+        f"{order_col} long, {key_col} {key_type}, {value_col} double, "
         "baseline_mean double, z double, is_anomaly boolean"
     )
     state_schema = "vals array<double>"

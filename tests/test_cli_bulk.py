@@ -584,6 +584,37 @@ def test_cli_export_shards_split_long_docs(spark, tmp_path, capsys):
         )
 
 
+def test_sniff_jsonl_directory_evidence(tmp_path):
+    """Directory sniffing weighs positive parquet evidence over 'any
+    jsonl-ish entry': a parquet dataset with a stray .json metadata
+    sidecar is parquet, a partitioned JSONL dir whose top level holds
+    only key=val/ subdirectories is JSONL, and an empty dir fails loudly
+    instead of falling through to an unrelated parquet-read error."""
+    from ixmp_spark.cli import _sniff_jsonl
+
+    pq = tmp_path / "pq_with_sidecar"
+    pq.mkdir()
+    (pq / "part-00000.parquet").write_bytes(b"PAR1")
+    (pq / "metadata.json").write_text("{}")
+    assert _sniff_jsonl(str(pq)) is False
+
+    marker = tmp_path / "pq_success_only"
+    marker.mkdir()
+    (marker / "_SUCCESS").write_bytes(b"")
+    (marker / "sidecar.json").write_text("{}")
+    assert _sniff_jsonl(str(marker)) is False
+
+    part = tmp_path / "jl_partitioned"
+    (part / "lang=en").mkdir(parents=True)
+    (part / "lang=en" / "chunk0.jsonl").write_text('{"a":1}\n')
+    assert _sniff_jsonl(str(part)) is True
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(SystemExit, match="cannot infer input format"):
+        _sniff_jsonl(str(empty))
+
+
 def test_cli_curate_input_format_sniff(spark, tmp_path, capsys):
     """Format sniffing for file inputs goes strictly by extension: a
     single .parquet FILE reads as parquet (previously any non-directory

@@ -1610,6 +1610,74 @@ def test_zorder_cluster_bounds_both_dimensions(spark, sf_dir, tmp_path):
     assert spark.read.parquet(dest_z).count() == li.count()
 
 
+def test_zorder_key_caps_bits_to_63bit_long(spark):
+    """With 5 columns and the default bits=16 the interleave would shift
+    past bit 63, where Spark's shiftleft wraps mod 64 and silently
+    scrambles the Morton order. zorder_key caps bits to 63//len(cols):
+    the key must fit in a signed long (5 cols → 12 bits each → 60 bits)
+    and still order the diagonal monotonically."""
+    from ixmp_spark.sources.maintenance import zorder_key
+
+    cols = ["a", "b", "c", "d", "e"]
+    df = spark.createDataFrame(
+        [(0,) * 5, (50,) * 5, (100,) * 5],
+        "a long, b long, c long, d long, e long",
+    )
+    by_a = {
+        r["a"]: r["k"]
+        for r in df.select("a", zorder_key(df, cols).alias("k")).collect()
+    }
+    assert all(0 <= k < (1 << 60) for k in by_a.values())
+    assert by_a[0] < by_a[50] < by_a[100]
+    with pytest.raises(ValueError, match="at least one column"):
+        zorder_key(df, [])
+
+
+def test_range_and_overlap_join_malformed_interval_guard(spark):
+    """An interval with end < start (corrupt data) emits NO candidate
+    buckets. Spark's sequence(first, last) auto-steps -1 when last <
+    first, so a corrupt end like epoch 0 used to explode a huge
+    DESCENDING bucket list — rows the shuffle paid for and only the
+    post-filter removed. Both bucketized joins now drop such intervals
+    at the explode, and healthy intervals are unaffected."""
+    from datetime import datetime, timedelta
+
+    from ixmp_spark.operators.joins import interval_overlap_join, range_join
+
+    t0 = datetime(2024, 5, 1, 0, 0)
+
+    def ts(minute):
+        return t0 + timedelta(minutes=minute)
+
+    pts = spark.createDataFrame(
+        [(0, ts(30)), (1, ts(90))], "pid long, ts timestamp"
+    )
+    iv = spark.createDataFrame(
+        [
+            (1, ts(0), ts(60)),                  # healthy: matches pt 0
+            (2, ts(120), datetime(1970, 1, 1)),  # corrupt: end « start
+        ],
+        "iid long, start_ts timestamp, end_ts timestamp",
+    )
+    got = range_join(pts, iv, "ts", "start_ts", "end_ts", 3600)
+    assert sorted((r["iid"], r["pid"]) for r in got.collect()) == [(1, 0)]
+
+    left = spark.createDataFrame(
+        [(10, ts(0), ts(45))], "lid long, l_start timestamp, l_end timestamp"
+    )
+    right = spark.createDataFrame(
+        [
+            (20, ts(30), ts(60)),                 # overlaps lid=10
+            (21, ts(40), datetime(1970, 1, 1)),   # corrupt
+        ],
+        "rid long, r_start timestamp, r_end timestamp",
+    )
+    ov = interval_overlap_join(
+        left, right, ("l_start", "l_end"), ("r_start", "r_end"), 3600
+    )
+    assert sorted((r["lid"], r["rid"]) for r in ov.collect()) == [(10, 20)]
+
+
 def test_pq_rerank_full_equals_exact(spark, sf_dir):
     """PQ with rerank ≥ corpus size degenerates to EXACT squared-L2
     search — the two-stage design's correctness anchor: the ADC stage

@@ -706,6 +706,42 @@ def test_streaming_zscore_matches_batch(spark, sf_dir, tmp_path_factory):
         assert np.allclose(a[both], b[both], atol=2e-6), col
 
 
+def test_zscore_stream_string_key(spark, tmp_path):
+    """zscore_stream derives the key field's output type from the input
+    schema (previously hardcoded ``long``): a string-keyed stream scores
+    cleanly and keeps its keys."""
+    from datetime import datetime, timedelta
+
+    from ixmp_spark.streaming.ts_stream import (
+        run_available_now,
+        zscore_stream,
+    )
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (
+            i,
+            t0 + timedelta(minutes=i),
+            "alpha" if i % 2 else "beta",
+            float(i % 7),
+        )
+        for i in range(20)
+    ]
+    feed = str(tmp_path / "ev")
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id string, value double"
+    ).write.parquet(feed)
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id string, value double"
+    ).parquet(feed)
+    got = run_available_now(
+        zscore_stream(stream), "t_zstream_strkey", mode="append"
+    ).toPandas()
+    assert len(got) == 20
+    assert set(got["user_id"]) == {"alpha", "beta"}
+    assert got["z"].notna().sum() > 0
+
+
 def test_stream_timeseries_ingest(spark, events_dir, tmp_path):
     """foreachBatch → one warehouse transaction per micro-batch: the
     final committed ts_data equals the batch upsert of the same input,
