@@ -121,6 +121,11 @@ def j12_interval_overlap(spark, sf_dir):
     from ixmp_spark.operators.joins import interval_overlap_join
 
     ev = load(spark, sf_dir, "events")
+    # Lazy-checkpoint the top-300 selection so it is computed ONCE: a
+    # plain self-join would inline the orderBy().limit() subtree into
+    # BOTH sides — two sort-limit passes over events and two
+    # SinglePartition exchanges in one plan (flagged by the r6 plan
+    # audit). The checkpointed frame is 300 rows; both sides scan it.
     iv = (
         ev.where("event_type = 'purchase'")
         .orderBy(F.desc("value"), "event_id")
@@ -130,6 +135,7 @@ def j12_interval_overlap(spark, sf_dir):
             (F.col("ts") - F.expr("interval 30 minutes")).alias("s"),
             (F.col("ts") + F.expr("interval 30 minutes")).alias("e"),
         )
+        .localCheckpoint(eager=False)
     )
     a = iv.select(
         F.col("event_id").alias("a_id"),

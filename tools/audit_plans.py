@@ -127,6 +127,32 @@ def single_partition_violations(plan: str) -> list[str]:
     return bad
 
 
+def audit_issues(name: str, plan: str) -> list[str]:
+    """All red flags for one query's formatted plan — the single source
+    of truth shared by the CLI sweep and the standing pytest gate
+    (tests/test_plans.py::test_full_catalog_plan_audit), so the audited
+    set can never drift from the declared catalog again (the r6 gap:
+    a '0 flagged' claim measured 133 of 137 queries)."""
+    import re
+
+    issues = []
+    if "CartesianProduct" in plan:
+        issues.append("CartesianProduct")
+    if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+        issues.append("BroadcastNestedLoopJoin")
+    py_hits = [s for s in _PYTHON_STAGES if s in plan]
+    if py_hits and name not in PYUDF_OK:
+        issues.append(f"Python stage in plan ({'/'.join(py_hits)})")
+    # one count per shuffle-exchange NODE (detail-block headers name
+    # each node exactly once; tree lines would double-count, and
+    # BroadcastExchange / ReusedExchange are different node names)
+    shuffles = len(re.findall(r"^\(\d+\) Exchange\b", plan, re.M))
+    if shuffles > 6 and name not in SHUFFLE_OK:
+        issues.append(f"{shuffles} shuffle exchanges")
+    issues.extend(single_partition_violations(plan))
+    return issues
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     sys.path.insert(0, "/root/repo")
@@ -136,24 +162,7 @@ def main() -> int:
     spark = get_spark("plan_audit")
     bad = 0
     for name, fn in sorted(QUERIES.items()):
-        plan = formatted_plan(fn(spark, sf_dir))
-        issues = []
-        if "CartesianProduct" in plan:
-            issues.append("CartesianProduct")
-        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
-            issues.append("BroadcastNestedLoopJoin")
-        py_hits = [s for s in _PYTHON_STAGES if s in plan]
-        if py_hits and name not in PYUDF_OK:
-            issues.append(f"Python stage in plan ({'/'.join(py_hits)})")
-        # one count per shuffle-exchange NODE (detail-block headers name
-        # each node exactly once; tree lines would double-count, and
-        # BroadcastExchange / ReusedExchange are different node names)
-        import re
-
-        shuffles = len(re.findall(r"^\(\d+\) Exchange\b", plan, re.M))
-        if shuffles > 6 and name not in SHUFFLE_OK:
-            issues.append(f"{shuffles} shuffle exchanges")
-        issues.extend(single_partition_violations(plan))
+        issues = audit_issues(name, formatted_plan(fn(spark, sf_dir)))
         if issues:
             bad += 1
             print(f"FLAG  {name}: {', '.join(issues)}")
