@@ -48,3 +48,35 @@ def test_scalar_columns_pass():
     # when probing for non-scalar cells)
     df2 = pd.DataFrame({"s": [None, "a"]})
     assert len(norm_frame(df2)) == 2
+
+
+def test_timing_tripwire_trips_on_slowdown():
+    """The full-catalog timing tripwire (check_parity.timing_regressions)
+    flags a deliberately-slowed query — the d4_simhash regression class
+    (36x slower, invisible to the headline bench) must fail the sweep,
+    not wait for a human to read TIMINGS_CATALOG.json. Sub-second
+    queries stay exempt (one-rep jitter), and queries with no committed
+    time yet pass."""
+    import time
+
+    from tools.check_parity import timing_regressions
+
+    committed = {"q_fast": 0.5, "q_slow": 2.0, "q_tiny": 0.02}
+
+    def deliberately_slowed():  # 2.0 s committed -> ~8x slower
+        time.sleep(0.02)
+
+    t0 = time.perf_counter()
+    deliberately_slowed()
+    measured = 2.0 * (time.perf_counter() - t0) / 0.0025  # scale to ~16s
+
+    new = {
+        "q_fast": 0.6,         # within band
+        "q_slow": measured,    # tripped
+        "q_tiny": 0.09,        # >3x but under the 1 s floor
+        "q_new": 9.9,          # no committed baseline -> pass
+    }
+    regs = timing_regressions(new, committed)
+    assert len(regs) == 1 and regs[0].startswith("q_slow"), regs
+    # healthy sweep: nothing flagged
+    assert timing_regressions({"q_slow": 2.3}, committed) == []

@@ -94,6 +94,30 @@ def value_hash(df: pd.DataFrame) -> str:
     return hex(int(hash_pandas_object(df, index=False).sum()) & (2**64 - 1))
 
 
+def timing_regressions(
+    timings: dict[str, float],
+    committed: dict[str, float],
+    factor: float = 3.0,
+    floor_s: float = 1.0,
+) -> list[str]:
+    """Tripwire over the committed timing sweep (VERDICT r6 #5): any
+    query slower than ``factor``× its committed TIMINGS_CATALOG time is
+    a flag — the d4_simhash class of regression (36×, invisible to the
+    headline bench, caught only because a human read the JSON). The
+    ``floor_s`` guard keeps sub-second queries out: one-rep wall times
+    jitter by tens of ms, and 3× of 0.1 s is noise, not a regression.
+    New queries (no committed time yet) pass; they enter the sweep on
+    the next committed run."""
+    out = []
+    for name, t in sorted(timings.items()):
+        old = committed.get(name)
+        if old is not None and t > floor_s and t > factor * old:
+            out.append(
+                f"{name}: {t:.2f}s vs committed {old:.2f}s (>{factor:g}x)"
+            )
+    return out
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -168,7 +192,17 @@ def main() -> int:
         else:
             print(f"ok    {name}: {len(a)} rows")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    slow: list[str] = []
     if not only:  # full-catalog run → persist the timing sweep
+        # tripwire BEFORE overwriting: compare against the committed
+        # sweep when it measured the same sf_dir
+        if os.path.exists(TIMINGS_PATH):
+            with open(TIMINGS_PATH) as f:
+                prev = json.load(f)
+            if prev.get("sf_dir") == sf_dir:
+                slow = timing_regressions(timings, prev.get("queries", {}))
+                for s in slow:
+                    print(f"SLOW  {s}")
         top = sorted(timings.items(), key=lambda kv: -kv[1])[:20]
         with open(TIMINGS_PATH, "w") as f:
             json.dump(
@@ -185,6 +219,13 @@ def main() -> int:
             )
         print(f"timing sweep -> {os.path.normpath(TIMINGS_PATH)}; top-5: "
               + ", ".join(f"{n}={t:.2f}s" for n, t in top[:5]))
+        if slow and not os.environ.get("IXMP_SPARK_NO_TIMING_GATE"):
+            print(
+                f"{len(slow)} timing regression(s) >3x committed sweep — "
+                "investigate, or set IXMP_SPARK_NO_TIMING_GATE=1 for a "
+                "known-contaminated host"
+            )
+            return 1
     return 1 if failures else 0
 
 
