@@ -737,6 +737,13 @@ class Scenario(TimeSeries):
         return _solve(self, model=model, callback=callback, **model_options)
 
     # -- clone (SURVEY.md §1.5; reference scenario.py:870–945) ------------
+    #: committed tables at or above this many rows clone through Spark
+    #: (read → stamp run_id → distributed write) instead of staging a
+    #: pandas copy on the driver — a TS-heavy run can be arbitrarily
+    #: large even though set/par/sol data is model-sized, and clone was
+    #: the one remaining path that materialized it (r6 verdict #3)
+    CLONE_SPARK_ROWS = 200_000
+
     def clone(
         self,
         model: str | None = None,
@@ -745,11 +752,34 @@ class Scenario(TimeSeries):
         keep_solution: bool = True,
         shift_first_model_year: int | None = None,
         platform=None,
+        spark_threshold: int | None = None,
     ) -> "Scenario":
         """Copy this scenario to a new run (new version under the same or a
-        new (model, scenario)). INSERT-SELECT at warehouse level: fact
-        tables are copied with the new run_id; keep_solution=False drops
-        sol_data + non-meta ts rows; shift_first_model_year clamps."""
+        new (model, scenario)). INSERT-SELECT at warehouse level: every
+        fact table (ALL of FACT_TABLES — including cat_data, which the
+        previous implementation silently dropped) is copied with the new
+        run_id; keep_solution=False drops sol_data + non-meta ts rows;
+        shift_first_model_year clamps (reference scenario.py:870–945).
+
+        Size-aware like add_par_bulk: per table, a cheap parquet-footer
+        row count (no data read) picks the path — model-sized tables
+        stage through pandas as before, while any table at or above
+        ``spark_threshold`` rows (default :attr:`CLONE_SPARK_ROWS`)
+        clones as a Spark plan: read the committed snapshot → replace
+        run_id → apply the keep_solution / shift predicates as Spark
+        filters → distributed parquet write at commit. The driver never
+        holds a row of it, so cloning a 100 TB-scale TS run costs one
+        distributed copy, not a driver OOM. Cross-platform clones work
+        on both paths (the Spark plan reads from the source warehouse
+        and commits into the target's)."""
+        from pyspark.sql import DataFrame as SparkDF
+        from pyspark.sql import functions as F
+
+        from ixmp_spark.sources.warehouse import FACT_TABLES, _empty
+
+        threshold = (
+            self.CLONE_SPARK_ROWS if spark_threshold is None else spark_threshold
+        )
         target_mp = platform or self.platform
         new = Scenario(
             target_mp,
@@ -759,23 +789,43 @@ class Scenario(TimeSeries):
             scheme=self.scheme,
             annotation=annotation,
         )
-        src = {t: self.platform.wh.read_table(self.run_id, t) for t in
-               ("set_data", "par_data", "sol_data", "ts_data", "geo_data")}
+        wh = self.platform.wh
         if self._checked_out and self._staged is not None:
-            # Spark-staged bulk frames materialize for the pandas-side
-            # predicates below (cloning mid-bulk-edit is the rare path)
+            # staged state wins over the committed snapshot; staged Spark
+            # bulk frames STAY Spark (they never visit the driver)
             src = {
-                t: (v.copy() if isinstance(v, pd.DataFrame) else v.toPandas())
-                for t, v in ((t, self._staged[t]) for t in src)
+                t: (v.copy() if isinstance(v, pd.DataFrame) else v)
+                for t, v in self._staged.items()
+            }
+        else:
+            src = {
+                t: (
+                    self.platform.spark.read.parquet(wh.table_path(self.run_id, t))
+                    if wh.table_num_rows(self.run_id, t) >= threshold
+                    else wh.read_table(self.run_id, t)
+                )
+                for t in FACT_TABLES
             }
         for t, df in src.items():
-            df = df.copy()
-            df["run_id"] = new.run_id
+            if isinstance(df, pd.DataFrame):
+                df = df.copy()
+                df["run_id"] = new.run_id
+            else:
+                df = df.withColumn(
+                    "run_id", F.lit(int(new.run_id)).cast("long")
+                )
             src[t] = df
         if not keep_solution:
-            src["sol_data"] = src["sol_data"].iloc[0:0]
+            src["sol_data"] = _empty("sol_data")
             ts = src["ts_data"]
-            if shift_first_model_year is not None:
+            if isinstance(ts, SparkDF):
+                keep = (
+                    F.col("meta") | (F.col("year") < shift_first_model_year)
+                    if shift_first_model_year is not None
+                    else F.col("meta")
+                )
+                src["ts_data"] = ts.where(keep)
+            elif shift_first_model_year is not None:
                 src["ts_data"] = ts[
                     ts["meta"] | (ts["year"] < shift_first_model_year)
                 ]

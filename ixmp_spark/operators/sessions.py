@@ -276,61 +276,42 @@ def zscore_anomalies(
     absolute-delta gates, not a 0/0.
 
     ``bucket``: hot-key form — identical output with (key, time-bucket)
-    window partitions. The trailing frame needs at most ``window`` rows
-    from before the bucket, and any such row is among the LAST
-    ``window`` rows of its own bucket (tail rows — the time-mirror of
-    ``_lead_steps_chunked``'s head rows); tails are replicated forward
-    into the up-to-``window`` later buckets whose frames reach them, as
-    context-only carry rows. Extra too-early carries sort before the
-    reachable frame and are never read."""
-    is_carry = F.lit(False)
+    window partitions, via a two-phase aggregate decomposition that
+    shuffles + sorts the full data exactly ONCE (the r6 carry-row design
+    paid two full shuffle-sorts — a reverse row_number pass to find
+    bucket tails, then the union-with-carries window pass — so its
+    constant ate the skew win at local parallelism):
+
+    1. One window pass per (key, bucket): row_number, bucket size, and
+       the trailing-frame avg/stddev — exact for every row whose frame
+       is fully inside its bucket (``rn > window``). Lazily
+       local-checkpointed: three downstream consumers must not re-run
+       the shuffle (the j12 / iterative-lineage lesson).
+    2. A shuffle-FREE groupBy on the same (key, bucket) partitioning
+       collapses each bucket to one summary row carrying its first/last
+       ``window`` values as sorted arrays; a per-key window over these
+       summary rows (bounded by the TIME RANGE, not the event rate)
+       prefix-combines the previous ``window`` buckets' tails into each
+       bucket's cross-boundary context — the last ``window`` values
+       before the bucket, exactly (every non-empty bucket contributes
+       ≥1 value, so ``window`` summary rows always cover the frame).
+    3. Only the ≤ ``window`` HEAD rows of each bucket join that context
+       (a bounded-size join — no carry rows, no explode, full-data rows
+       never move again) and recompute mean/stddev over the assembled
+       ≤ ``window``-value frame with an array fold, summing in frame
+       order so the mean is bit-identical to the builtin; body rows
+       keep their phase-1 results. Max task ∝ rate × bucket throughout.
+    """
     if bucket is not None:
-        b = F.date_trunc(bucket, F.col(ts_col))
-        base = df.select(
-            order_col, key_col, value_col, ts_col, b.alias("__b")
-        ).withColumn("__carry", F.lit(False))
-        rev = Window.partitionBy(key_col, "__b").orderBy(
-            F.desc(ts_col), F.desc(order_col)
+        return _zscore_chunked(
+            df, key_col, ts_col, order_col, value_col, window, threshold,
+            bucket,
         )
-        tails = (
-            base.withColumn("__rn", F.row_number().over(rev))
-            .where(F.col("__rn") <= window)
-            .drop("__rn", "__carry")
-        )
-        wu = Window.partitionBy(key_col).orderBy(
-            F.col(ts_col), F.col(order_col)
-        )
-        next_buckets = F.array(
-            *[F.lead("__b", i).over(wu) for i in range(1, window + 1)]
-        )
-        carries = tails.withColumn(
-            "__tgts",
-            F.array_distinct(
-                F.filter(
-                    next_buckets, lambda x: x.isNotNull() & (x > F.col("__b"))
-                )
-            ),
-        ).select(
-            order_col,
-            key_col,
-            value_col,
-            ts_col,
-            F.explode("__tgts").alias("__b"),
-            F.lit(True).alias("__carry"),
-        )
-        df = base.unionByName(carries)
-        w = (
-            Window.partitionBy(key_col, "__b")
-            .orderBy(F.col(ts_col), F.col(order_col))
-            .rowsBetween(-window, -1)
-        )
-        is_carry = F.col("__carry")
-    else:
-        w = (
-            Window.partitionBy(key_col)
-            .orderBy(F.col(ts_col), F.col(order_col))
-            .rowsBetween(-window, -1)
-        )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.col(order_col))
+        .rowsBetween(-window, -1)
+    )
     mu = F.avg(value_col).over(w)
     sd = F.stddev_samp(value_col).over(w)
     z = F.when(
@@ -343,8 +324,123 @@ def zscore_anomalies(
         F.round(mu, 6).alias("baseline_mean"),
         F.round(z, 6).alias("z"),
         F.coalesce(F.abs(z) > threshold, F.lit(False)).alias("is_anomaly"),
-        is_carry.alias("__is_carry"),
-    ).where(~F.col("__is_carry")).drop("__is_carry")
+    )
+
+
+def _zscore_chunked(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    order_col: str,
+    value_col: str,
+    window: int,
+    threshold: float,
+    bucket: str,
+) -> DataFrame:
+    """The bucketed decomposition behind :func:`zscore_anomalies`
+    (``bucket=...``) — see that docstring for the three-phase design."""
+    b = F.date_trunc(bucket, F.col(ts_col))
+    wb = Window.partitionBy(key_col, "__b").orderBy(
+        F.col(ts_col), F.col(order_col)
+    )
+    frame = wb.rowsBetween(-window, -1)
+    whole = Window.partitionBy(key_col, "__b")
+    local = (
+        df.select(order_col, key_col, value_col, ts_col, b.alias("__b"))
+        .select(
+            "*",
+            F.row_number().over(wb).alias("__rn"),
+            F.count(F.lit(1)).over(whole).alias("__n"),
+            F.avg(value_col).over(frame).alias("__mu"),
+            F.stddev_samp(value_col).over(frame).alias("__sd"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    srt = F.struct(
+        F.col(ts_col).alias("t"),
+        F.col(order_col).alias("o"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    # groupBy on the window's own partitioning — no second shuffle of
+    # the data; each bucket collapses to ≤ 2·window values
+    summary = local.groupBy(key_col, "__b").agg(
+        F.transform(
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("__rn") > F.col("__n") - window, srt)
+                )
+            ),
+            lambda s: s["v"],
+        ).alias("__tailv"),
+        F.transform(
+            F.sort_array(
+                F.collect_list(F.when(F.col("__rn") <= window, srt))
+            ),
+            lambda s: s["v"],
+        ).alias("__headv"),
+    )
+    # per-key prefix combine over ONE ROW PER NON-EMPTY BUCKET: the last
+    # `window` values before bucket B live in the tails of the previous
+    # `window` non-empty buckets (each contributes >= 1 value)
+    wk = (
+        Window.partitionBy(key_col)
+        .orderBy("__b")
+        .rowsBetween(-window, -1)
+    )
+    ctxall = F.flatten(F.collect_list("__tailv").over(wk))
+    ctx = summary.select(
+        key_col,
+        "__b",
+        "__headv",
+        _last_n(ctxall, window).alias("__ctx"),
+    )
+
+    # head rows: frame = last `window` of (cross-bucket context ++ local
+    # prefix); fold in frame order — the mean's summation order matches
+    # the builtin window avg exactly
+    heads = local.where(F.col("__rn") <= window).join(
+        ctx, [key_col, "__b"]
+    )
+    prefix = F.when(
+        F.col("__rn") > 1, F.slice("__headv", 1, F.col("__rn") - 1)
+    ).otherwise(F.array().cast("array<double>"))
+    fr = _last_n(F.concat("__ctx", prefix), window)
+    n = F.size(fr)
+    mu_h = F.when(
+        n > 0, F.aggregate(fr, F.lit(0.0), lambda a, x: a + x) / n
+    )
+    m2 = F.aggregate(
+        fr, F.lit(0.0), lambda a, x: a + (x - mu_h) * (x - mu_h)
+    )
+    sd_h = F.when(n >= 2, F.sqrt(m2 / (n - 1)))
+
+    def out(frame_df, mu, sd):
+        z = F.when(sd.isNotNull() & (sd > 0), (F.col(value_col) - mu) / sd)
+        return frame_df.select(
+            order_col,
+            key_col,
+            value_col,
+            F.round(mu, 6).alias("baseline_mean"),
+            F.round(z, 6).alias("z"),
+            F.coalesce(
+                F.abs(z) > threshold, F.lit(False)
+            ).alias("is_anomaly"),
+        )
+
+    body = local.where(F.col("__rn") > window)
+    return out(body, F.col("__mu"), F.col("__sd")).unionByName(
+        out(heads, mu_h, sd_h)
+    )
+
+
+def _last_n(arr, n: int):
+    """Last ``n`` elements of an array column (the whole array when it
+    is shorter) — ``slice`` with a negative start raises when |start|
+    exceeds the array length, so guard explicitly."""
+    return F.when(
+        F.size(arr) > n, F.slice(arr, F.size(arr) - n + 1, n)
+    ).otherwise(arr)
 
 
 def top_paths(

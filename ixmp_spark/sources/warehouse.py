@@ -366,6 +366,22 @@ class LocalWarehouse:
     def table_path(self, run_id: int, table: str) -> str:
         return os.path.join(self.run_dir(run_id), f"{table}.parquet")
 
+    def table_num_rows(self, run_id: int, table: str) -> int:
+        """Row count of a committed table from parquet FOOTERS only — no
+        data pages read, no Spark job. This is clone()'s dispatch signal:
+        model-sized tables stage through pandas, anything bigger goes
+        through the distributed path without ever touching the driver."""
+        p = self.table_path(run_id, table)
+        if not os.path.exists(p):
+            return 0
+        if os.path.isdir(p):  # Spark directory write
+            return sum(
+                pq.read_metadata(os.path.join(p, f)).num_rows
+                for f in os.listdir(p)
+                if f.endswith(".parquet")
+            )
+        return pq.read_metadata(p).num_rows
+
     def _write_run_tables(
         self,
         run_id: int,

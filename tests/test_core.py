@@ -822,3 +822,17 @@ def test_top_level_api_parity():
         assert name in ixmp_spark.__all__
     assert issubclass(ixmp_spark.ModelError, RuntimeError)
     assert ixmp_spark.IAMC_IDX == ["model", "scenario", "region", "variable", "unit"]
+
+
+def test_clone_preserves_categories(mp):
+    """clone() copies EVERY fact table, including cat_data — the previous
+    implementation enumerated five tables by hand and silently dropped
+    category mappings from the cloned run (found while making clone
+    size-aware)."""
+    s1 = make_dantzig(mp)
+    s1.check_out()
+    s1.add_cat("i", "coastal", ["san-diego", "seattle"])
+    s1.commit("categorize")
+    cloned = s1.clone(annotation="with cats")
+    assert cloned.cat("i", "coastal") == ["san-diego", "seattle"]
+    assert cloned.cat_list("i") == ["coastal"]

@@ -2311,3 +2311,71 @@ def test_top_paths_hand_computed(spark):
     assert got == {"a > b > c": 2, "b > c > d": 1}
     with _pytest.raises(ValueError):
         top_paths(df, length=1)
+
+
+def test_clone_distributed_ts_never_stages_on_driver(spark, tmp_path, monkeypatch):
+    """Cloning a bulk-TS run takes the distributed path (r6 verdict #3):
+    ts_data above the row threshold clones as a Spark plan — read the
+    committed parquet, stamp the new run_id, apply keep_solution /
+    shift_first_model_year as Spark predicates, distributed write at
+    commit. Proven two ways: (1) DataFrame.toPandas is patched to raise
+    for the duration of every clone call — any driver materialization
+    fails the test; (2) the warehouse's pandas reader (read_table) is
+    spied and must never be asked for the SOURCE run's ts_data. Values
+    and the shift predicate are pinned against the source."""
+    import pandas as pd
+    from pyspark.sql import DataFrame as SparkDF
+
+    from ixmp_spark.core import Platform, Scenario
+    from ixmp_spark.sources.warehouse import LocalWarehouse
+
+    mp = Platform(spark, str(tmp_path / "wh"))
+    mp.add_region("World", "common")
+    mp.add_unit("GWa")
+    s = Scenario(mp, "bulk_model", "bulk_scen", version="new")
+    n = 1_000_000
+    sdf = spark.range(n).select(
+        F.lit("World").alias("region"),
+        F.concat(F.lit("v"), (F.col("id") / 30).cast("long").cast("string")).alias("variable"),
+        F.lit("GWa").alias("unit"),
+        (F.lit(2000) + (F.col("id") % 30)).cast("int").alias("year"),
+        (F.col("id") % 997 * 0.001).alias("value"),
+    )
+    s.add_timeseries_bulk(sdf)
+    s.commit("bulk ingest")
+    assert mp.wh.table_num_rows(s.run_id, "ts_data") == n
+
+    reads: list[tuple[int, str]] = []
+    orig_read = LocalWarehouse.read_table
+    monkeypatch.setattr(
+        LocalWarehouse,
+        "read_table",
+        lambda self, run_id, table: (
+            reads.append((run_id, table)),
+            orig_read(self, run_id, table),
+        )[1],
+    )
+
+    def boom(self, *a, **k):
+        raise AssertionError("clone staged a Spark frame through the driver")
+
+    monkeypatch.setattr(SparkDF, "toPandas", boom)
+    full = s.clone()
+    shifted = s.clone(keep_solution=False, shift_first_model_year=2010)
+    monkeypatch.undo()
+
+    assert (s.run_id, "ts_data") not in reads  # source TS never hit pandas
+    src_path = mp.wh.table_path(s.run_id, "ts_data")
+    got_full = spark.read.parquet(mp.wh.table_path(full.run_id, "ts_data"))
+    assert got_full.count() == n
+    assert set(r["run_id"] for r in got_full.select("run_id").distinct().collect()) == {full.run_id}
+    src = spark.read.parquet(src_path)
+    assert (
+        got_full.agg(F.round(F.sum("value"), 3)).first()[0]
+        == src.agg(F.round(F.sum("value"), 3)).first()[0]
+    )
+    got_shift = spark.read.parquet(mp.wh.table_path(shifted.run_id, "ts_data"))
+    want_rows = src.where("meta OR year < 2010").count()
+    assert got_shift.count() == want_rows > 0
+    assert got_shift.where("NOT meta AND year >= 2010").count() == 0
+    assert mp.wh.table_num_rows(shifted.run_id, "sol_data") == 0
