@@ -88,6 +88,43 @@ class Platform:
             columns=["name", "category", "duration"],
         )
 
+    # -- model/scenario name registries (reference backend/base.py:301–338:
+    #    names exist independently of runs and are auto-extended when a
+    #    run is created — new_run already appends to both lists) ----------
+    def add_model_name(self, name: str) -> None:
+        """Register a model name with no run attached (reference
+        Platform.add_model_name → Backend.add_model_name)."""
+        self.wh.update_catalog(
+            lambda c: c["models"].append(name)
+            if name not in c["models"] else None
+        )
+
+    def add_scenario_name(self, name: str) -> None:
+        """Register a scenario name with no run attached (reference
+        Platform.add_scenario_name → Backend.add_scenario_name)."""
+        self.wh.update_catalog(
+            lambda c: c["scenarios"].append(name)
+            if name not in c["scenarios"] else None
+        )
+
+    def get_model_names(self) -> list[str]:
+        """All model names — registered explicitly or via run creation —
+        sorted (reference Backend.get_model_names). Unioned with the run
+        table defensively so pre-registry warehouses stay complete."""
+        cat = self.wh.catalog()
+        return sorted(
+            set(cat["models"]) | {r["model"] for r in cat["runs"].values()}
+        )
+
+    def get_scenario_names(self) -> list[str]:
+        """All scenario names, sorted (reference
+        Backend.get_scenario_names)."""
+        cat = self.wh.catalog()
+        return sorted(
+            set(cat["scenarios"])
+            | {r["scenario"] for r in cat["runs"].values()}
+        )
+
     # -- run registry (F6/A4; reference base.py:341–379) ------------------
     def scenario_list(
         self,

@@ -836,3 +836,25 @@ def test_clone_preserves_categories(mp):
     cloned = s1.clone(annotation="with cats")
     assert cloned.cat("i", "coastal") == ["san-diego", "seattle"]
     assert cloned.cat_list("i") == ["coastal"]
+
+
+def test_model_scenario_name_registries(mp):
+    """Name registries exist BEFORE any run (reference
+    backend/base.py:301–338, test_platform.py:302–309): an explicitly
+    registered name appears in get_*_names with no run attached, and
+    creating a run auto-extends both registries. Registration is
+    idempotent and survives a fresh Platform on the same warehouse."""
+    mp.add_model_name("registered_model")
+    mp.add_scenario_name("registered_scen")
+    mp.add_model_name("registered_model")  # idempotent
+    assert "registered_model" in mp.get_model_names()
+    assert "registered_scen" in mp.get_scenario_names()
+    assert len(mp.scenario_list(model="registered_model")) == 0  # no run
+
+    make_dantzig(mp)  # run creation auto-registers its names
+    assert "canning problem" in mp.get_model_names()
+    assert "standard" in mp.get_scenario_names()
+    # persisted in catalog.json, not Platform state
+    again = Platform(mp.spark, mp.wh.root)
+    assert "registered_model" in again.get_model_names()
+    assert again.get_model_names() == sorted(again.get_model_names())
