@@ -482,6 +482,10 @@ class Reporter:
             ak = Key(str(alias), tk.dims)
             self.add(ak, lambda tk=tk: self.get_quantity(tk), deps=[tk])
             self.full_keys.setdefault(ak.name, ak)
+        # units: replace: {alias: symbol} — config-driven parser
+        # replacements (reference RunConfig units handling / pint
+        # definition overrides); applies to every unit parsed afterwards
+        register_unit_aliases((cfg.get("units") or {}).get("replace", {}))
         for key, unit in (cfg.get("units") or {}).get("apply", {}).items():
             src = self.full_keys.get(str(key), Key.parse(str(key)))
             orig = self.graph[str(src)]  # wrap, don't recurse
@@ -494,10 +498,70 @@ class Reporter:
         return self
 
 
+#: pint-style alias normalization applied per parsed factor (reference
+#: report/util.py parse_units + pint's symbol resolution): long names and
+#: common spellings collapse to one symbol so 'kilometers' and 'km' are
+#: the SAME unit to the algebra. Extended at runtime by
+#: register_unit_aliases (the config-driven replacement map, mirroring
+#: reference report/operator.py:129–139 / RunConfig units handling).
+UNIT_ALIASES: dict[str, str] = {
+    "meter": "m", "meters": "m", "metre": "m", "metres": "m",
+    "kilometer": "km", "kilometers": "km", "kilometre": "km",
+    "kilometres": "km",
+    "gram": "g", "grams": "g", "kilogram": "kg", "kilograms": "kg",
+    "tonne": "t", "tonnes": "t", "ton": "t", "tons": "t",
+    "second": "s", "seconds": "s", "sec": "s",
+    "minute": "min", "minutes": "min",
+    "hour": "h", "hours": "h", "hr": "h",
+    "year": "a", "years": "a", "yr": "a",
+    "joule": "J", "joules": "J", "watt": "W", "watts": "W",
+    "hertz": "Hz",
+    "newton": "N", "newtons": "N", "pascal": "Pa", "pascals": "Pa",
+    "percent": "%", "pct": "%",
+    "dollar": "USD", "dollars": "USD",
+    "kilowatt": "kW", "kilowatts": "kW",
+    "megawatt": "MW", "megawatts": "MW",
+    "gigawatt": "GW", "gigawatts": "GW",
+}
+
+#: derived-unit expansions to SI-base exponent form, used ONLY for the
+#: add-compatibility check so 'J/s' + 'W' is accepted (pint
+#: dimensionality equivalence) — mul/div keep the surface symbols the
+#: user wrote. Prefixed symbols (kW, GWa, …) stay opaque on purpose: the
+#: algebra tracks symbols, not magnitudes, and treating kW ≡ W would
+#: silently mis-add scaled series.
+UNIT_EXPANSIONS: dict[str, dict[str, int]] = {
+    "J": {"kg": 1, "m": 2, "s": -2},
+    "W": {"kg": 1, "m": 2, "s": -3},
+    "N": {"kg": 1, "m": 1, "s": -2},
+    "Pa": {"kg": 1, "m": -1, "s": -2},
+    "Hz": {"s": -1},
+}
+
+
+def register_unit_aliases(mapping: dict[str, str]) -> None:
+    """Config-driven unit replacements (reference RunConfig
+    ``units:``/pint definition overrides): every parse thereafter maps
+    each alias factor to its target symbol."""
+    UNIT_ALIASES.update({str(k): str(v) for k, v in mapping.items()})
+
+
+_UNIT_OK_CHARS = re.compile(r"[^\w%*/ .]")
+
+
 def _unit_exponents(u: str) -> dict[str, int]:
     """Parse 'a*b/c*d' → {a:1, b:1, c:-1, d:-1} (left-to-right, '/' flips
     sign for the following factor — the pint-compatible reading of the
-    simple forms the reference stores, e.g. 'USD/km')."""
+    simple forms the reference stores, e.g. 'USD/km'). Factors are
+    normalized through UNIT_ALIASES; invalid characters raise with the
+    reference's message shape (report/util.py parse_units:
+    test_reporter.py:86–105)."""
+    bad = sorted(set(_UNIT_OK_CHARS.findall(u)))
+    if bad:
+        raise ValueError(
+            f"unit {u!r} cannot be parsed; contains invalid character(s) "
+            f"{''.join(bad)!r}"
+        )
     exps: dict[str, int] = {}
     sign = 1  # applies to the NEXT factor only: a/b*c = (a/b)*c
     # '**N' exponent suffixes (our own canonical output) bind to the name
@@ -509,10 +573,22 @@ def _unit_exponents(u: str) -> dict[str, int]:
             sign = -1
             continue
         name, _, exp = tok.partition("**")
+        name = UNIT_ALIASES.get(name, name)
         if name not in ("", "1"):
             exps[name] = exps.get(name, 0) + sign * (int(exp) if exp else 1)
         sign = 1
     return {k: v for k, v in exps.items() if v}
+
+
+def _expand_exponents(exps: dict[str, int]) -> dict[str, int]:
+    """Derived symbols → SI-base exponent form (one level; the table is
+    already in base units). Dimensional-equivalence canonicalizer for
+    the add check only."""
+    out: dict[str, int] = {}
+    for name, n in exps.items():
+        for base, bn in UNIT_EXPANSIONS.get(name, {name: 1}).items():
+            out[base] = out.get(base, 0) + bn * n
+    return {k: v for k, v in out.items() if v}
 
 
 def _exps_to_unit(exps: dict[str, int]) -> str:
@@ -528,8 +604,12 @@ def _exps_to_unit(exps: dict[str, int]) -> str:
 
 def _combine_units(a: str | None, b: str | None, op: str) -> str | None:
     """C5 unit algebra without pint: exponent-counting mul/div with
-    cancellation ('km' * 'USD/km' → 'USD'); add requires equal units
-    (mixed-unit rejection, reference operator.py:114–127)."""
+    cancellation ('km' * 'USD/km' → 'USD'); add requires DIMENSIONALLY
+    equal units — surface symbols are alias-normalized and derived units
+    expand to base form for the comparison, so 'J/s' + 'W' and
+    'kilometers' + 'km' are accepted (reference operator.py:114–127 +
+    pint dimensionality; mixed units still rejected — stricter than the
+    reference's warn-and-discard, deliberately)."""
     if a is None or b is None:
         return a or b
     if op in ("mul", "div"):
@@ -538,6 +618,8 @@ def _combine_units(a: str | None, b: str | None, op: str) -> str | None:
         for k, v in eb.items():
             ea[k] = ea.get(k, 0) + sgn * v
         return _exps_to_unit({k: v for k, v in ea.items() if v})
-    if _unit_exponents(a) != _unit_exponents(b):
+    if _expand_exponents(_unit_exponents(a)) != _expand_exponents(
+        _unit_exponents(b)
+    ):
         raise ValueError(f"cannot add units {a!r} and {b!r}")
     return a

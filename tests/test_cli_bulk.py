@@ -650,3 +650,52 @@ def test_cli_curate_input_format_sniff(spark, tmp_path, capsys):
     mystery.write_bytes(b"\x00\x01\x02")
     with pytest.raises(SystemExit, match="cannot infer input format"):
         cli_main(["curate", str(mystery), str(tmp_path / "x")])
+
+
+def test_unit_parsing_pint_semantics():
+    """Unit-parser upgrade toward pint (reference report/util.py
+    parse_units + test_reporter.py:86–154, minus pint-exclusive
+    auto-definition): invalid characters raise the reference's message
+    shape; long names/spellings alias to one symbol so algebra sees
+    'kilometers' ≡ 'km'; derived units expand to base form for the ADD
+    compatibility check ('J/s' + 'W' accepted) while mul/div keep
+    surface symbols; prefixed symbols stay opaque (kW + W must NOT be
+    treated as equal — the algebra tracks symbols, not magnitudes); and
+    the replacement map is runtime-extensible (config-driven)."""
+    import re
+
+    from ixmp_spark.plans.reporter import (
+        UNIT_ALIASES,
+        register_unit_aliases,
+        _unit_exponents,
+    )
+
+    for bad, chars in (("-", "-"), ("???", "?")):
+        with pytest.raises(
+            ValueError,
+            match=rf"unit '{re.escape(bad)}' cannot be parsed; contains "
+            rf"invalid character\(s\) '{re.escape(chars)}'",
+        ):
+            _unit_exponents(bad)
+
+    # alias normalization: long spellings cancel against symbols
+    assert _combine_units("kilometers", "USD/km", "mul") == "USD"
+    assert _combine_units("USD/kilometre", "USD/km", "add") == "USD/kilometre"
+    # dimensional equivalence on add: J/s == W, Hz == 1/s
+    assert _combine_units("J/s", "W", "add") == "J/s"
+    assert _combine_units("Hz", "1/s", "add") == "Hz"
+    # prefixed symbols stay distinct — no silent magnitude mixing
+    with pytest.raises(ValueError, match="cannot add"):
+        _combine_units("kW", "W", "add")
+    # mul/div keep surface symbols (no surprise base-unit rewrites)
+    assert _combine_units("W", "s", "mul") == "W*s"
+
+    # config-driven replacement map
+    assert "pkm" not in UNIT_ALIASES
+    register_unit_aliases({"passenger_km": "pkm"})
+    try:
+        assert _combine_units("USD/passenger_km", "USD/pkm", "add") == (
+            "USD/passenger_km"
+        )
+    finally:
+        UNIT_ALIASES.pop("passenger_km", None)
