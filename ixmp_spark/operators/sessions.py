@@ -344,13 +344,22 @@ def _zscore_chunked(
         F.col(ts_col), F.col(order_col)
     )
     frame = wb.rowsBetween(-window, -1)
-    whole = Window.partitionBy(key_col, "__b")
+    # __tail: fewer than `window` rows after this one in its bucket —
+    # lead of a constant is NULL only off the partition end, and unlike
+    # count() OVER (PARTITION BY …) it shares this ordered spec's
+    # WindowExec, so phase 1 stays ONE window node, one pass
+    # ts is dropped from the checkpoint: __rn already encodes the
+    # (ts, order) ordering within each bucket, so downstream sorts go
+    # by __rn and the materialized frame stays one column narrower
     local = (
         df.select(order_col, key_col, value_col, ts_col, b.alias("__b"))
         .select(
-            "*",
+            order_col,
+            key_col,
+            value_col,
+            "__b",
             F.row_number().over(wb).alias("__rn"),
-            F.count(F.lit(1)).over(whole).alias("__n"),
+            F.lead(F.lit(1), window).over(wb).isNull().alias("__tail"),
             F.avg(value_col).over(frame).alias("__mu"),
             F.stddev_samp(value_col).over(frame).alias("__sd"),
         )
@@ -358,8 +367,7 @@ def _zscore_chunked(
     )
 
     srt = F.struct(
-        F.col(ts_col).alias("t"),
-        F.col(order_col).alias("o"),
+        F.col("__rn").alias("r"),
         F.col(value_col).cast("double").alias("v"),
     )
     # groupBy on the window's own partitioning — no second shuffle of
@@ -367,9 +375,7 @@ def _zscore_chunked(
     summary = local.groupBy(key_col, "__b").agg(
         F.transform(
             F.sort_array(
-                F.collect_list(
-                    F.when(F.col("__rn") > F.col("__n") - window, srt)
-                )
+                F.collect_list(F.when(F.col("__tail"), srt))
             ),
             lambda s: s["v"],
         ).alias("__tailv"),
@@ -397,25 +403,82 @@ def _zscore_chunked(
     )
 
     # head rows: frame = last `window` of (cross-bucket context ++ local
-    # prefix); fold in frame order — the mean's summation order matches
-    # the builtin window avg exactly
-    heads = local.where(F.col("__rn") <= window).join(
-        ctx, [key_col, "__b"]
-    )
+    # prefix). Every expensive expression is STAGED into its own column
+    # — one select per step, each later step referencing only cheap
+    # attributes — so it evaluates ONCE per row. Building mean/stddev as
+    # one nested expression tree re-evaluated the array assembly and the
+    # folds per reference in interpreted HOF mode (~75 evaluations/row,
+    # measured as a 60× slowdown at 10M rows before this staging;
+    # SPARK-36718 keeps the optimizer from re-collapsing multi-
+    # referenced expensive projections). The sum fold runs in frame
+    # order, so the mean matches the builtin window avg bit-for-bit;
+    # stddev is the exact two-pass Σ(x−μ)², with a min==max guard so
+    # constant frames yield sd = 0 → z NULL exactly like the builtin
+    # (a sum-of-squares shortcut would leave ~ulp-sized residues that
+    # flip z from NULL to garbage on constant series).
     prefix = F.when(
         F.col("__rn") > 1, F.slice("__headv", 1, F.col("__rn") - 1)
     ).otherwise(F.array().cast("array<double>"))
-    fr = _last_n(F.concat("__ctx", prefix), window)
-    n = F.size(fr)
-    mu_h = F.when(
-        n > 0, F.aggregate(fr, F.lit(0.0), lambda a, x: a + x) / n
+    heads = (
+        local.where(F.col("__rn") <= window)
+        # shuffled-hash build on the ctx side: the head side is already
+        # hash-partitioned on (key, bucket) from phase 1 (preserved
+        # through the checkpoint), so SMJ would only add an in-partition
+        # sort of every head row; ctx is one row per (key, bucket), so
+        # the per-partition hash build is bounded by the bucket count,
+        # not the event rate
+        .join(ctx.hint("shuffle_hash"), [key_col, "__b"])
+        .select(
+            order_col,
+            key_col,
+            value_col,
+            _last_n(F.concat("__ctx", prefix), window).alias("__fr"),
+        )
+        .select(
+            order_col,
+            key_col,
+            value_col,
+            "__fr",
+            F.size("__fr").alias("__fn"),
+            F.aggregate(
+                "__fr", F.lit(0.0), lambda a, x: a + x
+            ).alias("__sum"),
+            F.array_min("__fr").alias("__fmin"),
+            F.array_max("__fr").alias("__fmax"),
+        )
+        .select(
+            "*",
+            F.when(
+                F.col("__fn") > 0, F.col("__sum") / F.col("__fn")
+            ).alias("__mu"),
+        )
+        .select(
+            "*",
+            F.aggregate(
+                "__fr",
+                F.lit(0.0),
+                lambda a, x: a
+                + (x - F.col("__mu")) * (x - F.col("__mu")),
+            ).alias("__m2"),
+        )
+        .select(
+            order_col,
+            key_col,
+            value_col,
+            "__mu",
+            F.when(
+                F.col("__fn") >= 2,
+                F.when(
+                    F.col("__fmin") == F.col("__fmax"), F.lit(0.0)
+                ).otherwise(
+                    F.sqrt(F.col("__m2") / (F.col("__fn") - 1))
+                ),
+            ).alias("__sd"),
+        )
     )
-    m2 = F.aggregate(
-        fr, F.lit(0.0), lambda a, x: a + (x - mu_h) * (x - mu_h)
-    )
-    sd_h = F.when(n >= 2, F.sqrt(m2 / (n - 1)))
 
-    def out(frame_df, mu, sd):
+    def out(frame_df):
+        mu, sd = F.col("__mu"), F.col("__sd")
         z = F.when(sd.isNotNull() & (sd > 0), (F.col(value_col) - mu) / sd)
         return frame_df.select(
             order_col,
@@ -429,9 +492,7 @@ def _zscore_chunked(
         )
 
     body = local.where(F.col("__rn") > window)
-    return out(body, F.col("__mu"), F.col("__sd")).unionByName(
-        out(heads, mu_h, sd_h)
-    )
+    return out(body).unionByName(out(heads))
 
 
 def _last_n(arr, n: int):

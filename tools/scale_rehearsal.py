@@ -82,6 +82,66 @@ def amplify_vectors(emb: DataFrame, factor: int) -> DataFrame:
     )
 
 
+def planted_corpus(
+    spark,
+    n: int,
+    dim: int = 64,
+    n_probes: int = 8,
+    plant_per_probe: int = 15,
+    seed: int = 7,
+):
+    """Random-vector corpus with PLANTED near-neighbors (VERDICT r6 #4):
+    replica amplification made the r6 ANN table's IVF recall an upper
+    bound — amplified replicas co-cluster with their probes, so probe=1
+    already found everything and the probe-count knee was invisible.
+    Here the corpus is i.i.d. gaussian (hash-based Box-Muller — fully
+    DETERMINISTIC per (vec_id, coordinate), unlike F.randn whose values
+    depend on partition layout), and each probe gets ``plant_per_probe``
+    planted neighbors at graded noise levels (relative radius 0.2→0.5,
+    cosine ≈ 0.98→0.89). True top-k = the closest planted rows; recall
+    then measures RETRIEVAL of non-identical neighbors.
+
+    Returns (corpus_df, probe_rows): probes are corpus members; planted
+    ids start at ``n``."""
+    import math
+
+    import numpy as np
+
+    def unif(salt: int, x):
+        h = F.xxhash64(F.col("vec_id"), x, F.lit(salt))
+        return (F.pmod(h, F.lit(1_000_000)) + 0.5) / 1_000_000.0
+
+    gauss = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda x: F.sqrt(-2.0 * F.log(unif(seed, x)))
+        * F.cos(2.0 * math.pi * unif(seed + 1, x)),
+    )
+    corpus = spark.range(n).select(
+        F.col("id").alias("vec_id"), gauss.alias("embedding")
+    )
+    probe_ids = [int(i * (n // n_probes) + n // (2 * n_probes)) for i in range(n_probes)]
+    probe_rows = corpus.where(F.col("vec_id").isin(probe_ids)).collect()
+    rng = np.random.default_rng(seed)
+    planted, next_id = [], n
+    for row in probe_rows:
+        v = np.asarray(row["embedding"])
+        vnorm = float(np.linalg.norm(v))
+        for j in range(plant_per_probe):
+            rel = 0.2 + 0.3 * j / max(plant_per_probe - 1, 1)
+            noise = rng.normal(0.0, 1.0, dim)
+            noise *= rel * vnorm / np.linalg.norm(noise)
+            planted.append((next_id, [float(x) for x in v + noise]))
+            next_id += 1
+    return (
+        corpus.unionByName(
+            spark.createDataFrame(
+                planted, "vec_id long, embedding array<double>"
+            )
+        ),
+        probe_rows,
+    )
+
+
 def main_embeddings() -> None:
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     factors = [int(x) for x in sys.argv[3:]] or [5, 25, 125]
@@ -169,7 +229,9 @@ def main_ann_table() -> None:
 
         python tools/scale_rehearsal.py --ann-table [sf_dir] [factor]
 
-    Default factor 25 → 50k vectors (base table 2k × dim-64)."""
+    Default factor 25 → 50k corpus vectors (dim-64). The corpus is
+    random with planted near-neighbors (see planted_corpus) so the
+    curves measure retrieval, not duplicate clustering."""
     import random
 
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
@@ -186,15 +248,16 @@ def main_ann_table() -> None:
     )
 
     spark = get_spark("scale_rehearsal_ann")
-    base = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    vecs = amplify_vectors(base, factor).repartition(
+    vecs, probes = planted_corpus(spark, 2000 * factor, n_probes=n_probes)
+    vecs = vecs.repartition(
         spark.sparkContext.defaultParallelism
     ).persist()
     n = vecs.count()
-    print(f"-- ann table: {n} vectors, {n_probes} probes, k={k}", file=sys.stderr)
-
-    probes = vecs.orderBy("vec_id").limit(n_probes * 40).collect()
-    probes = probes[:: 40][:n_probes]  # spread probe ids
+    print(
+        f"-- ann table: {n} vectors (planted-neighbor corpus), "
+        f"{n_probes} probes, k={k}",
+        file=sys.stderr,
+    )
 
     def probe_df(row):
         return spark.createDataFrame(
