@@ -419,26 +419,29 @@ def _zscore_chunked(
     prefix = F.when(
         F.col("__rn") > 1, F.slice("__headv", 1, F.col("__rn") - 1)
     ).otherwise(F.array().cast("array<double>"))
-    heads = (
-        local.where(F.col("__rn") <= window)
-        # shuffled-hash build on the ctx side: the head side is already
-        # hash-partitioned on (key, bucket) from phase 1 (preserved
-        # through the checkpoint), so SMJ would only add an in-partition
-        # sort of every head row; ctx is one row per (key, bucket), so
-        # the per-partition hash build is bounded by the bucket count,
-        # not the event rate
-        .join(ctx.hint("shuffle_hash"), [key_col, "__b"])
+    # ONE fused pass over the checkpoint: shuffled-hash build on the ctx
+    # side (one row per (key, bucket), so the per-partition hash build
+    # is bounded by the bucket count, not the event rate) while the big
+    # side keeps phase 1's (key, bucket) partitioning — no shuffle, no
+    # sort, no body/heads union re-scan. __fr is NULL for body rows
+    # (rn > window), so the folds below short-circuit to NULL for them
+    # and the final projection picks the phase-1 builtin results.
+    fused = (
+        local.join(ctx.hint("shuffle_hash"), [key_col, "__b"])
         .select(
             order_col,
             key_col,
             value_col,
-            _last_n(F.concat("__ctx", prefix), window).alias("__fr"),
+            "__rn",
+            "__mu",
+            "__sd",
+            F.when(
+                F.col("__rn") <= window,
+                _last_n(F.concat("__ctx", prefix), window),
+            ).alias("__fr"),
         )
         .select(
-            order_col,
-            key_col,
-            value_col,
-            "__fr",
+            "*",
             F.size("__fr").alias("__fn"),
             F.aggregate(
                 "__fr", F.lit(0.0), lambda a, x: a + x
@@ -450,7 +453,7 @@ def _zscore_chunked(
             "*",
             F.when(
                 F.col("__fn") > 0, F.col("__sum") / F.col("__fn")
-            ).alias("__mu"),
+            ).alias("__muh"),
         )
         .select(
             "*",
@@ -458,41 +461,40 @@ def _zscore_chunked(
                 "__fr",
                 F.lit(0.0),
                 lambda a, x: a
-                + (x - F.col("__mu")) * (x - F.col("__mu")),
+                + (x - F.col("__muh")) * (x - F.col("__muh")),
             ).alias("__m2"),
         )
         .select(
             order_col,
             key_col,
             value_col,
-            "__mu",
-            F.when(
-                F.col("__fn") >= 2,
+            F.when(F.col("__rn") > window, F.col("__mu"))
+            .otherwise(F.col("__muh"))
+            .alias("__muf"),
+            F.when(F.col("__rn") > window, F.col("__sd"))
+            .otherwise(
                 F.when(
-                    F.col("__fmin") == F.col("__fmax"), F.lit(0.0)
-                ).otherwise(
-                    F.sqrt(F.col("__m2") / (F.col("__fn") - 1))
-                ),
-            ).alias("__sd"),
+                    F.col("__fn") >= 2,
+                    F.when(
+                        F.col("__fmin") == F.col("__fmax"), F.lit(0.0)
+                    ).otherwise(
+                        F.sqrt(F.col("__m2") / (F.col("__fn") - 1))
+                    ),
+                )
+            )
+            .alias("__sdf"),
         )
     )
-
-    def out(frame_df):
-        mu, sd = F.col("__mu"), F.col("__sd")
-        z = F.when(sd.isNotNull() & (sd > 0), (F.col(value_col) - mu) / sd)
-        return frame_df.select(
-            order_col,
-            key_col,
-            value_col,
-            F.round(mu, 6).alias("baseline_mean"),
-            F.round(z, 6).alias("z"),
-            F.coalesce(
-                F.abs(z) > threshold, F.lit(False)
-            ).alias("is_anomaly"),
-        )
-
-    body = local.where(F.col("__rn") > window)
-    return out(body).unionByName(out(heads))
+    mu, sd = F.col("__muf"), F.col("__sdf")
+    z = F.when(sd.isNotNull() & (sd > 0), (F.col(value_col) - mu) / sd)
+    return fused.select(
+        order_col,
+        key_col,
+        value_col,
+        F.round(mu, 6).alias("baseline_mean"),
+        F.round(z, 6).alias("z"),
+        F.coalesce(F.abs(z) > threshold, F.lit(False)).alias("is_anomaly"),
+    )
 
 
 def _last_n(arr, n: int):
