@@ -282,25 +282,34 @@ def zscore_anomalies(
     bucket tails, then the union-with-carries window pass — so its
     constant ate the skew win at local parallelism):
 
-    1. One window pass per (key, bucket): row_number, bucket size, and
-       the trailing-frame avg/stddev — exact for every row whose frame
-       is fully inside its bucket (``rn > window``). Lazily
-       local-checkpointed: three downstream consumers must not re-run
-       the shuffle (the j12 / iterative-lineage lesson).
+    1. One window pass per (key, bucket): row_number, a lead-based
+       last-rows flag (shares the ordered WindowExec — no second window
+       node), and the trailing-frame avg/stddev — exact for every row
+       whose frame is fully inside its bucket (``rn > window``). Lazily
+       local-checkpointed: both downstream consumers (summary and the
+       fused join) must not re-run the shuffle (the j12 /
+       iterative-lineage lesson).
     2. A shuffle-FREE groupBy on the same (key, bucket) partitioning
        collapses each bucket to one summary row carrying its first/last
-       ``window`` values as sorted arrays; a per-key window over these
-       summary rows (bounded by the TIME RANGE, not the event rate)
-       prefix-combines the previous ``window`` buckets' tails into each
-       bucket's cross-boundary context — the last ``window`` values
-       before the bucket, exactly (every non-empty bucket contributes
-       ≥1 value, so ``window`` summary rows always cover the frame).
-    3. Only the ≤ ``window`` HEAD rows of each bucket join that context
-       (a bounded-size join — no carry rows, no explode, full-data rows
-       never move again) and recompute mean/stddev over the assembled
-       ≤ ``window``-value frame with an array fold, summing in frame
+       ``window`` values as sorted arrays (≤ 2·window elements per
+       group buffer — memory does NOT scale with bucket size); a
+       per-key window over these summary rows (bounded by the TIME
+       RANGE, not the event rate) prefix-combines the previous
+       ``window`` buckets' tails into each bucket's cross-boundary
+       context — the last ``window`` values before the bucket, exactly
+       (every non-empty bucket contributes ≥1 value, so ``window``
+       summary rows always cover the frame).
+    3. One fused shuffled-hash join of the checkpoint against that
+       one-row-per-bucket context (the big side keeps phase 1's
+       partitioning — no shuffle, no sort, no carry rows, no explode).
+       Only the ≤ ``window`` HEAD rows per bucket assemble a frame and
+       recompute mean/stddev via staged array folds, summing in frame
        order so the mean is bit-identical to the builtin; body rows
-       keep their phase-1 results. Max task ∝ rate × bucket throughout.
+       pass through with their phase-1 results. Max task ∝
+       rate × bucket throughout.
+
+    Measured at a 40%-hot key on 10M rows (local[32]): ~6.5–7.5 s vs
+    the plain form's ~14 s, vs 12.7 s for the r6 carry design.
     """
     if bucket is not None:
         return _zscore_chunked(

@@ -502,9 +502,25 @@ def main_events() -> None:
     factor, run g1 sessionize / g5 transitions / g6 top_paths / w10
     z-score twice — uniform users vs a bot user holding ~40% of rows —
     and report both, so the hot-key penalty is a measured ratio at each
-    scale, not a guess."""
+    scale, not a guess.
+
+    Every measurement is BEST OF 2 runs, applied symmetrically to plain
+    and chunked forms: single-shot numbers on local[32] fold one-time
+    whole-stage-codegen compilation and JIT into the measurement
+    (observed swinging the same op 6.6→9.4 s run-to-run), which is
+    noise at cluster scale where a plan compiles once and runs for
+    hours. The min is the steady-state cost; the round-notes record
+    the single-shot spread too."""
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     factors = [int(x) for x in sys.argv[3:]] or [1, 10, 50]
+
+    def best_of(fn, reps: int = 2) -> float:
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        return best
 
     from ixmp_spark.operators.sessions import (
         event_transitions,
@@ -536,68 +552,63 @@ def main_events() -> None:
             # Catalyst prune an unused window projection entirely (the
             # first run of this rehearsal "measured" g1/w10 flat at 5M
             # rows for exactly that reason)
-            t0 = time.time()
-            sessionize(ev, "user_id", "ts", 1800, "event_id").agg(
-                F.sum("session_id")
-            ).collect()
-            results.setdefault("g1_sessionize", {}).setdefault(variant, {})[n] = (
-                time.time() - t0
+            results.setdefault("g1_sessionize", {}).setdefault(variant, {})[n] = best_of(
+                lambda: sessionize(ev, "user_id", "ts", 1800, "event_id")
+                .agg(F.sum("session_id")).collect()
             )
 
-            t0 = time.time()
-            event_transitions(ev, "user_id", "ts", "event_type", "event_id").count()
-            results.setdefault("g5_transitions", {}).setdefault(variant, {})[n] = (
-                time.time() - t0
+            results.setdefault("g5_transitions", {}).setdefault(variant, {})[n] = best_of(
+                lambda: event_transitions(
+                    ev, "user_id", "ts", "event_type", "event_id"
+                ).count()
             )
 
-            t0 = time.time()
-            top_paths(ev, "user_id", "ts", "event_type", "event_id", length=3).count()
-            results.setdefault("g6_top_paths", {}).setdefault(variant, {})[n] = (
-                time.time() - t0
+            results.setdefault("g6_top_paths", {}).setdefault(variant, {})[n] = best_of(
+                lambda: top_paths(
+                    ev, "user_id", "ts", "event_type", "event_id", length=3
+                ).count()
             )
 
             # the mitigation, measured side-by-side: day-bucketed window
             # chunking must flatten the bot40 curve back toward uniform
-            t0 = time.time()
-            event_transitions(
-                ev, "user_id", "ts", "event_type", "event_id", bucket="day"
-            ).count()
             results.setdefault("g5_transitions_chunked", {}).setdefault(
                 variant, {}
-            )[n] = time.time() - t0
-
-            t0 = time.time()
-            top_paths(
-                ev, "user_id", "ts", "event_type", "event_id",
-                length=3, bucket="day",
-            ).count()
-            results.setdefault("g6_top_paths_chunked", {}).setdefault(
-                variant, {}
-            )[n] = time.time() - t0
-
-            t0 = time.time()
-            zscore_anomalies(ev, "user_id", "ts", "event_id", "value").agg(
-                F.sum(F.col("is_anomaly").cast("long"))
-            ).collect()
-            results.setdefault("w10_zscore", {}).setdefault(variant, {})[n] = (
-                time.time() - t0
+            )[n] = best_of(
+                lambda: event_transitions(
+                    ev, "user_id", "ts", "event_type", "event_id",
+                    bucket="day",
+                ).count()
             )
 
-            t0 = time.time()
-            sessionize(
-                ev, "user_id", "ts", 1800, "event_id", bucket="day"
-            ).agg(F.sum("session_id")).collect()
+            results.setdefault("g6_top_paths_chunked", {}).setdefault(
+                variant, {}
+            )[n] = best_of(
+                lambda: top_paths(
+                    ev, "user_id", "ts", "event_type", "event_id",
+                    length=3, bucket="day",
+                ).count()
+            )
+
+            results.setdefault("w10_zscore", {}).setdefault(variant, {})[n] = best_of(
+                lambda: zscore_anomalies(ev, "user_id", "ts", "event_id", "value")
+                .agg(F.sum(F.col("is_anomaly").cast("long"))).collect()
+            )
+
             results.setdefault("g1_sessionize_chunked", {}).setdefault(
                 variant, {}
-            )[n] = time.time() - t0
+            )[n] = best_of(
+                lambda: sessionize(
+                    ev, "user_id", "ts", 1800, "event_id", bucket="day"
+                ).agg(F.sum("session_id")).collect()
+            )
 
-            t0 = time.time()
-            zscore_anomalies(
-                ev, "user_id", "ts", "event_id", "value", bucket="day"
-            ).agg(F.sum(F.col("is_anomaly").cast("long"))).collect()
             results.setdefault("w10_zscore_chunked", {}).setdefault(
                 variant, {}
-            )[n] = time.time() - t0
+            )[n] = best_of(
+                lambda: zscore_anomalies(
+                    ev, "user_id", "ts", "event_id", "value", bucket="day"
+                ).agg(F.sum(F.col("is_anomaly").cast("long"))).collect()
+            )
 
             # bucketized range join: clicks within ±30 min of high-value
             # purchases — interval count grows with the corpus, so the
@@ -615,13 +626,13 @@ def main_events() -> None:
                 (F.col("ts") + F.expr("interval 30 minutes")).alias("end_ts"),
             )
             pts = ev.select("ts", "value")
-            t0 = time.time()
-            range_join(
-                pts, iv, "ts", "start_ts", "end_ts", 3600
-            ).groupBy("iv_id").count().count()
             results.setdefault("j11_range_join", {}).setdefault(
                 variant, {}
-            )[n] = time.time() - t0
+            )[n] = best_of(
+                lambda: range_join(
+                    pts, iv, "ts", "start_ts", "end_ts", 3600
+                ).groupBy("iv_id").count().count()
+            )
 
             ev.unpersist()
 
