@@ -57,6 +57,22 @@ def sessionize(
     )
     if bucket is None:
         return local
+    # two consumers (summary → offsets, and the final stitch join):
+    # persist + EAGER materialize — not localCheckpoint, whose
+    # ExistingRDD scan drops the partitioning. A lazily-cached plan
+    # also reports unknown partitioning (its shuffle is still
+    # AQE-coalescible at that point); once materialized — with the
+    # default canChangeCachedPlanOutputPartitioning=false pinning it —
+    # the cache serves the window's (user, bucket) partitioning, so the
+    # summary groupBy collapses to a single-stage agg and the stitch
+    # join re-shuffles NEITHER side's big frame. Measured COLD (cache
+    # handles released between reps — CacheManager otherwise serves
+    # rep 2 from rep 1's cache and the number becomes a cache-read) at
+    # a 40%-hot key: 3.2–4.5 s vs the lineage form's 4.5 s at 5M rows,
+    # 5.2 s vs 6.3 s at 10M, vs plain 5.3/11.2 s. Handle attached to
+    # the result per the cache protocol.
+    local = local.persist()
+    local.count()
     summary = local.groupBy(user_col, "__b").agg(
         F.max("session_id").alias("__n_local"),
         F.min(F.col(ts_col).cast("double")).alias("__first"),
@@ -77,13 +93,19 @@ def sessionize(
             F.lit(0),
         ).alias("__offset"),
     )
-    return (
-        local.join(offsets, [user_col, "__b"])
+    # shuffled-hash build on the one-row-per-(user, bucket) offsets side;
+    # the big side keeps the window's (user, bucket) partitioning through
+    # the persisted frame — no re-shuffle, no sort-merge re-sort
+    from ixmp_spark.operators import attach_caches
+
+    return attach_caches(
+        local.join(offsets.hint("shuffle_hash"), [user_col, "__b"])
         .withColumn(
             "session_id",
             F.col("__offset") + F.col("session_id") - F.col("__merged"),
         )
-        .drop("__b", "__offset", "__merged")
+        .drop("__b", "__offset", "__merged"),
+        local,
     )
 
 
@@ -244,13 +266,14 @@ def event_transitions(
             .agg(F.count(F.lit(1)).alias("n"))
         )
     src_total = Window.partitionBy("src")
-    return (
+    out = (
         pairs.withColumn(
             "prob", F.round(F.col("n") / F.sum("n").over(src_total), 6)
         )
         .orderBy(F.desc("n"), F.asc("src"), F.asc("dst"))
         .limit(k)
     )
+    return out
 
 
 def zscore_anomalies(
@@ -289,27 +312,38 @@ def zscore_anomalies(
        local-checkpointed: both downstream consumers (summary and the
        fused join) must not re-run the shuffle (the j12 /
        iterative-lineage lesson).
-    2. A shuffle-FREE groupBy on the same (key, bucket) partitioning
-       collapses each bucket to one summary row carrying its first/last
-       ``window`` values as sorted arrays (≤ 2·window elements per
-       group buffer — memory does NOT scale with bucket size); a
-       per-key window over these summary rows (bounded by the TIME
-       RANGE, not the event rate) prefix-combines the previous
-       ``window`` buckets' tails into each bucket's cross-boundary
-       context — the last ``window`` values before the bucket, exactly
-       (every non-empty bucket contributes ≥1 value, so ``window``
-       summary rows always cover the frame).
+    2. A groupBy on the same (key, bucket) key collapses each bucket to
+       one summary row carrying its first/last ``window`` values as
+       sorted arrays (≤ 2·window elements per group buffer — memory
+       does NOT scale with bucket size); a per-key window over these
+       summary rows (bounded by the TIME RANGE, not the event rate)
+       prefix-combines the previous ``window`` buckets' tails into each
+       bucket's cross-boundary context — the last ``window`` values
+       before the bucket, exactly (every non-empty bucket contributes
+       ≥1 value, so ``window`` summary rows always cover the frame).
     3. One fused shuffled-hash join of the checkpoint against that
-       one-row-per-bucket context (the big side keeps phase 1's
-       partitioning — no shuffle, no sort, no carry rows, no explode).
-       Only the ≤ ``window`` HEAD rows per bucket assemble a frame and
-       recompute mean/stddev via staged array folds, summing in frame
-       order so the mean is bit-identical to the builtin; body rows
-       pass through with their phase-1 results. Max task ∝
-       rate × bucket throughout.
+       one-row-per-bucket context (no carry rows, no explode). Only the
+       ≤ ``window`` HEAD rows per bucket assemble a frame and recompute
+       mean/stddev via staged array folds replaying the builtins'
+       arithmetic exactly; body rows pass through with their phase-1
+       results. The checkpoint scan re-exchanges for the groupBy and
+       the join, but those shuffles move already-BOUNDED (key, bucket)
+       partitions — skew-safe; max task ∝ rate × bucket throughout.
+       (A persist+eager-count variant that pins the cached partitioning
+       and makes both downstream steps genuinely exchange-free was
+       built and measured COLD — cache handles released between reps,
+       since CacheManager otherwise serves rep 2 from rep 1's cache and
+       the number silently becomes a cache-read: 6.5 s vs 4.8 s at 5M,
+       9.5 vs 8.8 at 10M bot40. The columnar cache build costs more
+       than the bounded re-exchanges at local[32], so checkpoint
+       stays; on a real cluster, where those two exchanges are network
+       shuffles, the cache variant is the one to revisit.)
 
-    Measured at a 40%-hot key on 10M rows (local[32]): ~6.5–7.5 s vs
-    the plain form's ~14 s, vs 12.7 s for the r6 carry design.
+    Measured at a 40%-hot key (40% of all rows), cold, best-of-2 with
+    per-rep cache release, local[32]: 4.8 s vs plain 7.3 s at 5M rows;
+    8.8 s vs plain 17.2 s at 10M (REHEARSAL_events_r7.json) — the gap
+    widens with scale because plain's hot task grows with history while
+    chunked tasks stay rate × bucket.
     """
     if bucket is not None:
         return _zscore_chunked(
@@ -359,7 +393,13 @@ def _zscore_chunked(
     # WindowExec, so phase 1 stays ONE window node, one pass
     # ts is dropped from the checkpoint: __rn already encodes the
     # (ts, order) ordering within each bucket, so downstream sorts go
-    # by __rn and the materialized frame stays one column narrower
+    # by __rn and the materialized frame stays one column narrower.
+    # The checkpoint scans back as an ExistingRDD whose partitioning
+    # Catalyst no longer trusts, so the groupBy and the fused join each
+    # re-exchange — but those shuffles move bounded (key, bucket)
+    # partitions, and the measured-cold persist+eager alternative that
+    # eliminates them costs MORE locally (see the zscore_anomalies
+    # docstring, phase 3 note).
     local = (
         df.select(order_col, key_col, value_col, ts_col, b.alias("__b"))
         .select(
@@ -421,10 +461,16 @@ def _zscore_chunked(
     # SPARK-36718 keeps the optimizer from re-collapsing multi-
     # referenced expensive projections). The sum fold runs in frame
     # order, so the mean matches the builtin window avg bit-for-bit;
-    # stddev is the exact two-pass Σ(x−μ)², with a min==max guard so
-    # constant frames yield sd = 0 → z NULL exactly like the builtin
-    # (a sum-of-squares shortcut would leave ~ulp-sized residues that
-    # flip z from NULL to garbage on constant series).
+    # stddev replays Spark's own CentralMomentAgg (Welford) recurrence
+    # over the frame in order, so m2 — and therefore sd — is
+    # bit-identical to the builtin stddev_samp. BIT-identical matters,
+    # not just close: a two-pass Σ(x−μ)² form was caught by a property
+    # test on a frame whose two values differ by one ulp — sd lands at
+    # ~4e-16 either way, but the ulp-sized disagreement between the two
+    # formulas is AMPLIFIED by the division into z values that differ
+    # in the integer digits. Welford also yields m2 = 0.0 exactly on
+    # constant frames (delta underflows to exact 0), so z goes NULL
+    # precisely when the builtin's does, with no min==max guard.
     prefix = F.when(
         F.col("__rn") > 1, F.slice("__headv", 1, F.col("__rn") - 1)
     ).otherwise(F.array().cast("array<double>"))
@@ -455,23 +501,41 @@ def _zscore_chunked(
             F.aggregate(
                 "__fr", F.lit(0.0), lambda a, x: a + x
             ).alias("__sum"),
-            F.array_min("__fr").alias("__fmin"),
-            F.array_max("__fr").alias("__fmax"),
+            # Welford, exactly as Spark's CentralMomentAgg updates it:
+            # newN = n+1; delta = x−avg; deltaN = delta/newN;
+            # newAvg = avg + deltaN; newM2 = m2 + delta·(delta − deltaN).
+            # The m2 term MUST be the delta·(delta−deltaN) form — it is
+            # x−newAvg evaluated BEFORE newAvg is rounded to a double,
+            # and on ulp-separated frames the rounded form gives a
+            # different (even exactly-zero) m2 while the builtin does not
+            F.aggregate(
+                "__fr",
+                F.struct(
+                    F.lit(0.0).alias("n"),
+                    F.lit(0.0).alias("avg"),
+                    F.lit(0.0).alias("m2"),
+                ),
+                lambda a, x: F.struct(
+                    (a["n"] + 1.0).alias("n"),
+                    (a["avg"] + (x - a["avg"]) / (a["n"] + 1.0)).alias(
+                        "avg"
+                    ),
+                    (
+                        a["m2"]
+                        + (x - a["avg"])
+                        * (
+                            (x - a["avg"])
+                            - (x - a["avg"]) / (a["n"] + 1.0)
+                        )
+                    ).alias("m2"),
+                ),
+            )["m2"].alias("__m2"),
         )
         .select(
             "*",
             F.when(
                 F.col("__fn") > 0, F.col("__sum") / F.col("__fn")
             ).alias("__muh"),
-        )
-        .select(
-            "*",
-            F.aggregate(
-                "__fr",
-                F.lit(0.0),
-                lambda a, x: a
-                + (x - F.col("__muh")) * (x - F.col("__muh")),
-            ).alias("__m2"),
         )
         .select(
             order_col,
@@ -484,11 +548,7 @@ def _zscore_chunked(
             .otherwise(
                 F.when(
                     F.col("__fn") >= 2,
-                    F.when(
-                        F.col("__fmin") == F.col("__fmax"), F.lit(0.0)
-                    ).otherwise(
-                        F.sqrt(F.col("__m2") / (F.col("__fn") - 1))
-                    ),
+                    F.sqrt(F.col("__m2") / (F.col("__fn") - 1)),
                 )
             )
             .alias("__sdf"),
@@ -555,10 +615,11 @@ def top_paths(
         paths = df.select(
             F.concat_ws(" > ", *steps).alias("path"), steps[-1].alias("__last")
         )
-    return (
+    out = (
         paths.where(F.col("__last").isNotNull())
         .groupBy("path")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(k)
     )
+    return out

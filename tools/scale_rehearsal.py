@@ -510,16 +510,35 @@ def main_events() -> None:
     (observed swinging the same op 6.6→9.4 s run-to-run), which is
     noise at cluster scale where a plan compiles once and runs for
     hours. The min is the steady-state cost; the round-notes record
-    the single-shot spread too."""
+    the single-shot spread too.
+
+    Every rep is COLD: operators that persist an intermediate attach a
+    cache handle, and ``best_of`` releases it (blocking) after each
+    rep. Without this, Spark's CacheManager matches rep 2's identical
+    logical plan against rep 1's persisted frame and the "best" time
+    silently measures a cache READ, not the operator (the exact
+    methodology bug bench.py fixed in round 5 — it resurfaced here the
+    moment a chunked operator grew a persist, reporting 1.5 s for a
+    5.2 s g1b)."""
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     factors = [int(x) for x in sys.argv[3:]] or [1, 10, 50]
+
+    from ixmp_spark.operators import release_cache
+
+    def run(df, act):
+        """Run the timed action, hand the OPERATOR frame back to
+        best_of so its cache handles can be released between reps."""
+        act(df)
+        return df
 
     def best_of(fn, reps: int = 2) -> float:
         best = float("inf")
         for _ in range(reps):
             t0 = time.time()
-            fn()
+            df = fn()
             best = min(best, time.time() - t0)
+            if df is not None:
+                release_cache(df, blocking=True)
         return best
 
     from ixmp_spark.operators.sessions import (
@@ -553,20 +572,29 @@ def main_events() -> None:
             # first run of this rehearsal "measured" g1/w10 flat at 5M
             # rows for exactly that reason)
             results.setdefault("g1_sessionize", {}).setdefault(variant, {})[n] = best_of(
-                lambda: sessionize(ev, "user_id", "ts", 1800, "event_id")
-                .agg(F.sum("session_id")).collect()
+                lambda: run(
+                    sessionize(ev, "user_id", "ts", 1800, "event_id"),
+                    lambda d: d.agg(F.sum("session_id")).collect(),
+                )
             )
 
             results.setdefault("g5_transitions", {}).setdefault(variant, {})[n] = best_of(
-                lambda: event_transitions(
-                    ev, "user_id", "ts", "event_type", "event_id"
-                ).count()
+                lambda: run(
+                    event_transitions(
+                        ev, "user_id", "ts", "event_type", "event_id"
+                    ),
+                    lambda d: d.count(),
+                )
             )
 
             results.setdefault("g6_top_paths", {}).setdefault(variant, {})[n] = best_of(
-                lambda: top_paths(
-                    ev, "user_id", "ts", "event_type", "event_id", length=3
-                ).count()
+                lambda: run(
+                    top_paths(
+                        ev, "user_id", "ts", "event_type", "event_id",
+                        length=3,
+                    ),
+                    lambda d: d.count(),
+                )
             )
 
             # the mitigation, measured side-by-side: day-bucketed window
@@ -574,40 +602,58 @@ def main_events() -> None:
             results.setdefault("g5_transitions_chunked", {}).setdefault(
                 variant, {}
             )[n] = best_of(
-                lambda: event_transitions(
-                    ev, "user_id", "ts", "event_type", "event_id",
-                    bucket="day",
-                ).count()
+                lambda: run(
+                    event_transitions(
+                        ev, "user_id", "ts", "event_type", "event_id",
+                        bucket="day",
+                    ),
+                    lambda d: d.count(),
+                )
             )
 
             results.setdefault("g6_top_paths_chunked", {}).setdefault(
                 variant, {}
             )[n] = best_of(
-                lambda: top_paths(
-                    ev, "user_id", "ts", "event_type", "event_id",
-                    length=3, bucket="day",
-                ).count()
+                lambda: run(
+                    top_paths(
+                        ev, "user_id", "ts", "event_type", "event_id",
+                        length=3, bucket="day",
+                    ),
+                    lambda d: d.count(),
+                )
             )
 
             results.setdefault("w10_zscore", {}).setdefault(variant, {})[n] = best_of(
-                lambda: zscore_anomalies(ev, "user_id", "ts", "event_id", "value")
-                .agg(F.sum(F.col("is_anomaly").cast("long"))).collect()
+                lambda: run(
+                    zscore_anomalies(ev, "user_id", "ts", "event_id", "value"),
+                    lambda d: d.agg(
+                        F.sum(F.col("is_anomaly").cast("long"))
+                    ).collect(),
+                )
             )
 
             results.setdefault("g1_sessionize_chunked", {}).setdefault(
                 variant, {}
             )[n] = best_of(
-                lambda: sessionize(
-                    ev, "user_id", "ts", 1800, "event_id", bucket="day"
-                ).agg(F.sum("session_id")).collect()
+                lambda: run(
+                    sessionize(
+                        ev, "user_id", "ts", 1800, "event_id", bucket="day"
+                    ),
+                    lambda d: d.agg(F.sum("session_id")).collect(),
+                )
             )
 
             results.setdefault("w10_zscore_chunked", {}).setdefault(
                 variant, {}
             )[n] = best_of(
-                lambda: zscore_anomalies(
-                    ev, "user_id", "ts", "event_id", "value", bucket="day"
-                ).agg(F.sum(F.col("is_anomaly").cast("long"))).collect()
+                lambda: run(
+                    zscore_anomalies(
+                        ev, "user_id", "ts", "event_id", "value", bucket="day"
+                    ),
+                    lambda d: d.agg(
+                        F.sum(F.col("is_anomaly").cast("long"))
+                    ).collect(),
+                )
             )
 
             # bucketized range join: clicks within ±30 min of high-value
@@ -629,9 +675,10 @@ def main_events() -> None:
             results.setdefault("j11_range_join", {}).setdefault(
                 variant, {}
             )[n] = best_of(
-                lambda: range_join(
-                    pts, iv, "ts", "start_ts", "end_ts", 3600
-                ).groupBy("iv_id").count().count()
+                lambda: run(
+                    range_join(pts, iv, "ts", "start_ts", "end_ts", 3600),
+                    lambda d: d.groupBy("iv_id").count().count(),
+                )
             )
 
             ev.unpersist()
