@@ -73,6 +73,11 @@ BENCH_QUERIES = [
     # so the chunked constant is visible round-over-round)
     "j11_range_join",
     "g5b_transitions_chunked",
+    # round 7 additions: URL-key dedup (map + one groupBy on the
+    # canonical string) and DSIR importance scoring (two keyed
+    # shuffles; the data-selection signal for targeted corpus mixes)
+    "d8_url_dedup",
+    "p12_dsir_logratio",
 ]
 # NOT in the headline set: t12_bpe_merges — an iterative trainer whose
 # cost is n_merges × per-iteration job latency (driver-loop bound, not

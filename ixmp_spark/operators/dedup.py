@@ -837,3 +837,79 @@ def incremental_dedup(
         F.col(seen_digests.columns[0]).alias(digest_col)
     )
     return batch_unique.join(seen, digest_col, "left_anti")
+
+
+def canonical_url(col) -> "F.Column":
+    """Canonical form of an absolute http(s) URL — the key for URL-level
+    dedup of crawled corpora, where the same page arrives as
+    ``HTTP://WWW.Site.com/a/?utm_source=feed#top`` and
+    ``http://site.com/a``. Steps (each a deliberate, documented choice,
+    mirrored verbatim by the d8 oracle SQL):
+
+    - scheme and host lowercased; leading ``www.`` and the scheme's
+      default port (``:80`` http / ``:443`` https) stripped
+    - fragment dropped
+    - trailing slashes of the path stripped (``/a/`` ≡ ``/a``; the root
+      path collapses to the bare host)
+    - query parameters: tracking params dropped (``utm_*``, ``fbclid``,
+      ``gclid``, ``ref``), the rest SORTED (param order is
+      transport-level noise), empty query dropped
+
+    Strings without a ``scheme://host`` shape pass through trimmed and
+    otherwise untouched — this canonicalizes URLs, it does not validate
+    them. Pure built-in expressions (regexp + array ops): map-only,
+    whole-stage codegen, no UDF."""
+    u = F.trim(col if not isinstance(col, str) else F.col(col))
+    scheme = F.lower(
+        F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1)
+    )
+    rest = F.regexp_replace(
+        F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", ""),
+        r"#.*",
+        "",
+    )
+    hostport = F.regexp_replace(
+        F.lower(F.regexp_extract(rest, r"^([^/?]*)", 1)), r"^www\.", ""
+    )
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .otherwise(hostport)
+    )
+    pathq = F.regexp_replace(rest, r"^[^/?]*", "")
+    path = F.regexp_replace(
+        F.regexp_extract(pathq, r"^([^?]*)", 1), r"/+$", ""
+    )
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "")
+        & ~p.rlike(r"^(utm_[^=]*|fbclid|gclid|ref)="),
+    )
+    qcanon = F.array_join(F.sort_array(params), "&")
+    canon = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qcanon != "", F.concat(F.lit("?"), qcanon)).otherwise(""),
+    )
+    return F.when((scheme == "") | (host == ""), u).otherwise(canon)
+
+
+def url_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
+    """URL-level exact dedup on :func:`canonical_url` — the cheap first
+    pass of a crawl pipeline (dedup by address before paying for
+    content hashing). One groupBy on the canonical string; document
+    bodies never shuffle. Output: (canonical_url, n_docs, keep_id) with
+    ``keep_id`` = min id per group (deterministic representative)."""
+    return (
+        df.select(
+            F.col(id_col), canonical_url(url_col).alias("canonical_url")
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )

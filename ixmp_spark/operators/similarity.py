@@ -809,3 +809,73 @@ def lsh_index_topk(
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def prototype_prune(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int = 16,
+    prune_frac: float = 0.25,
+    seed: int = 42,
+) -> DataFrame:
+    """Prototypicality pruning — the density step of D4 (Tirumala et
+    al. 2023, arXiv:2308.12284): KMeans-partition the embedding space,
+    rank each point within its cluster by cosine similarity to the
+    cluster centroid, and mark the top ``prune_frac`` MOST prototypical
+    (closest-to-centroid) points for removal. Near-centroid points are
+    the semantically redundant core of a dense region; dropping them
+    diversifies the corpus beyond what pairwise near-dup removal
+    (SemDeDup, :func:`semantic_dedup`) reaches.
+
+    Plan shape for scale: the KMeans fit is a model artifact (sampled
+    iterations, amortizable exactly like ivf_build's); the k×d centroid
+    table is a broadcast join on the 4 B cluster id; the ranking is one
+    window per cluster — partitions bounded by cluster size, the same
+    blocking bound as semantic_dedup, with ``n_clusters`` as the knob.
+    Vectors shuffle once (the assignment), never pairwise.
+
+    Output: (id, cluster, proto_sim, kept) — ``kept = false`` for the
+    pruned prototypical core; ``where(kept)`` is the surviving corpus.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql import Window
+
+    if n_clusters < 2:
+        raise ValueError("n_clusters must be >= 2 (Spark ML KMeans contract)")
+    if not 0.0 <= prune_frac <= 1.0:
+        raise ValueError("prune_frac must be in [0, 1]")
+    corpus = df.select(
+        F.col(id_col), F.col(vec_col).alias("__vec")
+    ).withColumn("__v", array_to_vector(_dvec("__vec")))
+    model = KMeans(
+        k=n_clusters, seed=seed, featuresCol="__v", predictionCol="__c"
+    ).fit(corpus)
+    spark = df.sparkSession
+    centers = spark.createDataFrame(
+        [
+            (i, [float(x) for x in c])
+            for i, c in enumerate(model.clusterCenters())
+        ],
+        "__c int, __center array<double>",
+    )
+    assigned = model.transform(corpus).select(id_col, "__vec", "__c")
+    sim = cosine(_dvec("__vec"), F.col("__center"))
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("__sim"), F.asc(id_col)
+    )
+    return (
+        assigned.join(F.broadcast(centers), "__c")
+        .select(
+            F.col(id_col),
+            F.col("__c").alias("cluster"),
+            F.round(sim, 6).alias("__sim"),
+        )
+        .select(
+            id_col,
+            "cluster",
+            F.col("__sim").alias("proto_sim"),
+            (F.percent_rank().over(w) >= prune_frac).alias("kept"),
+        )
+    )

@@ -891,3 +891,68 @@ def bm25_search(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def dsir_logratio(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target,
+    alpha: float = 1.0,
+    hash_buckets: int | None = None,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169) scores: per-document mean log-likelihood ratio
+    ``avg_w ln(p_target(w) / p_raw(w))`` under two add-``alpha``-smoothed
+    unigram models — one fit on the rows matching the ``target``
+    predicate (the distribution you want more of), one on the rest.
+    High scores mark raw documents that look like the target domain;
+    feeding them into ``weighted_sample``/top-k IS the DSIR selection
+    step.
+
+    Plan shape for scale: explode → ONE word-keyed count aggregation
+    carrying both sides as conditional sums (map-side partials), totals
+    as a 1-row broadcast, then a word-keyed join back and a per-doc
+    aggregation — two keyed shuffles total, no driver-side vocabulary.
+    ``hash_buckets`` is the paper's hashed-feature variant: words fold
+    into ``xxhash64 % buckets`` so the weight table is bounded by the
+    bucket count instead of the open vocabulary (collisions merge
+    counts exactly as in the paper; scores then differ from the exact
+    form, so the oracle-paired catalog query uses the exact variant).
+
+    Output: (id, n_tokens, logratio) — every document scored, target
+    rows included (they rank high by construction; callers selecting
+    raw data filter on the target predicate themselves).
+    """
+    toks = F.split(F.trim(F.lower(text_col)), r"\s+")
+    grams = df.select(
+        F.col(id_col),
+        F.col(text_col),
+        target.alias("__t"),
+    ).select(id_col, "__t", F.explode(toks).alias("__w"))
+    if hash_buckets is not None:
+        grams = grams.withColumn(
+            "__w", F.pmod(F.xxhash64("__w"), F.lit(hash_buckets))
+        )
+    counts = grams.groupBy("__w").agg(
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("__ct"),
+        F.sum(F.when(~F.col("__t"), 1).otherwise(0)).alias("__cr"),
+    )
+    totals = counts.agg(
+        F.sum("__ct").cast("double").alias("__nt"),
+        F.sum("__cr").cast("double").alias("__nr"),
+        F.count(F.lit(1)).cast("double").alias("__v"),
+    )
+    p_t = (F.col("__ct") + alpha) / (F.col("__nt") + alpha * F.col("__v"))
+    p_r = (F.col("__cr") + alpha) / (F.col("__nr") + alpha * F.col("__v"))
+    weights = counts.crossJoin(F.broadcast(totals)).select(
+        "__w", F.log(p_t / p_r).alias("__lw")
+    )
+    return (
+        grams.join(weights, "__w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.round(F.avg("__lw"), 6).alias("logratio"),
+        )
+    )

@@ -369,3 +369,100 @@ def p11_temperature_weights(spark, sf_dir):
     return temperature_weights(
         docs, "source", F.size(F.split(F.trim("text"), " ", -1)), alpha=0.5
     )
+
+
+@query(
+    "p12_dsir_logratio",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, source = 'src0' AS tgt,
+             string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ),
+    g AS (SELECT doc_id, tgt, unnest(toks) AS w FROM t),
+    c AS (
+      SELECT w,
+             sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+             sum(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS cr
+      FROM g GROUP BY w
+    ),
+    tot AS (
+      SELECT CAST(sum(ct) AS DOUBLE) AS nt,
+             CAST(sum(cr) AS DOUBLE) AS nr,
+             CAST(count(*) AS DOUBLE) AS v
+      FROM c
+    )
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(ln(
+             ((c.ct + 1.0) / (tot.nt + 1.0 * tot.v))
+             / ((c.cr + 1.0) / (tot.nr + 1.0 * tot.v))
+           )), 6) AS logratio
+    FROM g JOIN c USING (w) CROSS JOIN tot
+    GROUP BY g.doc_id
+    """,
+)
+def p12_dsir_logratio(spark, sf_dir):
+    """DSIR importance scores (Xie et al. 2023): per-document mean
+    log-likelihood ratio between add-1-smoothed unigram models of the
+    target domain (source = 'src0') and the rest of the corpus — the
+    data-selection signal behind importance resampling. Exact-word
+    variant (the hashed-feature scale path is exercised in unit
+    tests; hashes don't mirror into DuckDB)."""
+    from ixmp_spark.operators.text import dsir_logratio
+
+    docs = load(spark, sf_dir, "documents")
+    return dsir_logratio(
+        docs, "doc_id", "text", F.col("source") == "src0"
+    )
+
+
+@query(
+    "d8_url_dedup",
+    oracle="""
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS keep_id
+    FROM (
+      SELECT doc_id,
+             'https://' || lower(source) || '.example.com/p/'
+               || CAST(doc_id % 97 AS VARCHAR) || '?a=1&b=2'
+               AS canonical_url
+      FROM documents
+    )
+    GROUP BY canonical_url
+    """,
+)
+def d8_url_dedup(spark, sf_dir):
+    """URL-level dedup on canonicalized addresses. The url column is
+    synthesized deterministically from (source, doc_id) in two messy
+    variants — even ids get a clean lowercase form, odd ids an
+    uppercase WWW.:443 form with shuffled params, a utm_source tracker
+    and a fragment — and the canonicalizer must collapse both onto the
+    SAME key. The oracle states the expected canonical form
+    analytically (it does NOT re-implement the regex pipeline), so a
+    canonicalization bug shared by both sides cannot hide."""
+    from ixmp_spark.operators.dedup import url_dedup
+
+    docs = load(spark, sf_dir, "documents")
+    url = F.when(
+        (F.col("doc_id") % 2) == 0,
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/p/"),
+            (F.col("doc_id") % 97).cast("string"),
+            F.lit("?a=1&b=2"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("HTTPS://WWW."),
+            F.upper("source"),
+            F.lit(".EXAMPLE.COM:443/p/"),
+            (F.col("doc_id") % 97).cast("string"),
+            F.lit("/?b=2&a=1&utm_source=feed#frag"),
+        )
+    )
+    return url_dedup(
+        docs.select("doc_id", url.alias("url")), "doc_id", "url"
+    )

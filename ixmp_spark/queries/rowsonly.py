@@ -303,3 +303,18 @@ def e8_hard_negatives(spark, sf_dir):
         emb, "vec_id", "embedding", k=5,
         min_sim=0.2, max_sim=0.9, bands=6, bits=4, on_hot="drop",
     )
+
+
+@query("e9_prototype_prune")  # no SQL oracle: k-means centroids are engine-specific
+def e9_prototype_prune(spark, sf_dir):
+    """D4-style prototypicality pruning: drop the quarter of each
+    KMeans cluster closest to its centroid (the semantically redundant
+    dense core). Rows-only; the planted-structure semantics (a tight
+    replica clump is pruned, diffuse points survive) are pinned in
+    tests/test_scale.py::test_prototype_prune_planted_structure."""
+    from ixmp_spark.operators.similarity import prototype_prune
+
+    emb = load(spark, sf_dir, "embeddings")
+    return prototype_prune(
+        emb, "vec_id", "embedding", n_clusters=16, prune_frac=0.25
+    )

@@ -2379,3 +2379,138 @@ def test_clone_distributed_ts_never_stages_on_driver(spark, tmp_path, monkeypatc
     assert got_shift.count() == want_rows > 0
     assert got_shift.where("NOT meta AND year >= 2010").count() == 0
     assert mp.wh.table_num_rows(shifted.run_id, "sol_data") == 0
+
+
+def test_dsir_logratio_hand_computed(spark):
+    """DSIR scores on a 4-doc corpus against hand-computed smoothed
+    log-ratios, plus: the hashed-feature variant with a collision-free
+    bucket count reproduces the exact scores (hashing only merges
+    counts; with no collisions the models are identical)."""
+    import math
+
+    from ixmp_spark.operators.text import dsir_logratio
+
+    rows = [
+        (0, "spark spark table", True),
+        (1, "spark table", True),
+        (2, "goat goat table", False),
+        (3, "spark goat", False),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, tgt boolean")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["logratio"])
+        for r in dsir_logratio(df, "doc_id", "text", F.col("tgt")).collect()
+    }
+    # counts: target: spark=3, table=2 (nt=5); raw: goat=3, spark=1,
+    # table=1 (nr=5); vocab=3
+    def lw(ct, cr):
+        return math.log(((ct + 1.0) / (5 + 3.0)) / ((cr + 1.0) / (5 + 3.0)))
+
+    w = {"spark": lw(3, 1), "table": lw(2, 1), "goat": lw(0, 3)}
+    exp = {
+        0: (3, (2 * w["spark"] + w["table"]) / 3),
+        1: (2, (w["spark"] + w["table"]) / 2),
+        2: (3, (2 * w["goat"] + w["table"]) / 3),
+        3: (2, (w["spark"] + w["goat"]) / 2),
+    }
+    assert set(got) == set(exp)
+    for k in exp:
+        assert got[k][0] == exp[k][0]
+        assert got[k][1] == pytest.approx(exp[k][1], abs=1e-6)
+
+    hashed = {
+        r["doc_id"]: r["logratio"]
+        for r in dsir_logratio(
+            df, "doc_id", "text", F.col("tgt"), hash_buckets=1 << 30
+        ).collect()
+    }
+    assert hashed == {k: got[k][1] for k in got}
+
+
+def test_canonical_url_table_and_idempotence(spark):
+    """canonical_url: documented equivalences hold, non-URLs pass
+    through trimmed, and the function is idempotent (canonicalizing a
+    canonical form is the identity)."""
+    from ixmp_spark.operators.dedup import canonical_url
+
+    cases = [
+        ("HTTP://WWW.Site.COM:80/A/b/?z=1&a=2#frag", "http://site.com/A/b?a=2&z=1"),
+        ("https://site.com:443/a/", "https://site.com/a"),
+        ("https://site.com/a?utm_source=x&utm_campaign=y", "https://site.com/a"),
+        ("https://site.com/a?gclid=1&q=spark&fbclid=2&ref=hn",
+         "https://site.com/a?q=spark"),
+        ("https://site.com/", "https://site.com"),
+        ("https://site.com:8443/a", "https://site.com:8443/a"),
+        ("  not a url  ", "not a url"),
+        ("ftp://Host.com:443/x", "ftp://host.com:443/x"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "u string")
+    got = [r["c"] for r in
+           df.select(canonical_url("u").alias("c")).collect()]
+    assert got == [c for _, c in cases]
+    again = [
+        r["c"]
+        for r in spark.createDataFrame([(c,) for c in got], "u string")
+        .select(canonical_url("u").alias("c"))
+        .collect()
+    ]
+    assert again == got
+
+
+def test_url_dedup_collapses_variants(spark):
+    """url_dedup groups the messy and clean variants of the same page
+    under one canonical key and keeps the min id."""
+    from ixmp_spark.operators.dedup import url_dedup
+
+    rows = [
+        (1, "https://a.com/p/1?a=1&b=2"),
+        (2, "HTTPS://WWW.A.COM:443/p/1/?b=2&a=1&utm_source=f#x"),
+        (3, "https://a.com/p/2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {
+        r["canonical_url"]: (r["n_docs"], r["keep_id"])
+        for r in url_dedup(df, "doc_id", "url").collect()
+    }
+    assert got == {
+        "https://a.com/p/1?a=1&b=2": (2, 1),
+        "https://a.com/p/2": (1, 3),
+    }
+
+
+def test_prototype_prune_planted_structure(spark):
+    """D4 prototypicality pruning: in a cluster holding a tight
+    replica core plus diffuse satellites, the pruned (kept=false) set
+    is dominated by the core — near-centroid redundancy is what goes."""
+    import math
+    import random
+
+    from ixmp_spark.operators.similarity import prototype_prune
+
+    rng = random.Random(7)
+    d = 16
+    base = [1.0] + [0.0] * (d - 1)
+    far = [0.0] * (d - 1) + [1.0]
+    rows = []
+    # tight core: 20 near-replicas of base
+    for i in range(20):
+        rows.append((i, [b + rng.gauss(0, 0.005) for b in base]))
+    # diffuse satellites of base
+    for i in range(20):
+        v = [b + rng.gauss(0, 0.4) for b in base]
+        rows.append((100 + i, v))
+    # a second, far-away blob so k=2 separates cleanly
+    for i in range(20):
+        rows.append((200 + i, [x + rng.gauss(0, 0.1) for x in far]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = prototype_prune(
+        emb, "vec_id", "embedding", n_clusters=2, prune_frac=0.5
+    ).collect()
+    pruned = {r["vec_id"] for r in out if not r["kept"]}
+    core_pruned = sum(1 for i in range(20) if i in pruned)
+    satellites_pruned = sum(1 for i in range(20) if 100 + i in pruned)
+    assert core_pruned >= 15, (core_pruned, satellites_pruned)
+    assert core_pruned > satellites_pruned
+    # prune_frac=0.5 drops about half of each cluster, never everything
+    kept = [r for r in out if r["kept"]]
+    assert 0 < len(kept) < len(rows)

@@ -32,6 +32,7 @@ BNLJ_OK = {
     "t10_bigram_perplexity",  # 1-row vocab-count aggregate cross-broadcast
     "t17_bm25_search",  # 1-row N/avgdl corpus-stats aggregate cross-broadcast
     "p11_temperature_weights",  # 1-row normalizer-totals aggregate cross-broadcast
+    "p12_dsir_logratio",  # 1-row corpus-totals (nt/nr/V) aggregate cross-broadcast
 }
 
 #: multi-stage pipelines where >6 shuffles are inherent (documented):
