@@ -13,6 +13,75 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+#: candidate granularities for choose_bucket, coarse → fine; date_trunc
+#: accepts each of them
+_BUCKET_LADDER = ("day", "hour", "minute")
+
+
+def choose_bucket(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    max_rows_per_task: int = 1_000_000,
+    candidates: tuple[str, ...] = _BUCKET_LADDER,
+) -> str:
+    """Pick the COARSEST time bucket whose hottest (key, bucket)
+    partition stays under ``max_rows_per_task`` — the rate-adaptive
+    knob for the chunked window family (``bucket="auto"``). The r6/r7
+    skew rehearsals showed bucket granularity is a real trade: coarse
+    buckets minimize the boundary-healing constant, fine buckets bound
+    hotter keys; a universal default leaves one side on the table.
+
+    Cost: ONE aggregation pass over the data at the FINEST candidate
+    granularity (map-side partial counts make this a count-shuffle of
+    (key, minute) pairs, not rows), then per-candidate rollups over
+    that already-aggregated frame (rows ≤ keys × minutes) and a scalar
+    max probe each — driver traffic is one number per candidate. At
+    100 TB the decision costs a fraction of the window it tunes, and a
+    wrong-but-bounded choice degrades constants, never task bounds.
+
+    Falls back to the finest candidate when even it exceeds the cap
+    (the structural guarantee is gone either way at that rate — rate ×
+    1 minute > cap means a genuinely pathological key; the caller's
+    window still runs, just with a hotter-than-target task)."""
+    if not candidates:
+        raise ValueError("candidates must be non-empty")
+    finest = candidates[-1]
+    base = (
+        df.select(
+            F.col(key_col).alias("__k"),
+            F.date_trunc(finest, F.col(ts_col)).alias("__m"),
+        )
+        .groupBy("__k", "__m")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .persist()
+    )
+    try:
+        for cand in candidates:
+            hottest = (
+                base.groupBy(
+                    "__k", F.date_trunc(cand, "__m").alias("__b")
+                )
+                .agg(F.sum("__n").alias("__n"))
+                .agg(F.max("__n"))
+                .collect()[0][0]
+            )
+            if hottest is not None and hottest <= max_rows_per_task:
+                return cand
+        return finest
+    finally:
+        base.unpersist()
+
+
+def _resolve_bucket(
+    df: DataFrame, key_col: str, ts_col: str, bucket: str | None
+) -> str | None:
+    """``"auto"`` → :func:`choose_bucket`; anything else passes through."""
+    if bucket == "auto":
+        return choose_bucket(df, key_col, ts_col)
+    return bucket
+
+
 def sessionize(
     df: DataFrame,
     user_col: str,
@@ -41,7 +110,10 @@ def sessionize(
     back on (user, bucket) and shift:
     ``session_id = offset + local_id - merged``. Measured in the
     --events rehearsal: the plain plan bends 4.2× when one bot user
-    holds 40% of 5M rows; this form caps every task at rate × bucket."""
+    holds 40% of 5M rows; this form caps every task at rate × bucket.
+    ``bucket="auto"`` delegates the granularity to
+    :func:`choose_bucket` (rate-adaptive)."""
+    bucket = _resolve_bucket(df, user_col, ts_col, bucket)
     w = Window.partitionBy(user_col).orderBy(ts_col, tie_break)
     if bucket is not None:
         w = Window.partitionBy(user_col, "__b").orderBy(ts_col, tie_break)
@@ -239,7 +311,9 @@ def event_transitions(
     :func:`_lead_steps_chunked` — identical output (same oracle), but
     window partitions bounded by per-key rate × bucket instead of
     whole-key history. Use it when any single key can hold an unbounded
-    share of the stream (bot traffic, service accounts)."""
+    share of the stream (bot traffic, service accounts);
+    ``bucket="auto"`` picks the granularity via :func:`choose_bucket`."""
+    bucket = _resolve_bucket(df, user_col, ts_col, bucket)
     if bucket is not None:
         stepped = _lead_steps_chunked(
             df, user_col, ts_col, event_col, order_col, 2, bucket
@@ -340,11 +414,15 @@ def zscore_anomalies(
        shuffles, the cache variant is the one to revisit.)
 
     Measured at a 40%-hot key (40% of all rows), cold, best-of-2 with
-    per-rep cache release, local[32]: 4.8 s vs plain 7.3 s at 5M rows;
-    8.8 s vs plain 17.2 s at 10M (REHEARSAL_events_r7.json) — the gap
-    widens with scale because plain's hot task grows with history while
-    chunked tasks stay rate × bucket.
+    per-rep cache release, local[32]: the committed artifact
+    (REHEARSAL_events_r7.json, one long-lived session) shows 5.4 s vs
+    plain 7.8 s at 5M rows and 10.2 s vs 14.0 s at 10M; standalone
+    probe sessions measured 4.8 vs 7.3 and 8.8 vs 17.2 — session cache
+    pressure and host drift move both sides, the chunked form stays
+    ahead, and the gap widens with scale because plain's hot task
+    grows with history while chunked tasks stay rate × bucket.
     """
+    bucket = _resolve_bucket(df, key_col, ts_col, bucket)
     if bucket is not None:
         return _zscore_chunked(
             df, key_col, ts_col, order_col, value_col, window, threshold,
@@ -595,9 +673,11 @@ def top_paths(
     ``order_col`` tie-break.
 
     ``bucket``: hot-key form via :func:`_lead_steps_chunked` — identical
-    output with rate-bounded window partitions (see event_transitions)."""
+    output with rate-bounded window partitions (see event_transitions);
+    ``bucket="auto"`` picks the granularity via :func:`choose_bucket`."""
     if length < 2:
         raise ValueError("length must be >= 2")
+    bucket = _resolve_bucket(df, user_col, ts_col, bucket)
     if bucket is not None:
         stepped = _lead_steps_chunked(
             df, user_col, ts_col, event_col, order_col, length, bucket
