@@ -956,3 +956,158 @@ def dsir_logratio(
             F.round(F.avg("__lw"), 6).alias("logratio"),
         )
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020): split each
+    language's documents into ``n_buckets`` equal-frequency tiers by LM
+    perplexity — tier 1 ("head") is the most-fluent slice that CCNet
+    keeps outright, the tail the candidate for dropping or aggressive
+    filtering. CCNet scores against a wiki-trained KenLM; here the
+    score is the engine's corpus bigram LM (:func:`bigram_perplexity`),
+    which preserves the bucketing semantics without an external model
+    artifact.
+
+    Plan shape: the perplexity table (one row per document) joins the
+    (id, lang) projection — document keyed, AQE-broadcastable when
+    small — then ONE ntile window per language partition ordered by
+    (ppl, id). The tie-break on id makes bucket assignment a pure
+    function of the data. Documents shorter than 2 tokens have no
+    bigrams and are excluded (CCNet drops them pre-scoring too).
+
+    Output: (id, lang, ppl, bucket) with bucket in 1..n_buckets.
+    """
+    ppl = bigram_perplexity(df, id_col=id_col, text_col=text_col)
+    meta = df.select(F.col(id_col), F.col(lang_col))
+    w = Window.partitionBy(lang_col).orderBy("ppl", id_col)
+    return (
+        ppl.join(meta, id_col)
+        .select(
+            id_col,
+            lang_col,
+            "ppl",
+            F.ntile(n_buckets).over(w).cast("long").alias("bucket"),
+        )
+    )
+
+
+def bm25_index_write(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+    n_shards: int = 64,
+) -> None:
+    """Materialize the inverted index AS STORAGE LAYOUT — BM25's scale
+    path (the lexical sibling of similarity.lsh_index_write): postings
+    parquet PARTITIONED BY ``shard = xxhash64(term) % n_shards``, so a
+    query lists and scans only its terms' shard directories instead of
+    the corpus. Denormalized for a join-free query path: each posting
+    row carries (term, id, tf, dl, df_t) — document length and the
+    term's document frequency ride along (two ints per posting), so
+    scoring needs NO doc-side or term-side join at query time. Corpus
+    stats (N, avgdl, n_shards) land in one tiny ``_stats`` parquet.
+
+    Build cost: one explode + (id, term) count shuffle for tf, a
+    term-keyed window for df(t) over the tf table, one repartition to
+    cluster shard files — the build-once index job at 100 TB. Rebuild
+    to refresh; for append-only corpora, write new docs to the same
+    shard scheme and recompute ``_stats``/df_t in the merge."""
+    toks = F.filter(
+        F.split(F.trim(F.lower(text_col)), r"\s+"), lambda t: t != F.lit("")
+    )
+    base = df.select(
+        F.col(id_col), toks.alias("__toks"), F.size(toks).alias("dl")
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        F.lit(n_shards).cast("long").alias("n_shards"),
+    )
+    tf = (
+        base.select(
+            F.col(id_col), "dl", F.explode("__toks").alias("term")
+        )
+        .groupBy(id_col, "term", "dl")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    w_term = Window.partitionBy("term")
+    postings = tf.select(
+        "term",
+        F.col(id_col),
+        "tf",
+        "dl",
+        F.count(F.lit(1)).over(w_term).cast("double").alias("df_t"),
+        F.pmod(F.xxhash64("term"), F.lit(n_shards)).alias("shard"),
+    )
+    (
+        postings.repartition("shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path + "/postings")
+    )
+    stats.write.mode("overwrite").parquet(path + "/_stats")
+
+
+def bm25_index_search(
+    spark,
+    path: str,
+    query_terms: list[str],
+    id_col: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k against a WRITTEN index (:func:`bm25_index_write`):
+    the query terms' shards are computed with a one-row Spark job on
+    term literals (same ``xxhash64`` the writer used — no Python
+    reimplementation to drift), the postings scan carries
+    ``shard IN (...)`` as a PARTITION filter plus ``term IN (...)``
+    pushed to parquet, and scoring is a join-free projection over the
+    pruned sliver: every factor (tf, dl, df_t) is on the posting row,
+    N/avgdl are literals from the 1-row ``_stats`` table. One keyed
+    aggregation by document + TakeOrderedAndProject.
+
+    Matches :func:`bm25_search` exactly on the same corpus (pinned by
+    test); documents matching no term are absent."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    terms = sorted({t.lower() for t in query_terms})
+    st = spark.read.parquet(path + "/_stats").collect()[0]
+    n_docs, avgdl, n_shards = st["n_docs"], st["avgdl"], st["n_shards"]
+    shards = [
+        r["s"]
+        for r in spark.createDataFrame([(t,) for t in terms], "t string")
+        .select(F.pmod(F.xxhash64("t"), F.lit(n_shards)).alias("s"))
+        .distinct()
+        .collect()
+    ]
+    hits = (
+        spark.read.parquet(path + "/postings")
+        .where(F.col("shard").isin(shards))
+        .where(F.col("term").isin(terms))
+    )
+    idf = F.log(
+        1.0
+        + (F.lit(n_docs) - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+    )
+    score = idf * (F.col("tf") * (k1 + 1)) / (
+        F.col("tf")
+        + k1 * (1 - b + b * F.col("dl") / F.lit(float(avgdl)))
+    )
+    return (
+        hits.select(F.col(id_col), score.alias("__s"))
+        .groupBy(id_col)
+        .agg(
+            F.round(F.sum("__s"), 6).alias("score"),
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

@@ -1702,3 +1702,55 @@ def g6_top_paths(spark, sf_dir):
 
     ev = load(spark, sf_dir, "events")
     return top_paths(ev, length=3, k=20)
+
+
+@query(
+    "p13_perplexity_buckets",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
+             unnest(list_slice(toks, 2, len(toks))) AS w2
+      FROM t WHERE len(toks) >= 2
+    ),
+    bg AS (SELECT w1, w2, count(*) AS c12 FROM grams GROUP BY w1, w2),
+    ctx AS (SELECT w1, count(*) AS c1 FROM grams GROUP BY w1),
+    v AS (
+      SELECT count(DISTINCT term) AS vocab FROM (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        FROM documents
+      )
+    ),
+    ppl AS (
+      SELECT g.doc_id,
+             round(exp(avg(-ln(
+               (bg.c12 + 1.0) / (ctx.c1 + 1.0 * v.vocab)
+             ))), 6) AS ppl
+      FROM grams g
+      JOIN bg USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN v
+      GROUP BY g.doc_id
+    )
+    SELECT p.doc_id, d.lang, p.ppl,
+           CAST(ntile(3) OVER (
+             PARTITION BY d.lang ORDER BY p.ppl, p.doc_id
+           ) AS BIGINT) AS bucket
+    FROM ppl p JOIN documents d ON p.doc_id = d.doc_id
+    """,
+)
+def p13_perplexity_buckets(spark, sf_dir):
+    """CCNet-style head/middle/tail quality tiers: equal-frequency
+    perplexity buckets per language (ntile over the corpus bigram LM's
+    per-document perplexity, (ppl, doc_id)-ordered so assignment is
+    deterministic). The t10 hash-equality guarantees both engines see
+    identical rounded ppl values, so the tier boundaries agree
+    exactly."""
+    from ixmp_spark.operators.text import perplexity_buckets
+
+    docs = load(spark, sf_dir, "documents")
+    return perplexity_buckets(
+        docs, "doc_id", "text", "lang", n_buckets=3
+    )

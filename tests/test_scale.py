@@ -2514,3 +2514,117 @@ def test_prototype_prune_planted_structure(spark):
     # prune_frac=0.5 drops about half of each cluster, never everything
     kept = [r for r in out if r["kept"]]
     assert 0 < len(kept) < len(rows)
+
+
+def test_choose_bucket_rate_adaptive(spark):
+    """choose_bucket picks the coarsest granularity whose hottest
+    (key, bucket) partition fits the cap, and falls back to the finest
+    when nothing fits."""
+    from datetime import datetime, timedelta
+
+    from ixmp_spark.operators.sessions import choose_bucket
+
+    t0 = datetime(2024, 6, 1, 8, 0, 0)
+    # one hot key: 5000 events spread uniformly over 10 hours
+    rows = [
+        (i, t0 + timedelta(seconds=(i * 7) % 36000), 7, "a", 1.0)
+        for i in range(5000)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    # day holds all 5000; hour ~500; minute ~9
+    assert choose_bucket(ev, "user_id", "ts", max_rows_per_task=10_000) == "day"
+    assert choose_bucket(ev, "user_id", "ts", max_rows_per_task=1_000) == "hour"
+    assert choose_bucket(ev, "user_id", "ts", max_rows_per_task=50) == "minute"
+    # nothing fits: fall back to the finest rather than refuse
+    assert choose_bucket(ev, "user_id", "ts", max_rows_per_task=1) == "minute"
+
+
+def test_chunked_auto_bucket_equals_plain(spark):
+    """bucket='auto' resolves to a real granularity and the chunked
+    outputs stay identical to the plain forms."""
+    from datetime import datetime, timedelta
+
+    from ixmp_spark.operators.sessions import (
+        event_transitions,
+        sessionize,
+        zscore_anomalies,
+    )
+
+    t0 = datetime(2024, 6, 1)
+    rows = [
+        (i, t0 + timedelta(minutes=i * 37 % 5000), i % 3,
+         "ev" + str(i % 4), float(i % 11))
+        for i in range(300)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    a = sessionize(ev, "user_id", "ts", 1800, "event_id")
+    b = sessionize(ev, "user_id", "ts", 1800, "event_id", bucket="auto")
+    key = lambda r: (r["event_id"], r["session_id"])  # noqa: E731
+    assert sorted(map(key, a.collect())) == sorted(map(key, b.collect()))
+
+    p = event_transitions(ev, k=1000).collect()
+    c = event_transitions(ev, k=1000, bucket="auto").collect()
+    assert sorted(map(tuple, p)) == sorted(map(tuple, c))
+
+    zp = zscore_anomalies(ev, window=4).collect()
+    zc = zscore_anomalies(ev, window=4, bucket="auto").collect()
+    assert sorted(map(tuple, zp)) == sorted(map(tuple, zc))
+
+
+def test_perplexity_buckets_equal_frequency(spark, sf_dir):
+    """CCNet bucketing: within each language the tier sizes are
+    equal-frequency (ntile contract: sizes differ by at most 1), every
+    scored document lands in a tier, and sub-2-token documents are
+    excluded (no bigrams to score)."""
+    from collections import Counter
+
+    from ixmp_spark.operators.text import perplexity_buckets
+
+    docs = load(spark, sf_dir, "documents")
+    out = perplexity_buckets(docs, "doc_id", "text", "lang").collect()
+    assert out and all(1 <= r["bucket"] <= 3 for r in out)
+    per_lang = {}
+    for r in out:
+        per_lang.setdefault(r["lang"], Counter())[r["bucket"]] += 1
+    for lang, sizes in per_lang.items():
+        vals = [sizes.get(b, 0) for b in (1, 2, 3)]
+        assert max(vals) - min(vals) <= 1, (lang, vals)
+
+
+def test_bm25_index_partition_pruning_and_equality(spark, sf_dir, tmp_path):
+    """The WRITTEN inverted index prunes at the storage layer (shard is
+    a PartitionFilter, term a pushed parquet filter) and returns
+    exactly what the scan-everything bm25_search returns on the same
+    corpus and query."""
+    import glob
+
+    from ixmp_spark.operators.text import (
+        bm25_index_search,
+        bm25_index_write,
+        bm25_search,
+    )
+    from tools.audit_plans import formatted_plan
+
+    docs = load(spark, sf_dir, "documents")
+    idx = str(tmp_path / "bm25_idx")
+    bm25_index_write(docs, idx, "doc_id", "text", n_shards=16)
+    assert len(glob.glob(idx + "/postings/shard=*")) > 4
+
+    q = ["spark", "join", "window"]
+    got = bm25_index_search(spark, idx, q, "doc_id", k=10)
+    fplan = formatted_plan(got)
+    assert "PartitionFilters: [" in fplan
+    assert "shard" in fplan.split("PartitionFilters:")[1].splitlines()[0]
+    # the term filter reaches parquet as a pushed filter, not post-scan
+    assert "PushedFilters:" in fplan and "term" in fplan.split("PushedFilters:")[1].splitlines()[0]
+
+    want = bm25_search(docs, "doc_id", "text", q, k=10).collect()
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want]

@@ -33,12 +33,18 @@ BNLJ_OK = {
     "t17_bm25_search",  # 1-row N/avgdl corpus-stats aggregate cross-broadcast
     "p11_temperature_weights",  # 1-row normalizer-totals aggregate cross-broadcast
     "p12_dsir_logratio",  # 1-row corpus-totals (nt/nr/V) aggregate cross-broadcast
+    "p13_perplexity_buckets",  # 1-row vocab-count cross-broadcast (inherits t10's LM)
 }
 
 #: multi-stage pipelines where >6 shuffles are inherent (documented):
 #: d3 = repartition + banded self-join + 2 candidate joins + distinct
 SHUFFLE_OK = {
     "d3_minhash_lsh",
+    # p13 = t10's bigram-LM pipeline (gram explode + bg/ctx count aggs +
+    # two gram-keyed joins + per-doc agg) plus ONE extra lang-keyed
+    # ntile window over the per-document perplexity table — the added
+    # shuffle moves one row per document, not grams
+    "p13_perplexity_buckets",
     # e8 = the same banded-LSH candidate pipeline as d3/e5 plus the
     # symmetrize-union + per-anchor top-k window (7 total, documented)
     "e8_hard_negatives",
