@@ -38,18 +38,22 @@ _JSONL_EXTS = (".json", ".json.gz", ".jsonl", ".jsonl.gz")
 def _sniff_jsonl(path: str) -> bool:
     """Decide whether a curate/export input is JSONL or parquet.
 
-    Directories: positive parquet evidence wins (``*.parquet`` files or
-    a ``_SUCCESS`` marker, checked at the top level and one level into
-    partition subdirectories) — so a parquet dataset with a stray
-    ``.json`` metadata sidecar is still parquet, and a partitioned JSONL
-    dir whose top level holds only ``key=val/`` subdirectories is still
-    JSONL. A directory with evidence of neither (including an empty one)
-    fails loudly instead of falling through to a confusing parquet-read
-    error. Single files: decided strictly by extension — ``.parquet`` is
-    parquet, jsonl-ish is JSONL, anything else is an error. The previous
-    behavior (any non-directory ⇒ JSONL) silently parsed a parquet file
-    as JSON and quarantined every row as corrupt; an ambiguous input
-    must fail loudly instead."""
+    Directories: decided by data-file extensions at the top level and
+    one level into partition subdirectories — ``*.parquet`` entries ⇒
+    parquet, else jsonl-ish entries ⇒ JSONL. The ``_SUCCESS`` marker is
+    deliberately IGNORED: Spark writes it for EVERY output format, so a
+    Spark-written JSONL dataset (``_SUCCESS`` + ``part-*.json.gz`` — the
+    layout of this repo's own ``write_documents_jsonl`` / ``curate
+    --out-format jsonl`` output) carries one and must still sniff as
+    JSONL. A parquet dataset with a stray ``.json`` metadata sidecar is
+    still parquet because the parquet check runs first. A directory with
+    evidence of neither (including an empty one) fails loudly instead of
+    falling through to a confusing parquet-read error. Single files:
+    decided strictly by extension — ``.parquet`` is parquet, jsonl-ish
+    is JSONL, anything else is an error. The previous behavior (any
+    non-directory ⇒ JSONL) silently parsed a parquet file as JSON and
+    quarantined every row as corrupt; an ambiguous input must fail
+    loudly instead."""
     if os.path.isdir(path):
         levels = [os.listdir(path)]
         levels.append([
@@ -59,17 +63,14 @@ def _sniff_jsonl(path: str) -> bool:
             for f in os.listdir(os.path.join(path, d))
         ])
         entries = [f for lvl in levels for f in lvl]
-        if any(
-            f.endswith(".parquet") or os.path.basename(f) == "_SUCCESS"
-            for f in entries
-        ):
+        if any(f.endswith(".parquet") for f in entries):
             return False
         if any(f.endswith(_JSONL_EXTS) for f in entries):
             return True
         raise SystemExit(
             f"cannot infer input format of directory {path!r}: no "
-            "*.parquet/_SUCCESS and no *.jsonl entries at the top two "
-            "levels"
+            "*.parquet and no *.jsonl entries at the top two levels "
+            "(_SUCCESS alone is format-neutral)"
         )
     if path.endswith(".parquet"):
         return False

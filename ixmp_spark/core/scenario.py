@@ -771,11 +771,24 @@ class Scenario(TimeSeries):
         holds a row of it, so cloning a 100 TB-scale TS run costs one
         distributed copy, not a driver OOM. Cross-platform clones work
         on both paths (the Spark plan reads from the source warehouse
-        and commits into the target's)."""
+        and commits into the target's).
+
+        ``shift_first_model_year`` overrides ``keep_solution``: the shift
+        only makes sense on a solution-free clone, so passing it with the
+        default ``keep_solution=True`` warns and forces it to False
+        (reference scenario.py:918–922)."""
+        import logging
+
         from pyspark.sql import DataFrame as SparkDF
         from pyspark.sql import functions as F
 
         from ixmp_spark.sources.warehouse import FACT_TABLES, _empty
+
+        if shift_first_model_year is not None and keep_solution:
+            logging.getLogger(__name__).warning(
+                "Override keep_solution=True for shift_first_model_year"
+            )
+            keep_solution = False
 
         threshold = (
             self.CLONE_SPARK_ROWS if spark_threshold is None else spark_threshold

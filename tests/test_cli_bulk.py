@@ -442,6 +442,19 @@ def test_cli_curate_end_to_end(spark, tmp_path, capsys):
     )
     assert rc == 0
     assert "kept 2" in capsys.readouterr().out
+    # re-ingest the Spark-written JSONL output (layout: _SUCCESS +
+    # part-*.json[.gz]) — the _SUCCESS marker must not make the sniffer
+    # misread it as parquet
+    import os
+
+    assert os.path.exists(out2 / "_SUCCESS")
+    out3 = tmp_path / "curated3"
+    rc = cli_main(
+        ["curate", str(out2), str(out3), "--min-words", "5", "--no-dedup"]
+    )
+    assert rc == 0
+    assert "read 2 docs" in capsys.readouterr().out
+    assert spark.read.parquet(str(out3)).count() == 2
 
 
 def test_cli_curate_quarantine_output(spark, tmp_path, capsys):
@@ -589,7 +602,10 @@ def test_sniff_jsonl_directory_evidence(tmp_path):
     jsonl-ish entry': a parquet dataset with a stray .json metadata
     sidecar is parquet, a partitioned JSONL dir whose top level holds
     only key=val/ subdirectories is JSONL, and an empty dir fails loudly
-    instead of falling through to an unrelated parquet-read error."""
+    instead of falling through to an unrelated parquet-read error.
+    _SUCCESS is format-neutral — Spark writes it for EVERY format, so a
+    Spark-written JSONL dataset (_SUCCESS + part-*.json.gz) must still
+    sniff as JSONL."""
     from ixmp_spark.cli import _sniff_jsonl
 
     pq = tmp_path / "pq_with_sidecar"
@@ -598,11 +614,20 @@ def test_sniff_jsonl_directory_evidence(tmp_path):
     (pq / "metadata.json").write_text("{}")
     assert _sniff_jsonl(str(pq)) is False
 
-    marker = tmp_path / "pq_success_only"
-    marker.mkdir()
-    (marker / "_SUCCESS").write_bytes(b"")
-    (marker / "sidecar.json").write_text("{}")
-    assert _sniff_jsonl(str(marker)) is False
+    # Spark parquet layout: _SUCCESS + part-*.parquet → parquet
+    spq = tmp_path / "spark_parquet"
+    spq.mkdir()
+    (spq / "_SUCCESS").write_bytes(b"")
+    (spq / "part-00000-abc.snappy.parquet").write_bytes(b"PAR1")
+    assert _sniff_jsonl(str(spq)) is False
+
+    # Spark JSONL layout: _SUCCESS + part-*.json.gz → JSONL, NOT parquet
+    # (the _SUCCESS marker alone must not count as parquet evidence)
+    sjl = tmp_path / "spark_jsonl"
+    sjl.mkdir()
+    (sjl / "_SUCCESS").write_bytes(b"")
+    (sjl / "part-00000-abc.json.gz").write_bytes(b"\x1f\x8b")
+    assert _sniff_jsonl(str(sjl)) is True
 
     part = tmp_path / "jl_partitioned"
     (part / "lang=en").mkdir(parents=True)

@@ -201,6 +201,39 @@ def test_clone_shift_first_model_year(mp):
     assert sorted(gdp["year"]) == [2000, 2005, 2010]
 
 
+def test_clone_shift_overrides_keep_solution(mp, caplog):
+    """shift_first_model_year with the DEFAULT keep_solution=True must warn
+    and force keep_solution=False (reference scenario.py:918–922) — the
+    shift only makes sense on a solution-free clone."""
+    import logging
+
+    s1 = make_dantzig(mp, solve=True)
+    s1.check_out(timeseries_only=True)
+    s1.add_timeseries(HIST_DF, meta=True)
+    s1.add_timeseries(
+        pd.DataFrame(
+            {
+                "region": "DantzigLand",
+                "variable": "Demand",
+                "unit": "cases",
+                "year": [2000, 2005, 2010],
+                "value": [850.0, 900.0, 950.0],
+            }
+        )
+    )
+    s1.commit("ts")
+    with caplog.at_level(logging.WARNING, logger="ixmp_spark.core.scenario"):
+        shifted = s1.clone(shift_first_model_year=2005)  # NO keep_solution arg
+    assert any("keep_solution" in r.message for r in caplog.records)
+    # (a) the solution is gone despite the keep_solution=True default
+    assert not shifted.has_solution()
+    # (b) non-meta TS clamped below the shift year
+    ts = shifted.timeseries()
+    assert sorted(ts[ts["variable"] == "Demand"]["year"]) == [2000]
+    # (c) meta TS intact for all years
+    assert sorted(ts[ts["variable"] == "GDP"]["year"]) == [2000, 2005, 2010]
+
+
 def test_transact_discard_on_error(dantzig):
     # discard_on_error=True: staged changes are dropped on error
     with pytest.raises(RuntimeError, match="boom"):
