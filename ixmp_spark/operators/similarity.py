@@ -837,6 +837,15 @@ def prototype_prune(
 
     Output: (id, cluster, proto_sim, kept) — ``kept = false`` for the
     pruned prototypical core; ``where(kept)`` is the surviving corpus.
+
+    The cutoff is count-based — a cluster of n rows prunes exactly
+    ``floor(prune_frac * n)`` of its most prototypical rows — not a
+    ``percent_rank() >= prune_frac`` threshold, whose edges are wrong:
+    percent_rank is 0 for every singleton cluster (always fully pruned)
+    and for the top row of every cluster (pruned at any frac > 0), and
+    its max is 1.0 (prune_frac=1.0 kept one row instead of zero). With
+    floor, a singleton survives any frac < 1, frac=0 prunes nothing,
+    and frac=1.0 prunes everything.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -862,9 +871,12 @@ def prototype_prune(
     )
     assigned = model.transform(corpus).select(id_col, "__vec", "__c")
     sim = cosine(_dvec("__vec"), F.col("__center"))
+    # both windows share partitionBy(cluster) → one shuffle feeds both
     w = Window.partitionBy("cluster").orderBy(
         F.desc("__sim"), F.asc(id_col)
     )
+    wc = Window.partitionBy("cluster")
+    n_pruned = F.floor(F.count(F.lit(1)).over(wc) * prune_frac + 1e-9)
     return (
         assigned.join(F.broadcast(centers), "__c")
         .select(
@@ -876,6 +888,6 @@ def prototype_prune(
             id_col,
             "cluster",
             F.col("__sim").alias("proto_sim"),
-            (F.percent_rank().over(w) >= prune_frac).alias("kept"),
+            (F.row_number().over(w) > n_pruned).alias("kept"),
         )
     )

@@ -74,6 +74,11 @@ class Reporter:
         self.default_key: str | None = None
         #: key → direct dependency keys (for describe())
         self.deps: dict[str, list[str]] = {}
+        #: per-Reporter unit replacements (config ``units: replace:``) —
+        #: consulted before the module-level UNIT_ALIASES so one
+        #: Reporter's config never leaks into another Reporter in the
+        #: same process
+        self.unit_aliases: dict[str, str] = {}
 
     # -- registry ---------------------------------------------------------
     def add(
@@ -289,7 +294,7 @@ class Reporter:
             va = F.coalesce(F.col("__va"), F.lit(0.0)) if outer else F.col("__va")
             vb = F.coalesce(F.col("__vb"), F.lit(0.0)) if outer else F.col("__vb")
             out_dims = tuple(dict.fromkeys([*qa.dims, *qb.dims]))
-            unit = _combine_units(qa.unit, qb.unit, opname)
+            unit = _combine_units(qa.unit, qb.unit, opname, self.unit_aliases)
             return Quantity(
                 j.select(*out_dims, op(va, vb).alias("value")), out_dims, unit
             )
@@ -484,8 +489,12 @@ class Reporter:
             self.full_keys.setdefault(ak.name, ak)
         # units: replace: {alias: symbol} — config-driven parser
         # replacements (reference RunConfig units handling / pint
-        # definition overrides); applies to every unit parsed afterwards
-        register_unit_aliases((cfg.get("units") or {}).get("replace", {}))
+        # definition overrides); stored per-Reporter so one Reporter's
+        # config never mutates process-global state
+        register_unit_aliases(
+            (cfg.get("units") or {}).get("replace", {}),
+            into=self.unit_aliases,
+        )
         for key, unit in (cfg.get("units") or {}).get("apply", {}).items():
             src = self.full_keys.get(str(key), Key.parse(str(key)))
             orig = self.graph[str(src)]  # wrap, don't recurse
@@ -539,23 +548,33 @@ UNIT_EXPANSIONS: dict[str, dict[str, int]] = {
 }
 
 
-def register_unit_aliases(mapping: dict[str, str]) -> None:
+def register_unit_aliases(
+    mapping: dict[str, str], into: dict[str, str] | None = None
+) -> None:
     """Config-driven unit replacements (reference RunConfig
     ``units:``/pint definition overrides): every parse thereafter maps
-    each alias factor to its target symbol."""
-    UNIT_ALIASES.update({str(k): str(v) for k, v in mapping.items()})
+    each alias factor to its target symbol. With ``into`` (a Reporter's
+    ``unit_aliases`` dict), the replacements are scoped to that
+    Reporter; without it they go into the process-global UNIT_ALIASES —
+    an explicit, documented choice for callers that really want
+    process-wide registration (Reporter.configure never does this)."""
+    (UNIT_ALIASES if into is None else into).update(
+        {str(k): str(v) for k, v in mapping.items()}
+    )
 
 
 _UNIT_OK_CHARS = re.compile(r"[^\w%*/ .]")
 
 
-def _unit_exponents(u: str) -> dict[str, int]:
+def _unit_exponents(
+    u: str, aliases: dict[str, str] | None = None
+) -> dict[str, int]:
     """Parse 'a*b/c*d' → {a:1, b:1, c:-1, d:-1} (left-to-right, '/' flips
     sign for the following factor — the pint-compatible reading of the
     simple forms the reference stores, e.g. 'USD/km'). Factors are
-    normalized through UNIT_ALIASES; invalid characters raise with the
-    reference's message shape (report/util.py parse_units:
-    test_reporter.py:86–105)."""
+    normalized through ``aliases`` (a Reporter's scoped map) first, then
+    UNIT_ALIASES; invalid characters raise with the reference's message
+    shape (report/util.py parse_units: test_reporter.py:86–105)."""
     bad = sorted(set(_UNIT_OK_CHARS.findall(u)))
     if bad:
         raise ValueError(
@@ -573,6 +592,8 @@ def _unit_exponents(u: str) -> dict[str, int]:
             sign = -1
             continue
         name, _, exp = tok.partition("**")
+        if aliases:
+            name = aliases.get(name, name)
         name = UNIT_ALIASES.get(name, name)
         if name not in ("", "1"):
             exps[name] = exps.get(name, 0) + sign * (int(exp) if exp else 1)
@@ -602,24 +623,30 @@ def _exps_to_unit(exps: dict[str, int]) -> str:
     return out
 
 
-def _combine_units(a: str | None, b: str | None, op: str) -> str | None:
+def _combine_units(
+    a: str | None,
+    b: str | None,
+    op: str,
+    aliases: dict[str, str] | None = None,
+) -> str | None:
     """C5 unit algebra without pint: exponent-counting mul/div with
     cancellation ('km' * 'USD/km' → 'USD'); add requires DIMENSIONALLY
     equal units — surface symbols are alias-normalized and derived units
     expand to base form for the comparison, so 'J/s' + 'W' and
     'kilometers' + 'km' are accepted (reference operator.py:114–127 +
     pint dimensionality; mixed units still rejected — stricter than the
-    reference's warn-and-discard, deliberately)."""
+    reference's warn-and-discard, deliberately). ``aliases`` threads a
+    Reporter's scoped ``units: replace:`` map into the factor parse."""
     if a is None or b is None:
         return a or b
     if op in ("mul", "div"):
-        ea, eb = _unit_exponents(a), _unit_exponents(b)
+        ea, eb = _unit_exponents(a, aliases), _unit_exponents(b, aliases)
         sgn = 1 if op == "mul" else -1
         for k, v in eb.items():
             ea[k] = ea.get(k, 0) + sgn * v
         return _exps_to_unit({k: v for k, v in ea.items() if v})
-    if _expand_exponents(_unit_exponents(a)) != _expand_exponents(
-        _unit_exponents(b)
+    if _expand_exponents(_unit_exponents(a, aliases)) != _expand_exponents(
+        _unit_exponents(b, aliases)
     ):
         raise ValueError(f"cannot add units {a!r} and {b!r}")
     return a

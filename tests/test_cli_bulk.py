@@ -715,7 +715,7 @@ def test_unit_parsing_pint_semantics():
     # mul/div keep surface symbols (no surprise base-unit rewrites)
     assert _combine_units("W", "s", "mul") == "W*s"
 
-    # config-driven replacement map
+    # config-driven replacement map — global form is explicit opt-in
     assert "pkm" not in UNIT_ALIASES
     register_unit_aliases({"passenger_km": "pkm"})
     try:
@@ -724,3 +724,17 @@ def test_unit_parsing_pint_semantics():
         )
     finally:
         UNIT_ALIASES.pop("passenger_km", None)
+
+    # per-Reporter scoping: replacements passed via into= (the
+    # Reporter.configure path) thread through the aliases parameter and
+    # never touch the module-global map, so a second Reporter in the
+    # same process is unaffected
+    scoped: dict = {}
+    register_unit_aliases({"passenger_km": "pkm"}, into=scoped)
+    assert "passenger_km" not in UNIT_ALIASES
+    assert _combine_units(
+        "USD/passenger_km", "USD/pkm", "add", aliases=scoped
+    ) == "USD/passenger_km"
+    # without the scoped map the same add is rejected (symbols differ)
+    with pytest.raises(ValueError, match="cannot add"):
+        _combine_units("USD/passenger_km", "USD/pkm", "add")

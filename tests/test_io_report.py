@@ -200,6 +200,23 @@ def test_add_with_unit_check(rep):
         r.get("bad:i-j")
 
 
+def test_configure_units_replace_scoped(rep, tmp_path):
+    """`units: replace:` from a config file lands in THAT Reporter's
+    unit_aliases — not the module-global UNIT_ALIASES — so two Reporters
+    in one process can carry different replacement maps."""
+    from ixmp_spark.plans.reporter import UNIT_ALIASES, Reporter
+
+    r, scen = rep
+    cfg = tmp_path / "units.yaml"
+    cfg.write_text("units:\n  replace:\n    passenger_km: pkm\n")
+    r.configure(str(cfg))
+    assert r.unit_aliases == {"passenger_km": "pkm"}
+    assert "passenger_km" not in UNIT_ALIASES
+    # a second Reporter is unaffected by the first one's config
+    r2 = Reporter.from_scenario(scen)
+    assert r2.unit_aliases == {}
+
+
 def test_select_rename_concat(rep):
     r, _ = rep
     r.add_select("d_sel:i-j", "d:i-j", {"i": ["seattle", "atlantis"]})

@@ -2516,6 +2516,47 @@ def test_prototype_prune_planted_structure(spark):
     assert 0 < len(kept) < len(rows)
 
 
+def test_prototype_prune_count_cutoff_edges(spark):
+    """The cutoff is count-based (floor(frac*n) pruned per cluster), so
+    the percent_rank edge cases are gone: a singleton cluster survives
+    any frac<1, frac=0 prunes nothing, frac=1 prunes everything, and a
+    2-row cluster at frac=0.25 prunes zero rows (floor(0.5)=0)."""
+    import random
+
+    from ixmp_spark.operators.similarity import prototype_prune
+
+    rng = random.Random(3)
+    d = 8
+    rows = [(0, [1.0] + [0.0] * (d - 1))]  # singleton-ish blob A
+    rows += [
+        (10 + i, [0.0] * (d - 1) + [1.0 + rng.gauss(0, 0.01)])
+        for i in range(9)
+    ]  # blob B: 9 rows
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def prune_sets(frac):
+        out = prototype_prune(
+            emb, "vec_id", "embedding", n_clusters=2, prune_frac=frac
+        ).collect()
+        by_cluster = {}
+        for r in out:
+            by_cluster.setdefault(r["cluster"], []).append(r)
+        return out, by_cluster
+
+    out, by_cluster = prune_sets(0.25)
+    sizes = sorted(len(v) for v in by_cluster.values())
+    assert sizes == [1, 9]
+    for rows_c in by_cluster.values():
+        n = len(rows_c)
+        pruned = sum(1 for r in rows_c if not r["kept"])
+        assert pruned == int(0.25 * n)  # 1-row cluster: 0; 9-row: 2
+    # frac=0: nothing pruned; frac=1: everything pruned
+    out0, _ = prune_sets(0.0)
+    assert all(r["kept"] for r in out0)
+    out1, _ = prune_sets(1.0)
+    assert not any(r["kept"] for r in out1)
+
+
 def test_choose_bucket_rate_adaptive(spark):
     """choose_bucket picks the coarsest granularity whose hottest
     (key, bucket) partition fits the cap, and falls back to the finest
