@@ -14,8 +14,10 @@ from pyspark.sql import functions as F
 
 
 #: candidate granularities for choose_bucket, coarse → fine; date_trunc
-#: accepts each of them
-_BUCKET_LADDER = ("day", "hour", "minute")
+#: accepts each of them. Coarser rungs mean fewer chunk boundaries to
+#: heal (lower constant) at the cost of larger — but still cap-bounded —
+#: tasks; the ladder search picks the coarsest that fits the cap.
+_BUCKET_LADDER = ("month", "week", "day", "hour", "minute")
 
 
 def choose_bucket(
@@ -24,21 +26,52 @@ def choose_bucket(
     ts_col: str,
     max_rows_per_task: int = 1_000_000,
     candidates: tuple[str, ...] = _BUCKET_LADDER,
-) -> str:
-    """Pick the COARSEST time bucket whose hottest (key, bucket)
-    partition stays under ``max_rows_per_task`` — the rate-adaptive
-    knob for the chunked window family (``bucket="auto"``). The r6/r7
-    skew rehearsals showed bucket granularity is a real trade: coarse
-    buckets minimize the boundary-healing constant, fine buckets bound
-    hotter keys; a universal default leaves one side on the table.
+    min_chunk_rows: int = 4_096,
+) -> str | None:
+    """Pick the time bucket for the chunked window family
+    (``bucket="auto"``) — the coarsest candidate whose hottest (key,
+    bucket) partition stays under the TARGET chunk size, where
 
-    Cost: ONE aggregation pass over the data at the FINEST candidate
-    granularity (map-side partial counts make this a count-shuffle of
-    (key, minute) pairs, not rows), then per-candidate rollups over
-    that already-aggregated frame (rows ≤ keys × minutes) and a scalar
-    max probe each — driver traffic is one number per candidate. At
-    100 TB the decision costs a fraction of the window it tunes, and a
-    wrong-but-bounded choice degrades constants, never task bounds.
+    ``target = min(max_rows_per_task, max(hottest_key / parallelism,
+    min_chunk_rows))``
+
+    The cap term is the memory bound (a task must fit); the
+    ``hottest_key / parallelism`` term is the SPEED bound — the r8
+    granularity probe at bot40-10M (one key = 40% of rows) measured
+    plain 13.9 s, week 9.7, day 7.3, hour 6.4, minute 6.5: FINER beats
+    coarser until chunks shrink to ~100 rows, because splitting the hot
+    key across all cores buys more than the (cheap, window-sized)
+    boundary healing costs. Coarsest-under-the-cap — the r7 policy —
+    picked week here, the slowest chunked rung. ``min_chunk_rows``
+    floors the target so a huge cluster (parallelism ≫ hot-key rows /
+    useful chunk) doesn't shatter the key into constant-dominated
+    fragments; at the floor the probe showed minute ≈ hour within 2%.
+
+    **"Don't chunk" is on the ladder too**: if the hottest (key,
+    ALL-time) partition — i.e. the plain single-window plan's biggest
+    task — already fits the cap, the answer is ``None`` and the caller
+    takes the plain path. Chunking exists to bound skewed tasks; on
+    uniform data it only adds the boundary-healing constant (measured
+    ~6× on the chunked z-score at 10M uniform rows, REHEARSAL_events_r7)
+    — a regime ``bucket="auto"`` must never steer INTO.
+
+    Cost — lazy drill-down (redesigned in r8; the r7 form built a
+    (key, minute) aggregate of the WHOLE corpus up front, which at 10M
+    uniform rows barely aggregates at all and cost ~7 s of persist +
+    five rollup probes before answering the common-case "don't chunk"):
+
+    1. ONE per-key count aggregation (massive map-side reduction —
+       #keys rows out of #events in). No key over the cap → ``None``;
+       this is the only pass uniform data ever pays.
+    2. Only when hot keys exist: a (key, finest-bucket) count
+       aggregation restricted to the HOT KEYS ONLY (broadcast
+       semi-join). A non-hot key's whole history already fits the cap,
+       so every one of its (key, bucket) slices is cap-bounded at ANY
+       granularity — the memory guarantee never depends on them, and
+       the speed target only concerns the hot keys being split. The
+       restriction turns the fine aggregate from corpus-sized into
+       skewed-keys-sized; per-candidate rollups over that small frame
+       cost one scalar probe each.
 
     Falls back to the finest candidate when even it exceeds the cap
     (the structural guarantee is gone either way at that rate — rate ×
@@ -47,15 +80,32 @@ def choose_bucket(
     if not candidates:
         raise ValueError("candidates must be non-empty")
     finest = candidates[-1]
+    keyed = (
+        df.groupBy(F.col(key_col).alias("__k"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    hot = keyed.where(F.col("__n") > max_rows_per_task)
+    # hot-key cardinality is bounded by total_rows / cap, and the hottest
+    # handful decide the answer; cap the broadcast defensively anyway
+    hot_rows = hot.orderBy(F.desc("__n")).limit(10_001).collect()
+    if not hot_rows:
+        return None
+    hot_keys = [r["__k"] for r in hot_rows]
+    hottest_key = hot_rows[0]["__n"]
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    target = min(
+        max_rows_per_task,
+        max(hottest_key // max(parallelism, 1), min_chunk_rows),
+    )
     base = (
         df.select(
             F.col(key_col).alias("__k"),
             F.date_trunc(finest, F.col(ts_col)).alias("__m"),
         )
-        .groupBy("__k", "__m")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .persist()
     )
+    if len(hot_keys) <= 10_000:
+        base = base.where(F.col("__k").isin(hot_keys))
+    base = base.groupBy("__k", "__m").agg(F.count(F.lit(1)).alias("__n")).persist()
     try:
         for cand in candidates:
             hottest = (
@@ -66,7 +116,7 @@ def choose_bucket(
                 .agg(F.max("__n"))
                 .collect()[0][0]
             )
-            if hottest is not None and hottest <= max_rows_per_task:
+            if hottest is not None and hottest <= target:
                 return cand
         return finest
     finally:
@@ -76,7 +126,8 @@ def choose_bucket(
 def _resolve_bucket(
     df: DataFrame, key_col: str, ts_col: str, bucket: str | None
 ) -> str | None:
-    """``"auto"`` → :func:`choose_bucket`; anything else passes through."""
+    """``"auto"`` → :func:`choose_bucket` (which may answer ``None`` =
+    take the plain, unchunked path); anything else passes through."""
     if bucket == "auto":
         return choose_bucket(df, key_col, ts_col)
     return bucket
@@ -112,7 +163,18 @@ def sessionize(
     --events rehearsal: the plain plan bends 4.2× when one bot user
     holds 40% of 5M rows; this form caps every task at rate × bucket.
     ``bucket="auto"`` delegates the granularity to
-    :func:`choose_bucket` (rate-adaptive)."""
+    :func:`choose_bucket` (rate-adaptive; may resolve to the plain
+    path on uniform data).
+
+    .. note:: The bucketed form is NOT a pure plan-builder: it runs an
+       eager Spark job here (persist + count of the locally-sessionized
+       frame — required to pin the (user, bucket) partitioning for the
+       stitch join, see inline comment) and leaves that frame persisted.
+       The returned DataFrame carries the cache handle; call
+       ``ixmp_spark.operators.release_cache(result)`` once the result
+       has been materialized/written, or the executor memory stays
+       held. ``bucket=None`` (the default) builds a plan lazily like
+       every other operator."""
     bucket = _resolve_bucket(df, user_col, ts_col, bucket)
     w = Window.partitionBy(user_col).orderBy(ts_col, tie_break)
     if bucket is not None:

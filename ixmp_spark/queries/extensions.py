@@ -384,8 +384,14 @@ def a5_pivot_wide(spark, sf_dir):
 def a8_percentiles(spark, sf_dir):
     """Exact interpolated percentiles per group (extension surface): both
     engines implement the same continuous-quantile definition so the
-    values hash-match. The approximate sketch variant (scale path: fixed
-    memory, mergeable) is x1_sketches."""
+    values hash-match. NB the implementations differ at the ulp level —
+    Spark interpolates with the symmetric ``(hi-pos)*x_lo +
+    (pos-lo)*x_hi``, DuckDB with the lerp ``x_lo + frac*(x_hi-x_lo)``
+    (property-tested: tests/test_property.py::
+    test_percentile_interpolation_matches_reference) — so the hash
+    contract rides the 4-decimal round absorbing that ulp. The
+    approximate sketch variant (scale path: fixed memory, mergeable) is
+    x1_sketches."""
     o = load(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
         F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("median_price"),

@@ -609,3 +609,198 @@ def test_interval_overlap_join_equals_naive_random(spark, iv, iv2):
         if s1 <= s2 + l2 and s2 <= s1 + l1
     )
     assert got == want
+
+
+# -- VERDICT r7 #7: port the ulp-hunting property-test pattern to the
+#    other re-derived numeric formulas that must match a Spark builtin
+#    or the DuckDB oracle: percentile interpolation (a8), ntile
+#    boundaries (p13), and gap-threshold session stitching (g1b).
+
+
+def _spark_percentile_ref(values: list[float], p: float) -> float:
+    """Pure-Python replay of Spark's exact interpolated-percentile
+    arithmetic (Percentile.getPercentile): pos = p*(n-1), then the
+    SYMMETRIC weighted form ``(higher-pos)*x[lo] + (pos-lower)*x[hi]``
+    — NOT the lerp ``x[lo] + frac*(x[hi]-x[lo])``. The two are equal in
+    the reals but differ by an ulp on adjacent doubles (this test's
+    first run found it: [a, nextafter(a)], p=0.9 → Spark returns a, the
+    lerp returns nextafter(a)). DuckDB's quantile_cont uses the lerp
+    form; the a8 oracle hash-match survives because the catalog rounds
+    to 4 decimals, which absorbs the ulp — exactly the amplification
+    class this test exists to keep visible."""
+    xs = sorted(values)
+    n = len(xs)
+    pos = p * (n - 1)
+    lo = int(math.floor(pos))
+    hi = int(math.ceil(pos))
+    if lo == hi:
+        return xs[lo]
+    return (hi - pos) * xs[lo] + (pos - lo) * xs[hi]
+
+
+# ulp-adjacent clusters: pairs separated by one representable double —
+# interpolation between them amplifies rounding differences if either
+# engine deviates from lower + frac*(upper-lower)
+_ulp_values = st.lists(
+    st.one_of(
+        st.floats(
+            min_value=-1e6, max_value=1e6,
+            allow_nan=False, allow_infinity=False,
+        ),
+        st.floats(min_value=-1e-3, max_value=1e-3, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=14,
+).flatmap(
+    lambda base: st.lists(
+        st.sampled_from(
+            [v for b in base for v in (b, math.nextafter(b, math.inf), b)]
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(values=_ulp_values, p=st.sampled_from([0.0, 0.25, 0.5, 0.9, 1.0]))
+def test_percentile_interpolation_matches_reference(spark, values, p):
+    """Spark's percentile() must equal the pure-Python replay of its
+    interpolation formula BIT-FOR-BIT on frames with ulp-separated
+    values and duplicates — the same exposure class as the r7 w10b
+    stddev bug (hash parity at sf0.01 can sit below the amplification
+    threshold for rounds)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(v,) for v in values], "x double")
+    got = df.agg(F.expr(f"percentile(x, {p!r})").alias("q")).collect()[0]["q"]
+    want = _spark_percentile_ref(values, p)
+    assert got == want, (got, want, values, p)
+
+    # and the oracle side: DuckDB quantile_cont on the same rows agrees
+    # after the catalog's 4-decimal round (the hash contract a8 rides)
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(x DOUBLE)")
+    con.executemany("INSERT INTO t VALUES (?)", [(v,) for v in values])
+    oracle = con.execute(
+        f"SELECT quantile_cont(x, {p!r}) FROM t"
+    ).fetchone()[0]
+    assert round(got, 4) == round(oracle, 4), (got, oracle, values, p)
+
+
+def _ntile_ref(n: int, k: int) -> list[int]:
+    """SQL-standard ntile over a partition of n ordered rows: the first
+    n % k buckets get floor(n/k)+1 rows, the rest floor(n/k) — the
+    boundary layout both Spark and DuckDB implement (what makes the p13
+    oracle hash-match when the ORDER is deterministic)."""
+    base, extra = divmod(n, k)
+    out = []
+    for b in range(1, k + 1):
+        out.extend([b] * (base + (1 if b <= extra else 0)))
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    sizes=st.lists(st.integers(1, 23), min_size=1, max_size=4),
+    k=st.sampled_from([2, 3, 5, 7]),
+    dup_every=st.integers(1, 5),
+)
+def test_ntile_boundaries_match_reference(spark, sizes, k, dup_every):
+    """p13's bucket assignment (ntile over (ppl, id) per language) must
+    match the pure-Python ntile layout for every partition size — n not
+    divisible by k, singleton partitions, k > n — and stay deterministic
+    under heavy ppl TIES (every dup_every-th row shares a value), where
+    only the id tie-break pins which row lands each boundary."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = []
+    for li, n in enumerate(sizes):
+        for i in range(n):
+            # duplicated scores force the id tie-break to decide buckets
+            rows.append((f"L{li}", li * 1000 + i, float((i // dup_every) * 7)))
+    df = spark.createDataFrame(rows, "lang string, id long, ppl double")
+    w = Window.partitionBy("lang").orderBy("ppl", "id")
+    got = {
+        (r["lang"], r["id"]): r["b"]
+        for r in df.select(
+            "lang", "id", F.ntile(k).over(w).alias("b")
+        ).collect()
+    }
+    for li, n in enumerate(sizes):
+        ordered = sorted(
+            ((float((i // dup_every) * 7), li * 1000 + i) for i in range(n))
+        )
+        layout = _ntile_ref(n, k)
+        for (ppl, rid), want in zip(ordered, layout):
+            assert got[(f"L{li}", rid)] == want, (li, rid, n, k)
+
+    # oracle side: DuckDB's ntile over the same deterministic order
+    import duckdb
+    import pandas as pd  # noqa: F811
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame(rows, columns=["lang", "id", "ppl"]))
+    for lang, rid, b in con.execute(
+        f"SELECT lang, id, ntile({k}) OVER "
+        "(PARTITION BY lang ORDER BY ppl, id) FROM t"
+    ).fetchall():
+        assert got[(lang, rid)] == b, (lang, rid)
+
+
+# gap deltas hugging the session threshold: exactly the gap, one
+# microsecond either side, and sub-microsecond jitter near day
+# boundaries — the stitch decision (local new-session flags + boundary
+# heal) must agree with the plain window's gap comparison on every one,
+# including where the double cast of a 2024 epoch can no longer
+# represent the microsecond exactly
+_GAP = 1800
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    deltas=st.lists(
+        st.sampled_from(
+            [
+                _GAP * 1_000_000 - 1,
+                _GAP * 1_000_000,
+                _GAP * 1_000_000 + 1,
+                1_000_000,
+                86_400_000_000 - _GAP * 1_000_000,
+                43_200_000_000,
+            ]
+        ),
+        min_size=1,
+        max_size=14,
+    ),
+    start_us=st.sampled_from([0, 1, 86_399_999_999, 43_200_000_000]),
+)
+def test_sessionize_gap_threshold_ulp(spark, deltas, start_us):
+    """g1b's prefix-sum stitching vs the plain window on gap deltas at
+    EXACTLY the threshold ±1 µs, with sessions engineered to straddle
+    day-bucket boundaries: both forms cast ts to double epoch seconds,
+    so the decision must come out identical even where that cast rounds
+    the microsecond."""
+    from datetime import datetime, timedelta
+
+    from ixmp_spark.operators.sessions import sessionize
+
+    t = datetime(2024, 6, 1) + timedelta(microseconds=start_us)
+    rows, acc = [], t
+    for i, d in enumerate([0] + deltas):
+        acc = acc + timedelta(microseconds=d)
+        rows.append((i, acc, 1, "e", 0.0))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    plain = sessionize(ev, "user_id", "ts", _GAP, "event_id")
+    chunked = sessionize(ev, "user_id", "ts", _GAP, "event_id", bucket="day")
+    key = lambda r: (r["event_id"], r["session_id"])  # noqa: E731
+    assert sorted(map(key, plain.collect())) == sorted(
+        map(key, chunked.collect())
+    )

@@ -2558,9 +2558,11 @@ def test_prototype_prune_count_cutoff_edges(spark):
 
 
 def test_choose_bucket_rate_adaptive(spark):
-    """choose_bucket picks the coarsest granularity whose hottest
-    (key, bucket) partition fits the cap, and falls back to the finest
-    when nothing fits."""
+    """choose_bucket walks the ladder coarse → fine: None ("don't
+    chunk") when the plain plan's hottest whole-key partition already
+    fits the cap, else the coarsest granularity whose hottest (key,
+    bucket) partition fits, falling back to the finest when nothing
+    does."""
     from datetime import datetime, timedelta
 
     from ixmp_spark.operators.sessions import choose_bucket
@@ -2576,20 +2578,43 @@ def test_choose_bucket_rate_adaptive(spark):
         "event_id long, ts timestamp, user_id long, event_type string,"
         " value double",
     )
-    # day holds all 5000; hour ~500; minute ~9
-    assert choose_bucket(ev, "user_id", "ts", max_rows_per_task=10_000) == "day"
+    # whole key holds all 5000 → a 10k cap needs NO chunking at all
+    assert choose_bucket(ev, "user_id", "ts", max_rows_per_task=10_000) is None
+    # day also holds all 5000; hour ~500; minute ~9
+    assert choose_bucket(ev, "user_id", "ts", max_rows_per_task=4_000) == "hour"
     assert choose_bucket(ev, "user_id", "ts", max_rows_per_task=1_000) == "hour"
     assert choose_bucket(ev, "user_id", "ts", max_rows_per_task=50) == "minute"
     # nothing fits: fall back to the finest rather than refuse
     assert choose_bucket(ev, "user_id", "ts", max_rows_per_task=1) == "minute"
+    # the SPEED term: with the floor lowered, the target becomes
+    # hottest_key / parallelism (~156 here), so the ladder keeps
+    # drilling past hour (~500/chunk) to minute — splitting the hot key
+    # across cores, not merely under the memory cap
+    assert choose_bucket(
+        ev, "user_id", "ts", max_rows_per_task=4_000, min_chunk_rows=1
+    ) == "minute"
+    # multi-day key: whole key 5000 > cap, per-day 1000 fits → "day"
+    rows_md = [
+        (i, t0 + timedelta(days=i % 5, seconds=(i * 7) % 36000), 7, "a", 1.0)
+        for i in range(5000)
+    ]
+    ev_md = spark.createDataFrame(
+        rows_md,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    assert choose_bucket(ev_md, "user_id", "ts", max_rows_per_task=2_000) == "day"
 
 
 def test_chunked_auto_bucket_equals_plain(spark):
-    """bucket='auto' resolves to a real granularity and the chunked
-    outputs stay identical to the plain forms."""
+    """bucket='auto' keeps outputs identical to the plain forms — and on
+    a uniform (unskewed) corpus it resolves to None, i.e. auto TAKES the
+    plain path instead of paying the chunked boundary-healing constant
+    (~6× on uniform 10M-row z-score, REHEARSAL_events_r7)."""
     from datetime import datetime, timedelta
 
     from ixmp_spark.operators.sessions import (
+        choose_bucket,
         event_transitions,
         sessionize,
         zscore_anomalies,
@@ -2606,6 +2631,8 @@ def test_chunked_auto_bucket_equals_plain(spark):
         "event_id long, ts timestamp, user_id long, event_type string,"
         " value double",
     )
+    # uniform corpus, default cap: auto must answer "don't chunk"
+    assert choose_bucket(ev, "user_id", "ts") is None
     a = sessionize(ev, "user_id", "ts", 1800, "event_id")
     b = sessionize(ev, "user_id", "ts", 1800, "event_id", bucket="auto")
     key = lambda r: (r["event_id"], r["session_id"])  # noqa: E731

@@ -219,6 +219,34 @@ def main() -> int:
             )
         print(f"timing sweep -> {os.path.normpath(TIMINGS_PATH)}; top-5: "
               + ", ".join(f"{n}={t:.2f}s" for n, t in top[:5]))
+        # machine-generated headline counts (VERDICT r7 #5: NOTES prose
+        # contradicted the tree because the counts were hand-written;
+        # the close-out template reads THIS file instead)
+        from ixmp_spark.queries import _CORE_50
+
+        counts_path = os.path.join(
+            os.path.dirname(TIMINGS_PATH), "COUNTS.json"
+        )
+        with open(counts_path, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "catalog_total": len(QUERIES),
+                    "oracle_paired": len(
+                        [q for q in QUERIES if q in ORACLES]
+                    ),
+                    "rows_only": len(
+                        [q for q in QUERIES if q not in ORACLES]
+                    ),
+                    "core_50": len(_CORE_50),
+                    "parity_failures": len(failures),
+                    "timing_regressions": len(slow),
+                },
+                f,
+                indent=1,
+            )
+            f.write("\n")
+        print(f"counts -> {os.path.normpath(counts_path)}")
         if slow and not os.environ.get("IXMP_SPARK_NO_TIMING_GATE"):
             print(
                 f"{len(slow)} timing regression(s) >3x committed sweep — "

@@ -23,6 +23,7 @@ use.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -523,6 +524,13 @@ def main_events() -> None:
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     factors = [int(x) for x in sys.argv[3:]] or [1, 10, 50]
 
+    # REHEARSAL_OPS=w10,g1 -> measure only ops with those name prefixes
+    # (a targeted re-run shouldn't pay the full 8-op sweep)
+    ops_filter = [p for p in os.environ.get("REHEARSAL_OPS", "").split(",") if p]
+
+    def want(op: str) -> bool:
+        return not ops_filter or any(op.startswith(p) for p in ops_filter)
+
     from ixmp_spark.operators import release_cache
 
     def run(df, act):
@@ -571,14 +579,16 @@ def main_events() -> None:
             # Catalyst prune an unused window projection entirely (the
             # first run of this rehearsal "measured" g1/w10 flat at 5M
             # rows for exactly that reason)
-            results.setdefault("g1_sessionize", {}).setdefault(variant, {})[n] = best_of(
+            if want("g1_sessionize"):
+                results.setdefault("g1_sessionize", {}).setdefault(variant, {})[n] = best_of(
                 lambda: run(
                     sessionize(ev, "user_id", "ts", 1800, "event_id"),
                     lambda d: d.agg(F.sum("session_id")).collect(),
                 )
             )
 
-            results.setdefault("g5_transitions", {}).setdefault(variant, {})[n] = best_of(
+            if want("g5_transitions"):
+                results.setdefault("g5_transitions", {}).setdefault(variant, {})[n] = best_of(
                 lambda: run(
                     event_transitions(
                         ev, "user_id", "ts", "event_type", "event_id"
@@ -587,7 +597,8 @@ def main_events() -> None:
                 )
             )
 
-            results.setdefault("g6_top_paths", {}).setdefault(variant, {})[n] = best_of(
+            if want("g6_top_paths"):
+                results.setdefault("g6_top_paths", {}).setdefault(variant, {})[n] = best_of(
                 lambda: run(
                     top_paths(
                         ev, "user_id", "ts", "event_type", "event_id",
@@ -599,7 +610,8 @@ def main_events() -> None:
 
             # the mitigation, measured side-by-side: day-bucketed window
             # chunking must flatten the bot40 curve back toward uniform
-            results.setdefault("g5_transitions_chunked", {}).setdefault(
+            if want("g5_transitions_chunked"):
+                results.setdefault("g5_transitions_chunked", {}).setdefault(
                 variant, {}
             )[n] = best_of(
                 lambda: run(
@@ -611,7 +623,8 @@ def main_events() -> None:
                 )
             )
 
-            results.setdefault("g6_top_paths_chunked", {}).setdefault(
+            if want("g6_top_paths_chunked"):
+                results.setdefault("g6_top_paths_chunked", {}).setdefault(
                 variant, {}
             )[n] = best_of(
                 lambda: run(
@@ -623,7 +636,8 @@ def main_events() -> None:
                 )
             )
 
-            results.setdefault("w10_zscore", {}).setdefault(variant, {})[n] = best_of(
+            if want("w10_zscore"):
+                results.setdefault("w10_zscore", {}).setdefault(variant, {})[n] = best_of(
                 lambda: run(
                     zscore_anomalies(ev, "user_id", "ts", "event_id", "value"),
                     lambda d: d.agg(
@@ -632,7 +646,8 @@ def main_events() -> None:
                 )
             )
 
-            results.setdefault("g1_sessionize_chunked", {}).setdefault(
+            if want("g1_sessionize_chunked"):
+                results.setdefault("g1_sessionize_chunked", {}).setdefault(
                 variant, {}
             )[n] = best_of(
                 lambda: run(
@@ -643,12 +658,52 @@ def main_events() -> None:
                 )
             )
 
-            results.setdefault("w10_zscore_chunked", {}).setdefault(
+            if want("w10_zscore_chunked"):
+                results.setdefault("w10_zscore_chunked", {}).setdefault(
                 variant, {}
             )[n] = best_of(
                 lambda: run(
                     zscore_anomalies(
                         ev, "user_id", "ts", "event_id", "value", bucket="day"
+                    ),
+                    lambda d: d.agg(
+                        F.sum(F.col("is_anomaly").cast("long"))
+                    ).collect(),
+                )
+            )
+
+            # the r8 granularity finding: at bot40 the knee is HOUR
+            # (probe: plain 13.9 / week 9.7 / day 7.3 / hour 6.4 /
+            # minute 6.5 s at 10M) — day's 30 chunks under-parallelize
+            # the hot key on 32 cores; hour is what choose_bucket's
+            # speed term now picks at this skew
+            if want("w10_zscore_chunked_hour"):
+                results.setdefault("w10_zscore_chunked_hour", {}).setdefault(
+                variant, {}
+            )[n] = best_of(
+                lambda: run(
+                    zscore_anomalies(
+                        ev, "user_id", "ts", "event_id", "value",
+                        bucket="hour",
+                    ),
+                    lambda d: d.agg(
+                        F.sum(F.col("is_anomaly").cast("long"))
+                    ).collect(),
+                )
+            )
+
+            # the rate-adaptive knob end-to-end: on uniform data auto
+            # must resolve to "don't chunk" and cost ≈ plain + one
+            # count-shuffle decision pass; on bot40 it picks the
+            # granularity choose_bucket's ladder says fits the cap
+            if want("w10_zscore_auto"):
+                results.setdefault("w10_zscore_auto", {}).setdefault(
+                variant, {}
+            )[n] = best_of(
+                lambda: run(
+                    zscore_anomalies(
+                        ev, "user_id", "ts", "event_id", "value",
+                        bucket="auto",
                     ),
                     lambda d: d.agg(
                         F.sum(F.col("is_anomaly").cast("long"))
@@ -672,7 +727,8 @@ def main_events() -> None:
                 (F.col("ts") + F.expr("interval 30 minutes")).alias("end_ts"),
             )
             pts = ev.select("ts", "value")
-            results.setdefault("j11_range_join", {}).setdefault(
+            if want("j11_range_join"):
+                results.setdefault("j11_range_join", {}).setdefault(
                 variant, {}
             )[n] = best_of(
                 lambda: run(
