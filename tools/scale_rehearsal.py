@@ -498,6 +498,165 @@ def amplify_events(events: DataFrame, factor: int, bot_permille: int) -> DataFra
     )
 
 
+def main_indexes() -> None:
+    """On-disk index rehearsal (VERDICT r7 #6): the BM25 shard index and
+    the LSH bucket index are honestly labeled "not faster locally" at
+    bench scale — right design, unproven win. This mode measures the
+    crossover: per amplification factor, BOTH twins read the corpus from
+    parquet (so the comparison isolates storage-layer pruning, not
+    cache state), and each row records query wall-time AND files-read
+    (probed partition directories vs the whole dataset).
+
+    Knobs named per row: ``n_shards`` (BM25 term-hash fanout — more
+    shards = finer pruning, smaller files), ``planes``/``multi_probe``
+    (LSH: bits decide bucket count = pruning ratio; probes trade recall
+    for files read). Build time is recorded too — the index pays off
+    when (scan_s - index_s) × query_volume > build_s."""
+    import glob
+    import random
+    import shutil
+    import tempfile
+
+    from ixmp_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_index_topk,
+        lsh_index_write,
+    )
+    from ixmp_spark.operators.text import (
+        bm25_index_search,
+        bm25_index_write,
+        bm25_search,
+    )
+
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    factors = [int(x) for x in sys.argv[3:]] or [1, 10, 50]
+
+    def best_of(fn, reps: int = 2) -> float:
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
+    spark = get_spark("scale_rehearsal_indexes")
+    docs0 = load(spark, sf_dir, "documents")
+    emb0 = load(spark, sf_dir, "embeddings")
+    rng = random.Random(42)
+    planes = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(6)]
+    root = tempfile.mkdtemp(prefix="idx_rehearsal_")
+    results: dict[str, dict] = {"bm25": {}, "lsh": {}}
+    try:
+        for factor in factors:
+            # both twins read from disk — write the amplified corpora
+            docs_path = f"{root}/docs_{factor}"
+            amplify(docs0, factor).write.mode("overwrite").parquet(docs_path)
+            docs = spark.read.parquet(docs_path)
+            n_docs = docs.count()
+            print(f"-- factor {factor}: {n_docs} docs", file=sys.stderr)
+
+            bm_path = f"{root}/bm25_{factor}"
+            t0 = time.time()
+            bm25_index_write(docs, bm_path, "doc_id", "text", n_shards=64)
+            build_s = round(time.time() - t0, 3)
+            # deterministic mid-df query terms: past the stopword head,
+            # still frequent enough that the scan twin does real work
+            terms = [
+                r["term"]
+                for r in spark.read.parquet(bm_path + "/postings")
+                .groupBy("term")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .orderBy(F.desc("n"), "term")
+                .limit(24)
+                .collect()
+            ][20:23]
+            scan_s = best_of(
+                lambda: bm25_search(docs, "doc_id", "text", terms, k=10).collect()
+            )
+            index_s = best_of(
+                lambda: bm25_index_search(
+                    spark, bm_path, terms, "doc_id", k=10
+                ).collect()
+            )
+            n_shards_v = int(
+                spark.read.parquet(bm_path + "/_stats").collect()[0]["n_shards"]
+            )
+            shard_ids = [
+                r["s"]
+                for r in spark.createDataFrame([(t,) for t in terms], "t string")
+                .select(F.pmod(F.xxhash64("t"), F.lit(n_shards_v)).alias("s"))
+                .distinct()
+                .collect()
+            ]
+            files_total = len(glob.glob(bm_path + "/postings/shard=*/*.parquet"))
+            files_read = sum(
+                len(glob.glob(f"{bm_path}/postings/shard={s}/*.parquet"))
+                for s in shard_ids
+            )
+            results["bm25"][n_docs] = {
+                "build_s": build_s,
+                "scan_s": scan_s,
+                "index_s": index_s,
+                "files_total": files_total,
+                "files_read": files_read,
+                "n_shards": n_shards_v,
+                "terms": terms,
+            }
+
+            emb_path = f"{root}/emb_{factor}"
+            amplify_vectors(emb0, factor).write.mode("overwrite").parquet(
+                emb_path
+            )
+            emb = spark.read.parquet(emb_path)
+            n_vecs = emb.count()
+            lsh_path = f"{root}/lsh_{factor}"
+            t0 = time.time()
+            lsh_index_write(emb, lsh_path, "vec_id", "embedding", planes)
+            lsh_build_s = round(time.time() - t0, 3)
+            probe = emb.orderBy("vec_id").limit(1)
+            probe_row = probe.collect()[0]
+            brute_s = best_of(
+                lambda: brute_force_topk(
+                    emb, probe, "vec_id", "embedding", k=10
+                ).collect()
+            )
+            lsh_s = best_of(
+                lambda: lsh_index_topk(
+                    spark, lsh_path, probe_row["embedding"], planes,
+                    "vec_id", k=10, multi_probe=1,
+                    exclude_id=probe_row["vec_id"],
+                ).collect()
+            )
+            buckets_total = len(glob.glob(lsh_path + "/bucket=*"))
+            # the probe's bucket set (same driver-side math as
+            # lsh_index_topk: own signs + single-bit flips)
+            pv = [float(x) for x in probe_row["embedding"]]
+            own = 0
+            for b, plane in enumerate(planes):
+                if sum(x * y for x, y in zip(pv, plane)) >= 0:
+                    own |= 1 << b
+            probe_buckets = {own} | {
+                own ^ (1 << b) for b in range(len(planes))
+            }
+            results["lsh"][n_vecs] = {
+                "build_s": lsh_build_s,
+                "brute_s": brute_s,
+                "index_s": lsh_s,
+                "buckets_total": buckets_total,
+                "buckets_probed": len(probe_buckets),
+                "files_total": len(glob.glob(lsh_path + "/bucket=*/*.parquet")),
+                "files_read": sum(
+                    len(glob.glob(f"{lsh_path}/bucket={b}/*.parquet"))
+                    for b in probe_buckets
+                ),
+                "planes": len(planes),
+                "multi_probe": 1,
+            }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    print(json.dumps({"sf_dir": sf_dir, "mode": "indexes", "results": results}))
+
+
 def main_events() -> None:
     """Skew rehearsal for the event/session family (VERDICT r5 #3): per
     factor, run g1 sessionize / g5 transitions / g6 top_paths / w10
@@ -800,5 +959,7 @@ if __name__ == "__main__":
         main_events()
     elif len(sys.argv) > 1 and sys.argv[1] == "--ann-table":
         main_ann_table()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--indexes":
+        main_indexes()
     else:
         main()
