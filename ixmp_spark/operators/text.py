@@ -1111,3 +1111,53 @@ def bm25_index_search(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_line_chars: int = 30,
+    min_alpha_pct: int = 50,
+) -> DataFrame:
+    """Line-level boilerplate removal for plain-text corpora — the
+    jusText/trafilatura-lite cleaning pass a web-scraped training
+    corpus needs between extraction and quality scoring. A line is KEPT
+    iff (on its trimmed form):
+
+    1. at least ``min_line_chars`` characters (drops nav crumbs,
+       timestamps, pagination fragments);
+    2. ASCII-letter mass ≥ ``min_alpha_pct``% of its length (drops
+       separator art, number tables, markup residue) — integer
+       arithmetic, so the predicate is bit-identical across engines;
+    3. not entirely upper-case (drops shouting headers/section rails).
+
+    Map-only: split → one array filter lambda → re-join; no shuffle, no
+    UDF — whole-stage codegen end to end, trivially 100 TB-safe. The
+    rules are deliberately engine-portable (length / regexp_replace /
+    upper), so the DuckDB oracle states the SAME predicate and the
+    hash contract covers every kept-line decision.
+
+    Output: (id, clean_text [trimmed kept lines joined with \\n],
+    n_lines_kept, n_lines_dropped).
+    """
+    lines = F.split(F.col(text_col), "\n")
+
+    def _keep(x):
+        t = F.trim(x)
+        n_alpha = F.length(F.regexp_replace(t, "[^A-Za-z]", ""))
+        return (
+            (F.length(t) >= min_line_chars)
+            & (n_alpha * 100 >= min_alpha_pct * F.length(t))
+            & (t != F.upper(t))
+        )
+
+    kept = F.transform(
+        F.filter(lines, _keep), lambda x: F.trim(x)
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+        (F.size(lines) - F.size(kept)).cast("long").alias("n_lines_dropped"),
+    )

@@ -1760,3 +1760,58 @@ def p13_perplexity_buckets(spark, sf_dir):
     return perplexity_buckets(
         docs, "doc_id", "text", "lang", n_buckets=3
     )
+
+
+@query(
+    "t18_strip_boilerplate",
+    oracle="""
+    WITH ml AS (
+      SELECT doc_id,
+             'MENU NAV HOME' || chr(10) ||
+             replace(text, ' table ', chr(10) || 'table ') || chr(10) ||
+             '123 456 789' || chr(10) || '- - - - - - -' AS text
+      FROM documents
+    ), f AS (
+      SELECT doc_id,
+             list_transform(
+               list_filter(
+                 string_split(text, chr(10)),
+                 x -> length(trim(x)) >= 30
+                      AND length(regexp_replace(trim(x), '[^A-Za-z]', '', 'g')) * 100
+                          >= 50 * length(trim(x))
+                      AND trim(x) != upper(trim(x))
+               ),
+               x -> trim(x)
+             ) AS kept,
+             length(text) - length(replace(text, chr(10), '')) + 1 AS n_lines
+      FROM ml
+    )
+    SELECT doc_id,
+           -- DuckDB array_to_string([]) is NULL; Spark array_join is ''
+           coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+           CAST(len(kept) AS BIGINT) AS n_lines_kept,
+           CAST(n_lines - len(kept) AS BIGINT) AS n_lines_dropped
+    FROM f
+    """,
+)
+def t18_strip_boilerplate(spark, sf_dir):
+    """jusText-lite line-level boilerplate removal (strip_boilerplate):
+    the corpus is single-line synthetic text, so the query first
+    synthesizes a deterministic multi-line layout — a shouting nav
+    header, a line break before every ' table ' token, a digit row and
+    a separator-art row — IDENTICALLY in both engines, then strips.
+    Every kept-line decision (length / letter-mass / all-caps rules,
+    integer arithmetic only) is covered by the value hash. Map-only;
+    no shuffle."""
+    from ixmp_spark.operators.text import strip_boilerplate
+
+    docs = load(spark, sf_dir, "documents")
+    multi = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("MENU NAV HOME\n"),
+            F.replace(F.col("text"), F.lit(" table "), F.lit("\ntable ")),
+            F.lit("\n123 456 789\n- - - - - - -"),
+        ).alias("text"),
+    )
+    return strip_boilerplate(multi, "doc_id", "text")

@@ -318,3 +318,19 @@ def e9_prototype_prune(spark, sf_dir):
     return prototype_prune(
         emb, "vec_id", "embedding", n_clusters=16, prune_frac=0.25
     )
+
+
+@query("e10_pca_whiten")  # no SQL oracle: PCA basis is engine-specific
+def e10_pca_whiten(spark, sf_dir):
+    """PCA-whitening of the embedding corpus (pca_whiten, k=8): the
+    decorrelate-and-equalize preprocessing SemDeDup/D4-style semantic
+    pipelines apply before clustering. Rows-only — the principal basis
+    depends on Spark ML's solver; the operator's invariants (unit
+    per-dimension variance, near-zero cross-correlation, exact
+    reconstruction of planted dominant directions) are pinned in
+    tests/test_scale.py::test_pca_whiten_planted_structure."""
+    from ixmp_spark.operators.similarity import pca_whiten
+
+    emb = load(spark, sf_dir, "embeddings")
+    out, _info = pca_whiten(emb, "vec_id", "embedding", k=8)
+    return out

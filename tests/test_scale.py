@@ -2696,3 +2696,67 @@ def test_bm25_index_partition_pruning_and_equality(spark, sf_dir, tmp_path):
 
     want = bm25_search(docs, "doc_id", "text", q, k=10).collect()
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want]
+
+
+def test_strip_boilerplate_rules(spark):
+    """Each keep-rule independently: short lines, letter-poor lines,
+    and all-caps lines drop; ordinary prose lines survive with original
+    order preserved and counts adding up."""
+    from ixmp_spark.operators.text import strip_boilerplate
+
+    prose1 = "the quick brown fox jumps over the lazy dog tonight"
+    prose2 = "a second perfectly ordinary sentence with ample letters"
+    doc = "\n".join([
+        "MENU NAV",                                  # short + caps
+        prose1,
+        "12345 67890 12345 67890 12345 67890",       # letter-poor, long
+        "  " + prose2 + "  ",                        # kept, trimmed
+        "THIS ENTIRE LINE IS UPPER CASE SHOUTING",   # caps, long
+        "- - - - - - - - - - - - - - - - - - - -",   # separator art
+        "short line",                                # < 30 chars
+    ])
+    out = strip_boilerplate(
+        spark.createDataFrame([(1, doc)], "doc_id long, text string"),
+        "doc_id", "text",
+    ).collect()[0]
+    assert out["clean_text"] == prose1 + "\n" + prose2
+    assert out["n_lines_kept"] == 2
+    assert out["n_lines_dropped"] == 5
+
+
+def test_pca_whiten_planted_structure(spark):
+    """pca_whiten on a corpus with two planted dominant directions:
+    the projected dimensions come out unit-variance and uncorrelated,
+    and the transform recorded in model_info reproduces the frame's
+    whitened vectors (the build/query split works on new data)."""
+    import random
+
+    from ixmp_spark.operators.similarity import pca_whiten
+
+    rng = random.Random(11)
+    d, n, k = 12, 400, 4
+    rows = []
+    for i in range(n):
+        a, b = rng.gauss(0, 9), rng.gauss(0, 3)  # two dominant axes
+        v = [a, b] + [rng.gauss(0, 0.3) for _ in range(d - 2)]
+        v = [x + 2.5 for x in v]  # nonzero mean: centering must matter
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out, info = pca_whiten(emb, "vec_id", "embedding", k=k)
+    got = {r["vec_id"]: r["whitened"] for r in out.collect()}
+    assert len(got) == n and all(len(v) == k for v in got.values())
+    import statistics
+
+    cols = list(zip(*[got[i] for i in range(n)]))
+    for c in cols:
+        assert abs(statistics.variance(c) - 1.0) < 0.05
+        assert abs(statistics.mean(c)) < 0.05
+    # decorrelated: pairwise sample correlation ~ 0
+    for i in range(k):
+        for j in range(i + 1, k):
+            num = sum(x * y for x, y in zip(cols[i], cols[j])) / (n - 1)
+            assert abs(num) < 0.1, (i, j, num)
+    # the two planted directions dominate the explained variance
+    ev = info["explained_variance"]
+    assert ev[0] > ev[2] and ev[1] > ev[2]
+    assert sum(ev[:2]) > 0.9
