@@ -65,12 +65,29 @@ def asof_join(
     left_time: str,
     right_time: str,
     tie_break: str,
+    direction: str = "backward",
+    tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """As-of join (extension; SURVEY.md §2.3 notes the reference lacks it):
     for each left row (uniquely identified by ``left_id``), the latest
     right row with equal key and ``right_time <= left_time``; ties broken
     by max ``tie_break``. Inner semantics: left rows with no qualifying
     right row are dropped.
+
+    ``direction`` (pandas ``merge_asof`` parity):
+
+    - ``"backward"`` (default): latest right row at-or-before, max
+      ``tie_break`` at equal times;
+    - ``"forward"``: earliest right row at-or-after, min ``tie_break``
+      at equal times (the mirror image);
+    - ``"nearest"``: whichever of the two is closer in time; exact-tie
+      distances prefer backward. Requires time-typed columns (the
+      distance is computed in epoch seconds).
+
+    ``tolerance_seconds``: drop matches farther than this from the left
+    time (post-selection filter — the selected row IS the nearest in
+    the chosen direction, so filtering it equals bounding the search).
+    Requires time-typed columns.
 
     Implementation — union–sort–carry-forward, the fan-out-free plan:
     both sides union into one stream tagged (key, time, side), sorted per
@@ -82,7 +99,11 @@ def asof_join(
     left row to ALL earlier right rows of its key before ranking: n·m
     pairs per key; this plan is n+m log(n+m) per key), and no second
     shuffle on left_id. Hot keys are a sort, not a blow-up; AQE handles
-    partition-level skew."""
+    partition-level skew. ``forward`` flips the sort direction;
+    ``nearest`` runs BOTH carry windows over the one keyed partitioning
+    (two Sort operators, still ONE Exchange) and picks per left row."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
     rstruct = F.struct(*[right[c] for c in right.columns]).alias("__r")
     lstruct = F.struct(*[left[c] for c in left.columns]).alias("__l")
     r = right.select(
@@ -111,15 +132,52 @@ def asof_join(
         ).alias("__r"),
         lstruct,
     )
-    w = (
+    # backward: ascending time, right before left at equal t, last-seen
+    # right = max (time, tie). forward: descending time, right before
+    # left at equal t, descending tie so last-seen = min (time, tie).
+    wb = (
         Window.partitionBy("__k")
         .orderBy(F.col("__t").asc(), F.col("__side").asc(), F.col("__tie").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    merged = r.unionByName(lf).withColumn(
-        "__carried", F.last("__r", ignorenulls=True).over(w)
+    wf = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t").desc(), F.col("__side").asc(), F.col("__tie").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
+    merged = r.unionByName(lf)
+    t_sec = F.col("__t").cast("timestamp").cast("double")
+
+    def _rt_sec(carried):
+        return carried[right_time].cast("timestamp").cast("double")
+
+    if direction == "backward":
+        merged = merged.withColumn(
+            "__carried", F.last("__r", ignorenulls=True).over(wb)
+        )
+    elif direction == "forward":
+        merged = merged.withColumn(
+            "__carried", F.last("__r", ignorenulls=True).over(wf)
+        )
+    else:  # nearest: both carries over the SAME keyed partitioning
+        merged = (
+            merged.withColumn("__b", F.last("__r", ignorenulls=True).over(wb))
+            .withColumn("__f", F.last("__r", ignorenulls=True).over(wf))
+        )
+        db = F.abs(t_sec - _rt_sec(F.col("__b")))
+        df_ = F.abs(_rt_sec(F.col("__f")) - t_sec)
+        merged = merged.withColumn(
+            "__carried",
+            F.when(F.col("__b").isNull(), F.col("__f"))
+            .when(F.col("__f").isNull(), F.col("__b"))
+            .when(db <= df_, F.col("__b"))  # exact-tie distance → backward
+            .otherwise(F.col("__f")),
+        )
     out = merged.where((F.col("__side") == 1) & F.col("__carried").isNotNull())
+    if tolerance_seconds is not None:
+        out = out.where(
+            F.abs(t_sec - _rt_sec(F.col("__carried"))) <= tolerance_seconds
+        )
     return out.select(
         *[F.col(f"__l.{c}").alias(c) for c in left.columns],
         *[F.col(f"__carried.{c}").alias(c) for c in right.columns],
