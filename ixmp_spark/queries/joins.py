@@ -263,3 +263,98 @@ def j6_synonym_resolution(spark, sf_dir):
         .groupBy("region")
         .agg(F.count(F.lit(1)).alias("n_nations"))
     )
+
+
+@query(
+    "jx2_asof_forward",
+    oracle="""
+    SELECT event_id, next_orderkey, next_totalprice
+    FROM (
+      SELECT e.event_id, o.o_orderkey AS next_orderkey,
+             o.o_totalprice AS next_totalprice,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY o.o_orderdate ASC, o.o_orderkey ASC) AS rn
+      FROM (SELECT event_id, user_id,
+                   ts - INTERVAL 29 YEAR AS ts FROM events) e
+      JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate >= e.ts
+    ) WHERE rn = 1
+    """,
+)
+def jx2_asof_forward(spark, sf_dir):
+    """Forward as-of join (merge_asof direction='forward'): for each
+    event, the EARLIEST order of the same user at-or-after the event
+    time; ties broken by min orderkey. Same union–sort–carry plan as
+    jx, with the sort direction flipped — one shuffle, no candidate
+    explosion."""
+    # events are 2024, TPC-H orders 1992-98: shift the probe times 29
+    # years back (identically in the oracle) so forward matches exist
+    e = load(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts") - F.expr("INTERVAL 29 YEARS")
+    )
+    o = load(spark, sf_dir, "orders")
+    out = asof_join(
+        e, o,
+        left_id="event_id", left_on="user_id", right_on="o_custkey",
+        left_time="ts", right_time="o_orderdate", tie_break="o_orderkey",
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        F.col("o_orderkey").alias("next_orderkey"),
+        F.col("o_totalprice").alias("next_totalprice"),
+    )
+
+
+@query(
+    "jx3_asof_nearest",
+    oracle="""
+    SELECT event_id, near_orderkey, dist_s
+    FROM (
+      SELECT e.event_id, o.o_orderkey AS near_orderkey,
+             round(abs(epoch(CAST(o.o_orderdate AS TIMESTAMP)) - epoch(e.ts)), 1) AS dist_s,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY abs(epoch(CAST(o.o_orderdate AS TIMESTAMP)) - epoch(e.ts)) ASC,
+                        CASE WHEN o.o_orderdate <= e.ts THEN 0 ELSE 1 END ASC,
+                        CASE WHEN o.o_orderdate <= e.ts
+                             THEN -o.o_orderkey ELSE o.o_orderkey END ASC
+             ) AS rn
+      FROM (SELECT event_id, user_id,
+                   ts - INTERVAL 29 YEAR AS ts FROM events) e
+      JOIN orders o
+        ON o.o_custkey = e.user_id
+       AND abs(epoch(CAST(o.o_orderdate AS TIMESTAMP)) - epoch(e.ts)) <= 7776000
+    ) WHERE rn = 1
+    """,
+)
+def jx3_asof_nearest(spark, sf_dir):
+    """Nearest as-of join with tolerance (merge_asof
+    direction='nearest', tolerance=90 days): whichever of the
+    latest-before / earliest-after order is closer in time, exact-tie
+    distances preferring backward, matches farther than 90 days
+    dropped. Event times shift 29 years back (identically in both
+    engines) so they land inside the TPC-H date range. The oracle states the selection as one explicit ranking
+    (distance, then direction, then the direction's own tie rule);
+    both engines measure distance in double epoch seconds."""
+    e = load(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts") - F.expr("INTERVAL 29 YEARS")
+    )
+    o = load(spark, sf_dir, "orders")
+    out = asof_join(
+        e, o,
+        left_id="event_id", left_on="user_id", right_on="o_custkey",
+        left_time="ts", right_time="o_orderdate", tie_break="o_orderkey",
+        direction="nearest", tolerance_seconds=7_776_000,
+    )
+    return out.select(
+        "event_id",
+        F.col("o_orderkey").alias("near_orderkey"),
+        F.round(
+            F.abs(
+                F.col("o_orderdate").cast("timestamp").cast("double")
+                - F.col("ts").cast("timestamp").cast("double")
+            ),
+            1,
+        ).alias("dist_s"),
+    )
