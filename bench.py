@@ -78,6 +78,12 @@ BENCH_QUERIES = [
     # shuffles; the data-selection signal for targeted corpus mixes)
     "d8_url_dedup",
     "p12_dsir_logratio",
+    # round 8 additions: line-level boilerplate stripping (map-only,
+    # the cleaning pass between extraction and quality scoring) and
+    # the nearest-direction as-of join (two carry windows over one
+    # keyed exchange)
+    "t18_strip_boilerplate",
+    "jx3_asof_nearest",
 ]
 # NOT in the headline set: t12_bpe_merges — an iterative trainer whose
 # cost is n_merges × per-iteration job latency (driver-loop bound, not

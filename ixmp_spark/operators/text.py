@@ -1019,24 +1019,7 @@ def bm25_index_write(
     cluster shard files — the build-once index job at 100 TB. Rebuild
     to refresh; for append-only corpora, write new docs to the same
     shard scheme and recompute ``_stats``/df_t in the merge."""
-    toks = F.filter(
-        F.split(F.trim(F.lower(text_col)), r"\s+"), lambda t: t != F.lit("")
-    )
-    base = df.select(
-        F.col(id_col), toks.alias("__toks"), F.size(toks).alias("dl")
-    )
-    stats = base.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
-        F.lit(n_shards).cast("long").alias("n_shards"),
-    )
-    tf = (
-        base.select(
-            F.col(id_col), "dl", F.explode("__toks").alias("term")
-        )
-        .groupBy(id_col, "term", "dl")
-        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
-    )
+    tf = _bm25_tf(df, id_col, text_col)
     w_term = Window.partitionBy("term")
     postings = tf.select(
         "term",
@@ -1052,7 +1035,125 @@ def bm25_index_write(
         .partitionBy("shard")
         .parquet(path + "/postings")
     )
-    stats.write.mode("overwrite").parquet(path + "/_stats")
+    _bm25_write_stats(df.sparkSession, tf, path, n_shards)
+
+
+def _bm25_tf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, term, dl, tf) rows — the shared tokenize+count pass of the
+    BM25 index build and append paths."""
+    toks = F.filter(
+        F.split(F.trim(F.lower(text_col)), r"\s+"), lambda t: t != F.lit("")
+    )
+    return (
+        df.select(F.col(id_col), toks.alias("__toks"), F.size(toks).alias("dl"))
+        .select(F.col(id_col), "dl", F.explode("__toks").alias("term"))
+        .groupBy(id_col, "term", "dl")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+
+
+def _bm25_write_stats(
+    spark, tf: DataFrame, path: str, n_shards: int,
+    add_docs: int = 0, add_sum_dl: int = 0,
+) -> None:
+    """Corpus stats for the index: counts and the EXACT integer
+    ``sum_dl`` (document lengths are ints, so the sum is order-exact),
+    with ``avgdl = sum_dl / n_docs`` derived from it — the same
+    arithmetic on the build and append paths, so an appended index's
+    stats are bit-identical to a full rebuild's."""
+    row = (
+        tf.groupBy(F.col(tf.columns[0]))
+        .agg(F.first("dl").alias("dl"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("s"),
+        )
+        .collect()[0]
+    )
+    n_docs = int(row["n"]) + add_docs
+    sum_dl = int(row["s"]) + add_sum_dl
+    spark.createDataFrame(
+        [(float(n_docs), sum_dl / n_docs if n_docs else 0.0,
+          int(n_shards), n_docs, sum_dl)],
+        "n_docs double, avgdl double, n_shards long, "
+        "n_docs_exact long, sum_dl long",
+    ).write.mode("overwrite").parquet(path + "/_stats")
+
+
+def bm25_index_append(
+    df_new: DataFrame,
+    path: str,
+    id_col: str,
+    text_col: str,
+) -> None:
+    """Append documents to a WRITTEN BM25 index without rebuilding the
+    unaffected shards — the maintenance path the index docstring
+    promises for append-only corpora. Only shards containing a NEW
+    document's terms are touched: their existing postings are read
+    back, merged with the new postings, df_t recomputed per term over
+    the merged rows (terms absent from the new docs reproduce their old
+    value — recomputation only corrects the terms that grew), and the
+    result replaces JUST those shard directories via dynamic partition
+    overwrite. ``_stats`` updates exactly: doc count and the integer
+    ``sum_dl`` accumulate, so ``avgdl`` is bit-identical to a full
+    rebuild's.
+
+    At 100 TB this is the difference between an index refresh costing
+    O(new docs + touched shards) and O(corpus): a day's crawl touching
+    most terms still rewrites only postings, never re-tokenizes the
+    historical corpus. Caller contract: ``df_new`` ids are new (append,
+    not upsert).
+    """
+    spark = df_new.sparkSession
+    st = spark.read.parquet(path + "/_stats").collect()[0]
+    n_shards = int(st["n_shards"])
+    old_docs = int(st["n_docs_exact"]) if "n_docs_exact" in st.__fields__ else int(st["n_docs"])
+    old_sum_dl = (
+        int(st["sum_dl"])
+        if "sum_dl" in st.__fields__
+        else round(float(st["avgdl"]) * old_docs)
+    )
+    tf_new = _bm25_tf(df_new, id_col, text_col).withColumn(
+        "shard", F.pmod(F.xxhash64("term"), F.lit(n_shards))
+    ).persist()
+    affected = [int(r["shard"]) for r in tf_new.select("shard").distinct().collect()]
+    if not affected:
+        tf_new.unpersist()
+        return
+    existing = (
+        spark.read.parquet(path + "/postings")
+        .where(F.col("shard").isin(affected))
+        .select("term", F.col(id_col), "tf", "dl", "shard")
+    )
+    merged = existing.unionByName(
+        tf_new.select("term", F.col(id_col), "tf", "dl", "shard")
+    )
+    w_term = Window.partitionBy("term")
+    out = merged.select(
+        "term",
+        F.col(id_col),
+        "tf",
+        "dl",
+        F.count(F.lit(1)).over(w_term).cast("double").alias("df_t"),
+        "shard",
+    )
+    # the write overwrites partitions the plan is READING (Spark refuses
+    # a self-referential overwrite): materialize the merged shards first
+    # — eager localCheckpoint cuts the lineage to an ExistingRDD, sized
+    # by the AFFECTED shards only, which the rewrite must hold anyway
+    out = out.localCheckpoint(eager=True)
+    (
+        out.repartition("shard")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard")
+        .parquet(path + "/postings")
+    )
+    _bm25_write_stats(
+        spark, tf_new, path, n_shards,
+        add_docs=old_docs, add_sum_dl=old_sum_dl,
+    )
+    tf_new.unpersist()
 
 
 def bm25_index_search(

@@ -2698,6 +2698,71 @@ def test_bm25_index_partition_pruning_and_equality(spark, sf_dir, tmp_path):
     assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want]
 
 
+def test_bm25_index_append_equals_rebuild(spark, sf_dir, tmp_path):
+    """Appending documents to a written index produces EXACTLY the index
+    a full rebuild on the union produces: identical postings rows
+    (df_t corrected for grown terms, untouched for the rest), identical
+    _stats (sum_dl accumulates exactly in integers), identical search
+    results — while rewriting only the affected shard directories."""
+    import os
+
+    from ixmp_spark.operators.text import (
+        bm25_index_append,
+        bm25_index_search,
+        bm25_index_write,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 5 != 0)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    inc = str(tmp_path / "bm25_inc")
+    full = str(tmp_path / "bm25_full")
+    bm25_index_write(old, inc, "doc_id", "text", n_shards=16)
+    # watermark an untouched shard file's mtime to prove it survives
+    import glob as g
+
+    pre_files = {p: os.path.getmtime(p)
+                 for p in g.glob(inc + "/postings/shard=*/*.parquet")}
+    bm25_index_append(new, inc, "doc_id", "text")
+    bm25_index_write(docs, full, "doc_id", "text", n_shards=16)
+
+    # any shard NONE of the new docs' terms hash into must be untouched
+    # (file-identical) — partition-level rewrite, not a full rebuild
+    new_shards = {
+        r["s"]
+        for r in new.select(
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("t")
+        )
+        .where(F.col("t") != "")
+        .select(F.pmod(F.xxhash64("t"), F.lit(16)).alias("s"))
+        .distinct()
+        .collect()
+    }
+    for p, mtime in pre_files.items():
+        shard = int(p.split("shard=")[1].split("/")[0])
+        if shard not in new_shards:
+            assert os.path.getmtime(p) == mtime, p
+
+    def canon(path):
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(path + "/postings")
+            .select("term", "doc_id", "tf", "dl", "df_t", "shard")
+            .collect()
+        )
+
+    assert canon(inc) == canon(full)
+    si = spark.read.parquet(inc + "/_stats").collect()[0]
+    sf = spark.read.parquet(full + "/_stats").collect()[0]
+    assert (si["n_docs_exact"], si["sum_dl"], si["avgdl"]) == (
+        sf["n_docs_exact"], sf["sum_dl"], sf["avgdl"]
+    )
+    q = ["spark", "join", "window"]
+    a = bm25_index_search(spark, inc, q, "doc_id", k=10).collect()
+    b = bm25_index_search(spark, full, q, "doc_id", k=10).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
 def test_strip_boilerplate_rules(spark):
     """Each keep-rule independently: short lines, letter-poor lines,
     and all-caps lines drop; ordinary prose lines survive with original
