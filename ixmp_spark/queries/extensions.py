@@ -1815,3 +1815,44 @@ def t18_strip_boilerplate(spark, sf_dir):
         ).alias("text"),
     )
     return strip_boilerplate(multi, "doc_id", "text")
+
+
+@query(
+    "w11_ewma",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ), r AS (
+      SELECT user_id, event_id, rn, 0.5 * value AS y FROM e WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.event_id, e.rn, 0.5 * e.value + 0.5 * r.y
+      FROM e JOIN r ON e.user_id = r.user_id AND e.rn = r.rn + 1
+    )
+    SELECT event_id, floor(y * 1000000 + 0.5) / 1000000 AS ewma FROM r
+    """,
+)
+def w11_ewma(spark, sf_dir):
+    """Per-user EWMA of event values (pandas ewm(adjust=False)
+    semantics) via the blocked-scan decomposition — Spark has no
+    builtin, and the naive scaled-prefix-sum overflows d^-j after a
+    few hundred rows. The oracle states the recurrence literally
+    (recursive CTE stepping rn by 1, depth = max rows per user).
+    alpha = 0.5 makes every decay multiplication an exact power-of-two
+    scaling, so blocked-scan and sequential recursion agree BIT-exactly
+    and the driver hash certifies the decomposition, not a tolerance.
+    The display rounding is the explicitly-shared ``floor(y·1e6+0.5)/
+    1e6`` in BOTH engines — EWMA of round-decimal inputs at dyadic
+    alpha lands on exact 6th-decimal .5 boundaries constantly, where
+    the engines' native round() builtins disagree (Spark half-ups the
+    shortest repr, DuckDB rounds the binary value)."""
+    from ixmp_spark.operators.sessions import ewma
+
+    ev = load(spark, sf_dir, "events")
+    out = ewma(ev, "user_id", "ts", "event_id", "value", 0.5)
+    return out.select(
+        "event_id",
+        (F.floor(F.col("ewma") * 1e6 + F.lit(0.5)) / 1e6).alias("ewma"),
+    )

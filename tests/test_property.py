@@ -804,3 +804,76 @@ def test_sessionize_gap_threshold_ulp(spark, deltas, start_us):
     assert sorted(map(key, plain.collect())) == sorted(
         map(key, chunked.collect())
     )
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),                      # key
+            st.floats(-1e3, 1e3, allow_nan=False),  # value
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    alpha=st.sampled_from([1.0, 0.9, 0.5, 0.1, 0.01]),
+)
+def test_ewma_matches_sequential_reference(spark, rows, alpha):
+    """The blocked-scan EWMA must match the sequential recurrence
+    y_i = a·x_i + (1-a)·y_{i-1} (pandas ewm(adjust=False)) to fp
+    tolerance on arbitrary keys/values/decays — including block
+    boundaries, which the small block size forces constantly here."""
+    from datetime import datetime, timedelta
+
+    from ixmp_spark.operators.sessions import ewma
+
+    t0 = datetime(2024, 6, 1)
+    ev = spark.createDataFrame(
+        [
+            (i, t0 + timedelta(seconds=i), k, "e", float(v))
+            for i, (k, v) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in ewma(ev, "user_id", "ts", "event_id", "value", alpha).collect()
+    }
+    # sequential reference
+    state: dict = {}
+    for i, (k, v) in enumerate(rows):
+        state[k] = alpha * v + (1 - alpha) * state.get(k, 0.0)
+        assert abs(got[i] - round(state[k], 6)) <= 1e-6 + 1e-9 * abs(state[k]), (
+            i, k, alpha, got[i], state[k]
+        )
+
+
+def test_ewma_long_series_stability(spark):
+    """5000 rows on one key at d=0.5 — the naive scaled-prefix-sum
+    rewrite overflows d^-j after ~1000 rows; the blocked scan must stay
+    finite and match the recurrence at the tail."""
+    from datetime import datetime, timedelta
+
+    from ixmp_spark.operators.sessions import ewma
+
+    t0 = datetime(2024, 6, 1)
+    n, alpha = 5000, 0.5
+    vals = [float((i * 37) % 101) for i in range(n)]
+    ev = spark.createDataFrame(
+        [
+            (i, t0 + timedelta(seconds=i), 1, "e", vals[i])
+            for i in range(n)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in ewma(ev, "user_id", "ts", "event_id", "value", alpha).collect()
+    }
+    y = 0.0
+    for i in range(n):
+        y = alpha * vals[i] + (1 - alpha) * y
+    assert math.isfinite(got[n - 1])
+    assert abs(got[n - 1] - y) <= 1e-6 + 1e-9 * abs(y)
