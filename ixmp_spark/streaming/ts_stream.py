@@ -316,6 +316,64 @@ def zscore_stream(
     )
 
 
+def ewma_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    value_col: str = "value",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Streaming twin of ``sessions.ewma`` (w11): per-key exponentially
+    weighted moving average, ``y_i = a·x_i + (1-a)·y_{i-1}``, the single
+    running scalar carried across micro-batches via
+    ``applyInPandasWithState``.
+
+    The live path computes the recurrence LITERALLY — per key the state
+    is one double (y) plus a seen flag, O(#keys) bounded regardless of
+    stream length — while the batch blocked-scan operator is the
+    backfill path; at dyadic alpha the two agree bit-exactly (the
+    batch operator's docstring derives why). Same caller contract as
+    zscore_stream: per-key event-time order must hold across
+    micro-batches."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_type = events.schema[key_col].dataType.simpleString()
+    out_schema = (
+        f"{order_col} long, {key_col} {key_type}, {value_col} double, "
+        "ewma double"
+    )
+    state_schema = "y double, seen boolean"
+
+    def fold(key, pdfs, state: GroupState):
+        y, seen = (state.get if state.exists else (0.0, False))
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if rows.empty:
+            return
+        rows = rows.sort_values([ts_col, order_col])
+        out: dict[str, list] = {order_col: [], value_col: [], "ewma": []}
+        for r in rows.itertuples(index=False):
+            v = float(getattr(r, value_col))
+            y = alpha * v + (1.0 - alpha) * (y if seen else 0.0)
+            seen = True
+            out[order_col].append(int(getattr(r, order_col)))
+            out[value_col].append(v)
+            out["ewma"].append(y)
+        state.update((y, seen))
+        out_pdf = pd.DataFrame(out)
+        out_pdf.insert(1, key_col, key[0])
+        yield out_pdf
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_timeseries_ingest(ts, stream_df: DataFrame, checkpoint: str):
     """Streaming ingest into the versioned store: each micro-batch becomes
     one check_out → add_timeseries_bulk → commit transaction (the

@@ -1343,3 +1343,61 @@ def test_streaming_interval_join_outer_semantics(spark, tmp_path_factory):
     assert by_user[3]["matched"].tolist() == [False]  # never converted
     assert by_user[2]["right_ts"].isna().all()
     assert by_user[3]["right_ts"].isna().all()
+
+
+def test_streaming_ewma_matches_batch(spark, sf_dir, tmp_path_factory):
+    """ewma_stream (one scalar of state per key) equals the batch
+    blocked-scan ewma BIT-exactly at alpha=0.5 when history replays in
+    time order across 4 micro-batches — the recurrence crosses batch
+    boundaries mid-series, so the carried state is load-bearing."""
+    import time as _time
+
+    import numpy as np
+
+    from ixmp_spark.operators.sessions import ewma
+    from ixmp_spark.streaming.ts_stream import (
+        ewma_stream,
+        run_available_now,
+    )
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "value")
+        .orderBy("ts", "event_id")
+        .toPandas()
+    )
+    feed = str(tmp_path_factory.mktemp("ewmastream") / "ev")
+    bounds = np.linspace(0, len(ev), 5, dtype=int)
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        spark.createDataFrame(
+            ev.iloc[a:b],
+            "event_id long, ts timestamp, user_id long, value double",
+        ).coalesce(1).write.mode("append").parquet(feed)
+        _time.sleep(1.1)  # distinct mod-times → oldest-first batch order
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    got = (
+        run_available_now(
+            ewma_stream(stream, alpha=0.5), "t_ewmastream", mode="append"
+        )
+        .toPandas()
+        .set_index("event_id")["ewma"]
+        .sort_index()
+    )
+    want = (
+        ewma(
+            spark.read.parquet(feed), "user_id", "ts", "event_id",
+            "value", 0.5,
+        )
+        .toPandas()
+        .set_index("event_id")["ewma"]
+        .sort_index()
+    )
+    assert len(got) == len(want) == len(ev)
+    assert got.tolist() == want.tolist()  # bit-exact at dyadic alpha
