@@ -211,6 +211,23 @@ def _deltas_vs_prev(timings: dict, spread: dict) -> dict | None:
             prev = json.load(f)
     except (OSError, ValueError):
         return None
+    # three shapes: bench.py's own output (queries at top level), the
+    # driver's wrapper with a parsed block, and the driver's wrapper
+    # with parsed=None (r6/r7 — the old long line outgrew the 2000-char
+    # stdout capture) where the medians are still recoverable by regex
+    # from the captured tail (spreads are not — overlap stays unknown)
+    if "queries" not in prev and isinstance(prev.get("parsed"), dict):
+        prev = prev["parsed"]
+    if "queries" not in prev and isinstance(prev.get("tail"), str):
+        prev = {
+            "queries": {
+                m.group(1): float(m.group(2))
+                for m in re.finditer(
+                    r'"([a-z][a-z0-9_]+)":\s*([0-9]+\.[0-9]+)', prev["tail"]
+                )
+                if m.group(1) in timings
+            }
+        }
     pq, ps = prev.get("queries", {}), prev.get("spread", {})
     rows = {}
     for name, t in timings.items():
@@ -221,17 +238,20 @@ def _deltas_vs_prev(timings: dict, spread: dict) -> dict | None:
         rows[name] = {
             "prev": p,
             "ratio": round(t / p, 3),
-            "spread_overlap": bool(
-                s_now and s_prev
-                and s_now[0] <= s_prev[1] and s_prev[0] <= s_now[1]
+            # None = prev spread unknown (tail-recovered baseline)
+            "spread_overlap": (
+                bool(s_now[0] <= s_prev[1] and s_prev[0] <= s_now[1])
+                if s_now and s_prev
+                else None
             ),
         }
     return {
         "baseline": os.path.basename(prev_path),
         "queries": rows,
+        # flag >10% up unless the spread bands provably overlap
         "flagged_over_1p10": sorted(
             n for n, r in rows.items()
-            if r["ratio"] > 1.10 and not r["spread_overlap"]
+            if r["ratio"] > 1.10 and r["spread_overlap"] is not True
         ),
     }
 
