@@ -331,3 +331,154 @@ def interval_overlap_join(
         )
         .drop("__bk", "__lfirst", "__rfirst")
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = 0.85,
+    max_iter: int = 40,
+    tol: float | None = 1e-6,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """PageRank over an arbitrary directed edge frame — the standard
+    centrality signal for source/domain quality in web-scale corpus
+    curation (spam networks and boilerplate farms form dense low-rank
+    neighborhoods; crawl frontier prioritization ranks by it).
+
+    Power iteration, Pregel-shaped: per round, each node's rank splits
+    evenly over its out-edges (one join ranks⋈edges on src + one
+    groupBy dst), then ``rank' = (1-d)/n + d·(inflow + dangling/n)``
+    with dangling mass (rank parked on nodes without out-edges)
+    redistributed uniformly — the classic stochastic-matrix patch, so
+    ranks sum to 1 every round. Convergence = L1 delta < ``tol``
+    (one scalar per round to the driver, like dedup_clusters' changed
+    count); raises if ``max_iter`` rounds don't converge. ``tol=None``
+    runs exactly ``max_iter`` rounds with NO per-round delta join —
+    the fixed-budget mode for bounded-cost pipelines. (Measured and
+    rejected: batching 3 lazy rounds per checkpoint — the folded plan's
+    compile cost exceeded the saved job overhead, 10.6 s vs 8.5 s for
+    5 rounds on a 1.6k-node graph. Per-round checkpointing also keeps
+    worst-case recompute bounded on executor loss.)
+
+    Scale discipline (the iterative-operator lessons this repo keeps
+    re-learning): edges + out-degrees persist once; ranks are
+    checkpointed EVERY round (``localCheckpoint`` by default,
+    reliable ``checkpoint(dir)`` for executor-churn clusters) so the
+    plan never accumulates O(rounds) lineage; per-round driver traffic
+    is two scalars. Each round is one shuffle join on src + one
+    keyed aggregation on dst over (node, 8 B rank) — the frame the
+    cluster iterates on is node-sized, never edge-payload-sized.
+
+    Output: (node, rank), ranks summing to 1.
+    """
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint()
+
+    else:
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint()
+
+    e = edges.select(
+        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
+    ).distinct().persist()
+    m = e.count()
+    nodes = (
+        e.select(F.col("__s").alias("node"))
+        .unionByName(e.select(F.col("__d").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    # right-size the iteration's parallelism to the graph: a small
+    # graph on a default-partitioned session otherwise pays 10-100x
+    # its compute in task overhead PER ROUND (measured: 1.7 s/round
+    # for a 1.6k-node graph at 64 shuffle partitions, ~0.3 s at 4)
+    parts = max(1, min(
+        edges.sparkSession.sparkContext.defaultParallelism * 4,
+        (m + n) // 25_000 + 1,
+    ))
+    e = e.repartition(parts, "__s")
+    if n == 0:
+        e.unpersist()
+        nodes.unpersist()
+        return edges.sparkSession.createDataFrame(
+            [], "node string, rank double"
+        )
+    deg = e.groupBy(F.col("__s").alias("node")).agg(
+        F.count(F.lit(1)).alias("__deg")
+    )
+    base = nodes.join(deg, "node", "left").select(
+        "node", F.coalesce("__deg", F.lit(0)).alias("__deg")
+    ).persist()
+    base.count()
+    ranks = base.select("node", F.lit(1.0 / n).alias("rank"))
+    for it in range(max_iter):
+        with_deg = ranks.join(base.hint("shuffle_hash"), "node")
+        # dangling mass rides the SAME job as the rank update (broadcast
+        # 1-row cross join), not a separate per-round collect — at a few
+        # seconds of job overhead per action, one action per round is
+        # the difference between usable and sluggish on small graphs
+        dangling = F.broadcast(
+            with_deg.where(F.col("__deg") == 0).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang")
+            )
+        )
+        inflow = (
+            with_deg.where(F.col("__deg") > 0)
+            .select(
+                F.col("node").alias("__s"),
+                (F.col("rank") / F.col("__deg")).alias("__share"),
+            )
+            .repartition(parts, "__s")
+            .join(e, "__s")
+            .groupBy(F.col("__d").alias("node"))
+            .agg(F.sum("__share").alias("__in"))
+        )
+        new_ranks = (
+            base.select("node")
+            .join(inflow, "node", "left")
+            .crossJoin(dangling)
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce("__in", F.lit(0.0))
+                        + F.col("__dang") / n
+                    )
+                ).alias("rank"),
+            )
+        )
+        new_ranks = _ckpt(new_ranks)
+        if tol is not None:
+            delta = (
+                new_ranks.join(
+                    ranks.select("node", F.col("rank").alias("__old")), "node"
+                )
+                .agg(F.sum(F.abs(F.col("rank") - F.col("__old"))))
+                .collect()[0][0]
+            )
+        ranks = new_ranks
+        if tol is not None and delta is not None and delta < tol:
+            break
+    else:
+        if tol is not None:
+            e.unpersist()
+            nodes.unpersist()
+            base.unpersist()
+            raise RuntimeError(
+                f"pagerank did not converge in {max_iter} iterations"
+                f" (tol={tol})"
+            )
+    e.unpersist()
+    nodes.unpersist()
+    base.unpersist()
+    return ranks.select("node", F.round("rank", 8).alias("rank"))

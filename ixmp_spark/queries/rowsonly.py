@@ -334,3 +334,27 @@ def e10_pca_whiten(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     out, _info = pca_whiten(emb, "vec_id", "embedding", k=8)
     return out
+
+
+@query("x4_supplier_pagerank")  # no SQL oracle: iterative fixpoint;
+# update rule pinned vs pure-Python power iteration in
+# tests/test_scale.py::test_pagerank_matches_power_iteration
+def x4_supplier_pagerank(spark, sf_dir):
+    """PageRank centrality over the supplier→customer fulfillment graph
+    (supplier s shipped a line item on customer c's order): the
+    corpus-curation centrality signal exercised on the TPC-H-ish
+    testdata's natural directed graph. Fixed 3 iterations so the
+    catalog cost is bounded; the operator's converge-or-raise mode is
+    the production path."""
+    from ixmp_spark.operators.joins import pagerank
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    edges = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("src"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("dst"),
+        )
+    )
+    return pagerank(edges, max_iter=3, tol=None)

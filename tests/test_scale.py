@@ -2825,3 +2825,64 @@ def test_pca_whiten_planted_structure(spark):
     ev = info["explained_variance"]
     assert ev[0] > ev[2] and ev[1] > ev[2]
     assert sum(ev[:2]) > 0.9
+
+
+def test_pagerank_matches_power_iteration(spark):
+    """pagerank on a small directed graph with a dangling node and a
+    disconnected pair equals the pure-Python power iteration with the
+    same damping/dangling-redistribution rule, to fp tolerance — and
+    ranks sum to 1."""
+    from ixmp_spark.operators.joins import pagerank
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("d", "c"),            # d has in-degree 0
+        ("e", "f"),            # f is dangling (no out-edges)
+        ("g", "h"), ("h", "g"),  # disconnected 2-cycle
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, tol=1e-10, max_iter=100).collect()
+    }
+    # reference power iteration
+    nodes = sorted({x for e in edges for x in e})
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    n = len(nodes)
+    damping = 0.85
+    ranks = {v: 1.0 / n for v in nodes}
+    for _ in range(200):
+        dangling = sum(r for v, r in ranks.items() if v not in out)
+        new = {v: (1 - damping) / n + damping * dangling / n for v in nodes}
+        for s, ds in out.items():
+            share = ranks[s] / len(ds)
+            for d in ds:
+                new[d] += damping * share
+        if sum(abs(new[v] - ranks[v]) for v in nodes) < 1e-12:
+            ranks = new
+            break
+        ranks = new
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - ranks[v]) < 1e-6, (v, got[v], ranks[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    # sanity: the hub 'c' outranks the dangling leaf 'f'
+    assert got["c"] > got["f"]
+
+
+def test_pagerank_nonconvergence_raises(spark):
+    from ixmp_spark.operators.joins import pagerank
+
+    # asymmetric graph: one round moves mass (delta > 0), so an
+    # unreachable tol must raise rather than return a half-iterated rank
+    df = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")],
+        "src string, dst string",
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        pagerank(df, max_iter=1, tol=1e-300)
+    # fixed-budget mode: same budget, tol=None returns without raising
+    out = pagerank(df, max_iter=1, tol=None)
+    assert abs(sum(r["rank"] for r in out.collect()) - 1.0) < 1e-6
