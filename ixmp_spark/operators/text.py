@@ -1262,3 +1262,78 @@ def strip_boilerplate(
         F.size(kept).cast("long").alias("n_lines_kept"),
         (F.size(lines) - F.size(kept)).cast("long").alias("n_lines_dropped"),
     )
+
+
+def strip_common_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Cross-document template-line removal (the RefinedWeb/C4 chrome
+    pass): a line that recurs — byte-identical after trimming — in at
+    least ``min_docs`` documents of the same ``group_col`` (site,
+    source, domain) is navigation/footer boilerplate the extractor
+    missed, and is dropped from EVERY document of that group. The
+    within-document complement is :func:`strip_boilerplate` (per-line
+    heuristics); this pass catches chrome that LOOKS like prose and
+    only betrays itself by repeating across a site.
+
+    Plan: explode lines with their position → count DISTINCT documents
+    per (group, line) — one keyed aggregation; line text never leaves
+    the shuffle key — → anti-join the line table against the template
+    set on (group, line) → regroup by document, ordered by position.
+    Two shuffles total (the count and the regroup; the anti-join reuses
+    the count's (group, line) partitioning). Template lines per group
+    are chrome-sized, but the anti-join is keyed, NOT broadcast, so a
+    pathological group with millions of distinct templates degrades to
+    a shuffle join instead of a driver OOM.
+
+    Output: (id, group, clean_text, n_lines_kept, n_lines_dropped).
+    Line ORDER is preserved via the original position index.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    exploded = df.select(
+        F.col(id_col),
+        F.col(group_col).alias("__g"),
+        F.posexplode(lines).alias("__pos", "__line"),
+    ).withColumn("__line", F.trim("__line"))
+    counts = (
+        exploded.groupBy("__g", "__line")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .where(F.col("__df") >= min_docs)
+        .select("__g", "__line")
+    )
+    kept = exploded.join(counts, ["__g", "__line"], "left_anti")
+    regrouped = (
+        kept.groupBy(id_col, "__g")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos", "__line"))
+                    ),
+                    lambda s: s["__line"],
+                ),
+                "\n",
+            ).alias("clean_text"),
+            F.count(F.lit(1)).cast("long").alias("n_lines_kept"),
+        )
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.col(group_col).alias("__g"),
+        F.size(lines).cast("long").alias("__n_total"),
+    )
+    return (
+        totals.join(regrouped, [id_col, "__g"], "left")
+        .select(
+            id_col,
+            F.col("__g").alias(group_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+            (F.col("__n_total") - F.coalesce("n_lines_kept", F.lit(0)))
+            .alias("n_lines_dropped"),
+        )
+    )

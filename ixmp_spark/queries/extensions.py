@@ -1856,3 +1856,68 @@ def w11_ewma(spark, sf_dir):
         "event_id",
         (F.floor(F.col("ewma") * 1e6 + F.lit(0.5)) / 1e6).alias("ewma"),
     )
+
+
+@query(
+    "t19_strip_common_lines",
+    oracle="""
+    WITH ml AS (
+      SELECT doc_id, source,
+             'menu home about contact for ' || source || chr(10) ||
+             replace(text, ' value ', chr(10) || 'value ') || chr(10) ||
+             'copyright footer of ' || source AS text
+      FROM documents
+    ), lines AS (
+      SELECT doc_id, source,
+             trim(unnest(string_split(text, chr(10)))) AS line
+      FROM ml
+    ), tl AS (
+      SELECT source, line
+      FROM lines GROUP BY source, line
+      HAVING count(DISTINCT doc_id) >= 3
+    ), tls AS (
+      SELECT source, list(line) AS tmpl FROM tl GROUP BY source
+    ), f AS (
+      SELECT m.doc_id, m.source,
+             list_transform(
+               list_filter(
+                 string_split(m.text, chr(10)),
+                 x -> NOT coalesce(list_contains(t.tmpl, trim(x)), false)
+               ),
+               x -> trim(x)
+             ) AS kept,
+             len(string_split(m.text, chr(10))) AS n
+      FROM ml m LEFT JOIN tls t USING (source)
+    )
+    SELECT doc_id, source,
+           coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+           CAST(len(kept) AS BIGINT) AS n_lines_kept,
+           CAST(n - len(kept) AS BIGINT) AS n_lines_dropped
+    FROM f
+    """,
+)
+def t19_strip_common_lines(spark, sf_dir):
+    """Cross-document template-line removal (strip_common_lines): lines
+    recurring in >= 3 documents of the same source are site chrome and
+    drop from every document of that source. The corpus is single-line,
+    so the query synthesizes the layout identically in both engines —
+    a per-source nav header, a line break before every ' value ' token,
+    a per-source footer; the header/footer lines then recur across the
+    whole source and must vanish, while unique body lines survive. The
+    oracle states the template rule declaratively (per-source line
+    lists + a list_filter); every kept-line decision and the
+    reassembled text are hash-covered."""
+    from ixmp_spark.operators.text import strip_common_lines
+
+    docs = load(spark, sf_dir, "documents")
+    multi = docs.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.lit("menu home about contact for "), F.col("source"),
+            F.lit("\n"),
+            F.replace(F.col("text"), F.lit(" value "), F.lit("\nvalue ")),
+            F.lit("\ncopyright footer of "), F.col("source"),
+        ).alias("text"),
+    )
+    return strip_common_lines(multi, "doc_id", "text", "source", min_docs=3)

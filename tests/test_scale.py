@@ -2886,3 +2886,32 @@ def test_pagerank_nonconvergence_raises(spark):
     # fixed-budget mode: same budget, tol=None returns without raising
     out = pagerank(df, max_iter=1, tol=None)
     assert abs(sum(r["rank"] for r in out.collect()) - 1.0) < 1e-6
+
+
+def test_strip_common_lines_semantics(spark):
+    """Template lines (>= min_docs docs of a group) drop group-wide;
+    the same line in ANOTHER group survives when under threshold there;
+    order is preserved; a fully-templated doc comes back empty."""
+    from ixmp_spark.operators.text import strip_common_lines
+
+    nav = "welcome to our wonderful site enjoy your stay"
+    rows = []
+    for i in range(3):
+        rows.append((i, "s1", f"{nav}\nunique body line number {i} here\n{nav}"))
+    rows.append((10, "s2", f"{nav}\nanother body in another group"))
+    rows.append((11, "s1", nav))  # all-template doc
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r["doc_id"]: r
+        for r in strip_common_lines(
+            df, "doc_id", "text", "source", min_docs=3
+        ).collect()
+    }
+    for i in range(3):
+        assert out[i]["clean_text"] == f"unique body line number {i} here"
+        assert out[i]["n_lines_dropped"] == 2
+    # s2 has only one copy of nav -> kept there
+    assert out[10]["clean_text"] == f"{nav}\nanother body in another group"
+    assert out[10]["n_lines_dropped"] == 0
+    # doc that was ALL template: empty but present
+    assert out[11]["clean_text"] == "" and out[11]["n_lines_kept"] == 0
