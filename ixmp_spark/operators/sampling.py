@@ -282,3 +282,87 @@ def temperature_weights(
             ).alias("boost"),
         )
     )
+
+
+def fair_token_allocation(
+    df: DataFrame,
+    domain_col: str,
+    tokens_col: str,
+    budget: float,
+    cap: float | None = None,
+) -> DataFrame:
+    """Max-min fair (water-filling) token allocation across domains
+    under a total ``budget`` and an optional per-domain ``cap`` — the
+    planning step of "assemble an N-token mix where no domain exceeds
+    X tokens": small domains get everything they have, large domains
+    split the remainder equally at a common waterline.
+
+    Closed form, no iteration: with per-domain availability
+    ``m_i = min(size_i, cap)`` sorted ascending, the saturated prefix is
+    the largest k where ``m_k·(n-k+1) + P_{k-1} <= B`` (P = prefix sum);
+    the waterline is ``T = (B - P_k)/(n - k)`` and every allocation is
+    ``min(m_i, T)``. That's one codelist-sized aggregation plus two
+    window passes — the whole plan is engine-portable window SQL, which
+    is what lets the DuckDB oracle state the same math and the driver
+    hash certify the allocation (not just row counts).
+
+    Output per domain: ``n_tokens`` (available), ``alloc`` (awarded,
+    rounded to 4), ``saturated`` (true = the domain's full availability
+    fit under the waterline). Allocations sum to min(budget, Σm).
+    Feed ``alloc / n_tokens`` to :func:`weighted_sample` /
+    :func:`token_budget_pack` for the selection pass.
+    """
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    sizes = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.sum(F.col(tokens_col)).cast("double").alias("n_tokens")
+    )
+    m = (
+        F.least(F.col("n_tokens"), F.lit(float(cap)))
+        if cap is not None
+        else F.col("n_tokens")
+    )
+    w_all = Window.partitionBy()
+    w_ord = Window.orderBy("m", "domain")
+    staged = (
+        sizes.withColumn("m", m)
+        .withColumn("k", F.row_number().over(w_ord))
+        .withColumn(
+            "p_prev",
+            F.coalesce(
+                F.sum("m").over(
+                    w_ord.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0.0),
+            ),
+        )
+        .withColumn("n", F.count(F.lit(1)).over(w_all))
+        .withColumn(
+            "ok",
+            F.col("m") * (F.col("n") - F.col("k") + 1) + F.col("p_prev")
+            <= F.lit(float(budget)),
+        )
+    )
+    agg = staged.select(
+        F.max(F.when(F.col("ok"), F.col("k"))).over(w_all).alias("k_sat"),
+        F.max(F.when(F.col("ok"), F.col("p_prev") + F.col("m")))
+        .over(w_all)
+        .alias("p_sat"),
+        "domain", "n_tokens", "m", "k", "n",
+    )
+    waterline = F.when(
+        F.coalesce(F.col("k_sat"), F.lit(0)) >= F.col("n"),
+        F.col("m"),  # everything fits: alloc = availability
+    ).otherwise(
+        F.least(
+            F.col("m"),
+            (F.lit(float(budget)) - F.coalesce(F.col("p_sat"), F.lit(0.0)))
+            / (F.col("n") - F.coalesce(F.col("k_sat"), F.lit(0))),
+        )
+    )
+    return agg.select(
+        "domain",
+        "n_tokens",
+        F.round(waterline, 4).alias("alloc"),
+        (F.round(waterline, 4) >= F.round(F.col("m"), 4)).alias("saturated"),
+    )

@@ -1921,3 +1921,67 @@ def t19_strip_common_lines(spark, sf_dir):
         ).alias("text"),
     )
     return strip_common_lines(multi, "doc_id", "text", "source", min_docs=3)
+
+
+@query(
+    "p14_token_allocation",
+    oracle="""
+    WITH sizes AS (
+      SELECT source AS domain,
+             CAST(sum(n_chars * (1 + CAST(substr(source, 4) AS INT)))
+                  AS DOUBLE) AS n_tokens
+      FROM documents GROUP BY source
+    ), b AS (
+      SELECT 0.35 * sum(n_tokens) AS budget FROM sizes
+    ), staged AS (
+      SELECT domain, n_tokens, n_tokens AS m,
+             row_number() OVER (ORDER BY n_tokens, domain) AS k,
+             coalesce(sum(n_tokens) OVER (
+               ORDER BY n_tokens, domain
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS p_prev,
+             count(*) OVER () AS n
+      FROM sizes
+    ), flagged AS (
+      SELECT s.*, budget,
+             (m * (n - k + 1) + p_prev <= budget) AS ok
+      FROM staged s CROSS JOIN b
+    ), agg AS (
+      SELECT *,
+             max(CASE WHEN ok THEN k END) OVER () AS k_sat,
+             max(CASE WHEN ok THEN p_prev + m END) OVER () AS p_sat
+      FROM flagged
+    )
+    SELECT domain, n_tokens,
+           round(CASE WHEN coalesce(k_sat, 0) >= n THEN m
+                 ELSE least(m, (budget - coalesce(p_sat, 0.0))
+                               / (n - coalesce(k_sat, 0))) END, 4)
+             AS alloc,
+           round(CASE WHEN coalesce(k_sat, 0) >= n THEN m
+                 ELSE least(m, (budget - coalesce(p_sat, 0.0))
+                               / (n - coalesce(k_sat, 0))) END, 4)
+             >= round(m, 4) AS saturated
+    FROM agg
+    """,
+)
+def p14_token_allocation(spark, sf_dir):
+    """Max-min fair (water-filling) token allocation
+    (fair_token_allocation): give every domain min(availability,
+    waterline) so allocations sum to a 35%-of-corpus budget — small
+    domains keep everything (saturated), large ones split the remainder
+    at the common waterline. Domain sizes are skewed deterministically
+    (source srcK weighted 1+K, a 1–20× spread) so BOTH branches of the
+    closed form are exercised, and the oracle re-states the whole
+    prefix-sum waterline derivation in window SQL — the driver hash
+    certifies the allocation math itself."""
+    from ixmp_spark.operators.sampling import fair_token_allocation
+
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "w_tokens",
+        F.col("n_chars")
+        * (1 + F.substring("source", 4, 10).cast("int")),
+    )
+    total = docs.agg(F.sum("w_tokens")).first()[0]
+    return fair_token_allocation(
+        docs, "source", "w_tokens", budget=0.35 * float(total)
+    )

@@ -877,3 +877,50 @@ def test_ewma_long_series_stability(spark):
         y = alpha * vals[i] + (1 - alpha) * y
     assert math.isfinite(got[n - 1])
     assert abs(got[n - 1] - y) <= 1e-6 + 1e-9 * abs(y)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    sizes=st.lists(st.integers(1, 10_000), min_size=1, max_size=12),
+    budget_frac=st.sampled_from([0.0, 0.2, 0.5, 0.9, 1.0, 1.5]),
+    cap_frac=st.sampled_from([None, 0.1, 0.4, 1.0]),
+)
+def test_fair_token_allocation_matches_waterfill(spark, sizes, budget_frac, cap_frac):
+    """The closed-form windowed allocation equals the sequential
+    water-filling reference for arbitrary domain sizes, budgets (under-
+    and over-subscribed), and caps: allocations sum to min(budget, Σm),
+    saturated domains get exactly min(size, cap), unsaturated ones an
+    equal waterline."""
+    from ixmp_spark.operators.sampling import fair_token_allocation
+
+    total = sum(sizes)
+    budget = budget_frac * total
+    cap = cap_frac * total if cap_frac is not None else None
+    rows = [(f"d{i:02d}", s) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "domain string, tok long")
+    got = {
+        r["domain"]: (r["alloc"], r["saturated"])
+        for r in fair_token_allocation(
+            df, "domain", "tok", budget=budget, cap=cap
+        ).collect()
+    }
+    # sequential water-filling reference (bisect the waterline)
+    m = {d: min(s, cap) if cap is not None else float(s) for d, s in rows}
+    lo, hi = 0.0, max(m.values()) if m else 0.0
+    if sum(m.values()) <= budget:
+        ref = dict(m)
+    else:
+        for _ in range(200):
+            mid = (lo + hi) / 2
+            if sum(min(v, mid) for v in m.values()) > budget:
+                hi = mid
+            else:
+                lo = mid
+        ref = {d: min(v, lo) for d, v in m.items()}
+    assert set(got) == set(ref)
+    for d in ref:
+        assert abs(got[d][0] - ref[d]) < 1e-3, (d, got[d], ref[d], budget, cap)
+        assert got[d][1] == (got[d][0] >= round(m[d], 4)), d
+    assert abs(
+        sum(a for a, _ in got.values()) - min(budget, sum(m.values()))
+    ) < 1e-2
