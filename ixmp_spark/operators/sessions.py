@@ -883,3 +883,38 @@ def ewma(
     joined = local.join(offsets.hint("shuffle_hash"), [key_col, "__b"])
     y = F.col("__y_local") + F.pow(F.lit(d), F.col("__t") + 1) * F.col("__carry")
     return joined.withColumn("__y", y).select(*out_cols)
+
+
+def key_trends(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    min_points: int = 3,
+) -> DataFrame:
+    """Per-key linear trend of a value over time — OLS slope/intercept/
+    R² via Spark's built-in ``regr_*`` aggregates (JVM-side, map-side
+    partial aggregation, ONE keyed shuffle; DuckDB implements the same
+    ANSI aggregates, which is what makes the oracle a literal
+    restatement). x is epoch seconds; slope is value-units per second.
+
+    The entity-drift screen of the event family: a fleet of sensors /
+    users / services ranked by how fast their metric is moving, with R²
+    separating genuine drift from noise. Keys with fewer than
+    ``min_points`` events are dropped (a 2-point fit is always perfect
+    and always meaningless).
+
+    Output: (key, n_points, slope, intercept, r2) — rounded to 8/6/6.
+    """
+    x = F.col(ts_col).cast("double")
+    y = F.col(value_col).cast("double")
+    return (
+        df.groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(F.regr_slope(y, x), 8).alias("slope"),
+            F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
+        )
+        .where(F.col("n_points") >= min_points)
+    )

@@ -1985,3 +1985,28 @@ def p14_token_allocation(spark, sf_dir):
     return fair_token_allocation(
         docs, "source", "w_tokens", budget=0.35 * float(total)
     )
+
+
+@query(
+    "w12_user_trends",
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_points,
+           round(regr_slope(value, epoch(ts)), 8) AS slope,
+           round(regr_intercept(value, epoch(ts)), 6) AS intercept,
+           round(regr_r2(value, epoch(ts)), 6) AS r2
+    FROM events
+    GROUP BY user_id
+    HAVING count(*) >= 3
+    """,
+)
+def w12_user_trends(spark, sf_dir):
+    """Per-user linear trend of event values over time (key_trends):
+    OLS slope/intercept/R² through the ANSI regr_* aggregates both
+    engines implement natively — one keyed shuffle with map-side
+    partials; the oracle is a literal restatement, so the driver hash
+    certifies the regression arithmetic end to end."""
+    from ixmp_spark.operators.sessions import key_trends
+
+    ev = load(spark, sf_dir, "events")
+    return key_trends(ev, "user_id", "ts", "value", min_points=3)

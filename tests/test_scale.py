@@ -2915,3 +2915,37 @@ def test_strip_common_lines_semantics(spark):
     assert out[10]["n_lines_dropped"] == 0
     # doc that was ALL template: empty but present
     assert out[11]["clean_text"] == "" and out[11]["n_lines_kept"] == 0
+
+
+def test_key_trends_exact_line_and_noise(spark):
+    """key_trends recovers a planted exact line (slope/intercept exact,
+    r2 = 1), flags pure noise with low r2, and drops keys under
+    min_points."""
+    from datetime import datetime, timedelta
+    import random
+
+    from ixmp_spark.operators.sessions import key_trends
+
+    t0 = datetime(2024, 6, 1)
+    rng = random.Random(5)
+    rows = []
+    # key 1: exact line value = 2*t_seconds + 7 (t in steps of 60s)
+    for i in range(10):
+        rows.append((i, t0 + timedelta(seconds=60 * i), 1, "e", 2.0 * 60 * i + 7.0))
+    # key 2: noise around a constant
+    for i in range(50):
+        rows.append((100 + i, t0 + timedelta(seconds=60 * i), 2, "e", rng.gauss(5, 3)))
+    # key 3: only two points -> dropped
+    rows.append((900, t0, 3, "e", 1.0))
+    rows.append((901, t0 + timedelta(seconds=60), 3, "e", 2.0))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    out = {r["user_id"]: r for r in key_trends(ev, "user_id", "ts", "value").collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["slope"] == 2.0 and out[1]["r2"] == 1.0
+    base = t0.timestamp()
+    assert abs(out[1]["intercept"] - (7.0 - 2.0 * base)) < 1e-4
+    assert out[2]["r2"] < 0.3
