@@ -657,6 +657,46 @@ def main_indexes() -> None:
     print(json.dumps({"sf_dir": sf_dir, "mode": "indexes", "results": results}))
 
 
+def main_pagerank() -> None:
+    """Iterative-operator rehearsal for pagerank: wall-clock and rounds
+    at growing edge counts over the events-derived bipartite graph
+    (user -> event_type; hub-heavy, like real domain graphs). The
+    interesting quantity is seconds PER ROUND vs edges: small graphs
+    are pure job overhead, and the design question is where real work
+    starts dominating — i.e. whether per-round cost scales with the
+    edge count or with the round count."""
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    factors = [int(x) for x in sys.argv[3:]] or [1, 10, 50]
+
+    from ixmp_spark.operators.joins import pagerank
+
+    spark = get_spark("scale_rehearsal_pagerank")
+    base = load(spark, sf_dir, "events").select("event_id", "ts", "user_id", "event_type", "value")
+    results: dict[str, dict] = {}
+    for factor in factors:
+        ev = amplify_events(base, factor, 0).persist()
+        n_ev = ev.count()
+        edges = ev.select(
+            F.concat(F.lit("u"), F.col("user_id")).alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        rounds = 10
+        t0 = time.time()
+        out = pagerank(edges, max_iter=rounds, tol=None)
+        n_nodes = out.count()
+        wall = time.time() - t0
+        results[n_ev] = {
+            "n_nodes": n_nodes,
+            "rounds": rounds,
+            "wall_s": round(wall, 2),
+            "s_per_round": round(wall / rounds, 3),
+        }
+        print(f"-- factor {factor}: {n_ev} events, {n_nodes} nodes, "
+              f"{wall:.1f}s / {rounds} rounds", file=sys.stderr)
+        ev.unpersist()
+    print(json.dumps({"sf_dir": sf_dir, "mode": "pagerank", "results": results}))
+
+
 def main_events() -> None:
     """Skew rehearsal for the event/session family (VERDICT r5 #3): per
     factor, run g1 sessionize / g5 transitions / g6 top_paths / w10
@@ -961,5 +1001,7 @@ if __name__ == "__main__":
         main_ann_table()
     elif len(sys.argv) > 1 and sys.argv[1] == "--indexes":
         main_indexes()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--pagerank":
+        main_pagerank()
     else:
         main()
