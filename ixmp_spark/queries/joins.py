@@ -358,3 +358,42 @@ def jx3_asof_nearest(spark, sf_dir):
             1,
         ).alias("dist_s"),
     )
+
+
+@query(
+    "j13_fuzzy_join",
+    oracle="""
+    SELECT a.p_partkey AS left_id, b.p_partkey AS right_id,
+           CAST(levenshtein(a.p_name, b.name) AS BIGINT) AS edit_distance
+    FROM part a
+    JOIN (
+      SELECT p_partkey, substr(p_name, 1, 2) || substr(p_name, 4) AS name
+      FROM part
+    ) b ON levenshtein(a.p_name, b.name) <= 1
+    """,
+)
+def j13_fuzzy_join(spark, sf_dir):
+    """Fuzzy key join within Levenshtein 1 (fuzzy_key_join): part names
+    matched against a deterministically perturbed copy (3rd character
+    deleted, identically in both engines), so every original must find
+    its perturbation and the ambiguous near-collisions TPC-H-ish name
+    vocabularies produce are adjudicated by exact verify. The oracle is
+    the brute-force DEFINITION (cross join + levenshtein filter) —
+    quadratic there, which is exactly what the deletion-neighborhood
+    blocking exists to avoid; the driver hash proves blocked ≡ brute."""
+    from ixmp_spark.operators.joins import fuzzy_key_join
+
+    p = load(spark, sf_dir, "part")
+    left = p.select("p_partkey", "p_name")
+    right = p.select(
+        F.col("p_partkey"),
+        F.concat(
+            F.substring("p_name", 1, 2),
+            F.expr("substring(p_name, 4)"),
+        ).alias("name"),
+    )
+    return fuzzy_key_join(left, right, "p_name", "name").select(
+        F.col("p_partkey").alias("left_id"),
+        F.col("p_partkey_r").alias("right_id"),
+        "edit_distance",
+    )

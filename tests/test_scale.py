@@ -2949,3 +2949,51 @@ def test_key_trends_exact_line_and_noise(spark):
     base = t0.timestamp()
     assert abs(out[1]["intercept"] - (7.0 - 2.0 * base)) < 1e-4
     assert out[2]["r2"] < 0.3
+
+
+def test_fuzzy_key_join_exact_semantics(spark):
+    """Deletion-neighborhood fuzzy join finds EXACTLY the pairs within
+    Levenshtein 1 — insert, delete, substitute, and exact matches — and
+    none beyond; equal to the brute-force definition on a corpus with
+    ambiguous near-collisions."""
+    from ixmp_spark.operators.joins import fuzzy_key_join
+
+    lnames = ["alpha", "beta", "gamma", "delta", "kappa", "a"]
+    rnames = [
+        "alpha",    # exact
+        "alpa",     # deletion
+        "betaa",    # insertion
+        "gamna",    # substitution
+        "dleta",    # transposition = distance 2 -> NOT matched
+        "zz",       # unrelated
+        "",         # empty: distance 1 from "a"
+    ]
+    lf = spark.createDataFrame([(i, n) for i, n in enumerate(lnames)],
+                               "lid long, name string")
+    rf = spark.createDataFrame([(i, n) for i, n in enumerate(rnames)],
+                               "rid long, name string")
+    got = sorted(
+        (r["lid"], r["rid"], r["edit_distance"])
+        for r in fuzzy_key_join(lf, rf, "name", "name").collect()
+    )
+    import itertools
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                       prev + (ca != cb))
+        return d[-1]
+
+    want = sorted(
+        (i, j, lev(a, b))
+        for (i, a), (j, b) in itertools.product(
+            enumerate(lnames), enumerate(rnames)
+        )
+        if lev(a, b) <= 1
+    )
+    assert got == want and len(got) >= 5
+    with pytest.raises(NotImplementedError):
+        fuzzy_key_join(lf, rf, "name", "name", max_edits=2)
