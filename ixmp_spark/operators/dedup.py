@@ -913,3 +913,38 @@ def url_dedup(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
             F.min(id_col).alias("keep_id"),
         )
     )
+
+
+def cluster_representatives(
+    df: DataFrame,
+    labels: DataFrame,
+    id_col: str,
+    score_col: str,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Survivor selection after near-dup clustering — the step between
+    :func:`dedup_clusters` (pairs → components) and the curated corpus:
+    per cluster keep the single best row by ``score_col`` (quality,
+    length, recency — caller's choice), ties broken by min ``tie_col``
+    (default: the id). Rows absent from ``labels`` are singletons and
+    keep themselves.
+
+    One left join on the id (labels are cluster-member-sized) + one
+    row_number window partitioned by cluster — cluster sizes are the
+    near-dup group sizes, naturally bounded by the upstream pair
+    generators' ``max_block`` guards, so the window never sees a
+    corpus-sized partition. Output: input columns + ``cluster`` +
+    ``kept``; ``where(kept)`` is the surviving corpus, the full frame
+    is the audit trail (who lost to whom).
+    """
+    from pyspark.sql import Window
+
+    tie = tie_col or id_col
+    lab = labels.select(F.col("id").alias(id_col), "cluster")
+    j = df.join(lab, id_col, "left").withColumn(
+        "cluster", F.coalesce(F.col("cluster"), F.col(id_col))
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc(score_col), F.asc(tie)
+    )
+    return j.withColumn("kept", F.row_number().over(w) == 1)

@@ -2010,3 +2010,74 @@ def w12_user_trends(spark, sf_dir):
 
     ev = load(spark, sf_dir, "events")
     return key_trends(ev, "user_id", "ts", "value", min_points=3)
+
+
+@query(
+    "d9_cluster_representatives",
+    oracle=r"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, lang, source,
+             list_distinct(string_split_regex(trim(lower(text)), '\s+'))
+               AS toks
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b
+        ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      WHERE len(list_filter(a.toks, x -> list_contains(b.toks, x))) * 1.0
+            / len(list_distinct(a.toks || b.toks)) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+    ),
+    labels AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+    scored AS (
+      SELECT d.doc_id,
+             coalesce(l.cluster, d.doc_id) AS cluster,
+             round(0.5 * least(length(text) / 1000.0, 1.0)
+               + 0.3 * (CASE WHEN length(regexp_replace(text, '\s', '', 'g')) * 1.0
+                                  / len(string_split_regex(trim(text), '\s+'))
+                             BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END)
+               + 0.2 * (1 - least(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                                  * 5.0 / length(text), 1.0)), 4) AS quality
+      FROM documents d LEFT JOIN labels l ON d.doc_id = l.id
+    )
+    SELECT doc_id, cluster, quality,
+           (row_number() OVER (
+              PARTITION BY cluster ORDER BY quality DESC, doc_id ASC
+            ) = 1) AS kept
+    FROM scored
+    """,
+)
+def d9_cluster_representatives(spark, sf_dir):
+    """Survivor selection (cluster_representatives): the d2→d6 pipeline
+    finished — near-dup pairs → connected components → per-cluster
+    best-by-quality representative, singletons keeping themselves. The
+    oracle replays the entire chain (the d6 recursive-CTE components +
+    the t1 quality formula + the same ranking), so the driver hash
+    covers which document of every duplicate group survives — the
+    decision an end-to-end curation run actually ships."""
+    from ixmp_spark.operators.dedup import (
+        cluster_representatives,
+        dedup_clusters,
+        jaccard_block_pairs,
+    )
+    from ixmp_spark.operators.text import quality_score
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = jaccard_block_pairs(
+        docs, id_col="doc_id", text_col="text",
+        block_cols=["lang", "source"], threshold=0.5, max_block=100_000,
+    )
+    labels = dedup_clusters(pairs)
+    scored = docs.withColumn("quality", quality_score("text"))
+    return cluster_representatives(
+        scored, labels, "doc_id", "quality"
+    ).select("doc_id", "cluster", "quality", "kept")

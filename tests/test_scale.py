@@ -2997,3 +2997,26 @@ def test_fuzzy_key_join_exact_semantics(spark):
     assert got == want and len(got) >= 5
     with pytest.raises(NotImplementedError):
         fuzzy_key_join(lf, rf, "name", "name", max_edits=2)
+
+
+def test_cluster_representatives_semantics(spark):
+    """Best-by-score survives per cluster (tie -> min id), singletons
+    keep themselves, and the audit frame retains every loser."""
+    from ixmp_spark.operators.dedup import cluster_representatives
+
+    docs = spark.createDataFrame(
+        [(1, 0.9), (2, 0.95), (3, 0.95), (7, 0.1)],
+        "doc_id long, quality double",
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "id long, cluster long"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in cluster_representatives(
+            docs, labels, "doc_id", "quality"
+        ).collect()
+    }
+    assert len(out) == 4                      # audit trail: all rows
+    assert out[2]["kept"] and not out[1]["kept"] and not out[3]["kept"]
+    assert out[7]["kept"] and out[7]["cluster"] == 7  # singleton
