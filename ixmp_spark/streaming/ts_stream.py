@@ -511,6 +511,56 @@ def curate_documents_stream(
     )
 
 
+def strip_common_lines_stream(
+    docs: DataFrame,
+    templates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Streaming twin of ``text.strip_common_lines``: live documents are
+    cleaned against a BATCH-BUILT template set — the same split as
+    dedup_stream_vs_index (batch = the index/backfill path, stream = the
+    live path). Template discovery needs the whole corpus (a line is
+    chrome because it recurs across documents), so it cannot run inside
+    an append-mode stream; what CAN run per micro-batch is the
+    map-side cleanse against the known templates.
+
+    ``templates``: (group, line) — e.g.
+    ``strip_common_lines``'s counts stage, or its output re-derived as
+    ``(group_col, template line)`` rows — a static frame. The stream
+    joins it per group ONCE (stream-static joins re-read the static
+    side per micro-batch; keep it parquet-backed and compact), collects
+    the group's template lines into one array via a pre-aggregated
+    static frame, and filters each document's lines with an array
+    lambda — stateless, append-safe, no watermark needed.
+
+    Output: (id, group, clean_text, n_lines_kept, n_lines_dropped) —
+    the same schema as the batch operator."""
+    tmpl = (
+        templates.groupBy(F.col(group_col))
+        .agg(F.collect_list("line").alias("__tmpl"))
+    )
+    lines = F.split(F.col(text_col), "\n")
+    joined = docs.join(tmpl, group_col, "left")
+    kept = F.transform(
+        F.filter(
+            lines,
+            lambda x: ~F.coalesce(
+                F.array_contains(F.col("__tmpl"), F.trim(x)), F.lit(False)
+            ),
+        ),
+        lambda x: F.trim(x),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+        (F.size(lines) - F.size(kept)).cast("long").alias("n_lines_dropped"),
+    )
+
+
 def trending_ngrams_stream(
     docs: DataFrame,
     ts_col: str = "ts",

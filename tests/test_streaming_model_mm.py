@@ -1401,3 +1401,56 @@ def test_streaming_ewma_matches_batch(spark, sf_dir, tmp_path_factory):
     )
     assert len(got) == len(want) == len(ev)
     assert got.tolist() == want.tolist()  # bit-exact at dyadic alpha
+
+
+def test_streaming_strip_common_lines_matches_batch(spark, tmp_path_factory):
+    """strip_common_lines_stream over a file stream, cleaned against the
+    batch-discovered template set, equals the batch operator row-for-row
+    (same id/group/clean_text/counts)."""
+    from pyspark.sql import functions as F
+
+    from ixmp_spark.operators.text import strip_common_lines
+    from ixmp_spark.streaming.ts_stream import (
+        run_available_now,
+        strip_common_lines_stream,
+    )
+
+    nav = "identical navigation chrome line repeated on every page"
+    rows = [
+        (i, "s1", f"{nav}\nbody line number {i} with distinct words\n{nav}")
+        for i in range(4)
+    ] + [(10, "s2", f"{nav}\nlone page of another site")]
+    feed = str(tmp_path_factory.mktemp("templ") / "docs")
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    docs.coalesce(2).write.parquet(feed)
+
+    want = sorted(
+        tuple(r)
+        for r in strip_common_lines(
+            spark.read.parquet(feed), "doc_id", "text", "source", min_docs=3
+        ).collect()
+    )
+    # batch-built template set: (source, line) pairs recurring >= 3 docs
+    exploded = (
+        spark.read.parquet(feed)
+        .select("doc_id", "source",
+                F.explode(F.split("text", "\n")).alias("line"))
+        .withColumn("line", F.trim("line"))
+    )
+    templates = (
+        exploded.groupBy("source", "line")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .where(F.col("df") >= 3)
+        .select("source", "line")
+    )
+    stream = spark.readStream.schema(
+        "doc_id long, source string, text string"
+    ).parquet(feed)
+    got = sorted(
+        tuple(r)
+        for r in run_available_now(
+            strip_common_lines_stream(stream, templates), "t_templ",
+            mode="append",
+        ).collect()
+    )
+    assert got == want and len(got) == 5
