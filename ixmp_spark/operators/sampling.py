@@ -366,3 +366,95 @@ def fair_token_allocation(
         F.round(waterline, 4).alias("alloc"),
         (F.round(waterline, 4) >= F.round(F.col("m"), 4)).alias("saturated"),
     )
+
+
+def corpus_drift(
+    a: DataFrame,
+    b: DataFrame,
+    numeric_cols: "list[str]",
+    categorical_cols: "list[str]",
+    n_bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population-stability-index (PSI) drift report between two corpus
+    snapshots — the monitoring gate of a continuously-ingesting
+    training pipeline ("did this week's crawl shift the length/language
+    /source mix enough to re-tune the filters?"). Standard reading:
+    PSI < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted.
+
+    ``PSI = Σ_bins (p_a − p_b)·ln(p_a / p_b)`` with ``eps``-floored
+    shares. Numeric columns bin EQUAL-WIDTH between snapshot A's min
+    and max (A is the reference; values of B outside A's range clamp
+    into the edge bins) — equal-width, not quantile, binning is chosen
+    deliberately: the bin edges are then pure arithmetic on two scalars,
+    bit-reproducible across engines, where quantile edges would drag in
+    per-engine interpolation (the a8 ulp class). Categorical columns
+    bin by value.
+
+    Cost: per column one min/max probe over A (numerics) + one
+    per-(column, bin) count aggregate over each snapshot — everything
+    map-side-combining keyed aggregations over codelist-sized results;
+    the two snapshots are never joined row-to-row.
+
+    Output: (column, kind, psi, n_bins_used) — one row per column.
+    """
+    frames = []
+    for col in numeric_cols:
+        stats = a.agg(
+            F.min(F.col(col).cast("double")).alias("lo"),
+            F.max(F.col(col).cast("double")).alias("hi"),
+        ).collect()[0]
+        lo, hi = float(stats["lo"]), float(stats["hi"])
+        width = (hi - lo) / n_bins if hi > lo else 1.0
+
+        def binned(df):
+            x = F.col(col).cast("double")
+            raw = F.floor((x - F.lit(lo)) / F.lit(width))
+            bin_ = F.least(
+                F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)
+            )
+            return df.select(bin_.cast("long").alias("bin"))
+
+        pa = binned(a).groupBy("bin").agg(F.count(F.lit(1)).alias("na"))
+        pb = binned(b).groupBy("bin").agg(F.count(F.lit(1)).alias("nb"))
+        frames.append((col, "numeric", pa, pb))
+    for col in categorical_cols:
+        pa = a.groupBy(F.col(col).alias("bin")).agg(
+            F.count(F.lit(1)).alias("na")
+        )
+        pb = b.groupBy(F.col(col).alias("bin")).agg(
+            F.count(F.lit(1)).alias("nb")
+        )
+        frames.append((col, "categorical", pa, pb))
+
+    out = None
+    for col, kind, pa, pb in frames:
+        j = pa.join(pb, "bin", "full_outer").select(
+            F.coalesce("na", F.lit(0)).alias("na"),
+            F.coalesce("nb", F.lit(0)).alias("nb"),
+        )
+        tot = j.agg(
+            F.sum("na").alias("ta"), F.sum("nb").alias("tb"),
+            F.count(F.lit(1)).alias("nb_used"),
+        )
+        psi_row = j.crossJoin(F.broadcast(tot)).select(
+            (
+                (F.col("na") / F.col("ta") + eps)
+                - (F.col("nb") / F.col("tb") + eps)
+            ).alias("d"),
+            F.log(
+                (F.col("na") / F.col("ta") + eps)
+                / (F.col("nb") / F.col("tb") + eps)
+            ).alias("lr"),
+            "nb_used",
+        ).agg(
+            F.round(F.sum(F.col("d") * F.col("lr")), 6).alias("psi"),
+            F.first("nb_used").alias("n_bins_used"),
+        ).select(
+            F.lit(col).alias("column"),
+            F.lit(kind).alias("kind"),
+            "psi",
+            F.col("n_bins_used").cast("long"),
+        )
+        out = psi_row if out is None else out.unionByName(psi_row)
+    return out

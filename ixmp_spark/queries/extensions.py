@@ -2081,3 +2081,111 @@ def d9_cluster_representatives(spark, sf_dir):
     return cluster_representatives(
         scored, labels, "doc_id", "quality"
     ).select("doc_id", "cluster", "quality", "kept")
+
+
+@query(
+    "p15_corpus_drift",
+    oracle="""
+    WITH b0 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN 'de' ELSE lang END AS lang,
+             source,
+             n_chars + CASE WHEN doc_id % 2 = 0 THEN 40 ELSE 0 END
+               AS n_chars
+      FROM documents WHERE doc_id % 4 != 0
+    ), st AS (
+      SELECT CAST(min(n_chars) AS DOUBLE) AS lo,
+             (CAST(max(n_chars) AS DOUBLE) - CAST(min(n_chars) AS DOUBLE))
+               / 10 AS w
+      FROM documents
+    ), na AS (
+      SELECT least(greatest(CAST(floor((n_chars - lo) / w) AS BIGINT), 0), 9)
+               AS bin, count(*) AS n
+      FROM documents, st GROUP BY 1
+    ), nb AS (
+      SELECT least(greatest(CAST(floor((n_chars - lo) / w) AS BIGINT), 0), 9)
+               AS bin, count(*) AS n
+      FROM b0, st GROUP BY 1
+    ), nj AS (
+      SELECT coalesce(na.n, 0) AS na, coalesce(nb.n, 0) AS nb,
+             sum(coalesce(na.n, 0)) OVER () AS ta,
+             sum(coalesce(nb.n, 0)) OVER () AS tb,
+             count(*) OVER () AS nbu
+      FROM na FULL JOIN nb USING (bin)
+    ), drift_n AS (
+      SELECT 'n_chars' AS "column", 'numeric' AS kind,
+             round(sum(((na * 1.0 / ta + 1e-6) - (nb * 1.0 / tb + 1e-6))
+                   * ln((na * 1.0 / ta + 1e-6) / (nb * 1.0 / tb + 1e-6))), 6)
+               AS psi,
+             CAST(min(nbu) AS BIGINT) AS n_bins_used
+      FROM nj
+    ), la AS (
+      SELECT lang AS bin, count(*) AS n FROM documents GROUP BY 1
+    ), lb AS (
+      SELECT lang AS bin, count(*) AS n FROM b0 GROUP BY 1
+    ), lj AS (
+      SELECT coalesce(la.n, 0) AS na, coalesce(lb.n, 0) AS nb,
+             sum(coalesce(la.n, 0)) OVER () AS ta,
+             sum(coalesce(lb.n, 0)) OVER () AS tb,
+             count(*) OVER () AS nbu
+      FROM la FULL JOIN lb USING (bin)
+    ), drift_l AS (
+      SELECT 'lang' AS "column", 'categorical' AS kind,
+             round(sum(((na * 1.0 / ta + 1e-6) - (nb * 1.0 / tb + 1e-6))
+                   * ln((na * 1.0 / ta + 1e-6) / (nb * 1.0 / tb + 1e-6))), 6)
+               AS psi,
+             CAST(min(nbu) AS BIGINT) AS n_bins_used
+      FROM lj
+    ), sa AS (
+      SELECT source AS bin, count(*) AS n FROM documents GROUP BY 1
+    ), sb AS (
+      SELECT source AS bin, count(*) AS n FROM b0 GROUP BY 1
+    ), sj AS (
+      SELECT coalesce(sa.n, 0) AS na, coalesce(sb.n, 0) AS nb,
+             sum(coalesce(sa.n, 0)) OVER () AS ta,
+             sum(coalesce(sb.n, 0)) OVER () AS tb,
+             count(*) OVER () AS nbu
+      FROM sa FULL JOIN sb USING (bin)
+    ), drift_s AS (
+      SELECT 'source' AS "column", 'categorical' AS kind,
+             round(sum(((na * 1.0 / ta + 1e-6) - (nb * 1.0 / tb + 1e-6))
+                   * ln((na * 1.0 / ta + 1e-6) / (nb * 1.0 / tb + 1e-6))), 6)
+               AS psi,
+             CAST(min(nbu) AS BIGINT) AS n_bins_used
+      FROM sj
+    )
+    SELECT * FROM drift_n UNION ALL
+    SELECT * FROM drift_l UNION ALL
+    SELECT * FROM drift_s
+    """,
+)
+def p15_corpus_drift(spark, sf_dir):
+    """PSI drift report (corpus_drift) between the corpus and a
+    deterministically perturbed snapshot (every 4th doc dropped, even
+    docs 40 chars longer, every 5th doc relabeled 'de') — the
+    monitoring gate of a continuously-ingesting pipeline. Equal-width
+    numeric bins anchored on snapshot A's min/max keep the edges pure
+    two-scalar arithmetic (bit-reproducible across engines, unlike
+    quantile edges — the a8 ulp class); the oracle restates the binning
+    and the PSI sum literally, so the driver hash certifies the drift
+    numbers."""
+    from ixmp_spark.operators.sampling import corpus_drift
+
+    docs = load(spark, sf_dir, "documents")
+    b = (
+        docs.where(F.col("doc_id") % 4 != 0)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 5 == 0, F.lit("de"))
+            .otherwise(F.col("lang"))
+            .alias("lang"),
+            "source",
+            (
+                F.col("n_chars")
+                + F.when(F.col("doc_id") % 2 == 0, F.lit(40)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_chars"),
+        )
+    )
+    return corpus_drift(docs, b, ["n_chars"], ["lang", "source"])

@@ -3020,3 +3020,35 @@ def test_cluster_representatives_semantics(spark):
     assert len(out) == 4                      # audit trail: all rows
     assert out[2]["kept"] and not out[1]["kept"] and not out[3]["kept"]
     assert out[7]["kept"] and out[7]["cluster"] == 7  # singleton
+
+
+def test_corpus_drift_psi_semantics(spark):
+    """PSI ~ 0 for identical snapshots; grows with a planted
+    categorical shift; numeric edge-clamping puts out-of-range B values
+    in the boundary bins instead of dropping them."""
+    from ixmp_spark.operators.sampling import corpus_drift
+
+    a = spark.createDataFrame(
+        [(i, "en" if i % 4 else "de", float(10 + i % 50)) for i in range(400)],
+        "doc_id long, lang string, x double",
+    )
+    same = {
+        r["column"]: r["psi"]
+        for r in corpus_drift(a, a, ["x"], ["lang"]).collect()
+    }
+    assert all(abs(v) < 1e-6 for v in same.values())
+    # planted shift: half of B flips to 'fr', x shifted far out of range
+    b = a.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("fr")).otherwise(
+            F.col("lang")
+        ).alias("lang"),
+        (F.col("x") + 1000.0).alias("x"),
+    )
+    moved = {
+        (r["column"]): (r["psi"], r["n_bins_used"])
+        for r in corpus_drift(a, b, ["x"], ["lang"]).collect()
+    }
+    assert moved["lang"][0] > 0.25      # categorical shift detected
+    assert moved["x"][0] > 0.25         # everything clamped to top bin
+    assert moved["x"][1] <= 10          # clamping kept the bin count
