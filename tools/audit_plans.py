@@ -34,6 +34,7 @@ BNLJ_OK = {
     "p11_temperature_weights",  # 1-row normalizer-totals aggregate cross-broadcast
     "p12_dsir_logratio",  # 1-row corpus-totals (nt/nr/V) aggregate cross-broadcast
     "p13_perplexity_buckets",  # 1-row vocab-count cross-broadcast (inherits t10's LM)
+    "p15_corpus_drift",  # 1-row per-column totals (ta/tb/n_bins) cross-broadcast
 }
 
 #: multi-stage pipelines where >6 shuffles are inherent (documented):
@@ -48,6 +49,12 @@ SHUFFLE_OK = {
     # e8 = the same banded-LSH candidate pipeline as d3/e5 plus the
     # symmetrize-union + per-anchor top-k window (7 total, documented)
     "e8_hard_negatives",
+    # p15 = a 3-column drift report: per column 2 bin-count aggregates
+    # + a full-outer bin join + the PSI fold (~5 each, 18 total) — every
+    # shuffle moves BIN-COUNT rows (<= n_bins / #categories), never the
+    # snapshots themselves; column count, not data volume, sets the
+    # number
+    "p15_corpus_drift",
 }
 
 #: queries whose Python stage is DELIBERATE — an Arrow-batched kernel for
