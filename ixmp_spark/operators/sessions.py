@@ -918,3 +918,77 @@ def key_trends(
         )
         .where(F.col("n_points") >= min_points)
     )
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    slack_k: float = 0.5,
+    threshold_h: float = 5.0,
+    order_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Two-sided CUSUM changepoint screen per key (Page 1954) — the
+    classic sequential drift detector, here in its retrospective batch
+    form: standardize each value against the key's own mean/stddev,
+    then accumulate ``S_i = max(0, S_{i-1} + z_i - k)`` (high side) and
+    ``T_i = max(0, T_{i-1} - z_i - k)`` (low side); a sustained shift
+    of more than ``k`` standard deviations ramps the statistic past
+    ``threshold_h`` while zero-mean noise keeps resetting it to 0.
+    ``key_trends`` answers "is this key drifting linearly"; this
+    answers "WHERE did its level change" — the complementary per-row
+    signal for corpus snapshot monitoring and sensor fleets.
+
+    The recurrence looks inherently sequential, but the standard
+    max-drawdown identity turns it into pure window SQL:
+
+        ``S_i = P_i - min(0, min_{j<=i} P_j)``,  ``P_i = Σ_{j<=i} y_j``
+
+    with ``y_i = z_i - k`` (low side: ``y_i = -z_i - k``) — a prefix
+    sum plus a running min over that prefix sum. Every window here
+    partitions by the SAME key, so the whole operator is ONE keyed
+    shuffle + one sort; per-row state in each task is O(1) (running
+    aggregates over UNBOUNDED PRECEDING frames), so a hot key degrades
+    to a long sequential scan, never to memory pressure. Both engines
+    implement the identical windows, which is what lets the oracle be
+    a literal restatement (driver-hash-certified arithmetic).
+
+    Keys with zero or undefined stddev produce NULL statistics and
+    ``is_change = false`` (no computable baseline — same convention as
+    ``zscore_anomalies``).
+
+    Output: input key/order/value columns + ``cusum_high``,
+    ``cusum_low`` (rounded to 6), ``is_change``.
+    """
+    wk = Window.partitionBy(key_col)
+    wo = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, *order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    v = F.col(value_col).cast("double")
+    std = F.stddev_samp(v).over(wk)
+    # materialize z ONCE: deriving _yh/_yl from the expression would
+    # inline the whole-key mean/std windows twice in the plan
+    z = F.col("_z")
+    base = (
+        df.withColumn("_z", F.when(std > 0, (v - F.avg(v).over(wk)) / std))
+        .withColumn("_yh", z - F.lit(float(slack_k)))
+        .withColumn("_yl", -z - F.lit(float(slack_k)))
+    )
+    pre = base.withColumn("_ph", F.sum("_yh").over(wo)).withColumn(
+        "_pl", F.sum("_yl").over(wo)
+    )
+    sh = F.col("_ph") - F.least(F.lit(0.0), F.min("_ph").over(wo))
+    sl = F.col("_pl") - F.least(F.lit(0.0), F.min("_pl").over(wo))
+    h = F.lit(float(threshold_h))
+    return (
+        pre.withColumn("cusum_high", F.round(sh, 6))
+        .withColumn("cusum_low", F.round(sl, 6))
+        .withColumn(
+            "is_change",
+            F.coalesce((sh > h) | (sl > h), F.lit(False)),
+        )
+        .drop("_z", "_yh", "_yl", "_ph", "_pl")
+    )

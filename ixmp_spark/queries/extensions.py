@@ -2013,6 +2013,61 @@ def w12_user_trends(spark, sf_dir):
 
 
 @query(
+    "w13_cusum_drift",
+    oracle="""
+    WITH z AS (
+      SELECT event_id, user_id, value,
+             CASE WHEN stddev_samp(value) OVER wk > 0
+                  THEN (value - avg(value) OVER wk)
+                       / stddev_samp(value) OVER wk
+             END AS z,
+             ts
+      FROM events
+      WINDOW wk AS (PARTITION BY user_id)
+    ), p AS (
+      SELECT event_id, user_id, value, ts,
+             sum(z - 0.5) OVER wo AS ph,
+             sum(-z - 0.5) OVER wo AS pl
+      FROM z
+      WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), s AS (
+      SELECT event_id, user_id, value,
+             ph - least(0, min(ph) OVER wo) AS sh,
+             pl - least(0, min(pl) OVER wo) AS sl
+      FROM p
+      WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, value,
+           round(sh, 6) AS cusum_high,
+           round(sl, 6) AS cusum_low,
+           coalesce(sh > 5.0 OR sl > 5.0, false) AS is_change
+    FROM s
+    """,
+)
+def w13_cusum_drift(spark, sf_dir):
+    """Two-sided CUSUM changepoint screen per user
+    (cusum_changepoints): the Page 1954 sequential drift statistic,
+    made window-SQL by the max-drawdown identity S_i = P_i - min(0,
+    running_min(P)) over the prefix sums of the standardized slack
+    series — ONE keyed shuffle, O(1) task state. The oracle restates
+    the identical windows, so the driver hash certifies the whole
+    recurrence; is_change pins the threshold crossings."""
+    from ixmp_spark.operators.sessions import cusum_changepoints
+
+    ev = load(spark, sf_dir, "events")
+    out = cusum_changepoints(
+        ev, "user_id", "ts", "value",
+        slack_k=0.5, threshold_h=5.0, order_cols=("event_id",),
+    )
+    return out.select(
+        "event_id", "user_id", "value",
+        "cusum_high", "cusum_low", "is_change",
+    )
+
+
+@query(
     "d9_cluster_representatives",
     oracle=r"""
     WITH RECURSIVE sh AS (

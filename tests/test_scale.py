@@ -2951,6 +2951,78 @@ def test_key_trends_exact_line_and_noise(spark):
     assert out[2]["r2"] < 0.3
 
 
+def test_cusum_matches_sequential_recurrence(spark):
+    """cusum_changepoints' window-SQL form (prefix sum + running min,
+    the max-drawdown identity) equals the literal sequential recurrence
+    S_i = max(0, S_{i-1} + z_i - k) replayed in pure Python with the
+    same sample-stddev standardization — and a planted +4σ level shift
+    alarms after the shift point, never before it."""
+    from datetime import datetime, timedelta
+    import math
+    import random
+
+    from ixmp_spark.operators.sessions import cusum_changepoints
+
+    t0 = datetime(2024, 3, 1)
+    rng = random.Random(11)
+    rows = []
+    # key 1: 60 quiet rows then 40 shifted by +4 raw units
+    for i in range(100):
+        v = rng.gauss(0, 1) + (4.0 if i >= 60 else 0.0)
+        rows.append((i, t0 + timedelta(seconds=i), 1, v))
+    # key 2: pure noise (should never alarm at h=5, k=0.5)
+    for i in range(80):
+        rows.append((200 + i, t0 + timedelta(seconds=i), 2, rng.gauss(10, 2)))
+    # key 3: constant value -> zero stddev -> NULL stats, no alarm
+    for i in range(5):
+        rows.append((400 + i, t0 + timedelta(seconds=i), 3, 7.0))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    out = cusum_changepoints(
+        ev, "user_id", "ts", "value", slack_k=0.5, threshold_h=5.0,
+        order_cols=("event_id",),
+    ).collect()
+    got = {r["event_id"]: r for r in out}
+
+    # pure-Python replay per key
+    k, h = 0.5, 5.0
+    by_key: dict[int, list] = {}
+    for eid, _ts, key, v in rows:
+        by_key.setdefault(key, []).append((eid, v))
+    for key, seq in by_key.items():
+        vals = [v for _, v in seq]
+        n = len(vals)
+        mu = sum(vals) / n
+        var = sum((x - mu) ** 2 for x in vals) / (n - 1)
+        sd = math.sqrt(var)
+        s = t = 0.0
+        for eid, v in seq:
+            r = got[eid]
+            if sd == 0:
+                assert r["cusum_high"] is None and r["cusum_low"] is None
+                assert r["is_change"] is False
+                continue
+            z = (v - mu) / sd
+            s = max(0.0, s + z - k)
+            t = max(0.0, t - z - k)
+            assert abs(r["cusum_high"] - s) < 1e-5, (key, eid)
+            assert abs(r["cusum_low"] - t) < 1e-5, (key, eid)
+            assert r["is_change"] == (s > h or t > h), (key, eid)
+
+    # planted-shift semantics (retrospective baseline: the key mean
+    # blends both regimes, so the LOW side flags the below-mean quiet
+    # prefix and the HIGH side the shifted suffix — each side localizes
+    # its own regime): high-side alarms exist and start only after the
+    # shift; low-side alarms exist and stop shortly after it resets
+    hi = [e for e in range(100) if (got[e]["cusum_high"] or 0) > 5.0]
+    lo = [e for e in range(100) if (got[e]["cusum_low"] or 0) > 5.0]
+    assert hi and min(hi) >= 60
+    assert lo and min(lo) < 60 and max(lo) < 70
+    # key 2 (pure stationary noise) never alarms
+    assert not [e for e in range(200, 280) if got[e]["is_change"]]
+
+
 def test_fuzzy_key_join_exact_semantics(spark):
     """Deletion-neighborhood fuzzy join finds EXACTLY the pairs within
     Levenshtein 1 — insert, delete, substitute, and exact matches — and
