@@ -2244,3 +2244,59 @@ def p15_corpus_drift(spark, sf_dir):
         )
     )
     return corpus_drift(docs, b, ["n_chars"], ["lang", "source"])
+
+
+@query(
+    "x5_supplier_triangles",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ),
+    t AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    corners AS (
+      SELECT a AS node FROM t
+      UNION ALL SELECT b FROM t
+      UNION ALL SELECT c FROM t
+    ),
+    nodes AS (SELECT u AS node FROM e UNION SELECT v FROM e)
+    SELECT n.node,
+           CAST(coalesce(c.cnt, 0) AS BIGINT) AS triangles
+    FROM nodes n LEFT JOIN (
+      SELECT node, count(*) AS cnt FROM corners GROUP BY node
+    ) c USING (node)
+    """,
+)
+def x5_supplier_triangles(spark, sf_dir):
+    """Per-supplier triangle counts over the co-supplier graph
+    (edge = two suppliers shipped lines of the same order): the local
+    clustering-density signal next to x4's pagerank centrality, and
+    the first ORACLE-PAIRED graph query — per-node counts are
+    orientation-invariant, so the degree-ordered Spark enumeration and
+    the oracle's canonical id-ordered three-way self-join must agree
+    row for row (driver-hash-certified). The orientation bounds wedge
+    work at O(m^1.5) total regardless of hub degree."""
+    from ixmp_spark.operators.joins import triangle_count
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+    )
+    return triangle_count(edges)

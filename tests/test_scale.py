@@ -3023,6 +3023,32 @@ def test_cusum_matches_sequential_recurrence(spark):
     assert not [e for e in range(200, 280) if got[e]["is_change"]]
 
 
+def test_triangle_count_known_structures(spark):
+    """triangle_count on a graph with known answers: a K4 (4 triangles,
+    every node in 3), a triangle sharing one node with it, a 3-path and
+    an isolated star (0 triangles each); self-loops and duplicate /
+    reversed edges must not change counts."""
+    from ixmp_spark.operators.joins import triangle_count
+
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    extra = [("d", "e"), ("e", "f"), ("d", "f")]   # triangle d-e-f
+    path = [("p", "q"), ("q", "r")]                # no triangle
+    star = [("s", x) for x in ("s1", "s2", "s3")]  # no triangle
+    noise = [("a", "a"), ("b", "a"), ("c", "b"), ("a", "b")]
+    edges = spark.createDataFrame(
+        k4 + extra + path + star + noise, "src string, dst string"
+    )
+    got = {r["node"]: r["triangles"] for r in triangle_count(edges).collect()}
+    expect = {
+        "a": 3, "b": 3, "c": 3,            # K4 corners
+        "d": 4,                             # 3 in K4 + 1 in d-e-f
+        "e": 1, "f": 1,
+        "p": 0, "q": 0, "r": 0,
+        "s": 0, "s1": 0, "s2": 0, "s3": 0,
+    }
+    assert got == expect
+
+
 def test_fuzzy_key_join_exact_semantics(spark):
     """Deletion-neighborhood fuzzy join finds EXACTLY the pairs within
     Levenshtein 1 — insert, delete, substitute, and exact matches — and
