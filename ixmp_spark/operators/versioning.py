@@ -87,3 +87,95 @@ def chunk_index(
         )
         .drop("__pid", "__loc", "__off")
     )
+
+
+def scd2_merge(
+    history: DataFrame,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    tracked_cols: Sequence[str],
+    effective_col: str = "valid_from",
+    end_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension merge — the warehouse-history
+    counterpart of this engine's run versioning (W1/W2 track versions
+    of whole runs; SCD2 tracks attribute history per dimension row,
+    the standard shape for `customer changed segment on date X`
+    lineage). Given the accumulated ``history`` (one row per key per
+    validity interval; current rows have NULL ``end_col`` and
+    ``current_col = true``) and an ``updates`` batch carrying
+    ``key_cols + tracked_cols + effective_col``, produce the new
+    history:
+
+    - a changed key's current row CLOSES (``end_col`` = update's
+      effective date, ``current_col`` = false) and a new current row
+      opens at that date;
+    - an update equal on every tracked column (null-safe) is a no-op;
+    - a key never seen before inserts as a fresh current row;
+    - expired history rows pass through untouched.
+
+    Plan shape: expired rows never join — only current rows meet the
+    batch, in ONE keyed left-outer join (dimension updates are usually
+    small: Catalyst/AQE broadcasts the batch side when its stats
+    permit); changed keys fan out via an inline 2-element explode
+    (close + reopen), never a second join. At 100 TB the dominant cost
+    is rewriting the dimension — unavoidable under immutable-file
+    storage and exactly what the reference's commit path does on every
+    write (this repo's warehouse stages the same way).
+
+    ``updates`` must be key-unique (one batch = one consistent
+    snapshot slice; enforce upstream — e.g. keep the max-effective row
+    per key — because two versions of one key in one batch have no
+    well-defined close order).
+    """
+    keys = list(key_cols)
+    tracked = list(tracked_cols)
+    cur = history.where(F.col(current_col))
+    expired = history.where(~F.col(current_col))
+    up = updates.select(
+        *[F.col(c).alias(f"__u_{c}") for c in keys + tracked],
+        F.col(effective_col).alias("__u_eff"),
+    )
+    on = [F.col(k) == F.col(f"__u_{k}") for k in keys]
+    j = cur.join(up, on, "full_outer")
+    diffs = [~F.col(c).eqNullSafe(F.col(f"__u_{c}")) for c in tracked]
+    any_diff = diffs[0]
+    for d in diffs[1:]:
+        any_diff = any_diff | d
+    changed = F.col("__u_eff").isNotNull() & any_diff
+    is_new = F.col(keys[0]).isNull()
+    # per joined row: 1 output row (passthrough / no-op / fresh insert)
+    # or 2 (close + reopen)
+    out_cols = keys + tracked + [effective_col, end_col, current_col]
+    base_row = F.struct(
+        *[F.col(c).alias(c) for c in keys + tracked],
+        F.col(effective_col).alias(effective_col),
+        F.col(end_col).alias(end_col),
+        F.col(current_col).alias(current_col),
+    )
+    closed_row = F.struct(
+        *[F.col(c).alias(c) for c in keys + tracked],
+        F.col(effective_col).alias(effective_col),
+        F.col("__u_eff").alias(end_col),
+        F.lit(False).alias(current_col),
+    )
+    fresh_row = F.struct(
+        *[
+            F.col(f"__u_{c}").alias(c)
+            for c in keys + tracked
+        ],
+        F.col("__u_eff").alias(effective_col),
+        F.lit(None).cast(dict(history.dtypes)[end_col]).alias(end_col),
+        F.lit(True).alias(current_col),
+    )
+    rows = (
+        F.when(is_new, F.array(fresh_row))
+        .when(changed, F.array(closed_row, fresh_row))
+        .otherwise(F.array(base_row))
+    )
+    merged = (
+        j.select(F.explode(rows).alias("__r"))
+        .select(*[F.col(f"__r.{c}").alias(c) for c in out_cols])
+    )
+    return expired.select(*out_cols).unionByName(merged)

@@ -2300,3 +2300,102 @@ def x5_supplier_triangles(spark, sf_dir):
         )
     )
     return triangle_count(edges)
+
+
+@query(
+    "j14_scd2_merge",
+    oracle="""
+    SELECT c_custkey,
+           round(c_acctbal, 2) AS c_acctbal, c_mktsegment,
+           CAST(valid_from AS VARCHAR) AS valid_from,
+           CAST(valid_to AS VARCHAR) AS valid_to, is_current
+    FROM (
+      -- pre-expired history passes through untouched
+      SELECT c_custkey, -1.0 AS c_acctbal, c_mktsegment,
+             DATE '1990-01-01' AS valid_from,
+             DATE '1992-01-01' AS valid_to, false AS is_current
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      -- changed keys (batch shifts acctbal +100): current row closes…
+      SELECT c_custkey, c_acctbal, c_mktsegment,
+             DATE '1992-01-01', DATE '2024-06-01', false
+      FROM customer WHERE c_custkey % 3 = 0
+      UNION ALL
+      -- …and reopens at the effective date with the new value
+      SELECT c_custkey, c_acctbal + 100, c_mktsegment,
+             DATE '2024-06-01', NULL, true
+      FROM customer WHERE c_custkey % 3 = 0
+      UNION ALL
+      -- no-op updates (% 3 = 1) and absent keys (% 3 = 2): untouched
+      SELECT c_custkey, c_acctbal, c_mktsegment,
+             DATE '1992-01-01', NULL, true
+      FROM customer WHERE c_custkey % 3 <> 0
+      UNION ALL
+      -- never-seen keys insert as fresh current rows
+      SELECT c_custkey + 9000000, 0.0, 'NEW',
+             DATE '2024-06-01', NULL, true
+      FROM customer WHERE c_custkey % 100 = 0
+    )
+    """,
+)
+def j14_scd2_merge(spark, sf_dir):
+    """Type-2 SCD merge of a customer-dimension update batch
+    (scd2_merge): changed keys close + reopen, value-identical updates
+    no-op, unseen keys insert, expired history passes through — one
+    keyed full-outer join with an inline 2-row explode for the
+    close/reopen fan-out. The batch is synthesized deterministically
+    from the customer table (a third changed, a third no-op, a third
+    absent, 1% brand-new keys), and the oracle states the EXPECTED
+    post-merge history analytically per stratum — it never replays the
+    merge, so a merge bug cannot hide in a shared implementation."""
+    from ixmp_spark.operators.versioning import scd2_merge
+
+    c = load(spark, sf_dir, "customer")
+    hist = c.select(
+        "c_custkey", "c_acctbal", "c_mktsegment",
+        F.lit("1992-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    ).unionByName(
+        c.where(F.col("c_custkey") % 10 == 0).select(
+            "c_custkey",
+            F.lit(-1.0).alias("c_acctbal"),
+            "c_mktsegment",
+            F.lit("1990-01-01").cast("date").alias("valid_from"),
+            F.lit("1992-01-01").cast("date").alias("valid_to"),
+            F.lit(False).alias("is_current"),
+        )
+    )
+    eff = F.lit("2024-06-01").cast("date").alias("valid_from")
+    updates = (
+        c.where(F.col("c_custkey") % 3 == 0)
+        .select(
+            "c_custkey",
+            (F.col("c_acctbal") + 100).alias("c_acctbal"),
+            "c_mktsegment", eff,
+        )
+        .unionByName(
+            c.where(F.col("c_custkey") % 3 == 1).select(
+                "c_custkey", "c_acctbal", "c_mktsegment", eff
+            )
+        )
+        .unionByName(
+            c.where(F.col("c_custkey") % 100 == 0).select(
+                (F.col("c_custkey") + 9000000).alias("c_custkey"),
+                F.lit(0.0).alias("c_acctbal"),
+                F.lit("NEW").alias("c_mktsegment"), eff,
+            )
+        )
+    )
+    out = scd2_merge(
+        hist, updates,
+        key_cols=["c_custkey"],
+        tracked_cols=["c_acctbal", "c_mktsegment"],
+    )
+    return (
+        out.withColumn("c_acctbal", F.round("c_acctbal", 2))
+        # dates compare as ISO strings: the comparator's pandas bridge
+        # maps Spark DATE to object vs DuckDB DATE to datetime64
+        .withColumn("valid_from", F.col("valid_from").cast("string"))
+        .withColumn("valid_to", F.col("valid_to").cast("string"))
+    )

@@ -3023,6 +3023,66 @@ def test_cusum_matches_sequential_recurrence(spark):
     assert not [e for e in range(200, 280) if got[e]["is_change"]]
 
 
+def test_scd2_merge_semantics(spark):
+    """scd2_merge on a hand-built dimension: change closes + reopens,
+    equal update no-ops, NULL→value and value→NULL count as changes
+    (null-safe comparison), unseen key inserts, expired rows pass
+    through byte-identical."""
+    from ixmp_spark.operators.versioning import scd2_merge
+
+    hist = spark.createDataFrame(
+        [
+            # key 1: will change (val 10 -> 20)
+            (1, 10.0, "1992-01-01", None, True),
+            # key 1 expired history: must pass through
+            (1, 5.0, "1990-01-01", "1992-01-01", False),
+            # key 2: equal update -> no-op
+            (2, 7.0, "1992-01-01", None, True),
+            # key 3: no update -> untouched
+            (3, 3.0, "1992-01-01", None, True),
+            # key 4: NULL -> 1.0 is a change
+            (4, None, "1992-01-01", None, True),
+            # key 5: 9.0 -> NULL is a change
+            (5, 9.0, "1992-01-01", None, True),
+        ],
+        "k long, val double, valid_from string, valid_to string,"
+        " is_current boolean",
+    )
+    upd = spark.createDataFrame(
+        [
+            (1, 20.0, "2024-06-01"),
+            (2, 7.0, "2024-06-01"),
+            (4, 1.0, "2024-06-01"),
+            (5, None, "2024-06-01"),
+            (99, 42.0, "2024-06-01"),  # brand new
+        ],
+        "k long, val double, valid_from string",
+    )
+    out = scd2_merge(hist, upd, ["k"], ["val"]).collect()
+    rows = {(r["k"], r["valid_from"]): r for r in out}
+    assert len(out) == len(rows) == 10
+    # key 1: expired passthrough + closed old + new current
+    assert rows[(1, "1990-01-01")]["valid_to"] == "1992-01-01"
+    closed = rows[(1, "1992-01-01")]
+    assert closed["val"] == 10.0 and closed["valid_to"] == "2024-06-01"
+    assert closed["is_current"] is False
+    new1 = rows[(1, "2024-06-01")]
+    assert new1["val"] == 20.0 and new1["valid_to"] is None
+    assert new1["is_current"] is True
+    # keys 2 and 3: single untouched current row
+    for k in (2, 3):
+        r = rows[(k, "1992-01-01")]
+        assert r["is_current"] is True and r["valid_to"] is None
+    # null transitions are changes, both directions
+    assert rows[(4, "2024-06-01")]["val"] == 1.0
+    assert rows[(4, "1992-01-01")]["is_current"] is False
+    assert rows[(5, "2024-06-01")]["val"] is None
+    assert rows[(5, "1992-01-01")]["is_current"] is False
+    # fresh insert
+    fresh = rows[(99, "2024-06-01")]
+    assert fresh["val"] == 42.0 and fresh["is_current"] is True
+
+
 def test_triangle_count_known_structures(spark):
     """triangle_count on a graph with known answers: a K4 (4 triangles,
     every node in 3), a triangle sharing one node with it, a 3-path and
