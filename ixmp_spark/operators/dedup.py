@@ -948,3 +948,74 @@ def cluster_representatives(
         F.desc(score_col), F.asc(tie)
     )
     return j.withColumn("kept", F.row_number().over(w) == 1)
+
+
+def url_host(col) -> "F.Column":
+    """Lowercased registrable host of an absolute URL: scheme,
+    ``user:pass@`` credentials, port, path, query and fragment all
+    stripped; a trailing dot (FQDN form) removed. Not-URL-shaped
+    strings yield ``''``. Pure regexp built-ins — map-only, codegen."""
+    u = F.trim(col if not isinstance(col, str) else F.col(col))
+    h = F.lower(
+        F.regexp_extract(
+            u,
+            r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?([^/:?#]+)",
+            1,
+        )
+    )
+    return F.regexp_replace(h, r"\.$", "")
+
+
+def flag_blocked_domains(
+    df: DataFrame,
+    id_col: str,
+    url_col: str,
+    blocklist: DataFrame,
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Domain-blocklist gate — the first policy filter of every crawl
+    pipeline (spam/adult/malware domain lists à la C4's badlist pass):
+    a document is blocked when its URL host EQUALS a listed domain or
+    is any SUBDOMAIN of one (``cdn.bad.example`` matches
+    ``bad.example``; ``notbad.example`` does not — matching is on
+    dot-separated label boundaries, never substrings).
+
+    Suffix matching joins, it doesn't scan: each host explodes into
+    its ≤ #labels dot-suffixes (``a.b.c`` → ``a.b.c``, ``b.c``,
+    ``c``), one hash equi-join against the blocklist marks hits, and
+    the flag joins back on the id. Blocklists at Spamhaus scale
+    (millions of rows) stay keyed — nothing assumes the list fits in
+    a broadcast, though Catalyst will broadcast a small one on its
+    own. Document bodies never enter either join: only (id, suffix)
+    pairs shuffle.
+
+    Returns ``df`` + ``host`` + ``blocked`` (boolean) — flag form, so
+    callers can quarantine, sample, or audit rather than just drop.
+    """
+    with_host = df.withColumn("host", url_host(F.col(url_col)))
+    labels = with_host.select(
+        F.col(id_col), F.split("host", r"\.").alias("l")
+    )
+    cand = labels.select(
+        id_col,
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(l)),"
+                " i -> array_join(slice(l, i, size(l) - i + 1), '.'))"
+            )
+        ).alias("__cand"),
+    )
+    hits = (
+        cand.join(
+            blocklist.select(
+                F.col(domain_col).alias("__cand")
+            ).distinct(),
+            "__cand",
+        )
+        .select(id_col)
+        .distinct()
+        .withColumn("blocked", F.lit(True))
+    )
+    return with_host.join(hits, id_col, "left").withColumn(
+        "blocked", F.coalesce(F.col("blocked"), F.lit(False))
+    )

@@ -466,3 +466,70 @@ def d8_url_dedup(spark, sf_dir):
     return url_dedup(
         docs.select("doc_id", url.alias("url")), "doc_id", "url"
     )
+
+
+@query(
+    "p16_domain_blocklist",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0
+                    THEN 'cdn.' || lower(source) || '.example.com'
+                  WHEN doc_id % 2 = 0
+                    THEN lower(source) || '.example.com'
+                  ELSE 'www.' || lower(source) || '.example.com'
+             END AS host
+      FROM documents
+    ), bl(domain) AS (
+      VALUES ('src1.example.com'), ('src3.example.com'), ('example.org')
+    )
+    SELECT d.doc_id, d.host,
+           EXISTS (SELECT 1 FROM bl
+                   WHERE d.host = bl.domain
+                      OR d.host LIKE '%.' || bl.domain) AS blocked
+    FROM d
+    """,
+)
+def p16_domain_blocklist(spark, sf_dir):
+    """Domain-blocklist gate (flag_blocked_domains) over URLs
+    synthesized from (source, doc_id) in three host shapes — bare,
+    www-prefixed, cdn-prefixed, a third of them carrying an explicit
+    :443 port and credentials to exercise host extraction. The oracle
+    states the expected host analytically and the block decision by
+    its DEFINITION (equal-or-dot-suffix EXISTS), so neither the regexp
+    host parser nor the suffix-explode join can hide a shared bug."""
+    from ixmp_spark.operators.dedup import flag_blocked_domains
+
+    docs = load(spark, sf_dir, "documents")
+    hostish = (
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit("cdn."), F.lower("source"),
+                     F.lit(".example.com")),
+        )
+        .when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.lower("source"), F.lit(".example.com")),
+        )
+        .otherwise(
+            F.concat(F.lit("www."), F.lower("source"),
+                     F.lit(".example.com")),
+        )
+    )
+    url = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit("https://user:pw@"), hostish, F.lit(":443/p/"),
+                 (F.col("doc_id") % 7).cast("string")),
+    ).otherwise(
+        F.concat(F.lit("https://"), hostish, F.lit("/p/"),
+                 (F.col("doc_id") % 7).cast("string"),
+                 F.lit("?q=1#frag")),
+    )
+    bl = spark.createDataFrame(
+        [("src1.example.com",), ("src3.example.com",), ("example.org",)],
+        "domain string",
+    )
+    out = flag_blocked_domains(
+        docs.withColumn("url", url), "doc_id", "url", bl
+    )
+    return out.select("doc_id", "host", "blocked")

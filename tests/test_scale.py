@@ -3023,6 +3023,34 @@ def test_cusum_matches_sequential_recurrence(spark):
     assert not [e for e in range(200, 280) if got[e]["is_change"]]
 
 
+def test_domain_blocklist_label_boundaries(spark):
+    """flag_blocked_domains matches on dot-label boundaries only:
+    exact host and any-depth subdomains block, lookalike supersets
+    (notbad.example.com) and substrings never do; host extraction
+    strips credentials, port, trailing FQDN dot; non-URLs yield ''
+    and pass."""
+    from ixmp_spark.operators.dedup import flag_blocked_domains
+
+    rows = [
+        (1, "https://bad.example.com/x"),             # exact
+        (2, "https://a.b.bad.example.com/"),          # deep subdomain
+        (3, "https://notbad.example.com/x"),          # lookalike: pass
+        (4, "https://bad.example.com.evil.io/"),      # suffix-spoof: pass
+        (5, "http://user:pw@BAD.Example.COM:8080/p"), # creds+port+case
+        (6, "https://bad.example.com./x"),            # FQDN dot
+        (7, "not a url at all"),                      # shapeless: pass
+        (8, "https://good.example.org/x"),            # unlisted: pass
+    ]
+    docs = spark.createDataFrame(rows, "id long, url string")
+    bl = spark.createDataFrame([("bad.example.com",)], "domain string")
+    out = {r["id"]: r for r in
+           flag_blocked_domains(docs, "id", "url", bl).collect()}
+    assert {i for i in out if out[i]["blocked"]} == {1, 2, 5, 6}
+    assert out[5]["host"] == "bad.example.com"
+    assert out[6]["host"] == "bad.example.com"
+    assert out[7]["host"] == ""
+
+
 def test_scd2_merge_semantics(spark):
     """scd2_merge on a hand-built dimension: change closes + reopens,
     equal update no-ops, NULL→value and value→NULL count as changes
