@@ -458,3 +458,98 @@ def corpus_drift(
         )
         out = psi_row if out is None else out.unionByName(psi_row)
     return out
+
+
+def pareto_frontier(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    flag_col: str = "on_frontier",
+    buckets: int = 256,
+) -> DataFrame:
+    """2-D Pareto frontier (skyline) flag — maximize BOTH columns; a
+    row is on the frontier iff no other row is ≥ in both and > in at
+    least one. The data-selection shape for "best docs per cost":
+    quality vs brevity, score vs recency — pass a negated column to
+    minimize it. Rows with a NULL in either column never flag.
+
+    The classic skyline needs a global sort; this one reduces it to
+    the repo's bucketed prefix-max pattern so nothing raw crosses a
+    single partition:
+
+    1. per distinct x, the max y (keyed aggregate — the only pass
+       over full data besides the final flag join);
+    2. distinct-x rows land in ``buckets`` equal-width x-ranges
+       (bounds ride a broadcast 1-row min/max aggregate — fully lazy,
+       no driver probe); within each bucket a window ordered x desc
+       computes the running max-y over STRICTLY higher x;
+    3. the per-bucket maxima (≤ ``buckets`` rows, from an aggregate)
+       take one bounded SinglePartition prefix pass that carries the
+       best y of all higher-x buckets into each bucket;
+    4. x is on the frontier iff its max-y beats
+       greatest(carry, within-bucket running max); a row flags iff
+       its y equals its x's max-y and that x survived. Duplicate
+       (x, y) points tie — neither dominates — and both flag, per the
+       strict-dominance definition.
+
+    Skew caveat (same as the chunked-window family): equal-width
+    buckets assume x isn't massively concentrated in one range; a
+    degenerate distribution degrades to one sequential bucket scan,
+    never to memory pressure (running aggregates are O(1) state).
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    pts = df.where(x.isNotNull() & y.isNotNull())
+    per_x = pts.groupBy(x.alias("__x")).agg(F.max(y).alias("__ymax"))
+    bounds = pts.agg(
+        F.min(x).alias("__xlo"), F.max(x).alias("__xhi")
+    )
+    # equal-width bucket index, 0 = highest-x range; the 1-row bounds
+    # frame broadcasts (BroadcastNestedLoopJoin over 1 row is the
+    # repo's standard scalar-probe shape)
+    bucketed = per_x.crossJoin(F.broadcast(bounds)).withColumn(
+        "__bkt",
+        F.when(
+            F.col("__xhi") == F.col("__xlo"), F.lit(0)
+        ).otherwise(
+            F.least(
+                F.lit(buckets - 1),
+                F.floor(
+                    (F.col("__xhi") - F.col("__x"))
+                    / ((F.col("__xhi") - F.col("__xlo")) / buckets)
+                ),
+            )
+        ),
+    )
+    w_in = (
+        Window.partitionBy("__bkt")
+        .orderBy(F.col("__x").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = bucketed.withColumn("__prev", F.max("__ymax").over(w_in))
+    bsum = bucketed.groupBy("__bkt").agg(F.max("__ymax").alias("__bmax"))
+    w_carry = (
+        Window.orderBy(F.col("__bkt").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = bsum.withColumn("__carry", F.max("__bmax").over(w_carry)).select(
+        "__bkt", "__carry"
+    )
+    decided = within.join(carry, "__bkt").withColumn(
+        "__best_above", F.greatest(F.col("__prev"), F.col("__carry"))
+    )
+    kept_x = decided.select(
+        "__x",
+        "__ymax",
+        (
+            F.col("__best_above").isNull()
+            | (F.col("__ymax") > F.col("__best_above"))
+        ).alias("__xkept"),
+    )
+    out = df.join(kept_x, x.eqNullSafe(F.col("__x")), "left")
+    return out.withColumn(
+        flag_col,
+        F.coalesce(
+            F.col("__xkept") & (y == F.col("__ymax")), F.lit(False)
+        ),
+    ).drop("__x", "__ymax", "__xkept")

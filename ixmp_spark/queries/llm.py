@@ -533,3 +533,48 @@ def p16_domain_blocklist(spark, sf_dir):
         docs.withColumn("url", url), "doc_id", "url", bl
     )
     return out.select("doc_id", "host", "blocked")
+
+
+@query(
+    "p17_pareto_frontier",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             len(list_distinct(
+               string_split_regex(trim(lower(text)), '\s+')
+             )) AS n_distinct
+      FROM documents
+    )
+    SELECT a.doc_id, a.n_chars,
+           CAST(a.n_distinct AS BIGINT) AS n_distinct,
+           NOT EXISTS (
+             SELECT 1 FROM d b
+             WHERE b.n_chars <= a.n_chars
+               AND b.n_distinct >= a.n_distinct
+               AND (b.n_chars < a.n_chars OR b.n_distinct > a.n_distinct)
+           ) AS on_frontier
+    FROM d a
+    """,
+)
+def p17_pareto_frontier(spark, sf_dir):
+    """Pareto-frontier flag over (shortest, most-distinct-tokens) —
+    the info-density skyline for data selection (pareto_frontier with
+    x = -n_chars, y = distinct-token count). The Spark side runs the
+    bucketed prefix-max reduction; the oracle states strict dominance
+    by its NOT EXISTS definition, so the whole reduction — bucketing,
+    carries, tie handling — is certified against the textbook
+    formulation row by row."""
+    from ixmp_spark.operators.sampling import pareto_frontier
+
+    docs = load(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(
+            F.array_distinct(F.split(F.trim(F.lower("text")), r"\s+"))
+        ).cast("long").alias("n_distinct"),
+    )
+    out = pareto_frontier(
+        d.withColumn("__negc", -F.col("n_chars")), "__negc", "n_distinct"
+    )
+    return out.select("doc_id", "n_chars", "n_distinct", "on_frontier")

@@ -924,3 +924,50 @@ def test_fair_token_allocation_matches_waterfill(spark, sizes, budget_frac, cap_
     assert abs(
         sum(a for a, _ in got.values()) - min(budget, sum(m.values()))
     ) < 1e-2
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    pts=st.lists(
+        st.tuples(
+            # tiny integer grids force heavy x/y collisions — the tie
+            # and duplicate-point edges — while floats exercise bucket
+            # boundary arithmetic
+            st.one_of(
+                st.integers(-3, 3).map(float),
+                st.floats(-100, 100, allow_nan=False),
+            ),
+            st.one_of(
+                st.integers(-3, 3).map(float),
+                st.floats(-100, 100, allow_nan=False),
+            ),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    buckets=st.sampled_from([1, 3, 256]),
+)
+def test_pareto_frontier_matches_brute_force(spark, pts, buckets):
+    """pareto_frontier's bucketed prefix-max reduction equals the
+    O(n²) strict-dominance definition for ANY point set and ANY bucket
+    count — the property form of the skyline contract (collision-heavy
+    grids hit the tie/duplicate paths, floats the bucket-edge math)."""
+    from ixmp_spark.operators.sampling import pareto_frontier
+
+    rows = [(i, x, y) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, x double, y double")
+    got = {
+        r["id"]
+        for r in pareto_frontier(df, "x", "y", buckets=buckets).collect()
+        if r["on_frontier"]
+    }
+    expect = {
+        i
+        for i, x, y in rows
+        if not any(
+            bx >= x and by >= y and (bx > x or by > y)
+            for j, bx, by in rows
+            if j != i
+        )
+    }
+    assert got == expect

@@ -3023,6 +3023,50 @@ def test_cusum_matches_sequential_recurrence(spark):
     assert not [e for e in range(200, 280) if got[e]["is_change"]]
 
 
+def test_pareto_frontier_dominance_edges(spark):
+    """pareto_frontier equals the brute-force strict-dominance
+    definition on a frame engineered for the edges: duplicate points
+    (tie, both flag), same-x different-y (only max-y flags), same-y
+    different-x (only max-x flags), a dominated interior, NULLs never
+    flag — checked at buckets=1 (degenerate single bucket) and
+    buckets=4 (cross-bucket carries)."""
+    from ixmp_spark.operators.sampling import pareto_frontier
+
+    pts = [
+        (1, 1.0, 9.0), (2, 5.0, 5.0), (3, 9.0, 1.0),    # frontier arc
+        (4, 5.0, 5.0),      # duplicate of 2: tie, flags too
+        (5, 5.0, 4.0),      # same x as 2, lower y: dominated
+        (6, 4.0, 5.0),      # same y as 2, lower x: dominated
+        (7, 2.0, 2.0),      # interior
+        (8, 9.0, 1.0),      # duplicate of 3
+        (9, None, 99.0),    # NULL x
+        (10, 99.0, None),   # NULL y
+        (11, 9.5, 0.5),     # new max x, low y: frontier
+    ]
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+
+    def brute(pts):
+        ok = set()
+        clean = [(i, x, y) for i, x, y in pts if x is not None and y is not None]
+        for i, x, y in clean:
+            dom = any(
+                bx >= x and by >= y and (bx > x or by > y)
+                for j, bx, by in clean if j != i
+            )
+            if not dom:
+                ok.add(i)
+        return ok
+
+    expect = brute(pts)
+    for b in (1, 4):
+        got = {
+            r["id"]
+            for r in pareto_frontier(df, "x", "y", buckets=b).collect()
+            if r["on_frontier"]
+        }
+        assert got == expect, (b, got, expect)
+
+
 def test_domain_blocklist_label_boundaries(spark):
     """flag_blocked_domains matches on dot-label boundaries only:
     exact host and any-depth subdomains block, lookalike supersets

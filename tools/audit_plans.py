@@ -35,6 +35,7 @@ BNLJ_OK = {
     "p12_dsir_logratio",  # 1-row corpus-totals (nt/nr/V) aggregate cross-broadcast
     "p13_perplexity_buckets",  # 1-row vocab-count cross-broadcast (inherits t10's LM)
     "p15_corpus_drift",  # 1-row per-column totals (ta/tb/n_bins) cross-broadcast
+    "p17_pareto_frontier",  # 1-row x-min/max bounds cross-broadcast (lazy bucket edges)
 }
 
 #: multi-stage pipelines where >6 shuffles are inherent (documented):
@@ -49,6 +50,11 @@ SHUFFLE_OK = {
     # e8 = the same banded-LSH candidate pipeline as d3/e5 plus the
     # symmetrize-union + per-anchor top-k window (7 total, documented)
     "e8_hard_negatives",
+    # p17 = skyline reduction: one full-data per-x aggregate, then
+    # bucket window + bucket-summary agg + bounded carry pass over the
+    # DISTINCT-x frame, and the flag joins back on x (both sides keyed)
+    # — 7 total; only the first and last move document-count rows
+    "p17_pareto_frontier",
     # p15 = a 3-column drift report: per column 2 bin-count aggregates
     # + a full-outer bin join + the PSI fold (~5 each, 18 total) — every
     # shuffle moves BIN-COUNT rows (<= n_bins / #categories), never the
