@@ -989,3 +989,66 @@ def pca_whiten(
         "dim": dim,
     }
     return out, info
+
+
+def rrf_fuse(
+    rankings,
+    id_col: str,
+    k: int = 60,
+    top_n: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Büttcher 2009) of
+    multiple bounded candidate lists — THE standard way to combine a
+    lexical ranker (``bm25_search``) with an embedding ranker
+    (``brute_force_topk`` / the ANN family) into one hybrid retrieval
+    result without score calibration:
+
+        ``rrf(d) = Σ_systems 1 / (k + rank_s(d))``
+
+    with the conventional ``k = 60``; a document absent from a
+    system's list simply contributes nothing. Rank-based fusion is
+    what makes it robust: BM25 scores and cosine similarities live on
+    incomparable scales, but their RANKS always fuse.
+
+    ``rankings``: sequence of ``(name, df, score_col)`` where each
+    ``df`` is a BOUNDED top-k candidate list (the output shape of the
+    retrieval operators — TakeOrdered'd, ≤ k rows). Ranks are
+    1-based ``row_number`` over (score desc, id asc) — computed over
+    the already-bounded lists, so the single-partition window runs on
+    dozens of rows, never the corpus; every heavy stage stayed inside
+    the upstream retrieval operators. The fusion itself is one union
+    + one groupBy on the id of candidate-list-sized frames.
+
+    Output: (id, rrf_score, rank_<name>…) ordered by (score desc,
+    id), limited to ``top_n`` when given. rrf_score is exact dyadic
+    rational arithmetic on small integers — engine-reproducible
+    without rounding.
+    """
+    from pyspark.sql import Window
+
+    names = [name for name, _, _ in rankings]
+    if len(set(names)) != len(names):
+        raise ValueError("ranking names must be unique")
+    tagged = None
+    for name, df, score_col in rankings:
+        w = Window.orderBy(F.desc(score_col), F.asc(id_col))
+        part = df.select(
+            F.col(id_col).alias("__id"),
+            F.lit(name).alias("__sys"),
+            F.row_number().over(w).cast("long").alias("__rank"),
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    fused = tagged.groupBy("__id").agg(
+        F.sum(1.0 / (F.lit(float(k)) + F.col("__rank"))).alias("rrf_score"),
+        *[
+            F.max(
+                F.when(F.col("__sys") == name, F.col("__rank"))
+            ).alias(f"rank_{name}")
+            for name in names
+        ],
+    )
+    out = fused.select(
+        F.col("__id").alias(id_col), "rrf_score",
+        *[f"rank_{n}" for n in names],
+    ).orderBy(F.desc("rrf_score"), F.asc(id_col))
+    return out.limit(top_n) if top_n is not None else out

@@ -2399,3 +2399,95 @@ def j14_scd2_merge(spark, sf_dir):
         .withColumn("valid_from", F.col("valid_from").cast("string"))
         .withColumn("valid_to", F.col("valid_to").cast("string"))
     )
+
+
+@query(
+    "x6_hybrid_search",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         w -> w <> '') AS toks
+      FROM documents
+    ),
+    docs AS (SELECT doc_id, toks, len(toks) AS dl FROM base),
+    stats AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM docs
+    ),
+    hits AS (
+      SELECT doc_id, dl, unnest(list_filter(toks,
+               t -> t IN ('hash', 'join', 'broadcast'))) AS term
+      FROM docs
+    ),
+    tf AS (
+      SELECT doc_id, term, dl, CAST(count(*) AS DOUBLE) AS tf
+      FROM hits GROUP BY doc_id, term, dl
+    ),
+    dfreq AS (
+      SELECT term, CAST(count(*) AS DOUBLE) AS dfr FROM tf GROUP BY term
+    ),
+    bm AS (
+      SELECT doc_id, round(sum(
+               ln(1 + (s.n - d.dfr + 0.5) / (d.dfr + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / s.avgdl))
+             ), 6) AS score
+      FROM tf JOIN dfreq d USING (term) CROSS JOIN stats s
+      GROUP BY doc_id
+      ORDER BY score DESC, doc_id LIMIT 50
+    ),
+    bmr AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY score DESC, doc_id) AS rb
+      FROM bm
+    ),
+    probe AS (
+      SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+      FROM embeddings ORDER BY vec_id LIMIT 1
+    ),
+    cos AS (
+      SELECT e.vec_id AS doc_id,
+             round(list_cosine_similarity(
+               CAST(e.embedding AS DOUBLE[]), p.pv), 6) AS sim
+      FROM embeddings e, probe p
+      WHERE e.vec_id <> p.probe_id
+      ORDER BY sim DESC, e.vec_id LIMIT 50
+    ),
+    cosr AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY sim DESC, doc_id) AS rc
+      FROM cos
+    )
+    SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+           coalesce(1.0 / (60 + b.rb), 0)
+             + coalesce(1.0 / (60 + c.rc), 0) AS rrf_score,
+           b.rb AS rank_bm25, c.rc AS rank_cosine
+    FROM bmr b FULL OUTER JOIN cosr c USING (doc_id)
+    ORDER BY rrf_score DESC, doc_id LIMIT 20
+    """,
+)
+def x6_hybrid_search(spark, sf_dir):
+    """Hybrid retrieval: BM25 top-50 (query 'hash join broadcast')
+    fused with cosine top-50 around the min-id probe embedding by
+    reciprocal-rank fusion (rrf_fuse, k=60) — the standard
+    two-tower + lexical ensemble. Both candidate lists rank on their
+    ROUNDED scores (each already hash-certified by t17/e1), so ranks
+    are engine-identical and the fused score is exact small-integer
+    rational arithmetic — no rounding needed on the output. The
+    oracle restates both rankers and the fusion formula."""
+    from ixmp_spark.operators.similarity import brute_force_topk, rrf_fuse
+    from ixmp_spark.operators.text import bm25_search
+
+    docs = load_spread(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    bm = bm25_search(
+        docs, "doc_id", "text", ["hash", "join", "broadcast"], k=50
+    )
+    probe = emb.orderBy("vec_id").limit(1)
+    cs = brute_force_topk(
+        emb, probe, id_col="vec_id", vec_col="embedding", k=50
+    ).withColumnRenamed("vec_id", "doc_id")
+    return rrf_fuse(
+        [("bm25", bm, "score"), ("cosine", cs, "cosine_sim")],
+        "doc_id", k=60, top_n=20,
+    )

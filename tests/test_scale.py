@@ -3023,6 +3023,44 @@ def test_cusum_matches_sequential_recurrence(spark):
     assert not [e for e in range(200, 280) if got[e]["is_change"]]
 
 
+def test_rrf_fuse_formula_and_absences(spark):
+    """rrf_fuse equals the hand-computed RRF formula: overlapping ids
+    sum both systems' reciprocal ranks, ids unique to one list carry a
+    NULL rank for the other, ordering is (score desc, id), top_n
+    truncates, and duplicate system names raise."""
+    import pytest
+
+    from ixmp_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 0.9), (2, 0.8), (3, 0.7)], "id long, s double"
+    )
+    b = spark.createDataFrame(
+        [(2, 0.99), (4, 0.5), (1, 0.4)], "id long, s double"
+    )
+    out = rrf_fuse([("a", a, "s"), ("b", b, "s")], "id", k=10)
+    rows = out.collect()
+    got = {r["id"]: r for r in rows}
+    # hand-computed: a ranks 1,2,3 for ids 1,2,3; b ranks 1,2,3 for 2,4,1
+    exp = {
+        1: 1 / 11 + 1 / 13,
+        2: 1 / 12 + 1 / 11,
+        3: 1 / 13,
+        4: 1 / 12,
+    }
+    for i, s in exp.items():
+        assert abs(got[i]["rrf_score"] - s) < 1e-12
+    assert got[3]["rank_b"] is None and got[4]["rank_a"] is None
+    assert got[1]["rank_a"] == 1 and got[1]["rank_b"] == 3
+    # ordering: 2 (0.1742) > 1 (0.1678) > 4 (0.0833) > 3 (0.0769)
+    assert [r["id"] for r in rows] == [2, 1, 4, 3]
+    assert [r["id"] for r in
+            rrf_fuse([("a", a, "s"), ("b", b, "s")], "id", k=10,
+                     top_n=2).collect()] == [2, 1]
+    with pytest.raises(ValueError):
+        rrf_fuse([("a", a, "s"), ("a", b, "s")], "id")
+
+
 def test_pareto_frontier_dominance_edges(spark):
     """pareto_frontier equals the brute-force strict-dominance
     definition on a frame engineered for the edges: duplicate points
