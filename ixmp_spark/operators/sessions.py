@@ -928,6 +928,7 @@ def cusum_changepoints(
     slack_k: float = 0.5,
     threshold_h: float = 5.0,
     order_cols: tuple[str, ...] = (),
+    baseline: tuple[float, float] | None = None,
 ) -> DataFrame:
     """Two-sided CUSUM changepoint screen per key (Page 1954) — the
     classic sequential drift detector, here in its retrospective batch
@@ -958,22 +959,37 @@ def cusum_changepoints(
     ``is_change = false`` (no computable baseline — same convention as
     ``zscore_anomalies``).
 
+    ``baseline=(mu, sigma)`` switches to the ONLINE form: standardize
+    against the given fixed parameters (typically fit on a reference
+    window) instead of the key's own retrospective mean/std — the
+    monitoring deployment shape, and the exact semantics
+    ``streaming.cusum_stream`` computes live (its batch twin). With a
+    baseline the whole-key window disappears; the operator is one
+    ordered window pass.
+
     Output: input key/order/value columns + ``cusum_high``,
     ``cusum_low`` (rounded to 6), ``is_change``.
     """
-    wk = Window.partitionBy(key_col)
     wo = (
         Window.partitionBy(key_col)
         .orderBy(ts_col, *order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     v = F.col(value_col).cast("double")
-    std = F.stddev_samp(v).over(wk)
+    if baseline is not None:
+        mu, sigma = float(baseline[0]), float(baseline[1])
+        if sigma <= 0:
+            raise ValueError("baseline sigma must be positive")
+        zexpr = (v - mu) / sigma
+    else:
+        wk = Window.partitionBy(key_col)
+        std = F.stddev_samp(v).over(wk)
+        zexpr = F.when(std > 0, (v - F.avg(v).over(wk)) / std)
     # materialize z ONCE: deriving _yh/_yl from the expression would
     # inline the whole-key mean/std windows twice in the plan
     z = F.col("_z")
     base = (
-        df.withColumn("_z", F.when(std > 0, (v - F.avg(v).over(wk)) / std))
+        df.withColumn("_z", zexpr)
         .withColumn("_yh", z - F.lit(float(slack_k)))
         .withColumn("_yl", -z - F.lit(float(slack_k)))
     )

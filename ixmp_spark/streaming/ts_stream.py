@@ -374,6 +374,80 @@ def ewma_stream(
     )
 
 
+def cusum_stream(
+    events: DataFrame,
+    baseline: tuple[float, float],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    value_col: str = "value",
+    slack_k: float = 0.5,
+    threshold_h: float = 5.0,
+) -> DataFrame:
+    """Streaming twin of ``sessions.cusum_changepoints(baseline=…)``
+    (the online monitoring form): per key the two Page statistics
+
+        ``S_i = max(0, S_{i-1} + z_i - k)``,
+        ``T_i = max(0, T_{i-1} - z_i - k)``
+
+    with ``z_i = (x_i - mu)/sigma`` against the FIXED reference
+    baseline, carried across micro-batches as two doubles of state via
+    ``applyInPandasWithState`` — O(#keys) state regardless of stream
+    length, the live drift monitor whose backfill path is the batch
+    operator's window form. The recurrence computes LITERALLY here
+    (sequential max/add per row); the batch side uses the prefix-sum /
+    running-min identity — on dyadic inputs the two agree bit-exactly,
+    on general doubles to ~1e-12 (identity exact in real arithmetic).
+    Same caller contract as ewma_stream/zscore_stream: per-key
+    event-time order must hold across micro-batches."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    mu, sigma = float(baseline[0]), float(baseline[1])
+    if sigma <= 0:
+        raise ValueError("baseline sigma must be positive")
+    key_type = events.schema[key_col].dataType.simpleString()
+    out_schema = (
+        f"{order_col} long, {key_col} {key_type}, {value_col} double, "
+        "cusum_high double, cusum_low double, is_change boolean"
+    )
+    state_schema = "s double, t double"
+    k, h = float(slack_k), float(threshold_h)
+
+    def fold(key, pdfs, state: GroupState):
+        s, t = (state.get if state.exists else (0.0, 0.0))
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if rows.empty:
+            return
+        rows = rows.sort_values([ts_col, order_col])
+        out: dict[str, list] = {
+            order_col: [], value_col: [],
+            "cusum_high": [], "cusum_low": [], "is_change": [],
+        }
+        for r in rows.itertuples(index=False):
+            v = float(getattr(r, value_col))
+            z = (v - mu) / sigma
+            s = max(0.0, s + z - k)
+            t = max(0.0, t - z - k)
+            out[order_col].append(int(getattr(r, order_col)))
+            out[value_col].append(v)
+            out["cusum_high"].append(s)
+            out["cusum_low"].append(t)
+            out["is_change"].append(s > h or t > h)
+        state.update((s, t))
+        out_pdf = pd.DataFrame(out)
+        out_pdf.insert(1, key_col, key[0])
+        yield out_pdf
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_timeseries_ingest(ts, stream_df: DataFrame, checkpoint: str):
     """Streaming ingest into the versioned store: each micro-batch becomes
     one check_out → add_timeseries_bulk → commit transaction (the

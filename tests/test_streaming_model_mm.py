@@ -1403,6 +1403,81 @@ def test_streaming_ewma_matches_batch(spark, sf_dir, tmp_path_factory):
     assert got.tolist() == want.tolist()  # bit-exact at dyadic alpha
 
 
+def test_streaming_cusum_matches_batch(spark, tmp_path_factory):
+    """cusum_stream (two doubles of state per key) equals the batch
+    online-form cusum_changepoints(baseline=…) across 4 micro-batches.
+    Values sit on a dyadic grid with sigma=0.5 and k=0.5, so every z,
+    sum and max is exact double arithmetic — the sequential recurrence
+    and the batch prefix-sum/running-min identity must then agree
+    BIT-exactly, including the is_change flags of a planted shift that
+    crosses a micro-batch boundary mid-ramp."""
+    import random
+    import time as _time
+
+    from datetime import datetime, timedelta
+
+    import numpy as np
+
+    from ixmp_spark.operators.sessions import cusum_changepoints
+    from ixmp_spark.streaming.ts_stream import (
+        cusum_stream,
+        run_available_now,
+    )
+
+    rng = random.Random(23)
+    t0 = datetime(2024, 5, 1)
+    rows = []
+    eid = 0
+    for key in (1, 2, 3):
+        for i in range(80):
+            # dyadic grid ±2.0 in 0.25 steps; key 2 shifts +1.5 at i=50
+            v = rng.randrange(-8, 9) * 0.25
+            if key == 2 and i >= 50:
+                v += 1.5
+            rows.append((eid, t0 + timedelta(seconds=eid), key, v))
+            eid += 1
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    feed = str(tmp_path_factory.mktemp("cusumstream") / "ev")
+    bounds = np.linspace(0, len(rows), 5, dtype=int)
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        spark.createDataFrame(rows[a:b], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    got = (
+        run_available_now(
+            cusum_stream(stream, baseline=(0.0, 0.5)),
+            "t_cusumstream",
+            mode="append",
+        )
+        .toPandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    want = (
+        cusum_changepoints(
+            spark.read.parquet(feed), "user_id", "ts", "value",
+            order_cols=("event_id",), baseline=(0.0, 0.5),
+        )
+        .toPandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    assert len(got) == len(want) == len(rows)
+    # batch rounds to 6; on the dyadic grid the raw values are exact,
+    # so rounding the stream side must reproduce batch bit-for-bit
+    assert got["cusum_high"].round(6).tolist() == want["cusum_high"].tolist()
+    assert got["cusum_low"].round(6).tolist() == want["cusum_low"].tolist()
+    assert got["is_change"].tolist() == want["is_change"].tolist()
+    assert want["is_change"].any()  # the planted shift actually alarms
+
+
 def test_streaming_strip_common_lines_matches_batch(spark, tmp_path_factory):
     """strip_common_lines_stream over a file stream, cleaned against the
     batch-discovered template set, equals the batch operator row-for-row
