@@ -1337,3 +1337,76 @@ def strip_common_lines(
             .alias("n_lines_dropped"),
         )
     )
+
+
+#: every non-ASCII run must form a structurally valid UTF-8 sequence
+#: when the string's codepoints 0x80–0xFF are reinterpreted as bytes —
+#: including the overlong (E0 A0–BF) and surrogate (ED 80–9F) side
+#: conditions, because Spark's ANSI `decode` RAISES on malformed input
+#: rather than inserting U+FFFD. Matching this is what makes the
+#: charset round-trip below total.
+_MOJIBAKE_SHAPE = (
+    r"^(?:[\x00-\x7F]"
+    r"|[\xC2-\xDF][\x80-\xBF]"
+    r"|\xE0[\xA0-\xBF][\x80-\xBF]"
+    r"|[\xE1-\xEC][\x80-\xBF]{2}"
+    r"|\xED[\x80-\x9F][\x80-\xBF]"
+    r"|[\xEE-\xEF][\x80-\xBF]{2}"
+    r"|\xF0[\x90-\xBF][\x80-\xBF]{2}"
+    r"|[\xF1-\xF3][\x80-\xBF]{3}"
+    r"|\xF4[\x80-\x8F][\x80-\xBF]{2})*$"
+)
+
+
+#: the 27 printable Windows-1252 codepoints that differ from Latin-1's
+#: C1 range: real-world mojibake is almost always cp1252-decoded (curly
+#: quotes, em-dash, €, ™ …), and those land on these characters instead
+#: of the raw \x80–\x9F bytes. `translate` maps them back to their byte
+#: positions so the Latin-1 round-trip below can invert them too.
+_CP1252_SRC = (
+    "€‚ƒ„…†‡ˆ‰Š"
+    "‹ŒŽ‘’“”•–—"
+    "˜™š›œžŸ"
+)
+_CP1252_DST = (
+    "\x80\x82\x83\x84\x85\x86\x87\x88\x89\x8a"
+    "\x8b\x8c\x8e\x91\x92\x93\x94\x95\x96\x97"
+    "\x98\x99\x9a\x9b\x9c\x9e\x9f"
+)
+
+
+def fix_mojibake(col, passes: int = 1) -> Column:
+    """Repair UTF-8-read-as-Latin-1 mojibake ('cafÃ©' → 'café') — the
+    ftfy-style cleanup every web-crawl pipeline runs before anything
+    tokenizes. GENERIC, not a lookup table: re-encode the string's
+    codepoints as ISO-8859-1 bytes and decode them as UTF-8 — exactly
+    inverting the corruption — entirely with JVM charset built-ins
+    (``encode``/``decode``), map-only, no UDF.
+
+    Corruptions through BOTH common charsets invert: bytes read as
+    Latin-1 directly, and bytes read as Windows-1252 (the usual web
+    case — curly quotes arrive as 'â€œ', € as 'â‚¬') via a
+    ``translate`` of the 27 cp1252-printable codepoints back to their
+    C1 byte positions first.
+
+    A string is touched ONLY when (a) it contains a non-ASCII char and
+    (b) after the cp1252 back-map its whole non-ASCII content parses
+    as structurally valid UTF-8 under the byte reinterpretation
+    (``_MOJIBAKE_SHAPE``): legitimate Latin-1 text ('café' with a real
+    é followed by ASCII) fails the shape test and passes through
+    untouched, and the guard is precise enough that the ANSI
+    ``decode`` can never raise. ``passes=2`` unwinds doubly-encoded
+    mojibake; each pass re-applies the same guard, so over-unwinding
+    cannot occur.
+    """
+    c = col if not isinstance(col, str) else F.col(col)
+    out = c
+    for _ in range(passes):
+        tr = F.translate(out, _CP1252_SRC, _CP1252_DST)
+        repairable = tr.rlike(r"[^\x00-\x7F]") & tr.rlike(
+            _MOJIBAKE_SHAPE
+        )
+        out = F.when(
+            repairable, F.decode(F.encode(tr, "ISO-8859-1"), "UTF-8")
+        ).otherwise(out)
+    return out

@@ -578,3 +578,48 @@ def p17_pareto_frontier(spark, sf_dir):
         d.withColumn("__negc", -F.col("n_chars")), "__negc", "n_distinct"
     )
     return out.select("doc_id", "n_chars", "n_distinct", "on_frontier")
+
+
+@query(
+    "t20_fix_mojibake",
+    oracle="""
+    SELECT doc_id,
+           CASE
+             WHEN doc_id % 3 = 0 THEN replace(text, 'a', '\u00e1')
+             WHEN doc_id % 3 = 1 THEN '\u201c' || text || '\u201d'
+             ELSE text
+           END AS fixed
+    FROM documents
+    """,
+)
+def t20_fix_mojibake(spark, sf_dir):
+    """Mojibake repair (fix_mojibake): documents are deterministically
+    corrupted -- a third get Latin-1-mojibake accents (the 'a-acute'
+    arriving as its C3-A1 byte pair read as Latin-1), a third get
+    cp1252-mojibake curly quotes (the closing one through the
+    undefined-0x9D control byte), a third stay clean ASCII -- and the
+    operator must return exactly the UNCORRUPTED text. The oracle
+    states that ground truth analytically (it never models the
+    repair), so the charset round-trip, the cp1252 back-map, and the
+    do-not-touch guard are all hash-covered."""
+    from ixmp_spark.operators.text import fix_mojibake
+
+    docs = load(spark, sf_dir, "documents")
+    moji = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.replace(
+                F.col("text"), F.lit("a"), F.lit("\u00c3\u00a1")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.lit("\u00e2\u20ac\u0153"),
+                F.col("text"),
+                F.lit("\u00e2\u20ac\u009d"),
+            ),
+        )
+        .otherwise(F.col("text"))
+    )
+    return docs.select("doc_id", fix_mojibake(moji).alias("fixed"))

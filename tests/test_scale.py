@@ -3320,3 +3320,44 @@ def test_corpus_drift_psi_semantics(spark):
     assert moved["lang"][0] > 0.25      # categorical shift detected
     assert moved["x"][0] > 0.25         # everything clamped to top bin
     assert moved["x"][1] <= 10          # clamping kept the bin count
+
+
+def test_fix_mojibake_repair_and_guard(spark):
+    """fix_mojibake inverts Latin-1 AND cp1252 mojibake (single and,
+    with passes=2, double encoding), while the validity guard leaves
+    legitimate accents, dangling lead bytes, and plain ASCII untouched
+    -- and the ANSI decode never raises on any of them."""
+    from ixmp_spark.operators.text import fix_mojibake
+
+    cases = [
+        # (input, expected after 1 pass, expected after 2 passes)
+        ("caf\u00c3\u00a9", "caf\u00e9", "caf\u00e9"),
+        ("na\u00c3\u00af" "ve \u00c3\u00bcber",
+         "na\u00efve \u00fcber", "na\u00efve \u00fcber"),
+        # cp1252: curly quotes, euro, em-dash, CJK
+        ("\u00e2\u20ac\u0153q\u00e2\u20ac\u009d",
+         "\u201cq\u201d", "\u201cq\u201d"),
+        ("\u00e4\u00b8\u00adq", "\u4e2dq", "\u4e2dq"),
+        ("\u00e2\u201a\u00ac5 \u00e2\u20ac\u201d ok",
+         "\u20ac5 \u2014 ok", "\u20ac5 \u2014 ok"),
+        # double-encoded through pure Latin-1
+        ("caf\u00c3\u0083\u00c2\u00a9", "caf\u00c3\u00a9",
+         "caf\u00e9"),
+        # guard: legit accent, dangling lead byte, ASCII
+        ("caf\u00e9", "caf\u00e9", "caf\u00e9"),
+        ("abc\u00c3", "abc\u00c3", "abc\u00c3"),
+        ("plain", "plain", "plain"),
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _, _) in enumerate(cases)], "id long, s string"
+    )
+    got = {
+        r["id"]: (r["f1"], r["f2"])
+        for r in df.select(
+            "id",
+            fix_mojibake("s").alias("f1"),
+            fix_mojibake("s", passes=2).alias("f2"),
+        ).collect()
+    }
+    for i, (_, e1, e2) in enumerate(cases):
+        assert got[i] == (e1, e2), (i, got[i], (e1, e2))
