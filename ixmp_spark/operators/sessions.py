@@ -1008,3 +1008,52 @@ def cusum_changepoints(
         )
         .drop("_z", "_yh", "_yl", "_ph", "_pl")
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    threshold: float = 3.5,
+) -> DataFrame:
+    """Robust outlier screen per key via the modified z-score
+    (Iglewicz & Hoaglin): ``M_i = (x_i - median) / (1.4826 · MAD)``
+    with ``MAD = median(|x - median|)``. The mean/stddev z-score
+    (``zscore_anomalies``) breaks down exactly when it matters — a few
+    extreme points inflate sigma until nothing flags — while median
+    and MAD have a 50% breakdown point; this is the screen to run
+    FIRST on contaminated telemetry.
+
+    Both medians are per-key window aggregates over the SAME
+    partitioning (the inner one materializes before the outer — two
+    Window nodes, ONE keyed shuffle); 1.4826 ≈ 1/Φ⁻¹(3/4) scales MAD
+    to sigma-equivalents under normality. Keys with ``MAD = 0`` (a
+    majority-constant key: any deviation is infinitely many MADs out)
+    yield NULL scores and ``is_outlier = false`` — same no-baseline
+    convention as the z-score family.
+
+    Output: input columns + ``key_median``, ``mad``, ``mod_z``
+    (rounded to 6) and ``is_outlier``.
+    """
+    wk = Window.partitionBy(key_col)
+    v = F.col(value_col).cast("double")
+    med = df.withColumn("_med", F.median(v).over(wk))
+    madded = med.withColumn(
+        "_mad", F.median(F.abs(v - F.col("_med"))).over(wk)
+    )
+    mz = F.when(
+        F.col("_mad") > 0,
+        (v - F.col("_med")) / (F.lit(1.4826) * F.col("_mad")),
+    )
+    return (
+        madded.withColumn("key_median", F.round(F.col("_med"), 6))
+        .withColumn("mad", F.round(F.col("_mad"), 6))
+        .withColumn("mod_z", F.round(mz, 6))
+        .withColumn(
+            "is_outlier",
+            F.coalesce(
+                F.abs(mz) > F.lit(float(threshold)), F.lit(False)
+            ),
+        )
+        .drop("_med", "_mad")
+    )

@@ -2491,3 +2491,43 @@ def x6_hybrid_search(spark, sf_dir):
         [("bm25", bm, "score"), ("cosine", cs, "cosine_sim")],
         "doc_id", k=60, top_n=20,
     )
+
+
+@query(
+    "w14_mad_outliers",
+    oracle="""
+    WITH m AS (
+      SELECT event_id, user_id, value,
+             median(value) OVER (PARTITION BY user_id) AS med
+      FROM events
+    ), mm AS (
+      SELECT event_id, user_id, value, med,
+             median(abs(value - med)) OVER (PARTITION BY user_id) AS mad
+      FROM m
+    )
+    SELECT event_id, user_id, value,
+           round(med, 6) AS key_median,
+           round(mad, 6) AS mad,
+           round(CASE WHEN mad > 0
+                      THEN (value - med) / (1.4826 * mad) END, 6) AS mod_z,
+           coalesce(abs(CASE WHEN mad > 0
+                             THEN (value - med) / (1.4826 * mad) END)
+                    > 3.5, false) AS is_outlier
+    FROM mm
+    """,
+)
+def w14_mad_outliers(spark, sf_dir):
+    """Modified z-score outlier screen per user (mad_outliers):
+    median/MAD replace mean/stddev, so a contaminated key can't
+    inflate its own baseline away (50% breakdown point vs w10's 0%).
+    Two stacked per-key median windows, one keyed shuffle; the oracle
+    restates the identical windows so the driver hash certifies both
+    engines' median-of-medians arithmetic."""
+    from ixmp_spark.operators.sessions import mad_outliers
+
+    ev = load(spark, sf_dir, "events")
+    out = mad_outliers(ev, "user_id", "value", threshold=3.5)
+    return out.select(
+        "event_id", "user_id", "value",
+        "key_median", "mad", "mod_z", "is_outlier",
+    )

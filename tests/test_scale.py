@@ -3361,3 +3361,49 @@ def test_fix_mojibake_repair_and_guard(spark):
     }
     for i, (_, e1, e2) in enumerate(cases):
         assert got[i] == (e1, e2), (i, got[i], (e1, e2))
+
+
+def test_mad_outliers_breakdown_resistance(spark):
+    """mad_outliers equals a statistics.median replay, flags a gross
+    spike that the MEAN z-score (w10 family) masks when a key is 20%
+    contaminated, and returns NULL scores on a majority-constant key
+    (MAD = 0)."""
+    import statistics
+    from datetime import datetime, timedelta
+
+    from ixmp_spark.operators.sessions import mad_outliers
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # key 1: 40 quiet values around 10 +/- small det. wiggle, 10
+    # contaminated at 1000 (20%) -> stddev explodes, MAD does not
+    for i in range(40):
+        rows.append((i, t0 + timedelta(seconds=i), 1, 10.0 + (i % 5) * 0.1))
+    for i in range(40, 50):
+        rows.append((i, t0 + timedelta(seconds=i), 1, 1000.0))
+    # key 2: constant -> MAD 0 -> NULLs
+    for i in range(100, 105):
+        rows.append((i, t0 + timedelta(seconds=i), 2, 3.0))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    got = {r["event_id"]: r
+           for r in mad_outliers(ev, "user_id", "value").collect()}
+
+    k1 = [v for _, _, k, v in rows if k == 1]
+    med = statistics.median(k1)
+    mad = statistics.median([abs(v - med) for v in k1])
+    for eid, _, k, v in rows:
+        r = got[eid]
+        if k == 2:
+            assert r["mod_z"] is None and r["is_outlier"] is False
+            continue
+        mz = (v - med) / (1.4826 * mad)
+        assert abs(r["mod_z"] - mz) < 1e-5
+        assert r["is_outlier"] == (abs(mz) > 3.5)
+    # the contaminated points DO flag under MAD...
+    assert all(got[i]["is_outlier"] for i in range(40, 50))
+    # ...but would NOT under mean/stddev z at the same threshold:
+    mean = sum(k1) / len(k1)
+    sd = statistics.stdev(k1)
+    assert all(abs((v - mean) / sd) < 3.5 for v in k1)
