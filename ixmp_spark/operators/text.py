@@ -1410,3 +1410,48 @@ def fix_mojibake(col, passes: int = 1) -> Column:
             repairable, F.decode(F.encode(tr, "ISO-8859-1"), "UTF-8")
         ).otherwise(out)
     return out
+
+
+def char_entropy(col) -> Column:
+    """Shannon entropy (bits/char) of a string's character
+    distribution — the cheapest gibberish detector there is: random
+    base64/hex blobs score near log2(alphabet) (≥ 5), natural language
+    sits ~4–4.5, template/repetition collapses toward 0. The classic
+    companion gate to `gopher_quality_filter` for stripping encoded
+    blobs and boilerplate runs out of crawl text.
+
+    Single O(n) fold, no explode: sort the char array, then ONE
+    ``aggregate`` walks the runs carrying (prev, run_len, Σ n·log2 n)
+    — run boundaries close their term as they pass. ``H = log2(N) −
+    (Σ n_i·log2 n_i)/N`` needs no per-char map or second pass, and the
+    accumulator is 3 scalars regardless of alphabet. (A
+    transform-over-distinct formulation would re-inline the split per
+    distinct char under projection collapse — the repo's documented
+    HOF trap — this fold touches each char once.) NULL on empty/NULL
+    input."""
+    c = col if not isinstance(col, str) else F.col(col)
+    chars = F.array_sort(
+        F.filter(F.split(c, ""), lambda x: x != F.lit(""))
+    )
+    n = F.size(chars)
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("cnt"),
+        F.lit(0.0).alias("s"),
+    )
+    close = lambda cnt: F.when(  # noqa: E731 — term of a finished run
+        cnt > 0, cnt.cast("double") * F.log2(cnt.cast("double"))
+    ).otherwise(F.lit(0.0))
+    folded = F.aggregate(
+        chars,
+        acc0,
+        lambda a, ch: F.struct(
+            ch.alias("prev"),
+            F.when(ch == a.prev, a.cnt + 1).otherwise(F.lit(1).cast("long")).alias("cnt"),
+            F.when(ch == a.prev, a.s).otherwise(a.s + close(a.cnt)).alias("s"),
+        ),
+        lambda a: a.s + close(a.cnt),
+    )
+    return F.when(
+        n > 0, F.log2(n.cast("double")) - folded / n.cast("double")
+    )

@@ -623,3 +623,43 @@ def t20_fix_mojibake(spark, sf_dir):
         .otherwise(F.col("text"))
     )
     return docs.select("doc_id", fix_mojibake(moji).alias("fixed"))
+
+
+@query(
+    "t21_char_entropy",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id,
+             substr(text, CAST(unnest(range(1, length(text) + 1))
+                           AS INTEGER), 1) AS c
+      FROM documents WHERE length(text) > 0
+    ), runs AS (
+      SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS n
+      FROM ch GROUP BY doc_id, c
+    ), tot AS (
+      SELECT doc_id, sum(n) AS nn, sum(n * log2(n)) AS s
+      FROM runs GROUP BY doc_id
+    )
+    SELECT doc_id,
+           round(log2(nn) - s / nn, 6) AS char_entropy,
+           (log2(nn) - s / nn) < 3.0 AS low_entropy
+    FROM tot
+    """,
+)
+def t21_char_entropy(spark, sf_dir):
+    """Character-distribution Shannon entropy per document
+    (char_entropy) + a low-entropy gate — the gibberish/boilerplate
+    detector next to the Gopher gates. Spark computes it as ONE
+    sorted-array fold (3-scalar accumulator, no explode, no per-char
+    map — the HOF-trap-safe form); the oracle recomputes the
+    definition by exploding chars to rows and aggregating, so the
+    driver hash certifies the fold against the textbook formula."""
+    from ixmp_spark.operators.text import char_entropy
+
+    docs = load(spark, sf_dir, "documents")
+    h = char_entropy("text")
+    return docs.where(F.length("text") > 0).select(
+        "doc_id",
+        F.round(h, 6).alias("char_entropy"),
+        (h < 3.0).alias("low_entropy"),
+    )

@@ -3407,3 +3407,47 @@ def test_mad_outliers_breakdown_resistance(spark):
     mean = sum(k1) / len(k1)
     sd = statistics.stdev(k1)
     assert all(abs((v - mean) / sd) < 3.5 for v in k1)
+
+
+def test_char_entropy_matches_counter(spark):
+    """char_entropy's sorted-run fold equals the Counter-based
+    definition on hand-picked and random strings; degenerate cases
+    (uniform, empty, single char) pin the boundaries and a base64-ish
+    blob scores far above repeated template text."""
+    import math
+    import random
+    from collections import Counter
+
+    from ixmp_spark.operators.text import char_entropy
+
+    rng = random.Random(3)
+    blob = "".join(rng.choice(
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/"
+    ) for _ in range(400))
+    template = "click here to continue " * 20
+    cases = ["aaaa", "abab", "abcd", "", "x",
+             "the quick brown fox jumps over the lazy dog",
+             blob, template]
+    cases += ["".join(rng.choice("abcdef ") for _ in range(rng.randrange(1, 60)))
+              for _ in range(20)]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(cases)], "id long, s string"
+    )
+    got = {r["id"]: r["h"]
+           for r in df.select("id", char_entropy("s").alias("h")).collect()}
+
+    def ref(s):
+        if not s:
+            return None
+        n = len(s)
+        return -sum((c / n) * math.log2(c / n)
+                    for c in Counter(s).values())
+
+    for i, s in enumerate(cases):
+        want = ref(s)
+        if want is None:
+            assert got[i] is None
+        else:
+            assert abs(got[i] - want) < 1e-9, (i, s, got[i], want)
+    assert got[6] > 5.5          # base64 blob
+    assert got[7] < got[5] < got[6]   # template < english < blob
