@@ -1455,3 +1455,45 @@ def char_entropy(col) -> Column:
     return F.when(
         n > 0, F.log2(n.cast("double")) - folded / n.cast("double")
     )
+
+
+def zipf_fit(
+    df: DataFrame, text_col: str, top_n: int = 200
+) -> DataFrame:
+    """Zipf's-law fit of the corpus frequency spectrum: OLS of
+    ``ln(freq)`` on ``ln(rank)`` over the top-``top_n`` terms — the
+    one-row corpus-health diagnostic (natural language sits near
+    slope −1 with r² ≳ 0.9; machine-generated/templated corpora bend
+    the spectrum and the fit degrades or steepens). Drift of the
+    exponent between snapshots is the vocabulary-level complement of
+    ``corpus_drift``'s value-level PSI.
+
+    One explode + one term-keyed count aggregate (map-side partials)
+    is all that touches the corpus; ranking happens AFTER a
+    ``top_n``-bounded TakeOrdered, so the global row_number window
+    runs on hundreds of rows. The regression itself is the ANSI
+    ``regr_*`` aggregates both engines implement natively.
+
+    Output (1 row): ``zipf_slope``, ``zipf_intercept``, ``zipf_r2``
+    (rounded to 6), ``n_terms``.
+    """
+    toks = df.select(
+        F.explode(
+            F.split(F.trim(F.lower(text_col)), r"\s+")
+        ).alias("term")
+    ).where(F.col("term") != "")
+    cnt = toks.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    top = cnt.orderBy(F.desc("n"), F.asc("term")).limit(top_n)
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    ranked = top.withColumn(
+        "r", F.row_number().over(w).cast("double")
+    )
+    ln_n, ln_r = F.log(F.col("n")), F.log(F.col("r"))
+    return ranked.agg(
+        F.round(F.regr_slope(ln_n, ln_r), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(ln_n, ln_r), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(ln_n, ln_r), 6).alias("zipf_r2"),
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+    )

@@ -663,3 +663,39 @@ def t21_char_entropy(spark, sf_dir):
         F.round(h, 6).alias("char_entropy"),
         (h < 3.0).alias("low_entropy"),
     )
+
+
+@query(
+    "x7_zipf_fit",
+    oracle=r"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+      FROM documents
+    ), cnt AS (
+      SELECT term, CAST(count(*) AS DOUBLE) AS n
+      FROM tok WHERE term <> '' GROUP BY term
+    ), top AS (
+      SELECT term, n FROM cnt ORDER BY n DESC, term LIMIT 200
+    ), ranked AS (
+      SELECT n, CAST(row_number() OVER (ORDER BY n DESC, term)
+                     AS DOUBLE) AS r
+      FROM top
+    )
+    SELECT round(regr_slope(ln(n), ln(r)), 6) AS zipf_slope,
+           round(regr_intercept(ln(n), ln(r)), 6) AS zipf_intercept,
+           round(regr_r2(ln(n), ln(r)), 6) AS zipf_r2,
+           CAST(count(*) AS BIGINT) AS n_terms
+    FROM ranked
+    """,
+)
+def x7_zipf_fit(spark, sf_dir):
+    """Zipf's-law exponent of the corpus frequency spectrum
+    (zipf_fit, top-200 terms): the 1-row vocabulary-health metric.
+    Ranks are computed on exact integer counts with a term tie-break,
+    so both engines rank identically, and the regression rides the
+    same ANSI regr_* aggregates as w12 — the oracle is a literal
+    restatement."""
+    from ixmp_spark.operators.text import zipf_fit
+
+    docs = load(spark, sf_dir, "documents")
+    return zipf_fit(docs, "text", top_n=200)

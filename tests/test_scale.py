@@ -3451,3 +3451,44 @@ def test_char_entropy_matches_counter(spark):
             assert abs(got[i] - want) < 1e-9, (i, s, got[i], want)
     assert got[6] > 5.5          # base64 blob
     assert got[7] < got[5] < got[6]   # template < english < blob
+
+
+def test_zipf_fit_planted_spectrum(spark):
+    """zipf_fit recovers a planted power law (slope ~ -1, r2 ~ 1),
+    matches a pure-Python OLS replay to 1e-4, and reports a flat
+    low-r2 fit on a uniform vocabulary — the corpus-health contrast
+    the diagnostic exists for."""
+    import math
+
+    from ixmp_spark.operators.text import zipf_fit
+
+    # planted: word w_r appears round(1000/r) times, r = 1..50
+    words = []
+    for r in range(1, 51):
+        words += [f"w{r:03d}"] * round(1000 / r)
+    docs = [(i, " ".join(words[i::20])) for i in range(20)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = zipf_fit(df, "text", top_n=50).collect()[0]
+
+    # replay: same counts, same ranking, same OLS
+    from collections import Counter
+    cnt = Counter(words)
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+    xs = [math.log(r + 1) for r in range(len(top))]
+    ys = [math.log(n) for _, n in top]
+    mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+    sxx = sum((x - mx) ** 2 for x in xs)
+    sxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    syy = sum((y - my) ** 2 for y in ys)
+    slope = sxy / sxx
+    r2 = sxy * sxy / (sxx * syy)
+    assert abs(got["zipf_slope"] - slope) < 1e-4
+    assert abs(got["zipf_r2"] - r2) < 1e-4
+    assert -1.1 < got["zipf_slope"] < -0.9 and got["zipf_r2"] > 0.95
+
+    flat = spark.createDataFrame(
+        [(0, " ".join(f"u{i}" for i in range(100)) * 3)],
+        "doc_id long, text string",
+    )
+    g2 = zipf_fit(flat, "text", top_n=100).collect()[0]
+    assert abs(g2["zipf_slope"]) < 0.05  # uniform spectrum: no law
