@@ -662,3 +662,32 @@ def triangle_count(
             F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
         )
     )
+
+
+def fd_violations(
+    df: DataFrame,
+    determinant_cols: Sequence[str],
+    dependent_cols: Sequence[str],
+) -> DataFrame:
+    """Functional-dependency violation detector: the determinant key
+    tuples for which the dependent columns take MORE THAN ONE distinct
+    value — the data-quality assertion behind every dimension load
+    ("order_id determines customer", "ISO code determines country
+    name"); J3 validates set membership, this validates uniqueness of
+    association, the other half of referential hygiene.
+
+    ONE aggregation: groupBy the determinant, count distinct dependent
+    tuples (map-side partial aggregation; dependent tuples compare as
+    a struct so NULLs group as values, matching SQL DISTINCT). Emits
+    only violators — the healthy 99.99% never leave the mappers as
+    more than partial counts.
+
+    Output: determinant columns + ``n_variants`` (> 1), sorted-free;
+    join back to ``df`` on the determinant for the offending rows.
+    """
+    dep = F.struct(*[F.col(c) for c in dependent_cols])
+    return (
+        df.groupBy(*determinant_cols)
+        .agg(F.count_distinct(dep).alias("n_variants"))
+        .where(F.col("n_variants") > 1)
+    )

@@ -1057,3 +1057,49 @@ def mad_outliers(
         )
         .drop("_med", "_mad")
     )
+
+
+def winsorize(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    lower: float = 0.05,
+    upper: float = 0.95,
+) -> DataFrame:
+    """Per-key winsorization: clip values into the key's own
+    [``lower``, ``upper``] percentile band — the standard robust
+    preprocessing before means/regressions on heavy-tailed telemetry
+    (cap the tails, keep the rows; dropping them is trimming, a
+    different tool). Complements ``mad_outliers``: that one FLAGS,
+    this one REPAIRS.
+
+    Both bounds are interpolated-percentile window aggregates over the
+    same unordered per-key frame — one keyed shuffle, no sort. Keys
+    too small for a stable band just clip to their own min/max (the
+    percentile of a tiny set). NULL values pass through unclipped.
+
+    Output: input columns + ``lo_bound``/``hi_bound`` (rounded to 6),
+    ``value_winsorized`` (rounded to 6), ``was_clipped``.
+    """
+    if not 0 <= lower < upper <= 1:
+        raise ValueError("need 0 <= lower < upper <= 1")
+    wk = Window.partitionBy(key_col)
+    v = F.col(value_col).cast("double")
+    lo = F.percentile(v, F.lit(float(lower))).over(wk)
+    hi = F.percentile(v, F.lit(float(upper))).over(wk)
+    bounded = df.withColumn("_lo", lo).withColumn("_hi", hi)
+    # explicit NULL guard: greatest/least SKIP nulls, so a NULL value
+    # would otherwise "clip" to the lower bound
+    clipped = F.when(
+        v.isNotNull(), F.least(F.greatest(v, F.col("_lo")), F.col("_hi"))
+    )
+    return (
+        bounded.withColumn("lo_bound", F.round(F.col("_lo"), 6))
+        .withColumn("hi_bound", F.round(F.col("_hi"), 6))
+        .withColumn("value_winsorized", F.round(clipped, 6))
+        .withColumn(
+            "was_clipped",
+            F.coalesce(v.isNotNull() & (clipped != v), F.lit(False)),
+        )
+        .drop("_lo", "_hi")
+    )

@@ -2531,3 +2531,42 @@ def w14_mad_outliers(spark, sf_dir):
         "event_id", "user_id", "value",
         "key_median", "mad", "mod_z", "is_outlier",
     )
+
+
+@query(
+    "w15_winsorize",
+    oracle="""
+    WITH b AS (
+      SELECT event_id, user_id, value,
+             quantile_cont(value, 0.05) OVER (PARTITION BY user_id)
+               AS lo,
+             quantile_cont(value, 0.95) OVER (PARTITION BY user_id)
+               AS hi
+      FROM events
+    )
+    SELECT event_id, user_id, value,
+           round(lo, 6) AS lo_bound,
+           round(hi, 6) AS hi_bound,
+           round(CASE WHEN value IS NOT NULL
+                      THEN least(greatest(value, lo), hi) END, 6)
+             AS value_winsorized,
+           coalesce(least(greatest(value, lo), hi) <> value, false)
+             AS was_clipped
+    FROM b
+    """,
+)
+def w15_winsorize(spark, sf_dir):
+    """Per-user winsorization at the [5%, 95%] band (winsorize):
+    tail-clipping repair over one keyed shuffle, both bounds from
+    interpolated-percentile window aggregates. The oracle restates
+    the identical quantile windows (DuckDB quantile_cont ≡ Spark
+    percentile, the a8-documented interpolation pair whose ulp gap
+    the 6-decimal round absorbs)."""
+    from ixmp_spark.operators.sessions import winsorize
+
+    ev = load(spark, sf_dir, "events")
+    out = winsorize(ev, "user_id", "value", 0.05, 0.95)
+    return out.select(
+        "event_id", "user_id", "value",
+        "lo_bound", "hi_bound", "value_winsorized", "was_clipped",
+    )

@@ -397,3 +397,28 @@ def j13_fuzzy_join(spark, sf_dir):
         F.col("p_partkey_r").alias("right_id"),
         "edit_distance",
     )
+
+
+@query(
+    "j15_fd_violations",
+    oracle="""
+    SELECT o_orderkey, CAST(2 AS BIGINT) AS n_variants
+    FROM orders WHERE o_orderkey % 97 = 0
+    """,
+)
+def j15_fd_violations(spark, sf_dir):
+    """Functional-dependency check (fd_violations) on an
+    orderkey→custkey association with planted corruption: every 97th
+    order re-enters the feed with a shifted customer, so the violator
+    set — and nothing else — must surface with exactly 2 variants.
+    The oracle states that expected set ANALYTICALLY (it never runs a
+    groupBy), so both the detector and its negative space (clean keys
+    stay silent) are hash-covered."""
+    from ixmp_spark.operators.joins import fd_violations
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    corrupted = o.where(F.col("o_orderkey") % 97 == 0).withColumn(
+        "o_custkey", F.col("o_custkey") + 1
+    )
+    feed = o.unionByName(corrupted)
+    return fd_violations(feed, ["o_orderkey"], ["o_custkey"])

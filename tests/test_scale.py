@@ -3492,3 +3492,57 @@ def test_zipf_fit_planted_spectrum(spark):
     )
     g2 = zipf_fit(flat, "text", top_n=100).collect()[0]
     assert abs(g2["zipf_slope"]) < 0.05  # uniform spectrum: no law
+
+
+def test_winsorize_and_fd_violations(spark):
+    """winsorize clips exactly to the numpy-style interpolated band
+    (replayed in pure Python with Spark's percentile formula) and
+    leaves NULLs unclipped; fd_violations finds exactly the planted
+    multi-valued keys, counting distinct dependent TUPLES (duplicate
+    identical rows are not violations, NULL variants count once)."""
+    from datetime import datetime, timedelta
+
+    from ixmp_spark.operators.joins import fd_violations
+    from ixmp_spark.operators.sessions import winsorize
+
+    t0 = datetime(2024, 1, 1)
+    vals = [float(v) for v in [1, 2, 3, 4, 5, 6, 7, 8, 9, 100]]
+    rows = [(i, t0 + timedelta(seconds=i), 1, v) for i, v in enumerate(vals)]
+    rows.append((99, t0, 1, None))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    got = {r["event_id"]: r
+           for r in winsorize(ev, "user_id", "value", 0.1, 0.9).collect()}
+
+    def pct(sorted_xs, p):
+        # Spark percentile: symmetric weighted interpolation
+        pos = (len(sorted_xs) - 1) * p
+        lo, hi = int(pos), min(int(pos) + 1, len(sorted_xs) - 1)
+        return (hi - pos) * sorted_xs[lo] + (pos - lo) * sorted_xs[hi]
+
+    s = sorted(vals)
+    lo_b, hi_b = pct(s, 0.1), pct(s, 0.9)
+    for i, v in enumerate(vals):
+        r = got[i]
+        assert abs(r["lo_bound"] - round(lo_b, 6)) < 1e-9
+        assert abs(r["hi_bound"] - round(hi_b, 6)) < 1e-9
+        want = min(max(v, lo_b), hi_b)
+        assert abs(r["value_winsorized"] - round(want, 6)) < 1e-9
+        assert r["was_clipped"] == (want != v)
+    assert got[99]["value_winsorized"] is None
+    assert got[99]["was_clipped"] is False
+
+    feed = spark.createDataFrame(
+        [
+            (1, 10), (1, 10),          # duplicate association: clean
+            (2, 20), (2, 21),          # violation
+            (3, None), (3, None),      # NULL variant, consistent: clean
+            (4, 40), (4, None),        # value vs NULL: violation
+            (5, 50),
+        ],
+        "k long, dep long",
+    )
+    v = {r["k"]: r["n_variants"]
+         for r in fd_violations(feed, ["k"], ["dep"]).collect()}
+    assert v == {2: 2, 4: 2}
