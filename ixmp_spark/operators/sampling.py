@@ -553,3 +553,76 @@ def pareto_frontier(
             F.col("__xkept") & (y == F.col("__ymax")), F.lit(False)
         ),
     ).drop("__x", "__ymax", "__xkept")
+
+
+def calibration_table(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram table for a probabilistic scorer: bucket
+    scores into ``n_bins`` equal-width bins over [0, 1] and report
+    per-bin count, mean score, and empirical positive rate — the
+    standard calibration audit for quality classifiers
+    (``quality_classifier_scores``) before their threshold gates any
+    corpus: a well-calibrated bin's ``frac_pos`` tracks its
+    ``mean_score``; systematic gaps mean the cut-point filters
+    something other than what the score claims.
+
+    Map-side bin assignment + ONE ``n_bins``-row aggregation; scores
+    exactly 1.0 fold into the top bin. Rows with NULL score or label
+    are dropped (they calibrate nothing).
+
+    Output: (bin, lo, hi, n, mean_score, frac_pos), one row per
+    non-empty bin.
+    """
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    b = F.least(
+        F.floor(s * n_bins).cast("long"), F.lit(n_bins - 1)
+    )
+    return (
+        df.where(s.isNotNull() & y.isNotNull())
+        .select(b.alias("bin"), s.alias("__s"), y.alias("__y"))
+        .groupBy("bin")
+        .agg(
+            F.round(F.min(F.col("bin") / float(n_bins)), 6).alias("lo"),
+            F.round(F.min((F.col("bin") + 1) / float(n_bins)), 6).alias(
+                "hi"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg("__s"), 6).alias("mean_score"),
+            F.round(F.avg("__y"), 6).alias("frac_pos"),
+        )
+    )
+
+
+def k_anonymity_filter(
+    df: DataFrame,
+    quasi_cols,
+    k: int = 5,
+) -> DataFrame:
+    """k-anonymity suppression: flag rows whose quasi-identifier
+    combination is shared by fewer than ``k`` rows — the release gate
+    for any per-user extract (a (nation, segment, year) cell of size 2
+    re-identifies; a cell of size 10 000 doesn't). Suppression — drop
+    the small cells — is the baseline mechanism; generalization ladders
+    build on the same cell-size signal.
+
+    One window count over the quasi-identifier partitioning (single
+    keyed shuffle, no join back). NULLs in quasi-identifiers group as
+    values (SQL window partitioning), matching the attacker model: a
+    NULL cell is still a cell.
+
+    Output: input columns + ``cell_size`` and ``suppress`` (true for
+    cells < k). Callers drop or generalize the flagged rows.
+    """
+    quasi = [F.col(c) for c in (
+        [quasi_cols] if isinstance(quasi_cols, str) else list(quasi_cols)
+    )]
+    w = Window.partitionBy(*quasi)
+    n = F.count(F.lit(1)).over(w)
+    return df.withColumn("cell_size", n.cast("long")).withColumn(
+        "suppress", F.col("cell_size") < k
+    )

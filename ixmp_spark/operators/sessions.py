@@ -1103,3 +1103,54 @@ def winsorize(
         )
         .drop("_lo", "_hi")
     )
+
+
+def cuped_adjust(
+    units: DataFrame,
+    arm_col: str,
+    pre_col: str,
+    post_col: str,
+) -> DataFrame:
+    """CUPED variance reduction for experiment readouts (Deng et al.
+    2013): regress each unit's post-period metric on its own
+    PRE-period metric and analyze the residualized
+
+        ``adj = post − θ·(pre − mean(pre))``,  ``θ = cov(pre, post)
+        / var(pre)``
+
+    — same expectation per arm (pre-period is independent of
+    assignment), strictly smaller variance whenever pre correlates
+    with post, which is what turns a week of A/B traffic into the
+    sensitivity of a month. The workhorse readout op for any
+    event-pipeline engine.
+
+    θ and ``mean(pre)`` come from ONE 1-row covariance aggregate over
+    all units pooled (the standard single-θ form) cross-broadcast into
+    the adjustment projection; per-arm summary is a second 1-row-per-
+    arm aggregate. Everything is ANSI ``covar_samp``/``var_samp`` —
+    oracle-restatable. Units with NULL pre or post are dropped.
+
+    Input: ONE ROW PER UNIT (aggregate your events first — CUPED is
+    defined on unit-level metrics). Output per arm: ``n``,
+    ``mean_post``, ``mean_adj`` (equal in expectation, tighter in
+    variance), ``var_post``, ``var_adj``, ``theta``.
+    """
+    pre = F.col(pre_col).cast("double")
+    post = F.col(post_col).cast("double")
+    u = units.where(pre.isNotNull() & post.isNotNull())
+    stats = u.agg(
+        (F.covar_samp(pre, post) / F.var_samp(pre)).alias("__theta"),
+        F.avg(pre).alias("__mu_pre"),
+    )
+    adj = u.crossJoin(F.broadcast(stats)).withColumn(
+        "__adj",
+        post - F.col("__theta") * (pre - F.col("__mu_pre")),
+    )
+    return adj.groupBy(arm_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg(post), 6).alias("mean_post"),
+        F.round(F.avg("__adj"), 6).alias("mean_adj"),
+        F.round(F.var_samp(post), 6).alias("var_post"),
+        F.round(F.var_samp("__adj"), 6).alias("var_adj"),
+        F.round(F.max("__theta"), 6).alias("theta"),
+    )

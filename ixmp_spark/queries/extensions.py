@@ -2570,3 +2570,52 @@ def w15_winsorize(spark, sf_dir):
         "event_id", "user_id", "value",
         "lo_bound", "hi_bound", "value_winsorized", "was_clipped",
     )
+
+
+@query(
+    "x8_cuped_lift",
+    oracle="""
+    WITH unit AS (
+      SELECT user_id, user_id % 2 AS arm,
+             sum(CASE WHEN ts <  TIMESTAMP '2024-01-16' THEN value
+                      ELSE 0 END) AS pre,
+             sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN value
+                      ELSE 0 END) AS post
+      FROM events GROUP BY user_id
+    ), stats AS (
+      SELECT covar_samp(pre, post) / var_samp(pre) AS theta,
+             avg(pre) AS mu_pre
+      FROM unit
+    ), adj AS (
+      SELECT arm, post, post - s.theta * (pre - s.mu_pre) AS a
+      FROM unit, stats s
+    )
+    SELECT arm, CAST(count(*) AS BIGINT) AS n,
+           round(avg(post), 6) AS mean_post,
+           round(avg(a), 6) AS mean_adj,
+           round(var_samp(post), 6) AS var_post,
+           round(var_samp(a), 6) AS var_adj,
+           round((SELECT theta FROM stats), 6) AS theta
+    FROM adj GROUP BY arm
+    """,
+)
+def x8_cuped_lift(spark, sf_dir):
+    """CUPED experiment readout (cuped_adjust) over a deterministic
+    user-hash split: first-half-of-January activity is the pre-period
+    covariate, second half the experiment metric. One 1-row θ/mean
+    aggregate cross-broadcasts into the adjustment; per-arm means and
+    variances are ANSI aggregates restated literally by the oracle,
+    so the driver hash certifies θ, the residualization, and the
+    variance-reduction numbers."""
+    from ixmp_spark.operators.sessions import cuped_adjust
+
+    ev = load(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    unit = ev.groupBy("user_id").agg(
+        (F.col("user_id") % 2).alias("arm"),
+        F.sum(F.when(F.col("ts") < cut, F.col("value")).otherwise(0.0))
+        .alias("pre"),
+        F.sum(F.when(F.col("ts") >= cut, F.col("value")).otherwise(0.0))
+        .alias("post"),
+    )
+    return cuped_adjust(unit, "arm", "pre", "post")

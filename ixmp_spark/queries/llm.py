@@ -699,3 +699,72 @@ def x7_zipf_fit(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     return zipf_fit(docs, "text", top_n=200)
+
+
+@query(
+    "t22_calibration_table",
+    oracle=r"""
+    WITH q AS (
+      SELECT doc_id,
+             round(0.5 * least(length(text) / 1000.0, 1.0)
+                   + 0.3 * (CASE WHEN length(regexp_replace(text, '\s', '', 'g')) * 1.0
+                                      / len(string_split_regex(trim(text), '\s+'))
+                                 BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END)
+                   + 0.2 * (1 - least(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                                      * 5.0 / length(text), 1.0)), 4) AS s,
+             CASE WHEN n_chars > 150 THEN 1.0 ELSE 0.0 END AS y
+      FROM documents
+    ), b AS (
+      SELECT least(CAST(floor(s * 10) AS BIGINT), 9) AS bin, s, y FROM q
+    )
+    SELECT bin,
+           round(min(bin / 10.0), 6) AS lo,
+           round(min((bin + 1) / 10.0), 6) AS hi,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(s), 6) AS mean_score,
+           round(avg(y), 6) AS frac_pos
+    FROM b GROUP BY bin
+    """,
+)
+def t22_calibration_table(spark, sf_dir):
+    """Reliability-diagram table (calibration_table, 10 bins) of the
+    t1 quality score against a deterministic long-document label —
+    the calibration audit that belongs next to every threshold gate.
+    Map-side binning + one 10-row aggregation; the oracle restates
+    the t1 scoring formula (already hash-certified in p1/t1) plus the
+    binning arithmetic."""
+    from ixmp_spark.operators.sampling import calibration_table
+    from ixmp_spark.operators.text import quality_score
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        quality_score("text").alias("s"),
+        F.when(F.col("n_chars") > 150, 1.0).otherwise(0.0).alias("y"),
+    )
+    return calibration_table(scored, "s", "y", n_bins=10)
+
+
+@query(
+    "p18_k_anonymity",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_mktsegment,
+           CAST(count(*) OVER (PARTITION BY c_nationkey, c_mktsegment)
+                AS BIGINT) AS cell_size,
+           count(*) OVER (PARTITION BY c_nationkey, c_mktsegment) < 5
+             AS suppress
+    FROM customer
+    """,
+)
+def p18_k_anonymity(spark, sf_dir):
+    """k-anonymity release gate (k_anonymity_filter, k=5) over the
+    (nation, segment) quasi-identifier pair of the customer extract:
+    every row carries its cell size and a suppress flag for cells an
+    attacker could re-identify. One window count over the
+    quasi-identifier partitioning; the oracle is a literal
+    restatement."""
+    from ixmp_spark.operators.sampling import k_anonymity_filter
+
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    return k_anonymity_filter(c, ["c_nationkey", "c_mktsegment"], k=5)

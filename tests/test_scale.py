@@ -3546,3 +3546,70 @@ def test_winsorize_and_fd_violations(spark):
     v = {r["k"]: r["n_variants"]
          for r in fd_violations(feed, ["k"], ["dep"]).collect()}
     assert v == {2: 2, 4: 2}
+
+
+def test_cuped_calibration_kanon(spark):
+    """Three readout/release operators pinned: cuped_adjust matches a
+    pure-Python replay (theta, residualized means) and actually cuts
+    variance on correlated units while preserving the planted lift;
+    calibration_table bins edges correctly (score 1.0 folds into the
+    top bin, NULLs drop); k_anonymity_filter counts NULL cells as
+    cells."""
+    import random
+
+    from ixmp_spark.operators.sampling import (
+        calibration_table,
+        k_anonymity_filter,
+    )
+    from ixmp_spark.operators.sessions import cuped_adjust
+
+    rng = random.Random(7)
+    units = []
+    for i in range(400):
+        pre = rng.gauss(100, 20)
+        arm = i % 2
+        post = 0.8 * pre + rng.gauss(0, 5) + (3.0 if arm == 1 else 0.0)
+        units.append((i, arm, pre, post))
+    units.append((998, 0, None, 5.0))  # dropped
+    units.append((999, 1, 5.0, None))  # dropped
+    df = spark.createDataFrame(units, "uid long, arm int, pre double, post double")
+    got = {r["arm"]: r for r in cuped_adjust(df, "arm", "pre", "post").collect()}
+
+    clean = [(a, p, q) for _, a, p, q in units if p is not None and q is not None]
+    n = len(clean)
+    mp = sum(p for _, p, _ in clean) / n
+    mq = sum(q for _, _, q in clean) / n
+    cov = sum((p - mp) * (q - mq) for _, p, q in clean) / (n - 1)
+    var = sum((p - mp) ** 2 for _, p, _ in clean) / (n - 1)
+    theta = cov / var
+    for arm in (0, 1):
+        sub = [(p, q) for a, p, q in clean if a == arm]
+        madj = sum(q - theta * (p - mp) for p, q in sub) / len(sub)
+        assert abs(got[arm]["theta"] - round(theta, 6)) < 1e-9
+        assert abs(got[arm]["mean_adj"] - madj) < 1e-4
+        assert got[arm]["var_adj"] < got[arm]["var_post"] / 5
+    lift_adj = got[1]["mean_adj"] - got[0]["mean_adj"]
+    assert 2.0 < lift_adj < 4.0  # planted +3 preserved
+
+    cal = spark.createDataFrame(
+        [(0.05, 0.0), (0.12, 0.0), (0.18, 1.0), (1.0, 1.0),
+         (0.95, 1.0), (None, 1.0), (0.5, None)],
+        "s double, y double",
+    )
+    rows = {r["bin"]: r for r in calibration_table(cal, "s", "y", 10).collect()}
+    assert set(rows) == {0, 1, 9}
+    assert rows[9]["n"] == 2 and rows[9]["frac_pos"] == 1.0  # incl. s=1.0
+    assert rows[1]["n"] == 2 and rows[1]["frac_pos"] == 0.5
+    assert rows[0]["lo"] == 0.0 and rows[0]["hi"] == 0.1
+
+    kd = spark.createDataFrame(
+        [(1, "a", 1), (2, "a", 1), (3, "a", 1),
+         (4, "b", None), (5, "b", None),
+         (6, None, 2)],
+        "id long, q1 string, q2 int",
+    )
+    ka = {r["id"]: r for r in
+          k_anonymity_filter(kd, ["q1", "q2"], k=3).collect()}
+    assert not ka[1]["suppress"] and ka[1]["cell_size"] == 3
+    assert ka[4]["suppress"] and ka[4]["cell_size"] == 2  # NULL cell counted
+    assert ka[6]["suppress"] and ka[6]["cell_size"] == 1

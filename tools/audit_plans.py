@@ -36,6 +36,7 @@ BNLJ_OK = {
     "p13_perplexity_buckets",  # 1-row vocab-count cross-broadcast (inherits t10's LM)
     "p15_corpus_drift",  # 1-row per-column totals (ta/tb/n_bins) cross-broadcast
     "x6_hybrid_search",  # inherits t17's corpus-stats + e1's probe 1-row broadcasts
+    "x8_cuped_lift",  # 1-row theta/mean-pre covariance aggregate cross-broadcast
     "p17_pareto_frontier",  # 1-row x-min/max bounds cross-broadcast (lazy bucket edges)
 }
 
