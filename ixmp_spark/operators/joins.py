@@ -691,3 +691,43 @@ def fd_violations(
         .agg(F.count_distinct(dep).alias("n_variants"))
         .where(F.col("n_variants") > 1)
     )
+
+
+def temporal_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    fact_ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    how: str = "inner",
+) -> DataFrame:
+    """Effective-dated dimension join — the consumption side of
+    ``scd2_merge``: each fact row picks the dimension VERSION that was
+    valid at its event time, ``valid_from <= ts < valid_to`` with a
+    NULL ``valid_to`` meaning still-open (the half-open convention
+    SCD2 history is built with, so version intervals tile without
+    overlap and a boundary timestamp matches exactly one version).
+
+    A keyed equi-join with the interval predicate as join condition —
+    NOT a range join: SCD2 intervals per key are disjoint, so each
+    fact row matches at most one dim row and there is no fan-out to
+    bucketize (j11's bucketized range join is for the overlapping-
+    interval case). Catalyst plans the key equality as the join key
+    and the interval check as a residual filter; both sides shuffle
+    once on the key, AQE handles skewed hot keys.
+
+    ``how="left"`` keeps orphaned facts (no valid version at their
+    time) with NULL dim columns — the audit mode for detecting
+    late-arriving dimension gaps.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"unsupported how={how!r}")
+    ts = fact[fact_ts]
+    cond = (
+        (fact[fact_key] == dim[dim_key])
+        & (ts >= dim[valid_from])
+        & (dim[valid_to].isNull() | (ts < dim[valid_to]))
+    )
+    return fact.join(dim, cond, how)

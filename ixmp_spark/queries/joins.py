@@ -422,3 +422,50 @@ def j15_fd_violations(spark, sf_dir):
     )
     feed = o.unionByName(corrupted)
     return fd_violations(feed, ["o_orderkey"], ["o_custkey"])
+
+
+@query(
+    "j16_temporal_join",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderdate < TIMESTAMP '1995-01-01'
+                THEN round(c_acctbal, 2)
+                ELSE round(c_acctbal + 100, 2) END AS acctbal_asof,
+           CASE WHEN o_orderdate < TIMESTAMP '1995-01-01'
+                THEN '1992-01-01' ELSE '1995-01-01' END AS version_from
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def j16_temporal_join(spark, sf_dir):
+    """Effective-dated join (temporal_join) of orders against a
+    two-version customer history (v1 1992→1995, v2 1995→open, balance
+    +100): each order must pick the version valid at its order date.
+    The oracle never joins intervals — it states the expected version
+    per order with a plain date CASE — so boundary semantics (the
+    half-open cut at exactly 1995-01-01) and join fan-out bugs are
+    both hash-covered."""
+    from ixmp_spark.operators.joins import temporal_join
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = load(spark, sf_dir, "customer")
+    v1 = c.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_acctbal").alias("bal"),
+        F.lit("1992-01-01").cast("timestamp").alias("valid_from"),
+        F.lit("1995-01-01").cast("timestamp").alias("valid_to"),
+    )
+    v2 = c.select(
+        F.col("c_custkey").alias("k"),
+        (F.col("c_acctbal") + 100).alias("bal"),
+        F.lit("1995-01-01").cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    dim = v1.unionByName(v2)
+    j = temporal_join(o, dim, "o_custkey", "k", "o_orderdate")
+    return j.select(
+        "o_orderkey", "o_custkey",
+        F.round("bal", 2).alias("acctbal_asof"),
+        F.date_format("valid_from", "yyyy-MM-dd").alias("version_from"),
+    )

@@ -3613,3 +3613,40 @@ def test_cuped_calibration_kanon(spark):
     assert not ka[1]["suppress"] and ka[1]["cell_size"] == 3
     assert ka[4]["suppress"] and ka[4]["cell_size"] == 2  # NULL cell counted
     assert ka[6]["suppress"] and ka[6]["cell_size"] == 1
+
+
+def test_temporal_join_version_boundaries(spark):
+    """temporal_join picks exactly one version per fact row under the
+    half-open convention: a boundary timestamp belongs to the NEWER
+    version, NULL valid_to is open-ended, facts before all versions /
+    for unknown keys drop (inner) or survive with NULLs (left)."""
+    from datetime import datetime
+
+    from ixmp_spark.operators.joins import temporal_join
+
+    dim = spark.createDataFrame(
+        [
+            (1, "v1", datetime(2020, 1, 1), datetime(2021, 1, 1)),
+            (1, "v2", datetime(2021, 1, 1), None),
+            (2, "w1", datetime(2020, 6, 1), datetime(2020, 7, 1)),
+        ],
+        "k long, ver string, valid_from timestamp, valid_to timestamp",
+    )
+    fact = spark.createDataFrame(
+        [
+            (10, 1, datetime(2020, 5, 5)),    # v1
+            (11, 1, datetime(2021, 1, 1)),    # boundary -> v2
+            (12, 1, datetime(2030, 1, 1)),    # open end -> v2
+            (13, 1, datetime(2019, 1, 1)),    # before all -> orphan
+            (14, 2, datetime(2020, 8, 1)),    # gap after w1 -> orphan
+            (15, 9, datetime(2020, 8, 1)),    # unknown key -> orphan
+        ],
+        "fid long, k long, ts timestamp",
+    )
+    inner = {r["fid"]: r["ver"] for r in temporal_join(
+        fact, dim, "k", "k", "ts").collect()}
+    assert inner == {10: "v1", 11: "v2", 12: "v2"}
+    left = {r["fid"]: r["ver"] for r in temporal_join(
+        fact, dim, "k", "k", "ts", how="left").collect()}
+    assert left == {10: "v1", 11: "v2", 12: "v2",
+                    13: None, 14: None, 15: None}
