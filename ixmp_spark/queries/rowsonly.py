@@ -358,3 +358,31 @@ def x4_supplier_pagerank(spark, sf_dir):
         )
     )
     return pagerank(edges, max_iter=3, tol=None)
+
+
+@query("x9_lpa_communities")  # no SQL oracle: iterative majority-vote
+# fixpoint; update rule pinned vs a pure-Python synchronous replay in
+# tests/test_scale.py::test_lpa_matches_python_replay
+def x9_lpa_communities(spark, sf_dir):
+    """Label-propagation communities over the co-supplier graph
+    (suppliers sharing an order) — the density-aware complement of
+    d6's connected components, fixed 4 rounds for bounded catalog
+    cost; the operator's converged flag reports whether the budget
+    sufficed."""
+    from ixmp_spark.operators.joins import lpa_communities
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+    )
+    return lpa_communities(edges, max_iter=4)

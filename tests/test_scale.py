@@ -3650,3 +3650,43 @@ def test_temporal_join_version_boundaries(spark):
         fact, dim, "k", "k", "ts", how="left").collect()}
     assert left == {10: "v1", 11: "v2", 12: "v2",
                     13: None, 14: None, 15: None}
+
+
+def test_lpa_matches_python_replay(spark):
+    """lpa_communities equals a pure-Python synchronous replay of the
+    same update rule (majority label, ties to min) round for round on
+    a two-clique-plus-bridge graph, separates the cliques that
+    connected components would merge, and reports convergence."""
+    from ixmp_spark.operators.joins import lpa_communities
+
+    k5a = [(f"a{i}", f"a{j}") for i in range(5) for j in range(5) if i < j]
+    k5b = [(f"b{i}", f"b{j}") for i in range(5) for j in range(5) if i < j]
+    bridge = [("a0", "b0")]
+    edges = k5a + k5b + bridge
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["node"]: (r["community"], r["converged"])
+           for r in lpa_communities(df, max_iter=10).collect()}
+
+    # pure-Python synchronous replay
+    adj: dict[str, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    labels = {n: n for n in adj}
+    for _ in range(10):
+        new = {}
+        for n, nbrs in adj.items():
+            freq: dict[str, int] = {}
+            for m in nbrs:
+                freq[labels[m]] = freq.get(labels[m], 0) + 1
+            new[n] = min(freq, key=lambda l: (-freq[l], l))
+        if new == labels:
+            break
+        labels = new
+    for n in adj:
+        assert got[n][0] == labels[n], (n, got[n], labels[n])
+    # the bridge must NOT merge the cliques
+    a_comm = {got[f"a{i}"][0] for i in range(5)}
+    b_comm = {got[f"b{i}"][0] for i in range(5)}
+    assert len(a_comm) == 1 and len(b_comm) == 1 and a_comm != b_comm
+    assert all(c for _, c in got.values())  # converged
