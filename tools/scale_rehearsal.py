@@ -697,6 +697,60 @@ def main_pagerank() -> None:
     print(json.dumps({"sf_dir": sf_dir, "mode": "pagerank", "results": results}))
 
 
+def main_graph() -> None:
+    """Graph-operator rehearsal: triangle_count and lpa_communities
+    wall-clock at growing edge counts over a deterministic ring-lattice
+    graph (each node links to its next 5 neighbors -> dense local
+    triangles, the regime the degree-orientation exists for) plus a
+    planted hub (node 0 links every 100th node) so the orientation's
+    hub-bounding actually gets exercised. The design question per op:
+    does wall-time scale with edges (good -- keyed joins) or blow up
+    with the hub (orientation failed)."""
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    factors = [int(x) for x in sys.argv[3:]] or [1, 10, 50]
+
+    from ixmp_spark.operators.joins import lpa_communities, triangle_count
+
+    spark = get_spark("scale_rehearsal_graph")
+    results: dict[str, dict] = {}
+    for factor in factors:
+        n = 2000 * factor
+        ring = spark.range(n).select(
+            F.explode(F.sequence(F.lit(1), F.lit(5))).alias("d"),
+            F.col("id").alias("src"),
+        ).select("src", ((F.col("src") + F.col("d")) % n).alias("dst"))
+        hub = spark.range(0, n, 100).select(
+            F.lit(0).alias("src"), F.col("id").alias("dst")
+        )
+        edges = ring.unionByName(hub).persist()
+        m = edges.count()
+
+        t0 = time.time()
+        tri = triangle_count(edges)
+        n_tri_nodes = tri.where(F.col("triangles") > 0).count()
+        tri_wall = time.time() - t0
+
+        rounds = 5
+        t0 = time.time()
+        lpa = lpa_communities(edges, max_iter=rounds)
+        n_comm = lpa.select("community").distinct().count()
+        lpa_wall = time.time() - t0
+
+        results[m] = {
+            "n_nodes": n,
+            "triangle_wall_s": round(tri_wall, 2),
+            "tri_nodes": n_tri_nodes,
+            "lpa_wall_s": round(lpa_wall, 2),
+            "lpa_s_per_round": round(lpa_wall / rounds, 3),
+            "n_communities": n_comm,
+        }
+        print(f"-- factor {factor}: {n} nodes / {m} edges: "
+              f"triangles {tri_wall:.1f}s, lpa {lpa_wall:.1f}s", file=sys.stderr)
+        edges.unpersist()
+    print(json.dumps({"sf_dir": sf_dir, "mode": "graph", "results": results}))
+
+
+
 def main_events() -> None:
     """Skew rehearsal for the event/session family (VERDICT r5 #3): per
     factor, run g1 sessionize / g5 transitions / g6 top_paths / w10
@@ -1003,5 +1057,7 @@ if __name__ == "__main__":
         main_indexes()
     elif len(sys.argv) > 1 and sys.argv[1] == "--pagerank":
         main_pagerank()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--graph":
+        main_graph()
     else:
         main()
