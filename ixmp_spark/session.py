@@ -46,6 +46,24 @@ def get_spark(
         # events.parquet carries TIMESTAMP(NANOS) which the vectorized
         # reader rejects; read as long and convert in the loader.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # shuffle/spill local dirs belong on the fastest device
+        # available: this host's /tmp sits on a virtio disk whose
+        # latency was measured drifting 0.6 -> 1.5 s per 64 MB probe
+        # within one session (BENCH_DETAIL sys blocks, r8), which
+        # inflated shuffle-heavy bench queries ~1.3-1.9x. RAM-backed
+        # /dev/shm (126 GB, empty) takes the local dirs out of that
+        # noise — the local[32] analogue of the NVMe-local-dir rule on
+        # a real cluster. Overridable; falls back to Spark's default
+        # when the path is absent.
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "IXMP_SPARK_LOCAL_DIR",
+                "/dev/shm/spark-local"
+                if os.path.isdir("/dev/shm")
+                else "/tmp",
+            ),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
