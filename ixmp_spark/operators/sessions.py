@@ -1154,3 +1154,130 @@ def cuped_adjust(
         F.round(F.var_samp("__adj"), 6).alias("var_adj"),
         F.round(F.max("__theta"), 6).alias("theta"),
     )
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    interval_seconds: int,
+    agg: str = "avg",
+) -> DataFrame:
+    """Resample an irregular per-key time series onto a regular grid
+    with forward fill — the missing-in-Spark primitive every telemetry
+    consumer rebuilds (pandas ``resample().ffill()``): downstream
+    joins, charts and models want one row per (key, bucket) even for
+    silent periods, carrying the last observed aggregate.
+
+    Three declarative stages, one keyed shuffle each, no UDF:
+
+    1. bucket-align (``floor(epoch/interval)·interval``) + per-bucket
+       aggregate — map-side partials;
+    2. the per-key grid EXPLODES from one (min, max) row per key via
+       ``sequence()`` — grid size is span/interval per key, never a
+       cross join against a global calendar;
+    3. left-join observations onto the grid (same key partitioning)
+       and forward-fill with ``last(ignorenulls)`` over the keyed
+       order.
+
+    Leading grid cells before a key's first observation stay NULL
+    (nothing to carry — ffill, not interpolation). ``agg``: any of
+    avg/sum/min/max/count.
+
+    Output: (key, bucket_ts, value, filled) where ``filled`` marks
+    carried rows.
+    """
+    aggs = {
+        "avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
+        "count": lambda c: F.count(c).cast("double"),
+    }
+    if agg not in aggs:
+        raise ValueError(f"unsupported agg {agg!r}")
+    step = int(interval_seconds)
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    bucket = F.timestamp_seconds((epoch / step).cast("long") * step)
+    obs = (
+        df.select(
+            F.col(key_col).alias("__k"),
+            bucket.alias("__b"),
+            F.col(value_col).cast("double").alias("__v"),
+        )
+        .groupBy("__k", "__b")
+        .agg(aggs[agg]("__v").alias("__v"))
+    )
+    grid = (
+        obs.groupBy("__k")
+        .agg(F.min("__b").alias("__lo"), F.max("__b").alias("__hi"))
+        .select(
+            "__k",
+            F.explode(
+                F.sequence(
+                    F.col("__lo"),
+                    F.col("__hi"),
+                    F.expr(f"interval {step} seconds"),
+                )
+            ).alias("__b"),
+        )
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = grid.join(obs, ["__k", "__b"], "left")
+    return joined.select(
+        F.col("__k").alias(key_col),
+        F.col("__b").alias("bucket_ts"),
+        F.round(
+            F.last("__v", ignorenulls=True).over(w), 6
+        ).alias("value"),
+        F.col("__v").isNull().alias("filled"),
+    )
+
+
+def weighted_percentile(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    weight_col: str,
+    qs: tuple[float, ...] = (0.5,),
+) -> DataFrame:
+    """Weighted percentiles per key — the latency-engineering
+    primitive Spark's ``percentile`` can't express: when each sample
+    carries a weight (duration observed, rows represented, traffic
+    share), the p99 must be the smallest value whose CUMULATIVE weight
+    reaches 99% of the key's total (the type-1 / lower weighted
+    quantile), not the row-count percentile.
+
+    One ordered window pass builds cumulative weights, one groupBy
+    takes ``min(value where cum ≥ q·total)`` for EVERY requested q —
+    adding quantiles adds conditional aggregates, not passes. Equal
+    values share a run, so the answer is order-independent under ties;
+    zero-weight rows can never be selected unless they share a value
+    with the crossing row. Rows with NULL/negative weight are dropped.
+
+    Output: (key, total_weight, wp_<q>…).
+    """
+    wk = Window.partitionBy(key_col)
+    wo = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(value_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    v = F.col(value_col).cast("double")
+    wt = F.col(weight_col).cast("double")
+    base = (
+        df.where(v.isNotNull() & wt.isNotNull() & (wt >= 0))
+        .withColumn("__cum", F.sum(wt).over(wo))
+        .withColumn("__tot", F.sum(wt).over(wk))
+    )
+    picks = [
+        F.round(
+            F.min(F.when(F.col("__cum") >= q * F.col("__tot"), v)), 6
+        ).alias(f"wp_{str(q).replace('.', '_')}")
+        for q in qs
+    ]
+    return base.groupBy(key_col).agg(
+        F.round(F.max("__tot"), 6).alias("total_weight"), *picks
+    )

@@ -2619,3 +2619,87 @@ def x8_cuped_lift(spark, sf_dir):
         .alias("post"),
     )
     return cuped_adjust(unit, "arm", "pre", "post")
+
+
+@query(
+    "w16_resample_ffill",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id,
+             make_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT)
+                            * 3600 * 1000000) AS b,
+             avg(value) AS v
+      FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT user_id, min(b) AS lo, max(b) AS hi FROM obs GROUP BY 1
+    ), grid AS (
+      SELECT user_id,
+             unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b
+      FROM span
+    ), j AS (
+      SELECT g.user_id, g.b, o.v FROM grid g
+      LEFT JOIN obs o ON o.user_id = g.user_id AND o.b = g.b
+    )
+    SELECT user_id,
+           strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+           round(last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             AS value,
+           v IS NULL AS filled
+    FROM j
+    """,
+)
+def w16_resample_ffill(spark, sf_dir):
+    """Hourly resampling of each user's event values with forward
+    fill (resample_ffill): bucket-aggregate, per-key grid exploded
+    from one (min, max) row, left join + last(ignorenulls) carry. The
+    oracle rebuilds the same grid with generate_series and DuckDB's
+    IGNORE NULLS last_value, so grid edges, silent-hour fills, and
+    the filled flags all hash-match."""
+    from ixmp_spark.operators.sessions import resample_ffill
+
+    ev = load(spark, sf_dir, "events")
+    out = resample_ffill(ev, "user_id", "ts", "value", 3600, agg="avg")
+    return out.select(
+        "user_id",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss")
+        .alias("bucket_ts"),
+        "value", "filled",
+    )
+
+
+@query(
+    "w17_weighted_percentile",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, value,
+             sum(value * value) OVER (
+               PARTITION BY user_id ORDER BY value
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum,
+             sum(value * value) OVER (PARTITION BY user_id) AS tot
+      FROM events WHERE value IS NOT NULL AND value * value >= 0
+    )
+    SELECT user_id,
+           round(max(tot), 6) AS total_weight,
+           round(min(CASE WHEN cum >= 0.5 * tot THEN value END), 6)
+             AS wp_0_5,
+           round(min(CASE WHEN cum >= 0.95 * tot THEN value END), 6)
+             AS wp_0_95
+    FROM b GROUP BY user_id
+    """,
+)
+def w17_weighted_percentile(spark, sf_dir):
+    """Weighted p50/p95 per user (weighted_percentile) with
+    value-squared weights (an energy-weighted latency readout): the
+    smallest value whose cumulative weight reaches q of the key
+    total — one ordered window pass, every quantile a conditional
+    aggregate. The oracle restates the cumulative-crossing definition
+    literally."""
+    from ixmp_spark.operators.sessions import weighted_percentile
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "w", F.col("value") * F.col("value")
+    )
+    return weighted_percentile(ev, "user_id", "value", "w", (0.5, 0.95))

@@ -3690,3 +3690,58 @@ def test_lpa_matches_python_replay(spark):
     b_comm = {got[f"b{i}"][0] for i in range(5)}
     assert len(a_comm) == 1 and len(b_comm) == 1 and a_comm != b_comm
     assert all(c for _, c in got.values())  # converged
+
+
+def test_resample_ffill_and_weighted_percentile(spark):
+    """resample_ffill equals a pandas resample().mean().ffill() replay
+    (grid edges, silent-gap carries, leading NULLs before first
+    observation); weighted_percentile equals the cumulative-crossing
+    definition replayed in Python, including a heavy-weight row
+    dominating p50 and zero-weight rows never being selected."""
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from ixmp_spark.operators.sessions import (
+        resample_ffill,
+        weighted_percentile,
+    )
+
+    t0 = datetime(2024, 1, 1, 0, 30)
+    rows = [
+        (1, t0, 10.0), (2, t0 + timedelta(minutes=10), 20.0),
+        (3, t0 + timedelta(hours=3), 30.0),          # 2h silent gap
+        (4, t0 + timedelta(hours=3, minutes=20), 50.0),
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, 1, v) for i, ts, v in rows],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    got = (
+        resample_ffill(ev, "user_id", "ts", "value", 3600)
+        .orderBy("bucket_ts").collect()
+    )
+    pdf = pd.DataFrame(
+        [(ts, v) for _, ts, v in rows], columns=["ts", "v"]
+    ).set_index("ts")
+    want = pdf.resample("1h")["v"].mean().ffill()
+    assert len(got) == len(want) == 4
+    for r, (ts, v) in zip(got, want.items()):
+        assert r["bucket_ts"] == ts.to_pydatetime()
+        assert abs(r["value"] - v) < 1e-9
+    assert [r["filled"] for r in got] == [False, True, True, False]
+
+    wdf = spark.createDataFrame(
+        [
+            (1, 1.0, 1.0), (1, 2.0, 1.0), (1, 3.0, 10.0), (1, 4.0, 1.0),
+            (2, 5.0, 0.0), (2, 7.0, 1.0),   # zero-weight row not picked
+        ],
+        "k long, v double, w double",
+    )
+    wp = {r["k"]: r for r in
+          weighted_percentile(wdf, "k", "v", "w", (0.5, 0.99)).collect()}
+    # key 1: cum = 1,2,12,13 of 13 -> p50 crosses at v=3 (the heavy row)
+    assert wp[1]["wp_0_5"] == 3.0 and wp[1]["wp_0_99"] == 4.0
+    assert wp[1]["total_weight"] == 13.0
+    # key 2: all weight on v=7
+    assert wp[2]["wp_0_5"] == 7.0 and wp[2]["total_weight"] == 1.0
