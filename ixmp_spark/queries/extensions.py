@@ -2703,3 +2703,39 @@ def w17_weighted_percentile(spark, sf_dir):
         "w", F.col("value") * F.col("value")
     )
     return weighted_percentile(ev, "user_id", "value", "w", (0.5, 0.95))
+
+
+@query(
+    "x10_hierarchy_flatten",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT c_custkey AS child, c_custkey // 10 AS parent
+      FROM customer WHERE c_custkey >= 10
+    ), roots AS (
+      SELECT DISTINCT parent AS node FROM e
+      WHERE parent NOT IN (SELECT child FROM e)
+    ), up AS (
+      SELECT node, node AS root, CAST(0 AS BIGINT) AS depth FROM roots
+      UNION ALL
+      SELECT e.child, up.root, up.depth + 1
+      FROM e JOIN up ON e.parent = up.node
+    )
+    SELECT node, root, depth FROM up
+    """,
+)
+def x10_hierarchy_flatten(spark, sf_dir):
+    """Hierarchy closure (hierarchy_flatten) over the decimal-digit
+    customer tree (parent = custkey/10 — a forest of depth ~log10 N
+    rooted at the single-digit keys): pointer doubling closes it in
+    O(log depth) keyed self-joins, and the oracle walks the SAME
+    forest with a recursive CTE — a hash-certified check of an
+    iterative fixpoint, which most of the iterative family (pagerank,
+    LPA) can't get."""
+    from ixmp_spark.operators.joins import hierarchy_flatten
+
+    c = load(spark, sf_dir, "customer")
+    edges = c.where(F.col("c_custkey") >= 10).select(
+        F.col("c_custkey").alias("child"),
+        (F.col("c_custkey") / 10).cast("long").alias("parent"),
+    )
+    return hierarchy_flatten(edges)

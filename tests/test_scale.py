@@ -3745,3 +3745,34 @@ def test_resample_ffill_and_weighted_percentile(spark):
     assert wp[1]["total_weight"] == 13.0
     # key 2: all weight on v=7
     assert wp[2]["wp_0_5"] == 7.0 and wp[2]["total_weight"] == 1.0
+
+
+def test_hierarchy_flatten_doubling_and_guards(spark):
+    """hierarchy_flatten closes a depth-40 chain in pointer-doubling
+    rounds (max_iter=8 suffices: 2^8 >> 40, proving O(log depth)
+    not O(depth)), handles a forest with branches, raises on multiple
+    parents, and raises on a cycle instead of looping."""
+    import pytest
+
+    from ixmp_spark.operators.joins import hierarchy_flatten
+
+    chain = [(i + 1, i) for i in range(40)]            # 0 <- 1 <- ... 40
+    tree = [(100, 0), (101, 100), (102, 100), (200, 201)]  # branches + 2nd root
+    df = spark.createDataFrame(chain + tree, "child long, parent long")
+    out = {r["node"]: (r["root"], r["depth"])
+           for r in hierarchy_flatten(df, max_iter=8).collect()}
+    assert out[0] == (0, 0)
+    assert out[40] == (0, 40)
+    assert out[17] == (0, 17)
+    assert out[101] == (0, 2) and out[102] == (0, 2)
+    assert out[200] == (201, 1) and out[201] == (201, 0)
+    assert len(out) == 46
+
+    with pytest.raises(ValueError, match="multiple parents"):
+        hierarchy_flatten(spark.createDataFrame(
+            [(1, 2), (1, 3)], "child long, parent long"))
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        hierarchy_flatten(spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1)], "child long, parent long"),
+            max_iter=6)
