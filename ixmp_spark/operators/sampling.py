@@ -626,3 +626,79 @@ def k_anonymity_filter(
     return df.withColumn("cell_size", n.cast("long")).withColumn(
         "suppress", F.col("cell_size") < k
     )
+
+
+def histogram_fd(
+    df: DataFrame,
+    value_col: str,
+    max_bins: int = 10_000,
+) -> DataFrame:
+    """Histogram with the Freedman–Diaconis bin width ``h = 2·IQR ·
+    n^(−1/3)`` — the distribution-aware default (Sturges under-bins
+    heavy tails, fixed-width guesses over- or under-resolve), the
+    right first look at any numeric column before choosing filters or
+    drift bins.
+
+    The five summary scalars (q25, q75, n, min, max) ride ONE 1-row
+    aggregate cross-broadcast into the binning projection — fully
+    lazy, no driver probe — then one ``#bins``-row count aggregate.
+    ``h`` rounds to 6 decimals BEFORE binning so the bin function is
+    bit-identical across engines (interpolated quantiles are the a8
+    ulp class; rounding the derived width, not the counts, is what
+    keeps boundary rows stable). Degenerate spreads (IQR = 0, or one
+    distinct value) collapse to a single bin; ``max_bins`` caps
+    pathological tiny-IQR cases. NULLs drop.
+
+    Output: (bin, lo, hi, n) for non-empty bins; ``lo``/``hi`` are
+    exact multiples of ``h`` above the column minimum.
+    """
+    v = F.col(value_col).cast("double")
+    pts = df.where(v.isNotNull())
+    stats = pts.agg(
+        F.percentile(v, F.lit(0.25)).alias("__q1"),
+        F.percentile(v, F.lit(0.75)).alias("__q3"),
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.min(v).alias("__lo"),
+        F.max(v).alias("__hi"),
+    )
+    h = F.round(
+        2.0
+        * (F.col("__q3") - F.col("__q1"))
+        / F.cbrt(F.col("__n")),
+        6,
+    )
+    spread = F.col("__hi") - F.col("__lo")
+    nbins = F.when((h <= 0) | (spread <= 0), F.lit(1)).otherwise(
+        F.least(
+            F.ceil(spread / h).cast("long"), F.lit(int(max_bins))
+        )
+    )
+    binned = pts.crossJoin(F.broadcast(stats)).select(
+        F.when(
+            nbins == 1, F.lit(0).cast("long")
+        ).otherwise(
+            F.least(
+                F.floor((v - F.col("__lo")) / h).cast("long"),
+                nbins - 1,
+            )
+        ).alias("bin"),
+        F.col("__lo").alias("__l"),
+        h.alias("__h"),
+        nbins.alias("__nb"),
+        spread.alias("__sp"),
+    )
+    width = F.when(
+        F.col("__nb") == 1, F.col("__sp")
+    ).otherwise(F.col("__h"))
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.round(
+                F.min(F.col("__l") + F.col("bin") * width), 6
+            ).alias("lo"),
+            F.round(
+                F.min(F.col("__l") + (F.col("bin") + 1) * width), 6
+            ).alias("hi"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )

@@ -216,3 +216,49 @@ def a11_iamc_year_pivot(spark, sf_dir):
         F.col("1997").alias("y1997"),
         F.col("1998").alias("y1998"),
     )
+
+
+@query(
+    "a12_histogram_fd",
+    oracle="""
+    WITH s AS (
+      SELECT quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.75) AS q3,
+             CAST(count(*) AS DOUBLE) AS n,
+             min(value) AS lo, max(value) AS hi
+      FROM events WHERE value IS NOT NULL
+    ), p AS (
+      SELECT e.value,
+             round(2.0 * (s.q3 - s.q1) / cbrt(s.n), 6) AS h,
+             s.lo, s.hi - s.lo AS sp
+      FROM events e, s WHERE e.value IS NOT NULL
+    ), b AS (
+      SELECT CASE WHEN h <= 0 OR sp <= 0 THEN 0
+                  ELSE least(CAST(floor((value - lo) / h) AS BIGINT),
+                             least(CAST(ceil(sp / h) AS BIGINT),
+                                   10000) - 1) END AS bin,
+             lo, h, sp,
+             CASE WHEN h <= 0 OR sp <= 0 THEN 1
+                  ELSE least(CAST(ceil(sp / h) AS BIGINT), 10000)
+             END AS nb
+      FROM p
+    )
+    SELECT bin,
+           round(min(lo + bin * (CASE WHEN nb = 1 THEN sp ELSE h END)),
+                 6) AS lo,
+           round(min(lo + (bin + 1)
+                     * (CASE WHEN nb = 1 THEN sp ELSE h END)), 6) AS hi,
+           CAST(count(*) AS BIGINT) AS n
+    FROM b GROUP BY bin
+    """,
+)
+def a12_histogram_fd(spark, sf_dir):
+    """Freedman–Diaconis histogram of event values (histogram_fd):
+    the five summary scalars ride one 1-row cross-broadcast, the bin
+    width rounds to 6 decimals BEFORE binning so the bin function is
+    bit-identical across engines despite interpolated quantiles (the
+    a8 ulp class), and the oracle restates the whole derivation."""
+    from ixmp_spark.operators.sampling import histogram_fd
+
+    ev = load(spark, sf_dir, "events")
+    return histogram_fd(ev, "value")

@@ -3776,3 +3776,49 @@ def test_hierarchy_flatten_doubling_and_guards(spark):
         hierarchy_flatten(spark.createDataFrame(
             [(1, 2), (2, 3), (3, 1)], "child long, parent long"),
             max_iter=6)
+
+
+def test_histogram_fd_matches_numpy_style(spark):
+    """histogram_fd equals a pure-Python Freedman-Diaconis replay
+    (same interpolated quartiles, same rounded width, same clamping)
+    on a skewed sample; degenerate single-value and zero-IQR inputs
+    collapse to one bin covering the spread."""
+    import math
+    import random
+
+    from ixmp_spark.operators.sampling import histogram_fd
+
+    rng = random.Random(13)
+    vals = [rng.expovariate(0.2) for _ in range(2000)]
+    df = spark.createDataFrame([(v,) for v in vals], "value double")
+    got = {r["bin"]: r for r in histogram_fd(df, "value").collect()}
+
+    def pct(xs, p):
+        pos = (len(xs) - 1) * p
+        lo, hi = int(pos), min(int(pos) + 1, len(xs) - 1)
+        return (hi - pos) * xs[lo] + (pos - lo) * xs[hi]
+
+    s = sorted(vals)
+    h = round(2 * (pct(s, 0.75) - pct(s, 0.25)) / len(s) ** (1 / 3), 6)
+    lo, hi = s[0], s[-1]
+    nb = min(math.ceil((hi - lo) / h), 10000)
+    want: dict[int, int] = {}
+    for v in vals:
+        b = min(int((v - lo) // h), nb - 1)
+        want[b] = want.get(b, 0) + 1
+    assert {b: r["n"] for b, r in got.items()} == want
+    b0 = got[0]
+    assert abs(b0["lo"] - round(lo, 6)) < 1e-9
+    assert abs(b0["hi"] - round(lo + h, 6)) < 1e-9
+
+    const = spark.createDataFrame([(5.0,)] * 10, "value double")
+    g = histogram_fd(const, "value").collect()
+    assert len(g) == 1 and g[0]["n"] == 10 and g[0]["bin"] == 0
+
+    # zero IQR but nonzero spread (outliers beyond flat quartiles)
+    z = spark.createDataFrame(
+        [(1.0,)] * 50 + [(9.0,)], "value double"
+    )
+    gz = histogram_fd(z, "value").collect()
+    assert len(gz) == 1 and gz[0]["n"] == 51
+    assert abs(gz[0]["hi"] - 9.0) < 1e-9

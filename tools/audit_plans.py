@@ -37,6 +37,7 @@ BNLJ_OK = {
     "p15_corpus_drift",  # 1-row per-column totals (ta/tb/n_bins) cross-broadcast
     "x6_hybrid_search",  # inherits t17's corpus-stats + e1's probe 1-row broadcasts
     "x8_cuped_lift",  # 1-row theta/mean-pre covariance aggregate cross-broadcast
+    "a12_histogram_fd",  # 1-row five-scalar summary aggregate cross-broadcast
     "p17_pareto_frontier",  # 1-row x-min/max bounds cross-broadcast (lazy bucket edges)
 }
 
