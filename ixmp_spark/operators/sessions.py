@@ -1281,3 +1281,98 @@ def weighted_percentile(
     return base.groupBy(key_col).agg(
         F.round(F.max("__tot"), 6).alias("total_weight"), *picks
     )
+
+
+def resample_interp(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    interval_seconds: int,
+    agg: str = "avg",
+) -> DataFrame:
+    """Linear-interpolation twin of :func:`resample_ffill`
+    (pandas ``resample().interpolate()``): empty grid cells take the
+    value lerped between the key's PREVIOUS and NEXT observed buckets
+    by time position — the resampling you want for physically
+    continuous signals (ffill is for step-state signals).
+
+    Same grid construction as ffill (bucket aggregate → per-key
+    ``sequence()`` explode → left join), then TWO carry windows over
+    the one keyed partitioning — last observation forward, next
+    observation backward (both ``last(ignorenulls)``, the second over
+    the descending order; Spark plans both under a single Exchange) —
+    and the lerp is arithmetic on the carried (ts, value) structs.
+    Cells before the first / after the last observation have only one
+    side and stay NULL (interpolation, not extrapolation).
+
+    Output: (key, bucket_ts, value, filled).
+    """
+    aggs = {
+        "avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
+        "count": lambda c: F.count(c).cast("double"),
+    }
+    if agg not in aggs:
+        raise ValueError(f"unsupported agg {agg!r}")
+    step = int(interval_seconds)
+    epoch = F.col(ts_col).cast("timestamp").cast("long")
+    bucket = F.timestamp_seconds((epoch / step).cast("long") * step)
+    obs = (
+        df.select(
+            F.col(key_col).alias("__k"),
+            bucket.alias("__b"),
+            F.col(value_col).cast("double").alias("__v"),
+        )
+        .groupBy("__k", "__b")
+        .agg(aggs[agg]("__v").alias("__v"))
+    )
+    grid = (
+        obs.groupBy("__k")
+        .agg(F.min("__b").alias("__lo"), F.max("__b").alias("__hi"))
+        .select(
+            "__k",
+            F.explode(
+                F.sequence(
+                    F.col("__lo"),
+                    F.col("__hi"),
+                    F.expr(f"interval {step} seconds"),
+                )
+            ).alias("__b"),
+        )
+    )
+    joined = grid.join(obs, ["__k", "__b"], "left")
+    pt = F.when(
+        F.col("__v").isNotNull(),
+        F.struct(
+            F.col("__b").cast("long").alias("t"),
+            F.col("__v").alias("v"),
+        ),
+    )
+    wf = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__b").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wb = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__b").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = joined.withColumn(
+        "__prev", F.last(pt, ignorenulls=True).over(wf)
+    ).withColumn("__next", F.last(pt, ignorenulls=True).over(wb))
+    t = F.col("__b").cast("long")
+    p, nx = F.col("__prev"), F.col("__next")
+    frac = (t - p["t"]) / F.when(nx["t"] != p["t"], nx["t"] - p["t"])
+    interp = F.when(
+        F.col("__v").isNotNull(), F.col("__v")
+    ).otherwise(p["v"] + (nx["v"] - p["v"]) * frac)
+    # raw double out: lerp at dyadic fractions lands on exact 1e-6
+    # midpoints where the engines' round() disagree (the w11 class) —
+    # callers canonicalize with floor(v*1e6 + 0.5)/1e6 when hashing
+    return carried.select(
+        F.col("__k").alias(key_col),
+        F.col("__b").alias("bucket_ts"),
+        interp.alias("value"),
+        F.col("__v").isNull().alias("filled"),
+    )

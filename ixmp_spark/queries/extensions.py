@@ -2739,3 +2739,70 @@ def x10_hierarchy_flatten(spark, sf_dir):
         (F.col("c_custkey") / 10).cast("long").alias("parent"),
     )
     return hierarchy_flatten(edges)
+
+
+@query(
+    "w18_resample_interp",
+    oracle="""
+    WITH obs AS (
+      SELECT user_id,
+             make_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT)
+                            * 3600 * 1000000) AS b,
+             avg(value) AS v
+      FROM events GROUP BY 1, 2
+    ), span AS (
+      SELECT user_id, min(b) AS lo, max(b) AS hi FROM obs GROUP BY 1
+    ), grid AS (
+      SELECT user_id,
+             unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b
+      FROM span
+    ), j AS (
+      SELECT g.user_id, g.b, o.v FROM grid g
+      LEFT JOIN obs o ON o.user_id = g.user_id AND o.b = g.b
+    ), c AS (
+      SELECT user_id, b, v,
+             last_value(CASE WHEN v IS NOT NULL
+               THEN struct_pack(t := epoch(b), v := v) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY b ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS p,
+             last_value(CASE WHEN v IS NOT NULL
+               THEN struct_pack(t := epoch(b), v := v) END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY b DESC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS nx
+      FROM j
+    )
+    SELECT user_id,
+           strftime(b, '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+           floor((CASE WHEN v IS NOT NULL THEN v
+                       ELSE p.v + (nx.v - p.v)
+                            * ((epoch(b) - p.t)
+                               / (CASE WHEN nx.t <> p.t
+                                       THEN nx.t - p.t END))
+                  END) * 1e6 + 0.5) / 1e6 AS value,
+           v IS NULL AS filled
+    FROM c
+    """,
+)
+def w18_resample_interp(spark, sf_dir):
+    """Hourly resampling with LINEAR interpolation (resample_interp):
+    the continuous-signal twin of w16 — empty cells lerp between the
+    carried previous/next observations by time position, computed with
+    two last(ignorenulls) windows under one keyed exchange. The
+    oracle rebuilds the identical carries with DuckDB struct_pack +
+    IGNORE NULLS, so the lerp arithmetic and the no-extrapolation
+    NULL edges hash-match."""
+    from ixmp_spark.operators.sessions import resample_interp
+
+    ev = load(spark, sf_dir, "events")
+    out = resample_interp(ev, "user_id", "ts", "value", 3600, agg="avg")
+    return out.select(
+        "user_id",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss")
+        .alias("bucket_ts"),
+        # floor canonicalization, spelled identically in the oracle:
+        # the lerp lands on exact 1e-6 midpoints where round() diverges
+        (F.floor(F.col("value") * 1e6 + 0.5) / 1e6).alias("value"),
+        "filled",
+    )

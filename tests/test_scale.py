@@ -3822,3 +3822,40 @@ def test_histogram_fd_matches_numpy_style(spark):
     gz = histogram_fd(z, "value").collect()
     assert len(gz) == 1 and gz[0]["n"] == 51
     assert abs(gz[0]["hi"] - 9.0) < 1e-9
+
+
+def test_resample_interp_matches_pandas(spark):
+    """resample_interp equals pandas resample().mean().interpolate()
+    on interior cells (multi-hour gap lerped by time position) and
+    keeps edge cells NULL (no extrapolation), with exact observed
+    cells passed through unrounded."""
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from ixmp_spark.operators.sessions import resample_interp
+
+    t0 = datetime(2024, 2, 1, 0, 15)
+    rows = [
+        (1, t0, 10.0),
+        (2, t0 + timedelta(hours=4), 30.0),   # 3 empty cells between
+        (3, t0 + timedelta(hours=5), 0.0),
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, 7, v) for i, ts, v in rows],
+        "event_id long, ts timestamp, user_id long, value double",
+    )
+    got = (
+        resample_interp(ev, "user_id", "ts", "value", 3600)
+        .orderBy("bucket_ts").collect()
+    )
+    pdf = pd.DataFrame(
+        [(ts, v) for _, ts, v in rows], columns=["ts", "v"]
+    ).set_index("ts")
+    want = pdf.resample("1h")["v"].mean().interpolate("linear")
+    assert len(got) == len(want) == 6
+    for r, (ts, v) in zip(got, want.items()):
+        assert r["bucket_ts"] == ts.to_pydatetime()
+        assert abs(r["value"] - v) < 1e-9, (r, v)
+    assert [r["filled"] for r in got] == [
+        False, True, True, True, False, False]
