@@ -702,3 +702,50 @@ def histogram_fd(
             F.count(F.lit(1)).cast("long").alias("n"),
         )
     )
+
+
+def benford_deviation(
+    df: DataFrame,
+    value_col: str,
+) -> DataFrame:
+    """Benford's-law first-digit screen — the classic
+    fabricated-numbers detector for financial/metric columns: genuine
+    multi-scale magnitudes follow ``P(d) = log10(1 + 1/d)``; invented
+    or unit-capped numbers don't. Reported per digit so the analyst
+    sees WHICH digits deviate (a spike at 5 is a different story than
+    missing 1s), with each digit's chi-square contribution
+    ``n·(obs−exp)²/exp`` — their sum is the test statistic.
+
+    First significant digit via ``floor(|v| / 10^floor(log10 |v|))``
+    (pure JVM math, any magnitude, negatives by absolute value; zeros
+    and NULLs drop). One map pass + one 9-row aggregate; the total
+    rides a window over those 9 rows.
+
+    Output: (digit, n, obs_frac, exp_frac, chi2_term), digits 1–9.
+    """
+    import math
+
+    v = F.abs(F.col(value_col).cast("double"))
+    digit = F.floor(v / F.pow(F.lit(10.0), F.floor(F.log10(v))))
+    counts = (
+        df.where(v.isNotNull() & (v > 0))
+        .select(digit.cast("long").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    )
+    w = Window.partitionBy()
+    exp = F.element_at(
+        F.array(*[F.lit(math.log10(1 + 1 / d)) for d in range(1, 10)]),
+        F.col("digit").cast("int"),
+    )
+    tot = F.sum("__n").over(w)
+    obs = F.col("__n") / tot
+    return counts.select(
+        "digit",
+        F.col("__n").cast("long").alias("n"),
+        F.round(obs, 6).alias("obs_frac"),
+        F.round(exp, 6).alias("exp_frac"),
+        F.round(tot * (obs - exp) * (obs - exp) / exp, 6).alias(
+            "chi2_term"
+        ),
+    )

@@ -2806,3 +2806,39 @@ def w18_resample_interp(spark, sf_dir):
         (F.floor(F.col("value") * 1e6 + 0.5) / 1e6).alias("value"),
         "filled",
     )
+
+
+@query(
+    "x11_benford",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(floor(abs(o_totalprice)
+                        / pow(10, floor(log10(abs(o_totalprice)))))
+                  AS BIGINT) AS digit
+      FROM orders
+      WHERE o_totalprice IS NOT NULL AND abs(o_totalprice) > 0
+    ), c AS (
+      SELECT digit, CAST(count(*) AS DOUBLE) AS n FROM d GROUP BY digit
+    ), t AS (
+      SELECT digit, n, sum(n) OVER () AS tot,
+             log10(1 + 1.0 / digit) AS exp
+      FROM c
+    )
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           round(n / tot, 6) AS obs_frac,
+           round(exp, 6) AS exp_frac,
+           round(tot * (n / tot - exp) * (n / tot - exp) / exp, 6)
+             AS chi2_term
+    FROM t
+    """,
+)
+def x11_benford(spark, sf_dir):
+    """Benford first-digit deviation table (benford_deviation) over
+    order totals: per-digit observed vs log10(1+1/d) expected
+    fractions with chi-square contributions — the fabricated-numbers
+    screen. One 9-row aggregate; the oracle restates digit
+    extraction, expectations, and the chi-square arithmetic."""
+    from ixmp_spark.operators.sampling import benford_deviation
+
+    o = load(spark, sf_dir, "orders")
+    return benford_deviation(o, "o_totalprice")

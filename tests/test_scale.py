@@ -3859,3 +3859,39 @@ def test_resample_interp_matches_pandas(spark):
         assert abs(r["value"] - v) < 1e-9, (r, v)
     assert [r["filled"] for r in got] == [
         False, True, True, True, False, False]
+
+
+def test_benford_digit_extraction_and_chi2(spark):
+    """benford_deviation extracts first significant digits across
+    magnitudes (0.0042 -> 4, -730 -> 7, exact powers of 10 -> 1),
+    drops zeros/NULLs, and its chi2 terms match a Python replay; a
+    genuinely Benford sample (powers of a constant) yields small
+    chi2, a constant-leading-digit sample a large one."""
+    import math
+
+    from ixmp_spark.operators.sampling import benford_deviation
+
+    vals = [0.0042, -730.0, 1000.0, 19.5, 0.0, None, 2.0, 555.5]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {r["digit"]: r for r in benford_deviation(df, "v").collect()}
+    assert {d: got[d]["n"] for d in got} == {4: 1, 7: 1, 1: 2, 2: 1, 5: 1}
+    n = 6
+    for d, r in got.items():
+        exp = math.log10(1 + 1 / d)
+        obs = r["n"] / n
+        assert abs(r["obs_frac"] - round(obs, 6)) < 1e-9
+        assert abs(r["chi2_term"]
+                   - round(n * (obs - exp) ** 2 / exp, 6)) < 1e-6
+
+    # 3^k is equidistributed in log10 -> near-Benford; 100 terms
+    ben = spark.createDataFrame(
+        [(3.0 ** k,) for k in range(1, 101)], "v double"
+    )
+    chi_ben = sum(r["chi2_term"]
+                  for r in benford_deviation(ben, "v").collect())
+    flat = spark.createDataFrame(
+        [(900.0 + i,) for i in range(100)], "v double"
+    )
+    chi_flat = sum(r["chi2_term"]
+                   for r in benford_deviation(flat, "v").collect())
+    assert chi_ben < 16 < 100 < chi_flat
