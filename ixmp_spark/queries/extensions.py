@@ -2842,3 +2842,62 @@ def x11_benford(spark, sf_dir):
 
     o = load(spark, sf_dir, "orders")
     return benford_deviation(o, "o_totalprice")
+
+
+@query(
+    "w13b_cusum_chunked",
+    oracle="""
+    WITH z AS (
+      SELECT event_id, user_id, value,
+             CASE WHEN stddev_samp(value) OVER wk > 0
+                  THEN (value - avg(value) OVER wk)
+                       / stddev_samp(value) OVER wk
+             END AS z,
+             ts
+      FROM events
+      WINDOW wk AS (PARTITION BY user_id)
+    ), p AS (
+      SELECT event_id, user_id, value, ts,
+             sum(z - 0.5) OVER wo AS ph,
+             sum(-z - 0.5) OVER wo AS pl
+      FROM z
+      WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), s AS (
+      SELECT event_id, user_id, value,
+             ph - least(0, min(ph) OVER wo) AS sh,
+             pl - least(0, min(pl) OVER wo) AS sl
+      FROM p
+      WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, value,
+           round(sh, 6) AS cusum_high,
+           round(sl, 6) AS cusum_low,
+           coalesce(sh > 5.0 OR sl > 5.0, false) AS is_change
+    FROM s
+    """,
+)
+def w13b_cusum_chunked(spark, sf_dir):
+    """w13's hot-key form (oracle byte-identical — the driver hash
+    proves chunked ≡ plain at the 6-decimal round): CUSUM over
+    (user, day)-bucketed window partitions with exclusive aggregate
+    carries (C_b = Σ previous bucket sums, D_b = min previous C+M)
+    instead of whole-key prefixes; the retrospective baseline becomes
+    a groupBy + keyed join, so NO stage partitions raw rows by bare
+    key."""
+    from ixmp_spark.operators.sessions import cusum_changepoints
+
+    ev = load(spark, sf_dir, "events")
+    out = cusum_changepoints(
+        ev, "user_id", "ts", "value",
+        slack_k=0.5, threshold_h=5.0, order_cols=("event_id",),
+        # sf0.01 users hold ~67 rows each: threshold 50 makes the
+        # driver exercise BOTH router branches (most users chunk,
+        # light ones take the plain path) under the one oracle
+        bucket="day", hot_rows_threshold=50,
+    )
+    return out.select(
+        "event_id", "user_id", "value",
+        "cusum_high", "cusum_low", "is_change",
+    )

@@ -971,3 +971,63 @@ def test_pareto_frontier_matches_brute_force(spark, pts, buckets):
         )
     }
     assert got == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),        # key
+            st.integers(0, 2000),     # hour offset (spans many days)
+            st.integers(-8, 8),       # dyadic value numerator (x/4)
+        ),
+        min_size=1,
+        max_size=80,
+    ),
+    bucket=st.sampled_from(["day", "week"]),
+)
+def test_cusum_chunked_equals_plain_bit_exact(spark, rows, bucket):
+    """cusum_changepoints(bucket=...) equals the plain whole-key form
+    BIT-exactly on dyadic grids with a fixed dyadic baseline — the
+    aggregate-carry decomposition (C_b, D_b) is exact arithmetic
+    there, so any disagreement is a logic bug, not float noise.
+    Random hour offsets scatter rows across bucket boundaries,
+    including multi-day silent gaps and single-row buckets."""
+    from datetime import datetime, timedelta
+
+    from ixmp_spark.operators.sessions import cusum_changepoints
+
+    t0 = datetime(2024, 1, 1)
+    data = [
+        (i, t0 + timedelta(hours=h), k, n * 0.25)
+        for i, (k, h, n) in enumerate(rows)
+    ]
+    ev = spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, value double"
+    )
+    kw = dict(order_cols=("event_id",), baseline=(0.0, 0.5))
+    # hot_rows_threshold=1: every key routes through the CHUNKED core,
+    # so the decomposition math itself is what's being compared
+    plain = {
+        r["event_id"]: (r["cusum_high"], r["cusum_low"], r["is_change"])
+        for r in cusum_changepoints(
+            ev, "user_id", "ts", "value", **kw
+        ).collect()
+    }
+    chunked = {
+        r["event_id"]: (r["cusum_high"], r["cusum_low"], r["is_change"])
+        for r in cusum_changepoints(
+            ev, "user_id", "ts", "value", bucket=bucket,
+            hot_rows_threshold=1, **kw
+        ).collect()
+    }
+    assert chunked == plain
+    # and with a mid threshold the hot/cold ROUTER must still agree
+    routed = {
+        r["event_id"]: (r["cusum_high"], r["cusum_low"], r["is_change"])
+        for r in cusum_changepoints(
+            ev, "user_id", "ts", "value", bucket=bucket,
+            hot_rows_threshold=10, **kw
+        ).collect()
+    }
+    assert routed == plain

@@ -803,6 +803,7 @@ def main_events() -> None:
         return best
 
     from ixmp_spark.operators.sessions import (
+        cusum_changepoints,
         event_transitions,
         sessionize,
         top_paths,
@@ -895,6 +896,34 @@ def main_events() -> None:
                     zscore_anomalies(ev, "user_id", "ts", "event_id", "value"),
                     lambda d: d.agg(
                         F.sum(F.col("is_anomaly").cast("long"))
+                    ).collect(),
+                )
+            )
+
+            if want("w13_cusum"):
+                results.setdefault("w13_cusum", {}).setdefault(variant, {})[n] = best_of(
+                lambda: run(
+                    cusum_changepoints(
+                        ev, "user_id", "ts", "value",
+                        order_cols=("event_id",),
+                    ),
+                    lambda d: d.agg(
+                        F.sum(F.col("is_change").cast("long"))
+                    ).collect(),
+                )
+            )
+
+            if want("w13_cusum_chunked_hour"):
+                results.setdefault("w13_cusum_chunked_hour", {}).setdefault(
+                variant, {}
+            )[n] = best_of(
+                lambda: run(
+                    cusum_changepoints(
+                        ev, "user_id", "ts", "value",
+                        order_cols=("event_id",), bucket="hour",
+                    ),
+                    lambda d: d.agg(
+                        F.sum(F.col("is_change").cast("long"))
                     ).collect(),
                 )
             )
