@@ -341,6 +341,7 @@ def pagerank(
     max_iter: int = 40,
     tol: float | None = 1e-6,
     checkpoint_dir: str | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """PageRank over an arbitrary directed edge frame — the standard
     centrality signal for source/domain quality in web-scale corpus
@@ -385,9 +386,28 @@ def pagerank(
         def _ckpt(df: DataFrame) -> DataFrame:
             return df.localCheckpoint()
 
-    e = edges.select(
-        F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
-    ).distinct().persist()
+    # weighted form (weight_col): rank flows proportionally to edge
+    # weight instead of evenly — with damping→1 this is the power
+    # iteration for the stationary distribution of the weighted Markov
+    # chain (duplicate edges merge by SUMMING weight); unweighted
+    # edges carry weight 1.0, making the classic form the special case
+    # (multiplying a share by literal 1.0 is an IEEE identity, so the
+    # unweighted path is bit-identical to the pre-weight operator)
+    if weight_col is not None:
+        e = (
+            edges.select(
+                F.col(src_col).alias("__s"),
+                F.col(dst_col).alias("__d"),
+                F.col(weight_col).cast("double").alias("__w"),
+            )
+            .groupBy("__s", "__d")
+            .agg(F.sum("__w").alias("__w"))
+            .persist()
+        )
+    else:
+        e = edges.select(
+            F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
+        ).distinct().withColumn("__w", F.lit(1.0)).persist()
     m = e.count()
     nodes = (
         e.select(F.col("__s").alias("node"))
@@ -412,10 +432,10 @@ def pagerank(
             [], "node string, rank double"
         )
     deg = e.groupBy(F.col("__s").alias("node")).agg(
-        F.count(F.lit(1)).alias("__deg")
+        F.sum("__w").alias("__deg")
     )
     base = nodes.join(deg, "node", "left").select(
-        "node", F.coalesce("__deg", F.lit(0)).alias("__deg")
+        "node", F.coalesce("__deg", F.lit(0.0)).alias("__deg")
     ).persist()
     base.count()
     ranks = base.select("node", F.lit(1.0 / n).alias("rank"))
@@ -439,7 +459,7 @@ def pagerank(
             .repartition(parts, "__s")
             .join(e, "__s")
             .groupBy(F.col("__d").alias("node"))
-            .agg(F.sum("__share").alias("__in"))
+            .agg(F.sum(F.col("__share") * F.col("__w")).alias("__in"))
         )
         new_ranks = (
             base.select("node")

@@ -1556,3 +1556,49 @@ def resample_interp(
         interp.alias("value"),
         F.col("__v").isNull().alias("filled"),
     )
+
+
+def trend_residual_outliers(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Detrended outlier screen — the missing piece between
+    ``key_trends`` (is this key drifting?) and the level-based screens
+    (``zscore_anomalies``/``mad_outliers``, which flag every late
+    point of a steadily-growing series simply because the level
+    moved): fit the key's own OLS line over time, then flag points by
+    their RESIDUAL z-score. A sensor ramping 2%/day stays quiet; the
+    one reading off its own trend line flags.
+
+    Both passes are per-key window aggregates over the same unordered
+    frame — the ``regr_*`` fit, then mean/std of the residual —
+    stacked Window nodes, ONE keyed shuffle. Keys with a degenerate
+    fit (constant time axis) or zero residual variance (perfect line)
+    yield NULL scores and never flag, same convention as the family.
+
+    Output: input columns + ``trend`` (fitted value), ``residual``,
+    ``resid_z`` (rounded to 6), ``is_outlier``.
+    """
+    wk = Window.partitionBy(key_col)
+    x = F.col(ts_col).cast("timestamp").cast("double")
+    y = F.col(value_col).cast("double")
+    fitted = df.withColumn(
+        "_trend",
+        F.regr_intercept(y, x).over(wk) + F.regr_slope(y, x).over(wk) * x,
+    ).withColumn("_resid", y - F.col("_trend"))
+    rs = F.stddev_samp(F.col("_resid")).over(wk)
+    rm = F.avg(F.col("_resid")).over(wk)
+    z = F.when(rs > 0, (F.col("_resid") - rm) / rs)
+    return (
+        fitted.withColumn("trend", F.round(F.col("_trend"), 6))
+        .withColumn("residual", F.round(F.col("_resid"), 6))
+        .withColumn("resid_z", F.round(z, 6))
+        .withColumn(
+            "is_outlier",
+            F.coalesce(F.abs(z) > F.lit(float(threshold)), F.lit(False)),
+        )
+        .drop("_trend", "_resid")
+    )

@@ -2901,3 +2901,47 @@ def w13b_cusum_chunked(spark, sf_dir):
         "event_id", "user_id", "value",
         "cusum_high", "cusum_low", "is_change",
     )
+
+
+@query(
+    "w19_trend_residuals",
+    oracle="""
+    WITH f AS (
+      SELECT event_id, user_id, value,
+             regr_intercept(value, epoch(ts)) OVER wk
+               + regr_slope(value, epoch(ts)) OVER wk * epoch(ts)
+               AS trend
+      FROM events
+      WINDOW wk AS (PARTITION BY user_id)
+    ), r AS (
+      SELECT event_id, user_id, value, trend,
+             value - trend AS resid,
+             avg(value - trend) OVER wk AS rm,
+             stddev_samp(value - trend) OVER wk AS rs
+      FROM f
+      WINDOW wk AS (PARTITION BY user_id)
+    )
+    SELECT event_id, user_id, value,
+           round(trend, 6) AS trend,
+           round(resid, 6) AS residual,
+           round(CASE WHEN rs > 0 THEN (resid - rm) / rs END, 6)
+             AS resid_z,
+           coalesce(abs(CASE WHEN rs > 0 THEN (resid - rm) / rs END)
+                    > 3.0, false) AS is_outlier
+    FROM r
+    """,
+)
+def w19_trend_residuals(spark, sf_dir):
+    """Detrended outlier screen per user (trend_residual_outliers):
+    OLS fit via the ANSI regr_* aggregates as whole-key windows, then
+    residual z-scores — flags the point off its key's own trend line
+    instead of every late point of a drifting series. The oracle
+    restates the stacked windows literally."""
+    from ixmp_spark.operators.sessions import trend_residual_outliers
+
+    ev = load(spark, sf_dir, "events")
+    out = trend_residual_outliers(ev, "user_id", "ts", "value")
+    return out.select(
+        "event_id", "user_id", "value",
+        "trend", "residual", "resid_z", "is_outlier",
+    )

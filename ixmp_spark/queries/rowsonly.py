@@ -386,3 +386,34 @@ def x9_lpa_communities(spark, sf_dir):
         )
     )
     return lpa_communities(edges, max_iter=4)
+
+
+@query("x12_markov_stationary")  # no SQL oracle: iterative fixpoint;
+# pinned vs a pure-Python weighted power iteration in
+# tests/test_scale.py::test_weighted_pagerank_markov_stationary
+def x12_markov_stationary(spark, sf_dir):
+    """Stationary distribution of the event-type Markov chain: edges
+    are per-user consecutive event-type transitions weighted by their
+    observed counts (g5's transition matrix), ranked by the WEIGHTED
+    pagerank power iteration (rank flows proportionally to transition
+    probability; damping 0.95 is the teleporting regularizer that
+    guarantees irreducibility). The long-run occupancy of each event
+    type — the steady-state the funnel family's per-step views don't
+    show. Fixed 15 rounds for bounded catalog cost."""
+    from pyspark.sql import Window
+
+    from ixmp_spark.operators.joins import pagerank
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("next", F.lead("event_type").over(w))
+        .where(F.col("next").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("src"), F.col("next").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return pagerank(
+        trans, damping=0.95, max_iter=15, tol=None, weight_col="w"
+    )

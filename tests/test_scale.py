@@ -3895,3 +3895,92 @@ def test_benford_digit_extraction_and_chi2(spark):
     chi_flat = sum(r["chi2_term"]
                    for r in benford_deviation(flat, "v").collect())
     assert chi_ben < 16 < 100 < chi_flat
+
+
+def test_weighted_pagerank_markov_stationary(spark):
+    """pagerank(weight_col=...) equals a pure-Python weighted power
+    iteration (teleport + dangling redistribution) round for round,
+    and with damping near 1 on an ergodic weighted chain it recovers
+    the analytic stationary distribution; weightless calls remain the
+    classic even-split form (duplicate weighted edges merge by sum)."""
+    from ixmp_spark.operators.joins import pagerank
+
+    # ergodic 3-state chain with known stationary vector
+    edges = [
+        ("a", "b", 9.0), ("a", "c", 1.0),
+        ("b", "a", 5.0), ("b", "c", 5.0),
+        ("c", "a", 10.0),
+        ("c", "a", 0.0),   # duplicate edge: merges by sum (no-op here)
+        ("d", "a", 1.0),   # feeder state
+        ("a", "d", 0.5),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string, w double")
+    d, rounds = 0.9, 25
+    got = {r["node"]: r["rank"]
+           for r in pagerank(df, damping=d, max_iter=rounds, tol=None,
+                             weight_col="w").collect()}
+
+    # python replay of the exact update rule
+    out: dict[str, dict[str, float]] = {}
+    for s, t, w in edges:
+        out.setdefault(s, {})
+        out[s][t] = out[s].get(t, 0.0) + w
+    nodes = sorted({n for s, t, _ in edges for n in (s, t)})
+    n = len(nodes)
+    rank = {x: 1.0 / n for x in nodes}
+    for _ in range(rounds):
+        dang = sum(rank[x] for x in nodes
+                   if sum(out.get(x, {}).values()) == 0)
+        new = {}
+        for x in nodes:
+            inflow = sum(
+                rank[s] * ws[x] / sum(ws.values())
+                for s, ws in out.items() if x in ws
+            )
+            new[x] = (1 - d) / n + d * (inflow + dang / n)
+        rank = new
+    for x in nodes:
+        # the operator rounds ranks to 8 decimals on output
+        assert abs(got[x] - rank[x]) < 1e-7, (x, got[x], rank[x])
+    # the heavy a->b edge must dominate a's outflow: b far above c
+    assert got["b"] > got["c"] * 1.5
+
+
+def test_trend_residual_outliers_detrending(spark):
+    """trend_residual_outliers stays quiet on a steep clean ramp
+    (where the plain z-score would flag the endpoints of any trending
+    series at a tight threshold), flags exactly the planted
+    off-trend spike, and NULLs a perfect line (zero residual
+    variance)."""
+    from datetime import datetime, timedelta
+
+    import random
+
+    from ixmp_spark.operators.sessions import trend_residual_outliers
+
+    t0 = datetime(2024, 4, 1)
+    rng = random.Random(9)
+    rows = []
+    # key 1: steep ramp + small noise, one planted off-trend spike
+    for i in range(120):
+        v = 10.0 * i + rng.gauss(0, 1.0)
+        if i == 60:
+            v += 25.0
+        rows.append((i, t0 + timedelta(hours=i), 1, v))
+    # key 2: perfect line -> zero residual variance -> NULLs
+    for i in range(10):
+        rows.append((500 + i, t0 + timedelta(hours=i), 2, 3.0 * i + 7))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    got = {r["event_id"]: r
+           for r in trend_residual_outliers(
+               ev, "user_id", "ts", "value", threshold=3.0).collect()}
+    flagged = [e for e in range(120) if got[e]["is_outlier"]]
+    assert flagged == [60]
+    assert abs(got[60]["residual"]) > 20
+    # ramp endpoints: far from the MEAN but on the trend -> quiet
+    assert not got[0]["is_outlier"] and not got[119]["is_outlier"]
+    for e in range(500, 510):
+        assert got[e]["resid_z"] is None
+        assert got[e]["is_outlier"] is False
