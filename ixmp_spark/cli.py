@@ -35,6 +35,43 @@ import sys
 _JSONL_EXTS = (".json", ".json.gz", ".jsonl", ".jsonl.gz")
 
 
+def _sniff_format(path: str) -> str:
+    """Three-way input sniff: 'parquet' | 'orc' | 'jsonl', same
+    evidence rules as :func:`_sniff_jsonl` (which this generalizes —
+    columnar extensions are checked before jsonl-ish ones, _SUCCESS
+    stays format-neutral, no evidence fails loudly)."""
+    if os.path.isdir(path):
+        levels = [os.listdir(path)]
+        levels.append([
+            os.path.join(d, f)
+            for d in levels[0]
+            if os.path.isdir(os.path.join(path, d))
+            for f in os.listdir(os.path.join(path, d))
+        ])
+        entries = [f for lvl in levels for f in lvl]
+        if any(f.endswith(".parquet") for f in entries):
+            return "parquet"
+        if any(f.endswith(".orc") for f in entries):
+            return "orc"
+        if any(f.endswith(_JSONL_EXTS) for f in entries):
+            return "jsonl"
+        raise SystemExit(
+            f"cannot infer input format of directory {path!r}: no "
+            "*.parquet, no *.orc and no *.jsonl entries at the top two "
+            "levels (_SUCCESS alone is format-neutral)"
+        )
+    if path.endswith(".parquet"):
+        return "parquet"
+    if path.endswith(".orc"):
+        return "orc"
+    if path.endswith(_JSONL_EXTS):
+        return "jsonl"
+    raise SystemExit(
+        f"cannot infer input format of {path!r}: expected a directory, "
+        f"a .parquet/.orc file, or a {'/'.join(_JSONL_EXTS)} file"
+    )
+
+
 def _sniff_jsonl(path: str) -> bool:
     """Decide whether a curate/export input is JSONL or parquet.
 
@@ -54,32 +91,7 @@ def _sniff_jsonl(path: str) -> bool:
     non-directory ⇒ JSONL) silently parsed a parquet file as JSON and
     quarantined every row as corrupt; an ambiguous input must fail
     loudly instead."""
-    if os.path.isdir(path):
-        levels = [os.listdir(path)]
-        levels.append([
-            os.path.join(d, f)
-            for d in levels[0]
-            if os.path.isdir(os.path.join(path, d))
-            for f in os.listdir(os.path.join(path, d))
-        ])
-        entries = [f for lvl in levels for f in lvl]
-        if any(f.endswith(".parquet") for f in entries):
-            return False
-        if any(f.endswith(_JSONL_EXTS) for f in entries):
-            return True
-        raise SystemExit(
-            f"cannot infer input format of directory {path!r}: no "
-            "*.parquet and no *.jsonl entries at the top two levels "
-            "(_SUCCESS alone is format-neutral)"
-        )
-    if path.endswith(".parquet"):
-        return False
-    if path.endswith(_JSONL_EXTS):
-        return True
-    raise SystemExit(
-        f"cannot infer input format of {path!r}: expected a directory, "
-        f"a .parquet file, or a {'/'.join(_JSONL_EXTS)} file"
-    )
+    return _sniff_format(path) == "jsonl"
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -167,7 +179,10 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--max-words", type=int, default=100_000)
     sp.add_argument("--min-stopword-hits", type=int, default=2)
     sp.add_argument("--no-dedup", action="store_true")
-    sp.add_argument("--out-format", choices=["parquet", "jsonl"], default="parquet")
+    sp.add_argument(
+        "--out-format", choices=["parquet", "jsonl", "orc"],
+        default="parquet",
+    )
     sp.add_argument("--max-records-per-file", type=int, default=None)
     sp.add_argument(
         "--quarantine", default=None, metavar="DIR",
@@ -219,13 +234,16 @@ def build_parser() -> argparse.ArgumentParser:
 def _read_corpus(spark, path: str):
     """Shared curate/export-shards corpus reader: (docs, quarantine|None)
     by sniffed format."""
-    if _sniff_jsonl(path):
+    fmt = _sniff_format(path)
+    if fmt == "jsonl":
         from ixmp_spark.sources.docs_io import (
             read_documents_jsonl,
             split_corrupt,
         )
 
         return split_corrupt(read_documents_jsonl(spark, path))
+    if fmt == "orc":
+        return spark.read.orc(path), None
     return spark.read.parquet(path), None
 
 
@@ -354,9 +372,15 @@ def main(argv: list[str] | None = None) -> int:
                 w = w.option(
                     "maxRecordsPerFile", int(args.max_records_per_file)
                 )
-            w.parquet(args.output)
+            # ORC is the second first-class columnar sink (Spark-native
+            # reader/writer; Avro stays gated — the external module
+            # isn't deployed in this environment)
+            if args.out_format == "orc":
+                w.orc(args.output)
+            else:
+                w.parquet(args.output)
         n_out = spark.read.format(
-            "json" if args.out_format == "jsonl" else "parquet"
+            {"jsonl": "json", "orc": "orc"}.get(args.out_format, "parquet")
         ).schema(kept.schema).load(args.output).count()
         n_bad = _quarantine_count(spark, bad, args.quarantine)
         print(

@@ -738,3 +738,50 @@ def test_unit_parsing_pint_semantics():
     # without the scoped map the same add is rejected (symbols differ)
     with pytest.raises(ValueError, match="cannot add"):
         _combine_units("USD/passenger_km", "USD/pkm", "add")
+
+
+def test_cli_curate_orc_round_trip(spark, tmp_path, capsys):
+    """curate --out-format orc writes a Spark-native ORC dataset whose
+    _SUCCESS marker stays format-neutral for the sniffer; re-ingesting
+    the ORC directory (and a bare .orc file path rule) works end to
+    end, and the three-way sniffer prefers columnar evidence over a
+    stray .json sidecar."""
+    import os
+
+    from ixmp_spark.cli import _sniff_format
+    from ixmp_spark.cli import main as cli_main
+
+    good = (
+        "the quick brown fox jumps over that lazy dog with great "
+        "energy and a steady purpose every single day"
+    )
+    lines = [
+        '{"doc_id": 1, "text": "%s", "lang": "en", "source": "s"}' % good,
+        '{"doc_id": 2, "text": "%s and night", "lang": "en", '
+        '"source": "s"}' % good,
+    ]
+    src = tmp_path / "corpus.jsonl"
+    src.write_text("\n".join(lines) + "\n")
+    out = tmp_path / "curated_orc"
+    rc = cli_main(
+        ["curate", str(src), str(out), "--min-words", "5",
+         "--no-dedup", "--out-format", "orc"]
+    )
+    assert rc == 0
+    assert "kept 2" in capsys.readouterr().out
+    assert os.path.exists(out / "_SUCCESS")
+    assert any(f.endswith(".orc") for f in os.listdir(out))
+    assert _sniff_format(str(out)) == "orc"
+
+    out2 = tmp_path / "curated_back"
+    rc = cli_main(
+        ["curate", str(out), str(out2), "--min-words", "5", "--no-dedup"]
+    )
+    assert rc == 0
+    assert "read 2 docs" in capsys.readouterr().out
+    assert spark.read.parquet(str(out2)).count() == 2
+
+    # sidecar noise must not flip the sniffer's decision (Spark's own
+    # directory reader is a separate concern)
+    (out / "meta.json").write_text("{}")
+    assert _sniff_format(str(out)) == "orc"
