@@ -156,3 +156,60 @@ def g4_funnel(spark, sf_dir):
         F.sum(clicked.cast("long")).alias("n_clicked_after_view"),
         F.sum(purchased.cast("long")).alias("n_full_funnel"),
     )
+
+
+@query(
+    "g7_session_features",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, value, ts, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, event_id, value, ts, event_type,
+             CAST(sum(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000
+             AS duration_s,
+           round(sum(value), 4) AS sum_value,
+           max(CASE WHEN event_type = 'purchase' THEN true
+                    ELSE false END) AS converted
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def g7_session_features(spark, sf_dir):
+    """Session-level feature table — the frame every product-analytics
+    model trains on: g1's session ids aggregated to one row per
+    session with event count, distinct-type count, wall duration,
+    value sum, and a conversion flag. One extra keyed aggregation on
+    top of sessionize's single shuffle (same key prefix, so AQE keeps
+    it co-partitioned). The oracle re-derives the lag/cumsum session
+    construction and the aggregate layer."""
+    ev = load(spark, sf_dir, "events")
+    sess = sessionize(
+        ev, user_col="user_id", ts_col="ts", gap_seconds=1800,
+        tie_break="event_id",
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("event_type").alias("n_types"),
+        # microsecond-exact: floor(a) - floor(b) != floor(a - b) on
+        # sub-second components (found by the oracle hash, 14 rows off
+        # by one second at sf0.001)
+        F.floor(
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+            / 1_000_000
+        ).alias("duration_s"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.max(F.col("event_type") == "purchase").alias("converted"),
+    )
