@@ -1497,3 +1497,74 @@ def zipf_fit(
         F.round(F.regr_r2(ln_n, ln_r), 6).alias("zipf_r2"),
         F.count(F.lit(1)).cast("long").alias("n_terms"),
     )
+
+
+def cross_perplexity(
+    train_df: DataFrame,
+    score_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_smooth: float = 1.0,
+    storage_level=None,
+) -> DataFrame:
+    """Perplexity of one corpus under a bigram LM trained on ANOTHER —
+    the domain-shift scorer (``bigram_perplexity`` is the in-domain
+    special case): score a candidate crawl against the reference
+    corpus's LM and high perplexity means "unlike the data you
+    trusted", the count-based cousin of p12's DSIR log-ratio and the
+    CCNet wiki-LM setup that p13 approximates in-corpus.
+
+    Same add-k model as the in-domain operator — ``P(w2|w1) =
+    (c(w1,w2)+k)/(c(w1·)+k·V)`` with counts and vocabulary V from the
+    TRAIN side only — so bigrams and contexts the train corpus never
+    saw degrade smoothly to the uniform floor (LEFT joins with
+    coalesce-to-0, never dropped rows: unseen text must score HIGH,
+    not vanish). Train-side grams persist once and back both count
+    aggregates (the t10 single-pass discipline); V rides a broadcast
+    1-row aggregate; scoring is two left equi-joins on the score
+    side's gram stream.
+
+    Output: (id, n_bigrams, ppl) per score-side document with ≥ 2
+    tokens, ppl rounded to 6.
+    """
+    from ixmp_spark.operators.dedup import _level
+
+    def _grams(df: DataFrame, with_id: bool) -> DataFrame:
+        toks = F.split(F.trim(F.lower(text_col)), r"\s+")
+        n = F.size(toks)
+        zipped = F.arrays_zip(
+            F.slice(toks, 1, F.greatest(n - 1, F.lit(0))).alias("w1"),
+            F.slice(toks, 2, F.greatest(n - 1, F.lit(0))).alias("w2"),
+        )
+        cols = [F.col(id_col)] if with_id else []
+        return df.select(*cols, F.explode(zipped).alias("g")).select(
+            *([id_col] if with_id else []),
+            F.col("g.w1").alias("w1"),
+            F.col("g.w2").alias("w2"),
+        )
+    tg = _grams(train_df, with_id=False).persist(_level(storage_level))
+    bg = tg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("__c12"))
+    ctx = tg.groupBy("w1").agg(F.count(F.lit(1)).alias("__c1"))
+    vocab = train_df.select(
+        F.explode(
+            F.split(F.trim(F.lower(text_col)), r"\s+")
+        ).alias("term")
+    ).agg(F.count_distinct("term").cast("double").alias("__v"))
+    sg = _grams(score_df, with_id=True)
+    k = float(k_smooth)
+    p = (
+        sg.join(bg, ["w1", "w2"], "left")
+        .join(ctx, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            (
+                (F.coalesce(F.col("__c12"), F.lit(0)) + k)
+                / (F.coalesce(F.col("__c1"), F.lit(0)) + k * F.col("__v"))
+            ).alias("__p"),
+        )
+    )
+    return p.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.exp(F.avg(-F.log("__p"))), 6).alias("ppl"),
+    )

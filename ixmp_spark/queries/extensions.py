@@ -2945,3 +2945,59 @@ def w19_trend_residuals(spark, sf_dir):
         "event_id", "user_id", "value",
         "trend", "residual", "resid_z", "is_outlier",
     )
+
+
+@query(
+    "t23_cross_perplexity",
+    oracle=r"""
+    WITH tr AS (
+      SELECT string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents WHERE source = 'src0'
+    ),
+    tg AS (
+      SELECT unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
+             unnest(list_slice(toks, 2, len(toks))) AS w2
+      FROM tr WHERE len(toks) >= 2
+    ),
+    bg AS (SELECT w1, w2, count(*) AS c12 FROM tg GROUP BY w1, w2),
+    ctx AS (SELECT w1, count(*) AS c1 FROM tg GROUP BY w1),
+    v AS (
+      SELECT CAST(count(DISTINCT term) AS DOUBLE) AS vocab FROM (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\s+'))
+          AS term
+        FROM documents WHERE source = 'src0'
+      )
+    ),
+    sc AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      FROM documents
+    ),
+    sg AS (
+      SELECT doc_id,
+             unnest(list_slice(toks, 1, len(toks) - 1)) AS w1,
+             unnest(list_slice(toks, 2, len(toks))) AS w2
+      FROM sc WHERE len(toks) >= 2
+    )
+    SELECT sg.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(exp(avg(-ln(
+             (coalesce(bg.c12, 0) + 1.0)
+             / (coalesce(ctx.c1, 0) + 1.0 * v.vocab)
+           ))), 6) AS ppl
+    FROM sg
+    LEFT JOIN bg USING (w1, w2) LEFT JOIN ctx USING (w1) CROSS JOIN v
+    GROUP BY sg.doc_id
+    """,
+)
+def t23_cross_perplexity(spark, sf_dir):
+    """Cross-corpus perplexity (cross_perplexity): every document
+    scored under a bigram LM trained ONLY on source 'src0' — the
+    domain-shift readout (src0 docs score in-domain-low, other
+    sources by their distance from src0's distribution). Unseen
+    bigrams degrade to the uniform smoothing floor via LEFT joins, so
+    off-domain text scores HIGH instead of vanishing; the oracle
+    restates the whole train/score split."""
+    from ixmp_spark.operators.text import cross_perplexity
+
+    docs = load_spread(spark, sf_dir, "documents")
+    train = docs.where(F.col("source") == "src0")
+    return cross_perplexity(train, docs, "doc_id", "text")

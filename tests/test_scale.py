@@ -3984,3 +3984,42 @@ def test_trend_residual_outliers_detrending(spark):
     for e in range(500, 510):
         assert got[e]["resid_z"] is None
         assert got[e]["is_outlier"] is False
+
+
+def test_cross_perplexity_domain_shift(spark):
+    """cross_perplexity scores in-domain text low and off-domain text
+    high under the train-side LM; unseen bigrams fall to the uniform
+    smoothing floor (LEFT joins — rows never vanish) and a fully
+    out-of-vocabulary doc scores exactly ppl = V (the add-1 floor with
+    empty counts). In-domain scoring equals bigram_perplexity when
+    train == score."""
+    from ixmp_spark.operators.text import (
+        bigram_perplexity,
+        cross_perplexity,
+    )
+
+    train_rows = [(i, "the cat sat on the mat " * 3) for i in range(4)]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    score = spark.createDataFrame(
+        train_rows[:1]
+        + [(10, "quantum flux harmonics destabilize the manifold"),
+           (11, "zz yy xx ww vv")],          # fully OOV
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           cross_perplexity(train, score, "doc_id", "text").collect()}
+    # ordering: in-domain lowest; fully-OOV sits exactly at the
+    # uniform floor V; a SEEN context with an unseen continuation is
+    # the most surprising of all (P = 1/(ctx+V) < 1/V) — doc 10's
+    # 'the manifold' rides the heavy 'the' context
+    assert got[0]["ppl"] < got[11]["ppl"] < got[10]["ppl"]
+    # fully-OOV: every bigram scores (0+1)/(0+V) -> ppl == V exactly
+    vocab = float(len({w for _, t in train_rows for w in t.split()}))
+    assert abs(got[11]["ppl"] - vocab) < 1e-6
+
+    same = {r["doc_id"]: r["ppl"] for r in
+            bigram_perplexity(train, "doc_id", "text").collect()}
+    cross_same = {r["doc_id"]: r["ppl"] for r in
+                  cross_perplexity(train, train, "doc_id", "text")
+                  .collect()}
+    assert same == cross_same

@@ -38,6 +38,7 @@ BNLJ_OK = {
     "x6_hybrid_search",  # inherits t17's corpus-stats + e1's probe 1-row broadcasts
     "x8_cuped_lift",  # 1-row theta/mean-pre covariance aggregate cross-broadcast
     "a12_histogram_fd",  # 1-row five-scalar summary aggregate cross-broadcast
+    "t23_cross_perplexity",  # 1-row train-vocab aggregate cross-broadcast (t10 pattern)
     "p17_pareto_frontier",  # 1-row x-min/max bounds cross-broadcast (lazy bucket edges)
 }
 
@@ -58,6 +59,11 @@ SHUFFLE_OK = {
     # DISTINCT-x frame, and the flag joins back on x (both sides keyed)
     # — 7 total; only the first and last move document-count rows
     "p17_pareto_frontier",
+    # t23 = t10's LM pipeline with a train/score split: train-side gram
+    # explode + bg/ctx count aggs + vocab distinct + TWO score-side
+    # gram-keyed left joins + the per-doc agg (8 total; the score-side
+    # shuffles carry (doc, w1, w2) hits, the train side count rows)
+    "t23_cross_perplexity",
     # p15 = a 3-column drift report: per column 2 bin-count aggregates
     # + a full-outer bin join + the PSI fold (~5 each, 18 total) — every
     # shuffle moves BIN-COUNT rows (<= n_bins / #categories), never the
