@@ -1031,3 +1031,95 @@ def test_cusum_chunked_equals_plain_bit_exact(spark, rows, bucket):
         ).collect()
     }
     assert routed == plain
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 1),                  # key
+            st.integers(-4, 4).map(float),      # value (heavy ties)
+            st.sampled_from([0.0, 0.5, 1.0, 3.0]),  # weight (incl. 0)
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    q=st.sampled_from([0.01, 0.25, 0.5, 0.9, 0.99, 1.0]),
+)
+def test_weighted_percentile_matches_replay(spark, rows, q):
+    """weighted_percentile equals the cumulative-crossing definition
+    replayed in Python under heavy value ties, zero weights, and edge
+    quantiles — the smallest value whose cumulative weight reaches
+    q*total, independent of tie order (keys whose total weight is 0
+    have no crossing and yield NULL)."""
+    from ixmp_spark.operators.sessions import weighted_percentile
+
+    df = spark.createDataFrame(
+        [(k, v, w) for k, v, w in rows], "k long, v double, w double"
+    )
+    got = {r["k"]: r for r in
+           weighted_percentile(df, "k", "v", "w", (q,)).collect()}
+    col = f"wp_{str(q).replace('.', '_')}"
+    by_key: dict[int, list] = {}
+    for k, v, w in rows:
+        by_key.setdefault(k, []).append((v, w))
+    for k, vals in by_key.items():
+        tot = sum(w for _, w in vals)
+        want = None
+        cum = 0.0
+        for v, w in sorted(vals):
+            cum += w
+            if cum >= q * tot:
+                want = v
+                break
+        if tot == 0:
+            # all-zero weights: cum >= 0 crosses immediately at the
+            # smallest value — the operator keeps rows with w >= 0
+            want = min(v for v, _ in vals)
+        assert got[k][col] == want, (k, q, got[k][col], want)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(0, 500_000),                   # second offset
+            st.floats(-50, 50, allow_nan=False),       # value
+        ),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+    step=st.sampled_from([60, 3600, 86_400]),
+)
+def test_resample_ffill_matches_pandas(spark, pts, step):
+    """resample_ffill equals pandas resample().mean().ffill() for ANY
+    irregular series and grid step — grid extent, bucket means, gap
+    carries, and the filled flags all line up."""
+    from datetime import datetime, timedelta
+
+    import pandas as pd
+
+    from ixmp_spark.operators.sessions import resample_ffill
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + timedelta(seconds=s), 1, v)
+        for i, (s, v) in enumerate(pts)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    got = (
+        resample_ffill(ev, "user_id", "ts", "value", step)
+        .orderBy("bucket_ts")
+        .collect()
+    )
+    pdf = pd.DataFrame(
+        [(ts, v) for _, ts, _, v in rows], columns=["ts", "v"]
+    ).set_index("ts")
+    want = pdf.resample(f"{step}s")["v"].mean().ffill()
+    assert len(got) == len(want)
+    for r, (ts, v) in zip(got, want.items()):
+        assert r["bucket_ts"] == ts.to_pydatetime()
+        assert abs(r["value"] - round(v, 6)) < 5e-6, (r, v)
