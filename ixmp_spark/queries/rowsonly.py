@@ -399,7 +399,9 @@ def x12_markov_stationary(spark, sf_dir):
     probability; damping 0.95 is the teleporting regularizer that
     guarantees irreducibility). The long-run occupancy of each event
     type — the steady-state the funnel family's per-step views don't
-    show. Fixed 15 rounds for bounded catalog cost."""
+    show. Fixed 8 rounds for bounded catalog cost (the event-type
+    graph has ~5 nodes; per-round cost here is pure job overhead,
+    and the 0.95-damped chain is well mixed by round 8)."""
     from pyspark.sql import Window
 
     from ixmp_spark.operators.joins import pagerank
@@ -415,5 +417,5 @@ def x12_markov_stationary(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("w"))
     )
     return pagerank(
-        trans, damping=0.95, max_iter=15, tol=None, weight_col="w"
+        trans, damping=0.95, max_iter=8, tol=None, weight_col="w"
     )
