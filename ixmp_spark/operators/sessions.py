@@ -1602,3 +1602,38 @@ def trend_residual_outliers(
         )
         .drop("_trend", "_resid")
     )
+
+
+def rolling_autocorr(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    order_col: str,
+    value_col: str,
+    window: int = 20,
+    lag: int = 1,
+) -> DataFrame:
+    """Trailing lag-``lag`` autocorrelation per key — the
+    self-similarity readout that separates genuinely periodic /
+    momentum-driven series from noise (near +1: smooth trend or slow
+    oscillation; near −1: alternation/ringing at the sampled rate;
+    near 0: white noise). The seasonality screen to run before
+    trusting ``resample_interp``'s lerp or a forecast on the key.
+
+    One ordered keyed window pass: the lagged value via ``lag()``,
+    then Pearson ``corr(x, x_lag)`` over the trailing ``window`` rows
+    — both plain ANSI window aggregates, so the oracle restates them
+    literally. Rows whose frame holds fewer than 2 complete pairs, or
+    a zero-variance side, yield NULL (both engines' corr convention);
+    no flag column — autocorrelation is a diagnostic, thresholds
+    belong to the caller.
+
+    Output: input columns + ``autocorr`` (rounded to 6).
+    """
+    wo = Window.partitionBy(key_col).orderBy(ts_col, order_col)
+    wf = wo.rowsBetween(-(int(window) - 1), Window.currentRow)
+    v = F.col(value_col).cast("double")
+    lagged = df.withColumn("_lagv", F.lag(v, int(lag)).over(wo))
+    return lagged.withColumn(
+        "autocorr", F.round(F.corr(v, F.col("_lagv")).over(wf), 6)
+    ).drop("_lagv")

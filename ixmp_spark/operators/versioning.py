@@ -179,3 +179,56 @@ def scd2_merge(
         .select(*[F.col(f"__r.{c}").alias(c) for c in out_cols])
     )
     return expired.select(*out_cols).unionByName(merged)
+
+
+def scd2_consistency(
+    history: DataFrame,
+    key_cols: Sequence[str],
+    effective_col: str = "valid_from",
+    end_col: str = "valid_to",
+    current_col: str = "is_current",
+) -> DataFrame:
+    """SCD2 history audit — the invariant checker for what
+    :func:`scd2_merge` maintains and :func:`~ixmp_spark.operators.
+    joins.temporal_join` assumes: per key, version intervals must tile
+    (no overlaps, no gaps), exactly one row may be open/current, and a
+    closed row must have ``valid_from < valid_to``. Run it after every
+    backfill — a hand-patched dimension with two open rows silently
+    double-joins every downstream fact.
+
+    One keyed window pass (ordered by ``effective_col``): each row
+    compares against its predecessor's end. Violations are emitted
+    per row with a reason, healthy history produces ZERO rows — the
+    empty-result contract of the J3 validator family.
+
+    Reasons: ``overlap`` (starts before predecessor ends), ``gap``
+    (starts after predecessor ends), ``inverted`` (valid_to ≤
+    valid_from), ``multiple_current`` (more than one open row),
+    ``open_not_current`` / ``current_not_open`` (flag disagrees with
+    the NULL end convention).
+    """
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(F.col(effective_col))
+    wk = Window.partitionBy(*keys)
+    vf, vt = F.col(effective_col), F.col(end_col)
+    cur = F.col(current_col)
+    prev_end = F.lag(vt).over(w)
+    n_open = F.sum(vt.isNull().cast("long")).over(wk)
+    reason = F.array_compact(
+        F.array(
+            F.when(vt.isNotNull() & (vt <= vf), F.lit("inverted")),
+            F.when(prev_end.isNotNull() & (vf < prev_end),
+                   F.lit("overlap")),
+            F.when(prev_end.isNotNull() & (vf > prev_end),
+                   F.lit("gap")),
+            F.when(vt.isNull() & (n_open > 1),
+                   F.lit("multiple_current")),
+            F.when(vt.isNull() & ~cur, F.lit("open_not_current")),
+            F.when(vt.isNotNull() & cur, F.lit("current_not_open")),
+        )
+    )
+    return (
+        history.withColumn("reasons", reason)
+        .where(F.size("reasons") > 0)
+        .withColumn("reasons", F.array_join(F.array_sort("reasons"), ","))
+    )

@@ -3001,3 +3001,35 @@ def t23_cross_perplexity(spark, sf_dir):
     docs = load_spread(spark, sf_dir, "documents")
     train = docs.where(F.col("source") == "src0")
     return cross_perplexity(train, docs, "doc_id", "text")
+
+
+@query(
+    "w20_rolling_autocorr",
+    oracle="""
+    WITH l AS (
+      SELECT event_id, user_id, value,
+             lag(value) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS lv,
+             ts
+      FROM events
+    )
+    SELECT event_id, user_id, value,
+           round(corr(value, lv) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6)
+             AS autocorr
+    FROM l
+    """,
+)
+def w20_rolling_autocorr(spark, sf_dir):
+    """Trailing lag-1 autocorrelation per user over 20-row frames
+    (rolling_autocorr): the periodicity/momentum diagnostic next to
+    the w-family screens. lag() + windowed Pearson corr, one keyed
+    shuffle; the oracle restates the identical windows."""
+    from ixmp_spark.operators.sessions import rolling_autocorr
+
+    ev = load(spark, sf_dir, "events")
+    out = rolling_autocorr(
+        ev, "user_id", "ts", "event_id", "value", window=20, lag=1
+    )
+    return out.select("event_id", "user_id", "value", "autocorr")

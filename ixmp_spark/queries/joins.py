@@ -469,3 +469,69 @@ def j16_temporal_join(spark, sf_dir):
         F.round("bal", 2).alias("acctbal_asof"),
         F.date_format("valid_from", "yyyy-MM-dd").alias("version_from"),
     )
+
+
+@query(
+    "j18_scd2_consistency",
+    oracle="""
+    SELECT c_custkey, '2000-01-01' AS valid_from,
+           'overlap' AS reasons
+    FROM customer WHERE c_custkey % 7 = 0
+    UNION ALL
+    SELECT c_custkey, '2000-01-01', 'gap'
+    FROM customer WHERE c_custkey % 7 = 1
+    UNION ALL
+    SELECT c_custkey, '2000-01-01', 'multiple_current'
+    FROM customer WHERE c_custkey % 7 = 2
+    UNION ALL
+    SELECT c_custkey, '2001-01-01', 'multiple_current'
+    FROM customer WHERE c_custkey % 7 = 2
+    UNION ALL
+    SELECT c_custkey, '2005-01-01', 'inverted'
+    FROM customer WHERE c_custkey % 7 = 3
+    """,
+)
+def j18_scd2_consistency(spark, sf_dir):
+    """SCD2 history audit (scd2_consistency) over a customer history
+    with four violation strata planted analytically — an overlapping
+    predecessor, a coverage gap, a second open row, an inverted
+    interval — and three clean strata that must stay silent. The
+    oracle states the EXPECTED violation rows and reasons outright
+    (it never replays the window logic), so both the detectors and
+    their negative space are hash-certified."""
+    from ixmp_spark.operators.versioning import scd2_consistency
+
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    k = F.col("c_custkey")
+    d = lambda s: F.lit(s).cast("date")  # noqa: E731
+    base = c.select(
+        k, d("2000-01-01").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    overlap = c.where(k % 7 == 0).select(
+        k, d("1999-01-01").alias("valid_from"),
+        d("2000-06-01").alias("valid_to"), F.lit(False).alias("is_current"),
+    )
+    gap = c.where(k % 7 == 1).select(
+        k, d("1998-01-01").alias("valid_from"),
+        d("1999-06-01").alias("valid_to"), F.lit(False).alias("is_current"),
+    )
+    second_open = c.where(k % 7 == 2).select(
+        k, d("2001-01-01").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    inverted = c.where(k % 7 == 3).select(
+        k, d("2005-01-01").alias("valid_from"),
+        d("2004-01-01").alias("valid_to"), F.lit(False).alias("is_current"),
+    )
+    hist = base.unionByName(overlap).unionByName(gap).unionByName(
+        second_open
+    ).unionByName(inverted)
+    out = scd2_consistency(hist, ["c_custkey"])
+    return out.select(
+        "c_custkey",
+        F.col("valid_from").cast("string").alias("valid_from"),
+        "reasons",
+    )

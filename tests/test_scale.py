@@ -4023,3 +4023,80 @@ def test_cross_perplexity_domain_shift(spark):
                   cross_perplexity(train, train, "doc_id", "text")
                   .collect()}
     assert same == cross_same
+
+
+def test_scd2_consistency_and_autocorr(spark):
+    """scd2_consistency: healthy tiled history emits ZERO rows; each
+    planted defect (overlap, gap, double-open, inverted, flag/NULL
+    disagreements) surfaces with its reason. rolling_autocorr: a pure
+    sine sampled at its period scores ~+1, alternating signs ~-1,
+    white noise ~0, matching a numpy replay on the final frame."""
+    import math
+    import random
+    from datetime import datetime, timedelta
+
+    from ixmp_spark.operators.sessions import rolling_autocorr
+    from ixmp_spark.operators.versioning import scd2_consistency
+
+    D = lambda s: datetime.strptime(s, "%Y-%m-%d")  # noqa: E731
+    hist = spark.createDataFrame(
+        [
+            # key 1: healthy tiling
+            (1, D("2020-01-01"), D("2021-01-01"), False),
+            (1, D("2021-01-01"), None, True),
+            # key 2: overlap
+            (2, D("2020-01-01"), D("2020-06-01"), False),
+            (2, D("2020-03-01"), None, True),
+            # key 3: gap
+            (3, D("2020-01-01"), D("2020-02-01"), False),
+            (3, D("2020-05-01"), None, True),
+            # key 4: two open rows
+            (4, D("2020-01-01"), None, True),
+            (4, D("2021-01-01"), None, True),
+            # key 5: inverted + current_not_open
+            (5, D("2021-01-01"), D("2020-01-01"), True),
+            # key 6: open but not flagged current
+            (6, D("2020-01-01"), None, False),
+        ],
+        "k long, valid_from timestamp, valid_to timestamp,"
+        " is_current boolean",
+    )
+    out = scd2_consistency(hist, ["k"])
+    got = {(r["k"], r["valid_from"]): r["reasons"] for r in out.collect()}
+    assert not any(k == 1 for k, _ in got)
+    assert got[(2, D("2020-03-01"))] == "overlap"
+    assert got[(3, D("2020-05-01"))] == "gap"
+    assert got[(4, D("2020-01-01"))] == "multiple_current"
+    assert got[(4, D("2021-01-01"))] == "multiple_current"
+    assert got[(5, D("2021-01-01"))] == "current_not_open,inverted"
+    assert got[(6, D("2020-01-01"))] == "open_not_current"
+    assert len(got) == 6
+
+    t0 = datetime(2024, 1, 1)
+    rng = random.Random(3)
+    rows = []
+    for i in range(60):
+        rows.append((i, t0 + timedelta(seconds=i), 1,
+                     math.sin(2 * math.pi * i / 24)))      # smooth
+        rows.append((100 + i, t0 + timedelta(seconds=i), 2,
+                     (-1.0) ** i))                          # alternating
+        rows.append((200 + i, t0 + timedelta(seconds=i), 3,
+                     rng.gauss(0, 1)))                      # noise
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    ac = {r["event_id"]: r["autocorr"] for r in rolling_autocorr(
+        ev, "user_id", "ts", "event_id", "value", window=24).collect()}
+    assert ac[59] > 0.9
+    assert ac[159] < -0.9
+    assert abs(ac[259]) < 0.5
+
+    # numpy-free exact replay of the final 24-row frame for key 3
+    vals = [v for i, _, k, v in rows if k == 3]
+    xs, ys = vals[-24:], vals[-25:-1]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(xs, ys))
+    den = (sum((a - mx) ** 2 for a in xs)
+           * sum((b - my) ** 2 for b in ys)) ** 0.5
+    assert abs(ac[259] - num / den) < 1e-5
