@@ -49,3 +49,54 @@ def in_list_filter(df: DataFrame, filters: Mapping[str, object]) -> DataFrame:
     """Apply the item_get_elements filter contract to ``df``."""
     pred = in_list_predicate(df, filters)
     return df if pred is None else df.where(pred)
+
+
+def profile_table(df, columns=None):
+    """ANALYZE-style column profile — the first query anyone runs on
+    an unfamiliar table, and the statistics every planner/quality
+    decision downstream consumes: per column, row count, NULL count,
+    exact distinct count, and (for numeric columns) min/max.
+
+    ONE aggregation computes every statistic: counts and min/max are
+    plain aggregates; the k exact ``count_distinct``s make Catalyst
+    plan an EXPAND (k× row multiplication before partial aggregation)
+    — the documented cost of exactness; swap to
+    ``approx_count_distinct`` upstream when profiling petabytes. The
+    single wide result row unpivots to one row per column with
+    ``stack`` (driver never sees data, just the 1×(5k) row plan).
+
+    Output: (column, n, n_null, n_distinct, min_numeric, max_numeric)
+    — min/max NULL for non-numeric columns, rounded to 6.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    cols = list(columns) if columns is not None else df.columns
+    numeric = {
+        f.name for f in df.schema.fields
+        if isinstance(f.dataType, T.NumericType)
+    }
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            (
+                F.round(F.min(F.col(c).cast("double")), 6)
+                if c in numeric else F.lit(None).cast("double")
+            ).alias(f"__mn_{c}"),
+            (
+                F.round(F.max(F.col(c).cast("double")), 6)
+                if c in numeric else F.lit(None).cast("double")
+            ).alias(f"__mx_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', `__n_{c}`, `__nn_{c}`, `__nd_{c}`, `__mn_{c}`, `__mx_{c}`"
+        for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack}) as "
+        "(column, n, n_null, n_distinct, min_numeric, max_numeric)"
+    )

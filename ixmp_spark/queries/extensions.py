@@ -3033,3 +3033,50 @@ def w20_rolling_autocorr(spark, sf_dir):
         ev, "user_id", "ts", "event_id", "value", window=20, lag=1
     )
     return out.select("event_id", "user_id", "value", "autocorr")
+
+
+@query(
+    "x13_profile_table",
+    oracle="""
+    SELECT 'event_id' AS column, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct,
+           round(min(event_id), 6) AS min_numeric,
+           round(max(event_id), 6) AS max_numeric
+    FROM events
+    UNION ALL
+    SELECT 'user_id', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(count(DISTINCT user_id) AS BIGINT),
+           round(min(user_id), 6), round(max(user_id), 6)
+    FROM events
+    UNION ALL
+    SELECT 'event_type', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(count(DISTINCT event_type) AS BIGINT),
+           NULL, NULL
+    FROM events
+    UNION ALL
+    SELECT 'value', CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(count(DISTINCT value) AS BIGINT),
+           round(min(value), 6), round(max(value), 6)
+    FROM events
+    """,
+)
+def x13_profile_table(spark, sf_dir):
+    """ANALYZE-style profile of the events table (profile_table over
+    4 columns): counts, NULLs, exact distincts, numeric min/max, all
+    in one aggregation (the k-distinct EXPAND is the documented cost
+    of exactness). The oracle recomputes each column's statistics
+    independently."""
+    from ixmp_spark.operators.filtering import profile_table
+
+    ev = load(spark, sf_dir, "events")
+    return profile_table(
+        ev, ["event_id", "user_id", "event_type", "value"]
+    )

@@ -4100,3 +4100,33 @@ def test_scd2_consistency_and_autocorr(spark):
     den = (sum((a - mx) ** 2 for a in xs)
            * sum((b - my) ** 2 for b in ys)) ** 0.5
     assert abs(ac[259] - num / den) < 1e-5
+
+
+def test_profile_table_stats(spark):
+    """profile_table's single-aggregation stats equal hand counts:
+    NULLs counted per column, exact distincts (NULL not a distinct
+    value in count_distinct), numeric min/max present only for
+    numeric columns, and column selection honored."""
+    from ixmp_spark.operators.filtering import profile_table
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 2.5), (2, "b", None), (3, None, -1.0),
+            (4, "a", 2.5), (None, "c", 0.0),
+        ],
+        "id long, s string, v double",
+    )
+    got = {r["column"]: r for r in profile_table(df).collect()}
+    assert set(got) == {"id", "s", "v"}
+    for c in got:
+        assert got[c]["n"] == 5
+    assert got["id"]["n_null"] == 1 and got["id"]["n_distinct"] == 4
+    assert got["s"]["n_null"] == 1 and got["s"]["n_distinct"] == 3
+    assert got["v"]["n_null"] == 1 and got["v"]["n_distinct"] == 3
+    assert got["id"]["min_numeric"] == 1.0
+    assert got["id"]["max_numeric"] == 4.0
+    assert got["v"]["min_numeric"] == -1.0
+    assert got["v"]["max_numeric"] == 2.5
+    assert got["s"]["min_numeric"] is None
+    only = profile_table(df, ["s"]).collect()
+    assert len(only) == 1 and only[0]["column"] == "s"
