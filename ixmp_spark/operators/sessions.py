@@ -1637,3 +1637,54 @@ def rolling_autocorr(
     return lagged.withColumn(
         "autocorr", F.round(F.corr(v, F.col("_lagv")).over(wf), 6)
     ).drop("_lagv")
+
+
+def streaks(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    order_col: str,
+    flag,
+) -> DataFrame:
+    """Gaps-and-islands streak detection per key: maximal runs of
+    consecutive rows satisfying ``flag`` (a boolean Column) — uptime
+    runs, losing streaks, consecutive-days-active, N-in-a-row alert
+    rules; ``sessionize`` groups by TIME gaps, this by PREDICATE
+    flips, the other classic islands construction.
+
+    The textbook two-window identity: a running count of flag FLIPS
+    (``lag`` ≠ current) assigns every row its island id, then one
+    aggregation per (key, island) — both windows on the same keyed
+    partitioning, ONE shuffle, O(1) task state. Only flag=true islands
+    are returned.
+
+    Output: (key, streak_id, n_rows, start_<order>, end_<order>) —
+    one row per streak, ``streak_id`` ordinal per key by start order.
+    """
+    wo = Window.partitionBy(key_col).orderBy(ts_col, order_col)
+    f = flag.cast("boolean")
+    flip = (
+        F.when(F.lag(f).over(wo).eqNullSafe(f), F.lit(0))
+        .otherwise(F.lit(1))
+    )
+    run = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islanded = df.withColumn("_f", f).withColumn(
+        "_isl", F.sum(flip).over(run)
+    )
+    grouped = (
+        islanded.where(F.col("_f"))
+        .groupBy(key_col, "_isl")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min(order_col).alias(f"start_{order_col}"),
+            F.max(order_col).alias(f"end_{order_col}"),
+        )
+    )
+    w_ord = Window.partitionBy(key_col).orderBy("_isl")
+    return grouped.withColumn(
+        "streak_id", F.row_number().over(w_ord).cast("long")
+    ).drop("_isl")

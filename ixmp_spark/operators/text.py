@@ -1568,3 +1568,55 @@ def cross_perplexity(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.round(F.exp(F.avg(-F.log("__p"))), 6).alias("ppl"),
     )
+
+
+def readability_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Flesch reading-ease per document — the oldest quality feature
+    in the book and still a standard column in corpus quality stacks
+    (very low scores mark legalese/spec dumps, implausibly high ones
+    mark token soup):
+
+        ``206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)``
+
+    with the portable heuristics the formula tolerates: sentences =
+    runs of ``.!?`` (min 1 — an unpunctuated doc is one sentence),
+    syllables = per-word count of vowel GROUPS (``[aeiouy]+``), min 1
+    per word. All array/regexp built-ins — map-only, codegen, and
+    each lambda touches only its own word (no cross-element
+    references, so the projection-collapse trap doesn't apply).
+
+    Output: (id, n_words, n_sentences, n_syllables, flesch) for
+    non-empty documents; flesch rounded to 4.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.lower(text_col)), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    n_words = F.size(toks)
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(text_col, F.lit(r"[.!?]+"), 0)),
+        F.lit(1),
+    )
+    syl = F.aggregate(
+        F.transform(
+            toks,
+            lambda w: F.greatest(
+                F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), 0)),
+                F.lit(1),
+            ),
+        ),
+        F.lit(0),
+        lambda acc, s: acc + s,
+    )
+    flesch = (
+        F.lit(206.835)
+        - 1.015 * (n_words.cast("double") / n_sent.cast("double"))
+        - 84.6 * (syl.cast("double") / n_words.cast("double"))
+    )
+    return df.where(n_words > 0).select(
+        F.col(id_col),
+        n_words.cast("long").alias("n_words"),
+        n_sent.cast("long").alias("n_sentences"),
+        syl.cast("long").alias("n_syllables"),
+        F.round(flesch, 4).alias("flesch"),
+    )

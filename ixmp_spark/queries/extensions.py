@@ -3080,3 +3080,40 @@ def x13_profile_table(spark, sf_dir):
     return profile_table(
         ev, ["event_id", "user_id", "event_type", "value"]
     )
+
+
+@query(
+    "w21_streaks",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, event_id, ts, value > 50 AS fl,
+             CASE WHEN lag(value > 50) OVER w IS NOT DISTINCT FROM
+                       (value > 50)
+                  THEN 0 ELSE 1 END AS flip
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), isl AS (
+      SELECT user_id, event_id, fl,
+             sum(flip) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS i
+      FROM f
+    ), g AS (
+      SELECT user_id, i, CAST(count(*) AS BIGINT) AS n_rows,
+             min(event_id) AS start_event_id,
+             max(event_id) AS end_event_id
+      FROM isl WHERE fl GROUP BY user_id, i
+    )
+    SELECT user_id, n_rows, start_event_id, end_event_id,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY i)
+                AS BIGINT) AS streak_id
+    FROM g
+    """,
+)
+def w21_streaks(spark, sf_dir):
+    """Gaps-and-islands streaks of above-50 values per user (streaks):
+    flip-count island ids + one per-island aggregation, a single keyed
+    shuffle. The oracle restates the identity windows."""
+    from ixmp_spark.operators.sessions import streaks
+
+    ev = load(spark, sf_dir, "events")
+    return streaks(ev, "user_id", "ts", "event_id", F.col("value") > 50)

@@ -768,3 +768,41 @@ def p18_k_anonymity(spark, sf_dir):
         "c_custkey", "c_nationkey", "c_mktsegment"
     )
     return k_anonymity_filter(c, ["c_nationkey", "c_mktsegment"], k=5)
+
+
+@query(
+    "t24_readability",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         w -> w <> '') AS toks
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+               AS n_sentences,
+             list_sum(list_transform(toks,
+               w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')),
+                             1))) AS n_syllables
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(n_syllables AS BIGINT) AS n_syllables,
+           round(206.835
+                 - 1.015 * (n_words * 1.0 / n_sentences)
+                 - 84.6 * (n_syllables * 1.0 / n_words), 4) AS flesch
+    FROM s
+    """,
+)
+def t24_readability(spark, sf_dir):
+    """Flesch reading-ease table (readability_scores): the classic
+    quality feature with portable sentence/syllable heuristics, all
+    map-only built-ins. The oracle restates the same heuristics in
+    DuckDB list/regexp functions."""
+    from ixmp_spark.operators.text import readability_scores
+
+    docs = load(spark, sf_dir, "documents")
+    return readability_scores(docs, "doc_id", "text")

@@ -4130,3 +4130,73 @@ def test_profile_table_stats(spark):
     assert got["s"]["min_numeric"] is None
     only = profile_table(df, ["s"]).collect()
     assert len(only) == 1 and only[0]["column"] == "s"
+
+
+def test_streaks_and_readability(spark):
+    """streaks returns exactly the maximal above-threshold islands
+    (boundaries, singletons, all-true, all-false keys); readability
+    matches a hand replay of the Flesch heuristics on known texts and
+    orders simple > complex prose."""
+    from datetime import datetime, timedelta
+
+    from ixmp_spark.operators.sessions import streaks
+    from ixmp_spark.operators.text import readability_scores
+
+    t0 = datetime(2024, 1, 1)
+    vals = {
+        1: [0, 9, 9, 0, 9, 0, 0, 9, 9, 9],   # islands: [1,2],[4],[7,9]
+        2: [9, 9],                            # all-true
+        3: [0, 0],                            # all-false -> no rows
+    }
+    rows = []
+    eid = 0
+    for k, vs in vals.items():
+        for v in vs:
+            rows.append((eid, t0 + timedelta(seconds=eid), k, float(v)))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    from pyspark.sql import functions as F
+
+    got = sorted(
+        (r["user_id"], r["streak_id"], r["n_rows"],
+         r["start_event_id"], r["end_event_id"])
+        for r in streaks(ev, "user_id", "ts", "event_id",
+                         F.col("value") > 5).collect()
+    )
+    assert got == [
+        (1, 1, 2, 1, 2), (1, 2, 1, 4, 4), (1, 3, 3, 7, 9),
+        (2, 1, 2, 10, 11),
+    ]
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran."),
+            (2, "Extraordinarily convoluted administrative "
+                "bureaucracies perpetuate unintelligible "
+                "documentation."),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r
+           for r in readability_scores(docs, "doc_id", "text").collect()}
+
+    import re
+
+    def replay(text):
+        toks = [w for w in text.strip().lower().split() if w]
+        sents = max(len(re.findall(r"[.!?]+", text)), 1)
+        syl = sum(max(len(re.findall(r"[aeiouy]+", w)), 1) for w in toks)
+        return (len(toks), sents, syl,
+                round(206.835 - 1.015 * len(toks) / sents
+                      - 84.6 * syl / len(toks), 4))
+    for i, txt in [(1, "The cat sat. The dog ran."),
+                   (2, "Extraordinarily convoluted administrative "
+                       "bureaucracies perpetuate unintelligible "
+                       "documentation.")]:
+        w, s, y, f = replay(txt)
+        r = out[i]
+        assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (w, s, y)
+        assert abs(r["flesch"] - f) < 1e-9
+    assert out[1]["flesch"] > out[2]["flesch"]
