@@ -806,3 +806,73 @@ def t24_readability(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     return readability_scores(docs, "doc_id", "text")
+
+
+@query(
+    "t25_redact_cards",
+    oracle="""
+    WITH cand AS (
+      SELECT doc_id, text,
+             list_filter(
+               list_distinct(regexp_extract_all(
+                 'order ' || CAST(4000000000000000000 + doc_id * 7919
+                                  AS VARCHAR)
+                 || ' card 4539578763621486 ref '
+                 || CAST(1000000000000 + doc_id AS VARCHAR)
+                 || ' end',
+                 '[0-9]+')),
+               x -> len(x) BETWEEN 13 AND 19) AS cands,
+             'order ' || CAST(4000000000000000000 + doc_id * 7919
+                              AS VARCHAR)
+               || ' card 4539578763621486 ref '
+               || CAST(1000000000000 + doc_id AS VARCHAR)
+               || ' end' AS payload
+      FROM documents
+    ), digits AS (
+      SELECT doc_id, c.cand,
+             unnest(generate_series(1, length(c.cand))) AS i
+      FROM cand, unnest(cand.cands) AS c(cand)
+    ), luhn AS (
+      SELECT doc_id, cand,
+             sum(CASE WHEN (length(cand) - i) % 2 = 1
+                      THEN CASE WHEN CAST(substr(cand, i, 1) AS INT) * 2 > 9
+                                THEN CAST(substr(cand, i, 1) AS INT) * 2 - 9
+                                ELSE CAST(substr(cand, i, 1) AS INT) * 2 END
+                      ELSE CAST(substr(cand, i, 1) AS INT) END) AS s
+      FROM digits GROUP BY doc_id, cand
+    ), valid AS (
+      SELECT doc_id, list(cand ORDER BY cand) AS ok
+      FROM luhn WHERE s % 10 = 0 GROUP BY doc_id
+    )
+    SELECT c.doc_id,
+           list_reduce(
+             list_prepend(c.payload, coalesce(v.ok, [])),
+             (acc, x) -> replace(acc, x, '<CARD>')
+           ) AS redacted
+    FROM cand c LEFT JOIN valid v USING (doc_id)
+    """,
+)
+def t25_redact_cards(spark, sf_dir):
+    """Checksum-validated card redaction (redact_cards) over payloads
+    synthesized per document: one known-valid Luhn number that must
+    mask, one doc-dependent 19-digit order id and one 13-digit ref
+    that mask ONLY when their arithmetic happens to pass Luhn (~10%
+    of rows each — live positives and negatives in one corpus). The
+    oracle validates each candidate RELATIONALLY (digits exploded to
+    rows, positional CASE sum) and folds the replacements — a fully
+    independent reformulation of the in-expression Luhn fold."""
+    from ixmp_spark.operators.text import redact_cards
+
+    docs = load(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.lit("order "),
+        (F.lit(4000000000000000000) + F.col("doc_id") * 7919)
+        .cast("string"),
+        F.lit(" card 4539578763621486 ref "),
+        (F.lit(1000000000000) + F.col("doc_id")).cast("string"),
+        F.lit(" end"),
+    )
+    return docs.select(
+        "doc_id",
+        redact_cards(payload).alias("redacted"),
+    )

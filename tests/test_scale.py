@@ -4200,3 +4200,58 @@ def test_streaks_and_readability(spark):
         assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (w, s, y)
         assert abs(r["flesch"] - f) < 1e-9
     assert out[1]["flesch"] > out[2]["flesch"]
+
+
+def test_redact_cards_luhn_validation(spark):
+    """redact_cards masks ONLY Luhn-valid 13-19 digit runs: known test
+    card numbers mask, a one-digit checksum corruption survives, short
+    and overlong runs survive, duplicates mask everywhere, and a
+    random corpus of synthetic ids masks exactly the ~10% whose
+    arithmetic passes Luhn (replayed in Python)."""
+    import random
+
+    from ixmp_spark.operators.text import redact_cards
+
+    def luhn(s):
+        tot = 0
+        for i, ch in enumerate(reversed(s)):
+            d = int(ch)
+            if i % 2 == 1:
+                d *= 2
+                if d > 9:
+                    d -= 9
+            tot += d
+        return tot % 10 == 0
+
+    rows = [
+        (1, "pay 4539578763621486 now", True),
+        (2, "visa 4111111111111111 ok", True),
+        (3, "amex 378282246310005 ok", True),
+        (4, "bad 4539578763621487 no", False),
+        (5, "short 123456789012 no", False),
+        (6, "long 12345678901234567890 no", False),
+        (7, "twice 4111111111111111 and 4111111111111111", True),
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t, _ in rows], "id long, s string"
+    )
+    got = {r["id"]: r["r"] for r in
+           df.select("id", redact_cards("s").alias("r")).collect()}
+    for i, t, masked in rows:
+        if masked:
+            assert "<CARD>" in got[i] and not any(
+                ch.isdigit() for ch in got[i]
+            ), (i, got[i])
+        else:
+            assert got[i] == t
+
+    rng = random.Random(17)
+    ids = ["".join(rng.choice("0123456789") for _ in range(16))
+           for _ in range(200)]
+    df2 = spark.createDataFrame(
+        [(i, f"x {s} y") for i, s in enumerate(ids)], "id long, s string"
+    )
+    got2 = {r["id"]: r["r"] for r in
+            df2.select("id", redact_cards("s").alias("r")).collect()}
+    for i, s in enumerate(ids):
+        assert ("<CARD>" in got2[i]) == luhn(s), (i, s)
