@@ -213,3 +213,55 @@ def g7_session_features(spark, sf_dir):
         F.round(F.sum("value"), 4).alias("sum_value"),
         F.max(F.col("event_type") == "purchase").alias("converted"),
     )
+
+
+@query(
+    "g8_time_to_convert",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS c,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+      FROM events GROUP BY user_id
+    ), d AS (
+      SELECT (epoch_us(p) - epoch_us(c)) / 1000000.0 AS dt
+      FROM firsts WHERE c IS NOT NULL AND p IS NOT NULL AND p >= c
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           round(quantile_cont(dt, 0.5), 4) AS p50_s,
+           round(quantile_cont(dt, 0.9), 4) AS p90_s,
+           round(quantile_cont(dt, 0.99), 4) AS p99_s,
+           round(avg(dt), 4) AS mean_s
+    FROM d
+    """,
+)
+def g8_time_to_convert(spark, sf_dir):
+    """Funnel latency distribution: per user, first click → first
+    purchase delta; one summary row with converted count and p50 /
+    p90 / p99 / mean seconds — the latency readout g4's step-count
+    funnel doesn't give. One per-user conditional-min aggregation
+    (map-side partials) then a 1-row percentile aggregate over
+    user-count rows (bounded). Deltas computed microsecond-exactly
+    (the g7 lesson); quantile interpolation rides the a8-certified
+    pair, absorbed by the 4-decimal round."""
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts")))
+        .alias("c"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+        .alias("p"),
+    )
+    d = firsts.where(
+        F.col("c").isNotNull() & F.col("p").isNotNull()
+        & (F.col("p") >= F.col("c"))
+    ).select(
+        ((F.unix_micros("p") - F.unix_micros("c")) / 1_000_000.0)
+        .alias("dt")
+    )
+    return d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converted"),
+        F.round(F.percentile("dt", F.lit(0.5)), 4).alias("p50_s"),
+        F.round(F.percentile("dt", F.lit(0.9)), 4).alias("p90_s"),
+        F.round(F.percentile("dt", F.lit(0.99)), 4).alias("p99_s"),
+        F.round(F.avg("dt"), 4).alias("mean_s"),
+    )

@@ -3117,3 +3117,58 @@ def w21_streaks(spark, sf_dir):
 
     ev = load(spark, sf_dir, "events")
     return streaks(ev, "user_id", "ts", "event_id", F.col("value") > 50)
+
+
+@query(
+    "x14_concentration",
+    oracle="""
+    WITH per AS (
+      SELECT event_type, user_id, CAST(count(*) AS DOUBLE) AS x
+      FROM events GROUP BY event_type, user_id
+    ), ranked AS (
+      SELECT event_type, x,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY x, user_id) AS i,
+             sum(x) OVER (PARTITION BY event_type) AS tot,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM per
+    )
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_users,
+           round(sum((x / tot) * (x / tot)), 6) AS hhi,
+           round(2.0 * sum(i * x) / (max(n) * max(tot))
+                 - (max(n) + 1.0) / max(n), 6) AS gini
+    FROM ranked GROUP BY event_type
+    """,
+)
+def x14_concentration(spark, sf_dir):
+    """Activity-concentration report per event type: HHI (Σ share²,
+    the antitrust metric — 1/n_users when uniform, 1.0 when one user
+    owns the stream) and the Gini coefficient via the sorted-rank
+    identity 2·Σ i·xᵢ/(n·Σx) − (n+1)/n — the skew EARLY-WARNING the
+    chunked-window family's hot-key mitigations exist for, as a
+    monitorable number. One (type, user) count aggregate, then rank /
+    share windows over user-count rows (bounded), one shuffle chain.
+    The oracle restates the identity."""
+    ev = load(spark, sf_dir, "events")
+    per = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    wk = Window.partitionBy("event_type")
+    wo = Window.partitionBy("event_type").orderBy("x", "user_id")
+    ranked = (
+        per.withColumn("i", F.row_number().over(wo))
+        .withColumn("tot", F.sum("x").over(wk))
+        .withColumn("n", F.count(F.lit(1)).over(wk))
+    )
+    share = F.col("x") / F.col("tot")
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_users"),
+        F.round(F.sum(share * share), 6).alias("hhi"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("x"))
+            / (F.max("n") * F.max("tot"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+    )

