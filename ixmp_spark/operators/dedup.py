@@ -1019,3 +1019,102 @@ def flag_blocked_domains(
     return with_host.join(hits, id_col, "left").withColumn(
         "blocked", F.coalesce(F.col("blocked"), F.lit(False))
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    threshold: float = 0.9,
+    max_block: int | None = None,
+    storage_level=None,
+) -> DataFrame:
+    """Directional token-set CONTAINMENT pairs — the asymmetric
+    near-dup measure Jaccard misses: a tweet quoted inside an article
+    has tiny Jaccard (union ≈ the article) but containment ≈ 1 in the
+    quote→article direction. The standard second pass after symmetric
+    dedup for quote/subset/boilerplate-inclusion detection
+    (Broder's containment, the C in shingle-based resemblance).
+
+    Same bounded-block contract and 8-byte token-hash discipline as
+    :func:`jaccard_block_pairs` (one persisted tokenize pass feeds
+    both join sides; ``max_block`` fails fast on quadratic blocks).
+    ONE unordered self-join computes the intersection once and tests
+    BOTH directions from it — an ordered-pair join would double the
+    shuffle for no information.
+
+    Output: (contained_id, container_id, containment) — one row per
+    passing DIRECTION, so mutual containment (near-identical sets)
+    emits both rows.
+    """
+    par = df.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        df.repartition(par)
+        .select(
+            F.col(id_col),
+            *[F.col(c) for c in block_cols],
+            F.transform(
+                F.array_distinct(
+                    F.split(F.trim(F.lower(text_col)), r"\s+")
+                ),
+                lambda t: F.xxhash64(t),
+            ).alias("toks"),
+        )
+        .persist(_level(storage_level))
+    )
+    if max_block is not None:
+        hot = (
+            df.groupBy(*block_cols)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > max_block)
+            .limit(5)
+            .collect()
+        )
+        if hot:
+            toks.unpersist()
+            raise ValueError(
+                f"blocks over max_block={max_block}: "
+                f"{[(tuple(r[c] for c in block_cols), r['n']) for r in hot]}"
+            )
+    a = toks.select(
+        F.col(id_col).alias("id_a"), *block_cols,
+        F.col("toks").alias("toks_a"),
+    )
+    b = toks.select(
+        F.col(id_col).alias("id_b"), *block_cols,
+        F.col("toks").alias("toks_b"),
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+    ca = inter / F.size("toks_a")
+    cb = inter / F.size("toks_b")
+    thr = float(threshold)
+    directed = F.array_compact(
+        F.array(
+            F.when(
+                ca >= thr,
+                F.struct(
+                    F.col("id_a").alias("contained_id"),
+                    F.col("id_b").alias("container_id"),
+                    F.round(ca, 6).alias("containment"),
+                ),
+            ),
+            F.when(
+                cb >= thr,
+                F.struct(
+                    F.col("id_b").alias("contained_id"),
+                    F.col("id_a").alias("container_id"),
+                    F.round(cb, 6).alias("containment"),
+                ),
+            ),
+        )
+    )
+    from ixmp_spark.operators import attach_caches
+
+    return attach_caches(
+        a.join(b, block_cols)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(F.explode(directed).alias("r"))
+        .select("r.*"),
+        toks,
+    )

@@ -876,3 +876,45 @@ def t25_redact_cards(spark, sf_dir):
         "doc_id",
         redact_cards(payload).alias("redacted"),
     )
+
+
+@query(
+    "d10_containment",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, lang, source,
+             list_distinct(string_split_regex(trim(lower(text)), '\s+'))
+               AS toks
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_filter(a.toks, x -> list_contains(b.toks, x)))
+               * 1.0 AS i,
+             len(a.toks) AS na, len(b.toks) AS nb
+      FROM t a JOIN t b
+        ON a.lang = b.lang AND a.source = b.source
+       AND a.doc_id < b.doc_id
+    )
+    SELECT id_a AS contained_id, id_b AS container_id,
+           round(i / na, 6) AS containment
+    FROM pairs WHERE i / na >= 0.8
+    UNION ALL
+    SELECT id_b, id_a, round(i / nb, 6)
+    FROM pairs WHERE i / nb >= 0.8
+    """,
+)
+def d10_containment(spark, sf_dir):
+    """Directional containment pairs within (lang, source) blocks
+    (containment_pairs, threshold 0.8): the asymmetric quote/subset
+    detector next to d2's symmetric Jaccard — one unordered blocked
+    self-join tests both directions from a single intersection. The
+    oracle is the set-theoretic definition on raw token lists (no
+    hashing), so the 64-bit token-hash shortcut is certified
+    collision-safe on this corpus too."""
+    from ixmp_spark.operators.dedup import containment_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    return containment_pairs(
+        docs, "doc_id", "text", ["lang", "source"],
+        threshold=0.8, max_block=5000,
+    )

@@ -4317,3 +4317,35 @@ def test_concentration_indices(spark):
         - (n + 1) / n
     assert abs(out["click"]["gini"] - round(gini, 6)) < 1e-9
     assert out["click"]["hhi"] == round(0.97 ** 2 + 3 * 0.01 ** 2, 6)
+
+
+def test_containment_pairs_directional(spark):
+    """containment_pairs finds the quote-in-article direction Jaccard
+    misses: a 5-token subset of a 40-token doc scores containment 1.0
+    (and tiny Jaccard), mutual near-identical sets emit BOTH
+    directions, unrelated docs emit nothing, and blocks isolate."""
+    from ixmp_spark.operators.dedup import containment_pairs
+
+    big = " ".join(f"w{i}" for i in range(40))
+    quote = " ".join(f"w{i}" for i in range(5))
+    docs = spark.createDataFrame(
+        [
+            (1, big, "en", "s"),
+            (2, quote, "en", "s"),                  # contained in 1
+            (3, big + " extra", "en", "s"),         # mutual with 1
+            (4, "zz yy xx", "en", "s"),             # unrelated
+            (5, quote, "en", "OTHER"),              # other block
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = containment_pairs(
+        docs, "doc_id", "text", ["lang", "source"], threshold=0.9
+    ).collect()
+    got = {(r["contained_id"], r["container_id"]): r["containment"]
+           for r in out}
+    assert got[(2, 1)] == 1.0
+    assert got[(1, 3)] == 1.0           # 1's 40 tokens all inside 3
+    assert (3, 1) in got                # 3 contained to 40/41 > 0.9
+    assert abs(got[(3, 1)] - round(40 / 41, 6)) < 1e-9
+    assert (2, 3) in got                # quote also inside 3
+    assert not any(4 in p or 5 in p for p in got)
