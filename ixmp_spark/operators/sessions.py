@@ -1688,3 +1688,56 @@ def streaks(
     return grouped.withColumn(
         "streak_id", F.row_number().over(w_ord).cast("long")
     ).drop("_isl")
+
+
+def state_durations(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    order_col: str,
+    state_col: str,
+) -> DataFrame:
+    """State-timeline compression per key: collapse consecutive rows
+    carrying the same state into one episode with start/end times and
+    duration — ``streaks`` for VALUED states (device up/degraded/down
+    timelines, subscription tiers, circuit-breaker phases), the
+    run-length encoding every uptime/SLA report is built from.
+
+    Same one-shuffle flip-count identity as ``streaks`` (null-safe,
+    so NULL is a state too); episode duration is microsecond-exact
+    (the g7 lesson) and measures first-to-last OBSERVATION of the
+    episode — instantaneous single-row episodes have duration 0; gaps
+    to the next episode belong to no state by construction.
+
+    Output: (key, episode_id, state, start_ts, end_ts, duration_s,
+    n_rows), episode_id ordinal per key.
+    """
+    wo = Window.partitionBy(key_col).orderBy(ts_col, order_col)
+    s = F.col(state_col)
+    flip = (
+        F.when(F.lag(s).over(wo).eqNullSafe(s), F.lit(0))
+        .otherwise(F.lit(1))
+    )
+    run = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islanded = df.withColumn("_ep", F.sum(flip).over(run))
+    return (
+        islanded.groupBy(key_col, "_ep")
+        .agg(
+            F.first(s).alias("state"),
+            F.min(ts_col).alias("start_ts"),
+            F.max(ts_col).alias("end_ts"),
+            F.floor(
+                (
+                    F.unix_micros(F.max(ts_col))
+                    - F.unix_micros(F.min(ts_col))
+                )
+                / 1_000_000
+            ).alias("duration_s"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+        .withColumnRenamed("_ep", "episode_id")
+    )

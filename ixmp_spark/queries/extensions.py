@@ -3172,3 +3172,53 @@ def x14_concentration(spark, sf_dir):
             6,
         ).alias("gini"),
     )
+
+
+@query(
+    "w22_state_durations",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN lag(event_type) OVER w IS NOT DISTINCT FROM
+                       event_type
+                  THEN 0 ELSE 1 END AS flip
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), isl AS (
+      SELECT user_id, event_id, ts, event_type,
+             CAST(sum(flip) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS ep
+      FROM f
+    )
+    SELECT user_id, ep AS episode_id,
+           min(event_type) AS state,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS start_ts,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS end_ts,
+           (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000
+             AS duration_s,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM isl GROUP BY user_id, ep
+    """,
+)
+def w22_state_durations(spark, sf_dir):
+    """Event-type episode timeline per user (state_durations): the
+    run-length encoding behind uptime/SLA reports — consecutive
+    same-type events collapse to one episode with microsecond-exact
+    duration. One keyed shuffle; timestamps compare as formatted
+    strings (the comparator's pandas bridge treats the engines' ts
+    dtypes differently), and 'state' aggregates as min() in the
+    oracle because every row of an episode shares it."""
+    from ixmp_spark.operators.sessions import state_durations
+
+    ev = load(spark, sf_dir, "events")
+    out = state_durations(ev, "user_id", "ts", "event_id", "event_type")
+    return out.select(
+        "user_id", "episode_id", "state",
+        F.date_format("start_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("start_ts"),
+        F.date_format("end_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("end_ts"),
+        "duration_s", "n_rows",
+    )

@@ -4349,3 +4349,35 @@ def test_containment_pairs_directional(spark):
     assert abs(got[(3, 1)] - round(40 / 41, 6)) < 1e-9
     assert (2, 3) in got                # quote also inside 3
     assert not any(4 in p or 5 in p for p in got)
+
+
+def test_state_durations_episodes(spark):
+    """state_durations collapses consecutive same-state rows to
+    episodes with exact boundaries: repeats merge, flips split, NULL
+    is a state, single observations get duration 0, and durations are
+    second-exact across sub-second timestamps."""
+    from datetime import datetime, timedelta
+
+    from ixmp_spark.operators.sessions import state_durations
+
+    t0 = datetime(2024, 1, 1)
+    seq = ["up", "up", "down", None, None, "up"]
+    rows = [
+        (i, t0 + timedelta(seconds=10 * i, microseconds=500_000 * (i % 2)),
+         1, s)
+        for i, s in enumerate(seq)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, state string"
+    )
+    out = sorted(
+        (r["episode_id"], r["state"], r["n_rows"], r["duration_s"])
+        for r in state_durations(ev, "user_id", "ts", "event_id",
+                                 "state").collect()
+    )
+    # episodes: up x2 (0..10.5s -> 10s), down x1 (0), NULL x2
+    # (30.5..40 -> 9s), up x1 (0)
+    assert out == [
+        (1, "up", 2, 10), (2, "down", 1, 0),
+        (3, None, 2, 9), (4, "up", 1, 0),
+    ]
