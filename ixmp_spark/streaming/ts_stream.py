@@ -448,6 +448,86 @@ def cusum_stream(
     )
 
 
+def state_durations_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    state_col: str = "event_type",
+) -> DataFrame:
+    """Streaming twin of ``sessions.state_durations`` (w22): per key,
+    collapse consecutive same-state events into episodes, carrying the
+    OPEN episode (state, start, last-seen, row count) as a few scalars
+    of state via ``applyInPandasWithState``. An episode EMITS when the
+    state flips to something else — append semantics: only CLOSED
+    episodes leave the operator, the open tail stays in state until a
+    later batch closes it (the batch operator is the backfill path
+    that also reports open tails). O(#keys) state regardless of
+    stream length; per-key event-time order across micro-batches is
+    the usual caller contract.
+
+    Output (closed episodes): (key, state, start_ts, end_ts,
+    duration_s, n_rows) — duration microsecond-exact, matching the
+    batch twin's rows for every episode the stream has closed."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_type = events.schema[key_col].dataType.simpleString()
+    state_type = events.schema[state_col].dataType.simpleString()
+    out_schema = (
+        f"{key_col} {key_type}, state {state_type}, "
+        "start_ts timestamp, end_ts timestamp, duration_s long, "
+        "n_rows long"
+    )
+    # epoch-micros in state: timestamps round-trip exactly as longs
+    state_schema = (
+        "cur string, seen boolean, start_us long, end_us long, n long"
+    )
+
+    def fold(key, pdfs, state: GroupState):
+        cur, seen, start_us, end_us, n = (
+            state.get if state.exists else (None, False, 0, 0, 0)
+        )
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if rows.empty:
+            return
+        rows = rows.sort_values([ts_col, order_col])
+        out = []
+        for r in rows.itertuples(index=False):
+            st = getattr(r, state_col)
+            st = None if pd.isna(st) else str(st)
+            us = int(getattr(r, ts_col).value // 1_000)
+            same = seen and (st == cur or (st is None and cur is None))
+            if same:
+                end_us, n = us, n + 1
+            else:
+                if seen:
+                    out.append(
+                        (key[0], cur, start_us, end_us,
+                         (end_us - start_us) // 1_000_000, n)
+                    )
+                cur, seen, start_us, end_us, n = st, True, us, us, 1
+        state.update((cur, seen, start_us, end_us, n))
+        if out:
+            pdf = pd.DataFrame(
+                out,
+                columns=[key_col, "state", "start_us", "end_us",
+                         "duration_s", "n_rows"],
+            )
+            pdf["start_ts"] = pd.to_datetime(pdf.pop("start_us"), unit="us")
+            pdf["end_ts"] = pd.to_datetime(pdf.pop("end_us"), unit="us")
+            yield pdf[[key_col, "state", "start_ts", "end_ts",
+                       "duration_s", "n_rows"]]
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_timeseries_ingest(ts, stream_df: DataFrame, checkpoint: str):
     """Streaming ingest into the versioned store: each micro-batch becomes
     one check_out → add_timeseries_bulk → commit transaction (the

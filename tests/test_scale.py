@@ -4381,3 +4381,34 @@ def test_state_durations_episodes(spark):
         (1, "up", 2, 10), (2, "down", 1, 0),
         (3, None, 2, 9), (4, "up", 1, 0),
     ]
+
+
+def test_cusum_auto_bucket_picks_plain_on_uniform(spark):
+    """cusum_changepoints(bucket="auto") must not steer uniform data
+    into the chunked machinery: choose_bucket answers None and the
+    result is IDENTICAL (same plan family, same rows) to the explicit
+    plain call."""
+    from datetime import datetime, timedelta
+
+    from ixmp_spark.operators.sessions import cusum_changepoints
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + timedelta(seconds=i), i % 7, float((i * 13) % 10))
+        for i in range(700)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    kw = dict(order_cols=("event_id",), baseline=(0.0, 2.0))
+    auto = cusum_changepoints(ev, "user_id", "ts", "value",
+                              bucket="auto", **kw)
+    plain = cusum_changepoints(ev, "user_id", "ts", "value", **kw)
+    a = {r["event_id"]: (r["cusum_high"], r["cusum_low"])
+         for r in auto.collect()}
+    p = {r["event_id"]: (r["cusum_high"], r["cusum_low"])
+         for r in plain.collect()}
+    assert a == p
+    # the auto plan took the PLAIN path: no bucket column machinery
+    assert "_bkt" not in auto.columns
+    assert "date_trunc" not in auto._jdf.queryExecution().analyzed().toString()

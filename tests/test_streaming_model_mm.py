@@ -1529,3 +1529,73 @@ def test_streaming_strip_common_lines_matches_batch(spark, tmp_path_factory):
         ).collect()
     )
     assert got == want and len(got) == 5
+
+
+def test_streaming_state_durations_matches_batch(spark, tmp_path_factory):
+    """state_durations_stream emits exactly the CLOSED episodes of the
+    batch operator, bit-equal on boundaries/durations/counts, when
+    history replays across 4 micro-batches — episodes spanning batch
+    boundaries are the load-bearing case; the open tail per key stays
+    in state and is absent from the stream output."""
+    import time as _time
+
+    from datetime import datetime, timedelta
+
+    import numpy as np
+
+    from ixmp_spark.operators.sessions import state_durations
+    from ixmp_spark.streaming.ts_stream import (
+        run_available_now,
+        state_durations_stream,
+    )
+
+    t0 = datetime(2024, 7, 1)
+    states = ["up", "up", "down", "down", "down", "up", "err", "err",
+              "up", "up", "up", "down"]
+    rows = []
+    eid = 0
+    for k in (1, 2):
+        for i, s in enumerate(states):
+            rows.append(
+                (eid, t0 + timedelta(seconds=30 * i, milliseconds=7 * i),
+                 k, s)
+            )
+            eid += 1
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    feed = str(tmp_path_factory.mktemp("statestream") / "ev")
+    bounds = np.linspace(0, len(rows), 5, dtype=int)
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        spark.createDataFrame(rows[a:b], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    got = sorted(
+        (r["user_id"], r["state"], r["start_ts"], r["end_ts"],
+         r["duration_s"], r["n_rows"])
+        for r in run_available_now(
+            state_durations_stream(stream), "t_statestream", mode="append"
+        ).collect()
+    )
+    batch = state_durations(
+        spark.read.parquet(feed), "user_id", "ts", "event_id",
+        "event_type",
+    ).collect()
+    # the last episode per key is OPEN — the stream must not have
+    # emitted it
+    by_key_last = {}
+    for r in batch:
+        k = r["user_id"]
+        if k not in by_key_last or r["episode_id"] > by_key_last[k]:
+            by_key_last[k] = r["episode_id"]
+    want = sorted(
+        (r["user_id"], r["state"], r["start_ts"], r["end_ts"],
+         r["duration_s"], r["n_rows"])
+        for r in batch if r["episode_id"] != by_key_last[r["user_id"]]
+    )
+    assert len(want) > 0 and got == want
