@@ -84,6 +84,13 @@ BENCH_QUERIES = [
     # keyed exchange)
     "t18_strip_boilerplate",
     "jx3_asof_nearest",
+    # round 8 continuation additions: the windowed CUSUM drift screen
+    # (one keyed shuffle via the max-drawdown identity), the
+    # degree-oriented triangle count (the lazy-checkpointed graph
+    # pipeline), and the bucketed 2-D skyline (prefix-max reduction)
+    "w13_cusum_drift",
+    "x5_supplier_triangles",
+    "p17_pareto_frontier",
 ]
 # NOT in the headline set: t12_bpe_merges — an iterative trainer whose
 # cost is n_merges × per-iteration job latency (driver-loop bound, not
