@@ -1741,3 +1741,148 @@ def state_durations(
         )
         .withColumnRenamed("_ep", "episode_id")
     )
+
+
+def rolling_quantile(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    order_col: str,
+    value_col: str,
+    window: int = 20,
+    q: float = 0.5,
+) -> DataFrame:
+    """Trailing rolling quantile per key (median by default) — the
+    robust twin of ``moving_avg``: a rolling median tracks the level of
+    a series without a single spike dragging it (the breakdown point is
+    50% vs 0% for the mean), which is why ops dashboards smooth with it
+    before alerting.
+
+    One ordered keyed window pass: ``percentile`` (Spark's exact
+    interpolated aggregate, usable over a ROWS frame like any
+    aggregate) over the trailing ``window`` rows — one shuffle on the
+    key, O(window) heap state per row. The interpolation at q=0.5 is
+    ``0.5·(a+b)``, which both Spark's symmetric weighted form and
+    DuckDB's lerp evaluate to the same double (scaling by a power of
+    two commutes with rounding), so the oracle can restate the window
+    literally; at other q the engines' formulas may differ by one ulp
+    (the a8 class) and callers should round the display value.
+
+    Output: input columns + ``rolling_q`` (rounded to 6).
+    """
+    if not 0.0 <= q <= 1.0:
+        raise ValueError("q must be in [0, 1]")
+    wf = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, order_col)
+        .rowsBetween(-(int(window) - 1), Window.currentRow)
+    )
+    v = F.col(value_col).cast("double")
+    return df.withColumn(
+        "rolling_q", F.round(F.percentile(v, F.lit(q)).over(wf), 6)
+    )
+
+
+def double_ewma(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    order_col: str,
+    value_col: str,
+    alpha: float,
+) -> DataFrame:
+    """Brown's double exponential smoothing per key — the trend-aware
+    upgrade of ``ewma``: a single EWMA lags behind a trending series by
+    a constant; smoothing the smoothed series a second time measures
+    that lag, and ``level = 2·s1 − s2`` cancels it while ``trend =
+    α/(1−α)·(s1 − s2)`` estimates the per-step slope. ``forecast =
+    level + trend`` is the one-step-ahead prediction (Brown 1959; the
+    h-step form is level + h·trend).
+
+    Two composed blocked-scan EWMA passes (each exact in double
+    precision, see ``ewma``); both partition by the same key, so the
+    second pass reuses the first's keyed layout and AQE coalesces the
+    exchange. The combination arithmetic is three IEEE ops spelled
+    identically in the oracle — at dyadic alpha the whole pipeline is
+    bit-exact vs the sequential recurrence, so a hash can certify the
+    decomposition, not a tolerance.
+
+    Output: input columns + ``s1``, ``s2``, ``level``, ``trend``,
+    ``forecast`` (raw doubles — display rounding is the caller's, see
+    ``ewma`` on why).
+    """
+    if not 0 < alpha < 1:
+        raise ValueError("alpha must be in (0, 1) for double smoothing")
+    k = alpha / (1.0 - alpha)
+    s1 = ewma(df, key_col, ts_col, order_col, value_col, alpha).withColumnRenamed(
+        "ewma", "s1"
+    )
+    s2 = ewma(s1, key_col, ts_col, order_col, "s1", alpha).withColumnRenamed(
+        "ewma", "s2"
+    )
+    out = (
+        s2.withColumn("level", F.lit(2.0) * F.col("s1") - F.col("s2"))
+        .withColumn("trend", F.lit(k) * (F.col("s1") - F.col("s2")))
+        .withColumn("forecast", F.col("level") + F.col("trend"))
+    )
+    return out
+
+
+def seasonal_baseline(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    period: str = "hour",
+    min_n: int = 2,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Seasonal-profile anomaly screen per key: score every value
+    against the mean/stddev of its OWN seasonal slot (hour-of-day by
+    default) — the "is 500 req/s at 3am weird?" detector that a global
+    z-score cannot express, and the first seasonality model to try
+    before anything stateful.
+
+    Scale-first shape: a plain windowed z-score over ``(key, slot)``
+    would put each slot's entire history in ONE task (slots are
+    low-cardinality — 24 per key — so groups grow linearly with data).
+    Instead: one ``groupBy(key, slot)`` aggregation (map-side partials,
+    the shuffle moves keys×24 rows) builds the profile, then a
+    broadcast join stamps it back — the scoring pass is map-only. Slots
+    with fewer than ``min_n`` points or zero variance score NULL and
+    never flag.
+
+    Output: input + ``season_slot``, ``expected``, ``seasonal_z``,
+    ``is_spike``.
+    """
+    extractors = {
+        "hour": F.hour,
+        "dayofweek": F.dayofweek,
+        "dayofmonth": F.dayofmonth,
+    }
+    if period not in extractors:
+        raise ValueError(f"period must be one of {sorted(extractors)}")
+    slot = extractors[period](F.col(ts_col)).cast("long")
+    v = F.col(value_col).cast("double")
+    base = df.withColumn("season_slot", slot)
+    profile = base.groupBy(key_col, "season_slot").agg(
+        F.avg(v).alias("_mu"),
+        F.stddev_samp(v).alias("_sd"),
+        F.count(v).alias("_n"),
+    )
+    joined = base.join(
+        F.broadcast(profile), [key_col, "season_slot"], "left"
+    )
+    z = F.when(
+        (F.col("_n") >= int(min_n)) & (F.col("_sd") > 0),
+        (v - F.col("_mu")) / F.col("_sd"),
+    )
+    return (
+        joined.withColumn("expected", F.col("_mu"))
+        .withColumn("seasonal_z", z)
+        .withColumn(
+            "is_spike",
+            F.coalesce(F.abs(z) > F.lit(float(threshold)), F.lit(False)),
+        )
+        .drop("_mu", "_sd", "_n")
+    )

@@ -3222,3 +3222,128 @@ def w22_state_durations(spark, sf_dir):
         .alias("end_ts"),
         "duration_s", "n_rows",
     )
+
+
+@query(
+    "w23_rolling_median",
+    oracle="""
+    SELECT event_id, user_id, value,
+           round(quantile_cont(value, 0.5) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6)
+             AS rolling_q
+    FROM events
+    """,
+)
+def w23_rolling_median(spark, sf_dir):
+    """Trailing 20-row rolling median per user (rolling_quantile):
+    the robust level-tracker next to w9's moving average — a spike
+    moves the mean, not the median. One keyed shuffle; at q=0.5 the
+    interpolation is 0.5·(a+b) in both engines bit-exactly (power-of-
+    two scaling commutes with fp rounding), so the oracle restates
+    the window literally."""
+    from ixmp_spark.operators.sessions import rolling_quantile
+
+    ev = load(spark, sf_dir, "events")
+    out = rolling_quantile(
+        ev, "user_id", "ts", "event_id", "value", window=20, q=0.5
+    )
+    return out.select("event_id", "user_id", "value", "rolling_q")
+
+
+@query(
+    "w24_double_ewma",
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      FROM events
+    ), r1 AS (
+      SELECT user_id, event_id, rn, 0.5 * value AS s1
+      FROM e WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.event_id, e.rn, 0.5 * e.value + 0.5 * r1.s1
+      FROM e JOIN r1 ON e.user_id = r1.user_id AND e.rn = r1.rn + 1
+    ), r2 AS (
+      SELECT user_id, event_id, rn, s1, 0.5 * s1 AS s2
+      FROM r1 WHERE rn = 1
+      UNION ALL
+      SELECT r1.user_id, r1.event_id, r1.rn, r1.s1,
+             0.5 * r1.s1 + 0.5 * r2.s2
+      FROM r1 JOIN r2 ON r1.user_id = r2.user_id AND r1.rn = r2.rn + 1
+    )
+    SELECT event_id,
+           floor((2.0 * s1 - s2) * 1000000 + 0.5) / 1000000 AS level,
+           floor((1.0 * (s1 - s2)) * 1000000 + 0.5) / 1000000 AS trend,
+           floor(((2.0 * s1 - s2) + 1.0 * (s1 - s2)) * 1000000 + 0.5)
+             / 1000000 AS forecast
+    FROM r2
+    """,
+)
+def w24_double_ewma(spark, sf_dir):
+    """Brown's double exponential smoothing per user (double_ewma):
+    trend-corrected level + one-step forecast from two composed
+    blocked-scan EWMA passes. alpha = 0.5 keeps every decay step an
+    exact power-of-two scaling and alpha/(1-alpha) = 1.0 an IEEE
+    identity, so the whole pipeline — both smoothing recursions AND
+    the 2·s1−s2 / s1−s2 combination arithmetic, spelled in the oracle
+    exactly as Spark associates it — is BIT-exact vs the sequential
+    recurrence; the hash certifies the decomposition. Display
+    rounding is the shared floor(y·1e6+0.5)/1e6 (the w11 lesson:
+    EWMA of round-decimal inputs at dyadic alpha lands on exact
+    round() midpoints where the engines' native round() disagree)."""
+    from ixmp_spark.operators.sessions import double_ewma
+
+    ev = load(spark, sf_dir, "events")
+    out = double_ewma(ev, "user_id", "ts", "event_id", "value", 0.5)
+    can = lambda c: (F.floor(F.col(c) * 1e6 + F.lit(0.5)) / 1e6).alias(c)  # noqa: E731
+    return out.select(
+        "event_id", can("level"), can("trend"), can("forecast")
+    )
+
+
+@query(
+    "w25_seasonal_baseline",
+    oracle="""
+    WITH b AS (
+      SELECT event_id, event_type, value,
+             CAST(hour(ts) AS BIGINT) AS season_slot
+      FROM events
+    ), p AS (
+      SELECT event_type, season_slot,
+             avg(value) AS mu, stddev_samp(value) AS sd,
+             count(value) AS n
+      FROM b GROUP BY event_type, season_slot
+    )
+    SELECT b.event_id, b.event_type, b.season_slot, b.value,
+           round(p.mu, 6) AS expected,
+           round(CASE WHEN p.n >= 2 AND p.sd > 0
+                      THEN (b.value - p.mu) / p.sd END, 6) AS seasonal_z,
+           coalesce(abs(CASE WHEN p.n >= 2 AND p.sd > 0
+                             THEN (b.value - p.mu) / p.sd END) > 3.0,
+                    false) AS is_spike
+    FROM b JOIN p USING (event_type, season_slot)
+    """,
+)
+def w25_seasonal_baseline(spark, sf_dir):
+    """Hour-of-day seasonal anomaly screen per event type
+    (seasonal_baseline): every value scored against ITS OWN seasonal
+    slot's mean/stddev — the "is this normal for 3am?" detector a
+    global z-score can't express. Scale-first: the profile is ONE
+    groupBy shuffle reduced to types×24 rows, broadcast back, scoring
+    map-only — a slot-partitioned window would put each slot's whole
+    history in one task. The oracle restates profile + join."""
+    from ixmp_spark.operators.sessions import seasonal_baseline
+
+    ev = load(spark, sf_dir, "events")
+    out = seasonal_baseline(
+        ev, "event_type", "ts", "value", period="hour", min_n=2,
+        threshold=3.0,
+    )
+    return out.select(
+        "event_id", "event_type", "season_slot", "value",
+        F.round("expected", 6).alias("expected"),
+        F.round("seasonal_z", 6).alias("seasonal_z"),
+        "is_spike",
+    )

@@ -4412,3 +4412,126 @@ def test_cusum_auto_bucket_picks_plain_on_uniform(spark):
     # the auto plan took the PLAIN path: no bucket column machinery
     assert "_bkt" not in auto.columns
     assert "date_trunc" not in auto._jdf.queryExecution().analyzed().toString()
+
+
+def test_rolling_quantile_median(spark):
+    """rolling_quantile at q=0.5 tracks the level through a spike the
+    mean can't ignore (robustness), matches a pure-Python replay of
+    every trailing frame, and partial head frames use whatever rows
+    exist."""
+    from datetime import datetime, timedelta
+
+    from ixmp_spark.operators.sessions import rolling_quantile
+
+    t0 = datetime(2024, 1, 1)
+    vals = [10.0] * 10 + [1000.0] + [10.0] * 9   # one spike at i=10
+    rows = [(i, t0 + timedelta(seconds=i), 1, v)
+            for i, v in enumerate(vals)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    out = {r["event_id"]: r["rolling_q"] for r in rolling_quantile(
+        ev, "user_id", "ts", "event_id", "value", window=5).collect()}
+    # replay: median of the trailing <=5 rows, linear interpolation
+    def med(xs):
+        s = sorted(xs)
+        n = len(s)
+        pos = (n - 1) * 0.5
+        lo = int(pos)
+        if pos == lo:
+            return s[lo]
+        hi = lo + 1
+        return (hi - pos) * s[lo] + (pos - lo) * s[hi]
+
+    for i in range(len(vals)):
+        assert out[i] == round(med(vals[max(0, i - 4):i + 1]), 6), i
+    # the spike never becomes the median: every frame median stays 10
+    assert all(out[i] == 10.0 for i in range(len(vals)))
+
+    with __import__("pytest").raises(ValueError):
+        rolling_quantile(ev, "user_id", "ts", "event_id", "value", q=1.5)
+
+
+def test_double_ewma_trend_recovery(spark):
+    """double_ewma on a clean linear ramp: trend converges to the true
+    per-step slope and forecast to the next value (the lag a single
+    EWMA can never shed); s1/s2 are BIT-equal to the sequential
+    recurrence at dyadic alpha; alpha edges raise."""
+    from datetime import datetime, timedelta
+
+    import pytest
+
+    from ixmp_spark.operators.sessions import double_ewma
+
+    t0 = datetime(2024, 1, 1)
+    slope = 3.0
+    rows = [(i, t0 + timedelta(seconds=i), 7, 5.0 + slope * i)
+            for i in range(300)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    got = {r["event_id"]: r for r in double_ewma(
+        ev, "user_id", "ts", "event_id", "value", 0.5).collect()}
+
+    # sequential replay, exactly the operator's arithmetic
+    a, d = 0.5, 0.5
+    s1 = s2 = None
+    for i in range(300):
+        x = 5.0 + slope * i
+        s1 = a * x if s1 is None else a * x + d * s1
+        s2 = a * s1 if s2 is None else a * s1 + d * s2
+    r = got[299]
+    assert r["s1"] == s1 and r["s2"] == s2          # bit-exact
+    assert abs(r["trend"] - slope) < 1e-9           # converged slope
+    next_val = 5.0 + slope * 300
+    assert abs(r["forecast"] - next_val) < 1e-9     # lag cancelled
+
+    with pytest.raises(ValueError):
+        double_ewma(ev, "user_id", "ts", "event_id", "value", 1.0)
+
+
+def test_seasonal_baseline_slot_scoring(spark):
+    """seasonal_baseline flags a value only when IT is abnormal for
+    its own slot: the same 500.0 that screams at 03:00 (baseline ~10)
+    is silent at 14:00 (baseline ~500); under-observed slots (n <
+    min_n) and zero-variance slots yield NULL z and never flag."""
+    from datetime import datetime, timedelta
+
+    import pytest
+
+    from ixmp_spark.operators.sessions import seasonal_baseline
+
+    rows = []
+    eid = 0
+    # 30 days of signal: quiet ~N(10, 1)-ish at 03:00, busy ~500 at
+    # 14:00 (with spread), constant 7.0 at 05:00 (zero variance),
+    # single observation at 06:00 (n < min_n)
+    for day in range(1, 31):
+        rows.append((eid, datetime(2024, 1, day, 3), "m",
+                     10.0 + (day % 5) * 0.5)); eid += 1
+        rows.append((eid, datetime(2024, 1, day, 14), "m",
+                     500.0 + (day % 7) * 2.0)); eid += 1
+        rows.append((eid, datetime(2024, 1, day, 5), "m", 7.0)); eid += 1
+    rows.append((eid, datetime(2024, 1, 5, 6), "m", 123.0)); eid += 1
+    # the planted anomaly: 500 at 03:00
+    rows.append((eid, datetime(2024, 1, 31, 3), "m", 500.0))
+    spike_id = eid
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, key string, value double"
+    )
+    out = {r["event_id"]: r for r in seasonal_baseline(
+        ev, "key", "ts", "value").collect()}
+    assert out[spike_id]["is_spike"] and out[spike_id]["seasonal_z"] > 3
+    # same magnitude at its usual 14:00 slot: never flagged
+    assert not any(r["is_spike"] for r in out.values()
+                   if r["season_slot"] == 14)
+    # zero-variance slot: NULL z, no flag (even though values "match")
+    five = [r for r in out.values() if r["season_slot"] == 5]
+    assert five and all(r["seasonal_z"] is None and not r["is_spike"]
+                        for r in five)
+    # n=1 slot: NULL z, no flag
+    six = [r for r in out.values() if r["season_slot"] == 6]
+    assert len(six) == 1 and six[0]["seasonal_z"] is None
+
+    with pytest.raises(ValueError):
+        seasonal_baseline(ev, "key", "ts", "value", period="fortnight")

@@ -70,6 +70,13 @@ SHUFFLE_OK = {
     # snapshots themselves; column count, not data volume, sets the
     # number
     "p15_corpus_drift",
+    # w24 = TWO composed blocked-EWMA passes (each: key-ordered row
+    # window + (key, block) scan window + block-summary agg + carry
+    # window over block rows + the (key, block)-keyed summary join,
+    # ~6 apiece). Every exchange hashes the SAME user key (or its
+    # (key, block) refinement) and moves row-count or block-count
+    # rows; pass composition, not data volume, sets the number
+    "w24_double_ewma",
 }
 
 #: queries whose Python stage is DELIBERATE — an Arrow-batched kernel for
