@@ -1118,3 +1118,33 @@ def containment_pairs(
         .select("r.*"),
         toks,
     )
+
+
+def soft_dedup_weights(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """SoftDeDup: keep EVERY row and down-weight duplicates instead of
+    dropping them — each exact-content group of size n contributes total
+    sampling mass 1 (weight 1/n per copy), so the training distribution
+    matches the deduplicated corpus while no document is lost (the
+    soft alternative to ``exact_dedup`` when provenance or recall
+    matters more than corpus size; cf. the SoftDeDup loss-reweighting
+    idea applied at the sampling layer).
+
+    One window count over the normalized-text digest. Unlike
+    ``exact_dedup`` (which shuffles only digests because it emits one
+    survivor), stamping a weight BACK onto every row inherently moves
+    the rows once — one body-bearing shuffle, the same volume a
+    count-join-back would pay twice. At warehouse scale, write the
+    corpus digest-partitioned once and this becomes a shuffle-free
+    window.
+
+    Output: input columns + ``n_copies`` and ``weight`` (1/n_copies).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__h")
+    return (
+        df.withColumn("__h", F.md5(normalize_text(text_col)))
+        .withColumn("n_copies", F.count(F.lit(1)).over(w).cast("long"))
+        .withColumn("weight", F.lit(1.0) / F.col("n_copies"))
+        .drop("__h")
+    )

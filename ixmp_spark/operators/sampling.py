@@ -749,3 +749,87 @@ def benford_deviation(
             "chi2_term"
         ),
     )
+
+
+def l_diversity_audit(
+    df: DataFrame,
+    quasi_cols,
+    sensitive_col: str,
+    l: int = 3,  # noqa: E741
+) -> DataFrame:
+    """l-diversity audit — k-anonymity's necessary complement: a cell
+    can be large (k-anonymous) yet leak everything because every row in
+    it shares ONE sensitive value (the classic homogeneity attack:
+    "all 40 patients in that cell have the same diagnosis"). A release
+    cell is safe only when it contains at least ``l`` DISTINCT
+    sensitive values.
+
+    Cell profile via one ``groupBy(quasi)`` aggregation (count +
+    count-distinct, map-side partials), joined back on the
+    quasi-identifier key — distinct-count has unbounded per-group state
+    as a WINDOW (collect_set), so the aggregate+join form is the one
+    that holds at scale; both shuffles hash the same quasi key. NULL
+    sensitive values count as one value (an attacker learns "it's
+    missing", which is itself information).
+
+    Output: input columns + ``cell_size``, ``l_distinct``, ``at_risk``
+    (true when l_distinct < l).
+    """
+    quasi = [quasi_cols] if isinstance(quasi_cols, str) else list(quasi_cols)
+    prof = df.groupBy(*quasi).agg(
+        F.count(F.lit(1)).cast("long").alias("cell_size"),
+        F.size(F.collect_set(F.struct(F.col(sensitive_col))))
+        .cast("long")
+        .alias("l_distinct"),
+    )
+    return df.join(prof, quasi).withColumn(
+        "at_risk", F.col("l_distinct") < int(l)
+    )
+
+
+def proportion_ci(
+    df: DataFrame,
+    group_col: str,
+    success,
+    z: float = 1.96,
+) -> DataFrame:
+    """Per-group binomial proportion with Wilson score interval — the
+    readout for conversion/defect/pass rates that stays honest at small
+    n and extreme p̂, where the naive Wald interval collapses to zero
+    width (p̂=0 ⇒ ±0) or escapes [0, 1]. Wilson inverts the score test:
+    center (p̂ + z²/2n)/(1 + z²/n), half-width
+    z·√(p̂(1−p̂)/n + z²/4n²)/(1 + z²/n).
+
+    One groupBy aggregation (map-side partials, the shuffle moves one
+    row per group); the interval arithmetic is deterministic IEEE ops
+    on two aggregates, restatable literally in SQL. NULL successes are
+    excluded from both numerator and denominator (three-valued logic
+    made explicit).
+
+    Output: (group, n, n_success, p_hat, ci_low, ci_high) — bounds
+    clamped to [0, 1] only by the algebra itself (Wilson never leaves
+    it).
+    """
+    s = success.cast("boolean")
+    agg = df.where(s.isNotNull()).groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(s.cast("long")).cast("long").alias("n_success"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("n_success") / n
+    z2 = float(z) * float(z)
+    denom = F.lit(1.0) + F.lit(z2) / n
+    center = (p + F.lit(z2) / (F.lit(2.0) * n)) / denom
+    half = (
+        F.lit(float(z))
+        * F.sqrt(p * (F.lit(1.0) - p) / n + F.lit(z2) / (F.lit(4.0) * n * n))
+        / denom
+    )
+    return agg.select(
+        group_col,
+        "n",
+        "n_success",
+        F.round(p, 6).alias("p_hat"),
+        F.round(center - half, 6).alias("ci_low"),
+        F.round(center + half, 6).alias("ci_high"),
+    )

@@ -3347,3 +3347,45 @@ def w25_seasonal_baseline(spark, sf_dir):
         F.round("seasonal_z", 6).alias("seasonal_z"),
         "is_spike",
     )
+
+
+@query(
+    "x15_wilson_rates",
+    oracle="""
+    WITH a AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_success
+      FROM events GROUP BY event_type
+    ), b AS (
+      SELECT event_type, n, n_success,
+             CAST(n_success AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+             CAST(n AS DOUBLE) AS nd
+      FROM a
+    )
+    SELECT event_type, n, n_success,
+           round(p, 6) AS p_hat,
+           round((p + (1.96 * 1.96) / (2.0 * nd))
+                   / (1.0 + (1.96 * 1.96) / nd)
+                 - 1.96 * sqrt(p * (1.0 - p) / nd
+                               + (1.96 * 1.96) / (4.0 * nd * nd))
+                   / (1.0 + (1.96 * 1.96) / nd), 6) AS ci_low,
+           round((p + (1.96 * 1.96) / (2.0 * nd))
+                   / (1.0 + (1.96 * 1.96) / nd)
+                 + 1.96 * sqrt(p * (1.0 - p) / nd
+                               + (1.96 * 1.96) / (4.0 * nd * nd))
+                   / (1.0 + (1.96 * 1.96) / nd), 6) AS ci_high
+    FROM b
+    """,
+)
+def x15_wilson_rates(spark, sf_dir):
+    """Per-event-type above-50 rate with the Wilson score interval
+    (proportion_ci, z=1.96): the small-n-honest uncertainty band the
+    Wald interval gets wrong at extreme p̂. One groupBy aggregation;
+    the interval arithmetic is spelled with identical association in
+    both engines (z² written 1.96·1.96 so both compute the same
+    double), making the hash a certificate of the algebra."""
+    from ixmp_spark.operators.sampling import proportion_ci
+
+    ev = load(spark, sf_dir, "events")
+    return proportion_ci(ev, "event_type", F.col("value") > 50, z=1.96)

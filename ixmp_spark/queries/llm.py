@@ -918,3 +918,65 @@ def d10_containment(spark, sf_dir):
         docs, "doc_id", "text", ["lang", "source"],
         threshold=0.8, max_block=5000,
     )
+
+
+@query(
+    "d11_soft_dedup",
+    oracle=r"""
+    SELECT doc_id, source, CAST(n AS BIGINT) AS n_copies,
+           round(1.0 / n, 6) AS weight
+    FROM (
+      SELECT doc_id, source,
+             count(*) OVER (PARTITION BY
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+             ) AS n
+      FROM documents
+    )
+    """,
+)
+def d11_soft_dedup(spark, sf_dir):
+    """SoftDeDup weighting (soft_dedup_weights): every document kept,
+    each exact-content group's sampling mass normalized to 1 via
+    weight = 1/n_copies — d1's drop decision re-expressed as a
+    training-mix weight. One window count over the normalized-text
+    digest; the oracle restates digest + window literally."""
+    from ixmp_spark.operators.dedup import soft_dedup_weights
+
+    docs = load_spread(spark, sf_dir, "documents")
+    out = soft_dedup_weights(docs, text_col="text", id_col="doc_id")
+    return out.select("doc_id", "source", "n_copies", "weight")
+
+
+@query(
+    "p19_l_diversity",
+    oracle="""
+    WITH p AS (
+      SELECT o_custkey, o_orderstatus,
+             CAST(count(*) AS BIGINT) AS cell_size,
+             CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+               AS l_distinct
+      FROM orders GROUP BY o_custkey, o_orderstatus
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus,
+           p.cell_size, p.l_distinct, p.l_distinct < 3 AS at_risk
+    FROM orders o JOIN p USING (o_custkey, o_orderstatus)
+    """,
+)
+def p19_l_diversity(spark, sf_dir):
+    """l-diversity audit over the (customer, status) cells of an order
+    release, sensitive attribute = order priority: a cell where every
+    order shares one priority leaks it regardless of cell size (the
+    homogeneity attack k-anonymity misses). One quasi-keyed profile
+    aggregate + join back on the same key; the oracle restates it."""
+    from ixmp_spark.operators.sampling import l_diversity_audit
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    )
+    out = l_diversity_audit(
+        o, ["o_custkey", "o_orderstatus"], "o_orderpriority", l=3
+    )
+    return out.select(
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "cell_size", "l_distinct", "at_risk",
+    )

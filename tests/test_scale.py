@@ -4535,3 +4535,91 @@ def test_seasonal_baseline_slot_scoring(spark):
 
     with pytest.raises(ValueError):
         seasonal_baseline(ev, "key", "ts", "value", period="fortnight")
+
+
+def test_soft_dedup_weights_mass(spark):
+    """soft_dedup_weights keeps every row, normalizes each content
+    group's total mass to 1 (Σ weight per group = 1), and agrees with
+    exact_dedup on group structure (same n_copies per surviving id)."""
+    from ixmp_spark.operators.dedup import exact_dedup, soft_dedup_weights
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The cat sat"),
+            (2, "the  cat   sat"),      # normalizes equal to 1
+            (3, "THE CAT SAT "),        # and to 2
+            (4, "something else"),
+            (5, "a third text"),
+        ],
+        "doc_id long, text string",
+    )
+    out = soft_dedup_weights(docs, "text", "doc_id")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 5                               # nothing dropped
+    assert [rows[i]["n_copies"] for i in (1, 2, 3)] == [3, 3, 3]
+    assert rows[4]["n_copies"] == 1 and rows[4]["weight"] == 1.0
+    assert abs(sum(rows[i]["weight"] for i in (1, 2, 3)) - 1.0) < 1e-12
+    # group structure identical to the hard dedup's
+    hard = {r["doc_id"]: r["n_copies"]
+            for r in exact_dedup(docs, "text", "doc_id").collect()}
+    assert hard == {1: 3, 4: 1, 5: 1}
+
+
+def test_l_diversity_audit_homogeneity(spark):
+    """l_diversity_audit flags the k-anonymous-but-homogeneous cell
+    (size 4, one sensitive value) and passes the diverse cell of the
+    same size; NULL sensitive values count as a value."""
+    from ixmp_spark.operators.sampling import l_diversity_audit
+
+    rows = [
+        # cell A: 4 rows, all same diagnosis -> at risk even though k=4
+        (1, "z1", "flu"), (2, "z1", "flu"), (3, "z1", "flu"),
+        (4, "z1", "flu"),
+        # cell B: 4 rows, 3 distinct -> safe at l=3
+        (5, "z2", "flu"), (6, "z2", "cold"), (7, "z2", "covid"),
+        (8, "z2", "flu"),
+        # cell C: 2 rows, one NULL + one value -> 2 "values" < 3
+        (9, "z3", None), (10, "z3", "flu"),
+    ]
+    df = spark.createDataFrame(rows, "id long, zip string, dx string")
+    out = {r["id"]: r for r in
+           l_diversity_audit(df, "zip", "dx", l=3).collect()}
+    assert out[1]["cell_size"] == 4 and out[1]["l_distinct"] == 1
+    assert out[1]["at_risk"]
+    assert out[5]["l_distinct"] == 3 and not out[5]["at_risk"]
+    assert out[9]["l_distinct"] == 2 and out[9]["at_risk"]
+
+
+def test_proportion_ci_wilson(spark):
+    """proportion_ci matches a scipy-free Wilson replay, stays inside
+    [0,1] at p̂=0 and p̂=1 with nonzero width (where Wald collapses),
+    and excludes NULL successes from n."""
+    import math
+
+    from ixmp_spark.operators.sampling import proportion_ci
+
+    rows = (
+        [("a", True)] * 7 + [("a", False)] * 3       # p=0.7, n=10
+        + [("b", False)] * 5                          # p=0, n=5
+        + [("c", True)] * 4                           # p=1, n=4
+        + [("d", True), ("d", None), ("d", False)]    # NULL excluded
+    )
+    df = spark.createDataFrame(rows, "g string, s boolean")
+    out = {r["g"]: r for r in
+           proportion_ci(df, "g", F.col("s"), z=1.96).collect()}
+
+    def wilson(ns, n, z=1.96):
+        p, z2 = ns / n, z * z
+        den = 1 + z2 / n
+        c = (p + z2 / (2 * n)) / den
+        h = z * math.sqrt(p * (1 - p) / n + z2 / (4 * n * n)) / den
+        return round(c - h, 6), round(c + h, 6)
+
+    lo, hi = wilson(7, 10)
+    assert (out["a"]["ci_low"], out["a"]["ci_high"]) == (lo, hi)
+    assert out["a"]["p_hat"] == 0.7
+    b = out["b"]
+    assert b["p_hat"] == 0.0 and b["ci_low"] == 0.0 and b["ci_high"] > 0.2
+    c = out["c"]
+    assert c["p_hat"] == 1.0 and c["ci_high"] == 1.0 and c["ci_low"] < 0.9
+    assert out["d"]["n"] == 2 and out["d"]["n_success"] == 1
