@@ -943,3 +943,146 @@ def hierarchy_flatten(
         f"hierarchy_flatten did not converge in {max_iter} rounds "
         "(cycle, or depth > 2^max_iter)"
     )
+
+
+def neighborhood_jaccard(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    min_common: int = 1,
+    max_center_degree: int | None = 10_000,
+) -> DataFrame:
+    """Neighborhood-overlap link prediction over an undirected graph:
+    for every node pair sharing at least ``min_common`` neighbors,
+    ``common = |N(a)∩N(b)|`` and ``jaccard = common / |N(a)∪N(b)|`` —
+    the classic common-neighbors / Jaccard scores (Liben-Nowell &
+    Kleinberg) that rank "who should be connected next" and flag
+    near-mirror nodes (two domains linked by the same neighbor set).
+
+    Plan: canonical undirected edge set (self-loops dropped, parallel
+    edges collapsed), symmetric adjacency, one self-join keyed on the
+    SHARED NEIGHBOR (each wedge center emits its unordered endpoint
+    pairs once), count per pair, then two degree joins close the
+    union via inclusion–exclusion. All shuffles hash node ids.
+
+    The wedge join is quadratic in CENTER degree — the same hub
+    explosion d2 guards with max_block. Same discipline here: centers
+    with degree > ``max_center_degree`` FAIL FAST (limit-5 probe
+    naming offenders) rather than silently stalling the stage; pass
+    ``None`` to disable when hub wedges are genuinely wanted. Note
+    the scores themselves are exact only over the surviving centers —
+    the guard raises instead of approximating.
+
+    Output: (a, b, common, union_size, jaccard), a < b.
+    """
+    e = (
+        edges.where(F.col(src_col) != F.col(dst_col))
+        .select(
+            F.least(src_col, dst_col).alias("u"),
+            F.greatest(src_col, dst_col).alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    adj = e.select(F.col("u").alias("n"), F.col("v").alias("nbr")).unionByName(
+        e.select(F.col("v").alias("n"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
+        eager=False
+    )
+    if max_center_degree is not None:
+        hot = deg.where(F.col("deg") > int(max_center_degree)).limit(5)
+        offenders = [(r["n"], r["deg"]) for r in hot.collect()]
+        if offenders:
+            raise ValueError(
+                "neighborhood_jaccard: wedge centers exceed "
+                f"max_center_degree={max_center_degree}: {offenders} — "
+                "raise the cap (None to disable) or pre-filter hubs"
+            )
+    a1, a2 = adj.alias("a1"), adj.alias("a2")
+    pairs = (
+        a1.join(a2, "nbr")
+        .where(F.col("a1.n") < F.col("a2.n"))
+        .groupBy(F.col("a1.n").alias("a"), F.col("a2.n").alias("b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+        .where(F.col("common") >= int(min_common))
+    )
+    da = deg.select(F.col("n").alias("a"), F.col("deg").alias("_da"))
+    db = deg.select(F.col("n").alias("b"), F.col("deg").alias("_db"))
+    return (
+        pairs.join(da, "a")
+        .join(db, "b")
+        .select(
+            "a",
+            "b",
+            F.col("common").cast("long").alias("common"),
+            (F.col("_da") + F.col("_db") - F.col("common"))
+            .cast("long")
+            .alias("union_size"),
+            F.round(
+                F.col("common")
+                / (F.col("_da") + F.col("_db") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def kcore(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    k: int = 2,
+    max_iter: int = 100,
+) -> DataFrame:
+    """k-core extraction: the maximal subgraph in which every node has
+    degree ≥ k — the standard "dense backbone vs peripheral fluff"
+    split (spam-farm cores, collaboration cliques, the seed set for
+    community detection). The 2-core alone strips every tree-like
+    tendril.
+
+    Iterative peel, the textbook fixpoint: each round computes degrees
+    over the surviving edge set and anti-joins away EVERY node below k
+    at once (so a chain of length L peels from both ends in ⌈L/2⌉
+    rounds, not L). Rounds are keyed aggregations + anti-joins —
+    no driver-side data, one lazy ``localCheckpoint`` per round to cut
+    the self-referential lineage (the repo's standard iterative
+    discipline; without it plan size goes exponential in rounds).
+    Terminates when no node is below k — checked with a cheap
+    ``isEmpty`` probe per round — and RAISES after ``max_iter`` rounds
+    instead of returning a not-yet-core set (converge-or-raise;
+    pathological path graphs need ~diameter/2 rounds, so size
+    ``max_iter`` to the graph's diameter, not its node count).
+
+    Output: (node, degree) for every member of the k-core, degree
+    measured WITHIN the core.
+    """
+    cur = (
+        edges.where(F.col(src_col) != F.col(dst_col))
+        .select(
+            F.least(src_col, dst_col).alias("u"),
+            F.greatest(src_col, dst_col).alias("v"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(int(max_iter)):
+        adj = cur.select(F.col("u").alias("n")).unionByName(
+            cur.select(F.col("v").alias("n"))
+        )
+        deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("degree"))
+        bad = deg.where(F.col("degree") < int(k)).select("n").localCheckpoint(
+            eager=False
+        )
+        if bad.isEmpty():
+            return deg.select("n", "degree").withColumnRenamed("n", "node")
+        cur = (
+            cur.join(bad.withColumnRenamed("n", "u"), "u", "left_anti")
+            .join(bad.withColumnRenamed("n", "v"), "v", "left_anti")
+            .select("u", "v")
+            .localCheckpoint(eager=False)
+        )
+    raise RuntimeError(
+        f"kcore did not converge in {max_iter} rounds — the graph's "
+        "peel depth exceeds max_iter; raise it (rounds ~ diameter/2)"
+    )

@@ -3389,3 +3389,90 @@ def x15_wilson_rates(spark, sf_dir):
 
     ev = load(spark, sf_dir, "events")
     return proportion_ci(ev, "event_type", F.col("value") > 50, z=1.96)
+
+
+@query(
+    "x16_supplier_affinity",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ),
+    adj AS (
+      SELECT u AS n, v AS nbr FROM e
+      UNION ALL SELECT v, u FROM e
+    ),
+    deg AS (SELECT n, count(*) AS d FROM adj GROUP BY n),
+    pairs AS (
+      SELECT a1.n AS a, a2.n AS b, CAST(count(*) AS BIGINT) AS common
+      FROM adj a1 JOIN adj a2
+        ON a1.nbr = a2.nbr AND a1.n < a2.n
+      GROUP BY a1.n, a2.n
+      HAVING count(*) >= 2
+    )
+    SELECT p.a, p.b, p.common,
+           CAST(da.d + db.d - p.common AS BIGINT) AS union_size,
+           round(p.common * 1.0 / (da.d + db.d - p.common), 6)
+             AS jaccard
+    FROM pairs p
+    JOIN deg da ON da.n = p.a
+    JOIN deg db ON db.n = p.b
+    """,
+)
+def x16_supplier_affinity(spark, sf_dir):
+    """Common-neighbor / Jaccard link prediction over the co-supplier
+    graph (neighborhood_jaccard, min_common=2): supplier pairs whose
+    NEIGHBORHOODS overlap — including pairs never seen in one order
+    together, the "should be connected" signal triangles can't give.
+    One wedge self-join keyed on the shared neighbor + two degree
+    joins; hub centers fail fast past max_center_degree. The oracle
+    restates adjacency, wedge count, and inclusion–exclusion union."""
+    from ixmp_spark.operators.joins import neighborhood_jaccard
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+    )
+    return neighborhood_jaccard(edges, min_common=2)
+
+
+@query("x17_supplier_kcore", oracle=None)
+def x17_supplier_kcore(spark, sf_dir):
+    """3-core of the co-supplier graph (kcore): the dense collaboration
+    backbone after iteratively peeling every supplier with fewer than 3
+    co-supplier ties — membership depends on the FIXPOINT (a degree-3
+    node can fall out because its neighbors fell out first), which is
+    what makes this genuinely iterative and rows-only: SQL would need
+    a recursive peel with aggregation per level, which recursive CTEs
+    (monotone union semantics) cannot express. Pinned instead against
+    a pure-Python peel in tests; converge-or-raise with per-round lazy
+    checkpoints."""
+    from ixmp_spark.operators.joins import kcore
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+    )
+    return kcore(edges, k=3).orderBy("node")

@@ -4623,3 +4623,87 @@ def test_proportion_ci_wilson(spark):
     c = out["c"]
     assert c["p_hat"] == 1.0 and c["ci_high"] == 1.0 and c["ci_low"] < 0.9
     assert out["d"]["n"] == 2 and out["d"]["n_success"] == 1
+
+
+def test_neighborhood_jaccard_scores(spark):
+    """neighborhood_jaccard matches a hand replay on a planted graph
+    (including a pair with NO direct edge), honors min_common, and the
+    hub guard fails fast with named offenders."""
+    import pytest
+
+    from ixmp_spark.operators.joins import neighborhood_jaccard
+
+    # star around 0 (nodes 1..4) + edge 1-2: N(1)={0,2}, N(2)={0,1},
+    # N(3)=N(4)={0}. Pair (3,4) shares neighbor 0 but has no edge.
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2), (2, 1)],  # dup collapses
+        "src long, dst long",
+    )
+    out = {(r["a"], r["b"]): r for r in neighborhood_jaccard(
+        edges, min_common=1).collect()}
+    r34 = out[(3, 4)]
+    assert (r34["common"], r34["union_size"], r34["jaccard"]) == (1, 1, 1.0)
+    r12 = out[(1, 2)]
+    # N(1)={0,2}, N(2)={0,1}: common={0}=1, union={0,1,2}=3
+    assert (r12["common"], r12["union_size"], r12["jaccard"]) == (
+        1, 3, round(1 / 3, 6))
+    assert (1, 3) in out and out[(1, 3)]["common"] == 1
+    # min_common=2 drops every pair here (max overlap is 1... except
+    # none reach 2)
+    assert neighborhood_jaccard(edges, min_common=2).count() == 0
+
+    hub = spark.createDataFrame(
+        [(0, i) for i in range(1, 30)], "src long, dst long"
+    )
+    with pytest.raises(ValueError, match="max_center_degree"):
+        neighborhood_jaccard(hub, max_center_degree=10).collect()
+    # cap disabled: the hub's 29-choose-2 wedge pairs all appear
+    assert neighborhood_jaccard(
+        hub, max_center_degree=None).count() == 29 * 28 // 2
+
+
+def test_kcore_cascade_and_convergence(spark):
+    """kcore reproduces a pure-Python peel on a graph with a CASCADE
+    (a clique-adjacent tail whose nodes fall out one round after their
+    support does), returns within-core degrees, and raises past
+    max_iter on a deep path."""
+    import pytest
+
+    from ixmp_spark.operators.joins import kcore
+
+    # K4 on {0,1,2,3} (each degree 3) + tail 3-4, 4-5, 4-6, 5-6:
+    # nodes 4,5,6 form a triangle attached at 3. For k=2 everything
+    # but nothing survives... for k=3: the triangle nodes have degree
+    # {4:3, 5:2, 6:2} -> 5,6 peel, then 4 drops to 1 and peels
+    # (cascade), then 3 drops to 3 (still in K4) -> core = K4.
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+             (3, 4), (4, 5), (4, 6), (5, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["degree"] for r in kcore(df, k=3).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+    def peel(es, k):
+        es = {tuple(sorted(e)) for e in es}
+        while True:
+            deg = {}
+            for u, v in es:
+                deg[u] = deg.get(u, 0) + 1
+                deg[v] = deg.get(v, 0) + 1
+            bad = {n for n, d in deg.items() if d < k}
+            if not bad:
+                return deg
+            es = {e for e in es if bad.isdisjoint(e)}
+
+    for k in (2, 3, 4):
+        got = {r["node"]: r["degree"]
+               for r in kcore(df, k=k).collect()}
+        assert got == peel(edges, k), k
+
+    # path of 12 peels from both ends: needs 6 rounds at k=2 -> a
+    # max_iter below that raises instead of returning a non-core
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore(path, k=2, max_iter=3)
+    assert kcore(path, k=2, max_iter=10).count() == 0  # path has no 2-core

@@ -77,6 +77,12 @@ SHUFFLE_OK = {
     # (key, block) refinement) and moves row-count or block-count
     # rows; pass composition, not data volume, sets the number
     "w24_double_ewma",
+    # x16 = graph pipeline: co-occurrence edge build (order-keyed join
+    # + distinct), degree aggregate, the wedge self-join keyed on the
+    # shared neighbor, the per-pair count aggregate, and two node-keyed
+    # degree joins (7 total). Every exchange hashes node/order ids and
+    # moves edge- or pair-count rows; the stage list is the algorithm
+    "x16_supplier_affinity",
 }
 
 #: queries whose Python stage is DELIBERATE — an Arrow-batched kernel for
