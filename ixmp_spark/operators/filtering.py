@@ -100,3 +100,34 @@ def profile_table(df, columns=None):
         f"stack({len(cols)}, {stack}) as "
         "(column, n, n_null, n_distinct, min_numeric, max_numeric)"
     )
+
+
+def group_mode(df, group_cols, value_col):
+    """Statistical mode per group with a deterministic tie-break (most
+    frequent value; ties resolve to the smallest value) — the
+    categorical "typical value" summary ``avg`` can't give, and the
+    imputation default for categorical backfills.
+
+    Two keyed aggregations on the same grouping prefix (AQE reuses the
+    exchange): value counts per (group, value), then ``min_by(value,
+    struct(-count, value))`` per group — struct ordering is
+    lexicographic, so the minimal (−count, value) pair is exactly
+    "highest count, smallest value among ties". No window, no
+    driver-side top-1, and the second shuffle moves one row per
+    DISTINCT value, not per input row.
+
+    Output: group columns + ``mode_value``, ``mode_count``, ``n_values``
+    (distinct values observed).
+    """
+    groups = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    counts = df.groupBy(*groups, value_col).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    rank = F.struct(
+        (-F.col("_c")).alias("_neg"), F.col(value_col).alias("_v")
+    )
+    return counts.groupBy(*groups).agg(
+        F.min_by(F.col(value_col), rank).alias("mode_value"),
+        F.max("_c").cast("long").alias("mode_count"),
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+    )

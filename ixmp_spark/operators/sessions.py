@@ -1886,3 +1886,51 @@ def seasonal_baseline(
         )
         .drop("_mu", "_sd", "_n")
     )
+
+
+def attribution(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    order_col: str,
+    event_col: str,
+    is_conversion,
+    is_touch=None,
+) -> DataFrame:
+    """First-touch / last-touch attribution: for every conversion
+    event, which earlier event of the same key gets the credit — the
+    marketing-analytics staple ("did the signup come from the ad click
+    or the blog view?"), and generally the "what preceded this
+    outcome" join that powers on-call timelines too.
+
+    One ordered keyed window with a strictly-preceding frame (a
+    conversion never attributes to itself, or to anything after it):
+    ``first``/``last`` with ``ignorenulls`` over the touch-masked
+    event column give both ends of the preceding touch history, a
+    masked ``count`` gives the path length. Single shuffle on the key;
+    O(1) running state per row. Conversions with NO preceding touch
+    (organic) keep NULL touches and n_touches = 0 — they are a real
+    segment, not an error.
+
+    ``is_touch`` defaults to "anything that is not a conversion";
+    pass a Column to restrict credit to specific channels.
+
+    Output: the conversion rows only, + ``first_touch``,
+    ``last_touch``, ``n_touches``.
+    """
+    conv = is_conversion.cast("boolean")
+    touch = (~conv) if is_touch is None else is_touch.cast("boolean")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    masked = F.when(touch, F.col(event_col))
+    return (
+        df.withColumn(
+            "first_touch", F.first(masked, ignorenulls=True).over(w)
+        )
+        .withColumn("last_touch", F.last(masked, ignorenulls=True).over(w))
+        .withColumn("n_touches", F.count(masked).over(w).cast("long"))
+        .where(conv)
+    )

@@ -3476,3 +3476,84 @@ def x17_supplier_kcore(spark, sf_dir):
         )
     )
     return kcore(edges, k=3).orderBy("node")
+
+
+@query(
+    "g9_attribution",
+    oracle="""
+    SELECT event_id, user_id, first_touch, last_touch, n_touches
+    FROM (
+      SELECT event_id, user_id, event_type,
+             first_value(CASE WHEN event_type <> 'purchase'
+                              THEN event_type END IGNORE NULLS)
+               OVER w AS first_touch,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER w AS last_touch,
+             CAST(count(CASE WHEN event_type <> 'purchase'
+                             THEN 1 END) OVER w AS BIGINT) AS n_touches
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    WHERE event_type = 'purchase'
+    """,
+)
+def g9_attribution(spark, sf_dir):
+    """First/last-touch attribution for every purchase (attribution):
+    which earlier event of the same user gets the credit — strictly-
+    preceding frame so a conversion can't attribute to itself; organic
+    conversions (no preceding touch) keep NULLs and n_touches=0. One
+    keyed shuffle; the oracle restates the masked ignore-nulls
+    window."""
+    from ixmp_spark.operators.sessions import attribution
+
+    ev = load(spark, sf_dir, "events")
+    out = attribution(
+        ev, "user_id", "ts", "event_id", "event_type",
+        F.col("event_type") == "purchase",
+    )
+    return out.select(
+        "event_id", "user_id", "first_touch", "last_touch", "n_touches"
+    )
+
+
+@query(
+    "a13_group_mode",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_linestatus, l_quantity,
+             count(*) AS cnt
+      FROM lineitem GROUP BY l_returnflag, l_linestatus, l_quantity
+    ), r AS (
+      SELECT l_returnflag, l_linestatus, l_quantity, cnt,
+             row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+                                ORDER BY cnt DESC, l_quantity) AS rn
+      FROM c
+    )
+    SELECT r.l_returnflag, r.l_linestatus,
+           r.l_quantity AS mode_value,
+           CAST(r.cnt AS BIGINT) AS mode_count,
+           CAST(n.nv AS BIGINT) AS n_values
+    FROM r JOIN (
+      SELECT l_returnflag, l_linestatus, count(*) AS nv
+      FROM c GROUP BY l_returnflag, l_linestatus
+    ) n USING (l_returnflag, l_linestatus)
+    WHERE r.rn = 1
+    """,
+)
+def a13_group_mode(spark, sf_dir):
+    """Most frequent order quantity per (returnflag, linestatus) cell
+    (group_mode): the categorical "typical value" with a pinned
+    tie-break (highest count, then smallest value). Two aggregations
+    on the same grouping prefix, no window; the oracle states the
+    identical selection as a rank."""
+    from ixmp_spark.operators.filtering import group_mode
+
+    li = load(spark, sf_dir, "lineitem")
+    out = group_mode(li, ["l_returnflag", "l_linestatus"], "l_quantity")
+    return out.select(
+        "l_returnflag", "l_linestatus",
+        F.col("mode_value").alias("mode_value"),
+        "mode_count", "n_values",
+    )

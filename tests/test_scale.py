@@ -4707,3 +4707,73 @@ def test_kcore_cascade_and_convergence(spark):
     with pytest.raises(RuntimeError, match="did not converge"):
         kcore(path, k=2, max_iter=3)
     assert kcore(path, k=2, max_iter=10).count() == 0  # path has no 2-core
+
+
+def test_attribution_touch_semantics(spark):
+    """attribution credits the strictly-preceding first/last touch,
+    counts the path, leaves organic conversions NULL/0, honors a
+    custom is_touch restriction, and later events never leak in."""
+    from datetime import datetime, timedelta
+
+    from ixmp_spark.operators.sessions import attribution
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        # user 1: ad -> blog -> purchase -> email -> purchase
+        (1, t0 + timedelta(minutes=1), 1, "ad"),
+        (2, t0 + timedelta(minutes=2), 1, "blog"),
+        (3, t0 + timedelta(minutes=3), 1, "purchase"),
+        (4, t0 + timedelta(minutes=4), 1, "email"),
+        (5, t0 + timedelta(minutes=5), 1, "purchase"),
+        # user 2: organic purchase, then a touch AFTER it
+        (6, t0 + timedelta(minutes=1), 2, "purchase"),
+        (7, t0 + timedelta(minutes=2), 2, "ad"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    conv = F.col("event_type") == "purchase"
+    out = {r["event_id"]: r for r in attribution(
+        ev, "user_id", "ts", "event_id", "event_type", conv).collect()}
+    assert set(out) == {3, 5, 6}
+    assert (out[3]["first_touch"], out[3]["last_touch"],
+            out[3]["n_touches"]) == ("ad", "blog", 2)
+    # the second purchase sees email as last touch; the FIRST purchase
+    # event itself is not a touch
+    assert (out[5]["first_touch"], out[5]["last_touch"],
+            out[5]["n_touches"]) == ("ad", "email", 3)
+    assert (out[6]["first_touch"], out[6]["n_touches"]) == (None, 0)
+
+    # restrict credit to ads only
+    out2 = {r["event_id"]: r for r in attribution(
+        ev, "user_id", "ts", "event_id", "event_type", conv,
+        is_touch=F.col("event_type") == "ad").collect()}
+    assert (out2[5]["first_touch"], out2[5]["last_touch"],
+            out2[5]["n_touches"]) == ("ad", "ad", 1)
+
+
+def test_group_mode_tiebreak(spark):
+    """group_mode picks the most frequent value, breaks count ties on
+    the smallest value, and reports the distinct-value count; works on
+    string values too."""
+    from ixmp_spark.operators.filtering import group_mode
+
+    df = spark.createDataFrame(
+        [("g1", 5.0), ("g1", 5.0), ("g1", 3.0),
+         ("g2", 2.0), ("g2", 7.0),            # tie -> smaller wins
+         ("g3", 9.0)],
+        "g string, v double",
+    )
+    out = {r["g"]: r for r in group_mode(df, "g", "v").collect()}
+    assert (out["g1"]["mode_value"], out["g1"]["mode_count"],
+            out["g1"]["n_values"]) == (5.0, 2, 2)
+    assert (out["g2"]["mode_value"], out["g2"]["mode_count"]) == (2.0, 1)
+    assert out["g3"]["mode_value"] == 9.0
+
+    s = spark.createDataFrame(
+        [("g", "b"), ("g", "b"), ("g", "a"), ("g", "c"), ("g", "a")],
+        "g string, v string",
+    )
+    r = group_mode(s, "g", "v").collect()[0]
+    # counts: a=2, b=2, c=1 -> tie at 2, 'a' < 'b'
+    assert (r["mode_value"], r["mode_count"], r["n_values"]) == ("a", 2, 3)
