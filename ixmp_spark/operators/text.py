@@ -1669,3 +1669,50 @@ def redact_cards(col, placeholder: str = "<CARD>") -> Column:
     return F.aggregate(
         valid, c, lambda acc, card: F.replace(acc, card, F.lit(placeholder))
     )
+
+
+def vocab_coverage(df: DataFrame, text_col: str, ks=(10, 100, 1000, 10000)):
+    """Vocabulary coverage curve: the fraction of total token mass
+    covered by the top-k most frequent word types, at each requested k
+    — the tokenizer-design readout (how big must a vocab be before
+    <unk> is rare?) and the Zipf companion to ``zipf_fit``'s exponent
+    (English-like text covers ~90% at 1k types; base64 noise barely
+    moves).
+
+    One explode + word-count aggregation over the corpus (the only
+    data-sized pass), then the ranking runs on the VOCABULARY frame:
+    an ``orderBy().limit(max(ks))`` bounds the single-partition
+    ranking stage to max(ks) rows by construction (ties broken by
+    word, so the cut is deterministic), a running-sum window over
+    those ≤max(ks) rows builds the cumulative mass, and the corpus
+    total arrives as a 1-row broadcast. Coverage at k simply reads the
+    cumulative row at rank k — ranks beyond the vocabulary size emit
+    nothing (there is no k-th word to stop at).
+
+    Output: (k, coverage), one row per k ≤ vocabulary size.
+    """
+    ks = sorted(int(k) for k in ks)
+    toks = df.select(
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias(
+            "w"
+        )
+    ).where(F.col("w") != "")
+    cnt = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    top = cnt.orderBy(F.desc("c"), "w").limit(ks[-1])
+    wr = Window.orderBy(F.desc("c"), "w")
+    wc = wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = top.select(
+        F.row_number().over(wr).cast("long").alias("k"),
+        F.sum("c").over(wc).cast("long").alias("_cum"),
+    )
+    tot = cnt.agg(F.sum("c").cast("long").alias("_total"))
+    return (
+        ranked.where(F.col("k").isin(ks))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            F.round(F.col("_cum") * 1.0 / F.col("_total"), 6).alias(
+                "coverage"
+            ),
+        )
+    )

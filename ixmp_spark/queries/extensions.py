@@ -3557,3 +3557,47 @@ def a13_group_mode(spark, sf_dir):
         F.col("mode_value").alias("mode_value"),
         "mode_count", "n_values",
     )
+
+
+@query(
+    "w26_partial_rollup",
+    oracle="""
+    WITH u AS (
+      SELECT event_type,
+             strftime(date_trunc('month', ts), '%Y-%m') AS month,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS units
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type, month,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(units) AS BIGINT) / 100.0 AS sum_value,
+           CAST(min(units) AS BIGINT) / 100.0 AS min_value,
+           CAST(max(units) AS BIGINT) / 100.0 AS max_value,
+           round(CAST(sum(units) AS BIGINT) / 100.0 / count(*), 6)
+             AS avg_value
+    FROM u GROUP BY event_type, month
+    """,
+)
+def w26_partial_rollup(spark, sf_dir):
+    """Incremental rollup via mergeable partials (stats_partials →
+    merge_stats_partials): day-level fixed-point partials merged to
+    (event_type, month) WITHOUT rescanning raw rows — while the
+    oracle computes the month report DIRECTLY from raw events, so the
+    driver hash certifies merge ≡ direct. Integer-unit sums make the
+    merge bit-exact regardless of partition order (a double sum could
+    not promise this); the readout division is spelled identically in
+    both engines."""
+    from ixmp_spark.sources.maintenance import (
+        merge_stats_partials,
+        stats_partials,
+    )
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "month", F.date_format(F.date_trunc("month", F.col("ts")), "yyyy-MM")
+    ).withColumn(
+        "day", F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+    )
+    partials = stats_partials(
+        ev, ["event_type", "month", "day"], "value", scale=2
+    )
+    return merge_stats_partials(partials, ["event_type", "month"], scale=2)

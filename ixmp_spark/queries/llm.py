@@ -980,3 +980,44 @@ def p19_l_diversity(spark, sf_dir):
         "o_orderkey", "o_custkey", "o_orderstatus",
         "cell_size", "l_distinct", "at_risk",
     )
+
+
+@query(
+    "t26_vocab_coverage",
+    oracle=r"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+      FROM documents
+    ),
+    cnt AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS c
+      FROM toks WHERE w <> '' GROUP BY w
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM cnt),
+    ranked AS (
+      SELECT c, CAST(row_number() OVER (ORDER BY c DESC, w) AS BIGINT)
+               AS k
+      FROM cnt
+    ),
+    cum AS (
+      SELECT k, CAST(sum(c) OVER (ORDER BY k
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cc
+      FROM ranked
+    )
+    SELECT k, round(cc * 1.0 / total, 6) AS coverage
+    FROM cum CROSS JOIN tot WHERE k IN (5, 10, 20, 30)
+    """,
+)
+def t26_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve (vocab_coverage): token mass covered
+    by the top-{5,10,20,30} word types
+    (the driver corpus is a ~31-type template vocabulary) — the <unk>-rate /
+    vocab-size design readout. One corpus-sized count aggregation;
+    ranking bounded to max(k) rows via orderBy().limit(); total as a
+    1-row broadcast. The oracle ranks the full vocabulary (same rows
+    survive the IN filter)."""
+    from ixmp_spark.operators.text import vocab_coverage
+
+    docs = load_spread(spark, sf_dir, "documents")
+    return vocab_coverage(docs, "text", ks=(5, 10, 20, 30))

@@ -22,6 +22,7 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def parquet_file_stats(spark: SparkSession, path: str) -> tuple[int, int]:
@@ -177,3 +178,73 @@ def zorder_cluster(
     out.write.mode("overwrite").parquet(dest)
     n_after, _ = parquet_file_stats(spark, dest)
     return n_before, n_after
+
+
+def stats_partials(
+    df: DataFrame,
+    keys,
+    value_col: str,
+    scale: int = 2,
+) -> DataFrame:
+    """Mergeable fixed-point summary partials — the incremental-rollup
+    primitive: aggregate each ingest batch / partition / day ONCE into
+    (n, sum_units, min_units, max_units) and answer any coarser
+    grouping later by MERGING partials (``merge_stats_partials``)
+    instead of rescanning raw data. At warehouse scale this is the
+    difference between a month-end report touching 30 partial rows per
+    key and re-reading a month of raw events.
+
+    Exactness is the design point: the value is converted to integer
+    units at ``scale`` decimals (``floor(v·10^s + 0.5)``, the repo's
+    shared half-up spelling) and summed as BIGINT — integer addition
+    is associative, so merged partials equal a direct scan BIT-exactly
+    regardless of partition order, which a double sum cannot promise.
+    One keyed aggregation with map-side partials; NULL values are
+    excluded from n and every unit column.
+
+    Output: keys + ``n``, ``sum_units``, ``min_units``, ``max_units``.
+    """
+    ks = [keys] if isinstance(keys, str) else list(keys)
+    v = F.col(value_col).cast("double")
+    units = F.floor(v * F.lit(float(10 ** int(scale))) + F.lit(0.5)).cast(
+        "long"
+    )
+    return df.where(v.isNotNull()).groupBy(*ks).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(units).cast("long").alias("sum_units"),
+        F.min(units).cast("long").alias("min_units"),
+        F.max(units).cast("long").alias("max_units"),
+    )
+
+
+def merge_stats_partials(
+    partials: DataFrame,
+    keys,
+    scale: int = 2,
+) -> DataFrame:
+    """Merge ``stats_partials`` rows to a coarser grouping and read the
+    summary back out in value units. The merge is the monoid fold —
+    sum of n, sum of sum_units, min of mins, max of maxes — so it is
+    exact and order-independent; the readout divides by 10^scale once
+    at the end (one double division per column, spelled identically in
+    the oracle).
+
+    Output: keys + ``n``, ``sum_value``, ``min_value``, ``max_value``,
+    ``avg_value`` (rounded to 6).
+    """
+    ks = [keys] if isinstance(keys, str) else list(keys)
+    s = F.lit(float(10 ** int(scale)))
+    merged = partials.groupBy(*ks).agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("sum_units").cast("long").alias("_su"),
+        F.min("min_units").cast("long").alias("_mn"),
+        F.max("max_units").cast("long").alias("_mx"),
+    )
+    return merged.select(
+        *ks,
+        "n",
+        (F.col("_su") / s).alias("sum_value"),
+        (F.col("_mn") / s).alias("min_value"),
+        (F.col("_mx") / s).alias("max_value"),
+        F.round(F.col("_su") / s / F.col("n"), 6).alias("avg_value"),
+    )

@@ -4777,3 +4777,58 @@ def test_group_mode_tiebreak(spark):
     r = group_mode(s, "g", "v").collect()[0]
     # counts: a=2, b=2, c=1 -> tie at 2, 'a' < 'b'
     assert (r["mode_value"], r["mode_count"], r["n_values"]) == ("a", 2, 3)
+
+
+def test_stats_partials_merge_exactness(spark):
+    """merge_stats_partials over shard-level partials equals a direct
+    aggregation BIT-exactly (integer units), across any partial split;
+    NULLs excluded; readout math verified by hand."""
+    rows = [
+        ("a", "d1", 1.23), ("a", "d1", 2.34), ("a", "d2", 3.45),
+        ("a", "d2", None), ("b", "d1", 10.01), ("b", "d3", -5.55),
+    ]
+    df = spark.createDataFrame(rows, "k string, day string, v double")
+    from ixmp_spark.sources.maintenance import (
+        merge_stats_partials,
+        stats_partials,
+    )
+
+    p = stats_partials(df, ["k", "day"], "v", scale=2)
+    got = {r["k"]: r for r in
+           merge_stats_partials(p, ["k"], scale=2).collect()}
+    assert got["a"]["n"] == 3
+    assert got["a"]["sum_value"] == (123 + 234 + 345) / 100.0
+    assert got["a"]["min_value"] == 1.23 and got["a"]["max_value"] == 3.45
+    assert got["a"]["avg_value"] == round(7.02 / 100.0 * 100 / 3, 6)
+    assert got["b"]["n"] == 2 and got["b"]["min_value"] == -5.55
+
+    # split-invariance: partials at (k, day) and at (k, day, v-parity)
+    # merge to identical rows — the monoid property, exactly
+    p2 = stats_partials(
+        df.withColumn("par", (F.col("v") > 2).cast("int")),
+        ["k", "day", "par"], "v", scale=2,
+    )
+    a = sorted(merge_stats_partials(p, ["k"], scale=2).collect())
+    b = sorted(merge_stats_partials(p2, ["k"], scale=2).collect())
+    assert a == b
+
+
+def test_vocab_coverage_curve(spark):
+    """vocab_coverage: monotone in k, exact fractions on a hand corpus
+    (mass 6/10 at k=1, 9/10 at k=2, 1.0 at k=3), ks beyond the
+    vocabulary emit nothing, ties cut deterministically."""
+    from ixmp_spark.operators.text import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "x x x y y z"), (2, "x X x y")],  # x:6, y:3, z:1
+        "doc_id long, text string",
+    )
+    out = {r["k"]: r["coverage"] for r in
+           vocab_coverage(docs, "text", ks=(1, 2, 3, 4)).collect()}
+    assert out == {1: 0.6, 2: 0.9, 3: 1.0}  # no k=4 row: vocab is 3
+    # tie handling: 'a' and 'b' both count 2 -> k=1 takes 'a' (word
+    # order breaks the tie), coverage 2/4
+    t = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+    got = {r["k"]: r["coverage"] for r in
+           vocab_coverage(t, "text", ks=(1, 2)).collect()}
+    assert got == {1: 0.5, 2: 1.0}

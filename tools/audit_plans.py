@@ -40,6 +40,7 @@ BNLJ_OK = {
     "a12_histogram_fd",  # 1-row five-scalar summary aggregate cross-broadcast
     "t23_cross_perplexity",  # 1-row train-vocab aggregate cross-broadcast (t10 pattern)
     "p17_pareto_frontier",  # 1-row x-min/max bounds cross-broadcast (lazy bucket edges)
+    "t26_vocab_coverage",  # 1-row corpus-token-total aggregate cross-broadcast
 }
 
 #: multi-stage pipelines where >6 shuffles are inherent (documented):
