@@ -833,3 +833,104 @@ def proportion_ci(
         F.round(center - half, 6).alias("ci_low"),
         F.round(center + half, 6).alias("ci_high"),
     )
+
+
+def ab_srm_check(
+    df: DataFrame,
+    variant_col: str,
+    success_col: str,
+    z: float = 1.96,
+) -> DataFrame:
+    """Two-variant A/B readout with the guardrail every experiment
+    needs FIRST: the sample-ratio-mismatch check. If the unit split
+    deviates from 50/50 beyond chance (χ² = (n_a−n_b)²/(n_a+n_b)
+    against the 1-dof 95% critical value 3.841), the assignment is
+    broken — bucketing bug, bot filter applied to one arm — and the
+    effect readout below it is untrustworthy no matter how
+    significant it looks. The effect itself is the standard pooled
+    two-proportion z-test.
+
+    One global aggregation (conditional sums, map-side partials, one
+    1-row result); every formula is plain IEEE arithmetic on four
+    aggregates, restatable literally in SQL. Callers supply the
+    variant assignment (hash-bucket units, never randomize per row).
+
+    Output: one row — n_a, n_b, conv_a, conv_b, srm_chi2, srm_flag,
+    p_a, p_b, z_score, significant.
+    """
+    is_a = (F.col(variant_col) == 0).cast("long")
+    is_b = (F.col(variant_col) == 1).cast("long")
+    s = F.col(success_col).cast("long")
+    agg = df.agg(
+        F.sum(is_a).cast("long").alias("n_a"),
+        F.sum(is_b).cast("long").alias("n_b"),
+        F.sum(is_a * s).cast("long").alias("conv_a"),
+        F.sum(is_b * s).cast("long").alias("conv_b"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ca, cb = F.col("conv_a").cast("double"), F.col("conv_b").cast("double")
+    # try_divide throughout: an empty arm or a degenerate pooled rate
+    # (p = 0 or 1 makes se = 0) yields NULL, never a raise — matching
+    # SQL's x/0 = NULL three-valued convention, with flags coalesced
+    # to false (an undecidable test is not a significant one)
+    chi2 = F.try_divide((na - nb) * (na - nb), na + nb)
+    pa, pb = F.try_divide(ca, na), F.try_divide(cb, nb)
+    pool = F.try_divide(ca + cb, na + nb)
+    se = F.sqrt(
+        pool
+        * (F.lit(1.0) - pool)
+        * (F.try_divide(F.lit(1.0), na) + F.try_divide(F.lit(1.0), nb))
+    )
+    zs = F.try_divide(pa - pb, se)
+    return agg.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        F.round(chi2, 6).alias("srm_chi2"),
+        F.coalesce(chi2 > F.lit(3.841), F.lit(False)).alias("srm_flag"),
+        F.round(pa, 6).alias("p_a"),
+        F.round(pb, 6).alias("p_b"),
+        F.round(zs, 6).alias("z_score"),
+        F.coalesce(F.abs(zs) > F.lit(float(z)), F.lit(False)).alias(
+            "significant"
+        ),
+    )
+
+
+def effective_sample_size(
+    df: DataFrame,
+    group_cols,
+    weight_col: str,
+) -> DataFrame:
+    """Kish effective sample size per group: ESS = (Σw)²/Σw² — how
+    many EQUAL-weight samples a weighted corpus is actually worth.
+    The honesty metric for every reweighting step in the pipeline
+    (soft-dedup weights, temperature mixing, importance sampling):
+    10k rows where one row carries 90% of the mass are ~1.2 effective
+    rows, and a training mix that "kept everything" may have kept
+    almost nothing. ``ess_ratio = ESS/n`` near 1 means weights are
+    doing little; near 0, the group is dominated by few rows.
+
+    One keyed aggregation (two weighted sums + a count, map-side
+    partials); the quotient arithmetic is restated literally in the
+    oracle. NULL and non-positive weights are excluded — they carry
+    no sampling mass.
+
+    Output: group cols + n, sum_w, ess, ess_ratio (rounded to 6).
+    """
+    gs = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    w = F.col(weight_col).cast("double")
+    agg = df.where(w > 0).groupBy(*gs).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(w).alias("_sw"),
+        F.sum(w * w).alias("_sw2"),
+    )
+    ess = F.col("_sw") * F.col("_sw") / F.col("_sw2")
+    return agg.select(
+        *gs,
+        "n",
+        F.round(F.col("_sw"), 6).alias("sum_w"),
+        F.round(ess, 6).alias("ess"),
+        F.round(ess / F.col("n"), 6).alias("ess_ratio"),
+    )

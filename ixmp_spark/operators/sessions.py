@@ -1934,3 +1934,82 @@ def attribution(
         .withColumn("n_touches", F.count(masked).over(w).cast("long"))
         .where(conv)
     )
+
+
+def theil_sen(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    max_points: int = 2000,
+) -> DataFrame:
+    """Theil–Sen robust trend per key: the median of all pairwise
+    slopes — up to ~29% of the points can be arbitrarily corrupt
+    before the estimate moves (OLS breaks at one outlier), which is
+    why it's the fit of choice for sensor drift and SLO trends where
+    spikes are data, not noise. ``key_trends`` (w12) is the OLS twin.
+
+    The pair enumeration is one self-join keyed on the key with an
+    ordinal inequality — O(n²) per key BY DEFINITION, so the operator
+    fail-fasts (limit-5 probe naming offenders) on keys beyond
+    ``max_points`` instead of silently exploding; sample hot keys
+    down first, or raise the cap deliberately. Slopes of coincident
+    timestamps are excluded (vertical). The intercept is the classic
+    ``median(y − slope·x)`` second pass — one more keyed aggregation
+    joined on the key, using the UNROUNDED slope.
+
+    All arithmetic is engine-portable: epoch seconds via
+    ``unix_micros/1e6``, pairwise differences/divisions, and median
+    interpolation at 0.5 (exactly ``0.5·(a+b)`` in IEEE doubles), so
+    an oracle can restate the whole estimator.
+
+    Output: (key, n_points, n_pairs, slope, intercept), slope rounded
+    to 8, intercept to 6.
+    """
+    x = (F.unix_micros(F.col(ts_col)) / F.lit(1000000.0)).alias("_x")
+    v = F.col(value_col).cast("double").alias("_v")
+    base = df.select(F.col(key_col), x, v).localCheckpoint(eager=False)
+    counts = base.groupBy(key_col).agg(F.count(F.lit(1)).alias("_n"))
+    hot = counts.where(F.col("_n") > int(max_points)).limit(5)
+    offenders = [(r[key_col], r["_n"]) for r in hot.collect()]
+    if offenders:
+        raise ValueError(
+            f"theil_sen: keys exceed max_points={max_points}: "
+            f"{offenders} — pairwise slopes are O(n²); sample these "
+            "keys down or raise the cap deliberately"
+        )
+    a, b = base.alias("a"), base.alias("b")
+    pairs = (
+        a.join(b, key_col)
+        # strictly-increasing x enumerates each usable pair once AND
+        # excludes vertical (coincident-timestamp) pairs in one shot
+        .where(F.col("a._x") < F.col("b._x"))
+        .select(
+            F.col(key_col),
+            (
+                (F.col("b._v") - F.col("a._v"))
+                / (F.col("b._x") - F.col("a._x"))
+            ).alias("_s"),
+        )
+    )
+    slopes = pairs.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.percentile(F.col("_s"), F.lit(0.5)).alias("_slope"),
+    )
+    with_slope = base.join(slopes, key_col)
+    inter = with_slope.groupBy(key_col).agg(
+        F.percentile(
+            F.col("_v") - F.col("_slope") * F.col("_x"), F.lit(0.5)
+        ).alias("_icpt")
+    )
+    return (
+        counts.join(slopes, key_col)
+        .join(inter, key_col)
+        .select(
+            key_col,
+            F.col("_n").cast("long").alias("n_points"),
+            "n_pairs",
+            F.round(F.col("_slope"), 8).alias("slope"),
+            F.round(F.col("_icpt"), 6).alias("intercept"),
+        )
+    )

@@ -1716,3 +1716,43 @@ def vocab_coverage(df: DataFrame, text_col: str, ks=(10, 100, 1000, 10000)):
             ),
         )
     )
+
+
+def lexical_diversity(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document lexical-diversity profile: type–token ratio and
+    hapax-legomena ratio — the cheap gibberish/boilerplate separators
+    next to ``char_entropy``: templated spam repeats a tiny vocabulary
+    (low TTR, few hapaxes), keyboard mash is all hapaxes (TTR ≈ 1),
+    natural prose sits between.
+
+    Two keyed aggregations, both with map-side partials: per-(doc,
+    word) counts (the only token-sized shuffle), then the per-doc fold
+    (types = rows, tokens = Σcount, hapaxes = Σ[count = 1]) — the
+    explode-then-count shape deliberately avoids the HOF-inlining trap
+    of counting each distinct word's occurrences inside an array
+    lambda (O(n²) per document, see the repo's aggregate-fold rule).
+    Empty/whitespace-only documents are dropped (no tokens, no ratio).
+
+    Output: (id, n_tokens, n_types, ttr, hapax_ratio), ratios rounded
+    to 6.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("w"),
+    ).where(F.col("w") != "")
+    wc = toks.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("_c"))
+    return wc.groupBy(id_col).agg(
+        F.sum("_c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.round(
+            F.count(F.lit(1)) * F.lit(1.0) / F.sum("_c"), 6
+        ).alias("ttr"),
+        F.round(
+            F.sum((F.col("_c") == 1).cast("long"))
+            * F.lit(1.0)
+            / F.count(F.lit(1)),
+            6,
+        ).alias("hapax_ratio"),
+    )

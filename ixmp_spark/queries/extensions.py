@@ -3601,3 +3601,114 @@ def w26_partial_rollup(spark, sf_dir):
         ev, ["event_type", "month", "day"], "value", scale=2
     )
     return merge_stats_partials(partials, ["event_type", "month"], scale=2)
+
+
+@query(
+    "w27_theil_sen",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, epoch_us(ts) / 1000000.0 AS x, value AS v
+      FROM events
+    ), c AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n
+      FROM b GROUP BY user_id
+    ), pr AS (
+      SELECT a.user_id, (b2.v - a.v) / (b2.x - a.x) AS s
+      FROM b a JOIN b b2
+        ON a.user_id = b2.user_id AND a.x < b2.x
+    ), sl AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+             quantile_cont(s, 0.5) AS slope_raw
+      FROM pr GROUP BY user_id
+    ), ic AS (
+      SELECT b.user_id,
+             quantile_cont(b.v - sl.slope_raw * b.x, 0.5) AS icpt
+      FROM b JOIN sl USING (user_id) GROUP BY b.user_id
+    )
+    SELECT c.user_id, c.n AS n_points, sl.n_pairs,
+           round(sl.slope_raw, 8) AS slope,
+           round(ic.icpt, 6) AS intercept
+    FROM c JOIN sl USING (user_id) JOIN ic USING (user_id)
+    """,
+)
+def w27_theil_sen(spark, sf_dir):
+    """Theil–Sen robust slope/intercept per user (theil_sen): the
+    outlier-immune trend twin of w12's OLS regr_* fit — median of all
+    pairwise slopes, intercept = median(y − slope·x). The pair join,
+    slope median (exact 0.5·(a+b) interpolation in both engines), and
+    intercept pass are restated literally in the oracle; keys past
+    max_points fail fast rather than going quadratic silently."""
+    from ixmp_spark.operators.sessions import theil_sen
+
+    ev = load(spark, sf_dir, "events")
+    return theil_sen(ev, "user_id", "ts", "value", max_points=2000)
+
+
+@query(
+    "x18_ab_srm",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'purchase' AND value > 150
+                      THEN 1 ELSE 0 END) AS conv,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 2 AS variant
+      FROM events GROUP BY user_id
+    ), a AS (
+      SELECT
+        CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_a,
+        CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_b,
+        CAST(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT)
+          AS conv_a,
+        CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT)
+          AS conv_b
+      FROM u
+    ), d AS (
+      SELECT n_a, n_b, conv_a, conv_b,
+             CAST(n_a AS DOUBLE) AS na, CAST(n_b AS DOUBLE) AS nb,
+             CAST(conv_a AS DOUBLE) AS ca, CAST(conv_b AS DOUBLE) AS cb
+      FROM a
+    )
+    SELECT n_a, n_b, conv_a, conv_b,
+           round((na - nb) * (na - nb) / (na + nb), 6) AS srm_chi2,
+           coalesce((na - nb) * (na - nb) / (na + nb) > 3.841,
+                    false) AS srm_flag,
+           round(ca / na, 6) AS p_a,
+           round(cb / nb, 6) AS p_b,
+           round((ca / na - cb / nb)
+                 / sqrt(((ca + cb) / (na + nb))
+                        * (1.0 - (ca + cb) / (na + nb))
+                        * (1.0 / na + 1.0 / nb)), 6) AS z_score,
+           coalesce(abs((ca / na - cb / nb)
+               / sqrt(((ca + cb) / (na + nb))
+                      * (1.0 - (ca + cb) / (na + nb))
+                      * (1.0 / na + 1.0 / nb))) > 1.96,
+                    false) AS significant
+    FROM d
+    """,
+)
+def x18_ab_srm(spark, sf_dir):
+    """A/B experiment readout with the sample-ratio-mismatch guardrail
+    (ab_srm_check): users hash-bucketed into two arms (the portable
+    md5-prefix bucket p3 uses), success = a big (>150)
+    purchase; χ² SRM
+    check before the pooled two-proportion z-test — a broken split
+    invalidates any effect. One distinct-user aggregate + one global
+    conditional aggregate; every formula spelled identically in both
+    engines."""
+    from ixmp_spark.operators.sampling import ab_srm_check, hash_bucket
+
+    ev = load(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase") & (F.col("value") > 150)
+            ).cast("long")
+        ).alias("converted")
+    )
+    assigned = users.withColumn(
+        "variant", hash_bucket(F.col("user_id"), 2)
+    )
+    return ab_srm_check(assigned, "variant", "converted", z=1.96)

@@ -1021,3 +1021,68 @@ def t26_vocab_coverage(spark, sf_dir):
 
     docs = load_spread(spark, sf_dir, "documents")
     return vocab_coverage(docs, "text", ks=(5, 10, 20, 30))
+
+
+@query(
+    "t28_lexical_diversity",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+      FROM documents
+    ), wc AS (
+      SELECT doc_id, w, count(*) AS c
+      FROM toks WHERE w <> '' GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_tokens,
+           CAST(count(*) AS BIGINT) AS n_types,
+           round(count(*) * 1.0 / sum(c), 6) AS ttr,
+           round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS hapax_ratio
+    FROM wc GROUP BY doc_id
+    """,
+)
+def t28_lexical_diversity(spark, sf_dir):
+    """Type–token and hapax ratios per document (lexical_diversity):
+    the vocabulary-richness gate between templated spam (low TTR) and
+    keyboard mash (all hapaxes). Explode + two keyed aggregations —
+    deliberately NOT an array-lambda count (the HOF-inlining O(n²)
+    trap); the oracle restates the same two-level fold."""
+    from ixmp_spark.operators.text import lexical_diversity
+
+    docs = load_spread(spark, sf_dir, "documents")
+    return lexical_diversity(docs, "doc_id", "text")
+
+
+@query(
+    "p20_effective_sample_size",
+    oracle=r"""
+    WITH w AS (
+      SELECT source,
+             1.0 / count(*) OVER (PARTITION BY
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+             ) AS wt
+      FROM documents
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n,
+           round(sum(wt), 6) AS sum_w,
+           round(sum(wt) * sum(wt) / sum(wt * wt), 6) AS ess,
+           round(sum(wt) * sum(wt) / sum(wt * wt) / count(*), 6)
+             AS ess_ratio
+    FROM w WHERE wt > 0 GROUP BY source
+    """,
+)
+def p20_effective_sample_size(spark, sf_dir):
+    """Kish effective sample size per source under d11's soft-dedup
+    weights (effective_sample_size ∘ soft_dedup_weights): how many
+    equal-weight documents each source is actually worth after
+    duplicate down-weighting — the honesty metric for every
+    reweighted mix. One keyed aggregation over the weighted frame;
+    the oracle recomputes weights AND the ESS quotient analytically."""
+    from ixmp_spark.operators.dedup import soft_dedup_weights
+    from ixmp_spark.operators.sampling import effective_sample_size
+
+    docs = load_spread(spark, sf_dir, "documents")
+    weighted = soft_dedup_weights(docs, text_col="text", id_col="doc_id")
+    return effective_sample_size(weighted, "source", "weight")

@@ -4832,3 +4832,113 @@ def test_vocab_coverage_curve(spark):
     got = {r["k"]: r["coverage"] for r in
            vocab_coverage(t, "text", ks=(1, 2)).collect()}
     assert got == {1: 0.5, 2: 1.0}
+
+
+def test_theil_sen_robustness(spark):
+    """theil_sen recovers the true slope of a clean ramp EXACTLY, does
+    not move when 20% of points are wildly corrupted (where OLS
+    does), matches a pure-Python pairwise-median replay, and the
+    max_points guard fails fast naming offenders."""
+    from datetime import datetime, timedelta
+
+    import pytest
+
+    from ixmp_spark.operators.sessions import key_trends, theil_sen
+
+    t0 = datetime(2024, 1, 1)
+    clean, dirty = [], []
+    for i in range(25):
+        v = 2.0 + 0.5 * i
+        clean.append((1, t0 + timedelta(seconds=i), v))
+        dirty.append((2, t0 + timedelta(seconds=i),
+                      v + (5000.0 if i % 5 == 0 else 0.0)))
+    ev = spark.createDataFrame(
+        clean + dirty, "user_id long, ts timestamp, value double"
+    )
+    got = {r["user_id"]: r for r in theil_sen(
+        ev, "user_id", "ts", "value").collect()}
+    assert got[1]["slope"] == 0.5
+    # x is epoch seconds (the w12 convention), so the intercept is the
+    # line's value at epoch 0: 2.0 − 0.5·epoch(t0), constant across i
+    x0 = t0.replace(tzinfo=__import__("datetime").timezone.utc).timestamp()
+    assert got[1]["intercept"] == round(2.0 - 0.5 * x0, 6)
+    assert got[1]["n_pairs"] == 25 * 24 // 2
+    # 5 of 25 corrupt: Theil–Sen still says 0.5; OLS is dragged hard
+    assert got[2]["slope"] == 0.5
+    ols = {r["user_id"]: r["slope"] for r in key_trends(
+        ev, "user_id", "ts", "value").collect()}
+    assert abs(ols[2] - 0.5) > 5
+
+    # pure-Python replay for the dirty key
+    xs = [i * 1.0 for i in range(25)]
+    vs = [2.0 + 0.5 * i + (5000.0 if i % 5 == 0 else 0.0)
+          for i in range(25)]
+    sl = sorted((vs[j] - vs[i]) / (xs[j] - xs[i])
+                for i in range(25) for j in range(i + 1, 25))
+    n = len(sl)
+    med = (sl[n // 2] if n % 2 else 0.5 * (sl[n // 2 - 1] + sl[n // 2]))
+    assert got[2]["slope"] == round(med, 8)
+
+    with pytest.raises(ValueError, match="max_points"):
+        theil_sen(ev, "user_id", "ts", "value", max_points=10)
+
+
+def test_ab_srm_check_flags(spark):
+    """ab_srm_check: a clean 50/50 split with a real lift reads
+    significant without an SRM flag; a broken 80/20 split flags SRM;
+    a degenerate all-convert pool yields NULL z and significant=False
+    (never a raise)."""
+    from ixmp_spark.operators.sampling import ab_srm_check
+
+    def frame(n_a, n_b, c_a, c_b):
+        rows = ([(0, 1)] * c_a + [(0, 0)] * (n_a - c_a)
+                + [(1, 1)] * c_b + [(1, 0)] * (n_b - c_b))
+        return spark.createDataFrame(rows, "variant int, conv int")
+
+    r = ab_srm_check(frame(500, 500, 100, 150), "variant", "conv").collect()[0]
+    assert not r["srm_flag"] and r["significant"]
+    assert (r["n_a"], r["conv_b"]) == (500, 150)
+    assert r["p_a"] == 0.2 and r["p_b"] == 0.3
+    # hand z: p=0.25, se=sqrt(.25*.75*(2/500))
+    import math
+    se = math.sqrt(0.25 * 0.75 * (1 / 500 + 1 / 500))
+    assert abs(r["z_score"] - round((0.2 - 0.3) / se, 6)) < 1e-9
+
+    r2 = ab_srm_check(frame(800, 200, 80, 20), "variant", "conv").collect()[0]
+    assert r2["srm_flag"] and r2["srm_chi2"] == 360.0
+
+    r3 = ab_srm_check(frame(50, 50, 50, 50), "variant", "conv").collect()[0]
+    assert r3["z_score"] is None and not r3["significant"]
+
+
+def test_lexical_diversity_and_ess(spark):
+    """lexical_diversity: hand ratios, hapax arithmetic, empty docs
+    dropped. effective_sample_size: uniform weights give ESS = n; one
+    dominant weight collapses ESS toward 1; zero/NULL weights are
+    excluded."""
+    from ixmp_spark.operators.sampling import effective_sample_size
+    from ixmp_spark.operators.text import lexical_diversity
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "x x x x"), (3, "   "), (4, "q w e r")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           lexical_diversity(docs, "doc_id", "text").collect()}
+    assert 3 not in out
+    assert (out[1]["n_tokens"], out[1]["n_types"]) == (5, 3)
+    assert out[1]["ttr"] == 0.6 and out[1]["hapax_ratio"] == round(1 / 3, 6)
+    assert out[2]["ttr"] == 0.25 and out[2]["hapax_ratio"] == 0.0
+    assert out[4]["ttr"] == 1.0 and out[4]["hapax_ratio"] == 1.0
+
+    w = spark.createDataFrame(
+        [("u", 1.0)] * 10
+        + [("d", 100.0), ("d", 1.0), ("d", 1.0)]
+        + [("z", 0.0), ("z", None), ("z", 2.0)],
+        "g string, weight double",
+    )
+    ess = {r["g"]: r for r in
+           effective_sample_size(w, "g", "weight").collect()}
+    assert ess["u"]["ess"] == 10.0 and ess["u"]["ess_ratio"] == 1.0
+    assert ess["d"]["ess"] < 1.1 and ess["d"]["n"] == 3
+    assert ess["z"]["n"] == 1 and ess["z"]["ess"] == 1.0
