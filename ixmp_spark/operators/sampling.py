@@ -934,3 +934,109 @@ def effective_sample_size(
         F.round(ess, 6).alias("ess"),
         F.round(ess / F.col("n"), 6).alias("ess_ratio"),
     )
+
+
+#: Poisson(1) inverse-CDF thresholds as PREFIX-SUM EXPRESSIONS: the
+#: k-th cumulative probability is exp(−1)·Σ_{j≤k} 1/j!. Factorial
+#: reciprocals are spelled as literal divisions and summed LEFT TO
+#: RIGHT so an oracle writing the same text computes bit-identical
+#: doubles (the repo's shared-arithmetic rule). Tail beyond k = 8
+#: (P ≈ 1.1e−6) clamps to 9.
+_POISSON1_FACTS = (1.0, 1.0, 2.0, 6.0, 24.0, 120.0, 720.0, 5040.0, 40320.0)
+
+
+def _poisson1_weight(u):
+    """Deterministic Poisson(1) draw from a uniform in [0, 1)."""
+    w = F.lit(9)
+    acc = None
+    cdfs = []
+    for f in _POISSON1_FACTS:
+        term = F.lit(1.0) / F.lit(f)
+        acc = term if acc is None else acc + term
+        cdfs.append(F.exp(F.lit(-1.0)) * acc)
+    for k in range(len(cdfs) - 1, -1, -1):
+        w = F.when(u < cdfs[k], F.lit(k)).otherwise(w)
+    return w
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    group_cols,
+    id_col: str,
+    value_col: str,
+    n_reps: int = 100,
+    q_low: float = 0.025,
+    q_high: float = 0.975,
+) -> DataFrame:
+    """Per-group mean with a percentile-bootstrap confidence interval
+    via the POISSON bootstrap — the resampling scheme that actually
+    works on distributed data: classic bootstrap needs n draws WITH
+    replacement from a shuffled global sample (impossible without
+    collecting a partition's siblings), while Poisson(1) per-row
+    replicate weights are independent per row, map-side generated,
+    and within O(1/√n) of multinomial resampling (Chamandy et al.,
+    "Estimating uncertainty for massive data streams", the Google
+    large-scale bootstrap).
+
+    Everything is DETERMINISTIC and engine-portable: each (row,
+    replicate) draws its uniform from an md5 prefix (the p3 hash) and
+    inverts the Poisson(1) CDF against prefix-sum thresholds spelled
+    with shared arithmetic — so the whole bootstrap, normally
+    "random", is restatable in an oracle and hash-certifiable. Cost:
+    one map-side explode to rows×B, ONE shuffle on (group, replicate)
+    with map-side partial sums, then a replicate-count window per
+    group. Replicates whose weights all drew 0 yield NULL estimates
+    and drop (possible only for tiny groups; the percentile then runs
+    over the surviving replicates).
+
+    Output: group cols + n, mean_value, ci_low, ci_high (bootstrap
+    percentiles across replicates, rounded to 4 — the a8 lesson:
+    percentile interpolation differs by 1 ulp across engines).
+    """
+    gs = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    v = F.col(value_col).cast("double")
+    reps = df.select(
+        *gs,
+        v.alias("_v"),
+        F.col(id_col).cast("string").alias("_id"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(n_reps) - 1))
+        ).alias("_rep"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "#", F.col("_id"), F.col("_rep").cast("string")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    weighted = reps.withColumn("_w", _poisson1_weight(u).cast("double"))
+    per_rep = weighted.groupBy(*gs, "_rep").agg(
+        F.try_divide(F.sum(F.col("_w") * F.col("_v")), F.sum("_w")).alias(
+            "_est"
+        )
+    )
+    boot = per_rep.where(F.col("_est").isNotNull()).groupBy(*gs).agg(
+        F.round(
+            F.percentile(F.col("_est"), F.lit(float(q_low))), 4
+        ).alias("ci_low"),
+        F.round(
+            F.percentile(F.col("_est"), F.lit(float(q_high))), 4
+        ).alias("ci_high"),
+    )
+    point = df.groupBy(*gs).agg(
+        F.count(v).cast("long").alias("n"),
+        F.round(F.avg(v), 4).alias("mean_value"),
+    )
+    return point.join(boot, gs).select(
+        *gs, "n", "mean_value", "ci_low", "ci_high"
+    )

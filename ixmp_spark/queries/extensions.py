@@ -3712,3 +3712,76 @@ def x18_ab_srm(spark, sf_dir):
         "variant", hash_bucket(F.col("user_id"), 2)
     )
     return ab_srm_check(assigned, "variant", "converted", z=1.96)
+
+
+@query(
+    "x19_bootstrap_ci",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, value,
+             CAST(event_id AS VARCHAR) AS id, rep
+      FROM events, (SELECT unnest(range(0, 100)) AS rep)
+    ), uu AS (
+      SELECT event_type, value, rep,
+             CAST('0x' || substr(md5(id || '#' || CAST(rep AS VARCHAR)),
+                                 1, 8) AS BIGINT)
+               / 4294967296.0 AS u
+      FROM r
+    ), ww AS (
+      SELECT event_type, value, rep,
+        CAST(CASE
+          WHEN u < exp(-1.0) * (1.0 / 1.0) THEN 0
+          WHEN u < exp(-1.0) * (1.0 / 1.0 + 1.0 / 1.0) THEN 1
+          WHEN u < exp(-1.0) * (1.0 / 1.0 + 1.0 / 1.0 + 1.0 / 2.0) THEN 2
+          WHEN u < exp(-1.0) * (1.0 / 1.0 + 1.0 / 1.0 + 1.0 / 2.0
+                                + 1.0 / 6.0) THEN 3
+          WHEN u < exp(-1.0) * (1.0 / 1.0 + 1.0 / 1.0 + 1.0 / 2.0
+                                + 1.0 / 6.0 + 1.0 / 24.0) THEN 4
+          WHEN u < exp(-1.0) * (1.0 / 1.0 + 1.0 / 1.0 + 1.0 / 2.0
+                                + 1.0 / 6.0 + 1.0 / 24.0
+                                + 1.0 / 120.0) THEN 5
+          WHEN u < exp(-1.0) * (1.0 / 1.0 + 1.0 / 1.0 + 1.0 / 2.0
+                                + 1.0 / 6.0 + 1.0 / 24.0 + 1.0 / 120.0
+                                + 1.0 / 720.0) THEN 6
+          WHEN u < exp(-1.0) * (1.0 / 1.0 + 1.0 / 1.0 + 1.0 / 2.0
+                                + 1.0 / 6.0 + 1.0 / 24.0 + 1.0 / 120.0
+                                + 1.0 / 720.0 + 1.0 / 5040.0) THEN 7
+          WHEN u < exp(-1.0) * (1.0 / 1.0 + 1.0 / 1.0 + 1.0 / 2.0
+                                + 1.0 / 6.0 + 1.0 / 24.0 + 1.0 / 120.0
+                                + 1.0 / 720.0 + 1.0 / 5040.0
+                                + 1.0 / 40320.0) THEN 8
+          ELSE 9
+        END AS DOUBLE) AS w
+      FROM uu
+    ), est AS (
+      SELECT event_type, rep, sum(w * value) / sum(w) AS est
+      FROM ww GROUP BY event_type, rep
+      HAVING sum(w) > 0
+    ), b AS (
+      SELECT event_type,
+             round(quantile_cont(est, 0.025), 4) AS ci_low,
+             round(quantile_cont(est, 0.975), 4) AS ci_high
+      FROM est GROUP BY event_type
+    ), p AS (
+      SELECT event_type, CAST(count(value) AS BIGINT) AS n,
+             round(avg(value), 4) AS mean_value
+      FROM events GROUP BY event_type
+    )
+    SELECT p.event_type, p.n, p.mean_value, b.ci_low, b.ci_high
+    FROM p JOIN b USING (event_type)
+    """,
+)
+def x19_bootstrap_ci(spark, sf_dir):
+    """Per-event-type mean with a 95% Poisson-bootstrap percentile CI
+    (poisson_bootstrap_ci, B=100): the distributed bootstrap — each
+    (row, replicate) draws a Poisson(1) weight from a DETERMINISTIC
+    md5-prefix uniform inverted against shared-arithmetic CDF
+    thresholds, so a normally-random procedure is restated verbatim
+    in the oracle and hash-certified. One map-side explode + one
+    (group, rep)-keyed shuffle with partial sums."""
+    from ixmp_spark.operators.sampling import poisson_bootstrap_ci
+
+    ev = load(spark, sf_dir, "events")
+    return poisson_bootstrap_ci(
+        ev, "event_type", "event_id", "value", n_reps=100
+    )

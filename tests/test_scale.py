@@ -4942,3 +4942,68 @@ def test_lexical_diversity_and_ess(spark):
     assert ess["u"]["ess"] == 10.0 and ess["u"]["ess_ratio"] == 1.0
     assert ess["d"]["ess"] < 1.1 and ess["d"]["n"] == 3
     assert ess["z"]["n"] == 1 and ess["z"]["ess"] == 1.0
+
+
+def test_poisson_bootstrap_ci(spark):
+    """poisson_bootstrap_ci: matches an exact pure-Python replay of
+    the md5-deterministic bootstrap on a small group (same uniforms,
+    same thresholds, same percentile), brackets the true mean on a
+    clean sample, and a 4x larger sample yields a ~2x narrower CI."""
+    import hashlib
+    import math
+    import random
+
+    from ixmp_spark.operators.sampling import poisson_bootstrap_ci
+
+    rng = random.Random(7)
+    small = [(i, "s", rng.gauss(50, 10)) for i in range(40)]
+    big = [(1000 + i, "b", rng.gauss(50, 10)) for i in range(640)]
+    df = spark.createDataFrame(
+        small + big, "event_id long, g string, v double"
+    )
+    out = {r["g"]: r for r in poisson_bootstrap_ci(
+        df, "g", "event_id", "v", n_reps=100).collect()}
+
+    for g, rows in (("s", small), ("b", big)):
+        mean = sum(v for _, _, v in rows) / len(rows)
+        r = out[g]
+        assert r["ci_low"] < mean < r["ci_high"], g
+        assert r["mean_value"] == round(mean, 4)
+    w_small = out["s"]["ci_high"] - out["s"]["ci_low"]
+    w_big = out["b"]["ci_high"] - out["b"]["ci_low"]
+    assert 2.0 < w_small / w_big < 8.0  # ~sqrt(16)=4, loose band
+
+    # exact replay of the 's' group
+    cdf, acc = [], 0.0
+    for f in (1.0, 1.0, 2.0, 6.0, 24.0, 120.0, 720.0, 5040.0, 40320.0):
+        acc = acc + 1.0 / f
+        cdf.append(math.exp(-1.0) * acc)
+
+    def pois(u):
+        for k, c in enumerate(cdf):
+            if u < c:
+                return k
+        return 9
+
+    ests = []
+    for rep in range(100):
+        sw = swv = 0.0
+        for i, _, v in small:
+            h = hashlib.md5(f"{i}#{rep}".encode()).hexdigest()
+            u = int(h[:8], 16) / 4294967296.0
+            w = float(pois(u))
+            sw += w
+            swv += w * v
+        if sw > 0:
+            ests.append(swv / sw)
+    ests.sort()
+
+    def pct(xs, q):
+        pos = (len(xs) - 1) * q
+        lo = int(pos)
+        if pos == lo:
+            return xs[lo]
+        return (lo + 1 - pos) * xs[lo] + (pos - lo) * xs[lo + 1]
+
+    assert out["s"]["ci_low"] == round(pct(ests, 0.025), 4)
+    assert out["s"]["ci_high"] == round(pct(ests, 0.975), 4)
