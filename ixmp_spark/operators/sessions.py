@@ -1828,6 +1828,43 @@ def double_ewma(
     return out
 
 
+def _season_slot(ts_col: str, period: str):
+    extractors = {
+        "hour": F.hour,
+        "dayofweek": F.dayofweek,
+        "dayofmonth": F.dayofmonth,
+    }
+    if period not in extractors:
+        raise ValueError(f"period must be one of {sorted(extractors)}")
+    return extractors[period](F.col(ts_col)).cast("long")
+
+
+def seasonal_profile(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    period: str = "hour",
+) -> DataFrame:
+    """The (key, slot) seasonal profile ``seasonal_baseline`` scores
+    against — exposed separately so it can be built nightly from
+    history, parquet-backed, and fed to BOTH the batch scorer and its
+    streaming twin (``ts_stream.seasonal_baseline_stream``). One
+    groupBy shuffle reduced to keys×slots rows.
+
+    Output: (key, season_slot, _mu, _sd, _n).
+    """
+    slot = _season_slot(ts_col, period)
+    v = F.col(value_col).cast("double")
+    return df.withColumn("season_slot", slot).groupBy(
+        key_col, "season_slot"
+    ).agg(
+        F.avg(v).alias("_mu"),
+        F.stddev_samp(v).alias("_sd"),
+        F.count(v).alias("_n"),
+    )
+
+
 def seasonal_baseline(
     df: DataFrame,
     key_col: str,
@@ -1855,21 +1892,10 @@ def seasonal_baseline(
     Output: input + ``season_slot``, ``expected``, ``seasonal_z``,
     ``is_spike``.
     """
-    extractors = {
-        "hour": F.hour,
-        "dayofweek": F.dayofweek,
-        "dayofmonth": F.dayofmonth,
-    }
-    if period not in extractors:
-        raise ValueError(f"period must be one of {sorted(extractors)}")
-    slot = extractors[period](F.col(ts_col)).cast("long")
+    slot = _season_slot(ts_col, period)
     v = F.col(value_col).cast("double")
     base = df.withColumn("season_slot", slot)
-    profile = base.groupBy(key_col, "season_slot").agg(
-        F.avg(v).alias("_mu"),
-        F.stddev_samp(v).alias("_sd"),
-        F.count(v).alias("_n"),
-    )
+    profile = seasonal_profile(df, key_col, ts_col, value_col, period)
     joined = base.join(
         F.broadcast(profile), [key_col, "season_slot"], "left"
     )

@@ -844,3 +844,49 @@ def interval_join_stream_outer(
         F.col("r.event_type").alias("right_type"),
         F.col("r.ts").isNotNull().alias("matched"),
     )
+
+
+def seasonal_baseline_stream(
+    events: DataFrame,
+    profile: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    min_n: int = 2,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Streaming twin of ``sessions.seasonal_baseline``: live events are
+    scored against a BATCH-BUILT seasonal profile — the same
+    index/live split as dedup_stream_vs_index and
+    strip_common_lines_stream. The profile (per-(key, slot) mean/
+    stddev) inherently needs history, so it stays batch; what CAN run
+    per micro-batch is the map-side scoring join — stateless,
+    append-safe, no watermark needed, and the stream-static join
+    re-reads the (keys×24)-row static side per micro-batch, which is
+    exactly the broadcast the batch twin uses.
+
+    ``profile``: the static frame ``seasonal_baseline``'s groupBy
+    stage produces — (key, season_slot, _mu, _sd, _n) — typically
+    re-derived nightly and parquet-backed. Column spelling matches the
+    batch operator so a profile written by one feeds the other.
+
+    Output: input + season_slot, expected, seasonal_z, is_spike (the
+    batch twin's schema).
+    """
+    slot = F.hour(F.col(ts_col)).cast("long")
+    v = F.col(value_col).cast("double")
+    base = events.withColumn("season_slot", slot)
+    joined = base.join(profile, [key_col, "season_slot"], "left")
+    z = F.when(
+        (F.col("_n") >= int(min_n)) & (F.col("_sd") > 0),
+        (v - F.col("_mu")) / F.col("_sd"),
+    )
+    return (
+        joined.withColumn("expected", F.col("_mu"))
+        .withColumn("seasonal_z", z)
+        .withColumn(
+            "is_spike",
+            F.coalesce(F.abs(z) > F.lit(float(threshold)), F.lit(False)),
+        )
+        .drop("_mu", "_sd", "_n")
+    )

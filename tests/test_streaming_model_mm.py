@@ -1599,3 +1599,60 @@ def test_streaming_state_durations_matches_batch(spark, tmp_path_factory):
         for r in batch if r["episode_id"] != by_key_last[r["user_id"]]
     )
     assert len(want) > 0 and got == want
+
+
+def test_streaming_seasonal_baseline_matches_batch(spark, tmp_path_factory):
+    """seasonal_baseline_stream scoring a file stream against the
+    batch-built seasonal_profile equals the batch seasonal_baseline
+    row-for-row, including the planted 03:00 spike flag."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from ixmp_spark.operators.sessions import (
+        seasonal_baseline,
+        seasonal_profile,
+    )
+    from ixmp_spark.streaming.ts_stream import (
+        run_available_now,
+        seasonal_baseline_stream,
+    )
+
+    rows = []
+    eid = 0
+    for day in range(1, 21):
+        rows.append((eid, datetime(2024, 1, day, 3), "m",
+                     10.0 + (day % 4) * 0.5)); eid += 1
+        rows.append((eid, datetime(2024, 1, day, 14), "m",
+                     500.0 + (day % 6) * 2.0)); eid += 1
+    rows.append((eid, datetime(2024, 1, 21, 3), "m", 400.0))
+    spike_id = eid
+    feed = str(tmp_path_factory.mktemp("seas") / "events")
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, key string, value double"
+    )
+    ev.coalesce(2).write.parquet(feed)
+    batch_in = spark.read.parquet(feed)
+
+    cols = ["event_id", "key", "season_slot", "expected",
+            "seasonal_z", "is_spike"]
+    want = sorted(
+        tuple(r)
+        for r in seasonal_baseline(batch_in, "key", "ts", "value")
+        .select(*cols).collect()
+    )
+    profile = seasonal_profile(batch_in, "key", "ts", "value")
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, key string, value double"
+    ).parquet(feed)
+    out = seasonal_baseline_stream(
+        stream, profile, key_col="key"
+    ).select(*cols)
+    got = sorted(
+        tuple(r)
+        for r in run_available_now(out, "seasonal_stream_q").collect()
+    )
+    assert got == want
+    flags = {r[0]: r[5] for r in got}
+    assert flags[spike_id] is True
+    assert sum(1 for v in flags.values() if v) == 1
