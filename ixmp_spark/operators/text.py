@@ -1756,3 +1756,83 @@ def lexical_diversity(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             6,
         ).alias("hapax_ratio"),
     )
+
+
+#: default RAKE stopword list — deliberately tiny and fixed so the
+#: oracle can inline it; real deployments pass their own.
+RAKE_STOPWORDS = (
+    "the", "a", "an", "and", "of", "to", "in", "is", "for", "on",
+)
+
+
+def rake_keywords(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    stopwords=RAKE_STOPWORDS,
+    k: int = 3,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases
+    are the maximal token runs BETWEEN stopwords, each word scores
+    ``degree/frequency`` over the document (degree = Σ lengths of the
+    phrases containing it — co-occurrence favors words that travel in
+    long phrases), and a phrase scores the sum of its words. The
+    unsupervised keyword baseline that needs no corpus statistics —
+    per-document, so it trivially shards.
+
+    Pipeline (two keyed shuffles, both on the doc id): positional
+    explode → running stopword count assigns each token its phrase id
+    (gaps-and-islands, the g-family identity) → per-(doc, word)
+    degree/frequency aggregate → score join back → per-(doc, phrase)
+    fold with an ordered collect. Ranking uses the ROUNDED score with
+    the phrase text as tie-break — phrase scores are sums of
+    rationals, and two mathematically-equal sums accumulated in
+    different orders may differ by an ulp (the repo's cross-engine
+    ordering rule: never rank on raw float sums).
+
+    Output: (id, phrase, n_words, score, rank), top-``k`` per doc.
+    """
+    sw = [s.lower() for s in stopwords]
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("pos", "w"),
+    ).where(F.col("w") != "")
+    stop = F.col("w").isin(sw)
+    wdoc = Window.partitionBy(id_col).orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    marked = toks.withColumn(
+        "_pid", F.sum(stop.cast("long")).over(wdoc)
+    ).where(~stop)
+    wph = Window.partitionBy(id_col, "_pid")
+    with_len = marked.withColumn("_plen", F.count(F.lit(1)).over(wph))
+    wstats = with_len.groupBy(id_col, "w").agg(
+        F.count(F.lit(1)).alias("_freq"),
+        F.sum("_plen").alias("_deg"),
+    )
+    scored = with_len.join(wstats, [id_col, "w"]).withColumn(
+        "_ws", F.col("_deg") / F.col("_freq")
+    )
+    phrases = scored.groupBy(id_col, "_pid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("w")))
+                ),
+                lambda s: s["w"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.round(F.sum("_ws"), 6).alias("score"),
+    )
+    wr = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), "phrase", "_pid"
+    )
+    return (
+        phrases.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .where(F.col("rank") <= int(k))
+        .select(id_col, "phrase", "n_words", "score", "rank")
+    )

@@ -1086,3 +1086,68 @@ def p20_effective_sample_size(spark, sf_dir):
     docs = load_spread(spark, sf_dir, "documents")
     weighted = soft_dedup_weights(docs, text_col="text", id_col="doc_id")
     return effective_sample_size(weighted, "source", "weight")
+
+
+@query(
+    "t27_rake_keywords",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS l
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, unnest(l) AS w, unnest(range(0, len(l))) AS pos
+      FROM t
+    ), tk AS (SELECT * FROM toks WHERE w <> ''),
+    marked AS (
+      SELECT doc_id, pos, w,
+             w IN ('the','a','an','and','of','to','in','is','for','on')
+               AS stop,
+             sum(CASE WHEN w IN ('the','a','an','and','of','to','in',
+                                 'is','for','on')
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS pid
+      FROM tk
+    ), ns AS (
+      SELECT doc_id, pos, w, pid FROM marked WHERE NOT stop
+    ), wl AS (
+      SELECT doc_id, pos, w, pid,
+             count(*) OVER (PARTITION BY doc_id, pid) AS plen
+      FROM ns
+    ), ws AS (
+      SELECT doc_id, w, count(*) AS freq, sum(plen) AS deg
+      FROM wl GROUP BY doc_id, w
+    ), sc AS (
+      SELECT wl.doc_id, wl.pid, wl.pos, wl.w,
+             ws.deg * 1.0 / ws.freq AS s
+      FROM wl JOIN ws ON wl.doc_id = ws.doc_id AND wl.w = ws.w
+    ), ph AS (
+      SELECT doc_id, pid,
+             string_agg(w, ' ' ORDER BY pos) AS phrase,
+             CAST(count(*) AS BIGINT) AS n_words,
+             round(sum(s), 6) AS score
+      FROM sc GROUP BY doc_id, pid
+    )
+    SELECT doc_id, phrase, n_words, score, rank
+    FROM (
+      SELECT doc_id, phrase, n_words, score,
+             CAST(row_number() OVER (
+               PARTITION BY doc_id
+               ORDER BY score DESC, phrase, pid) AS BIGINT) AS rank
+      FROM ph
+    ) WHERE rank <= 3
+    """,
+)
+def t27_rake_keywords(spark, sf_dir):
+    """Top-3 RAKE keyphrases per document (rake_keywords): stopword-
+    delimited candidate phrases scored by summed word degree/frequency
+    — the no-training keyword extractor. Gaps-and-islands phrase ids,
+    two doc-keyed shuffles; ranking on the ROUNDED score (raw float
+    sums must never order cross-engine results). The oracle replays
+    the full pipeline."""
+    from ixmp_spark.operators.text import rake_keywords
+
+    docs = load_spread(spark, sf_dir, "documents")
+    return rake_keywords(docs, "doc_id", "text", k=3)

@@ -5007,3 +5007,38 @@ def test_poisson_bootstrap_ci(spark):
 
     assert out["s"]["ci_low"] == round(pct(ests, 0.025), 4)
     assert out["s"]["ci_high"] == round(pct(ests, 0.975), 4)
+
+
+def test_rake_keywords_scoring(spark):
+    """rake_keywords reproduces the textbook RAKE hand-computation on
+    a crafted document (phrase split at stopwords, degree/frequency
+    word scores, summed phrase scores), ranks deterministically, and
+    caps at k."""
+    from ixmp_spark.operators.text import rake_keywords
+
+    # phrases: [deep learning], [deep neural networks], [networks]
+    # freq: deep=2, learning=1, neural=1, networks=2
+    # deg:  deep=2+3=5, learning=2, neural=3, networks=3+1=4
+    # scores: [deep learning] = 5/2 + 2 = 4.5
+    #         [deep neural networks] = 5/2 + 3 + 4/2 = 7.5
+    #         [networks] = 2
+    docs = spark.createDataFrame(
+        [(1, "deep learning and deep neural networks of networks")],
+        "doc_id long, text string",
+    )
+    rows = {r["rank"]: r for r in
+            rake_keywords(docs, "doc_id", "text", k=3).collect()}
+    assert rows[1]["phrase"] == "deep neural networks"
+    assert rows[1]["score"] == 7.5 and rows[1]["n_words"] == 3
+    assert rows[2]["phrase"] == "deep learning" and rows[2]["score"] == 4.5
+    assert rows[3]["phrase"] == "networks" and rows[3]["score"] == 2.0
+
+    # k caps output; equal-score duplicate phrases rank by first
+    # occurrence and both survive
+    d2 = spark.createDataFrame(
+        [(2, "alpha beta the alpha beta the gamma")],
+        "doc_id long, text string",
+    )
+    r2 = rake_keywords(d2, "doc_id", "text", k=2).collect()
+    assert [x["phrase"] for x in sorted(r2, key=lambda x: x["rank"])] == [
+        "alpha beta", "alpha beta"]
