@@ -1052,3 +1052,81 @@ def rrf_fuse(
         *[f"rank_{n}" for n in names],
     ).orderBy(F.desc("rrf_score"), F.asc(id_col))
     return out.limit(top_n) if top_n is not None else out
+
+
+def mips_topk(
+    df: DataFrame,
+    probe: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact top-k by MAXIMUM INNER PRODUCT — the retrieval objective
+    of recommender scoring and un-normalized two-tower models, where
+    cosine is the WRONG metric (a long vector with middling angle can
+    out-score a perfectly-aligned short one; popularity lives in the
+    norm). Broadcast probe, map-only dot-product pass,
+    TakeOrderedAndProject — e1's plan with the metric swapped.
+
+    Output: (id, inner_product) rounded to 6, score-desc / id ties.
+    """
+    p = F.broadcast(
+        probe.select(
+            F.col(id_col).alias("__probe_id"),
+            F.col(vec_col).alias("__probe_vec"),
+        )
+    )
+    scored = df.crossJoin(p)
+    if exclude_self:
+        scored = scored.where(F.col(id_col) != F.col("__probe_id"))
+    return (
+        scored.select(
+            F.col(id_col),
+            F.round(dot(vec_col, "__probe_vec"), 6).alias("inner_product"),
+        )
+        .orderBy(F.col("inner_product").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def mips_augment(
+    df: DataFrame,
+    vec_col: str,
+    out_col: str = "aug_vec",
+    max_norm: float | None = None,
+) -> DataFrame:
+    """The MIPS → cosine reduction (Bachrach et al. 2014 / the
+    Shrivastava–Li ALSH family): append one dimension
+    ``sqrt(M² − ‖x‖²)`` to every corpus vector (M = the corpus max
+    norm), after which every augmented vector has norm EXACTLY M — so
+    cosine against a zero-padded probe orders candidates by raw inner
+    product, and the whole sign-LSH / IVF cosine machinery becomes a
+    MIPS index for free (probe side: pad with 0.0, see the pinning
+    test).
+
+    ``max_norm=None`` computes M with a 1-row aggregate broadcast
+    (lazy — it rides the main job); pass a known bound to keep the
+    plan fully map-only. Norms are clamped into M numerically
+    (``greatest(M² − ‖x‖², 0)``): the max's own residual is
+    mathematically 0 but can land an ulp negative, and sqrt must
+    never see it.
+
+    Output: input + ``out_col`` (double array, dim + 1).
+    """
+    n2 = F.aggregate(
+        _dvec(vec_col), F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    if max_norm is None:
+        m2f = df.agg(F.max(n2).alias("__m2"))
+        base = df.crossJoin(F.broadcast(m2f))
+        m2 = F.col("__m2")
+    else:
+        base = df
+        m2 = F.lit(float(max_norm) * float(max_norm))
+    aug = F.concat(
+        _dvec(vec_col),
+        F.array(F.sqrt(F.greatest(m2 - n2, F.lit(0.0)))),
+    )
+    out = base.withColumn(out_col, aug)
+    return out.drop("__m2") if max_norm is None else out

@@ -1151,3 +1151,34 @@ def t27_rake_keywords(spark, sf_dir):
 
     docs = load_spread(spark, sf_dir, "documents")
     return rake_keywords(docs, "doc_id", "text", k=3)
+
+
+@query(
+    "e11_mips_topk",
+    oracle="""
+    WITH probe AS (
+      SELECT vec_id AS probe_id, CAST(embedding AS DOUBLE[]) AS pv
+      FROM embeddings ORDER BY vec_id LIMIT 1
+    ), scored AS (
+      SELECT e.vec_id,
+             round(list_dot_product(CAST(e.embedding AS DOUBLE[]), p.pv),
+                   6) AS inner_product
+      FROM embeddings e, probe p
+      WHERE e.vec_id <> p.probe_id
+    )
+    SELECT vec_id, inner_product FROM scored
+    ORDER BY inner_product DESC, vec_id LIMIT 10
+    """,
+)
+def e11_mips_topk(spark, sf_dir):
+    """Exact top-10 by maximum inner product for the min-id probe
+    (mips_topk): the recommender-scoring metric where vector NORM
+    carries signal cosine throws away. Broadcast probe, map-only dot
+    pass, TakeOrderedAndProject; the scale path is the ALSH
+    augmentation (mips_augment) feeding the existing cosine-LSH
+    index, pinned order-equivalent in tests."""
+    from ixmp_spark.operators.similarity import mips_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    probe = emb.orderBy("vec_id").limit(1)
+    return mips_topk(emb, probe, id_col="vec_id", vec_col="embedding", k=10)

@@ -5042,3 +5042,52 @@ def test_rake_keywords_scoring(spark):
     r2 = rake_keywords(d2, "doc_id", "text", k=2).collect()
     assert [x["phrase"] for x in sorted(r2, key=lambda x: x["rank"])] == [
         "alpha beta", "alpha beta"]
+
+
+def test_mips_topk_and_augment(spark):
+    """mips_topk ranks by raw inner product (a long middling-angle
+    vector beats a short aligned one — the case cosine gets wrong);
+    mips_augment gives every vector norm exactly M so cosine over
+    augmented vectors reproduces the exact MIPS ordering; the probe
+    pads with 0."""
+    from ixmp_spark.operators.similarity import (
+        brute_force_topk,
+        cosine,
+        mips_augment,
+        mips_topk,
+        norm,
+    )
+
+    # probe q = [1, 0]; a = [10, 5] (ip 10), b = [0.9, 0.01] (ip 0.9,
+    # but cosine(b, q) ~ 1.0 > cosine(a, q) ~ 0.89)
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [10.0, 5.0]),
+        (2, [0.9, 0.01]),
+        (3, [3.0, -4.0]),
+        (4, [-1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    probe = emb.where(F.col("vec_id") == 0)
+    mips = [r["vec_id"] for r in mips_topk(
+        emb, probe, "vec_id", "embedding", k=4).collect()]
+    assert mips == [1, 3, 2, 4]                      # by inner product
+    cos = [r["vec_id"] for r in brute_force_topk(
+        emb, probe, "vec_id", "embedding", k=4).collect()]
+    assert cos[0] == 2                               # cosine disagrees
+
+    # augmentation: all augmented norms equal max norm; cosine order
+    # over (augmented corpus, zero-padded probe) == exact MIPS order
+    aug = mips_augment(emb.where(F.col("vec_id") != 0), "embedding")
+    norms = [r["n"] for r in aug.select(
+        F.round(norm("aug_vec"), 9).alias("n")).collect()]
+    assert len(set(norms)) == 1
+    padded = probe.select(
+        "vec_id",
+        F.concat("embedding", F.array(F.lit(0.0))).alias("aug_vec"),
+    )
+    p = padded.select(F.col("aug_vec").alias("pv")).crossJoin(aug)
+    order = [r["vec_id"] for r in p.select(
+        "vec_id", cosine("aug_vec", "pv").alias("c"))
+        .orderBy(F.desc("c"), "vec_id").collect()]
+    assert order == [1, 3, 2, 4]

@@ -26,6 +26,7 @@ def formatted_plan(df) -> str:
 BNLJ_OK = {
     "e1_embed_topk", "e2_embed_ann", "e3_embed_ivf", "j10_band_join",
     "b_q22", "e4_cosine_neardup",
+    "e11_mips_topk",  # 1-row probe broadcast crossJoin (e1's plan, dot metric)
     "c15_fuzzy_match",  # 4-row query set x broadcast codelist
     "b_q11", "b_q15",  # 1-row scalar-subquery threshold broadcast
     "t9_tfidf_keywords",  # 1-row N-docs aggregate cross-broadcast (single-action tfidf)
