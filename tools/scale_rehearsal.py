@@ -1024,6 +1024,68 @@ def main_events() -> None:
     print(json.dumps({"sf_dir": sf_dir, "mode": "events", "results": results}))
 
 
+def main_kcore() -> None:
+    """kcore peel-depth rehearsal (the iterative-operator discipline:
+    rehearse PAST the depth any catalog query reaches — x17 on the
+    co-supplier graph converges in 1-2 rounds; this drives 8/16/32).
+    Graph = ring-lattice core (every node degree >= 10, survives any
+    small k forever) + pendant CHAINS of depth D hanging off every
+    50th core node — at k=2 a chain's interior nodes (degree 2)
+    survive until exposed, so the peel removes exactly the tip each
+    round and rounds == D by construction. The design questions: does
+    seconds-per-round stay FLAT as rounds grow (lazy localCheckpoint
+    cut the lineage) and flat-ish as edges grow 10x (keyed joins)."""
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    depths = [int(x) for x in sys.argv[3:]] or [8, 16, 32]
+
+    from ixmp_spark.operators.joins import kcore
+
+    spark = get_spark("scale_rehearsal_kcore")
+    results: dict[str, dict] = {}
+    for n_core in (2000, 20000):
+        ring = spark.range(n_core).select(
+            F.explode(F.sequence(F.lit(1), F.lit(5))).alias("d"),
+            F.col("id").alias("src"),
+        ).select(
+            "src", ((F.col("src") + F.col("d")) % n_core).alias("dst")
+        )
+        for depth in depths:
+            # chains: anchor a + i*1e9 ... depth nodes off core node a
+            chains = spark.range(0, n_core, 50).select(
+                F.col("id").alias("a"),
+                F.explode(F.sequence(F.lit(1), F.lit(depth))).alias("i"),
+            ).select(
+                F.when(F.col("i") == 1, F.col("a")).otherwise(
+                    F.col("a")
+                    + (F.col("i").cast("long") - 1) * 1_000_000_000
+                ).alias("src"),
+                (
+                    F.col("a") + F.col("i").cast("long") * 1_000_000_000
+                ).alias("dst"),
+            )
+            edges = ring.unionByName(chains).persist()
+            m = edges.count()
+            t0 = time.time()
+            core = kcore(edges, k=2, max_iter=depth + 5)
+            n_survivors = core.count()
+            wall = time.time() - t0
+            # every chain node must peel; the whole core must survive
+            assert n_survivors == n_core, (n_survivors, n_core)
+            results[f"core{n_core}_depth{depth}"] = {
+                "n_edges": m,
+                "rounds": depth + 1,
+                "wall_s": round(wall, 2),
+                "s_per_round": round(wall / (depth + 1), 3),
+                "survivors": n_survivors,
+            }
+            print(f"-- core {n_core} depth {depth}: {m} edges, "
+                  f"{wall:.1f}s ({wall/(depth+1):.2f}s/round)",
+                  file=sys.stderr)
+            edges.unpersist()
+    print(json.dumps({"sf_dir": sf_dir, "mode": "kcore",
+                      "results": results}))
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     factors = [int(x) for x in sys.argv[2:]] or [1, 4, 20]
@@ -1088,5 +1150,7 @@ if __name__ == "__main__":
         main_pagerank()
     elif len(sys.argv) > 1 and sys.argv[1] == "--graph":
         main_graph()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--kcore":
+        main_kcore()
     else:
         main()
