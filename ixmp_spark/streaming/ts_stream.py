@@ -890,3 +890,76 @@ def seasonal_baseline_stream(
         )
         .drop("_mu", "_sd", "_n")
     )
+
+
+def attribution_stream(
+    events: DataFrame,
+    conversion_value: str = "purchase",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    event_col: str = "event_type",
+) -> DataFrame:
+    """Streaming twin of ``sessions.attribution``: live first/last-
+    touch credit for every conversion as it happens. Per key the state
+    is exactly three scalars — first touch, last touch, touch count —
+    carried across micro-batches via ``applyInPandasWithState``
+    (O(#keys) state regardless of stream length, same contract as
+    cusum_stream: per-key event-time order across micro-batches). A
+    conversion row emits with the state AS OF strictly before it (it
+    never credits itself), matching the batch operator's
+    strictly-preceding frame; touches only update state. Unbounded
+    lookback by design — bound it with a state TTL in deployments
+    where credit expires.
+
+    Output per conversion: (order, key, first_touch, last_touch,
+    n_touches) — the batch twin's schema.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_type = events.schema[key_col].dataType.simpleString()
+    out_schema = (
+        f"{order_col} long, {key_col} {key_type}, first_touch string, "
+        "last_touch string, n_touches long"
+    )
+    state_schema = "first string, last string, n long"
+
+    def fold(key, pdfs, state: GroupState):
+        first, last, n = (
+            state.get if state.exists else (None, None, 0)
+        )
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if rows.empty:
+            return
+        rows = rows.sort_values([ts_col, order_col])
+        out: dict[str, list] = {
+            order_col: [], "first_touch": [], "last_touch": [],
+            "n_touches": [],
+        }
+        for r in rows.itertuples(index=False):
+            ev = getattr(r, event_col)
+            if ev == conversion_value:
+                out[order_col].append(int(getattr(r, order_col)))
+                out["first_touch"].append(first)
+                out["last_touch"].append(last)
+                out["n_touches"].append(int(n))
+            else:
+                if first is None:
+                    first = ev
+                last = ev
+                n += 1
+        state.update((first, last, n))
+        if not out[order_col]:
+            return
+        out_pdf = pd.DataFrame(out)
+        out_pdf.insert(1, key_col, key[0])
+        yield out_pdf
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1656,3 +1656,66 @@ def test_streaming_seasonal_baseline_matches_batch(spark, tmp_path_factory):
     flags = {r[0]: r[5] for r in got}
     assert flags[spike_id] is True
     assert sum(1 for v in flags.values() if v) == 1
+
+
+def test_streaming_attribution_matches_batch(spark, tmp_path_factory):
+    """attribution_stream (three scalars of state per key) equals the
+    batch attribution operator across 4 micro-batches, including a
+    conversion whose touches span a batch boundary, an organic
+    conversion, and repeat conversions; state rows stay O(#keys)."""
+    import time as _time
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from ixmp_spark.operators.sessions import attribution
+    from ixmp_spark.streaming.ts_stream import (
+        attribution_stream,
+        run_available_now_with_state,
+    )
+
+    t0 = datetime(2024, 6, 1)
+    rows, eid = [], 0
+    script = {
+        1: ["ad", "view", "purchase", "email", "purchase"],
+        2: ["purchase", "ad", "purchase"],
+        3: ["view"] * 6 + ["purchase"],
+        4: ["ad", "click", "view", "click"],        # never converts
+    }
+    for step in range(7):
+        for u, evs in script.items():
+            if step < len(evs):
+                rows.append((eid, t0 + timedelta(seconds=eid), u,
+                             evs[step]))
+                eid += 1
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    feed = str(tmp_path_factory.mktemp("attrstream") / "ev")
+    bounds = [0, len(rows) // 4, len(rows) // 2, 3 * len(rows) // 4,
+              len(rows)]
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        spark.createDataFrame(rows[a:b], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+        _time.sleep(1.1)
+
+    batch_in = spark.read.parquet(feed)
+    want = sorted(
+        (r["event_id"], r["user_id"], r["first_touch"],
+         r["last_touch"], r["n_touches"])
+        for r in attribution(
+            batch_in, "user_id", "ts", "event_id", "event_type",
+            F.col("event_type") == "purchase",
+        ).collect()
+    )
+    stream = spark.readStream.schema(schema).parquet(feed)
+    out, state_ops = run_available_now_with_state(
+        attribution_stream(stream), "attr_stream_q"
+    )
+    got = sorted(
+        (r["event_id"], r["user_id"], r["first_touch"],
+         r["last_touch"], r["n_touches"])
+        for r in out.collect()
+    )
+    assert got == want and len(got) == 5
+    # O(#keys) state: exactly the 4 users ever seen
+    assert state_ops and state_ops[0]["numRowsTotal"] == 4
