@@ -40,6 +40,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 MEDIA_STRUCT = T.StructType(
@@ -517,3 +518,120 @@ def sample_frames(
             )
 
     return df.mapInPandas(batches, schema=out_schema)
+
+
+def _dhash64(pixels: np.ndarray) -> int:
+    """64-bit difference hash: grayscale → 9×8 nearest-neighbor
+    thumbnail → one bit per horizontal neighbor gradient. The standard
+    perceptual fingerprint: stable under resize/re-encode/brightness,
+    flipped bits count visual difference."""
+    small = _resize_nearest(pixels, 9, 8).astype(np.float64).mean(axis=2)
+    bits = 0
+    for r in range(8):
+        for c in range(8):
+            bits = (bits << 1) | int(small[r, c] > small[r, c + 1])
+    return bits
+
+
+def image_dhash(
+    df: DataFrame, media_col: str = "media", id_col: str = "media_id"
+) -> DataFrame:
+    """Perceptual dHash per image — the multimodal twin of SimHash:
+    near-identical images (resized, re-encoded, slightly edited) land
+    within a few bits, so corpus-scale image dedup becomes the same
+    banded-hash machinery the text side uses. Real decode for the
+    stdlib-parseable formats (BMP / binary PPM); other image mimes
+    raise — a perceptual hash of undecoded bytes would be a lie (the
+    repo's honest-gate rule; PIL swaps in here when present).
+
+    Arrow ``mapInPandas`` batches; output hashes are 64-bit SIGNED
+    longs (bit 63 may set — compare with xor/bit_count, not order).
+
+    Output: (id, mime, dhash long).
+    """
+    out_schema = f"{id_col} long, mime string, dhash long"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i, m in zip(pdf[id_col], pdf[media_col]):
+                content = bytes(m["content"]) if m["content"] is not None else b""
+                mime = m["mime"]
+                if mime in BMP_MIMES:
+                    px = _bmp_pixels(content)
+                elif mime in PPM_MIMES:
+                    px = _ppm_pixels(content)
+                else:
+                    raise NotImplementedError(
+                        f"image_dhash: no real decoder for {mime!r} "
+                        "(PIL absent); refusing to hash undecoded bytes"
+                    )
+                h = _dhash64(px)
+                # to signed 64-bit (Spark long)
+                rows.append(
+                    {id_col: i, "mime": mime,
+                     "dhash": h - (1 << 64) if h >= (1 << 63) else h}
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(batches, schema=out_schema)
+
+
+def dhash_neardup_pairs(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "dhash",
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Near-duplicate image pairs from dHashes via the pigeonhole band
+    trick (the d4 SimHash scheme on the image side): two hashes within
+    ``max_hamming ≤ 6`` bits must agree EXACTLY on at least one of 4
+    16-bit bands (6 flipped bits cannot touch all 4), so candidates
+    come from four band-keyed equi-joins — never an all-pairs scan —
+    and the exact Hamming verify (``bit_count(xor)``) runs JVM-side on
+    the candidates only. max_hamming > 7 would need finer bands for
+    the guarantee; raise instead of silently losing recall.
+
+    Output: (a, b, hamming), a < b by id.
+    """
+    if max_hamming > 7:
+        raise ValueError(
+            "pigeonhole guarantee with 4x16-bit bands holds only for "
+            "max_hamming <= 7; use more bands for a looser threshold"
+        )
+    h = F.col(hash_col)
+    banded = hashes.select(
+        F.col(id_col).alias("_id"),
+        h.alias("_h"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("bi"),
+                        F.shiftrightunsigned(h, 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bv"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("_id", "_h", "band.bi", "band.bv")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, ["bi", "bv"])
+        .where(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("a"),
+            F.col("b._id").alias("b"),
+            F.col("a._h").alias("_ha"),
+            F.col("b._h").alias("_hb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb")))
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .where(F.col("hamming") <= int(max_hamming))
+        .select("a", "b", "hamming")
+    )

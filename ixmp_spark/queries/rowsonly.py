@@ -419,3 +419,48 @@ def x12_markov_stationary(spark, sf_dir):
     return pagerank(
         trans, damping=0.95, max_iter=8, tol=None, weight_col="w"
     )
+
+
+@query("m4_image_neardup")  # no SQL oracle: Arrow mapInPandas decode path
+def m4_image_neardup(spark, sf_dir):
+    """Perceptual image near-dedup over REAL in-plan media bytes
+    (image_dhash → dhash_neardup_pairs): every document renders as a
+    16x8 binary-PPM whose pixels derive from its text bytes, decoded
+    and dHashed inside Arrow batches; banded 16-bit joins then pair
+    images within 6 flipped bits — the multimodal twin of d4's
+    SimHash pipeline, returning per-image pair counts (bounded,
+    deterministic). Hash values are pinned in unit tests; here the
+    plumbing runs at corpus scale."""
+    from ixmp_spark.operators.multimodal import (
+        dhash_neardup_pairs,
+        image_dhash,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    ppm = F.concat(
+        F.lit(b"P6\n16 8\n255\n"),
+        F.substring(
+            F.encode(F.rpad("text", 384, " "), "UTF-8"), 1, 384
+        ),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.struct(
+            ppm.alias("content"),
+            F.lit(None).cast("string").alias("uri"),
+            F.lit("image/ppm").alias("mime"),
+            F.lit(16).alias("width"),
+            F.lit(8).alias("height"),
+            F.lit(None).cast("int").alias("n_frames"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("double").alias("duration_s"),
+        ).alias("media"),
+    )
+    hashes = image_dhash(media)
+    pairs = dhash_neardup_pairs(hashes, max_hamming=6)
+    return (
+        pairs.select(F.explode(F.array("a", "b")).alias("media_id"))
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_neardups"))
+        .orderBy("media_id")
+    )

@@ -1719,3 +1719,61 @@ def test_streaming_attribution_matches_batch(spark, tmp_path_factory):
     assert got == want and len(got) == 5
     # O(#keys) state: exactly the 4 users ever seen
     assert state_ops and state_ops[0]["numRowsTotal"] == 4
+
+
+def test_image_dhash_and_neardup(spark):
+    """image_dhash matches a numpy replay on a crafted BMP+PPM pair,
+    is invariant under 2x nearest-neighbor upscaling (the perceptual
+    property), and dhash_neardup_pairs finds exactly the planted
+    near-pair via the banded joins; undecodable mimes raise; the
+    band guarantee guard raises past hamming 7."""
+    import numpy as np
+    import pytest
+
+    from ixmp_spark.operators.multimodal import (
+        _dhash64,
+        _encode_bmp,
+        _encode_ppm,
+        _resize_nearest,
+        dhash_neardup_pairs,
+        image_dhash,
+    )
+
+    rng = np.random.RandomState(5)
+    base = rng.randint(0, 256, size=(8, 9, 3)).astype(np.uint8)
+    big = _resize_nearest(base, 18, 16)              # 2x upscale
+    other = rng.randint(0, 256, size=(8, 9, 3)).astype(np.uint8)
+
+    def sign(h):
+        return h - (1 << 64) if h >= (1 << 63) else h
+
+    rows = [
+        (1, (_encode_ppm(base), None, "image/ppm", 9, 8, None, None, None)),
+        (2, (_encode_bmp(big), None, "image/bmp", 18, 16, None, None, None)),
+        (3, (_encode_ppm(other), None, "image/ppm", 9, 8, None, None, None)),
+    ]
+    schema = ("media_id long, media struct<content binary, uri string, "
+              "mime string, width int, height int, n_frames int, "
+              "sample_rate int, duration_s double>")
+    media = spark.createDataFrame(rows, schema)
+    got = {r["media_id"]: r["dhash"] for r in image_dhash(media).collect()}
+    assert got[1] == sign(_dhash64(base))
+    assert got[1] == got[2]                          # scale-invariant
+    assert got[1] != got[3]
+
+    hashes = spark.createDataFrame(
+        [(1, got[1]), (2, got[1] ^ 0b101), (3, got[3])],
+        "media_id long, dhash long",
+    )
+    pairs = {(r["a"], r["b"]): r["hamming"]
+             for r in dhash_neardup_pairs(hashes, max_hamming=6).collect()}
+    assert pairs == {(1, 2): 2}
+
+    bad = spark.createDataFrame(
+        [(9, (b"\x89PNG", None, "image/png", 1, 1, None, None, None))],
+        schema,
+    )
+    with pytest.raises(Exception, match="no real decoder"):
+        image_dhash(bad).collect()
+    with pytest.raises(ValueError, match="pigeonhole"):
+        dhash_neardup_pairs(hashes, max_hamming=8)

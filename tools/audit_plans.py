@@ -97,6 +97,7 @@ PYUDF_OK = {
     "m1_media_features",  # Arrow mapInPandas binary decode — no JVM codec surface
     "m2_audio_features",  # Arrow mapInPandas binary decode — no JVM codec surface
     "m3_video_features",  # Arrow mapInPandas binary decode — no JVM codec surface
+    "m4_image_neardup",  # Arrow mapInPandas image decode + dHash; band joins stay JVM-side
 }
 
 #: every physical-plan node name that means "rows leave the JVM for
