@@ -2039,3 +2039,91 @@ def theil_sen(
             F.round(F.col("_icpt"), 6).alias("intercept"),
         )
     )
+
+
+def rolling_active(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Rolling active-entity counts — DAU and trailing-window WAU/MAU,
+    the engagement metrics every product dashboard opens with, and a
+    window-DISTINCT aggregation Spark's frames cannot express (COUNT
+    DISTINCT OVER a range frame is unsupported because per-frame set
+    state is unbounded).
+
+    The scale-correct decomposition: collapse to DISTINCT (entity,
+    day) pairs FIRST (the only corpus-sized aggregation — everything
+    after works on activity pairs, not events), then each pair votes
+    map-side for the ``window_days`` window-end days it falls inside
+    (one explode, replication = window size — this is the knob:
+    MAU costs 30×pairs, not 30×events), dedup (entity, window_day),
+    and count per day. Days beyond the last observed activity are
+    clipped (they would report phantom windows).
+
+    Output: (day, dau, wau) — wau counts entities active in the
+    trailing ``window_days`` ending that day; the column is named wau
+    for any window (rename at call site for MAU).
+    """
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    pairs = (
+        df.select(F.col(entity_col).alias("_e"), day.alias("_d"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    dau = pairs.groupBy(F.col("_d").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    votes = pairs.select(
+        "_e",
+        F.explode(
+            F.sequence(
+                F.col("_d"),
+                F.date_add(F.col("_d"), int(window_days) - 1),
+            )
+        ).alias("day"),
+    ).distinct()
+    max_day = pairs.agg(F.max("_d").alias("_max"))
+    wau = (
+        votes.crossJoin(F.broadcast(max_day))
+        .where(F.col("day") <= F.col("_max"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("wau"))
+    )
+    return dau.join(wau, "day", "left").select("day", "dau", "wau")
+
+
+def gap_report(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    min_gap_s: float = 3600.0,
+) -> DataFrame:
+    """Data-downtime detection per key: every silence longer than
+    ``min_gap_s`` between CONSECUTIVE observations — the "sensor went
+    dark / pipeline stalled" report, sessionize's complement (it
+    returns the holes, not the islands).
+
+    One ordered keyed window (lag + microsecond-exact delta, the g7
+    lesson), then a filter — single shuffle, O(1) task state. The
+    first observation of a key opens no gap (nothing precedes it);
+    trailing silence after the last observation is undetectable
+    without a corpus-end reference and is deliberately out of scope.
+
+    Output: (key, gap_start, gap_end, gap_s), one row per gap.
+    """
+    wo = Window.partitionBy(key_col).orderBy(ts_col)
+    prev = F.lag(F.col(ts_col)).over(wo)
+    gap_us = F.unix_micros(F.col(ts_col)) - F.unix_micros(prev)
+    return (
+        df.withColumn("_prev", prev)
+        .withColumn("_gap_s", gap_us / 1_000_000.0)
+        .where(F.col("_gap_s") > float(min_gap_s))
+        .select(
+            F.col(key_col),
+            F.col("_prev").alias("gap_start"),
+            F.col(ts_col).alias("gap_end"),
+            F.round("_gap_s", 6).alias("gap_s"),
+        )
+    )

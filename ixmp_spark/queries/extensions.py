@@ -3785,3 +3785,77 @@ def x19_bootstrap_ci(spark, sf_dir):
     return poisson_bootstrap_ci(
         ev, "event_type", "event_id", "value", n_reps=100
     )
+
+
+@query(
+    "g10_rolling_active",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT user_id AS e,
+             CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ), dau AS (
+      SELECT d AS day, CAST(count(*) AS BIGINT) AS dau
+      FROM pairs GROUP BY d
+    ), votes AS (
+      SELECT DISTINCT e, d + CAST(i AS INTEGER) AS day
+      FROM pairs, (SELECT unnest(range(0, 7)) AS i)
+    ), mx AS (SELECT max(d) AS m FROM pairs),
+    wau AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS wau
+      FROM votes, mx WHERE day <= m GROUP BY day
+    )
+    SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau
+    FROM dau LEFT JOIN wau USING (day)
+    """,
+)
+def g10_rolling_active(spark, sf_dir):
+    """DAU + trailing-7-day WAU per day (rolling_active): the
+    engagement counts that window frames cannot express (COUNT
+    DISTINCT OVER is unsupported — unbounded frame state). Distinct
+    activity pairs first, then a map-side 7-day vote explode + dedup
+    — replication scales with the window, not the event volume. The
+    oracle restates the vote construction."""
+    from ixmp_spark.operators.sessions import rolling_active
+
+    ev = load(spark, sf_dir, "events")
+    out = rolling_active(ev, "user_id", "ts", window_days=7)
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"), "dau", "wau"
+    )
+
+
+@query(
+    "w28_gap_report",
+    oracle="""
+    SELECT user_id,
+           strftime(prev, '%Y-%m-%d %H:%M:%S.%f') AS gap_start,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS gap_end,
+           round((epoch_us(ts) - epoch_us(prev)) / 1000000.0, 6)
+             AS gap_s
+    FROM (
+      SELECT user_id, ts,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM events
+    )
+    WHERE (epoch_us(ts) - epoch_us(prev)) / 1000000.0 > 7200.0
+    """,
+)
+def w28_gap_report(spark, sf_dir):
+    """Per-user silences longer than 2 hours (gap_report): the
+    data-downtime complement of g1's sessionize — the holes, not the
+    islands. One ordered keyed window, microsecond-exact deltas;
+    timestamps compare as formatted strings (the comparator's pandas
+    bridge)."""
+    from ixmp_spark.operators.sessions import gap_report
+
+    ev = load(spark, sf_dir, "events")
+    out = gap_report(ev, "user_id", "ts", min_gap_s=7200.0)
+    return out.select(
+        "user_id",
+        F.date_format("gap_start", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("gap_start"),
+        F.date_format("gap_end", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("gap_end"),
+        "gap_s",
+    )

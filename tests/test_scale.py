@@ -5091,3 +5091,40 @@ def test_mips_topk_and_augment(spark):
         "vec_id", cosine("aug_vec", "pv").alias("c"))
         .orderBy(F.desc("c"), "vec_id").collect()]
     assert order == [1, 3, 2, 4]
+
+
+def test_rolling_active_and_gap_report(spark):
+    """rolling_active: hand-checkable DAU/WAU on a 3-user timeline
+    (WAU unions the trailing week, days past the last activity are
+    clipped). gap_report: exactly the planted silences, first
+    observation opens no gap."""
+    from datetime import datetime, timedelta
+
+    from ixmp_spark.operators.sessions import gap_report, rolling_active
+
+    D = lambda d, h=0: datetime(2024, 3, d, h)  # noqa: E731
+    rows = [
+        (1, D(1)), (2, D(1)),          # day 1: users 1,2
+        (1, D(2)), (1, D(2, 5)),       # day 2: user 1 (twice)
+        (3, D(9)),                     # day 9: user 3 (old pair ages out)
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {r["day"]: (r["dau"], r["wau"]) for r in rolling_active(
+        ev, "user_id", "ts", window_days=7).collect()}
+    import datetime as _dt
+    k = lambda d: _dt.date(2024, 3, d)  # noqa: E731
+    assert got[k(1)] == (2, 2)
+    assert got[k(2)] == (1, 2)         # window {1,2} days: users {1,2}
+    # day 9: only user 3 in [3..9] (days 1-2 aged out >7 back)
+    assert got[k(9)] == (1, 1)
+    assert set(got) == {k(1), k(2), k(9)}  # clipped at last activity
+
+    gaps = gap_report(ev, "user_id", "ts", min_gap_s=3600.0)
+    g = [(r["user_id"], r["gap_start"], r["gap_end"], r["gap_s"])
+         for r in sorted(gaps.collect(), key=lambda r: (r["user_id"],
+                                                        r["gap_start"]))]
+    day_s = 86400.0
+    assert g == [
+        (1, D(1), D(2), day_s),
+        (1, D(2), D(2, 5), 5 * 3600.0),
+    ]

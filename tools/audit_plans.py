@@ -42,6 +42,7 @@ BNLJ_OK = {
     "t23_cross_perplexity",  # 1-row train-vocab aggregate cross-broadcast (t10 pattern)
     "p17_pareto_frontier",  # 1-row x-min/max bounds cross-broadcast (lazy bucket edges)
     "t26_vocab_coverage",  # 1-row corpus-token-total aggregate cross-broadcast
+    "g10_rolling_active",  # 1-row max-activity-day aggregate cross-broadcast (window clip)
 }
 
 #: multi-stage pipelines where >6 shuffles are inherent (documented):
