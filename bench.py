@@ -91,6 +91,13 @@ BENCH_QUERIES = [
     "w13_cusum_drift",
     "x5_supplier_triangles",
     "p17_pareto_frontier",
+    # round 8 third-session additions: the deterministic Poisson
+    # bootstrap (one map-side ×100 replicate explode + a (group, rep)
+    # keyed shuffle — the at-scale uncertainty pattern) and the
+    # DAU/WAU rolling-active counts (distinct-pair collapse + window
+    # vote explode)
+    "x19_bootstrap_ci",
+    "g10_rolling_active",
 ]
 # NOT in the headline set: t12_bpe_merges — an iterative trainer whose
 # cost is n_merges × per-iteration job latency (driver-loop bound, not

@@ -3781,7 +3781,10 @@ def x19_bootstrap_ci(spark, sf_dir):
     (group, rep)-keyed shuffle with partial sums."""
     from ixmp_spark.operators.sampling import poisson_bootstrap_ci
 
-    ev = load(spark, sf_dir, "events")
+    # load_spread: the ×100 replicate explode + per-row md5 is
+    # per-row compute, and the driver parquet is one split — spread
+    # first or the map side runs serial (16 s -> ~2 s at sf0.1)
+    ev = load_spread(spark, sf_dir, "events")
     return poisson_bootstrap_ci(
         ev, "event_type", "event_id", "value", n_reps=100
     )
