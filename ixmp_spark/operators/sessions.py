@@ -2127,3 +2127,132 @@ def gap_report(
             F.round("_gap_s", 6).alias("gap_s"),
         )
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    order_col: str,
+    value_col: str,
+    period: str = "hour",
+    trend_window: int = 24,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Classical additive decomposition per key: value = trend +
+    seasonal + residual — the first model to fit a periodic series
+    (Kendall's "classical decomposition"; STL's iterated-loess
+    refinement starts from exactly this). The residual is what
+    anomaly screens SHOULD score once a series has both drift and
+    rhythm: w10's z-score flags every rush hour, w25 mistakes a
+    slow ramp for anomalies; this removes both first.
+
+    Three passes, all on the same key partitioning (ONE shuffle,
+    AQE reuses the exchange): (1) trend = centered moving average
+    over ``trend_window`` rows (the classical smoother — windowed
+    mean, frame ±window/2); (2) seasonal = the per-(key, slot) mean
+    of the DETRENDED series, stamped back via the w25 broadcast
+    profile (slot windows would put a slot's history in one task);
+    (3) residual = value − trend − seasonal. Edge rows whose trend
+    frame is incomplete still decompose (partial-frame mean, the
+    standard pragmatic choice; drop ``n_in_frame < trend_window``
+    rows downstream for strictness).
+
+    Output: input + ``trend``, ``seasonal``, ``residual`` (rounded
+    to 6), ``season_slot``.
+    """
+    half = int(trend_window) // 2
+    v = F.col(value_col).cast("double")
+    wt = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col), F.col(order_col))
+        .rowsBetween(-half, half)
+    )
+    slot = _season_slot(ts_col, period)
+    base = df.withColumn("trend", F.avg(v).over(wt)).withColumn(
+        "season_slot", slot
+    )
+    detr = v - F.col("trend")
+    prof = base.groupBy(key_col, "season_slot").agg(
+        F.avg(detr).alias("seasonal")
+    )
+    out = base.join(F.broadcast(prof), [key_col, "season_slot"]).withColumn(
+        "residual", detr - F.col("seasonal")
+    )
+    if round_digits is None:
+        # raw doubles: detrended means land on exact round() midpoints
+        # constantly (the w11 EWMA class) — callers needing a display
+        # value must round with explicitly-shared arithmetic
+        return out
+    return (
+        out.withColumn("trend", F.round("trend", round_digits))
+        .withColumn("seasonal", F.round("seasonal", round_digits))
+        .withColumn("residual", F.round("residual", round_digits))
+    )
+
+
+def cohort_ltv(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col,
+    max_age_days: int = 30,
+) -> DataFrame:
+    """Cohort lifetime-value curves: entities grouped by FIRST-SEEN
+    day, then each cohort's cumulative per-entity value tracked by
+    age in days — the "is month-2 revenue per signup improving
+    cohort over cohort" readout behind every retention/payback
+    analysis (g3's retention matrix counts who comes back; this sums
+    what they're worth).
+
+    One window pass pins each entity's cohort day (min over the key
+    partitioning — same single shuffle as the value rows), ages are
+    integer day deltas, then one (cohort, age) aggregation and a
+    cumulative window over the (small) cohort×age grid. Value rows
+    beyond ``max_age_days`` are clipped (curves are only comparable
+    over a shared horizon). ``cum_ltv_per_user`` divides by COHORT
+    SIZE (entities who ever appeared), not by age-active entities —
+    the standard definition, churned users keep dragging the average.
+
+    Output: (cohort_day, age_days, cohort_size, value_sum, cum_value,
+    cum_ltv_per_user).
+    """
+    v = (
+        F.col(value_col).cast("double")
+        if isinstance(value_col, str)
+        else value_col.cast("double")
+    )
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    wk = Window.partitionBy(key_col)
+    base = df.withColumn("_day", day).withColumn(
+        "_cohort", F.min("_day").over(wk)
+    )
+    aged = base.withColumn(
+        "_age", F.datediff(F.col("_day"), F.col("_cohort"))
+    ).where(F.col("_age") <= int(max_age_days))
+    sizes = base.groupBy(F.col("_cohort").alias("cohort_day")).agg(
+        F.size(F.collect_set(F.col(key_col))).cast("long").alias(
+            "cohort_size"
+        )
+    )
+    grid = aged.groupBy(
+        F.col("_cohort").alias("cohort_day"),
+        F.col("_age").cast("long").alias("age_days"),
+    ).agg(F.round(F.sum(v), 6).alias("value_sum"))
+    wc = (
+        Window.partitionBy("cohort_day")
+        .orderBy("age_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.withColumn("cum_value", F.round(F.sum("value_sum").over(wc), 6))
+        .join(sizes, "cohort_day")
+        .withColumn(
+            "cum_ltv_per_user",
+            F.round(F.col("cum_value") / F.col("cohort_size"), 6),
+        )
+        .select(
+            "cohort_day", "age_days", "cohort_size", "value_sum",
+            "cum_value", "cum_ltv_per_user",
+        )
+    )

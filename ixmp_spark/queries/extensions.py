@@ -3862,3 +3862,86 @@ def w28_gap_report(spark, sf_dir):
         .alias("gap_end"),
         "gap_s",
     )
+
+
+@query("w29_seasonal_decompose", oracle=None)
+def w29_seasonal_decompose(spark, sf_dir):
+    """Classical additive decomposition per user (seasonal_decompose,
+    24-row centered trend, hour-of-day seasonal): value = trend +
+    seasonal + residual — the detrend-then-deseason pass an anomaly
+    screen should run on rhythmic drifting series. One keyed shuffle
+    + a broadcast seasonal profile. ROWS-ONLY deliberately: the slot
+    means of detrended fixed-point data land mathematically ON
+    decimal-rounding midpoints (denominators like 2400 from
+    cents/frame-size), where the engines' window-sum association
+    noise (Spark buffer vs DuckDB segment tree) straddles the
+    boundary at ANY display precision — 8 of 1000 rows flipped at
+    sf0.001. Certified instead by the pure-Python sequential replay
+    in tests (exact to 1e-9)."""
+    from ixmp_spark.operators.sessions import seasonal_decompose
+
+    ev = load(spark, sf_dir, "events")
+    out = seasonal_decompose(
+        ev, "user_id", "ts", "event_id", "value",
+        period="hour", trend_window=24,
+    )
+    return out.select(
+        "event_id", "user_id", "season_slot", "value",
+        "trend", "seasonal", "residual",
+    )
+
+
+@query(
+    "g11_cohort_ltv",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, event_type, value,
+             CAST(date_trunc('day', ts) AS DATE) AS d,
+             min(CAST(date_trunc('day', ts) AS DATE))
+               OVER (PARTITION BY user_id) AS cohort
+      FROM events
+    ), sizes AS (
+      SELECT cohort AS cohort_day,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS cohort_size
+      FROM b GROUP BY cohort
+    ), grid AS (
+      SELECT cohort AS cohort_day,
+             CAST(d - cohort AS BIGINT) AS age_days,
+             round(sum(CASE WHEN event_type = 'purchase' THEN value
+                            ELSE 0.0 END), 6) AS value_sum
+      FROM b WHERE d - cohort <= 30
+      GROUP BY cohort, d - cohort
+    ), cum AS (
+      SELECT cohort_day, age_days, value_sum,
+             round(sum(value_sum) OVER (
+               PARTITION BY cohort_day ORDER BY age_days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+               AS cum_value
+      FROM grid
+    )
+    SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+           c.age_days, s.cohort_size, c.value_sum,
+           c.cum_value,
+           round(c.cum_value / s.cohort_size, 6) AS cum_ltv_per_user
+    FROM cum c JOIN sizes s USING (cohort_day)
+    """,
+)
+def g11_cohort_ltv(spark, sf_dir):
+    """Cohort LTV curves (cohort_ltv): users grouped by first-seen
+    day, cumulative purchase revenue per cohort member by age —
+    retention's revenue twin (g3 counts who returns, this sums what
+    they spend). Cohort day via one keyed window, then the tiny
+    (cohort × age) grid carries every later pass. Dates compare as
+    strings (comparator bridge)."""
+    from ixmp_spark.operators.sessions import cohort_ltv
+
+    ev = load(spark, sf_dir, "events")
+    rev = F.when(
+        F.col("event_type") == "purchase", F.col("value")
+    ).otherwise(F.lit(0.0))
+    out = cohort_ltv(ev, "user_id", "ts", rev, max_age_days=30)
+    return out.select(
+        F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+        "age_days", "cohort_size", "value_sum", "cum_value",
+        "cum_ltv_per_user",
+    )

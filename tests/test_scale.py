@@ -5128,3 +5128,88 @@ def test_rolling_active_and_gap_report(spark):
         (1, D(1), D(2), day_s),
         (1, D(2), D(2, 5), 5 * 3600.0),
     ]
+
+
+def test_seasonal_decompose_replay_and_recovery(spark):
+    """seasonal_decompose matches a pure-Python replay (trailing
+    identity: centered partial-frame means, slot means of detrended)
+    to 1e-9, recovers a planted trend+season structure (residual of
+    the clean series ~0; a planted off-pattern spike shows up ONLY in
+    the residual), and the additive identity holds row-exactly."""
+    from datetime import datetime, timedelta
+
+    from ixmp_spark.operators.sessions import seasonal_decompose
+
+    t0 = datetime(2024, 1, 1)
+    season = [5.0 * (h % 4) for h in range(24)]
+    rows = []
+    for i in range(240):                      # 10 days hourly
+        h = i % 24
+        v = 0.1 * i + season[h]               # ramp + rhythm
+        if i == 200:
+            v += 80.0                         # planted anomaly
+        rows.append((i, t0 + timedelta(hours=i), 1, v))
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, value double"
+    )
+    got = {r["event_id"]: r for r in seasonal_decompose(
+        ev, "user_id", "ts", "event_id", "value",
+        trend_window=24, round_digits=None).collect()}
+
+    # pure-Python replay
+    vals = [v for _, _, _, v in rows]
+    n = len(vals)
+    trend = []
+    for i in range(n):
+        lo, hi = max(0, i - 12), min(n - 1, i + 12)
+        fr = vals[lo:hi + 1]
+        trend.append(sum(fr) / len(fr))
+    detr = [v - t for v, t in zip(vals, trend)]
+    slot_sum, slot_n = {}, {}
+    for i, d in enumerate(detr):
+        h = i % 24
+        slot_sum[h] = slot_sum.get(h, 0.0) + d
+        slot_n[h] = slot_n.get(h, 0) + 1
+    seas = {h: slot_sum[h] / slot_n[h] for h in slot_sum}
+    for i in range(n):
+        r = got[i]
+        assert abs(r["trend"] - trend[i]) < 1e-9, i
+        assert abs(r["seasonal"] - seas[i % 24]) < 1e-9, i
+        assert abs(r["residual"] - (detr[i] - seas[i % 24])) < 1e-9, i
+        # additive identity, exactly as computed
+        assert r["value"] - r["trend"] - r["seasonal"] == r["residual"]
+
+    # the spike lives in the residual, not the seasonal profile
+    mid = [got[i]["residual"] for i in range(50, 150)]
+    assert got[200]["residual"] > 60.0
+    assert max(abs(x) for x in mid) < 12.0  # clean rows stay small
+
+
+def test_cohort_ltv_curves(spark):
+    """cohort_ltv: hand-checkable cumulative per-user revenue by
+    cohort age; churned users keep denominating; ages past the cap
+    are clipped."""
+    from datetime import datetime
+
+    from ixmp_spark.operators.sessions import cohort_ltv
+
+    D = lambda d: datetime(2024, 4, d)  # noqa: E731
+    rows = [
+        # cohort Apr-1: users 1, 2. u1 pays 10 on d0 and 20 on d2;
+        # u2 pays 5 on d0 then churns.
+        (1, D(1), 10.0), (2, D(1), 5.0), (1, D(3), 20.0),
+        # cohort Apr-2: user 3 pays 7 on d1 and 100 on d40 (clipped)
+        (3, D(2), 0.0), (3, D(3), 7.0), (3, datetime(2024, 5, 20), 100.0),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp, v double")
+    out = {(r["cohort_day"].isoformat(), r["age_days"]): r
+           for r in cohort_ltv(ev, "user_id", "ts", "v",
+                               max_age_days=30).collect()}
+    a = out[("2024-04-01", 0)]
+    assert (a["cohort_size"], a["value_sum"], a["cum_ltv_per_user"]) == (
+        2, 15.0, 7.5)
+    b = out[("2024-04-01", 2)]
+    assert (b["cum_value"], b["cum_ltv_per_user"]) == (35.0, 17.5)
+    c = out[("2024-04-02", 1)]
+    assert (c["cohort_size"], c["cum_value"]) == (1, 7.0)
+    assert not any(k[0] == "2024-04-02" and k[1] > 30 for k in out)
