@@ -1040,3 +1040,52 @@ def poisson_bootstrap_ci(
     return point.join(boot, gs).select(
         *gs, "n", "mean_value", "ci_low", "ci_high"
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    n_buckets: int = 1000,
+    out_col: str = "norm_score",
+) -> DataFrame:
+    """Cross-group quantile normalization: map every score onto the
+    GLOBAL score distribution at its within-group percentile — the
+    fix for heterogeneous quality scorers (one source's classifier
+    saturates at 0.9, another's tops out at 0.6: a single global
+    threshold would keep everything from the first and nothing from
+    the second; after normalization "top 10% of each source" means
+    the same thing everywhere).
+
+    Scale shape: within-group ``percent_rank`` (one keyed shuffle,
+    ties share a rank so no tiebreak column is needed), a SINGLE
+    global aggregate computing the ``n_buckets+1``-point quantile
+    grid (1-row broadcast — never a global sort of the data), then a
+    map-only lerp between the two bracketing grid points. Exact
+    per-row global quantiles would need an as-of join against the
+    fully sorted corpus; the fixed grid is the standard
+    approximation, off by at most the within-bucket value range.
+    Single-row groups get percent_rank 0 (both engines' convention)
+    and normalize to the global minimum.
+
+    Output: input + ``out_col`` (raw double; engines' percentile
+    interpolation differs by 1 ulp — round displays, the a8 rule).
+    """
+    nb = int(n_buckets)
+    s = F.col(score_col).cast("double")
+    wp = Window.partitionBy(group_col).orderBy(s)
+    ps = [i / nb for i in range(nb + 1)]
+    grid = df.agg(
+        F.percentile(s, F.array(*[F.lit(p) for p in ps])).alias("_q")
+    )
+    base = df.withColumn("_pr", F.percent_rank().over(wp)).crossJoin(
+        F.broadcast(grid)
+    )
+    pos = F.col("_pr") * F.lit(float(nb))
+    g = F.floor(pos).cast("int")
+    lo = F.element_at(F.col("_q"), g + 1)
+    hi = F.element_at(
+        F.col("_q"), F.least(g + F.lit(2), F.lit(nb + 1))
+    )
+    norm = lo + (pos - g) * (hi - lo)
+    return base.withColumn(out_col, norm).drop("_pr", "_q")

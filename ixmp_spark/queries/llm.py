@@ -1182,3 +1182,47 @@ def e11_mips_topk(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     probe = emb.orderBy("vec_id").limit(1)
     return mips_topk(emb, probe, id_col="vec_id", vec_col="embedding", k=10)
+
+
+@query(
+    "p21_quantile_normalize",
+    oracle="""
+    WITH g AS (
+      SELECT quantile_cont(CAST(n_chars AS DOUBLE),
+               [x * 1.0 / 200 for x in range(0, 201)]) AS q
+      FROM documents
+    ), b AS (
+      SELECT doc_id, source, n_chars,
+             percent_rank() OVER (PARTITION BY source
+                                  ORDER BY CAST(n_chars AS DOUBLE))
+               AS pr
+      FROM documents
+    )
+    SELECT doc_id, source, n_chars,
+           round(q[CAST(floor(pr * 200.0) AS INTEGER) + 1]
+                 + (pr * 200.0 - CAST(floor(pr * 200.0) AS INTEGER))
+                 * (q[least(CAST(floor(pr * 200.0) AS INTEGER) + 2,
+                            201)]
+                    - q[CAST(floor(pr * 200.0) AS INTEGER) + 1]),
+                 4) AS norm_score
+    FROM b CROSS JOIN g
+    """,
+)
+def p21_quantile_normalize(spark, sf_dir):
+    """Per-source quantile normalization of document length onto the
+    global distribution (quantile_normalize, 200-bucket grid): after
+    it, "top decile of each source" is one global threshold — the
+    heterogeneous-scorer fix for corpus mixing. One keyed
+    percent_rank + a 1-row quantile-grid broadcast + map-only lerp;
+    the oracle restates grid and lerp (round 4 — the a8 percentile
+    ulp rule)."""
+    from ixmp_spark.operators.sampling import quantile_normalize
+
+    docs = load(spark, sf_dir, "documents")
+    out = quantile_normalize(
+        docs, "source", "n_chars", n_buckets=200
+    )
+    return out.select(
+        "doc_id", "source", "n_chars",
+        F.round("norm_score", 4).alias("norm_score"),
+    )

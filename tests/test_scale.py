@@ -5213,3 +5213,31 @@ def test_cohort_ltv_curves(spark):
     c = out[("2024-04-02", 1)]
     assert (c["cohort_size"], c["cum_value"]) == (1, 7.0)
     assert not any(k[0] == "2024-04-02" and k[1] > 30 for k in out)
+
+
+def test_quantile_normalize_alignment(spark):
+    """quantile_normalize maps two sources with wildly different score
+    scales onto one comparable axis: the per-source TOP item lands at
+    the global max, the bottom at the global min, medians align, and
+    a shared global threshold then selects the same per-source
+    fraction; single-row groups map to the global minimum."""
+    from ixmp_spark.operators.sampling import quantile_normalize
+
+    # source A scores in [0, 1], source B in [0, 100] — same shape
+    rows = ([("a", i, i / 20.0) for i in range(21)]
+            + [("b", 100 + i, float(5 * i)) for i in range(21)]
+            + [("c", 999, 42.0)])                   # singleton group
+    df = spark.createDataFrame(rows, "source string, id long, s double")
+    out = {r["id"]: r["norm_score"] for r in quantile_normalize(
+        df, "source", "s", n_buckets=100).collect()}
+    # global distribution spans [0, 100]; each source's extremes map
+    # onto the global extremes
+    assert out[20] == out[120]                      # both tops agree
+    assert out[0] == out[100] == 0.0                # both bottoms = min
+    assert abs(out[10] - out[110]) < 1e-9           # medians align
+    assert out[999] == 0.0                          # singleton -> min
+    # a global "top 25%" threshold now keeps ~the same count per source
+    thr = sorted(out.values())[-12]
+    a_kept = sum(1 for i in range(21) if out[i] >= thr)
+    b_kept = sum(1 for i in range(21) if out[100 + i] >= thr)
+    assert abs(a_kept - b_kept) <= 1

@@ -43,6 +43,7 @@ BNLJ_OK = {
     "p17_pareto_frontier",  # 1-row x-min/max bounds cross-broadcast (lazy bucket edges)
     "t26_vocab_coverage",  # 1-row corpus-token-total aggregate cross-broadcast
     "g10_rolling_active",  # 1-row max-activity-day aggregate cross-broadcast (window clip)
+    "p21_quantile_normalize",  # 1-row global quantile-grid aggregate cross-broadcast
 }
 
 #: multi-stage pipelines where >6 shuffles are inherent (documented):
