@@ -1086,3 +1086,66 @@ def kcore(
         f"kcore did not converge in {max_iter} rounds — the graph's "
         "peel depth exceeds max_iter; raise it (rounds ~ diameter/2)"
     )
+
+
+def interval_union(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Union-of-intervals coverage per key: total time covered by a
+    set of possibly-overlapping intervals, counting overlaps ONCE —
+    the uptime/maintenance-window/on-call arithmetic naive
+    ``sum(end − start)`` double-counts (three stacked hour-long
+    incidents are one hour of downtime, not three).
+
+    The classic sweep, expressed as two windows on one keyed
+    shuffle: every interval emits (+1 at start, −1 at end) boundary
+    events; a running sum gives live coverage depth; a segment
+    between consecutive boundaries counts iff depth > 0; a block
+    starts where depth steps 0→1. Touching intervals ([1,2],[2,3])
+    merge — starts order before ends at the same instant. Intervals
+    with end ≤ start are dropped (zero/negative length, not an
+    error: half-open semantics make them empty).
+
+    Output: (key, n_intervals, n_blocks, covered_s) — blocks =
+    maximal merged runs; microsecond-exact seconds.
+    """
+    iv = df.where(F.col(end_col) > F.col(start_col)).select(
+        F.col(key_col),
+        F.unix_micros(F.col(start_col)).alias("_s"),
+        F.unix_micros(F.col(end_col)).alias("_e"),
+    )
+    counts = iv.groupBy(key_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals")
+    )
+    ev = iv.select(
+        key_col, F.col("_s").alias("_t"), F.lit(1).alias("_d")
+    ).unionByName(
+        iv.select(key_col, F.col("_e").alias("_t"), F.lit(-1).alias("_d"))
+    )
+    wo = Window.partitionBy(key_col).orderBy(
+        F.col("_t"), F.col("_d").desc()
+    )
+    run = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    swept = ev.withColumn("_depth", F.sum("_d").over(run)).withColumn(
+        "_next_t", F.lead("_t").over(wo)
+    )
+    segs = swept.groupBy(key_col).agg(
+        F.sum(
+            F.when(
+                (F.col("_depth") > 0) & F.col("_next_t").isNotNull(),
+                F.col("_next_t") - F.col("_t"),
+            ).otherwise(F.lit(0))
+        ).alias("_cov_us"),
+        F.sum(
+            ((F.col("_depth") == 1) & (F.col("_d") == 1)).cast("long")
+        ).cast("long").alias("n_blocks"),
+    )
+    return counts.join(segs, key_col).select(
+        key_col,
+        "n_intervals",
+        "n_blocks",
+        (F.col("_cov_us") / 1_000_000.0).alias("covered_s"),
+    )

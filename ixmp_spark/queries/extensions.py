@@ -3945,3 +3945,64 @@ def g11_cohort_ltv(spark, sf_dir):
         "age_days", "cohort_size", "value_sum", "cum_value",
         "cum_ltv_per_user",
     )
+
+
+@query(
+    "j19_interval_union",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s,
+             epoch_us(ts) + CAST(floor(value * 60.0 * 1000000.0 + 0.5)
+                                 AS BIGINT) AS e
+      FROM events
+    ), ok AS (SELECT * FROM iv WHERE e > s),
+    counts AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals
+      FROM ok GROUP BY user_id
+    ), ev AS (
+      SELECT user_id, s AS t, 1 AS d FROM ok
+      UNION ALL SELECT user_id, e, -1 FROM ok
+    ), swept AS (
+      SELECT user_id, t, d,
+             sum(d) OVER (PARTITION BY user_id ORDER BY t, d DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS depth,
+             lead(t) OVER (PARTITION BY user_id ORDER BY t, d DESC)
+               AS next_t
+      FROM ev
+    ), segs AS (
+      SELECT user_id,
+             sum(CASE WHEN depth > 0 AND next_t IS NOT NULL
+                      THEN next_t - t ELSE 0 END) AS cov_us,
+             CAST(sum(CASE WHEN depth = 1 AND d = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_blocks
+      FROM swept GROUP BY user_id
+    )
+    SELECT c.user_id, c.n_intervals, s.n_blocks,
+           s.cov_us / 1000000.0 AS covered_s
+    FROM counts c JOIN segs s USING (user_id)
+    """,
+)
+def j19_interval_union(spark, sf_dir):
+    """Union-of-intervals coverage per user (interval_union): each
+    event opens a value-minutes activity window; overlaps count ONCE
+    (the uptime arithmetic a naive sum double-counts). Boundary-event
+    sweep — two windows on one keyed shuffle; microsecond-exact; the
+    oracle restates the sweep with the identical (+1-before-−1) tie
+    order."""
+    from ixmp_spark.operators.joins import interval_union
+
+    ev = load(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (
+            F.timestamp_micros(
+                F.unix_micros(F.col("ts"))
+                + F.floor(
+                    F.col("value") * 60.0 * 1000000.0 + F.lit(0.5)
+                ).cast("long")
+            )
+        ).alias("end_ts"),
+    )
+    return interval_union(iv, "user_id", "start_ts", "end_ts")

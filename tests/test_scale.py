@@ -5241,3 +5241,37 @@ def test_quantile_normalize_alignment(spark):
     a_kept = sum(1 for i in range(21) if out[i] >= thr)
     b_kept = sum(1 for i in range(21) if out[100 + i] >= thr)
     assert abs(a_kept - b_kept) <= 1
+
+
+def test_interval_union_coverage(spark):
+    """interval_union counts overlaps once: hand-checkable merged
+    blocks (overlap, touching, nested, disjoint, empty-dropped) with
+    exact second arithmetic."""
+    from datetime import datetime, timedelta
+
+    from ixmp_spark.operators.joins import interval_union
+
+    t0 = datetime(2024, 1, 1)
+    T = lambda m: t0 + timedelta(minutes=m)  # noqa: E731
+    rows = [
+        # key 1: [0,10] + [5,15] overlap -> one block of 15 min;
+        #        [20,30] + [30,40] touching -> one block of 20 min;
+        #        [50,60] disjoint -> 10 min. 3 blocks, 45 min.
+        (1, T(0), T(10)), (1, T(5), T(15)),
+        (1, T(20), T(30)), (1, T(30), T(40)),
+        (1, T(50), T(60)),
+        # key 2: nested [0,60] ⊃ [10,20] ⊃ [12,14] -> 1 block, 60 min
+        (2, T(0), T(60)), (2, T(10), T(20)), (2, T(12), T(14)),
+        # key 3: one empty (end == start, dropped) + one real
+        (3, T(0), T(0)), (3, T(1), T(2)),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, start_ts timestamp, end_ts timestamp"
+    )
+    got = {r["k"]: r for r in
+           interval_union(df, "k", "start_ts", "end_ts").collect()}
+    assert (got[1]["n_intervals"], got[1]["n_blocks"],
+            got[1]["covered_s"]) == (5, 3, 45 * 60.0)
+    assert (got[2]["n_intervals"], got[2]["n_blocks"],
+            got[2]["covered_s"]) == (3, 1, 3600.0)
+    assert (got[3]["n_intervals"], got[3]["covered_s"]) == (1, 60.0)
