@@ -4006,3 +4006,52 @@ def j19_interval_union(spark, sf_dir):
         ).alias("end_ts"),
     )
     return interval_union(iv, "user_id", "start_ts", "end_ts")
+
+
+@query(
+    "x20_entity_clusters",
+    oracle="""
+    WITH RECURSIVE pp AS (
+      SELECT p_partkey, p_name FROM part
+    ), pairs AS (
+      SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+      FROM pp a JOIN pp b ON a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= 1
+    ), edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ), reach(id, r) AS (
+      SELECT DISTINCT a, a FROM edges
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.id
+    ), labels AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+    SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+           CAST(max(id) AS BIGINT) AS max_member
+    FROM labels GROUP BY cluster
+    """,
+)
+def x20_entity_clusters(spark, sf_dir):
+    """End-to-end entity resolution over part names (fuzzy_key_join ∘
+    dedup_clusters): typo-distance-1 pairs from the SymSpell
+    deletion-neighborhood blocking, then pointer-doubling connected
+    components — matching's missing half (pairs alone don't say which
+    rows are ONE entity; transitive closure does). The oracle replays
+    the chain from the brute-force O(n²) levenshtein definition
+    through a recursive-CTE closure, so the hash certifies blocking
+    recall AND the component labels together."""
+    from ixmp_spark.operators.dedup import dedup_clusters
+    from ixmp_spark.operators.joins import fuzzy_key_join
+
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_name")
+    matched = fuzzy_key_join(part, part, "p_name", "p_name")
+    pairs = matched.where(
+        F.col("p_partkey") < F.col("p_partkey_r")
+    ).select(
+        F.col("p_partkey").alias("id_a"),
+        F.col("p_partkey_r").alias("id_b"),
+    )
+    labels = dedup_clusters(pairs)
+    return labels.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max("id").alias("max_member"),
+    )

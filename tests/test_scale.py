@@ -5275,3 +5275,30 @@ def test_interval_union_coverage(spark):
     assert (got[2]["n_intervals"], got[2]["n_blocks"],
             got[2]["covered_s"]) == (3, 1, 3600.0)
     assert (got[3]["n_intervals"], got[3]["covered_s"]) == (1, 60.0)
+
+
+def test_entity_clusters_transitivity(spark):
+    """The x20 composition (fuzzy pairs -> components) groups a typo
+    CHAIN into one entity even though its endpoints are 2 edits apart
+    (transitivity is the point of the closure), and keeps a 1-edit-
+    isolated name out."""
+    from ixmp_spark.operators.dedup import dedup_clusters
+    from ixmp_spark.operators.joins import fuzzy_key_join
+
+    rows = [(1, "acme corp"), (2, "acme cor"), (3, "acme co"),
+            (4, "globex inc"), (5, "initech")]
+    part = spark.createDataFrame(rows, "p_partkey long, p_name string")
+    matched = fuzzy_key_join(part, part, "p_name", "p_name")
+    pairs = matched.where(
+        F.col("p_partkey") < F.col("p_partkey_r")
+    ).select(
+        F.col("p_partkey").alias("id_a"),
+        F.col("p_partkey_r").alias("id_b"),
+    )
+    # endpoints "acme corp" vs "acme co" are 2 edits apart: no direct
+    # pair, linked only through the middle
+    direct = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert direct == {(1, 2), (2, 3)}
+    labels = {r["id"]: r["cluster"]
+              for r in dedup_clusters(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1}   # one entity; 4, 5 stay out
