@@ -131,3 +131,39 @@ def group_mode(df, group_cols, value_col):
         F.max("_c").cast("long").alias("mode_count"),
         F.count(F.lit(1)).cast("long").alias("n_values"),
     )
+
+
+def json_profile(df, json_col: str):
+    """Semi-structured column profiler: per JSON KEY, how often it
+    appears, how many distinct values it takes, and whether it is
+    numerically typed (with min/max when so) — the first question
+    against any landed event-properties / API-payload column
+    ("which fields exist, how full are they, which are numbers"),
+    and the schema-inference evidence for promoting hot keys to real
+    columns.
+
+    One ``from_json`` to ``map<string,string>`` + a map explode
+    (no per-key literal paths — dynamic keys profile too), then a
+    single per-key aggregation. Distinct counts are over the value
+    TEXT (quoting-insensitive: distinctness survives any injective
+    re-encoding); numeric typing via ``try_cast`` so one malformed
+    value never aborts ANSI-mode scans. Rows whose column fails to
+    parse contribute nothing (NULL map explodes to no rows) — count
+    them upstream if parse-rate matters.
+
+    Output: (key, n_present, n_distinct, n_numeric, min_numeric,
+    max_numeric), one row per key ever seen.
+    """
+    kv = df.select(
+        F.explode(
+            F.from_json(F.col(json_col), "map<string,string>")
+        ).alias("key", "val")
+    )
+    num = F.col("val").try_cast("double")
+    return kv.groupBy("key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_present"),
+        F.count_distinct(F.col("val")).cast("long").alias("n_distinct"),
+        F.count(num).cast("long").alias("n_numeric"),
+        F.round(F.min(num), 6).alias("min_numeric"),
+        F.round(F.max(num), 6).alias("max_numeric"),
+    )

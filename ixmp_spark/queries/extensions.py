@@ -4055,3 +4055,53 @@ def x20_entity_clusters(spark, sf_dir):
         F.count(F.lit(1)).alias("n_members"),
         F.max("id").alias("max_member"),
     )
+
+
+@query(
+    "c14_json_profile",
+    oracle="""
+    WITH enriched AS (
+      SELECT replace(props, '}',
+               ', "eid": ' || CAST(event_id AS VARCHAR) ||
+               ', "ty": "' || event_type || '"}') AS j
+      FROM events
+    ), keys AS (
+      SELECT j, unnest(json_keys(j)) AS key FROM enriched
+    ), kv AS (
+      SELECT key, json_extract_string(j, '$.' || key) AS val FROM keys
+    )
+    SELECT key,
+           CAST(count(*) AS BIGINT) AS n_present,
+           CAST(count(DISTINCT val) AS BIGINT) AS n_distinct,
+           CAST(count(try_cast(val AS DOUBLE)) AS BIGINT) AS n_numeric,
+           round(min(try_cast(val AS DOUBLE)), 6) AS min_numeric,
+           round(max(try_cast(val AS DOUBLE)), 6) AS max_numeric
+    FROM kv GROUP BY key
+    """,
+)
+def c14_json_profile(spark, sf_dir):
+    """Semi-structured profiler over an enriched props payload
+    (json_profile): per JSON key — presence, distinct values, numeric
+    typing with min/max. The payload is deterministically widened
+    with an integer and a string field IDENTICALLY in both engines
+    (only integer casts — float formatting is not portable), so the
+    profile covers mixed types. Distinct counts are over value TEXT
+    (json_extract_string unquotes exactly as Spark's map cast does,
+    so the texts align verbatim)."""
+    from ixmp_spark.operators.filtering import json_profile
+
+    ev = load(spark, sf_dir, "events")
+    enriched = ev.select(
+        F.replace(
+            F.col("props"),
+            F.lit("}"),
+            F.concat(
+                F.lit(', "eid": '),
+                F.col("event_id").cast("string"),
+                F.lit(', "ty": "'),
+                F.col("event_type"),
+                F.lit('"}'),
+            ),
+        ).alias("j")
+    )
+    return json_profile(enriched, "j")

@@ -5302,3 +5302,28 @@ def test_entity_clusters_transitivity(spark):
     labels = {r["id"]: r["cluster"]
               for r in dedup_clusters(pairs).collect()}
     assert labels == {1: 1, 2: 1, 3: 1}   # one entity; 4, 5 stay out
+
+
+def test_json_profile_keys(spark):
+    """json_profile: per-key presence/distinct/numeric stats on mixed
+    payloads; malformed rows contribute nothing; numeric typing is
+    per-VALUE (a key can be partially numeric)."""
+    from ixmp_spark.operators.filtering import json_profile
+
+    rows = [
+        ('{"a": 1, "b": "x"}',),
+        ('{"a": 2.5, "b": "x", "c": null}',),
+        ('{"a": "oops"}',),
+        ("not json at all",),
+    ]
+    df = spark.createDataFrame(rows, "j string")
+    out = {r["key"]: r for r in json_profile(df, "j").collect()}
+    a = out["a"]
+    assert (a["n_present"], a["n_distinct"], a["n_numeric"]) == (3, 3, 2)
+    assert (a["min_numeric"], a["max_numeric"]) == (1.0, 2.5)
+    b = out["b"]
+    assert (b["n_present"], b["n_distinct"], b["n_numeric"]) == (2, 1, 0)
+    assert b["min_numeric"] is None
+    # null JSON value: key present, value NULL -> Spark map drops
+    # nothing but the val is NULL; it still counts as present
+    assert out["c"]["n_present"] == 1 and out["c"]["n_numeric"] == 0
