@@ -635,6 +635,14 @@ def _spark_percentile_ref(values: list[float], p: float) -> float:
     hi = int(math.ceil(pos))
     if lo == hi:
         return xs[lo]
+    if xs[lo] == xs[hi]:
+        # Spark's equal-key short-circuit (Percentile.getPercentile:
+        # "no interpolation needed"): returns the key DIRECTLY. Only
+        # observable at the floating-point extremes — this suite's
+        # second real find: [5e-324, 5e-324], p=0.5 makes the weighted
+        # form underflow (0.5·subnormal-min rounds to 0) to 0.0 where
+        # Spark returns 5e-324
+        return xs[lo]
     return (hi - pos) * xs[lo] + (pos - lo) * xs[hi]
 
 
