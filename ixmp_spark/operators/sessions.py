@@ -2256,3 +2256,72 @@ def cohort_ltv(
             "cum_value", "cum_ltv_per_user",
         )
     )
+
+
+def kaplan_meier(
+    df: DataFrame,
+    cohort_col: str,
+    duration_col: str,
+    event_col: str,
+) -> DataFrame:
+    """Kaplan–Meier survival curves per cohort — time-to-event
+    analysis done RIGHT under censoring: churn/failure/conversion
+    studies always have subjects still alive at observation end, and
+    both naive fixes bias the answer (dropping censored rows
+    overstates the hazard, treating them as events understates
+    survival). The product-limit estimator uses each censored subject
+    exactly as long as it was observed.
+
+    One (cohort, duration) aggregation collapses subjects to the
+    distinct-time grid (the only subject-sized pass), then three
+    windows on the cohort partitioning over that SMALL grid: the
+    risk set ``n_t = total − Σ_{s<t}(events+censored)``, and the
+    survival product via the log identity ``S_t = exp(Σ_{s≤t}
+    ln(1 − d_s/n_s))`` — a running product as a running sum, the only
+    window-safe spelling (censored-only times contribute ln(1) = 0
+    and keep S flat, the defining KM behavior). A final risk set
+    consumed entirely by events drives S to exactly 0 via ln(0) =
+    −inf (IEEE, both engines).
+
+    Output: (cohort, duration, n_at_risk, d_events, n_censored,
+    survival), one row per distinct observed duration, survival
+    rounded to 6 (per-term libm ln/exp ulps, the a8 class).
+    """
+    e = F.col(event_col).cast("long")
+    g = df.groupBy(
+        F.col(cohort_col).alias("cohort"),
+        F.col(duration_col).alias("duration"),
+    ).agg(
+        F.sum(e).cast("long").alias("d_events"),
+        F.sum(F.lit(1) - e).cast("long").alias("n_censored"),
+    )
+    wo = Window.partitionBy("cohort").orderBy("duration")
+    prev = wo.rowsBetween(Window.unboundedPreceding, -1)
+    run = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    whole = Window.partitionBy("cohort")
+    leave = F.col("d_events") + F.col("n_censored")
+    n_at_risk = F.sum(leave).over(whole) - F.coalesce(
+        F.sum(leave).over(prev), F.lit(0)
+    )
+    based = g.withColumn("n_at_risk", n_at_risk.cast("long"))
+    factor = F.when(
+        (F.col("d_events") > 0) & (F.col("d_events") < F.col("n_at_risk")),
+        F.log(
+            F.lit(1.0)
+            - F.col("d_events") * F.lit(1.0) / F.col("n_at_risk")
+        ),
+    ).otherwise(F.lit(0.0))
+    # a risk set consumed entirely by events pins S to exactly 0 from
+    # that time on — flagged explicitly because ln(0) is an ERROR in
+    # some engines (DuckDB) and NULL in others (Spark), never the
+    # -inf the math wants
+    dead = F.max(
+        (F.col("d_events") == F.col("n_at_risk")).cast("int")
+    ).over(run)
+    surv = F.when(dead == 1, F.lit(0.0)).otherwise(
+        F.exp(F.sum(factor).over(run))
+    )
+    return based.withColumn("survival", F.round(surv, 6)).select(
+        "cohort", "duration", "n_at_risk", "d_events", "n_censored",
+        "survival",
+    )

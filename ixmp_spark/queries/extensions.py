@@ -4105,3 +4105,79 @@ def c14_json_profile(spark, sf_dir):
         ).alias("j")
     )
     return json_profile(enriched, "j")
+
+
+@query(
+    "x21_survival_km",
+    oracle="""
+    WITH subj AS (
+      SELECT user_id,
+             min_by(event_type, ts) AS cohort,
+             min(epoch_us(ts)) AS t0,
+             max(epoch_us(ts)) AS t_last,
+             min(CASE WHEN event_type = 'error' THEN epoch_us(ts) END)
+               AS t_err
+      FROM events GROUP BY user_id
+    ), life AS (
+      SELECT cohort,
+             (coalesce(t_err, t_last) - t0) // 1000000 AS duration,
+             CASE WHEN t_err IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM subj
+    ), g AS (
+      SELECT cohort, duration,
+             CAST(sum(ev) AS BIGINT) AS d_events,
+             CAST(sum(1 - ev) AS BIGINT) AS n_censored
+      FROM life GROUP BY cohort, duration
+    ), r AS (
+      SELECT cohort, duration, d_events, n_censored,
+             CAST(sum(d_events + n_censored)
+                    OVER (PARTITION BY cohort)
+                  - coalesce(sum(d_events + n_censored) OVER (
+                      PARTITION BY cohort ORDER BY duration
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ), 0) AS BIGINT) AS n_at_risk
+      FROM g
+    )
+    SELECT cohort, duration, n_at_risk, d_events, n_censored,
+           round(CASE WHEN max(CASE WHEN d_events = n_at_risk
+                                    THEN 1 ELSE 0 END) OVER w = 1
+                      THEN 0.0
+                      ELSE exp(sum(CASE WHEN d_events > 0
+                                        AND d_events < n_at_risk
+                             THEN ln(1.0 - d_events * 1.0 / n_at_risk)
+                             ELSE 0.0 END) OVER w)
+                 END, 6) AS survival
+    FROM r
+    WINDOW w AS (PARTITION BY cohort ORDER BY duration
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def x21_survival_km(spark, sf_dir):
+    """Kaplan–Meier survival by first-event cohort (kaplan_meier):
+    per user, time from first event to first 'error' — censored at
+    the last observation when no error ever lands — grouped by the
+    user's FIRST event type. Censoring is the point: dropping
+    error-free users would overstate the hazard. Subject collapse +
+    three windows over the distinct-duration grid; the oracle
+    restates risk sets and the log-product identity."""
+    from ixmp_spark.operators.sessions import kaplan_meier
+
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    subj = ev.groupBy("user_id").agg(
+        F.min_by("event_type", F.col("ts")).alias("cohort"),
+        F.min(us).alias("t0"),
+        F.max(us).alias("t_last"),
+        F.min(
+            F.when(F.col("event_type") == "error", us)
+        ).alias("t_err"),
+    )
+    life = subj.select(
+        "cohort",
+        (
+            (F.coalesce(F.col("t_err"), F.col("t_last")) - F.col("t0"))
+            / F.lit(1000000)
+        ).cast("long").alias("duration"),
+        F.when(F.col("t_err").isNotNull(), 1).otherwise(0).alias("ev"),
+    )
+    return kaplan_meier(life, "cohort", "duration", "ev")

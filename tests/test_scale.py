@@ -5327,3 +5327,38 @@ def test_json_profile_keys(spark):
     # null JSON value: key present, value NULL -> Spark map drops
     # nothing but the val is NULL; it still counts as present
     assert out["c"]["n_present"] == 1 and out["c"]["n_numeric"] == 0
+
+
+def test_kaplan_meier_textbook(spark):
+    """kaplan_meier reproduces the textbook product-limit table on a
+    hand-worked cohort with censoring (the classic 6-subject
+    example), keeps S flat through censored-only times, uses censored
+    subjects in earlier risk sets, and pins S=0 when the last risk
+    set dies (no ln(0) blowup)."""
+    from ixmp_spark.operators.sessions import kaplan_meier
+
+    # durations (E=event, C=censored): 1E, 2C, 3E, 3E, 4C, 5E
+    rows = [("a", 1, 1), ("a", 2, 0), ("a", 3, 1), ("a", 3, 1),
+            ("a", 4, 0), ("a", 5, 1),
+            # cohort b: everyone dies at t=2 -> S hits exactly 0
+            ("b", 1, 0), ("b", 2, 1), ("b", 2, 1)]
+    df = spark.createDataFrame(rows, "cohort string, dur long, ev int")
+    out = {(r["cohort"], r["duration"]): r for r in
+           kaplan_meier(df, "cohort", "dur", "ev").collect()}
+
+    # hand table for cohort a:
+    # t=1: n=6, d=1 -> S = 5/6
+    # t=2: n=5, d=0 (censor) -> S flat = 5/6
+    # t=3: n=4, d=2 -> S = 5/6 * 2/4
+    # t=4: n=2, d=0 -> flat
+    # t=5: n=1, d=1 -> S = 0
+    a = out[("a", 1)]
+    assert (a["n_at_risk"], a["survival"]) == (6, round(5 / 6, 6))
+    assert out[("a", 2)]["survival"] == round(5 / 6, 6)
+    t3 = out[("a", 3)]
+    assert (t3["n_at_risk"], t3["d_events"]) == (4, 2)
+    assert t3["survival"] == round(5 / 6 * 2 / 4, 6)
+    assert out[("a", 4)]["survival"] == t3["survival"]
+    assert out[("a", 5)]["survival"] == 0.0
+    b2 = out[("b", 2)]
+    assert (b2["n_at_risk"], b2["d_events"], b2["survival"]) == (2, 2, 0.0)
