@@ -1836,3 +1836,96 @@ def rake_keywords(
         .where(F.col("rank") <= int(k))
         .select(id_col, "phrase", "n_words", "score", "rank")
     )
+
+
+def topic_model(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    vocab_size: int = 10_000,
+    max_iter: int = 20,
+    seed: int = 42,
+):
+    """Corpus topic modeling via Spark ML's distributed online LDA —
+    the unsupervised "what is this corpus made of" map used for
+    domain-mix design, drift stories, and per-topic sampling quotas
+    (the p5/p8 mixing knobs need a domain column; when sources don't
+    carry one, topics are the fallback).
+
+    Pipeline: the repo's standard tokenizer → ``CountVectorizer``
+    (distributed vocabulary fit, capped at ``vocab_size``) → ``LDA``
+    with the online variational optimizer (mini-batch EM — one corpus
+    pass per iteration, model state on the driver is k×vocab, not
+    corpus-sized; the EM optimizer would keep per-doc state). Seeded
+    for reproducibility on a fixed corpus/partitioning; LDA remains a
+    stochastic variational fit, so tests pin recovered STRUCTURE
+    (planted vocabularies separate), never raw weights.
+
+    Returns (doc_topics, topic_terms): per doc the argmax topic and
+    its weight; per topic the top terms with weights — both as
+    DataFrames, vocabulary-scale artifacts.
+    """
+    from pyspark.ml.clustering import LDA
+    from pyspark.ml.feature import CountVectorizer
+    from pyspark.ml.functions import vector_to_array
+
+    toks = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+            lambda w: w != "",
+        ).alias("_toks"),
+    )
+    cv = CountVectorizer(
+        inputCol="_toks", outputCol="_tf", vocabSize=int(vocab_size)
+    )
+    cvm = cv.fit(toks)
+    tf = cvm.transform(toks)
+    lda = LDA(
+        k=int(k),
+        maxIter=int(max_iter),
+        seed=int(seed),
+        optimizer="online",
+        featuresCol="_tf",
+    )
+    model = lda.fit(tf)
+    dist = model.transform(tf)
+    to_arr = vector_to_array(F.col("topicDistribution"))
+    doc_topics = dist.select(
+        F.col(id_col),
+        to_arr.alias("_td"),
+    ).select(
+        id_col,
+        (F.array_position(
+            F.col("_td"), F.array_max(F.col("_td"))
+        ) - 1).cast("long").alias("topic"),
+        F.round(F.array_max(F.col("_td")), 6).alias("topic_weight"),
+    )
+    vocab = cvm.vocabulary
+    spark = df.sparkSession
+    terms = model.describeTopics(10)
+    vocab_df = F.broadcast(
+        spark.createDataFrame(
+            [(i, w) for i, w in enumerate(vocab)], "term_idx int, term string"
+        )
+    )
+    topic_terms = (
+        terms.select(
+            F.col("topic").cast("long").alias("topic"),
+            F.explode(
+                F.arrays_zip(
+                    F.col("termIndices").alias("term_idx"),
+                    F.col("termWeights").alias("w"),
+                )
+            ).alias("z"),
+        )
+        .select(
+            "topic",
+            F.col("z.term_idx").cast("int").alias("term_idx"),
+            F.round(F.col("z.w"), 6).alias("weight"),
+        )
+        .join(vocab_df, "term_idx")
+        .select("topic", "term", "weight")
+    )
+    return doc_topics, topic_terms

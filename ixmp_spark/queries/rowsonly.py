@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ixmp_spark.operators.dedup import minhash_lsh_neardup, simhash64
-from ixmp_spark.queries import load, query
+from ixmp_spark.queries import load, load_spread, query
 
 
 @query("x1_sketches")  # no SQL oracle: sketch internals are engine-specific
@@ -464,3 +464,20 @@ def m4_image_neardup(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n_neardups"))
         .orderBy("media_id")
     )
+
+
+@query("p22_topic_model")  # no SQL oracle: stochastic variational LDA fit
+def p22_topic_model(spark, sf_dir):
+    """Online-LDA topic map of the corpus (topic_model, k=4): per-doc
+    argmax topic + weight — the unsupervised domain column for mixing
+    when sources don't carry one. Distributed CountVectorizer +
+    mini-batch variational LDA (driver state k×vocab, never
+    corpus-sized). Rows-only by nature (stochastic fit); structure
+    recovery is pinned in unit tests on planted vocabularies."""
+    from ixmp_spark.operators.text import topic_model
+
+    docs = load_spread(spark, sf_dir, "documents")
+    doc_topics, _ = topic_model(
+        docs, "doc_id", "text", k=4, max_iter=10
+    )
+    return doc_topics.orderBy("doc_id")

@@ -5362,3 +5362,41 @@ def test_kaplan_meier_textbook(spark):
     assert out[("a", 5)]["survival"] == 0.0
     b2 = out[("b", 2)]
     assert (b2["n_at_risk"], b2["d_events"], b2["survival"]) == (2, 2, 0.0)
+
+
+def test_topic_model_planted_structure(spark):
+    """topic_model separates two planted disjoint vocabularies: docs
+    from each vocabulary land in internally-consistent topics (same
+    topic within a family, different across), and the recovered
+    topic-term lists are vocabulary-pure."""
+    import random
+
+    from ixmp_spark.operators.text import topic_model
+
+    rng = random.Random(11)
+    vocab_a = ["spark", "shuffle", "executor", "catalyst", "parquet"]
+    vocab_b = ["sonnet", "stanza", "meter", "rhyme", "verse"]
+    rows = []
+    for i in range(40):
+        v = vocab_a if i % 2 == 0 else vocab_b
+        rows.append((i, " ".join(rng.choice(v) for _ in range(60))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    doc_topics, topic_terms = topic_model(
+        docs, "doc_id", "text", k=2, max_iter=30, seed=7
+    )
+    got = {r["doc_id"]: r["topic"] for r in doc_topics.collect()}
+    a_topics = {got[i] for i in range(0, 40, 2)}
+    b_topics = {got[i] for i in range(1, 40, 2)}
+    assert len(a_topics) == 1 and len(b_topics) == 1
+    assert a_topics != b_topics
+    # topic-term purity: each topic's 5 HEAVIEST terms come from one
+    # vocabulary (describeTopics lists the whole 10-word vocab, the
+    # tail at near-zero weight)
+    terms = sorted(topic_terms.collect(),
+                   key=lambda r: -r["weight"])
+    by_topic: dict[int, list] = {}
+    for r in terms:
+        by_topic.setdefault(r["topic"], []).append(r["term"])
+    ta = set(by_topic[a_topics.pop()][:5])
+    tb = set(by_topic[b_topics.pop()][:5])
+    assert ta == set(vocab_a) and tb == set(vocab_b)
