@@ -4181,3 +4181,55 @@ def x21_survival_km(spark, sf_dir):
         F.when(F.col("t_err").isNotNull(), 1).otherwise(0).alias("ev"),
     )
     return kaplan_meier(life, "cohort", "duration", "ev")
+
+
+@query(
+    "w30_period_over_period",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             round(sum(value), 2) AS total,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, date_trunc('day', ts)
+    )
+    SELECT event_type, day, total, n,
+           round(total - lag(total) OVER w, 2) AS dod_abs,
+           round(CASE WHEN lag(total) OVER w > 0
+                 THEN (total - lag(total) OVER w) * 100.0
+                      / lag(total) OVER w END, 4) AS dod_pct,
+           round(CASE WHEN lag(total, 7) OVER w > 0
+                 THEN (total - lag(total, 7) OVER w) * 100.0
+                      / lag(total, 7) OVER w END, 4) AS wow_pct
+    FROM d
+    WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """,
+)
+def w30_period_over_period(spark, sf_dir):
+    """Day-over-day / week-over-week change report per event type —
+    the BI staple every metrics page opens with. One day-grain
+    aggregation (the only data-sized pass), then lag(1)/lag(7)
+    windows over the tiny (type × day) grid; percent changes guard
+    zero baselines with NULL. The oracle restates grid and windows."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd")
+        .alias("day"),
+    ).agg(
+        F.round(F.sum("value"), 2).alias("total"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev, prev7 = F.lag("total").over(w), F.lag("total", 7).over(w)
+    return d.select(
+        "event_type", "day", "total", "n",
+        F.round(F.col("total") - prev, 2).alias("dod_abs"),
+        F.round(
+            F.when(prev > 0, (F.col("total") - prev) * 100.0 / prev), 4
+        ).alias("dod_pct"),
+        F.round(
+            F.when(prev7 > 0, (F.col("total") - prev7) * 100.0 / prev7),
+            4,
+        ).alias("wow_pct"),
+    )

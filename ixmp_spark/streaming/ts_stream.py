@@ -963,3 +963,69 @@ def attribution_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def gap_report_stream(
+    events: DataFrame,
+    min_gap_s: float = 3600.0,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming twin of ``sessions.gap_report``: a silence longer
+    than ``min_gap_s`` is reported the moment the key's NEXT event
+    arrives — the live "sensor went dark" alert whose backfill path
+    is the batch operator. State is ONE timestamp per key (the last
+    observation), carried via ``applyInPandasWithState`` — O(#keys)
+    regardless of stream length, same per-key event-time-order
+    contract as cusum_stream. A still-dark key emits nothing (no
+    event, no trigger) — pair with a state-timeout watchdog when
+    open-ended silence itself must alert; that variant needs a
+    timeout clock, not history, which is why the batch twin doesn't
+    have it either.
+
+    Output per detected gap: (key, gap_start, gap_end, gap_s) — the
+    batch schema.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_type = events.schema[key_col].dataType.simpleString()
+    out_schema = (
+        f"{key_col} {key_type}, gap_start timestamp, "
+        "gap_end timestamp, gap_s double"
+    )
+    state_schema = "last_us long"
+    thresh_us = float(min_gap_s) * 1_000_000.0
+
+    def fold(key, pdfs, state: GroupState):
+        last_us = state.get[0] if state.exists else None
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if rows.empty:
+            return
+        rows = rows.sort_values(ts_col)
+        out: dict[str, list] = {
+            "gap_start": [], "gap_end": [], "gap_s": [],
+        }
+        for ts in rows[ts_col]:
+            us = int(pd.Timestamp(ts).value // 1000)
+            if last_us is not None and (us - last_us) > thresh_us:
+                out["gap_start"].append(
+                    pd.Timestamp(last_us * 1000)
+                )
+                out["gap_end"].append(pd.Timestamp(us * 1000))
+                out["gap_s"].append((us - last_us) / 1_000_000.0)
+            last_us = us
+        state.update((last_us,))
+        if not out["gap_s"]:
+            return
+        out_pdf = pd.DataFrame(out)
+        out_pdf.insert(0, key_col, key[0])
+        yield out_pdf
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1777,3 +1777,56 @@ def test_image_dhash_and_neardup(spark):
         image_dhash(bad).collect()
     with pytest.raises(ValueError, match="pigeonhole"):
         dhash_neardup_pairs(hashes, max_hamming=8)
+
+
+def test_streaming_gap_report_matches_batch(spark, tmp_path_factory):
+    """gap_report_stream (one timestamp of state per key) equals the
+    batch gap_report across 4 micro-batches — including a silence
+    that SPANS a micro-batch boundary, the case per-batch windowing
+    would miss; rounded seconds match exactly."""
+    import time as _time
+    from datetime import datetime, timedelta
+
+    from ixmp_spark.operators.sessions import gap_report
+    from ixmp_spark.streaming.ts_stream import (
+        gap_report_stream,
+        run_available_now_with_state,
+    )
+
+    t0 = datetime(2024, 7, 1)
+    rows = []
+    # key 1: events every 10 min, one 3h hole mid-stream
+    ts = t0
+    for i in range(12):
+        rows.append((1, ts))
+        ts += timedelta(minutes=10) if i != 5 else timedelta(hours=3)
+    # key 2: two events straddling what will be a batch boundary,
+    # 2h apart
+    rows.append((2, t0))
+    rows.append((2, t0 + timedelta(hours=2)))
+    rows.sort(key=lambda r: r[1])
+    schema = "user_id long, ts timestamp"
+    feed = str(tmp_path_factory.mktemp("gapstream") / "ev")
+    q = len(rows) // 4
+    for a, b in ((0, q), (q, 2 * q), (2 * q, 3 * q), (3 * q, len(rows))):
+        spark.createDataFrame(rows[a:b], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+        _time.sleep(1.1)
+
+    batch_in = spark.read.parquet(feed)
+    want = sorted(
+        (r["user_id"], r["gap_start"], r["gap_end"], r["gap_s"])
+        for r in gap_report(batch_in, "user_id", "ts",
+                            min_gap_s=3600.0).collect()
+    )
+    stream = spark.readStream.schema(schema).parquet(feed)
+    out, state_ops = run_available_now_with_state(
+        gap_report_stream(stream, min_gap_s=3600.0), "gap_stream_q"
+    )
+    got = sorted(
+        (r["user_id"], r["gap_start"], r["gap_end"], round(r["gap_s"], 6))
+        for r in out.collect()
+    )
+    assert got == want and len(got) == 2
+    assert state_ops and state_ops[0]["numRowsTotal"] == 2
