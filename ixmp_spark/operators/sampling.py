@@ -1089,3 +1089,69 @@ def quantile_normalize(
     )
     norm = lo + (pos - g) * (hi - lo)
     return base.withColumn(out_col, norm).drop("_pr", "_q")
+
+
+def chisq_independence(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Chi-square test of independence between two categorical
+    columns, with Cramér's V effect size — the "are these related at
+    all" screen (is event mix independent of hour? is label balance
+    independent of source?) run before any per-cell drilldown, and
+    the categorical complement of w12/w27's numeric trends.
+
+    One (row, col) count aggregation over the data; everything after
+    runs on the CELL GRID: marginals are per-axis sums of cell
+    counts, the full r×c grid (zero-observed cells INCLUDED — they
+    carry expected mass) comes from a broadcast cross of the two
+    marginal frames, expected = row_tot·col_tot/N, χ² = Σ(o−e)²/e.
+    Effect size ``cramers_v = √(χ²/(N·min(r−1, c−1)))`` is what makes
+    giant-N results readable: at 100 TB everything is "significant",
+    V says whether it matters.
+
+    Output: one row — (n, n_rows, n_cols, dof, chi2, cramers_v).
+    Degenerate 1×c / r×1 tables return dof 0 and NULL statistics.
+    """
+    cells = df.groupBy(
+        F.col(row_col).alias("_r"), F.col(col_col).alias("_c")
+    ).agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    rows = cells.groupBy("_r").agg(F.sum("_n").alias("_rt"))
+    cols = cells.groupBy("_c").agg(F.sum("_n").alias("_ct"))
+    grid = rows.crossJoin(F.broadcast(cols)).join(
+        cells, ["_r", "_c"], "left"
+    ).select(
+        "_r", "_c", "_rt", "_ct",
+        F.coalesce(F.col("_n"), F.lit(0.0)).alias("_o"),
+    )
+    tot = cells.agg(F.sum("_n").alias("_tot"))
+    scored = grid.crossJoin(F.broadcast(tot)).withColumn(
+        "_e", F.col("_rt") * F.col("_ct") / F.col("_tot")
+    )
+    agg = scored.agg(
+        F.max("_tot").alias("_N"),
+        F.count_distinct("_r").cast("long").alias("n_rows"),
+        F.count_distinct("_c").cast("long").alias("n_cols"),
+        F.sum(
+            (F.col("_o") - F.col("_e"))
+            * (F.col("_o") - F.col("_e"))
+            / F.col("_e")
+        ).alias("_chi2"),
+    )
+    dof = (F.col("n_rows") - 1) * (F.col("n_cols") - 1)
+    v = F.sqrt(
+        F.col("_chi2")
+        / (
+            F.col("_N")
+            * F.least(F.col("n_rows") - 1, F.col("n_cols") - 1)
+        )
+    )
+    return agg.select(
+        F.col("_N").cast("long").alias("n"),
+        "n_rows",
+        "n_cols",
+        dof.cast("long").alias("dof"),
+        F.round(F.when(dof > 0, F.col("_chi2")), 4).alias("chi2"),
+        F.round(F.when(dof > 0, v), 4).alias("cramers_v"),
+    )

@@ -4233,3 +4233,58 @@ def w30_period_over_period(spark, sf_dir):
             4,
         ).alias("wow_pct"),
     )
+
+
+@query(
+    "x22_chisq_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type AS r, CAST(hour(ts) AS BIGINT) AS c,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY event_type, hour(ts)
+    ), rt AS (SELECT r, sum(n) AS rtot FROM cells GROUP BY r),
+    ct AS (SELECT c, sum(n) AS ctot FROM cells GROUP BY c),
+    tot AS (SELECT sum(n) AS t FROM cells),
+    grid AS (
+      SELECT rt.r, ct.c, rt.rtot, ct.ctot,
+             coalesce(cells.n, 0.0) AS o
+      FROM rt CROSS JOIN ct
+      LEFT JOIN cells ON cells.r = rt.r AND cells.c = ct.c
+    ), scored AS (
+      SELECT o, rtot * ctot / t AS e,
+             rtot, ctot, t
+      FROM grid CROSS JOIN tot
+    ), agg AS (
+      SELECT max(t) AS n,
+             (SELECT count(*) FROM rt) AS n_rows,
+             (SELECT count(*) FROM ct) AS n_cols,
+             sum((o - e) * (o - e) / e) AS chi2
+      FROM scored
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_cols AS BIGINT) AS n_cols,
+           CAST((n_rows - 1) * (n_cols - 1) AS BIGINT) AS dof,
+           round(CASE WHEN (n_rows - 1) * (n_cols - 1) > 0
+                      THEN chi2 END, 4) AS chi2,
+           round(CASE WHEN (n_rows - 1) * (n_cols - 1) > 0
+                      THEN sqrt(chi2 / (n * least(n_rows - 1,
+                                                  n_cols - 1)))
+                 END, 4) AS cramers_v
+    FROM agg
+    """,
+)
+def x22_chisq_independence(spark, sf_dir):
+    """Chi-square independence of event type vs hour-of-day
+    (chisq_independence) with Cramér's V — "is the event mix
+    time-of-day dependent at all", the categorical association
+    screen. One count aggregation; the r×c grid (zero cells
+    included — they carry expected mass) lives on broadcast marginal
+    frames. The oracle restates grid and statistic."""
+    from ixmp_spark.operators.sampling import chisq_independence
+
+    ev = load(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_type", F.hour("ts").cast("long").alias("hour")
+    )
+    return chisq_independence(keyed, "event_type", "hour")

@@ -5400,3 +5400,43 @@ def test_topic_model_planted_structure(spark):
     ta = set(by_topic[a_topics.pop()][:5])
     tb = set(by_topic[b_topics.pop()][:5])
     assert ta == set(vocab_a) and tb == set(vocab_b)
+
+
+def test_chisq_independence(spark):
+    """chisq_independence matches the hand-computed 2x2 chi-square
+    (including a zero-observed cell carrying expected mass), reads
+    ~0 on an independent table, and degenerate 1-column tables
+    return dof 0 / NULL stats."""
+    from ixmp_spark.operators.sampling import chisq_independence
+
+    # 2x2: rows a/b, cols x/y — a:(30,10), b:(10,30): strong assoc
+    rows = ([("a", "x")] * 30 + [("a", "y")] * 10
+            + [("b", "x")] * 10 + [("b", "y")] * 30)
+    df = spark.createDataFrame(rows, "r string, c string")
+    got = chisq_independence(df, "r", "c").collect()[0]
+    # hand: e=20 every cell, chi2 = 4 * (10^2/20) = 20
+    assert (got["n"], got["dof"], got["chi2"]) == (80, 1, 20.0)
+    assert got["cramers_v"] == 0.5  # sqrt(20/80)
+
+    # zero-observed cell: a:(10,0), b:(10,10)
+    z = spark.createDataFrame(
+        [("a", "x")] * 10 + [("b", "x")] * 10 + [("b", "y")] * 10,
+        "r string, c string",
+    )
+    gz = chisq_independence(z, "r", "c").collect()[0]
+    # marginals: rows 10/20, cols 20/10; e(a,y)=10*10/30
+    e = [(10, 10 * 20 / 30), (0, 10 * 10 / 30),
+         (10, 20 * 20 / 30), (10, 20 * 10 / 30)]
+    chi = sum((o - x) ** 2 / x for o, x in e)
+    assert gz["chi2"] == round(chi, 4)
+
+    ind = spark.createDataFrame(
+        [("a", "x")] * 10 + [("a", "y")] * 10
+        + [("b", "x")] * 10 + [("b", "y")] * 10,
+        "r string, c string",
+    )
+    assert chisq_independence(ind, "r", "c").collect()[0]["chi2"] == 0.0
+
+    deg = spark.createDataFrame([("a", "x"), ("b", "x")], "r string, c string")
+    gd = chisq_independence(deg, "r", "c").collect()[0]
+    assert gd["dof"] == 0 and gd["chi2"] is None

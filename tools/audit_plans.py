@@ -44,6 +44,7 @@ BNLJ_OK = {
     "t26_vocab_coverage",  # 1-row corpus-token-total aggregate cross-broadcast
     "g10_rolling_active",  # 1-row max-activity-day aggregate cross-broadcast (window clip)
     "p21_quantile_normalize",  # 1-row global quantile-grid aggregate cross-broadcast
+    "x22_chisq_independence",  # r-row x c-row marginal cross (the full cell grid, zero cells included) + 1-row N broadcast
 }
 
 #: multi-stage pipelines where >6 shuffles are inherent (documented):
@@ -87,6 +88,11 @@ SHUFFLE_OK = {
     # degree joins (7 total). Every exchange hashes node/order ids and
     # moves edge- or pair-count rows; the stage list is the algorithm
     "x16_supplier_affinity",
+    # x22 = ONE data-sized count aggregation, then marginal/total
+    # aggregates, the grid left-join, and the final distinct-count
+    # statistic pass — every exchange after the first moves CELL-GRID
+    # rows (<= r x c, here 5 x 24), never events
+    "x22_chisq_independence",
 }
 
 #: queries whose Python stage is DELIBERATE — an Arrow-batched kernel for
