@@ -1149,3 +1149,65 @@ def interval_union(
         "n_blocks",
         (F.col("_cov_us") / 1_000_000.0).alias("covered_s"),
     )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity of an undirected graph (Newman's r): the
+    Pearson correlation of endpoint degrees over edges — do hubs link
+    to hubs (r>0, social nets) or to leaves (r<0, supply/star
+    topologies)? One number that tells you whether hub-guarded
+    operators (neighborhood_jaccard's max_center_degree, kcore's peel)
+    will bite on this graph before you run them.
+
+    ``edges`` is one row per undirected edge (src, dst); the operator
+    symmetrizes internally (Newman's sum runs over BOTH edge
+    directions). The symmetrized frame is lazily checkpointed
+    (``localCheckpoint(eager=False)``, the kcore/j12 discipline):
+    it feeds both the degree aggregate and the endpoint-degree join,
+    and without the lineage cut each branch would re-derive the
+    caller's edge construction — for wedge/co-occurrence graphs
+    that's a data-sized self-join run 3×. Degrees join back keyed by
+    node (broadcast when small — left to AQE). r uses the exact
+    product-moment identity on integer degrees, so the sums are
+    order-independent exact while ``E·deg² < 2^52``; n_nodes rides
+    the same aggregate as ``count_distinct`` (no extra branch); the
+    one division happens on bit-identical inputs in both engines.
+
+    Output: one row — (n_nodes, n_edges, assortativity), NULL r for
+    degree-regular graphs (zero variance).
+    """
+    sym = (
+        edges.select(F.col("src").alias("_u"), F.col("dst").alias("_v"))
+        .unionAll(
+            edges.select(
+                F.col("dst").alias("_u"), F.col("src").alias("_v")
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    deg = sym.groupBy("_u").agg(
+        F.count(F.lit(1)).cast("double").alias("_d")
+    )
+    du = deg.select(F.col("_u"), F.col("_d").alias("_du"))
+    dv = deg.select(
+        F.col("_u").alias("_v"), F.col("_d").alias("_dv")
+    )
+    pairs = sym.join(du, "_u").join(dv, "_v")
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("double").alias("_m"),
+        F.count_distinct("_u").cast("long").alias("n_nodes"),
+        F.sum("_du").alias("_sx"),
+        F.sum("_dv").alias("_sy"),
+        F.sum(F.col("_du") * F.col("_du")).alias("_sxx"),
+        F.sum(F.col("_dv") * F.col("_dv")).alias("_syy"),
+        F.sum(F.col("_du") * F.col("_dv")).alias("_sxy"),
+    )
+    num = F.col("_m") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    dx = F.col("_m") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    dy = F.col("_m") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    r = F.when((dx > 0) & (dy > 0), num / F.sqrt(dx * dy))
+    return agg.select(
+        "n_nodes",
+        (F.col("_m") / 2).cast("long").alias("n_edges"),
+        F.round(r, 4).alias("assortativity"),
+    )

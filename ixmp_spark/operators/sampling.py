@@ -1155,3 +1155,209 @@ def chisq_independence(
         F.round(F.when(dof > 0, F.col("_chi2")), 4).alias("chi2"),
         F.round(F.when(dof > 0, v), 4).alias("cramers_v"),
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Mann-Whitney U rank-sum test between two groups — the
+    distribution-free "is A systematically larger than B" screen that
+    stays valid when t-test normality assumptions don't hold (heavy
+    tails, outliers, bounded scores). The reference engine's describe /
+    rate screens (A4, x15, x18) compare means and counts; this is the
+    rank complement.
+
+    Scale contract: ranks are NEVER assigned row-by-row. One count
+    aggregation collapses the data to per-distinct-value rows
+    ``(v, n_a, n_b)``; average ranks come from a cumulative window over
+    THAT frame, whose size is bounded by the value DOMAIN (quantized
+    scores, integer lengths, cents), not by the row count — callers
+    quantize continuous values first, which is part of the test's
+    contract anyway (ranks on measured precision). The audit's
+    SinglePartition net sees an aggregate feed, the bounded case.
+
+    All rank arithmetic is exact: average ranks are multiples of 0.5
+    and every partial sum stays integral-representable while
+    ``R1 < 2^52`` (n up to ~6.7e7 rows; beyond that, shard the test by
+    stratum). Output: one row — (n_a, n_b, u_a, z, rank_biserial) with
+    the tie-corrected normal approximation (no continuity correction;
+    documented, matched by the oracle literally).
+    """
+    two = df.where(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(group_col).alias("_g"), F.col(value_col).alias("_v")
+    )
+    per_v = two.groupBy("_v").agg(
+        F.sum(F.when(F.col("_g") == group_a, 1).otherwise(0))
+        .cast("double")
+        .alias("_na"),
+        F.sum(F.when(F.col("_g") == group_b, 1).otherwise(0))
+        .cast("double")
+        .alias("_nb"),
+    )
+    w = (
+        Window.orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = per_v.withColumn("_t", F.col("_na") + F.col("_nb")).withColumn(
+        "_cum", F.coalesce(F.sum("_t").over(w), F.lit(0.0))
+    ).withColumn("_ar", F.col("_cum") + (F.col("_t") + 1) / 2)
+    agg = ranked.agg(
+        F.sum("_na").alias("_n1"),
+        F.sum("_nb").alias("_n2"),
+        F.sum(F.col("_na") * F.col("_ar")).alias("_r1"),
+        F.sum(F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t")).alias(
+            "_ties"
+        ),
+    )
+    n = F.col("_n1") + F.col("_n2")
+    u1 = F.col("_r1") - F.col("_n1") * (F.col("_n1") + 1) / 2
+    mu = F.col("_n1") * F.col("_n2") / 2
+    sig2 = (
+        F.col("_n1")
+        * F.col("_n2")
+        / 12
+        * ((n + 1) - F.col("_ties") / (n * (n - 1)))
+    )
+    z = F.when(sig2 > 0, (u1 - mu) / F.sqrt(sig2))
+    rb = 2 * u1 / (F.col("_n1") * F.col("_n2")) - 1
+    return agg.select(
+        F.col("_n1").cast("long").alias("n_a"),
+        F.col("_n2").cast("long").alias("n_b"),
+        u1.alias("u_a"),
+        F.round(z, 4).alias("z"),
+        F.round(rb, 4).alias("rank_biserial"),
+    )
+
+
+def spearman_rho(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group Spearman rank correlation for DISCRETE-domain columns
+    — the monotone-association complement of Pearson ``corr`` that is
+    immune to outliers and nonlinearity (quantity vs discount tiers,
+    score bands, integer grades).
+
+    Scale contract: average ranks are derived from per-(group, value)
+    COUNT frames — bounded by group-count × value-domain, never the
+    data — then joined back broadcast (rank tables are tiny by the
+    same bound). rho comes from the exact product-moment identity
+    ``(nΣxy − ΣxΣy) / √((nΣx² − (Σx)²)(nΣy² − (Σy)²))`` on ranks:
+    every term is a multiple of 0.25, so the sums are order-independent
+    EXACT while ``n·rank² < 2^52`` (~n ≤ 2e5 per group; shard beyond
+    that). The one division+sqrt happens on bit-identical inputs in
+    both engines; output rounded to 4.
+    """
+
+    def _avg_ranks(col: str, out: str) -> DataFrame:
+        per = df.groupBy(
+            F.col(group_col).alias("_g"), F.col(col).alias("_v")
+        ).agg(F.count(F.lit(1)).cast("double").alias("_t"))
+        w = (
+            Window.partitionBy("_g")
+            .orderBy("_v")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return per.select(
+            "_g",
+            F.col("_v").alias(col),
+            (
+                F.coalesce(F.sum("_t").over(w), F.lit(0.0))
+                + (F.col("_t") + 1) / 2
+            ).alias(out),
+        )
+    rx = _avg_ranks(x_col, "_rx")
+    ry = _avg_ranks(y_col, "_ry")
+    keyed = df.select(
+        F.col(group_col).alias("_g"), x_col, y_col
+    ).join(F.broadcast(rx), ["_g", x_col]).join(
+        F.broadcast(ry), ["_g", y_col]
+    )
+    agg = keyed.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum("_rx").alias("_sx"),
+        F.sum("_ry").alias("_sy"),
+        F.sum(F.col("_rx") * F.col("_rx")).alias("_sxx"),
+        F.sum(F.col("_ry") * F.col("_ry")).alias("_syy"),
+        F.sum(F.col("_rx") * F.col("_ry")).alias("_sxy"),
+    )
+    num = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    dx = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    dy = F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    rho = F.when((dx > 0) & (dy > 0), num / F.sqrt(dx * dy))
+    return agg.select(
+        F.col("_g").alias(group_col),
+        F.col("_n").cast("long").alias("n"),
+        F.round(rho, 4).alias("spearman_rho"),
+    )
+
+
+def mutual_information(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Mutual information (nats) + normalized MI between two
+    categorical columns — the information-theoretic strength behind
+    x22's chi-square yes/no: HOW MANY bits one column tells you about
+    the other (feature-vs-label screens, leakage audits).
+
+    Same cell-grid shape as ``chisq_independence``, but collapsed to
+    ONE aggregate: zero cells contribute exactly 0 to MI (lim p→0 of
+    p·log p), so no zero-fill is needed, and the marginal-entropy
+    sums are the SAME cell-level sums MI needs —
+    ``Σ_r rt·ln rt = Σ_cells n·ln rt`` (each cell contributes its
+    own count times its row-marginal's log). So after one (row, col)
+    count aggregation and two broadcast marginal joins, a single
+    pass over cell rows yields N, s1=Σn·ln n, s2=Σn·ln rt,
+    s3=Σn·ln ct, and::
+
+        MI  = (s1 − s2 − s3)/N + ln N
+        H_r = ln N − s2/N        H_c = ln N − s3/N
+
+    — no grand-total frame, no cross joins, no BNLJ in the plan.
+    ``nmi = mi/√(H_r·H_c)`` (symmetric sqrt normalization), NULL
+    when either entropy is 0 (a constant column shares no
+    information). Output one row: (n, h_row, h_col, mi, nmi),
+    rounded to 4; the oracle must restate the SAME decomposition.
+    """
+    cells = df.groupBy(
+        F.col(row_col).alias("_r"), F.col(col_col).alias("_c")
+    ).agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    rows = cells.groupBy("_r").agg(F.sum("_n").alias("_rt"))
+    cols = cells.groupBy("_c").agg(F.sum("_n").alias("_ct"))
+    joint = cells.join(F.broadcast(rows), "_r").join(
+        F.broadcast(cols), "_c"
+    )
+    agg = joint.agg(
+        F.sum("_n").alias("_N"),
+        F.sum(F.col("_n") * F.log("_n")).alias("_s1"),
+        F.sum(F.col("_n") * F.log("_rt")).alias("_s2"),
+        F.sum(F.col("_n") * F.log("_ct")).alias("_s3"),
+    )
+    mi = (
+        (F.col("_s1") - F.col("_s2") - F.col("_s3")) / F.col("_N")
+        + F.log("_N")
+    )
+    hr = F.log("_N") - F.col("_s2") / F.col("_N")
+    hc = F.log("_N") - F.col("_s3") / F.col("_N")
+    # greatest() clamps tiny negative fp residue to 0; it must sit
+    # INSIDE the when() — greatest(NULL, 0.0) would swallow the
+    # NULL-on-zero-entropy contract
+    nmi = F.when(
+        (hr > 0) & (hc > 0),
+        F.greatest(mi / F.sqrt(hr * hc), F.lit(0.0)),
+    )
+    return agg.select(
+        F.col("_N").cast("long").alias("n"),
+        F.round(hr, 4).alias("h_row"),
+        F.round(hc, 4).alias("h_col"),
+        F.round(F.greatest(mi, F.lit(0.0)), 4).alias("mi"),
+        F.round(nmi, 4).alias("nmi"),
+    )

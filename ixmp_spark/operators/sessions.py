@@ -2325,3 +2325,59 @@ def kaplan_meier(
         "cohort", "duration", "n_at_risk", "d_events", "n_censored",
         "survival",
     )
+
+
+def max_drawdown(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Per-key maximum drawdown of the cumulative value curve — the
+    worst peak-to-trough fall of each key's running total (spend
+    curves, score trajectories, battery/quota budgets). The classic
+    three-window stack: running sum → running max → max gap, all over
+    ONE (key, time) ordering, so Spark plans a single sort per key and
+    zero extra shuffles after the keyed exchange.
+
+    Cross-engine contract: the ordering must be TOTAL — ``tiebreak_col``
+    breaks ts ties — so both engines add values in the identical
+    sequence and the running sums are bit-identical floats (the w3
+    running-total lesson); max/subtract preserve that exactness, so
+    round(…, 4) certifies.
+
+    Output per key: (key, n, final_value, peak_value, max_drawdown) —
+    drawdown as a POSITIVE number, 0.0 for monotone-rising curves.
+    """
+    order = [F.col(ts_col), F.col(tiebreak_col)]
+    wcum = (
+        Window.partitionBy(key_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy(key_col)
+    # final row picked via row_number == count — NOT last()/max_by,
+    # whose group-aggregate order is engine/plan-defined
+    curve = (
+        df.select(key_col, ts_col, tiebreak_col, value_col)
+        .withColumn("_cum", F.sum(value_col).over(wcum))
+        .withColumn("_peak", F.max("_cum").over(wcum))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(key_col).orderBy(*order)
+            ),
+        )
+        .withColumn("_nk", F.count(F.lit(1)).over(wall))
+    )
+    return curve.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.max(F.when(F.col("_rn") == F.col("_nk"), F.col("_cum"))), 4
+        ).alias("final_value"),
+        F.round(F.max("_peak"), 4).alias("peak_value"),
+        F.round(F.max(F.col("_peak") - F.col("_cum")), 4).alias(
+            "max_drawdown"
+        ),
+    )

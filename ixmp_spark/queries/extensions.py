@@ -4288,3 +4288,292 @@ def x22_chisq_independence(spark, sf_dir):
         "event_type", F.hour("ts").cast("long").alias("hour")
     )
     return chisq_independence(keyed, "event_type", "hour")
+
+
+@query(
+    "x23_mann_whitney",
+    oracle="""
+    WITH two AS (
+      SELECT event_type AS g,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ), per_v AS (
+      SELECT v,
+             CAST(sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS na,
+             CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS nb
+      FROM two GROUP BY v
+    ), ranked AS (
+      SELECT na, nb, na + nb AS t,
+             coalesce(sum(na + nb) OVER (
+               ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0.0) + (na + nb + 1) / 2 AS ar
+      FROM per_v
+    ), agg AS (
+      SELECT sum(na) AS n1, sum(nb) AS n2, sum(na * ar) AS r1,
+             sum(t * t * t - t) AS ties
+      FROM ranked
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+           r1 - n1 * (n1 + 1) / 2 AS u_a,
+           round(CASE WHEN n1 * n2 / 12 * ((n1 + n2 + 1)
+                        - ties / ((n1 + n2) * (n1 + n2 - 1))) > 0
+             THEN (r1 - n1 * (n1 + 1) / 2 - n1 * n2 / 2)
+                  / sqrt(n1 * n2 / 12 * ((n1 + n2 + 1)
+                         - ties / ((n1 + n2) * (n1 + n2 - 1))))
+             END, 4) AS z,
+           round(2 * (r1 - n1 * (n1 + 1) / 2) / (n1 * n2) - 1, 4)
+             AS rank_biserial
+    FROM agg
+    """,
+)
+def x23_mann_whitney(spark, sf_dir):
+    """Mann-Whitney U rank-sum test (mann_whitney_u): are purchase
+    values systematically larger than click values, rank-based —
+    the distribution-free two-sample screen. Values quantize to
+    integer cents with the shared floor(x·100+0.5) (the w11 lesson:
+    never engine round()); ranks then live on per-distinct-cent count
+    rows, bounded by the PRICE DOMAIN, not the event count. All rank
+    sums are exact 0.5-multiples, so the driver hash certifies z and
+    the rank-biserial effect size. The oracle restates the rank
+    identity literally."""
+    from ixmp_spark.operators.sampling import mann_whitney_u
+
+    ev = load(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    return mann_whitney_u(cents, "event_type", "cents", "purchase", "click")
+
+
+@query(
+    "x24_spearman_discount",
+    oracle="""
+    WITH base AS (
+      SELECT l_returnflag AS g, l_quantity AS x, l_discount AS y
+      FROM lineitem
+    ), rxv AS (
+      SELECT g, x,
+             coalesce(sum(CAST(count(*) AS DOUBLE)) OVER (
+               PARTITION BY g ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0.0) + (CAST(count(*) AS DOUBLE) + 1) / 2 AS rx
+      FROM base GROUP BY g, x
+    ), ryv AS (
+      SELECT g, y,
+             coalesce(sum(CAST(count(*) AS DOUBLE)) OVER (
+               PARTITION BY g ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0.0) + (CAST(count(*) AS DOUBLE) + 1) / 2 AS ry
+      FROM base GROUP BY g, y
+    ), keyed AS (
+      SELECT base.g, rx, ry
+      FROM base
+      JOIN rxv ON rxv.g = base.g AND rxv.x = base.x
+      JOIN ryv ON ryv.g = base.g AND ryv.y = base.y
+    ), agg AS (
+      SELECT g, CAST(count(*) AS DOUBLE) AS n,
+             sum(rx) AS sx, sum(ry) AS sy,
+             sum(rx * rx) AS sxx, sum(ry * ry) AS syy,
+             sum(rx * ry) AS sxy
+      FROM keyed GROUP BY g
+    )
+    SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n,
+           round(CASE WHEN n * sxx - sx * sx > 0
+                       AND n * syy - sy * sy > 0
+             THEN (n * sxy - sx * sy)
+                  / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+             END, 4) AS spearman_rho
+    FROM agg
+    """,
+)
+def x24_spearman_discount(spark, sf_dir):
+    """Per-returnflag Spearman rank correlation of quantity vs
+    discount (spearman_rho) — monotone association on two
+    DISCRETE-domain columns (50 quantities x 11 discount tiers), the
+    outlier-immune complement of Pearson corr. Average ranks live on
+    per-(flag, value) count rows — bounded by the value domains —
+    joined back broadcast; rho is the exact product-moment identity
+    on 0.5-multiple ranks, order-independent exact at this scale, so
+    the driver hash certifies it. The oracle replays ranks and
+    identity literally."""
+    from ixmp_spark.operators.sampling import spearman_rho
+
+    li = load(spark, sf_dir, "lineitem")
+    out = spearman_rho(li, "l_returnflag", "l_quantity", "l_discount")
+    return out.withColumnRenamed("_g", "l_returnflag")
+
+
+@query(
+    "x25_mutual_information",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type AS r, CAST(hour(ts) AS BIGINT) AS c,
+             CAST(count(*) AS DOUBLE) AS n
+      FROM events GROUP BY event_type, hour(ts)
+    ), rt AS (SELECT r, sum(n) AS rtot FROM cells GROUP BY r),
+    ct AS (SELECT c, sum(n) AS ctot FROM cells GROUP BY c),
+    agg AS (
+      SELECT sum(cells.n) AS n,
+             sum(cells.n * ln(cells.n)) AS s1,
+             sum(cells.n * ln(rtot)) AS s2,
+             sum(cells.n * ln(ctot)) AS s3
+      FROM cells
+      JOIN rt ON rt.r = cells.r JOIN ct ON ct.c = cells.c
+    ), stats AS (
+      SELECT n, (s1 - s2 - s3) / n + ln(n) AS mi,
+             ln(n) - s2 / n AS hr, ln(n) - s3 / n AS hc
+      FROM agg
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           round(hr, 4) AS h_row, round(hc, 4) AS h_col,
+           round(greatest(mi, 0.0), 4) AS mi,
+           round(CASE WHEN hr > 0 AND hc > 0
+             THEN greatest(mi / sqrt(hr * hc), 0.0) END, 4) AS nmi
+    FROM stats
+    """,
+)
+def x25_mutual_information(spark, sf_dir):
+    """Mutual information + sqrt-normalized MI between event type and
+    hour-of-day (mutual_information) — HOW MUCH the clock tells you
+    about the event mix, the effect-size companion to x22's
+    chi-square on the same grid. Zero cells contribute exactly zero,
+    so unlike x22 no grid zero-fill is needed: observed cells alone
+    carry the statistic via the log-sum decomposition (no grand-total
+    join). One count aggregation; marginals broadcast. The oracle
+    restates the same decomposition."""
+    from ixmp_spark.operators.sampling import mutual_information
+
+    ev = load(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_type", F.hour("ts").cast("long").alias("hour")
+    )
+    return mutual_information(keyed, "event_type", "hour")
+
+
+@query(
+    "x26_degree_assortativity",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+    ), e AS (
+      SELECT a.l_suppkey AS src, b.l_suppkey AS dst
+      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_suppkey < b.l_suppkey
+    ), ed AS (
+      SELECT DISTINCT src, dst FROM e
+    ), sym AS (
+      SELECT src AS u, dst AS v FROM ed
+      UNION ALL SELECT dst AS u, src AS v FROM ed
+    ), deg AS (
+      SELECT u, CAST(count(*) AS DOUBLE) AS d FROM sym GROUP BY u
+    ), pairs AS (
+      SELECT du.d AS dx, dv.d AS dy
+      FROM sym JOIN deg du ON du.u = sym.u JOIN deg dv ON dv.u = sym.v
+    ), agg AS (
+      SELECT CAST(count(*) AS DOUBLE) AS m,
+             sum(dx) AS sx, sum(dy) AS sy,
+             sum(dx * dx) AS sxx, sum(dy * dy) AS syy,
+             sum(dx * dy) AS sxy
+      FROM pairs
+    )
+    SELECT (SELECT count(*) FROM deg) AS n_nodes,
+           CAST(m / 2 AS BIGINT) AS n_edges,
+           round(CASE WHEN m * sxx - sx * sx > 0
+                       AND m * syy - sy * sy > 0
+             THEN (m * sxy - sx * sy)
+                  / sqrt((m * sxx - sx * sx) * (m * syy - sy * sy))
+             END, 4) AS assortativity
+    FROM agg
+    """,
+)
+def x26_degree_assortativity(spark, sf_dir):
+    """Degree assortativity of the co-supplier graph
+    (degree_assortativity): do high-degree suppliers co-occur with
+    other hubs (r>0) or with specialists (r<0)? One number that says
+    whether the graph family's hub guards (x16's max_center_degree,
+    x17's peel) will bite BEFORE running them. Newman's r over both
+    edge directions via the exact integer-degree product-moment
+    identity. The oracle replays adjacency, degrees and identity."""
+    from ixmp_spark.operators.joins import degree_assortativity
+
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+        .select(
+            F.col("a.l_suppkey").alias("src"),
+            F.col("b.l_suppkey").alias("dst"),
+        )
+        .distinct()
+    )
+    return degree_assortativity(edges)
+
+
+@query(
+    "w31_max_drawdown",
+    oracle="""
+    WITH signed AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN event_type IN ('purchase', 'signup')
+                  THEN value ELSE -value END AS v
+      FROM events
+    ), cumulated AS (
+      SELECT user_id, ts, event_id,
+             sum(v) OVER w AS cum,
+             row_number() OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS nk
+      FROM signed
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), curve AS (
+      SELECT user_id, cum, rn, nk,
+             max(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS peak
+      FROM cumulated
+    )
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+           round(max(CASE WHEN rn = nk THEN cum END), 4)
+             AS final_value,
+           round(max(peak), 4) AS peak_value,
+           round(max(peak - cum), 4) AS max_drawdown
+    FROM curve GROUP BY user_id
+    """,
+)
+def w31_max_drawdown(spark, sf_dir):
+    """Per-user maximum drawdown (max_drawdown) of the signed value
+    curve (purchases/signups credit, everything else debits) — the
+    worst peak-to-trough fall of each user's running balance, the
+    window-stack readout quant desks and quota monitors both run.
+    One keyed sort carries running sum, running peak, and the final
+    row pick (row_number == count — NOT last(), whose aggregate
+    order is plan-defined); identical (ts, event_id) ordering makes
+    the running floats bit-identical cross-engine (the w3 lesson).
+    The oracle replays the window stack."""
+    from ixmp_spark.operators.sessions import max_drawdown
+
+    ev = load(spark, sf_dir, "events")
+    signed = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("event_type").isin(["purchase", "signup"]),
+            F.col("value"),
+        )
+        .otherwise(-F.col("value"))
+        .alias("v"),
+    )
+    return max_drawdown(signed, "user_id", "ts", "v", "event_id")

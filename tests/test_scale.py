@@ -5440,3 +5440,195 @@ def test_chisq_independence(spark):
     deg = spark.createDataFrame([("a", "x"), ("b", "x")], "r string, c string")
     gd = chisq_independence(deg, "r", "c").collect()[0]
     assert gd["dof"] == 0 and gd["chi2"] is None
+
+
+def _mw_reference(a, b):
+    """Pure-Python Mann-Whitney U (tie-corrected z, no continuity
+    correction) — the replay the distributed rank identity must match."""
+    import math
+
+    allv = sorted(set(a) | set(b))
+    cnt = {v: a.count(v) + b.count(v) for v in allv}
+    cum, ar = 0.0, {}
+    for v in allv:
+        ar[v] = cum + (cnt[v] + 1) / 2
+        cum += cnt[v]
+    n1, n2 = len(a), len(b)
+    r1 = sum(ar[v] for v in a)
+    u1 = r1 - n1 * (n1 + 1) / 2
+    ties = sum(t**3 - t for t in cnt.values())
+    n = n1 + n2
+    sig2 = n1 * n2 / 12 * ((n + 1) - ties / (n * (n - 1)))
+    z = (u1 - n1 * n2 / 2) / math.sqrt(sig2) if sig2 > 0 else None
+    rb = 2 * u1 / (n1 * n2) - 1
+    return u1, z, rb
+
+
+def test_mann_whitney_hand_and_replay(spark):
+    """mann_whitney_u matches the hand U on a textbook case, the
+    pure-Python replay under heavy ties, and flips sign with the
+    group order."""
+    from ixmp_spark.operators.sampling import mann_whitney_u
+
+    # disjoint: A all above B -> U1 = n1*n2 (A wins every pair)
+    rows = [("A", v) for v in (7, 8, 9)] + [("B", v) for v in (1, 2, 3, 4)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    got = mann_whitney_u(df, "g", "v", "A", "B").collect()[0]
+    assert (got["n_a"], got["n_b"], got["u_a"]) == (3, 4, 12.0)
+    assert got["rank_biserial"] == 1.0
+
+    # heavy ties: replay check
+    a = [1, 2, 2, 3, 5, 5, 5, 9]
+    b = [2, 2, 4, 5, 6, 6]
+    df2 = spark.createDataFrame(
+        [("A", v) for v in a] + [("B", v) for v in b], "g string, v int"
+    )
+    g2 = mann_whitney_u(df2, "g", "v", "A", "B").collect()[0]
+    u1, z, rb = _mw_reference(a, b)
+    assert g2["u_a"] == u1
+    assert g2["z"] == round(z, 4)
+    assert g2["rank_biserial"] == round(rb, 4)
+
+    # antisymmetry: swapping the groups negates z and rank-biserial
+    g3 = mann_whitney_u(df2, "g", "v", "B", "A").collect()[0]
+    assert g3["rank_biserial"] == -g2["rank_biserial"]
+    assert abs(g3["z"] + g2["z"]) <= 1e-3  # z uses U_b: sign flip
+
+    # all-tied: zero variance -> z NULL, U at midpoint
+    df4 = spark.createDataFrame(
+        [("A", 5)] * 3 + [("B", 5)] * 2, "g string, v int"
+    )
+    g4 = mann_whitney_u(df4, "g", "v", "A", "B").collect()[0]
+    assert g4["z"] is None and g4["u_a"] == 3.0  # n1*n2/2
+
+
+def test_spearman_rho_pinned(spark):
+    """spearman_rho: +1 on a monotone map, -1 on a reversed one,
+    exact hand value under ties, NULL on a constant column."""
+    from ixmp_spark.operators.sampling import spearman_rho
+
+    inc = [("g", x, x * 10) for x in range(1, 8)]
+    dec = [("h", x, 80 - x * 10) for x in range(1, 8)]
+    df = spark.createDataFrame(inc + dec, "k string, x int, y int")
+    got = {
+        r["k"]: r["spearman_rho"]
+        for r in spearman_rho(df, "k", "x", "y").collect()
+    }
+    assert got == {"g": 1.0, "h": -1.0}
+
+    # ties: x=(1,2,2,3), y=(1,3,2,4) -> avg ranks rx=(1,2.5,2.5,4),
+    # ry=(1,3,2,4); hand rho = 0.9487 (pearson of those ranks)
+    t = spark.createDataFrame(
+        [("t", 1, 1), ("t", 2, 3), ("t", 2, 2), ("t", 3, 4)],
+        "k string, x int, y int",
+    )
+    rho = spearman_rho(t, "k", "x", "y").collect()[0]["spearman_rho"]
+    import math
+
+    rx, ry = [1, 2.5, 2.5, 4], [1, 3, 2, 4]
+    n = 4.0
+    sx, sy = sum(rx), sum(ry)
+    sxx = sum(v * v for v in rx)
+    syy = sum(v * v for v in ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    hand = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    assert rho == round(hand, 4)
+
+    const = spark.createDataFrame(
+        [("c", 1, 5), ("c", 2, 5)], "k string, x int, y int"
+    )
+    assert (
+        spearman_rho(const, "k", "x", "y").collect()[0]["spearman_rho"]
+        is None
+    )
+
+
+def test_mutual_information_pinned(spark):
+    """mutual_information: 0 on an independent grid, ln(k) with
+    nmi=1 on a bijection, NULL nmi on a constant column."""
+    import math
+
+    from ixmp_spark.operators.sampling import mutual_information
+
+    ind = spark.createDataFrame(
+        [("a", "x")] * 6 + [("a", "y")] * 6
+        + [("b", "x")] * 6 + [("b", "y")] * 6,
+        "r string, c string",
+    )
+    gi = mutual_information(ind, "r", "c").collect()[0]
+    assert gi["mi"] == 0.0 and gi["nmi"] == 0.0
+
+    bij = spark.createDataFrame(
+        [("a", "x")] * 5 + [("b", "y")] * 5 + [("c", "z")] * 5,
+        "r string, c string",
+    )
+    gb = mutual_information(bij, "r", "c").collect()[0]
+    assert gb["mi"] == round(math.log(3), 4)
+    assert gb["h_row"] == gb["h_col"] == gb["mi"]
+    assert gb["nmi"] == 1.0
+
+    const = spark.createDataFrame(
+        [("a", "x"), ("b", "x")], "r string, c string"
+    )
+    gc = mutual_information(const, "r", "c").collect()[0]
+    assert gc["h_col"] == 0.0 and gc["mi"] == 0.0 and gc["nmi"] is None
+
+
+def test_degree_assortativity_pinned(spark):
+    """degree_assortativity: exactly -1 on a star (hubs meet only
+    leaves), NULL on a degree-regular complete graph, and the
+    node/edge counts are real."""
+    from ixmp_spark.operators.joins import degree_assortativity
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src int, dst int"
+    )
+    gs = degree_assortativity(star).collect()[0]
+    assert (gs["n_nodes"], gs["n_edges"]) == (6, 5)
+    assert gs["assortativity"] == -1.0
+
+    k4 = spark.createDataFrame(
+        [(i, j) for i in range(4) for j in range(i + 1, 4)],
+        "src int, dst int",
+    )
+    gk = degree_assortativity(k4).collect()[0]
+    assert (gk["n_nodes"], gk["n_edges"]) == (4, 6)
+    assert gk["assortativity"] is None
+
+
+def test_max_drawdown_pinned(spark):
+    """max_drawdown: hand curve (peak 10 -> trough -2 => dd 12),
+    zero on a monotone-rising curve, ties broken by the tiebreak
+    column, keys independent."""
+    from datetime import datetime
+
+    from ixmp_spark.operators.sessions import max_drawdown
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        ("u", t0.replace(hour=h), i, v)
+        for h, i, v in [
+            (1, 1, 10.0), (2, 2, -5.0), (3, 3, -3.0),
+            (4, 4, 2.0), (5, 5, -6.0),
+        ]
+    ] + [("m", t0.replace(hour=h), h, 1.0) for h in range(1, 5)]
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp, id int, v double"
+    )
+    got = {r["k"]: r for r in max_drawdown(df, "k", "ts", "v", "id").collect()}
+    assert got["u"]["max_drawdown"] == 12.0
+    assert got["u"]["final_value"] == -2.0
+    assert got["u"]["peak_value"] == 10.0
+    assert got["m"]["max_drawdown"] == 0.0
+    assert got["m"]["final_value"] == 4.0
+
+    # equal-ts rows: order decided by the tiebreak id (+5 first
+    # -> peak 5, then -4 => dd 9; wrong order would report dd 4)
+    tie = spark.createDataFrame(
+        [("t", t0, 1, 5.0), ("t", t0, 2, -9.0)],
+        "k string, ts timestamp, id int, v double",
+    )
+    gt = max_drawdown(tie, "k", "ts", "v", "id").collect()[0]
+    assert gt["max_drawdown"] == 9.0 and gt["final_value"] == -4.0
