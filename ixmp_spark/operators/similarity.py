@@ -1130,3 +1130,87 @@ def mips_augment(
     )
     out = base.withColumn(out_col, aug)
     return out.drop("__m2") if max_norm is None else out
+
+
+def mmr_rerank(
+    df: DataFrame,
+    probe: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    lambda_: float = 0.7,
+    candidates: int = 100,
+) -> DataFrame:
+    """Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998):
+    top-k results that balance relevance to the probe against
+    redundancy with what's already picked —
+    ``argmax λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)``. The diversity
+    pass every retrieval stack runs after ANN: without it, a top-10 of
+    near-duplicates answers one question ten times (few-shot example
+    selection and RAG context packing both need coverage, not echoes).
+
+    Two stages with an honest distributed/driver split:
+
+    1. candidate generation is the e1 scan — broadcast 1-row probe,
+       map-only cosine over the corpus, ``TakeOrderedAndProject``
+       keeps ``candidates`` rows. This is the stage that sees 100 TB.
+    2. the greedy selection is inherently sequential (pick t+1 depends
+       on picks 1..t), so it runs on the CANDIDATE SET ONLY — a
+       (candidates × dim) block, bounded by construction like the
+       BM25 query-term collects — as exact driver-side float64 math,
+       then returns as a 1-partition frame.
+
+    λ=1 reproduces pure relevance order; λ=0 is pure anti-redundancy.
+    Ties (exact-duplicate scores) break by candidate rank so the
+    output is deterministic. Output: (rank 1..k, id, relevance,
+    mmr_score) in pick order.
+
+    Reference-free extension (no ixmp counterpart); the operator is
+    deliberately NOT oracle-paired — the greedy argmax chain is not
+    expressible as set SQL — and is pinned instead by the planted
+    diversity test + the λ=1 ≡ relevance-order equivalence.
+    """
+    if not 0.0 <= lambda_ <= 1.0:
+        raise ValueError(f"lambda_ must be in [0, 1], got {lambda_}")
+    cand = (
+        brute_force_topk(
+            df, probe, id_col, vec_col, k=candidates, exclude_self=True
+        )
+        .join(df.select(id_col, vec_col), id_col)
+        .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
+        .collect()
+    )
+    if not cand:
+        return df.sparkSession.createDataFrame(
+            [], f"rank int, {id_col} long, relevance double,"
+            " mmr_score double"
+        )
+    import numpy as np
+
+    ids = [r[id_col] for r in cand]
+    rel = np.array([r["cosine_sim"] for r in cand], dtype=np.float64)
+    mat = np.array([r[vec_col] for r in cand], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = 1.0
+    unit = mat / norms[:, None]
+    sims = unit @ unit.T  # candidate-candidate cosine, bounded k²
+    picked: list[int] = []
+    out_rows = []
+    avail = list(range(len(ids)))
+    for rank in range(1, min(k, len(ids)) + 1):
+        if picked:
+            redundancy = sims[np.ix_(avail, picked)].max(axis=1)
+        else:
+            redundancy = np.zeros(len(avail))
+        score = lambda_ * rel[avail] - (1.0 - lambda_) * redundancy
+        best = int(np.argmax(score))  # first max = lowest candidate rank
+        idx = avail[best]
+        out_rows.append(
+            (rank, ids[idx], float(rel[idx]), round(float(score[best]), 6))
+        )
+        picked.append(idx)
+        avail.pop(best)
+    return df.sparkSession.createDataFrame(
+        out_rows,
+        f"rank int, {id_col} long, relevance double, mmr_score double",
+    )

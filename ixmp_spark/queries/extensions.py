@@ -4577,3 +4577,57 @@ def w31_max_drawdown(spark, sf_dir):
         .alias("v"),
     )
     return max_drawdown(signed, "user_id", "ts", "v", "event_id")
+
+
+@query("x27_bradley_terry", oracle=None)
+def x27_bradley_terry(spark, sf_dir):
+    """Bradley-Terry supplier strengths (bradley_terry) from
+    within-order price duels: in every order, each supplier pair
+    'competes' and the higher-extendedprice line wins — unbalanced
+    schedules (suppliers meet different opponents different numbers
+    of times) are exactly what BT handles and naive win-rate does
+    not. Comparisons collapse once to the supplier-pair grid; MM
+    iterations run on item-sized frames with per-round lazy
+    checkpoints (the pagerank discipline). Rows-only: the MM
+    fixpoint is not set-SQL; pinned by the planted-strengths
+    recovery test instead."""
+    from ixmp_spark.operators.joins import bradley_terry
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    duels = (
+        a.join(b, "l_orderkey")
+        .where(
+            (F.col("a.l_suppkey") != F.col("b.l_suppkey"))
+            & (F.col("a.l_extendedprice") > F.col("b.l_extendedprice"))
+        )
+        .select(
+            F.col("a.l_suppkey").alias("winner"),
+            F.col("b.l_suppkey").alias("loser"),
+        )
+    )
+    return bradley_terry(duels, tol=1e-4).orderBy(
+        F.col("strength").desc(), F.col("item")
+    )
+
+
+@query("p23_mmr_rerank", oracle=None)
+def p23_mmr_rerank(spark, sf_dir):
+    """MMR-diversified top-10 (mmr_rerank, lambda=0.7) around the
+    min-id probe embedding — e1's relevance scan plus the greedy
+    anti-redundancy pass a RAG context packer runs so the window
+    carries ten answers, not one answer ten times. Candidate scan is
+    distributed (broadcast probe, TakeOrdered 100); the greedy chain
+    runs on the bounded candidate block. Rows-only: greedy argmax is
+    not set-SQL; pinned by the planted near-duplicate test and the
+    lambda=1 ≡ relevance-order equivalence."""
+    from ixmp_spark.operators.similarity import mmr_rerank
+
+    emb = load(spark, sf_dir, "embeddings")
+    probe = emb.orderBy("vec_id").limit(1)
+    return mmr_rerank(
+        emb, probe, "vec_id", "embedding", k=10, lambda_=0.7,
+        candidates=100,
+    )
