@@ -1113,7 +1113,14 @@ def chisq_independence(
 
     Output: one row — (n, n_rows, n_cols, dof, chi2, cramers_v).
     Degenerate 1×c / r×1 tables return dof 0 and NULL statistics.
+    NULL categories are excluded up front (a NULL is "not observed",
+    not a category): without the filter the grid's non-null-safe
+    [_r,_c] join drops NULL cells' observed counts while their mass
+    stays in N and the marginals, biasing χ² on independent data.
     """
+    df = df.where(
+        F.col(row_col).isNotNull() & F.col(col_col).isNotNull()
+    )
     cells = df.groupBy(
         F.col(row_col).alias("_r"), F.col(col_col).alias("_c")
     ).agg(F.count(F.lit(1)).cast("double").alias("_n"))
@@ -1187,8 +1194,13 @@ def mann_whitney_u(
     the tie-corrected normal approximation (no continuity correction;
     documented, matched by the oracle literally).
     """
-    two = df.where(F.col(group_col).isin([group_a, group_b])).select(
-        F.col(group_col).alias("_g"), F.col(value_col).alias("_v")
+    two = (
+        df.where(F.col(group_col).isin([group_a, group_b]))
+        # NULL values carry no rank: without this they'd sort as a
+        # real lowest category (NULL FIRST in the cumulative window),
+        # inflating n_a/n_b and biasing U/z/rank-biserial
+        .where(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("_g"), F.col(value_col).alias("_v"))
     )
     per_v = two.groupBy("_v").agg(
         F.sum(F.when(F.col("_g") == group_a, 1).otherwise(0))
@@ -1252,8 +1264,14 @@ def spearman_rho(
     every term is a multiple of 0.25, so the sums are order-independent
     EXACT while ``n·rank² < 2^52`` (~n ≤ 2e5 per group; shard beyond
     that). The one division+sqrt happens on bit-identical inputs in
-    both engines; output rounded to 4.
+    both engines; output rounded to 4. Rows with a NULL in EITHER
+    column are excluded before ranking (pairwise-complete): a NULL
+    row must not shift the other values' average ranks only to be
+    dropped at the join.
     """
+    df = df.where(
+        F.col(x_col).isNotNull() & F.col(y_col).isNotNull()
+    )
 
     def _avg_ranks(col: str, out: str) -> DataFrame:
         per = df.groupBy(
@@ -1326,7 +1344,14 @@ def mutual_information(
     when either entropy is 0 (a constant column shares no
     information). Output one row: (n, h_row, h_col, mi, nmi),
     rounded to 4; the oracle must restate the SAME decomposition.
+    NULL categories are excluded up front (same contract as
+    ``chisq_independence``): the non-null-safe marginal joins would
+    otherwise drop NULL cells from the joint sum while their mass
+    stayed inside the marginal totals.
     """
+    df = df.where(
+        F.col(row_col).isNotNull() & F.col(col_col).isNotNull()
+    )
     cells = df.groupBy(
         F.col(row_col).alias("_r"), F.col(col_col).alias("_c")
     ).agg(F.count(F.lit(1)).cast("double").alias("_n"))

@@ -1634,8 +1634,13 @@ def redact_cards(col, placeholder: str = "<CARD>") -> Column:
     (digit runs, non-digit boundaries), each validated by ONE
     ``aggregate`` fold over its reversed digits (double every second
     digit from the right, subtract 9 over 9, sum % 10 == 0), and the
-    validated list folds back over the text with ``replace`` — no UDF,
-    map-only, each lambda touches only its own candidate string.
+    validated list folds back over the text with a BOUNDARY-ANCHORED
+    ``regexp_replace`` (``(^|[^0-9])card([^0-9]|$)``) — a plain
+    substring replace would also rewrite a valid card that happens to
+    occur INSIDE a longer (>19 digit, non-candidate) run elsewhere in
+    the document, corrupting non-card digit strings. No UDF, map-only,
+    each lambda touches only its own candidate string. ``placeholder``
+    must not contain regex-replacement metacharacters (``$`` / ``\\``).
     """
     c = col if not isinstance(col, str) else F.col(col)
     # maximal [0-9]+ runs filtered by length ≡ boundary-guarded
@@ -1667,7 +1672,13 @@ def redact_cards(col, placeholder: str = "<CARD>") -> Column:
 
     valid = F.filter(cands, luhn_ok)
     return F.aggregate(
-        valid, c, lambda acc, card: F.replace(acc, card, F.lit(placeholder))
+        valid,
+        c,
+        lambda acc, card: F.regexp_replace(
+            acc,
+            F.concat(F.lit("(^|[^0-9])"), card, F.lit("([^0-9]|$)")),
+            F.lit("$1" + placeholder + "$2"),
+        ),
     )
 
 

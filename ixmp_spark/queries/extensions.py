@@ -4241,7 +4241,9 @@ def w30_period_over_period(spark, sf_dir):
     WITH cells AS (
       SELECT event_type AS r, CAST(hour(ts) AS BIGINT) AS c,
              CAST(count(*) AS DOUBLE) AS n
-      FROM events GROUP BY event_type, hour(ts)
+      FROM events
+      WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      GROUP BY event_type, hour(ts)
     ), rt AS (SELECT r, sum(n) AS rtot FROM cells GROUP BY r),
     ct AS (SELECT c, sum(n) AS ctot FROM cells GROUP BY c),
     tot AS (SELECT sum(n) AS t FROM cells),
@@ -4297,6 +4299,7 @@ def x22_chisq_independence(spark, sf_dir):
       SELECT event_type AS g,
              CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
       FROM events WHERE event_type IN ('purchase', 'click')
+        AND value IS NOT NULL
     ), per_v AS (
       SELECT v,
              CAST(sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END)
@@ -4357,6 +4360,7 @@ def x23_mann_whitney(spark, sf_dir):
     WITH base AS (
       SELECT l_returnflag AS g, l_quantity AS x, l_discount AS y
       FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
     ), rxv AS (
       SELECT g, x,
              coalesce(sum(CAST(count(*) AS DOUBLE)) OVER (
@@ -4415,7 +4419,9 @@ def x24_spearman_discount(spark, sf_dir):
     WITH cells AS (
       SELECT event_type AS r, CAST(hour(ts) AS BIGINT) AS c,
              CAST(count(*) AS DOUBLE) AS n
-      FROM events GROUP BY event_type, hour(ts)
+      FROM events
+      WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      GROUP BY event_type, hour(ts)
     ), rt AS (SELECT r, sum(n) AS rtot FROM cells GROUP BY r),
     ct AS (SELECT c, sum(n) AS ctot FROM cells GROUP BY c),
     agg AS (

@@ -847,7 +847,9 @@ def t24_readability(spark, sf_dir):
     SELECT c.doc_id,
            list_reduce(
              list_prepend(c.payload, coalesce(v.ok, [])),
-             (acc, x) -> replace(acc, x, '<CARD>')
+             (acc, x) -> regexp_replace(
+               acc, '(^|[^0-9])' || x || '([^0-9]|$)',
+               '\\1<CARD>\\2', 'g')
            ) AS redacted
     FROM cand c LEFT JOIN valid v USING (doc_id)
     """,

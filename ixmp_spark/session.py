@@ -53,8 +53,12 @@ def get_spark(
         # inflated shuffle-heavy bench queries ~1.3-1.9x. RAM-backed
         # /dev/shm (126 GB, empty) takes the local dirs out of that
         # noise — the local[32] analogue of the NVMe-local-dir rule on
-        # a real cluster. Overridable; falls back to Spark's default
-        # when the path is absent.
+        # a real cluster. Tradeoff (deliberate, bench-scale only):
+        # tmpfs "spill" consumes RAM, so under real memory pressure it
+        # degrades to OOM rather than to disk — on a production
+        # deployment set IXMP_SPARK_LOCAL_DIR to fast DISK so spills
+        # spill. Env-overridable; hard fallback is /tmp when /dev/shm
+        # is absent.
         .config(
             "spark.local.dir",
             os.environ.get(

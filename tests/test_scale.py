@@ -5576,6 +5576,90 @@ def test_mutual_information_pinned(spark):
     assert gc["h_col"] == 0.0 and gc["mi"] == 0.0 and gc["nmi"] is None
 
 
+def test_stat_family_null_exclusion(spark):
+    """NULL categories / values are EXCLUDED, not ranked-or-vanished
+    (the r8 ADVICE class): chi-square on an independent table plus a
+    NULL row-category must stay 0 (before the fix the non-null-safe
+    grid join dropped the NULL cells' observed counts while their
+    mass stayed in N/marginals -> chi2=2.0, V=0.577); Mann-Whitney /
+    Spearman / MI with NULL rows must equal the same data without
+    them (before, a NULL value ranked as a real lowest category)."""
+    from ixmp_spark.operators.sampling import (
+        chisq_independence,
+        mann_whitney_u,
+        mutual_information,
+        spearman_rho,
+    )
+
+    # ADVICE repro: perfectly independent 2x2 + one NULL row-category
+    ind_null = spark.createDataFrame(
+        [("a", "x")] * 10 + [("a", "y")] * 10
+        + [("b", "x")] * 10 + [("b", "y")] * 10
+        + [(None, "x")] * 4,
+        "r string, c string",
+    )
+    g = chisq_independence(ind_null, "r", "c").collect()[0]
+    assert g["chi2"] == 0.0 and g["cramers_v"] == 0.0
+    assert g["n"] == 40 and g["n_rows"] == 2  # NULL is not a category
+
+    clean = [("A", 5.0), ("A", 7.0), ("B", 3.0), ("B", 6.0), ("B", 9.0)]
+    base = spark.createDataFrame(clean, "g string, v double")
+    with_null = spark.createDataFrame(
+        clean + [("A", None), ("B", None)], "g string, v double"
+    )
+    want = mann_whitney_u(base, "g", "v", "A", "B").collect()[0]
+    got = mann_whitney_u(with_null, "g", "v", "A", "B").collect()[0]
+    assert got.asDict() == want.asDict()
+    assert got["n_a"] == 2  # NULL did not count as an A observation
+
+    xy = [("g", 1.0, 2.0), ("g", 2.0, 3.0), ("g", 3.0, 1.0),
+          ("g", 4.0, 4.0)]
+    sb = spark.createDataFrame(xy, "k string, x double, y double")
+    sn = spark.createDataFrame(
+        xy + [("g", None, 9.0), ("g", 0.5, None)],
+        "k string, x double, y double",
+    )
+    assert (
+        spearman_rho(sn, "k", "x", "y").collect()[0].asDict()
+        == spearman_rho(sb, "k", "x", "y").collect()[0].asDict()
+    )
+
+    mi_null = spark.createDataFrame(
+        [("a", "x")] * 5 + [("b", "y")] * 5 + [(None, "y")] * 3
+        + [("a", None)] * 3,
+        "r string, c string",
+    )
+    gm = mutual_information(mi_null, "r", "c").collect()[0]
+    assert gm["n"] == 10 and gm["nmi"] == 1.0  # clean bijection remains
+
+
+def test_redact_cards_boundary_anchored(spark):
+    """A Luhn-valid card that ALSO occurs as a substring of a longer
+    non-candidate digit run must be masked standalone but left intact
+    inside the long run (the r8 ADVICE class: plain substring replace
+    corrupted the long run)."""
+    from ixmp_spark.operators.text import redact_cards
+
+    card = "4539578763621486"  # Luhn-valid 16-digit
+    long_run = "11" + card + "22"  # 20 digits: not a candidate
+    s = f"pay {card} audit {long_run} done"
+    df = spark.createDataFrame([(1, s)], "id int, s string")
+    got = df.select(redact_cards("s").alias("r")).collect()[0]["r"]
+    assert got == f"pay <CARD> audit {long_run} done"
+    # boundary at string edges still masks
+    edge = spark.createDataFrame([(1, card)], "id int, s string")
+    assert edge.select(
+        redact_cards("s").alias("r")
+    ).collect()[0]["r"] == "<CARD>"
+    # repeated occurrences of the same card all mask
+    rep = spark.createDataFrame(
+        [(1, f"{card} and {card}")], "id int, s string"
+    )
+    assert rep.select(
+        redact_cards("s").alias("r")
+    ).collect()[0]["r"] == "<CARD> and <CARD>"
+
+
 def test_degree_assortativity_pinned(spark):
     """degree_assortativity: exactly -1 on a star (hubs meet only
     leaves), NULL on a degree-regular complete graph, and the
