@@ -1167,8 +1167,9 @@ def mmr_rerank(
 
     Reference-free extension (no ixmp counterpart); the operator is
     deliberately NOT oracle-paired — the greedy argmax chain is not
-    expressible as set SQL — and is pinned instead by the planted
-    diversity test + the λ=1 ≡ relevance-order equivalence.
+    expressible as set SQL — and is pinned instead by
+    tests/test_scale.py::test_mmr_rerank_pinned (planted
+    exact-duplicate demotion + λ=1 ≡ relevance-order equivalence).
     """
     if not 0.0 <= lambda_ <= 1.0:
         raise ValueError(f"lambda_ must be in [0, 1], got {lambda_}")

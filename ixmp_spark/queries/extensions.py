@@ -4588,26 +4588,33 @@ def w31_max_drawdown(spark, sf_dir):
 @query("x27_bradley_terry", oracle=None)
 def x27_bradley_terry(spark, sf_dir):
     """Bradley-Terry supplier strengths (bradley_terry) from
-    within-order price duels: in every order, each supplier pair
-    'competes' and the higher-extendedprice line wins — unbalanced
+    within-order revenue duels: lineitem first PRE-AGGREGATES to one
+    row per (order, supplier) — total extendedprice — so the
+    within-order self-join explodes on SUPPLIERS per order, not
+    lines² (the r8 verdict's pre-aggregate-before-the-pair-grid
+    fix); the higher-revenue supplier wins each duel. Unbalanced
     schedules (suppliers meet different opponents different numbers
     of times) are exactly what BT handles and naive win-rate does
-    not. Comparisons collapse once to the supplier-pair grid; MM
-    iterations run on item-sized frames with per-round lazy
-    checkpoints (the pagerank discipline). Rows-only: the MM
-    fixpoint is not set-SQL; pinned by the planted-strengths
-    recovery test instead."""
+    not. Comparisons collapse once to the supplier-pair grid; the
+    grid is supplier²-bounded, so at this scale the exact numpy
+    fixpoint fast path runs (zero per-round Spark jobs) — the
+    distributed MM loop takes over past driver_max_pairs. Rows-only:
+    the MM fixpoint is not set-SQL; pinned by
+    test_bradley_terry_planted_recovery (exact planted-strengths
+    recovery, prior=0) + the driver≡distributed equivalence test."""
     from ixmp_spark.operators.joins import bradley_terry
 
-    li = load(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey", "l_extendedprice"
+    per_supp = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum("l_extendedprice").alias("rev"))
     )
-    a, b = li.alias("a"), li.alias("b")
+    a, b = per_supp.alias("a"), per_supp.alias("b")
     duels = (
         a.join(b, "l_orderkey")
         .where(
             (F.col("a.l_suppkey") != F.col("b.l_suppkey"))
-            & (F.col("a.l_extendedprice") > F.col("b.l_extendedprice"))
+            & (F.col("a.rev") > F.col("b.rev"))
         )
         .select(
             F.col("a.l_suppkey").alias("winner"),
@@ -4627,8 +4634,9 @@ def p23_mmr_rerank(spark, sf_dir):
     carries ten answers, not one answer ten times. Candidate scan is
     distributed (broadcast probe, TakeOrdered 100); the greedy chain
     runs on the bounded candidate block. Rows-only: greedy argmax is
-    not set-SQL; pinned by the planted near-duplicate test and the
-    lambda=1 ≡ relevance-order equivalence."""
+    not set-SQL; pinned by test_mmr_rerank_pinned (planted
+    near-duplicate demotion + lambda=1 ≡ relevance-order
+    equivalence)."""
     from ixmp_spark.operators.similarity import mmr_rerank
 
     emb = load(spark, sf_dir, "embeddings")

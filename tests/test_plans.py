@@ -70,6 +70,51 @@ def test_full_catalog_plan_audit(spark, sf_dir):
     assert not flagged, "plan audit flags:\n" + "\n".join(flagged)
 
 
+def test_rows_only_queries_have_tests():
+    """Every rows-only catalog query (oracle=None) must be NAMED
+    somewhere under tests/ — the r8 snapshot guard: an oracle-paired
+    query always has the parity gate, but a rows-only query without a
+    pinning test has NOTHING (the x27/p23 class: swept into the
+    close-out commit with docstrings claiming tests that did not
+    exist). Registering a rows-only query IS registering the
+    obligation to name it in a test.
+
+    A query counts as covered when tests/ mentions the query name
+    itself OR any operator the wrapper imports from ixmp_spark
+    (the wrapper body is orchestration; the operator is what the
+    pinning test exercises)."""
+    import inspect
+    import pathlib
+    import re
+
+    from ixmp_spark.queries import ORACLES
+
+    tests_dir = pathlib.Path(__file__).parent
+    corpus = "\n".join(
+        p.read_text() for p in sorted(tests_dir.glob("*.py"))
+    )
+    missing = []
+    for name in sorted(QUERIES):
+        if name in ORACLES or name in corpus:
+            continue
+        src = inspect.getsource(QUERIES[name])
+        ops = re.findall(
+            r"from ixmp_spark\.\S+ import \(([^)]+)\)", src
+        ) + re.findall(r"from ixmp_spark\.\S+ import ([\w, ]+)", src)
+        names = {
+            n.strip() for group in ops for n in group.split(",")
+        }
+        # module-level imports don't show in the function source; the
+        # operator-named suffix of the query id is the fallback key
+        names.add(name.split("_", 1)[1])
+        if not any(n and n in corpus for n in names):
+            missing.append(name)
+    assert not missing, (
+        "rows-only queries with no test naming them or their "
+        f"operator (add a pinning test): {missing}"
+    )
+
+
 def test_topk_is_take_ordered(spark, sf_dir):
     plan = formatted_plan(QUERIES["o1_topk"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan

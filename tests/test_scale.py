@@ -5576,6 +5576,106 @@ def test_mutual_information_pinned(spark):
     assert gc["h_col"] == 0.0 and gc["mi"] == 0.0 and gc["nmi"] is None
 
 
+def test_bradley_terry_planted_recovery(spark):
+    """Planted-strengths recovery (pins x27_bradley_terry): strengths
+    4:2:1, duel counts set EXACTLY to n·p_i/(p_i+p_j) per pair —
+    A beats B 40/60, A beats C 48/60, B beats C 40/60 — so the
+    planted vector satisfies the prior=0 likelihood equations
+    exactly and the MM fixpoint must recover it (mean-1 normalized).
+    The forced-distributed run (driver_max_pairs=0) must agree with
+    the numpy fast path to rounding."""
+    from ixmp_spark.operators.joins import bradley_terry
+
+    rows = (
+        [("A", "B")] * 40 + [("B", "A")] * 20
+        + [("A", "C")] * 48 + [("C", "A")] * 12
+        + [("B", "C")] * 40 + [("C", "B")] * 20
+    )
+    df = spark.createDataFrame(rows, "winner string, loser string")
+    got = {
+        r["item"]: r
+        for r in bradley_terry(df, prior=0.0, tol=1e-9).collect()
+    }
+    mean = (4.0 + 2.0 + 1.0) / 3
+    for item, planted in (("A", 4.0), ("B", 2.0), ("C", 1.0)):
+        assert abs(got[item]["strength"] - planted / mean) < 1e-4, (
+            item, got[item]["strength"], planted / mean)
+    assert got["A"]["wins"] == 88.0
+    assert got["A"]["n_comparisons"] == 120.0
+    assert got["C"]["wins"] == 32.0
+    # driver fast path ≡ distributed MM loop
+    dist = {
+        r["item"]: r["strength"]
+        for r in bradley_terry(
+            df, prior=0.0, tol=1e-7, driver_max_pairs=0
+        ).collect()
+    }
+    for item in got:
+        assert abs(dist[item] - got[item]["strength"]) < 1e-6
+
+    # prior>0 shrinks toward uniform but preserves the order
+    reg = {
+        r["item"]: r["strength"]
+        for r in bradley_terry(df, prior=1.0, tol=1e-9).collect()
+    }
+    assert reg["A"] > reg["B"] > reg["C"]
+    assert reg["A"] < got["A"]["strength"]  # shrunk toward 1
+
+    empty = bradley_terry(
+        spark.createDataFrame([], "winner string, loser string")
+    )
+    assert empty.count() == 0
+
+
+def test_mmr_rerank_pinned(spark):
+    """MMR pinning (pins p23_mmr_rerank): (a) the planted
+    near-duplicate — an EXACT duplicate of the top hit — is demoted
+    to last at low lambda while diverse docs are promoted; (b)
+    lambda=1 reproduces the pure relevance order (brute_force_topk
+    with the same tie-break); (c) lambda out of range raises."""
+    import pytest as _pytest
+
+    from ixmp_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_rerank,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.0]),  # planted exact duplicate of id 1
+            (3, [1.0, 1.0]),
+            (4, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    probe = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    low = mmr_rerank(
+        corpus, probe, "vec_id", "embedding", k=4, lambda_=0.3,
+        candidates=10,
+    ).collect()
+    assert [r["vec_id"] for r in low] == [1, 4, 3, 2]
+    assert [r["rank"] for r in low] == [1, 2, 3, 4]
+    assert low[0]["relevance"] == 1.0 and low[1]["relevance"] == 0.0
+
+    pure = mmr_rerank(
+        corpus, probe, "vec_id", "embedding", k=4, lambda_=1.0,
+        candidates=10,
+    ).collect()
+    rel_order = brute_force_topk(
+        corpus, probe, "vec_id", "embedding", k=4
+    ).collect()
+    assert [r["vec_id"] for r in pure] == [r["vec_id"] for r in rel_order]
+    assert [r["relevance"] for r in pure] == [
+        r["cosine_sim"] for r in rel_order
+    ]
+
+    with _pytest.raises(ValueError):
+        mmr_rerank(corpus, probe, "vec_id", "embedding", lambda_=1.5)
+
+
 def test_stat_family_null_exclusion(spark):
     """NULL categories / values are EXCLUDED, not ranked-or-vanished
     (the r8 ADVICE class): chi-square on an independent table plus a

@@ -196,6 +196,8 @@ def main() -> int:
     if not only:  # full-catalog run → persist the timing sweep
         # tripwire BEFORE overwriting: compare against the committed
         # sweep when it measured the same sf_dir
+        deltas: dict[str, float] = {}
+        flagged: list[str] = []
         if os.path.exists(TIMINGS_PATH):
             with open(TIMINGS_PATH) as f:
                 prev = json.load(f)
@@ -203,6 +205,27 @@ def main() -> int:
                 slow = timing_regressions(timings, prev.get("queries", {}))
                 for s in slow:
                     print(f"SLOW  {s}")
+                # r8 verdict #7: the bench's deltas_vs_prev block, for
+                # the FULL catalog sweep — per-query ratio vs the prior
+                # committed sweep plus a flagged list, so a 15 s
+                # newcomer or a 1.5x drift auto-surfaces in the diff of
+                # TIMINGS_CATALOG.json instead of needing a human read
+                prev_q = prev.get("queries", {})
+                for name, t in timings.items():
+                    old = prev_q.get(name)
+                    if old and old > 0:
+                        deltas[name] = round(t / old, 3)
+                flagged = sorted(
+                    n for n, r in deltas.items()
+                    if r > 1.5 and timings[n] > 1.0
+                )
+                new_slowest = sorted(
+                    (n for n in timings if n not in prev_q
+                     and timings[n] > 3.0),
+                )
+                flagged += [f"NEW>{3.0:g}s:{n}" for n in new_slowest]
+                for fl in flagged:
+                    print(f"DRIFT {fl}")
         top = sorted(timings.items(), key=lambda kv: -kv[1])[:20]
         with open(TIMINGS_PATH, "w") as f:
             json.dump(
@@ -211,6 +234,8 @@ def main() -> int:
                     "n_queries": len(timings),
                     "total_s": round(sum(timings.values()), 2),
                     "top20": dict(top),
+                    "deltas_vs_prev": deltas,
+                    "flagged": flagged,
                     "queries": timings,
                 },
                 f,

@@ -1135,6 +1135,119 @@ def main() -> None:
     print(json.dumps({"sf_dir": sf_dir, "results": results}))
 
 
+def main_dedup_pipeline() -> None:
+    """END-TO-END dedup chain rehearsal (VERDICT r8 #4): every stage is
+    individually rehearsed elsewhere; this composes the full curation
+    chain — d1 exact → d3 minhash-LSH near-dup pairs → d6 connected
+    components → d9 survivor selection → d11 soft-weights — as ONE
+    job sequence at 10–50× the bench docs table, timing each stage and
+    recording whether any guard (max_bucket stop-bucket, cluster
+    converge-or-raise) fires on the amplified corpus's realistic skew
+    (amplify plants both exact and near duplicates).
+
+        python tools/scale_rehearsal.py --dedup-pipeline [sf_dir] [factors...]
+
+    Output: one JSON line with per-stage rows (seconds, output sizes,
+    guards) per factor — committed as REHEARSAL_dedup_pipeline_r9.json.
+    Evaluation is forced through real aggregates over the operator
+    outputs (sum(weight), sum(kept)) — a bare count() would let
+    Catalyst prune the window/score columns the stage exists to compute.
+    """
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    factors = [int(x) for x in sys.argv[3:]] or [10, 50]
+
+    from ixmp_spark.operators.dedup import (
+        cluster_representatives,
+        dedup_clusters,
+        exact_dedup,
+        minhash_lsh_neardup,
+        soft_dedup_weights,
+    )
+    from ixmp_spark.operators.text import quality_score
+
+    spark = get_spark("dedup_pipeline_rehearsal")
+    base = load(spark, sf_dir, "documents")
+    out: list[dict] = []
+
+    for factor in factors:
+        row: dict = {"factor": factor, "stages": {}, "guards": []}
+        t_all = time.time()
+
+        t0 = time.time()
+        docs = amplify(base, factor).repartition(
+            spark.sparkContext.defaultParallelism
+        ).persist()
+        n = docs.count()
+        row["n_docs"] = n
+        row["stages"]["materialize"] = round(time.time() - t0, 2)
+        print(f"-- factor {factor}: {n} docs", file=sys.stderr)
+
+        t0 = time.time()
+        survivors = exact_dedup(docs, text_col="text", id_col="doc_id")
+        corpus = docs.join(
+            survivors.select("doc_id"), "doc_id", "semi"
+        ).persist()
+        n_exact = corpus.count()
+        row["n_after_exact"] = n_exact
+        row["stages"]["d1_exact"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        guard_fired = None
+        try:
+            pairs = minhash_lsh_neardup(
+                corpus, "doc_id", "text", threshold=0.5,
+                max_bucket=200 * factor, on_hot="raise",
+            ).persist()
+            n_pairs = pairs.count()
+        except Exception as e:  # noqa: BLE001 — the guard IS the finding
+            guard_fired = f"lsh max_bucket: {e}"
+            row["guards"].append(guard_fired)
+            pairs = minhash_lsh_neardup(
+                corpus, "doc_id", "text", threshold=0.5,
+                max_bucket=200 * factor, on_hot="drop",
+            ).persist()
+            n_pairs = pairs.count()
+        row["n_pairs"] = n_pairs
+        row["stages"]["d3_neardup_pairs"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        try:
+            labels = dedup_clusters(pairs).persist()
+            n_labeled = labels.count()
+        except RuntimeError as e:
+            row["guards"].append(f"dedup_clusters converge: {e}")
+            raise
+        row["n_labeled"] = n_labeled
+        row["stages"]["d6_clusters"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        scored = corpus.withColumn("quality", quality_score("text"))
+        reps = cluster_representatives(scored, labels, "doc_id", "quality")
+        kept = reps.agg(
+            F.sum(F.col("kept").cast("long")).alias("kept")
+        ).collect()[0]["kept"]
+        row["n_kept"] = int(kept or 0)
+        row["stages"]["d9_representatives"] = round(time.time() - t0, 2)
+
+        t0 = time.time()
+        surviving = reps.where("kept").select("doc_id", "text")
+        wsum = soft_dedup_weights(surviving, "text", "doc_id").agg(
+            F.sum("weight").alias("w")
+        ).collect()[0]["w"]
+        row["soft_weight_mass"] = round(float(wsum or 0.0), 2)
+        row["stages"]["d11_soft_weights"] = round(time.time() - t0, 2)
+
+        row["end_to_end_s"] = round(time.time() - t_all, 2)
+        pairs.unpersist()
+        labels.unpersist()
+        corpus.unpersist()
+        docs.unpersist()
+        out.append(row)
+        print(f"   {row}", file=sys.stderr)
+
+    print(json.dumps({"sf_dir": sf_dir, "pipeline": out}))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--embeddings":
         main_embeddings()
@@ -1152,5 +1265,7 @@ if __name__ == "__main__":
         main_graph()
     elif len(sys.argv) > 1 and sys.argv[1] == "--kcore":
         main_kcore()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--dedup-pipeline":
+        main_dedup_pipeline()
     else:
         main()
