@@ -1262,7 +1262,10 @@ def bradley_terry(
       must fit on the driver — same contract as the win-totals
       collect, fine to ~50M items.
 
-    Converge-or-raise: RuntimeError past ``max_iter``. Output:
+    Convergence: MEAN absolute per-item strength change < ``tol``
+    (item-count-invariant — a summed L1 would make tol effectively
+    n× stricter at n× the items). Converge-or-raise: RuntimeError
+    past ``max_iter``. Output:
     (item, strength, wins, n_comparisons), strengths mean-1
     normalized. Reference-free extension (no ixmp counterpart);
     pinned by tests/test_scale.py::test_bradley_terry_planted_recovery
@@ -1351,7 +1354,7 @@ def bradley_terry(
             mean = new.mean()
             if mean > 0:
                 new = new / mean
-            delta = float(np.abs(new - p_vec).sum())
+            delta = float(np.abs(new - p_vec).sum()) / n_items
             p_vec = new
             if delta < tol:
                 break
@@ -1435,7 +1438,7 @@ def bradley_terry(
         mean = new.mean()
         if mean > 0:
             new = new / mean
-        delta = float(np.abs(new - p_vec).sum())
+        delta = float(np.abs(new - p_vec).sum()) / n_items
         p_vec = new
         if stats is not None:
             stats["round_seconds"].append(

@@ -1386,3 +1386,208 @@ def mutual_information(
         F.round(F.greatest(mi, F.lit(0.0)), 4).alias("mi"),
         F.round(nmi, 4).alias("nmi"),
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test — the distribution-SHAPE
+    companion to ``mann_whitney_u``'s location test: D is the maximum
+    gap between the two empirical CDFs, sensitive to ANY difference
+    (spread, skew, bimodality), not just a shift. The screen a data
+    pipeline runs to ask "did this feature's distribution change
+    between snapshots/sources" when a mean comparison would miss a
+    variance blowup.
+
+    Scale contract (the mann_whitney_u shape, sampling.py:1160): one
+    count aggregation collapses the data to per-distinct-value rows
+    (v, n_a, n_b); both empirical CDFs come from ONE cumulative window
+    over that frame, whose size is bounded by the value DOMAIN — never
+    the row count (callers quantize continuous values first, part of
+    the contract). NULL values are excluded (no rank, no CDF mass).
+
+    All CDF arithmetic stays exact until the two divisions: cum_a and
+    cum_b are integer-valued doubles, so ``|cum_a·n_b − cum_b·n_a|``
+    is exact while counts stay under 2^52 and the max is taken over
+    exact integers — D = max_gap/(n_a·n_b) divides ONCE at the end,
+    and both engines divide the same two integers (the w11 lesson
+    formalized: keep the argmax in integer space). ``ks_stat`` is the
+    scaled statistic D·√(n_a·n_b/(n_a+n_b)) used for the asymptotic
+    Kolmogorov threshold (1.36 ≈ α=0.05). Output one row:
+    (n_a, n_b, d_stat, ks_stat), rounded to 6/4.
+    """
+    two = (
+        df.where(F.col(group_col).isin([group_a, group_b]))
+        .where(F.col(value_col).isNotNull())
+        .select(F.col(group_col).alias("_g"), F.col(value_col).alias("_v"))
+    )
+    per_v = two.groupBy("_v").agg(
+        F.sum(F.when(F.col("_g") == group_a, 1).otherwise(0))
+        .cast("double")
+        .alias("_na"),
+        F.sum(F.when(F.col("_g") == group_b, 1).otherwise(0))
+        .cast("double")
+        .alias("_nb"),
+    )
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        F.sum("_na").over(w).alias("_ca"),
+        F.sum("_nb").over(w).alias("_cb"),
+    )
+    # max gap in INTEGER space: |ca·n2 − cb·n1|; n1/n2 (the final
+    # cumulative values = group sizes) arrive as a 1-row broadcast
+    gaps = cum.crossJoin(
+        F.broadcast(
+            cum.agg(
+                F.max("_ca").alias("_n1"), F.max("_cb").alias("_n2")
+            )
+        )
+    ).agg(
+        F.max("_n1").alias("n1"),
+        F.max("_n2").alias("n2"),
+        F.max(
+            F.abs(F.col("_ca") * F.col("_n2") - F.col("_cb") * F.col("_n1"))
+        ).alias("max_gap"),
+    )
+    d = F.col("max_gap") / (F.col("n1") * F.col("n2"))
+    ks = d * F.sqrt(F.col("n1") * F.col("n2") / (F.col("n1") + F.col("n2")))
+    return gaps.select(
+        F.col("n1").cast("long").alias("n_a"),
+        F.col("n2").cast("long").alias("n_b"),
+        F.round(d, 6).alias("d_stat"),
+        F.round(ks, 4).alias("ks_stat"),
+    )
+
+
+def js_divergence(
+    df: DataFrame,
+    group_col: str,
+    cat_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Jensen–Shannon divergence (nats) between two groups' CATEGORY
+    distributions — the bounded, symmetric drift measure (0 ≤ JSD ≤
+    ln 2) that stays finite when a category exists in only one group,
+    where KL blows up and PSI (p15_corpus_drift) needs an epsilon.
+    The per-pair complement of ``mutual_information``: MI asks "are
+    these columns related", JSD asks "how far apart are THESE TWO
+    slices of one column".
+
+    One (category) count aggregation with conditional sums — the cell
+    frame is category-domain-bounded; the 1-row totals ride a
+    broadcast cross (the t9/t17 corpus-stats pattern). Zero-count
+    categories on either side contribute their lim p→0 p·ln p = 0
+    term exactly (no epsilon, no smoothing — the mathematically
+    honest treatment). ``jsd_norm`` = jsd/ln 2 rescales to [0, 1].
+    NULL categories and rows outside the two groups are excluded.
+    Output one row: (n_a, n_b, n_categories, jsd, jsd_norm) rounded 4.
+    """
+    two = (
+        df.where(F.col(group_col).isin([group_a, group_b]))
+        .where(F.col(cat_col).isNotNull())
+        .select(F.col(group_col).alias("_g"), F.col(cat_col).alias("_c"))
+    )
+    cells = two.groupBy("_c").agg(
+        F.sum(F.when(F.col("_g") == group_a, 1).otherwise(0))
+        .cast("double")
+        .alias("_a"),
+        F.sum(F.when(F.col("_g") == group_b, 1).otherwise(0))
+        .cast("double")
+        .alias("_b"),
+    )
+    tot = cells.agg(
+        F.sum("_a").alias("_ta"), F.sum("_b").alias("_tb")
+    )
+    j = cells.crossJoin(F.broadcast(tot))
+    p = F.col("_a") / F.col("_ta")
+    q = F.col("_b") / F.col("_tb")
+    m = (p + q) / 2
+    # p·ln(p/m) with the exact zero-limit: a zero count contributes 0
+    term = (
+        F.when(p > 0, p * F.log(p / m)).otherwise(F.lit(0.0))
+        + F.when(q > 0, q * F.log(q / m)).otherwise(F.lit(0.0))
+    ) / 2
+    agg = j.agg(
+        F.max("_ta").alias("_n1"),
+        F.max("_tb").alias("_n2"),
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+        F.sum(term).alias("_jsd"),
+    )
+    jsd = F.greatest(F.col("_jsd"), F.lit(0.0))
+    return agg.select(
+        F.col("_n1").cast("long").alias("n_a"),
+        F.col("_n2").cast("long").alias("n_b"),
+        "n_categories",
+        F.round(jsd, 4).alias("jsd"),
+        F.round(jsd / float(__import__("math").log(2)), 4).alias(
+            "jsd_norm"
+        ),
+    )
+
+
+def concentration_profile(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+) -> DataFrame:
+    """Concentration profile of a weighted key distribution — Gini
+    coefficient, Herfindahl–Hirschman index, and top-share cut
+    points in ONE pass over the KEY frame: the "is this corpus/market
+    dominated by a few sources" readout a data pipeline runs on
+    domain mix (documents per source), revenue mix (supplier share),
+    or token mass (vocabulary skew) before capping (p6_domain_cap's
+    diagnostic sibling).
+
+    One keyed aggregation collapses the data to per-key totals — the
+    frame is KEY-DOMAIN-bounded, so the single rank window that the
+    Lorenz cumulative needs runs over keys, never rows (same
+    adjudicated class as the x23/x24 rank frames). Gini uses the
+    exact rank identity G = 2·Σᵢ i·xᵢ/(n·Σx) − (n+1)/n on ascending
+    totals (ties broken by key for determinism); HHI = Σ share² in
+    [1/n, 1]; top1/top10 shares read the descending cumulative at
+    the cut. Output one row:
+    (n_keys, total, hhi, gini, top1_share, top10_share) rounded 6.
+    """
+    per = df.groupBy(F.col(key_col).alias("_k")).agg(
+        F.sum(weight_col).cast("double").alias("_x")
+    ).where(F.col("_x").isNotNull())
+    wa = Window.orderBy(F.asc("_x"), F.asc("_k"))
+    ranked = per.select(
+        "_x", F.row_number().over(wa).cast("double").alias("_i")
+    )
+    wd = Window.orderBy(F.desc("_x"), F.asc("_k"))
+    top = per.select(
+        "_x", F.row_number().over(wd).alias("_r")
+    )
+    base = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum("_x").alias("_t"),
+        F.sum(F.col("_i") * F.col("_x")).alias("_ix"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_xx"),
+    )
+    tops = top.agg(
+        F.sum(F.when(F.col("_r") <= 1, F.col("_x")).otherwise(0.0))
+        .alias("_t1"),
+        F.sum(F.when(F.col("_r") <= 10, F.col("_x")).otherwise(0.0))
+        .alias("_t10"),
+    )
+    j = base.crossJoin(F.broadcast(tops))
+    gini = (
+        2 * F.col("_ix") / (F.col("_n") * F.col("_t"))
+        - (F.col("_n") + 1) / F.col("_n")
+    )
+    return j.select(
+        F.col("_n").cast("long").alias("n_keys"),
+        F.round(F.col("_t"), 2).alias("total"),
+        F.round(F.col("_xx") / (F.col("_t") * F.col("_t")), 6).alias(
+            "hhi"
+        ),
+        F.round(gini, 6).alias("gini"),
+        F.round(F.col("_t1") / F.col("_t"), 6).alias("top1_share"),
+        F.round(F.col("_t10") / F.col("_t"), 6).alias("top10_share"),
+    )

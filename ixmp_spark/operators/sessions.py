@@ -2381,3 +2381,90 @@ def max_drawdown(
             "max_drawdown"
         ),
     )
+
+
+def changepoint_single(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Single change-point detection per key (AMOC — at-most-one-change
+    — via the CUSUM argmax identity): find the split that maximizes
+    the scaled mean-shift statistic
+    ``|S_k − (k/n)·S_n| / √(k·(n−k)/n)`` over candidate split points
+    k = 1..n−1 — "WHEN did this series' level change", the localization
+    companion to w13's CUSUM drift ALARM (w13 says "something
+    changed"; this says where, retrospectively, per key). Standard
+    binary-segmentation first step (Page/Hinkley lineage, public).
+
+    Scale contract: candidate splits live on the per-(key, time) GRAIN
+    frame — callers aggregate to a grain first (day/hour), so the
+    windows run over grain-bounded key partitions, never raw rows
+    (the w11/w12 time-series family contract). Two windows on ONE
+    keyed sort: a cumulative sum/count and the per-key totals frame
+    via unbounded window on the same partitioning. The argmax is a
+    ``max_by`` over the exact-integer-weighted statistic; ties break
+    to the EARLIEST split time (deterministic). Means divide once at
+    the end. Keys with < 2 grain points emit nothing (no split
+    exists).
+
+    Output: (key, n_points, split_time, mean_before, mean_after,
+    shift, cusum_stat), one row per key, rounded to 6/4.
+    """
+    grain = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(time_col).alias("_t"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).where(F.col("_v").isNotNull())
+    wc = (
+        Window.partitionBy("_k")
+        .orderBy("_t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = (
+        Window.partitionBy("_k")
+        .rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    cum = grain.select(
+        "_k", "_t",
+        F.sum("_v").over(wc).alias("_sk"),
+        F.count(F.lit(1)).over(wc).cast("double").alias("_ck"),
+        F.sum("_v").over(wall).alias("_sn"),
+        F.count(F.lit(1)).over(wall).cast("double").alias("_n"),
+    ).where(F.col("_ck") < F.col("_n"))  # k = 1..n-1
+    g = F.col("_sk") - F.col("_ck") / F.col("_n") * F.col("_sn")
+    stat = F.abs(g) / F.sqrt(
+        F.col("_ck") * (F.col("_n") - F.col("_ck")) / F.col("_n")
+    )
+    scored = cum.select(
+        "_k", "_t", "_sk", "_ck", "_sn", "_n", stat.alias("_q")
+    )
+    best = scored.groupBy(F.col("_k")).agg(
+        F.max_by(
+            F.struct("_t", "_sk", "_ck", "_q"),
+            # earliest-time tie-break: negate a monotone time rank by
+            # packing (_q, -epoch) lexicographically via struct order
+            F.struct(
+                F.col("_q"),
+                (-F.col("_t").cast("timestamp").cast("double")).alias(
+                    "_neg"
+                ),
+            ),
+        ).alias("_b"),
+        F.max("_n").alias("_n"),
+        F.max("_sn").alias("_sn"),
+    )
+    mb = F.col("_b._sk") / F.col("_b._ck")
+    ma = (F.col("_sn") - F.col("_b._sk")) / (F.col("_n") - F.col("_b._ck"))
+    return best.select(
+        F.col("_k").alias(key_col),
+        F.col("_n").cast("long").alias("n_points"),
+        F.col("_b._t").alias("split_time"),
+        F.round(mb, 6).alias("mean_before"),
+        F.round(ma, 6).alias("mean_after"),
+        F.round(ma - mb, 6).alias("shift"),
+        F.round(F.col("_b._q"), 4).alias("cusum_stat"),
+    )

@@ -4645,3 +4645,230 @@ def p23_mmr_rerank(spark, sf_dir):
         emb, probe, "vec_id", "embedding", k=10, lambda_=0.7,
         candidates=100,
     )
+
+
+@query(
+    "x28_ks_test",
+    oracle="""
+    WITH two AS (
+      SELECT event_type AS g,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events WHERE event_type IN ('purchase', 'click')
+        AND value IS NOT NULL
+    ), per_v AS (
+      SELECT v,
+             CAST(sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS na,
+             CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS nb
+      FROM two GROUP BY v
+    ), cum AS (
+      SELECT sum(na) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+             sum(nb) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+      FROM per_v
+    ), tot AS (SELECT max(ca) AS n1, max(cb) AS n2 FROM cum),
+    gaps AS (
+      SELECT max(n1) AS n1, max(n2) AS n2,
+             max(abs(ca * n2 - cb * n1)) AS max_gap
+      FROM cum CROSS JOIN tot
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+           round(max_gap / (n1 * n2), 6) AS d_stat,
+           round(max_gap / (n1 * n2)
+                 * sqrt(n1 * n2 / (n1 + n2)), 4) AS ks_stat
+    FROM gaps
+    """,
+)
+def x28_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov (ks_two_sample): is the SHAPE of
+    purchase values different from click values — the distribution
+    companion to x23's Mann-Whitney location test (a variance blowup
+    with equal medians passes MW and fails KS). Values quantize to
+    integer cents (the shared floor(x*100+0.5)); both empirical CDFs
+    come from one cumulative window over the per-distinct-cent frame,
+    bounded by the PRICE DOMAIN; the argmax gap stays in exact
+    integer space (|ca*n2 - cb*n1|) and divides once at the end, so
+    the driver hash certifies D. The oracle replays the identical
+    integer-space construction."""
+    from ixmp_spark.operators.sampling import ks_two_sample
+
+    ev = load(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    return ks_two_sample(cents, "event_type", "cents", "purchase", "click")
+
+
+@query(
+    "x29_js_divergence",
+    oracle="""
+    WITH two AS (
+      SELECT CASE WHEN hour(ts) < 12 THEN 'am' ELSE 'pm' END AS g,
+             event_type AS c
+      FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    ), cells AS (
+      SELECT c,
+             CAST(sum(CASE WHEN g = 'am' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS a,
+             CAST(sum(CASE WHEN g = 'pm' THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS b
+      FROM two GROUP BY c
+    ), tot AS (SELECT sum(a) AS ta, sum(b) AS tb FROM cells),
+    terms AS (
+      SELECT ta, tb,
+             (CASE WHEN a > 0 THEN (a / ta) * ln((a / ta)
+                    / ((a / ta + b / tb) / 2)) ELSE 0.0 END
+              + CASE WHEN b > 0 THEN (b / tb) * ln((b / tb)
+                    / ((a / ta + b / tb) / 2)) ELSE 0.0 END) / 2
+               AS term
+      FROM cells CROSS JOIN tot
+    ), agg AS (
+      SELECT max(ta) AS n1, max(tb) AS n2,
+             CAST(count(*) AS BIGINT) AS n_categories,
+             greatest(sum(term), 0.0) AS jsd
+      FROM terms
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+           n_categories,
+           round(jsd, 4) AS jsd,
+           round(jsd / ln(2), 4) AS jsd_norm
+    FROM agg
+    """,
+)
+def x29_js_divergence(spark, sf_dir):
+    """Jensen-Shannon divergence (js_divergence) between the AM and PM
+    event-type mixes — the bounded symmetric drift readout (0..ln 2)
+    that stays finite on one-sided categories where KL diverges and
+    PSI needs an epsilon; the pairwise complement of x25's mutual
+    information on the same grid. One conditional-count aggregation
+    over the category domain + a 1-row totals broadcast; zero cells
+    contribute their exact 0 limit. The oracle restates the same
+    decomposition term by term."""
+    from ixmp_spark.operators.sampling import js_divergence
+
+    ev = load(spark, sf_dir, "events")
+    keyed = ev.select(
+        F.when(F.hour("ts") < 12, F.lit("am"))
+        .otherwise(F.lit("pm"))
+        .alias("half"),
+        "event_type",
+    )
+    return js_divergence(keyed, "half", "event_type", "am", "pm")
+
+
+@query(
+    "a14_concentration",
+    oracle="""
+    WITH per AS (
+      SELECT l_suppkey AS k, CAST(sum(l_extendedprice) AS DOUBLE) AS x
+      FROM lineitem GROUP BY l_suppkey
+    ), ranked AS (
+      SELECT x,
+             CAST(row_number() OVER (ORDER BY x ASC, k ASC)
+                  AS DOUBLE) AS i,
+             row_number() OVER (ORDER BY x DESC, k ASC) AS r
+      FROM per
+    ), agg AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS t,
+             sum(i * x) AS ix, sum(x * x) AS xx,
+             sum(CASE WHEN r <= 1 THEN x ELSE 0.0 END) AS t1,
+             sum(CASE WHEN r <= 10 THEN x ELSE 0.0 END) AS t10
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n_keys,
+           round(t, 2) AS total,
+           round(xx / (t * t), 6) AS hhi,
+           round(2 * ix / (n * t) - (n + 1) / n, 6) AS gini,
+           round(t1 / t, 6) AS top1_share,
+           round(t10 / t, 6) AS top10_share
+    FROM agg
+    """,
+)
+def a14_concentration(spark, sf_dir):
+    """Supplier revenue concentration (concentration_profile): Gini,
+    HHI, and top-1/top-10 shares of lineitem extendedprice per
+    supplier in one pass — the "is this corpus dominated by a few
+    sources" diagnostic run before p6-style domain capping. The rank
+    window runs over the SUPPLIER frame (key-domain-bounded, the
+    x23/x24 adjudicated class), never rows; Gini uses the exact rank
+    identity on ascending totals with key tie-breaks. The oracle
+    replays ranks and identities literally."""
+    from ixmp_spark.operators.sampling import concentration_profile
+
+    li = load(spark, sf_dir, "lineitem")
+    return concentration_profile(li, "l_suppkey", "l_extendedprice")
+
+
+@query(
+    "w32_changepoint",
+    oracle="""
+    WITH grain AS (
+      SELECT event_type AS k, CAST(ts AS DATE) AS t,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) AS v
+      FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
+      GROUP BY event_type, CAST(ts AS DATE)
+    ), cum AS (
+      SELECT k, t,
+             sum(v) OVER (PARTITION BY k ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sk,
+             CAST(count(*) OVER (PARTITION BY k ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) AS ck,
+             sum(v) OVER (PARTITION BY k) AS sn,
+             CAST(count(*) OVER (PARTITION BY k) AS DOUBLE) AS n
+      FROM grain
+    ), scored AS (
+      SELECT k, t, sk, ck, sn, n,
+             abs(sk - ck / n * sn)
+               / sqrt(ck * (n - ck) / n) AS q,
+             row_number() OVER (
+               PARTITION BY k
+               ORDER BY abs(sk - ck / n * sn)
+                          / sqrt(ck * (n - ck) / n) DESC, t ASC
+             ) AS rn
+      FROM cum WHERE ck < n
+    )
+    SELECT k AS event_type, CAST(n AS BIGINT) AS n_points,
+           CAST(t AS VARCHAR) AS split_time,
+           round(sk / ck, 6) AS mean_before,
+           round((sn - sk) / (n - ck), 6) AS mean_after,
+           round((sn - sk) / (n - ck) - sk / ck, 6) AS shift,
+           round(q, 4) AS cusum_stat
+    FROM scored WHERE rn = 1
+    """,
+)
+def w32_changepoint(spark, sf_dir):
+    """Per-event-type single change-point (changepoint_single): WHEN
+    did the daily spend level shift most — the retrospective
+    localization companion to w13's CUSUM alarm, via the AMOC CUSUM
+    argmax. Daily grain totals are EXACT integer cents (the w11
+    floor(x*100+0.5) lesson), so every prefix/total sum is
+    bit-identical across engines and the argmax cannot flip on
+    summation-order noise; splits rank on the day-grain frame
+    (key-partitioned windows, day-bounded). Ties break to the
+    earliest day. The oracle replays grain, statistic, and argmax."""
+    from ixmp_spark.operators.sessions import changepoint_single
+
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type").isNotNull()
+                 & F.col("value").isNotNull())
+        .groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).cast("double").alias("cents")
+        )
+    )
+    return changepoint_single(
+        daily, "event_type", "day", "cents"
+    ).withColumn("split_time", F.col("split_time").cast("string"))

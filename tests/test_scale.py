@@ -5676,6 +5676,96 @@ def test_mmr_rerank_pinned(spark):
         mmr_rerank(corpus, probe, "vec_id", "embedding", lambda_=1.5)
 
 
+def test_ks_jsd_concentration_pinned(spark):
+    """Hand-computed pins for the distribution-shape family (x28 KS /
+    x29 JSD / a14 concentration): KS D on a textbook offset pair,
+    zero on identical samples, 1 on disjoint supports; JSD zero on
+    identical mixes, ln2 (norm 1) on disjoint categories, hand value
+    on a (1,0)-vs-(.5,.5) pair; Gini/HHI/top-shares on uniform and
+    skewed weight vectors."""
+    import math
+
+    from ixmp_spark.operators.sampling import (
+        concentration_profile,
+        js_divergence,
+        ks_two_sample,
+    )
+
+    def two(a_vals, b_vals):
+        rows = [("A", v) for v in a_vals] + [("B", v) for v in b_vals]
+        return spark.createDataFrame(rows, "g string, v long")
+
+    g = ks_two_sample(two([1, 2, 3], [2, 3, 4]), "g", "v", "A", "B")
+    r = g.collect()[0]
+    assert (r["n_a"], r["n_b"]) == (3, 3)
+    assert r["d_stat"] == round(1 / 3, 6)
+    assert r["ks_stat"] == round(1 / 3 * math.sqrt(9 / 6), 4)
+    same = ks_two_sample(two([1, 2], [1, 2]), "g", "v", "A", "B")
+    assert same.collect()[0]["d_stat"] == 0.0
+    disj = ks_two_sample(two([1, 2], [3, 4]), "g", "v", "A", "B")
+    assert disj.collect()[0]["d_stat"] == 1.0
+
+    def mix(a_cats, b_cats):
+        rows = [("A", c) for c in a_cats] + [("B", c) for c in b_cats]
+        return spark.createDataFrame(rows, "g string, c string")
+
+    eq = js_divergence(mix(["x", "y"], ["x", "y"]), "g", "c", "A", "B")
+    assert eq.collect()[0]["jsd"] == 0.0
+    dj = js_divergence(mix(["x"] * 3, ["y"] * 5), "g", "c", "A", "B")
+    rd = dj.collect()[0]
+    assert rd["jsd"] == round(math.log(2), 4) and rd["jsd_norm"] == 1.0
+    # p=(1,0) vs q=(.5,.5): hand 0.5*ln(4/3) + 0.25*ln(2/3) + 0.25*ln 2
+    hand = 0.5 * math.log(4 / 3) + 0.25 * math.log(2 / 3) \
+        + 0.25 * math.log(2.0)
+    hd = js_divergence(
+        mix(["x", "x"], ["x", "y"]), "g", "c", "A", "B"
+    ).collect()[0]
+    assert hd["jsd"] == round(hand, 4)
+
+    def weighted(xs):
+        return spark.createDataFrame(
+            [(str(i), float(x)) for i, x in enumerate(xs)],
+            "k string, w double",
+        )
+
+    u = concentration_profile(weighted([1, 1, 1, 1]), "k", "w").collect()[0]
+    assert (u["gini"], u["hhi"], u["top1_share"], u["top10_share"]) == (
+        0.0, 0.25, 0.25, 1.0)
+    s = concentration_profile(weighted([1, 1, 1, 7]), "k", "w").collect()[0]
+    assert (s["gini"], s["hhi"], s["top1_share"]) == (0.45, 0.52, 0.7)
+    assert s["n_keys"] == 4 and s["total"] == 10.0
+
+
+def test_changepoint_single_pinned(spark):
+    """changepoint_single (pins w32_changepoint): hand AMOC case — a
+    clean 10→20 level shift splits exactly at the boundary with
+    stat 15/√1.5 and shift 10; a constant series still emits its
+    argmax row but with shift 0; a single-point key emits nothing;
+    ties break to the earliest time."""
+    import math
+    from datetime import date
+
+    from ixmp_spark.operators.sessions import changepoint_single
+
+    rows = [("g", date(2024, 1, d), float(v))
+            for d, v in zip(range(1, 7), [10, 10, 10, 20, 20, 20])]
+    rows += [("flat", date(2024, 1, d), 5.0) for d in range(1, 5)]
+    rows += [("solo", date(2024, 1, 1), 1.0)]
+    df = spark.createDataFrame(rows, "k string, t date, v double")
+    got = {r["k"]: r for r in changepoint_single(df, "k", "t", "v").collect()}
+    g = got["g"]
+    assert str(g["split_time"]) == "2024-01-03"
+    assert (g["mean_before"], g["mean_after"], g["shift"]) == (
+        10.0, 20.0, 10.0)
+    assert g["cusum_stat"] == round(15 / math.sqrt(1.5), 4)
+    assert g["n_points"] == 6
+    f = got["flat"]
+    assert f["shift"] == 0.0 and f["cusum_stat"] == 0.0
+    # tie on a flat series → earliest candidate day
+    assert str(f["split_time"]) == "2024-01-01"
+    assert "solo" not in got  # no candidate split on 1 point
+
+
 def test_stat_family_null_exclusion(spark):
     """NULL categories / values are EXCLUDED, not ranked-or-vanished
     (the r8 ADVICE class): chi-square on an independent table plus a

@@ -45,6 +45,9 @@ BNLJ_OK = {
     "g10_rolling_active",  # 1-row max-activity-day aggregate cross-broadcast (window clip)
     "p21_quantile_normalize",  # 1-row global quantile-grid aggregate cross-broadcast
     "x22_chisq_independence",  # r-row x c-row marginal cross (the full cell grid, zero cells included) + 1-row N broadcast
+    "x28_ks_test",  # 1-row (n1, n2) group-size aggregate cross-broadcast onto the CDF frame
+    "x29_js_divergence",  # 1-row (ta, tb) totals aggregate cross-broadcast onto the category frame
+    "a14_concentration",  # 1-row top-share aggregate crossed with the 1-row Gini/HHI aggregate
 }
 
 #: multi-stage pipelines where >6 shuffles are inherent (documented):

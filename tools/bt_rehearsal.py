@@ -40,15 +40,29 @@ def main() -> None:
     out = []
     for n_items in counts:
         # planted strengths p_i = 1 + (i % 97)/97; schedule: each item
-        # duels its next 8 ring-neighbors 6 times; winner decided by a
-        # deterministic hash threshold against the model probability —
-        # a realistic unbalanced schedule at item-linear pair count
+        # duels 8 GEOMETRIC ring offsets (n^(1/9) … n^(8/9)) 6 times —
+        # offsets spanning every scale keep the comparison graph's
+        # diameter ~constant as n grows, so the MM fixpoint's round
+        # count reflects the algorithm, not a lattice's O(diam²)
+        # mixing (fixed small offsets at 10k items needed >1500
+        # rounds); winner decided by a deterministic hash threshold
+        # against the model probability — a realistic unbalanced
+        # schedule at item-linear pair count
+        offs = sorted(
+            {max(1, int(round(n_items ** (i / 9.0))))
+             for i in range(1, 9)}
+        )
+        off_arr = F.array(*[F.lit(o) for o in offs])
         duels = (
             spark.range(n_items * 8 * 6)
             .select(
                 (F.col("id") % n_items).alias("i"),
                 ((F.col("id") % n_items)
-                 + (F.col("id") / n_items).cast("long") % 8 + 1).alias("jr"),
+                 + F.element_at(
+                     off_arr,
+                     (((F.col("id") / n_items).cast("long") % len(offs))
+                      + 1).cast("int"),
+                 )).alias("jr"),
                 F.col("id"),
             )
             .select(
@@ -77,7 +91,7 @@ def main() -> None:
 
         stats_d: dict = {}
         t0 = time.time()
-        drv = bradley_terry(duels, tol=1e-6, stats=stats_d)
+        drv = bradley_terry(duels, tol=1e-5, max_iter=1500, stats=stats_d)
         drv_rows = {r["item"]: r["strength"] for r in drv.collect()}
         row["driver_s"] = round(time.time() - t0, 2)
         row["driver_rounds"] = stats_d.get("rounds")
@@ -86,7 +100,8 @@ def main() -> None:
         stats_x: dict = {}
         t0 = time.time()
         dist = bradley_terry(
-            duels, tol=1e-6, driver_max_pairs=0, stats=stats_x
+            duels, tol=1e-5, max_iter=1500, driver_max_pairs=0,
+            stats=stats_x,
         )
         dist_rows = {r["item"]: r["strength"] for r in dist.collect()}
         row["dist_s"] = round(time.time() - t0, 2)
