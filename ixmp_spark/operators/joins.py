@@ -1465,3 +1465,89 @@ def bradley_terry(
         f"item {item_type}, strength double, wins double,"
         " n_comparisons double",
     )
+
+
+def association_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: float = 0.001,
+    min_confidence: float = 0.05,
+    max_rules: int = 100,
+) -> DataFrame:
+    """Pairwise association rules A→B with support / confidence / lift
+    — the classic market-basket readout (Agrawal-Srikant lineage,
+    public) over any (basket, item) co-occurrence: which parts ship
+    together, which sources co-cite, which tools co-invoke. x16's
+    neighborhood-Jaccard scores SIMILARITY of items; rules are
+    DIRECTED (bread→butter ≠ butter→bread: confidence differs) and
+    lift calibrates against item popularity, which raw co-counts
+    cannot.
+
+    Scale shape: baskets dedupe ONCE to distinct (basket, item) rows
+    (the only data-sized shuffle family); the within-basket self-join
+    explodes per-basket item pairs — basket size is the fan-out bound,
+    the d-family blocking contract (huge baskets belong pre-capped
+    upstream); pair counts aggregate on the (A, B) grid, item²-bounded.
+    Item supports are ITEM-DOMAIN-sized and broadcast back onto the
+    grid; the 1-row basket total rides a cross-broadcast (t9/t17
+    pattern). The final top-``max_rules`` by (lift desc, support desc,
+    antecedent, consequent) is a TakeOrderedAndProject — bounded
+    driver rows, deterministic ties.
+
+    support = n_AB/N baskets, confidence = n_AB/n_A,
+    lift = confidence/(n_B/N); all three divide exact integer counts
+    once, so the driver hash certifies them cross-engine. Output:
+    (antecedent, consequent, n_ab, support, confidence, lift).
+    """
+    base = df.select(
+        F.col(basket_col).alias("__b"), F.col(item_col).alias("__i")
+    ).distinct()
+    n_baskets = base.agg(
+        F.count_distinct("__b").cast("double").alias("__n")
+    )
+    items = base.groupBy(F.col("__i")).agg(
+        F.count(F.lit(1)).cast("double").alias("__ni")
+    )
+    a = base.select(F.col("__b"), F.col("__i").alias("__ia"))
+    b = base.select(F.col("__b"), F.col("__i").alias("__ib"))
+    pairs = (
+        a.join(b, "__b")
+        .where(F.col("__ia") != F.col("__ib"))
+        .groupBy("__ia", "__ib")
+        .agg(F.count(F.lit(1)).cast("double").alias("__nab"))
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(items.select(F.col("__i").alias("__ia"),
+                                     F.col("__ni").alias("__na"))),
+            "__ia",
+        )
+        .join(
+            F.broadcast(items.select(F.col("__i").alias("__ib"),
+                                     F.col("__ni").alias("__nb"))),
+            "__ib",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    support = F.col("__nab") / F.col("__n")
+    confidence = F.col("__nab") / F.col("__na")
+    lift = confidence / (F.col("__nb") / F.col("__n"))
+    return (
+        scored.where(
+            (support >= min_support) & (confidence >= min_confidence)
+        )
+        .select(
+            F.col("__ia").alias("antecedent"),
+            F.col("__ib").alias("consequent"),
+            F.col("__nab").cast("long").alias("n_ab"),
+            F.round(support, 6).alias("support"),
+            F.round(confidence, 6).alias("confidence"),
+            F.round(lift, 6).alias("lift"),
+        )
+        .orderBy(
+            F.desc("lift"), F.desc("support"),
+            "antecedent", "consequent",
+        )
+        .limit(max_rules)
+    )

@@ -1591,3 +1591,162 @@ def concentration_profile(
         F.round(F.col("_t1") / F.col("_t"), 6).alias("top1_share"),
         F.round(F.col("_t10") / F.col("_t"), 6).alias("top10_share"),
     )
+
+
+def hill_tail_index(
+    df: DataFrame,
+    key_col: str,
+    weight_col=None,
+    m: int = 100,
+) -> DataFrame:
+    """Hill estimator of the power-law tail index over a keyed count/
+    weight distribution — "HOW heavy is this corpus's tail": the
+    parametric readout behind a14's Gini (Gini says unequal; α says
+    zipf-like vs pareto-like, and whether means/variances even exist
+    (α ≤ 2 → infinite variance: cap before sampling)). Public Hill
+    (1975) estimator: over the m largest values,
+    ``α̂ = m / Σᵢ ln(x₍ᵢ₎ / x₍ₘ₊₁₎)`` with x₍ₘ₊₁₎ the threshold order
+    statistic.
+
+    One keyed aggregation collapses the data to per-key totals (the
+    a14 shape: key-domain-bounded); an ``orderBy().limit(m+1)``
+    TakeOrdered bounds the ranking stage to m+1 rows by construction
+    (ties by key, deterministic) — no unbounded window; the threshold
+    rides the same bounded frame. Output one row:
+    (n_keys, m, x_threshold, alpha) rounded 6; NULL alpha when fewer
+    than m+1 keys or a non-positive threshold.
+    """
+    per = df.groupBy(F.col(key_col).alias("_k")).agg(
+        (F.count(F.lit(1)) if weight_col is None
+         else F.sum(weight_col)).cast("double").alias("_x")
+    ).where(F.col("_x") > 0)
+    topm = per.orderBy(F.desc("_x"), F.asc("_k")).limit(m + 1)
+    w = Window.orderBy(F.desc("_x"), F.asc("_k"))
+    ranked = topm.select(
+        "_x", F.row_number().over(w).alias("_r")
+    )
+    agg = ranked.crossJoin(
+        F.broadcast(
+            ranked.where(F.col("_r") == m + 1).select(
+                F.col("_x").alias("_xm1")
+            )
+        )
+    ).where(F.col("_r") <= m).agg(
+        F.count(F.lit(1)).cast("long").alias("_m"),
+        F.max("_xm1").alias("_xt"),
+        F.sum(F.log(F.col("_x") / F.col("_xm1"))).alias("_s"),
+    )
+    n_keys = per.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    alpha = F.when(
+        (F.col("_m") == m) & (F.col("_xt") > 0) & (F.col("_s") > 0),
+        F.col("_m") / F.col("_s"),
+    )
+    return agg.crossJoin(F.broadcast(n_keys)).select(
+        F.col("n").alias("n_keys"),
+        F.col("_m").alias("m"),
+        F.round("_xt", 6).alias("x_threshold"),
+        F.round(alpha, 6).alias("alpha"),
+    )
+
+
+def ipf_raking(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    row_targets: dict,
+    col_targets: dict,
+    max_iter: int = 200,
+    tol: float = 1e-9,
+) -> DataFrame:
+    """Iterative proportional fitting (raking, Deming–Stephan lineage,
+    public): per-cell weights that rescale a 2-way categorical sample
+    so BOTH marginal distributions match caller-given targets — the
+    corpus-mix tool behind "make the training mix 50/50 EN/DE AND
+    uniform over sources" when the two constraints interact (a single
+    per-axis reweight satisfies one marginal and breaks the other;
+    IPF alternates until both hold).
+
+    Scale shape: ONE count aggregation collapses the data to the r×c
+    CELL GRID — category-domain-bounded, the x22/x25 contract — which
+    collects to the driver (bounded block) where the IPF fixpoint
+    runs as exact float64 numpy: alternate row-scaling and
+    column-scaling until both achieved marginals are within ``tol``
+    of the targets (L1). Converge-or-raise past ``max_iter`` (IPF
+    cannot converge when a target mass sits on an EMPTY row/column
+    intersection — surfacing that as an error beats silently wrong
+    weights). Targets are dicts of category → probability (each side
+    normalized to sum 1 defensively; categories absent from the data
+    raise). NULL categories are excluded, the stat-family contract.
+
+    Output: (row_cat, col_cat, n, weight) — multiply a cell's rows by
+    ``weight`` and the weighted table hits both targets; rows-only
+    (the fixpoint is not set-SQL), pinned by the planted-marginals
+    test.
+    """
+    import numpy as np
+
+    cells = (
+        df.where(
+            F.col(row_col).isNotNull() & F.col(col_col).isNotNull()
+        )
+        .groupBy(F.col(row_col).alias("_r"), F.col(col_col).alias("_c"))
+        .agg(F.count(F.lit(1)).cast("double").alias("_n"))
+        .collect()
+    )
+    if not cells:
+        return df.sparkSession.createDataFrame(
+            [], f"{row_col} string, {col_col} string, n long,"
+            " weight double"
+        )
+    rows = sorted({r["_r"] for r in cells})
+    cols = sorted({r["_c"] for r in cells})
+    missing_r = set(row_targets) - set(rows)
+    missing_c = set(col_targets) - set(cols)
+    if missing_r or missing_c:
+        raise ValueError(
+            f"target categories absent from data: rows {sorted(missing_r)},"
+            f" cols {sorted(missing_c)}"
+        )
+    ri = {v: i for i, v in enumerate(rows)}
+    ci = {v: i for i, v in enumerate(cols)}
+    grid = np.zeros((len(rows), len(cols)), dtype=np.float64)
+    for r in cells:
+        grid[ri[r["_r"]], ci[r["_c"]]] = r["_n"]
+    total = grid.sum()
+    tr = np.array([row_targets.get(v, 0.0) for v in rows], dtype=np.float64)
+    tc = np.array([col_targets.get(v, 0.0) for v in cols], dtype=np.float64)
+    tr = tr / tr.sum()
+    tc = tc / tc.sum()
+    wgrid = grid / total  # start at the sample distribution
+    for _ in range(max_iter):
+        rm = wgrid.sum(axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            wgrid = wgrid * np.where(rm > 0, tr / rm, 0.0)[:, None]
+        cm = wgrid.sum(axis=0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            wgrid = wgrid * np.where(cm > 0, tc / cm, 0.0)[None, :]
+        err = (
+            np.abs(wgrid.sum(axis=1) - tr).sum()
+            + np.abs(wgrid.sum(axis=0) - tc).sum()
+        )
+        if err < tol:
+            break
+    else:
+        raise RuntimeError(
+            f"ipf_raking did not converge in {max_iter} iterations"
+            " (empty-cell structure incompatible with the targets?)"
+        )
+    out = [
+        (
+            rows[a], cols[b], int(grid[a, b]),
+            round(float(wgrid[a, b] * total / grid[a, b]), 8),
+        )
+        for a in range(len(rows))
+        for b in range(len(cols))
+        if grid[a, b] > 0
+    ]
+    rt = df.schema[row_col].dataType.simpleString()
+    ct = df.schema[col_col].dataType.simpleString()
+    return df.sparkSession.createDataFrame(
+        out, f"{row_col} {rt}, {col_col} {ct}, n long, weight double"
+    )

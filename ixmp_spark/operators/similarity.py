@@ -1215,3 +1215,88 @@ def mmr_rerank(
         out_rows,
         f"rank int, {id_col} long, relevance double, mmr_score double",
     )
+
+
+def matryoshka_recall(
+    df: DataFrame,
+    probes: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dims=(8, 16, 32),
+    k: int = 10,
+) -> DataFrame:
+    """Truncated-dimension retrieval quality (the Matryoshka question,
+    public MRL lineage): if embeddings are cut to their first d
+    coordinates, what fraction of the FULL-dimension top-k survives?
+    The measurement that decides how hard an index/storage layer can
+    truncate vectors before retrieval quality pays — run per corpus,
+    not assumed from the embedding card.
+
+    Shape: the probe set is a BOUNDED frame (caller samples it — the
+    e1 probe contract) broadcast onto the corpus; per (probe, dim) the
+    cosine uses ``slice(vec, 1, d)`` inside one JVM fold, ranks via a
+    row_number window PARTITIONED BY (probe, dim) — probe-set-bounded
+    partitions — and the full-dim top-k joins against each truncated
+    top-k on (probe, neighbor) to count survivors. Output one row per
+    dim: (dim, n_probes, mean_recall) — recall averaged over probes,
+    rounded 6. Ties break by id (deterministic cut).
+
+    Every stage is a fold or a probe-bounded window — the corpus scan
+    is the only data-sized pass, once per dim (a 100 TB run picks few
+    dims). Oracle-expressible: DuckDB replays slices and ranks with
+    list_dot_product + row_number.
+    """
+    from pyspark.sql import Window
+
+    full_dim = None  # full-dim ranking uses the whole vector
+    p = F.broadcast(
+        probes.select(
+            F.col(id_col).alias("__pid"), F.col(vec_col).alias("__pv")
+        )
+    )
+    scored = df.crossJoin(p).where(F.col(id_col) != F.col("__pid"))
+
+    def topk(dim: int | None) -> DataFrame:
+        if dim is None:
+            va, vb = F.col(vec_col), F.col("__pv")
+        else:
+            va = F.slice(F.col(vec_col), 1, dim)
+            vb = F.slice(F.col("__pv"), 1, dim)
+        sim = cosine(va, vb)
+        w = Window.partitionBy("__pid").orderBy(
+            F.desc(sim), F.asc(id_col)
+        )
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k)
+            .select("__pid", F.col(id_col).alias("__nid"))
+        )
+
+    full = topk(full_dim)
+    out = None
+    for d in sorted(int(d) for d in dims):
+        # LEFT join + indicator, NOT semi: a probe whose truncated
+        # top-k shares nothing with the full top-k must still count
+        # (recall 0), or n_probes shrinks and the mean biases up
+        hits = (
+            topk(d)
+            .join(
+                full.withColumn("__hit", F.lit(1)),
+                ["__pid", "__nid"],
+                "left",
+            )
+            .groupBy("__pid")
+            .agg(
+                (
+                    F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+                    / F.lit(float(k))
+                ).alias("__rec")
+            )
+        )
+        row = hits.agg(
+            F.lit(d).alias("dim"),
+            F.count(F.lit(1)).cast("long").alias("n_probes"),
+            F.round(F.avg("__rec"), 6).alias("mean_recall"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("dim")

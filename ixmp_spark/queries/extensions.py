@@ -4872,3 +4872,179 @@ def w32_changepoint(spark, sf_dir):
     return changepoint_single(
         daily, "event_type", "day", "cents"
     ).withColumn("split_time", F.col("split_time").cast("string"))
+
+
+@query(
+    "x30_association_rules",
+    oracle="""
+    WITH base AS (
+      SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+    ), nb AS (SELECT CAST(count(DISTINCT b) AS DOUBLE) AS n FROM base),
+    items AS (
+      SELECT i, CAST(count(*) AS DOUBLE) AS ni FROM base GROUP BY i
+    ), pairs AS (
+      SELECT a.i AS ia, b2.i AS ib, CAST(count(*) AS DOUBLE) AS nab
+      FROM base a JOIN base b2 ON a.b = b2.b AND a.i != b2.i
+      GROUP BY a.i, b2.i
+    ), scored AS (
+      SELECT ia, ib, nab, na.ni AS na, nbi.ni AS nbn, nb.n AS n
+      FROM pairs
+      JOIN items na ON na.i = pairs.ia
+      JOIN items nbi ON nbi.i = pairs.ib
+      CROSS JOIN nb
+    )
+    SELECT ia AS antecedent, ib AS consequent,
+           CAST(nab AS BIGINT) AS n_ab,
+           round(nab / n, 6) AS support,
+           round(nab / na, 6) AS confidence,
+           round((nab / na) / (nbn / n), 6) AS lift
+    FROM scored
+    WHERE nab / n >= 0.0001 AND nab / na >= 0.05
+    ORDER BY lift DESC, support DESC, antecedent, consequent
+    LIMIT 50
+    """,
+)
+def x30_association_rules(spark, sf_dir):
+    """Directed part-to-part association rules (association_rules) from
+    within-order baskets: support / confidence / lift per (A, B) pair,
+    top-50 by lift — the market-basket readout whose lift calibration
+    raw co-counts (x16) cannot give. Baskets dedupe once; pair counts
+    live on the item-pair grid; item supports broadcast; the 1-row
+    basket total cross-broadcasts; TakeOrdered bounds the output.
+    Every statistic divides exact integer counts once. The oracle
+    replays the grid and thresholds literally."""
+    from ixmp_spark.operators.joins import association_rules
+
+    li = load(spark, sf_dir, "lineitem")
+    return association_rules(
+        li, "l_orderkey", "l_partkey",
+        min_support=0.0001, min_confidence=0.05, max_rules=50,
+    )
+
+
+@query(
+    "e12_matryoshka_recall",
+    oracle="""
+    WITH probes AS (
+      SELECT vec_id AS pid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS pv
+      FROM embeddings WHERE vec_id % 199 = 3
+    ), pairs AS (
+      SELECT e.vec_id AS nid, p.pid,
+             list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS ev,
+             p.pv
+      FROM embeddings e CROSS JOIN probes p
+      WHERE e.vec_id != p.pid
+    ), full_rank AS (
+      SELECT pid, nid, row_number() OVER (
+        PARTITION BY pid
+        ORDER BY list_dot_product(ev, pv)
+                 / (sqrt(list_dot_product(ev, ev))
+                    * sqrt(list_dot_product(pv, pv))) DESC, nid ASC
+      ) AS rn FROM pairs
+    ), full_top AS (SELECT pid, nid FROM full_rank WHERE rn <= 10),
+    dims(d) AS (VALUES (8), (16), (32)),
+    trunc_rank AS (
+      SELECT d, pid, nid, row_number() OVER (
+        PARTITION BY d, pid
+        ORDER BY list_dot_product(list_slice(ev, 1, d),
+                                  list_slice(pv, 1, d))
+                 / (sqrt(list_dot_product(list_slice(ev, 1, d),
+                                          list_slice(ev, 1, d)))
+                    * sqrt(list_dot_product(list_slice(pv, 1, d),
+                                            list_slice(pv, 1, d))))
+            DESC, nid ASC
+      ) AS rn FROM pairs CROSS JOIN dims
+    ), per_probe AS (
+      SELECT t.d, t.pid,
+             CAST(count(f.nid) AS DOUBLE) / 10 AS rec
+      FROM trunc_rank t
+      LEFT JOIN full_top f ON f.pid = t.pid AND f.nid = t.nid
+      WHERE t.rn <= 10
+      GROUP BY t.d, t.pid
+    )
+    SELECT d AS dim, CAST(count(*) AS BIGINT) AS n_probes,
+           round(avg(rec), 6) AS mean_recall
+    FROM per_probe GROUP BY d ORDER BY d
+    """,
+)
+def e12_matryoshka_recall(spark, sf_dir):
+    """Truncated-dimension retrieval quality (matryoshka_recall): how
+    much of the full-64-dim top-10 survives at the first 8/16/32
+    coordinates, averaged over a deterministic probe sample
+    (vec_id % 199 = 3) — the measurement that decides how hard an
+    index can truncate stored vectors before recall pays. The probe
+    frame broadcasts; ranks live in probe-bounded windows; cosine is
+    the same JVM fold every e-family query uses. The oracle replays
+    slices and ranks with list_dot_product."""
+    from ixmp_spark.operators.similarity import matryoshka_recall
+
+    emb = load(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") % 199 == 3)
+    return matryoshka_recall(
+        emb, probes, "vec_id", "embedding", dims=(8, 16, 32), k=10
+    )
+
+
+@query(
+    "x31_hill_tail",
+    oracle="""
+    WITH per AS (
+      SELECT user_id AS k, CAST(count(*) AS DOUBLE) AS x
+      FROM events GROUP BY user_id HAVING count(*) > 0
+    ), topm AS (
+      SELECT x, row_number() OVER (ORDER BY x DESC, k ASC) AS r
+      FROM per ORDER BY x DESC, k ASC LIMIT 101
+    ), thr AS (SELECT x AS xm1 FROM topm WHERE r = 101),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS m, max(xm1) AS xt,
+             sum(ln(x / xm1)) AS s
+      FROM topm CROSS JOIN thr WHERE r <= 100
+    ), nk AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per)
+    SELECT n AS n_keys, m,
+           round(xt, 6) AS x_threshold,
+           round(CASE WHEN m = 100 AND xt > 0 AND s > 0
+                      THEN m / s END, 6) AS alpha
+    FROM agg CROSS JOIN nk
+    """,
+)
+def x31_hill_tail(spark, sf_dir):
+    """Hill tail-index of the per-user activity distribution
+    (hill_tail_index, m=100): how heavy is the heavy-user tail — the
+    parametric companion to a14's Gini (alpha <= 2 means infinite
+    variance: cap users before sampling). The ranking stage is an
+    orderBy().limit(101) TakeOrdered — bounded by construction, no
+    unbounded window; the threshold order statistic rides the same
+    101-row frame. The oracle replays order statistics and the log
+    sum literally."""
+    from ixmp_spark.operators.sampling import hill_tail_index
+
+    ev = load(spark, sf_dir, "events")
+    return hill_tail_index(ev, "user_id", m=100)
+
+
+@query("p24_ipf_raking", oracle=None)
+def p24_ipf_raking(spark, sf_dir):
+    """IPF raking weights (ipf_raking): per-(lang, source) weights
+    that make the documents mix UNIFORM over langs AND uniform over
+    sources simultaneously — the two-constraint corpus-mix problem a
+    single per-axis reweight cannot solve (fixing one marginal breaks
+    the other; IPF alternates to the joint fixpoint). The cell grid
+    (5 langs x 20 sources) collapses in one aggregation and the
+    fixpoint runs as exact numpy on the bounded block (the x22 grid
+    contract); targets derive from the observed codelists, so the
+    query is deterministic at every sf. Rows-only: the fixpoint is
+    not set-SQL; pinned by test_ipf_raking_planted (both achieved
+    marginals equal the targets; single-axis failure shown)."""
+    from ixmp_spark.operators.sampling import ipf_raking
+
+    docs = load(spark, sf_dir, "documents")
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    srcs = [
+        r["source"] for r in docs.select("source").distinct().collect()
+    ]
+    return ipf_raking(
+        docs, "lang", "source",
+        {v: 1.0 / len(langs) for v in langs},
+        {v: 1.0 / len(srcs) for v in srcs},
+    ).orderBy("lang", "source")

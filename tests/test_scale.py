@@ -5736,6 +5736,136 @@ def test_ks_jsd_concentration_pinned(spark):
     assert s["n_keys"] == 4 and s["total"] == 10.0
 
 
+def test_association_rules_hand(spark):
+    """association_rules (pins x30): 4-basket hand case — exact
+    support/confidence/lift, lift ties broken by (support, antecedent,
+    consequent), duplicate (basket, item) rows dedupe before
+    counting."""
+    rows = [("b1", "x"), ("b1", "x"), ("b1", "y"),
+            ("b2", "x"), ("b2", "y"),
+            ("b3", "x"), ("b3", "z"),
+            ("b4", "y")]
+    from ixmp_spark.operators.joins import association_rules
+
+    df = spark.createDataFrame(rows, "b string, i string")
+    got = association_rules(
+        df, "b", "i", min_support=0.0, min_confidence=0.0
+    ).collect()
+    as_t = [(r["antecedent"], r["consequent"], r["n_ab"], r["support"],
+             r["confidence"], r["lift"]) for r in got]
+    # lift: x<->z pairs 4/3; x<->y pairs 8/9; ties by antecedent
+    assert as_t == [
+        ("x", "z", 1, 0.25, round(1 / 3, 6), round(4 / 3, 6)),
+        ("z", "x", 1, 0.25, 1.0, round(4 / 3, 6)),
+        ("x", "y", 2, 0.5, round(2 / 3, 6), round(8 / 9, 6)),
+        ("y", "x", 2, 0.5, round(2 / 3, 6), round(8 / 9, 6)),
+    ]
+    # thresholds prune: min_confidence=0.5 drops x->z
+    pruned = association_rules(
+        df, "b", "i", min_support=0.0, min_confidence=0.5
+    ).collect()
+    assert ("x", "z") not in {
+        (r["antecedent"], r["consequent"]) for r in pruned
+    }
+
+
+def test_matryoshka_recall_planted(spark):
+    """matryoshka_recall (pins e12): at dim == full width recall is
+    exactly 1.0; a planted corpus whose first-2-dim ranking ties
+    adversarially yields recall 0.5 at dim 2 (tie-break by id pulls a
+    non-neighbor in); probes with zero surviving neighbors still
+    count in n_probes."""
+    from ixmp_spark.operators.similarity import matryoshka_recall
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [0.1, 0.0, 1.0, 0.0]),
+            (2, [1.0, 0.0, 0.0, 1.0]),
+            (3, [1.0, 0.0, 0.0, 0.0]),
+            (4, [0.0, 1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    probes = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["dim"]: r
+        for r in matryoshka_recall(
+            corpus, probes, "vec_id", "embedding", dims=(2, 4), k=2
+        ).collect()
+    }
+    # full top-2 = {3 (cos 1), 2 (cos .707)}; dim-2 top-2 by tie-break
+    # = {1, 2} -> recall 0.5
+    assert got[2]["mean_recall"] == 0.5
+    assert got[4]["mean_recall"] == 1.0  # dim 4 == full width
+    assert got[2]["n_probes"] == got[4]["n_probes"] == 1
+
+
+def test_hill_tail_index_pinned(spark):
+    """hill_tail_index (pins x31_hill_tail): exact dyadic hand case —
+    top-5 of powers of two gives alpha = 5/(15 ln 2); fewer than m+1
+    keys yields NULL alpha; weight_col path matches the count path."""
+    import math
+
+    from ixmp_spark.operators.sampling import hill_tail_index
+
+    rows = []
+    for i, x in enumerate([64, 32, 16, 8, 4, 2, 1]):
+        rows += [(f"k{i}",)] * x
+    df = spark.createDataFrame(rows, "k string")
+    got = hill_tail_index(df, "k", m=5).collect()[0]
+    assert got["n_keys"] == 7 and got["m"] == 5
+    assert got["x_threshold"] == 2.0
+    assert got["alpha"] == round(5 / (15 * math.log(2)), 6)
+
+    small = hill_tail_index(df, "k", m=10).collect()[0]
+    assert small["alpha"] is None  # only 7 keys < m+1
+
+    wdf = spark.createDataFrame(
+        [(f"k{i}", float(x))
+         for i, x in enumerate([64, 32, 16, 8, 4, 2, 1])],
+        "k string, w double",
+    )
+    wg = hill_tail_index(wdf, "k", weight_col="w", m=5).collect()[0]
+    assert wg["alpha"] == got["alpha"]
+
+
+def test_ipf_raking_planted(spark):
+    """ipf_raking (pins p24_ipf_raking): a skew-diagonal 2x2 sample
+    raked to uniform-by-uniform — BOTH achieved weighted marginals
+    must equal the targets to 1e-6 (the single-axis reweight provably
+    cannot: scaling rows of [[8,2],[2,8]] to 50/50 leaves columns at
+    50/50 only because of symmetry, so the test uses an ASYMMETRIC
+    grid); weighted total mass is preserved; absent target categories
+    raise."""
+    import pytest as _pytest
+
+    from ixmp_spark.operators.sampling import ipf_raking
+
+    rows = ([("a", "x")] * 8 + [("a", "y")] * 1
+            + [("b", "x")] * 2 + [("b", "y")] * 5)
+    df = spark.createDataFrame(rows, "r string, c string")
+    out = ipf_raking(
+        df, "r", "c", {"a": 0.5, "b": 0.5}, {"x": 0.5, "y": 0.5}
+    ).collect()
+    mass = {(r["r"], r["c"]): r["n"] * r["weight"] for r in out}
+    total = sum(mass.values())
+    assert abs(total - 16.0) < 1e-5  # mass preserved
+    row_a = (mass[("a", "x")] + mass[("a", "y")]) / total
+    col_x = (mass[("a", "x")] + mass[("b", "x")]) / total
+    assert abs(row_a - 0.5) < 1e-6
+    assert abs(col_x - 0.5) < 1e-6
+    # the naive single-axis row reweight leaves columns off-target
+    naive_rs = {"a": 8.0 / 9, "b": 8.0 / 7}  # scales rows to 8 each
+    naive_colx = (8 * naive_rs["a"] + 2 * naive_rs["b"]) / 16
+    assert abs(naive_colx - 0.5) > 0.05
+
+    with _pytest.raises(ValueError):
+        ipf_raking(df, "r", "c", {"a": 0.5, "zz": 0.5}, {"x": 1.0})
+
+
 def test_changepoint_single_pinned(spark):
     """changepoint_single (pins w32_changepoint): hand AMOC case — a
     clean 10→20 level shift splits exactly at the boundary with

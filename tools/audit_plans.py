@@ -48,6 +48,9 @@ BNLJ_OK = {
     "x28_ks_test",  # 1-row (n1, n2) group-size aggregate cross-broadcast onto the CDF frame
     "x29_js_divergence",  # 1-row (ta, tb) totals aggregate cross-broadcast onto the category frame
     "a14_concentration",  # 1-row top-share aggregate crossed with the 1-row Gini/HHI aggregate
+    "x30_association_rules",  # 1-row basket-total aggregate cross-broadcast onto the rule grid
+    "e12_matryoshka_recall",  # bounded probe-set frame broadcast onto the corpus (the e1 probe contract)
+    "x31_hill_tail",  # 1-row threshold order statistic + 1-row n_keys cross-broadcasts onto the m+1-row frame
 }
 
 #: multi-stage pipelines where >6 shuffles are inherent (documented):
@@ -96,6 +99,19 @@ SHUFFLE_OK = {
     # statistic pass — every exchange after the first moves CELL-GRID
     # rows (<= r x c, here 5 x 24), never events
     "x22_chisq_independence",
+    # x30 = basket dedup (1) + the within-basket pair self-join (2,
+    # basket-keyed both sides) + the (A,B) grid aggregate + the two
+    # item-support joins (item-domain-keyed) + the 1-row total + the
+    # bounded TakeOrdered — 9 total; every exchange moves distinct
+    # (basket,item), item-count, or pair-grid rows, never raw lineitem
+    "x30_association_rules",
+    # e12 = FOUR rank pipelines over the probe-bounded scored frame
+    # (full + one per requested dim: window exchange apiece) + three
+    # (probe,neighbor)-keyed recall joins + per-dim probe aggregates +
+    # the final 3-row union — 18 total; the dim list, not data volume,
+    # sets the count, and every exchange carries (probe x corpus)
+    # scored rows bounded by the probe-sample contract
+    "e12_matryoshka_recall",
 }
 
 #: queries whose Python stage is DELIBERATE — an Arrow-batched kernel for
