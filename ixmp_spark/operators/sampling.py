@@ -1750,3 +1750,51 @@ def ipf_raking(
     return df.sparkSession.createDataFrame(
         out, f"{row_col} {rt}, {col_col} {ct}, n long, weight double"
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int = 100,
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted random sample WITHOUT replacement, deterministic and
+    engine-portable — Efraimidis–Spirakis A-ES (public): each row
+    draws an exponential race key ``score = −ln(u)/w`` and the k
+    SMALLEST scores win; inclusion probability is proportional to
+    weight at every prefix, the property quota samplers lose. The
+    x19 discipline makes the randomness hash-certifiable: ``u``
+    derives from the first 8 hex chars of ``md5(seed # key)`` — a
+    pure map-side expression any engine reproduces verbatim, so a
+    "random" sample can sit behind a value-hash parity gate and
+    reruns/backfills pick the SAME sample (the reproducibility
+    property that matters in a curation pipeline).
+
+    ``u = (h + 0.5)/2³²`` keeps u strictly inside (0, 1) — h = 0
+    would otherwise make ``−ln(0)`` infinite and h = 2³²−1 exactly
+    1.0. Non-positive/NULL weights are excluded (they cannot win a
+    weighted race). One map-side scoring pass + a
+    ``TakeOrderedAndProject`` bounded by k: no shuffle of the data,
+    no window. Output: (key, weight, score rounded 8) in draw order.
+    """
+    c = F.col(key_col).cast("string")
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{seed}#"), c)), 1, 8
+        ),
+        16, 10,
+    ).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    w = F.col(weight_col).cast("double")
+    score = -F.log(u) / w
+    return (
+        df.where(w.isNotNull() & (w > 0))
+        .select(
+            F.col(key_col),
+            F.round(w, 6).alias("weight"),
+            F.round(score, 8).alias("score"),
+        )
+        .orderBy(F.asc("score"), F.asc(key_col))
+        .limit(k)
+    )

@@ -5048,3 +5048,35 @@ def p24_ipf_raking(spark, sf_dir):
         {v: 1.0 / len(langs) for v in langs},
         {v: 1.0 / len(srcs) for v in srcs},
     ).orderBy("lang", "source")
+
+
+@query(
+    "p25_weighted_sample",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+             round(CAST(n_chars AS DOUBLE), 6) AS weight,
+             round(
+               -ln((CAST('0x' || substr(
+                      md5('42#' || CAST(doc_id AS VARCHAR)), 1, 8)
+                    AS BIGINT) + 0.5) / 4294967296.0)
+               / CAST(n_chars AS DOUBLE), 8) AS score
+      FROM documents
+      WHERE n_chars IS NOT NULL AND n_chars > 0
+    )
+    SELECT doc_id, weight, score
+    FROM scored ORDER BY score ASC, doc_id ASC LIMIT 100
+    """,
+)
+def p25_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sample of 100 documents, length-
+    proportional (weighted_sample, Efraimidis-Spirakis race keys on
+    md5-uniforms) — the reproducible "sample big docs more" draw a
+    curation pipeline can re-run and get THE SAME rows, hash-
+    certified: the oracle replays -ln(u)/w from the identical md5
+    arithmetic. Map-side scoring + TakeOrdered(k); no shuffle, no
+    window."""
+    from ixmp_spark.operators.sampling import weighted_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return weighted_sample(docs, "doc_id", "n_chars", k=100, seed=42)

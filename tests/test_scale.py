@@ -5866,6 +5866,42 @@ def test_ipf_raking_planted(spark):
         ipf_raking(df, "r", "c", {"a": 0.5, "zz": 0.5}, {"x": 1.0})
 
 
+def test_weighted_sample_replay(spark):
+    """weighted_sample (pins p25): the Spark ranking equals an exact
+    pure-Python Efraimidis-Spirakis replay (hashlib md5, same
+    (h+0.5)/2^32 uniform, same -ln(u)/w race keys); zero/NULL
+    weights are excluded; k caps the draw; reruns are identical."""
+    import hashlib
+    import math
+
+    from ixmp_spark.operators.sampling import weighted_sample
+
+    rows = [(i, float(w)) for i, w in
+            zip(range(20), [1, 5, 2, 9, 4, 7, 3, 8, 6, 10] * 2)]
+    rows += [(90, 0.0), (91, None)]
+    df = spark.createDataFrame(rows, "id long, w double")
+
+    def replay(seed=42):
+        out = []
+        for i, w in rows:
+            if not w:
+                continue
+            h = int(hashlib.md5(f"{seed}#{i}".encode()).hexdigest()[:8],
+                    16)
+            u = (h + 0.5) / 4294967296.0
+            out.append((round(-math.log(u) / w, 8), i))
+        return [i for _, i in sorted(out)]
+
+    got = weighted_sample(df, "id", "w", k=8, seed=42).collect()
+    assert [r["id"] for r in got] == replay()[:8]
+    assert all(r["weight"] > 0 for r in got)
+    again = weighted_sample(df, "id", "w", k=8, seed=42).collect()
+    assert [r["score"] for r in again] == [r["score"] for r in got]
+    # a different seed reshuffles the race
+    other = weighted_sample(df, "id", "w", k=8, seed=7).collect()
+    assert [r["id"] for r in other] == replay(seed=7)[:8]
+
+
 def test_changepoint_single_pinned(spark):
     """changepoint_single (pins w32_changepoint): hand AMOC case — a
     clean 10→20 level shift splits exactly at the boundary with
