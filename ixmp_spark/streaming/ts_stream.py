@@ -1029,3 +1029,100 @@ def gap_report_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def category_mix_stream(
+    events: DataFrame,
+    cat_col: str = "event_type",
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Windowed category counts over a live stream — the stream half of
+    the distribution-drift monitor (x29's JSD applied per window
+    against a reference mix). Follows trending_ngrams_stream's honest
+    split: COUNT in the stream (one watermarked aggregation — Spark
+    streaming forbids chained aggregations in append mode, and the
+    JSD fold needs the window's complete category row set anyway),
+    DIVERGE in batch over the tiny emitted table
+    (:func:`jsd_drift_report`). State budget: one counter per
+    (window, category) inside the watermark horizon — category-domain
+    × windows, never events. NULL categories carry no mix mass and
+    are dropped at the map side (the x22/x29 contract).
+
+    Output: (window_start, category, n).
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .where(F.col(cat_col).isNotNull())
+        .groupBy(
+            F.window(ts_col, duration).alias("win"),
+            F.col(cat_col).alias("category"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("window_start"), "category", "n")
+    )
+
+
+def jsd_drift_report(
+    mix: DataFrame,
+    reference: DataFrame,
+    threshold: float = 0.1,
+) -> DataFrame:
+    """Batch half of the drift monitor: per-window Jensen–Shannon
+    divergence of the observed category mix against a reference
+    distribution — run over :func:`category_mix_stream`'s emitted
+    table (windows × categories rows, tiny by construction) or any
+    batch table of the same shape.
+
+    ``reference``: (category, ref_p) with ref_p summing to 1 (re-
+    normalized defensively) — typically last month's mix, derived
+    batch-side. The join is FULL outer per window: a reference
+    category absent from a window contributes its exact
+    ``q·ln 2 / 2`` one-sided term (p = 0), and an observed category
+    missing from the reference contributes ``p·ln 2 / 2`` — the
+    same no-epsilon zero-limit treatment as
+    ``sampling.js_divergence``. Output one row per window:
+    (window_start, n, jsd, jsd_norm, is_drift), jsd_norm in [0, 1].
+    """
+    import math
+
+    ref_tot = reference.agg(F.sum("ref_p").alias("_t"))
+    ref = reference.crossJoin(F.broadcast(ref_tot)).select(
+        "category", (F.col("ref_p") / F.col("_t")).alias("_q")
+    )
+    totals = mix.groupBy("window_start").agg(F.sum("n").alias("_tot"))
+    obs = mix.join(totals, "window_start").select(
+        "window_start", "category",
+        F.col("n").cast("double").alias("_n"),
+        (F.col("n") / F.col("_tot")).alias("_p"),
+    )
+    # full outer on category WITHIN each window: build the window ×
+    # ref-category grid, then left-join observations onto it
+    wins = totals.select("window_start")
+    grid = wins.crossJoin(F.broadcast(ref))
+    joined = grid.join(
+        obs, ["window_start", "category"], "full_outer"
+    ).select(
+        "window_start",
+        F.coalesce(F.col("_p"), F.lit(0.0)).alias("_p"),
+        F.coalesce(F.col("_q"), F.lit(0.0)).alias("_q"),
+        F.coalesce(F.col("_n"), F.lit(0.0)).alias("_n"),
+    )
+    m = (F.col("_p") + F.col("_q")) / 2
+    term = (
+        F.when(F.col("_p") > 0, F.col("_p") * F.log(F.col("_p") / m))
+        .otherwise(F.lit(0.0))
+        + F.when(F.col("_q") > 0, F.col("_q") * F.log(F.col("_q") / m))
+        .otherwise(F.lit(0.0))
+    ) / 2
+    agg = joined.groupBy("window_start").agg(
+        F.sum("_n").cast("long").alias("n"),
+        F.greatest(F.sum(term), F.lit(0.0)).alias("_jsd"),
+    )
+    return agg.select(
+        "window_start", "n",
+        F.round("_jsd", 6).alias("jsd"),
+        F.round(F.col("_jsd") / math.log(2), 6).alias("jsd_norm"),
+        (F.col("_jsd") / math.log(2) > threshold).alias("is_drift"),
+    ).orderBy("window_start")

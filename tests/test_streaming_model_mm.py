@@ -1830,3 +1830,70 @@ def test_streaming_gap_report_matches_batch(spark, tmp_path_factory):
     )
     assert got == want and len(got) == 2
     assert state_ops and state_ops[0]["numRowsTotal"] == 2
+
+
+def test_streaming_category_mix_jsd_matches_batch(spark, sf_dir, events_dir):
+    """category_mix_stream + jsd_drift_report: the streamed windowed
+    category counts equal the batch groupBy exactly (digest equality
+    on sorted rows), the drift report over either table is identical,
+    and the JSD endpoints pin: a window scored against ITS OWN mix as
+    reference reads 0; against a disjoint reference reads norm 1."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ixmp_spark.streaming.ts_stream import (
+        category_mix_stream,
+        jsd_drift_report,
+        run_available_now,
+        stream_events,
+    )
+
+    stream = stream_events(spark, events_dir)
+    got = run_available_now(
+        category_mix_stream(stream, duration="1 hour",
+                            watermark="100 days"),
+        "t_catmix",
+        mode="complete",
+    ).toPandas()
+    ev = spark.read.parquet(events_dir)
+    batch = (
+        ev.where(F.col("event_type").isNotNull())
+        .groupBy(
+            F.window("ts", "1 hour").alias("win"),
+            F.col("event_type").alias("category"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("window_start"), "category", "n")
+    ).toPandas()
+    a = got.sort_values(["window_start", "category"]).reset_index(drop=True)
+    b = batch.sort_values(["window_start", "category"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+    mix = spark.createDataFrame(got)
+    ref = (
+        ev.groupBy(F.col("event_type").alias("category"))
+        .agg(F.count(F.lit(1)).cast("double").alias("ref_p"))
+    )
+    rep_stream = jsd_drift_report(mix, ref).toPandas()
+    rep_batch = jsd_drift_report(spark.createDataFrame(batch), ref).toPandas()
+    pd.testing.assert_frame_equal(rep_stream, rep_batch, check_dtype=False)
+    assert (rep_stream["jsd_norm"] <= 1.0).all()
+
+    # endpoint pins on a hand mix
+    hand = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "x", 6), ("2024-01-01 00:00:00", "y", 2)],
+        "window_start string, category string, n long",
+    ).withColumn("window_start", F.col("window_start").cast("timestamp"))
+    own = spark.createDataFrame(
+        [("x", 0.75), ("y", 0.25)], "category string, ref_p double"
+    )
+    r0 = jsd_drift_report(hand, own).collect()[0]
+    assert r0["jsd"] == 0.0 and r0["is_drift"] is False
+    disj = spark.createDataFrame(
+        [("z", 1.0)], "category string, ref_p double"
+    )
+    r1 = jsd_drift_report(hand, disj).collect()[0]
+    assert r1["jsd_norm"] == 1.0 and bool(r1["is_drift"]) is True
+    assert r1["jsd"] == round(math.log(2), 6)
