@@ -1798,3 +1798,127 @@ def weighted_sample(
         .orderBy(F.asc("score"), F.asc(key_col))
         .limit(k)
     )
+
+
+def welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Welch's two-sample t statistic (unequal variances) — the
+    PARAMETRIC location test completing the two-sample family: x23's
+    Mann-Whitney is the rank test, x28's KS the shape test; Welch is
+    what a metrics dashboard quotes when means are the business
+    quantity. Welch-Satterthwaite df; no pooled-variance assumption
+    (the classic Student's t silently assumes equal spread — Welch is
+    the safe default, public consensus).
+
+    ONE conditional-sum aggregation over the data: n, Σx, Σx² per
+    group land in a single row — no shuffle beyond the map-side
+    partial agg, no per-group frames. Sample variances use the exact
+    identity s² = (nΣx² − (Σx)²)/(n(n−1)); all terms are exact while
+    counts and value sums stay inside 2^52 (quantize first at scale,
+    the x23 contract). NULL values excluded. Output one row:
+    (n_a, n_b, mean_a, mean_b, t_stat, df) rounded 6/4; NULL t/df
+    when either group has < 2 values or both variances are 0.
+    """
+    two = (
+        df.where(F.col(group_col).isin([group_a, group_b]))
+        .where(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).alias("_g"),
+            F.col(value_col).cast("double").alias("_v"),
+        )
+    )
+    ia = F.when(F.col("_g") == group_a, F.col("_v"))
+    ib = F.when(F.col("_g") == group_b, F.col("_v"))
+    agg = two.agg(
+        F.count(ia).cast("double").alias("_na"),
+        F.sum(ia).alias("_sa"),
+        F.sum(ia * ia).alias("_qa"),
+        F.count(ib).cast("double").alias("_nb"),
+        F.sum(ib).alias("_sb"),
+        F.sum(ib * ib).alias("_qb"),
+    )
+    na, nb = F.col("_na"), F.col("_nb")
+    va = (na * F.col("_qa") - F.col("_sa") * F.col("_sa")) / (
+        na * (na - 1)
+    )
+    vb = (nb * F.col("_qb") - F.col("_sb") * F.col("_sb")) / (
+        nb * (nb - 1)
+    )
+    sea = va / na
+    seb = vb / nb
+    se2 = sea + seb
+    t = (F.col("_sa") / na - F.col("_sb") / nb) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        sea * sea / (na - 1) + seb * seb / (nb - 1)
+    )
+    ok = (na >= 2) & (nb >= 2) & (se2 > 0)
+    return agg.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(F.col("_sa") / na, 6).alias("mean_a"),
+        F.round(F.col("_sb") / nb, 6).alias("mean_b"),
+        F.round(F.when(ok, t), 4).alias("t_stat"),
+        F.round(F.when(ok, dof), 4).alias("df"),
+    )
+
+
+def rolling_corr(
+    df: DataFrame,
+    time_col: str,
+    x_col: str,
+    y_col: str,
+    window: int = 7,
+) -> DataFrame:
+    """Trailing-window Pearson correlation between two ALIGNED series
+    — "are these two metrics moving together this week": the
+    cross-series companion to ``sessions.rolling_autocorr`` (which
+    correlates one series with its own lag). Input is one row per
+    time point with both values (callers align/pivot first — the
+    grain contract: the frame is TIME-DOMAIN-bounded, so the ordered
+    window runs over days/hours, never events).
+
+    One window pass accumulates the five running sums
+    (Σx, Σy, Σx², Σy², Σxy) plus the count over
+    ``rowsBetween(-(window-1), 0)``; corr comes from the exact
+    product-moment identity on those sums — integral-exact while the
+    inputs are quantized integers (the x24 discipline). Rows with
+    fewer than ``window`` points emit NULL (warm-up, not a shorter
+    window — partial-window correlations are noise wearing a number).
+    NULL in either value excludes the row up front
+    (pairwise-complete). Output: (time, n_in_window, corr rounded 6).
+    """
+    base = df.select(
+        F.col(time_col).alias("_t"),
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    ).where(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    w = (
+        Window.orderBy("_t")
+        .rowsBetween(-(window - 1), 0)
+    )
+    s = base.select(
+        "_t",
+        F.count(F.lit(1)).over(w).cast("double").alias("_n"),
+        F.sum("_x").over(w).alias("_sx"),
+        F.sum("_y").over(w).alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).over(w).alias("_sxx"),
+        F.sum(F.col("_y") * F.col("_y")).over(w).alias("_syy"),
+        F.sum(F.col("_x") * F.col("_y")).over(w).alias("_sxy"),
+    )
+    num = F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    dx = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    dy = F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")
+    corr = F.when(
+        (F.col("_n") >= window) & (dx > 0) & (dy > 0),
+        num / F.sqrt(dx * dy),
+    )
+    return s.select(
+        F.col("_t").alias(time_col),
+        F.col("_n").cast("long").alias("n_in_window"),
+        F.round(corr, 6).alias("corr"),
+    )

@@ -5080,3 +5080,119 @@ def p25_weighted_sample(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     return weighted_sample(docs, "doc_id", "n_chars", k=100, seed=42)
+
+
+@query(
+    "x32_welch_ttest",
+    oracle="""
+    WITH two AS (
+      SELECT event_type AS g,
+             CAST(CAST(floor(value * 100 + 0.5) AS BIGINT) AS DOUBLE)
+               AS v
+      FROM events WHERE event_type IN ('purchase', 'click')
+        AND value IS NOT NULL
+    ), agg AS (
+      SELECT
+        CAST(count(CASE WHEN g = 'purchase' THEN 1 END) AS DOUBLE)
+          AS na,
+        sum(CASE WHEN g = 'purchase' THEN v END) AS sa,
+        sum(CASE WHEN g = 'purchase' THEN v * v END) AS qa,
+        CAST(count(CASE WHEN g = 'click' THEN 1 END) AS DOUBLE) AS nb,
+        sum(CASE WHEN g = 'click' THEN v END) AS sb,
+        sum(CASE WHEN g = 'click' THEN v * v END) AS qb
+      FROM two
+    ), st AS (
+      SELECT na, nb, sa, sb,
+             (na * qa - sa * sa) / (na * (na - 1)) / na AS sea,
+             (nb * qb - sb * sb) / (nb * (nb - 1)) / nb AS seb
+      FROM agg
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(sa / na, 6) AS mean_a,
+           round(sb / nb, 6) AS mean_b,
+           round(CASE WHEN na >= 2 AND nb >= 2 AND sea + seb > 0
+             THEN (sa / na - sb / nb) / sqrt(sea + seb) END, 4)
+             AS t_stat,
+           round(CASE WHEN na >= 2 AND nb >= 2 AND sea + seb > 0
+             THEN (sea + seb) * (sea + seb)
+                  / (sea * sea / (na - 1) + seb * seb / (nb - 1))
+             END, 4) AS df
+    FROM st
+    """,
+)
+def x32_welch_ttest(spark, sf_dir):
+    """Welch two-sample t on purchase vs click values (welch_ttest) —
+    the parametric mean comparison completing x23 (rank) and x28
+    (shape). Values quantize to integer cents so every conditional
+    sum is exact and the one sqrt/division happens on bit-identical
+    inputs; a single conditional-sum aggregation, no per-group
+    frames. The oracle restates the variance identity and
+    Welch-Satterthwaite df literally."""
+    from ixmp_spark.operators.sampling import welch_ttest
+
+    ev = load(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long").cast("double").alias("cents"),
+    )
+    return welch_ttest(cents, "event_type", "cents", "purchase", "click")
+
+
+@query(
+    "w33_rolling_xcorr",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(count(CASE WHEN event_type = 'view' THEN 1 END)
+                  AS DOUBLE) AS x,
+             CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+                  AS DOUBLE) AS y
+      FROM events WHERE ts IS NOT NULL
+      GROUP BY CAST(ts AS DATE)
+    ), s AS (
+      SELECT d,
+        CAST(count(*) OVER w AS DOUBLE) AS n,
+        sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+        sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy,
+        sum(x * y) OVER w AS sxy
+      FROM daily
+      WINDOW w AS (ORDER BY d
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(d AS VARCHAR) AS day,
+           CAST(n AS BIGINT) AS n_in_window,
+           round(CASE WHEN n >= 7
+                       AND n * sxx - sx * sx > 0
+                       AND n * syy - sy * sy > 0
+             THEN (n * sxy - sx * sy)
+                  / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+             END, 6) AS corr
+    FROM s ORDER BY day
+    """,
+)
+def w33_rolling_xcorr(spark, sf_dir):
+    """7-day rolling Pearson correlation between daily view counts and
+    daily purchase counts (rolling_corr) — "is traffic still driving
+    conversions this week", the cross-series companion to w-family's
+    rolling autocorrelation. The day-grain frame is date-bounded
+    (one ordered window — the adjudicated domain-bounded class);
+    counts are exact integers so the product-moment sums are
+    bit-identical cross-engine. Warm-up rows (< 7 days) emit NULL by
+    contract. The oracle replays the identical window sums."""
+    from ixmp_spark.operators.sampling import rolling_corr
+
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("ts").isNotNull())
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.when(F.col("event_type") == "view", 1))
+            .cast("double").alias("views"),
+            F.count(F.when(F.col("event_type") == "purchase", 1))
+            .cast("double").alias("purchases"),
+        )
+    )
+    return rolling_corr(
+        daily, "day", "views", "purchases", window=7
+    ).withColumn("day", F.col("day").cast("string"))

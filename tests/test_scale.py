@@ -5902,6 +5902,62 @@ def test_weighted_sample_replay(spark):
     assert [r["id"] for r in other] == replay(seed=7)[:8]
 
 
+def test_welch_ttest_hand(spark):
+    """welch_ttest (pins x32): textbook hand case a=[1,2,3] vs
+    b=[2,4,6,8] — t = −3/√2, Welch–Satterthwaite df ≈ 4.0755;
+    NULL stats when a group has < 2 values; NULL values excluded."""
+    import math
+
+    from ixmp_spark.operators.sampling import welch_ttest
+
+    rows = ([("A", v) for v in (1.0, 2.0, 3.0)]
+            + [("B", v) for v in (2.0, 4.0, 6.0, 8.0)]
+            + [("A", None), ("C", 99.0)])
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = welch_ttest(df, "g", "v", "A", "B").collect()[0]
+    assert (got["n_a"], got["n_b"]) == (3, 4)
+    assert (got["mean_a"], got["mean_b"]) == (2.0, 5.0)
+    assert got["t_stat"] == round(-3 / math.sqrt(2), 4)
+    sea, seb = 1 / 3, (20 / 3) / 4
+    dof = (sea + seb) ** 2 / (sea**2 / 2 + seb**2 / 3)
+    assert got["df"] == round(dof, 4)
+
+    tiny = spark.createDataFrame(
+        [("A", 1.0), ("B", 2.0), ("B", 3.0)], "g string, v double"
+    )
+    gt = welch_ttest(tiny, "g", "v", "A", "B").collect()[0]
+    assert gt["t_stat"] is None and gt["df"] is None
+
+
+def test_rolling_corr_pinned(spark):
+    """rolling_corr (pins w33): a perfectly co-moving pair reads
+    corr 1.0 once warm, an anti-moving pair −1.0; warm-up rows
+    (< window points) are NULL with the true n_in_window; constant
+    windows (zero variance) are NULL."""
+    from ixmp_spark.operators.sampling import rolling_corr
+
+    pos = [(i, float(i % 5), float(2 * (i % 5) + 3)) for i in range(8)]
+    df = spark.createDataFrame(pos, "t long, x double, y double")
+    got = rolling_corr(df, "t", "x", "y", window=4).collect()
+    assert [r["n_in_window"] for r in got] == [1, 2, 3, 4, 4, 4, 4, 4]
+    assert all(r["corr"] is None for r in got[:3])  # warm-up
+    assert all(r["corr"] == 1.0 for r in got[3:])
+
+    neg = [(i, float(i % 5), float(-3 * (i % 5))) for i in range(6)]
+    gn = rolling_corr(
+        spark.createDataFrame(neg, "t long, x double, y double"),
+        "t", "x", "y", window=3,
+    ).collect()
+    assert all(r["corr"] == -1.0 for r in gn[2:] if r["corr"] is not None)
+
+    const = [(i, 1.0, float(i)) for i in range(5)]
+    gc = rolling_corr(
+        spark.createDataFrame(const, "t long, x double, y double"),
+        "t", "x", "y", window=3,
+    ).collect()
+    assert all(r["corr"] is None for r in gc)  # x variance 0
+
+
 def test_changepoint_single_pinned(spark):
     """changepoint_single (pins w32_changepoint): hand AMOC case — a
     clean 10→20 level shift splits exactly at the boundary with
