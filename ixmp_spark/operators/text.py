@@ -1940,3 +1940,145 @@ def topic_model(
         .select("topic", "term", "weight")
     )
     return doc_topics, topic_terms
+
+
+def repetition_signals(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dup_line_frac: float = 0.30,
+    max_dup_line_char_frac: float = 0.20,
+    max_top_ngram_char_frac=(0.20, 0.18, 0.16),
+    max_dup_5gram_char_frac: float = 0.15,
+) -> DataFrame:
+    """The REPETITION half of the Gopher quality rules (Rae et al.
+    2021 §A1.1) that ``gopher_quality_filter`` deliberately leaves
+    out (its signals are all map-only; these need a gram shuffle):
+    duplicate-line fractions, the top-{2,3,4}-gram character
+    fraction, and the duplicated-5-gram character fraction — the
+    signals that catch boilerplate loops, keyword stuffing, and
+    template spam that length/symbol gates miss. Default thresholds
+    are the published Gopher numbers.
+
+    Shapes: the line signals are pure map-side array expressions
+    (split on newline, ``array_distinct`` for the duplicate mass).
+    The gram signals pay exactly ONE shuffle, keyed by
+    (doc, n, gram) — the t-family contract: gram-count rows, never
+    documents — then collapse per (doc, n) with ``max_by`` (top
+    gram, ties by gram text for determinism) and a conditional sum
+    (chars in grams occurring ≥ 2, overlapping occurrences counted —
+    the standard approximation), and land as columns via a
+    conditional aggregation per doc. Character denominators use the
+    normalized text length; documents shorter than n words score 0
+    for that n (nothing repeats in an empty gram set).
+
+    Output: (id, n_lines, dup_line_frac, dup_line_char_frac,
+    top_2gram_char_frac, top_3gram_char_frac, top_4gram_char_frac,
+    dup_5gram_char_frac, keep) — signal columns kept so audits can
+    bin documents by WHICH rule fired, rounded 6.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else F.col(text_col)
+    norm = F.trim(F.lower(c))
+    lines = F.filter(
+        F.split(c, r"\n"), lambda ln: F.trim(ln) != F.lit("")
+    )
+    nl = F.size(lines)
+    dlines = F.array_distinct(lines)
+    total_line_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    distinct_line_chars = F.aggregate(
+        dlines, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        norm.alias("_norm"),
+        nl.cast("long").alias("n_lines"),
+        F.round(
+            F.when(nl > 0, 1 - F.size(dlines) / nl.cast("double"))
+            .otherwise(0.0), 6,
+        ).alias("dup_line_frac"),
+        F.round(
+            F.when(
+                total_line_chars > 0,
+                1 - distinct_line_chars / total_line_chars.cast("double"),
+            ).otherwise(0.0), 6,
+        ).alias("dup_line_char_frac"),
+        F.length(norm).cast("double").alias("_chars"),
+    )
+    grams = None
+    for n in (2, 3, 4, 5):
+        g = base.select(
+            "_id", "_chars", F.lit(n).alias("_n"),
+            F.explode(word_ngrams(F.col("_norm"), n)).alias("_g"),
+        )
+        grams = g if grams is None else grams.unionByName(g)
+    cnt = grams.groupBy("_id", "_n", "_g").agg(
+        F.count(F.lit(1)).cast("double").alias("_c"),
+        F.max("_chars").alias("_chars"),
+    )
+    per_n = cnt.groupBy("_id", "_n").agg(
+        F.max_by(
+            # a gram seen ONCE is not repetition: the top-gram char
+            # mass counts only at count >= 2, else short clean docs
+            # trip the threshold on one long unique gram
+            F.when(F.col("_c") >= 2, F.col("_c") * F.length("_g"))
+            .otherwise(F.lit(0.0)),
+            F.struct(F.col("_c"), F.length("_g"), F.col("_g")),
+        ).alias("_topchars"),
+        F.sum(
+            F.when(F.col("_c") >= 2, F.col("_c") * F.length("_g"))
+            .otherwise(0.0)
+        ).alias("_dupchars"),
+        F.max("_chars").alias("_chars"),
+    )
+    sig = per_n.groupBy("_id").agg(
+        *[
+            F.round(
+                F.coalesce(
+                    F.max(
+                        F.when(
+                            F.col("_n") == n,
+                            F.col("_topchars") / F.col("_chars"),
+                        )
+                    ),
+                    F.lit(0.0),
+                ), 6,
+            ).alias(f"top_{n}gram_char_frac")
+            for n in (2, 3, 4)
+        ],
+        F.round(
+            F.coalesce(
+                F.max(
+                    F.when(
+                        F.col("_n") == 5,
+                        F.col("_dupchars") / F.col("_chars"),
+                    )
+                ),
+                F.lit(0.0),
+            ), 6,
+        ).alias("dup_5gram_char_frac"),
+    )
+    out = base.drop("_norm", "_chars").join(sig, "_id", "left")
+    t2, t3, t4 = max_top_ngram_char_frac
+    filled = out.select(
+        F.col("_id").alias(id_col),
+        "n_lines", "dup_line_frac", "dup_line_char_frac",
+        *[
+            F.coalesce(F.col(f"top_{n}gram_char_frac"), F.lit(0.0))
+            .alias(f"top_{n}gram_char_frac")
+            for n in (2, 3, 4)
+        ],
+        F.coalesce(F.col("dup_5gram_char_frac"), F.lit(0.0)).alias(
+            "dup_5gram_char_frac"
+        ),
+    )
+    keep = (
+        (F.col("dup_line_frac") <= max_dup_line_frac)
+        & (F.col("dup_line_char_frac") <= max_dup_line_char_frac)
+        & (F.col("top_2gram_char_frac") <= t2)
+        & (F.col("top_3gram_char_frac") <= t3)
+        & (F.col("top_4gram_char_frac") <= t4)
+        & (F.col("dup_5gram_char_frac") <= max_dup_5gram_char_frac)
+    )
+    return filled.withColumn("keep", F.coalesce(keep, F.lit(False)))

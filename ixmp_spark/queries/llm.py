@@ -1228,3 +1228,97 @@ def p21_quantile_normalize(spark, sf_dir):
         "doc_id", "source", "n_chars",
         F.round("norm_score", 4).alias("norm_score"),
     )
+
+
+@query(
+    "t29_repetition",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, text, trim(lower(text)) AS norm FROM documents
+    ), lined AS (
+      SELECT doc_id,
+             list_filter(string_split(text, chr(10)),
+                         x -> trim(x) != '') AS l
+      FROM docs
+    ), linesig AS (
+      SELECT doc_id,
+             CAST(len(l) AS BIGINT) AS n_lines,
+             round(CASE WHEN len(l) > 0
+               THEN 1 - CAST(len(list_distinct(l)) AS DOUBLE) / len(l)
+               ELSE 0.0 END, 6) AS dup_line_frac,
+             round(CASE WHEN coalesce(list_sum(
+                     list_transform(l, x -> length(x))), 0) > 0
+               THEN 1 - CAST(list_sum(list_transform(
+                       list_distinct(l), x -> length(x))) AS DOUBLE)
+                     / list_sum(list_transform(l, x -> length(x)))
+               ELSE 0.0 END, 6) AS dup_line_char_frac
+      FROM lined
+    ), w AS (
+      SELECT doc_id, CAST(length(norm) AS DOUBLE) AS chars,
+             string_split_regex(norm, '\\s+') AS words
+      FROM docs
+    ), grams AS (
+      SELECT w.doc_id, w.chars, n.n,
+             array_to_string(
+               words[CAST(i AS INT) : CAST(i AS INT) + n.n - 1], ' '
+             ) AS g
+      FROM w
+      CROSS JOIN (VALUES (2), (3), (4), (5)) n(n)
+      CROSS JOIN unnest(range(1, len(words) - n.n + 2)) AS t(i)
+    ), cnt AS (
+      SELECT doc_id, n, g, CAST(count(*) AS DOUBLE) AS c,
+             max(chars) AS chars
+      FROM grams GROUP BY doc_id, n, g
+    ), topg AS (
+      SELECT doc_id, n,
+             CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END AS topchars
+      FROM (
+        SELECT doc_id, n, c, g, row_number() OVER (
+          PARTITION BY doc_id, n
+          ORDER BY c DESC, length(g) DESC, g DESC
+        ) AS rn FROM cnt
+      ) WHERE rn = 1
+    ), per_n AS (
+      SELECT cnt.doc_id, cnt.n, max(topg.topchars) AS topchars,
+             sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END)
+               AS dupchars,
+             max(chars) AS chars
+      FROM cnt JOIN topg ON topg.doc_id = cnt.doc_id AND topg.n = cnt.n
+      GROUP BY cnt.doc_id, cnt.n
+    ), sig AS (
+      SELECT doc_id,
+        round(coalesce(max(CASE WHEN n = 2
+          THEN topchars / chars END), 0.0), 6) AS top_2gram_char_frac,
+        round(coalesce(max(CASE WHEN n = 3
+          THEN topchars / chars END), 0.0), 6) AS top_3gram_char_frac,
+        round(coalesce(max(CASE WHEN n = 4
+          THEN topchars / chars END), 0.0), 6) AS top_4gram_char_frac,
+        round(coalesce(max(CASE WHEN n = 5
+          THEN dupchars / chars END), 0.0), 6) AS dup_5gram_char_frac
+      FROM per_n GROUP BY doc_id
+    )
+    SELECT linesig.doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+           coalesce(top_2gram_char_frac, 0.0) AS top_2gram_char_frac,
+           coalesce(top_3gram_char_frac, 0.0) AS top_3gram_char_frac,
+           coalesce(top_4gram_char_frac, 0.0) AS top_4gram_char_frac,
+           coalesce(dup_5gram_char_frac, 0.0) AS dup_5gram_char_frac,
+           (dup_line_frac <= 0.30 AND dup_line_char_frac <= 0.20
+            AND coalesce(top_2gram_char_frac, 0.0) <= 0.20
+            AND coalesce(top_3gram_char_frac, 0.0) <= 0.18
+            AND coalesce(top_4gram_char_frac, 0.0) <= 0.16
+            AND coalesce(dup_5gram_char_frac, 0.0) <= 0.15) AS keep
+    FROM linesig LEFT JOIN sig USING (doc_id)
+    """,
+)
+def t29_repetition(spark, sf_dir):
+    """Gopher repetition rules (repetition_signals): duplicate-line
+    fractions + top-{2,3,4}-gram and duplicated-5-gram character
+    fractions with the published thresholds — the boilerplate-loop /
+    keyword-stuffing half of the Gopher gate that t14's map-only
+    signals cannot see (these need the one gram-keyed shuffle). The
+    oracle rebuilds the same grams via list slicing and replays the
+    max_by tie-break (count, length, gram) literally."""
+    from ixmp_spark.operators.text import repetition_signals
+
+    docs = load(spark, sf_dir, "documents")
+    return repetition_signals(docs, "doc_id", "text")

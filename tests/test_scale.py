@@ -5958,6 +5958,46 @@ def test_rolling_corr_pinned(spark):
     assert all(r["corr"] is None for r in gc)  # x variance 0
 
 
+def test_repetition_signals_pinned(spark):
+    """repetition_signals (pins t29_repetition): hand-computed Gopher
+    repetition fractions — a spam loop trips the top-n-gram rules
+    (char fractions may exceed 1, overlapping occurrences counted —
+    the standard approximation), duplicate lines trip the line rules,
+    a planted repeated 5-gram trips dup_5gram, and clean prose
+    keeps."""
+    from ixmp_spark.operators.text import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),
+            (2, "aa\naa\nbb"),
+            (3, "x y z w v x y z w v"),
+            (4, "the quick brown fox jumps over a lazy dog today"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r
+           for r in repetition_signals(docs, "doc_id", "text").collect()}
+    s = got[1]  # norm 19 chars; "spam spam" x3 -> 27/19
+    assert s["top_2gram_char_frac"] == round(27 / 19, 6)
+    assert s["top_3gram_char_frac"] == round(28 / 19, 6)
+    # the single 4-gram occurs ONCE -> not repetition, counts 0
+    assert s["top_4gram_char_frac"] == 0.0
+    assert s["keep"] is False
+
+    ln = got[2]
+    assert ln["n_lines"] == 3
+    assert ln["dup_line_frac"] == round(1 - 2 / 3, 6)
+    assert ln["dup_line_char_frac"] == round(1 - 4 / 6, 6)
+
+    f = got[3]  # "x y z w v" appears at pos 1 and 6 -> 2*9/19
+    assert f["dup_5gram_char_frac"] == round(18 / 19, 6)
+    assert f["keep"] is False
+
+    assert got[4]["keep"] is True
+    assert got[4]["dup_5gram_char_frac"] == 0.0
+
+
 def test_changepoint_single_pinned(spark):
     """changepoint_single (pins w32_changepoint): hand AMOC case — a
     clean 10→20 level shift splits exactly at the boundary with
