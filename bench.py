@@ -98,6 +98,15 @@ BENCH_QUERIES = [
     # vote explode)
     "x19_bootstrap_ci",
     "g10_rolling_active",
+    # round 9 additions: the reworked Bradley-Terry (r8's 15.5 s
+    # problem child — the numpy-fast-path constant must stay visible
+    # round-over-round), the Gopher repetition rules (one
+    # (doc, n, gram)-keyed shuffle over four gram sizes), and the
+    # matryoshka truncation-recall sweep (probe-bounded rank windows
+    # x 4 rank pipelines)
+    "x27_bradley_terry",
+    "t29_repetition",
+    "e12_matryoshka_recall",
 ]
 # NOT in the headline set: t12_bpe_merges — an iterative trainer whose
 # cost is n_merges × per-iteration job latency (driver-loop bound, not

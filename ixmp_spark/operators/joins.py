@@ -1275,80 +1275,85 @@ def bradley_terry(
     ordered = comparisons.select(
         F.col(winner_col).alias("__w"), F.col(loser_col).alias("__l")
     ).where(F.col("__w") != F.col("__l"))
-    # directed wins, then symmetrize to (i, j, wins_ij, n_ij)
+    # directed-win counts: the ONLY data-sized shuffle — everything
+    # after runs on (observed-pair)-bounded frames
     wins = ordered.groupBy("__w", "__l").agg(
         F.count(F.lit(1)).cast("double").alias("__k")
-    )
-    pairs = (
-        wins.select(
-            F.col("__w").alias("__i"),
-            F.col("__l").alias("__j"),
-            F.col("__k").alias("__wij"),
-        )
-        .unionByName(
-            wins.select(
-                F.col("__l").alias("__i"),
-                F.col("__w").alias("__j"),
-                F.lit(0.0).alias("__wij"),
-            )
-        )
-        .groupBy("__i", "__j")
-        .agg((F.sum("__wij") + F.lit(prior)).alias("__wij"))
-    )
-    # n_ij = wins both ways (priors included on each side)
-    back = pairs.select(
-        F.col("__j").alias("__i"),
-        F.col("__i").alias("__j"),
-        F.col("__wij").alias("__wji"),
-    )
-    e = (
-        pairs.join(back, ["__i", "__j"])
-        .select("__i", "__j", "__wij", (F.col("__wij") + F.col("__wji")).alias("__nij"))
-        .persist()
-    )
-    # ONE limit-probe job materializes the persisted grid AND (when it
-    # fits) delivers the driver path's data — no separate count jobs,
-    # no second collect: at bench scale the collapse + this probe are
-    # the only Spark jobs the whole operator runs
-    rows = e.limit(driver_max_pairs + 1).collect()
-    if not rows:
-        e.unpersist()
+    ).persist()
+    # ONE limit-probe job materializes the persisted win counts AND
+    # (when they fit) delivers the driver path's data — no separate
+    # count jobs; the probe rides Arrow (toPandas): a row-by-row
+    # collect() of a near-limit grid is py4j-bound (~8 s vs ~0.3 s
+    # for 1M rows). The symmetrize-with-prior step happens in numpy
+    # on the driver path (it is pure per-pair arithmetic) — the r9
+    # profile showed the Spark union+groupBy+join symmetrization
+    # costing more than the whole MM fit at sf0.1.
+    pdf = wins.limit(driver_max_pairs + 1).toPandas()
+    if pdf.empty:
+        wins.unpersist()
         return spark.createDataFrame(
             [], "item string, strength double, wins double,"
             " n_comparisons double"
         )
-    item_type = e.schema["__i"].dataType.simpleString()
+    item_type = wins.schema["__w"].dataType.simpleString()
+    n_win_pairs = len(pdf)
     if stats is not None:
         stats.update(
-            n_pairs=len(rows),
-            path="driver" if len(rows) <= driver_max_pairs
+            n_pairs=n_win_pairs,
+            path="driver" if n_win_pairs <= driver_max_pairs
             else "distributed", round_seconds=[],
         )
-    if len(rows) <= driver_max_pairs:
+    if n_win_pairs <= driver_max_pairs:
         # bounded-block fast path: the collapsed grid is item²-bounded
         # by construction — exact numpy fixpoint, zero per-round jobs
         import numpy as np
 
-        e.unpersist()
-        items = sorted({r["__i"] for r in rows})
+        wins.unpersist()
+        m = len(pdf)
+        both = np.concatenate(
+            [pdf["__w"].to_numpy(), pdf["__l"].to_numpy()]
+        )
+        items_arr, inv = np.unique(both, return_inverse=True)
+        items = items_arr.tolist()
         n_items = len(items)
-        idx = {it: k for k, it in enumerate(items)}
-        src = np.array([idx[r["__i"]] for r in rows], dtype=np.int64)
-        dst = np.array([idx[r["__j"]] for r in rows], dtype=np.int64)
-        wij = np.array([r["__wij"] for r in rows], dtype=np.float64)
-        nij = np.array([r["__nij"] for r in rows], dtype=np.float64)
-        win = np.zeros(n_items, dtype=np.float64)
-        np.add.at(win, src, wij)
-        ncmp = np.zeros(n_items, dtype=np.float64)
-        np.add.at(ncmp, src, nij)
+        wi, li = inv[:m].astype(np.int64), inv[m:].astype(np.int64)
+        k = pdf["__k"].to_numpy(dtype=np.float64)
+        # collapse directed wins onto UNORDERED pairs, then expand to
+        # the symmetric directed grid with the prior on each side
+        pmin = np.minimum(wi, li)
+        pmax = np.maximum(wi, li)
+        upairs, pinv = np.unique(
+            pmin * np.int64(n_items) + pmax, return_inverse=True
+        )
+        fwd = wi < li  # wins in the min->max direction
+        kf = np.bincount(pinv[fwd], weights=k[fwd],
+                         minlength=len(upairs))
+        kb = np.bincount(pinv[~fwd], weights=k[~fwd],
+                         minlength=len(upairs))
+        a_idx = (upairs // n_items).astype(np.int64)
+        b_idx = (upairs % n_items).astype(np.int64)
+        wf, wb = kf + prior, kb + prior
+        nu = wf + wb
+        src = np.concatenate([a_idx, b_idx])
+        dst = np.concatenate([b_idx, a_idx])
+        wij = np.concatenate([wf, wb])
+        nij = np.concatenate([nu, nu])
+        # bincount, not np.add.at: at a 1M-pair grid the ufunc.at
+        # scatter costs ~50 ms/M per round (x27's sf0.1 profile) vs
+        # ~5 ms/M for the fused bincount reduction
+        win = np.bincount(src, weights=wij, minlength=n_items)
+        ncmp = np.bincount(src, weights=nij, minlength=n_items)
         if stats is not None:
             stats["n_items"] = n_items
         p_vec = np.ones(n_items, dtype=np.float64)
         for _round in range(max_iter):
             if stats is not None:
                 stats["rounds"] = _round + 1
-            den = np.zeros(n_items, dtype=np.float64)
-            np.add.at(den, src, nij / (p_vec[src] + p_vec[dst]))
+            den = np.bincount(
+                src,
+                weights=nij / (p_vec[src] + p_vec[dst]),
+                minlength=n_items,
+            )
             with np.errstate(divide="ignore", invalid="ignore"):
                 new = np.where(den > 0, win / den, 0.0)
             mean = new.mean()
@@ -1390,6 +1395,37 @@ def bradley_terry(
     import numpy as np
     import pandas as pd
 
+    # symmetrize with the prior Spark-side for the big regime:
+    # (i, j, w_ij, n_ij), both directions — observed-pair-bounded
+    pairs = (
+        wins.select(
+            F.col("__w").alias("__i"),
+            F.col("__l").alias("__j"),
+            F.col("__k").alias("__wij"),
+        )
+        .unionByName(
+            wins.select(
+                F.col("__l").alias("__i"),
+                F.col("__w").alias("__j"),
+                F.lit(0.0).alias("__wij"),
+            )
+        )
+        .groupBy("__i", "__j")
+        .agg((F.sum("__wij") + F.lit(prior)).alias("__wij"))
+    )
+    back = pairs.select(
+        F.col("__j").alias("__i"),
+        F.col("__i").alias("__j"),
+        F.col("__wij").alias("__wji"),
+    )
+    e = (
+        pairs.join(back, ["__i", "__j"])
+        .select(
+            "__i", "__j", "__wij",
+            (F.col("__wij") + F.col("__wji")).alias("__nij"),
+        )
+        .persist()
+    )
     totals = e.groupBy(F.col("__i").alias("item")).agg(
         F.sum("__wij").alias("__win"),
         F.sum("__nij").alias("__n"),
@@ -1449,10 +1485,12 @@ def bradley_terry(
             break
     else:
         e.unpersist()
+        wins.unpersist()
         raise RuntimeError(
             f"bradley_terry did not converge in {max_iter} iterations"
             f" (tol={tol})"
         )
+    wins.unpersist()
     ncmp = {r["item"]: r["__n"] for r in trows}
     out_rows = [
         (items[k], round(float(p_vec[k]), 8), float(win[k]),

@@ -1752,7 +1752,7 @@ def ipf_raking(
     )
 
 
-def weighted_sample(
+def weighted_reservoir_sample(
     df: DataFrame,
     key_col: str,
     weight_col: str,

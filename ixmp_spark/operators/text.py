@@ -1942,7 +1942,7 @@ def topic_model(
     return doc_topics, topic_terms
 
 
-def repetition_signals(
+def gopher_repetition_signals(
     df: DataFrame,
     id_col: str,
     text_col: str,

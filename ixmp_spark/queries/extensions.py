@@ -5070,16 +5070,18 @@ def p24_ipf_raking(spark, sf_dir):
 )
 def p25_weighted_sample(spark, sf_dir):
     """Deterministic weighted sample of 100 documents, length-
-    proportional (weighted_sample, Efraimidis-Spirakis race keys on
+    proportional (weighted_reservoir_sample, Efraimidis-Spirakis race keys on
     md5-uniforms) — the reproducible "sample big docs more" draw a
     curation pipeline can re-run and get THE SAME rows, hash-
     certified: the oracle replays -ln(u)/w from the identical md5
     arithmetic. Map-side scoring + TakeOrdered(k); no shuffle, no
     window."""
-    from ixmp_spark.operators.sampling import weighted_sample
+    from ixmp_spark.operators.sampling import weighted_reservoir_sample
 
     docs = load(spark, sf_dir, "documents")
-    return weighted_sample(docs, "doc_id", "n_chars", k=100, seed=42)
+    return weighted_reservoir_sample(
+        docs, "doc_id", "n_chars", k=100, seed=42
+    )
 
 
 @query(

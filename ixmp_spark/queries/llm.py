@@ -1311,14 +1311,14 @@ def p21_quantile_normalize(spark, sf_dir):
     """,
 )
 def t29_repetition(spark, sf_dir):
-    """Gopher repetition rules (repetition_signals): duplicate-line
+    """Gopher repetition rules (gopher_repetition_signals): duplicate-line
     fractions + top-{2,3,4}-gram and duplicated-5-gram character
     fractions with the published thresholds — the boilerplate-loop /
     keyword-stuffing half of the Gopher gate that t14's map-only
     signals cannot see (these need the one gram-keyed shuffle). The
     oracle rebuilds the same grams via list slicing and replays the
     max_by tie-break (count, length, gram) literally."""
-    from ixmp_spark.operators.text import repetition_signals
+    from ixmp_spark.operators.text import gopher_repetition_signals
 
     docs = load(spark, sf_dir, "documents")
-    return repetition_signals(docs, "doc_id", "text")
+    return gopher_repetition_signals(docs, "doc_id", "text")

@@ -115,6 +115,34 @@ def test_rows_only_queries_have_tests():
     )
 
 
+def test_no_shadowed_operator_definitions():
+    """No module may define the same top-level function twice — a
+    later same-named def silently SHADOWS the earlier one and every
+    import site gets the wrong operator (the r9 incident: an appended
+    `weighted_sample` broke the existing p9 query until the parity
+    sweep caught it). AST-level, so it catches the bug before any
+    query runs."""
+    import ast
+    import pathlib
+
+    pkg = pathlib.Path(__file__).parent.parent / "ixmp_spark"
+    problems = []
+    for f in sorted(pkg.rglob("*.py")):
+        tree = ast.parse(f.read_text())
+        seen: dict[str, int] = {}
+        for node in tree.body:
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef,
+                                 ast.ClassDef)):
+                if node.name in seen:
+                    problems.append(
+                        f"{f.relative_to(pkg.parent)}: {node.name} "
+                        f"defined at lines {seen[node.name]} and "
+                        f"{node.lineno}"
+                    )
+                seen[node.name] = node.lineno
+    assert not problems, "shadowed definitions:\n" + "\n".join(problems)
+
+
 def test_topk_is_take_ordered(spark, sf_dir):
     plan = formatted_plan(QUERIES["o1_topk"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan

@@ -5867,14 +5867,16 @@ def test_ipf_raking_planted(spark):
 
 
 def test_weighted_sample_replay(spark):
-    """weighted_sample (pins p25): the Spark ranking equals an exact
+    """weighted_reservoir_sample (pins p25): the Spark ranking equals an exact
     pure-Python Efraimidis-Spirakis replay (hashlib md5, same
     (h+0.5)/2^32 uniform, same -ln(u)/w race keys); zero/NULL
     weights are excluded; k caps the draw; reruns are identical."""
     import hashlib
     import math
 
-    from ixmp_spark.operators.sampling import weighted_sample
+    from ixmp_spark.operators.sampling import (
+        weighted_reservoir_sample as weighted_sample,
+    )
 
     rows = [(i, float(w)) for i, w in
             zip(range(20), [1, 5, 2, 9, 4, 7, 3, 8, 6, 10] * 2)]
@@ -5959,13 +5961,15 @@ def test_rolling_corr_pinned(spark):
 
 
 def test_repetition_signals_pinned(spark):
-    """repetition_signals (pins t29_repetition): hand-computed Gopher
+    """gopher_repetition_signals (pins t29_repetition): hand-computed Gopher
     repetition fractions — a spam loop trips the top-n-gram rules
     (char fractions may exceed 1, overlapping occurrences counted —
     the standard approximation), duplicate lines trip the line rules,
     a planted repeated 5-gram trips dup_5gram, and clean prose
     keeps."""
-    from ixmp_spark.operators.text import repetition_signals
+    from ixmp_spark.operators.text import (
+        gopher_repetition_signals as repetition_signals,
+    )
 
     docs = spark.createDataFrame(
         [
