@@ -1922,3 +1922,154 @@ def rolling_corr(
         F.col("_n").cast("long").alias("n_in_window"),
         F.round(corr, 6).alias("corr"),
     )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a: str,
+    rater_b: str,
+) -> DataFrame:
+    """Cohen's kappa — agreement between two categorical labelings
+    BEYOND CHANCE: the label-quality audit for LLM-data pipelines
+    (heuristic lang-id vs provided lang, two judge models, weak
+    supervision vs gold). Raw accuracy rewards majority-class
+    collusion; kappa subtracts the agreement two independent raters
+    with these marginals would produce anyway:
+    ``κ = (p_o − p_e)/(1 − p_e)``.
+
+    One (a, b) count aggregation over the data (the x22 cell-grid
+    contract: everything after runs on the category-domain-bounded
+    grid); p_o sums the diagonal cells, p_e the product of the
+    marginals — both derived from the SAME cell frame with two
+    broadcast marginal joins, one pass. NULL labels excluded. Output
+    one row: (n, n_categories, p_observed, p_expected, kappa) rounded
+    6/4; NULL kappa when p_e = 1 (degenerate single-category frame).
+    """
+    two = df.where(
+        F.col(rater_a).isNotNull() & F.col(rater_b).isNotNull()
+    ).select(
+        F.col(rater_a).cast("string").alias("_a"),
+        F.col(rater_b).cast("string").alias("_b"),
+    )
+    cells = two.groupBy("_a", "_b").agg(
+        F.count(F.lit(1)).cast("double").alias("_n")
+    )
+    ra = cells.groupBy("_a").agg(F.sum("_n").alias("_rt"))
+    rb = cells.groupBy("_b").agg(F.sum("_n").alias("_ct"))
+    j = cells.join(F.broadcast(ra), "_a").join(F.broadcast(rb), "_b")
+    agg = j.agg(
+        F.sum("_n").alias("_N"),
+        F.sum(F.when(F.col("_a") == F.col("_b"), F.col("_n"))
+              .otherwise(0.0)).alias("_diag"),
+    )
+    # p_e needs Σ_c (row_c · col_c) over the UNION of both axes'
+    # categories — a full-outer join of the two marginal frames
+    # (category-domain-bounded), zero-filling the side a category
+    # never appears on
+    cats = (
+        ra.select(F.col("_a").alias("_c"), F.col("_rt"))
+        .join(
+            rb.select(F.col("_b").alias("_c"), F.col("_ct")),
+            "_c", "full_outer",
+        )
+        .agg(
+            F.sum(
+                F.coalesce(F.col("_rt"), F.lit(0.0))
+                * F.coalesce(F.col("_ct"), F.lit(0.0))
+            ).alias("_rc"),
+            F.count(F.lit(1)).cast("long").alias("n_categories"),
+        )
+    )
+    out = agg.crossJoin(F.broadcast(cats))
+    po = F.col("_diag") / F.col("_N")
+    pe = F.col("_rc") / (F.col("_N") * F.col("_N"))
+    kappa = F.when(pe < 1, (po - pe) / (1 - pe))
+    return out.select(
+        F.col("_N").cast("long").alias("n"),
+        "n_categories",
+        F.round(po, 6).alias("p_observed"),
+        F.round(pe, 6).alias("p_expected"),
+        F.round(kappa, 4).alias("kappa"),
+    )
+
+
+def ljung_box(
+    df: DataFrame,
+    key_col: str,
+    time_col: str,
+    value_col: str,
+    m: int = 7,
+) -> DataFrame:
+    """Ljung–Box portmanteau test per key — "is this series white
+    noise, or does ANY autocorrelation up to lag m survive":
+    ``Q = n(n+2) Σ_{k=1..m} r_k²/(n−k)``, the one-number screen run
+    before fitting any seasonal/trend model (w29's decomposition is
+    pointless on white noise), and the multi-lag completion of
+    ``rolling_autocorr``'s single lag.
+
+    Grain contract (the w-family shape): callers aggregate to a
+    time grain first, so the per-key ordered window runs over a
+    DATE-bounded frame. One pass builds the m lag columns on one
+    keyed sort; the per-key mean rides a broadcast join; r_k uses the
+    standard biased-denominator estimator (Σ over the full series of
+    (x−x̄)², lag products over the n−k overlaps). Output per key:
+    (key, n, q_stat, max_abs_r, argmax_lag) rounded 4 — q_stat NULL
+    for keys with n ≤ m (not enough overlap to fill the lags).
+    """
+    g = df.select(
+        F.col(key_col).alias("_k"),
+        F.col(time_col).alias("_t"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).where(F.col("_v").isNotNull())
+    mean = g.groupBy("_k").agg(
+        F.avg("_v").alias("_mu"), F.count(F.lit(1)).alias("_n")
+    )
+    w = Window.partitionBy("_k").orderBy("_t")
+    lagged = g.select(
+        "_k", "_v",
+        *[F.lag("_v", k).over(w).alias(f"_l{k}") for k in range(1, m + 1)],
+    ).join(F.broadcast(mean), "_k")
+    d = F.col("_v") - F.col("_mu")
+    agg = lagged.groupBy("_k").agg(
+        F.max("_n").alias("_n"),
+        F.sum(d * d).alias("_s0"),
+        *[
+            F.sum(
+                F.when(
+                    F.col(f"_l{k}").isNotNull(),
+                    d * (F.col(f"_l{k}") - F.col("_mu")),
+                )
+            ).alias(f"_s{k}")
+            for k in range(1, m + 1)
+        ],
+    )
+    n = F.col("_n").cast("double")
+    rs = [
+        (F.col(f"_s{k}") / F.col("_s0")).alias(f"_r{k}")
+        for k in range(1, m + 1)
+    ]
+    rk = agg.select("_k", "_n", "_s0", *rs)
+    q = n * (n + 2) * sum(
+        (F.col(f"_r{k}") * F.col(f"_r{k}")) / (n - k)
+        for k in range(1, m + 1)
+    )
+    absr = F.greatest(*[F.abs(F.col(f"_r{k}")) for k in range(1, m + 1)])
+    arg = F.array(
+        *[
+            F.struct(
+                F.abs(F.col(f"_r{k}")).alias("a"),
+                F.lit(-k).alias("negk"),
+            )
+            for k in range(1, m + 1)
+        ]
+    )
+    argmax = -F.array_max(arg)["negk"]
+    n = F.col("_n").cast("double")
+    ok = (F.col("_n") > m) & (F.col("_s0") > 0)
+    return rk.select(
+        F.col("_k").alias(key_col),
+        F.col("_n").cast("long").alias("n"),
+        F.round(F.when(ok, q), 4).alias("q_stat"),
+        F.round(F.when(ok, absr), 4).alias("max_abs_r"),
+        F.when(ok, argmax).cast("long").alias("argmax_lag"),
+    )

@@ -1300,3 +1300,68 @@ def matryoshka_recall(
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("dim")
+
+
+def embedding_dispersion(
+    df: DataFrame,
+    label_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Per-group embedding-corpus dispersion via the centroid
+    identity: for unit vectors, the mean pairwise cosine similarity
+    within a group equals ``(n²·‖m‖² − n)/(n·(n−1))`` where m is the
+    mean unit vector — so ONE aggregation answers "how semantically
+    redundant is this slice" without any pairwise join (the
+    diversity readout behind SemDeDup-style pruning decisions:
+    dispersion = 1 − mean_cos near 0 means the slice is one idea
+    repeated; near 1, spread out).
+
+    Shape: unit-normalize map-side, ``posexplode`` to (label, dim)
+    rows and aggregate component sums — the shuffle carries
+    label×dim-bounded aggregation state (map-side partial sums do the
+    heavy lifting), never vectors; ‖m‖² folds over the dim-bounded
+    per-label component frame. Zero-norm vectors are excluded (no
+    direction, no dispersion). Output per label:
+    (label, n, mean_cos, dispersion) rounded 6; NULL stats for
+    single-vector groups (no pair exists).
+    """
+    unit = df.select(
+        F.col(label_col).alias("_g"),
+        F.transform(
+            _dvec(vec_col),
+            lambda x: F.try_divide(
+                x,
+                F.sqrt(
+                    F.aggregate(
+                        _dvec(vec_col), F.lit(0.0),
+                        lambda a, y: a + y * y,
+                    )
+                ),
+            ),
+        ).alias("_u"),
+        F.sqrt(
+            F.aggregate(_dvec(vec_col), F.lit(0.0), lambda a, y: a + y * y)
+        ).alias("_nrm"),
+    ).where(F.col("_nrm") > 0)
+    comps = unit.select(
+        "_g", F.posexplode("_u").alias("_pos", "_x")
+    )
+    per_dim = comps.groupBy("_g", "_pos").agg(
+        F.sum("_x").alias("_s"), F.count(F.lit(1)).alias("_cnt")
+    )
+    agg = per_dim.groupBy("_g").agg(
+        F.sum(F.col("_s") * F.col("_s")).alias("_m2"),  # ‖Σu‖²
+        F.max("_cnt").cast("double").alias("_n"),
+    )
+    n = F.col("_n")
+    # try_divide, not /: ANSI raises DIVIDE_BY_ZERO for the n=1 rows
+    # even inside the when() guard under whole-stage codegen
+    mean_cos = F.when(
+        n >= 2, F.try_divide(F.col("_m2") - n, n * (n - 1))
+    )
+    return agg.select(
+        F.col("_g").alias(label_col),
+        n.cast("long").alias("n"),
+        F.round(mean_cos, 6).alias("mean_cos"),
+        F.round(1 - mean_cos, 6).alias("dispersion"),
+    )

@@ -5198,3 +5198,207 @@ def w33_rolling_xcorr(spark, sf_dir):
     return rolling_corr(
         daily, "day", "views", "purchases", window=7
     ).withColumn("day", F.col("day").cast("string"))
+
+
+@query(
+    "x33_cohens_kappa",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             string_split_regex(trim(lower(text)), '\s+') AS t
+      FROM documents
+    ), hits AS (
+      SELECT doc_id, lang,
+        len(list_filter(t, x -> list_contains(['the','and','of'], x))) AS h_en,
+        len(list_filter(t, x -> list_contains(['der','und','die'], x))) AS h_de,
+        len(list_filter(t, x -> list_contains(['le','et','les'], x))) AS h_fr,
+        len(list_filter(t, x -> list_contains(['el','y','los'], x))) AS h_es
+      FROM toks
+    ), rated AS (
+      SELECT lang AS a,
+           CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+                WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+                WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+                WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+                ELSE 'es' END AS b
+      FROM hits
+    ), cells AS (
+      SELECT a, b, CAST(count(*) AS DOUBLE) AS n
+      FROM rated GROUP BY a, b
+    ), ra AS (SELECT a, sum(n) AS rt FROM cells GROUP BY a),
+    rb AS (SELECT b, sum(n) AS ct FROM cells GROUP BY b),
+    tot AS (
+      SELECT sum(n) AS N,
+             sum(CASE WHEN a = b THEN n ELSE 0 END) AS diag
+      FROM cells
+    ), pe AS (
+      SELECT sum(coalesce(rt, 0) * coalesce(ct, 0)) AS rc,
+             CAST(count(*) AS BIGINT) AS n_categories
+      FROM ra FULL OUTER JOIN rb ON ra.a = rb.b
+    )
+    SELECT CAST(N AS BIGINT) AS n, n_categories,
+           round(diag / N, 6) AS p_observed,
+           round(rc / (N * N), 6) AS p_expected,
+           round(CASE WHEN rc / (N * N) < 1
+             THEN (diag / N - rc / (N * N)) / (1 - rc / (N * N))
+             END, 4) AS kappa
+    FROM tot CROSS JOIN pe
+    """,
+)
+def x33_cohens_kappa(spark, sf_dir):
+    """Cohen's kappa between the PROVIDED document language and the
+    t2 heuristic lang-id prediction (cohens_kappa) — the beyond-
+    chance agreement audit a labeling pipeline runs on its weak
+    raters (raw accuracy rewards majority-class collusion; kappa
+    subtracts the marginal-product baseline). One cell-grid
+    aggregation; marginal products on the category frame. The oracle
+    replays t2's argmax rater and the kappa identity literally."""
+    from ixmp_spark.operators.sampling import cohens_kappa
+    from ixmp_spark.operators.text import lang_id
+
+    docs = load(spark, sf_dir, "documents")
+    rated = docs.select(
+        F.col("lang").alias("truth"), lang_id("text").alias("pred")
+    )
+    return cohens_kappa(rated, "truth", "pred")
+
+
+@query(
+    "w34_ljung_box",
+    oracle="""
+    WITH grain AS (
+      SELECT event_type AS k, CAST(ts AS DATE) AS t,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS DOUBLE) AS v
+      FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
+      GROUP BY event_type, CAST(ts AS DATE)
+    ), mu AS (
+      SELECT k, avg(v) AS mu, CAST(count(*) AS DOUBLE) AS n
+      FROM grain GROUP BY k
+    ), lagged AS (
+      SELECT g.k, g.v, mu.mu, mu.n,
+             lag(v, 1) OVER w AS l1, lag(v, 2) OVER w AS l2,
+             lag(v, 3) OVER w AS l3, lag(v, 4) OVER w AS l4,
+             lag(v, 5) OVER w AS l5, lag(v, 6) OVER w AS l6,
+             lag(v, 7) OVER w AS l7
+      FROM grain g JOIN mu ON mu.k = g.k
+      WINDOW w AS (PARTITION BY g.k ORDER BY g.t)
+    ), sums AS (
+      SELECT k, max(n) AS n,
+             sum((v - mu) * (v - mu)) AS s0,
+             sum(CASE WHEN l1 IS NOT NULL
+                 THEN (v - mu) * (l1 - mu) END) AS s1,
+             sum(CASE WHEN l2 IS NOT NULL
+                 THEN (v - mu) * (l2 - mu) END) AS s2,
+             sum(CASE WHEN l3 IS NOT NULL
+                 THEN (v - mu) * (l3 - mu) END) AS s3,
+             sum(CASE WHEN l4 IS NOT NULL
+                 THEN (v - mu) * (l4 - mu) END) AS s4,
+             sum(CASE WHEN l5 IS NOT NULL
+                 THEN (v - mu) * (l5 - mu) END) AS s5,
+             sum(CASE WHEN l6 IS NOT NULL
+                 THEN (v - mu) * (l6 - mu) END) AS s6,
+             sum(CASE WHEN l7 IS NOT NULL
+                 THEN (v - mu) * (l7 - mu) END) AS s7
+      FROM lagged GROUP BY k
+    ), rk AS (
+      SELECT k, n,
+             s1/s0 AS r1, s2/s0 AS r2, s3/s0 AS r3, s4/s0 AS r4,
+             s5/s0 AS r5, s6/s0 AS r6, s7/s0 AS r7, s0
+      FROM sums
+    )
+    SELECT k AS event_type, CAST(n AS BIGINT) AS n,
+           round(CASE WHEN n > 7 AND s0 > 0 THEN n * (n + 2) * (
+             r1*r1/(n-1) + r2*r2/(n-2) + r3*r3/(n-3) + r4*r4/(n-4)
+             + r5*r5/(n-5) + r6*r6/(n-6) + r7*r7/(n-7)) END, 4)
+             AS q_stat,
+           round(CASE WHEN n > 7 AND s0 > 0 THEN greatest(
+             abs(r1), abs(r2), abs(r3), abs(r4), abs(r5), abs(r6),
+             abs(r7)) END, 4) AS max_abs_r,
+           CASE WHEN n > 7 AND s0 > 0 THEN (
+             CASE greatest(abs(r1), abs(r2), abs(r3), abs(r4),
+                           abs(r5), abs(r6), abs(r7))
+               WHEN abs(r1) THEN 1 WHEN abs(r2) THEN 2
+               WHEN abs(r3) THEN 3 WHEN abs(r4) THEN 4
+               WHEN abs(r5) THEN 5 WHEN abs(r6) THEN 6
+               ELSE 7 END) END AS argmax_lag
+    FROM rk
+    """,
+)
+def w34_ljung_box(spark, sf_dir):
+    """Ljung-Box white-noise test on per-type daily spend (ljung_box,
+    m=7): does ANY autocorrelation up to a week survive — the screen
+    run before fitting w29-style seasonal structure. Daily grain
+    totals are exact integer cents (the w11 lesson), the per-key
+    window is date-bounded, the per-key mean rides a broadcast join.
+    The oracle replays the m lag columns and the Q identity
+    literally; argmax ties resolve to the earliest lag in both
+    engines."""
+    from ixmp_spark.operators.sampling import ljung_box
+
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type").isNotNull()
+                 & F.col("value").isNotNull())
+        .groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+            ).cast("double").alias("cents")
+        )
+    )
+    return ljung_box(daily, "event_type", "day", "cents", m=7).orderBy(
+        "event_type"
+    )
+
+
+@query(
+    "e13_embedding_dispersion",
+    oracle="""
+    WITH unitized AS (
+      SELECT label,
+             list_transform(
+               list_transform(embedding, x -> CAST(x AS DOUBLE)),
+               x -> x / sqrt(list_dot_product(
+                 list_transform(embedding, y -> CAST(y AS DOUBLE)),
+                 list_transform(embedding, y -> CAST(y AS DOUBLE))))
+             ) AS u
+      FROM embeddings
+      WHERE list_dot_product(
+        list_transform(embedding, y -> CAST(y AS DOUBLE)),
+        list_transform(embedding, y -> CAST(y AS DOUBLE))) > 0
+    ), comps AS (
+      SELECT label, CAST(i AS INT) AS pos, u[CAST(i AS INT)] AS x
+      FROM unitized, unnest(range(1, len(u) + 1)) AS t(i)
+    ), per_dim AS (
+      SELECT label, pos, sum(x) AS s, count(*) AS cnt
+      FROM comps GROUP BY label, pos
+    ), agg AS (
+      SELECT label, sum(s * s) AS m2,
+             CAST(max(cnt) AS DOUBLE) AS n
+      FROM per_dim GROUP BY label
+    )
+    SELECT label, CAST(n AS BIGINT) AS n,
+           round(CASE WHEN n >= 2
+             THEN (m2 - n) / (n * (n - 1)) END, 6) AS mean_cos,
+           round(CASE WHEN n >= 2
+             THEN 1 - (m2 - n) / (n * (n - 1)) END, 6) AS dispersion
+    FROM agg
+    """,
+)
+def e13_embedding_dispersion(spark, sf_dir):
+    """Per-label embedding dispersion (embedding_dispersion): mean
+    pairwise within-label cosine WITHOUT a pairwise join, via the
+    centroid identity on unit vectors — the "how redundant is this
+    slice" readout behind SemDeDup-style pruning budgets. One
+    posexplode + (label, dim)-bounded aggregation; the oracle replays
+    unitization and the identity with list_dot_product."""
+    from ixmp_spark.operators.similarity import embedding_dispersion
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_dispersion(emb, "label", "embedding").orderBy(
+        "label"
+    )

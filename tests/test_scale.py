@@ -6002,6 +6002,97 @@ def test_repetition_signals_pinned(spark):
     assert got[4]["dup_5gram_char_frac"] == 0.0
 
 
+def test_cohens_kappa_pinned(spark):
+    """cohens_kappa (pins x33): textbook 2x2 — po=0.7, pe=0.5,
+    kappa=0.4; perfect agreement → 1.0; a single-category degenerate
+    frame → NULL kappa; categories used by only one rater enter the
+    marginal-product union."""
+    from ixmp_spark.operators.sampling import cohens_kappa
+
+    rows = ([("a", "a")] * 20 + [("b", "b")] * 15
+            + [("a", "b")] * 5 + [("b", "a")] * 10)
+    df = spark.createDataFrame(rows, "x string, y string")
+    g = cohens_kappa(df, "x", "y").collect()[0]
+    assert (g["n"], g["p_observed"], g["p_expected"], g["kappa"]) == (
+        50, 0.7, 0.5, 0.4)
+    assert g["n_categories"] == 2
+
+    perfect = spark.createDataFrame(
+        [("a", "a")] * 3 + [("b", "b")] * 3, "x string, y string"
+    )
+    assert cohens_kappa(perfect, "x", "y").collect()[0]["kappa"] == 1.0
+
+    degen = spark.createDataFrame([("a", "a")] * 4, "x string, y string")
+    assert cohens_kappa(degen, "x", "y").collect()[0]["kappa"] is None
+
+    onesided = spark.createDataFrame(
+        [("a", "a"), ("a", "z")], "x string, y string"
+    )
+    assert cohens_kappa(onesided, "x", "y").collect()[0][
+        "n_categories"] == 2  # union {a, z}
+
+
+def test_ljung_box_pinned(spark):
+    """ljung_box (pins w34): exact pure-Python replay on a planted
+    alternating series (argmax lag 1, huge Q) and a linear ramp;
+    n <= m keys emit NULL stats."""
+    from ixmp_spark.operators.sampling import ljung_box
+
+    alt = [("alt", i, float(1 if i % 2 == 0 else -1))
+           for i in range(20)]
+    ramp = [("ramp", i, float(i)) for i in range(15)]
+    tiny = [("tiny", i, float(i * i)) for i in range(5)]
+    df = spark.createDataFrame(alt + ramp + tiny, "k string, t long, v double")
+    got = {r["k"]: r for r in ljung_box(df, "k", "t", "v", m=7).collect()}
+
+    def replay(vals, m=7):
+        n = len(vals)
+        mu = sum(vals) / n
+        s0 = sum((x - mu) ** 2 for x in vals)
+        rs = [
+            sum((vals[i] - mu) * (vals[i - k] - mu)
+                for i in range(k, n)) / s0
+            for k in range(1, m + 1)
+        ]
+        q = n * (n + 2) * sum(
+            r * r / (n - k) for k, r in enumerate(rs, 1)
+        )
+        amax = max(range(m), key=lambda i: (abs(rs[i]), -i)) + 1
+        return round(q, 4), round(max(abs(r) for r in rs), 4), amax
+
+    for key, vals in (("alt", [x[2] for x in alt]),
+                      ("ramp", [x[2] for x in ramp])):
+        q, mr, am = replay(vals)
+        r = got[key]
+        assert (r["q_stat"], r["max_abs_r"], r["argmax_lag"]) == (q, mr, am)
+    assert got["alt"]["argmax_lag"] == 1
+    assert got["tiny"]["q_stat"] is None  # n=5 <= m=7
+
+
+def test_embedding_dispersion_pinned(spark):
+    """embedding_dispersion (pins e13): identical vectors → mean_cos
+    1 / dispersion 0; an orthogonal pair → 0; an antipodal pair →
+    −1; singletons NULL; zero vectors excluded from n."""
+    from ixmp_spark.operators.similarity import embedding_dispersion
+
+    rows = [
+        ("same", [1.0, 0.0]), ("same", [2.0, 0.0]), ("same", [3.0, 0.0]),
+        ("orth", [1.0, 0.0]), ("orth", [0.0, 5.0]),
+        ("anti", [1.0, 0.0]), ("anti", [-2.0, 0.0]),
+        ("solo", [1.0, 1.0]),
+        ("zed", [1.0, 0.0]), ("zed", [0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "label string, embedding array<double>")
+    got = {r["label"]: r
+           for r in embedding_dispersion(df, "label", "embedding").collect()}
+    assert got["same"]["mean_cos"] == 1.0
+    assert got["same"]["dispersion"] == 0.0
+    assert got["orth"]["mean_cos"] == 0.0
+    assert got["anti"]["mean_cos"] == -1.0
+    assert got["solo"]["mean_cos"] is None
+    assert got["zed"]["n"] == 1  # the zero vector carries no direction
+
+
 def test_changepoint_single_pinned(spark):
     """changepoint_single (pins w32_changepoint): hand AMOC case — a
     clean 10→20 level shift splits exactly at the boundary with

@@ -51,6 +51,7 @@ BNLJ_OK = {
     "x30_association_rules",  # 1-row basket-total aggregate cross-broadcast onto the rule grid
     "e12_matryoshka_recall",  # bounded probe-set frame broadcast onto the corpus (the e1 probe contract)
     "x31_hill_tail",  # 1-row threshold order statistic + 1-row n_keys cross-broadcasts onto the m+1-row frame
+    "x33_cohens_kappa",  # 1-row cell-grid aggregate crossed with the 1-row marginal-product aggregate
 }
 
 #: multi-stage pipelines where >6 shuffles are inherent (documented):
@@ -105,6 +106,12 @@ SHUFFLE_OK = {
     # bounded TakeOrdered — 9 total; every exchange moves distinct
     # (basket,item), item-count, or pair-grid rows, never raw lineitem
     "x30_association_rules",
+    # x33 = one data-sized cell-count aggregation, then the two
+    # marginal aggregates, their full-outer category join, and the
+    # diagonal/total aggregate — 9 total; every exchange after the
+    # first moves CELL-GRID or category rows (<= |A| x |B|), never
+    # the rated rows
+    "x33_cohens_kappa",
     # e12 = FOUR rank pipelines over the probe-bounded scored frame
     # (full + one per requested dim: window exchange apiece) + three
     # (probe,neighbor)-keyed recall joins + per-dim probe aggregates +
