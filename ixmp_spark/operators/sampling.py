@@ -2073,3 +2073,48 @@ def ljung_box(
         F.round(F.when(ok, absr), 4).alias("max_abs_r"),
         F.when(ok, argmax).cast("long").alias("argmax_lag"),
     )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    outcome_a: str,
+    outcome_b: str,
+) -> DataFrame:
+    """McNemar's test on PAIRED binary outcomes — "did model B fix
+    more cases than it broke vs model A", the paired complement to
+    x18's two-proportion z (which assumes independent samples and is
+    WRONG on the same test set scored by two models). Only the
+    discordant cells carry signal: b = A-only successes, c = B-only;
+    ``χ² = (b − c)²/(b + c)`` (no continuity correction — matched by
+    the oracle literally).
+
+    ONE conditional-sum aggregation over the paired rows (map-side
+    partials; no grid, no join). NULL in either outcome excludes the
+    pair. Output one row: (n, both, neither, a_only, b_only, chi2) —
+    chi2 NULL when b + c = 0 (no discordance, nothing to test).
+    """
+    two = df.where(
+        F.col(outcome_a).isNotNull() & F.col(outcome_b).isNotNull()
+    ).select(
+        F.col(outcome_a).cast("boolean").alias("_a"),
+        F.col(outcome_b).cast("boolean").alias("_b"),
+    )
+    agg = two.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("_a") & F.col("_b"), 1).otherwise(0))
+        .alias("n_both"),
+        F.sum(F.when(~F.col("_a") & ~F.col("_b"), 1).otherwise(0))
+        .alias("n_neither"),
+        F.sum(F.when(F.col("_a") & ~F.col("_b"), 1).otherwise(0))
+        .cast("double").alias("_bo"),
+        F.sum(F.when(~F.col("_a") & F.col("_b"), 1).otherwise(0))
+        .cast("double").alias("_co"),
+    )
+    b, c = F.col("_bo"), F.col("_co")
+    chi2 = F.when(b + c > 0, (b - c) * (b - c) / (b + c))
+    return agg.select(
+        "n", "n_both", "n_neither",
+        b.cast("long").alias("a_only"),
+        c.cast("long").alias("b_only"),
+        F.round(chi2, 4).alias("chi2"),
+    )

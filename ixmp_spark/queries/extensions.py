@@ -5402,3 +5402,54 @@ def e13_embedding_dispersion(spark, sf_dir):
     return embedding_dispersion(emb, "label", "embedding").orderBy(
         "label"
     )
+
+
+@query(
+    "x34_mcnemar",
+    oracle="""
+    WITH paired AS (
+      SELECT length(text) >= 200 AS a,
+             len(string_split_regex(trim(lower(text)), '\\s+')) >= 40
+               AS b
+      FROM documents WHERE text IS NOT NULL
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_both,
+             CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_neither,
+             CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS bo,
+             CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS co
+      FROM paired
+    )
+    SELECT n, n_both, n_neither,
+           CAST(bo AS BIGINT) AS a_only, CAST(co AS BIGINT) AS b_only,
+           round(CASE WHEN bo + co > 0
+             THEN (bo - co) * (bo - co) / (bo + co) END, 4) AS chi2
+    FROM agg
+    """,
+)
+def x34_mcnemar(spark, sf_dir):
+    """McNemar's paired test (mcnemar_test): do a char-length gate
+    (>=200 chars) and a token-length gate (>=40 words) disagree
+    systematically on the SAME documents — the paired comparison
+    where x18's independent-samples z is invalid. Only discordant
+    pairs carry signal; one conditional-sum aggregation, no grid.
+    The oracle replays both gates and the (b-c)^2/(b+c) identity."""
+    from ixmp_spark.operators.sampling import mcnemar_test
+
+    docs = load(spark, sf_dir, "documents")
+    gated = docs.where(F.col("text").isNotNull()).select(
+        (F.length("text") >= 200).alias("gate_chars"),
+        (
+            F.size(
+                F.filter(
+                    F.split(F.trim(F.lower("text")), r"\s+"),
+                    lambda t: t != F.lit(""),
+                )
+            ) >= 40
+        ).alias("gate_tokens"),
+    )
+    return mcnemar_test(gated, "gate_chars", "gate_tokens")

@@ -6093,6 +6093,40 @@ def test_embedding_dispersion_pinned(spark):
     assert got["zed"]["n"] == 1  # the zero vector carries no direction
 
 
+def test_char_entropy_and_mcnemar_pinned(spark):
+    """char_entropy (pins t30): exact hand entropies — 'aaaa' = 0,
+    'ab'*2 = 1 bit, 'abcd' = 2 bits, empty → NULL; mcnemar_test
+    (pins x34): textbook discordant counts b=10, c=4 →
+    chi2 = 36/14; no-discordance → NULL."""
+    from ixmp_spark.operators.sampling import mcnemar_test
+    from ixmp_spark.operators.text import char_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "")],
+        "id long, s string",
+    )
+    got = {r["id"]: r["e"]
+           for r in docs.select("id", char_entropy("s").alias("e")).collect()}
+    assert got[1] == 0.0
+    assert got[2] == 1.0
+    assert got[3] == 2.0
+    assert got[4] is None
+
+    rows = ([(True, True)] * 20 + [(False, False)] * 16
+            + [(True, False)] * 10 + [(False, True)] * 4
+            + [(None, True)])
+    df = spark.createDataFrame(rows, "a boolean, b boolean")
+    m = mcnemar_test(df, "a", "b").collect()[0]
+    assert (m["n"], m["n_both"], m["n_neither"]) == (50, 20, 16)
+    assert (m["a_only"], m["b_only"]) == (10, 4)
+    assert m["chi2"] == round(36 / 14, 4)
+
+    agree = spark.createDataFrame(
+        [(True, True), (False, False)], "a boolean, b boolean"
+    )
+    assert mcnemar_test(agree, "a", "b").collect()[0]["chi2"] is None
+
+
 def test_changepoint_single_pinned(spark):
     """changepoint_single (pins w32_changepoint): hand AMOC case — a
     clean 10→20 level shift splits exactly at the boundary with
