@@ -2082,36 +2082,3 @@ def gopher_repetition_signals(
         & (F.col("dup_5gram_char_frac") <= max_dup_5gram_char_frac)
     )
     return filled.withColumn("keep", F.coalesce(keep, F.lit(False)))
-
-
-def char_entropy(col) -> Column:
-    """Per-document Shannon entropy of the CHARACTER distribution
-    (bits) — the cheapest garbage detector there is: natural language
-    sits ~3.5–4.5 bits/char, base64/hex blobs push toward their
-    alphabet's log2, single-character runs fall to 0 (the mojibake /
-    minified-blob complement to ``lexical_diversity``'s word-level
-    TTR).
-
-    Pure expressions: split to the char array once, fold the
-    distinct-char frequencies via size(filter(...)) per distinct
-    char — O(distinct × length) element ops per row, bounded by the
-    alphabet (distinct chars ≤ a few hundred in any real document),
-    map-only, no shuffle. Empty/NULL texts return NULL.
-    """
-    c = col if not isinstance(col, str) else F.col(col)
-    chars = F.filter(F.split(c, ""), lambda ch: ch != F.lit(""))
-    n = F.size(chars)
-    uniq = F.array_distinct(chars)
-    # -Σ p·log2 p over the distinct alphabet
-    ent = F.aggregate(
-        uniq,
-        F.lit(0.0),
-        lambda acc, u: acc
-        - (
-            F.size(F.filter(chars, lambda ch: ch == u)) / n.cast("double")
-        )
-        * F.log2(
-            F.size(F.filter(chars, lambda ch: ch == u)) / n.cast("double")
-        ),
-    )
-    return F.when(n > 0, F.round(ent, 6))

@@ -1322,42 +1322,3 @@ def t29_repetition(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     return gopher_repetition_signals(docs, "doc_id", "text")
-
-
-@query(
-    "t30_char_entropy",
-    oracle="""
-    WITH chars AS (
-      SELECT doc_id,
-             list_filter(string_split(text, ''), c -> c != '') AS cs
-      FROM documents
-    ), scored AS (
-      SELECT doc_id, len(cs) AS n,
-             list_aggregate(
-               list_transform(
-                 list_distinct(cs),
-                 u -> -(CAST(len(list_filter(cs, c -> c = u))
-                             AS DOUBLE) / len(cs))
-                      * log2(CAST(len(list_filter(cs, c -> c = u))
-                                  AS DOUBLE) / len(cs))
-               ), 'sum') AS ent
-      FROM chars
-    )
-    SELECT doc_id,
-           CASE WHEN n > 0 THEN round(ent, 6) END AS entropy_bits
-    FROM scored
-    """,
-)
-def t30_char_entropy(spark, sf_dir):
-    """Per-document character-level Shannon entropy (char_entropy) —
-    the cheapest garbage screen: natural text ~3.5-4.5 bits/char,
-    base64 blobs push toward 6, repeated-char spam toward 0; the
-    char-level complement of t28's word TTR. Pure map-only fold over
-    the distinct alphabet (bounded per row); no shuffle. The oracle
-    replays the fold with list_transform + list_aggregate."""
-    from ixmp_spark.operators.text import char_entropy
-
-    docs = load(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", char_entropy("text").alias("entropy_bits")
-    )

@@ -6093,24 +6093,11 @@ def test_embedding_dispersion_pinned(spark):
     assert got["zed"]["n"] == 1  # the zero vector carries no direction
 
 
-def test_char_entropy_and_mcnemar_pinned(spark):
-    """char_entropy (pins t30): exact hand entropies — 'aaaa' = 0,
-    'ab'*2 = 1 bit, 'abcd' = 2 bits, empty → NULL; mcnemar_test
-    (pins x34): textbook discordant counts b=10, c=4 →
-    chi2 = 36/14; no-discordance → NULL."""
+def test_mcnemar_pinned(spark):
+    """mcnemar_test (pins x34): textbook discordant counts b=10,
+    c=4 → chi2 = 36/14; NULL-outcome pairs excluded;
+    no-discordance → NULL chi2."""
     from ixmp_spark.operators.sampling import mcnemar_test
-    from ixmp_spark.operators.text import char_entropy
-
-    docs = spark.createDataFrame(
-        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, "")],
-        "id long, s string",
-    )
-    got = {r["id"]: r["e"]
-           for r in docs.select("id", char_entropy("s").alias("e")).collect()}
-    assert got[1] == 0.0
-    assert got[2] == 1.0
-    assert got[3] == 2.0
-    assert got[4] is None
 
     rows = ([(True, True)] * 20 + [(False, False)] * 16
             + [(True, False)] * 10 + [(False, True)] * 4

@@ -65,6 +65,25 @@ def main() -> int:
                 f"{untimed}"
             )
 
+    # shadowed-definition check (Spark-free, mirrors
+    # tests/test_plans.py::test_no_shadowed_operator_definitions):
+    # the r9 round hit this class TWICE — an appended same-named def
+    # silently replaces the original for every import site
+    import ast
+
+    for f in sorted((ROOT / "ixmp_spark").rglob("*.py")):
+        tree = ast.parse(f.read_text())
+        seen: dict[str, int] = {}
+        for node in tree.body:
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef,
+                                 ast.ClassDef)):
+                if node.name in seen:
+                    problems.append(
+                        f"shadowed definition: {f.name}:{node.name} at "
+                        f"lines {seen[node.name]} and {node.lineno}"
+                    )
+                seen[node.name] = node.lineno
+
     tests_corpus = "\n".join(
         p.read_text() for p in sorted((ROOT / "tests").glob("*.py"))
     )
