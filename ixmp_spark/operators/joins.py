@@ -1288,14 +1288,17 @@ def bradley_terry(
     # on the driver path (it is pure per-pair arithmetic) — the r9
     # profile showed the Spark union+groupBy+join symmetrization
     # costing more than the whole MM fit at sf0.1.
+    # item_type derives BEFORE the empty check so the empty frame's
+    # schema matches the non-empty paths (a long-keyed empty input must
+    # not come back string-keyed — downstream unions would mismatch)
+    item_type = wins.schema["__w"].dataType.simpleString()
     pdf = wins.limit(driver_max_pairs + 1).toPandas()
     if pdf.empty:
         wins.unpersist()
         return spark.createDataFrame(
-            [], "item string, strength double, wins double,"
+            [], f"item {item_type}, strength double, wins double,"
             " n_comparisons double"
         )
-    item_type = wins.schema["__w"].dataType.simpleString()
     n_win_pairs = len(pdf)
     if stats is not None:
         stats.update(

@@ -1453,8 +1453,15 @@ def ks_two_sample(
             F.abs(F.col("_ca") * F.col("_n2") - F.col("_cb") * F.col("_n1"))
         ).alias("max_gap"),
     )
-    d = F.col("max_gap") / (F.col("n1") * F.col("n2"))
-    ks = d * F.sqrt(F.col("n1") * F.col("n2") / (F.col("n1") + F.col("n2")))
+    # degenerate guard (the welch_ttest/cohens_kappa convention): an
+    # empty group makes n1·n2 = 0 and max_gap/(n1·n2) = 0/0 = NaN —
+    # emit NULL statistics instead of a NaN that round() propagates
+    ok = (F.col("n1") * F.col("n2")) > 0
+    d = F.when(ok, F.col("max_gap") / (F.col("n1") * F.col("n2")))
+    ks = F.when(
+        ok,
+        d * F.sqrt(F.col("n1") * F.col("n2") / (F.col("n1") + F.col("n2"))),
+    )
     return gaps.select(
         F.col("n1").cast("long").alias("n_a"),
         F.col("n2").cast("long").alias("n_b"),
@@ -1552,10 +1559,16 @@ def concentration_profile(
     [1/n, 1]; top1/top10 shares read the descending cumulative at
     the cut. Output one row:
     (n_keys, total, hhi, gini, top1_share, top10_share) rounded 6.
+
+    Contract: weights are NON-NEGATIVE mass (counts, revenue, tokens).
+    Keys whose total is NULL or ≤ 0 are excluded — the Gini rank
+    identity assumes non-negative ascending totals and a zero/negative
+    grand total makes every share division NaN or out-of-range, so
+    zero-mass keys carry no concentration signal by definition.
     """
     per = df.groupBy(F.col(key_col).alias("_k")).agg(
         F.sum(weight_col).cast("double").alias("_x")
-    ).where(F.col("_x").isNotNull())
+    ).where(F.col("_x") > 0)
     wa = Window.orderBy(F.asc("_x"), F.asc("_k"))
     ranked = per.select(
         "_x", F.row_number().over(wa).cast("double").alias("_i")
@@ -1706,6 +1719,19 @@ def ipf_raking(
         raise ValueError(
             f"target categories absent from data: rows {sorted(missing_r)},"
             f" cols {sorted(missing_c)}"
+        )
+    # the mirror direction must raise too (converge-or-raise symmetry):
+    # a DATA category missing from the targets would silently get
+    # target mass 0.0, drive its cell weights to 0, and delete those
+    # rows from the weighted table without any signal
+    untargeted_r = set(rows) - set(row_targets)
+    untargeted_c = set(cols) - set(col_targets)
+    if untargeted_r or untargeted_c:
+        raise ValueError(
+            "data categories absent from targets (would be silently "
+            f"zero-weighted): rows {sorted(untargeted_r)}, cols "
+            f"{sorted(untargeted_c)}; include them with an explicit "
+            "target (0.0 to drop deliberately)"
         )
     ri = {v: i for i, v in enumerate(rows)}
     ci = {v: i for i, v in enumerate(cols)}

@@ -4752,7 +4752,10 @@ def x29_js_divergence(spark, sf_dir):
     from ixmp_spark.operators.sampling import js_divergence
 
     ev = load(spark, sf_dir, "events")
-    keyed = ev.select(
+    # NULL ts must not bucket into 'pm' (when().otherwise() sends NULL
+    # conditions to the otherwise branch) — exclude up front, matching
+    # the oracle's `ts IS NOT NULL` and the w30/x24 pattern.
+    keyed = ev.where(F.col("ts").isNotNull()).select(
         F.when(F.hour("ts") < 12, F.lit("am"))
         .otherwise(F.lit("pm"))
         .alias("half"),

@@ -5625,6 +5625,13 @@ def test_bradley_terry_planted_recovery(spark):
         spark.createDataFrame([], "winner string, loser string")
     )
     assert empty.count() == 0
+    # empty-input schema preserves the input item type (a long-keyed
+    # empty frame must not come back string-keyed)
+    empty_long = bradley_terry(
+        spark.createDataFrame([], "winner long, loser long")
+    )
+    assert empty_long.schema["item"].dataType.simpleString() == "bigint"
+    assert empty_long.count() == 0
 
 
 def test_mmr_rerank_pinned(spark):
@@ -5704,6 +5711,10 @@ def test_ks_jsd_concentration_pinned(spark):
     assert same.collect()[0]["d_stat"] == 0.0
     disj = ks_two_sample(two([1, 2], [3, 4]), "g", "v", "A", "B")
     assert disj.collect()[0]["d_stat"] == 1.0
+    # degenerate guard: an empty group yields NULL statistics (the
+    # welch_ttest convention), never a NaN from 0/0
+    degen = ks_two_sample(two([1, 2], []), "g", "v", "A", "B").collect()[0]
+    assert degen["d_stat"] is None and degen["ks_stat"] is None
 
     def mix(a_cats, b_cats):
         rows = [("A", c) for c in a_cats] + [("B", c) for c in b_cats]
@@ -5734,6 +5745,13 @@ def test_ks_jsd_concentration_pinned(spark):
     s = concentration_profile(weighted([1, 1, 1, 7]), "k", "w").collect()[0]
     assert (s["gini"], s["hhi"], s["top1_share"]) == (0.45, 0.52, 0.7)
     assert s["n_keys"] == 4 and s["total"] == 10.0
+    # non-positive-weight contract: zero/negative totals are excluded
+    # (they carry no concentration mass and would NaN the share math),
+    # so the result equals the positive-only vector's
+    z = concentration_profile(
+        weighted([1, 1, 1, 7, 0, -2]), "k", "w"
+    ).collect()[0]
+    assert (z["n_keys"], z["gini"], z["hhi"]) == (4, 0.45, 0.52)
 
 
 def test_association_rules_hand(spark):
@@ -5862,8 +5880,14 @@ def test_ipf_raking_planted(spark):
     naive_colx = (8 * naive_rs["a"] + 2 * naive_rs["b"]) / 16
     assert abs(naive_colx - 0.5) > 0.05
 
-    with _pytest.raises(ValueError):
-        ipf_raking(df, "r", "c", {"a": 0.5, "zz": 0.5}, {"x": 1.0})
+    with _pytest.raises(ValueError, match="absent from data"):
+        ipf_raking(
+            df, "r", "c", {"a": 0.5, "zz": 0.5}, {"x": 0.5, "y": 0.5}
+        )
+    # the mirror direction: a DATA category missing from the targets
+    # must raise too (it would otherwise be silently zero-weighted)
+    with _pytest.raises(ValueError, match="absent from targets"):
+        ipf_raking(df, "r", "c", {"a": 0.5, "b": 0.5}, {"x": 1.0})
 
 
 def test_weighted_sample_replay(spark):
