@@ -633,6 +633,64 @@ class Scenario(TimeSeries):
             view = in_list_filter(view, filters)
         return view
 
+    def diff_par(
+        self,
+        other: "Scenario",
+        name: str,
+        indicator: str = "_merge",
+        sort: bool = True,
+    ) -> DataFrame:
+        """``ixmp.util.diff`` for ONE parameter across two scenarios
+        (J1 at warehouse scale; reference util/__init__.py:136–204):
+        full-outer key alignment with ``value``/``unit`` ``_a``/``_b``
+        columns and the pandas-style merge indicator.
+
+        The join runs on the RAW ``key`` column — the fact layout's
+        bucket key — so when both runs' snapshots were written by the
+        bucketed Spark path (bulk ingest, distributed clone) the join
+        is co-partitioned at scan time and shuffles NEITHER side
+        (pinned by tests/test_warehouse_bucketed.py, which asserts 0
+        exchanges). Joining on the exploded dim columns instead would
+        hide the bucket distribution from Catalyst and pay the full
+        two-sided shuffle the r9 100x smoke measured at 90 s/1e8 rows.
+        Dim columns are exploded AFTER the join for presentation.
+
+        ``sort=True`` orders by the dim columns (O2, the reference's
+        sorted diff output); pass False when feeding an aggregation —
+        the global sort is a range exchange the aggregate would undo.
+        """
+        from ixmp_spark.operators.joins import diff as _diff
+
+        item = self._require_item(name, "par")
+        other._require_item(name, "par")
+        dims = item["idx_names"]
+
+        def side(s: "Scenario") -> DataFrame:
+            return (
+                s._spark_table("par_data")
+                .where(
+                    (F.col("run_id") == s.run_id) & (F.col("name") == name)
+                )
+                .select("key", "value", "unit")
+            )
+
+        d = _diff(
+            side(self),
+            side(other),
+            on=["key"],
+            value_cols=["value", "unit"],
+            indicator=indicator,
+        )
+        out = d.select(
+            *[F.col("key")[i].alias(n) for i, n in enumerate(dims)],
+            "value_a",
+            "value_b",
+            "unit_a",
+            "unit_b",
+            indicator,
+        )
+        return out.orderBy(*dims) if sort else out
+
     def iter_par_data(self, filters: Mapping | None = None, indexed_by=None):
         """Yield (name, filtered DataFrame) per parameter (reference
         scenario.py:459–473): filters pruned per item to relevant dims."""
@@ -682,7 +740,10 @@ class Scenario(TimeSeries):
 
     def has_solution(self) -> bool:
         if self._checked_out and self._staged is not None:
-            return len(self._staged["sol_data"]) > 0
+            sol = self._staged["sol_data"]
+            if isinstance(sol, pd.DataFrame):
+                return len(sol) > 0
+            return sol.limit(1).count() > 0  # Spark-staged (large run)
         return self._has_solution_stored()
 
     def remove_solution(self, first_model_year: int | None = None) -> None:
@@ -694,13 +755,23 @@ class Scenario(TimeSeries):
         if not self.has_solution():
             raise ValueError("this Scenario does not have a solution")
         self.check_out(timeseries_only=True)
-        self._staged["sol_data"] = self._staged["sol_data"].iloc[0:0]
+        from ixmp_spark.sources.warehouse import _empty
+
+        self._staged["sol_data"] = _empty("sol_data")
         ts = self._staged["ts_data"]
-        if first_model_year is not None:
-            drop = (~ts["meta"]) & (ts["year"] >= first_model_year)
-        else:
-            drop = ~ts["meta"]
-        self._staged["ts_data"] = ts[~drop]
+        if isinstance(ts, pd.DataFrame):
+            if first_model_year is not None:
+                drop = (~ts["meta"]) & (ts["year"] >= first_model_year)
+            else:
+                drop = ~ts["meta"]
+            self._staged["ts_data"] = ts[~drop]
+        else:  # Spark-staged (large run): keep the predicate distributed
+            keep = (
+                F.col("meta") | (F.col("year") < first_model_year)
+                if first_model_year is not None
+                else F.col("meta")
+            )
+            self._staged["ts_data"] = ts.where(keep)
         self.commit(f"remove_solution(first_model_year={first_model_year})")
 
     # -- workbook I/O (reference scenario.py read_excel/to_excel) ---------
@@ -813,7 +884,7 @@ class Scenario(TimeSeries):
         else:
             src = {
                 t: (
-                    self.platform.spark.read.parquet(wh.table_path(self.run_id, t))
+                    wh.spark_fact(self.platform.spark, self.run_id, t)
                     if wh.table_num_rows(self.run_id, t) >= threshold
                     else wh.read_table(self.run_id, t)
                 )
@@ -824,9 +895,15 @@ class Scenario(TimeSeries):
                 df = df.copy()
                 df["run_id"] = new.run_id
             else:
+                # withColumn is a narrow transform: carry the bucketed-scan
+                # hint across so the clone's rewrite skips the repartition
+                # (warehouse._write_bucketed pre_partitioned)
+                hint = getattr(df, "_ixmp_bucket_spec", None)
                 df = df.withColumn(
                     "run_id", F.lit(int(new.run_id)).cast("long")
                 )
+                if hint is not None:
+                    df._ixmp_bucket_spec = hint
             src[t] = df
         if not keep_solution:
             src["sol_data"] = _empty("sol_data")
@@ -837,7 +914,10 @@ class Scenario(TimeSeries):
                     if shift_first_model_year is not None
                     else F.col("meta")
                 )
+                hint = getattr(ts, "_ixmp_bucket_spec", None)
                 src["ts_data"] = ts.where(keep)
+                if hint is not None:
+                    src["ts_data"]._ixmp_bucket_spec = hint
             elif shift_first_model_year is not None:
                 src["ts_data"] = ts[
                     ts["meta"] | (ts["year"] < shift_first_model_year)

@@ -63,10 +63,31 @@ class TimeSeries:
         if self._checked_out:
             self._load_staging()
 
+    #: committed tables at or above this row count (parquet-footer probe,
+    #: the clone() dispatch rule) stage as LAZY Spark frames on check_out
+    #: instead of eager driver pandas — checking out a 1e8-row run costs
+    #: nothing until a table is actually touched, and bulk updates merge
+    #: against the bucketed snapshot scan instead of a LocalTableScan of
+    #: driver rows (the r10 smoke's update path)
+    STAGE_SPARK_ROWS = 200_000
+
     # -- lifecycle (reference timeseries.py:208–296) ----------------------
     def _load_staging(self) -> None:
         wh = self.platform.wh
-        self._staged = {t: wh.read_table(self.run_id, t) for t in FACT_TABLES}
+        self._staged = {}
+        # identity map of the as-loaded Spark frames: a staged Spark frame
+        # still ``is`` its clean twin at commit time was never reassigned,
+        # so its table skips the rewrite entirely (the committed snapshot
+        # stays in place) — without this, ANY commit on a checked-out
+        # 100 TB run would rewrite every untouched fact table
+        self._staged_clean = {}
+        for t in FACT_TABLES:
+            if wh.table_num_rows(self.run_id, t) >= self.STAGE_SPARK_ROWS:
+                sdf = wh.spark_fact(self.platform.spark, self.run_id, t)
+                self._staged[t] = sdf
+                self._staged_clean[t] = sdf
+            else:
+                self._staged[t] = wh.read_table(self.run_id, t)
         self._staged_items = wh.read_items(self.run_id)
 
     def check_out(self, timeseries_only: bool = False) -> None:
@@ -84,16 +105,22 @@ class TimeSeries:
     def commit(self, comment: str = "") -> None:
         if not self._checked_out:
             raise RuntimeError("not checked out")
+        clean = getattr(self, "_staged_clean", None) or {}
+        tables = {
+            t: df for t, df in self._staged.items() if df is not clean.get(t)
+        }
         self.platform.wh.commit_run(
-            self.run_id, self._staged, self._staged_items, comment=comment
+            self.run_id, tables, self._staged_items, comment=comment
         )
         self._checked_out = False
         self._staged = None
+        self._staged_clean = {}
         self._post_commit()
 
     def discard_changes(self) -> None:
         self._checked_out = False
         self._staged = None
+        self._staged_clean = {}
         self._discard_staged_extras()
 
     def _post_commit(self) -> None:
@@ -166,11 +193,16 @@ class TimeSeries:
             return self.platform.spark.createDataFrame(
                 tbl.to_pandas(), schema=SPARK_DDL[table]
             )
-        path = self.platform.wh.table_path(self.run_id, table)
-        return self.platform.spark.read.parquet(path)
+        # bucketed snapshots come back as a bucketed-table scan, so joins
+        # and aggregations on the bucket key (diff_par, update_par merge,
+        # key validation) skip the fact-side exchange
+        return self.platform.wh.spark_fact(
+            self.platform.spark, self.run_id, table
+        )
 
     def _has_solution_stored(self) -> bool:
-        return len(self.platform.wh.read_table(self.run_id, "sol_data")) > 0
+        # parquet-footer count: no data read, no driver materialization
+        return self.platform.wh.table_num_rows(self.run_id, "sol_data") > 0
 
     # -- per-commit history (Delta VERSION AS OF analogue) ----------------
     def commit_history(self) -> list[int]:

@@ -24,9 +24,13 @@ def diff(
     outer equi-join on the dimension columns with ``_a``/``_b`` suffixed
     value columns and a pandas-style merge-indicator column.
 
-    Scale note: a full outer join shuffles both sides on ``on``; when both
-    inputs are the engine's fact tables this is co-partitioned by the
-    run_id/name bucketing so AQE turns it into a near-local join.
+    Scale note: a full outer join shuffles both sides on ``on`` — unless
+    both inputs are bucketed scans whose bucket key is a subset of
+    ``on`` (the warehouse's fact layout buckets by ``key``;
+    ``Scenario.diff_par`` joins on that raw key and runs exchange-free,
+    pinned by tests/test_warehouse_bucketed.py). On exploded dim columns
+    the bucket distribution is invisible to Catalyst, so prefer the
+    raw-key path for fact-table diffs at scale.
     """
     la = a.select(*on, *[F.col(c).alias(f"{c}_a") for c in value_cols])
     lb = b.select(*on, *[F.col(c).alias(f"{c}_b") for c in value_cols])

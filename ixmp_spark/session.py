@@ -43,6 +43,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("IXMP_SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # fact tables are bucketed by their join key (warehouse.py
+        # BUCKET_KEYS); joins on a SUPERSET of the bucket key — e.g.
+        # (name, key) in the update_par merge over key-bucketed
+        # par_data — must still count as co-partitioned, which the
+        # default (true) forbids. Safe here: bucket keys are
+        # high-cardinality by design, so partial-key partitioning
+        # carries no skew the full key would have avoided.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         # events.parquet carries TIMESTAMP(NANOS) which the vectorized
         # reader rejects; read as long and convert in the loader.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -115,6 +115,43 @@ SCHEMAS: dict[str, pa.Schema] = {
 
 FACT_TABLES = tuple(SCHEMAS)
 
+#: Bucketed fact layout (SURVEY.md §1.6 "partition by run_id, bucket by
+#: name/key"): Spark-path snapshot writes cluster each fact table by its
+#: JOIN key so the warehouse's hot joins — version diff (J1), update_par
+#: anti-join (J2), write-path key validation (J3) — see co-partitioned
+#: scans and need no shuffle of the fact side(s). run_id partitioning
+#: stays structural (one directory per run). Keyed tables bucket by the
+#: full ``key`` array (high cardinality — name alone would put a whole
+#: parameter in one bucket); time-series tables by (region, variable),
+#: a subset of every TS alignment join's keys.
+BUCKET_KEYS: dict[str, tuple[str, ...]] = {
+    "par_data": ("key",),
+    "set_data": ("key",),
+    "sol_data": ("key",),
+    "ts_data": ("region", "variable"),
+    "geo_data": ("region", "variable"),
+}
+
+#: marker written INSIDE a bucketed snapshot directory (underscore prefix:
+#: both Spark's file-source listing and pyarrow's dataset discovery skip
+#: it), so the bucket spec travels with the directory through the atomic
+#: staging rename and into history hardlink snapshots
+BUCKET_MARKER = "_ixmp_buckets.json"
+
+
+def fact_buckets() -> int:
+    """Default bucket count for Spark-path fact writes, FROZEN into a
+    warehouse's catalog at creation (exchange-free joins need EQUAL
+    bucket counts on both sides, so every snapshot in one warehouse must
+    agree — an env change mid-life would silently bring the shuffle
+    back). Sizing rule: ~1–3M rows (≲128 MB) per bucket of the largest
+    fact table — the r10 1e8-row smoke measured 32 buckets (3.1M
+    rows/bucket) spilling the write-side sort at 52.7 s while 128
+    buckets committed in 22.7 s. Local default = cores; a production
+    deployment sets IXMP_SPARK_FACT_BUCKETS to its target scan
+    parallelism before creating the warehouse (0 disables bucketing)."""
+    return int(os.environ.get("IXMP_SPARK_FACT_BUCKETS", "32"))
+
 #: Spark DDL forms of SCHEMAS (explicit schemas for createDataFrame —
 #: inference fails on empty staged frames)
 SPARK_DDL: dict[str, str] = {
@@ -181,6 +218,8 @@ class LocalWarehouse:
         os.makedirs(os.path.join(self.root, "runs"), exist_ok=True)
         self._catalog_path = os.path.join(self.root, "catalog.json")
         self._staging_seq = itertools.count()
+        # (run_id, table) -> registered bucketed-table name (spark_fact)
+        self._registered: dict[tuple[int, str], str] = {}
         if os.path.exists(self._catalog_path) and not os.path.exists(
             os.path.join(self.root, "runs.parquet")
         ):
@@ -189,6 +228,7 @@ class LocalWarehouse:
         if not os.path.exists(self._catalog_path):
             self._write_catalog(
                 {
+                    "fact_buckets": fact_buckets(),
                     "next_run_id": 1,
                     "runs": {},
                     "units": [],
@@ -203,6 +243,11 @@ class LocalWarehouse:
                     "docs": {},
                 }
             )
+        # frozen at warehouse creation (see fact_buckets); warehouses
+        # created before the bucketed layout fall back to the env default
+        self.n_buckets: int = self.catalog().get(
+            "fact_buckets", fact_buckets()
+        )
 
     # -- catalog ----------------------------------------------------------
     def catalog(self) -> dict[str, Any]:
@@ -361,6 +406,12 @@ class LocalWarehouse:
         p = os.path.join(self.run_dir(run_id), f"{table}.parquet")
         if not os.path.exists(p):
             return _empty(table)
+        if os.path.isdir(p) and not any(
+            f.endswith(".parquet") for f in os.listdir(p)
+        ):
+            # a Spark directory write of an EMPTY frame leaves no part
+            # files (just _SUCCESS / the bucket marker)
+            return _empty(table)
         return pq.read_table(p).to_pandas()
 
     def table_path(self, run_id: int, table: str) -> str:
@@ -420,7 +471,19 @@ class LocalWarehouse:
                 )
             else:  # Spark DataFrame → distributed directory write
                 cols = [f.name for f in SCHEMAS[t]]
-                df.select(*cols).write.mode("overwrite").parquet(target)
+                keys = BUCKET_KEYS.get(t)
+                hint = getattr(df, "_ixmp_bucket_spec", None)
+                sdf = df.select(*cols)
+                if keys and self.n_buckets > 0:
+                    self._write_bucketed(
+                        sdf,
+                        target,
+                        keys,
+                        self.n_buckets,
+                        pre_partitioned=hint == (tuple(keys), self.n_buckets),
+                    )
+                else:
+                    sdf.write.mode("overwrite").parquet(target)
         if items is not None:
             with open(os.path.join(staging, "items.json"), "w") as f:
                 json.dump(items, f, indent=1)
@@ -434,6 +497,101 @@ class LocalWarehouse:
                 os.remove(dst)
             os.replace(os.path.join(staging, fname), dst)
         shutil.rmtree(staging, ignore_errors=True)
+
+    def _write_bucketed(
+        self,
+        sdf,
+        target: str,
+        keys: tuple[str, ...],
+        n_buckets: int,
+        pre_partitioned: bool = False,
+    ) -> None:
+        """Distributed snapshot write in the bucketed layout: the data
+        lands hash-clustered (+ sorted) by its join key, so later joins
+        and aggregations on that key scan co-partitioned and skip the
+        exchange — the ``bucket_table`` strategy (operators/scale.py:57)
+        wired into Platform storage. Mechanics: Spark only records
+        bucket metadata through ``saveAsTable``, so the write goes
+        through a throwaway EXTERNAL table pointed at the staging path
+        (dropping it keeps the files); the bucket spec is persisted in a
+        ``_ixmp_buckets.json`` marker inside the directory, and readers
+        re-register an external bucketed table over the committed
+        location (``spark_fact``). The explicit repartition on the
+        bucket key uses the same murmur3 hash as the bucket spec, so
+        every task holds exactly one bucket → exactly ``n_buckets``
+        files instead of tasks x buckets. ``pre_partitioned`` skips that
+        repartition when the input is a narrow transform of a matching
+        bucketed scan (clone's INSERT-SELECT): the rows already sit one
+        bucket per task, so re-shuffling them is pure waste — and even
+        if the hint were wrong, the writer hashes every row to its
+        correct bucket FILE, so the only possible cost is extra files,
+        never misplaced rows."""
+        spark = sdf.sparkSession
+        tmp = f"ixwh_stage_{os.getpid()}_{next(self._staging_seq)}"
+        if not pre_partitioned:
+            sdf = sdf.repartition(n_buckets, *keys)
+        try:
+            (
+                sdf.write.bucketBy(n_buckets, keys[0], *keys[1:])
+                .sortBy(keys[0], *keys[1:])
+                .option("path", target)
+                .mode("overwrite")
+                .format("parquet")
+                .saveAsTable(tmp)
+            )
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS `{tmp}`")
+        with open(os.path.join(target, BUCKET_MARKER), "w") as f:
+            json.dump({"keys": list(keys), "buckets": n_buckets}, f)
+
+    def bucket_spec(self, run_id: int, table: str) -> dict[str, Any] | None:
+        """The committed snapshot's bucket layout, or None when it was
+        written by the single-file pandas path / with bucketing off."""
+        marker = os.path.join(self.table_path(run_id, table), BUCKET_MARKER)
+        if not os.path.exists(marker):
+            return None
+        with open(marker) as f:
+            return json.load(f)
+
+    def spark_fact(self, spark, run_id: int, table: str):
+        """Spark view of a committed fact table. Bucketed snapshots come
+        back as a bucketed-TABLE scan (their HashPartitioning on the
+        bucket key reaches Catalyst, so joins/aggregations keyed by it
+        elide the exchange); plain snapshots fall back to a path read.
+        Registration is per (warehouse, run, table, commit): the commit
+        counter in the name makes a fresh registration — with a fresh
+        file listing — after every commit swap, and the stale name is
+        dropped (external tables: metadata only, files untouched)."""
+        path = self.table_path(run_id, table)
+        spec = self.bucket_spec(run_id, table)
+        if spec is None:
+            return spark.read.parquet(path)
+        import hashlib
+
+        commit = self.catalog()["runs"][str(run_id)]["commit"]
+        digest = hashlib.md5(
+            f"{self.root}|{run_id}|{table}".encode()
+        ).hexdigest()[:10]
+        name = f"ixwh_{digest}_c{commit}"
+        if not spark.catalog.tableExists(name):
+            cols = ", ".join(f"`{k}`" for k in spec["keys"])
+            spark.sql(
+                f"CREATE TABLE `{name}` ({SPARK_DDL[table]}) USING parquet"
+                f" CLUSTERED BY ({cols}) SORTED BY ({cols})"
+                f" INTO {spec['buckets']} BUCKETS LOCATION '{path}'"
+            )
+            stale = self._registered.pop((run_id, table), None)
+            if stale and stale != name:
+                spark.sql(f"DROP TABLE IF EXISTS `{stale}`")
+            self._registered[(run_id, table)] = name
+        out = spark.table(name)
+        # write-path hint (see _write_bucketed): this scan already holds
+        # each bucket's rows in one task, so a narrow-transformed rewrite
+        # (clone) can skip the pre-write repartition. Purely a file-count
+        # optimization — a wrong/stale hint cannot misplace rows, the
+        # bucketBy writer hashes every row to its correct bucket file.
+        out._ixmp_bucket_spec = (tuple(spec["keys"]), spec["buckets"])
+        return out
 
     @contextmanager
     def _run_lock(self, run_id: int):

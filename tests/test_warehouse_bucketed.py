@@ -1,0 +1,154 @@
+"""Bucketed fact layout (SURVEY.md §1.6 "partition by run_id, bucket by
+key" — wired into Platform storage in r10 after the r9 100x smoke
+measured the unbucketed diff join at 90 s of a 115.5 s total).
+
+The claims pinned here:
+- Spark-path snapshot writes land bucketed (marker + bucket-table scan).
+- ``Scenario.diff_par`` — the raw-key diff — runs with ZERO shuffle
+  exchanges when both runs' snapshots are bucketed.
+- The layout is transparent to every other reader: pandas ``read_table``,
+  ``par()``, clone, and mixed bucketed/plain diffs stay correct.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from ixmp_spark.core import Platform, Scenario
+from ixmp_spark.operators.scale import exchange_count
+from ixmp_spark.sources.warehouse import BUCKET_MARKER, fact_buckets
+
+
+def _bulk_scenario(spark, root, n=4000, scenario="s"):
+    mp = Platform(spark, root)
+    mp.add_unit("u")
+    scen = Scenario(mp, "m", scenario, version="new")
+    scen.init_set("k")
+    scen.add_set("k", [str(i) for i in range(n)])
+    scen.init_par("p", idx_sets=["k", "k"], idx_names=["a", "b"])
+    src = spark.range(n).selectExpr(
+        "cast(id as string) a",
+        "cast(id % 7 as string) b",
+        "cast(id as double) value",
+    )
+    scen.add_par_bulk("p", src, unit="u", assume_unique=True, distributed=True)
+    scen.commit("bulk")
+    return mp, scen
+
+
+def test_bucketed_fact_layout_roundtrip(spark, tmp_path):
+    """Distributed writes land bucketed: marker present, exactly
+    fact_buckets() part files (the repartition-before-bucketBy rule),
+    spark_fact returns the same rows as a plain path read, and the
+    pandas read path is unaffected."""
+    mp, scen = _bulk_scenario(spark, str(tmp_path / "wh"))
+    path = mp.wh.table_path(scen.run_id, "par_data")
+    assert os.path.isdir(path)
+    assert os.path.exists(os.path.join(path, BUCKET_MARKER))
+    parts = [f for f in os.listdir(path) if f.endswith(".parquet")]
+    assert len(parts) == fact_buckets()
+    spec = mp.wh.bucket_spec(scen.run_id, "par_data")
+    assert spec == {"keys": ["key"], "buckets": fact_buckets()}
+
+    fact = mp.wh.spark_fact(spark, scen.run_id, "par_data")
+    assert fact.count() == 4000
+    plain = spark.read.parquet(path)
+    assert (
+        fact.agg(F.sum("value")).collect()[0][0]
+        == plain.agg(F.sum("value")).collect()[0][0]
+    )
+    # pandas path reads the bucketed directory transparently
+    pdf = mp.wh.read_table(scen.run_id, "par_data")
+    assert len(pdf) == 4000
+    # the façade read too
+    assert len(scen.par("p", filters={"a": ["1", "2"]})) == 2
+
+
+def test_bucketed_diff_par_no_exchange(spark, tmp_path):
+    """THE r9 verdict item: diff of two bucketed fact snapshots joins
+    co-partitioned — 0 shuffle exchanges in the physical plan — and the
+    result is exact on a planted 1% perturbation. The unbucketed diff
+    this replaces shuffled both sides (90 s of the r9 100x smoke)."""
+    n = 4000
+    mp, scen = _bulk_scenario(spark, str(tmp_path / "wh"), n=n)
+    clone = scen.clone(scenario="s_clone", spark_threshold=1000)
+    # perturb 1% of the clone through the REAL update path (distributed
+    # merge + bucketed rewrite), not a view
+    clone.check_out()
+    upd = spark.range(n).where(F.col("id") % 100 == 0).selectExpr(
+        "cast(id as string) a",
+        "cast(id % 7 as string) b",
+        "cast(id as double) + 0.5 value",
+    )
+    clone.add_par_bulk("p", upd, unit="u", distributed=True)
+    clone.commit("perturb 1%")
+
+    d = scen.diff_par(clone, "p", sort=False)
+    assert exchange_count(d) == 0
+
+    agg = d.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(
+            F.when(F.col("value_a") != F.col("value_b"), 1).otherwise(0)
+        ).alias("changed"),
+        F.sum(F.when(F.col("_merge") != "both", 1).otherwise(0)).alias(
+            "unmatched"
+        ),
+    ).collect()[0]
+    assert agg["rows"] == n
+    assert agg["changed"] == n // 100
+    assert agg["unmatched"] == 0
+    # sorted presentation (O2) carries the dim columns
+    head = scen.diff_par(clone, "p").limit(1).collect()[0]
+    assert set(head.asDict()) == {
+        "a", "b", "value_a", "value_b", "unit_a", "unit_b", "_merge",
+    }
+
+
+def test_diff_par_mixed_layout_correct(spark, tmp_path):
+    """A bucketed run diffed against a pandas-path (single-file) run is
+    still CORRECT — it just pays the shuffle the bucketed pair avoids."""
+    mp, scen = _bulk_scenario(spark, str(tmp_path / "wh"), n=2000)
+    small = Scenario(mp, "m", "small", version="new")
+    small.init_set("k")
+    small.add_set("k", [str(i) for i in range(2000)])
+    small.init_par("p", idx_sets=["k", "k"], idx_names=["a", "b"])
+    import pandas as pd
+
+    small.add_par(
+        "p",
+        pd.DataFrame(
+            {
+                "a": [str(i) for i in range(10)],
+                "b": [str(i % 7) for i in range(10)],
+                "value": [float(i) for i in range(10)],
+                "unit": "u",
+            }
+        ),
+    )
+    small.commit("small")
+    assert mp.wh.bucket_spec(small.run_id, "par_data") is None
+
+    d = scen.diff_par(small, "p", sort=False)
+    agg = d.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(F.when(F.col("_merge") == "both", 1).otherwise(0)).alias(
+            "both"
+        ),
+    ).collect()[0]
+    assert agg["rows"] == 2000  # 10 shared keys + 1990 left_only
+    assert agg["both"] == 10
+
+
+def test_bucketing_disabled_by_env(spark, tmp_path, monkeypatch):
+    """IXMP_SPARK_FACT_BUCKETS=0 is the kill switch: writes fall back to
+    plain directory parquet, readers see no bucket spec."""
+    monkeypatch.setenv("IXMP_SPARK_FACT_BUCKETS", "0")
+    mp, scen = _bulk_scenario(spark, str(tmp_path / "wh"), n=2000)
+    assert mp.wh.bucket_spec(scen.run_id, "par_data") is None
+    assert not os.path.exists(
+        os.path.join(mp.wh.table_path(scen.run_id, "par_data"), BUCKET_MARKER)
+    )
+    assert len(scen.par("p", filters={"a": ["7"]})) == 1

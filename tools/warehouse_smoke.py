@@ -15,13 +15,21 @@ Phases (each a wall-clock row in the emitted JSON):
                       (pushdown path; returns a 1-row sum)
 - clone_distributed — Scenario.clone via the Spark INSERT-SELECT path
                       (spark_threshold forces distributed at this size)
-- diff_spark        — operators.joins.diff (full-outer + indicator) of
-                      original vs a value-perturbed view of the clone,
-                      aggregated by _merge + changed-count
+- update_1pct       — add_par_bulk of a 1% value perturbation into the
+                      clone through the REAL distributed merge
+                      (anti-join + union + bucketed rewrite) + commit
+- diff_spark        — Scenario.diff_par (raw-key full-outer + indicator)
+                      of original vs the updated clone, aggregated by
+                      _merge + changed-count. Both snapshots are
+                      bucketed by ``key`` (r10 layout), so the join is
+                      co-partitioned at scan time: ``diff_exchanges``
+                      in the output records the physical plan's shuffle
+                      count, which must be 0 — the r9 run paid a full
+                      two-sided shuffle here (90.0 s of 115.5 s total).
 
 The driver process must never materialize the 1e8 rows: every phase is
 either a Spark job or a 1-row collect. Output: ONE compact JSON line —
-committed as REHEARSAL_warehouse_100x_r9.json.
+committed as REHEARSAL_warehouse_100x_r{N}.json.
 """
 
 from __future__ import annotations
@@ -41,7 +49,7 @@ from pyspark.sql import functions as F  # noqa: E402
 def main() -> None:
     n = int(float(sys.argv[1])) if len(sys.argv) > 1 else 100_000_000
     from ixmp_spark.core import Platform, Scenario
-    from ixmp_spark.operators.joins import diff as spark_diff
+    from ixmp_spark.operators.scale import exchange_count
     from ixmp_spark.session import get_spark
 
     spark = get_spark("warehouse_smoke")
@@ -50,6 +58,10 @@ def main() -> None:
     out: dict = {"n_rows": n}
     try:
         mp = Platform(spark, root)
+        # bucket sizing rule (warehouse.fact_buckets): ~1-3M rows per
+        # bucket — at 1e8 run IXMP_SPARK_FACT_BUCKETS=128 (32 spilled
+        # the write-side sort: 52.7 s vs 22.7 s commit)
+        out["fact_buckets"] = mp.wh.n_buckets
         mp.add_unit("GWa")
         scen = Scenario(mp, "perf", "smoke100x", version="new")
         dim = math.isqrt(n - 1) + 1
@@ -88,19 +100,22 @@ def main() -> None:
         clone = scen.clone(scenario="smoke100x_clone")
         phases["clone_distributed"] = round(time.perf_counter() - t0, 2)
 
+        # perturb ~1% of the clone through the real update path: the
+        # distributed merge (anti-join against the bucketed snapshot +
+        # union + bucketed rewrite), so the diff below compares two
+        # COMMITTED bucketed snapshots, not a projection trick
         t0 = time.perf_counter()
-        a = scen.par_spark("p")
-        # perturb ~1% of the clone's values so the diff has real work
-        b = clone.par_spark("p").select(
-            "a", "b",
-            F.when(
-                F.col("a").cast("long") % 100 == 0, F.col("value") + 1.0
-            ).otherwise(F.col("value")).alias("value"),
+        upd = src.where(F.col("a").cast("long") % 100 == 0).select(
+            "a", "b", (F.col("value") + 1.0).alias("value")
         )
-        d = spark_diff(
-            a.select("a", "b", "value"), b, on=["a", "b"],
-            value_cols=["value"],
-        )
+        clone.check_out()
+        clone.add_par_bulk("p", upd, unit="GWa", distributed=True)
+        clone.commit("perturb 1pct")
+        phases["update_1pct"] = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        d = scen.diff_par(clone, "p", sort=False)
+        out["diff_exchanges"] = exchange_count(d)
         agg = d.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(
