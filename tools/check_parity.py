@@ -198,32 +198,69 @@ def main() -> int:
         # sweep when it measured the same sf_dir
         deltas: dict[str, float] = {}
         flagged: list[str] = []
+        cold_flagged: dict[str, dict[str, float]] = {}
         if os.path.exists(TIMINGS_PATH):
             with open(TIMINGS_PATH) as f:
                 prev = json.load(f)
             if prev.get("sf_dir") == sf_dir:
-                slow = timing_regressions(timings, prev.get("queries", {}))
-                for s in slow:
-                    print(f"SLOW  {s}")
                 # r8 verdict #7: the bench's deltas_vs_prev block, for
                 # the FULL catalog sweep — per-query ratio vs the prior
                 # committed sweep plus a flagged list, so a 15 s
                 # newcomer or a 1.5x drift auto-surfaces in the diff of
                 # TIMINGS_CATALOG.json instead of needing a human read
                 prev_q = prev.get("queries", {})
-                for name, t in timings.items():
-                    old = prev_q.get(name)
-                    if old and old > 0:
-                        deltas[name] = round(t / old, 3)
-                flagged = sorted(
-                    n for n, r in deltas.items()
-                    if r > 1.5 and timings[n] > 1.0
+
+                def compute_drift(ts):
+                    slow = timing_regressions(ts, prev_q)
+                    deltas = {
+                        n: round(t / prev_q[n], 3)
+                        for n, t in ts.items()
+                        if prev_q.get(n)
+                    }
+                    flagged = sorted(
+                        n for n, r in deltas.items()
+                        if r > 1.5 and ts[n] > 1.0
+                    )
+                    flagged += [
+                        f"NEW>{3.0:g}s:{n}"
+                        for n in sorted(ts)
+                        if n not in prev_q and ts[n] > 3.0
+                    ]
+                    return slow, deltas, flagged
+
+                slow, deltas, flagged = compute_drift(timings)
+                # r9 verdict #2: a one-rep sweep records COLD first-plan
+                # times, so every jitter-flagged query (a8_percentiles
+                # 3.95x, warm at baseline) leaves a phantom regression in
+                # the committed artifact. Re-run each flagged query once
+                # IN-PROCESS and keep min(cold, warm): genuine
+                # regressions stay flagged (they are slow warm too),
+                # first-plan jitter self-clears, and the cold_flagged
+                # block records the adjudication.
+                suspects = sorted(
+                    {s.split(":", 1)[0] for s in slow}
+                    | {
+                        f.split(":", 1)[1] if f.startswith("NEW") else f
+                        for f in flagged
+                    }
                 )
-                new_slowest = sorted(
-                    (n for n in timings if n not in prev_q
-                     and timings[n] > 3.0),
-                )
-                flagged += [f"NEW>{3.0:g}s:{n}" for n in new_slowest]
+                for name in suspects:
+                    if name not in QUERIES:
+                        continue
+                    t0 = time.perf_counter()
+                    try:
+                        QUERIES[name](spark, sf_dir).toPandas()
+                    except Exception:  # noqa: BLE001  (already reported)
+                        continue
+                    warm = round(time.perf_counter() - t0, 4)
+                    cold_flagged[name] = {
+                        "cold": timings[name], "warm": warm,
+                    }
+                    timings[name] = min(timings[name], warm)
+                if cold_flagged:
+                    slow, deltas, flagged = compute_drift(timings)
+                for s in slow:
+                    print(f"SLOW  {s}")
                 for fl in flagged:
                     print(f"DRIFT {fl}")
         top = sorted(timings.items(), key=lambda kv: -kv[1])[:20]
@@ -236,6 +273,7 @@ def main() -> int:
                     "top20": dict(top),
                     "deltas_vs_prev": deltas,
                     "flagged": flagged,
+                    "cold_flagged": cold_flagged,
                     "queries": timings,
                 },
                 f,
@@ -265,7 +303,18 @@ def main() -> int:
                     ),
                     "core_50": len(_CORE_50),
                     "parity_failures": len(failures),
-                    "timing_regressions": len(slow),
+                    # the UNION the artifact reports (r9 verdict #3: two
+                    # thresholds, two lists, ONE counter): >3x gate names
+                    # + >1.5x / NEW-query drift flags, deduplicated
+                    "timing_regressions": len(
+                        {s.split(":", 1)[0] for s in slow}
+                        | {
+                            f.split(":", 1)[1]
+                            if f.startswith("NEW")
+                            else f
+                            for f in flagged
+                        }
+                    ),
                 },
                 f,
                 indent=1,
