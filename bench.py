@@ -107,6 +107,12 @@ BENCH_QUERIES = [
     "x27_bradley_terry",
     "t29_repetition",
     "e12_matryoshka_recall",
+    # round 10 additions (VERDICT r9 #6): the two cheapest
+    # representative shapes of the distribution-shape stat family get
+    # round-over-round drift tracking — KS (value-domain-bounded
+    # cumulative window) and Cohen's kappa (category-grid agreement)
+    "x28_ks_test",
+    "x33_cohens_kappa",
 ]
 # NOT in the headline set: t12_bpe_merges — an iterative trainer whose
 # cost is n_merges × per-iteration job latency (driver-loop bound, not
