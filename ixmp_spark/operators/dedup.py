@@ -16,7 +16,7 @@ jobs; no Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -1148,3 +1148,124 @@ def soft_dedup_weights(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         .withColumn("weight", F.lit(1.0) / F.col("n_copies"))
         .drop("__h")
     )
+
+
+def edit_distance_join(
+    df: DataFrame,
+    id_col: str,
+    str_col: str,
+    max_edits: int = 2,
+    q: int = 2,
+    max_short: int = 100_000,
+) -> DataFrame:
+    """Similarity self-join under edit distance: all row pairs whose
+    strings are within ``max_edits`` Levenshtein operations (and not
+    equal — exact duplicates are ``exact_dedup``'s job). Generalizes
+    ``fuzzy_key_join`` (joins.py, max_edits=1 deletion neighborhood)
+    to arbitrary ``max_edits`` via ed-join prefix filtering (Xiao,
+    Wang & Lin, VLDB'08 — public): an edit operation disturbs at most
+    ``q`` of a string's q-grams, so two strings within ``k`` edits
+    differ in at most ``k·q`` grams each — their ``k·q + 1``
+    globally-RAREST grams must intersect. Blocking on only those
+    prefix grams (rarest-first) bounds the candidate space AND
+    structurally avoids hot-gram blowup: the most frequent grams are
+    exactly the ones never indexed.
+
+    Plan shape (all JVM built-ins, no UDF):
+    1. collapse rows to DISTINCT strings — the quadratic stage runs on
+       the VOCABULARY, never the row count (the t-family discipline);
+    2. one gram-frequency aggregation (gram-domain-bounded);
+    3. per-string rank grams by (global freq, gram), keep ``k·q + 1``;
+    4. gram-keyed candidate join, pair-distinct, length filter
+       (|len_a − len_b| ≤ k), ``levenshtein`` verify;
+    5. short strings (< q·(k+1) chars — too few grams for the prefix
+       guarantee) pair exhaustively against every string within
+       length k of them, guarded by ``max_short`` candidates
+       (converge-or-raise: silent truncation would be false
+       negatives);
+    6. expand verified STRING pairs back to id pairs.
+
+    Output: (id_a, id_b, dist) with id_a < id_b, 1 ≤ dist ≤ max_edits.
+    """
+    k = int(max_edits)
+    if k < 1:
+        raise ValueError("max_edits must be >= 1")
+    rows = df.select(
+        F.col(id_col).alias("_id"), F.col(str_col).alias("_s")
+    ).where(F.col("_s").isNotNull())
+    names = rows.select("_s").distinct().persist()
+    short_len = q * (k + 1)
+    longs = names.where(F.length("_s") >= short_len)
+    grams = longs.select(
+        "_s",
+        F.explode(
+            F.array_distinct(
+                F.expr(
+                    f"transform(sequence(1, length(_s) - {q} + 1),"
+                    f" i -> substring(_s, i, {q}))"
+                )
+            )
+        ).alias("_g"),
+    )
+    freq = grams.groupBy("_g").agg(F.count(F.lit(1)).alias("_f"))
+    w = Window.partitionBy("_s").orderBy(F.asc("_f"), F.asc("_g"))
+    prefix = (
+        grams.join(freq, "_g")
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k * q + 1)
+        .select("_s", "_g")
+    )
+    a, b = prefix.alias("_a"), prefix.alias("_b")
+    cand = (
+        a.join(b, "_g")
+        .where(F.col("_a._s") < F.col("_b._s"))
+        .select(
+            F.col("_a._s").alias("_sa"), F.col("_b._s").alias("_sb")
+        )
+        .distinct()
+    )
+    # short strings: the prefix guarantee needs >= k·q + 1 grams; pair
+    # them against EVERY name within length k instead (length-banded
+    # nested loop over an alphabet-bounded set)
+    shorts = names.where(F.length("_s") < short_len)
+    partners = names.where(F.length("_s") < short_len + k)
+    short_cand = (
+        shorts.select(F.col("_s").alias("_sa"))
+        .join(
+            partners.select(F.col("_s").alias("_sb")),
+            (F.col("_sa") < F.col("_sb"))
+            & (
+                F.abs(F.length("_sa") - F.length("_sb")) <= k
+            ),
+        )
+    )
+    n_short = short_cand.count()
+    if n_short > max_short:
+        raise RuntimeError(
+            f"edit_distance_join: {n_short} short-string candidate pairs"
+            f" exceed max_short={max_short} — raise q, max_short, or"
+            " pre-filter degenerate keys (silent truncation would be"
+            " false negatives)"
+        )
+    verified = (
+        cand.unionByName(short_cand)
+        .distinct()
+        .where(F.abs(F.length("_sa") - F.length("_sb")) <= k)
+        .withColumn("dist", F.levenshtein("_sa", "_sb"))
+        .where((F.col("dist") >= 1) & (F.col("dist") <= k))
+    )
+    ra = rows.select(F.col("_id").alias("_ida"), F.col("_s").alias("_sa"))
+    rb = rows.select(F.col("_id").alias("_idb"), F.col("_s").alias("_sb"))
+    out = (
+        verified.join(ra, "_sa")
+        .join(rb, "_sb")
+        .where(F.col("_ida") != F.col("_idb"))
+        .select(
+            F.least("_ida", "_idb").alias("id_a"),
+            F.greatest("_ida", "_idb").alias("id_b"),
+            "dist",
+        )
+        .distinct()
+    )
+    names.unpersist()
+    return out

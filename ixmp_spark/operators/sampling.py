@@ -2144,3 +2144,327 @@ def mcnemar_test(
         c.cast("long").alias("b_only"),
         F.round(chi2, 4).alias("chi2"),
     )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    item_col: str,
+    rating_col: str,
+) -> DataFrame:
+    """Fleiss' kappa — chance-corrected agreement among a FIXED number
+    of raters per item over a categorical scale (Fleiss 1971, public):
+    the multi-rater generalization of ``cohens_kappa`` (which compares
+    exactly two rating columns). Input is LONG: one row per (item,
+    rating); every item must carry the same number of ratings m —
+    items violating that are a design error, so the operator raises
+    (converge-or-raise symmetry) rather than silently reweighting.
+
+    κ = (P̄ − P_e)/(1 − P_e) with per-item agreement
+    P_i = (Σ_j n_ij² − m)/(m(m−1)) and chance agreement
+    P_e = Σ_j p_j², p_j the pooled category share.
+
+    Plan: one (item, category) count aggregation → per-item Σn²
+    (item-bounded), category marginals (category-domain-bounded),
+    three 1-row frames broadcast-crossed — no window, no grid join.
+    NULL items/ratings are excluded up front (the x22 contract).
+    Output one row: (n_items, n_raters, n_categories, p_bar, p_e,
+    kappa) rounded 6.
+    """
+    clean = df.where(
+        F.col(item_col).isNotNull() & F.col(rating_col).isNotNull()
+    ).select(
+        F.col(item_col).alias("_i"), F.col(rating_col).alias("_c")
+    )
+    cells = clean.groupBy("_i", "_c").agg(
+        F.count(F.lit(1)).cast("double").alias("_n")
+    )
+    per_item = cells.groupBy("_i").agg(
+        F.sum("_n").alias("_m"), F.sum(F.col("_n") * F.col("_n")).alias("_s2")
+    )
+    m_check = per_item.agg(
+        F.min("_m").alias("_lo"), F.max("_m").alias("_hi")
+    ).collect()[0]
+    if m_check["_lo"] is None:
+        return df.sparkSession.createDataFrame(
+            [],
+            "n_items long, n_raters long, n_categories long,"
+            " p_bar double, p_e double, kappa double",
+        )
+    if m_check["_lo"] != m_check["_hi"]:
+        raise ValueError(
+            "fleiss_kappa requires the same number of ratings per item"
+            f" (saw {int(m_check['_lo'])}..{int(m_check['_hi'])})"
+        )
+    m = float(m_check["_hi"])
+    if m < 2:
+        raise ValueError("fleiss_kappa needs at least 2 ratings per item")
+    pbar = per_item.agg(
+        F.count(F.lit(1)).cast("double").alias("_n_items"),
+        F.avg(
+            (F.col("_s2") - F.lit(m)) / F.lit(m * (m - 1.0))
+        ).alias("_p_bar"),
+    )
+    marg = cells.groupBy("_c").agg(F.sum("_n").alias("_nj"))
+    pe = marg.crossJoin(
+        F.broadcast(marg.agg(F.sum("_nj").alias("_tot")))
+    ).agg(
+        F.count(F.lit(1)).alias("_n_cats"),
+        F.sum(
+            (F.col("_nj") / F.col("_tot")) * (F.col("_nj") / F.col("_tot"))
+        ).alias("_p_e"),
+    )
+    j = pbar.crossJoin(F.broadcast(pe))
+    kappa = (F.col("_p_bar") - F.col("_p_e")) / (
+        F.lit(1.0) - F.col("_p_e")
+    )
+    return j.select(
+        F.col("_n_items").cast("long").alias("n_items"),
+        F.lit(int(m)).cast("long").alias("n_raters"),
+        F.col("_n_cats").cast("long").alias("n_categories"),
+        F.round("_p_bar", 6).alias("p_bar"),
+        F.round("_p_e", 6).alias("p_e"),
+        F.round(
+            F.when(F.col("_p_e") < 1.0, kappa), 6
+        ).alias("kappa"),
+    )
+
+
+def bh_fdr(
+    df: DataFrame,
+    key_col: str,
+    p_col: str,
+    q: float = 0.05,
+) -> DataFrame:
+    """Benjamini–Hochberg false-discovery-rate control (1995, public)
+    over a FAMILY of per-key p-values — the multiple-comparisons layer
+    the stats family needs once a pipeline screens many metrics at
+    once (one z-test per event type / per experiment arm): reject the
+    keys with the k* smallest p-values where k* = max{i : p₍ᵢ₎ ≤
+    q·i/m}, guaranteeing expected FDR ≤ q.
+
+    The frame is KEY-DOMAIN-bounded (one row per tested key — the
+    a14/x23 adjudicated rank-window class), so the single global rank
+    window costs keys, never rows. The step-up cutoff is a running
+    max over the flag column — no driver loop, no second pass. NULL
+    p-values are excluded (no test, no discovery). Output per key:
+    (key, p_value, rank, m_tests, bh_threshold, rejected), sorted by
+    rank.
+    """
+    clean = df.where(F.col(p_col).isNotNull()).select(
+        F.col(key_col).alias("key"),
+        F.col(p_col).cast("double").alias("p_value"),
+    )
+    w = Window.orderBy(F.asc("p_value"), F.asc("key"))
+    ranked = clean.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).withColumn(
+        "m_tests", F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("long")
+    )
+    ranked = ranked.withColumn(
+        "bh_threshold",
+        F.round(F.lit(float(q)) * F.col("rank") / F.col("m_tests"), 9),
+    ).withColumn(
+        "_hit",
+        F.when(F.col("p_value") <= F.col("bh_threshold"), F.col("rank")),
+    )
+    wk = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return ranked.withColumn(
+        "rejected", F.col("rank") <= F.coalesce(F.max("_hit").over(wk), F.lit(0))
+    ).drop("_hit").orderBy("rank")
+
+
+def stratified_split(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic, hash-certified train/val/test assignment with a
+    per-stratum report — the split a training pipeline must be able to
+    REPRODUCE bit-exactly across reruns and backfills, so the
+    randomness is the x19/p25 discipline: u = (h + 0.5)/2³² from the
+    first 8 hex chars of ``md5(seed # id)``, a pure map-side
+    expression any engine replays verbatim (no per-partition RNG whose
+    assignment changes with partitioning). Within every stratum the
+    expected split is ``fractions``; determinism means the SAME row
+    lands in the SAME split regardless of cluster size or row order.
+
+    One map-side assignment + one (stratum, split) count aggregation —
+    no shuffle of the data beyond the group-domain-bounded report.
+    Output: (stratum, split, n, share) with share the within-stratum
+    fraction, sorted.
+    """
+    f_train, f_val, f_test = (float(x) for x in fractions)
+    tot = f_train + f_val + f_test
+    if abs(tot - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1 (got {tot})")
+    c = F.col(id_col).cast("string")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}#"), c)), 1, 8), 16, 10
+    ).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    assigned = df.where(
+        F.col(id_col).isNotNull() & F.col(strata_col).isNotNull()
+    ).select(
+        F.col(strata_col).alias("stratum"),
+        F.when(u < f_train, F.lit("train"))
+        .when(u < f_train + f_val, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    per = assigned.groupBy("stratum", "split").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    ws = Window.partitionBy("stratum")
+    return per.select(
+        "stratum",
+        "split",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(ws), 6).alias("share"),
+    ).orderBy("stratum", "split")
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9),
+) -> DataFrame:
+    """Weighted quantiles (lower / type-1: the smallest value whose
+    cumulative weight reaches q·W) — what a weighted corpus needs
+    where a8's unweighted percentile would misread it (a soft-dedup
+    or IPF-raked table's "median document length" must count MASS,
+    not rows).
+
+    The mann_whitney/KS scale shape: one keyed aggregation collapses
+    rows to per-DISTINCT-VALUE weight sums (value-domain-bounded —
+    callers quantize continuous values first), ONE cumulative window
+    over that frame, then ALL requested cuts resolve in a single
+    conditional aggregation (min value at-or-past each cut) unpivoted
+    by ``stack`` — no per-q pass, no non-equi join. Weights must be
+    non-negative; NULL/≤0-weight rows are excluded
+    (concentration_profile's contract). Output per q:
+    (q, value, total_weight) sorted by q.
+    """
+    per_v = (
+        df.where(
+            F.col(value_col).isNotNull() & (F.col(weight_col) > 0)
+        )
+        .groupBy(F.col(value_col).alias("_v"))
+        .agg(F.sum(F.col(weight_col).cast("double")).alias("_w"))
+    )
+    wv = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    # the grand total rides the SAME single-partition value-domain frame
+    # as the cumulative (one more window function, zero joins)
+    cum = per_v.select(
+        "_v", F.sum("_w").over(wv).alias("_cw")
+    ).withColumn("_tot", F.max("_cw").over(wall))
+    row = cum.agg(
+        F.round(F.max("_tot"), 6).alias("_twt"),
+        *[
+            F.min(
+                F.when(
+                    F.col("_cw") >= F.lit(float(q)) * F.col("_tot"),
+                    F.col("_v"),
+                )
+            ).alias(f"_q{i}")
+            for i, q in enumerate(qs)
+        ],
+    )
+    stack = ", ".join(
+        f"CAST({float(q)} AS DOUBLE), _q{i}" for i, q in enumerate(qs)
+    )
+    return row.selectExpr(
+        f"stack({len(qs)}, {stack}) AS (q, value)",
+        "_twt AS total_weight",
+    ).orderBy("q")
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    max_levels: int = 100_000,
+) -> DataFrame:
+    """Isotonic (monotone) calibration of a score against a binary
+    label via pool-adjacent-violators (Ayer et al. 1955, public) — the
+    calibration layer for any heuristic quality/classifier score a
+    pipeline gates on: maps each score level to the best monotone
+    non-decreasing estimate of P(label | score), the standard
+    alternative to Platt scaling when the score-probability relation
+    is monotone but not sigmoid.
+
+    Scale contract (the x22/x27 bounded-block class): one keyed
+    aggregation collapses the data to per-DISTINCT-SCORE rows
+    (n, n_pos) — SCORE-DOMAIN-bounded (callers quantize continuous
+    scores; ``max_levels`` enforces the contract with a raise, never a
+    silent sample) — then the PAV fixpoint runs as exact numpy on the
+    collected block: stack-based pooling, O(levels), deterministic.
+    Output per score level: (score, n, rate, calibrated) sorted by
+    score, rounded 6; ``calibrated`` is non-decreasing by
+    construction.
+    """
+    import numpy as np
+
+    per = (
+        df.where(
+            F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+        )
+        .groupBy(F.col(score_col).cast("double").alias("_s"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("_n"),
+            F.sum(F.col(label_col).cast("double")).alias("_k"),
+        )
+    )
+    pdf = per.orderBy("_s").limit(max_levels + 1).toPandas()
+    if len(pdf) > max_levels:
+        raise ValueError(
+            f"isotonic_calibration: more than {max_levels} distinct score"
+            " levels — quantize the score first (the operator's"
+            " bounded-block contract)"
+        )
+    if pdf.empty:
+        return df.sparkSession.createDataFrame(
+            [], "score double, n long, rate double, calibrated double"
+        )
+    s = pdf["_s"].to_numpy(dtype=np.float64)
+    n = pdf["_n"].to_numpy(dtype=np.float64)
+    k = pdf["_k"].to_numpy(dtype=np.float64)
+    # PAV: maintain a stack of pooled blocks (weight, mean); merge while
+    # the monotonicity is violated. O(levels) amortized.
+    blk_w: list[float] = []
+    blk_m: list[float] = []
+    blk_len: list[int] = []
+    for i in range(len(s)):
+        w, mval, ln = n[i], k[i] / n[i], 1
+        while blk_w and blk_m[-1] > mval:
+            pw, pm, pl = blk_w.pop(), blk_m.pop(), blk_len.pop()
+            mval = (pw * pm + w * mval) / (pw + w)
+            w += pw
+            ln += pl
+        blk_w.append(w)
+        blk_m.append(mval)
+        blk_len.append(ln)
+    cal = np.repeat(np.array(blk_m), np.array(blk_len))
+    out = [
+        (
+            float(s[i]),
+            int(n[i]),
+            round(float(k[i] / n[i]), 6),
+            round(float(cal[i]), 6),
+        )
+        for i in range(len(s))
+    ]
+    return df.sparkSession.createDataFrame(
+        out, "score double, n long, rate double, calibrated double"
+    )

@@ -5456,3 +5456,291 @@ def x34_mcnemar(spark, sf_dir):
         ).alias("gate_tokens"),
     )
     return mcnemar_test(gated, "gate_chars", "gate_tokens")
+
+
+@query(
+    "d12_edit_join",
+    oracle="""
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+    WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+      AND a.p_name <> b.p_name
+      AND levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def d12_edit_join(spark, sf_dir):
+    """Edit-distance similarity self-join (edit_distance_join): all
+    part-name pairs within 2 Levenshtein edits — the typo/variant
+    fuzzy-match a curation pipeline runs on entity names where
+    fuzzy_key_join's max_edits=1 deletion neighborhood is too tight.
+    ed-join prefix filtering (k·q+1 globally-rarest grams per string)
+    bounds candidates without hot-gram blowup; the quadratic stage
+    runs on DISTINCT names, never rows. The oracle brute-forces the
+    same predicate with DuckDB's levenshtein (feasible at sf0.01's
+    2k parts; the Spark side is the scale path)."""
+    from ixmp_spark.operators.dedup import edit_distance_join
+
+    part = load(spark, sf_dir, "part")
+    out = edit_distance_join(part, "p_partkey", "p_name", max_edits=2)
+    return out.select(
+        "id_a", "id_b", F.col("dist").cast("long").alias("dist")
+    )
+
+
+@query(
+    "x35_fleiss_kappa",
+    oracle="""
+    WITH ratings AS (
+      SELECT doc_id AS i, lang AS c FROM documents
+      WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+      UNION ALL
+      SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN 'zz' ELSE lang END
+      FROM documents WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+      UNION ALL
+      SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN 'xx' ELSE lang END
+      FROM documents WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+    ), cells AS (
+      SELECT i, c, CAST(count(*) AS DOUBLE) AS n
+      FROM ratings GROUP BY i, c
+    ), per AS (
+      SELECT i, sum(n) AS m, sum(n * n) AS s2 FROM cells GROUP BY i
+    ), pb AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_items,
+             avg((s2 - 3.0) / 6.0) AS p_bar
+      FROM per
+    ), marg AS (
+      SELECT c, sum(n) AS nj FROM cells GROUP BY c
+    ), pe AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_categories,
+             sum((nj / t) * (nj / t)) AS p_e
+      FROM marg, (SELECT sum(nj) AS t FROM marg)
+    )
+    SELECT n_items, CAST(3 AS BIGINT) AS n_raters, n_categories,
+           round(p_bar, 6) AS p_bar, round(p_e, 6) AS p_e,
+           round(CASE WHEN p_e < 1.0
+             THEN (p_bar - p_e) / (1.0 - p_e) END, 6) AS kappa
+    FROM pb, pe
+    """,
+)
+def x35_fleiss_kappa(spark, sf_dir):
+    """Fleiss' kappa (fleiss_kappa): chance-corrected agreement among
+    THREE deterministic raters of each document's language — the
+    multi-rater generalization x33's two-column Cohen's kappa can't
+    express. Raters 2 and 3 disagree on every 7th / 5th doc_id (a
+    deterministic corruption both engines replay literally), so the
+    statistic is reproducible at every sf. One (item, category)
+    count aggregation + category-domain marginals; no grid join.
+    The oracle restates the P̄/P_e decomposition term by term."""
+    from ixmp_spark.operators.sampling import fleiss_kappa
+
+    docs = load(spark, sf_dir, "documents").where(
+        F.col("doc_id").isNotNull() & F.col("lang").isNotNull()
+    )
+    r1 = docs.select("doc_id", F.col("lang").alias("rating"))
+    r2 = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.lit("zz"))
+        .otherwise(F.col("lang"))
+        .alias("rating"),
+    )
+    r3 = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.lit("xx"))
+        .otherwise(F.col("lang"))
+        .alias("rating"),
+    )
+    ratings = r1.unionByName(r2).unionByName(r3)
+    return fleiss_kappa(ratings, "doc_id", "rating")
+
+
+@query(
+    "x36_bh_fdr",
+    oracle="""
+    WITH counts AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN hour(ts) < 12 THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS na,
+             CAST(sum(CASE WHEN hour(ts) >= 12 THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS nb
+      FROM events
+      WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY event_type
+    ), per AS (
+      SELECT event_type AS key,
+             round(exp(-2.0 * (na + nb)
+                   * (na / (na + nb) - 0.5)
+                   * (na / (na + nb) - 0.5)), 9) AS p_value
+      FROM counts
+    ), ranked AS (
+      SELECT key, p_value,
+             CAST(row_number() OVER (ORDER BY p_value, key)
+                  AS BIGINT) AS rank,
+             CAST(count(*) OVER () AS BIGINT) AS m_tests
+      FROM per
+    ), thr AS (
+      SELECT *, round(0.05 * rank / m_tests, 9) AS bh_threshold
+      FROM ranked
+    )
+    SELECT key, p_value, rank, m_tests, bh_threshold,
+           rank <= coalesce(
+             max(CASE WHEN p_value <= bh_threshold THEN rank END)
+               OVER (), 0) AS rejected
+    FROM thr
+    """,
+)
+def x36_bh_fdr(spark, sf_dir):
+    """Benjamini–Hochberg FDR control (bh_fdr) over the per-event-type
+    family of "is the AM/PM split unbalanced" screens — the multiple-
+    comparisons layer the stat family needs once every category gets
+    its own test. The per-key p-value is the Hoeffding tail bound
+    exp(−2n(p̂−½)²) — pure map-side exp both engines evaluate
+    identically — rounded to 9 BEFORE ranking so the rank order is
+    hash-stable. Key-domain-bounded rank window; the step-up cutoff
+    is a running max, not a driver loop."""
+    from ixmp_spark.operators.sampling import bh_fdr
+
+    ev = load(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    counts = ev.groupBy("event_type").agg(
+        F.sum(F.when(F.hour("ts") < 12, 1).otherwise(0))
+        .cast("double")
+        .alias("na"),
+        F.sum(F.when(F.hour("ts") >= 12, 1).otherwise(0))
+        .cast("double")
+        .alias("nb"),
+    )
+    phat = F.col("na") / (F.col("na") + F.col("nb"))
+    per = counts.select(
+        F.col("event_type"),
+        F.round(
+            F.exp(
+                F.lit(-2.0)
+                * (F.col("na") + F.col("nb"))
+                * (phat - 0.5)
+                * (phat - 0.5)
+            ),
+            9,
+        ).alias("p_bound"),
+    )
+    return bh_fdr(per, "event_type", "p_bound", q=0.05)
+
+
+@query(
+    "p26_stratified_split",
+    oracle="""
+    WITH assigned AS (
+      SELECT lang AS stratum,
+             CASE
+               WHEN u < 0.8 THEN 'train'
+               WHEN u < 0.9 THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM (
+        SELECT lang,
+               (CAST('0x' || substr(
+                  md5('42#' || CAST(doc_id AS VARCHAR)), 1, 8)
+                AS BIGINT) + 0.5) / 4294967296.0 AS u
+        FROM documents
+        WHERE doc_id IS NOT NULL AND lang IS NOT NULL
+      )
+    )
+    SELECT stratum, split, CAST(count(*) AS BIGINT) AS n,
+           round(count(*) * 1.0 /
+                 sum(count(*)) OVER (PARTITION BY stratum), 6) AS share
+    FROM assigned GROUP BY stratum, split
+    """,
+)
+def p26_stratified_split(spark, sf_dir):
+    """Deterministic stratified train/val/test split
+    (stratified_split): 80/10/10 per language via the md5-derived
+    uniform (the x19/p25 hash-certified-randomness discipline), so
+    the SAME document lands in the SAME split on every rerun,
+    backfill, and engine — the reproducibility property a training
+    pipeline's split must have, and which per-partition RNG splits
+    (randomSplit) lose on repartitioning. Map-side assignment + one
+    group-domain-bounded report aggregation."""
+    from ixmp_spark.operators.sampling import stratified_split
+
+    docs = load(spark, sf_dir, "documents")
+    return stratified_split(
+        docs, "doc_id", "lang", fractions=(0.8, 0.1, 0.1), seed=42
+    )
+
+
+@query(
+    "x37_weighted_quantiles",
+    oracle="""
+    WITH per AS (
+      SELECT l_quantity AS v,
+             sum(CAST(floor(l_extendedprice * 100 + 0.5) AS DOUBLE))
+               AS w
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice > 0
+      GROUP BY l_quantity
+    ), cum AS (
+      SELECT v, sum(w) OVER (ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+      FROM per
+    ), tot AS (SELECT max(cw) AS t FROM cum),
+    qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.9]::DOUBLE[]) AS q)
+    SELECT q, min(CASE WHEN cw >= q * t THEN v END) AS value,
+           round(max(t), 6) AS total_weight
+    FROM cum, tot, qs GROUP BY q
+    """,
+)
+def x37_weighted_quantiles(spark, sf_dir):
+    """Weighted quantiles (weighted_quantiles): revenue-weighted
+    quartiles of order quantity — "the median unit is in an order of
+    quantity X when units are weighted by the money they carry",
+    which the unweighted a8 percentile misreads whenever mass and
+    rows diverge (soft-dedup weights, IPF-raked tables, revenue).
+    Value-domain-bounded cumulative frame (50 distinct quantities),
+    one window, all cuts in one conditional aggregation. Weights ride
+    as exact integer CENTS so every cumulative sum is exact in both
+    engines (the w11 lesson — a float-sum total at the 3e9 scale
+    diverges past round(6) purely from addition order). The oracle
+    replays the identical type-1 (lower) definition."""
+    from ixmp_spark.operators.sampling import weighted_quantiles
+
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "price_cents",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("double"),
+    )
+    return weighted_quantiles(
+        li, "l_quantity", "price_cents", qs=(0.25, 0.5, 0.75, 0.9)
+    )
+
+
+@query("t30_isotonic_calibration", oracle=None)
+def t30_isotonic_calibration(spark, sf_dir):
+    """Isotonic calibration (isotonic_calibration): pool-adjacent-
+    violators fit of P(doc has ≥40 words | n_chars bucket) — the
+    monotone calibration layer for any heuristic quality score a
+    pipeline gates on (t4's quality class), standard where Platt's
+    sigmoid assumption is wrong. Score-domain-bounded block + exact
+    numpy PAV (the x22/x27 bounded-block contract). Rows-only: PAV's
+    pooling fixpoint is not set-SQL; pinned by
+    test_isotonic_calibration_planted (hand-verified pools, the
+    monotonicity invariant, and the block guard)."""
+    from ixmp_spark.operators.sampling import isotonic_calibration
+
+    docs = load(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & F.col("n_chars").isNotNull()
+    )
+    scored = docs.select(
+        F.round(F.col("n_chars") / 100.0, 0).alias("score"),
+        (
+            F.size(
+                F.filter(
+                    F.split(F.trim(F.lower("text")), r"\s+"),
+                    lambda t: t != F.lit(""),
+                )
+            )
+            >= 40
+        )
+        .cast("double")
+        .alias("label"),
+    )
+    return isotonic_calibration(scored, "score", "label")

@@ -6308,3 +6308,197 @@ def test_max_drawdown_pinned(spark):
     )
     gt = max_drawdown(tie, "k", "ts", "v", "id").collect()[0]
     assert gt["max_drawdown"] == 9.0 and gt["final_value"] == -4.0
+
+
+def test_edit_distance_join_planted(spark):
+    """edit_distance_join (pins d12_edit_join): the Spark pair set
+    equals a brute-force Levenshtein replay on a planted vocabulary —
+    including pairs whose only shared grams are rare (the prefix-filter
+    guarantee), short strings routed around the q-gram path, and
+    duplicate strings expanding to id pairs; the short-candidate guard
+    raises instead of truncating."""
+    import itertools
+
+    import pytest as _pytest
+
+    from ixmp_spark.operators.dedup import edit_distance_join
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[-1]
+
+    vocab = [
+        "small ring", "small ringo", "smell ring", "small rung",
+        "red widget", "red widgets", "rad midget",
+        "blue bolt", "blue bolts", "glue bolt",
+        "ab", "ba", "abc", "xyz",  # short-string path (< q(k+1))
+        "hot gear", "hot gear",   # duplicate string, distinct ids
+    ]
+    rows = [(i, s) for i, s in enumerate(vocab)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in edit_distance_join(df, "id", "s", max_edits=2).collect()
+    }
+    want = {}
+    for (i, a), (j, b) in itertools.combinations(rows, 2):
+        if a != b and lev(a, b) <= 2:
+            want[(min(i, j), max(i, j))] = lev(a, b)
+    assert got == want
+    # sanity: the planted set exercises both regimes
+    assert (10, 11) in want and want[(10, 11)] == 2  # ab<->ba, short path
+    assert (0, 1) in want  # long path
+    with _pytest.raises(RuntimeError, match="max_short"):
+        shorts = spark.createDataFrame(
+            [(i, f"a{i % 9}") for i in range(200)], "id long, s string"
+        )
+        edit_distance_join(shorts, "id", "s", max_edits=2, max_short=10)
+
+
+def test_fleiss_kappa_hand(spark):
+    """fleiss_kappa (pins x35): hand-computed 3-rater example; perfect
+    agreement gives kappa 1; single-category data gives NULL (P_e=1);
+    unequal rating counts raise."""
+    import pytest as _pytest
+
+    from ixmp_spark.operators.sampling import fleiss_kappa
+
+    # 4 items x 3 raters: items 1-2 unanimous 'a', item 3 split 2a/1b,
+    # item 4 unanimous 'b'.
+    rows = (
+        [(1, "a")] * 3 + [(2, "a")] * 3
+        + [(3, "a"), (3, "a"), (3, "b")] + [(4, "b")] * 3
+    )
+    df = spark.createDataFrame(rows, "i long, c string")
+    r = fleiss_kappa(df, "i", "c").collect()[0]
+    # P_i: 1, 1, (4+1-3)/6=1/3, 1 -> P_bar = 10/12; p_a=8/12, p_b=4/12
+    # P_e = (2/3)^2+(1/3)^2 = 5/9; kappa = (5/6-5/9)/(1-5/9) = 0.625
+    assert (r["n_items"], r["n_raters"], r["n_categories"]) == (4, 3, 2)
+    assert r["p_bar"] == round(10 / 12, 6)
+    assert r["p_e"] == round(5 / 9, 6)
+    assert r["kappa"] == 0.625
+    perfect = spark.createDataFrame(
+        [(1, "a")] * 3 + [(2, "b")] * 3, "i long, c string"
+    )
+    assert fleiss_kappa(perfect, "i", "c").collect()[0]["kappa"] == 1.0
+    same = spark.createDataFrame([(1, "a")] * 3 + [(2, "a")] * 3,
+                                 "i long, c string")
+    assert fleiss_kappa(same, "i", "c").collect()[0]["kappa"] is None
+    with _pytest.raises(ValueError, match="same number"):
+        fleiss_kappa(
+            spark.createDataFrame(
+                [(1, "a")] * 3 + [(2, "a")] * 2, "i long, c string"
+            ),
+            "i", "c",
+        )
+
+
+def test_bh_fdr_step_up(spark):
+    """bh_fdr (pins x36): the textbook example AND the step-up
+    subtlety — a p-value ABOVE its own threshold is still rejected
+    when a LARGER rank passes (k* is the max passing rank, not a
+    running gate)."""
+    from ixmp_spark.operators.sampling import bh_fdr
+
+    df = spark.createDataFrame(
+        [("a", 0.01), ("b", 0.02), ("c", 0.03), ("d", 0.04), ("e", 0.2)],
+        "k string, p double",
+    )
+    got = {r["key"]: r["rejected"]
+           for r in bh_fdr(df, "k", "p", q=0.05).collect()}
+    assert got == {"a": True, "b": True, "c": True, "d": True, "e": False}
+    # step-up: rank-2 p=0.049 > 0.0333 fails its own bar, but rank-3
+    # p=0.05 <= 0.05 passes, so ALL of ranks 1..3 reject
+    df2 = spark.createDataFrame(
+        [("a", 0.001), ("b", 0.049), ("c", 0.05)], "k string, p double"
+    )
+    got2 = {r["key"]: r["rejected"]
+            for r in bh_fdr(df2, "k", "p", q=0.05).collect()}
+    assert got2 == {"a": True, "b": True, "c": True}
+    none = bh_fdr(
+        spark.createDataFrame([("a", 0.9), ("b", 0.8)], "k string, p double"),
+        "k", "p", q=0.05,
+    ).collect()
+    assert all(not r["rejected"] for r in none)
+
+
+def test_stratified_split_replay(spark):
+    """stratified_split (pins p26): the Spark assignment equals an
+    exact pure-Python md5 replay per row (hash-certified determinism),
+    shares sum to 1 per stratum, and reruns are identical."""
+    import hashlib
+
+    from ixmp_spark.operators.sampling import stratified_split
+
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(600)]
+    df = spark.createDataFrame(rows, "id long, lang string")
+    out = {
+        (r["stratum"], r["split"]): r["n"]
+        for r in stratified_split(df, "id", "lang", seed=42).collect()
+    }
+
+    want: dict = {}
+    for i, lang in rows:
+        h = int(hashlib.md5(f"42#{i}".encode()).hexdigest()[:8], 16)
+        u = (h + 0.5) / 2**32
+        split = "train" if u < 0.8 else ("val" if u < 0.9 else "test")
+        want[(lang, split)] = want.get((lang, split), 0) + 1
+    assert out == want
+    out2 = {
+        (r["stratum"], r["split"]): r["n"]
+        for r in stratified_split(df, "id", "lang", seed=42).collect()
+    }
+    assert out2 == out
+    shares = {}
+    for r in stratified_split(df, "id", "lang", seed=42).collect():
+        shares.setdefault(r["stratum"], 0.0)
+        shares[r["stratum"]] += r["share"]
+    assert all(abs(v - 1.0) < 1e-5 for v in shares.values())
+
+
+def test_weighted_quantiles_hand(spark):
+    """weighted_quantiles (pins x37): hand case with the type-1 (lower)
+    definition; zero/negative weights excluded."""
+    from ixmp_spark.operators.sampling import weighted_quantiles
+
+    df = spark.createDataFrame(
+        [(1.0, 1.0), (2.0, 1.0), (3.0, 2.0), (9.0, 0.0), (9.0, -1.0)],
+        "v double, w double",
+    )
+    got = {
+        r["q"]: (r["value"], r["total_weight"])
+        for r in weighted_quantiles(df, "v", "w", qs=(0.25, 0.5, 0.75)).collect()
+    }
+    assert got == {0.25: (1.0, 4.0), 0.5: (2.0, 4.0), 0.75: (3.0, 4.0)}
+
+
+def test_isotonic_calibration_planted(spark):
+    """isotonic_calibration (pins t30): PAV pools the planted violator
+    run (0.4, 0.3, 0.2) to its weighted mean 0.3 while leaving the
+    monotone ends untouched; output is non-decreasing; the bounded-
+    block guard raises on too many levels."""
+    import pytest as _pytest
+
+    from ixmp_spark.operators.sampling import isotonic_calibration
+
+    rates = {1.0: 0.1, 2.0: 0.4, 3.0: 0.3, 4.0: 0.2, 5.0: 0.5, 6.0: 0.9}
+    rows = []
+    for s, r in rates.items():
+        k = int(r * 10)
+        rows += [(s, 1.0)] * k + [(s, 0.0)] * (10 - k)
+    df = spark.createDataFrame(rows, "score double, label double")
+    out = isotonic_calibration(df, "score", "label").collect()
+    cal = {r["score"]: r["calibrated"] for r in out}
+    assert cal == {1.0: 0.1, 2.0: 0.3, 3.0: 0.3, 4.0: 0.3, 5.0: 0.5,
+                   6.0: 0.9}
+    assert all(r["n"] == 10 for r in out)
+    vals = [r["calibrated"] for r in sorted(out, key=lambda r: r["score"])]
+    assert vals == sorted(vals)  # monotone by construction
+    with _pytest.raises(ValueError, match="distinct score"):
+        isotonic_calibration(df, "score", "label", max_levels=2)

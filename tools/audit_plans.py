@@ -52,6 +52,8 @@ BNLJ_OK = {
     "e12_matryoshka_recall",  # bounded probe-set frame broadcast onto the corpus (the e1 probe contract)
     "x31_hill_tail",  # 1-row threshold order statistic + 1-row n_keys cross-broadcasts onto the m+1-row frame
     "x33_cohens_kappa",  # 1-row cell-grid aggregate crossed with the 1-row marginal-product aggregate
+    "x35_fleiss_kappa",  # 1-row P-bar aggregate crossed with the 1-row P-e marginal aggregate (the x33 shape)
+    "d12_edit_join",  # short-string non-equi length-band join: both sides alphabet-bounded AND count-guarded (max_short converge-or-raise)
 }
 
 #: multi-stage pipelines where >6 shuffles are inherent (documented):
@@ -106,6 +108,17 @@ SHUFFLE_OK = {
     # bounded TakeOrdered — 9 total; every exchange moves distinct
     # (basket,item), item-count, or pair-grid rows, never raw lineitem
     "x30_association_rules",
+    # x35 = one (item, category) cell aggregation (union of 3 rater
+    # projections), then per-item and per-category aggregates off the
+    # cell frame and two 1-row reductions — 9 total; every exchange
+    # after the first moves CELL or item/category rows, never ratings
+    "x35_fleiss_kappa",
+    # d12 = ed-join: distinct-name collapse, gram explode + frequency
+    # aggregate + rarest-prefix window, the gram-keyed candidate join +
+    # pair distinct, the short-band union, and the two id expansion
+    # joins — 11 total; every exchange moves VOCABULARY-sized name,
+    # gram, or candidate-pair rows, never the data rows
+    "d12_edit_join",
     # x33 = one data-sized cell-count aggregation, then the two
     # marginal aggregates, their full-outer category join, and the
     # diagonal/total aggregate — 9 total; every exchange after the
