@@ -674,11 +674,54 @@ class Scenario(TimeSeries):
                 .select("key", "value", "unit")
             )
 
+        return self._diff_key_join(
+            dims, side(self), side(other), indicator, sort
+        )
+
+    def diff_par_at(
+        self,
+        name: str,
+        commit_a: int,
+        commit_b: int | None = None,
+        indicator: str = "_merge",
+        sort: bool = True,
+    ) -> DataFrame:
+        """:meth:`diff_par` through TIME instead of across scenarios:
+        align one parameter between this run's state AS OF
+        ``commit_a`` and AS OF ``commit_b`` (default: the live
+        committed snapshot) — "what did commit N change", the audit
+        query Delta time travel answers on a cluster and the
+        warehouse's per-commit hardlink snapshots answer here.
+        History snapshots carry the bucket layout (the marker
+        hardlinks with the files), so this join is exchange-free on
+        bucketed runs exactly like the live diff (pinned by
+        tests/test_warehouse_bucketed.py)."""
+        item = self._require_item(name, "par")
+        dims = item["idx_names"]
+        wh = self.platform.wh
+        spark = self.platform.spark
+
+        def at(commit: int | None) -> DataFrame:
+            fact = (
+                wh.spark_fact(spark, self.run_id, "par_data")
+                if commit is None
+                else wh.spark_fact_at(spark, self.run_id, "par_data", commit)
+            )
+            return fact.where(
+                (F.col("run_id") == self.run_id) & (F.col("name") == name)
+            ).select("key", "value", "unit")
+
+        return self._diff_key_join(
+            dims, at(commit_a), at(commit_b), indicator, sort
+        )
+
+    def _diff_key_join(
+        self, dims, fa: DataFrame, fb: DataFrame, indicator: str, sort: bool
+    ) -> DataFrame:
+        from ixmp_spark.operators.joins import diff as _diff
+
         d = _diff(
-            side(self),
-            side(other),
-            on=["key"],
-            value_cols=["value", "unit"],
+            fa, fb, on=["key"], value_cols=["value", "unit"],
             indicator=indicator,
         )
         out = d.select(

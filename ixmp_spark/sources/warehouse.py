@@ -593,6 +593,33 @@ class LocalWarehouse:
         out._ixmp_bucket_spec = (tuple(spec["keys"]), spec["buckets"])
         return out
 
+    def spark_fact_at(self, spark, run_id: int, table: str, commit: int):
+        """Spark view of a fact table AS OF a past commit, bucketed when
+        the snapshot was (history hardlinks carry the bucket marker), so
+        version-diff joins against history elide the exchange exactly
+        like live-vs-live diffs. History snapshots are immutable — the
+        registration (keyed by commit) never goes stale."""
+        path = self.table_path_at(run_id, table, commit)
+        marker = os.path.join(path, BUCKET_MARKER)
+        if not os.path.exists(marker):
+            return spark.read.parquet(path)
+        with open(marker) as f:
+            spec = json.load(f)
+        import hashlib
+
+        digest = hashlib.md5(
+            f"{self.root}|{run_id}|{table}|h{commit}".encode()
+        ).hexdigest()[:10]
+        name = f"ixwh_{digest}_h{commit}"
+        if not spark.catalog.tableExists(name):
+            cols = ", ".join(f"`{k}`" for k in spec["keys"])
+            spark.sql(
+                f"CREATE TABLE `{name}` ({SPARK_DDL[table]}) USING parquet"
+                f" CLUSTERED BY ({cols}) SORTED BY ({cols})"
+                f" INTO {spec['buckets']} BUCKETS LOCATION '{path}'"
+            )
+        return spark.table(name)
+
     @contextmanager
     def _run_lock(self, run_id: int):
         """Advisory per-run exclusive lock: serializes the table swap +

@@ -152,3 +152,36 @@ def test_bucketing_disabled_by_env(spark, tmp_path, monkeypatch):
         os.path.join(mp.wh.table_path(scen.run_id, "par_data"), BUCKET_MARKER)
     )
     assert len(scen.par("p", filters={"a": ["7"]})) == 1
+
+
+def test_diff_par_at_history_no_exchange(spark, tmp_path):
+    """Time-travel diff: history snapshots hardlink the bucket marker
+    with the files, so diff_par_at joins AS-OF-commit vs live with 0
+    exchanges and recovers exactly the update's changed keys."""
+    n = 3000
+    mp, scen = _bulk_scenario(spark, str(tmp_path / "wh"), n=n)
+    first_commit = scen.commit_history()[-1]
+    scen.check_out()
+    upd = spark.range(n).where(F.col("id") % 50 == 0).selectExpr(
+        "cast(id as string) a",
+        "cast(id % 7 as string) b",
+        "cast(id as double) + 2.0 value",
+    )
+    scen.add_par_bulk("p", upd, unit="u", distributed=True)
+    scen.commit("perturb 2%")
+
+    d = scen.diff_par_at("p", first_commit, sort=False)
+    assert exchange_count(d) == 0
+    agg = d.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(
+            F.when(F.col("value_a") != F.col("value_b"), 1).otherwise(0)
+        ).alias("changed"),
+    ).collect()[0]
+    assert agg["rows"] == n
+    assert agg["changed"] == n // 50
+    # explicit two-commit form agrees with the as-of-vs-live form
+    second = scen.commit_history()[-1]
+    d2 = scen.diff_par_at("p", first_commit, second, sort=False)
+    assert exchange_count(d2) == 0
+    assert d2.where(F.col("value_a") != F.col("value_b")).count() == n // 50
