@@ -2468,3 +2468,78 @@ def isotonic_calibration(
     return df.sparkSession.createDataFrame(
         out, "score double, n long, rate double, calibrated double"
     )
+
+
+def auc_roc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """ROC AUC of a score against a binary label via the rank-sum
+    identity AUC = (R₁ − n₁(n₁+1)/2)/(n₁n₀) with midranks for ties —
+    DISCRIMINATION ("do positives score higher") where
+    isotonic_calibration measures calibration; the standard readout
+    for any heuristic quality/classifier score before it becomes a
+    pipeline gate. Equivalent to P(score⁺ > score⁻) + ½P(=).
+
+    The mann_whitney_u scale shape, arithmetic kept EXACT (the w11
+    discipline): one count aggregation collapses rows to
+    per-distinct-score (n_pos, n_neg) — value-DOMAIN-bounded, callers
+    quantize continuous scores — one cumulative window computes each
+    score's preceding count, and doubled midranks keep everything in
+    integer space: 2·R₁ = Σ n_pos·(2·cum_before + n + 1). AUC divides
+    ONCE at the end, so both engines divide the same two integers.
+    NULL scores/labels are excluded; a single-class input returns
+    NULL AUC (guarded, the KS convention). Output one row:
+    (n_pos, n_neg, auc, gini) rounded 6 — gini = 2·AUC − 1.
+    """
+    clean = df.where(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(score_col).alias("_s"),
+        F.col(label_col).cast("double").alias("_y"),
+    )
+    per = clean.groupBy("_s").agg(
+        F.sum("_y").alias("_np"),
+        F.sum(F.lit(1.0) - F.col("_y")).alias("_nn"),
+    )
+    w = Window.orderBy("_s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = per.select(
+        "_np",
+        "_nn",
+        (
+            F.sum(F.col("_np") + F.col("_nn")).over(w)
+            - F.col("_np")
+            - F.col("_nn")
+        ).alias("_before"),
+    )
+    agg = cum.agg(
+        F.sum("_np").alias("n1"),
+        F.sum("_nn").alias("n0"),
+        F.sum(
+            F.col("_np")
+            * (
+                F.lit(2.0) * F.col("_before")
+                + F.col("_np")
+                + F.col("_nn")
+                + F.lit(1.0)
+            )
+        ).alias("r2"),  # 2·R1, exact integer space
+    )
+    ok = (F.col("n1") > 0) & (F.col("n0") > 0)
+    auc = F.when(
+        ok,
+        (F.col("r2") - F.col("n1") * (F.col("n1") + 1))
+        / (F.lit(2.0) * F.col("n1") * F.col("n0")),
+    )
+    return agg.select(
+        F.col("n1").cast("long").alias("n_pos"),
+        F.col("n0").cast("long").alias("n_neg"),
+        F.round(auc, 6).alias("auc"),
+        F.round(F.lit(2.0) * auc - F.lit(1.0), 6).alias("gini"),
+    )

@@ -2468,3 +2468,60 @@ def changepoint_single(
         F.round(ma - mb, 6).alias("shift"),
         F.round(F.col("_b._q"), 4).alias("cusum_stat"),
     )
+
+
+def transition_pmi(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    order_col: str = "event_id",
+    min_count: int = 5,
+) -> DataFrame:
+    """Pointwise mutual information over consecutive event pairs —
+    "which follow-ups are SURPRISINGLY common given both events'
+    base rates": PMI(src, dst) = ln(p(src,dst)/(p(src)·p(dst)))
+    over the step distribution, the association score that separates
+    a genuine funnel edge from two independently-popular events that
+    merely co-occur (event_transitions' raw P(dst|src) conflates the
+    two). The sequence-mining analogue of the t-family's token PMI.
+
+    Plan shape: the same ONE user-keyed ``lead`` window as
+    event_transitions (ties broken by ``order_col``), then a pair
+    aggregation; the marginals and the step total are WINDOW sums over
+    the pair grid itself — |event types|²-bounded, the adjudicated
+    domain-bounded frame class — so the grid is scanned once with no
+    joins and no recomputation of the lead stage. ``min_count`` drops
+    pairs too rare for a stable estimate (their PMI is dominated by
+    noise). NULL events carry no steps. Output per pair:
+    (src, dst, n, pmi) — PMI in nats, rounded 6 — sorted by PMI
+    descending then (src, dst).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    steps = (
+        df.where(F.col(event_col).isNotNull())
+        .withColumn("_dst", F.lead(event_col).over(w))
+        .where(F.col("_dst").isNotNull())
+        .select(F.col(event_col).alias("src"), F.col("_dst").alias("dst"))
+    )
+    pairs = steps.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("double").alias("_n")
+    )
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    j = (
+        pairs.withColumn("_ns", F.sum("_n").over(Window.partitionBy("src")))
+        .withColumn("_nd", F.sum("_n").over(Window.partitionBy("dst")))
+        .withColumn("_t", F.sum("_n").over(wall))
+        .where(F.col("_n") >= float(min_count))
+    )
+    pmi = F.log(
+        (F.col("_n") * F.col("_t")) / (F.col("_ns") * F.col("_nd"))
+    )
+    return j.select(
+        "src",
+        "dst",
+        F.col("_n").cast("long").alias("n"),
+        F.round(pmi, 6).alias("pmi"),
+    ).orderBy(F.desc("pmi"), "src", "dst")

@@ -2082,3 +2082,59 @@ def gopher_repetition_signals(
         & (F.col("dup_5gram_char_frac") <= max_dup_5gram_char_frac)
     )
     return filled.withColumn("keep", F.coalesce(keep, F.lit(False)))
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY against everything ingested before
+    it (by ascending ``id_col`` — the ingest order): the fraction of a
+    document's distinct n-grams whose FIRST corpus occurrence is this
+    document. The corpus-growth diagnostic behind "is new data still
+    adding new content or are we re-crawling the same pages" — the
+    continuous companion to d5's binary decontamination and the
+    curve a crawl pipeline plots before paying for another dump.
+
+    Plan shape: one distinct-gram explode per doc → min(doc_id) per
+    gram (ONE gram-keyed aggregation — grams never carry bodies) →
+    gram-keyed join back → per-doc novel fraction. First doc is 100%
+    novel by construction; empty/sub-n docs emit zero grams and are
+    absent from the output (no 0/0). Output: (id, n_grams,
+    n_novel, novelty) sorted by id, rounded 6.
+    """
+    c = F.col(text_col)
+    toks = F.filter(
+        F.split(F.trim(F.lower(c)), r"\s+"), lambda t: t != F.lit("")
+    )
+    idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+    exploded = (
+        df.where(c.isNotNull() & F.col(id_col).isNotNull())
+        .where(F.size(toks) >= n)
+        .select(F.col(id_col).alias("_id"), F.explode(grams).alias("_g"))
+    )
+    first = exploded.groupBy("_g").agg(F.min("_id").alias("_first"))
+    return (
+        exploded.join(first, "_g")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("_first") == F.col("_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_grams",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_grams"), 6).alias(
+                "novelty"
+            ),
+        )
+        .orderBy(id_col)
+    )

@@ -5744,3 +5744,145 @@ def t30_isotonic_calibration(spark, sf_dir):
         .alias("label"),
     )
     return isotonic_calibration(scored, "score", "label")
+
+
+@query(
+    "g12_transition_pmi",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    ), steps AS (
+      SELECT event_type AS src,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      FROM ev
+    ), pairs AS (
+      SELECT src, dst, CAST(count(*) AS DOUBLE) AS n
+      FROM steps WHERE dst IS NOT NULL GROUP BY src, dst
+    ), sm AS (SELECT src, sum(n) AS ns FROM pairs GROUP BY src),
+    dm AS (SELECT dst, sum(n) AS nd FROM pairs GROUP BY dst),
+    tt AS (SELECT sum(n) AS t FROM pairs)
+    SELECT p.src, p.dst, CAST(p.n AS BIGINT) AS n,
+           round(ln(p.n * t / (ns * nd)), 6) AS pmi
+    FROM pairs p
+    JOIN sm USING (src)
+    JOIN dm ON p.dst = dm.dst
+    CROSS JOIN tt
+    WHERE p.n >= 5
+    """,
+)
+def g12_transition_pmi(spark, sf_dir):
+    """Transition PMI (transition_pmi): which event follow-ups are
+    surprisingly common given both events' base rates — the
+    association layer g5's raw P(dst|src) conflates with popularity.
+    One user-keyed lead window, then |event types|²-bounded grids;
+    counts stay exact integers so the single ln is the only float op
+    (round 6 absorbs the 1-ulp libm difference). NULL ts excluded up
+    front (the w30 ordering contract)."""
+    from ixmp_spark.operators.sessions import transition_pmi
+
+    ev = load(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    return transition_pmi(ev, min_count=5)
+
+
+@query(
+    "t31_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\\s+') AS w
+      FROM documents WHERE text IS NOT NULL AND doc_id IS NOT NULL
+    ), grams AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(
+               w[CAST(i AS INT) : CAST(i AS INT) + 2], ' ') AS g
+      FROM toks
+      CROSS JOIN unnest(range(1, len(w) - 1)) AS t(i)
+      WHERE len(w) >= 3
+    ), first AS (
+      SELECT g, min(doc_id) AS first_id FROM grams GROUP BY g
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS novelty
+    FROM grams JOIN first USING (g)
+    GROUP BY doc_id
+    """,
+)
+def t31_ngram_novelty(spark, sf_dir):
+    """N-gram novelty curve (ngram_novelty): per document, the
+    fraction of its distinct 3-grams first seen in THAT document
+    (ingest order = doc_id) — the "is new data still new" corpus-
+    growth diagnostic run before paying for another crawl dump; the
+    continuous companion to d5's binary decontamination. One
+    gram-keyed aggregation + one gram-keyed join back; grams never
+    carry bodies. The oracle rebuilds the 3-grams by list slicing
+    (the t29 idiom) and replays min-doc attribution."""
+    from ixmp_spark.operators.text import ngram_novelty
+
+    docs = load(spark, sf_dir, "documents")
+    return ngram_novelty(docs, "doc_id", "text", n=3)
+
+
+@query(
+    "x38_auc_roc",
+    oracle="""
+    WITH scored AS (
+      SELECT CAST(n_chars AS DOUBLE) AS s,
+             CASE WHEN len(list_filter(
+               string_split_regex(trim(lower(text)), '\\s+'),
+               x -> x <> '')) >= 40 THEN 1.0 ELSE 0.0 END AS y
+      FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL
+    ), per AS (
+      SELECT s, sum(y) AS np, sum(1.0 - y) AS nn
+      FROM scored GROUP BY s
+    ), cum AS (
+      SELECT np, nn,
+             sum(np + nn) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - np - nn AS before
+      FROM per
+    ), agg AS (
+      SELECT sum(np) AS n1, sum(nn) AS n0,
+             sum(np * (2.0 * before + np + nn + 1.0)) AS r2
+      FROM cum
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
+           round(CASE WHEN n1 > 0 AND n0 > 0
+             THEN (r2 - n1 * (n1 + 1)) / (2.0 * n1 * n0) END, 6) AS auc,
+           round(CASE WHEN n1 > 0 AND n0 > 0
+             THEN (r2 - n1 * (n1 + 1)) / (n1 * n0) - 1.0 END, 6) AS gini
+    FROM agg
+    """,
+)
+def x38_auc_roc(spark, sf_dir):
+    """ROC AUC (auc_roc): how well raw character count DISCRIMINATES
+    the ≥40-word documents — the rank-sum readout that pairs with
+    t30's calibration view of the same gate (AUC says "orders
+    correctly", isotonic says "probabilities honest"). Midrank
+    arithmetic stays in exact integer space (2·R₁) over the
+    value-domain-bounded score frame; ONE division at the end, so
+    the hash certifies the statistic across engines."""
+    from ixmp_spark.operators.sampling import auc_roc
+
+    docs = load(spark, sf_dir, "documents").where(
+        F.col("n_chars").isNotNull() & F.col("text").isNotNull()
+    )
+    scored = docs.select(
+        F.col("n_chars").cast("double").alias("score"),
+        (
+            F.size(
+                F.filter(
+                    F.split(F.trim(F.lower("text")), r"\s+"),
+                    lambda t: t != F.lit(""),
+                )
+            )
+            >= 40
+        )
+        .cast("double")
+        .alias("label"),
+    )
+    return auc_roc(scored, "score", "label")

@@ -6502,3 +6502,93 @@ def test_isotonic_calibration_planted(spark):
     assert vals == sorted(vals)  # monotone by construction
     with _pytest.raises(ValueError, match="distinct score"):
         isotonic_calibration(df, "score", "label", max_levels=2)
+
+
+def test_transition_pmi_hand(spark):
+    """transition_pmi (pins g12): hand-computed PMI on an engineered
+    path set — the independent pair lands at PMI ~0 while the
+    always-follows pair is strongly positive; min_count prunes."""
+    import math
+    from datetime import datetime, timedelta
+
+    from ixmp_spark.operators.sessions import transition_pmi
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # 8 users: a -> b always; 8 users: c -> (b then d alternating)
+    for u in range(8):
+        rows.append((eid, t0 + timedelta(seconds=eid), u, "a")); eid += 1
+        rows.append((eid, t0 + timedelta(seconds=eid), u, "b")); eid += 1
+    for u in range(8, 16):
+        rows.append((eid, t0 + timedelta(seconds=eid), u, "c")); eid += 1
+        rows.append(
+            (eid, t0 + timedelta(seconds=eid), u,
+             "b" if u % 2 == 0 else "d")
+        ); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {(r["src"], r["dst"]): (r["n"], r["pmi"])
+           for r in transition_pmi(df, min_count=4).collect()}
+    # steps: a->b x8, c->b x4, c->d x4; total 16
+    # PMI(a,b) = ln(8*16/(8*12)); PMI(c,b) = ln(4*16/(8*12)); PMI(c,d)=ln(4*16/(8*4))
+    assert got[("a", "b")] == (8, round(math.log(8 * 16 / (8 * 12)), 6))
+    assert got[("c", "b")] == (4, round(math.log(4 * 16 / (8 * 12)), 6))
+    assert got[("c", "d")] == (4, round(math.log(4 * 16 / (8 * 4)), 6))
+    assert got[("c", "d")][1] > 0 > got[("c", "b")][1]
+    # min_count prunes everything at 5
+    assert all(
+        r["n"] >= 5 for r in transition_pmi(df, min_count=5).collect()
+    )
+
+
+def test_ngram_novelty_hand(spark):
+    """ngram_novelty (pins t31): first doc is 100% novel; an exact
+    repeat is 0% novel; a half-overlap doc scores its novel share;
+    sub-n docs are absent."""
+    from ixmp_spark.operators.text import ngram_novelty
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "the quick brown fox jumps"),
+            (3, "the quick brown cat sleeps here"),
+            (4, "to be"),  # 2 tokens < n -> no grams
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty"])
+           for r in ngram_novelty(df, "doc_id", "text", n=3).collect()}
+    assert got[1] == (3, 3, 1.0)
+    assert got[2] == (3, 0, 0.0)
+    # doc 3 grams: 'the quick brown' (seen), 'quick brown cat',
+    # 'brown cat sleeps', 'cat sleeps here' -> 3/4 novel
+    assert got[3] == (4, 3, 0.75)
+    assert 4 not in got
+
+
+def test_auc_roc_hand(spark):
+    """auc_roc (pins x38): perfect separation gives 1.0, reversed 0.0,
+    all-ties 0.5 (midranks), a textbook mixed case matches the
+    pair-counting definition, and single-class input returns NULL."""
+    from ixmp_spark.operators.sampling import auc_roc
+
+    def frame(pairs):
+        return spark.createDataFrame(pairs, "s double, y double")
+
+    perfect = frame([(1.0, 0.0), (2.0, 0.0), (3.0, 1.0), (4.0, 1.0)])
+    assert auc_roc(perfect, "s", "y").collect()[0]["auc"] == 1.0
+    reverse = frame([(1.0, 1.0), (2.0, 1.0), (3.0, 0.0), (4.0, 0.0)])
+    r = auc_roc(reverse, "s", "y").collect()[0]
+    assert r["auc"] == 0.0 and r["gini"] == -1.0
+    ties = frame([(5.0, 1.0), (5.0, 0.0), (5.0, 1.0), (5.0, 0.0)])
+    assert auc_roc(ties, "s", "y").collect()[0]["auc"] == 0.5
+    # mixed: pos scores {2, 3}, neg {1, 3}: of the 4 (pos, neg) pairs
+    # (2,1) and (3,1) win, (2,3) loses, (3,3) ties -> (2 + 0.5)/4
+    mixed = frame([(1.0, 0.0), (3.0, 0.0), (2.0, 1.0), (3.0, 1.0)])
+    m = auc_roc(mixed, "s", "y").collect()[0]
+    assert m["auc"] == round((2 + 0.5) / 4, 6)
+    single = frame([(1.0, 1.0), (2.0, 1.0)])
+    s = auc_roc(single, "s", "y").collect()[0]
+    assert s["auc"] is None and s["gini"] is None
