@@ -2098,12 +2098,17 @@ def ngram_novelty(
     continuous companion to d5's binary decontamination and the
     curve a crawl pipeline plots before paying for another dump.
 
-    Plan shape: one distinct-gram explode per doc → min(doc_id) per
-    gram (ONE gram-keyed aggregation — grams never carry bodies) →
-    gram-keyed join back → per-doc novel fraction. First doc is 100%
-    novel by construction; empty/sub-n docs emit zero grams and are
-    absent from the output (no 0/0). Output: (id, n_grams,
-    n_novel, novelty) sorted by id, rounded 6.
+    Plan shape: one distinct-gram explode per doc, then TWO
+    aggregations off it — per-doc gram totals (map-side count, no
+    gram strings move) and min(doc_id) per gram (the one gram-keyed
+    shuffle) whose winners collapse to per-doc NOVEL counts
+    (doc-keyed, doc-domain-sized) — joined doc-to-doc. The naive form
+    joins the full exploded gram table back to the per-gram minima
+    (a second gram-string-keyed shuffle of everything); this shape
+    moves gram strings exactly once. First doc is 100% novel by
+    construction; empty/sub-n docs emit zero grams and are absent
+    from the output (no 0/0). Output: (id, n_grams, n_novel,
+    novelty) sorted by id, rounded 6.
     """
     c = F.col(text_col)
     toks = F.filter(
@@ -2118,23 +2123,27 @@ def ngram_novelty(
         .where(F.size(toks) >= n)
         .select(F.col(id_col).alias("_id"), F.explode(grams).alias("_g"))
     )
-    first = exploded.groupBy("_g").agg(F.min("_id").alias("_first"))
+    totals = exploded.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    novel = (
+        exploded.groupBy("_g")
+        .agg(F.min("_id").alias("_first"))
+        .groupBy("_first")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+        .withColumnRenamed("_first", "_id")
+    )
     return (
-        exploded.join(first, "_g")
-        .groupBy("_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            F.sum(
-                F.when(F.col("_first") == F.col("_id"), 1).otherwise(0)
-            ).alias("n_novel"),
-        )
+        totals.join(novel, "_id", "left")
         .select(
             F.col("_id").alias(id_col),
             "n_grams",
-            "n_novel",
-            F.round(F.col("n_novel") / F.col("n_grams"), 6).alias(
-                "novelty"
-            ),
+            F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
+            F.round(
+                F.coalesce(F.col("n_novel"), F.lit(0))
+                / F.col("n_grams"),
+                6,
+            ).alias("novelty"),
         )
         .orderBy(id_col)
     )

@@ -5731,15 +5731,10 @@ def t30_isotonic_calibration(spark, sf_dir):
     )
     scored = docs.select(
         F.round(F.col("n_chars") / 100.0, 0).alias("score"),
-        (
-            F.size(
-                F.filter(
-                    F.split(F.trim(F.lower("text")), r"\s+"),
-                    lambda t: t != F.lit(""),
-                )
-            )
-            >= 40
-        )
+        # regexp_count('\\S+') == filtered-split word count, without
+        # materializing the token array (measured 3.6 s -> map-cheap
+        # at sf0.1)
+        (F.regexp_count(F.col("text"), F.lit(r"\S+")) >= 40)
         .cast("double")
         .alias("label"),
     )
@@ -5873,15 +5868,9 @@ def x38_auc_roc(spark, sf_dir):
     )
     scored = docs.select(
         F.col("n_chars").cast("double").alias("score"),
-        (
-            F.size(
-                F.filter(
-                    F.split(F.trim(F.lower("text")), r"\s+"),
-                    lambda t: t != F.lit(""),
-                )
-            )
-            >= 40
-        )
+        # regexp_count('\\S+') == nonspace-run count == the oracle's
+        # filtered-split word count, without the token array
+        (F.regexp_count(F.col("text"), F.lit(r"\S+")) >= 40)
         .cast("double")
         .alias("label"),
     )
