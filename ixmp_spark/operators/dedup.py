@@ -1186,6 +1186,16 @@ def edit_distance_join(
     6. expand verified STRING pairs back to id pairs.
 
     Output: (id_a, id_b, dist) with id_a < id_b, 1 ≤ dist ≤ max_edits.
+
+    Choosing ``q``: the prefix filter selects only when the gram
+    DOMAIN is large relative to the vocabulary — |alphabet|^q ≫
+    #distinct strings — otherwise every gram is hot and candidates
+    degrade toward quadratic (measured in
+    REHEARSAL_editjoin_r10.json: 16-symbol synthetic strings need
+    q=3; natural text with its ~1e3-symbol bigram domain is fine at
+    the q=2 default). Larger q also raises the short-string
+    threshold q·(k+1), routing more of the corpus to the banded
+    exhaustive path.
     """
     k = int(max_edits)
     if k < 1:

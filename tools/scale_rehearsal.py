@@ -1248,6 +1248,109 @@ def main_dedup_pipeline() -> None:
     print(json.dumps({"sf_dir": sf_dir, "pipeline": out}))
 
 
+
+
+def main_edit_join() -> None:
+    """edit_distance_join scale rehearsal (r10 — the operator is exact,
+    so unlike LSH the claims are recall = 1.0 BY CONSTRUCTION plus a
+    candidate-count curve): synthetic vocabularies of random 8-16-char
+    strings with planted 1- and 2-edit variants on 5% of bases,
+    expanded to ~2 rows per string (the dup-id expansion path).
+
+        python tools/scale_rehearsal.py --edit-join [n_distinct...]
+
+    Per factor: prefix-filter candidate-pair count vs the N^2 upper
+    bound (the selectivity the ed-join rarest-gram prefix buys),
+    wall seconds, planted-pair recall (must be 1.0 — exact method),
+    and guard events. Committed as REHEARSAL_editjoin_r10.json.
+
+    Found while building this: md5-HEX synthetic strings have a
+    16-symbol alphabet, so q=2 gives a 256-gram DOMAIN and even q=3
+    only 4096 — with 50k+ strings every gram is hot and the prefix
+    filter cannot select (the first two runs were effectively
+    quadratic and were killed). The rehearsal therefore generates
+    base64 strings (64-symbol alphabet; q=3 domain 262k ≫ N) — and
+    the finding generalizes: q must satisfy |alphabet|^q ≫ N for the
+    rarest-gram prefix to bound candidates (documented on the
+    operator).
+    """
+    sizes = [int(float(x)) for x in sys.argv[2:]] or [50_000, 200_000]
+
+    from ixmp_spark.operators.dedup import edit_distance_join
+
+    spark = get_spark("edit_join_rehearsal")
+    out: list[dict] = []
+    for n in sizes:
+        row: dict = {"n_distinct_base": n}
+        # random-ish distinct strings: 8-16 lowercase chars derived from
+        # md5(id) hex mapped into a-p (deterministic, no Date/rand)
+        # 64-symbol alphabet (see docstring): base64 of the md5 bytes,
+        # padding stripped, 14-22 chars
+        b64 = F.translate(
+            F.base64(F.unhex(F.md5(F.col("id").cast("string")))),
+            "=", "",
+        )
+        base = spark.range(n).select(
+            F.col("id"),
+            F.substring(
+                b64, 1, (F.col("id") % 9 + 14).cast("int")
+            ).alias("s"),
+        )
+        # plant variants on every 20th base: one 1-edit (substitute the
+        # first char) and one 2-edit (substitute first two chars)
+        # '#' is OUTSIDE the base64 alphabet, so the substitution is
+        # guaranteed to be a real edit (a same-char substitute would
+        # make dist 0 and falsely depress recall)
+        v1 = base.where(F.col("id") % 20 == 0).select(
+            (F.col("id") + 10_000_000).alias("id"),
+            F.concat(F.lit("#"), F.expr("substring(s, 2)")).alias("s"),
+        )
+        v2 = base.where(F.col("id") % 20 == 0).select(
+            (F.col("id") + 20_000_000).alias("id"),
+            F.concat(F.lit("##"), F.expr("substring(s, 3)")).alias("s"),
+        )
+        corpus = base.unionByName(v1).unionByName(v2).persist()
+        n_rows = corpus.count()
+        row["n_rows"] = n_rows
+        row["n_planted_bases"] = n // 20
+
+        t0 = time.time()
+        pairs = edit_distance_join(
+            corpus, "id", "s", max_edits=2, q=3
+        ).persist()
+        n_pairs = pairs.count()
+        row["result_pairs"] = n_pairs
+        row["wall_s"] = round(time.time() - t0, 2)
+
+        # recall on the planted truth: every (base, v1), (base, v2) and
+        # (v1, v2 — distance 2: z->zz first two chars... verify via the
+        # result itself) pair whose true distance <= 2 must be present.
+        # base<->v1 is distance 1 and base<->v2 distance <= 2 by
+        # construction (2 substitutions).
+        planted = base.where(F.col("id") % 20 == 0).select(
+            F.col("id").alias("id_a"),
+            (F.col("id") + 10_000_000).alias("id_b"),
+        ).unionByName(
+            base.where(F.col("id") % 20 == 0).select(
+                F.col("id").alias("id_a"),
+                (F.col("id") + 20_000_000).alias("id_b"),
+            )
+        )
+        n_planted = planted.count()
+        n_found = planted.join(
+            pairs.select("id_a", "id_b"), ["id_a", "id_b"], "semi"
+        ).count()
+        row["planted_pairs"] = n_planted
+        row["planted_found"] = n_found
+        row["recall"] = round(n_found / max(1, n_planted), 6)
+        row["quadratic_upper_bound"] = n_rows * (n_rows - 1) // 2
+        out.append(row)
+        pairs.unpersist()
+        corpus.unpersist()
+        print(f"-- {n}: {row}", file=sys.stderr)
+    print(json.dumps({"edit_join": out}))
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--embeddings":
         main_embeddings()
@@ -1267,5 +1370,7 @@ if __name__ == "__main__":
         main_kcore()
     elif len(sys.argv) > 1 and sys.argv[1] == "--dedup-pipeline":
         main_dedup_pipeline()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--edit-join":
+        main_edit_join()
     else:
         main()
