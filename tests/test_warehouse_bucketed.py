@@ -185,3 +185,52 @@ def test_diff_par_at_history_no_exchange(spark, tmp_path):
     d2 = scen.diff_par_at("p", first_commit, second, sort=False)
     assert exchange_count(d2) == 0
     assert d2.where(F.col("value_a") != F.col("value_b")).count() == n // 50
+
+
+def test_ts_bucketed_align_no_exchange(spark, tmp_path):
+    """TS snapshots bucket by (region, variable) on the Spark write
+    path; a cross-run alignment join on the full series key — a
+    SUPERSET of the bucket key, co-partitioned under
+    requireAllClusterKeysForCoPartition=false — runs with 0 shuffle
+    exchanges and aligns values exactly."""
+    mp = Platform(spark, str(tmp_path / "wh"))
+    mp.add_unit("GWa")
+    for i in range(40):
+        mp.add_region(f"r{i}", "country")
+
+    def mk(name, bump):
+        scen = Scenario(mp, "m", name, version="new")
+        src = spark.range(300_000).selectExpr(
+            "concat('r', id % 40) region",
+            "concat('v', id % 25) variable",
+            "'GWa' unit",
+            "cast(2000 + (id % 30) as int) year",
+            f"cast(id as double) + {bump} value",
+        )
+        scen.add_timeseries_bulk(src)
+        scen.commit("bulk ts")
+        return scen
+
+    a, b = mk("tsa", 0.0), mk("tsb", 0.5)
+    assert mp.wh.bucket_spec(a.run_id, "ts_data") == {
+        "keys": ["region", "variable"], "buckets": fact_buckets(),
+    }
+    key = ["region", "variable", "subannual", "year"]
+    fa = mp.wh.spark_fact(spark, a.run_id, "ts_data").select(
+        *key, F.col("value").alias("va")
+    )
+    fb = mp.wh.spark_fact(spark, b.run_id, "ts_data").select(
+        *key, F.col("value").alias("vb")
+    )
+    j = fa.join(fb, key)
+    assert exchange_count(j) == 0
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.col("vb") - F.col("va")).alias("lo"),
+        F.max(F.col("vb") - F.col("va")).alias("hi"),
+    ).collect()[0]
+    # distinct (id%40, id%25, id%30) triples = lcm(40,25,30) = 600
+    # (the residues are CRT-coupled, not a full cross product);
+    # upsert keeps last per key
+    assert agg["n"] == 600
+    assert (agg["lo"], agg["hi"]) == (0.5, 0.5)
