@@ -1279,3 +1279,54 @@ def edit_distance_join(
     )
     names.unpersist()
     return out
+
+
+def lsh_parameter_plan(
+    spark,
+    total_hashes: int = 128,
+    threshold: float = 0.5,
+    sims: tuple[float, ...] = (0.3, 0.5, 0.7, 0.8, 0.9),
+) -> DataFrame:
+    """MinHash-LSH (bands, rows) planner: for every factorization
+    b·r = ``total_hashes``, the catch probability 1 − (1 − s^r)^b at
+    each similarity of interest, the S-curve threshold (1/b)^(1/r),
+    and the gap to the target ``threshold`` — the design table behind
+    minhash_lsh_neardup's banding, turned into a first-class operator
+    after the r10 factor-100 rehearsal measured its first real
+    false negatives (REHEARSAL_dedup_pipeline_r10 finding_factor100:
+    2 escapes in 495k docs at s≈0.8) — this table is how a pipeline
+    QUANTIFIES that residual risk before choosing a config instead of
+    discovering it at scale.
+
+    Pure arithmetic over a divisor-pair grid (≤ d(total_hashes) rows —
+    driver-built literals, no data scan); both engines evaluate the
+    same pow() so the plan is hash-certifiable. Output one row per
+    (bands, rows): (bands, rows, s_threshold, threshold_gap,
+    p_at_<s>...) rounded 6, sorted by threshold_gap then bands.
+    """
+    pairs = [
+        (b, total_hashes // b)
+        for b in range(1, total_hashes + 1)
+        if total_hashes % b == 0
+    ]
+    grid = spark.createDataFrame(pairs, "bands int, rows int")
+    s_thr = F.pow(
+        F.lit(1.0) / F.col("bands"), F.lit(1.0) / F.col("rows")
+    )
+    cols = [
+        F.col("bands"),
+        F.col("rows"),
+        F.round(s_thr, 6).alias("s_threshold"),
+        F.round(F.abs(s_thr - F.lit(float(threshold))), 6).alias(
+            "threshold_gap"
+        ),
+    ]
+    for s in sims:
+        p = F.lit(1.0) - F.pow(
+            F.lit(1.0) - F.pow(F.lit(float(s)), F.col("rows")),
+            F.col("bands"),
+        )
+        cols.append(
+            F.round(p, 6).alias(f"p_at_{str(s).replace('.', '_')}")
+        )
+    return grid.select(*cols).orderBy("threshold_gap", "bands")

@@ -2525,3 +2525,90 @@ def transition_pmi(
         F.col("_n").cast("long").alias("n"),
         F.round(pmi, 6).alias("pmi"),
     ).orderBy(F.desc("pmi"), "src", "dst")
+
+
+def markov_stationary(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    order_col: str = "event_id",
+    teleport: float = 0.0,
+    tol: float = 1e-12,
+    max_iter: int = 10_000,
+    max_states: int = 100_000,
+) -> DataFrame:
+    """Stationary distribution of the event-transition Markov chain —
+    "where do user journeys SPEND their time in the long run", the
+    eigenvector readout that completes the family (g5 = the matrix,
+    g12 = edge surprise, this = node equilibrium; pagerank's cousin
+    on the behavioral graph).
+
+    Scale contract (the x27/x22 bounded-block class): the chain
+    collapses to the |event types|² transition grid in one lead
+    window + one aggregation; the grid collects (guarded by
+    ``max_states``, converge-or-raise) and the power iteration runs
+    as exact numpy on the driver — zero per-round Spark jobs, the
+    parameter-server lesson from bradley_terry applied at its
+    natural (tiny) scale. Rows with no successor contribute no
+    transition; states with NO outgoing edges (absorbing under the
+    raw counts) redistribute uniformly (the standard dangling-node
+    fix), and ``teleport`` > 0 adds the PageRank-style damping for
+    chains that are otherwise periodic/reducible. Convergence is the
+    L1 delta ≤ ``tol`` or raise. Output: (state, stationary_p)
+    rounded 8, sorted descending.
+    """
+    import numpy as np
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    steps = (
+        df.where(F.col(event_col).isNotNull())
+        .withColumn("_dst", F.lead(event_col).over(w))
+        .where(F.col("_dst").isNotNull())
+        .groupBy(F.col(event_col).alias("_s"), F.col("_dst").alias("_d"))
+        .agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    )
+    pdf = steps.limit(max_states + 1).toPandas()
+    if len(pdf) > max_states:
+        raise ValueError(
+            f"markov_stationary: transition grid exceeds max_states="
+            f"{max_states} — bucket the event domain first"
+        )
+    if pdf.empty:
+        return df.sparkSession.createDataFrame(
+            [], "state string, stationary_p double"
+        )
+    states = sorted(set(pdf["_s"]) | set(pdf["_d"]))
+    idx = {s: i for i, s in enumerate(states)}
+    n = len(states)
+    P = np.zeros((n, n), dtype=np.float64)
+    for s, d, cnt in pdf[["_s", "_d", "_n"]].itertuples(
+        index=False, name=None
+    ):
+        P[idx[s], idx[d]] = cnt
+    out_mass = P.sum(axis=1)
+    dangling = out_mass == 0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        P = np.where(out_mass[:, None] > 0, P / out_mass[:, None], 0.0)
+    P[dangling] = 1.0 / n
+    a = float(teleport)
+    pi = np.full(n, 1.0 / n)
+    for _ in range(max_iter):
+        nxt = (1 - a) * (pi @ P) + a / n
+        if np.abs(nxt - pi).sum() <= tol:
+            pi = nxt
+            break
+        pi = nxt
+    else:
+        raise RuntimeError(
+            f"markov_stationary did not converge in {max_iter} rounds"
+            " (periodic/reducible chain? set teleport > 0)"
+        )
+    pi = pi / pi.sum()
+    rows = sorted(
+        ((states[i], round(float(pi[i]), 8)) for i in range(n)),
+        key=lambda t: (-t[1], t[0]),
+    )
+    return df.sparkSession.createDataFrame(
+        rows, "state string, stationary_p double"
+    )

@@ -2147,3 +2147,61 @@ def ngram_novelty(
         )
         .orderBy(id_col)
     )
+
+
+def zipf_slope(
+    df: DataFrame,
+    text_col: str,
+    top_k: int = 1000,
+) -> DataFrame:
+    """Zipf rank-frequency slope of the corpus vocabulary: OLS fit of
+    ln(freq) against ln(rank) over the ``top_k`` most frequent terms —
+    natural language sits near −1; a slope far off flags synthetic or
+    template-heavy corpora (boilerplate flattens the head, keyword
+    stuffing steepens it). The one-number companion to x31's Hill tail
+    index: Hill asks how heavy the tail is, Zipf asks whether the HEAD
+    obeys the law.
+
+    One term-count aggregation (gram-domain-bounded) → one rank window
+    over the vocabulary frame clipped to ``top_k`` rows (the a14
+    adjudicated class; ties broken by term for determinism) → the
+    closed-form OLS sums in a single aggregation. Output one row:
+    (n_terms, slope, intercept) rounded 6.
+    """
+    c = F.col(text_col)
+    toks = F.filter(
+        F.split(F.trim(F.lower(c)), r"\s+"), lambda t: t != F.lit("")
+    )
+    terms = (
+        df.where(c.isNotNull())
+        .select(F.explode(toks).alias("_t"))
+        .groupBy("_t")
+        .agg(F.count(F.lit(1)).cast("double").alias("_f"))
+    )
+    w = Window.orderBy(F.desc("_f"), F.asc("_t"))
+    ranked = (
+        terms.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= top_k)
+        .select(
+            F.log(F.col("_r").cast("double")).alias("_x"),
+            F.log("_f").alias("_y"),
+        )
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+    )
+    den = F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    slope = F.when(
+        den > 0,
+        (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / den,
+    )
+    intercept = (F.col("_sy") - slope * F.col("_sx")) / F.col("_n")
+    return agg.select(
+        F.col("_n").cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )

@@ -5875,3 +5875,106 @@ def x38_auc_roc(spark, sf_dir):
         .alias("label"),
     )
     return auc_roc(scored, "score", "label")
+
+
+@query(
+    "d13_lsh_plan",
+    oracle="""
+    WITH pairs AS (
+      SELECT b AS bands, 128 // b AS rows
+      FROM unnest(range(1, 129)) AS t(b)
+      WHERE 128 % b = 0
+    ), scored AS (
+      SELECT bands, rows,
+             pow(1.0 / bands, 1.0 / rows) AS st
+      FROM pairs
+    )
+    SELECT bands, rows,
+           round(st, 6) AS s_threshold,
+           round(abs(st - 0.5), 6) AS threshold_gap,
+           round(1.0 - pow(1.0 - pow(0.3, rows), bands), 6) AS p_at_0_3,
+           round(1.0 - pow(1.0 - pow(0.5, rows), bands), 6) AS p_at_0_5,
+           round(1.0 - pow(1.0 - pow(0.7, rows), bands), 6) AS p_at_0_7,
+           round(1.0 - pow(1.0 - pow(0.8, rows), bands), 6) AS p_at_0_8,
+           round(1.0 - pow(1.0 - pow(0.9, rows), bands), 6) AS p_at_0_9
+    FROM scored
+    """,
+)
+def d13_lsh_plan(spark, sf_dir):
+    """MinHash-LSH banding planner (lsh_parameter_plan): the design
+    table for minhash_lsh_neardup's (bands, rows) choice — added
+    after REHEARSAL_dedup_pipeline_r10's factor-100 run measured the
+    banding's first real false negatives (2 escapes at s≈0.8 in 495k
+    docs): this table is how a pipeline QUANTIFIES that residual
+    miss probability per config instead of discovering it at scale.
+    Pure divisor-grid arithmetic, both engines evaluate the same
+    pow(), hash-certified."""
+    from ixmp_spark.operators.dedup import lsh_parameter_plan
+
+    return lsh_parameter_plan(
+        spark, total_hashes=128, threshold=0.5,
+        sims=(0.3, 0.5, 0.7, 0.8, 0.9),
+    )
+
+
+@query("g13_markov_stationary", oracle=None)
+def g13_markov_stationary(spark, sf_dir):
+    """Stationary distribution of the user-journey Markov chain
+    (markov_stationary): where sessions spend their time at
+    equilibrium — completes the family (g5 matrix, g12 edge surprise,
+    this = node equilibrium). The |event types|² grid collapses in
+    one lead window + aggregation and the power iteration is exact
+    numpy on the bounded block (the x27 discipline at its natural
+    scale). Rows-only: the eigenvector fixpoint is not set-SQL;
+    pinned by test_markov_stationary_planted (hand two-state chain,
+    dangling redistribution, convergence raise)."""
+    from ixmp_spark.operators.sessions import markov_stationary
+
+    ev = load(spark, sf_dir, "events").where(F.col("ts").isNotNull())
+    return markov_stationary(ev)
+
+
+@query(
+    "t32_zipf_slope",
+    oracle="""
+    WITH terms AS (
+      SELECT t AS term, CAST(count(*) AS DOUBLE) AS f
+      FROM (
+        SELECT unnest(list_filter(
+          string_split_regex(trim(lower(text)), '\\s+'),
+          x -> x <> '')) AS t
+        FROM documents WHERE text IS NOT NULL
+      ) GROUP BY t
+    ), ranked AS (
+      SELECT ln(CAST(row_number() OVER (ORDER BY f DESC, term ASC)
+                AS DOUBLE)) AS x,
+             ln(f) AS y,
+             row_number() OVER (ORDER BY f DESC, term ASC) AS r
+      FROM terms
+    ), top AS (SELECT x, y FROM ranked WHERE r <= 1000),
+    agg AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM top
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           round(CASE WHEN n * sxx - sx * sx > 0
+             THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6)
+             AS slope,
+           round((sy - CASE WHEN n * sxx - sx * sx > 0
+             THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END * sx)
+             / n, 6) AS intercept
+    FROM agg
+    """,
+)
+def t32_zipf_slope(spark, sf_dir):
+    """Zipf rank-frequency slope (zipf_slope) over the documents
+    vocabulary — natural text sits near −1; off-slope corpora flag
+    template/synthetic content. One vocab aggregation + one top-k
+    rank window + closed-form OLS sums; the oracle replays the
+    identical construction (round 6 absorbs float-sum order at the
+    1e-13 level)."""
+    from ixmp_spark.operators.text import zipf_slope
+
+    docs = load(spark, sf_dir, "documents")
+    return zipf_slope(docs, "text", top_k=1000)

@@ -6592,3 +6592,81 @@ def test_auc_roc_hand(spark):
     single = frame([(1.0, 1.0), (2.0, 1.0)])
     s = auc_roc(single, "s", "y").collect()[0]
     assert s["auc"] is None and s["gini"] is None
+
+
+def test_lsh_plan_hand(spark):
+    """lsh_parameter_plan (pins d13): the S-curve arithmetic on hand
+    values — (16 bands, 8 rows) from 128 hashes has s* = (1/16)^(1/8)
+    and p(s) = 1-(1-s^8)^16; the full divisor grid is present; band
+    probabilities are monotone in s."""
+    from ixmp_spark.operators.dedup import lsh_parameter_plan
+
+    out = {(r["bands"], r["rows"]): r
+           for r in lsh_parameter_plan(spark, 128, 0.5).collect()}
+    assert set(out) == {(1, 128), (2, 64), (4, 32), (8, 16), (16, 8),
+                        (32, 4), (64, 2), (128, 1)}
+    r = out[(16, 8)]
+    assert r["s_threshold"] == round((1 / 16) ** (1 / 8), 6)
+    assert r["p_at_0_8"] == round(1 - (1 - 0.8 ** 8) ** 16, 6)
+    for row in out.values():
+        assert (row["p_at_0_3"] <= row["p_at_0_5"] <= row["p_at_0_7"]
+                <= row["p_at_0_9"])
+
+
+def test_markov_stationary_planted(spark):
+    """markov_stationary (pins g13): a hand two-state chain converges
+    to the exact eigenvector; a dangling state redistributes; a
+    2-cycle (periodic) chain still converges from the uniform start
+    (its average is the stationary point); max_states raises."""
+    from datetime import datetime, timedelta
+
+    import pytest as _pytest
+
+    from ixmp_spark.operators.sessions import markov_stationary
+
+    t0 = datetime(2024, 1, 1)
+
+    def chain(path_per_user):
+        rows = []
+        eid = 0
+        for u, path in enumerate(path_per_user):
+            for ev in path:
+                rows.append((eid, t0 + timedelta(seconds=eid), u, ev))
+                eid += 1
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string",
+        )
+    # one path of 10 a's then b, b, a gives transition counts
+    # a->a x9, a->b, b->b, b->a -> P = [[.9,.1],[.5,.5]], whose
+    # stationary distribution is (5/6, 1/6)
+    df = chain([["a"] * 10 + ["b", "b", "a"]])
+    # steps: a->a x9, a->b, b->b, b->a -> P=[[9/10,1/10],[1/2,1/2]]
+    got = {r["state"]: r["stationary_p"]
+           for r in markov_stationary(df).collect()}
+    assert abs(got["a"] - 5 / 6) < 1e-7
+    assert abs(got["b"] - 1 / 6) < 1e-7
+    # dangling: a->b only; b has no outgoing -> redistributes uniformly
+    dang = chain([["a", "b"]])
+    gd = {r["state"]: r["stationary_p"]
+          for r in markov_stationary(dang).collect()}
+    assert abs(gd["a"] - 1 / 3) < 1e-6 and abs(gd["b"] - 2 / 3) < 1e-6
+    with _pytest.raises(ValueError, match="max_states"):
+        markov_stationary(df, max_states=1)
+
+
+def test_zipf_slope_exact(spark):
+    """zipf_slope (pins t32): a corpus built to an EXACT power law
+    (freq ∝ 1/rank over 5 terms) recovers slope −1 to float precision;
+    a uniform vocabulary gives slope 0."""
+    from ixmp_spark.operators.text import zipf_slope
+
+    # term i (1-indexed) appears 60/i times: ln f = ln 60 - 1 * ln r
+    words = []
+    for i, t in enumerate(["t1", "t2", "t3", "t4", "t5"], start=1):
+        words += [t] * (60 // i)
+    df = spark.createDataFrame([(" ".join(words),)], "text string")
+    r = zipf_slope(df, "text", top_k=5).collect()[0]
+    assert r["n_terms"] == 5 and r["slope"] == -1.0
+    uni = spark.createDataFrame([("x y z x y z",)], "text string")
+    assert zipf_slope(uni, "text").collect()[0]["slope"] == 0.0
