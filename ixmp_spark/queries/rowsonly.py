@@ -481,3 +481,46 @@ def p22_topic_model(spark, sf_dir):
         docs, "doc_id", "text", k=4, max_iter=10
     )
     return doc_topics.orderBy("doc_id")
+
+
+@query("m5_image_patches")  # no SQL oracle: Arrow mapInPandas decode path
+def m5_image_patches(spark, sf_dir):
+    """ViT-style patchification over REAL in-plan media bytes
+    (patchify_images): even documents render as 12x8 binary-PPMs
+    (pixels = the text's first 288 bytes) and split into 4x4 tiles —
+    3x2 = 6 patch rows per image with exact mean-RGB features
+    computed inside Arrow batches; odd documents (image/png, PIL
+    absent) ride the documented single-fingerprint-patch fallback.
+    The patch-sequence fanout (one row per tile, grid position
+    carried) is the training-data shape a vision pipeline feeds a
+    transformer; per-tile means are pinned in unit tests
+    (test_patchify_images_pinned)."""
+    from ixmp_spark.operators.multimodal import patchify_images
+
+    docs = load(spark, sf_dir, "documents")
+    ppm = F.concat(
+        F.lit(b"P6\n12 8\n255\n"),
+        F.substring(
+            F.encode(F.rpad("text", 288, " "), "UTF-8"), 1, 288
+        ),
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.struct(
+            F.when(F.col("doc_id") % 2 == 0, ppm)
+            .otherwise(F.encode("text", "UTF-8"))
+            .alias("content"),
+            F.lit(None).cast("string").alias("uri"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("image/ppm"))
+            .otherwise(F.lit("image/png"))
+            .alias("mime"),
+            F.lit(12).alias("width"),
+            F.lit(8).alias("height"),
+            F.lit(None).cast("int").alias("n_frames"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("double").alias("duration_s"),
+        ).alias("media"),
+    )
+    return patchify_images(media, patch=4).orderBy(
+        "media_id", "patch_row", "patch_col"
+    )

@@ -1897,3 +1897,73 @@ def test_streaming_category_mix_jsd_matches_batch(spark, sf_dir, events_dir):
     r1 = jsd_drift_report(hand, disj).collect()[0]
     assert r1["jsd_norm"] == 1.0 and bool(r1["is_drift"]) is True
     assert r1["jsd"] == round(math.log(2), 6)
+
+
+def test_patchify_images_pinned(spark):
+    """patchify_images (pins m5): exact per-tile means on a constructed
+    8x8 PPM whose four 4x4 quadrants hold constant values 0/64/128/255;
+    ragged edges truncate; sub-patch images emit nothing; non-image
+    mimes raise; the PIL-absent image mime emits the single
+    fingerprint patch."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from ixmp_spark.operators.multimodal import patchify_images
+
+    def quad_ppm():
+        # 8x8 RGB: quadrant value map [[0, 64], [128, 255]]
+        rows = []
+        for y in range(8):
+            for x in range(8):
+                v = [[0, 64], [128, 255]][y // 4][x // 4]
+                rows += [v, v, v]
+        return b"P6\n8 8\n255\n" + bytes(rows)
+
+    def media_row(mid, content, mime, w, h):
+        return (mid, (content, None, mime, w, h, None, None, None))
+
+    schema = (
+        "media_id long, media struct<content binary, uri string,"
+        " mime string, width int, height int, n_frames int,"
+        " sample_rate int, duration_s double>"
+    )
+    df = spark.createDataFrame(
+        [
+            media_row(1, quad_ppm(), "image/ppm", 8, 8),
+            # 9x5: ragged -> truncates to 2x1 tiles
+            media_row(
+                2,
+                b"P6\n9 5\n255\n" + bytes([10] * (9 * 5 * 3)),
+                "image/ppm", 9, 5,
+            ),
+            # 3x3: smaller than one patch -> no rows
+            media_row(
+                3, b"P6\n3 3\n255\n" + bytes([1] * 27), "image/ppm", 3, 3
+            ),
+            # undecodable image mime -> single fingerprint patch
+            media_row(4, b"\x89PNGfake", "image/png", 4, 4),
+        ],
+        schema,
+    )
+    got = {
+        (r["media_id"], r["patch_row"], r["patch_col"]): r
+        for r in patchify_images(df, patch=4).collect()
+    }
+    # image 1: four tiles, exact constant means
+    for (pr, pc), v in {(0, 0): 0, (0, 1): 64, (1, 0): 128, (1, 1): 255}.items():
+        r = got[(1, pr, pc)]
+        assert (r["n_rows"], r["n_cols"]) == (2, 2)
+        assert r["mean_r"] == r["mean_g"] == r["mean_b"] == round(v / 255, 6)
+    # image 2: 9x5 -> 1 row x 2 cols of tiles, constant 10
+    assert (got[(2, 0, 0)]["n_rows"], got[(2, 0, 0)]["n_cols"]) == (1, 2)
+    assert got[(2, 0, 1)]["mean_g"] == round(10 / 255, 6)
+    # image 3 absent; image 4 = one fingerprint patch at (0, 0)
+    assert not any(k[0] == 3 for k in got)
+    assert (4, 0, 0) in got and got[(4, 0, 0)]["n_rows"] == 1
+    assert len(got) == 4 + 2 + 1
+
+    with _pytest.raises(Exception, match="not an image mime"):
+        bad = spark.createDataFrame(
+            [media_row(9, b"RIFFxxxx", "audio/wav", 0, 0)], schema
+        )
+        patchify_images(bad).collect()
