@@ -2543,3 +2543,77 @@ def auc_roc(
         F.round(auc, 6).alias("auc"),
         F.round(F.lit(2.0) * auc - F.lit(1.0), 6).alias("gini"),
     )
+
+
+def tost_equivalence(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    margin: float,
+    z_crit: float = 1.6449,
+) -> DataFrame:
+    """TOST equivalence screen (Schuirmann 1987, public): two
+    one-sided tests of whether |mean_a − mean_b| is INSIDE ±``margin``
+    — the question welch_ttest cannot answer (failing to reject "no
+    difference" is not evidence of equivalence; TOST is how a
+    migration/refactor ships with "the metric moved by less than δ"
+    as a positive claim). Equivalent ⇔ BOTH t_lower = (diff+δ)/se and
+    t_upper = (δ−diff)/se exceed the one-sided critical value
+    (normal approximation by default — callers at warehouse n are far
+    past small-sample t).
+
+    Same single-aggregation shape as welch_ttest (n, Σx, Σx² per
+    group in one row; exact-identity variances; Welch se). NULL
+    values excluded. Output one row: (n_a, n_b, mean_a, mean_b,
+    diff, se, t_lower, t_upper, equivalent) rounded 6; NULL
+    statistics when either group has < 2 values or se is 0.
+    """
+    if margin <= 0:
+        raise ValueError("margin must be positive")
+    two = (
+        df.where(F.col(group_col).isin([group_a, group_b]))
+        .where(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).alias("_g"),
+            F.col(value_col).cast("double").alias("_v"),
+        )
+    )
+    ia = F.when(F.col("_g") == group_a, F.col("_v"))
+    ib = F.when(F.col("_g") == group_b, F.col("_v"))
+    agg = two.agg(
+        F.count(ia).cast("double").alias("_na"),
+        F.sum(ia).alias("_sa"),
+        F.sum(ia * ia).alias("_qa"),
+        F.count(ib).cast("double").alias("_nb"),
+        F.sum(ib).alias("_sb"),
+        F.sum(ib * ib).alias("_qb"),
+    )
+    na, nb = F.col("_na"), F.col("_nb")
+    ma = F.col("_sa") / na
+    mb = F.col("_sb") / nb
+    va = (na * F.col("_qa") - F.col("_sa") * F.col("_sa")) / (
+        na * (na - 1)
+    )
+    vb = (nb * F.col("_qb") - F.col("_sb") * F.col("_sb")) / (
+        nb * (nb - 1)
+    )
+    se = F.sqrt(va / na + vb / nb)
+    diff = ma - mb
+    ok = (na >= 2) & (nb >= 2) & (se > 0)
+    d = F.lit(float(margin))
+    t_lo = F.when(ok, (diff + d) / se)
+    t_hi = F.when(ok, (d - diff) / se)
+    crit = F.lit(float(z_crit))
+    return agg.select(
+        na.cast("long").alias("n_a"),
+        nb.cast("long").alias("n_b"),
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(diff, 6).alias("diff"),
+        F.round(F.when(ok, se), 6).alias("se"),
+        F.round(t_lo, 6).alias("t_lower"),
+        F.round(t_hi, 6).alias("t_upper"),
+        F.when(ok, (t_lo > crit) & (t_hi > crit)).alias("equivalent"),
+    )

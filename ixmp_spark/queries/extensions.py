@@ -5978,3 +5978,58 @@ def t32_zipf_slope(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     return zipf_slope(docs, "text", top_k=1000)
+
+
+@query(
+    "x39_tost_equivalence",
+    oracle="""
+    WITH two AS (
+      SELECT event_type AS g, value AS v FROM events
+      WHERE event_type IN ('view', 'click') AND value IS NOT NULL
+    ), agg AS (
+      SELECT
+        CAST(sum(CASE WHEN g = 'view' THEN 1 ELSE 0 END) AS DOUBLE) AS na,
+        sum(CASE WHEN g = 'view' THEN v END) AS sa,
+        sum(CASE WHEN g = 'view' THEN v * v END) AS qa,
+        CAST(sum(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS DOUBLE) AS nb,
+        sum(CASE WHEN g = 'click' THEN v END) AS sb,
+        sum(CASE WHEN g = 'click' THEN v * v END) AS qb
+      FROM two
+    ), stats AS (
+      SELECT na, nb, sa / na AS ma, sb / nb AS mb,
+             (na * qa - sa * sa) / (na * (na - 1)) AS va,
+             (nb * qb - sb * sb) / (nb * (nb - 1)) AS vb
+      FROM agg
+    ), s2 AS (
+      SELECT na, nb, ma, mb, ma - mb AS diff,
+             sqrt(va / na + vb / nb) AS se
+      FROM stats
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(ma, 6) AS mean_a, round(mb, 6) AS mean_b,
+           round(diff, 6) AS diff,
+           round(CASE WHEN na >= 2 AND nb >= 2 AND se > 0
+             THEN se END, 6) AS se,
+           round(CASE WHEN na >= 2 AND nb >= 2 AND se > 0
+             THEN (diff + 0.05) / se END, 6) AS t_lower,
+           round(CASE WHEN na >= 2 AND nb >= 2 AND se > 0
+             THEN (0.05 - diff) / se END, 6) AS t_upper,
+           CASE WHEN na >= 2 AND nb >= 2 AND se > 0
+             THEN (diff + 0.05) / se > 1.6449
+              AND (0.05 - diff) / se > 1.6449 END AS equivalent
+    FROM s2
+    """,
+)
+def x39_tost_equivalence(spark, sf_dir):
+    """TOST equivalence screen (tost_equivalence): is the view-vs-click
+    mean value INSIDE ±0.05 — the positive "nothing moved" claim a
+    migration signs off on, which welch_ttest's failure-to-reject
+    cannot provide. One conditional-sum aggregation (the x32 shape);
+    the oracle replays the exact-identity variances and both one-sided
+    statistics term by term."""
+    from ixmp_spark.operators.sampling import tost_equivalence
+
+    ev = load(spark, sf_dir, "events")
+    return tost_equivalence(
+        ev, "event_type", "value", "view", "click", margin=0.05
+    )

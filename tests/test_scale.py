@@ -6670,3 +6670,36 @@ def test_zipf_slope_exact(spark):
     assert r["n_terms"] == 5 and r["slope"] == -1.0
     uni = spark.createDataFrame([("x y z x y z",)], "text string")
     assert zipf_slope(uni, "text").collect()[0]["slope"] == 0.0
+
+
+def test_tost_equivalence_hand(spark):
+    """tost_equivalence (pins x39): identical-mean groups with tight
+    spread are equivalent at a generous margin and NOT at a tiny one;
+    a clearly shifted pair fails; degenerate inputs give NULLs;
+    non-positive margin raises."""
+    import pytest as _pytest
+
+    from ixmp_spark.operators.sampling import tost_equivalence
+
+    def frame(a_vals, b_vals):
+        rows = [("A", v) for v in a_vals] + [("B", v) for v in b_vals]
+        return spark.createDataFrame(rows, "g string, v double")
+
+    same = frame([1.0, 1.1, 0.9, 1.0] * 10, [1.0, 0.9, 1.1, 1.0] * 10)
+    r = tost_equivalence(same, "g", "v", "A", "B", margin=0.1).collect()[0]
+    assert r["equivalent"] is True and r["diff"] == 0.0
+    tight = tost_equivalence(
+        same, "g", "v", "A", "B", margin=0.001
+    ).collect()[0]
+    assert tight["equivalent"] is False
+    shifted = frame([1.0] * 5 + [1.2] * 5, [2.0] * 5 + [2.2] * 5)
+    s = tost_equivalence(
+        shifted, "g", "v", "A", "B", margin=0.1
+    ).collect()[0]
+    assert s["equivalent"] is False and s["t_lower"] < 0
+    degen = tost_equivalence(
+        frame([1.0], [2.0, 3.0]), "g", "v", "A", "B", margin=0.5
+    ).collect()[0]
+    assert degen["se"] is None and degen["equivalent"] is None
+    with _pytest.raises(ValueError, match="margin"):
+        tost_equivalence(same, "g", "v", "A", "B", margin=0.0)
