@@ -6653,6 +6653,36 @@ def test_markov_stationary_planted(spark):
     assert abs(gd["a"] - 1 / 3) < 1e-6 and abs(gd["b"] - 2 / 3) < 1e-6
     with _pytest.raises(ValueError, match="max_states"):
         markov_stationary(df, max_states=1)
+    # two-regime cross-validation (g13 vs x12's distributed form): the
+    # exact bounded-block fixpoint at teleport 0.05 ranks the states
+    # identically to the weighted-pagerank loop at damping 0.95 on a
+    # 3-state chain with distinct occupancies
+    from pyspark.sql import functions as F
+
+    from ixmp_spark.operators.joins import pagerank
+
+    df3 = chain([["a"] * 6 + ["b", "a", "a", "b", "c", "a"]] * 2)
+    exact = [r["state"] for r in markov_stationary(
+        df3, teleport=0.05
+    ).collect()]
+    w = __import__("pyspark.sql", fromlist=["Window"]).Window
+    trans = (
+        df3.withColumn(
+            "next",
+            F.lead("event_type").over(
+                w.partitionBy("user_id").orderBy("ts", "event_id")
+            ),
+        )
+        .where(F.col("next").isNotNull())
+        .groupBy(F.col("event_type").alias("src"),
+                 F.col("next").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    pr = pagerank(trans, damping=0.95, max_iter=40, weight_col="w")
+    distributed = [
+        r[0] for r in pr.orderBy(F.desc(pr.columns[1])).collect()
+    ]
+    assert exact == distributed
 
 
 def test_zipf_slope_exact(spark):

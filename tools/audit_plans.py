@@ -145,6 +145,7 @@ PYUDF_OK = {
     "m2_audio_features",  # Arrow mapInPandas binary decode — no JVM codec surface
     "m3_video_features",  # Arrow mapInPandas binary decode — no JVM codec surface
     "m4_image_neardup",  # Arrow mapInPandas image decode + dHash; band joins stay JVM-side
+    "m5_image_patches",  # Arrow mapInPandas image decode + numpy tiling — no JVM codec surface
 }
 
 #: every physical-plan node name that means "rows leave the JVM for
