@@ -2612,3 +2612,62 @@ def markov_stationary(
     return df.sparkSession.createDataFrame(
         rows, "state string, stationary_p double"
     )
+
+
+def interval_union_length(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Total length of the UNION of half-open intervals [start, end)
+    per key — merged overlaps counted once: the coverage/dwell measure
+    behind "how long was this user actually active", machine uptime
+    from overlapping leases, and effective campaign exposure, where
+    naive sum(end − start) double-counts every overlap.
+
+    The classic sweep line, distributed: each interval emits a +1
+    boundary at start and a −1 at end; ONE per-key sort (starts before
+    ends at equal time, so touching intervals merge) gives the running
+    active count, and the union length is the sum of gaps to the next
+    boundary while active > 0. One shuffle on the key, O(n log n) per
+    key — no interval self-join whose overlap fan-out can explode
+    (the j11 range-join trap for dense keys). Inputs are numeric
+    (epoch seconds/integers — the caller quantizes, keeping the sums
+    exact); rows with NULL or end ≤ start are excluded. Output per
+    key: (key, n_intervals, union_len) sorted by key.
+    """
+    iv = df.where(
+        F.col(start_col).isNotNull()
+        & F.col(end_col).isNotNull()
+        & (F.col(end_col) > F.col(start_col))
+    ).select(
+        F.col(key_col).alias("_k"),
+        F.col(start_col).cast("long").alias("_s"),
+        F.col(end_col).cast("long").alias("_e"),
+    )
+    bounds = iv.select(
+        "_k", F.col("_s").alias("_t"), F.lit(1).alias("_d")
+    ).unionByName(
+        iv.select("_k", F.col("_e").alias("_t"), F.lit(-1).alias("_d"))
+    )
+    w = Window.partitionBy("_k").orderBy(F.asc("_t"), F.desc("_d"))
+    swept = bounds.withColumn(
+        "_active", F.sum("_d").over(w)
+    ).withColumn("_nxt", F.lead("_t").over(w))
+    return (
+        swept.groupBy("_k")
+        .agg(
+            (
+                F.sum(F.when(F.col("_d") == 1, 1).otherwise(0))
+            ).alias("n_intervals"),
+            F.sum(
+                F.when(
+                    (F.col("_active") > 0) & F.col("_nxt").isNotNull(),
+                    F.col("_nxt") - F.col("_t"),
+                ).otherwise(F.lit(0))
+            ).alias("union_len"),
+        )
+        .select(F.col("_k").alias(key_col), "n_intervals", "union_len")
+        .orderBy(key_col)
+    )

@@ -6038,3 +6038,57 @@ def x39_tost_equivalence(spark, sf_dir):
     return tost_equivalence(
         ev, "event_type", "value", "view", "click", margin=0.05
     )
+
+
+@query(
+    "w35_interval_union",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id,
+             -- floor, not cast: DuckDB rounds double->int, Spark's
+             -- unix_timestamp truncates sub-second parts
+             CAST(floor(epoch(ts)) AS BIGINT) AS s,
+             CAST(floor(epoch(ts)) AS BIGINT) + 300 AS e
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ), bounds AS (
+      SELECT user_id, s AS t, 1 AS d FROM iv
+      UNION ALL
+      SELECT user_id, e AS t, -1 AS d FROM iv
+    ), swept AS (
+      SELECT user_id, t, d,
+             sum(d) OVER (PARTITION BY user_id
+               ORDER BY t ASC, d DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS active,
+             lead(t) OVER (PARTITION BY user_id
+               ORDER BY t ASC, d DESC) AS nxt
+      FROM bounds
+    )
+    SELECT user_id,
+           CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_intervals,
+           CAST(sum(CASE WHEN active > 0 AND nxt IS NOT NULL
+             THEN nxt - t ELSE 0 END) AS BIGINT) AS union_len
+    FROM swept GROUP BY user_id
+    """,
+)
+def w35_interval_union(spark, sf_dir):
+    """Per-user active-time coverage (interval_union_length): each
+    event opens a 5-minute activity interval; the union length counts
+    overlapping bursts ONCE — the dwell measure a naive
+    sum-of-durations double-counts (g1's sessionize answers "how many
+    sessions"; this answers "how many seconds"). Distributed sweep
+    line: ±1 boundary markers, one keyed sort, exact integer epoch
+    arithmetic; no interval self-join fan-out. The oracle replays the
+    identical sweep."""
+    from ixmp_spark.operators.sessions import interval_union_length
+
+    ev = load(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    iv = ev.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("start_s"),
+        (F.unix_timestamp("ts") + 300).alias("end_s"),
+    )
+    return interval_union_length(iv, "user_id", "start_s", "end_s")

@@ -6733,3 +6733,30 @@ def test_tost_equivalence_hand(spark):
     assert degen["se"] is None and degen["equivalent"] is None
     with _pytest.raises(ValueError, match="margin"):
         tost_equivalence(same, "g", "v", "A", "B", margin=0.0)
+
+
+def test_interval_union_length_hand(spark):
+    """interval_union_length (pins w35): overlap merges once, touching
+    intervals merge (half-open), gaps split, duplicates collapse into
+    the same covered span, degenerate/NULL rows drop, and the naive
+    sum double-counts where the union does not."""
+    from ixmp_spark.operators.sessions import interval_union_length
+
+    rows = [
+        # key A: [0,10) + [5,15) -> 15; [15,20) touches -> merge to 20;
+        #        [30,35) gap -> +5; duplicate [30,35) adds nothing
+        ("A", 0, 10), ("A", 5, 15), ("A", 15, 20),
+        ("A", 30, 35), ("A", 30, 35),
+        # key B: disjoint [0,1) [2,3) -> 2
+        ("B", 0, 1), ("B", 2, 3),
+        # degenerate rows dropped
+        ("B", 9, 9), ("B", 9, 5), ("C", None, 4), ("C", 4, None),
+    ]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    got = {
+        r["k"]: (r["n_intervals"], r["union_len"])
+        for r in interval_union_length(df, "k", "s", "e").collect()
+    }
+    assert got == {"A": (5, 25), "B": (2, 2)}
+    naive = 10 + 10 + 5 + 5 + 5  # sum(e - s) for A double-counts to 35
+    assert naive == 35 and got["A"][1] == 25
