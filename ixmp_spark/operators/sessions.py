@@ -2671,3 +2671,42 @@ def interval_union_length(
         .select(F.col("_k").alias(key_col), "n_intervals", "union_len")
         .orderBy(key_col)
     )
+
+
+def running_active_time(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    horizon: int = 300,
+) -> DataFrame:
+    """Per-event RUNNING active time: after each event, the total union
+    length of all the key's activity intervals [t, t+horizon) so far —
+    the prefix form of ``interval_union_length`` for the fixed-length
+    per-event interval case, where sortedness collapses the sweep line
+    to one lag: each event contributes ``min(horizon, t − prev_t)``
+    (the first contributes ``horizon``), because a gap longer than the
+    horizon caps at it and an overlap counts only the uncovered part.
+
+    One keyed sort (lag + running sum over the same window frame);
+    exact integer epoch-second arithmetic. This is the batch/backfill
+    twin of ``streaming.ts_stream.active_time_stream`` (two scalars of
+    state per key there; pinned batch-equal). Output per event:
+    (order, key, active_s) — the running total INCLUDING this event's
+    interval.
+    """
+    t = F.unix_timestamp(ts_col)
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
+    contrib = F.when(
+        F.lag(ts_col).over(w).isNull(), F.lit(int(horizon))
+    ).otherwise(
+        F.least(F.lit(int(horizon)), t - F.unix_timestamp(F.lag(ts_col).over(w)))
+    )
+    run = Window.partitionBy(key_col).orderBy(ts_col, order_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return df.select(
+        F.col(order_col),
+        F.col(key_col),
+        F.sum(contrib).over(run).cast("long").alias("active_s"),
+    )

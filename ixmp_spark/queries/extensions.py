@@ -6092,3 +6092,40 @@ def w35_interval_union(spark, sf_dir):
         (F.unix_timestamp("ts") + 300).alias("end_s"),
     )
     return interval_union_length(iv, "user_id", "start_s", "end_s")
+
+
+@query(
+    "w36_running_active_time",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS t, ts
+      FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+    ), contrib AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN lag(t) OVER w IS NULL THEN 300
+                  ELSE least(300, t - lag(t) OVER w) END AS c
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id,
+           CAST(sum(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS active_s
+    FROM contrib
+    """,
+)
+def w36_running_active_time(spark, sf_dir):
+    """Running active-seconds per event (running_active_time): w35's
+    prefix form — "after this event, how long has the user been
+    active in total", the live counter whose streaming twin
+    (active_time_stream, two scalars of state per key) is
+    batch-equal pinned. Sortedness collapses the sweep to ONE lag +
+    running sum over a single keyed window; exact integer epochs
+    (floored in the oracle — DuckDB's cast rounds)."""
+    from ixmp_spark.operators.sessions import running_active_time
+
+    ev = load(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull() & F.col("user_id").isNotNull()
+    )
+    return running_active_time(ev, horizon=300)

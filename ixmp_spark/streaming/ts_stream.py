@@ -1126,3 +1126,57 @@ def jsd_drift_report(
         F.round(F.col("_jsd") / math.log(2), 6).alias("jsd_norm"),
         (F.col("_jsd") / math.log(2) > threshold).alias("is_drift"),
     ).orderBy("window_start")
+
+
+def active_time_stream(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    horizon: int = 300,
+) -> DataFrame:
+    """Streaming twin of ``sessions.running_active_time``: per-key
+    running union length of the fixed-horizon activity intervals —
+    the live "seconds active so far" counter whose backfill path is
+    the batch lag form. State is TWO scalars per key (last event
+    epoch + running total): O(#keys) forever, the smallest state
+    class in this module (cusum's shape). Same caller contract as
+    ewma/zscore/cusum_stream: per-key event-time order must hold
+    across micro-batches. Output per event:
+    (order, key, active_s)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    key_type = events.schema[key_col].dataType.simpleString()
+    out_schema = f"{order_col} long, {key_col} {key_type}, active_s long"
+    state_schema = "last_t long, total long"
+    h = int(horizon)
+
+    def fold(key, pdfs, state: GroupState):
+        last_t, total = (state.get if state.exists else (None, 0))
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        if rows.empty:
+            return
+        rows = rows.sort_values([ts_col, order_col])
+        out: dict[str, list] = {order_col: [], "active_s": []}
+        for r in rows.itertuples(index=False):
+            t = int(getattr(r, ts_col).value // 1_000_000_000)
+            if last_t is None:
+                total += h
+            else:
+                total += min(h, t - last_t)
+            last_t = t
+            out[order_col].append(int(getattr(r, order_col)))
+            out["active_s"].append(int(total))
+        state.update((last_t, total))
+        out_pdf = pd.DataFrame(out)
+        out_pdf.insert(1, key_col, key[0])
+        yield out_pdf
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

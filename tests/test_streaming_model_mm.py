@@ -1967,3 +1967,88 @@ def test_patchify_images_pinned(spark):
             [media_row(9, b"RIFFxxxx", "audio/wav", 0, 0)], schema
         )
         patchify_images(bad).collect()
+
+
+def test_streaming_active_time_matches_batch(spark, sf_dir, tmp_path_factory):
+    """active_time_stream (applyInPandasWithState, two scalars of state
+    per key) equals the batch running_active_time row-for-row when
+    history replays in time order across 4 micro-batches, and the
+    final per-key totals equal interval_union_length of the same
+    fixed-horizon intervals (the w35/w36 consistency identity)."""
+    import time as _time
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ixmp_spark.operators.sessions import (
+        interval_union_length,
+        running_active_time,
+    )
+    from ixmp_spark.streaming.ts_stream import (
+        active_time_stream,
+        run_available_now,
+    )
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("event_id", "ts", "user_id")
+        .orderBy("ts", "event_id")
+        .toPandas()
+    )
+    feed = str(tmp_path_factory.mktemp("atstream") / "ev")
+    bounds = np.linspace(0, len(ev), 5, dtype=int)
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        spark.createDataFrame(
+            ev.iloc[a:b], "event_id long, ts timestamp, user_id long"
+        ).coalesce(1).write.mode("append").parquet(feed)
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    got = (
+        run_available_now(
+            active_time_stream(stream), "t_atstream", mode="append"
+        )
+        .toPandas()
+        .set_index("event_id")["active_s"]
+        .sort_index()
+    )
+    batch_src = spark.read.parquet(feed)
+    want = (
+        running_active_time(batch_src)
+        .toPandas()
+        .set_index("event_id")["active_s"]
+        .sort_index()
+    )
+    assert len(got) == len(want) == len(ev)
+    assert (got == want).all()
+    # final running value per key == the w35 sweep's union length
+    finals = (
+        running_active_time(batch_src)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql", fromlist=["Window"]).Window
+                .partitionBy("user_id").orderBy(F.desc("active_s"))
+            ),
+        )
+        .where("rn = 1")
+        .select("user_id", "active_s")
+        .toPandas()
+        .set_index("user_id")["active_s"]
+    )
+    iv = batch_src.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("s"),
+        (F.unix_timestamp("ts") + 300).alias("e"),
+    )
+    union = (
+        interval_union_length(iv, "user_id", "s", "e")
+        .toPandas()
+        .set_index("user_id")["union_len"]
+    )
+    assert (finals.sort_index() == union.sort_index()).all()
