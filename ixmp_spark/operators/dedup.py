@@ -1202,7 +1202,7 @@ def edit_distance_join(
         raise ValueError("max_edits must be >= 1")
     rows = df.select(
         F.col(id_col).alias("_id"), F.col(str_col).alias("_s")
-    ).where(F.col("_s").isNotNull())
+    ).where(F.col("_s").isNotNull() & F.col("_id").isNotNull())
     names = rows.select("_s").distinct().persist()
     short_len = q * (k + 1)
     longs = names.where(F.length("_s") >= short_len)

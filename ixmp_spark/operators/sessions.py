@@ -2638,7 +2638,8 @@ def interval_union_length(
     key: (key, n_intervals, union_len) sorted by key.
     """
     iv = df.where(
-        F.col(start_col).isNotNull()
+        F.col(key_col).isNotNull()
+        & F.col(start_col).isNotNull()
         & F.col(end_col).isNotNull()
         & (F.col(end_col) > F.col(start_col))
     ).select(
@@ -2695,6 +2696,11 @@ def running_active_time(
     (order, key, active_s) — the running total INCLUDING this event's
     interval.
     """
+    df = df.where(
+        F.col(key_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+        & F.col(order_col).isNotNull()
+    )
     t = F.unix_timestamp(ts_col)
     w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
     contrib = F.when(
