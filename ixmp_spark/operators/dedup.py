@@ -1236,30 +1236,44 @@ def edit_distance_join(
     )
     # short strings: the prefix guarantee needs >= k·q + 1 grams; pair
     # them against EVERY name within length k instead (length-banded
-    # nested loop over an alphabet-bounded set)
+    # nested loop over an alphabet-bounded set). The join condition is
+    # `!=` + least/greatest normalization, NOT `_sa < _sb`: a LONG
+    # partner (len in [q(k+1), q(k+1)+k)) that sorts lexicographically
+    # BEFORE the short string has no other path to the pair — it is
+    # not in `shorts` and the short string is not in `longs` — so an
+    # ordered join would silently drop e.g. ('zzzzz','azzzzz'), dist 1.
+    # short×short pairs generate twice and collapse in the distinct.
     shorts = names.where(F.length("_s") < short_len)
-    partners = names.where(F.length("_s") < short_len + k)
-    short_cand = (
-        shorts.select(F.col("_s").alias("_sa"))
-        .join(
-            partners.select(F.col("_s").alias("_sb")),
-            (F.col("_sa") < F.col("_sb"))
-            & (
-                F.abs(F.length("_sa") - F.length("_sb")) <= k
-            ),
+    if shorts.isEmpty():
+        # common case (one homogeneous long-string vocabulary): skip
+        # the short path entirely — no candidate join, no guard count
+        cand_all = cand
+    else:
+        partners = names.where(F.length("_s") < short_len + k)
+        short_cand = (
+            shorts.select(F.col("_s").alias("_x"))
+            .join(
+                partners.select(F.col("_s").alias("_y")),
+                (F.col("_x") != F.col("_y"))
+                & (F.abs(F.length("_x") - F.length("_y")) <= k),
+            )
+            .select(
+                F.least("_x", "_y").alias("_sa"),
+                F.greatest("_x", "_y").alias("_sb"),
+            )
+            .distinct()
         )
-    )
-    n_short = short_cand.count()
-    if n_short > max_short:
-        raise RuntimeError(
-            f"edit_distance_join: {n_short} short-string candidate pairs"
-            f" exceed max_short={max_short} — raise q, max_short, or"
-            " pre-filter degenerate keys (silent truncation would be"
-            " false negatives)"
-        )
+        n_short = short_cand.count()
+        if n_short > max_short:
+            raise RuntimeError(
+                f"edit_distance_join: {n_short} short-string candidate"
+                f" pairs exceed max_short={max_short} — raise q,"
+                " max_short, or pre-filter degenerate keys (silent"
+                " truncation would be false negatives)"
+            )
+        cand_all = cand.unionByName(short_cand)
     verified = (
-        cand.unionByName(short_cand)
-        .distinct()
+        cand_all.distinct()
         .where(F.abs(F.length("_sa") - F.length("_sb")) <= k)
         .withColumn("dist", F.levenshtein("_sa", "_sb"))
         .where((F.col("dist") >= 1) & (F.col("dist") <= k))

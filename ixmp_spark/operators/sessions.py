@@ -2536,7 +2536,8 @@ def markov_stationary(
     teleport: float = 0.0,
     tol: float = 1e-12,
     max_iter: int = 10_000,
-    max_states: int = 100_000,
+    max_states: int = 10_000,
+    max_edges: int = 1_000_000,
 ) -> DataFrame:
     """Stationary distribution of the event-transition Markov chain —
     "where do user journeys SPEND their time in the long run", the
@@ -2546,8 +2547,10 @@ def markov_stationary(
 
     Scale contract (the x27/x22 bounded-block class): the chain
     collapses to the |event types|² transition grid in one lead
-    window + one aggregation; the grid collects (guarded by
-    ``max_states``, converge-or-raise) and the power iteration runs
+    window + one aggregation; the grid collects (EDGE rows guarded by
+    ``max_edges``, the derived STATE count by ``max_states`` — two
+    honest bounds: edges cap the driver collect, states cap the dense
+    n×n matrix; converge-or-raise) and the power iteration runs
     as exact numpy on the driver — zero per-round Spark jobs, the
     parameter-server lesson from bradley_terry applied at its
     natural (tiny) scale. Rows with no successor contribute no
@@ -2568,17 +2571,23 @@ def markov_stationary(
         .groupBy(F.col(event_col).alias("_s"), F.col("_dst").alias("_d"))
         .agg(F.count(F.lit(1)).cast("double").alias("_n"))
     )
-    pdf = steps.limit(max_states + 1).toPandas()
-    if len(pdf) > max_states:
+    pdf = steps.limit(max_edges + 1).toPandas()
+    if len(pdf) > max_edges:
         raise ValueError(
-            f"markov_stationary: transition grid exceeds max_states="
-            f"{max_states} — bucket the event domain first"
+            f"markov_stationary: transition grid exceeds max_edges="
+            f"{max_edges} (src,dst) rows — bucket the event domain first"
         )
     if pdf.empty:
         return df.sparkSession.createDataFrame(
             [], "state string, stationary_p double"
         )
     states = sorted(set(pdf["_s"]) | set(pdf["_d"]))
+    if len(states) > max_states:
+        raise ValueError(
+            f"markov_stationary: {len(states)} states exceed max_states="
+            f"{max_states} (dense n×n iteration) — bucket the event"
+            " domain first"
+        )
     idx = {s: i for i, s in enumerate(states)}
     n = len(states)
     P = np.zeros((n, n), dtype=np.float64)

@@ -220,6 +220,11 @@ class LocalWarehouse:
         self._staging_seq = itertools.count()
         # (run_id, table) -> registered bucketed-table name (spark_fact)
         self._registered: dict[tuple[int, str], str] = {}
+        # history-snapshot table registrations (spark_fact_at), keyed by
+        # (run_id, commit) -> set of table names, so vacuum() can drop
+        # the Spark-catalog entries whose locations it deletes
+        self._hist_registered: dict[tuple[int, int], set[str]] = {}
+        self._hist_spark = None
         if os.path.exists(self._catalog_path) and not os.path.exists(
             os.path.join(self.root, "runs.parquet")
         ):
@@ -597,8 +602,11 @@ class LocalWarehouse:
         """Spark view of a fact table AS OF a past commit, bucketed when
         the snapshot was (history hardlinks carry the bucket marker), so
         version-diff joins against history elide the exchange exactly
-        like live-vs-live diffs. History snapshots are immutable — the
-        registration (keyed by commit) never goes stale."""
+        like live-vs-live diffs. History snapshots are immutable while
+        retained, but ``vacuum`` can delete them — registrations are
+        tracked per (run, commit) so vacuum drops the Spark-catalog
+        entries alongside the files (a reused name over a deleted
+        location would scan empty instead of raising)."""
         path = self.table_path_at(run_id, table, commit)
         marker = os.path.join(path, BUCKET_MARKER)
         if not os.path.exists(marker):
@@ -618,6 +626,8 @@ class LocalWarehouse:
                 f" CLUSTERED BY ({cols}) SORTED BY ({cols})"
                 f" INTO {spec['buckets']} BUCKETS LOCATION '{path}'"
             )
+        self._hist_registered.setdefault((run_id, commit), set()).add(name)
+        self._hist_spark = spark
         return spark.table(name)
 
     @contextmanager
@@ -713,6 +723,15 @@ class LocalWarehouse:
                     os.path.join(self.run_dir(run_id), "history", str(n)),
                     ignore_errors=True,
                 )
+                # drop the Spark-catalog registrations spark_fact_at
+                # created over the now-deleted snapshot — a surviving
+                # external-table name would make a later spark_fact_at
+                # scan an empty/deleted location instead of raising
+                for name in self._hist_registered.pop((run_id, n), ()):
+                    if self._hist_spark is not None:
+                        self._hist_spark.sql(
+                            f"DROP TABLE IF EXISTS `{name}`"
+                        )
         return drop
 
     def delete_run(self, run_id: int) -> None:

@@ -6339,6 +6339,10 @@ def test_edit_distance_join_planted(spark):
         "blue bolt", "blue bolts", "glue bolt",
         "ab", "ba", "abc", "xyz",  # short-string path (< q(k+1))
         "hot gear", "hot gear",   # duplicate string, distinct ids
+        # short string lexicographically GREATER than a long within-k
+        # partner: the ordered short-path join dropped this pair (the
+        # r10 ADVICE false negative); != + least/greatest keeps it
+        "zzzzz", "azzzzz",
     ]
     rows = [(i, s) for i, s in enumerate(vocab)]
     df = spark.createDataFrame(rows, "id long, s string")
@@ -6354,6 +6358,7 @@ def test_edit_distance_join_planted(spark):
     # sanity: the planted set exercises both regimes
     assert (10, 11) in want and want[(10, 11)] == 2  # ab<->ba, short path
     assert (0, 1) in want  # long path
+    assert (16, 17) in want and want[(16, 17)] == 1  # short>long ordering
     with _pytest.raises(RuntimeError, match="max_short"):
         shorts = spark.createDataFrame(
             [(i, f"a{i % 9}") for i in range(200)], "id long, s string"

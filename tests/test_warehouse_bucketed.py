@@ -234,3 +234,33 @@ def test_ts_bucketed_align_no_exchange(spark, tmp_path):
     # upsert keeps last per key
     assert agg["n"] == 600
     assert (agg["lo"], agg["hi"]) == (0.5, 0.5)
+
+
+def test_vacuum_drops_history_registrations(spark, tmp_path):
+    """vacuum() must drop the ixwh_*_h<n> Spark-catalog registrations
+    spark_fact_at created over the snapshots it deletes (the r10
+    ADVICE item): a surviving external-table name over a deleted
+    location would make a later read scan empty instead of raising."""
+    import pytest
+
+    n = 2000
+    mp, scen = _bulk_scenario(spark, str(tmp_path / "wh"), n=n)
+    first = scen.commit_history()[-1]
+    scen.check_out()
+    scen.add_par("p", [["0", "0"]], value=99.0, unit="u")
+    scen.commit("second")
+
+    # register the history snapshot (bucketed -> external table)
+    fact = mp.wh.spark_fact_at(spark, scen.run_id, "par_data", first)
+    assert fact.count() == n
+    regs = mp.wh._hist_registered[(scen.run_id, first)]
+    assert regs and all(spark.catalog.tableExists(t) for t in regs)
+
+    dropped = mp.wh.vacuum(scen.run_id, keep_last=1)
+    assert first in dropped
+    # the catalog entries are gone with the files...
+    assert all(not spark.catalog.tableExists(t) for t in regs)
+    assert (scen.run_id, first) not in mp.wh._hist_registered
+    # ...so a re-read raises instead of scanning a deleted location
+    with pytest.raises(ValueError, match="no commit"):
+        mp.wh.spark_fact_at(spark, scen.run_id, "par_data", first)
