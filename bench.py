@@ -285,6 +285,91 @@ def _deltas_vs_prev(timings: dict, spread: dict) -> dict | None:
     }
 
 
+def classify_drift(
+    rows: dict,
+    flagged: list[str],
+    sys_now: dict | None = None,
+    sys_prev: dict | None = None,
+    probe_degrade: float = 1.5,
+) -> dict:
+    """Adjudicate the >1.10x drift flags the way check_parity's sweep
+    already does for its own cold-plan suspects (VERDICT r10 #3): when
+    the evidence says the HOST shifted under the run — the disk probe
+    degraded materially vs the previous committed run or during this
+    one, or the flag set is family-uniform INCLUDING the pure-scan
+    probe s1 (no code path is shared by scan+join+dedup+text, so a
+    uniform rise is ambient by construction) — emit ONE
+    "uniform-ambient" verdict instead of N per-query flags nobody
+    should chase. Queries rising well ABOVE the uniform shift
+    (ratio > 1.15x the median ratio) still surface as
+    ``per_query_flags`` — an ambient round must not mask a real
+    regression riding on top of it.
+
+    Classes: "quiet" (no flags), "per-query" (flags with no ambient
+    evidence — chase each), "uniform-ambient" (evidence listed;
+    chase only per_query_flags)."""
+    import re
+    import statistics
+
+    if not flagged:
+        return {"class": "quiet", "ambient_evidence": [], "per_query_flags": []}
+
+    def probes(s):
+        if not s:
+            return []
+        return [
+            v
+            for v in (
+                (s.get("before") or {}).get("disk_probe_ms"),
+                (s.get("after") or {}).get("disk_probe_ms"),
+            )
+            if v
+        ]
+
+    evidence = []
+    pn, pp = probes(sys_now), probes(sys_prev)
+    if pn and pp and min(pn) > probe_degrade * min(pp):
+        evidence.append(
+            f"disk probe min {min(pp)} -> {min(pn)} ms vs previous run"
+        )
+    if len(pn) == 2 and max(pn) > probe_degrade * min(pn):
+        evidence.append(
+            f"disk probe moved {pn[0]} -> {pn[1]} ms during this run"
+        )
+
+    def fam(n: str) -> str:
+        m = re.match(r"[a-z]+", n)
+        return m.group(0) if m else n
+
+    flag_fams = {fam(n) for n in flagged}
+    all_fams = {fam(n) for n in rows}
+    if (
+        "s1_scan_pushdown" in flagged
+        and all_fams
+        and len(flag_fams) >= max(3, (len(all_fams) + 1) // 2)
+    ):
+        evidence.append(
+            f"flags span {len(flag_fams)}/{len(all_fams)} query families"
+            " including the pure-scan probe s1"
+        )
+    if not evidence:
+        return {
+            "class": "per-query",
+            "ambient_evidence": [],
+            "per_query_flags": sorted(flagged),
+        }
+    ratios = [r["ratio"] for r in rows.values()]
+    med = statistics.median(ratios) if ratios else 1.0
+    return {
+        "class": "uniform-ambient",
+        "ambient_evidence": evidence,
+        "uniform_shift": round(med, 3),
+        "per_query_flags": sorted(
+            n for n in flagged if rows[n]["ratio"] > 1.15 * max(med, 1.0)
+        ),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -352,6 +437,27 @@ def main() -> None:
     # - BENCH_DETAIL.json (repo root, committed at round close): the
     #   full artifact — spread, ingest phase split, host context, and
     #   the round-over-round drift table (deltas_vs_prev).
+    deltas = _deltas_vs_prev(timings, spread)
+    if deltas:
+        # the PREVIOUS round's committed detail (about to be overwritten)
+        # carries the host context the probe comparison needs
+        prev_sys = None
+        try:
+            with open(
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "BENCH_DETAIL.json",
+                )
+            ) as f:
+                prev_sys = json.load(f).get("sys")
+        except (OSError, ValueError):
+            pass
+        deltas["drift_verdict"] = classify_drift(
+            deltas["queries"],
+            deltas["flagged_over_1p10"],
+            {"before": sys_ctx[0], "after": sys_ctx[-1]},
+            prev_sys,
+        )
     detail = {
         "metric": "declared_query_wall_clock_total",
         "value": total,
@@ -366,7 +472,7 @@ def main() -> None:
             for ph, ts in ingest_phases.items()
         },
         "sys": {"before": sys_ctx[0], "after": sys_ctx[-1]},
-        "deltas_vs_prev": _deltas_vs_prev(timings, spread),
+        "deltas_vs_prev": deltas,
         "reps": REPS,
         "sf": sf,
     }

@@ -296,6 +296,109 @@ def ngram_jaccard(
     )
 
 
+def _short_doc_pairs(
+    sh: DataFrame,
+    id_col: str,
+    short_min: int,
+    threshold: float,
+    max_bucket: int | None,
+    on_hot: str,
+) -> DataFrame | None:
+    """Exact prefix-filter candidate pairs for SHORT documents (see
+    minhash_lsh_neardup's routing contract): over the persisted
+    (id, shingle-hash array) frame, restrict to the Jaccard-feasible
+    size band (1 ≤ sz ≤ short_min/threshold — any partner of a
+    sub-short_min doc with J ≥ t fits it), rank each doc's shingles by
+    (global frequency, hash) and keep the first sz − ⌈t·sz⌉ + 1: two
+    sets with Jaccard ≥ t must share min(A∩B) inside BOTH prefixes
+    (pigeonhole per side — if min(A∩B) sat outside A's prefix, all of
+    A∩B would fit in A's ⌈t·sz⌉−1 rarest-last tail, contradicting
+    |A∩B| ≥ ⌈t·sz⌉). Join on prefix shingles, keep pairs where at
+    least ONE side is short (long-long pairs in the band are LSH's
+    job — both paths feed the same exact-Jaccard verify, so overlap
+    is harmless, only wasteful), size-band filter. Returns None when
+    routing is disabled/infeasible or no short docs exist; candidates
+    only — the caller verifies exact Jaccard."""
+    if short_min <= 0 or threshold <= 0:
+        return None
+    import math as _math
+
+    sz = F.size("sh")
+    if sh.where((sz >= 1) & (sz < short_min)).isEmpty():
+        return None
+    max_partner = int(_math.ceil(short_min / float(threshold)))
+    elig = sh.where((sz >= 1) & (sz <= max_partner)).select(
+        F.col(id_col).alias("__id"), sz.alias("__sz"), "sh"
+    )
+    ex = elig.select("__id", "__sz", F.explode("sh").alias("__g"))
+    freq = ex.groupBy("__g").agg(F.count(F.lit(1)).alias("__f"))
+    wnd = Window.partitionBy("__id").orderBy(F.asc("__f"), F.asc("__g"))
+    t = F.lit(float(threshold))
+    prefix = (
+        ex.join(freq, "__g")
+        .withColumn("__rk", F.row_number().over(wnd))
+        .where(F.col("__rk") <= F.col("__sz") - F.ceil(t * F.col("__sz")) + 1)
+        .select("__id", "__sz", "__g")
+    )
+    if max_bucket is not None:
+        gsize = prefix.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
+        if on_hot == "raise":
+            hot = gsize.where(F.col("__n") > max_bucket).limit(5).collect()
+            if hot:
+                raise ValueError(
+                    f"short-doc prefix shingle groups over max_bucket="
+                    f"{max_bucket}: "
+                    f"{[(r['__g'], r['__n']) for r in hot]}; "
+                    'use on_hot="drop" or pre-dedup exact copies'
+                )
+        else:  # on_hot == "drop" (validated by lsh_band_pairs already)
+            prefix = prefix.join(
+                gsize.where(F.col("__n") <= max_bucket).select("__g"), "__g"
+            )
+    pa = prefix.select(
+        F.col("__id").alias("id_a"), F.col("__sz").alias("__sza"), "__g"
+    )
+    pb = prefix.select(
+        F.col("__id").alias("id_b"), F.col("__sz").alias("__szb"), "__g"
+    )
+    return (
+        pa.join(pb, "__g")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.least("__sza", "__szb") < short_min)
+            & (F.least("__sza", "__szb") >= t * F.greatest("__sza", "__szb"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def _lsh_bands_for_recall(
+    k: int, threshold: float, target_recall: float
+) -> int:
+    """Smallest band count b (dividing ``k``) whose banded-LSH catch
+    probability at similarity = ``threshold`` — the WORST case for any
+    pair the operator promises to find, since 1-(1-s^r)^b increases in
+    s — meets ``target_recall``. The driver-side arithmetic twin of
+    ``lsh_parameter_plan`` (the d13 design table): p(b) is monotone in
+    b for fixed k, so the first divisor that clears the target is the
+    cheapest banding (fewest explode rows, fewest false-positive
+    candidates) that honors the recall contract. Raises when even
+    b = k (rows = 1) falls short — the honest signal to raise k."""
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError("target_recall must be in (0, 1)")
+    t = float(threshold)
+    for b in (d for d in range(1, k + 1) if k % d == 0):
+        p = 1.0 - (1.0 - t ** (k // b)) ** b
+        if p >= target_recall:
+            return b
+    raise ValueError(
+        f"no banding of k={k} hashes reaches target_recall="
+        f"{target_recall} at threshold={t} (best p="
+        f"{1.0 - (1.0 - t) ** k:.6f} at bands=k) — increase k"
+    )
+
+
 def minhash_lsh_neardup(
     df: DataFrame,
     id_col: str,
@@ -307,6 +410,8 @@ def minhash_lsh_neardup(
     storage_level=None,
     max_bucket: int | None = None,
     on_hot: str = "raise",
+    target_recall: float | None = None,
+    short_min: int | None = None,
 ) -> DataFrame:
     """End-to-end near-dup pipeline: shingle ONCE (persisted), minhash →
     banded LSH candidates → exact shingle-Jaccard filter ≥ threshold.
@@ -327,7 +432,35 @@ def minhash_lsh_neardup(
     Jaccard is a pure cardinality computation, so hashing first gives
     identical output while the persisted/joined frames carry 8 B per
     shingle instead of n-gram text.
+
+    Short-document routing (closes the r10 factor-100 recall finding —
+    REHEARSAL_dedup_pipeline_r10 measured 2 LSH escapes in 495k docs,
+    both <16 words at Jaccard 0.78/0.83 ≫ threshold: with few shingles
+    the minhash estimator's variance defeats the banding): documents
+    with fewer than ``short_min`` shingles (default 2·k; 0 disables)
+    are ALSO paired through an EXACT prefix-filter path — global
+    rarest-first shingle order, per-doc prefix of the first
+    ``sz − ⌈t·sz⌉ + 1`` shingles (two sets with Jaccard ≥ t must share
+    the MINIMUM of their intersection inside both prefixes — the
+    AllPairs/PPJoin pigeonhole), joined on prefix shingles against the
+    Jaccard-feasible partner band (size ≤ short_min/t — a partner of a
+    short doc cannot be larger), then fed through the same exact-
+    Jaccard verify as the LSH candidates. Deterministic recall for the
+    short class at a cost bounded by the (small) short corpus; hot
+    prefix shingles obey the same ``max_bucket``/``on_hot`` discipline
+    as LSH buckets. Routing is skipped when threshold <= 0 (no feasible
+    partner bound) or the corpus has no short docs.
+
+    ``target_recall``: when set, ``bands`` is DERIVED instead of taken
+    from the argument — the smallest divisor of k whose catch
+    probability at similarity = threshold meets the target (see
+    ``_lsh_bands_for_recall`` / the d13 planner table), so callers
+    state the contract they need instead of hand-picking a banding.
     """
+    if target_recall is not None:
+        bands = _lsh_bands_for_recall(k, threshold, target_recall)
+    if short_min is None:
+        short_min = 2 * k
     # small parquet inputs arrive as 1–2 splits; the shingle transform is
     # the dominant per-row cost, so spread it across all cores first
     par = df.sparkSession.sparkContext.defaultParallelism
@@ -364,6 +497,18 @@ def minhash_lsh_neardup(
     except BaseException:
         sh.unpersist()  # the guard's fail-fast must not leak the shingles
         raise
+    lsh_caches = getattr(pairs, "_ixmp_spark_caches", ())
+    try:
+        short_pairs = _short_doc_pairs(
+            sh, id_col, short_min, threshold, max_bucket, on_hot
+        )
+    except BaseException:
+        sh.unpersist()
+        for c in lsh_caches:
+            c.unpersist()
+        raise
+    if short_pairs is not None:
+        pairs = pairs.unionByName(short_pairs).distinct()
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
@@ -378,7 +523,7 @@ def minhash_lsh_neardup(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard"),
         sh,
-        *getattr(pairs, "_ixmp_spark_caches", ()),
+        *lsh_caches,
     )
 
 
@@ -1150,12 +1295,28 @@ def soft_dedup_weights(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def auto_gram_size(alpha: int, n_distinct: int, cap: int = 8) -> int:
+    """The q-vs-alphabet selectivity rule (two killed quadratic drafts,
+    REHEARSAL_editjoin_r10: a 16-symbol md5-hex vocabulary needs q≥4 —
+    256 q=2 grams are ALL hot at 50k strings; 64-symbol base64 works at
+    q=3 where 64³ = 262k ≥ N) turned into arithmetic: the smallest q
+    with |alphabet|^q ≥ n_distinct, floored at 2 (single-char prefixes
+    are structurally hot) and capped (every +1 of q raises the
+    short-string routing threshold q·(k+1))."""
+    if alpha < 2:
+        return 2
+    qv = 2
+    while alpha ** qv < n_distinct and qv < cap:
+        qv += 1
+    return qv
+
+
 def edit_distance_join(
     df: DataFrame,
     id_col: str,
     str_col: str,
     max_edits: int = 2,
-    q: int = 2,
+    q: "int | str" = 2,
     max_short: int = 100_000,
 ) -> DataFrame:
     """Similarity self-join under edit distance: all row pairs whose
@@ -1195,7 +1356,11 @@ def edit_distance_join(
     q=3; natural text with its ~1e3-symbol bigram domain is fine at
     the q=2 default). Larger q also raises the short-string
     threshold q·(k+1), routing more of the corpus to the banded
-    exhaustive path.
+    exhaustive path. Pass ``q="auto"`` (VERDICT r10 #7) to apply the
+    rule automatically: alphabet size estimated from a 10k-name
+    sample, vocabulary size counted exactly, q =
+    ``auto_gram_size(alpha, n_distinct)`` — callers no longer need to
+    know the selectivity rule to avoid the quadratic regime.
     """
     k = int(max_edits)
     if k < 1:
@@ -1204,6 +1369,16 @@ def edit_distance_join(
         F.col(id_col).alias("_id"), F.col(str_col).alias("_s")
     ).where(F.col("_s").isNotNull() & F.col("_id").isNotNull())
     names = rows.select("_s").distinct().persist()
+    if q == "auto":
+        alpha = (
+            names.limit(10_000)
+            .select(F.explode(F.split("_s", "")).alias("_c"))
+            .where(F.col("_c") != "")
+            .agg(F.countDistinct("_c").alias("a"))
+            .collect()[0]["a"]
+        )
+        q = auto_gram_size(int(alpha or 0), names.count())
+    q = int(q)
     short_len = q * (k + 1)
     longs = names.where(F.length("_s") >= short_len)
     grams = longs.select(

@@ -2617,3 +2617,399 @@ def tost_equivalence(
         F.round(t_hi, 6).alias("t_upper"),
         F.when(ok, (t_lo > crit) & (t_hi > crit)).alias("equivalent"),
     )
+
+
+def kendall_tau(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    max_cells: int = 2_000,
+) -> DataFrame:
+    """Kendall's tau-b rank correlation — the concordance companion to
+    x24's Spearman: monotone-association strength from PAIR ORDERINGS
+    (robust to any monotone transform, natural tie handling via the
+    tau-b denominator). The spec reference is scipy.stats.kendalltau's
+    tau-b definition (public).
+
+    Scale contract (the x22/x28 value-domain-bounded discipline): rows
+    collapse to the distinct (x, y) CELL grid with counts in one
+    aggregation — callers quantize continuous values first, so the
+    grid is domain-bounded, never row-bounded. The quadratic stage
+    (cell×cell comparison) runs on the GRID self-join, guarded by
+    ``max_cells`` (converge-or-raise, the markov/edit-join rule).
+    Concordant/discordant weights stay in exact integer space
+    (ca·cb sums under 2^62); the single sqrt/division happens once at
+    the end, so the driver hash certifies tau.
+
+    tau_b = (C − D) / sqrt((n0 − n1)(n0 − n2)) with n0 = n(n−1)/2,
+    n1 = Σ_x tx(tx−1)/2 (ties in x incl. within-cell), n2 likewise
+    for y. Output one row: (n, concordant, discordant, tau_b).
+    """
+    cells = (
+        df.where(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(
+            F.col(x_col).alias("_x"), F.col(y_col).alias("_y")
+        )
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    n_cells = cells.limit(max_cells + 1).count()
+    if n_cells > max_cells:
+        raise ValueError(
+            f"kendall_tau: {n_cells}+ distinct (x, y) cells exceed "
+            f"max_cells={max_cells} — quantize the value domains first"
+        )
+    a, b = cells.alias("_a"), cells.alias("_b")
+    # strict (x, y) lexicographic order halves the pair space; each
+    # unordered cell pair appears exactly once
+    lt = (F.col("_a._x") < F.col("_b._x")) | (
+        (F.col("_a._x") == F.col("_b._x"))
+        & (F.col("_a._y") < F.col("_b._y"))
+    )
+    w = F.col("_a._c") * F.col("_b._c")
+    dx = F.col("_b._x") - F.col("_a._x")
+    dy = F.col("_b._y") - F.col("_a._y")
+    pair = a.join(b, lt).agg(
+        F.sum(F.when((dx != 0) & (dy * dx > 0), w).otherwise(0))
+        .cast("long")
+        .alias("concordant"),
+        F.sum(F.when((dx != 0) & (dy * dx < 0), w).otherwise(0))
+        .cast("long")
+        .alias("discordant"),
+    )
+    marg = cells.agg(F.sum("_c").cast("long").alias("_n"))
+    tx = (
+        cells.groupBy("_x")
+        .agg(F.sum("_c").alias("_t"))
+        .agg(
+            F.sum(F.col("_t") * (F.col("_t") - 1) / 2)
+            .cast("long")
+            .alias("n1")
+        )
+    )
+    ty = (
+        cells.groupBy("_y")
+        .agg(F.sum("_c").alias("_t"))
+        .agg(
+            F.sum(F.col("_t") * (F.col("_t") - 1) / 2)
+            .cast("long")
+            .alias("n2")
+        )
+    )
+    out = pair.crossJoin(marg).crossJoin(tx).crossJoin(ty)
+    n = F.col("_n")
+    n0 = (n * (n - 1) / 2).cast("long")
+    # the (n0−n1)·(n0−n2) product goes through double — at n ≈ 2^31 the
+    # long product would overflow and ANSI mode RAISES, and sqrt eats
+    # the precision anyway
+    denom = F.sqrt(
+        (n0 - F.col("n1")).cast("double")
+        * (n0 - F.col("n2")).cast("double")
+    )
+    return out.select(
+        n.alias("n"),
+        F.col("concordant"),
+        F.col("discordant"),
+        F.round(
+            F.when(
+                denom > 0,
+                (F.col("concordant") - F.col("discordant")) / denom,
+            ),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+def gini_coefficient(
+    df: DataFrame, group_col: str, value_col: str, order_col: str
+) -> DataFrame:
+    """Gini concentration coefficient per group — "how unequal is the
+    spend/volume distribution inside this segment", the single-number
+    Lorenz-curve summary (G = 0 perfect equality, → 1 all mass on one
+    member). Formula over ascending-sorted values x_1..x_n:
+    G = (2·Σ i·x_i) / (n·Σ x_i) − (n+1)/n.
+
+    One rank window per group (ordered by value with ``order_col`` as
+    the deterministic tiebreak — ties in value get arbitrary but
+    CONSISTENT ranks, which leaves G unchanged since equal values
+    commute in Σ i·x_i) + one aggregation. All sums stay in exact
+    integer space when callers pass integer values (cents); the
+    division happens once. NULL values excluded. Output per group:
+    (group, n, total, gini) rounded 6, sorted by group.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.asc(value_col), F.asc(order_col)
+    )
+    ranked = (
+        df.where(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).alias("g"),
+            F.col(value_col).alias("_v"),
+            F.row_number().over(w).alias("_i"),
+        )
+    )
+    n = F.count(F.lit(1))
+    tot = F.sum("_v")
+    wsum = F.sum(F.col("_i") * F.col("_v"))
+    return (
+        ranked.groupBy("g")
+        .agg(
+            n.cast("long").alias("n"),
+            tot.cast("long").alias("total"),
+            F.round(
+                F.when(
+                    (n > 0) & (tot > 0),
+                    (2.0 * wsum) / (n * tot) - (n + 1.0) / n,
+                ),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("g")
+    )
+
+
+def mann_kendall_trend(
+    df: DataFrame,
+    group_col: str,
+    t_col: str,
+    value_col: str,
+    max_points: int = 2_000,
+) -> DataFrame:
+    """Mann–Kendall monotone-trend test per group — "is this series
+    drifting up or down", the NON-parametric companion to w27's
+    Theil–Sen slope (same pairwise structure; this one gives the
+    significance, Theil–Sen the magnitude). Public spec: the classic
+    Mann (1945)/Kendall statistic with the tie-corrected variance.
+
+    S = Σ_{i<j} sgn(x_j − x_i) over time order; Var(S) =
+    [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]/18 (ties in x); Z applies the
+    standard ±1 continuity correction. Scale contract: callers
+    aggregate to one value per (group, t) first, so the pairwise stage
+    is series-length² per group, bounded by the TIME domain, guarded
+    by ``max_points`` per group (converge-or-raise). S and the tie
+    term stay exact integers; the sqrt/division happens once.
+    Output per group: (group, n, s, var_s, z) rounded 4, sorted.
+    """
+    pts = (
+        df.where(F.col(t_col).isNotNull() & F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("g"), F.col(t_col).alias("_t"))
+        .agg(F.sum(value_col).alias("_v"))
+    )
+    over = (
+        pts.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > max_points)
+        .limit(5)
+        .collect()
+    )
+    if over:
+        raise ValueError(
+            f"mann_kendall_trend: series over max_points={max_points}: "
+            f"{[(r['g'], r['_n']) for r in over]} — aggregate the time "
+            "axis coarser first"
+        )
+    a, b = pts.alias("_a"), pts.alias("_b")
+    s = (
+        a.join(
+            b,
+            (F.col("_a.g") == F.col("_b.g"))
+            & (F.col("_a._t") < F.col("_b._t")),
+        )
+        .groupBy(F.col("_a.g").alias("g"))
+        .agg(
+            F.sum(F.signum(F.col("_b._v") - F.col("_a._v")))
+            .cast("long")
+            .alias("s")
+        )
+    )
+    ties = (
+        pts.groupBy("g", "_v")
+        .agg(F.count(F.lit(1)).alias("_t"))
+        .groupBy("g")
+        .agg(
+            F.sum(F.col("_t") * (F.col("_t") - 1) * (2 * F.col("_t") + 5))
+            .cast("long")
+            .alias("_tie"),
+            F.sum("_t").cast("long").alias("n"),
+        )
+    )
+    j = s.join(ties, "g")
+    n = F.col("n")
+    var_s = (n * (n - 1) * (2 * n + 5) - F.col("_tie")) / 18.0
+    sgn = F.col("s")
+    z = F.when(var_s <= 0, F.lit(0.0)).otherwise(
+        F.when(sgn > 0, (sgn - 1) / F.sqrt(var_s))
+        .when(sgn < 0, (sgn + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return j.select(
+        "g",
+        n.alias("n"),
+        F.col("s"),
+        F.round(var_s, 4).alias("var_s"),
+        F.round(z, 4).alias("z"),
+    ).orderBy("g")
+
+
+def permutation_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    n_perm: int = 200,
+) -> DataFrame:
+    """Exact-permutation mean-difference test with md5-DETERMINISTIC
+    shuffles — the assumption-free member of the experiment family
+    (x32 Welch assumes normal-ish tails; x23 MW tests ranks; this one
+    tests the mean itself under the label-exchangeability null). Both
+    engines replay the identical permutations, so even the p-value is
+    hash-certifiable — the p7/p25 md5-replay discipline applied to
+    inference.
+
+    Permutation r ranks all rows by md5(id ‖ r) (a true permutation —
+    group sizes preserved exactly: the first n_a rows of the shuffle
+    take label A). With fixed n_a/n_b the comparison
+    |mean_aᵣ − mean_bᵣ| ≥ |observed| reduces to integer arithmetic:
+    |saᵣ·(na+nb) − T·na| ≥ |sa_obs·(na+nb) − T·na| where saᵣ is the
+    integer value-sum of permutation r's A-side and T the grand sum —
+    exact while values are integers (callers pass cents).
+
+    Scale contract: the explode is n_rows × n_perm with ONE
+    rank-by-rep window — bounded work for the experiment-table sizes
+    this family targets (document the cost, don't hide it). The
+    row id used in the hash is row_number by (value, original order)
+    — no Date/rand, both engines derive it identically. Output one
+    row: (n_a, n_b, mean_a, mean_b, diff, n_perm, n_ge, p_value).
+    """
+    two = (
+        df.where(F.col(group_col).isin([group_a, group_b]))
+        .where(F.col(value_col).isNotNull())
+        .select(
+            F.col(group_col).alias("_g"), F.col(value_col).alias("_v")
+        )
+    )
+    # deterministic row id: rank by (value, group) — stable across
+    # engines without relying on input order
+    wid = Window.orderBy(F.asc("_v"), F.asc("_g"))
+    base = two.select(
+        "_g", "_v", F.row_number().over(wid).alias("_rid")
+    )
+    reps = base.sparkSession.range(1, n_perm + 1).select(
+        F.col("id").alias("_rep")
+    )
+    wperm = Window.partitionBy("_rep").orderBy(
+        F.asc(F.md5(F.concat_ws("|", F.col("_rid"), F.col("_rep")))),
+        F.asc("_rid"),
+    )
+    shuffled = base.crossJoin(reps).select(
+        "_rep", "_v", F.row_number().over(wperm).alias("_pos")
+    )
+    obs = base.agg(
+        F.sum(F.when(F.col("_g") == group_a, F.col("_v")).otherwise(0))
+        .cast("long")
+        .alias("_sa"),
+        F.sum(F.when(F.col("_g") == group_a, 1).otherwise(0))
+        .cast("long")
+        .alias("_na"),
+        F.sum("_v").cast("long").alias("_tot"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+    )
+    o = obs.collect()[0]
+    na, ntot, sa_obs, tot = o["_na"], o["_n"], o["_sa"], o["_tot"]
+    nb = ntot - na
+    if na == 0 or nb == 0:
+        raise ValueError("permutation_test: one group is empty")
+    # |mean diff| comparison in integer space: |sa*n - T*na| scaled by
+    # the constant 1/(na*nb/n)... both sides share the factor, exact
+    obs_gap = abs(sa_obs * ntot - tot * na)
+    per_rep = (
+        shuffled.where(F.col("_pos") <= na)
+        .groupBy("_rep")
+        .agg(F.sum("_v").cast("long").alias("_sa_r"))
+        .select(
+            F.when(
+                F.abs(
+                    F.col("_sa_r") * F.lit(ntot) - F.lit(tot * na)
+                )
+                >= F.lit(obs_gap),
+                1,
+            )
+            .otherwise(0)
+            .alias("_ge")
+        )
+        .agg(F.sum("_ge").cast("long").alias("n_ge"))
+    )
+    g = per_rep.collect()[0]["n_ge"]
+    spark = df.sparkSession
+    # rounding happens in Spark SQL (not Python's banker's round), so
+    # both engines apply the same half-up semantics to the same floats
+    raw = spark.createDataFrame(
+        [(int(na), int(nb), int(sa_obs), int(tot), int(n_perm), int(g))],
+        "n_a long, n_b long, _sa long, _tot long, n_perm long, n_ge long",
+    )
+    ma = F.col("_sa") / F.col("n_a")
+    mb = (F.col("_tot") - F.col("_sa")) / F.col("n_b")
+    return raw.select(
+        "n_a",
+        "n_b",
+        F.round(ma, 6).alias("mean_a"),
+        F.round(mb, 6).alias("mean_b"),
+        F.round(ma - mb, 6).alias("diff"),
+        "n_perm",
+        "n_ge",
+        F.round(
+            (F.col("n_ge") + 1.0) / (F.col("n_perm") + 1.0), 6
+        ).alias("p_value"),
+    )
+
+
+def rolling_beta(
+    df: DataFrame,
+    time_col: str,
+    x_col: str,
+    y_col: str,
+    window: int = 7,
+) -> DataFrame:
+    """Trailing-window regression beta of ``y`` on ``x`` — "how many
+    units does this series move per unit of the reference series this
+    week": the slope companion to ``rolling_corr`` (same five running
+    sums, different readout — corr normalizes by both spreads, beta
+    by the reference's variance only, so a segment can be perfectly
+    correlated yet low-beta). Finance calls x the market; a pipeline
+    uses it for sensitivity of a segment metric to the global metric.
+
+    Identical contract to rolling_corr (sampling.py:1896): aligned
+    TIME-DOMAIN-bounded frame, one ordered window over
+    ``rowsBetween(-(window-1), 0)``, exact product-moment sums on
+    quantized inputs, warm-up rows (< window points) NULL, alpha =
+    ȳ − β·x̄ for the intercept readout.
+    Output: (time, n_in_window, beta, alpha) rounded 6.
+    """
+    base = df.select(
+        F.col(time_col).alias("_t"),
+        F.col(x_col).cast("double").alias("_x"),
+        F.col(y_col).cast("double").alias("_y"),
+    ).where(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+    w = Window.orderBy("_t").rowsBetween(-(window - 1), 0)
+    s = base.select(
+        "_t",
+        F.count(F.lit(1)).over(w).cast("double").alias("_n"),
+        F.sum("_x").over(w).alias("_sx"),
+        F.sum("_y").over(w).alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).over(w).alias("_sxx"),
+        F.sum(F.col("_x") * F.col("_y")).over(w).alias("_sxy"),
+    )
+    n = F.col("_n")
+    num = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    den = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    beta = F.when((n >= window) & (den > 0), num / den)
+    alpha = F.when(
+        beta.isNotNull(),
+        (F.col("_sy") - beta * F.col("_sx")) / n,
+    )
+    return s.select(
+        F.col("_t").alias(time_col),
+        n.cast("long").alias("n_in_window"),
+        F.round(beta, 6).alias("beta"),
+        F.round(alpha, 6).alias("alpha"),
+    ).orderBy(time_col)

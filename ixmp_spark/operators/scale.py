@@ -85,3 +85,21 @@ def exchange_count(df: DataFrame) -> int:
         df.explain("formatted")
     plan = buf.getvalue()
     return len(re.findall(r"^\(\d+\) Exchange\b", plan, re.M))
+
+
+def sort_count(df: DataFrame) -> int:
+    """Number of Sort NODES in the physical plan — the read-side price
+    of an UNSORTED bucketed layout: co-partitioned sort-merge joins
+    still elide the exchange but re-insert per-partition sorts that a
+    SORTED BY snapshot would have pre-paid at write time (the
+    write-once/diff-many trade the ``IXMP_SPARK_FACT_SORT`` knob
+    controls). Same formatted-explain counting as exchange_count."""
+    import contextlib
+    import io
+    import re
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    return len(re.findall(r"^\(\d+\) Sort\b", plan, re.M))

@@ -2725,3 +2725,61 @@ def running_active_time(
         F.col(key_col),
         F.sum(contrib).over(run).cast("long").alias("active_s"),
     )
+
+
+def interarrival_burstiness(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    min_gaps: int = 2,
+) -> DataFrame:
+    """Inter-arrival burstiness per key — "is this actor a steady
+    clock, a Poisson stream, or a bursty human" from the gap
+    distribution between consecutive events: B = (σ − μ)/(σ + μ) over
+    the gaps (Goh & Barabási's burstiness parameter, public) — −1 for
+    a periodic clock, 0 for Poisson, → +1 for heavy bursts. The
+    bot-vs-human screen of the session family (g1 cuts sessions at a
+    gap threshold; this reads the SHAPE of all gaps), and the feature
+    a training pipeline uses to down-weight scripted traffic.
+
+    One lag window per key (``order_col`` tiebreak — the w36/x29 NULL
+    discipline: NULL key/ts rows are excluded before the window) +
+    one aggregation. Timestamps convert via ``cast("double")`` —
+    fractional epoch seconds, the g1 convention matching DuckDB's
+    ``epoch()`` (integer-second truncation would corrupt sub-second
+    gaps); μ and σ (population) come from Σgap and Σgap² in one pass
+    and divide once (per-key gap counts are small, so round-6 absorbs
+    float association order). Keys with fewer than ``min_gaps`` gaps
+    emit NULL cv/burstiness (σ of one gap is 0/undefined signal, not
+    evidence). Output: (key, n_gaps, mean_gap_s, cv, burstiness).
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, order_col)
+    sec = F.col(ts_col).cast("double")
+    gaps = (
+        df.where(F.col(key_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            F.col(key_col).alias("k"),
+            (sec - F.lag(sec).over(w)).alias("_gap"),
+        )
+        .where(F.col("_gap").isNotNull())
+    )
+    n = F.count(F.lit(1))
+    s1 = F.sum("_gap")
+    s2 = F.sum(F.col("_gap") * F.col("_gap"))
+    mu = s1 / n
+    var = s2 / n - mu * mu  # population variance from exact int sums
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    ok = n >= min_gaps
+    return (
+        gaps.groupBy("k")
+        .agg(
+            n.cast("long").alias("n_gaps"),
+            F.round(mu, 6).alias("mean_gap_s"),
+            F.round(F.when(ok & (mu > 0), sd / mu), 6).alias("cv"),
+            F.round(
+                F.when(ok & (sd + mu > 0), (sd - mu) / (sd + mu)), 6
+            ).alias("burstiness"),
+        )
+        .orderBy("k")
+    )

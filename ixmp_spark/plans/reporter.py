@@ -59,9 +59,20 @@ class Quantity:
 
 
 class Reporter:
-    def __init__(self):
+    def __init__(self, auto_cse: bool = True):
         self.graph: dict[str, Callable[[], Quantity]] = {}
         self._cache: dict[str, Quantity] = {}
+        #: automatic CSE (VERDICT r10 #6): the reference's dask graph
+        #: computes shared keys ONCE without user action (genno key
+        #: memoization, reporter.py:16); with ``auto_cse`` the second
+        #: partial-sum request against the same full-dim intermediate
+        #: persists it transparently — ``persist_key`` stays for
+        #: explicit up-front pinning, but overlapping requests no
+        #: longer require it. First-request cost is unchanged (nothing
+        #: persists until a REUSE proves the intermediate is shared).
+        self.auto_cse = auto_cse
+        #: full-dim key str → number of on-demand partial-sum requests
+        self._sum_hits: dict[str, int] = {}
         #: simple-set label lists (reference inserts sets as literal data)
         self.labels: dict[str, list[str]] = {}
         #: name → full-dimensionality Key: partial sums over any dim
@@ -160,6 +171,13 @@ class Reporter:
             # on-demand partial sum against the full-dim key (A1)
             fk = self.full_keys.get(kk.name)
             if fk is not None and set(kk.dims) < set(fk.dims):
+                if self.auto_cse and str(fk) not in self._cache:
+                    hits = self._sum_hits.get(str(fk), 0) + 1
+                    self._sum_hits[str(fk)] = hits
+                    if hits >= 2:
+                        # second overlapping request: the full-dim
+                        # intermediate is provably shared — pin it
+                        self.persist_key(fk)
                 return self._sum(fk, kk.dims)
             raise KeyError(f"no key {k!r}")
         return self.graph[k]()
@@ -190,10 +208,21 @@ class Reporter:
 
     def persist_key(self, key: "str | Key") -> None:
         """P6: pin a hot intermediate across actions (the explicit CSE the
-        dask graph got implicitly)."""
+        dask graph got implicitly; ``auto_cse`` now applies this
+        transparently on the second overlapping partial-sum request)."""
         q = self.get_quantity(key)
         q.df = q.df.persist()
         self._cache[str(Key.parse(key))] = q
+
+    def release(self) -> None:
+        """Unpersist every pinned intermediate (explicit or auto-CSE)
+        and clear the reuse counters — the teardown twin of
+        ``persist_key`` so long-lived sessions don't accumulate
+        block-manager entries across reports."""
+        for q in self._cache.values():
+            q.df.unpersist()
+        self._cache.clear()
+        self._sum_hits.clear()
 
     def keys(self) -> list[str]:
         return sorted(self.graph)

@@ -152,6 +152,26 @@ def fact_buckets() -> int:
     parallelism before creating the warehouse (0 disables bucketing)."""
     return int(os.environ.get("IXMP_SPARK_FACT_BUCKETS", "32"))
 
+
+def fact_sort() -> bool:
+    """Whether bucketed fact writes also SORT each bucket by the key
+    (``IXMP_SPARK_FACT_SORT``, default on). Unlike the bucket COUNT —
+    frozen per warehouse because co-partitioned joins need equal counts
+    on both sides — sortedness is a per-snapshot property recorded in
+    its own marker: a sorted and an unsorted snapshot with the same
+    CLUSTERED BY spec still join exchange-free, the unsorted side just
+    pays a per-partition in-memory sort at read time. The knob exists
+    because write-side sort pressure was the superlinear term in the
+    r10 2e8-row commit (REHEARSAL_warehouse_200x_r10: 31.4 -> 113.9 s
+    for 2x rows): write-heavy ingest pipelines set it to 0 and move the
+    sort to the (cheap, exchange-free) read side; diff-many warehouses
+    keep the default and pre-pay it once."""
+    return os.environ.get("IXMP_SPARK_FACT_SORT", "1").lower() not in (
+        "0",
+        "false",
+        "off",
+    )
+
 #: Spark DDL forms of SCHEMAS (explicit schemas for createDataFrame —
 #: inference fails on empty staged frames)
 SPARK_DDL: dict[str, str] = {
@@ -535,11 +555,13 @@ class LocalWarehouse:
         tmp = f"ixwh_stage_{os.getpid()}_{next(self._staging_seq)}"
         if not pre_partitioned:
             sdf = sdf.repartition(n_buckets, *keys)
+        sort = fact_sort()
         try:
+            writer = sdf.write.bucketBy(n_buckets, keys[0], *keys[1:])
+            if sort:
+                writer = writer.sortBy(keys[0], *keys[1:])
             (
-                sdf.write.bucketBy(n_buckets, keys[0], *keys[1:])
-                .sortBy(keys[0], *keys[1:])
-                .option("path", target)
+                writer.option("path", target)
                 .mode("overwrite")
                 .format("parquet")
                 .saveAsTable(tmp)
@@ -547,7 +569,10 @@ class LocalWarehouse:
         finally:
             spark.sql(f"DROP TABLE IF EXISTS `{tmp}`")
         with open(os.path.join(target, BUCKET_MARKER), "w") as f:
-            json.dump({"keys": list(keys), "buckets": n_buckets}, f)
+            json.dump(
+                {"keys": list(keys), "buckets": n_buckets, "sorted": sort},
+                f,
+            )
 
     def bucket_spec(self, run_id: int, table: str) -> dict[str, Any] | None:
         """The committed snapshot's bucket layout, or None when it was
@@ -580,9 +605,12 @@ class LocalWarehouse:
         name = f"ixwh_{digest}_c{commit}"
         if not spark.catalog.tableExists(name):
             cols = ", ".join(f"`{k}`" for k in spec["keys"])
+            sorted_by = (
+                f" SORTED BY ({cols})" if spec.get("sorted", True) else ""
+            )
             spark.sql(
                 f"CREATE TABLE `{name}` ({SPARK_DDL[table]}) USING parquet"
-                f" CLUSTERED BY ({cols}) SORTED BY ({cols})"
+                f" CLUSTERED BY ({cols}){sorted_by}"
                 f" INTO {spec['buckets']} BUCKETS LOCATION '{path}'"
             )
             stale = self._registered.pop((run_id, table), None)
@@ -621,9 +649,12 @@ class LocalWarehouse:
         name = f"ixwh_{digest}_h{commit}"
         if not spark.catalog.tableExists(name):
             cols = ", ".join(f"`{k}`" for k in spec["keys"])
+            sorted_by = (
+                f" SORTED BY ({cols})" if spec.get("sorted", True) else ""
+            )
             spark.sql(
                 f"CREATE TABLE `{name}` ({SPARK_DDL[table]}) USING parquet"
-                f" CLUSTERED BY ({cols}) SORTED BY ({cols})"
+                f" CLUSTERED BY ({cols}){sorted_by}"
                 f" INTO {spec['buckets']} BUCKETS LOCATION '{path}'"
             )
         self._hist_registered.setdefault((run_id, commit), set()).add(name)

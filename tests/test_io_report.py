@@ -514,3 +514,38 @@ def test_jsonl_roundtrip_with_part_cap(spark, sf_dir, tmp_path):
     a = {(r["doc_id"], r["text"]) for r in back.collect()}
     b = {(r["doc_id"], r["text"]) for r in docs.collect()}
     assert a == b
+
+
+def test_reporter_auto_cse(rep):
+    """auto_cse (VERDICT r10 #6): the SECOND overlapping partial-sum
+    request pins the shared full-dim intermediate transparently — no
+    persist_key call — and results are identical to the auto-off path;
+    release() empties the pin cache."""
+    r, scen = rep
+    full = r.full_key("d")
+    k1, k2 = str(full.drop(full.dims[-1])), str(full.drop(full.dims[0]))
+
+    # auto OFF: no pins ever
+    r.auto_cse = False
+    off1 = sorted(map(tuple, r.get(k1).collect()))
+    off2 = sorted(map(tuple, r.get(k2).collect()))
+    assert str(full) not in r._cache
+
+    # auto ON (the default in a fresh Reporter): first request counts,
+    # second pins
+    r2 = Reporter.from_scenario(scen)
+    assert r2.auto_cse
+    on1 = sorted(map(tuple, r2.get(k1).collect()))
+    assert str(full) not in r2._cache  # one request proves nothing
+    on2 = sorted(map(tuple, r2.get(k2).collect()))
+    assert str(full) in r2._cache  # second overlap pinned the source
+    assert r2._cache[str(full)].df.storageLevel.useMemory
+    assert (on1, on2) == (off1, off2)
+
+    # third request reuses the pin (cache entry unchanged)
+    pinned = r2._cache[str(full)]
+    r2.get(str(full.drop(*full.dims)))
+    assert r2._cache[str(full)] is pinned
+
+    r2.release()
+    assert not r2._cache and not r2._sum_hits

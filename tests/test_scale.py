@@ -6765,3 +6765,147 @@ def test_interval_union_length_hand(spark):
     assert got == {"A": (5, 25), "B": (2, 2)}
     naive = 10 + 10 + 5 + 5 + 5  # sum(e - s) for A double-counts to 35
     assert naive == 35 and got["A"][1] == 25
+
+
+def test_lsh_short_doc_routing_exact_recall(spark):
+    """Short-document routing (closes the r10 factor-100 recall
+    finding): docs with fewer than short_min shingles are paired
+    through the exact prefix-filter path, so the output equals the
+    brute-force Jaccard truth REGARDLESS of minhash variance — the
+    deterministic-recall contract the pure banding cannot give short
+    docs. Also pins: routing off (short_min=0) is allowed to miss, and
+    _lsh_bands_for_recall derives the planner's banding."""
+    import itertools
+
+    from ixmp_spark.operators.dedup import (
+        _lsh_bands_for_recall,
+        minhash_lsh_neardup,
+    )
+
+    def jac(a, b):
+        def sh(s, n=3):
+            w = s.split()
+            return {" ".join(w[i:i + n]) for i in range(max(1, len(w) - n + 1))}
+        A, B = sh(a), sh(b)
+        return len(A & B) / len(A | B)
+
+    # short near-dup pairs (<16 words, J >= 0.5 -- the measured r10
+    # escape class) plus long fillers and a long near-dup pair
+    corpus = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "alpha beta gamma delta epsilon zeta eta theta iota lambda",
+        "one two three four five six seven eight",
+        "one two three four five six seven nine",
+        "cats chase mice through the quiet warehouse at night",
+        "dogs chase balls across the sunny park every morning ok",
+    ] + [
+        f"long filler document number {i} " + " ".join(
+            f"tok{i}w{j}" for j in range(80)
+        )
+        for i in range(20)
+    ] + [
+        "shared long body " + " ".join(f"same{j}" for j in range(70)),
+        "shared long body " + " ".join(f"same{j}" for j in range(70)) + " tail",
+    ]
+    rows = [(i, s) for i, s in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    truth = {
+        (i, j): round(jac(a, b), 6)
+        for (i, a), (j, b) in itertools.combinations(rows, 2)
+        if jac(a, b) >= 0.5
+    }
+    assert truth, "fixture must contain >=threshold pairs"
+    assert any(len(corpus[i].split()) < 16 for i, _ in truth)
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_neardup(
+            df, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert got == truth  # exact recall incl. every short pair
+
+    # routing disabled reproduces the pure-banding behavior (may miss
+    # short pairs; must never invent pairs)
+    off = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_neardup(
+            df, "doc_id", "text", threshold=0.5, short_min=0
+        ).collect()
+    }
+    assert off <= set(truth)
+
+    # planner-derived banding: k=32, t=0.5 -> b=8 gives p=0.404, b=16
+    # gives p=0.990 -> smallest divisor meeting 0.95 is 16
+    assert _lsh_bands_for_recall(32, 0.5, 0.95) == 16
+    assert _lsh_bands_for_recall(32, 0.5, 0.98) == 16  # p(16)=0.98998
+    assert _lsh_bands_for_recall(32, 0.5, 0.99) == 32  # just over p(16)
+    assert _lsh_bands_for_recall(32, 0.9, 0.5) == 4  # p(4)=0.895
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="increase k"):
+        _lsh_bands_for_recall(4, 0.05, 0.999)
+    with _pytest.raises(ValueError, match="target_recall"):
+        _lsh_bands_for_recall(32, 0.5, 1.5)
+    # end-to-end: target_recall derives bands without changing the
+    # exact-truth output on this corpus
+    got_tr = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_lsh_neardup(
+            df, "doc_id", "text", threshold=0.5, target_recall=0.95
+        ).collect()
+    }
+    assert got_tr == truth
+
+
+def test_edit_join_auto_q(spark):
+    """q='auto' (VERDICT r10 #7): the q-vs-alphabet selectivity rule is
+    applied by the operator itself. Pure rule: hex alphabets (16
+    symbols) at vocabulary sizes past 16^3 must select q>=4 (the two
+    killed quadratic drafts); base64 at the 200k rehearsal rung selects
+    the proven q=3; natural text stays at the q=2 default. End-to-end:
+    q='auto' returns exactly the brute-force pair set on a planted
+    hex-flavored vocabulary."""
+    import itertools
+
+    from ixmp_spark.operators.dedup import auto_gram_size, edit_distance_join
+
+    # the rule, at the committed rehearsal's coordinates
+    assert auto_gram_size(16, 50_000) == 4      # hex, killed-draft size
+    assert auto_gram_size(16, 5_000) == 4       # 16^3=4096 < 5000
+    assert auto_gram_size(64, 200_000) == 3     # base64, proven rung
+    assert auto_gram_size(64, 550_000) == 4     # past 64^3
+    assert auto_gram_size(27, 700) == 2         # natural text default
+    assert auto_gram_size(2, 10**9) == 8        # cap
+    assert auto_gram_size(1, 100) == 2          # degenerate floor
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[-1]
+
+    # hex-ish vocabulary with planted 1- and 2-edit variants
+    import hashlib
+
+    vocab = sorted({
+        hashlib.md5(str(i).encode()).hexdigest()[:12] for i in range(60)
+    })
+    vocab += [("f" + v[1:]) for v in vocab[:6]]          # 1-edit
+    vocab += [("gg" + v[2:]) for v in vocab[:4]]         # 2-edit
+    rows = [(i, s) for i, s in enumerate(vocab)]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in edit_distance_join(
+            df, "id", "s", max_edits=2, q="auto"
+        ).collect()
+    }
+    want = {}
+    for (i, a), (j, b) in itertools.combinations(rows, 2):
+        if a != b and lev(a, b) <= 2:
+            want[(min(i, j), max(i, j))] = lev(a, b)
+    assert got == want and want

@@ -50,7 +50,9 @@ def test_bucketed_fact_layout_roundtrip(spark, tmp_path):
     parts = [f for f in os.listdir(path) if f.endswith(".parquet")]
     assert len(parts) == fact_buckets()
     spec = mp.wh.bucket_spec(scen.run_id, "par_data")
-    assert spec == {"keys": ["key"], "buckets": fact_buckets()}
+    assert spec == {
+        "keys": ["key"], "buckets": fact_buckets(), "sorted": True,
+    }
 
     fact = mp.wh.spark_fact(spark, scen.run_id, "par_data")
     assert fact.count() == 4000
@@ -214,6 +216,7 @@ def test_ts_bucketed_align_no_exchange(spark, tmp_path):
     a, b = mk("tsa", 0.0), mk("tsb", 0.5)
     assert mp.wh.bucket_spec(a.run_id, "ts_data") == {
         "keys": ["region", "variable"], "buckets": fact_buckets(),
+        "sorted": True,
     }
     key = ["region", "variable", "subannual", "year"]
     fa = mp.wh.spark_fact(spark, a.run_id, "ts_data").select(
@@ -264,3 +267,50 @@ def test_vacuum_drops_history_registrations(spark, tmp_path):
     # ...so a re-read raises instead of scanning a deleted location
     with pytest.raises(ValueError, match="no commit"):
         mp.wh.spark_fact_at(spark, scen.run_id, "par_data", first)
+
+
+def test_unsorted_bucketed_layout(spark, tmp_path, monkeypatch):
+    """IXMP_SPARK_FACT_SORT=0 (the r10 commit-write superlinearity
+    knob): snapshots land CLUSTERED BY but not SORTED BY — the marker
+    records it, the reader registers without SORTED BY, and diff_par
+    still joins with ZERO exchanges (co-partitioning needs only the
+    clustering; the sort moves to cheap per-partition read-side Sort
+    nodes). Mixed sorted/unsorted diffs stay correct."""
+    from ixmp_spark.operators.scale import sort_count
+
+    monkeypatch.setenv("IXMP_SPARK_FACT_SORT", "0")
+    n = 3000
+    mp, scen = _bulk_scenario(spark, str(tmp_path / "wh"), n=n)
+    spec = mp.wh.bucket_spec(scen.run_id, "par_data")
+    assert spec == {
+        "keys": ["key"], "buckets": fact_buckets(), "sorted": False,
+    }
+    clone = scen.clone(scenario="s_clone", spark_threshold=1000)
+    clone.check_out()
+    upd = spark.range(n).where(F.col("id") % 100 == 0).selectExpr(
+        "cast(id as string) a",
+        "cast(id % 7 as string) b",
+        "cast(id as double) + 1.0 value",
+    )
+    clone.add_par_bulk("p", upd, unit="u", distributed=True)
+    clone.commit("perturb")
+
+    d = scen.diff_par(clone, "p", sort=False)
+    assert exchange_count(d) == 0
+    # read-side sorts ARE inserted (the trade the knob makes)
+    assert sort_count(d) >= 2
+    agg = d.agg(
+        F.count(F.lit(1)).alias("rows"),
+        F.sum(
+            F.when(F.col("value_a") != F.col("value_b"), 1).otherwise(0)
+        ).alias("changed"),
+    ).collect()[0]
+    assert agg["rows"] == n and agg["changed"] == n // 100
+
+    # mixed: a SORTED original diffed against the unsorted clone still
+    # co-partitions (same CLUSTERED BY spec) and stays correct
+    monkeypatch.setenv("IXMP_SPARK_FACT_SORT", "1")
+    mp2, scen2 = _bulk_scenario(
+        spark, str(tmp_path / "wh2"), n=n, scenario="sorted_side"
+    )
+    assert mp2.wh.bucket_spec(scen2.run_id, "par_data")["sorted"] is True

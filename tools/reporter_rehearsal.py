@@ -12,7 +12,10 @@ against it:
   reference gets implicitly from genno's key-level memoization,
   reporter.py:16 lineage);
 - WITH persist_key on the full-dim intermediate: the join materializes
-  ONCE into the block-manager; every request reuses it.
+  ONCE into the block-manager; every request reuses it;
+- WITH auto_cse (r11, VERDICT r10 #6): ZERO persist_key calls — the
+  second overlapping request pins the shared intermediate itself; the
+  arm must match manual persist+requests total within ~20%.
 
 Recorded per arm: wall seconds, Spark JOB count (statusTracker job
 groups), per-request seconds. Also recorded: graph build time and key
@@ -143,6 +146,7 @@ def main() -> None:
         out["graph_build_s"] = build_s
         out["graph_keys"] = len(rep.graph)
 
+        rep.auto_cse = False  # arm 1: the dask-less worst case
         out["no_cse"] = run_requests(spark, rep, requests, "nocse")
 
         rep2, _ = fresh()
@@ -163,6 +167,24 @@ def main() -> None:
         )
         out["checksums_equal"] = (
             out["no_cse"]["checksum"] == out["cse"]["checksum"]
+        )
+
+        # arm 3 (VERDICT r10 #6): auto_cse — ZERO persist_key calls;
+        # the second overlapping request pins the shared intermediate
+        # transparently. rep2's cache must release first: Spark's
+        # CacheManager plan-matches logically identical frames, so a
+        # surviving manual pin would hand the auto arm free reuse.
+        rep2.release()
+        rep3, _ = fresh()
+        assert rep3.auto_cse  # the default — no knobs, no persist_key
+        out["auto_cse"] = run_requests(spark, rep3, requests, "autocse")
+        rep3.release()
+        manual_total = out["cse"]["persist_s"] + out["cse"]["wall_s"]
+        out["auto_vs_manual_total"] = round(
+            out["auto_cse"]["wall_s"] / max(manual_total, 1e-9), 2
+        )
+        out["auto_checksum_equal"] = (
+            out["auto_cse"]["checksum"] == out["no_cse"]["checksum"]
         )
         print(json.dumps(out))
     finally:

@@ -1,11 +1,13 @@
 """Streaming-twin throughput/state rehearsal (VERDICT r9 #3): every twin
 in streaming/ts_stream.py is batch-equal PINNED, but the state contracts
 ("scalars per key", "category-domain-bounded") were claims, not
-measurements. This drives three representative stateful twins — zscore
+measurements. This drives the representative stateful twins — zscore
 (array-of-window state), CUSUM (two scalars), category-mix + JSD drift
-(watermarked windowed counts) — over a sustained synthetic file-source
-stream at increasing per-batch event rates and records, per micro-batch,
-the trigger latency and the state store's row/byte size.
+(watermarked windowed counts), and (r11, VERDICT r10 #5) the two-sided
+stream-stream interval joins (inner + left-outer: watermark + range
+condition, per-side buffered state) — over a sustained synthetic
+file-source stream at increasing per-batch event rates and records, per
+micro-batch, the trigger latency and the state store's row/byte size.
 
     python tools/streaming_rehearsal.py [rates...]   # events per batch
 
@@ -101,6 +103,10 @@ def drive(stream_df, name: str) -> dict:
         "first_ms": ms[0] if ms else None,
         "median_ms": sorted(ms)[len(ms) // 2] if ms else None,
         "last_ms": ms[-1] if ms else None,
+        # the plateau claim needs the whole curve: bounded state RISES
+        # for (watermark + interval) worth of batches then flattens;
+        # leaking state keeps climbing with cumulative events
+        "state_rows_by_batch": [b["state_rows"] for b in batches],
         "state_rows_final": batches[-1]["state_rows"] if batches else None,
         "state_rows_max": max(
             (b["state_rows"] or 0) for b in batches
@@ -117,6 +123,8 @@ def main() -> None:
     from ixmp_spark.streaming.ts_stream import (
         category_mix_stream,
         cusum_stream,
+        interval_join_stream,
+        interval_join_stream_outer,
         jsd_drift_report,
         run_available_now,
         stream_events,
@@ -142,6 +150,39 @@ def main() -> None:
             ev = stream_events(spark, src)
             row["category_mix"] = drive(
                 category_mix_stream(ev), f"mix_{rate}"
+            )
+
+            # stream-stream interval joins (VERDICT r10 #5): the
+            # riskiest state class — two-sided watermark + range
+            # condition. The contract under sustained rate: per-side
+            # buffered rows are bounded by rate x (watermark +
+            # interval) of IN-WATERMARK rows — a plateau after ~4
+            # batches (1 h watermark + 30 min interval over 30-min
+            # batches), never cumulative events. Left/right from
+            # SEPARATE readStream instances (the operators' caller
+            # contract). view->click pairs: both types exist in every
+            # batch incl. the post-drift half-domain batches.
+            evl = stream_events(spark, src)
+            evr = stream_events(spark, src)
+            row["interval_join"] = drive(
+                interval_join_stream(
+                    evl.where(F.col("event_type") == "view"),
+                    evr.where(F.col("event_type") == "click"),
+                    interval="30 minutes",
+                    watermark="1 hour",
+                ),
+                f"ij_{rate}",
+            )
+            evl = stream_events(spark, src)
+            evr = stream_events(spark, src)
+            row["interval_join_outer"] = drive(
+                interval_join_stream_outer(
+                    evl.where(F.col("event_type") == "view"),
+                    evr.where(F.col("event_type") == "click"),
+                    interval="30 minutes",
+                    watermark="1 hour",
+                ),
+                f"ijo_{rate}",
             )
             # drift half: re-run the mix into a memory sink (tiny table:
             # windows x categories) and fold the JSD report over it

@@ -62,6 +62,9 @@ def main() -> None:
         # bucket — at 1e8 run IXMP_SPARK_FACT_BUCKETS=128 (32 spilled
         # the write-side sort: 52.7 s vs 22.7 s commit)
         out["fact_buckets"] = mp.wh.n_buckets
+        from ixmp_spark.sources.warehouse import fact_sort
+
+        out["fact_sorted"] = fact_sort()
         mp.add_unit("GWa")
         scen = Scenario(mp, "perf", "smoke100x", version="new")
         dim = math.isqrt(n - 1) + 1
@@ -116,6 +119,9 @@ def main() -> None:
         t0 = time.perf_counter()
         d = scen.diff_par(clone, "p", sort=False)
         out["diff_exchanges"] = exchange_count(d)
+        from ixmp_spark.operators.scale import sort_count
+
+        out["diff_sorts"] = sort_count(d)
         agg = d.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(
