@@ -340,11 +340,16 @@ def _short_doc_pairs(
         .where(F.col("__rk") <= F.col("__sz") - F.ceil(t * F.col("__sz")) + 1)
         .select("__id", "__sz", "__g")
     )
+    # persisted: BOTH join sides below read it, and the guard scan
+    # would otherwise recompute the freq join + rank window three times
+    prefix = prefix.persist()
+    cached = prefix  # release handle (the drop branch rebinds `prefix`)
     if max_bucket is not None:
         gsize = prefix.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
         if on_hot == "raise":
             hot = gsize.where(F.col("__n") > max_bucket).limit(5).collect()
             if hot:
+                prefix.unpersist()  # fail-fast must not leak the cache
                 raise ValueError(
                     f"short-doc prefix shingle groups over max_bucket="
                     f"{max_bucket}: "
@@ -355,21 +360,33 @@ def _short_doc_pairs(
             prefix = prefix.join(
                 gsize.where(F.col("__n") <= max_bucket).select("__g"), "__g"
             )
-    pa = prefix.select(
-        F.col("__id").alias("id_a"), F.col("__sz").alias("__sza"), "__g"
+    # ASYMMETRIC join: only pairs with a SHORT side matter, so the left
+    # side is the short prefixes alone, not the whole eligible band —
+    # the factor-10 rehearsal measured the symmetric elig×elig draft at
+    # 3.4x d3's base cost because the partner band covers most of a
+    # natural web corpus. min(A∩B) lands in BOTH prefixes, so joining
+    # short-prefix × eligible-prefix still hits it; != + least/greatest
+    # dedups the short×short double generation (the edit-join lesson).
+    pa = prefix.where(F.col("__sz") < short_min).select(
+        F.col("__id").alias("__ida"), F.col("__sz").alias("__sza"), "__g"
     )
     pb = prefix.select(
-        F.col("__id").alias("id_b"), F.col("__sz").alias("__szb"), "__g"
+        F.col("__id").alias("__idb"), F.col("__sz").alias("__szb"), "__g"
     )
-    return (
+    from ixmp_spark.operators import attach_caches
+
+    return attach_caches(
         pa.join(pb, "__g")
         .where(
-            (F.col("id_a") < F.col("id_b"))
-            & (F.least("__sza", "__szb") < short_min)
+            (F.col("__ida") != F.col("__idb"))
             & (F.least("__sza", "__szb") >= t * F.greatest("__sza", "__szb"))
         )
-        .select("id_a", "id_b")
-        .distinct()
+        .select(
+            F.least("__ida", "__idb").alias("id_a"),
+            F.greatest("__ida", "__idb").alias("id_b"),
+        )
+        .distinct(),
+        cached,
     )
 
 
@@ -437,8 +454,9 @@ def minhash_lsh_neardup(
     REHEARSAL_dedup_pipeline_r10 measured 2 LSH escapes in 495k docs,
     both <16 words at Jaccard 0.78/0.83 ≫ threshold: with few shingles
     the minhash estimator's variance defeats the banding): documents
-    with fewer than ``short_min`` shingles (default 2·k; 0 disables)
-    are ALSO paired through an EXACT prefix-filter path — global
+    with fewer than ``short_min`` shingles (default k — 2× the measured
+    escape class; 0 disables) are ALSO paired through an EXACT
+    prefix-filter path — global
     rarest-first shingle order, per-doc prefix of the first
     ``sz − ⌈t·sz⌉ + 1`` shingles (two sets with Jaccard ≥ t must share
     the MINIMUM of their intersection inside both prefixes — the
@@ -460,7 +478,12 @@ def minhash_lsh_neardup(
     if target_recall is not None:
         bands = _lsh_bands_for_recall(k, threshold, target_recall)
     if short_min is None:
-        short_min = 2 * k
+        # default = k, not 2k: the measured escape class sits under ~16
+        # shingles (REHEARSAL_dedup_pipeline_r10), so k = 32 carries 2x
+        # margin — while 2k would route 63% of a natural web corpus
+        # (median 54 words) through the exact path, a full second dedup
+        # pass in disguise (measured: d3 3.4x at factor 10)
+        short_min = k
     # small parquet inputs arrive as 1–2 splits; the shingle transform is
     # the dominant per-row cost, so spread it across all cores first
     par = df.sparkSession.sparkContext.defaultParallelism
@@ -497,7 +520,7 @@ def minhash_lsh_neardup(
     except BaseException:
         sh.unpersist()  # the guard's fail-fast must not leak the shingles
         raise
-    lsh_caches = getattr(pairs, "_ixmp_spark_caches", ())
+    lsh_caches = list(getattr(pairs, "_ixmp_spark_caches", ()))
     try:
         short_pairs = _short_doc_pairs(
             sh, id_col, short_min, threshold, max_bucket, on_hot
@@ -508,6 +531,7 @@ def minhash_lsh_neardup(
             c.unpersist()
         raise
     if short_pairs is not None:
+        lsh_caches += getattr(short_pairs, "_ixmp_spark_caches", ())
         pairs = pairs.unionByName(short_pairs).distinct()
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))

@@ -2206,81 +2206,3 @@ def zipf_slope(
         F.round(intercept, 6).alias("intercept"),
     )
 
-
-def type_token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Lexical-diversity profile per document: token count, TYPE count
-    (distinct tokens), type-token ratio, and the hapax-legomena
-    fraction (share of types occurring exactly once) — the classic
-    vocabulary-richness screens (low TTR ⇒ repetitive boilerplate;
-    high hapax on long docs ⇒ OCR noise / mojibake vocabularies), the
-    per-document twin of t32's corpus-level Zipf slope.
-
-    Plan shape (the t-family gram discipline): tokenize once → explode
-    → ONE (doc, token) count aggregation → ONE per-doc aggregation.
-    Token strings shuffle once, keyed by (doc, token) — no driver
-    vocabulary, no second pass. Ratios divide integer counts once at
-    the end. Empty/NULL texts yield no row (no tokens, no types).
-    Output: (id, n_tokens, n_types, ttr, hapax_frac) rounded 6.
-    """
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    per_tok = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.explode(toks).alias("_w"),
-        )
-        .where(F.col("_w") != "")
-        .groupBy("_id", "_w")
-        .agg(F.count(F.lit(1)).alias("_c"))
-    )
-    n_tok = F.sum("_c")
-    n_typ = F.count(F.lit(1))
-    hapax = F.sum(F.when(F.col("_c") == 1, 1).otherwise(0))
-    return (
-        per_tok.groupBy(F.col("_id").alias(id_col))
-        .agg(
-            n_tok.cast("long").alias("n_tokens"),
-            n_typ.cast("long").alias("n_types"),
-            F.round(n_typ / n_tok, 6).alias("ttr"),
-            F.round(hapax / n_typ, 6).alias("hapax_frac"),
-        )
-    )
-
-
-def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Character-level Shannon entropy per document (bits/char) — the
-    cheapest compression-flavored quality screen: natural language
-    sits ~4–4.5 bits, base64/hex blobs and key-mash noise run higher,
-    single-char runs and template padding collapse toward 0. The
-    character sibling of t10's bigram perplexity (which needs a corpus
-    model; this is per-doc, model-free).
-
-    Plan: ONE per-(doc, char) count aggregation over lowercased text →
-    per-doc fold of −Σ (c/n)·log2(c/n). Pure JVM expressions; the
-    only shuffle is keyed by (doc, char) — char domain is tiny, the
-    doc key keeps it skew-free. Entropy sums ~100 float terms per doc
-    (round 6 absorbs association-order noise). NULL/empty texts yield
-    no row. Output: (id, n_chars, n_distinct_chars, entropy_bits).
-    """
-    chars = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.explode(F.split(F.lower(F.col(text_col)), "")).alias("_ch"),
-        )
-        .where(F.col("_ch") != "")
-        .groupBy("_id", "_ch")
-        .agg(F.count(F.lit(1)).alias("_c"))
-    )
-    # algebraic one-pass form: entropy = log2(n) − (1/n)·Σ c·log2(c)
-    # (a per-doc window for p=c/n would add a second shuffle for
-    # nothing — the identity folds it into the same aggregation)
-    n = F.sum("_c").cast("double")
-    return (
-        chars.groupBy(F.col("_id").alias(id_col))
-        .agg(
-            F.sum("_c").cast("long").alias("n_chars"),
-            F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
-            F.round(
-                F.log2(n) - F.sum(F.col("_c") * F.log2("_c")) / n, 6
-            ).alias("entropy_bits"),
-        )
-    )

@@ -6129,3 +6129,310 @@ def w36_running_active_time(spark, sf_dir):
         F.col("ts").isNotNull() & F.col("user_id").isNotNull()
     )
     return running_active_time(ev, horizon=300)
+
+
+@query(
+    "x40_kendall_tau",
+    oracle="""
+    WITH pts AS (
+      SELECT CAST(extract(hour FROM ts) AS BIGINT) AS x,
+             CAST(floor(value / 50) AS BIGINT) AS y
+      FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ), cells AS (
+      SELECT x, y, CAST(count(*) AS BIGINT) AS c FROM pts GROUP BY x, y
+    ), pair AS (
+      SELECT
+        CAST(sum(CASE WHEN b.x > a.x AND (b.y - a.y) * (b.x - a.x) > 0
+            THEN a.c * b.c ELSE 0 END) AS BIGINT) AS concordant,
+        CAST(sum(CASE WHEN b.x > a.x AND (b.y - a.y) * (b.x - a.x) < 0
+            THEN a.c * b.c ELSE 0 END) AS BIGINT) AS discordant
+      FROM cells a JOIN cells b
+        ON (a.x < b.x) OR (a.x = b.x AND a.y < b.y)
+    ), marg AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+    tx AS (SELECT CAST(sum(t * (t - 1) / 2) AS BIGINT) AS n1
+           FROM (SELECT CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY x)),
+    ty AS (SELECT CAST(sum(t * (t - 1) / 2) AS BIGINT) AS n2
+           FROM (SELECT CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY y))
+    SELECT n, concordant, discordant,
+           round(CASE WHEN (CAST(n AS DOUBLE) * (n - 1) / 2 - n1) > 0
+                       AND (CAST(n AS DOUBLE) * (n - 1) / 2 - n2) > 0
+             THEN (concordant - discordant)
+                  / sqrt((CAST(n AS DOUBLE) * (n - 1) / 2 - n1)
+                         * (CAST(n AS DOUBLE) * (n - 1) / 2 - n2)) END,
+             6) AS tau_b
+    FROM pair CROSS JOIN marg CROSS JOIN tx CROSS JOIN ty
+    """,
+)
+def x40_kendall_tau(spark, sf_dir):
+    """Kendall tau-b between hour-of-day and 50-unit value band
+    (kendall_tau) — the concordance member completing the association
+    family (x24 Spearman ranks, x22 chi² independence, this one pair
+    orderings with the tau-b tie denominator). Rows collapse to the
+    ≤ 24x11 (hour, 50-unit value band) CELL grid in one aggregation; the
+    quadratic stage runs on the grid self-join (max_cells-guarded);
+    C/D weights stay exact integers and the one sqrt divides at the
+    end, so the driver hash certifies tau."""
+    from ixmp_spark.operators.sampling import kendall_tau
+
+    ev = load(spark, sf_dir, "events")
+    pts = ev.where(
+        F.col("ts").isNotNull() & F.col("value").isNotNull()
+    ).select(
+        F.hour("ts").cast("long").alias("x"),
+        F.floor(F.col("value") / 50).cast("long").alias("y"),
+    )
+    return kendall_tau(pts, "x", "y")
+
+
+@query(
+    "x41_gini",
+    oracle="""
+    WITH r AS (
+      SELECT o_orderpriority AS g,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+             row_number() OVER (PARTITION BY o_orderpriority
+               ORDER BY CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT),
+                        o_orderkey) AS i
+      FROM orders
+    )
+    SELECT g, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(v) AS BIGINT) AS total,
+           round(2.0 * sum(i * v) / (count(*) * sum(v))
+                 - (count(*) + 1.0) / count(*), 6) AS gini
+    FROM r GROUP BY g ORDER BY g
+    """,
+)
+def x41_gini(spark, sf_dir):
+    """Gini concentration of order value inside each priority segment
+    (gini_coefficient) — the Lorenz-curve inequality readout ("does
+    one whale dominate this segment's revenue"), the distributional
+    companion to x14's concentration (HHI on shares; Gini on the
+    full sorted mass). One rank window per group ordered by (cents,
+    orderkey — the deterministic tiebreak; ties commute in Σ i·x_i so
+    G is order-stable), exact integer Σ and Σ i·x; one division."""
+    from ixmp_spark.operators.sampling import gini_coefficient
+
+    orders = load(spark, sf_dir, "orders")
+    src = orders.select(
+        F.col("o_orderpriority").alias("g"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        "o_orderkey",
+    )
+    return gini_coefficient(src, "g", "cents", "o_orderkey")
+
+
+@query(
+    "x42_mann_kendall",
+    oracle="""
+    WITH pts AS (
+      SELECT o_orderpriority AS g,
+             date_trunc('month', o_orderdate) AS t,
+             CAST(count(*) AS BIGINT) AS v
+      FROM orders GROUP BY 1, 2
+    ), s AS (
+      SELECT a.g AS g,
+             CAST(sum(CASE WHEN b.v > a.v THEN 1
+                           WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT)
+               AS s
+      FROM pts a JOIN pts b ON a.g = b.g AND a.t < b.t GROUP BY a.g
+    ), ties AS (
+      SELECT g,
+             CAST(sum(t2 * (t2 - 1) * (2 * t2 + 5)) AS BIGINT) AS tie,
+             CAST(sum(t2) AS BIGINT) AS n
+      FROM (SELECT g, v, CAST(count(*) AS BIGINT) AS t2
+            FROM pts GROUP BY g, v) GROUP BY g
+    )
+    SELECT s.g AS g, n, s,
+           round((n * (n - 1.0) * (2 * n + 5) - tie) / 18.0, 4) AS var_s,
+           round(CASE
+             WHEN (n * (n - 1.0) * (2 * n + 5) - tie) <= 0 THEN 0.0
+             WHEN s > 0 THEN (s - 1)
+               / sqrt((n * (n - 1.0) * (2 * n + 5) - tie) / 18.0)
+             WHEN s < 0 THEN (s + 1)
+               / sqrt((n * (n - 1.0) * (2 * n + 5) - tie) / 18.0)
+             ELSE 0.0 END, 4) AS z
+    FROM s JOIN ties USING (g) ORDER BY g
+    """,
+)
+def x42_mann_kendall(spark, sf_dir):
+    """Mann–Kendall monotone-trend test on monthly order counts per
+    priority (mann_kendall_trend) — "is this segment drifting", the
+    significance companion to w27's Theil–Sen slope (same pairwise
+    structure, S instead of the median slope) with the tie-corrected
+    variance and ±1 continuity correction. Series collapse to the
+    month grain first, so the pairwise stage is time-DOMAIN-bounded
+    (max_points-guarded); S and the tie term stay exact integers."""
+    from ixmp_spark.operators.sampling import mann_kendall_trend
+
+    orders = load(spark, sf_dir, "orders")
+    src = orders.select(
+        F.col("o_orderpriority").alias("g"),
+        F.date_trunc("month", "o_orderdate").alias("t"),
+        F.lit(1).alias("one"),
+    )
+    return mann_kendall_trend(src, "g", "t", "one")
+
+
+@query(
+    "x44_permutation_test",
+    oracle="""
+    WITH two AS (
+      SELECT event_type AS g,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      FROM events
+      WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL
+    ), base AS (
+      SELECT g, v, row_number() OVER (ORDER BY v, g) AS rid FROM two
+    ), obs AS (
+      SELECT CAST(sum(CASE WHEN g = 'purchase' THEN v ELSE 0 END)
+               AS BIGINT) AS sa,
+             CAST(sum(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS na,
+             CAST(sum(v) AS BIGINT) AS tot,
+             CAST(count(*) AS BIGINT) AS n
+      FROM base
+    ), shuffled AS (
+      SELECT r.rep, b.v,
+             row_number() OVER (PARTITION BY r.rep
+               ORDER BY md5(CAST(b.rid AS VARCHAR) || '|'
+                            || CAST(r.rep AS VARCHAR)), b.rid) AS pos
+      FROM base b
+      CROSS JOIN (SELECT unnest(generate_series(1, 200)) AS rep) r
+    ), per AS (
+      SELECT s.rep, CAST(sum(s.v) AS BIGINT) AS sar
+      FROM shuffled s CROSS JOIN obs o
+      WHERE s.pos <= o.na GROUP BY s.rep
+    ), agg AS (
+      SELECT CAST(sum(CASE WHEN abs(p.sar * o.n - o.tot * o.na)
+                  >= abs(o.sa * o.n - o.tot * o.na)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_ge
+      FROM per p CROSS JOIN obs o
+    )
+    SELECT o.na AS n_a, o.n - o.na AS n_b,
+           round(CAST(o.sa AS DOUBLE) / o.na, 6) AS mean_a,
+           round(CAST(o.tot - o.sa AS DOUBLE) / (o.n - o.na), 6)
+             AS mean_b,
+           round(CAST(o.sa AS DOUBLE) / o.na
+                 - CAST(o.tot - o.sa AS DOUBLE) / (o.n - o.na), 6)
+             AS diff,
+           CAST(200 AS BIGINT) AS n_perm, a.n_ge,
+           round((a.n_ge + 1.0) / 201.0, 6) AS p_value
+    FROM obs o CROSS JOIN agg a
+    """,
+)
+def x44_permutation_test(spark, sf_dir):
+    """Exact-permutation mean test, purchase vs click cents
+    (permutation_test) — the assumption-free member closing the
+    two-sample family (x32 parametric, x23 rank, x28 shape, this one
+    the mean itself under label exchangeability). Permutations are
+    md5-DETERMINISTIC (rank rows by md5(rid|rep) within each of 200
+    reps — true permutations, group sizes exact), so BOTH engines
+    replay the identical shuffles and even the p-value
+    hash-certifies; the ≥-comparison runs in integer cent-sum space
+    (|sa·n − T·na|), no float before the final divisions."""
+    from ixmp_spark.operators.sampling import permutation_test
+
+    ev = load(spark, sf_dir, "events")
+    cents = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    return permutation_test(
+        cents, "event_type", "cents", "purchase", "click", n_perm=200
+    )
+
+
+@query(
+    "g14_burstiness",
+    oracle="""
+    WITH g AS (
+      SELECT user_id AS k,
+             epoch(ts) - epoch(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), agg AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n,
+             sum(gap) AS s1, sum(gap * gap) AS s2
+      FROM g WHERE gap IS NOT NULL GROUP BY k
+    )
+    SELECT k, n AS n_gaps,
+           round(s1 / n, 6) AS mean_gap_s,
+           round(CASE WHEN n >= 2 AND s1 / n > 0 THEN
+             sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0)) / (s1 / n)
+             END, 6) AS cv,
+           round(CASE WHEN n >= 2
+               AND sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0))
+                   + s1 / n > 0 THEN
+             (sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0)) - s1 / n)
+             / (sqrt(greatest(s2 / n - (s1 / n) * (s1 / n), 0)) + s1 / n)
+             END, 6) AS burstiness
+    FROM agg ORDER BY k
+    """,
+)
+def g14_burstiness(spark, sf_dir):
+    """Inter-arrival burstiness per user (interarrival_burstiness) —
+    Goh–Barabási B = (σ−μ)/(σ+μ) over consecutive-event gaps: −1
+    periodic clock, 0 Poisson, →+1 bursty human; the bot-vs-human
+    screen of the session family (g1 cuts at a gap threshold, this
+    reads the whole gap SHAPE). One lag window per user (event_id
+    tiebreak, fractional-epoch seconds — the g1 cast('double')
+    convention) + one aggregation; population σ from Σgap/Σgap²."""
+    from ixmp_spark.operators.sessions import interarrival_burstiness
+
+    ev = load(spark, sf_dir, "events")
+    return interarrival_burstiness(ev, "user_id", "ts", "event_id")
+
+
+@query(
+    "w37_rolling_beta",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d,
+             CAST(count(*) AS DOUBLE) AS x,
+             CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+               AS DOUBLE) AS y
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
+    ), s AS (
+      SELECT d, CAST(count(*) OVER w AS DOUBLE) AS n,
+             sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+             sum(x * x) OVER w AS sxx, sum(x * y) OVER w AS sxy
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT CAST(d AS VARCHAR) AS day, CAST(n AS BIGINT) AS n_in_window,
+           round(CASE WHEN n >= 7 AND n * sxx - sx * sx > 0
+             THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6)
+             AS beta,
+           round(CASE WHEN n >= 7 AND n * sxx - sx * sx > 0
+             THEN (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                  / n END, 6) AS alpha
+    FROM s ORDER BY day
+    """,
+)
+def w37_rolling_beta(spark, sf_dir):
+    """7-day rolling regression beta of daily purchases on daily total
+    events (rolling_beta) — "how sensitive are conversions to overall
+    traffic this week": the slope companion to w33's rolling
+    correlation (same five exact integer-count sums, beta normalizes
+    by the reference variance only). Day-grain frame is date-bounded;
+    warm-up rows NULL; alpha = ȳ − β·x̄."""
+    from ixmp_spark.operators.sampling import rolling_beta
+
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("ts").isNotNull())
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("x"),
+            F.count(F.when(F.col("event_type") == "purchase", 1))
+            .cast("double")
+            .alias("y"),
+        )
+    )
+    return rolling_beta(daily, "day", "x", "y", window=7).withColumn(
+        "day", F.col("day").cast("string")
+    )

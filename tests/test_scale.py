@@ -6909,3 +6909,152 @@ def test_edit_join_auto_q(spark):
         if a != b and lev(a, b) <= 2:
             want[(min(i, j), max(i, j))] = lev(a, b)
     assert got == want and want
+
+
+def test_kendall_tau_hand(spark):
+    """kendall_tau (pins x40): scipy-checkable hand examples — a
+    perfectly concordant series gives tau 1, reversed gives -1, and a
+    tied example matches the hand-computed tau-b; the cell guard
+    raises instead of going quadratic."""
+    import pytest as _pytest
+
+    from ixmp_spark.operators.sampling import kendall_tau
+
+    up = spark.createDataFrame(
+        [(i, 2 * i + 1) for i in range(10)], "x long, y long"
+    )
+    r = kendall_tau(up, "x", "y").collect()[0]
+    assert r["tau_b"] == 1.0 and r["n"] == 10
+    assert r["concordant"] == 45 and r["discordant"] == 0
+
+    down = spark.createDataFrame(
+        [(i, -i) for i in range(10)], "x long, y long"
+    )
+    assert kendall_tau(down, "x", "y").collect()[0]["tau_b"] == -1.0
+
+    # hand tie case: x=(1,1,2,3), y=(1,2,2,3)
+    # pairs: (1,2):x-tie; (1,3):C; (1,4):C; (2,3): dy=0 y-tie;
+    # (2,4):C; (3,4):C -> C=4, D=0, n0=6, n1=1 (x ties), n2=1 (y ties)
+    # tau_b = 4/sqrt(5*5) = 0.8
+    tie = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 2), (3, 3)], "x long, y long"
+    )
+    t = kendall_tau(tie, "x", "y").collect()[0]
+    assert (t["concordant"], t["discordant"]) == (4, 0)
+    assert t["tau_b"] == 0.8
+
+    with _pytest.raises(ValueError, match="max_cells"):
+        big = spark.range(100).selectExpr("id AS x", "id * 7 AS y")
+        kendall_tau(big, "x", "y", max_cells=10)
+
+
+def test_gini_coefficient_hand(spark):
+    """gini_coefficient (pins x41): perfect equality gives 0; extreme
+    concentration approaches (n-1)/n; a textbook example matches."""
+    from ixmp_spark.operators.sampling import gini_coefficient
+
+    eq = spark.createDataFrame(
+        [("g", 5, i) for i in range(4)], "g string, v long, id long"
+    )
+    assert gini_coefficient(eq, "g", "v", "id").collect()[0]["gini"] == 0.0
+
+    conc = spark.createDataFrame(
+        [("g", 0, 1), ("g", 0, 2), ("g", 0, 3), ("g", 100, 4)],
+        "g string, v long, id long",
+    )
+    # all mass on the last of 4: G = 2*4*100/(4*100) - 5/4 = 0.75
+    assert gini_coefficient(conc, "g", "v", "id").collect()[0]["gini"] == 0.75
+
+    # hand: values 1,2,3,4 -> G = 2*(1+4+9+16)/(4*10) - 5/4 = 0.25
+    hand = spark.createDataFrame(
+        [("g", v, v) for v in (1, 2, 3, 4)], "g string, v long, id long"
+    )
+    assert gini_coefficient(hand, "g", "v", "id").collect()[0]["gini"] == 0.25
+
+
+def test_mann_kendall_hand(spark):
+    """mann_kendall_trend (pins x42): a strictly increasing series has
+    S = n(n-1)/2 and positive z; a constant series has S=0, var 0 by
+    the tie correction, z=0; the per-group guard raises."""
+    import pytest as _pytest
+
+    from ixmp_spark.operators.sampling import mann_kendall_trend
+
+    inc = spark.createDataFrame(
+        [("a", t, float(t)) for t in range(10)],
+        "g string, t long, v double",
+    )
+    r = mann_kendall_trend(inc, "g", "t", "v").collect()[0]
+    assert r["s"] == 45 and r["n"] == 10 and r["z"] > 2.5
+
+    flat = spark.createDataFrame(
+        [("a", t, 1.0) for t in range(10)], "g string, t long, v double"
+    )
+    rf = mann_kendall_trend(flat, "g", "t", "v").collect()[0]
+    assert rf["s"] == 0 and rf["var_s"] == 0.0 and rf["z"] == 0.0
+
+    with _pytest.raises(ValueError, match="max_points"):
+        mann_kendall_trend(inc, "g", "t", "v", max_points=5)
+
+
+def test_burstiness_hand(spark):
+    """interarrival_burstiness (pins g14): a periodic clock gives
+    B = -1 (sigma 0); NULL contract for single-gap users."""
+    from ixmp_spark.operators.sessions import interarrival_burstiness
+
+    rows = [("clock", f"2024-01-01 00:{m:02d}:00", m) for m in range(10)]
+    rows += [("once", "2024-01-01 00:00:00", 0),
+             ("once", "2024-01-01 00:05:00", 1)]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts_s string, event_id long"
+    ).selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "event_id")
+    got = {r["k"]: r for r in interarrival_burstiness(df).collect()}
+    c = got["clock"]
+    assert c["n_gaps"] == 9 and c["mean_gap_s"] == 60.0
+    assert c["cv"] == 0.0 and c["burstiness"] == -1.0
+    o = got["once"]
+    assert o["n_gaps"] == 1 and o["cv"] is None and o["burstiness"] is None
+
+
+def test_permutation_test_sanity(spark):
+    """permutation_test (pins x44): identical groups give a
+    non-significant p; planted large shift gives the minimum
+    attainable p = 1/(n_perm+1); determinism across invocations."""
+    from ixmp_spark.operators.sampling import permutation_test
+
+    same = spark.createDataFrame(
+        [("a", v) for v in range(50)] + [("b", v) for v in range(50)],
+        "g string, v long",
+    )
+    r = permutation_test(same, "g", "v", "a", "b", n_perm=99).collect()[0]
+    assert r["diff"] == 0.0 and r["p_value"] > 0.5
+
+    shift = spark.createDataFrame(
+        [("a", v) for v in range(50)]
+        + [("b", v + 1000) for v in range(50)],
+        "g string, v long",
+    )
+    s1 = permutation_test(shift, "g", "v", "a", "b", n_perm=99).collect()[0]
+    s2 = permutation_test(shift, "g", "v", "a", "b", n_perm=99).collect()[0]
+    assert s1["p_value"] == s2["p_value"] == 0.01  # 1/(99+1)
+    assert s1["n_ge"] == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty"):
+        permutation_test(same, "g", "v", "a", "zzz")
+
+
+def test_rolling_beta_hand(spark):
+    """rolling_beta (pins w37): y = 2x + 3 exactly gives beta 2,
+    alpha 3 once the window is warm; warm-up rows NULL."""
+    from ixmp_spark.operators.sampling import rolling_beta
+
+    df = spark.createDataFrame(
+        [(t, float(t % 5 + 1), 2.0 * (t % 5 + 1) + 3.0) for t in range(10)],
+        "t long, x double, y double",
+    )
+    rows = rolling_beta(df, "t", "x", "y", window=3).collect()
+    assert rows[0]["beta"] is None and rows[1]["beta"] is None
+    warm = [r for r in rows if r["beta"] is not None]
+    assert warm and all(r["beta"] == 2.0 and r["alpha"] == 3.0 for r in warm)
+
