@@ -1131,3 +1131,97 @@ def test_resample_ffill_matches_pandas(spark, pts, step):
     for r, (ts, v) in zip(got, want.items()):
         assert r["bucket_ts"] == ts.to_pydatetime()
         assert abs(r["value"] - round(v, 6)) < 5e-6, (r, v)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 20), st.integers(0, 20)),
+        min_size=2,
+        max_size=40,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_kendall_tau_bounds_and_antisymmetry(pairs):
+    """Property (pins x40's operator): tau_b ∈ [-1, 1] whenever defined,
+    and negating y negates tau exactly (C and D swap). Spark-free
+    replay of the operator's cell arithmetic."""
+    from collections import Counter
+
+    def tau_parts(pts):
+        cells = Counter(pts)
+        items = sorted(cells.items())
+        C = D = 0
+        for i, ((x1, y1), c1) in enumerate(items):
+            for (x2, y2), c2 in items[i + 1:]:
+                if x2 == x1:
+                    continue
+                d = (y2 - y1) * (x2 - x1)
+                if d > 0:
+                    C += c1 * c2
+                elif d < 0:
+                    D += c1 * c2
+        n = len(pts)
+        n0 = n * (n - 1) // 2
+        tx = Counter(x for x, _ in pts)
+        ty = Counter(y for _, y in pts)
+        n1 = sum(t * (t - 1) // 2 for t in tx.values())
+        n2 = sum(t * (t - 1) // 2 for t in ty.values())
+        den = ((n0 - n1) * (n0 - n2)) ** 0.5
+        return C, D, (C - D) / den if den > 0 else None
+
+    C, D, tau = tau_parts(pairs)
+    Cn, Dn, taun = tau_parts([(x, -y) for x, y in pairs])
+    assert (Cn, Dn) == (D, C)
+    if tau is not None:
+        assert -1.0000001 <= tau <= 1.0000001
+        assert abs(taun + tau) < 1e-12
+
+
+@given(st.lists(st.integers(0, 10**6), min_size=1, max_size=60))
+@settings(max_examples=25, deadline=None)
+def test_gini_bounds(values):
+    """Property (pins x41's formula): with the rank formula over any
+    non-negative values, G ∈ [0, (n−1)/n]; 0 iff all values equal
+    (when total > 0)."""
+    xs = sorted(values)
+    n, tot = len(xs), sum(xs)
+    if tot == 0:
+        return
+    g = 2 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * tot) - (
+        n + 1
+    ) / n
+    assert -1e-9 <= g <= (n - 1) / n + 1e-9
+    if len(set(xs)) == 1:
+        assert abs(g) < 1e-12
+
+
+@given(st.lists(st.integers(0, 5), min_size=3, max_size=30))
+@settings(max_examples=25, deadline=None)
+def test_mann_kendall_antisymmetry(series):
+    """Property (pins x42's S): S(series) == -S(reversed series) — the
+    pairwise sign statistic is exactly antisymmetric under time
+    reversal, ties included."""
+
+    def s_stat(v):
+        return sum(
+            (v[j] > v[i]) - (v[j] < v[i])
+            for i in range(len(v))
+            for j in range(i + 1, len(v))
+        )
+
+    assert s_stat(series) == -s_stat(series[::-1])
+
+
+@given(st.lists(st.integers(1, 10**5), min_size=2, max_size=50))
+@settings(max_examples=25, deadline=None)
+def test_burstiness_bounds(gaps):
+    """Property (pins g14's B): population-σ burstiness ∈ [-1, 1) for
+    positive gaps, exactly -1 iff all gaps equal."""
+    n = len(gaps)
+    mu = sum(gaps) / n
+    var = sum(g * g for g in gaps) / n - mu * mu
+    sd = max(var, 0.0) ** 0.5
+    b = (sd - mu) / (sd + mu)
+    assert -1.0 - 1e-9 <= b < 1.0
+    if len(set(gaps)) == 1:
+        assert abs(b + 1.0) < 1e-9
