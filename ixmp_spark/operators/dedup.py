@@ -1543,3 +1543,131 @@ def lsh_parameter_plan(
             F.round(p, 6).alias(f"p_at_{str(s).replace('.', '_')}")
         )
     return grid.select(*cols).orderBy("threshold_gap", "bands")
+
+
+def jaccard_prefix_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    n: int = 3,
+    storage_level=None,
+    max_bucket: int | None = None,
+    on_hot: str = "raise",
+) -> DataFrame:
+    """EXACT set-similarity self-join: all document pairs with shingle
+    Jaccard ≥ ``threshold`` — no blocking keys (d2's limitation), no
+    probabilistic recall (d3's trade). The AllPairs/PPJoin prefix
+    filter (Bayardo et al., WWW'07; Vernica et al., SIGMOD'10 —
+    public) as a first-class operator, generalizing the short-doc
+    routing inside minhash_lsh_neardup to the WHOLE corpus: rank each
+    doc's shingle hashes by (global frequency, hash) and index only
+    the first sz − ⌈t·sz⌉ + 1 — two sets with Jaccard ≥ t must share
+    min(A∩B) inside BOTH prefixes (if min(A∩B) sat outside A's
+    prefix, all of A∩B would fit in A's ⌈t·sz⌉−1 tail, contradicting
+    |A∩B| ≥ t·|A∪B| ≥ ⌈t·|A|⌉).
+
+    Completes the dedup-join triad: d2 = exact within blocks
+    (quadratic per block), d3 = probabilistic unblocked (LSH), this =
+    exact unblocked. Candidate volume is bounded by prefix-gram
+    selectivity, NOT by a block size — rarest-first ordering makes
+    hot grams structurally unindexed for long docs, and the residual
+    hot-gram risk obeys the same ``max_bucket``/``on_hot`` discipline
+    as the LSH buckets. The quadratic worst case (a corpus of
+    near-identical docs) hits the guard, never silence.
+
+    Plan: shingle-hash once (persisted — the minhash_lsh_neardup
+    discipline), one gram-frequency aggregation, one rank window,
+    prefix-keyed self-join (id_a < id_b, Jaccard-feasible size band
+    t·|B| ≤ |A|), exact-Jaccard verify against the persisted arrays.
+    Output: (id_a, id_b, jaccard) rounded 6.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    if on_hot not in ("raise", "drop"):
+        raise ValueError(f"on_hot must be 'raise' or 'drop', got {on_hot!r}")
+    par = df.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        df.repartition(par)
+        .select(
+            F.col(id_col),
+            F.transform(
+                shingles(text_col, n), lambda s: F.xxhash64(s)
+            ).alias("sh"),
+        )
+        .where(F.size("sh") >= 1)
+        .persist(_level(storage_level))
+    )
+    ex = sh.select(
+        F.col(id_col).alias("__id"),
+        F.size("sh").alias("__sz"),
+        F.explode("sh").alias("__g"),
+    )
+    freq = ex.groupBy("__g").agg(F.count(F.lit(1)).alias("__f"))
+    wnd = Window.partitionBy("__id").orderBy(F.asc("__f"), F.asc("__g"))
+    t = F.lit(float(threshold))
+    prefix = (
+        ex.join(freq, "__g")
+        .withColumn("__rk", F.row_number().over(wnd))
+        .where(F.col("__rk") <= F.col("__sz") - F.ceil(t * F.col("__sz")) + 1)
+        .select("__id", "__sz", "__g")
+        .persist(_level(storage_level))
+    )
+    try:
+        if max_bucket is not None:
+            gsize = prefix.groupBy("__g").agg(
+                F.count(F.lit(1)).alias("__n")
+            )
+            if on_hot == "raise":
+                hot = (
+                    gsize.where(F.col("__n") > max_bucket).limit(5).collect()
+                )
+                if hot:
+                    raise ValueError(
+                        f"prefix gram groups over max_bucket={max_bucket}:"
+                        f" {[(r['__g'], r['__n']) for r in hot]};"
+                        ' use on_hot="drop" or exact-dedup first'
+                    )
+            else:
+                prefix_f = prefix.join(
+                    gsize.where(F.col("__n") <= max_bucket).select("__g"),
+                    "__g",
+                )
+            prefix_j = prefix if on_hot == "raise" else prefix_f
+        else:
+            prefix_j = prefix
+    except BaseException:
+        sh.unpersist()
+        prefix.unpersist()
+        raise
+    pa = prefix_j.select(
+        F.col("__id").alias("id_a"), F.col("__sz").alias("__sza"), "__g"
+    )
+    pb = prefix_j.select(
+        F.col("__id").alias("id_b"), F.col("__sz").alias("__szb"), "__g"
+    )
+    cand = (
+        pa.join(pb, "__g")
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.least("__sza", "__szb") >= t * F.greatest("__sza", "__szb"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    from ixmp_spark.operators import attach_caches
+
+    return attach_caches(
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", F.round(jac, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard"),
+        sh,
+        prefix,
+    )

@@ -2783,3 +2783,63 @@ def interarrival_burstiness(
         )
         .orderBy("k")
     )
+
+
+def path_entropy(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Per-user journey predictability: Shannon entropy of the user's
+    OWN transition distribution (src→dst bigrams over their
+    time-ordered events) — 0 bits for a user who always follows the
+    same edge, log2(#distinct edges) for one spreading evenly. The
+    per-actor member of the transition family (g5 = the corpus
+    matrix, g12 = corpus edge surprise, g13 = global equilibrium;
+    this = how deterministic is EACH actor), and the
+    scripted-traffic screen that complements g14's timing-based
+    burstiness with a structure-based readout.
+
+    One lead window per user (NULL key/ts excluded first, order_col
+    tiebreak) → one (user, src, dst) count aggregation → one per-user
+    fold using the same one-pass identity as t21:
+    H = log2(n) − Σ c·log2(c)/n. ``norm_entropy`` divides by
+    log2(#distinct edges) (NULL when the user has one distinct edge —
+    0/0 is "trivially deterministic", not a ratio). Users with no
+    transitions (single event) emit no row.
+    Output: (user, n_transitions, n_distinct_transitions,
+    entropy_bits, norm_entropy) rounded 6, sorted by user.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    steps = (
+        df.where(
+            F.col(user_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+            & F.col(event_col).isNotNull()
+        )
+        .select(
+            F.col(user_col).alias("k"),
+            F.col(event_col).alias("_s"),
+            F.lead(event_col).over(w).alias("_d"),
+        )
+        .where(F.col("_d").isNotNull())
+        .groupBy("k", "_s", "_d")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    n = F.sum("_c").cast("double")
+    d = F.count(F.lit(1))
+    ent = F.log2(n) - F.sum(F.col("_c") * F.log2("_c")) / n
+    return (
+        steps.groupBy("k")
+        .agg(
+            F.sum("_c").cast("long").alias("n_transitions"),
+            d.cast("long").alias("n_distinct_transitions"),
+            F.round(ent, 6).alias("entropy_bits"),
+            F.round(
+                F.when(d >= 2, ent / F.log2(d.cast("double"))), 6
+            ).alias("norm_entropy"),
+        )
+        .orderBy("k")
+    )

@@ -6436,3 +6436,93 @@ def w37_rolling_beta(spark, sf_dir):
     return rolling_beta(daily, "day", "x", "y", window=7).withColumn(
         "day", F.col("day").cast("string")
     )
+
+
+@query(
+    "d14_jaccard_prefix_join",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+               'g')), ' ') AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, g FROM (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 range(1, greatest(len(w) - 2, 1) + 1),
+                 i -> array_to_string(w[i:i+2], ' ')))) AS g
+        FROM toks
+      )
+    ), sizes AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY 1
+    ), inter AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib,
+             CAST(count(*) AS BIGINT) AS i
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT ia AS id_a, ib AS id_b,
+           round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON ia = sa.doc_id
+    JOIN sizes sb ON ib = sb.doc_id
+    WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5
+    """,
+)
+def d14_jaccard_prefix_join(spark, sf_dir):
+    """EXACT unblocked set-similarity self-join (jaccard_prefix_join,
+    word-trigram shingles, t=0.5) — completes the dedup-join triad: d2
+    is exact WITHIN (lang, source) blocks, d3 is probabilistic
+    unblocked, this is exact unblocked via the AllPairs/PPJoin prefix
+    filter (index only each doc's sz−⌈t·sz⌉+1 globally-rarest
+    shingles; min(A∩B) provably lands in both prefixes). The oracle is
+    the brute-force truth — every shared-shingle pair, exact Jaccard —
+    so the driver hash certifies that prefix filtering loses NOTHING.
+    The operator's Jaccard runs on 64-bit shingle hashes (cardinality-
+    identical to the oracle's string sets barring 2⁻⁶⁴ collisions)."""
+    from ixmp_spark.operators.dedup import jaccard_prefix_join
+
+    docs = load(spark, sf_dir, "documents")
+    return jaccard_prefix_join(docs, "doc_id", "text", threshold=0.5, n=3)
+
+
+@query(
+    "g15_path_entropy",
+    oracle="""
+    WITH steps AS (
+      SELECT user_id AS k, event_type AS s,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS d
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IS NOT NULL
+    ), cnt AS (
+      SELECT k, s, d, CAST(count(*) AS BIGINT) AS c
+      FROM steps WHERE d IS NOT NULL GROUP BY k, s, d
+    )
+    SELECT k, CAST(sum(c) AS BIGINT) AS n_transitions,
+           CAST(count(*) AS BIGINT) AS n_distinct_transitions,
+           round(log2(CAST(sum(c) AS DOUBLE))
+                 - sum(c * log2(CAST(c AS DOUBLE)))
+                   / CAST(sum(c) AS DOUBLE), 6) AS entropy_bits,
+           round(CASE WHEN count(*) >= 2 THEN
+             (log2(CAST(sum(c) AS DOUBLE))
+              - sum(c * log2(CAST(c AS DOUBLE)))
+                / CAST(sum(c) AS DOUBLE))
+             / log2(CAST(count(*) AS DOUBLE)) END, 6) AS norm_entropy
+    FROM cnt GROUP BY k ORDER BY k
+    """,
+)
+def g15_path_entropy(spark, sf_dir):
+    """Per-user transition entropy (path_entropy) — "how deterministic
+    is each actor's journey": 0 bits = always the same edge,
+    log2(#edges) = uniform spread; the per-actor member of the
+    transition family (g5 corpus matrix, g12 edge surprise, g13
+    global equilibrium) and the structure-based scripted-traffic
+    screen complementing g14's timing-based burstiness. One lead
+    window + one count aggregation + the one-pass entropy identity."""
+    from ixmp_spark.operators.sessions import path_entropy
+
+    ev = load(spark, sf_dir, "events")
+    return path_entropy(ev, "user_id", "ts", "event_type", "event_id")

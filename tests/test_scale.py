@@ -7058,3 +7058,103 @@ def test_rolling_beta_hand(spark):
     warm = [r for r in rows if r["beta"] is not None]
     assert warm and all(r["beta"] == 2.0 and r["alpha"] == 3.0 for r in warm)
 
+
+
+def test_jaccard_prefix_join_planted(spark):
+    """jaccard_prefix_join (pins d14): output equals the brute-force
+    Jaccard truth on a planted corpus with near-dups, disjoint docs,
+    and sub-n-word short docs; the hot-gram guard raises on a
+    boilerplate corpus and drop-mode keeps benign pairs."""
+    import itertools
+
+    import pytest as _pytest
+
+    from ixmp_spark.operators.dedup import jaccard_prefix_join
+
+    def jac(a, b, n=3):
+        def sh(s):
+            w = s.split()
+            return {" ".join(w[i:i + n]) for i in range(max(1, len(w) - n + 1))}
+        A, B = sh(a), sh(b)
+        return len(A & B) / len(A | B)
+
+    corpus = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "the quick brown fox jumps over the lazy dog today",
+        "pack my box with five dozen liquor jugs right now",
+        "pack my box with five dozen liquor jugs right here",
+        "completely unrelated text about spark catalyst planning",
+        "ab",  # shorter than one shingle
+        "ab",  # exact duplicate of a short doc (jaccard 1)
+    ] + [
+        f"filler document {i} " + " ".join(f"u{i}w{j}" for j in range(30))
+        for i in range(20)
+    ]
+    rows = [(i, s) for i, s in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = {
+        (i, j): round(jac(a, b), 6)
+        for (i, a), (j, b) in itertools.combinations(rows, 2)
+        if jac(a, b) >= 0.5
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_prefix_join(
+            df, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert got == want
+    assert (5, 6) in want and want[(5, 6)] == 1.0  # short exact pair
+    assert (0, 1) in want  # near-dup pair
+
+    boiler = spark.range(80).selectExpr(
+        "id AS doc_id",
+        "'same boilerplate body repeated in every single document"
+        " verbatim' AS text",
+    )
+    with _pytest.raises(ValueError, match="max_bucket"):
+        jaccard_prefix_join(
+            boiler, "doc_id", "text", max_bucket=30
+        ).collect()
+    kept = jaccard_prefix_join(
+        df.unionByName(
+            boiler.selectExpr("doc_id + 1000 AS doc_id", "text")
+        ),
+        "doc_id",
+        "text",
+        threshold=0.5,
+        max_bucket=30,
+        on_hot="drop",
+    ).collect()
+    gotd = {(r["id_a"], r["id_b"]) for r in kept}
+    assert not any(a >= 1000 and b >= 1000 for a, b in gotd)
+    assert (0, 1) in gotd  # benign pairs survive the drop
+
+
+def test_path_entropy_hand(spark):
+    """path_entropy (pins g15): a one-edge loop gives 0 bits (and NULL
+    norm); a uniform two-edge user gives exactly 1 bit, norm 1;
+    single-event users emit no row."""
+    from ixmp_spark.operators.sessions import path_entropy
+
+    rows = []
+    # loop user: a->a->a->a (3 transitions, all a->a)
+    for i in range(4):
+        rows.append(("loop", f"2024-01-01 00:0{i}:00", i, "a"))
+    # mix user: a->b, b->a, a->b, b->a (2 distinct edges, 2 each)
+    for i, e in enumerate(["a", "b", "a", "b", "a"]):
+        rows.append(("mix", f"2024-01-01 01:0{i}:00", i, e))
+    rows.append(("solo", "2024-01-01 02:00:00", 0, "a"))
+    df = spark.createDataFrame(
+        rows, "user_id string, ts_s string, event_id long, event_type string"
+    ).selectExpr(
+        "user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "event_id", "event_type"
+    )
+    got = {r["k"]: r for r in path_entropy(df).collect()}
+    assert set(got) == {"loop", "mix"}  # solo emits no row
+    lo = got["loop"]
+    assert lo["n_transitions"] == 3 and lo["n_distinct_transitions"] == 1
+    assert lo["entropy_bits"] == 0.0 and lo["norm_entropy"] is None
+    mx = got["mix"]
+    assert mx["n_transitions"] == 4 and mx["n_distinct_transitions"] == 2
+    assert mx["entropy_bits"] == 1.0 and mx["norm_entropy"] == 1.0
