@@ -113,6 +113,11 @@ BENCH_QUERIES = [
     # cumulative window) and Cohen's kappa (category-grid agreement)
     "x28_ks_test",
     "x33_cohens_kappa",
+    # round 11 addition: the exact unblocked set-similarity join (the
+    # AllPairs prefix filter — gram-frequency agg + rank window +
+    # prefix-keyed self-join; the dedup triad's exact-unblocked member
+    # whose candidate volume, not row count, is the cost driver)
+    "d14_jaccard_prefix_join",
 ]
 # NOT in the headline set: t12_bpe_merges — an iterative trainer whose
 # cost is n_merges × per-iteration job latency (driver-loop bound, not

@@ -303,6 +303,7 @@ def _short_doc_pairs(
     threshold: float,
     max_bucket: int | None,
     on_hot: str,
+    storage_level=None,
 ) -> DataFrame | None:
     """Exact prefix-filter candidate pairs for SHORT documents (see
     minhash_lsh_neardup's routing contract): over the persisted
@@ -342,7 +343,8 @@ def _short_doc_pairs(
     )
     # persisted: BOTH join sides below read it, and the guard scan
     # would otherwise recompute the freq join + rank window three times
-    prefix = prefix.persist()
+    # (honors the caller's storage_level knob — the passthrough test)
+    prefix = prefix.persist(_level(storage_level))
     cached = prefix  # release handle (the drop branch rebinds `prefix`)
     if max_bucket is not None:
         gsize = prefix.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
@@ -523,7 +525,8 @@ def minhash_lsh_neardup(
     lsh_caches = list(getattr(pairs, "_ixmp_spark_caches", ()))
     try:
         short_pairs = _short_doc_pairs(
-            sh, id_col, short_min, threshold, max_bucket, on_hot
+            sh, id_col, short_min, threshold, max_bucket, on_hot,
+            storage_level=storage_level,
         )
     except BaseException:
         sh.unpersist()

@@ -2631,15 +2631,20 @@ def kendall_tau(
     tau-b denominator). The spec reference is scipy.stats.kendalltau's
     tau-b definition (public).
 
-    Scale contract (the x22/x28 value-domain-bounded discipline): rows
-    collapse to the distinct (x, y) CELL grid with counts in one
-    aggregation — callers quantize continuous values first, so the
-    grid is domain-bounded, never row-bounded. The quadratic stage
-    (cell×cell comparison) runs on the GRID self-join, guarded by
-    ``max_cells`` (converge-or-raise, the markov/edit-join rule).
-    Concordant/discordant weights stay in exact integer space
-    (ca·cb sums under 2^62); the single sqrt/division happens once at
-    the end, so the driver hash certifies tau.
+    Scale contract (the x22/x27 bounded-block regime, the
+    markov_stationary shape): rows collapse to the distinct (x, y)
+    CELL grid with counts in ONE aggregation — callers quantize
+    continuous values first, so the grid is domain-bounded, never
+    row-bounded — and the grid COLLECTS (guarded by ``max_cells``,
+    converge-or-raise), so the quadratic cell×cell stage runs as exact
+    Python integers on the driver with zero per-pair Spark jobs. (The
+    first cut ran the pair stage as a grid self-join: a
+    BroadcastNestedLoopJoin — the ordering condition has no equi-key —
+    plus 11 exchanges from four consumers of the cell frame; the plan
+    audit flagged it, and for a ≤max_cells² space the driver block is
+    the cheaper AND cleaner plan.) The one sqrt/division happens in
+    Spark SQL on the exact integer sums, so the driver hash certifies
+    tau and both engines round identically.
 
     tau_b = (C − D) / sqrt((n0 − n1)(n0 − n2)) with n0 = n(n−1)/2,
     n1 = Σ_x tx(tx−1)/2 (ties in x incl. within-cell), n2 likewise
@@ -2652,63 +2657,47 @@ def kendall_tau(
         )
         .agg(F.count(F.lit(1)).alias("_c"))
     )
-    n_cells = cells.limit(max_cells + 1).count()
-    if n_cells > max_cells:
+    rows = cells.limit(max_cells + 1).collect()
+    if len(rows) > max_cells:
         raise ValueError(
-            f"kendall_tau: {n_cells}+ distinct (x, y) cells exceed "
+            f"kendall_tau: {len(rows)}+ distinct (x, y) cells exceed "
             f"max_cells={max_cells} — quantize the value domains first"
         )
-    a, b = cells.alias("_a"), cells.alias("_b")
-    # strict (x, y) lexicographic order halves the pair space; each
-    # unordered cell pair appears exactly once
-    lt = (F.col("_a._x") < F.col("_b._x")) | (
-        (F.col("_a._x") == F.col("_b._x"))
-        & (F.col("_a._y") < F.col("_b._y"))
+    pts = sorted((r["_x"], r["_y"], r["_c"]) for r in rows)
+    conc = disc = 0
+    for i, (x1, y1, c1) in enumerate(pts):
+        for x2, y2, c2 in pts[i + 1:]:
+            if x2 == x1:
+                continue  # x-tie: neither concordant nor discordant
+            if y2 > y1:
+                conc += c1 * c2
+            elif y2 < y1:
+                disc += c1 * c2
+    n = sum(c for _, _, c in pts)
+    tx: dict = {}
+    ty: dict = {}
+    for x, y, c in pts:
+        tx[x] = tx.get(x, 0) + c
+        ty[y] = ty.get(y, 0) + c
+    n1 = sum(t * (t - 1) // 2 for t in tx.values())
+    n2 = sum(t * (t - 1) // 2 for t in ty.values())
+    spark = df.sparkSession
+    raw = spark.createDataFrame(
+        [(int(n), int(conc), int(disc), int(n1), int(n2))],
+        "n long, concordant long, discordant long, _n1 long, _n2 long",
     )
-    w = F.col("_a._c") * F.col("_b._c")
-    dx = F.col("_b._x") - F.col("_a._x")
-    dy = F.col("_b._y") - F.col("_a._y")
-    pair = a.join(b, lt).agg(
-        F.sum(F.when((dx != 0) & (dy * dx > 0), w).otherwise(0))
-        .cast("long")
-        .alias("concordant"),
-        F.sum(F.when((dx != 0) & (dy * dx < 0), w).otherwise(0))
-        .cast("long")
-        .alias("discordant"),
-    )
-    marg = cells.agg(F.sum("_c").cast("long").alias("_n"))
-    tx = (
-        cells.groupBy("_x")
-        .agg(F.sum("_c").alias("_t"))
-        .agg(
-            F.sum(F.col("_t") * (F.col("_t") - 1) / 2)
-            .cast("long")
-            .alias("n1")
-        )
-    )
-    ty = (
-        cells.groupBy("_y")
-        .agg(F.sum("_c").alias("_t"))
-        .agg(
-            F.sum(F.col("_t") * (F.col("_t") - 1) / 2)
-            .cast("long")
-            .alias("n2")
-        )
-    )
-    out = pair.crossJoin(marg).crossJoin(tx).crossJoin(ty)
-    n = F.col("_n")
-    n0 = (n * (n - 1) / 2).cast("long")
+    n0 = (F.col("n") * (F.col("n") - 1) / 2).cast("long")
     # the (n0−n1)·(n0−n2) product goes through double — at n ≈ 2^31 the
     # long product would overflow and ANSI mode RAISES, and sqrt eats
     # the precision anyway
     denom = F.sqrt(
-        (n0 - F.col("n1")).cast("double")
-        * (n0 - F.col("n2")).cast("double")
+        (n0 - F.col("_n1")).cast("double")
+        * (n0 - F.col("_n2")).cast("double")
     )
-    return out.select(
-        n.alias("n"),
-        F.col("concordant"),
-        F.col("discordant"),
+    return raw.select(
+        "n",
+        "concordant",
+        "discordant",
         F.round(
             F.when(
                 denom > 0,
@@ -2793,6 +2782,11 @@ def mann_kendall_trend(
         df.where(F.col(t_col).isNotNull() & F.col(value_col).isNotNull())
         .groupBy(F.col(group_col).alias("g"), F.col(t_col).alias("_t"))
         .agg(F.sum(value_col).alias("_v"))
+        # three consumers (guard, both self-join sides, ties) — the
+        # lazy checkpoint materializes the month-grain frame once and
+        # keeps the plan inside the audit's exchange budget (the x5
+        # shared-frame discipline)
+        .localCheckpoint(eager=False)
     )
     over = (
         pts.groupBy("g")

@@ -1250,6 +1250,98 @@ def main_dedup_pipeline() -> None:
 
 
 
+def main_jaccard_join() -> None:
+    """jaccard_prefix_join scale rehearsal (r11 — the operator is
+    EXACT, so like --edit-join the claims are truth-recall by
+    construction plus a candidate-selectivity curve): amplified
+    documents corpora at growing factors, recording wall seconds,
+    result pairs, the quadratic upper bound the prefix filter avoids,
+    and whether the hot-gram guard fires on realistic amplified skew.
+
+        python tools/scale_rehearsal.py --jaccard-join [sf_dir] [factors...]
+
+    Truth check at every factor: the result must contain every
+    (original, near-dup-variant) pair amplify() plants (those are
+    high-Jaccard by construction) — a recall floor from planted
+    structure, cheaper than the full brute force the d14 oracle runs
+    at sf0.01. Committed as REHEARSAL_jaccardjoin_r{N}.json.
+    """
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    factors = [int(x) for x in sys.argv[3:]] or [10, 50]
+
+    from ixmp_spark.operators.dedup import exact_dedup, jaccard_prefix_join
+
+    spark = get_spark("jaccard_join_rehearsal")
+    base = load(spark, sf_dir, "documents")
+    out: list[dict] = []
+    for factor in factors:
+        row: dict = {"factor": factor, "guards": []}
+        docs = amplify(base, factor).repartition(
+            spark.sparkContext.defaultParallelism
+        ).persist()
+        # exact-dedup first (the pipeline order d1 -> d14): identical
+        # bodies would otherwise be one giant hot prefix group
+        survivors = exact_dedup(docs, text_col="text", id_col="doc_id")
+        corpus = docs.join(
+            survivors.select("doc_id"), "doc_id", "semi"
+        ).persist()
+        n = corpus.count()
+        row["n_docs"] = n
+        t0 = time.time()
+        try:
+            pairs = jaccard_prefix_join(
+                corpus, "doc_id", "text", threshold=0.5,
+                max_bucket=200 * factor, on_hot="raise",
+            ).persist()
+            n_pairs = pairs.count()
+        except Exception as e:  # noqa: BLE001 — the guard IS the finding
+            row["guards"].append(f"prefix max_bucket: {e}")
+            pairs = jaccard_prefix_join(
+                corpus, "doc_id", "text", threshold=0.5,
+                max_bucket=200 * factor, on_hot="drop",
+            ).persist()
+            n_pairs = pairs.count()
+        row["wall_s"] = round(time.time() - t0, 2)
+        row["result_pairs"] = n_pairs
+        row["quadratic_upper_bound"] = n * (n - 1) // 2
+        # exactness sanity: every returned pair really is >= threshold
+        row["min_jaccard"] = float(
+            pairs.agg(F.min("jaccard")).collect()[0][0] or 0.0
+        )
+        # planted-recall floor: replica r > 0 of base doc b has id
+        # b*factor + r and text = base + one appended token — Jaccard
+        # vs the original (id b*factor) ≈ (sz-?)/(sz+1) >> 0.5 for the
+        # corpus's 10+-word docs, so EVERY surviving (original,
+        # near-dup replica) pair must be in the result
+        planted = (
+            corpus.selectExpr(
+                "doc_id AS id_b",
+                f"CAST(floor(doc_id / {factor}) AS LONG) AS _b",
+                f"doc_id % {factor} AS _r",
+            )
+            .where(
+                (F.col("_r") != 0)  # replica, not the original
+                # exact-dup replicas fell to d1, not near-dups
+                & ~((F.col("_b") % 10 == 0) & (F.col("_r") % 10 == 0))
+            )
+            .selectExpr(f"_b * {factor} AS id_a", "id_b")
+            .join(corpus.selectExpr("doc_id AS id_a"), "id_a", "semi")
+        )
+        n_planted = planted.count()
+        n_found = planted.join(
+            pairs.select("id_a", "id_b"), ["id_a", "id_b"], "semi"
+        ).count()
+        row["planted_pairs"] = n_planted
+        row["planted_found"] = n_found
+        row["recall_planted"] = round(n_found / max(1, n_planted), 6)
+        pairs.unpersist()
+        corpus.unpersist()
+        docs.unpersist()
+        out.append(row)
+        print(f"-- {row}", file=sys.stderr)
+    print(json.dumps({"sf_dir": sf_dir, "jaccard_join": out}))
+
+
 def main_edit_join() -> None:
     """edit_distance_join scale rehearsal (r10 — the operator is exact,
     so unlike LSH the claims are recall = 1.0 BY CONSTRUCTION plus a
@@ -1386,5 +1478,7 @@ if __name__ == "__main__":
         main_dedup_pipeline()
     elif len(sys.argv) > 1 and sys.argv[1] == "--edit-join":
         main_edit_join()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--jaccard-join":
+        main_jaccard_join()
     else:
         main()
