@@ -1557,6 +1557,7 @@ def jaccard_prefix_join(
     storage_level=None,
     max_bucket: int | None = None,
     on_hot: str = "raise",
+    max_candidates: int | None = 200_000_000,
 ) -> DataFrame:
     """EXACT set-similarity self-join: all document pairs with shingle
     Jaccard ≥ ``threshold`` — no blocking keys (d2's limitation), no
@@ -1576,8 +1577,25 @@ def jaccard_prefix_join(
     selectivity, NOT by a block size — rarest-first ordering makes
     hot grams structurally unindexed for long docs, and the residual
     hot-gram risk obeys the same ``max_bucket``/``on_hot`` discipline
-    as the LSH buckets. The quadratic worst case (a corpus of
-    near-identical docs) hits the guard, never silence.
+    as the LSH buckets.
+
+    TWO guards, because the operator has two failure regimes (both
+    converge-or-raise — the quadratic case hits a guard, never
+    silence or an OOM): ``max_bucket`` bounds a single hot gram's
+    group, and ``max_candidates`` bounds the RAW JOIN VOLUME
+    Σ_g n(g)² estimated from the prefix index BEFORE the join runs —
+    the r11 --jaccard-join rehearsal's factor-50 corpus (every doc in
+    a ~50-strong near-dup family, so families share whole prefixes)
+    kept every per-gram group under max_bucket yet accumulated ~325M
+    raw join rows and OOM-killed the JVM; that regime is
+    near-duplication so heavy that an EXACT join is the wrong tool,
+    and the guard now says so with the estimate in the message
+    (exact-dedup first, raise the threshold, or accept
+    minhash_lsh_neardup's banding). Default calibrated from the same
+    rehearsal: 97M raw rows completed comfortably on the 16 GB local
+    box (29 s), 2.4B was the OOM — 200M sits 2× above the measured-
+    good point and 12× under the measured-fatal one; cluster
+    deployments scale it with executor count.
 
     Plan: shingle-hash once (persisted — the minhash_lsh_neardup
     discipline), one gram-frequency aggregation, one rank window,
@@ -1617,6 +1635,7 @@ def jaccard_prefix_join(
         .persist(_level(storage_level))
     )
     try:
+        prefix_j = prefix
         if max_bucket is not None:
             gsize = prefix.groupBy("__g").agg(
                 F.count(F.lit(1)).alias("__n")
@@ -1632,13 +1651,25 @@ def jaccard_prefix_join(
                         ' use on_hot="drop" or exact-dedup first'
                     )
             else:
-                prefix_f = prefix.join(
+                prefix_j = prefix.join(
                     gsize.where(F.col("__n") <= max_bucket).select("__g"),
                     "__g",
                 )
-            prefix_j = prefix if on_hot == "raise" else prefix_f
-        else:
-            prefix_j = prefix
+        if max_candidates is not None:
+            est = (
+                prefix_j.groupBy("__g")
+                .agg(F.count(F.lit(1)).cast("double").alias("__n"))
+                .agg(F.sum(F.col("__n") * F.col("__n")).alias("_e"))
+                .collect()[0]["_e"]
+            )
+            if est and est > max_candidates:
+                raise ValueError(
+                    f"jaccard_prefix_join: estimated raw candidate volume"
+                    f" {int(est)} (Σ per-gram n²) exceeds max_candidates="
+                    f"{max_candidates} — the corpus is too near-duplicate-"
+                    "heavy for an exact join: exact-dedup first, raise the"
+                    " threshold, or use minhash_lsh_neardup"
+                )
     except BaseException:
         sh.unpersist()
         prefix.unpersist()

@@ -7158,3 +7158,37 @@ def test_path_entropy_hand(spark):
     mx = got["mix"]
     assert mx["n_transitions"] == 4 and mx["n_distinct_transitions"] == 2
     assert mx["entropy_bits"] == 1.0 and mx["norm_entropy"] == 1.0
+
+
+def test_jaccard_prefix_join_candidate_guard(spark):
+    """jaccard_prefix_join's max_candidates guard (the r11 factor-50
+    OOM lesson): a corpus of one big near-dup family keeps every
+    per-gram group under max_bucket yet explodes the raw join volume —
+    the estimate (Σ per-gram n²) must raise BEFORE the join runs, and
+    the raise must not leak the persisted shingle/prefix caches."""
+    import pytest as _pytest
+
+    from ixmp_spark.operators.dedup import jaccard_prefix_join
+
+    fam = spark.range(40).selectExpr(
+        "id AS doc_id",
+        "concat('shared family body with many common tokens one two"
+        " three four five six seven eight nine ten eleven twelve"
+        " variant ', CAST(id AS STRING)) AS text",
+    )
+    sc = spark.sparkContext
+    before = {i.id() for i in sc._jsc.sc().getRDDStorageInfo()}
+    with _pytest.raises(ValueError, match="max_candidates"):
+        jaccard_prefix_join(
+            fam, "doc_id", "text", threshold=0.5, max_candidates=100
+        )
+    leaked = [
+        i.id() for i in sc._jsc.sc().getRDDStorageInfo()
+        if i.id() not in before and i.numCachedPartitions() > 0
+    ]
+    assert not leaked, f"guard raise leaked cached RDDs: {leaked}"
+    # with the guard sized for the family, the join completes exactly
+    got = jaccard_prefix_join(
+        fam, "doc_id", "text", threshold=0.5, max_candidates=1_000_000
+    )
+    assert got.count() == 40 * 39 // 2  # one family: all pairs >= 0.5

@@ -1294,8 +1294,20 @@ def main_jaccard_join() -> None:
                 max_bucket=200 * factor, on_hot="raise",
             ).persist()
             n_pairs = pairs.count()
-        except Exception as e:  # noqa: BLE001 — the guard IS the finding
-            row["guards"].append(f"prefix max_bucket: {e}")
+        except ValueError as e:  # the guard IS the finding
+            row["guards"].append(str(e)[:300])
+            if "max_candidates" in str(e):
+                # candidate-volume regime: drop mode would not bind —
+                # the honest record is the refusal (the factor-50
+                # corpus is ~50-strong near-dup families; an exact
+                # join is the wrong tool there and the guard says so
+                # instead of the OOM the unguarded draft hit)
+                row["wall_s"] = round(time.time() - t0, 2)
+                corpus.unpersist()
+                docs.unpersist()
+                out.append(row)
+                print(f"-- {row}", file=sys.stderr)
+                continue
             pairs = jaccard_prefix_join(
                 corpus, "doc_id", "text", threshold=0.5,
                 max_bucket=200 * factor, on_hot="drop",
