@@ -2843,3 +2843,122 @@ def path_entropy(
         )
         .orderBy("k")
     )
+
+
+def funnel_latency(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    steps: tuple = (
+        ("view", "click"),
+        ("click", "purchase"),
+        ("view", "purchase"),
+    ),
+    quantiles: tuple = (0.5, 0.9),
+) -> DataFrame:
+    """Time-to-convert per funnel step pair — g4 counts WHO converts,
+    this measures HOW LONG conversion takes: per user, the latency
+    from their FIRST src event to their FIRST dst event (dst at or
+    after src), summarized per step pair as conversion rate plus
+    latency quantiles. The SLA/propensity readout every funnel
+    dashboard pairs with the counts.
+
+    Scale contract (the x28 value-domain-bounded discipline — the
+    first draft ranked every converted user in one global window, a
+    single-partition sort over an unbounded frame that the plan audit
+    flagged): latencies quantize to WHOLE SECONDS, so the quantile
+    frame is (step, lat_s) with cardinality bounded by steps × the
+    corpus TIME SPAN in seconds, never the user count. One
+    conditional-min aggregation per user builds the first-event frame;
+    one melt (explode over step structs — a single pass, no per-pair
+    recompute) emits the pair rows; ONE cumulative window partitioned
+    by step computes every quantile as the cumulative-crossing value
+    (smallest lat_s whose running count reaches ⌈q·n⌉ — the w17
+    lower-quantile definition, exactly replayable cross-engine).
+    Output per step: (step_src, step_dst, n_src_users, n_converted,
+    conv_rate, p<q>_s ...), sorted by step.
+    """
+    sec = F.col(ts_col).cast("double")
+    types = sorted({t for pair in steps for t in pair})
+    firsts = (
+        df.where(
+            F.col(user_col).isNotNull()
+            & F.col(ts_col).isNotNull()
+            & F.col(event_col).isin(types)
+        )
+        .groupBy(F.col(user_col).alias("u"))
+        .agg(
+            *[
+                F.min(F.when(F.col(event_col) == t, sec)).alias(f"_t_{t}")
+                for t in types
+            ]
+        )
+    )
+    melted = firsts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f"{src}->{dst}").alias("_step"),
+                        F.col(f"_t_{src}").alias("_ts"),
+                        F.floor(
+                            F.col(f"_t_{dst}") - F.col(f"_t_{src}")
+                        ).cast("long").alias("_lat"),
+                    )
+                    for src, dst in steps
+                ]
+            )
+        ).alias("p")
+    ).select("p.*").where(F.col("_ts").isNotNull())
+    srcs = melted.groupBy("_step").agg(
+        F.count(F.lit(1)).cast("long").alias("n_src_users")
+    )
+    conv = (
+        melted.where(F.col("_lat").isNotNull() & (F.col("_lat") >= 0))
+        .groupBy("_step", "_lat")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    wcum = (
+        Window.partitionBy("_step")
+        .orderBy("_lat")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("_step")
+    ranked = conv.select(
+        "_step",
+        "_lat",
+        F.sum("_c").over(wcum).alias("_cum"),
+        F.sum("_c").over(wall).alias("_n"),
+    )
+    qcols = [
+        F.min(
+            F.when(
+                F.col("_cum") >= F.ceil(F.lit(float(q)) * F.col("_n")),
+                F.col("_lat"),
+            )
+        ).alias(f"p{int(q * 100)}_s")
+        for q in quantiles
+    ]
+    agg = ranked.groupBy("_step").agg(
+        F.max("_n").cast("long").alias("n_converted"), *qcols
+    )
+    out = srcs.join(agg, "_step", "left")
+    split = F.split("_step", "->")
+    return out.select(
+        split.getItem(0).alias("step_src"),
+        split.getItem(1).alias("step_dst"),
+        "n_src_users",
+        F.coalesce(F.col("n_converted"), F.lit(0)).cast("long").alias(
+            "n_converted"
+        ),
+        F.round(
+            F.when(
+                F.col("n_src_users") > 0,
+                F.coalesce(F.col("n_converted"), F.lit(0))
+                / F.col("n_src_users"),
+            ),
+            6,
+        ).alias("conv_rate"),
+        *[f"p{int(q * 100)}_s" for q in quantiles],
+    ).orderBy("step_src", "step_dst")

@@ -6526,3 +6526,66 @@ def g15_path_entropy(spark, sf_dir):
 
     ev = load(spark, sf_dir, "events")
     return path_entropy(ev, "user_id", "ts", "event_type", "event_id")
+
+
+@query(
+    "g16_funnel_latency",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id AS u,
+             min(CASE WHEN event_type = 'view' THEN epoch(ts) END) AS tv,
+             min(CASE WHEN event_type = 'click' THEN epoch(ts) END) AS tc,
+             min(CASE WHEN event_type = 'purchase' THEN epoch(ts) END)
+               AS tp
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        AND event_type IN ('view', 'click', 'purchase')
+      GROUP BY user_id
+    ), pairs AS (
+      SELECT 'view' AS s, 'click' AS d, u,
+             CAST(floor(tc - tv) AS BIGINT) AS lat
+      FROM firsts WHERE tv IS NOT NULL
+      UNION ALL
+      SELECT 'click', 'purchase', u, CAST(floor(tp - tc) AS BIGINT)
+      FROM firsts WHERE tc IS NOT NULL
+      UNION ALL
+      SELECT 'view', 'purchase', u, CAST(floor(tp - tv) AS BIGINT)
+      FROM firsts WHERE tv IS NOT NULL
+    ), conv AS (
+      SELECT s, d, lat, CAST(count(*) AS BIGINT) AS c
+      FROM pairs WHERE lat IS NOT NULL AND lat >= 0 GROUP BY s, d, lat
+    ), cum AS (
+      SELECT s, d, lat,
+             sum(c) OVER (PARTITION BY s, d ORDER BY lat
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+             sum(c) OVER (PARTITION BY s, d) AS n
+      FROM conv
+    ), agg AS (
+      SELECT s, d, CAST(max(n) AS BIGINT) AS nc,
+             CAST(min(CASE WHEN cm >= ceil(0.5 * n) THEN lat END)
+               AS BIGINT) AS q50,
+             CAST(min(CASE WHEN cm >= ceil(0.9 * n) THEN lat END)
+               AS BIGINT) AS q90
+      FROM cum GROUP BY s, d
+    ), src AS (
+      SELECT s, d, CAST(count(*) AS BIGINT) AS ns FROM pairs GROUP BY s, d
+    )
+    SELECT src.s AS step_src, src.d AS step_dst, src.ns AS n_src_users,
+           coalesce(agg.nc, 0) AS n_converted,
+           round(coalesce(agg.nc, 0) * 1.0 / src.ns, 6) AS conv_rate,
+           agg.q50 AS p50_s, agg.q90 AS p90_s
+    FROM src LEFT JOIN agg ON src.s = agg.s AND src.d = agg.d
+    ORDER BY step_src, step_dst
+    """,
+)
+def g16_funnel_latency(spark, sf_dir):
+    """Funnel time-to-convert (funnel_latency): per step pair
+    (view→click, click→purchase, view→purchase), the conversion rate
+    plus p50/p90 first-to-first latency — g4 counts WHO converts, this
+    measures HOW LONG it takes. Quantiles use the cumulative-crossing
+    (rank ⌈q·n⌉) definition — the w17 cross-engine discipline — on
+    fractional-epoch latencies (the g1 cast('double') convention)."""
+    from ixmp_spark.operators.sessions import funnel_latency
+
+    ev = load(spark, sf_dir, "events")
+    return funnel_latency(ev, "user_id", "ts", "event_type")

@@ -7192,3 +7192,77 @@ def test_jaccard_prefix_join_candidate_guard(spark):
         fam, "doc_id", "text", threshold=0.5, max_candidates=1_000_000
     )
     assert got.count() == 40 * 39 // 2  # one family: all pairs >= 0.5
+
+
+def test_exact_join_cross_validates_lsh(spark, sf_dir):
+    """Triad cross-validation (the r11 --jaccard-join finding made a
+    pin): on the documents corpus, d3's LSH+routing pair set must be a
+    SUBSET of d14's exact pair set at the same threshold (both verify
+    exact Jaccard, so LSH can only miss, never invent) — and any
+    difference is exactly the LSH misses, bounded here to zero on this
+    corpus (the factor-10 rehearsal measured identical 248,740 counts;
+    this pins the same equality at test scale)."""
+    from ixmp_spark.operators.dedup import (
+        jaccard_prefix_join,
+        minhash_lsh_neardup,
+    )
+
+    docs = load(spark, sf_dir, "documents").limit(400)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in jaccard_prefix_join(
+            docs, "doc_id", "text", threshold=0.5, n=3
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_neardup(
+            docs, "doc_id", "text", n=3, threshold=0.5
+        ).collect()
+    }
+    assert lsh <= exact  # LSH can only miss, never invent
+    assert lsh == exact  # and on this corpus it misses nothing
+
+
+def test_funnel_latency_hand(spark):
+    """funnel_latency (pins g16): hand-computable two-user fixture —
+    per-pair first-to-first latencies, crossing quantiles at rank
+    ceil(q*n), never-converting users count in n_src_users only, and a
+    dst-before-src user is NOT a conversion (negative latency)."""
+    from ixmp_spark.operators.sessions import funnel_latency
+
+    rows = [
+        # u1: view @0, click @60, purchase @180
+        ("u1", 0, "view"), ("u1", 60, "click"), ("u1", 180, "purchase"),
+        # u2: view @0, click @120 (never purchases)
+        ("u2", 0, "view"), ("u2", 120, "click"),
+        # u3: click @0 only (no view -> not in view-pairs' src)
+        ("u3", 0, "click"),
+        # u4: purchase BEFORE first view -> view->purchase NOT converted
+        ("u4", 0, "purchase"), ("u4", 100, "view"),
+    ]
+    df = spark.createDataFrame(
+        [(u, f"2024-01-01 00:00:{0:02d}", s, e) for u, s, e in rows],
+        "user_id string, ts0 string, off long, event_type string",
+    ).selectExpr(
+        "user_id",
+        "CAST(ts0 AS TIMESTAMP) + make_interval(0,0,0,0,0,0,off) AS ts",
+        "event_type",
+    )
+    got = {
+        (r["step_src"], r["step_dst"]): r
+        for r in funnel_latency(df).collect()
+    }
+    vc = got[("view", "click")]
+    # src users with a first view: u1, u2, u4 -> 3; converted: u1 (60s),
+    # u2 (120s); u4 has no click
+    assert vc["n_src_users"] == 3 and vc["n_converted"] == 2
+    assert vc["p50_s"] == 60.0 and vc["p90_s"] == 120.0
+    cp = got[("click", "purchase")]
+    # src: u1, u2, u3; converted: u1 (120s)
+    assert cp["n_src_users"] == 3 and cp["n_converted"] == 1
+    assert cp["conv_rate"] == round(1 / 3, 6)
+    vp = got[("view", "purchase")]
+    # src: u1, u2, u4; converted: u1 only (u4's purchase precedes view)
+    assert vp["n_src_users"] == 3 and vp["n_converted"] == 1
+    assert vp["p50_s"] == 180.0
