@@ -198,6 +198,21 @@ def _sys_context() -> dict:
     except OSError:
         pass
     try:
+        # /dev/shm doubles as the Spark shuffle store on this rig and
+        # is tmpfs (RAM): killed JVMs LEAK their shuffle dirs here, and
+        # the fill level is the mechanism behind "ambient" drift — at
+        # r11 close a forensic check found 107 GB of leaked spark-local
+        # state from the session's killed runs, page cache squeezed to
+        # ~17 GB, and the OOM killer taking healthy JVMs. Record it so
+        # drift adjudication can SEE it (and clean stale spark-local
+        # dirs before trusting any timing).
+        st = os.statvfs("/dev/shm")
+        ctx["shm_used_gb"] = round(
+            (st.f_blocks - st.f_bavail) * st.f_frsize / 2**30, 1
+        )
+    except OSError:
+        pass
+    try:
         buf = os.urandom(1 << 20) * 64  # 64 MiB, incompressible
         t0 = time.perf_counter()
         with tempfile.NamedTemporaryFile(dir=tempfile.gettempdir()) as f:
