@@ -234,7 +234,9 @@ def _median(ts: list[float]) -> float:
     return sorted(ts)[len(ts) // 2]
 
 
-def _deltas_vs_prev(timings: dict, spread: dict) -> dict | None:
+def _deltas_vs_prev(
+    timings: dict, spread: dict, here: str | None = None
+) -> dict | None:
     """Round-over-round drift table (VERDICT r7 #4): compare this run's
     per-query medians against the most recent committed ``BENCH_r*.json``
     and emit the ratios IN the artifact, so a slow creep (r7: six queries
@@ -246,7 +248,8 @@ def _deltas_vs_prev(timings: dict, spread: dict) -> dict | None:
     import glob
     import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
     cands = [
         (int(m.group(1)), p)
         for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
@@ -278,6 +281,24 @@ def _deltas_vs_prev(timings: dict, spread: dict) -> dict | None:
             }
         }
     pq, ps = prev.get("queries", {}), prev.get("spread", {})
+    # The committed BENCH_DETAIL's sys block is a valid previous-host
+    # context ONLY if it records the same run as the ratio baseline
+    # (ADVICE r11: a mid-round bench overwrites BENCH_DETAIL while the
+    # baseline stays the previous round's BENCH_r*.json — comparing the
+    # probe against a mismatched run can misclassify real drift as
+    # ambient). Identical per-query medians are the run fingerprint;
+    # on mismatch the adjudication runs without a previous reading.
+    baseline_sys = None
+    try:
+        with open(os.path.join(here, "BENCH_DETAIL.json")) as f:
+            det = json.load(f)
+        dq = det.get("queries") or {}
+        if pq and all(
+            abs(dq.get(n, -1.0) - v) < 1e-9 for n, v in pq.items()
+        ):
+            baseline_sys = det.get("sys")
+    except (OSError, ValueError, TypeError):
+        pass
     rows = {}
     for name, t in timings.items():
         p = pq.get(name)
@@ -296,6 +317,8 @@ def _deltas_vs_prev(timings: dict, spread: dict) -> dict | None:
         }
     return {
         "baseline": os.path.basename(prev_path),
+        "baseline_sys_matched": baseline_sys is not None,
+        "baseline_sys": baseline_sys,
         "queries": rows,
         # flag >10% up unless the spread bands provably overlap
         "flagged_over_1p10": sorted(
@@ -459,24 +482,13 @@ def main() -> None:
     #   the round-over-round drift table (deltas_vs_prev).
     deltas = _deltas_vs_prev(timings, spread)
     if deltas:
-        # the PREVIOUS round's committed detail (about to be overwritten)
-        # carries the host context the probe comparison needs
-        prev_sys = None
-        try:
-            with open(
-                os.path.join(
-                    os.path.dirname(os.path.abspath(__file__)),
-                    "BENCH_DETAIL.json",
-                )
-            ) as f:
-                prev_sys = json.load(f).get("sys")
-        except (OSError, ValueError):
-            pass
+        # previous host context resolved INSIDE _deltas_vs_prev, keyed
+        # to the same artifact as the ratio baseline (ADVICE r11)
         deltas["drift_verdict"] = classify_drift(
             deltas["queries"],
             deltas["flagged_over_1p10"],
             {"before": sys_ctx[0], "after": sys_ctx[-1]},
-            prev_sys,
+            deltas.pop("baseline_sys"),
         )
     detail = {
         "metric": "declared_query_wall_clock_total",

@@ -306,89 +306,121 @@ def _short_doc_pairs(
     storage_level=None,
 ) -> DataFrame | None:
     """Exact prefix-filter candidate pairs for SHORT documents (see
-    minhash_lsh_neardup's routing contract): over the persisted
-    (id, shingle-hash array) frame, restrict to the Jaccard-feasible
-    size band (1 ≤ sz ≤ short_min/threshold — any partner of a
-    sub-short_min doc with J ≥ t fits it), rank each doc's shingles by
-    (global frequency, hash) and keep the first sz − ⌈t·sz⌉ + 1: two
-    sets with Jaccard ≥ t must share min(A∩B) inside BOTH prefixes
-    (pigeonhole per side — if min(A∩B) sat outside A's prefix, all of
-    A∩B would fit in A's ⌈t·sz⌉−1 rarest-last tail, contradicting
-    |A∩B| ≥ ⌈t·sz⌉). Join on prefix shingles, keep pairs where at
-    least ONE side is short (long-long pairs in the band are LSH's
-    job — both paths feed the same exact-Jaccard verify, so overlap
-    is harmless, only wasteful), size-band filter. Returns None when
-    routing is disabled/infeasible or no short docs exist; candidates
-    only — the caller verifies exact Jaccard."""
+    minhash_lsh_neardup's routing contract). ONE-SIDED pigeonhole: for
+    a pair (A short, B) with Jaccard ≥ t, |A∩B| ≥ ⌈t·szA⌉ (J ≥ t and
+    |A∪B| ≥ szA), so the minimum of A∩B under any fixed global shingle
+    order cannot sit outside A's first szA − ⌈t·szA⌉ + 1 shingles —
+    all of A∩B would have to fit in A's ⌈t·szA⌉ − 1 tail. The partner
+    side therefore needs NO prefix at all: joining SHORT-doc prefixes
+    (ranked rarest-first) against partners' FULL gram lists catches
+    every true pair, and the partner lists are first restricted to
+    grams that occur in some short doc (a broadcast semi-join — every
+    matchable gram is by definition a short doc's gram, and the short
+    class is a corpus sliver).
+
+    r11 instead ranked and prefix-filtered the whole Jaccard-feasible
+    band (size ≤ short_min/t — most of a natural corpus at t = 0.3): a
+    band-wide frequency aggregation plus a rank window over nearly
+    every document, measured at 1.85× the r10 pipeline cost at factor
+    100 (VERDICT r11 #1). This form aggregates frequency only over the
+    gram-restricted band and windows only the short docs. The ranked
+    prefixes are IDENTICAL to r11's — each short doc's grams are all in
+    the restricted frame by construction, so their band frequencies are
+    unchanged — and the candidate set is a superset (partner tail grams
+    now also match), feeding the same exact-Jaccard verify. Returns
+    None when routing is disabled/infeasible or no short docs exist;
+    candidates only — the caller verifies exact Jaccard."""
     if short_min <= 0 or threshold <= 0:
         return None
     import math as _math
 
     sz = F.size("sh")
-    if sh.where((sz >= 1) & (sz < short_min)).isEmpty():
-        return None
-    max_partner = int(_math.ceil(short_min / float(threshold)))
-    elig = sh.where((sz >= 1) & (sz <= max_partner)).select(
+    shorts = sh.where((sz >= 1) & (sz < short_min)).select(
         F.col(id_col).alias("__id"), sz.alias("__sz"), "sh"
     )
-    ex = elig.select("__id", "__sz", F.explode("sh").alias("__g"))
-    freq = ex.groupBy("__g").agg(F.count(F.lit(1)).alias("__f"))
-    wnd = Window.partitionBy("__id").orderBy(F.asc("__f"), F.asc("__g"))
+    if shorts.isEmpty():
+        return None
+    max_partner = int(_math.ceil(short_min / float(threshold)))
+    ex_short = shorts.select("__id", "__sz", F.explode("sh").alias("__g"))
+    short_grams = ex_short.select("__g").distinct()
+    elig = sh.where((sz >= 1) & (sz <= max_partner)).select(
+        F.col(id_col).alias("__idb"), sz.alias("__szb"), "sh"
+    )
+    # persisted: the frequency aggregation, the hot-gram guard, and the
+    # partner join side all read it (honors the caller's storage_level
+    # knob — the passthrough test)
+    ex_band = (
+        elig.select("__idb", "__szb", F.explode("sh").alias("__g"))
+        .join(F.broadcast(short_grams), "__g")
+        .persist(_level(storage_level))
+    )
+    # band frequency of every short-doc gram — equal to the unrestricted
+    # band frequency for every gram the ranking below touches
+    freq = ex_band.groupBy("__g").agg(F.count(F.lit(1)).alias("__f"))
+    drop_g = None
+    if max_bucket is not None:
+        hot = freq.where(F.col("__f") > max_bucket)
+        if on_hot == "raise":
+            top = hot.limit(5).collect()
+            if top:
+                ex_band.unpersist()  # fail-fast must not leak the cache
+                raise ValueError(
+                    f"short-doc prefix shingle groups over max_bucket="
+                    f"{max_bucket}: "
+                    f"{[(r['__g'], r['__f']) for r in top]}; "
+                    'use on_hot="drop" or pre-dedup exact copies'
+                )
+        else:  # on_hot == "drop" (validated by lsh_band_pairs already)
+            n_hot = hot.count()
+            if n_hot:
+                # dropping converts the short path from exact to lossy
+                # (ADVICE r11): unlike the LSH buckets, where drop
+                # degrades an already probabilistic path, a dropped
+                # prefix gram can be the ONLY witness of a true short
+                # pair — surface it instead of silently forfeiting the
+                # contract the routing exists to provide
+                import warnings
+
+                warnings.warn(
+                    f"minhash_lsh_neardup: on_hot='drop' removed {n_hot}"
+                    " hot shingle group(s) from the short-doc prefix"
+                    " path — the short-doc exact-recall guarantee is"
+                    " forfeited for pairs whose only prefix match was a"
+                    " dropped shingle",
+                    stacklevel=3,
+                )
+                drop_g = hot.select("__g")
     t = F.lit(float(threshold))
-    prefix = (
-        ex.join(freq, "__g")
+    wnd = Window.partitionBy("__id").orderBy(F.asc("__f"), F.asc("__g"))
+    pa = (
+        ex_short.join(freq, "__g")
         .withColumn("__rk", F.row_number().over(wnd))
         .where(F.col("__rk") <= F.col("__sz") - F.ceil(t * F.col("__sz")) + 1)
         .select("__id", "__sz", "__g")
     )
-    # persisted: BOTH join sides below read it, and the guard scan
-    # would otherwise recompute the freq join + rank window three times
-    # (honors the caller's storage_level knob — the passthrough test)
-    prefix = prefix.persist(_level(storage_level))
-    cached = prefix  # release handle (the drop branch rebinds `prefix`)
-    if max_bucket is not None:
-        gsize = prefix.groupBy("__g").agg(F.count(F.lit(1)).alias("__n"))
-        if on_hot == "raise":
-            hot = gsize.where(F.col("__n") > max_bucket).limit(5).collect()
-            if hot:
-                prefix.unpersist()  # fail-fast must not leak the cache
-                raise ValueError(
-                    f"short-doc prefix shingle groups over max_bucket="
-                    f"{max_bucket}: "
-                    f"{[(r['__g'], r['__n']) for r in hot]}; "
-                    'use on_hot="drop" or pre-dedup exact copies'
-                )
-        else:  # on_hot == "drop" (validated by lsh_band_pairs already)
-            prefix = prefix.join(
-                gsize.where(F.col("__n") <= max_bucket).select("__g"), "__g"
-            )
-    # ASYMMETRIC join: only pairs with a SHORT side matter, so the left
-    # side is the short prefixes alone, not the whole eligible band —
-    # the factor-10 rehearsal measured the symmetric elig×elig draft at
-    # 3.4x d3's base cost because the partner band covers most of a
-    # natural web corpus. min(A∩B) lands in BOTH prefixes, so joining
-    # short-prefix × eligible-prefix still hits it; != + least/greatest
-    # dedups the short×short double generation (the edit-join lesson).
-    pa = prefix.where(F.col("__sz") < short_min).select(
-        F.col("__id").alias("__ida"), F.col("__sz").alias("__sza"), "__g"
-    )
-    pb = prefix.select(
-        F.col("__id").alias("__idb"), F.col("__sz").alias("__szb"), "__g"
-    )
+    pb = ex_band
+    if drop_g is not None:
+        # rank FIRST (prefix positions are defined over all grams, as in
+        # r11), then remove hot grams from both join sides
+        pa = pa.join(drop_g, "__g", "left_anti")
+        pb = pb.join(drop_g, "__g", "left_anti")
     from ixmp_spark.operators import attach_caches
 
+    # != + least/greatest dedups the short×short double generation (the
+    # edit-join lesson); the size-band filter prunes infeasible pairs
+    # before the verify join
     return attach_caches(
         pa.join(pb, "__g")
         .where(
-            (F.col("__ida") != F.col("__idb"))
-            & (F.least("__sza", "__szb") >= t * F.greatest("__sza", "__szb"))
+            (F.col("__id") != F.col("__idb"))
+            & (F.least("__sz", "__szb") >= t * F.greatest("__sz", "__szb"))
         )
         .select(
-            F.least("__ida", "__idb").alias("id_a"),
-            F.greatest("__ida", "__idb").alias("id_b"),
+            F.least("__id", "__idb").alias("id_a"),
+            F.greatest("__id", "__idb").alias("id_b"),
         )
         .distinct(),
-        cached,
+        ex_band,
     )
 
 
@@ -458,17 +490,21 @@ def minhash_lsh_neardup(
     the minhash estimator's variance defeats the banding): documents
     with fewer than ``short_min`` shingles (default k — 2× the measured
     escape class; 0 disables) are ALSO paired through an EXACT
-    prefix-filter path — global
-    rarest-first shingle order, per-doc prefix of the first
-    ``sz − ⌈t·sz⌉ + 1`` shingles (two sets with Jaccard ≥ t must share
-    the MINIMUM of their intersection inside both prefixes — the
-    AllPairs/PPJoin pigeonhole), joined on prefix shingles against the
-    Jaccard-feasible partner band (size ≤ short_min/t — a partner of a
-    short doc cannot be larger), then fed through the same exact-
-    Jaccard verify as the LSH candidates. Deterministic recall for the
-    short class at a cost bounded by the (small) short corpus; hot
-    prefix shingles obey the same ``max_bucket``/``on_hot`` discipline
-    as LSH buckets. Routing is skipped when threshold <= 0 (no feasible
+    prefix-filter path — global rarest-first shingle order, per-doc
+    prefix of the first ``sz − ⌈t·sz⌉ + 1`` shingles (a pair with
+    Jaccard ≥ t must place the MINIMUM of its intersection inside the
+    short side's prefix — the AllPairs/PPJoin pigeonhole, one-sided),
+    joined against the FULL gram lists of the Jaccard-feasible partner
+    band (size ≤ short_min/t — a partner of a short doc cannot be
+    larger), restricted to grams occurring in some short doc, then fed
+    through the same exact-Jaccard verify as the LSH candidates.
+    Deterministic recall for the short class at a cost bounded by the
+    (small) short corpus; hot prefix shingles obey the same
+    ``max_bucket``/``on_hot`` discipline as LSH buckets — with the
+    caveat that ``on_hot="drop"`` FORFEITS the short-doc exactness
+    guarantee (a dropped gram can be a true pair's only prefix
+    witness; the operator warns with the dropped-group count).
+    Routing is skipped when threshold <= 0 (no feasible
     partner bound) or the corpus has no short docs.
 
     ``target_recall``: when set, ``bands`` is DERIVED instead of taken
@@ -1704,4 +1740,74 @@ def jaccard_prefix_join(
         .select("id_a", "id_b", "jaccard"),
         sh,
         prefix,
+    )
+
+
+def similarity_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    n: int = 3,
+    storage_level=None,
+    max_bucket: int | None = None,
+    on_hot: str = "raise",
+    max_candidates: int | None = 200_000_000,
+    k: int = 32,
+    bands: int = 8,
+    target_recall: float | None = None,
+    short_min: int | None = None,
+) -> DataFrame:
+    """ONE front door for the dedup-join triad (VERDICT r11 #4):
+    attempt the EXACT unblocked join (:func:`jaccard_prefix_join`) and
+    let its calibrated Σ per-gram n² raw-volume guard adjudicate —
+    under ``max_candidates`` the exact path runs to completion; over
+    it (the r11 factor-50 rehearsal's regime: near-duplication so
+    heavy that whole prefixes are shared family-wide and the exact
+    join's candidate volume goes quadratic) the operator ROUTES to
+    :func:`minhash_lsh_neardup` instead of raising, which is exactly
+    what the guard's own error message tells a human to do.
+
+    The result carries a literal ``route`` column ('exact' | 'lsh') so
+    downstream consumers — and the rehearsal artifacts — see which
+    path produced the pairs. Both paths verify exact Jaccard on the
+    full shingle sets, so ``jaccard`` is exact either way; the routes
+    differ in RECALL (exact = provably complete; lsh = banded
+    probability, plus the short-doc exact routing). The reroute pays
+    the estimator's prep (one shingle pass, one frequency aggregation,
+    one rank window) before discarding it — bounded, and only in the
+    regime where the LSH run dominates total cost anyway.
+
+    LSH-only knobs (``k``, ``bands``, ``target_recall``, ``short_min``)
+    are forwarded to the fallback; shared knobs (``threshold``, ``n``,
+    ``storage_level``, ``max_bucket``, ``on_hot``) apply to both. A
+    hot-gram raise under ``on_hot='raise'`` propagates — a single hot
+    gram fails BOTH paths' bucket discipline, so rerouting would just
+    re-raise after twice the work."""
+    from ixmp_spark.operators import attach_caches
+
+    try:
+        out = jaccard_prefix_join(
+            df, id_col, text_col, threshold=threshold, n=n,
+            storage_level=storage_level, max_bucket=max_bucket,
+            on_hot=on_hot, max_candidates=max_candidates,
+        )
+        route = "exact"
+    except ValueError as e:
+        if "max_candidates" not in str(e):
+            raise
+        # the guard unpersisted the exact path's frames on raise
+        out = minhash_lsh_neardup(
+            df, id_col, text_col, k=k, bands=bands, n=n,
+            threshold=threshold, storage_level=storage_level,
+            max_bucket=max_bucket, on_hot=on_hot,
+            target_recall=target_recall, short_min=short_min,
+        )
+        route = "lsh"
+    # withColumn returns a NEW DataFrame object — re-attach the cache
+    # handles so release_cache on the front door's result still frees
+    # the chosen path's persisted frames
+    return attach_caches(
+        out.withColumn("route", F.lit(route)),
+        *getattr(out, "_ixmp_spark_caches", ()),
     )

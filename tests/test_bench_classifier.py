@@ -79,3 +79,46 @@ def test_missing_sys_context_falls_back_to_family_rule():
     ratios = {"d1_exact_dedup": 1.45, "s1_scan_pushdown": 1.0}
     v = classify_drift(_rows(ratios), ["d1_exact_dedup"], None, None)
     assert v["class"] == "per-query"
+
+
+def test_baseline_sys_keyed_to_ratio_baseline(tmp_path):
+    """ADVICE r11 (medium): the previous-host probe context must come
+    from the SAME run as the ratio baseline. When BENCH_DETAIL records
+    the baseline run (identical per-query medians), its sys block is
+    used; when a mid-round bench has overwritten BENCH_DETAIL with a
+    different run, the adjudication falls back to no previous reading
+    instead of comparing against mismatched host context."""
+    import json
+
+    from bench import _deltas_vs_prev
+
+    base_q = {"d1_exact_dedup": 1.0, "s1_scan_pushdown": 0.5}
+    (tmp_path / "BENCH_r05.json").write_text(
+        json.dumps({"queries": base_q, "spread": {}})
+    )
+    sys_block = {"before": {"disk_probe_ms": 430},
+                 "after": {"disk_probe_ms": 440}}
+    now_t = {"d1_exact_dedup": 1.2, "s1_scan_pushdown": 0.51}
+
+    # matched: BENCH_DETAIL fingerprints the same run as BENCH_r05
+    (tmp_path / "BENCH_DETAIL.json").write_text(
+        json.dumps({"queries": base_q, "sys": sys_block})
+    )
+    d = _deltas_vs_prev(now_t, {}, here=str(tmp_path))
+    assert d["baseline"] == "BENCH_r05.json"
+    assert d["baseline_sys_matched"] is True
+    assert d["baseline_sys"] == sys_block
+
+    # mismatched: a mid-round bench overwrote the detail with other
+    # medians -> no previous sys, not a wrong one
+    (tmp_path / "BENCH_DETAIL.json").write_text(
+        json.dumps({"queries": {"d1_exact_dedup": 3.3}, "sys": sys_block})
+    )
+    d = _deltas_vs_prev(now_t, {}, here=str(tmp_path))
+    assert d["baseline_sys_matched"] is False
+    assert d["baseline_sys"] is None
+
+    # missing detail file -> same graceful fallback
+    (tmp_path / "BENCH_DETAIL.json").unlink()
+    d = _deltas_vs_prev(now_t, {}, here=str(tmp_path))
+    assert d["baseline_sys_matched"] is False and d["baseline_sys"] is None

@@ -548,4 +548,45 @@ def test_reporter_auto_cse(rep):
     assert r2._cache[str(full)] is pinned
 
     r2.release()
-    assert not r2._cache and not r2._sum_hits
+    assert not r2._cache and not r2._hits
+
+
+def test_reporter_auto_cse_graph_keys(rep):
+    """auto_cse widened to EVERY graph key (VERDICT r11 #5): a quantity
+    requested through two binary ops — not partial sums — pins on its
+    second resolution, exactly the reference dask graph's memoization;
+    results match the auto-off run and release() tears down."""
+    _, scen = rep
+
+    def build(auto):
+        r = Reporter.from_scenario(scen)
+        r.auto_cse = auto
+        r.add_product("dd:i-j", "d:i-j", "d:i-j")
+        r.add_ratio("unit1:i-j", "d:i-j", "d:i-j")
+        return r
+
+    r_off = build(False)
+    off = [
+        sorted(map(tuple, r_off.get(k).collect()))
+        for k in ("dd:i-j", "unit1:i-j")
+    ]
+    assert not r_off._cache
+
+    r_on = build(True)
+    got = [
+        sorted(map(tuple, r_on.get(k).collect()))
+        for k in ("dd:i-j", "unit1:i-j")
+    ]
+    assert got == off
+    # d:i-j resolved 4x (twice per binary op) — pinned at the 2nd
+    assert "d:i-j" in r_on._cache
+    assert r_on._cache["d:i-j"].df.storageLevel.useMemory
+    # the binary-op keys themselves were each requested once — unpinned
+    assert "dd:i-j" not in r_on._cache and "unit1:i-j" not in r_on._cache
+
+    # a repeated request of a computed key pins IT too
+    r_on.get("dd:i-j")
+    assert "dd:i-j" in r_on._cache
+
+    r_on.release()
+    assert not r_on._cache and not r_on._hits

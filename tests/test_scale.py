@@ -973,9 +973,13 @@ def test_lsh_hot_bucket_guard(spark):
             df, "doc_id", "text", max_bucket=30, on_hot="raise"
         ).collect()
 
-    kept = minhash_lsh_neardup(
-        df, "doc_id", "text", threshold=0.5, max_bucket=30, on_hot="drop"
-    ).collect()
+    # drop mode warns that the short-doc exactness guarantee is
+    # forfeited, with the dropped-group count (ADVICE r11)
+    with pytest.warns(UserWarning, match=r"removed \d+ hot shingle"):
+        kept = minhash_lsh_neardup(
+            df, "doc_id", "text", threshold=0.5, max_bucket=30,
+            on_hot="drop",
+        ).collect()
     got = {(r.id_a, r.id_b) for r in kept}
     assert (97, 98) in got  # benign near-dup pair survives the drop
     assert not any(a < 60 and b < 60 for a, b in got)  # hot group excluded
@@ -7129,6 +7133,67 @@ def test_jaccard_prefix_join_planted(spark):
     gotd = {(r["id_a"], r["id_b"]) for r in kept}
     assert not any(a >= 1000 and b >= 1000 for a, b in gotd)
     assert (0, 1) in gotd  # benign pairs survive the drop
+
+
+def test_similarity_join_front_door(spark):
+    """similarity_join (pins d15, VERDICT r11 #4): under the raw-volume
+    budget the router takes the exact path (output = brute-force truth,
+    route='exact'); a starved max_candidates forces the LSH route
+    (route='lsh', pairs a subset of truth — banding may miss, never
+    invent); a non-volume guard (hot gram, on_hot='raise') propagates
+    instead of rerouting."""
+    import itertools
+
+    import pytest as _pytest
+
+    from ixmp_spark.operators.dedup import similarity_join
+
+    def jac(a, b, n=3):
+        def sh(s):
+            w = s.split()
+            return {
+                " ".join(w[i:i + n]) for i in range(max(1, len(w) - n + 1))
+            }
+        A, B = sh(a), sh(b)
+        return len(A & B) / len(A | B)
+
+    corpus = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "the quick brown fox jumps over the lazy dog today",
+        "completely different text about spark catalyst optimizer rules",
+        "entirely unrelated sentence mentioning parquet bucketing layout",
+    ] + [
+        f"filler document {i} " + " ".join(f"w{i}x{j}" for j in range(30))
+        for i in range(12)
+    ]
+    rows = [(i, s) for i, s in enumerate(corpus)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    truth = {
+        (i, j): round(jac(a, b), 6)
+        for (i, a), (j, b) in itertools.combinations(rows, 2)
+        if jac(a, b) >= 0.5
+    }
+    assert truth
+
+    got = similarity_join(df, "doc_id", "text", threshold=0.5).collect()
+    assert {r["route"] for r in got} == {"exact"}
+    assert {(r.id_a, r.id_b): r.jaccard for r in got} == truth
+
+    rerouted = similarity_join(
+        df, "doc_id", "text", threshold=0.5, max_candidates=1
+    ).collect()
+    assert rerouted and {r["route"] for r in rerouted} == {"lsh"}
+    assert {(r.id_a, r.id_b) for r in rerouted} <= set(truth)
+
+    boiler = spark.range(80).selectExpr(
+        "id AS doc_id",
+        "'same boilerplate body repeated in every single document"
+        " verbatim' AS text",
+    )
+    with _pytest.raises(ValueError, match="max_bucket"):
+        similarity_join(
+            boiler, "doc_id", "text", max_bucket=30, on_hot="raise"
+        ).collect()
 
 
 def test_path_entropy_hand(spark):

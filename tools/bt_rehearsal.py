@@ -27,6 +27,8 @@ import time
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
+from tools.emit import emit  # noqa: E402
+
 from pyspark.sql import functions as F  # noqa: E402
 
 from ixmp_spark.session import get_spark  # noqa: E402
@@ -118,7 +120,7 @@ def main() -> None:
         out.append(row)
         print(f"-- {row}", file=sys.stderr)
 
-    print(json.dumps({"rehearsal": out}))
+    emit({"rehearsal": out})
 
 
 if __name__ == "__main__":

@@ -38,6 +38,8 @@ import time
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
+from tools.emit import emit  # noqa: E402
+
 import pandas as pd  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
@@ -186,7 +188,42 @@ def main() -> None:
         out["auto_checksum_equal"] = (
             out["auto_cse"]["checksum"] == out["no_cse"]["checksum"]
         )
-        print(json.dumps(out))
+
+        # arm 4 (VERDICT r11 #5): auto-CSE beyond partial sums — a
+        # mul/add graph sharing ONE input (cost) through two binary
+        # ops. Off: every request re-resolves cost TWICE (one per
+        # operand) plus the derived thunk. On: the second operand
+        # resolution inside the FIRST request already pins cost; each
+        # derived key pins on its own second request; later requests
+        # are pure cache reads.
+        def graph_arm(auto: bool, group: str) -> dict:
+            repg, _ = fresh()
+            repg.auto_cse = auto
+            cost_full = str(Key("cost", ("a", "b", "c")))
+            repg.add_product("sq:a-b-c", cost_full, cost_full)
+            repg.add_sum("dbl:a-b-c", cost_full, cost_full)
+            res = run_requests(spark, repg, g_requests, group)
+            res["pinned_keys"] = sorted(repg._cache)
+            repg.release()
+            res["released"] = not repg._cache and not repg._hits
+            return res
+
+        g_requests = ["sq:a", "dbl:b", "sq:c", "dbl:a"]
+        out["graph_requests"] = g_requests
+        out["graph_no_cse"] = graph_arm(False, "gnocse")
+        out["graph_auto_cse"] = graph_arm(True, "gautocse")
+        out["graph_speedup"] = round(
+            out["graph_no_cse"]["wall_s"]
+            / max(out["graph_auto_cse"]["wall_s"], 1e-9), 2
+        )
+        out["graph_jobs"] = [
+            out["graph_no_cse"]["jobs"], out["graph_auto_cse"]["jobs"]
+        ]
+        out["graph_checksums_equal"] = (
+            out["graph_no_cse"]["checksum"]
+            == out["graph_auto_cse"]["checksum"]
+        )
+        emit(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

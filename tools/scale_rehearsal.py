@@ -29,6 +29,8 @@ import time
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
+from tools.emit import emit  # noqa: E402
+
 from pyspark.sql import DataFrame, functions as F  # noqa: E402
 
 from ixmp_spark.queries import load  # noqa: E402
@@ -219,7 +221,7 @@ def main_embeddings() -> None:
 
         vecs.unpersist()
 
-    print(json.dumps({"sf_dir": sf_dir, "mode": "embeddings", "results": results}))
+    emit({"sf_dir": sf_dir, "mode": "embeddings", "results": results})
 
 
 def main_ann_table() -> None:
@@ -384,8 +386,8 @@ def main_ann_table() -> None:
         ),
     )
 
-    print(json.dumps({"sf_dir": sf_dir, "mode": "ann_table", "n": n, "k": k,
-                      "n_probes": n_probes, "table": table}))
+    emit({"sf_dir": sf_dir, "mode": "ann_table", "n": n, "k": k,
+                      "n_probes": n_probes, "table": table})
 
 
 def main_text() -> None:
@@ -462,7 +464,7 @@ def main_text() -> None:
 
         docs.unpersist()
 
-    print(json.dumps({"sf_dir": sf_dir, "mode": "text", "results": results}))
+    emit({"sf_dir": sf_dir, "mode": "text", "results": results})
 
 
 def amplify_events(events: DataFrame, factor: int, bot_permille: int) -> DataFrame:
@@ -654,7 +656,7 @@ def main_indexes() -> None:
             }
     finally:
         shutil.rmtree(root, ignore_errors=True)
-    print(json.dumps({"sf_dir": sf_dir, "mode": "indexes", "results": results}))
+    emit({"sf_dir": sf_dir, "mode": "indexes", "results": results})
 
 
 def main_pagerank() -> None:
@@ -694,7 +696,7 @@ def main_pagerank() -> None:
         print(f"-- factor {factor}: {n_ev} events, {n_nodes} nodes, "
               f"{wall:.1f}s / {rounds} rounds", file=sys.stderr)
         ev.unpersist()
-    print(json.dumps({"sf_dir": sf_dir, "mode": "pagerank", "results": results}))
+    emit({"sf_dir": sf_dir, "mode": "pagerank", "results": results})
 
 
 def main_graph() -> None:
@@ -747,7 +749,7 @@ def main_graph() -> None:
         print(f"-- factor {factor}: {n} nodes / {m} edges: "
               f"triangles {tri_wall:.1f}s, lpa {lpa_wall:.1f}s", file=sys.stderr)
         edges.unpersist()
-    print(json.dumps({"sf_dir": sf_dir, "mode": "graph", "results": results}))
+    emit({"sf_dir": sf_dir, "mode": "graph", "results": results})
 
 
 
@@ -1021,7 +1023,7 @@ def main_events() -> None:
 
             ev.unpersist()
 
-    print(json.dumps({"sf_dir": sf_dir, "mode": "events", "results": results}))
+    emit({"sf_dir": sf_dir, "mode": "events", "results": results})
 
 
 def main_kcore() -> None:
@@ -1082,8 +1084,8 @@ def main_kcore() -> None:
                   f"{wall:.1f}s ({wall/(depth+1):.2f}s/round)",
                   file=sys.stderr)
             edges.unpersist()
-    print(json.dumps({"sf_dir": sf_dir, "mode": "kcore",
-                      "results": results}))
+    emit({"sf_dir": sf_dir, "mode": "kcore",
+                      "results": results})
 
 
 def main() -> None:
@@ -1132,7 +1134,7 @@ def main() -> None:
 
         docs.unpersist()
 
-    print(json.dumps({"sf_dir": sf_dir, "results": results}))
+    emit({"sf_dir": sf_dir, "results": results})
 
 
 def main_dedup_pipeline() -> None:
@@ -1245,7 +1247,7 @@ def main_dedup_pipeline() -> None:
         out.append(row)
         print(f"   {row}", file=sys.stderr)
 
-    print(json.dumps({"sf_dir": sf_dir, "pipeline": out}))
+    emit({"sf_dir": sf_dir, "pipeline": out})
 
 
 
@@ -1287,6 +1289,24 @@ def main_jaccard_join() -> None:
         ).persist()
         n = corpus.count()
         row["n_docs"] = n
+        # VERDICT r11 #4 arm: the similarity_join front door must take
+        # the exact path while the Σn² estimate is under budget, and
+        # FLIP to LSH — completing, not raising — once amplification
+        # pushes the corpus into the quadratic regime (factor 50's
+        # ~50-strong near-dup families)
+        from ixmp_spark.operators import release_cache
+        from ixmp_spark.operators.dedup import similarity_join
+
+        t0 = time.time()
+        auto = similarity_join(
+            corpus, "doc_id", "text", threshold=0.5,
+            max_bucket=200 * factor, on_hot="drop",
+        ).persist()
+        row["auto_route"] = auto.select("route").first()["route"]
+        row["auto_pairs"] = auto.count()
+        row["auto_wall_s"] = round(time.time() - t0, 2)
+        auto.unpersist()
+        release_cache(auto, blocking=True)
         t0 = time.time()
         try:
             pairs = jaccard_prefix_join(
@@ -1351,7 +1371,7 @@ def main_jaccard_join() -> None:
         docs.unpersist()
         out.append(row)
         print(f"-- {row}", file=sys.stderr)
-    print(json.dumps({"sf_dir": sf_dir, "jaccard_join": out}))
+    emit({"sf_dir": sf_dir, "jaccard_join": out})
 
 
 def main_edit_join() -> None:
@@ -1466,7 +1486,7 @@ def main_edit_join() -> None:
         pairs.unpersist()
         corpus.unpersist()
         print(f"-- {n}: {row}", file=sys.stderr)
-    print(json.dumps({"edit_join": out}))
+    emit({"edit_join": out})
 
 
 if __name__ == "__main__":

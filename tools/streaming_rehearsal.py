@@ -37,6 +37,8 @@ import tempfile
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
+from tools.emit import emit  # noqa: E402
+
 from pyspark.sql import functions as F  # noqa: E402
 
 N_BATCHES = 10
@@ -210,7 +212,7 @@ def main() -> None:
             }
             out["rates"].append(row)
             print(f"-- rate {rate} done", file=sys.stderr)
-        print(json.dumps(out))
+        emit(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

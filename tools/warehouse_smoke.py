@@ -43,6 +43,8 @@ import time
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
+from tools.emit import emit  # noqa: E402
+
 from pyspark.sql import functions as F  # noqa: E402
 
 
@@ -138,7 +140,7 @@ def main() -> None:
 
         out["phases"] = phases
         out["total_s"] = round(sum(phases.values()), 2)
-        print(json.dumps(out))
+        emit(out)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

@@ -34,6 +34,8 @@ import time
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
+from tools.emit import emit  # noqa: E402
+
 from pyspark.sql import functions as F  # noqa: E402
 
 
@@ -112,7 +114,7 @@ def main() -> None:
     out["scaling_2x_nosort"] = round(
         by["B_nosort"]["commit_s"] / max(by["A_nosort"]["commit_s"], 1e-9), 3
     )
-    print(json.dumps(out))
+    emit(out)
 
 
 if __name__ == "__main__":
