@@ -306,56 +306,64 @@ def _short_doc_pairs(
     storage_level=None,
 ) -> DataFrame | None:
     """Exact prefix-filter candidate pairs for SHORT documents (see
-    minhash_lsh_neardup's routing contract). ONE-SIDED pigeonhole: for
-    a pair (A short, B) with Jaccard ≥ t, |A∩B| ≥ ⌈t·szA⌉ (J ≥ t and
-    |A∪B| ≥ szA), so the minimum of A∩B under any fixed global shingle
-    order cannot sit outside A's first szA − ⌈t·szA⌉ + 1 shingles —
-    all of A∩B would have to fit in A's ⌈t·szA⌉ − 1 tail. The partner
-    side therefore needs NO prefix at all: joining SHORT-doc prefixes
-    (ranked rarest-first) against partners' FULL gram lists catches
-    every true pair, and the partner lists are first restricted to
-    grams that occur in some short doc (a broadcast semi-join — every
-    matchable gram is by definition a short doc's gram, and the short
-    class is a corpus sliver).
+    minhash_lsh_neardup's routing contract), computed over the
+    RESTRICTED gram universe — only grams that occur in some short doc
+    can witness a (short, partner) pair, since the witness min(A∩B) is
+    an element of the short side A.
 
-    r11 instead ranked and prefix-filtered the whole Jaccard-feasible
-    band (size ≤ short_min/t — most of a natural corpus at t = 0.3): a
+    r11 ranked and prefix-filtered the whole Jaccard-feasible band
+    (size ≤ short_min/t — most of a natural corpus at t = 0.3): a
     band-wide frequency aggregation plus a rank window over nearly
     every document, measured at 1.85× the r10 pipeline cost at factor
-    100 (VERDICT r11 #1). This form aggregates frequency only over the
-    gram-restricted band and windows only the short docs. The ranked
-    prefixes are IDENTICAL to r11's — each short doc's grams are all in
-    the restricted frame by construction, so their band frequencies are
-    unchanged — and the candidate set is a superset (partner tail grams
-    now also match), feeding the same exact-Jaccard verify. Returns
-    None when routing is disabled/infeasible or no short docs exist;
-    candidates only — the caller verifies exact Jaccard."""
+    100 (VERDICT r11 #1). This form first restricts the band's
+    exploded grams to the short-doc gram set (a broadcast semi-join —
+    the short class is a corpus sliver), then runs ONE frequency
+    aggregation and ONE rank window over the restricted frame. Each
+    doc's index is the first cnt′ − ⌈t·sz⌉ + 1 of its RESTRICTED gram
+    list (cnt′ = restricted count, sz = FULL size): for a true pair
+    (A short, B), |A∩B| ≥ ⌈t·szB⌉ (J ≥ t, |A∪B| ≥ szB) and
+    A∩B ⊆ B∩short_grams, so min(A∩B) under the global (freq, hash)
+    order cannot be confined to B's ⌈t·szB⌉−1 unindexed tail — the
+    standard PPJoin pigeonhole applied inside the restricted universe,
+    per side. For short docs cnt′ = sz, so their prefixes are exactly
+    r11's; partner indexes are never longer than r11's full-band
+    prefixes (cnt′ ≤ szB), and a partner with cnt′ < ⌈t·szB⌉ — too few
+    short-present grams to ever reach Jaccard t with a short doc —
+    prunes to zero index entries, a pruning the full-band form cannot
+    see. Strictly fewer candidates than r11 into the same
+    exact-Jaccard verify, without the band-wide shuffles. (A first r12
+    draft dropped the partner prefix entirely — one-sided pigeonhole
+    against FULL restricted gram lists — and measured 16.2 s vs
+    r11's 12.55 s at factor 10/t=0.5: the candidate blowup from
+    unprefixed partners outweighs the saved window.) Returns None when
+    routing is disabled/infeasible or no short docs exist; candidates
+    only — the caller verifies exact Jaccard."""
     if short_min <= 0 or threshold <= 0:
         return None
     import math as _math
 
     sz = F.size("sh")
     shorts = sh.where((sz >= 1) & (sz < short_min)).select(
-        F.col(id_col).alias("__id"), sz.alias("__sz"), "sh"
+        F.col(id_col).alias("__id"), "sh"
     )
     if shorts.isEmpty():
         return None
     max_partner = int(_math.ceil(short_min / float(threshold)))
-    ex_short = shorts.select("__id", "__sz", F.explode("sh").alias("__g"))
-    short_grams = ex_short.select("__g").distinct()
+    short_grams = shorts.select(F.explode("sh").alias("__g")).distinct()
     elig = sh.where((sz >= 1) & (sz <= max_partner)).select(
-        F.col(id_col).alias("__idb"), sz.alias("__szb"), "sh"
+        F.col(id_col).alias("__id"), sz.alias("__sz"), "sh"
     )
     # persisted: the frequency aggregation, the hot-gram guard, and the
-    # partner join side all read it (honors the caller's storage_level
-    # knob — the passthrough test)
+    # rank window all read it (honors the caller's storage_level knob —
+    # the passthrough test)
     ex_band = (
-        elig.select("__idb", "__szb", F.explode("sh").alias("__g"))
+        elig.select("__id", "__sz", F.explode("sh").alias("__g"))
         .join(F.broadcast(short_grams), "__g")
         .persist(_level(storage_level))
     )
-    # band frequency of every short-doc gram — equal to the unrestricted
-    # band frequency for every gram the ranking below touches
+    # restricted-band frequency of every short-doc gram — equal to the
+    # band-wide frequency for every gram any short doc carries, so the
+    # short docs' prefixes are identical to the r11 full-band ranking
     freq = ex_band.groupBy("__g").agg(F.count(F.lit(1)).alias("__f"))
     drop_g = None
     if max_bucket is not None:
@@ -392,32 +400,61 @@ def _short_doc_pairs(
                 drop_g = hot.select("__g")
     t = F.lit(float(threshold))
     wnd = Window.partitionBy("__id").orderBy(F.asc("__f"), F.asc("__g"))
-    pa = (
-        ex_short.join(freq, "__g")
+    cnt = Window.partitionBy("__id")
+    prefix = (
+        ex_band.join(freq, "__g")
         .withColumn("__rk", F.row_number().over(wnd))
-        .where(F.col("__rk") <= F.col("__sz") - F.ceil(t * F.col("__sz")) + 1)
-        .select("__id", "__sz", "__g")
+        .withColumn("__cnt", F.count(F.lit(1)).over(cnt))
+        .where(
+            F.col("__rk") <= F.col("__cnt") - F.ceil(t * F.col("__sz")) + 1
+        )
+        .select("__id", "__sz", "__g", "__rk", "__cnt")
     )
-    pb = ex_band
     if drop_g is not None:
-        # rank FIRST (prefix positions are defined over all grams, as in
-        # r11), then remove hot grams from both join sides
-        pa = pa.join(drop_g, "__g", "left_anti")
-        pb = pb.join(drop_g, "__g", "left_anti")
+        # rank FIRST (index positions are defined over the whole
+        # restricted list, as in r11), then remove hot grams
+        prefix = prefix.join(drop_g, "__g", "left_anti")
+    # ASYMMETRIC join — only pairs with a SHORT side matter (long-long
+    # pairs in the band are LSH's job; both paths feed the same verify,
+    # so overlap is harmless, only wasteful). != + least/greatest
+    # dedups the short×short double generation (the edit-join lesson).
+    pa = prefix.where(F.col("__sz") < short_min).select(
+        F.col("__id").alias("__ida"), F.col("__sz").alias("__sza"),
+        F.col("__rk").alias("__rka"), F.col("__cnt").alias("__cnta"), "__g"
+    )
+    pb = prefix.select(
+        F.col("__id").alias("__idb"), F.col("__sz").alias("__szb"),
+        F.col("__rk").alias("__rkb"), F.col("__cnt").alias("__cntb"), "__g"
+    )
     from ixmp_spark.operators import attach_caches
 
-    # != + least/greatest dedups the short×short double generation (the
-    # edit-join lesson); the size-band filter prunes infeasible pairs
-    # before the verify join
     return attach_caches(
         pa.join(pb, "__g")
         .where(
-            (F.col("__id") != F.col("__idb"))
-            & (F.least("__sz", "__szb") >= t * F.greatest("__sz", "__szb"))
+            (F.col("__ida") != F.col("__idb"))
+            & (F.least("__sza", "__szb") >= t * F.greatest("__sza", "__szb"))
+            # PPJoin positional filter (the r12 factor-100 probe
+            # measured 63M/70M candidates FALSE — random single-gram
+            # collisions): both restricted lists sort by the same
+            # global (freq, hash) order, so for the SMALLEST common
+            # gram every other common gram ranks later on BOTH sides —
+            # o ≤ 1 + min(cntA−rkA, cntB−rkB) — while J ≥ t needs
+            # o ≥ t/(1+t)·(szA+szB). A true pair's smallest-common-gram
+            # row always satisfies this (that row is the pigeonhole
+            # witness); rows failing it can be discarded without recall
+            # loss. Kept in multiplied form — a float ceil at an exact
+            # integer boundary could over-prune.
+            & (
+                (1 + F.least(
+                    F.col("__cnta") - F.col("__rka"),
+                    F.col("__cntb") - F.col("__rkb"),
+                )) * (F.lit(1.0) + t)
+                >= t * (F.col("__sza") + F.col("__szb"))
+            )
         )
         .select(
-            F.least("__id", "__idb").alias("id_a"),
-            F.greatest("__id", "__idb").alias("id_b"),
+            F.least("__ida", "__idb").alias("id_a"),
+            F.greatest("__ida", "__idb").alias("id_b"),
         )
         .distinct(),
         ex_band,
@@ -1667,7 +1704,7 @@ def jaccard_prefix_join(
         ex.join(freq, "__g")
         .withColumn("__rk", F.row_number().over(wnd))
         .where(F.col("__rk") <= F.col("__sz") - F.ceil(t * F.col("__sz")) + 1)
-        .select("__id", "__sz", "__g")
+        .select("__id", "__sz", "__g", "__rk")
         .persist(_level(storage_level))
     )
     try:
@@ -1711,16 +1748,34 @@ def jaccard_prefix_join(
         prefix.unpersist()
         raise
     pa = prefix_j.select(
-        F.col("__id").alias("id_a"), F.col("__sz").alias("__sza"), "__g"
+        F.col("__id").alias("id_a"), F.col("__sz").alias("__sza"),
+        F.col("__rk").alias("__rka"), "__g"
     )
     pb = prefix_j.select(
-        F.col("__id").alias("id_b"), F.col("__sz").alias("__szb"), "__g"
+        F.col("__id").alias("id_b"), F.col("__sz").alias("__szb"),
+        F.col("__rk").alias("__rkb"), "__g"
     )
     cand = (
         pa.join(pb, "__g")
         .where(
             (F.col("id_a") < F.col("id_b"))
             & (F.least("__sza", "__szb") >= t * F.greatest("__sza", "__szb"))
+            # PPJoin positional filter: both docs' gram lists sort by
+            # the same global (freq, hash) order, so for the SMALLEST
+            # common gram the rest of the intersection ranks later on
+            # BOTH sides — o ≤ 1 + min(szA−rkA, szB−rkB) — while
+            # J ≥ t needs o ≥ t/(1+t)·(szA+szB). The smallest-common-
+            # gram row is the pigeonhole witness and always passes, so
+            # discarding failing rows loses no pair. Multiplied form —
+            # a float ceil at an exact integer boundary could
+            # over-prune.
+            & (
+                (1 + F.least(
+                    F.col("__sza") - F.col("__rka"),
+                    F.col("__szb") - F.col("__rkb"),
+                )) * (F.lit(1.0) + t)
+                >= t * (F.col("__sza") + F.col("__szb"))
+            )
         )
         .select("id_a", "id_b")
         .distinct()
