@@ -3007,3 +3007,101 @@ def rolling_beta(
         F.round(beta, 6).alias("beta"),
         F.round(alpha, 6).alias("alpha"),
     ).orderBy(time_col)
+
+
+def theil_index(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Theil T inequality index per group — the ENTROPY member of the
+    inequality family (x41's Gini is the Lorenz-curve member; Theil is
+    additively decomposable across subgroups, which Gini is not):
+    T = (1/n)·Σ (x/μ)·ln(x/μ) over positive values, 0 = perfect
+    equality, ln(n) = all mass on one member.
+
+    One aggregation: Σx and Σ x·ln(x) suffice —
+    T = Σ x·ln(x)/(n·μ) − ln(μ) after expanding ln(x/μ) = ln x − ln μ —
+    so unlike Gini there is NO rank window; the whole statistic is one
+    map-side-partial shuffle. Non-positive and NULL values excluded
+    (ln requires x > 0; standard practice for income-style data).
+    Output (g, n, mean, theil) rounded 6, sorted by group."""
+    v = F.col(value_col).cast("double")
+    pos = df.where(v.isNotNull() & (v > 0)).select(
+        F.col(group_col).alias("g"), v.alias("_v")
+    )
+    n = F.count(F.lit(1)).cast("double")
+    tot = F.sum("_v")
+    xlx = F.sum(F.col("_v") * F.log("_v"))
+    mu = tot / n
+    return (
+        pos.groupBy("g")
+        .agg(
+            n.cast("long").alias("n"),
+            F.round(mu, 6).alias("mean"),
+            F.round(xlx / tot - F.log(mu), 6).alias("theil"),
+        )
+        .orderBy("g")
+    )
+
+
+def rank_biased_overlap(
+    dfa: DataFrame,
+    dfb: DataFrame,
+    key_col: str,
+    score_col: str,
+    p: float = 0.9,
+    depth: int = 50,
+) -> DataFrame:
+    """Rank-biased overlap between two rankings (Webber, Moffat &
+    Zobel 2010), truncated at ``depth`` — "how similar are these two
+    top-k lists", top-weighted so disagreement at rank 2 costs far
+    more than at rank 40. The standard metric for comparing ranked
+    retrieval/recommendation outputs across time or systems; unlike
+    Spearman/Kendall (x24/x40) it handles NON-CONJOINT lists (items
+    present in only one ranking) and weights by rank.
+
+    RBO@d = (1−p)/… truncated form: each common item entering both
+    prefixes at k = max(rank_a, rank_b) contributes Σ_{j=k..d} p^{j−1}/j,
+    scaled by (1−p) — the per-depth agreement A_k = |A_k ∩ B_k|/k
+    summed with geometric weights, rewritten per-ITEM so the compute
+    is one inner join plus a broadcast of the d-row tail-weight table
+    (no per-depth pass). Rankings order by (score desc, key asc) — a
+    total order, so the result is deterministic under ties.
+
+    Output: ONE row (n_common, rbo). Scale shape: two TakeOrdered
+    top-``depth`` sorts (never a global sort), a depth-bounded join,
+    one scalar aggregation."""
+    if not 0.0 < p < 1.0:
+        raise ValueError("p must be in (0, 1)")
+    if depth < 1:
+        raise ValueError("depth must be >= 1")
+
+    def top(df, side):
+        w = Window.orderBy(F.desc("s"), F.asc("k"))
+        return (
+            df.select(F.col(key_col).alias("k"), F.col(score_col).alias("s"))
+            .withColumn(side, F.row_number().over(w))
+            .where(F.col(side) <= depth)
+            .drop("s")
+        )
+
+    # tail weights S(k) = Σ_{j=k..depth} p^{j-1}/j, exact same floats
+    # both engines can reproduce (double powers and divisions)
+    spark = dfa.sparkSession
+    weights = spark.createDataFrame(
+        [
+            (k, sum(p ** (j - 1) / j for j in range(k, depth + 1)))
+            for k in range(1, depth + 1)
+        ],
+        "m int, s double",
+    )
+    joined = top(dfa, "ra").join(top(dfb, "rb"), "k")
+    return (
+        joined.withColumn("m", F.greatest("ra", "rb"))
+        .join(F.broadcast(weights), "m")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.round((1.0 - p) * F.coalesce(F.sum("s"), F.lit(0.0)), 6).alias(
+                "rbo"
+            ),
+        )
+    )

@@ -2962,3 +2962,61 @@ def funnel_latency(
         ).alias("conv_rate"),
         *[f"p{int(q * 100)}_s" for q in quantiles],
     ).orderBy("step_src", "step_dst")
+
+
+def rfm_scores(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    buckets: int = 5,
+) -> DataFrame:
+    """Per-user RFM segmentation — Recency / Frequency / Monetary
+    quintile scores, the classic behavioral-segmentation table every
+    event pipeline ships (churn targeting, LTV tiers). Distinct from
+    g11 (cohort LTV curves — time-indexed) and g7 (session features —
+    per-session, not per-user lifetime).
+
+    recency_s = corpus max event time − user's last event time
+    (seconds, fractional-epoch per the g1 cast('double') convention);
+    frequency = lifetime event count; monetary = lifetime Σ value.
+    Each metric scores 1..``buckets`` by ntile over a TOTAL order
+    (metric, then user id — deterministic under ties); recency orders
+    ASCENDING so score 1 = most recent, matching the convention that
+    low RFM digits are the best customers... inverted for F/M (score 1
+    = highest frequency/spend) by ordering DESCENDING there.
+
+    Plan: one groupBy(user) aggregation, a 1-row max broadcast via
+    cross join, three ntile windows over the (small, user-cardinality)
+    aggregate — never over raw events. Output (user, recency_s,
+    frequency, monetary, r_score, f_score, m_score) sorted by user."""
+    if buckets < 2:
+        raise ValueError("buckets must be >= 2")
+    ev = df.where(
+        F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).cast("double").alias("_t"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    agg = ev.groupBy("u").agg(
+        F.max("_t").alias("_last"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.round(F.coalesce(F.sum("_v"), F.lit(0.0)), 6).alias("monetary"),
+    )
+    mx = ev.agg(F.max("_t").alias("_mx"))
+    base = agg.crossJoin(F.broadcast(mx)).withColumn(
+        "recency_s", F.round(F.col("_mx") - F.col("_last"), 6)
+    )
+    r_w = Window.orderBy(F.asc("recency_s"), F.asc("u"))
+    f_w = Window.orderBy(F.desc("frequency"), F.asc("u"))
+    m_w = Window.orderBy(F.desc("monetary"), F.asc("u"))
+    return base.select(
+        F.col("u").alias("user"),
+        "recency_s",
+        "frequency",
+        "monetary",
+        F.ntile(int(buckets)).over(r_w).alias("r_score"),
+        F.ntile(int(buckets)).over(f_w).alias("f_score"),
+        F.ntile(int(buckets)).over(m_w).alias("m_score"),
+    ).orderBy("user")

@@ -2206,3 +2206,129 @@ def zipf_slope(
         F.round(intercept, 6).alias("intercept"),
     )
 
+
+
+def pmi_collocations(
+    df: DataFrame, text_col: str, min_count: int = 5, k: int = 100
+) -> DataFrame:
+    """Top-``k`` PMI-scored word-bigram collocations — the standard
+    collocation-extraction probe (Church & Hanks 1990): bigrams whose
+    observed frequency beats the independence expectation of their
+    unigrams, pmi = log2((c_xy/N_b) / ((c_x/N_u)·(c_y/N_u))). Distinct
+    from :func:`top_ngrams` (raw counts — dominated by stopword pairs)
+    and from the event-transition PMI (g12 — event types, not text):
+    this surfaces multi-word units ("los angeles") for tokenizer and
+    phrase-mining decisions.
+
+    ``min_count`` floors the bigram count before scoring (rare pairs
+    have unstable PMI — one co-occurrence of two hapaxes maxes the
+    score). Output (gram, n, pmi) ordered by pmi desc, gram asc.
+
+    Plan shape: one keyed shuffle for bigram counts, one for unigram
+    counts (both map-side partial), two vocabulary-keyed joins of the
+    min_count-filtered bigram table against the unigram table, scalar
+    totals broadcast via 1-row cross joins; top-k is
+    TakeOrderedAndProject. Nothing is corpus-scale after the two
+    aggregations — both tables are vocabulary-sized."""
+    if min_count < 1 or k < 1:
+        raise ValueError("min_count and k must be >= 1")
+    uni = (
+        df.select(F.explode(word_ngrams(text_col, 1)).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    bi = (
+        df.select(F.explode(word_ngrams(text_col, 2)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_count)
+    )
+    n_u = uni.agg(F.sum("cw").alias("nu"))
+    n_b = df.select(
+        F.explode(word_ngrams(text_col, 2)).alias("gram")
+    ).agg(F.count(F.lit(1)).alias("nb"))
+    w1 = F.split(F.col("gram"), " ").getItem(0)
+    w2 = F.split(F.col("gram"), " ").getItem(1)
+    return (
+        bi.withColumn("w1", w1)
+        .withColumn("w2", w2)
+        .join(uni.select(F.col("w").alias("w1"), F.col("cw").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("cw").alias("c2")), "w2")
+        .crossJoin(n_u)
+        .crossJoin(n_b)
+        .select(
+            "gram",
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                F.log2(
+                    (F.col("n") / F.col("nb"))
+                    / ((F.col("c1") / F.col("nu")) * (F.col("c2") / F.col("nu")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("gram"))
+        .limit(k)
+    )
+
+
+def llr_keyness(
+    df: DataFrame,
+    text_col: str,
+    in_a,
+    min_count: int = 5,
+    k: int = 100,
+) -> DataFrame:
+    """Corpus-keyness by Dunning log-likelihood ratio (Dunning 1993):
+    for each token, G² = 2·Σ O·ln(O/E) between slice A (rows where the
+    boolean column/expr ``in_a`` holds) and the rest — "which words
+    characterize THIS slice", the statistically-grounded replacement
+    for raw frequency diffs when slice sizes differ. Distinct from x22
+    (chi² on event contingency) and p12 (DSIR importance log-ratios —
+    per-DOCUMENT scoring; this is per-TERM corpus contrast).
+
+    Expected counts under independence: E_a = N_a·(a+b)/N,
+    E_b = N_b·(a+b)/N; zero cells contribute 0 (lim x·ln x = 0).
+    ``keyness`` is G² signed positive when the term is OVERrepresented
+    in A. Output (w, n_a, n_b, keyness) ordered by keyness desc, w asc,
+    top-k; terms with a+b < min_count dropped.
+
+    Plan shape: one explode + keyed count per slice membership (single
+    shuffle — the slice flag rides the token row), scalar totals
+    broadcast, arithmetic in the projection."""
+    if min_count < 1 or k < 1:
+        raise ValueError("min_count and k must be >= 1")
+    flag = in_a if not isinstance(in_a, str) else F.col(in_a)
+    toks = df.select(
+        flag.cast("boolean").alias("__a"),
+        F.explode(word_ngrams(text_col, 1)).alias("w"),
+    ).where(F.length("w") > 0)
+    counts = toks.groupBy("w").agg(
+        F.sum(F.when(F.col("__a"), 1).otherwise(0)).cast("long").alias("a"),
+        F.sum(F.when(F.col("__a"), 0).otherwise(1)).cast("long").alias("b"),
+    )
+    totals = counts.agg(
+        F.sum("a").cast("double").alias("na"),
+        F.sum("b").cast("double").alias("nb"),
+    )
+    a, b = F.col("a").cast("double"), F.col("b").cast("double")
+    na, nb = F.col("na"), F.col("nb")
+    ea = na * (a + b) / (na + nb)
+    eb = nb * (a + b) / (na + nb)
+    term_a = F.when(a > 0, a * F.log(a / ea)).otherwise(F.lit(0.0))
+    term_b = F.when(b > 0, b * F.log(b / eb)).otherwise(F.lit(0.0))
+    g2 = 2.0 * (term_a + term_b)
+    signed = F.when(a / na >= b / nb, g2).otherwise(-g2)
+    return (
+        counts.where(F.col("a") + F.col("b") >= min_count)
+        .crossJoin(totals)
+        .select(
+            "w",
+            F.col("a").alias("n_a"),
+            F.col("b").alias("n_b"),
+            F.round(signed, 6).alias("keyness"),
+        )
+        .orderBy(F.desc("keyness"), F.asc("w"))
+        .limit(k)
+    )

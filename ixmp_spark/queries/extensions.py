@@ -6644,3 +6644,220 @@ def g16_funnel_latency(spark, sf_dir):
 
     ev = load(spark, sf_dir, "events")
     return funnel_latency(ev, "user_id", "ts", "event_type")
+
+
+@query(
+    "t33_pmi_collocations",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ), uni AS (
+      SELECT u AS w, CAST(count(*) AS BIGINT) AS cw
+      FROM (SELECT unnest(w) AS u FROM toks)
+      WHERE len(u) > 0 GROUP BY 1
+    ), bigall AS (
+      SELECT array_to_string(w[i:i+1], ' ') AS gram
+      FROM toks, unnest(range(1, greatest(len(w) - 1, 0) + 1)) AS t(i)
+    ), big AS (
+      SELECT gram, CAST(count(*) AS BIGINT) AS n
+      FROM bigall GROUP BY 1 HAVING count(*) >= 5
+    ), nu AS (SELECT CAST(sum(cw) AS DOUBLE) AS nu FROM uni),
+    nb AS (SELECT CAST(count(*) AS DOUBLE) AS nb FROM bigall)
+    SELECT gram, n,
+           round(log2((n / nb.nb)
+                      / ((u1.cw / nu.nu) * (u2.cw / nu.nu))), 6) AS pmi
+    FROM big
+    JOIN uni u1 ON u1.w = string_split(big.gram, ' ')[1]
+    JOIN uni u2 ON u2.w = string_split(big.gram, ' ')[2]
+    CROSS JOIN nu CROSS JOIN nb
+    ORDER BY pmi DESC, gram ASC
+    LIMIT 100
+    """,
+)
+def t33_pmi_collocations(spark, sf_dir):
+    """Top-100 PMI word-bigram collocations (pmi_collocations,
+    min_count=5): bigrams beating the unigram-independence expectation
+    — multi-word units for tokenizer/phrase-mining decisions. Distinct
+    from t11 (raw counts — stopword-pair dominated) and g12 (event
+    transitions). Counts stay exact integers; the one log2 divides at
+    the end so the driver hash certifies the scores."""
+    from ixmp_spark.operators.text import pmi_collocations
+
+    docs = load(spark, sf_dir, "documents")
+    return pmi_collocations(docs, "text", min_count=5, k=100)
+
+
+@query(
+    "t34_llr_keyness",
+    oracle=r"""
+    WITH toks AS (
+      SELECT (lang = 'en') AS in_a, u AS w
+      FROM (
+        SELECT lang,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS u
+        FROM documents
+      ) WHERE len(u) > 0
+    ), cnt AS (
+      SELECT w,
+             CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS b
+      FROM toks GROUP BY w
+    ), tot AS (
+      SELECT CAST(sum(a) AS DOUBLE) AS na, CAST(sum(b) AS DOUBLE) AS nb
+      FROM cnt
+    )
+    SELECT w, a AS n_a, b AS n_b,
+           round(
+             (CASE WHEN a * 1.0 / na >= b * 1.0 / nb THEN 1 ELSE -1 END)
+             * 2.0 * (
+               (CASE WHEN a > 0 THEN
+                  a * ln(a / (na * (a + b) / (na + nb))) ELSE 0 END)
+               + (CASE WHEN b > 0 THEN
+                  b * ln(b / (nb * (a + b) / (na + nb))) ELSE 0 END)
+             ), 6) AS keyness
+    FROM cnt CROSS JOIN tot
+    WHERE a + b >= 5
+    ORDER BY keyness DESC, w ASC
+    LIMIT 100
+    """,
+)
+def t34_llr_keyness(spark, sf_dir):
+    """Dunning log-likelihood keyness (llr_keyness): the top-100 terms
+    characterizing the English slice vs the rest of the corpus —
+    G² = 2·Σ O·ln(O/E), signed by over/under-representation. The
+    statistically-grounded replacement for raw frequency diffs when
+    slice sizes differ; distinct from x22 (chi² on events) and p12
+    (per-document DSIR importance)."""
+    from ixmp_spark.operators.text import llr_keyness
+
+    docs = load(spark, sf_dir, "documents")
+    return llr_keyness(
+        docs, "text", F.col("lang") == "en", min_count=5, k=100
+    )
+
+
+@query(
+    "x45_theil_index",
+    oracle="""
+    SELECT event_type AS g, CAST(count(*) AS BIGINT) AS n,
+           round(avg(value), 6) AS mean,
+           round(sum(value * ln(value)) / sum(value) - ln(avg(value)),
+                 6) AS theil
+    FROM events
+    WHERE value IS NOT NULL AND value > 0
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def x45_theil_index(spark, sf_dir):
+    """Theil T inequality per event type (theil_index) — the entropy
+    member of the inequality family (x41 Gini is the Lorenz member;
+    Theil decomposes additively across subgroups). ONE map-side-partial
+    aggregation — Σx and Σx·ln(x) suffice, no rank window."""
+    from ixmp_spark.operators.sampling import theil_index
+
+    ev = load(spark, sf_dir, "events")
+    return theil_index(ev, "event_type", "value")
+
+
+@query(
+    "x47_rank_biased_overlap",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                  THEN 'a' ELSE 'b' END AS half,
+             sum(l_extendedprice * (1 - l_discount)) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ), ra AS (
+      SELECT l_partkey AS k,
+             row_number() OVER (ORDER BY revenue DESC, l_partkey) AS ra
+      FROM rev WHERE half = 'a' QUALIFY ra <= 50
+    ), rb AS (
+      SELECT l_partkey AS k,
+             row_number() OVER (ORDER BY revenue DESC, l_partkey) AS rb
+      FROM rev WHERE half = 'b' QUALIFY rb <= 50
+    ), wt AS (
+      SELECT k AS m,
+             sum(pow(0.9, j - 1) / j) AS s
+      FROM generate_series(1, 50) AS g1(k),
+           generate_series(1, 50) AS g2(j)
+      WHERE j >= k GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_common,
+           round(0.1 * coalesce(sum(wt.s), 0.0), 6) AS rbo
+    FROM ra JOIN rb USING (k)
+    JOIN wt ON wt.m = greatest(ra.ra, rb.rb)
+    """,
+)
+def x47_rank_biased_overlap(spark, sf_dir):
+    """Rank-biased overlap (rank_biased_overlap, p=0.9, depth=50)
+    between part-revenue rankings of the early (< 1998) and late order
+    halves — "did the top sellers change", top-weighted so rank-2
+    disagreement outweighs rank-40, and robust to items present in
+    only one list (which Spearman/Kendall x24/x40 cannot express).
+    Per-item rewrite: a common item entering both prefixes at
+    k = max(ra, rb) contributes Σ_{j=k..d} p^(j-1)/j — one
+    depth-bounded join plus a broadcast 50-row tail-weight table."""
+    from ixmp_spark.operators.sampling import rank_biased_overlap
+
+    li = load(spark, sf_dir, "lineitem")
+    od = load(spark, sf_dir, "orders")
+    rev = (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .groupBy(
+            "l_partkey",
+            (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            .alias("early"),
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+    )
+    return rank_biased_overlap(
+        rev.where("early").select("l_partkey", "revenue"),
+        rev.where(~F.col("early")).select("l_partkey", "revenue"),
+        "l_partkey",
+        "revenue",
+        p=0.9,
+        depth=50,
+    )
+
+
+@query(
+    "g17_rfm_scores",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id AS u, epoch(ts) AS t, value AS v
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ), agg AS (
+      SELECT u, max(t) AS last_t, CAST(count(*) AS BIGINT) AS frequency,
+             round(coalesce(sum(v), 0.0), 6) AS monetary
+      FROM ev GROUP BY u
+    ), mx AS (SELECT max(t) AS mxt FROM ev)
+    SELECT u AS user, round(mxt - last_t, 6) AS recency_s,
+           frequency, monetary,
+           ntile(5) OVER (ORDER BY round(mxt - last_t, 6) ASC, u ASC)
+             AS r_score,
+           ntile(5) OVER (ORDER BY frequency DESC, u ASC) AS f_score,
+           ntile(5) OVER (ORDER BY monetary DESC, u ASC) AS m_score
+    FROM agg CROSS JOIN mx
+    ORDER BY user
+    """,
+)
+def g17_rfm_scores(spark, sf_dir):
+    """Per-user RFM segmentation (rfm_scores): recency / frequency /
+    monetary quintiles over lifetime event history — the classic
+    behavioral-segmentation table (churn targeting, LTV tiers);
+    distinct from g11 (time-indexed cohort curves) and g7 (per-session
+    features). ntile windows run over the user-cardinality aggregate
+    with total orders (metric, user) — deterministic under ties — and
+    recency uses fractional-epoch seconds (the g1 cast('double')
+    convention)."""
+    from ixmp_spark.operators.sessions import rfm_scores
+
+    ev = load(spark, sf_dir, "events")
+    return rfm_scores(ev, "user_id", "ts", "value")

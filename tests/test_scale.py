@@ -7331,3 +7331,140 @@ def test_funnel_latency_hand(spark):
     # src: u1, u2, u4; converted: u1 only (u4's purchase precedes view)
     assert vp["n_src_users"] == 3 and vp["n_converted"] == 1
     assert vp["p50_s"] == 180.0
+
+
+def test_pmi_collocations_hand(spark):
+    """pmi_collocations (pins t33): hand-computed PMI on a planted
+    corpus — the collocation outranks the stopword pair, and min_count
+    floors rare pairs out."""
+    import math
+
+    from ixmp_spark.operators.text import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(0, "new york is big"), (1, "new york is old"),
+         (2, "big and old and big")],
+        "doc_id long, text string",
+    )
+    # unigrams (len>0): N_u = 13; bigrams N_b = 10
+    # c('new york') = 2; c(new) = 2, c(york) = 2
+    got = {r["gram"]: (r["n"], r["pmi"])
+           for r in pmi_collocations(docs, "text", min_count=2).collect()}
+    exp = round(math.log2((2 / 10) / ((2 / 13) * (2 / 13))), 6)
+    assert got["new york"] == (2, exp)
+    assert all(n >= 2 for n, _ in got.values())
+    # 'is big' occurs once -> floored out at min_count=2
+    assert "is big" not in got
+
+
+def test_llr_keyness_hand(spark):
+    """llr_keyness (pins t34): a term exclusive to slice A gets a
+    positive G² equal to the hand-computed Dunning value; a term with
+    identical rates scores ~0; sign flips for B-heavy terms."""
+    import math
+
+    from pyspark.sql import functions as SF
+
+    from ixmp_spark.operators.text import llr_keyness
+
+    docs = spark.createDataFrame(
+        [(0, "a", "zork zork common common"),
+         (1, "a", "zork common common common"),
+         (2, "b", "blee common common common"),
+         (3, "b", "blee blee common common")],
+        "doc_id long, lang string, text string",
+    )
+    rows = {
+        r["w"]: r
+        for r in llr_keyness(
+            docs, "text", SF.col("lang") == "a", min_count=1, k=10
+        ).collect()
+    }
+    na, nb = 8.0, 8.0  # tokens per slice
+    def g2(a, b):
+        tot = na + nb
+        s = 0.0
+        if a: s += a * math.log(a / (na * (a + b) / tot))
+        if b: s += b * math.log(b / (nb * (a + b) / tot))
+        return 2 * s
+    assert rows["zork"]["n_a"] == 3 and rows["zork"]["n_b"] == 0
+    assert rows["zork"]["keyness"] == round(g2(3, 0), 6)
+    assert rows["blee"]["keyness"] == round(-g2(0, 3), 6)
+    assert rows["common"]["keyness"] == 0.0  # 5 vs 5 on equal totals
+
+
+def test_theil_index_hand(spark):
+    """theil_index (pins x45): equal values give exactly 0; the planted
+    two-member group matches the closed form; zero/negative excluded."""
+    import math
+
+    from ixmp_spark.operators.sampling import theil_index
+
+    df = spark.createDataFrame(
+        [("eq", 5.0), ("eq", 5.0), ("eq", 5.0),
+         ("sk", 1.0), ("sk", 3.0),
+         ("sk", -7.0), ("sk", 0.0)],  # excluded
+        "g string, v double",
+    )
+    got = {r["g"]: r for r in theil_index(df, "g", "v").collect()}
+    assert got["eq"]["theil"] == 0.0 and got["eq"]["n"] == 3
+    mu = 2.0
+    exp = (1 / 2) * ((1 / mu) * math.log(1 / mu) + (3 / mu) * math.log(3 / mu))
+    assert got["sk"]["n"] == 2
+    assert abs(got["sk"]["theil"] - exp) < 1e-6
+
+
+def test_rank_biased_overlap_hand(spark):
+    """rank_biased_overlap (pins x47): identical length-d lists give
+    exactly 1 − p^d; disjoint lists give 0; the two-item swap matches
+    the hand value 0.25 at p=0.5."""
+    from ixmp_spark.operators.sampling import rank_biased_overlap
+
+    a = spark.createDataFrame(
+        [(f"i{k}", float(100 - k)) for k in range(10)], "k string, s double"
+    )
+    same = rank_biased_overlap(a, a, "k", "s", p=0.9, depth=10).collect()[0]
+    assert same["n_common"] == 10
+    assert abs(same["rbo"] - (1 - 0.9 ** 10)) < 1e-6
+
+    b = spark.createDataFrame(
+        [(f"j{k}", float(100 - k)) for k in range(10)], "k string, s double"
+    )
+    disj = rank_biased_overlap(a, b, "k", "s", p=0.9, depth=10).collect()[0]
+    assert disj["n_common"] == 0 and disj["rbo"] == 0.0
+
+    x = spark.createDataFrame([("x", 2.0), ("y", 1.0)], "k string, s double")
+    y = spark.createDataFrame([("x", 1.0), ("y", 2.0)], "k string, s double")
+    swap = rank_biased_overlap(x, y, "k", "s", p=0.5, depth=2).collect()[0]
+    assert swap["n_common"] == 2 and abs(swap["rbo"] - 0.25) < 1e-9
+
+
+def test_rfm_scores_hand(spark):
+    """rfm_scores (pins g17): hand-placed users land in the right
+    quintile buckets with deterministic tie-breaks; recency is
+    fractional-epoch seconds against the corpus max."""
+    from ixmp_spark.operators.sessions import rfm_scores
+
+    rows = []
+    # user u: one event at the corpus max -> recency 0, freq 1
+    rows.append((1, "2024-01-10 00:00:00", 10.0))
+    # user v: 3 events, older, big spend
+    for d in (1, 2, 3):
+        rows.append((2, f"2024-01-0{d} 00:00:00", 100.0))
+    # user w: 2 events, middle
+    rows.append((3, "2024-01-05 00:00:00", 5.0))
+    rows.append((3, "2024-01-06 00:00:00", 5.0))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_s string, value double"
+    ).selectExpr("user_id", "CAST(ts_s AS TIMESTAMP) AS ts", "value")
+    got = {r["user"]: r for r in
+           rfm_scores(df, "user_id", "ts", "value", buckets=3).collect()}
+    assert got[1]["recency_s"] == 0.0
+    assert got[1]["frequency"] == 1 and got[1]["monetary"] == 10.0
+    # recency order: u(0s) < w(4d) < v(7d) -> r_scores 1,2,3
+    assert (got[1]["r_score"], got[3]["r_score"], got[2]["r_score"]) == (1, 2, 3)
+    # frequency desc: v(3) < ... w(2), u(1) -> f_scores 1,2,3
+    assert (got[2]["f_score"], got[3]["f_score"], got[1]["f_score"]) == (1, 2, 3)
+    # monetary desc: v(300), u(10), w(10)? w=10.0 tie with u -> user asc
+    assert got[2]["m_score"] == 1
+    assert (got[1]["m_score"], got[3]["m_score"]) == (2, 3)
