@@ -709,7 +709,7 @@ def hard_negatives(
     min_sim: float = 0.4,
     max_sim: float = 0.9,
     bands: int = 6,
-    bits: int = 4,
+    bits: "int | str" = 4,
     seed: int = 42,
     max_bucket: int | None = 2000,
     on_hot: str = "drop",
@@ -730,7 +730,31 @@ def hard_negatives(
     ``< max_sim``, symmetrized (each pair serves both ends as anchor),
     then a per-anchor top-k window — rank-limited, so Spark's
     WindowGroupLimit keeps O(k) rows per anchor per task, never a
-    global sort. Inherits cosine_lsh_pairs' hot-bucket guards."""
+    global sort. Inherits cosine_lsh_pairs' hot-bucket guards.
+
+    SCALE NOTE (r12 ANN rehearsal finding): with ``bits=4`` each band
+    has only 16 buckets, so bucket population is ~n/16 — past
+    n ≈ 16·max_bucket EVERY bucket is hot and the default
+    ``on_hot='drop'`` silently returns ZERO pairs (measured at 200k
+    vectors / max_bucket=2000). Pass ``bits='auto'`` to size bits from
+    TWO bounds: expected bucket population under ``max_bucket`` (the
+    per-bucket guard) AND total raw candidate volume
+    (≈ bands·n·bucket_rows/2) under ~2e8 rows — the d14-calibrated
+    budget; a first auto rule honoring only max_bucket picked bits=7
+    at 200k vectors and the ~1e9-row verify OOMed the JVM. Per-pair
+    candidate recall drops with bits, but a MINER wants bounded, valid
+    negatives — fewer candidates is an acceptable trade, an empty
+    result (or an OOM) is not."""
+    if bits == "auto":
+        import math as _math
+
+        n_rows = df.count()
+        cap = float(max_bucket) if max_bucket else 2000.0
+        b_target = max(
+            8.0,
+            min(cap, 2.0 * 200_000_000 / (bands * max(n_rows, 1))),
+        )
+        bits = max(4, _math.ceil(_math.log2(max(n_rows / b_target, 2.0))))
     pairs = cosine_lsh_pairs(
         df, id_col, vec_col, threshold=min_sim, bands=bands, bits=bits,
         seed=seed, max_bucket=max_bucket, on_hot=on_hot,

@@ -7468,3 +7468,48 @@ def test_rfm_scores_hand(spark):
     # monetary desc: v(300), u(10), w(10)? w=10.0 tie with u -> user asc
     assert got[2]["m_score"] == 1
     assert (got[1]["m_score"], got[3]["m_score"]) == (2, 3)
+
+
+def test_hard_negatives_bits_auto(spark):
+    """hard_negatives bits='auto' (the r12 ANN-rehearsal finding): when
+    the corpus outgrows 2^bits × max_bucket, default bits=4 +
+    on_hot='drop' silently returns ZERO pairs; bits='auto' sizes the
+    bucket count to the corpus and recovers mid-similarity negatives."""
+    import numpy as np
+
+    from ixmp_spark.operators.similarity import hard_negatives
+
+    # UNIFORM corpus — the regime the 200k finding is about: bucket
+    # population n/2^bits outgrows max_bucket with no near-dup mass
+    # (tight clusters are the OTHER hot-bucket regime, where no bits
+    # value helps and dedup-first is the answer). dim=16 makes random
+    # cosines sigma≈0.25, so mid-similarity [0.4, 0.9) pairs exist.
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((2000, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+
+    # bits=4 -> 16 buckets/band over 2000 rows: ~125/bucket average,
+    # so drop guts the result (at 200k/max_bucket=2000 the rehearsal
+    # measured literally ZERO; at this size a few small sign-regions
+    # squeak under the cap — sign-LSH buckets are not equal-measure)
+    starved = hard_negatives(
+        df, "vec_id", "embedding", k=3, max_bucket=60, on_hot="drop"
+    ).collect()
+    # auto -> ceil(log2(2000/60)) = 6 bits -> ~31/bucket: survives the
+    # guard and recovers the mid-similarity mass the default dropped
+    auto = hard_negatives(
+        df, "vec_id", "embedding", k=3, max_bucket=60, on_hot="drop",
+        bits="auto",
+    ).collect()
+    assert auto, "auto bits must recover pairs where bits=4 dropped most"
+    assert len(auto) > 3 * max(len(starved), 1)
+    anchors = lambda rows: {r["anchor_id"] for r in rows}  # noqa: E731
+    assert len(anchors(auto)) > 3 * max(len(anchors(starved)), 1)
+    assert all(0.4 <= r["cosine_sim"] < 0.9 for r in auto)
+    per_anchor = {}
+    for r in auto:
+        per_anchor[r["anchor_id"]] = per_anchor.get(r["anchor_id"], 0) + 1
+    assert max(per_anchor.values()) <= 3  # k respected

@@ -386,8 +386,118 @@ def main_ann_table() -> None:
         ),
     )
 
+    # -- post-r7 operators (VERDICT r11 #6): refresh the table with the
+    #    family members added since the r6/r7 rehearsal ----------------
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from ixmp_spark.operators.similarity import (
+        hard_negatives,
+        lsh_index_topk,
+        lsh_index_write,
+        matryoshka_recall,
+        prototype_prune,
+        semantic_dedup,
+    )
+
+    # index-as-storage: bucket-partitioned parquet, partition-pruned
+    # probe reads (the layout an in-memory cache cannot imitate)
+    idx_dir = _tempfile.mkdtemp(prefix="ann_lsh_idx_")
+    try:
+        t0 = time.time()
+        lsh_index_write(vecs, idx_dir, "vec_id", "embedding", planes)
+        idx_build_s = time.time() - t0
+        run(
+            f"lsh_index_storage_bits{bits}_mp1",
+            idx_build_s,
+            lambda p, row: lsh_index_topk(
+                spark, idx_dir, row["embedding"], planes, "vec_id",
+                k=k, multi_probe=1, exclude_id=row["vec_id"],
+            ),
+        )
+
+        # matryoshka: what fraction of the full-dim top-k survives a
+        # truncated-dimension cut (per-dim recall floor for storage
+        # truncation decisions)
+        probes_df = spark.createDataFrame(
+            [(r["vec_id"], r["embedding"]) for r in probes],
+            "vec_id long, embedding array<double>",
+        )
+        t0 = time.time()
+        mrows = matryoshka_recall(
+            vecs, probes_df, "vec_id", "embedding", dims=(8, 16, 32), k=k
+        ).collect()
+        m_wall = time.time() - t0
+        for r in mrows:
+            table.append({
+                "method": f"matryoshka_d{r['dim']}",
+                "build_s": 0.0,
+                "query_s": round(m_wall / (3 * len(probes)), 3),
+                "recall_at_10": float(r["mean_recall"]),
+            })
+            print(f"   {table[-1]}", file=sys.stderr)
+
+        # prototypicality pruning: retrieval AFTER dropping the 25%
+        # densest core — the recall column here is the measured price
+        # of the diversification, not a target-1.0 floor
+        t0 = time.time()
+        marks = prototype_prune(
+            vecs, "vec_id", "embedding",
+            n_clusters=max(16, n // 3000), prune_frac=0.25,
+        )
+        survivors = vecs.join(
+            marks.where("kept").select("vec_id"), "vec_id", "semi"
+        ).persist()
+        n_kept_pp = survivors.count()
+        prune_s = time.time() - t0
+        run(
+            "prototype_prune25_then_bf",
+            prune_s,
+            lambda p, row: brute_force_topk(
+                survivors, p, "vec_id", "embedding", k=k
+            ),
+        )
+        survivors.unpersist()
+
+        # non-retrieval members: throughput + contract floors.
+        # semantic_dedup's in-cluster verify is quadratic in cluster
+        # size — n//800 keeps clusters ~800 rows (the first r12 run
+        # used the IVF sizing n//3000 and paid 1049 s on ~3000-row
+        # clusters; the knob IS the contract, so size it like a user).
+        extras: dict = {"prototype_prune_n_kept": n_kept_pp}
+        t0 = time.time()
+        sd = semantic_dedup(
+            vecs, "vec_id", "embedding",
+            n_clusters=max(16, n // 800), threshold=0.92,
+        ).persist()
+        extras["semantic_dedup"] = {
+            "wall_s": round(time.time() - t0, 2),
+            "n_in": n,
+            "n_kept": sd.where(F.col("rep_id") == F.col("vec_id")).count(),
+        }
+        sd.unpersist()
+        # hard_negatives at DEFAULT bits=4: at this corpus size every
+        # band bucket (~n/16 rows) exceeds max_bucket=2000, so
+        # on_hot='drop' silently empties the result — the r12 finding
+        # now in the operator's SCALE NOTE. Record the failure mode
+        # AND the bits='auto' fix side by side.
+        for label, bits in (("default_bits4", 4), ("bits_auto", "auto")):
+            t0 = time.time()
+            hn = hard_negatives(
+                vecs, "vec_id", "embedding", k=5, bits=bits
+            ).persist()
+            extras[f"hard_negatives_{label}"] = {
+                "wall_s": round(time.time() - t0, 2),
+                "n_pairs": hn.count(),
+                "n_anchors": hn.select("anchor_id").distinct().count(),
+            }
+            hn.unpersist()
+        print(f"   extras: {extras}", file=sys.stderr)
+    finally:
+        _shutil.rmtree(idx_dir, ignore_errors=True)
+
     emit({"sf_dir": sf_dir, "mode": "ann_table", "n": n, "k": k,
-                      "n_probes": n_probes, "table": table})
+          "n_probes": n_probes, "table": table, "extras": extras})
 
 
 def main_text() -> None:

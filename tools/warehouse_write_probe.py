@@ -96,9 +96,13 @@ def main() -> None:
     phases = [
         ("A1", base, 128, True),
         ("B", 2 * base, 256, True),
+        # r12 (VERDICT r11 #2): the THIRD rung — does the 1.22x-per-row
+        # sorted trend flatten or compound past 2e8?
+        ("C", 4 * base, 512, True),
         ("A2", base, 128, True),       # the A-B-A stability witness
         ("A_nosort", base, 128, False),
         ("B_nosort", 2 * base, 256, False),
+        ("C_nosort", 4 * base, 512, False),
     ]
     out: dict = {"base_n": base, "probe_ms": [], "phases": []}
     out["probe_ms"].append(disk_probe())
@@ -109,10 +113,24 @@ def main() -> None:
         print(f"-- {row} probe={out['probe_ms'][-1]}ms", file=sys.stderr)
     by = {p["tag"]: p for p in out["phases"]}
     a1, a2, b = by["A1"]["commit_s"], by["A2"]["commit_s"], by["B"]["commit_s"]
+    c = by["C"]["commit_s"]
     out["aba_stability"] = round(a2 / max(a1, 1e-9), 3)
     out["scaling_2x_sorted"] = round(2 * b / max(a1 + a2, 1e-9), 3)
+    out["scaling_4x_sorted"] = round(c / max(b, 1e-9), 3)
+    # per-row cost curve (ns/row), the trend the verdict asks to pin
+    out["per_row_ns_sorted"] = [
+        round(by[tag]["commit_s"] / by[tag]["n"] * 1e9, 2)
+        for tag in ("A1", "B", "C")
+    ]
+    out["per_row_ns_nosort"] = [
+        round(by[tag]["commit_s"] / by[tag]["n"] * 1e9, 2)
+        for tag in ("A_nosort", "B_nosort", "C_nosort")
+    ]
     out["scaling_2x_nosort"] = round(
         by["B_nosort"]["commit_s"] / max(by["A_nosort"]["commit_s"], 1e-9), 3
+    )
+    out["scaling_4x_nosort"] = round(
+        by["C_nosort"]["commit_s"] / max(by["B_nosort"]["commit_s"], 1e-9), 3
     )
     emit(out)
 
