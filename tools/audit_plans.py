@@ -54,6 +54,9 @@ BNLJ_OK = {
     "x33_cohens_kappa",  # 1-row cell-grid aggregate crossed with the 1-row marginal-product aggregate
     "x35_fleiss_kappa",  # 1-row P-bar aggregate crossed with the 1-row P-e marginal aggregate (the x33 shape)
     "d12_edit_join",  # short-string non-equi length-band join: both sides alphabet-bounded AND count-guarded (max_short converge-or-raise)
+    "t33_pmi_collocations",  # 1-row N_u / N_b totals aggregate cross-broadcasts (the t9/t10 pattern)
+    "t34_llr_keyness",  # 1-row (na, nb) slice-totals aggregate cross-broadcast
+    "g17_rfm_scores",  # 1-row corpus-max-ts aggregate cross-broadcast onto the user aggregate
 }
 
 #: multi-stage pipelines where >6 shuffles are inherent (documented):
@@ -209,7 +212,17 @@ def single_partition_violations(plan: str) -> list[str]:
             ccol, cname, cid = tree[j]
             if ccol <= col:
                 break
-            if cname in _PASS_THROUGH:
+            # a broadcast nested-loop join's cardinality class follows
+            # its STREAM (first) child — the build side is broadcast-
+            # bounded by construction (r12: g17's global ntile sits on
+            # user-aggregate × 1-row-max cross; descending reaches the
+            # HashAggregate, while a global window over raw-scan ×
+            # broadcast still reaches the scan and flags). Node names
+            # carry join-type suffixes ("… Cross BuildRight") — prefix
+            # match.
+            if cname in _PASS_THROUGH or cname.startswith(
+                "BroadcastNestedLoopJoin"
+            ):
                 col = ccol
                 j += 1
                 continue
