@@ -3105,3 +3105,94 @@ def rank_biased_overlap(
             ),
         )
     )
+
+
+def filter_yield_curve(
+    df: DataFrame,
+    score_col: str,
+    thresholds: "list[float]",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Filter yield curve — the quality-threshold planning table every
+    curation pipeline needs BEFORE committing to a cutoff: for each
+    score floor in ``thresholds`` (strictly descending), the CUMULATIVE
+    yield (documents and weight — typically tokens) of keeping every
+    document scoring at or above it. Reading row b answers "if I
+    threshold at this score, what fraction of my token budget
+    survives". Distinct from p13 (perplexity bucket STATS — per-bucket,
+    not cumulative yield) and t22 (calibration against labels).
+
+    Thresholds are EXPLICIT score floors, not rank deciles: a first
+    draft assigned rank-equal buckets with a global ntile window and
+    the standing plan audit flagged the SinglePartition exchange over
+    the raw corpus scan — the classic 100 TB scale-killer. With fixed
+    floors the bucket assignment is a map-side CASE chain, the only
+    aggregation is per-bucket (len(thresholds)-bounded), and the
+    cumulative window runs over that bounded frame. Callers with an
+    unknown score domain derive floors from a quantile sketch first;
+    bounded scores (ratios, calibrated probabilities) use a fixed
+    grid.
+
+    Output per bucket 1..len(thresholds) (1 = highest floor):
+    (bucket, score_floor, n_docs, cum_docs, cum_weight, weight_frac) —
+    ``n_docs`` counts the band (floor_b, floor_{b-1}]; documents below
+    the last floor are excluded from the table (and the total).
+    NULL scores are excluded; a missing ``weight_col`` counts
+    documents as weight."""
+    ths = [float(t) for t in thresholds]
+    if len(ths) < 1 or any(a <= b for a, b in zip(ths, ths[1:])):
+        raise ValueError("thresholds must be a strictly descending list")
+    wgt = (
+        F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    )
+    sc = F.col(score_col).cast("double")
+    bucket = F.lit(None).cast("int")
+    # CASE chain built inside-out so the OUTERMOST branch tests the
+    # highest floor: bucket = smallest b whose floor the score clears
+    for b in range(len(ths), 0, -1):
+        bucket = F.when(sc >= F.lit(ths[b - 1]), F.lit(b)).otherwise(bucket)
+    scored = (
+        df.where(sc.isNotNull())
+        .select(sc.alias("_sc"), wgt.alias("_w"), bucket.alias("bucket"))
+        .where(F.col("bucket").isNotNull())
+    )
+    per = scored.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_w").alias("_bw"),
+    )
+    # every threshold gets a row even when its band is empty. Built
+    # from range + a literal array (NOT createDataFrame, which plans
+    # as an ExistingRDD scan the plan audit cannot classify as
+    # bounded — Range it provably is)
+    spark = df.sparkSession
+    ths_arr = F.array(*[F.lit(t) for t in ths])
+    grid = spark.range(1, len(ths) + 1).select(
+        F.col("id").cast("int").alias("bucket"),
+        F.element_at(ths_arr, F.col("id").cast("int")).alias(
+            "score_floor"
+        ),
+    )
+    per = grid.join(per, "bucket", "left").select(
+        "bucket",
+        "score_floor",
+        F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
+        F.coalesce("_bw", F.lit(0.0)).alias("_bw"),
+    )
+    cum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = per.agg(F.sum("_bw").alias("_tw"))
+    return (
+        per.withColumn("cum_docs", F.sum("n_docs").over(cum).cast("long"))
+        .withColumn("_cw", F.sum("_bw").over(cum))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "score_floor",
+            "n_docs",
+            "cum_docs",
+            F.round("_cw", 6).alias("cum_weight"),
+            F.round(F.col("_cw") / F.col("_tw"), 6).alias("weight_frac"),
+        )
+        .orderBy("bucket")
+    )

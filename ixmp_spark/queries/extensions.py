@@ -6861,3 +6861,145 @@ def g17_rfm_scores(spark, sf_dir):
 
     ev = load(spark, sf_dir, "events")
     return rfm_scores(ev, "user_id", "ts", "value")
+
+
+@query(
+    "g18_peak_concurrency",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             CAST(sum(new_sess) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM flagged
+    ), iv AS (
+      SELECT strftime(min(ts), '%Y-%m-%d') AS k,
+             epoch(min(ts)) AS s, epoch(max(ts)) AS e
+      FROM sess GROUP BY user_id, session_id
+    ), pts AS (
+      SELECT k, s AS t, 1 AS d FROM iv
+      UNION ALL
+      SELECT k, e AS t, -1 AS d FROM iv
+    ), runs AS (
+      SELECT k, t, sum(d) OVER (PARTITION BY k ORDER BY t, d DESC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      FROM pts
+    ), pk AS (
+      SELECT k, CAST(max(run) AS BIGINT) AS peak FROM runs GROUP BY k
+    ), n AS (
+      SELECT k, CAST(count(*) AS BIGINT) AS n_intervals FROM iv GROUP BY k
+    )
+    SELECT n.k AS k, n.n_intervals, pk.peak, round(min(r.t), 6) AS peak_at
+    FROM runs r
+    JOIN pk ON r.k = pk.k AND r.run = pk.peak
+    JOIN n ON n.k = pk.k
+    GROUP BY n.k, n.n_intervals, pk.peak
+    ORDER BY n.k
+    """,
+)
+def g18_peak_concurrency(spark, sf_dir):
+    """Peak concurrent sessions per day (peak_concurrency over g1's
+    30-min-gap session intervals, keyed by the session's start day) —
+    the capacity-planning DEPTH measure that complements j19/w35's
+    union LENGTH: how many sessions were live at once, and when the
+    peak was first hit. Sweep-line: +1/−1 deltas, one running-sum
+    window per day (starts before ends at equal instants — closed
+    intervals, so single-event sessions register), fractional-epoch
+    timestamps (the g1 cast('double') convention)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    sid = F.sum(
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    sess = (
+        ev.withColumn("__sid", sid)
+        .groupBy("user_id", "__sid")
+        .agg(F.min("ts").alias("__s"), F.max("ts").alias("__e"))
+        .select(
+            F.date_format("__s", "yyyy-MM-dd").alias("day"), "__s", "__e"
+        )
+    )
+    from ixmp_spark.operators.sessions import peak_concurrency
+
+    return peak_concurrency(sess, "day", "__s", "__e")
+
+
+@query(
+    "p28_filter_yield_curve",
+    oracle=r"""
+    WITH scored AS (
+      SELECT length(regexp_replace(lower(text), '[^a-z]', '', 'g')) * 1.0
+               / length(text) AS sc,
+             len(string_split_regex(trim(lower(text)), '\s+')) * 1.0
+               AS w
+      FROM documents
+      WHERE text IS NOT NULL AND length(text) > 0
+    ), bucketed AS (
+      SELECT CASE WHEN sc >= 0.9 THEN 1 WHEN sc >= 0.8 THEN 2
+                  WHEN sc >= 0.7 THEN 3 WHEN sc >= 0.6 THEN 4
+                  WHEN sc >= 0.5 THEN 5 WHEN sc >= 0.4 THEN 6
+                  WHEN sc >= 0.3 THEN 7 WHEN sc >= 0.2 THEN 8
+                  WHEN sc >= 0.1 THEN 9 WHEN sc >= 0.0 THEN 10 END
+               AS bucket,
+             w
+      FROM scored
+    ), grid AS (
+      SELECT CAST(b AS INT) AS bucket,
+             round((10 - b) * 0.1, 1) AS score_floor
+      FROM generate_series(1, 10) AS g(b)
+    ), per AS (
+      SELECT grid.bucket, grid.score_floor,
+             CAST(coalesce(count(bucketed.bucket), 0) AS BIGINT) AS n_docs,
+             coalesce(sum(bucketed.w), 0.0) AS bw
+      FROM grid LEFT JOIN bucketed ON grid.bucket = bucketed.bucket
+      GROUP BY grid.bucket, grid.score_floor
+    ), tot AS (SELECT sum(bw) AS tw FROM per)
+    SELECT bucket, score_floor, n_docs,
+           CAST(sum(n_docs) OVER cum AS BIGINT) AS cum_docs,
+           round(sum(bw) OVER cum, 6) AS cum_weight,
+           round(sum(bw) OVER cum / tw, 6) AS weight_frac
+    FROM per CROSS JOIN tot
+    WINDOW cum AS (ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY bucket
+    """,
+)
+def p28_filter_yield_curve(spark, sf_dir):
+    """Filter yield curve (filter_yield_curve): score documents with an
+    alphabetic-character-ratio quality proxy (domain [0, 1]) and report
+    the CUMULATIVE document and token yield of thresholding at each
+    floor of a fixed 0.9..0.0 grid — the planning table read before
+    committing a curation cutoff ("thresholding at 0.6 retains X% of
+    tokens"). Weight = whitespace token count (the t1 convention);
+    bucket assignment is a map-side CASE chain (the ntile first draft
+    was killed by the plan audit — a global window over the raw scan).
+    Distinct from p13 (per-bucket stats, not cumulative yield) and t22
+    (calibration against labels)."""
+    from ixmp_spark.operators.sampling import filter_yield_curve
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.where(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    ).select(
+        (
+            F.length(F.regexp_replace(F.lower("text"), "[^a-z]", ""))
+            / F.length("text")
+        ).alias("score"),
+        F.size(F.split(F.trim(F.lower("text")), r"\s+"))
+        .cast("double")
+        .alias("tokens"),
+    )
+    return filter_yield_curve(
+        scored, "score",
+        thresholds=[round((10 - b) * 0.1, 1) for b in range(1, 11)],
+        weight_col="tokens",
+    )

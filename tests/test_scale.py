@@ -7513,3 +7513,61 @@ def test_hard_negatives_bits_auto(spark):
     for r in auto:
         per_anchor[r["anchor_id"]] = per_anchor.get(r["anchor_id"], 0) + 1
     assert max(per_anchor.values()) <= 3  # k respected
+
+
+def test_peak_concurrency_hand(spark):
+    """peak_concurrency (pins g18): hand-built intervals — nested
+    overlap peaks at 3, closed semantics count boundary-touching and
+    zero-length intervals, peak_at is the earliest attaining instant."""
+    from ixmp_spark.operators.sessions import peak_concurrency
+
+    rows = [
+        ("a", 0.0, 10.0), ("a", 5.0, 15.0), ("a", 12.0, 20.0),
+        ("a", 7.0, 9.0),
+        ("b", 3.0, 3.0),                 # zero-length still registers
+        ("c", 0.0, 5.0), ("c", 5.0, 8.0),  # touching = concurrent (closed)
+    ]
+    df = spark.createDataFrame(rows, "k string, s double, e double")
+    got = {r["k"]: r for r in peak_concurrency(df, "k", "s", "e").collect()}
+    assert (got["a"]["peak"], got["a"]["peak_at"]) == (3, 7.0)
+    assert got["a"]["n_intervals"] == 4
+    assert (got["b"]["peak"], got["b"]["peak_at"]) == (1, 3.0)
+    assert (got["c"]["peak"], got["c"]["peak_at"]) == (2, 5.0)
+
+
+def test_filter_yield_curve_hand(spark):
+    """filter_yield_curve (pins p28): 10 docs with scores 1..10 and
+    weights equal to their scores, floors [9,7,5,3,1] — band counts,
+    cumulative docs, and weight fractions match the hand arithmetic;
+    boundary scores land in the HIGHER bucket (sc >= floor); NULL
+    scores and sub-floor docs are excluded; empty bands emit zero
+    rows; a non-descending threshold list raises."""
+    import pytest as _pytest
+
+    from ixmp_spark.operators.sampling import filter_yield_curve
+
+    rows = [(i, float(i), float(i)) for i in range(1, 11)]
+    rows.append((99, None, 5.0))   # NULL score excluded
+    rows.append((98, 0.5, 100.0))  # below the last floor: excluded
+    df = spark.createDataFrame(rows, "doc_id long, score double, w double")
+    out = filter_yield_curve(
+        df, "score", thresholds=[9.0, 7.0, 5.0, 3.0, 1.0], weight_col="w"
+    ).collect()
+    assert [r["bucket"] for r in out] == [1, 2, 3, 4, 5]
+    assert [r["score_floor"] for r in out] == [9.0, 7.0, 5.0, 3.0, 1.0]
+    assert [r["n_docs"] for r in out] == [2, 2, 2, 2, 2]
+    assert [r["cum_docs"] for r in out] == [2, 4, 6, 8, 10]
+    # cumulative weights: 19, 34, 45, 52, 55 of total 55
+    assert [r["cum_weight"] for r in out] == [19.0, 34.0, 45.0, 52.0, 55.0]
+    assert out[-1]["weight_frac"] == 1.0
+    assert out[0]["weight_frac"] == round(19 / 55, 6)
+
+    # empty band still emits its row (grid left join)
+    sparse = filter_yield_curve(
+        df.where("score >= 9"), "score",
+        thresholds=[9.0, 7.0], weight_col="w",
+    ).collect()
+    assert [(r["bucket"], r["n_docs"]) for r in sparse] == [(1, 2), (2, 0)]
+
+    with _pytest.raises(ValueError, match="descending"):
+        filter_yield_curve(df, "score", thresholds=[1.0, 5.0])

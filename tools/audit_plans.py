@@ -57,6 +57,7 @@ BNLJ_OK = {
     "t33_pmi_collocations",  # 1-row N_u / N_b totals aggregate cross-broadcasts (the t9/t10 pattern)
     "t34_llr_keyness",  # 1-row (na, nb) slice-totals aggregate cross-broadcast
     "g17_rfm_scores",  # 1-row corpus-max-ts aggregate cross-broadcast onto the user aggregate
+    "p28_filter_yield_curve",  # 1-row grand-total aggregate cross-broadcast onto the threshold-bounded bucket frame
 }
 
 #: multi-stage pipelines where >6 shuffles are inherent (documented):
@@ -212,16 +213,17 @@ def single_partition_violations(plan: str) -> list[str]:
             ccol, cname, cid = tree[j]
             if ccol <= col:
                 break
-            # a broadcast nested-loop join's cardinality class follows
-            # its STREAM (first) child — the build side is broadcast-
-            # bounded by construction (r12: g17's global ntile sits on
-            # user-aggregate × 1-row-max cross; descending reaches the
-            # HashAggregate, while a global window over raw-scan ×
-            # broadcast still reaches the scan and flags). Node names
-            # carry join-type suffixes ("… Cross BuildRight") — prefix
-            # match.
+            # a broadcast join's cardinality class follows its STREAM
+            # (first) child — the build side is broadcast-bounded by
+            # construction (r12: g17's global ntile sits on
+            # user-aggregate × 1-row-max cross; p28's bounded-grid
+            # window sits on grid-scan ⟕ aggregate; descending reaches
+            # the HashAggregate/LocalTableScan, while a global window
+            # over raw-scan × broadcast still reaches the scan and
+            # flags). Node names carry join-type suffixes ("… Cross
+            # BuildRight") — prefix match.
             if cname in _PASS_THROUGH or cname.startswith(
-                "BroadcastNestedLoopJoin"
+                ("BroadcastNestedLoopJoin", "BroadcastHashJoin")
             ):
                 col = ccol
                 j += 1
