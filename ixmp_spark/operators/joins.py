@@ -1596,3 +1596,101 @@ def association_rules(
         )
         .limit(max_rules)
     )
+
+
+def graph_modularity(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    labels: DataFrame,
+    id_col: str,
+    label_col: str,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Newman modularity of a node partition over an undirected
+    (optionally weighted) edge list — THE quality score for a
+    community labeling (Newman 2006, public):
+    Q = Σ_c ( w_in(c)/W − (S(c)/2W)² ), W = total edge weight,
+    w_in(c) = intra-community edge weight, S(c) = weighted degree
+    (strength) sum of c's members (intra edges count twice, cut edges
+    once). Complements x9's LPA (which PRODUCES labels) with the
+    measurement of how good ANY labeling is — LPA's, a metadata
+    partition's, or a rival clustering's.
+
+    Output per community, ordered: (community, n_edges_internal
+    weight-summed as w_internal, strength, q_contrib rounded 6);
+    Q = sum of q_contrib. Plan shape: two label joins onto the edge
+    list (node-keyed — broadcastable when the node table is small),
+    then the labeled edges are consumed EXACTLY ONCE — a 2-struct
+    explode sends each edge's weight to both endpoint communities
+    carrying an intra flag, so one community aggregation yields both
+    the strength and (halved — intra edges arrive twice) the internal
+    weight, and the 1-row total W = Σ strength / 2 derives from the
+    community-bounded frame (a first draft fed the labeled edges to
+    three separate aggregations and the audit counted 13 exchanges
+    from the triple recompute). Nothing shuffles wider than the edge
+    list."""
+    w = (
+        F.col(weight_col).cast("double") if weight_col else F.lit(1.0)
+    )
+    e = edges.select(
+        F.col(src_col).alias("_u"), F.col(dst_col).alias("_v"),
+        w.alias("_w"),
+    )
+    lab = labels.select(
+        F.col(id_col).alias("_n"), F.col(label_col).alias("_c")
+    )
+    j = (
+        e.join(lab.withColumnRenamed("_n", "_u")
+               .withColumnRenamed("_c", "_ca"), "_u")
+        .join(lab.withColumnRenamed("_n", "_v")
+              .withColumnRenamed("_c", "_cb"), "_v")
+    )
+    intra_flag = (F.col("_ca") == F.col("_cb")).alias("_i")
+    ex = j.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("_ca").alias("_c"), F.col("_w").alias("_s"),
+                    intra_flag,
+                ),
+                F.struct(
+                    F.col("_cb").alias("_c"), F.col("_w").alias("_s"),
+                    intra_flag,
+                ),
+            )
+        ).alias("_p")
+    ).select(
+        F.col("_p._c").alias("community"),
+        F.col("_p._s").alias("_s"),
+        F.col("_p._i").alias("_i"),
+    )
+    per = ex.groupBy("community").agg(
+        (
+            F.sum(F.when(F.col("_i"), F.col("_s")).otherwise(0.0)) / 2.0
+        ).alias("w_internal"),
+        F.sum("_s").alias("strength"),
+    )
+    # W = Σ strength / 2 as a GLOBAL window over the community-bounded
+    # frame — a 1-row aggregate + cross join would recompute the whole
+    # edge pipeline as the broadcast build side (measured: the audit
+    # counted the duplicate chain at 10 exchanges)
+    tot_w = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        per.withColumn("_W", F.sum("strength").over(tot_w) / 2.0)
+        .select(
+            "community",
+            F.round("w_internal", 6).alias("w_internal"),
+            F.round("strength", 6).alias("strength"),
+            F.round(
+                F.col("w_internal") / F.col("_W")
+                - F.pow(
+                    F.col("strength") / (2.0 * F.col("_W")), F.lit(2.0)
+                ),
+                6,
+            ).alias("q_contrib"),
+        )
+        .orderBy("community")
+    )

@@ -3196,3 +3196,52 @@ def filter_yield_curve(
         )
         .orderBy("bucket")
     )
+
+
+def average_precision(
+    df: DataFrame, score_col: str, label_col: str
+) -> DataFrame:
+    """Average precision (area under the precision–recall curve,
+    step-wise) — the ranking readout that matters under CLASS
+    IMBALANCE, where x38's ROC AUC stays optimistic: AP = Σ over
+    descending score thresholds of ΔRecall × Precision@threshold
+    (the sklearn step definition — block-level, hence TIE-INVARIANT:
+    equal scores form one threshold block, no arbitrary intra-tie
+    order enters the number).
+
+    Plan shape (the x38 discipline): one per-distinct-score aggregate
+    — positives and negatives per block — then a cumulative window
+    over the VALUE-DOMAIN-bounded block frame, never a per-row global
+    rank over the corpus. Output one row:
+    (n_pos, n_neg, average_precision, prevalence) — prevalence is the
+    random-classifier baseline AP."""
+    y = F.col(label_col).cast("double")
+    per = (
+        df.where(F.col(score_col).isNotNull() & y.isNotNull())
+        .groupBy(F.col(score_col).cast("double").alias("_s"))
+        .agg(
+            F.sum(y).alias("_np"),
+            F.sum(1.0 - y).alias("_nn"),
+        )
+    )
+    cum = Window.orderBy(F.desc("_s")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    blocks = per.withColumn("_cp", F.sum("_np").over(cum)).withColumn(
+        "_cn", F.sum(F.col("_np") + F.col("_nn")).over(cum)
+    )
+    agg = blocks.agg(
+        F.sum("_np").alias("_tp"),
+        F.sum("_nn").alias("_tn"),
+        F.sum(F.col("_np") * (F.col("_cp") / F.col("_cn"))).alias("_ap"),
+    )
+    return agg.select(
+        F.col("_tp").cast("long").alias("n_pos"),
+        F.col("_tn").cast("long").alias("n_neg"),
+        F.round(
+            F.when(F.col("_tp") > 0, F.col("_ap") / F.col("_tp")), 6
+        ).alias("average_precision"),
+        F.round(
+            F.col("_tp") / (F.col("_tp") + F.col("_tn")), 6
+        ).alias("prevalence"),
+    )

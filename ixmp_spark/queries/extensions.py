@@ -7003,3 +7003,129 @@ def p28_filter_yield_curve(spark, sf_dir):
         thresholds=[round((10 - b) * 0.1, 1) for b in range(1, 11)],
         weight_col="tokens",
     )
+
+
+@query(
+    "x48_average_precision",
+    oracle=r"""
+    WITH scored AS (
+      SELECT CAST(n_chars AS DOUBLE) AS s,
+             CASE WHEN len(list_filter(
+               string_split_regex(trim(lower(text)), '\s+'),
+               x -> x <> '')) >= 40 THEN 1.0 ELSE 0.0 END AS y
+      FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL
+    ), per AS (
+      SELECT s, sum(y) AS np, sum(1.0 - y) AS nn
+      FROM scored GROUP BY s
+    ), cum AS (
+      SELECT np, nn,
+             sum(np) OVER w AS cp,
+             sum(np + nn) OVER w AS cn
+      FROM per
+      WINDOW w AS (ORDER BY s DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), agg AS (
+      SELECT sum(np) AS tp, sum(nn) AS tn,
+             sum(np * (cp / cn)) AS ap
+      FROM cum
+    )
+    SELECT CAST(tp AS BIGINT) AS n_pos, CAST(tn AS BIGINT) AS n_neg,
+           round(CASE WHEN tp > 0 THEN ap / tp END, 6)
+             AS average_precision,
+           round(tp / (tp + tn), 6) AS prevalence
+    FROM agg
+    """,
+)
+def x48_average_precision(spark, sf_dir):
+    """Average precision / PR-AUC (average_precision) of raw character
+    count as a ≥40-word detector — the imbalance-honest companion to
+    x38's ROC AUC on the same readout (ROC stays optimistic when
+    positives are rare; AP is anchored at the prevalence baseline,
+    also reported). Step-wise sklearn definition over distinct-score
+    blocks — tie-invariant, so the driver hash certifies it — with the
+    cumulative window on the value-domain-bounded block frame (the x38
+    plan discipline)."""
+    from ixmp_spark.operators.sampling import average_precision
+
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.where(
+        F.col("n_chars").isNotNull() & F.col("text").isNotNull()
+    ).select(
+        F.col("n_chars").cast("double").alias("score"),
+        (
+            F.size(
+                F.filter(
+                    F.split(F.trim(F.lower("text")), r"\s+"),
+                    lambda x: x != F.lit(""),
+                )
+            )
+            >= 40
+        )
+        .cast("double")
+        .alias("label"),
+    )
+    return average_precision(scored, "score", "label")
+
+
+@query(
+    "x49_graph_modularity",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+    e AS (
+      SELECT a.l_suppkey AS u, b.l_suppkey AS v,
+             CAST(count(*) AS DOUBLE) AS w
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      GROUP BY 1, 2
+    ), lab AS (
+      SELECT s_suppkey AS n, s_nationkey AS c FROM supplier
+    ), j AS (
+      SELECT e.u, e.v, e.w, la.c AS ca, lb.c AS cb
+      FROM e JOIN lab la ON e.u = la.n JOIN lab lb ON e.v = lb.n
+    ), tot AS (SELECT sum(w) AS W FROM j),
+    intra AS (
+      SELECT ca AS community, sum(w) AS w_internal
+      FROM j WHERE ca = cb GROUP BY 1
+    ), strength AS (
+      SELECT c AS community, sum(w) AS strength FROM (
+        SELECT ca AS c, w FROM j
+        UNION ALL SELECT cb AS c, w FROM j
+      ) GROUP BY 1
+    )
+    SELECT s.community,
+           round(coalesce(i.w_internal, 0.0), 6) AS w_internal,
+           round(s.strength, 6) AS strength,
+           round(coalesce(i.w_internal, 0.0) / tot.W
+                 - pow(s.strength / (2.0 * tot.W), 2), 6) AS q_contrib
+    FROM strength s
+    LEFT JOIN intra i ON s.community = i.community
+    CROSS JOIN tot
+    ORDER BY s.community
+    """,
+)
+def x49_graph_modularity(spark, sf_dir):
+    """Newman modularity (graph_modularity) of the NATION partition
+    over the weighted co-supplier graph (edge = two suppliers sharing
+    an order, weight = shared-order count): the community-QUALITY
+    measure completing the graph family — x9's LPA produces labels,
+    this scores any labeling (Q = Σ_c w_in/W − (S_c/2W)²; near zero
+    here, since TPC-H assigns suppliers to orders independently of
+    nation — itself the meaningful readout). Per-community rows so the
+    driver hash certifies every term, Q = sum(q_contrib)."""
+    from ixmp_spark.operators.joins import graph_modularity
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    ).distinct()
+    a = li.selectExpr("l_orderkey", "l_suppkey AS u")
+    b = li.selectExpr("l_orderkey", "l_suppkey AS v")
+    edges = (
+        a.join(b, "l_orderkey")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    sup = load(spark, sf_dir, "supplier")
+    return graph_modularity(
+        edges, "u", "v", sup, "s_suppkey", "s_nationkey", weight_col="w"
+    )

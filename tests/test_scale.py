@@ -7571,3 +7571,57 @@ def test_filter_yield_curve_hand(spark):
 
     with _pytest.raises(ValueError, match="descending"):
         filter_yield_curve(df, "score", thresholds=[1.0, 5.0])
+
+
+def test_average_precision_hand(spark):
+    """average_precision (pins x48): the sklearn step definition on a
+    hand-ranked fixture — perfect ranking gives 1.0, a planted
+    mid-rank miss matches the hand sum, ties collapse to one block."""
+    from ixmp_spark.operators.sampling import average_precision
+
+    perfect = spark.createDataFrame(
+        [(4.0, 1.0), (3.0, 1.0), (2.0, 0.0), (1.0, 0.0)],
+        "score double, label double",
+    )
+    r = average_precision(perfect, "score", "label").collect()[0]
+    assert (r["n_pos"], r["n_neg"], r["average_precision"]) == (2, 2, 1.0)
+    assert r["prevalence"] == 0.5
+
+    # ranking: P N P -> AP = (1/2)(1/1 + 2/3)
+    mid = spark.createDataFrame(
+        [(3.0, 1.0), (2.0, 0.0), (1.0, 1.0)], "score double, label double"
+    )
+    r = average_precision(mid, "score", "label").collect()[0]
+    assert r["average_precision"] == round((1.0 + 2 / 3) / 2, 6)
+
+    # tied scores form ONE block: scores [2,2] with labels [1,0] ->
+    # block precision 1/2, AP = 0.5 regardless of intra-tie order
+    tied = spark.createDataFrame(
+        [(2.0, 1.0), (2.0, 0.0)], "score double, label double"
+    )
+    r = average_precision(tied, "score", "label").collect()[0]
+    assert r["average_precision"] == 0.5
+
+
+def test_graph_modularity_hand(spark):
+    """graph_modularity (pins x49): two triangles joined by one bridge
+    under the natural 2-community labeling — Q matches the hand value
+    13/98; the all-one-community labeling scores exactly 0."""
+    from ixmp_spark.operators.joins import graph_modularity
+
+    tri = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    edges = spark.createDataFrame(tri, "u long, v long")
+    labels = spark.createDataFrame(
+        [(n, "a" if n <= 3 else "b") for n in range(1, 7)],
+        "n long, c string",
+    )
+    rows = graph_modularity(edges, "u", "v", labels, "n", "c").collect()
+    q = sum(r["q_contrib"] for r in rows)
+    # W=7; each community: w_in=3, strength=7 -> 2*(3/7 - (7/14)^2)
+    assert abs(q - 2 * (3 / 7 - 0.25)) < 1e-6
+    by = {r["community"]: r for r in rows}
+    assert by["a"]["w_internal"] == 3.0 and by["a"]["strength"] == 7.0
+
+    one = labels.select("n", F.lit("all").alias("c"))
+    rows1 = graph_modularity(edges, "u", "v", one, "n", "c").collect()
+    assert len(rows1) == 1 and abs(rows1[0]["q_contrib"]) < 1e-9
