@@ -3245,3 +3245,93 @@ def average_precision(
             F.col("_tp") / (F.col("_tp") + F.col("_tn")), 6
         ).alias("prevalence"),
     )
+
+
+def sprt_monitor(
+    df: DataFrame,
+    time_col: str,
+    y_col: str,
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.2,
+    grain: str = "hour",
+) -> DataFrame:
+    """Group-sequential SPRT monitor over a Bernoulli metric stream —
+    Wald's sequential probability ratio test (1945, public) checked at
+    time-grain checkpoints, the "can I stop this experiment yet"
+    readout that complements the FIXED-horizon members of the AB
+    family (x18 SRM, x19 bootstrap, x32 Welch): cumulative
+    LLR_n = k·ln(p1/p0) + (n−k)·ln((1−p1)/(1−p0)) against Wald's
+    boundaries ln((1−β)/α) (accept H1: p = p1) and ln(β/(1−α))
+    (accept H0: p = p0).
+
+    Checkpointing at ``grain`` (hour/day/minute truncation) is what
+    keeps the plan scale-sane: per-row sequential monitoring needs a
+    global ordered scan of the raw stream (the audit's
+    SinglePartition-over-scan class), while the per-grain aggregate
+    frame is bounded by the corpus TIME SPAN, never the event count —
+    the g16 quantization discipline. Group-sequential checking is also
+    the real-world practice (decisions are made at review points, not
+    per event).
+
+    Output: one row per checkpoint, ordered —
+    (checkpoint, n_cum, k_cum, llr, state, decided) with
+    state ∈ continue/accept_h1/accept_h0 from the boundary compare at
+    that checkpoint and ``decided`` marking the FIRST crossing (the
+    sequential stopping point; later rows show what monitoring past it
+    would have said). Ties/NULLs: NULL times or labels are excluded."""
+    import math as _math
+
+    if not (0.0 < p0 < 1.0 and 0.0 < p1 < 1.0 and p0 != p1):
+        raise ValueError("p0 and p1 must be distinct probabilities in (0,1)")
+    if not (0.0 < alpha < 1.0 and 0.0 < beta < 1.0):
+        raise ValueError("alpha and beta must be in (0,1)")
+    la = _math.log(p1 / p0)
+    lb = _math.log((1.0 - p1) / (1.0 - p0))
+    upper = _math.log((1.0 - beta) / alpha)
+    lower = _math.log(beta / (1.0 - alpha))
+    y = F.col(y_col).cast("double")
+    per = (
+        df.where(F.col(time_col).isNotNull() & y.isNotNull())
+        .groupBy(F.date_trunc(grain, F.col(time_col)).alias("checkpoint"))
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum(y).alias("_k"))
+    )
+    cum = Window.orderBy("checkpoint").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    llr = (
+        F.col("k_cum") * F.lit(la)
+        + (F.col("n_cum") - F.col("k_cum")) * F.lit(lb)
+    )
+    state = (
+        F.when(llr >= F.lit(upper), F.lit("accept_h1"))
+        .when(llr <= F.lit(lower), F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+    )
+    traced = (
+        per.withColumn("n_cum", F.sum("_n").over(cum).cast("long"))
+        .withColumn("k_cum", F.sum("_k").over(cum).cast("long"))
+        .withColumn("llr", F.round(llr, 6))
+        .withColumn("state", state)
+    )
+    first_cross = F.min(
+        F.when(F.col("state") != "continue", F.col("checkpoint"))
+    ).over(
+        Window.orderBy("checkpoint").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    return (
+        traced.withColumn(
+            "decided", F.col("checkpoint") == F.coalesce(
+                first_cross, F.lit(None).cast(traced.schema["checkpoint"].dataType)
+            )
+        )
+        .select(
+            F.col("checkpoint").cast("string").alias("checkpoint"),
+            "n_cum", "k_cum", "llr", "state",
+            F.coalesce("decided", F.lit(False)).alias("decided"),
+        )
+        .orderBy("checkpoint")
+    )

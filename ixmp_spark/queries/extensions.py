@@ -7129,3 +7129,61 @@ def x49_graph_modularity(spark, sf_dir):
     return graph_modularity(
         edges, "u", "v", sup, "s_suppkey", "s_nationkey", weight_col="w"
     )
+
+
+@query(
+    "x50_sprt_monitor",
+    oracle="""
+    WITH per AS (
+      SELECT date_trunc('day', ts) AS cp,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+                           THEN 1.0 ELSE 0.0 END) AS DOUBLE) AS k
+      FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      GROUP BY 1
+    ), cum AS (
+      SELECT cp,
+             CAST(sum(n) OVER w AS BIGINT) AS n_cum,
+             CAST(sum(k) OVER w AS BIGINT) AS k_cum,
+             round(sum(k) OVER w * ln(0.2 / 0.15)
+                   + (sum(n) OVER w - sum(k) OVER w)
+                     * ln(0.8 / 0.85), 6) AS llr
+      FROM per
+      WINDOW w AS (ORDER BY cp
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), staged AS (
+      SELECT cp, n_cum, k_cum, llr,
+             CASE WHEN llr >= ln(0.8 / 0.05) THEN 'accept_h1'
+                  WHEN llr <= ln(0.2 / 0.95) THEN 'accept_h0'
+                  ELSE 'continue' END AS state
+      FROM cum
+    ), firstx AS (
+      SELECT min(cp) AS fx FROM staged WHERE state <> 'continue'
+    )
+    SELECT CAST(CAST(cp AS TIMESTAMP) AS VARCHAR) AS checkpoint,
+           n_cum, k_cum, llr, state,
+           coalesce(cp = firstx.fx, FALSE) AS decided
+    FROM staged CROSS JOIN firstx
+    ORDER BY checkpoint
+    """,
+)
+def x50_sprt_monitor(spark, sf_dir):
+    """Group-sequential SPRT (sprt_monitor): Wald's sequential test of
+    the purchase rate against H0 p=0.15 vs H1 p=0.2 (α=0.05, β=0.2),
+    checked at DAY checkpoints — "could this experiment have stopped
+    early, and when": the sequential companion to the fixed-horizon AB
+    family (x18/x19/x32). The checkpoint frame is bounded by the
+    corpus time span (the g16 quantization discipline), never the
+    event count; the trace marks the first boundary crossing and keeps
+    monitoring past it so the driver hash certifies the whole path."""
+    from ixmp_spark.operators.sampling import sprt_monitor
+
+    ev = load(spark, sf_dir, "events")
+    labeled = ev.where(F.col("event_type").isNotNull()).select(
+        "ts",
+        (F.col("event_type") == "purchase").cast("double").alias("y"),
+    )
+    return sprt_monitor(
+        labeled, "ts", "y", p0=0.15, p1=0.2, alpha=0.05, beta=0.2,
+        grain="day",
+    )

@@ -7625,3 +7625,40 @@ def test_graph_modularity_hand(spark):
     one = labels.select("n", F.lit("all").alias("c"))
     rows1 = graph_modularity(edges, "u", "v", one, "n", "c").collect()
     assert len(rows1) == 1 and abs(rows1[0]["q_contrib"]) < 1e-9
+
+
+def test_sprt_monitor_hand(spark):
+    """sprt_monitor (pins x50): planted Bernoulli stream against
+    p0=0.2 vs p1=0.8 — the LLR trace matches the hand arithmetic, the
+    first boundary crossing is marked `decided`, and later checkpoints
+    keep reporting their own state; invalid probabilities raise."""
+    import math
+
+    import pytest as _pytest
+
+    from ixmp_spark.operators.sampling import sprt_monitor
+
+    rows = []
+    # hour 0: one positive -> llr = ln4, continue
+    rows.append(("2024-01-01 00:10:00", 1.0))
+    # hour 1: two positives -> llr = 3 ln4 > ln(0.8/0.05): accept_h1
+    rows.append(("2024-01-01 01:10:00", 1.0))
+    rows.append(("2024-01-01 01:20:00", 1.0))
+    # hour 2: six negatives -> llr = -3 ln4 < ln(0.2/0.95): accept_h0
+    for m in range(6):
+        rows.append((f"2024-01-01 02:0{m}:00", 0.0))
+    df = spark.createDataFrame(rows, "ts_s string, y double").selectExpr(
+        "CAST(ts_s AS TIMESTAMP) AS ts", "y"
+    )
+    out = sprt_monitor(df, "ts", "y", p0=0.2, p1=0.8).collect()
+    l4 = math.log(4.0)
+    assert [r["state"] for r in out] == ["continue", "accept_h1",
+                                         "accept_h0"]
+    assert [r["decided"] for r in out] == [False, True, False]
+    assert [r["llr"] for r in out] == [
+        round(l4, 6), round(3 * l4, 6), round(-3 * l4, 6)
+    ]
+    assert [(r["n_cum"], r["k_cum"]) for r in out] == [(1, 1), (3, 3), (9, 3)]
+
+    with _pytest.raises(ValueError, match="probabilities"):
+        sprt_monitor(df, "ts", "y", p0=0.5, p1=0.5)
