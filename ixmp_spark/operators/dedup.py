@@ -20,6 +20,15 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+class CandidateVolumeExceeded(ValueError):
+    """Raised by :func:`jaccard_prefix_join` when the estimated raw
+    candidate volume (Σ per-gram n²) exceeds ``max_candidates``.
+    A dedicated type (ADVICE r12) so :func:`similarity_join` routes on
+    the exception CLASS, not on substring-matching the message — an
+    unrelated ValueError that happens to mention max_candidates must
+    propagate, not silently reroute to LSH."""
+
+
 def normalize_text(col) -> "F.Column":
     """Canonical form for exact dedup: lowercase, collapse whitespace."""
     c = F.col(col) if isinstance(col, str) else col
@@ -365,9 +374,28 @@ def _short_doc_pairs(
     # band-wide frequency for every gram any short doc carries, so the
     # short docs' prefixes are identical to the r11 full-band ranking
     freq = ex_band.groupBy("__g").agg(F.count(F.lit(1)).alias("__f"))
-    drop_g = None
+    t = F.lit(float(threshold))
+    wnd = Window.partitionBy("__id").orderBy(F.asc("__f"), F.asc("__g"))
+    cnt = Window.partitionBy("__id")
+    prefix = (
+        ex_band.join(freq, "__g")
+        .withColumn("__rk", F.row_number().over(wnd))
+        .withColumn("__cnt", F.count(F.lit(1)).over(cnt))
+        .where(
+            F.col("__rk") <= F.col("__cnt") - F.ceil(t * F.col("__sz")) + 1
+        )
+        .select("__id", "__sz", "__g", "__rk", "__cnt")
+    )
     if max_bucket is not None:
-        hot = freq.where(F.col("__f") > max_bucket)
+        # Hot-gram guard over the RANK-FILTERED PREFIX frame (ADVICE
+        # r12): the candidate join's volume is set by prefix GROUP
+        # size, not restricted-band frequency (band freq >= prefix
+        # size — the old freq-based guard raised for corpora whose
+        # actual join volume was fine, and dropped grams that appear
+        # in no prefix at all). Same adjudication basis as
+        # jaccard_prefix_join's gsize guard.
+        gsize = prefix.groupBy("__g").agg(F.count(F.lit(1)).alias("__gs"))
+        hot = gsize.where(F.col("__gs") > max_bucket)
         if on_hot == "raise":
             top = hot.limit(5).collect()
             if top:
@@ -375,7 +403,7 @@ def _short_doc_pairs(
                 raise ValueError(
                     f"short-doc prefix shingle groups over max_bucket="
                     f"{max_bucket}: "
-                    f"{[(r['__g'], r['__f']) for r in top]}; "
+                    f"{[(r['__g'], r['__gs']) for r in top]}; "
                     'use on_hot="drop" or pre-dedup exact copies'
                 )
         else:  # on_hot == "drop" (validated by lsh_band_pairs already)
@@ -397,23 +425,11 @@ def _short_doc_pairs(
                     " dropped shingle",
                     stacklevel=3,
                 )
-                drop_g = hot.select("__g")
-    t = F.lit(float(threshold))
-    wnd = Window.partitionBy("__id").orderBy(F.asc("__f"), F.asc("__g"))
-    cnt = Window.partitionBy("__id")
-    prefix = (
-        ex_band.join(freq, "__g")
-        .withColumn("__rk", F.row_number().over(wnd))
-        .withColumn("__cnt", F.count(F.lit(1)).over(cnt))
-        .where(
-            F.col("__rk") <= F.col("__cnt") - F.ceil(t * F.col("__sz")) + 1
-        )
-        .select("__id", "__sz", "__g", "__rk", "__cnt")
-    )
-    if drop_g is not None:
-        # rank FIRST (index positions are defined over the whole
-        # restricted list, as in r11), then remove hot grams
-        prefix = prefix.join(drop_g, "__g", "left_anti")
+                # ranks stay defined over the WHOLE restricted list
+                # (as in r11): rank first, then remove hot grams
+                prefix = prefix.join(
+                    hot.select("__g"), "__g", "left_anti"
+                )
     # ASYMMETRIC join — only pairs with a SHORT side matter (long-long
     # pairs in the band are LSH's job; both paths feed the same verify,
     # so overlap is harmless, only wasteful). != + least/greatest
@@ -1736,7 +1752,7 @@ def jaccard_prefix_join(
                 .collect()[0]["_e"]
             )
             if est and est > max_candidates:
-                raise ValueError(
+                raise CandidateVolumeExceeded(
                     f"jaccard_prefix_join: estimated raw candidate volume"
                     f" {int(est)} (Σ per-gram n²) exceeds max_candidates="
                     f"{max_candidates} — the corpus is too near-duplicate-"
@@ -1848,9 +1864,7 @@ def similarity_join(
             on_hot=on_hot, max_candidates=max_candidates,
         )
         route = "exact"
-    except ValueError as e:
-        if "max_candidates" not in str(e):
-            raise
+    except CandidateVolumeExceeded:
         # the guard unpersisted the exact path's frames on raise
         out = minhash_lsh_neardup(
             df, id_col, text_col, k=k, bands=bands, n=n,

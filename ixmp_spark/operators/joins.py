@@ -1534,9 +1534,9 @@ def association_rules(
     explodes per-basket item pairs — basket size is the fan-out bound,
     the d-family blocking contract (huge baskets belong pre-capped
     upstream); pair counts aggregate on the (A, B) grid, item²-bounded.
-    Item supports are ITEM-DOMAIN-sized and broadcast back onto the
-    grid; the 1-row basket total rides a cross-broadcast (t9/t17
-    pattern). The final top-``max_rules`` by (lift desc, support desc,
+    Item supports are ITEM-DOMAIN-sized and join back onto the grid
+    (AQE-broadcast when the item table is small — no forced hint, r13);
+    the 1-row basket total rides a cross-broadcast (t9/t17 pattern). The final top-``max_rules`` by (lift desc, support desc,
     antecedent, consequent) is a TakeOrderedAndProject — bounded
     driver rows, deterministic ties.
 
@@ -1562,15 +1562,19 @@ def association_rules(
         .groupBy("__ia", "__ib")
         .agg(F.count(F.lit(1)).cast("double").alias("__nab"))
     )
+    # item supports are ITEM-DOMAIN-sized (SF-scaling for catalog-like
+    # item domains): no forced broadcast (r13) — AQE broadcasts them at
+    # runtime when actually small; the 1-row basket total keeps its
+    # hint (provably bounded)
     scored = (
         pairs.join(
-            F.broadcast(items.select(F.col("__i").alias("__ia"),
-                                     F.col("__ni").alias("__na"))),
+            items.select(F.col("__i").alias("__ia"),
+                         F.col("__ni").alias("__na")),
             "__ia",
         )
         .join(
-            F.broadcast(items.select(F.col("__i").alias("__ib"),
-                                     F.col("__ni").alias("__nb"))),
+            items.select(F.col("__i").alias("__ib"),
+                         F.col("__ni").alias("__nb")),
             "__ib",
         )
         .crossJoin(F.broadcast(n_baskets))

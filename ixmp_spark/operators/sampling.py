@@ -2036,7 +2036,8 @@ def ljung_box(
     Grain contract (the w-family shape): callers aggregate to a
     time grain first, so the per-key ordered window runs over a
     DATE-bounded frame. One pass builds the m lag columns on one
-    keyed sort; the per-key mean rides a broadcast join; r_k uses the
+    keyed sort; the per-key mean rides an unbounded-frame window over
+    the SAME key (no join — r13); r_k uses the
     standard biased-denominator estimator (Σ over the full series of
     (x−x̄)², lag products over the n−k overlaps). Output per key:
     (key, n, q_stat, max_abs_r, argmax_lag) rounded 4 — q_stat NULL
@@ -2047,14 +2048,20 @@ def ljung_box(
         F.col(time_col).alias("_t"),
         F.col(value_col).cast("double").alias("_v"),
     ).where(F.col("_v").isNotNull())
-    mean = g.groupBy("_k").agg(
-        F.avg("_v").alias("_mu"), F.count(F.lit(1)).alias("_n")
-    )
     w = Window.partitionBy("_k").orderBy("_t")
+    # per-key mean/count via an unbounded-frame window over the SAME
+    # partition key — rides the lag window's sort, no join (r13: the
+    # old broadcast-join mean frame carried one row per distinct key,
+    # the g18 hazard class for user-keyed calls at scale)
+    w_all = Window.partitionBy("_k").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     lagged = g.select(
         "_k", "_v",
         *[F.lag("_v", k).over(w).alias(f"_l{k}") for k in range(1, m + 1)],
-    ).join(F.broadcast(mean), "_k")
+        F.avg("_v").over(w_all).alias("_mu"),
+        F.count(F.lit(1)).over(w_all).alias("_n"),
+    )
     d = F.col("_v") - F.col("_mu")
     agg = lagged.groupBy("_k").agg(
         F.max("_n").alias("_n"),

@@ -102,9 +102,20 @@ class Reporter:
         deps: "list | None" = None,
     ) -> Key:
         k = Key.parse(key)
-        self.graph[str(k)] = thunk
+        ks = str(k)
+        # Redefinition must win over a previously pinned result: evict
+        # the auto-CSE cache entry and reset its reuse counter, else a
+        # key resolved twice before being redefined (e.g. a ``units:
+        # apply`` override in configure()) would keep serving the stale
+        # pinned Quantity until release(). The reference dask graph
+        # always recomputes from the current graph.
+        stale = self._cache.pop(ks, None)
+        if stale is not None:
+            stale.df.unpersist()
+        self._hits.pop(ks, None)
+        self.graph[ks] = thunk
         if deps is not None:
-            self.deps[str(k)] = [str(Key.parse(d)) for d in deps]
+            self.deps[ks] = [str(Key.parse(d)) for d in deps]
         return k
 
     def add_quantity(

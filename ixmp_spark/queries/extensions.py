@@ -594,7 +594,9 @@ def g3_retention_cohort(spark, sf_dir):
         F.date_trunc("week", F.min("ts")).alias("w0")
     )
     return (
-        ev.join(F.broadcast(cohort), "user_id")
+        # cohort is keyed by user_id (data-sized): no forced broadcast
+        # (r13); AQE decides at runtime
+        ev.join(cohort, "user_id")
         .groupBy(
             F.date_format("w0", "yyyy-MM-dd").alias("cohort_week"),
             (

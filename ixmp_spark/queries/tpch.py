@@ -503,7 +503,9 @@ def b_q17(spark, sf_dir):
     )
     return (
         li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
-        .join(F.broadcast(avg_qty), "l_partkey")
+        # avg_qty is keyed by partkey (part-domain — SF-scaling): no
+        # forced broadcast (r13); AQE broadcasts it when actually small
+        .join(avg_qty, "l_partkey")
         .where(F.col("l_quantity") < F.col("__limit"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )

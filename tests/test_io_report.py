@@ -551,6 +551,42 @@ def test_reporter_auto_cse(rep):
     assert not r2._cache and not r2._hits
 
 
+def test_reporter_add_evicts_stale_pin(rep):
+    """ADVICE r12 (medium): redefining a key via add()/add_quantity()
+    after it was auto-CSE-pinned must evict the stale cache entry and
+    reset the reuse counter — the new definition wins immediately, as
+    in the reference dask graph which always recomputes from the
+    current graph (a ``units: apply`` override after two resolutions
+    must take effect)."""
+    r, _ = rep
+    assert r.auto_cse
+    k = "d:i-j"
+    # resolve twice → pinned
+    r.get(k)
+    r.get(k)
+    assert k in r._cache
+    old_vals = sorted(map(tuple, r._cache[k].df.collect()))
+
+    # redefine: same quantity scaled by 10
+    from pyspark.sql import functions as F
+
+    from ixmp_spark.plans.reporter import Quantity
+
+    src = r._cache[k]
+    scaled = src.df.withColumn("value", F.col("value") * 10)
+    r.add(k, lambda: Quantity(scaled, src.dims, src.unit))
+    # stale pin evicted and counter reset
+    assert k not in r._cache and r._hits.get(k, 0) == 0
+    got1 = sorted(map(tuple, r.get(k).collect()))
+    assert got1 != old_vals
+    assert got1 == sorted((*t[:-1], t[-1] * 10) for t in old_vals)
+    # and the NEW definition re-pins on its own second resolution
+    r.get(k)
+    assert k in r._cache
+    assert sorted(map(tuple, r._cache[k].df.collect())) == got1
+    r.release()
+
+
 def test_reporter_auto_cse_graph_keys(rep):
     """auto_cse widened to EVERY graph key (VERDICT r11 #5): a quantity
     requested through two binary ops — not partial sums — pins on its

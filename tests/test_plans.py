@@ -60,14 +60,86 @@ def test_full_catalog_plan_audit(spark, sf_dir):
     mapInPandas kernels for BPE word-encode and binary media decode);
     ≤6 shuffle exchanges outside SHUFFLE_OK; and no SinglePartition
     exchange over an unbounded frame (the 100 TB scale-killer)."""
-    from tools.audit_plans import audit_issues
+    from tools.audit_plans import audit_issues, optimized_logical
 
     flagged = []
     for name, fn in QUERIES.items():
-        issues = audit_issues(name, formatted_plan(fn(spark, sf_dir)))
+        df = fn(spark, sf_dir)
+        issues = audit_issues(name, formatted_plan(df), optimized_logical(df))
         if issues:
             flagged.append(f"{name}: {', '.join(issues)}")
     assert not flagged, "plan audit flags:\n" + "\n".join(flagged)
+
+
+def test_audit_flags_forced_broadcast_of_keyed_aggregate(spark):
+    """VERDICT r12 #3 planted fixture: a FORCED ``F.broadcast()`` of a
+    per-group aggregate (one build row per distinct key — data-sized
+    for user keys, driver OOM at 100 TB) must FLAG, on either join
+    side; a PLANNER-chosen broadcast of the same aggregate must PASS
+    (AQE sizes it at runtime — only the hint pins the strategy at
+    scale), and a forced broadcast of a keyless 1-row aggregate must
+    PASS. This is the g18 hazard class the old rule let through: the
+    broadcast pass-through classified by the stream child, so ANY
+    forced build side passed."""
+    from pyspark.sql import functions as F
+
+    from tools.audit_plans import (
+        forced_broadcast_keyed_agg_violations,
+        optimized_logical,
+    )
+
+    facts = spark.range(10000).withColumn("k", F.col("id") % 100)
+    keyed = facts.groupBy("k").agg(F.max("id").alias("mx"))
+    assert forced_broadcast_keyed_agg_violations(
+        optimized_logical(facts.join(F.broadcast(keyed), "k"))
+    ), "forced broadcast of a keyed aggregate must flag"
+
+    # same aggregate, no hint: the planner's (AQE-adaptive) choice —
+    # unflagged even though the physical plan broadcasts it at this SF
+    assert not forced_broadcast_keyed_agg_violations(
+        optimized_logical(facts.join(keyed, "k"))
+    )
+
+    # forced but keyless (1-row) build side: bounded, passes
+    scalar = facts.agg(F.max("id").alias("mx"))
+    assert not forced_broadcast_keyed_agg_violations(
+        optimized_logical(facts.crossJoin(F.broadcast(scalar)))
+    )
+
+    # ADVICE r12 (build-side descent): the keyed aggregate forced as
+    # the LEFT side must flag identically (leftHint path)
+    left_logical = optimized_logical(F.broadcast(keyed).join(facts, "k"))
+    assert "leftHint=(strategy=broadcast" in left_logical
+    assert forced_broadcast_keyed_agg_violations(left_logical)
+
+
+def test_single_partition_descent_buildleft(spark, sf_dir):
+    """ADVICE r12 (audit_plans BuildLeft): a SinglePartition exchange
+    over a raw parquet scan joined with a BuildLeft broadcast must
+    still flag — descent must follow the STREAM (second-printed)
+    child, not the broadcast build subtree (whose ReusedExchange /
+    BroadcastExchange would misclassify as the bounded source). A
+    Range stream stays unflagged: spark.range is provably bounded."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from tools.audit_plans import single_partition_violations
+
+    facts = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    tiny = spark.range(3).withColumn("l_linenumber", F.col("id").cast("int"))
+    joined = F.broadcast(tiny.select("l_linenumber")).join(
+        facts, "l_linenumber"
+    )
+    # global (unpartitioned) window over the join → SinglePartition
+    # exchange whose STREAM side is the raw parquet scan
+    bad = joined.withColumn(
+        "rn", F.row_number().over(Window.orderBy("l_orderkey"))
+    )
+    plan = formatted_plan(bad)
+    assert "BuildLeft" in plan and "SinglePartition" in plan
+    assert single_partition_violations(plan), (
+        "global window over a BuildLeft-joined raw scan must flag"
+    )
 
 
 def test_rows_only_queries_have_tests():

@@ -6771,6 +6771,41 @@ def test_interval_union_length_hand(spark):
     assert naive == 35 and got["A"][1] == 25
 
 
+def test_short_doc_hot_guard_prefix_based(spark):
+    """ADVICE r12: the short-path hot-gram guard adjudicates on PREFIX
+    group size (the candidate join's actual volume driver), not
+    restricted-band frequency. A ubiquitous gram ranks LAST in every
+    doc's frequency order and never enters a prefix — it must NOT trip
+    on_hot='raise' (the old band-frequency guard fired, band freq >=
+    prefix size always); identical docs whose first-ranked grams land
+    in every prefix MUST still raise, reporting prefix group sizes."""
+    import pytest as _pytest
+
+    from ixmp_spark.operators.dedup import _short_doc_pairs
+
+    # 12 docs: one shared ubiquitous gram 'zz' + 3 unique grams each.
+    # freq('zz') = 12 ranks it last (freq asc); t=0.5, sz=4 → prefix
+    # window rk <= 4 - ceil(0.5*4) + 1 = 3, so 'zz' (rk 4) is in NO
+    # prefix. Old guard: band freq 12 > max_bucket 5 → spurious raise.
+    rows = [(i, [f"u{i}a", f"u{i}b", f"u{i}c", "zz"]) for i in range(12)]
+    sh = spark.createDataFrame(rows, "doc_id long, sh array<string>")
+    out = _short_doc_pairs(
+        sh, "doc_id", short_min=10, threshold=0.5, max_bucket=5,
+        on_hot="raise",
+    )
+    assert out is not None and out.count() == 0  # ran; no false raise
+
+    # identical docs: the 3 globally-first grams are in EVERY prefix →
+    # group size 12 > 5 → raise, and the message reports PREFIX sizes
+    same = [(i, ["g1", "g2", "g3", "g4"]) for i in range(12)]
+    sh2 = spark.createDataFrame(same, "doc_id long, sh array<string>")
+    with _pytest.raises(ValueError, match="prefix shingle groups"):
+        _short_doc_pairs(
+            sh2, "doc_id", short_min=10, threshold=0.5, max_bucket=5,
+            on_hot="raise",
+        )
+
+
 def test_lsh_short_doc_routing_exact_recall(spark):
     """Short-document routing (closes the r10 factor-100 recall
     finding): docs with fewer than short_min shingles are paired
@@ -7195,6 +7230,21 @@ def test_similarity_join_front_door(spark):
             boiler, "doc_id", "text", max_bucket=30, on_hot="raise"
         ).collect()
 
+    # ADVICE r12: routing is by EXCEPTION TYPE, not message substring —
+    # an unrelated ValueError that happens to mention "max_candidates"
+    # must PROPAGATE, and the guard raises the dedicated subclass
+    from unittest import mock
+
+    from ixmp_spark.operators import dedup as _dd
+
+    assert issubclass(_dd.CandidateVolumeExceeded, ValueError)
+    with mock.patch.object(
+        _dd, "jaccard_prefix_join",
+        side_effect=ValueError("unrelated failure citing max_candidates"),
+    ):
+        with _pytest.raises(ValueError, match="unrelated failure"):
+            _dd.similarity_join(df, "doc_id", "text", threshold=0.5)
+
 
 def test_path_entropy_hand(spark):
     """path_entropy (pins g15): a one-edge loop gives 0 bits (and NULL
@@ -7526,13 +7576,21 @@ def test_peak_concurrency_hand(spark):
         ("a", 7.0, 9.0),
         ("b", 3.0, 3.0),                 # zero-length still registers
         ("c", 0.0, 5.0), ("c", 5.0, 8.0),  # touching = concurrent (closed)
+        ("a", 8.0, 2.0),                 # inverted: filtered (ADVICE r12)
+        ("d", 5.0, 1.0),                 # group of ONLY inverted: absent
     ]
     df = spark.createDataFrame(rows, "k string, s double, e double")
     got = {r["k"]: r for r in peak_concurrency(df, "k", "s", "e").collect()}
     assert (got["a"]["peak"], got["a"]["peak_at"]) == (3, 7.0)
-    assert got["a"]["n_intervals"] == 4
+    assert got["a"]["n_intervals"] == 4  # the inverted row didn't count
     assert (got["b"]["peak"], got["b"]["peak_at"]) == (1, 3.0)
     assert (got["c"]["peak"], got["c"]["peak_at"]) == (2, 5.0)
+    assert "d" not in got
+    # VERDICT r12 #3: the plan is JOIN-FREE — peak_at comes from a
+    # second window over the same partition key, not a broadcast
+    # self-join (which carried one build row per distinct key)
+    plan = peak_concurrency(df, "k", "s", "e")._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
 
 
 def test_filter_yield_curve_hand(spark):

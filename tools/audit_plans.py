@@ -60,6 +60,21 @@ BNLJ_OK = {
     "p28_filter_yield_curve",  # 1-row grand-total aggregate cross-broadcast onto the threshold-bounded bucket frame
 }
 
+#: queries whose FORCED broadcast of a KEYED aggregate is legitimately
+#: bounded — the key domain is a fixed codelist / value grid / cluster
+#: parameter, not a data-sized user key. Each entry documents the
+#: domain bound. Every other forced keyed-aggregate broadcast flags.
+BCAST_OK = {
+    "j3_validate_members",  # index-set distinct: ixmp index sets are codelists by the reference data model (base.py:1070)
+    "p2_token_budget_pack",  # per-quality-bucket offsets: quality is a fixed bucket codelist
+    "p8_domain_cap",  # per-lang cap/overflow sets: lang is a language codelist
+    "w4_sheet_chunks",  # chunk_index per-partition offsets: keyed by partition id — bounded by cluster parallelism, not data
+    "x22_chisq_independence",  # row/col marginals: category codelists (r x c grid)
+    "x24_spearman_discount",  # rank CDFs keyed by (returnflag, discount/quantity): 3 x 11 / 3 x 50 value grids
+    "x25_mutual_information",  # row/col marginals: category codelists
+    "x33_cohens_kappa",  # per-rater marginals: rating-category codelists
+}
+
 #: multi-stage pipelines where >6 shuffles are inherent (documented):
 #: d3 = repartition + banded self-join + 2 candidate joins + distinct
 SHUFFLE_OK = {
@@ -181,6 +196,84 @@ _BOUNDED_SOURCES = {
 }
 
 
+def _parse_tree(plan: str) -> list[tuple[int, str, int]]:
+    """(name column, node name, node id) per tree line — the name
+    column encodes depth; BOTH children of a binary node print at the
+    SAME column (verified on Spark 4 formatted explain)."""
+    import re
+
+    tree: list[tuple[int, str, int]] = []
+    for line in plan.splitlines():
+        m = re.match(r"^[\s+\-:*>=]*?([A-Za-z][A-Za-z ]*?) \((\d+)\)\s*$", line)
+        if m:
+            tree.append((line.index(m.group(1)), m.group(1).strip(), int(m.group(2))))
+    return tree
+
+
+def _direct_children(tree: list, i: int) -> list[int]:
+    """Tree indexes of node i's direct children: the minimal-column
+    nodes strictly inside its subtree, in print order (left first)."""
+    col = tree[i][0]
+    kids: list[int] = []
+    min_col = None
+    for j in range(i + 1, len(tree)):
+        c = tree[j][0]
+        if c <= col:
+            break
+        if min_col is None or c < min_col:
+            min_col, kids = c, [j]
+        elif c == min_col:
+            kids.append(j)
+    return kids
+
+
+def _descend_to_significant(tree: list, i: int) -> tuple[str, int] | None:
+    """Walk from node i's child down through cardinality-preserving
+    nodes to the first significant node; returns (name, id) or None if
+    the subtree ends first. A broadcast join classifies by its STREAM
+    child — children print left-first, so the stream side is the FIRST
+    child for BuildRight and the SECOND for BuildLeft (ADVICE r12: the
+    old descent entered the build subtree on BuildLeft, misclassifying
+    a ReusedExchange build child as the bounded source)."""
+    col = tree[i][0]
+    j = i + 1
+    while j < len(tree):
+        ccol, cname, cid = tree[j]
+        if ccol <= col:
+            return None
+        if cname.startswith(("BroadcastNestedLoopJoin", "BroadcastHashJoin")):
+            kids = _direct_children(tree, j)
+            if not kids:
+                return (cname, cid)
+            stream = (
+                kids[1] if ("BuildLeft" in cname and len(kids) > 1) else kids[0]
+            )
+            col, j = ccol, stream
+            continue
+        if cname in _PASS_THROUGH:
+            col, j = ccol, j + 1
+            continue
+        return (cname, cid)
+    return None
+
+
+def _keyed_agg_ids(plan: str) -> set[int]:
+    """Node ids of aggregates with NON-empty grouping keys (the detail
+    block's ``Keys [n]: [...]`` line) — a per-group aggregate's
+    cardinality is the key domain, i.e. data-sized for user keys."""
+    import re
+
+    ids: set[int] = set()
+    for block in re.split(r"\n\s*\n", plan):
+        m = re.match(r"\((\d+)\) \w*Aggregate", block.strip())
+        if not m:
+            continue
+        km = re.search(r"^Keys(?: \[\d+\])?: \[(.*?)\]\s*$", block, re.M)
+        if km and km.group(1).strip():
+            ids.add(int(m.group(1)))
+    return ids
+
+
 def single_partition_violations(plan: str) -> list[str]:
     """Find Exchange SinglePartition nodes whose input is NOT an
     aggregated/bounded frame — i.e. global sorts/windows over raw data,
@@ -189,11 +282,7 @@ def single_partition_violations(plan: str) -> list[str]:
     """
     import re
 
-    tree: list[tuple[int, str, int]] = []  # (name col, name, id)
-    for line in plan.splitlines():
-        m = re.match(r"^[\s+\-:*>=]*?([A-Za-z][A-Za-z ]*?) \((\d+)\)\s*$", line)
-        if m:
-            tree.append((line.index(m.group(1)), m.group(1).strip(), int(m.group(2))))
+    tree = _parse_tree(plan)
     single_ids = {
         int(m.group(1))
         for m in re.finditer(
@@ -205,37 +294,81 @@ def single_partition_violations(plan: str) -> list[str]:
     for i, (col, name, nid) in enumerate(tree):
         if name != "Exchange" or nid not in single_ids:
             continue
-        # descend: first deeper line is the immediate child; skip
-        # cardinality-preserving nodes until something significant
-        j = i + 1
-        child = None
-        while j < len(tree):
-            ccol, cname, cid = tree[j]
-            if ccol <= col:
-                break
-            # a broadcast join's cardinality class follows its STREAM
-            # (first) child — the build side is broadcast-bounded by
-            # construction (r12: g17's global ntile sits on
-            # user-aggregate × 1-row-max cross; p28's bounded-grid
-            # window sits on grid-scan ⟕ aggregate; descending reaches
-            # the HashAggregate/LocalTableScan, while a global window
-            # over raw-scan × broadcast still reaches the scan and
-            # flags). Node names carry join-type suffixes ("… Cross
-            # BuildRight") — prefix match.
-            if cname in _PASS_THROUGH or cname.startswith(
-                ("BroadcastNestedLoopJoin", "BroadcastHashJoin")
-            ):
-                col = ccol
-                j += 1
-                continue
-            child = cname
-            break
-        if child is not None and child not in _BOUNDED_SOURCES:
-            bad.append(f"SinglePartition exchange over {child}")
+        sig = _descend_to_significant(tree, i)
+        if sig is not None and sig[0] not in _BOUNDED_SOURCES:
+            bad.append(f"SinglePartition exchange over {sig[0]}")
     return bad
 
 
-def audit_issues(name: str, plan: str) -> list[str]:
+def optimized_logical(df) -> str:
+    """The optimized logical plan — the only plan that still shows
+    whether a broadcast was FORCED (``leftHint=/rightHint=(strategy=
+    broadcast)`` survives on the Join node) vs chosen by the planner."""
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+#: logical nodes that preserve (or bound) their child's cardinality
+_LOGICAL_PASS = {
+    "Project", "Filter", "Sort", "Window", "Repartition",
+    "RepartitionByExpression", "Coalesce", "Deduplicate",
+}
+
+
+def _parse_logical_tree(s: str) -> list[tuple[int, str, str]]:
+    import re
+
+    tree: list[tuple[int, str, str]] = []
+    for line in s.splitlines():
+        m = re.match(r"^[\s:+\-]*([A-Za-z][A-Za-z]*)", line)
+        if m:
+            tree.append((line.index(m.group(1)), m.group(1), line))
+    return tree
+
+
+def forced_broadcast_keyed_agg_violations(logical: str) -> list[str]:
+    """Flag FORCED ``F.broadcast()`` hints whose hinted side is a KEYED
+    aggregate (VERDICT r12 #3): a per-group aggregate carries one row
+    per distinct key — data-sized for user keys, a driver/executor OOM
+    at 100 TB (the g18 peaks-frame hazard). Planner-chosen broadcasts
+    are size-adaptive (AQE re-plans at runtime) and stay unflagged;
+    only the HINT pins the strategy regardless of scale. Keyless
+    (1-row) aggregates, limits, and non-aggregate sources pass."""
+    import re
+
+    tree = _parse_logical_tree(logical)
+    bad = []
+    for i, (col, name, line) in enumerate(tree):
+        if name != "Join":
+            continue
+        sides = []
+        if "leftHint=(strategy=broadcast" in line:
+            sides.append(0)
+        if "rightHint=(strategy=broadcast" in line:
+            sides.append(1)
+        if not sides:
+            continue
+        kids = _direct_children(tree, i)
+        for h in sides:
+            if h >= len(kids):
+                continue
+            j = kids[h]
+            while j is not None and tree[j][1] in _LOGICAL_PASS:
+                nk = _direct_children(tree, j)
+                j = nk[0] if nk else None
+            if j is None:
+                continue
+            nname, nline = tree[j][1], tree[j][2]
+            if nname == "Aggregate":
+                # keyed form prints TWO bracket lists — "Aggregate
+                # [keys], [exprs]"; keyless prints one ("Aggregate
+                # [exprs]") and is 1-row-bounded
+                m = re.match(r".*?Aggregate \[([^\]]*)\], \[", nline)
+                if m and m.group(1).strip():
+                    bad.append("forced broadcast of a keyed aggregate")
+    return bad
+
+
+def audit_issues(name: str, plan: str, logical: str | None = None) -> list[str]:
     """All red flags for one query's formatted plan — the single source
     of truth shared by the CLI sweep and the standing pytest gate
     (tests/test_plans.py::test_full_catalog_plan_audit), so the audited
@@ -258,6 +391,8 @@ def audit_issues(name: str, plan: str) -> list[str]:
     if shuffles > 6 and name not in SHUFFLE_OK:
         issues.append(f"{shuffles} shuffle exchanges")
     issues.extend(single_partition_violations(plan))
+    if logical is not None and name not in BCAST_OK:
+        issues.extend(forced_broadcast_keyed_agg_violations(logical))
     return issues
 
 
@@ -270,7 +405,8 @@ def main() -> int:
     spark = get_spark("plan_audit")
     bad = 0
     for name, fn in sorted(QUERIES.items()):
-        issues = audit_issues(name, formatted_plan(fn(spark, sf_dir)))
+        df = fn(spark, sf_dir)
+        issues = audit_issues(name, formatted_plan(df), optimized_logical(df))
         if issues:
             bad += 1
             print(f"FLAG  {name}: {', '.join(issues)}")
