@@ -1031,6 +1031,127 @@ def gap_report_stream(
     )
 
 
+def sprt_stream(
+    events: DataFrame,
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.2,
+    grain: str = "hour",
+    key_col: str = "experiment",
+    ts_col: str = "ts",
+    y_col: str = "y",
+) -> DataFrame:
+    """Streaming twin of ``sampling.sprt_monitor`` (VERDICT r12 Next
+    #6): Wald's group-sequential SPRT checked at time-grain
+    checkpoints, live. A sequential test is the single most natural
+    streaming operator in the catalog — the whole point is deciding
+    DURING the experiment — and its state is tiny by construction:
+    per key, the open checkpoint plus the cumulative (n, k) BEFORE it
+    and the first-crossing marker (the w36 two-scalar pattern),
+    carried via ``applyInPandasWithState``. O(#keys) state regardless
+    of stream length.
+
+    Checkpoint semantics match the batch twin: events truncate to
+    ``grain``; a checkpoint EMITS when the key's first event of a
+    LATER checkpoint arrives (closing it), carrying the cumulative
+    llr/state/decided at that point. The still-open final checkpoint
+    never emits (no later event closes it) — the batch-equality
+    contract is therefore "stream output = batch trace minus each
+    key's last checkpoint", exactly the gap_report_stream shape where
+    a still-dark key emits nothing. ``decided`` marks the FIRST
+    boundary crossing per key, remembered across micro-batches.
+
+    Labels are Bernoulli 0/1 (NULLs excluded, as in the batch twin);
+    per-key event-time order must hold across micro-batches (the
+    cusum_stream caller contract)."""
+    import math as _math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if not (0.0 < p0 < 1.0 and 0.0 < p1 < 1.0 and p0 != p1):
+        raise ValueError("p0 and p1 must be distinct probabilities in (0,1)")
+    if not (0.0 < alpha < 1.0 and 0.0 < beta < 1.0):
+        raise ValueError("alpha and beta must be in (0,1)")
+    la = _math.log(p1 / p0)
+    lb = _math.log((1.0 - p1) / (1.0 - p0))
+    upper = _math.log((1.0 - beta) / alpha)
+    lower = _math.log(beta / (1.0 - alpha))
+    freq = {"minute": "min", "hour": "h", "day": "D"}.get(grain)
+    if freq is None:
+        raise ValueError(f"unsupported grain {grain!r}")
+
+    key_type = events.schema[key_col].dataType.simpleString()
+    out_schema = (
+        f"{key_col} {key_type}, checkpoint timestamp, n_cum long, "
+        "k_cum long, llr double, state string, decided boolean"
+    )
+    # open-checkpoint epoch seconds (-1 = none), counts inside it,
+    # cumulative counts before it, first-crossing epoch (-1 = none)
+    state_schema = (
+        "cp long, n_in long, k_in long, n_bef long, k_bef long, dec long"
+    )
+
+    def fold(key, pdfs, state: GroupState):
+        cp, n_in, k_in, n_bef, k_bef, dec = (
+            state.get if state.exists else (-1, 0, 0, 0, 0, -1)
+        )
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.dropna(subset=[ts_col, y_col])
+        if rows.empty:
+            state.update((cp, n_in, k_in, n_bef, k_bef, dec))
+            return
+        rows = rows.sort_values(ts_col)
+        out: dict[str, list] = {
+            "checkpoint": [], "n_cum": [], "k_cum": [],
+            "llr": [], "state": [], "decided": [],
+        }
+
+        def close(cp_s: int):
+            nonlocal n_bef, k_bef, n_in, k_in, dec
+            n_cum, k_cum = n_bef + n_in, k_bef + k_in
+            llr = k_cum * la + (n_cum - k_cum) * lb
+            st = (
+                "accept_h1" if llr >= upper
+                else "accept_h0" if llr <= lower
+                else "continue"
+            )
+            decided = st != "continue" and dec == -1
+            if decided:
+                dec = cp_s
+            out["checkpoint"].append(pd.Timestamp(cp_s * 1_000_000_000))
+            out["n_cum"].append(n_cum)
+            out["k_cum"].append(k_cum)
+            out["llr"].append(round(llr, 6))
+            out["state"].append(st)
+            out["decided"].append(decided)
+            n_bef, k_bef, n_in, k_in = n_cum, k_cum, 0, 0
+
+        cps = rows[ts_col].dt.floor(freq)
+        for cp_ts, grp in rows.groupby(cps, sort=True):
+            e = int(pd.Timestamp(cp_ts).value // 1_000_000_000)
+            if cp != -1 and e != cp:
+                close(cp)
+            cp = e
+            n_in += len(grp)
+            k_in += int(round(float(grp[y_col].sum())))
+        state.update((cp, n_in, k_in, n_bef, k_bef, dec))
+        if not out["checkpoint"]:
+            return
+        out_pdf = pd.DataFrame(out)
+        out_pdf.insert(0, key_col, key[0])
+        yield out_pdf
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fold,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def category_mix_stream(
     events: DataFrame,
     cat_col: str = "event_type",
