@@ -253,6 +253,19 @@ def lsh_band_pairs(
             keep = sizes.where(F.col("__n") <= max_bucket).select(
                 "band", "bucket"
             )
+            if keep.isEmpty():
+                # the silently-empty regime (r13 footgun sweep,
+                # mirroring the r12 hard_negatives bits=4 bug): every
+                # band bucket hot — here that means the corpus is one
+                # giant duplicate family — and dropping them all
+                # provably returns zero pairs; fail loud instead
+                banded.unpersist()
+                raise ValueError(
+                    f"every LSH band bucket exceeds max_bucket="
+                    f"{max_bucket}: on_hot='drop' would return ZERO "
+                    "pairs — exact-dedup the corpus first (the bucket "
+                    "crowd is a duplicate family) or raise max_bucket"
+                )
             banded = banded.join(keep, ["band", "bucket"], "left_semi")
     a = banded.alias("a")
     b = banded.alias("b")

@@ -89,7 +89,7 @@ def hyperplane_lsh_bucket(vec_col, planes: list[list[float]]) -> Column:
 def ivf_build(
     df: DataFrame,
     vec_col: str,
-    n_clusters: int = 16,
+    n_clusters: "int | str" = 16,
     seed: int = 42,
 ):
     """Build an IVF (inverted-file) index: one Spark ML KMeans fit + a
@@ -101,10 +101,20 @@ def ivf_build(
     amortized across queries — the deployment shape at 100 TB, where
     ``assigned`` is written back partitioned/clustered by ``__c`` and
     each query scans ~n_probe/n_clusters of the data. Persist (or
-    write) ``assigned`` before issuing queries."""
+    write) ``assigned`` before issuing queries.
+
+    ``n_clusters='auto'`` (one count job; r13 footgun sweep) sizes
+    k = max(16, ⌈n/4096⌉) so each inverted list stays ~4k vectors —
+    the fixed-16 default at 10M vectors makes every probe scan 625k
+    rows (silently-lossy *latency*, not recall, but the same
+    fixed-default-outgrown-by-n class as hard_negatives bits=4)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    if n_clusters == "auto":
+        import math as _math
+
+        n_clusters = max(16, int(_math.ceil(df.count() / 4096.0)))
     corpus = df.withColumn("__v", array_to_vector(_dvec(vec_col)))
     km = KMeans(k=n_clusters, seed=seed, featuresCol="__v", predictionCol="__c")
     model = km.fit(corpus)
@@ -286,13 +296,31 @@ def _sign_lsh_banded(vecs: DataFrame, band_planes) -> DataFrame:
     )
 
 
+def _auto_bits(n_rows: int, bands: int, max_bucket: int | None) -> int:
+    """Size sign-LSH bits from TWO bounds (the r12 hard_negatives
+    scale-bug fix, generalized r13): expected bucket population under
+    ``max_bucket`` (the per-bucket guard must not fire on the AVERAGE
+    bucket) AND total raw candidate volume (≈ bands·n·bucket_rows/2)
+    under ~2e8 rows — the d14-calibrated budget. A fixed default past
+    n ≈ 2^bits·max_bucket makes EVERY bucket hot and ``on_hot='drop'``
+    silently empties the result (measured at 200k vectors / bits=4)."""
+    import math as _math
+
+    cap = float(max_bucket) if max_bucket else 2000.0
+    b_target = max(
+        8.0,
+        min(cap, 2.0 * 200_000_000 / (bands * max(n_rows, 1))),
+    )
+    return max(4, _math.ceil(_math.log2(max(n_rows / b_target, 2.0))))
+
+
 def cosine_lsh_pairs(
     df: DataFrame,
     id_col: str,
     vec_col: str,
     threshold: float = 0.9,
     bands: int = 4,
-    bits: int = 8,
+    bits: "int | str" = 8,
     seed: int = 42,
     dim: int | None = None,
     storage_level=None,
@@ -320,7 +348,12 @@ def cosine_lsh_pairs(
     billion candidate rows (measured: it spills the local disk dry).
     Rule: ``bits >= log2(n / target_bucket)`` with target_bucket in the
     low hundreds; ``max_bucket`` then only has to police the skewed
-    tail (duplicate crowds), not the average case.
+    tail (duplicate crowds), not the average case. Pass ``bits='auto'``
+    (one count job) to apply :func:`_auto_bits` — the r13 footgun
+    sweep's answer to the silently-empty regime where a fixed bits
+    default plus ``on_hot='drop'`` drops EVERY bucket past
+    n ≈ 2^bits·max_bucket; and when a drop DOES remove every bucket,
+    the operator now raises instead of returning zero pairs.
 
     Shuffle discipline: the banded self-join carries ONLY
     (id, band, bucket) — never the vectors — so exchange volume is
@@ -353,6 +386,8 @@ def cosine_lsh_pairs(
                 F.lit(0.0).alias("cosine_sim"),
             ).where(F.lit(False))
         dim = len(head[0][0])
+    if bits == "auto":
+        bits = _auto_bits(df.count(), bands, max_bucket)
     rng = random.Random(seed)
     band_planes = [
         [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(bits)]
@@ -381,6 +416,17 @@ def cosine_lsh_pairs(
             keep = sizes.where(F.col("__n") <= max_bucket).select(
                 "__band", "__bucket"
             )
+            if keep.isEmpty():
+                # the silently-empty regime (r12 hard_negatives bug
+                # class): EVERY bucket is hot, so dropping them all
+                # provably returns zero pairs — fail loud instead
+                banded.unpersist()
+                vecs.unpersist()
+                raise ValueError(
+                    f"every LSH bucket exceeds max_bucket={max_bucket} "
+                    f"(bits={bits}, bands={bands}): on_hot='drop' would "
+                    "return ZERO pairs; use bits='auto' or raise bits"
+                )
             banded = banded.join(keep, ["__band", "__bucket"], "left_semi")
     a = banded.alias("a")
     b = banded.alias("b")
@@ -420,7 +466,7 @@ def semantic_dedup(
     df: DataFrame,
     id_col: str,
     vec_col: str,
-    n_clusters: int = 16,
+    n_clusters: "int | str" = 16,
     threshold: float = 0.95,
     seed: int = 42,
     max_cluster: int | None = None,
@@ -437,8 +483,13 @@ def semantic_dedup(
     jaccard_block_pairs/cosine_neardup_pairs: a degenerate clustering
     (one hot cluster) raises with the size rather than silently running
     an n² join. At corpus scale, raise ``n_clusters`` so the expected
-    cluster size stays bounded; the pair join shuffles (id, 8 B cluster)
-    plus one vector copy per side within each cluster only.
+    cluster size stays bounded — or pass ``n_clusters='auto'`` (one
+    count job; the r13 footgun sweep): k = max(16, ⌈n/4096⌉), and
+    ⌈n/(max_cluster/2)⌉ when ``max_cluster`` is set, so the AVERAGE
+    cluster sits at half the guard and the fixed-16 default can't turn
+    silently quadratic (16 clusters at 10M vectors = 625k-row clusters
+    = 4e11 within-cluster pairs). The pair join shuffles (id, 8 B
+    cluster) plus one vector copy per side within each cluster only.
 
     Output: (id, rep_id, cluster) — ``rep_id == id`` for kept
     representatives; dropping duplicates = ``where(rep_id == id)``.
@@ -448,6 +499,11 @@ def semantic_dedup(
 
     from ixmp_spark.operators.dedup import dedup_clusters
 
+    if n_clusters == "auto":
+        import math as _math
+
+        target = (max_cluster / 2.0) if max_cluster else 4096.0
+        n_clusters = max(16, int(_math.ceil(df.count() / target)))
     if n_clusters < 2:
         raise ValueError("n_clusters must be >= 2 (Spark ML KMeans contract)")
     corpus = df.select(
@@ -735,8 +791,9 @@ def hard_negatives(
     SCALE NOTE (r12 ANN rehearsal finding): with ``bits=4`` each band
     has only 16 buckets, so bucket population is ~n/16 — past
     n ≈ 16·max_bucket EVERY bucket is hot and the default
-    ``on_hot='drop'`` silently returns ZERO pairs (measured at 200k
-    vectors / max_bucket=2000). Pass ``bits='auto'`` to size bits from
+    ``on_hot='drop'`` returned ZERO pairs silently (measured at 200k
+    vectors / max_bucket=2000; since r13 the all-dropped regime raises
+    loudly in cosine_lsh_pairs). Pass ``bits='auto'`` to size bits from
     TWO bounds: expected bucket population under ``max_bucket`` (the
     per-bucket guard) AND total raw candidate volume
     (≈ bands·n·bucket_rows/2) under ~2e8 rows — the d14-calibrated
@@ -746,15 +803,7 @@ def hard_negatives(
     negatives — fewer candidates is an acceptable trade, an empty
     result (or an OOM) is not."""
     if bits == "auto":
-        import math as _math
-
-        n_rows = df.count()
-        cap = float(max_bucket) if max_bucket else 2000.0
-        b_target = max(
-            8.0,
-            min(cap, 2.0 * 200_000_000 / (bands * max(n_rows, 1))),
-        )
-        bits = max(4, _math.ceil(_math.log2(max(n_rows / b_target, 2.0))))
+        bits = _auto_bits(df.count(), bands, max_bucket)
     pairs = cosine_lsh_pairs(
         df, id_col, vec_col, threshold=min_sim, bands=bands, bits=bits,
         seed=seed, max_bucket=max_bucket, on_hot=on_hot,

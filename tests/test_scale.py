@@ -7565,6 +7565,95 @@ def test_hard_negatives_bits_auto(spark):
     assert max(per_anchor.values()) <= 3  # k respected
 
 
+def test_cosine_lsh_footgun_auto_and_loud_empty(spark):
+    """r13 footgun sweep (VERDICT r12 Next #7), cosine_lsh_pairs: in
+    the regime where EVERY bucket is hot (fixed bits outgrown by n),
+    on_hot='drop' must RAISE loudly instead of silently returning zero
+    pairs; bits='auto' sizes the bucket count to the corpus and
+    completes, finding the planted near-dup."""
+    import numpy as np
+    import pytest as _pytest
+
+    from ixmp_spark.operators.similarity import _auto_bits, cosine_lsh_pairs
+
+    rng = np.random.default_rng(1)
+    vecs = rng.standard_normal((600, 16))
+    vecs[1] = vecs[0] + 0.01 * rng.standard_normal(16)  # planted near-dup
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    # bits=1 -> 2 buckets/band over 600 rows: EVERY bucket > 40 -> the
+    # old behavior dropped them all and returned zero; now: loud raise
+    with _pytest.raises(ValueError, match="every LSH bucket"):
+        cosine_lsh_pairs(
+            df, "vec_id", "embedding", threshold=0.95,
+            bands=2, bits=1, max_bucket=40, on_hot="drop",
+        ).collect()
+    # bits='auto' under the same guard completes and finds the plant
+    got = cosine_lsh_pairs(
+        df, "vec_id", "embedding", threshold=0.95,
+        bands=4, bits="auto", max_bucket=40, on_hot="drop",
+    ).collect()
+    assert (0, 1) in {(r["id_a"], r["id_b"]) for r in got}
+
+    # the r12 incident arithmetic: at 200k vectors / max_bucket=2000,
+    # auto must pick more than the log2(200k/2000)=6.6 floor bits=4 sat under
+    assert _auto_bits(200_000, 6, 2000) >= 7
+    # and the candidate-volume bound binds at huge n: target shrinks to
+    # the 8-row floor, bits grows with log2(n)
+    assert _auto_bits(50_000_000, 6, None) >= 22
+
+
+def test_minhash_band_drop_all_hot_raises(spark):
+    """r13 footgun sweep, lsh_band_pairs: a corpus that is ONE giant
+    duplicate family makes every band bucket hot; on_hot='drop' would
+    return zero pairs — it must raise naming the dedup-first remedy."""
+    import pytest as _pytest
+
+    from ixmp_spark.operators.dedup import lsh_band_pairs, minhash_signature
+
+    df = spark.range(50).selectExpr(
+        "id AS doc_id",
+        "'identical boilerplate body repeated verbatim everywhere' AS text",
+    )
+    sig = minhash_signature(df, "text", k=16)
+    with _pytest.raises(ValueError, match="duplicate family"):
+        lsh_band_pairs(
+            sig, "doc_id", k=16, bands=4, max_bucket=10, on_hot="drop"
+        ).collect()
+
+
+def test_semantic_dedup_and_ivf_auto_clusters(spark):
+    """r13 footgun sweep: n_clusters='auto' completes on a small corpus
+    (floor 16) with output equal to the explicit-16 call, and the
+    sizing arithmetic scales k with n (10M vectors -> ~2442 clusters,
+    not 16 x 625k-row quadratic cells)."""
+    import math
+
+    import numpy as np
+
+    from ixmp_spark.operators.similarity import ivf_build, semantic_dedup
+
+    rng = np.random.default_rng(2)
+    vecs = rng.standard_normal((200, 8))
+    vecs[7] = vecs[3]  # exact dup -> same component
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    auto = semantic_dedup(df, "vec_id", "embedding", n_clusters="auto")
+    explicit = semantic_dedup(df, "vec_id", "embedding", n_clusters=16)
+    a = sorted((r["vec_id"], r["rep_id"]) for r in auto.collect())
+    b = sorted((r["vec_id"], r["rep_id"]) for r in explicit.collect())
+    assert a == b and (7, 3) in a
+
+    centers, assigned = ivf_build(df, "embedding", n_clusters="auto")
+    assert len(centers) == 16 and assigned.count() == 200
+    # sizing arithmetic at scale (driver-side, no data needed)
+    assert max(16, int(math.ceil(10_000_000 / 4096.0))) == 2442
+
+
 def test_peak_concurrency_hand(spark):
     """peak_concurrency (pins g18): hand-built intervals — nested
     overlap peaks at 3, closed semantics count boundary-touching and
