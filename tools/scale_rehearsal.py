@@ -57,6 +57,51 @@ def amplify(docs: DataFrame, factor: int) -> DataFrame:
     )
 
 
+def amplify_wide(docs: DataFrame, wide: int, deep: int) -> DataFrame:
+    """wide × deep amplification (r13, for the factor-1000 rung): the
+    r12 ``amplify(factor)`` grows FAMILY SIZE with the factor, so
+    factor 1000 would plant 1000-strong near-dup families (~500k pairs
+    per family — a family-size quadratic the stop-bucket/drop routing
+    already covers at factor 100), not a larger corpus. This grows the
+    corpus instead: per base doc, ``wide`` SEPARATED families — every
+    even-index word is salted with the family id, and since every
+    3-shingle contains an even-index word, cross-family shingle
+    overlap is exactly zero — times ``deep`` replicas within each
+    family (replica 0 the family original; replicas > 0 append a
+    replica token — near-dups; every 10th replica of every 10th family
+    keeps the family text verbatim — exact dups). Family pair volume
+    stays ~deep²/2 per family while N scales with wide·deep."""
+    w = F.explode(F.sequence(F.lit(0), F.lit(wide - 1))).alias("fam")
+    fam_doc = docs.select("doc_id", "text", "lang", "source", w)
+    salted = F.array_join(
+        F.transform(
+            F.split(F.col("text"), " "),
+            lambda word, i: F.when(
+                i % 2 == 0,
+                F.concat(word, F.lit("f"), F.col("fam").cast("string")),
+            ).otherwise(word),
+        ),
+        " ",
+    )
+    fam_doc = fam_doc.select(
+        (F.col("doc_id") * wide + F.col("fam")).alias("fam_id"),
+        salted.alias("text"),
+        "lang",
+        "source",
+    )
+    r = F.explode(F.sequence(F.lit(0), F.lit(deep - 1))).alias("rep")
+    out = fam_doc.select("fam_id", "text", "lang", "source", r)
+    keep_exact = (F.col("fam_id") % 10 == 0) & (F.col("rep") % 10 == 0)
+    return out.select(
+        (F.col("fam_id") * deep + F.col("rep")).alias("doc_id"),
+        F.when(keep_exact | (F.col("rep") == 0), F.col("text"))
+        .otherwise(F.concat_ws(" ", "text", F.concat(F.lit("rep"), "rep")))
+        .alias("text"),
+        "lang",
+        "source",
+    )
+
+
 def amplify_vectors(emb: DataFrame, factor: int) -> DataFrame:
     """factor replicas per vector: replica 0 is the original; replicas
     > 0 bump ONE rotating coordinate by a replica-dependent step (a
@@ -1266,7 +1311,7 @@ def main_dedup_pipeline() -> None:
     Catalyst prune the window/score columns the stage exists to compute.
     """
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    factors = [int(x) for x in sys.argv[3:]] or [10, 50]
+    specs = sys.argv[3:] or ["10", "50"]
 
     from ixmp_spark.operators.dedup import (
         cluster_representatives,
@@ -1281,18 +1326,29 @@ def main_dedup_pipeline() -> None:
     base = load(spark, sf_dir, "documents")
     out: list[dict] = []
 
-    for factor in factors:
-        row: dict = {"factor": factor, "stages": {}, "guards": []}
+    for spec in specs:
+        # "WxD" = wide x deep (r13 factor-1000 rung: corpus-size
+        # scaling with bounded family quadratics); a plain int keeps
+        # the r9-r12 family-size construction
+        row: dict = {"factor": spec, "stages": {}, "guards": []}
         t_all = time.time()
 
         t0 = time.time()
-        docs = amplify(base, factor).repartition(
+        if "x" in spec:
+            wide, deep = (int(x) for x in spec.split("x"))
+            amped = amplify_wide(base, wide, deep)
+            factor = deep  # the hot-bucket scale is the family size
+            row["expected_families"] = base.count() * wide
+        else:
+            factor = int(spec)
+            amped = amplify(base, factor)
+        docs = amped.repartition(
             spark.sparkContext.defaultParallelism
         ).persist()
         n = docs.count()
         row["n_docs"] = n
         row["stages"]["materialize"] = round(time.time() - t0, 2)
-        print(f"-- factor {factor}: {n} docs", file=sys.stderr)
+        print(f"-- factor {spec}: {n} docs", file=sys.stderr)
 
         t0 = time.time()
         survivors = exact_dedup(docs, text_col="text", id_col="doc_id")
@@ -1502,6 +1558,138 @@ def main_jaccard_join() -> None:
     emit({"sf_dir": sf_dir, "jaccard_join": out})
 
 
+def main_d3_floor() -> None:
+    """Per-stage decomposition of the HEADLINE d3 cost at 5k docs
+    (VERDICT r12 #4 / Next #4): the r11 'under ~3 s' bar was missed at
+    ~3.96 s with a one-sentence explanation (~1.5 s per-stage fixed
+    cost); this produces the decomposition as an artifact. Cumulative
+    arms — each adds one pipeline stage, each measured FORWARD then
+    REVERSE order (the A-B-A discipline: a fixed cost survives
+    reordering; a warm-up artifact does not):
+
+      scan            docs.count()
+      shingle         repartition + shingle-hash + persist + count
+      band_pairs      + 32 minhashes, 8-band bucket self-join, distinct
+      d3_short0       full operator, short_min=0 (no short path)
+      d3_default      full operator, headline knobs (short_min=k)
+
+        python tools/scale_rehearsal.py --d3-floor [sf_dir]
+
+    Committed as REHEARSAL_d3floor_r{N}.json; stage deltas between
+    consecutive arms attribute the wall — the short-path premium is
+    d3_default − d3_short0, the verify premium d3_short0 − band_pairs.
+    """
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+
+    from ixmp_spark.operators import release_cache
+    from ixmp_spark.operators.dedup import (
+        _level,
+        lsh_band_pairs,
+        minhash_lsh_neardup,
+        shingles,
+    )
+
+    spark = get_spark("d3_floor")
+    docs = load(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+
+    def arm_scan():
+        return docs.count(), None
+
+    def _sh():
+        return (
+            docs.repartition(par)
+            .select(
+                F.col("doc_id"),
+                F.transform(
+                    shingles("text", 3), lambda s: F.xxhash64(s)
+                ).alias("sh"),
+            )
+            .persist(_level(None))
+        )
+
+    def arm_shingle():
+        sh = _sh()
+        return sh.count(), sh
+
+    def arm_band_pairs():
+        from ixmp_spark.operators.dedup import _mh_coeffs, _MH_P
+
+        sh = _sh()
+        base = F.transform(F.col("sh"), lambda h: F.pmod(h, F.lit(_MH_P)))
+        sig = F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        F.col("__base"),
+                        lambda h: F.pmod(
+                            h * F.lit(a) + F.lit(b), F.lit(_MH_P)
+                        ),
+                    )
+                )
+                for (a, b) in _mh_coeffs(32)
+            ]
+        )
+        sigs = sh.withColumn("__base", base).withColumn(
+            "minhash", sig
+        ).drop("__base", "sh")
+        pairs = lsh_band_pairs(sigs, "doc_id", k=32, bands=8)
+        n = pairs.count()
+        release_cache(pairs, blocking=True)
+        return n, sh
+
+    def arm_d3_short0():
+        out = minhash_lsh_neardup(
+            docs, "doc_id", "text", k=32, bands=8, n=3,
+            threshold=0.3, short_min=0,
+        )
+        n = out.count()
+        release_cache(out, blocking=True)
+        return n, None
+
+    def arm_d3_default():
+        out = minhash_lsh_neardup(
+            docs, "doc_id", "text", k=32, bands=8, n=3, threshold=0.3,
+        )
+        n = out.count()
+        release_cache(out, blocking=True)
+        return n, None
+
+    arms = [
+        ("scan", arm_scan),
+        ("shingle", arm_shingle),
+        ("band_pairs", arm_band_pairs),
+        ("d3_short0", arm_d3_short0),
+        ("d3_default", arm_d3_default),
+    ]
+    results: dict[str, dict] = {
+        name: {"rows": None, "walls": []} for name, _ in arms
+    }
+    # one warm-up action so JVM/codegen startup doesn't land on arm 1
+    docs.count()
+    for ordering in (arms, list(reversed(arms))):
+        for name, fn in ordering:
+            t0 = time.time()
+            n, cache = fn()
+            w = round(time.time() - t0, 3)
+            if cache is not None:
+                cache.unpersist(blocking=True)
+            results[name]["rows"] = n
+            results[name]["walls"].append(w)
+            print(f"-- {name}: {w}s ({n} rows)", file=sys.stderr)
+    for name in results:
+        ws = results[name]["walls"]
+        results[name]["wall_min_s"] = min(ws)
+    d = {n: results[n]["wall_min_s"] for n in results}
+    results["deltas_s"] = {
+        "shingle_over_scan": round(d["shingle"] - d["scan"], 3),
+        "banding_over_shingle": round(d["band_pairs"] - d["shingle"], 3),
+        "verify_over_banding": round(d["d3_short0"] - d["band_pairs"], 3),
+        "short_path_premium": round(d["d3_default"] - d["d3_short0"], 3),
+    }
+    emit({"sf_dir": sf_dir, "d3_floor": results})
+
+
 def main_edit_join() -> None:
     """edit_distance_join scale rehearsal (r10 — the operator is exact,
     so unlike LSH the claims are recall = 1.0 BY CONSTRUCTION plus a
@@ -1640,5 +1828,7 @@ if __name__ == "__main__":
         main_edit_join()
     elif len(sys.argv) > 1 and sys.argv[1] == "--jaccard-join":
         main_jaccard_join()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--d3-floor":
+        main_d3_floor()
     else:
         main()
