@@ -3342,3 +3342,277 @@ def sprt_monitor(
         )
         .orderBy("checkpoint")
     )
+
+
+def ndcg_at_k(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    rel_col: str,
+    id_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """nDCG@k per query group — the graded-relevance ranking metric
+    (Järvelin & Kekäläinen 2002, public): rank items by predicted
+    score, DCG@k = Σ_{r≤k} (2^rel − 1)/log2(r + 1), normalized by the
+    ideal DCG (items ranked by relevance itself). The retrieval-eval
+    companion to x48's binary average precision: AP scores a detector,
+    nDCG scores an ORDERING under graded labels.
+
+    Ties break on ``id_col`` ascending in BOTH rankings, so the metric
+    is deterministic and the driver hash certifies it cross-engine.
+
+    Scale shape: two rank windows over the SAME partition key (one
+    exchange — the second window reuses the first's partitioning) with
+    ``row_number ≤ k`` filters that compile to WindowGroupLimit
+    (top-k pushdown, O(k) rows per group per task), then ONE aggregate.
+    Output per group: (group, dcg, idcg, ndcg) rounded 6, ndcg NULL
+    when idcg = 0 (no relevant item in the group)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    g = df.select(
+        F.col(group_col).alias("g"),
+        F.col(score_col).cast("double").alias("_s"),
+        F.col(rel_col).cast("double").alias("_rel"),
+        F.col(id_col).alias("_id"),
+    ).where(
+        F.col("g").isNotNull()
+        & F.col("_s").isNotNull()
+        & F.col("_rel").isNotNull()
+    )
+    by_score = Window.partitionBy("g").orderBy(
+        F.desc("_s"), F.asc("_id")
+    )
+    by_rel = Window.partitionBy("g").orderBy(
+        F.desc("_rel"), F.asc("_id")
+    )
+    gain = F.pow(F.lit(2.0), F.col("_rel")) - F.lit(1.0)
+    ranked = g.select(
+        "g",
+        "_rel",
+        F.row_number().over(by_score).alias("_r"),
+        F.row_number().over(by_rel).alias("_ir"),
+    ).where((F.col("_r") <= k) | (F.col("_ir") <= k))
+    dcg = F.sum(
+        F.when(
+            F.col("_r") <= k, gain / F.log2(F.col("_r") + F.lit(1.0))
+        ).otherwise(0.0)
+    )
+    idcg = F.sum(
+        F.when(
+            F.col("_ir") <= k, gain / F.log2(F.col("_ir") + F.lit(1.0))
+        ).otherwise(0.0)
+    )
+    return (
+        ranked.groupBy("g")
+        .agg(
+            F.round(dcg, 6).alias("dcg"),
+            F.round(idcg, 6).alias("idcg"),
+            F.round(
+                F.when(idcg > 0, dcg / idcg), 6
+            ).alias("ndcg"),
+        )
+        .select(
+            F.col("g").alias(group_col), "dcg", "idcg", "ndcg"
+        )
+        .orderBy(group_col)
+    )
+
+
+def mean_reciprocal_rank(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    rel_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Reciprocal rank per query group + the corpus MRR: rank items by
+    predicted score (ties on ``id_col`` asc — deterministic), find the
+    FIRST relevant item (rel > 0), report 1/rank; groups with no
+    relevant item score 0 (the standard convention). The
+    first-hit-position companion to nDCG's full-ordering grade.
+
+    Scale shape: one rank window per group + a conditional-min
+    aggregate (the g18/peak pattern — no join); the corpus mean rides
+    a second tiny aggregate over group rows. Output per group:
+    (group, first_rel_rank, rr) with first_rel_rank NULL when no
+    relevant item exists."""
+    g = df.select(
+        F.col(group_col).alias("g"),
+        F.col(score_col).cast("double").alias("_s"),
+        F.col(rel_col).cast("double").alias("_rel"),
+        F.col(id_col).alias("_id"),
+    ).where(
+        F.col("g").isNotNull()
+        & F.col("_s").isNotNull()
+        & F.col("_rel").isNotNull()
+    )
+    w = Window.partitionBy("g").orderBy(F.desc("_s"), F.asc("_id"))
+    ranked = g.select(
+        "g", "_rel", F.row_number().over(w).alias("_r")
+    )
+    first_rel = F.min(F.when(F.col("_rel") > 0, F.col("_r")))
+    return (
+        ranked.groupBy("g")
+        .agg(
+            first_rel.cast("long").alias("first_rel_rank"),
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / first_rel.cast("double"), F.lit(0.0)
+                ),
+                6,
+            ).alias("rr"),
+        )
+        .select(F.col("g").alias(group_col), "first_rel_rank", "rr")
+        .orderBy(group_col)
+    )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    p_col: str,
+    y_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Brier score + Murphy (1973, public) decomposition of a
+    probabilistic binary forecast: BS_raw = mean((p − y)²), and over
+    ``n_bins`` equal-width probability bins the exact identity
+    BS_binned = reliability − resolution + uncertainty with
+    reliability = Σ n_b(p̄_b − ȳ_b)²/N (calibration error — lower
+    better), resolution = Σ n_b(ȳ_b − ȳ)²/N (discrimination — higher
+    better), uncertainty = ȳ(1 − ȳ). The one-row readout t22's
+    calibration TABLE feeds: t22 shows the curve, this scores it.
+
+    Bin assignment is round(p·n_bins − 0.5) clamped to [0, n_bins−1] —
+    boundary values land deterministically and the arithmetic mirrors
+    into the DuckDB oracle without floor-at-exact-integer FP hazards
+    (the repo's boundary-arithmetic discipline).
+
+    Scale shape: ONE data-sized aggregate (map-side partials) to the
+    bin grid, then driver-bounded arithmetic — n_bins rows — plus a
+    1-row cross for the global mean. Output: one row (n, brier_raw,
+    reliability, resolution, uncertainty, brier_binned)."""
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    p = F.col(p_col).cast("double")
+    y = F.col(y_col).cast("double")
+    base = df.where(p.isNotNull() & y.isNotNull()).select(
+        p.alias("_p"), y.alias("_y")
+    )
+    bin_ = F.least(
+        F.greatest(
+            F.round(F.col("_p") * n_bins - 0.5, 0).cast("int"), F.lit(0)
+        ),
+        F.lit(n_bins - 1),
+    )
+    per_bin = (
+        base.withColumn("_b", bin_)
+        .groupBy("_b")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("_n"),
+            F.avg("_p").alias("_pbar"),
+            F.avg("_y").alias("_ybar"),
+            F.sum(
+                (F.col("_p") - F.col("_y"))
+                * (F.col("_p") - F.col("_y"))
+            ).alias("_se"),
+        )
+    )
+    tot = per_bin.agg(
+        F.sum("_n").alias("_N"),
+        (F.sum(F.col("_ybar") * F.col("_n")) / F.sum("_n")).alias("_ym"),
+    )
+    j = per_bin.crossJoin(F.broadcast(tot))
+    rel = F.sum(
+        F.col("_n")
+        * (F.col("_pbar") - F.col("_ybar"))
+        * (F.col("_pbar") - F.col("_ybar"))
+    ) / F.max("_N")
+    res = F.sum(
+        F.col("_n")
+        * (F.col("_ybar") - F.col("_ym"))
+        * (F.col("_ybar") - F.col("_ym"))
+    ) / F.max("_N")
+    unc = F.max(F.col("_ym") * (F.lit(1.0) - F.col("_ym")))
+    return j.agg(
+        F.sum("_n").cast("long").alias("n"),
+        F.round(F.sum("_se") / F.sum("_n"), 6).alias("brier_raw"),
+        F.round(rel, 6).alias("reliability"),
+        F.round(res, 6).alias("resolution"),
+        F.round(unc, 6).alias("uncertainty"),
+        F.round(rel - res + unc, 6).alias("brier_binned"),
+    )
+
+
+def confusion_metrics(
+    df: DataFrame,
+    label_col: str,
+    pred_col: str,
+) -> DataFrame:
+    """Per-class confusion metrics for a multi-class classifier
+    evaluation: one row per class present in labels OR predictions —
+    (class, tp, fp, fn, support, precision, recall, f1), the standard
+    sklearn classification_report surface. precision/recall are NULL
+    for classes with no predictions / no support (not 0 — absence of
+    evidence); f1 NULL when either is.
+
+    Scale shape: ONE data-sized count aggregation to the (label, pred)
+    cell grid (map-side partials — the x22/x33 discipline), then
+    class-domain-bounded marginal aggregates full-outer-joined on the
+    class codelist. No row leaves the JVM; no forced broadcasts (the
+    marginal frames are codelist-sized and AQE broadcasts them)."""
+    base = df.where(
+        F.col(label_col).isNotNull() & F.col(pred_col).isNotNull()
+    ).select(
+        F.col(label_col).cast("string").alias("_l"),
+        F.col(pred_col).cast("string").alias("_p"),
+    )
+    cells = base.groupBy("_l", "_p").agg(
+        F.count(F.lit(1)).cast("long").alias("_n")
+    )
+    by_label = cells.groupBy("_l").agg(
+        F.sum("_n").alias("_support"),
+        F.sum(F.when(F.col("_l") == F.col("_p"), F.col("_n")).otherwise(0))
+        .alias("_tp_l"),
+    )
+    by_pred = cells.groupBy("_p").agg(
+        F.sum("_n").alias("_predicted"),
+        F.sum(F.when(F.col("_l") == F.col("_p"), F.col("_n")).otherwise(0))
+        .alias("_tp_p"),
+    )
+    j = by_label.join(
+        by_pred, by_label["_l"] == by_pred["_p"], "full_outer"
+    ).select(
+        F.coalesce("_l", "_p").alias("class"),
+        F.coalesce(F.col("_tp_l"), F.col("_tp_p"), F.lit(0))
+        .cast("long")
+        .alias("tp"),
+        (F.coalesce("_predicted", F.lit(0)) - F.coalesce("_tp_p", F.lit(0)))
+        .cast("long")
+        .alias("fp"),
+        (F.coalesce("_support", F.lit(0)) - F.coalesce("_tp_l", F.lit(0)))
+        .cast("long")
+        .alias("fn"),
+        F.coalesce("_support", F.lit(0)).cast("long").alias("support"),
+        F.col("_predicted"),
+        F.col("_support"),
+    )
+    precision = F.when(
+        F.col("_predicted") > 0, F.col("tp") / F.col("_predicted")
+    )
+    recall = F.when(F.col("_support") > 0, F.col("tp") / F.col("_support"))
+    f1 = F.when(
+        precision.isNotNull()
+        & recall.isNotNull()
+        & (precision + recall > 0),
+        2 * precision * recall / (precision + recall),
+    )
+    return (
+        j.select(
+            "class", "tp", "fp", "fn", "support",
+            F.round(precision, 6).alias("precision"),
+            F.round(recall, 6).alias("recall"),
+            F.round(f1, 6).alias("f1"),
+        )
+        .orderBy("class")
+    )

@@ -7189,3 +7189,241 @@ def x50_sprt_monitor(spark, sf_dir):
         labeled, "ts", "y", p0=0.15, p1=0.2, alpha=0.05, beta=0.2,
         grain="day",
     )
+
+
+@query(
+    "x51_ndcg_at_k",
+    oracle=r"""
+    WITH g AS (
+      SELECT o_custkey AS g, CAST(o_totalprice AS DOUBLE) AS s,
+             CASE o_orderpriority
+               WHEN '1-URGENT' THEN 3.0 WHEN '2-HIGH' THEN 2.0
+               WHEN '3-MEDIUM' THEN 1.0 ELSE 0.0 END AS rel,
+             o_orderkey AS id
+      FROM orders
+      WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+    ), r AS (
+      SELECT g, rel,
+             row_number() OVER (PARTITION BY g ORDER BY s DESC, id) AS r,
+             row_number() OVER (PARTITION BY g ORDER BY rel DESC, id) AS ir
+      FROM g
+    ), kept AS (
+      SELECT * FROM r WHERE r <= 10 OR ir <= 10
+    )
+    SELECT g AS o_custkey,
+           round(sum(CASE WHEN r <= 10
+                 THEN (pow(2.0, rel) - 1) / log2(r + 1.0)
+                 ELSE 0.0 END), 6) AS dcg,
+           round(sum(CASE WHEN ir <= 10
+                 THEN (pow(2.0, rel) - 1) / log2(ir + 1.0)
+                 ELSE 0.0 END), 6) AS idcg,
+           round(CASE WHEN sum(CASE WHEN ir <= 10
+                      THEN (pow(2.0, rel) - 1) / log2(ir + 1.0)
+                      ELSE 0.0 END) > 0
+                 THEN sum(CASE WHEN r <= 10
+                      THEN (pow(2.0, rel) - 1) / log2(r + 1.0)
+                      ELSE 0.0 END)
+                    / sum(CASE WHEN ir <= 10
+                      THEN (pow(2.0, rel) - 1) / log2(ir + 1.0)
+                      ELSE 0.0 END)
+                 END, 6) AS ndcg
+    FROM kept GROUP BY g ORDER BY g
+    """,
+)
+def x51_ndcg_at_k(spark, sf_dir):
+    """nDCG@10 per customer (ndcg_at_k): treat each customer's orders
+    as a ranked retrieval — predicted score = order value, graded
+    relevance from order priority (URGENT 3 / HIGH 2 / MEDIUM 1 /
+    else 0) — and grade the ORDERING. The graded-relevance companion
+    to x48's binary average precision; two same-key rank windows with
+    WindowGroupLimit top-k pushdown, one aggregate."""
+    from ixmp_spark.operators.sampling import ndcg_at_k
+
+    o = load(spark, sf_dir, "orders")
+    scored = o.where(
+        F.col("o_custkey").isNotNull() & F.col("o_totalprice").isNotNull()
+    ).select(
+        "o_custkey",
+        F.col("o_totalprice").cast("double").alias("score"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 3.0)
+        .when(F.col("o_orderpriority") == "2-HIGH", 2.0)
+        .when(F.col("o_orderpriority") == "3-MEDIUM", 1.0)
+        .otherwise(0.0)
+        .alias("rel"),
+        F.col("o_orderkey"),
+    )
+    return ndcg_at_k(
+        scored, "o_custkey", "score", "rel", "o_orderkey", k=10
+    )
+
+
+@query(
+    "x52_mrr",
+    oracle=r"""
+    WITH g AS (
+      SELECT o_custkey AS g, CAST(o_totalprice AS DOUBLE) AS s,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0
+                  ELSE 0.0 END AS rel,
+             o_orderkey AS id
+      FROM orders
+      WHERE o_custkey IS NOT NULL AND o_totalprice IS NOT NULL
+    ), r AS (
+      SELECT g, rel,
+             row_number() OVER (PARTITION BY g ORDER BY s DESC, id) AS r
+      FROM g
+    )
+    SELECT g AS o_custkey,
+           CAST(min(CASE WHEN rel > 0 THEN r END) AS BIGINT)
+             AS first_rel_rank,
+           round(coalesce(1.0 / min(CASE WHEN rel > 0 THEN r END),
+                          0.0), 6) AS rr
+    FROM r GROUP BY g ORDER BY g
+    """,
+)
+def x52_mrr(spark, sf_dir):
+    """Reciprocal rank per customer (mean_reciprocal_rank): rank each
+    customer's orders by value, find the first URGENT one — "how far
+    down the ranking is the first hit". First-hit companion to x51's
+    full-ordering nDCG; one rank window + a conditional-min aggregate
+    (the join-free g18 pattern)."""
+    from ixmp_spark.operators.sampling import mean_reciprocal_rank
+
+    o = load(spark, sf_dir, "orders")
+    scored = o.where(
+        F.col("o_custkey").isNotNull() & F.col("o_totalprice").isNotNull()
+    ).select(
+        "o_custkey",
+        F.col("o_totalprice").cast("double").alias("score"),
+        (F.col("o_orderpriority") == "1-URGENT")
+        .cast("double")
+        .alias("rel"),
+        F.col("o_orderkey"),
+    )
+    return mean_reciprocal_rank(
+        scored, "o_custkey", "score", "rel", "o_orderkey"
+    )
+
+
+@query(
+    "x53_brier_decomposition",
+    oracle=r"""
+    WITH base AS (
+      SELECT CAST(l_discount AS DOUBLE) * 10.0 AS p,
+             CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+      FROM lineitem
+      WHERE l_discount IS NOT NULL AND l_returnflag IS NOT NULL
+    ), binned AS (
+      SELECT p, y,
+             least(greatest(CAST(round(p * 10.0 - 0.5) AS INT), 0), 9)
+               AS b
+      FROM base
+    ), per_bin AS (
+      SELECT b, CAST(count(*) AS DOUBLE) AS n,
+             avg(p) AS pbar, avg(y) AS ybar,
+             sum((p - y) * (p - y)) AS se
+      FROM binned GROUP BY b
+    ), tot AS (
+      SELECT sum(n) AS N, sum(ybar * n) / sum(n) AS ym FROM per_bin
+    )
+    SELECT CAST(sum(n) AS BIGINT) AS n,
+           round(sum(se) / sum(n), 6) AS brier_raw,
+           round(sum(n * (pbar - ybar) * (pbar - ybar)) / max(N), 6)
+             AS reliability,
+           round(sum(n * (ybar - ym) * (ybar - ym)) / max(N), 6)
+             AS resolution,
+           round(max(ym * (1.0 - ym)), 6) AS uncertainty,
+           round(sum(n * (pbar - ybar) * (pbar - ybar)) / max(N)
+                 - sum(n * (ybar - ym) * (ybar - ym)) / max(N)
+                 + max(ym * (1.0 - ym)), 6) AS brier_binned
+    FROM per_bin CROSS JOIN tot
+    """,
+)
+def x53_brier_decomposition(spark, sf_dir):
+    """Brier score + Murphy decomposition (brier_decomposition) of
+    discount-as-return-probability — a deliberately miscalibrated
+    forecast (p = 10·discount vs y = returned), so reliability is
+    large and the decomposition separates calibration error from
+    discrimination. The one-row score for t22's calibration curve;
+    one data-sized aggregate to a 10-bin grid, then driver-bounded
+    arithmetic."""
+    from ixmp_spark.operators.sampling import brier_decomposition
+
+    li = load(spark, sf_dir, "lineitem")
+    scored = li.where(
+        F.col("l_discount").isNotNull() & F.col("l_returnflag").isNotNull()
+    ).select(
+        (F.col("l_discount").cast("double") * 10.0).alias("p"),
+        (F.col("l_returnflag") == "R").cast("double").alias("y"),
+    )
+    return brier_decomposition(scored, "p", "y", n_bins=10)
+
+
+@query(
+    "x54_confusion_metrics",
+    oracle=r"""
+    WITH base AS (
+      SELECT l_returnflag AS l,
+             CASE WHEN l_linestatus = 'F' THEN
+               CASE WHEN l_quantity <= 25 THEN 'A' ELSE 'R' END
+             ELSE 'N' END AS p
+      FROM lineitem
+      WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+    ), cells AS (
+      SELECT l, p, CAST(count(*) AS BIGINT) AS n FROM base GROUP BY l, p
+    ), by_label AS (
+      SELECT l, sum(n) AS support,
+             sum(CASE WHEN l = p THEN n ELSE 0 END) AS tp_l
+      FROM cells GROUP BY l
+    ), by_pred AS (
+      SELECT p, sum(n) AS predicted,
+             sum(CASE WHEN l = p THEN n ELSE 0 END) AS tp_p
+      FROM cells GROUP BY p
+    ), j AS (
+      SELECT coalesce(l, p) AS class,
+             CAST(coalesce(tp_l, tp_p, 0) AS BIGINT) AS tp,
+             CAST(coalesce(predicted, 0) - coalesce(tp_p, 0) AS BIGINT)
+               AS fp,
+             CAST(coalesce(support, 0) - coalesce(tp_l, 0) AS BIGINT)
+               AS fn,
+             CAST(coalesce(support, 0) AS BIGINT) AS support,
+             predicted, support AS sup0
+      FROM by_label FULL OUTER JOIN by_pred ON l = p
+    )
+    SELECT class, tp, fp, fn, support,
+           round(CASE WHEN predicted > 0 THEN tp / CAST(predicted AS DOUBLE)
+                 END, 6) AS precision,
+           round(CASE WHEN sup0 > 0 THEN tp / CAST(sup0 AS DOUBLE)
+                 END, 6) AS recall,
+           round(CASE WHEN predicted > 0 AND sup0 > 0
+                      AND tp / CAST(predicted AS DOUBLE)
+                        + tp / CAST(sup0 AS DOUBLE) > 0
+                 THEN 2.0 * (tp / CAST(predicted AS DOUBLE))
+                      * (tp / CAST(sup0 AS DOUBLE))
+                      / (tp / CAST(predicted AS DOUBLE)
+                         + tp / CAST(sup0 AS DOUBLE))
+                 END, 6) AS f1
+    FROM j ORDER BY class
+    """,
+)
+def x54_confusion_metrics(spark, sf_dir):
+    """Per-class confusion metrics (confusion_metrics): score a toy
+    returnflag classifier (quantity-threshold rule on finalized lines)
+    against the true flag — the sklearn classification_report surface
+    (tp/fp/fn/support/precision/recall/f1 per class). One data-sized
+    cell aggregation (x22/x33 discipline), class-domain-bounded
+    marginals, NULL (not 0) where a class has no predictions."""
+    from ixmp_spark.operators.sampling import confusion_metrics
+
+    li = load(spark, sf_dir, "lineitem")
+    base = li.where(
+        F.col("l_returnflag").isNotNull() & F.col("l_linestatus").isNotNull()
+    ).select(
+        F.col("l_returnflag").alias("label"),
+        F.when(
+            F.col("l_linestatus") == "F",
+            F.when(F.col("l_quantity") <= 25, "A").otherwise("R"),
+        )
+        .otherwise("N")
+        .alias("pred"),
+    )
+    return confusion_metrics(base, "label", "pred")

@@ -2,7 +2,8 @@
 in streaming/ts_stream.py is batch-equal PINNED, but the state contracts
 ("scalars per key", "category-domain-bounded") were claims, not
 measurements. This drives the representative stateful twins — zscore
-(array-of-window state), CUSUM (two scalars), category-mix + JSD drift
+(array-of-window state), CUSUM (two scalars), the group-sequential SPRT
+(r13 — six scalars per experiment key), category-mix + JSD drift
 (watermarked windowed counts), and (r11, VERDICT r10 #5) the two-sided
 stream-stream interval joins (inner + left-outer: watermark + range
 condition, per-side buffered state) — over a sustained synthetic
@@ -129,6 +130,7 @@ def main() -> None:
         interval_join_stream_outer,
         jsd_drift_report,
         run_available_now,
+        sprt_stream,
         stream_events,
         zscore_stream,
     )
@@ -147,6 +149,24 @@ def main() -> None:
             ev = stream_events(spark, src)
             row["cusum"] = drive(
                 cusum_stream(ev, baseline=(0.4995, 0.2887)), f"c_{rate}"
+            )
+
+            # r13 (VERDICT r12 Next #6): the streaming SPRT — six
+            # scalars of state per experiment key, so state rows must
+            # equal #experiments (8) at EVERY rate, never event count
+            ev = stream_events(spark, src)
+            row["sprt"] = drive(
+                sprt_stream(
+                    ev.select(
+                        (F.col("user_id") % 8).alias("experiment"),
+                        "ts",
+                        (F.col("value") > 0.5).cast("double").alias("y"),
+                    ),
+                    p0=0.45,
+                    p1=0.55,
+                    grain="hour",
+                ),
+                f"sprt_{rate}",
             )
 
             ev = stream_events(spark, src)
