@@ -3519,7 +3519,7 @@ def brier_decomposition(
         )
     )
     tot = per_bin.agg(
-        F.sum("_n").alias("_N"),
+        F.sum("_n").alias("_ntot"),
         (F.sum(F.col("_ybar") * F.col("_n")) / F.sum("_n")).alias("_ym"),
     )
     j = per_bin.crossJoin(F.broadcast(tot))
@@ -3527,12 +3527,12 @@ def brier_decomposition(
         F.col("_n")
         * (F.col("_pbar") - F.col("_ybar"))
         * (F.col("_pbar") - F.col("_ybar"))
-    ) / F.max("_N")
+    ) / F.max("_ntot")
     res = F.sum(
         F.col("_n")
         * (F.col("_ybar") - F.col("_ym"))
         * (F.col("_ybar") - F.col("_ym"))
-    ) / F.max("_N")
+    ) / F.max("_ntot")
     unc = F.max(F.col("_ym") * (F.lit(1.0) - F.col("_ym")))
     return j.agg(
         F.sum("_n").cast("long").alias("n"),

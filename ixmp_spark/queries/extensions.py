@@ -7323,17 +7323,17 @@ def x52_mrr(spark, sf_dir):
              sum((p - y) * (p - y)) AS se
       FROM binned GROUP BY b
     ), tot AS (
-      SELECT sum(n) AS N, sum(ybar * n) / sum(n) AS ym FROM per_bin
+      SELECT sum(n) AS ntot, sum(ybar * n) / sum(n) AS ym FROM per_bin
     )
     SELECT CAST(sum(n) AS BIGINT) AS n,
            round(sum(se) / sum(n), 6) AS brier_raw,
-           round(sum(n * (pbar - ybar) * (pbar - ybar)) / max(N), 6)
+           round(sum(n * (pbar - ybar) * (pbar - ybar)) / max(ntot), 6)
              AS reliability,
-           round(sum(n * (ybar - ym) * (ybar - ym)) / max(N), 6)
+           round(sum(n * (ybar - ym) * (ybar - ym)) / max(ntot), 6)
              AS resolution,
            round(max(ym * (1.0 - ym)), 6) AS uncertainty,
-           round(sum(n * (pbar - ybar) * (pbar - ybar)) / max(N)
-                 - sum(n * (ybar - ym) * (ybar - ym)) / max(N)
+           round(sum(n * (pbar - ybar) * (pbar - ybar)) / max(ntot)
+                 - sum(n * (ybar - ym) * (ybar - ym)) / max(ntot)
                  + max(ym * (1.0 - ym)), 6) AS brier_binned
     FROM per_bin CROSS JOIN tot
     """,

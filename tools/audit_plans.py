@@ -58,6 +58,7 @@ BNLJ_OK = {
     "t34_llr_keyness",  # 1-row (na, nb) slice-totals aggregate cross-broadcast
     "g17_rfm_scores",  # 1-row corpus-max-ts aggregate cross-broadcast onto the user aggregate
     "p28_filter_yield_curve",  # 1-row grand-total aggregate cross-broadcast onto the threshold-bounded bucket frame
+    "x53_brier_decomposition",  # 1-row (N, y-mean) totals aggregate cross-broadcast onto the n_bins-row grid (t9/t17 pattern)
 }
 
 #: queries whose FORCED broadcast of a KEYED aggregate is legitimately
