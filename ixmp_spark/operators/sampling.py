@@ -3491,7 +3491,9 @@ def brier_decomposition(
     Scale shape: ONE data-sized aggregate (map-side partials) to the
     bin grid, then driver-bounded arithmetic — n_bins rows — plus a
     1-row cross for the global mean. Output: one row (n, brier_raw,
-    reliability, resolution, uncertainty, brier_binned)."""
+    reliability, resolution, uncertainty, brier_binned, ece) — ece the
+    expected calibration error Σ (n_b/N)·|p̄_b − ȳ_b| (Naeini et al.
+    2015, public), the L1 sibling of the reliability term."""
     if n_bins < 2:
         raise ValueError("n_bins must be >= 2")
     p = F.col(p_col).cast("double")
@@ -3534,6 +3536,9 @@ def brier_decomposition(
         * (F.col("_ybar") - F.col("_ym"))
     ) / F.max("_ntot")
     unc = F.max(F.col("_ym") * (F.lit(1.0) - F.col("_ym")))
+    ece = F.sum(
+        F.col("_n") * F.abs(F.col("_pbar") - F.col("_ybar"))
+    ) / F.max("_ntot")
     return j.agg(
         F.sum("_n").cast("long").alias("n"),
         F.round(F.sum("_se") / F.sum("_n"), 6).alias("brier_raw"),
@@ -3541,6 +3546,7 @@ def brier_decomposition(
         F.round(res, 6).alias("resolution"),
         F.round(unc, 6).alias("uncertainty"),
         F.round(rel - res + unc, 6).alias("brier_binned"),
+        F.round(ece, 6).alias("ece"),
     )
 
 

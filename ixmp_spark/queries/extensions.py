@@ -7334,7 +7334,8 @@ def x52_mrr(spark, sf_dir):
            round(max(ym * (1.0 - ym)), 6) AS uncertainty,
            round(sum(n * (pbar - ybar) * (pbar - ybar)) / max(ntot)
                  - sum(n * (ybar - ym) * (ybar - ym)) / max(ntot)
-                 + max(ym * (1.0 - ym)), 6) AS brier_binned
+                 + max(ym * (1.0 - ym)), 6) AS brier_binned,
+           round(sum(n * abs(pbar - ybar)) / max(ntot), 6) AS ece
     FROM per_bin CROSS JOIN tot
     """,
 )
