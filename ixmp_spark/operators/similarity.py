@@ -326,6 +326,7 @@ def cosine_lsh_pairs(
     storage_level=None,
     max_bucket: int | None = None,
     on_hot: str = "raise",
+    max_candidates: int | None = 200_000_000,
 ) -> DataFrame:
     """Embedding-cosine near-dup at scale: banded sign-LSH candidate
     generation + exact cosine verification — the vector twin of the
@@ -354,6 +355,18 @@ def cosine_lsh_pairs(
     default plus ``on_hot='drop'`` drops EVERY bucket past
     n ≈ 2^bits·max_bucket; and when a drop DOES remove every bucket,
     the operator now raises instead of returning zero pairs.
+
+    ``max_candidates`` (r13, the d14 raw-volume guard ported): the
+    WORST-case candidate volume is bands·n·max_bucket/2 — INDEPENDENT
+    of bits, because sign-LSH buckets on natural data are not
+    equal-measure and the surviving buckets can all sit at the
+    ``max_bucket`` cap (measured at 500k vectors / max_bucket=2000:
+    ~3e9 candidate rows whose two-sided vector verify join killed the
+    JVM while the average-bucket arithmetic predicted 9e7). Before the
+    self-join, Σ m·(m−1)/2 over the KEPT buckets is estimated from the
+    (cheap, bucket-count-sized) sizes frame and the operator raises if
+    it exceeds the budget — lower ``max_bucket``, raise ``bits``, or
+    pre-dedup. None disables.
 
     Shuffle discipline: the banded self-join carries ONLY
     (id, band, bucket) — never the vectors — so exchange volume is
@@ -398,10 +411,11 @@ def cosine_lsh_pairs(
     ).persist(storage_level)
     banded = _sign_lsh_banded(vecs, band_planes).persist(storage_level)
     cached = banded  # release handle (the drop branch rebinds `banded`)
-    if max_bucket is not None:
+    if max_bucket is not None or max_candidates is not None:
         sizes = banded.groupBy("__band", "__bucket").agg(
             F.count(F.lit(1)).alias("__n")
         )
+    if max_bucket is not None:
         if on_hot == "raise":
             hot = sizes.where(F.col("__n") > max_bucket).limit(5).collect()
             if hot:
@@ -428,6 +442,33 @@ def cosine_lsh_pairs(
                     "return ZERO pairs; use bits='auto' or raise bits"
                 )
             banded = banded.join(keep, ["__band", "__bucket"], "left_semi")
+    if max_candidates is not None:
+        # KEPT-bucket raw volume Σ m(m−1)/2 — the actual self-join
+        # output, not the average-bucket estimate (worst case is
+        # bands·n·max_bucket/2 regardless of bits; see docstring)
+        kept_sizes = sizes
+        if max_bucket is not None and on_hot == "drop":
+            kept_sizes = sizes.where(F.col("__n") <= max_bucket)
+        est_row = kept_sizes.agg(
+            F.sum(
+                F.col("__n").cast("double")
+                * (F.col("__n").cast("double") - 1.0)
+                / 2.0
+            ).alias("_e")
+        ).collect()[0]
+        est = est_row["_e"] or 0.0
+        if est > max_candidates:
+            banded.unpersist()
+            vecs.unpersist()
+            from ixmp_spark.operators.dedup import CandidateVolumeExceeded
+
+            raise CandidateVolumeExceeded(
+                f"cosine_lsh_pairs: estimated raw candidate volume "
+                f"{int(est)} (Σ per-bucket m(m−1)/2 over kept buckets) "
+                f"exceeds max_candidates={max_candidates} — lower "
+                "max_bucket (hot buckets are near-dup crowds: exact-"
+                "dedup first), raise bits, or raise the threshold"
+            )
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -798,12 +839,30 @@ def hard_negatives(
     per-bucket guard) AND total raw candidate volume
     (≈ bands·n·bucket_rows/2) under ~2e8 rows — the d14-calibrated
     budget; a first auto rule honoring only max_bucket picked bits=7
-    at 200k vectors and the ~1e9-row verify OOMed the JVM. Per-pair
-    candidate recall drops with bits, but a MINER wants bounded, valid
-    negatives — fewer candidates is an acceptable trade, an empty
-    result (or an OOM) is not."""
+    at 200k vectors and the ~1e9-row verify OOMed the JVM. And bits
+    alone is not enough (r13, found live at 500k): the WORST-case
+    volume is bands·n·max_bucket/2 regardless of bits — sign-LSH
+    buckets are not equal-measure, so kept buckets can all sit at the
+    cap — and auto mode therefore also lowers the effective
+    ``max_bucket`` to the same ~2e8 budget under ``on_hot='drop'``.
+    Per-pair candidate recall drops with bits and the tighter cap, but
+    a MINER wants bounded, valid negatives — fewer candidates is an
+    acceptable trade, an empty result (or an OOM) is not."""
     if bits == "auto":
-        bits = _auto_bits(df.count(), bands, max_bucket)
+        n_rows = df.count()
+        bits = _auto_bits(n_rows, bands, max_bucket)
+        # ALSO tighten the bucket cap to the volume budget (r13, found
+        # live at 500k vectors): the worst-case candidate volume is
+        # bands·n·max_bucket/2 — independent of bits — and sign-LSH
+        # buckets are not equal-measure, so kept buckets can all sit
+        # at the cap. A miner prefers bounded, valid negatives over
+        # tail completeness (the operator's standing trade), so auto
+        # mode lowers the cap to keep the verify join under ~2e8 rows.
+        if max_bucket is not None and on_hot == "drop":
+            budget_cap = max(
+                64, int(2.0 * 200_000_000 / (bands * max(n_rows, 1)))
+            )
+            max_bucket = min(max_bucket, budget_cap)
     pairs = cosine_lsh_pairs(
         df, id_col, vec_col, threshold=min_sim, bands=bands, bits=bits,
         seed=seed, max_bucket=max_bucket, on_hot=on_hot,

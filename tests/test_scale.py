@@ -7605,6 +7605,37 @@ def test_cosine_lsh_footgun_auto_and_loud_empty(spark):
     assert _auto_bits(50_000_000, 6, None) >= 22
 
 
+def test_cosine_lsh_candidate_volume_guard(spark):
+    """r13 live-500k finding: the worst-case candidate volume is
+    bands·n·max_bucket/2 — independent of bits — so cosine_lsh_pairs
+    carries the d14 raw-volume guard: Σ m(m−1)/2 over KEPT buckets
+    over max_candidates raises CandidateVolumeExceeded (naming the
+    remedies) instead of launching the JVM-killing verify join; a
+    loose budget completes."""
+    import numpy as np
+    import pytest as _pytest
+
+    from ixmp_spark.operators.dedup import CandidateVolumeExceeded
+    from ixmp_spark.operators.similarity import cosine_lsh_pairs
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((500, 16))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(CandidateVolumeExceeded, match="max_candidates"):
+        cosine_lsh_pairs(
+            df, "vec_id", "embedding", threshold=0.9,
+            bands=4, bits=3, max_candidates=100,
+        ).collect()
+    got = cosine_lsh_pairs(
+        df, "vec_id", "embedding", threshold=0.9,
+        bands=4, bits=3, max_candidates=10_000_000,
+    )
+    assert got.count() >= 0  # completes under a loose budget
+
+
 def test_minhash_band_drop_all_hot_raises(spark):
     """r13 footgun sweep, lsh_band_pairs: a corpus that is ONE giant
     duplicate family makes every band bucket hot; on_hot='drop' would
