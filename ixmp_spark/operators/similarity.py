@@ -301,7 +301,9 @@ def _auto_bits(n_rows: int, bands: int, max_bucket: int | None) -> int:
     scale-bug fix, generalized r13): expected bucket population under
     ``max_bucket`` (the per-bucket guard must not fire on the AVERAGE
     bucket) AND total raw candidate volume (≈ bands·n·bucket_rows/2)
-    under ~2e8 rows — the d14-calibrated budget. A fixed default past
+    under ~2e7 rows — the d14 budget scaled to vector verify rows
+    (~1 KB per candidate after the two 64-dim joins, vs ~50 B gram
+    rows). A fixed default past
     n ≈ 2^bits·max_bucket makes EVERY bucket hot and ``on_hot='drop'``
     silently empties the result (measured at 200k vectors / bits=4)."""
     import math as _math
@@ -309,7 +311,7 @@ def _auto_bits(n_rows: int, bands: int, max_bucket: int | None) -> int:
     cap = float(max_bucket) if max_bucket else 2000.0
     b_target = max(
         8.0,
-        min(cap, 2.0 * 200_000_000 / (bands * max(n_rows, 1))),
+        min(cap, 2.0 * 20_000_000 / (bands * max(n_rows, 1))),
     )
     return max(4, _math.ceil(_math.log2(max(n_rows / b_target, 2.0))))
 
@@ -326,7 +328,7 @@ def cosine_lsh_pairs(
     storage_level=None,
     max_bucket: int | None = None,
     on_hot: str = "raise",
-    max_candidates: int | None = 200_000_000,
+    max_candidates: int | None = 20_000_000,
 ) -> DataFrame:
     """Embedding-cosine near-dup at scale: banded sign-LSH candidate
     generation + exact cosine verification — the vector twin of the
@@ -837,14 +839,16 @@ def hard_negatives(
     loudly in cosine_lsh_pairs). Pass ``bits='auto'`` to size bits from
     TWO bounds: expected bucket population under ``max_bucket`` (the
     per-bucket guard) AND total raw candidate volume
-    (≈ bands·n·bucket_rows/2) under ~2e8 rows — the d14-calibrated
+    (≈ bands·n·bucket_rows/2) under ~2e7 rows — the d14 budget scaled
+    to ~1 KB vector verify rows (r13: 2e8 rows of two-sided 64-dim
+    joins is ~200 GB of shuffle — measured filling local tmpfs) —
     budget; a first auto rule honoring only max_bucket picked bits=7
     at 200k vectors and the ~1e9-row verify OOMed the JVM. And bits
     alone is not enough (r13, found live at 500k): the WORST-case
     volume is bands·n·max_bucket/2 regardless of bits — sign-LSH
     buckets are not equal-measure, so kept buckets can all sit at the
     cap — and auto mode therefore also lowers the effective
-    ``max_bucket`` to the same ~2e8 budget under ``on_hot='drop'``.
+    ``max_bucket`` to the same ~2e7 budget under ``on_hot='drop'``.
     Per-pair candidate recall drops with bits and the tighter cap, but
     a MINER wants bounded, valid negatives — fewer candidates is an
     acceptable trade, an empty result (or an OOM) is not."""
@@ -857,10 +861,10 @@ def hard_negatives(
         # buckets are not equal-measure, so kept buckets can all sit
         # at the cap. A miner prefers bounded, valid negatives over
         # tail completeness (the operator's standing trade), so auto
-        # mode lowers the cap to keep the verify join under ~2e8 rows.
+        # mode lowers the cap to keep the verify join under ~2e7 rows.
         if max_bucket is not None and on_hot == "drop":
             budget_cap = max(
-                64, int(2.0 * 200_000_000 / (bands * max(n_rows, 1)))
+                64, int(2.0 * 20_000_000 / (bands * max(n_rows, 1)))
             )
             max_bucket = min(max_bucket, budget_cap)
     pairs = cosine_lsh_pairs(
