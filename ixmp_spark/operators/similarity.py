@@ -301,9 +301,11 @@ def _auto_bits(n_rows: int, bands: int, max_bucket: int | None) -> int:
     scale-bug fix, generalized r13): expected bucket population under
     ``max_bucket`` (the per-bucket guard must not fire on the AVERAGE
     bucket) AND total raw candidate volume (≈ bands·n·bucket_rows/2)
-    under ~2e7 rows — the d14 budget scaled to vector verify rows
-    (~1 KB per candidate after the two 64-dim joins, vs ~50 B gram
-    rows). A fixed default past
+    under ~1e7 rows — HALF the 2e7 guard budget (sign buckets are
+    non-uniform; aiming exactly at the guard crosses it on noise),
+    itself the d14 budget scaled to vector verify rows (~1 KB per
+    candidate after the two 64-dim joins, vs ~50 B gram rows). A
+    fixed default past
     n ≈ 2^bits·max_bucket makes EVERY bucket hot and ``on_hot='drop'``
     silently empties the result (measured at 200k vectors / bits=4)."""
     import math as _math
@@ -311,7 +313,7 @@ def _auto_bits(n_rows: int, bands: int, max_bucket: int | None) -> int:
     cap = float(max_bucket) if max_bucket else 2000.0
     b_target = max(
         8.0,
-        min(cap, 2.0 * 20_000_000 / (bands * max(n_rows, 1))),
+        min(cap, 2.0 * 10_000_000 / (bands * max(n_rows, 1))),
     )
     return max(4, _math.ceil(_math.log2(max(n_rows / b_target, 2.0))))
 
@@ -839,7 +841,11 @@ def hard_negatives(
     loudly in cosine_lsh_pairs). Pass ``bits='auto'`` to size bits from
     TWO bounds: expected bucket population under ``max_bucket`` (the
     per-bucket guard) AND total raw candidate volume
-    (≈ bands·n·bucket_rows/2) under ~2e7 rows — the d14 budget scaled
+    (≈ bands·n·bucket_rows/2) under ~1e7 rows — HALF the 2e7 guard
+    budget, because sign-LSH buckets are non-uniform and an estimate
+    aimed exactly at the guard crosses it on distribution noise
+    (measured: 21.5M vs the 20M guard at 500k vectors) — the d14
+    budget scaled
     to ~1 KB vector verify rows (r13: 2e8 rows of two-sided 64-dim
     joins is ~200 GB of shuffle — measured filling local tmpfs) —
     budget; a first auto rule honoring only max_bucket picked bits=7
@@ -864,7 +870,7 @@ def hard_negatives(
         # mode lowers the cap to keep the verify join under ~2e7 rows.
         if max_bucket is not None and on_hot == "drop":
             budget_cap = max(
-                64, int(2.0 * 20_000_000 / (bands * max(n_rows, 1)))
+                64, int(2.0 * 10_000_000 / (bands * max(n_rows, 1)))
             )
             max_bucket = min(max_bucket, budget_cap)
     pairs = cosine_lsh_pairs(
