@@ -301,11 +301,11 @@ def _auto_bits(n_rows: int, bands: int, max_bucket: int | None) -> int:
     scale-bug fix, generalized r13): expected bucket population under
     ``max_bucket`` (the per-bucket guard must not fire on the AVERAGE
     bucket) AND total raw candidate volume (≈ bands·n·bucket_rows/2)
-    under ~1e7 rows — HALF the 2e7 guard budget (sign buckets are
-    non-uniform; aiming exactly at the guard crosses it on noise),
-    itself the d14 budget scaled to vector verify rows (~1 KB per
-    candidate after the two 64-dim joins, vs ~50 B gram rows). A
-    fixed default past
+    under ~1e7 rows — well under the 5e7 guard budget (sign-LSH bucket
+    sizes are heavy-tailed: the realized volume lands several times
+    the uniform estimate), itself the d14 budget scaled to vector
+    verify rows (~1 KB per candidate after the two 64-dim joins, vs
+    ~50 B gram rows). A fixed default past
     n ≈ 2^bits·max_bucket makes EVERY bucket hot and ``on_hot='drop'``
     silently empties the result (measured at 200k vectors / bits=4)."""
     import math as _math
@@ -330,7 +330,7 @@ def cosine_lsh_pairs(
     storage_level=None,
     max_bucket: int | None = None,
     on_hot: str = "raise",
-    max_candidates: int | None = 20_000_000,
+    max_candidates: int | None = 50_000_000,
 ) -> DataFrame:
     """Embedding-cosine near-dup at scale: banded sign-LSH candidate
     generation + exact cosine verification — the vector twin of the
@@ -841,11 +841,11 @@ def hard_negatives(
     loudly in cosine_lsh_pairs). Pass ``bits='auto'`` to size bits from
     TWO bounds: expected bucket population under ``max_bucket`` (the
     per-bucket guard) AND total raw candidate volume
-    (≈ bands·n·bucket_rows/2) under ~1e7 rows — HALF the 2e7 guard
-    budget, because sign-LSH buckets are non-uniform and an estimate
-    aimed exactly at the guard crosses it on distribution noise
-    (measured: 21.5M vs the 20M guard at 500k vectors) — the d14
-    budget scaled
+    (≈ bands·n·bucket_rows/2) under ~1e7 rows — well under the 5e7
+    guard budget, because sign-LSH bucket sizes are heavy-tailed on
+    natural data and the realized Σ m(m−1)/2 lands several times the
+    uniform estimate (measured: 21.5M realized at 500k vectors where
+    the uniform arithmetic said ~4M) — the d14 budget scaled
     to ~1 KB vector verify rows (r13: 2e8 rows of two-sided 64-dim
     joins is ~200 GB of shuffle — measured filling local tmpfs) —
     budget; a first auto rule honoring only max_bucket picked bits=7
