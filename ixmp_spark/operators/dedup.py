@@ -193,7 +193,7 @@ def _level(storage_level):
 def lsh_band_pairs(
     df: DataFrame, id_col: str, k: int = 32, bands: int = 8,
     storage_level=None, max_bucket: int | None = None,
-    on_hot: str = "raise",
+    on_hot: str = "raise", max_candidates: int | None = None,
 ) -> DataFrame:
     """Banded LSH candidate pairs from a ``minhash`` column: hash each band
     of r=k/bands signature values to a bucket (multi-arg xxhash64 — no
@@ -218,6 +218,15 @@ def lsh_band_pairs(
     than m² Jaccard verifications. Dropping costs recall only for pairs
     whose EVERY matching band is hot; with 8+ bands that is rare for
     genuine near-dups.
+
+    ``max_candidates`` (r13, the cosine_lsh_pairs guard mirrored —
+    default None, preserving existing call sites): the worst case
+    under ``on_hot='drop'`` is bands·n·max_bucket/2 candidate rows
+    regardless of banding, since surviving buckets can all sit at the
+    cap (dup-family corpora). When set, Σ m(m−1)/2 over the KEPT
+    buckets is estimated from the (bucket-count-sized) sizes frame
+    before the self-join and :class:`CandidateVolumeExceeded` raises
+    over budget — exact-dedup first, lower max_bucket, or raise k.
     """
     if on_hot not in ("raise", "drop"):
         # validate BEFORE any persist: failing later would leak the
@@ -236,10 +245,12 @@ def lsh_band_pairs(
         ).alias("band", "bucket"),
     ).persist(_level(storage_level))
     cached = banded  # release handle (the drop branch rebinds `banded`)
-    if max_bucket is not None:
+    sizes = None
+    if max_bucket is not None or max_candidates is not None:
         sizes = banded.groupBy("band", "bucket").agg(
             F.count(F.lit(1)).alias("__n")
         )
+    if max_bucket is not None:
         if on_hot == "raise":
             hot = sizes.where(F.col("__n") > max_bucket).limit(5).collect()
             if hot:
@@ -267,6 +278,26 @@ def lsh_band_pairs(
                     "crowd is a duplicate family) or raise max_bucket"
                 )
             banded = banded.join(keep, ["band", "bucket"], "left_semi")
+    if max_candidates is not None:
+        kept_sizes = sizes
+        if max_bucket is not None and on_hot == "drop":
+            kept_sizes = sizes.where(F.col("__n") <= max_bucket)
+        est = kept_sizes.agg(
+            F.sum(
+                F.col("__n").cast("double")
+                * (F.col("__n").cast("double") - 1.0)
+                / 2.0
+            ).alias("_e")
+        ).collect()[0]["_e"] or 0.0
+        if est > max_candidates:
+            banded.unpersist()
+            raise CandidateVolumeExceeded(
+                f"lsh_band_pairs: estimated raw candidate volume "
+                f"{int(est)} (Σ per-bucket m(m−1)/2 over kept buckets) "
+                f"exceeds max_candidates={max_candidates} — exact-dedup "
+                "first (hot buckets are duplicate families), lower "
+                "max_bucket, or raise k"
+            )
     a = banded.alias("a")
     b = banded.alias("b")
     from ixmp_spark.operators import attach_caches

@@ -7654,6 +7654,16 @@ def test_minhash_band_drop_all_hot_raises(spark):
             sig, "doc_id", k=16, bands=4, max_bucket=10, on_hot="drop"
         ).collect()
 
+    # r13: the mirrored raw-volume guard — 50 identical docs put all
+    # C(50,2) pairs in every band; a tiny budget must raise the typed
+    # exception naming the dedup-first remedy
+    from ixmp_spark.operators.dedup import CandidateVolumeExceeded
+
+    with _pytest.raises(CandidateVolumeExceeded, match="max_candidates"):
+        lsh_band_pairs(
+            sig, "doc_id", k=16, bands=4, max_candidates=100
+        ).collect()
+
 
 def test_semantic_dedup_and_ivf_auto_clusters(spark):
     """r13 footgun sweep: n_clusters='auto' completes on a small corpus
