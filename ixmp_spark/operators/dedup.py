@@ -245,55 +245,71 @@ def lsh_band_pairs(
         ).alias("band", "bucket"),
     ).persist(_level(storage_level))
     cached = banded  # release handle (the drop branch rebinds `banded`)
-    sizes = None
     if max_bucket is not None or max_candidates is not None:
+        # ONE aggregation pass decides all three guards (r13 review:
+        # the first form ran up to three sizes-shaped jobs), and all
+        # fail-fast paths unpersist the REAL cache handle (``cached``),
+        # not the possibly-rebound ``banded``
         sizes = banded.groupBy("band", "bucket").agg(
             F.count(F.lit(1)).alias("__n")
         )
-    if max_bucket is not None:
-        if on_hot == "raise":
-            hot = sizes.where(F.col("__n") > max_bucket).limit(5).collect()
-            if hot:
-                banded.unpersist()
+        kept_pred = (
+            F.col("__n") <= max_bucket
+            if max_bucket is not None
+            else F.lit(True)
+        )
+        st = sizes.agg(
+            F.count(F.lit(1)).alias("_total"),
+            F.count(F.when(kept_pred, 1)).alias("_kept"),
+            F.sum(
+                F.when(
+                    kept_pred,
+                    F.col("__n").cast("double")
+                    * (F.col("__n").cast("double") - 1.0)
+                    / 2.0,
+                )
+            ).alias("_vol"),
+        ).collect()[0]
+        n_total = st["_total"] or 0
+        n_kept = st["_kept"] or 0
+        vol = st["_vol"] or 0.0
+        if max_bucket is not None and n_total > n_kept:
+            if on_hot == "raise":
+                hot = (
+                    sizes.where(F.col("__n") > max_bucket).limit(5).collect()
+                )
+                cached.unpersist()
                 raise ValueError(
                     f"LSH buckets over max_bucket={max_bucket}: "
                     f"{[((r['band'], r['bucket']), r['__n']) for r in hot]}; "
                     'use on_hot="drop" or raise bands/k'
                 )
-        else:  # on_hot == "drop" (validated at entry)
-            keep = sizes.where(F.col("__n") <= max_bucket).select(
-                "band", "bucket"
-            )
-            if keep.isEmpty():
+            # on_hot == "drop" (validated at entry)
+            if n_kept == 0:
                 # the silently-empty regime (r13 footgun sweep,
                 # mirroring the r12 hard_negatives bits=4 bug): every
                 # band bucket hot — here that means the corpus is one
                 # giant duplicate family — and dropping them all
-                # provably returns zero pairs; fail loud instead
-                banded.unpersist()
+                # provably returns zero pairs; fail loud instead. An
+                # EMPTY corpus (n_total == 0) never reaches here and
+                # still returns an empty pairs frame.
+                cached.unpersist()
                 raise ValueError(
                     f"every LSH band bucket exceeds max_bucket="
                     f"{max_bucket}: on_hot='drop' would return ZERO "
                     "pairs — exact-dedup the corpus first (the bucket "
                     "crowd is a duplicate family) or raise max_bucket"
                 )
-            banded = banded.join(keep, ["band", "bucket"], "left_semi")
-    if max_candidates is not None:
-        kept_sizes = sizes
-        if max_bucket is not None and on_hot == "drop":
-            kept_sizes = sizes.where(F.col("__n") <= max_bucket)
-        est = kept_sizes.agg(
-            F.sum(
-                F.col("__n").cast("double")
-                * (F.col("__n").cast("double") - 1.0)
-                / 2.0
-            ).alias("_e")
-        ).collect()[0]["_e"] or 0.0
-        if est > max_candidates:
-            banded.unpersist()
+            banded = banded.join(
+                sizes.where(kept_pred).select("band", "bucket"),
+                ["band", "bucket"],
+                "left_semi",
+            )
+        if max_candidates is not None and vol > max_candidates:
+            cached.unpersist()
             raise CandidateVolumeExceeded(
                 f"lsh_band_pairs: estimated raw candidate volume "
-                f"{int(est)} (Σ per-bucket m(m−1)/2 over kept buckets) "
+                f"{int(vol)} (Σ per-bucket m(m−1)/2 over kept buckets) "
                 f"exceeds max_candidates={max_candidates} — exact-dedup "
                 "first (hot buckets are duplicate families), lower "
                 "max_bucket, or raise k"

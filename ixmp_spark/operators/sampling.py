@@ -3426,15 +3426,17 @@ def mean_reciprocal_rank(
     rel_col: str,
     id_col: str,
 ) -> DataFrame:
-    """Reciprocal rank per query group + the corpus MRR: rank items by
-    predicted score (ties on ``id_col`` asc — deterministic), find the
-    FIRST relevant item (rel > 0), report 1/rank; groups with no
-    relevant item score 0 (the standard convention). The
-    first-hit-position companion to nDCG's full-ordering grade.
+    """Reciprocal rank per query group: rank items by predicted score
+    (ties on ``id_col`` asc — deterministic), find the FIRST relevant
+    item (rel > 0), report 1/rank; groups with no relevant item score
+    0 (the standard convention). The first-hit-position companion to
+    nDCG's full-ordering grade; the corpus MRR is ``avg(rr)`` over the
+    returned group rows — one trivial aggregate the caller composes
+    (kept out of the operator so the per-group frame stays the
+    joinable unit).
 
     Scale shape: one rank window per group + a conditional-min
-    aggregate (the g18/peak pattern — no join); the corpus mean rides
-    a second tiny aggregate over group rows. Output per group:
+    aggregate (the g18/peak pattern — no join). Output per group:
     (group, first_rel_rank, rr) with first_rel_rank NULL when no
     relevant item exists."""
     g = df.select(

@@ -416,59 +416,75 @@ def cosine_lsh_pairs(
     banded = _sign_lsh_banded(vecs, band_planes).persist(storage_level)
     cached = banded  # release handle (the drop branch rebinds `banded`)
     if max_bucket is not None or max_candidates is not None:
+        # ONE aggregation pass decides all three guards (r13 review:
+        # the first form ran up to three sizes-shaped jobs), and all
+        # fail-fast paths unpersist the REAL cache handle (``cached``),
+        # not the possibly-rebound ``banded``. The volume estimate is
+        # the KEPT-bucket Σ m(m−1)/2 — the actual self-join output,
+        # not the average-bucket estimate (worst case is
+        # bands·n·max_bucket/2 regardless of bits; see docstring).
         sizes = banded.groupBy("__band", "__bucket").agg(
             F.count(F.lit(1)).alias("__n")
         )
-    if max_bucket is not None:
-        if on_hot == "raise":
-            hot = sizes.where(F.col("__n") > max_bucket).limit(5).collect()
-            if hot:
-                banded.unpersist()
+        kept_pred = (
+            F.col("__n") <= max_bucket
+            if max_bucket is not None
+            else F.lit(True)
+        )
+        st = sizes.agg(
+            F.count(F.lit(1)).alias("_total"),
+            F.count(F.when(kept_pred, 1)).alias("_kept"),
+            F.sum(
+                F.when(
+                    kept_pred,
+                    F.col("__n").cast("double")
+                    * (F.col("__n").cast("double") - 1.0)
+                    / 2.0,
+                )
+            ).alias("_vol"),
+        ).collect()[0]
+        n_total = st["_total"] or 0
+        n_kept = st["_kept"] or 0
+        vol = st["_vol"] or 0.0
+        if max_bucket is not None and n_total > n_kept:
+            if on_hot == "raise":
+                hot = (
+                    sizes.where(F.col("__n") > max_bucket).limit(5).collect()
+                )
+                cached.unpersist()
                 vecs.unpersist()
                 raise ValueError(
                     f"LSH buckets over max_bucket={max_bucket}: "
                     f"{[((r['__band'], r['__bucket']), r['__n']) for r in hot]}; "
                     'use on_hot="drop" or raise bands/bits'
                 )
-        else:  # on_hot == "drop" (validated at entry)
-            keep = sizes.where(F.col("__n") <= max_bucket).select(
-                "__band", "__bucket"
-            )
-            if keep.isEmpty():
+            # on_hot == "drop" (validated at entry)
+            if n_kept == 0:
                 # the silently-empty regime (r12 hard_negatives bug
                 # class): EVERY bucket is hot, so dropping them all
-                # provably returns zero pairs — fail loud instead
-                banded.unpersist()
+                # provably returns zero pairs — fail loud instead. An
+                # EMPTY corpus (n_total == 0) never reaches here and
+                # still returns an empty pairs frame.
+                cached.unpersist()
                 vecs.unpersist()
                 raise ValueError(
                     f"every LSH bucket exceeds max_bucket={max_bucket} "
                     f"(bits={bits}, bands={bands}): on_hot='drop' would "
                     "return ZERO pairs; use bits='auto' or raise bits"
                 )
-            banded = banded.join(keep, ["__band", "__bucket"], "left_semi")
-    if max_candidates is not None:
-        # KEPT-bucket raw volume Σ m(m−1)/2 — the actual self-join
-        # output, not the average-bucket estimate (worst case is
-        # bands·n·max_bucket/2 regardless of bits; see docstring)
-        kept_sizes = sizes
-        if max_bucket is not None and on_hot == "drop":
-            kept_sizes = sizes.where(F.col("__n") <= max_bucket)
-        est_row = kept_sizes.agg(
-            F.sum(
-                F.col("__n").cast("double")
-                * (F.col("__n").cast("double") - 1.0)
-                / 2.0
-            ).alias("_e")
-        ).collect()[0]
-        est = est_row["_e"] or 0.0
-        if est > max_candidates:
-            banded.unpersist()
+            banded = banded.join(
+                sizes.where(kept_pred).select("__band", "__bucket"),
+                ["__band", "__bucket"],
+                "left_semi",
+            )
+        if max_candidates is not None and vol > max_candidates:
+            cached.unpersist()
             vecs.unpersist()
             from ixmp_spark.operators.dedup import CandidateVolumeExceeded
 
             raise CandidateVolumeExceeded(
                 f"cosine_lsh_pairs: estimated raw candidate volume "
-                f"{int(est)} (Σ per-bucket m(m−1)/2 over kept buckets) "
+                f"{int(vol)} (Σ per-bucket m(m−1)/2 over kept buckets) "
                 f"exceeds max_candidates={max_candidates} — lower "
                 "max_bucket (hot buckets are near-dup crowds: exact-"
                 "dedup first), raise bits, or raise the threshold"
@@ -854,7 +870,7 @@ def hard_negatives(
     volume is bands·n·max_bucket/2 regardless of bits — sign-LSH
     buckets are not equal-measure, so kept buckets can all sit at the
     cap — and auto mode therefore also lowers the effective
-    ``max_bucket`` to the same ~2e7 budget under ``on_hot='drop'``.
+    ``max_bucket`` to the same ~1e7 aim under ``on_hot='drop'``.
     Per-pair candidate recall drops with bits and the tighter cap, but
     a MINER wants bounded, valid negatives — fewer candidates is an
     acceptable trade, an empty result (or an OOM) is not."""
@@ -867,7 +883,8 @@ def hard_negatives(
         # buckets are not equal-measure, so kept buckets can all sit
         # at the cap. A miner prefers bounded, valid negatives over
         # tail completeness (the operator's standing trade), so auto
-        # mode lowers the cap to keep the verify join under ~2e7 rows.
+        # mode lowers the cap to aim the verify join at ~1e7 rows
+        # (the 5e7 guard then has heavy-tail headroom).
         if max_bucket is not None and on_hot == "drop":
             budget_cap = max(
                 64, int(2.0 * 10_000_000 / (bands * max(n_rows, 1)))

@@ -108,15 +108,37 @@ class Reporter:
         # key resolved twice before being redefined (e.g. a ``units:
         # apply`` override in configure()) would keep serving the stale
         # pinned Quantity until release(). The reference dask graph
-        # always recomputes from the current graph.
-        stale = self._cache.pop(ks, None)
-        if stale is not None:
-            stale.df.unpersist()
-        self._hits.pop(ks, None)
+        # always recomputes from the current graph. Eviction CASCADES
+        # through the declared dependency edges (r13 review finding: a
+        # pinned DOWNSTREAM key computed from the old definition is
+        # just as stale as the key itself) — keys registered via a bare
+        # add() with no ``deps`` metadata cannot be cascaded to; the
+        # helper registrars (add_product/add_ratio/...) all declare
+        # deps, and release() remains the blunt full reset.
+        for stale_key in self._dependents(ks) | {ks}:
+            stale = self._cache.pop(stale_key, None)
+            if stale is not None:
+                stale.df.unpersist()
+            self._hits.pop(stale_key, None)
         self.graph[ks] = thunk
         if deps is not None:
             self.deps[ks] = [str(Key.parse(d)) for d in deps]
         return k
+
+    def _dependents(self, ks: str) -> set[str]:
+        """Transitive closure of keys whose declared ``deps`` reach
+        ``ks`` (reverse edges over self.deps)."""
+        out: set[str] = set()
+        frontier = {ks}
+        while frontier:
+            nxt = {
+                key
+                for key, dd in self.deps.items()
+                if key not in out and any(d in frontier for d in dd)
+            }
+            out |= nxt
+            frontier = nxt
+        return out
 
     def add_quantity(
         self, key: "str | Key", df: DataFrame, unit: str | None = None

@@ -584,6 +584,20 @@ def test_reporter_add_evicts_stale_pin(rep):
     r.get(k)
     assert k in r._cache
     assert sorted(map(tuple, r._cache[k].df.collect())) == got1
+
+    # r13 review finding: eviction CASCADES through declared deps — a
+    # pinned DOWNSTREAM product computed from the old definition is
+    # evicted too, and recomputes from the new one
+    r.add_product("dd:i-j", k, k)
+    before = sorted(map(tuple, r.get("dd:i-j").collect()))
+    r.get("dd:i-j")
+    assert "dd:i-j" in r._cache  # pinned on its 2nd resolution
+    src2 = r._cache[k]
+    scaled2 = src2.df.withColumn("value", F.col("value") * 2)
+    r.add(k, lambda: Quantity(scaled2, src2.dims, src2.unit))
+    assert "dd:i-j" not in r._cache  # cascade evicted the product
+    after = sorted(map(tuple, r.get("dd:i-j").collect()))
+    assert after != before  # recomputed from the NEW definition
     r.release()
 
 

@@ -7665,6 +7665,36 @@ def test_minhash_band_drop_all_hot_raises(spark):
         ).collect()
 
 
+def test_lsh_guards_empty_input_returns_empty(spark):
+    """r13 review regression: an EMPTY corpus under max_bucket +
+    on_hot='drop' (and any max_candidates) must return an empty pairs
+    frame in BOTH LSH families — not raise the all-hot error blaming a
+    'duplicate family' on zero rows."""
+    from ixmp_spark.operators.dedup import lsh_band_pairs, minhash_signature
+    from ixmp_spark.operators.similarity import cosine_lsh_pairs
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    sig = minhash_signature(empty_docs, "text", k=16)
+    assert (
+        lsh_band_pairs(
+            sig, "doc_id", k=16, bands=4, max_bucket=10, on_hot="drop",
+            max_candidates=100,
+        ).count()
+        == 0
+    )
+
+    empty_vecs = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>"
+    )
+    assert (
+        cosine_lsh_pairs(
+            empty_vecs, "vec_id", "embedding", dim=8,
+            max_bucket=10, on_hot="drop",
+        ).count()
+        == 0
+    )
+
+
 def test_semantic_dedup_and_ivf_auto_clusters(spark):
     """r13 footgun sweep: n_clusters='auto' completes on a small corpus
     (floor 16) with output equal to the explicit-16 call, and the
