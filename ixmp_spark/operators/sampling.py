@@ -3362,12 +3362,19 @@ def ndcg_at_k(
     Ties break on ``id_col`` ascending in BOTH rankings, so the metric
     is deterministic and the driver hash certifies it cross-engine.
 
-    Scale shape: two rank windows over the SAME partition key (one
-    exchange — the second window reuses the first's partitioning) with
-    ``row_number ≤ k`` filters that compile to WindowGroupLimit
-    (top-k pushdown, O(k) rows per group per task), then ONE aggregate.
-    Output per group: (group, dcg, idcg, ndcg) rounded 6, ndcg NULL
-    when idcg = 0 (no relevant item in the group)."""
+    Scale shape (r14, fixing the r13 overclaim): the naive single
+    frame with ``(_r ≤ k) | (_ir ≤ k)`` defeats Spark's
+    InferWindowGroupLimit rule (it only extracts CONJUNCTIVE rank
+    predicates over one window), so every group materialized ALL its
+    rows. Instead each ranking gets its OWN frame with a conjunctive
+    ``row_number ≤ k`` filter — both compile to WindowGroupLimit with
+    a Partial pass BEFORE the exchange (each map task forwards only
+    its local top-k per group), so shuffle volume is O(k·groups), not
+    O(n) — then union + ONE aggregate. The upstream scan is read
+    twice, which columnar pruning makes far cheaper than shuffling the
+    full frame once. Output per group: (group, dcg, idcg, ndcg)
+    rounded 6, ndcg NULL when idcg = 0 (no relevant item in the
+    group)."""
     if k < 1:
         raise ValueError("k must be >= 1")
     g = df.select(
@@ -3387,24 +3394,23 @@ def ndcg_at_k(
         F.desc("_rel"), F.asc("_id")
     )
     gain = F.pow(F.lit(2.0), F.col("_rel")) - F.lit(1.0)
-    ranked = g.select(
-        "g",
-        "_rel",
-        F.row_number().over(by_score).alias("_r"),
-        F.row_number().over(by_rel).alias("_ir"),
-    ).where((F.col("_r") <= k) | (F.col("_ir") <= k))
-    dcg = F.sum(
-        F.when(
-            F.col("_r") <= k, gain / F.log2(F.col("_r") + F.lit(1.0))
-        ).otherwise(0.0)
+    top_scored = (
+        g.select("g", "_rel", F.row_number().over(by_score).alias("_r"))
+        .where(F.col("_r") <= k)  # conjunctive → WindowGroupLimit
+        .select("g", (gain / F.log2(F.col("_r") + F.lit(1.0))).alias("_dg"))
+        .withColumn("_is_ideal", F.lit(False))
     )
-    idcg = F.sum(
-        F.when(
-            F.col("_ir") <= k, gain / F.log2(F.col("_ir") + F.lit(1.0))
-        ).otherwise(0.0)
+    top_ideal = (
+        g.select("g", "_rel", F.row_number().over(by_rel).alias("_ir"))
+        .where(F.col("_ir") <= k)  # conjunctive → WindowGroupLimit
+        .select("g", (gain / F.log2(F.col("_ir") + F.lit(1.0))).alias("_dg"))
+        .withColumn("_is_ideal", F.lit(True))
     )
+    dcg = F.sum(F.when(~F.col("_is_ideal"), F.col("_dg")).otherwise(0.0))
+    idcg = F.sum(F.when(F.col("_is_ideal"), F.col("_dg")).otherwise(0.0))
     return (
-        ranked.groupBy("g")
+        top_scored.unionByName(top_ideal)
+        .groupBy("g")
         .agg(
             F.round(dcg, 6).alias("dcg"),
             F.round(idcg, 6).alias("idcg"),

@@ -360,6 +360,18 @@ def cosine_lsh_pairs(
     n ≈ 2^bits·max_bucket; and when a drop DOES remove every bucket,
     the operator now raises instead of returning zero pairs.
 
+    .. warning:: **Breaking default change in r13** — ``max_candidates``
+       went from unguarded (None) to ``50_000_000``. A legitimately
+       large run that previously completed past 5e7 estimated
+       candidates now raises :class:`CandidateVolumeExceeded` (and so
+       does :func:`hard_negatives`, which inherits this default
+       transitively). Callers that want routing rather than failure
+       must catch the typed exception or pass ``max_candidates=None``
+       explicitly — the pattern is ``dedup.similarity_join``'s
+       exact→LSH reroute, which catches exactly this exception on the
+       text family. Rationale: the unguarded worst case killed the
+       JVM at 500k vectors (below).
+
     ``max_candidates`` (r13, the d14 raw-volume guard ported): the
     WORST-case candidate volume is bands·n·max_bucket/2 — INDEPENDENT
     of bits, because sign-LSH buckets on natural data are not

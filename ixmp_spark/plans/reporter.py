@@ -111,30 +111,76 @@ class Reporter:
         # always recomputes from the current graph. Eviction CASCADES
         # through the declared dependency edges (r13 review finding: a
         # pinned DOWNSTREAM key computed from the old definition is
-        # just as stale as the key itself) — keys registered via a bare
-        # add() with no ``deps`` metadata cannot be cascaded to; the
-        # helper registrars (add_product/add_ratio/...) all declare
-        # deps, and release() remains the blunt full reset.
-        for stale_key in self._dependents(ks) | {ks}:
-            stale = self._cache.pop(stale_key, None)
-            if stale is not None:
-                stale.df.unpersist()
-            self._hits.pop(stale_key, None)
+        # just as stale as the key itself); on-demand partial-sum pins
+        # (``persist_key('d:i')`` derived from full key ``d:i-j`` via
+        # full_keys, never graph-registered) resolve to their
+        # full-dimensionality source and are evicted whenever that
+        # source is (r13 ADVICE). The precise cascade is only sound
+        # when every cached graph key declares its edges — a key
+        # registered via bare add() with no ``deps`` may read ANY
+        # other key inside its thunk, so if one is cached we fall back
+        # to a conservative full-cache flush (graph and deps survive;
+        # only pins recompute). The leaf registrars (add_quantity,
+        # from_scenario loaders) declare ``deps=[]`` so ordinary
+        # reports stay on the precise path.
+        if any(
+            kc in self.graph and kc not in self.deps and kc != ks
+            for kc in self._cache
+        ):
+            for q in self._cache.values():
+                q.df.unpersist()
+            self._cache.clear()
+            self._hits.clear()
+        else:
+            stale_set = self._dependents(ks) | {ks}
+            pinned_partials = {
+                kc
+                for kc in self._cache
+                if kc not in self.graph and self._root(kc) in stale_set
+            }
+            for stale_key in stale_set | pinned_partials:
+                stale = self._cache.pop(stale_key, None)
+                if stale is not None:
+                    stale.df.unpersist()
+                self._hits.pop(stale_key, None)
         self.graph[ks] = thunk
         if deps is not None:
             self.deps[ks] = [str(Key.parse(d)) for d in deps]
+        else:
+            # a bare redefinition must not inherit the PREVIOUS
+            # definition's edges — future cascades and describe()
+            # would adjudicate on a graph that no longer exists
+            self.deps.pop(ks, None)
         return k
+
+    def _root(self, ks: str) -> str:
+        """A key's data-source root: graph-registered keys are their
+        own root; an on-demand partial sum (``d:i`` with no graph
+        entry but a full_keys match ``d:i-j``) roots at its
+        full-dimensionality source, which is where its data actually
+        comes from (get_quantity._sum reads the full key)."""
+        if ks in self.graph:
+            return ks
+        kk = Key.parse(ks)
+        fk = self.full_keys.get(kk.name)
+        if fk is not None and set(kk.dims) < set(fk.dims):
+            return str(fk)
+        return ks
 
     def _dependents(self, ks: str) -> set[str]:
         """Transitive closure of keys whose declared ``deps`` reach
-        ``ks`` (reverse edges over self.deps)."""
+        ``ks`` (reverse edges over self.deps). A deps entry naming a
+        partial-sum key (``d:i``) matches when its full-dim root
+        (``d:i-j``) is in the frontier — the partial sum is computed
+        from the full key, so staleness flows through it."""
         out: set[str] = set()
         frontier = {ks}
         while frontier:
             nxt = {
                 key
                 for key, dd in self.deps.items()
-                if key not in out and any(d in frontier for d in dd)
+                if key not in out
+                and any(d in frontier or self._root(d) in frontier for d in dd)
             }
             out |= nxt
             frontier = nxt
@@ -145,7 +191,7 @@ class Reporter:
     ) -> Key:
         k = Key.parse(key)
         q = Quantity(df, k.dims, unit)
-        self.add(k, lambda: q)
+        self.add(k, lambda: q, deps=[])
         self._register_sums(k)
         return k
 
@@ -306,7 +352,7 @@ class Reporter:
                 unit = units[0] if units else None
                 return Quantity(sdf.drop("unit"), dims, unit)
 
-            rep.add(k, load_par)
+            rep.add(k, load_par, deps=[])
             rep._register_sums(k)
         rep.spark = scen.platform.spark
         for ix_type in ("var", "equ"):
@@ -331,7 +377,7 @@ class Reporter:
                         )
                         return Quantity(out, dims, None)
 
-                    rep.add(k, load_sol)
+                    rep.add(k, load_sol, deps=[])
                     rep._register_sums(k)
         return rep
 
@@ -572,7 +618,9 @@ class Reporter:
                 q = orig()
                 return Quantity(q.df, q.dims, str(unit))
 
-            self.add(src, reunit)
+            # the wrap preserves the original thunk, so the NEW
+            # definition's edges are exactly the old definition's
+            self.add(src, reunit, deps=self.deps.get(str(src)))
         return self
 
 

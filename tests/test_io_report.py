@@ -601,6 +601,112 @@ def test_reporter_add_evicts_stale_pin(rep):
     r.release()
 
 
+def test_reporter_add_evicts_pinned_partial_sum(rep):
+    """ADVICE r13 (medium): ``persist_key('d:i')`` pins an on-demand
+    partial sum that has NO graph entry and NO deps edge — redefining
+    the full key ``d:i-j`` must still evict it (its data root is the
+    full key), else the pin serves stale data until release()."""
+    from pyspark.sql import functions as F
+
+    from ixmp_spark.plans.reporter import Quantity
+
+    r, _ = rep
+    r.persist_key("d:i")
+    assert "d:i" in r._cache and "d:i" not in r.graph
+    old = sorted(map(tuple, r.get("d:i").collect()))
+
+    full = r.get_quantity("d:i-j")
+    scaled = full.df.withColumn("value", F.col("value") * 10)
+    r.add("d:i-j", lambda: Quantity(scaled, full.dims, full.unit), deps=[])
+    assert "d:i" not in r._cache  # partial-sum pin evicted with its root
+    got = sorted(map(tuple, r.get("d:i").collect()))
+    want = sorted((t[0], t[1] * 10) for t in old)
+    assert [t[0] for t in got] == [t[0] for t in want]
+    assert [t[1] for t in got] == pytest.approx([t[1] for t in want])
+    r.release()
+
+
+def test_reporter_bare_add_conservative_flush(rep):
+    """VERDICT r13 #4: a key registered via bare add() (no deps
+    metadata) may read ANY key inside its thunk, so when it is cached
+    and something is redefined the precise cascade is unsound —
+    add() falls back to a full cache flush and the bare-add product
+    recomputes from the new input definition."""
+    from pyspark.sql import functions as F
+
+    from ixmp_spark.plans.reporter import Quantity
+
+    r, _ = rep
+    # bare add: thunk reads d:i-j but declares nothing
+    r.add(
+        "hidden:i-j",
+        lambda: Quantity(
+            r.get("d:i-j").withColumn("value", F.col("value") + 1),
+            ("i", "j"),
+            None,
+        ),
+    )
+    assert "hidden:i-j" not in r.deps
+    before = sorted(map(tuple, r.get("hidden:i-j").collect()))
+    r.get("hidden:i-j")
+    assert "hidden:i-j" in r._cache  # pinned on its 2nd resolution
+
+    full = r.get_quantity("d:i-j")
+    scaled = full.df.withColumn("value", F.col("value") * 3)
+    r.add("d:i-j", lambda: Quantity(scaled, full.dims, full.unit), deps=[])
+    # conservative: the whole cache flushed (no edge proves independence)
+    assert not r._cache and not r._hits
+    after = sorted(map(tuple, r.get("hidden:i-j").collect()))
+    assert after != before  # recomputed from the NEW definition
+    want = sorted((*t[:2], (t[2] - 1) * 3 + 1) for t in before)
+    assert [t[:2] for t in after] == [t[:2] for t in want]
+    assert [t[2] for t in after] == pytest.approx([t[2] for t in want])
+    r.release()
+
+
+def test_reporter_bare_redefinition_resets_deps(rep):
+    """ADVICE r13 (low): redefining a key via bare add() must drop the
+    previous definition's deps edges — describe() and future cascades
+    adjudicate on the CURRENT graph, not the old one."""
+    r, _ = rep
+    r.add_product("p:i-j", "d:i-j", "d:i-j")
+    assert r.deps["p:i-j"] == ["d:i-j", "d:i-j"]
+    q = r.get_quantity("p:i-j")
+    r.add("p:i-j", lambda: q)  # bare redefinition — e.g. a literal pin
+    assert "p:i-j" not in r.deps
+    r.release()
+
+
+def test_reporter_deps_through_partial_sum(rep):
+    """A declared dep naming a PARTIAL-SUM key ('d:i') must cascade
+    when the full key ('d:i-j') is redefined — the partial sum's data
+    root is the full key."""
+    from pyspark.sql import functions as F
+
+    from ixmp_spark.plans.reporter import Quantity
+
+    r, _ = rep
+    r.add_group_sum("g:i", "d:i-j", "i")  # deps=['d:i-j'] — control
+    r.add(
+        "viaps:i",
+        lambda: Quantity(r.get("d:i"), ("i",), None),
+        deps=["d:i"],  # edge on the PARTIAL sum, not the full key
+    )
+    before = sorted(map(tuple, r.get("viaps:i").collect()))
+    r.get("viaps:i")
+    assert "viaps:i" in r._cache
+
+    full = r.get_quantity("d:i-j")
+    scaled = full.df.withColumn("value", F.col("value") * 5)
+    r.add("d:i-j", lambda: Quantity(scaled, full.dims, full.unit), deps=[])
+    assert "viaps:i" not in r._cache  # cascaded through the root
+    after = sorted(map(tuple, r.get("viaps:i").collect()))
+    want = sorted((t[0], t[1] * 5) for t in before)
+    assert [t[0] for t in after] == [t[0] for t in want]
+    assert [t[1] for t in after] == pytest.approx([t[1] for t in want])
+    r.release()
+
+
 def test_reporter_auto_cse_graph_keys(rep):
     """auto_cse widened to EVERY graph key (VERDICT r11 #5): a quantity
     requested through two binary ops — not partial sums — pins on its

@@ -237,3 +237,78 @@ def test_asof_join_no_cartesian(spark, sf_dir):
     # union-sort-carry-forward: there is NO join operator at all — the
     # as-of resolves as one windowed pass over the keyed union stream
     assert "Join" not in plan
+
+
+def test_audit_flags_docstring_plan_overclaim(spark):
+    """VERDICT r13 #2 planted fixture: an operator whose docstring
+    claims WindowGroupLimit top-k pushdown while its plan uses the
+    OR-of-two-rank-filters shape (which defeats Spark's
+    InferWindowGroupLimit — the rule only extracts CONJUNCTIVE rank
+    predicates over one window) must FLAG; the conjunctive per-window
+    shape with the same claim must PASS. This is the exact ndcg_at_k
+    overclaim class the r13 judge found by hand."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from tools.audit_plans import (
+        audit_issues,
+        documented_claim_violations,
+        formatted_plan,
+    )
+
+    df = spark.range(10000).select(
+        (F.col("id") % 50).alias("g"),
+        F.col("id").alias("v"),
+        (F.col("id") * 7 % 97).alias("s"),
+    )
+
+    def overclaimed(d):
+        """rank filters compile to WindowGroupLimit top-k pushdown"""
+        wa = Window.partitionBy("g").orderBy(F.desc("v"))
+        wb = Window.partitionBy("g").orderBy(F.desc("s"))
+        return d.select(
+            "g",
+            F.row_number().over(wa).alias("_r"),
+            F.row_number().over(wb).alias("_ir"),
+        ).where((F.col("_r") <= 3) | (F.col("_ir") <= 3))
+
+    def honest(d):
+        """rank filters compile to WindowGroupLimit top-k pushdown"""
+        wa = Window.partitionBy("g").orderBy(F.desc("v"))
+        wb = Window.partitionBy("g").orderBy(F.desc("s"))
+        a = d.select("g", F.row_number().over(wa).alias("_r")).where(
+            F.col("_r") <= 3
+        )
+        b = d.select("g", F.row_number().over(wb).alias("_r")).where(
+            F.col("_r") <= 3
+        )
+        return a.unionByName(b)
+
+    bad_plan = formatted_plan(overclaimed(df))
+    assert "WindowGroupLimit" not in bad_plan  # the OR defeats the rule
+    v = documented_claim_violations(overclaimed, bad_plan)
+    assert v and "WindowGroupLimit" in v[0]
+    # and audit_issues surfaces it when given the callable
+    assert any(
+        "WindowGroupLimit" in i
+        for i in audit_issues("planted", bad_plan, fn=overclaimed)
+    )
+
+    good_plan = formatted_plan(honest(df))
+    assert "WindowGroupLimit" in good_plan
+    assert not documented_claim_violations(honest, good_plan)
+
+    # the claim is also discovered on a REFERENCED operator's docstring
+    # (catalog queries are thin wrappers around operators)
+    def wrapper(d):
+        return overclaimed(d)
+
+    assert documented_claim_violations(wrapper, bad_plan)
+
+
+def test_ndcg_plan_has_window_group_limit(spark, sf_dir):
+    """VERDICT r13 #2: x51's restructured plan (two conjunctive
+    per-window top-k frames, union, one aggregate) must actually
+    contain WindowGroupLimit — the claim its docstring makes."""
+    plan = formatted_plan(QUERIES["x51_ndcg_at_k"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
