@@ -331,6 +331,7 @@ def cosine_lsh_pairs(
     max_bucket: int | None = None,
     on_hot: str = "raise",
     max_candidates: int | None = 50_000_000,
+    volume_route: str = "raise",
 ) -> DataFrame:
     """Embedding-cosine near-dup at scale: banded sign-LSH candidate
     generation + exact cosine verification — the vector twin of the
@@ -384,6 +385,22 @@ def cosine_lsh_pairs(
     it exceeds the budget — lower ``max_bucket``, raise ``bits``, or
     pre-dedup. None disables.
 
+    ``volume_route`` (r14, VERDICT r13 #1): ``'raise'`` (default)
+    keeps the typed-exception contract above; ``'clamp'`` converts the
+    guard into ROUTING — from the REALIZED bucket-size distribution
+    (the sizes frame is exact, unlike the uniform estimate that landed
+    several× low in r13) pick the largest per-bucket cap whose
+    kept-bucket Σ m(m−1)/2 fits ``max_candidates/2``, and drop the
+    buckets above it. The exact arithmetic means the backstop raise
+    can no longer fire; the trade is candidate RECALL in the hot tail
+    (near-dup crowds — exact-dedup first recovers them), which is the
+    miner's standing trade, so :func:`hard_negatives` defaults to it.
+    Requires ``on_hot='drop'`` (clamping IS dropping); still raises
+    :class:`~ixmp_spark.operators.dedup.CandidateVolumeExceeded` in
+    the degenerate regime where even size-2 buckets alone exceed the
+    budget (only possible past n·bands/2 > budget — pre-dedup or
+    shard).
+
     Shuffle discipline: the banded self-join carries ONLY
     (id, band, bucket) — never the vectors — so exchange volume is
     rows × bands × ~24 B regardless of embedding width. Vectors are
@@ -404,6 +421,15 @@ def cosine_lsh_pairs(
         # validate BEFORE any persist: failing later would leak the
         # vecs/banded caches (the fail-fast/no-leak guard discipline)
         raise ValueError(f"on_hot must be 'raise' or 'drop', got {on_hot!r}")
+    if volume_route not in ("raise", "clamp"):
+        raise ValueError(
+            f"volume_route must be 'raise' or 'clamp', got {volume_route!r}"
+        )
+    if volume_route == "clamp" and on_hot != "drop":
+        raise ValueError(
+            "volume_route='clamp' drops over-cap buckets and therefore "
+            "requires on_hot='drop'"
+        )
     if storage_level is None:
         storage_level = StorageLevel.MEMORY_AND_DISK
     if dim is None:
@@ -438,6 +464,55 @@ def cosine_lsh_pairs(
         sizes = banded.groupBy("__band", "__bucket").agg(
             F.count(F.lit(1)).alias("__n")
         )
+        if volume_route == "clamp" and max_candidates is not None:
+            # EXACT realized-volume routing (r14): the per-size-class
+            # cumulative Σ m(m−1)/2 over the (bucket-count-sized,
+            # further collapsed to ≤ distinct-sizes rows) sizes frame
+            # picks the largest cap that fits HALF the budget — the
+            # other half stays headroom for the dedup/verify join's
+            # own skew. One extra tiny job; the global-order window
+            # runs over an aggregate, so the SinglePartition exchange
+            # is bounded (the audit's _BOUNDED_SOURCES rule).
+            from pyspark.sql import Window as _W
+
+            _cum_w = _W.orderBy("__n").rowsBetween(
+                _W.unboundedPreceding, 0
+            )
+            fit = (
+                sizes.groupBy("__n")
+                .agg(F.count(F.lit(1)).alias("_c"))
+                .select(
+                    "__n",
+                    F.sum(
+                        F.col("_c").cast("double")
+                        * F.col("__n").cast("double")
+                        * (F.col("__n").cast("double") - 1.0)
+                        / 2.0
+                    )
+                    .over(_cum_w)
+                    .alias("_cum"),
+                )
+                .where(F.col("_cum") <= max_candidates / 2.0)
+                .agg(F.max("__n"))
+                .collect()[0][0]
+            )
+            if fit is None or fit < 2:
+                cached.unpersist()
+                vecs.unpersist()
+                from ixmp_spark.operators.dedup import (
+                    CandidateVolumeExceeded,
+                )
+
+                raise CandidateVolumeExceeded(
+                    "cosine_lsh_pairs: volume_route='clamp' found no "
+                    f"per-bucket cap ≥ 2 fitting max_candidates="
+                    f"{max_candidates}/2 — even the size-2 buckets "
+                    "alone exceed the budget (n·bands/2 > budget): "
+                    "exact-dedup first, shard the corpus, or raise "
+                    "max_candidates"
+                )
+            if max_bucket is None or int(fit) < max_bucket:
+                max_bucket = int(fit)
         kept_pred = (
             F.col("__n") <= max_bucket
             if max_bucket is not None
@@ -842,6 +917,8 @@ def hard_negatives(
     seed: int = 42,
     max_bucket: int | None = 2000,
     on_hot: str = "drop",
+    max_candidates: int | None = 20_000_000,
+    volume_route: str = "clamp",
 ) -> DataFrame:
     """Hard-negative mining for contrastive training data: for each
     anchor, up to ``k`` MID-similarity neighbors — cosine in
@@ -885,26 +962,29 @@ def hard_negatives(
     ``max_bucket`` to the same ~1e7 aim under ``on_hot='drop'``.
     Per-pair candidate recall drops with bits and the tighter cap, but
     a MINER wants bounded, valid negatives — fewer candidates is an
-    acceptable trade, an empty result (or an OOM) is not."""
+    acceptable trade, an empty result (or an OOM) is not.
+
+    r14 (VERDICT r13 #1, the 2M/5M rehearsal): the r13 auto rule
+    tightened ``max_bucket`` from the UNIFORM volume arithmetic
+    (``2e7/(bands·n)`` with a floor of 64) — but realized sign-LSH
+    volume lands several× the uniform estimate, so past ~1–2M vectors
+    the 5e7 backstop guard still fired. The heuristic is replaced by
+    ``volume_route='clamp'`` (default here): :func:`cosine_lsh_pairs`
+    now derives the cap from the REALIZED bucket-size distribution so
+    the kept-bucket Σ m(m−1)/2 provably fits ``max_candidates/2``
+    (default 2e7 → the documented ~1e7 verify-join aim) at ANY corpus
+    size — the guard became routing, exact by construction. Pass
+    ``volume_route='raise'`` to restore fail-loud; a non-'drop'
+    ``on_hot`` implies it (clamping IS dropping)."""
     if bits == "auto":
         n_rows = df.count()
         bits = _auto_bits(n_rows, bands, max_bucket)
-        # ALSO tighten the bucket cap to the volume budget (r13, found
-        # live at 500k vectors): the worst-case candidate volume is
-        # bands·n·max_bucket/2 — independent of bits — and sign-LSH
-        # buckets are not equal-measure, so kept buckets can all sit
-        # at the cap. A miner prefers bounded, valid negatives over
-        # tail completeness (the operator's standing trade), so auto
-        # mode lowers the cap to aim the verify join at ~1e7 rows
-        # (the 5e7 guard then has heavy-tail headroom).
-        if max_bucket is not None and on_hot == "drop":
-            budget_cap = max(
-                64, int(2.0 * 10_000_000 / (bands * max(n_rows, 1)))
-            )
-            max_bucket = min(max_bucket, budget_cap)
+    if on_hot != "drop":
+        volume_route = "raise"
     pairs = cosine_lsh_pairs(
         df, id_col, vec_col, threshold=min_sim, bands=bands, bits=bits,
         seed=seed, max_bucket=max_bucket, on_hot=on_hot,
+        max_candidates=max_candidates, volume_route=volume_route,
     ).where(F.col("cosine_sim") < max_sim)
     sym = pairs.select(
         F.col("id_a").alias("anchor_id"),

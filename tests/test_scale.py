@@ -7880,3 +7880,89 @@ def test_sprt_monitor_hand(spark):
 
     with _pytest.raises(ValueError, match="probabilities"):
         sprt_monitor(df, "ts", "y", p0=0.5, p1=0.5)
+
+
+def test_cosine_lsh_volume_clamp_routes(spark):
+    """r14 (VERDICT r13 #1): volume_route='clamp' converts the
+    candidate-volume guard into routing — the cap is derived from the
+    REALIZED bucket-size distribution so kept-bucket Σ m(m−1)/2 fits
+    max_candidates/2. A hot near-dup crowd is dropped (the miner
+    trade); SMALL-bucket pairs survive, so the planted ordinary
+    near-dup is still found. The same budget under 'raise' raises the
+    typed exception."""
+    import numpy as np
+    import pytest as _pytest
+
+    from ixmp_spark.operators.dedup import CandidateVolumeExceeded
+    from ixmp_spark.operators.similarity import cosine_lsh_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((600, 16))
+    base[1] = base[0] + 0.01 * rng.standard_normal(16)  # small-bucket plant
+    crowd = np.tile(rng.standard_normal(16), (80, 1))  # identical crowd
+    vecs = np.vstack([base, crowd])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    kw = dict(threshold=0.9, bands=4, bits=6, on_hot="drop",
+              max_candidates=20_000)
+
+    with _pytest.raises(CandidateVolumeExceeded, match="max_candidates"):
+        cosine_lsh_pairs(
+            df, "vec_id", "embedding", volume_route="raise", **kw
+        ).collect()
+
+    got = cosine_lsh_pairs(
+        df, "vec_id", "embedding", volume_route="clamp", **kw
+    ).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in got}
+    assert (0, 1) in pairs  # small-bucket plant survives the clamp
+    crowd_ids = set(range(600, 680))
+    assert not any(
+        a in crowd_ids and b in crowd_ids for a, b in pairs
+    ), "the hot crowd's bucket must have been clamped away"
+
+    # validation: clamp requires on_hot='drop'; route names validated
+    with _pytest.raises(ValueError, match="requires on_hot='drop'"):
+        cosine_lsh_pairs(
+            df, "vec_id", "embedding", threshold=0.9,
+            on_hot="raise", volume_route="clamp",
+        )
+    with _pytest.raises(ValueError, match="volume_route"):
+        cosine_lsh_pairs(
+            df, "vec_id", "embedding", threshold=0.9, volume_route="typo"
+        )
+
+
+def test_hard_negatives_clamp_default(spark):
+    """r14: hard_negatives defaults to volume_route='clamp' — a budget
+    the realized volume exceeds now yields a BOUNDED mining result
+    instead of the r13 raise; volume_route='raise' restores the typed
+    exception, and a non-'drop' on_hot implies it."""
+    import numpy as np
+    import pytest as _pytest
+
+    from ixmp_spark.operators.dedup import CandidateVolumeExceeded
+    from ixmp_spark.operators.similarity import hard_negatives
+
+    rng = np.random.default_rng(11)
+    df = spark.createDataFrame(
+        [
+            (i, [float(x) for x in v])
+            for i, v in enumerate(rng.standard_normal((2000, 16)))
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    tight = dict(k=3, bands=4, bits=4, max_candidates=3_000)
+    with _pytest.raises(CandidateVolumeExceeded):
+        hard_negatives(
+            df, "vec_id", "embedding", volume_route="raise", **tight
+        ).collect()
+    got = hard_negatives(df, "vec_id", "embedding", **tight).collect()
+    # bounded, valid negatives: every row respects the sim band and k
+    assert all(0.4 <= r["cosine_sim"] < 0.9 for r in got)
+    per_anchor = {}
+    for r in got:
+        per_anchor[r["anchor_id"]] = per_anchor.get(r["anchor_id"], 0) + 1
+    assert not per_anchor or max(per_anchor.values()) <= 3
