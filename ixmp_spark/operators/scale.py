@@ -1,21 +1,118 @@
-"""Executable provisioning rules for the scale-proven pipelines.
+"""Scale-out operators: skew mitigation and co-located (bucketed) joins.
 
-VERDICT r13 #5: the 10M-doc dedup rung measured ~3–6 GB of JVM heap
-per 1M documents through the full MinHash/LSH pipeline (the 16 GB
-default local driver OOMed at 10M; IXMP_SPARK_DRIVER_MEM=64g
-completed with the PLAN unchanged — only the per-JVM share of it
-moved). That rule lived in NOTES prose; this module is the
-executable form, and the scale rehearsals assert their own runs
-against it so the constant can never silently rot.
+These are the knobs SURVEY.md §4/§1.6 calls for at 100 TB beyond what AQE
+does automatically:
 
-On a cluster the same number sizes EXECUTORS: local mode runs the
-whole pipeline in one JVM, so the local heap requirement equals the
-sum over executors of (their share of the data) × the per-row
-constant — i.e. ``executor_memory ≈ per_million_gb × millions_of_rows
-/ n_executors`` plus overhead, floored at a sane minimum.
+- ``salted_join``: explicit key salting for joins whose hot keys exceed
+  what AQE skew-splitting handles (AQE splits oversized *partitions*;
+  a single key hotter than one partition still needs salting).
+- ``bucket_table`` / ``bucketed_join_ready``: persist a fact table
+  bucketed by its join key so repeated joins/aggregations on that key
+  are exchange-free (the warehouse's par_data/ts_data strategy:
+  partition by run_id, bucket by name/variable).
 """
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: the (big, skewed) ``left`` gets a random salt
+    in [0, salt); the (smaller) ``right`` is exploded ``salt``× so every
+    salted left row finds its match. Shuffle load of the hottest key
+    spreads across ``salt`` reducers at the cost of replicating the right
+    side ``salt``×.
+
+    Use when one key's row count exceeds a healthy partition; otherwise
+    prefer a plain join + AQE (spark.sql.adaptive.skewJoin).
+
+    Only ``inner`` and ``left`` are supported: with right/full outer the
+    exploded right side would emit ``salt`` duplicate null-padded rows
+    per unmatched right row.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', not {how!r}: the "
+            "salt-exploded right side would duplicate unmatched rows "
+            f"{salt}x under right/full outer joins"
+        )
+    lsalted = left.withColumn(
+        "__salt", (F.rand(seed=42) * salt).cast("int")
+    )
+    rexploded = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    out = lsalted.join(rexploded, on=[key, "__salt"], how=how)
+    return out.drop("__salt")
+
+
+def bucket_table(
+    df: DataFrame,
+    spark: SparkSession,
+    table: str,
+    key: str,
+    buckets: int = 32,
+    sort_by: str | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed managed table: later equi-joins and
+    aggregations on ``key`` between tables bucketed the same way need no
+    exchange (Catalyst recognizes the matching hash distribution)."""
+    writer = df.write.bucketBy(buckets, key)
+    if sort_by:
+        writer = writer.sortBy(sort_by)
+    writer.mode("overwrite").format("parquet").saveAsTable(table)
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of shuffle-exchange NODES in the physical plan (plan-quality
+    metric used by tests; BroadcastExchange/ReusedExchange excluded).
+    Counts each node once via its formatted-explain detail-block header —
+    tree lines would double-count."""
+    import contextlib
+    import io
+    import re
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    return len(re.findall(r"^\(\d+\) Exchange\b", plan, re.M))
+
+
+def sort_count(df: DataFrame) -> int:
+    """Number of Sort NODES in the physical plan — the read-side price
+    of an UNSORTED bucketed layout: co-partitioned sort-merge joins
+    still elide the exchange but re-insert per-partition sorts that a
+    SORTED BY snapshot would have pre-paid at write time (the
+    write-once/diff-many trade the ``IXMP_SPARK_FACT_SORT`` knob
+    controls). Same formatted-explain counting as exchange_count."""
+    import contextlib
+    import io
+    import re
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    return len(re.findall(r"^\(\d+\) Sort\b", plan, re.M))
+
+
+# -- provisioning rules (r14, VERDICT r13 #5) ------------------------
+# The 10M-doc dedup rung measured ~3-6 GB of JVM heap per 1M documents
+# through the full MinHash/LSH pipeline (NOTES_r13: the 16 GB default
+# local driver OOMed at 10M; 64g completed with the PLAN unchanged).
+# That rule lived in NOTES prose; the helpers below are the executable
+# form, and the scale rehearsals assert their own runs against them so
+# the constants can never silently rot. On a cluster the same numbers
+# size EXECUTORS (local mode runs the whole pipeline in one JVM).
 
 import math
 

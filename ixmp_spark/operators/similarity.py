@@ -296,24 +296,46 @@ def _sign_lsh_banded(vecs: DataFrame, band_planes) -> DataFrame:
     )
 
 
-def _auto_bits(n_rows: int, bands: int, max_bucket: int | None) -> int:
+def _auto_bits(
+    n_rows: int,
+    bands: int,
+    max_bucket: int | None,
+    min_bucket: float = 8.0,
+    budget: float = 10_000_000,
+    tail_factor: float = 1.0,
+) -> int:
     """Size sign-LSH bits from TWO bounds (the r12 hard_negatives
     scale-bug fix, generalized r13): expected bucket population under
     ``max_bucket`` (the per-bucket guard must not fire on the AVERAGE
-    bucket) AND total raw candidate volume (≈ bands·n·bucket_rows/2)
-    under ~1e7 rows — well under the 5e7 guard budget (sign-LSH bucket
-    sizes are heavy-tailed: the realized volume lands several times
-    the uniform estimate), itself the d14 budget scaled to vector
-    verify rows (~1 KB per candidate after the two 64-dim joins, vs
-    ~50 B gram rows). A fixed default past
+    bucket) AND total raw candidate volume (≈ bands·n·bucket_rows/2 ·
+    ``tail_factor``) under ``budget`` rows — sign-LSH bucket sizes are
+    heavy-tailed on natural data, so realized volume lands several
+    times the uniform estimate (r13: 5.4× at 500k/bits=16; r14
+    rehearsal: 2.42× at 2M/bits=18). A fixed default past
     n ≈ 2^bits·max_bucket makes EVERY bucket hot and ``on_hot='drop'``
-    silently empties the result (measured at 200k vectors / bits=4)."""
+    silently empties the result (measured at 200k vectors / bits=4).
+
+    Two calling profiles (r14, the 2M-rung finding):
+    - **miner** (:func:`hard_negatives`, the defaults): ``min_bucket=8``
+      keeps buckets occupied enough for mid-similarity candidate
+      recall; past ~400k vectors the volume then grows LINEARLY in n
+      (≈ bands·n·8/2) and the clamp routing bounds it — dropping tail
+      buckets is the miner's accepted trade.
+    - **near-dup search** (:func:`cosine_lsh_pairs` auto,
+      ``min_bucket=1``, ``tail_factor=4``): volume-first — near-dup
+      pairs collide because they are angularly near-IDENTICAL, not
+      because buckets are populous, so bits can grow with n until the
+      tail-adjusted volume fits the budget with no clamping and no
+      recall loss for the high-similarity pairs the operator is for
+      (the r14 2M rung measured clamping costing 2/200 planted pairs
+      under the old shared profile; the volume-first profile restored
+      recall 1.0 with ~8× less candidate volume)."""
     import math as _math
 
     cap = float(max_bucket) if max_bucket else 2000.0
     b_target = max(
-        8.0,
-        min(cap, 2.0 * 10_000_000 / (bands * max(n_rows, 1))),
+        float(min_bucket),
+        min(cap, 2.0 * budget / (tail_factor * bands * max(n_rows, 1))),
     )
     return max(4, _math.ceil(_math.log2(max(n_rows / b_target, 2.0))))
 
@@ -442,7 +464,14 @@ def cosine_lsh_pairs(
             ).where(F.lit(False))
         dim = len(head[0][0])
     if bits == "auto":
-        bits = _auto_bits(df.count(), bands, max_bucket)
+        # near-dup profile: volume-first (min_bucket=1, measured-tail
+        # headroom 4×) aimed at HALF the guard — see _auto_bits
+        bits = _auto_bits(
+            df.count(), bands, max_bucket,
+            min_bucket=1.0,
+            budget=(max_candidates or 50_000_000) / 2.0,
+            tail_factor=4.0,
+        )
     rng = random.Random(seed)
     band_planes = [
         [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(bits)]

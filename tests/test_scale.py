@@ -7966,3 +7966,115 @@ def test_hard_negatives_clamp_default(spark):
     for r in got:
         per_anchor[r["anchor_id"]] = per_anchor.get(r["anchor_id"], 0) + 1
     assert not per_anchor or max(per_anchor.values()) <= 3
+
+
+def _ranking_fixture(spark, n_hot=30_000):
+    """One pathological group (g=0, n_hot rows) + 20 normal groups of
+    50 rows; group 1 has NO relevant item (the NULL-rank path)."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(21)
+    gs = [0] * n_hot + [1 + (i // 50) for i in range(20 * 50)]
+    n = len(gs)
+    pdf = pd.DataFrame(
+        {
+            "g": gs,
+            "item": np.arange(n, dtype=np.int64),
+            "s": rng.random(n),
+            "rel": (rng.random(n) < 0.02).astype(np.int64),
+        }
+    )
+    pdf.loc[pdf["g"] == 1, "rel"] = 0
+    return pdf, spark.createDataFrame(pdf)
+
+
+def test_mrr_hot_group(spark):
+    """VERDICT r13 #3 planted hot group: the r14 two-path MRR must (a)
+    match the brute-force reference on every group including the
+    pathological one, (b) keep the NULL-rank/rr=0 convention for the
+    no-relevant group, and (c) carry WindowGroupLimit in its plan (the
+    top-1-relevant frame) instead of an unfiltered whole-group rank
+    window — no stage sorts the hot group in one task."""
+    import numpy as np
+
+    from ixmp_spark.operators.sampling import mean_reciprocal_rank
+    from tools.audit_plans import formatted_plan
+
+    pdf, df = _ranking_fixture(spark)
+    res = mean_reciprocal_rank(df, "g", "s", "rel", "item")
+    assert "WindowGroupLimit" in formatted_plan(res)
+    got = {r["g"]: (r["first_rel_rank"], r["rr"]) for r in res.collect()}
+    assert len(got) == 21
+    for g, sub in pdf.groupby("g"):
+        sub = sub.sort_values(
+            ["s", "item"], ascending=[False, True]
+        ).reset_index(drop=True)
+        hits = np.nonzero(sub["rel"].to_numpy() > 0)[0]
+        if len(hits):
+            rank = int(hits[0]) + 1
+            assert got[g] == (rank, round(1.0 / rank, 6)), f"group {g}"
+        else:
+            assert got[g][0] is None and got[g][1] == 0.0, f"group {g}"
+
+
+def test_ndcg_hot_group(spark):
+    """VERDICT r13 #3 planted hot group for x51's operator: results
+    match the textbook reference on the pathological group too, and
+    the plan keeps the r14 WindowGroupLimit shape."""
+    import math
+
+    import numpy as np
+
+    from ixmp_spark.operators.sampling import ndcg_at_k
+    from tools.audit_plans import formatted_plan
+
+    k = 10
+    pdf, df = _ranking_fixture(spark)
+    res = ndcg_at_k(df, "g", "s", "rel", "item", k=k)
+    assert "WindowGroupLimit" in formatted_plan(res)
+    got = {r["g"]: (r["dcg"], r["idcg"], r["ndcg"]) for r in res.collect()}
+    assert len(got) == 21
+    for g in (0, 1, 5):
+        sub = pdf[pdf["g"] == g]
+        by_s = sub.sort_values(["s", "item"], ascending=[False, True]).head(k)
+        by_r = sub.sort_values(["rel", "item"], ascending=[False, True]).head(k)
+        dcg = sum(
+            (2.0 ** r - 1.0) / math.log2(i + 2.0)
+            for i, r in enumerate(by_s["rel"])
+        )
+        idcg = sum(
+            (2.0 ** r - 1.0) / math.log2(i + 2.0)
+            for i, r in enumerate(by_r["rel"])
+        )
+        want_ndcg = round(dcg / idcg, 6) if idcg > 0 else None
+        assert got[g][0] == round(dcg, 6), f"group {g} dcg"
+        assert got[g][1] == round(idcg, 6), f"group {g} idcg"
+        assert got[g][2] == want_ndcg, f"group {g} ndcg"
+
+
+def test_rbo_hot_input_depth_bound(spark):
+    """x47's operator over an n_hot-scale input (r14 finding: the r13
+    global row_number windows moved the ENTIRE input to one partition —
+    InferWindowGroupLimit does not fire on empty partition specs): the
+    rankings are now real TakeOrderedAndProject top-depth sorts, and
+    the only single-partition frames hold ≤ depth rows; result matches
+    the reference on a known overlap."""
+    from ixmp_spark.operators.sampling import rank_biased_overlap
+    from tools.audit_plans import formatted_plan
+
+    n = 30_000
+    a = spark.range(n).select(
+        F.col("id").alias("item"), (F.col("id") * 1.0).alias("s")
+    )
+    # b: same scores — identical rankings → rbo == 1 at any depth
+    res = rank_biased_overlap(a, a, "item", "s", p=0.9, depth=50)
+    plan = formatted_plan(res)
+    assert "TakeOrderedAndProject" in plan  # the distributed top-depth
+    # no window ranks the raw input anymore: every Window sits above a
+    # TakeOrderedAndProject, so its single partition holds ≤ depth rows
+    row = res.collect()[0]
+    assert row["n_common"] == 50
+    # identical rankings truncated at depth d: RBO@d = 1 − p^d (the
+    # residual mass past the prefix is simply not observed)
+    assert row["rbo"] == pytest.approx(1.0 - 0.9**50, abs=2e-6)

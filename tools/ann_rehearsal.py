@@ -103,58 +103,95 @@ def main() -> None:
     n_total = vecs.count()
     out["n_total"] = n_total
 
-    bits_pairs = _auto_bits(n_total, 4, 2000)
+    # pairs = the near-dup volume-first profile (r14); hn = the miner
+    # profile (min_bucket=8 + clamp routing) — mirror the operators'
+    # own auto calls exactly
+    bits_pairs = _auto_bits(
+        n_total, 4, 2000, min_bucket=1.0, budget=25_000_000,
+        tail_factor=4.0,
+    )
     bits_hn = _auto_bits(n_total, 6, 2000)
     out["auto_bits_pairs"] = bits_pairs
     out["auto_bits_hn"] = bits_hn
 
-    # -- realized bucket-size distribution at the pairs shape ---------
-    # (same planes as cosine_lsh_pairs: seed 42, bands=4, bits auto)
+    # -- realized bucket-size distributions, both shapes --------------
+    # (same planes as cosine_lsh_pairs: seed 42) — exact Σ m(m−1)/2,
+    # the heavy-tail factor vs the uniform estimate, and the clamp cap
+    # volume_route='clamp' would derive (the budget re-check)
     import random
 
-    rng2 = random.Random(42)
-    band_planes = [
-        [[rng2.gauss(0, 1) for _ in range(DIM)] for _ in range(bits_pairs)]
-        for _ in range(4)
-    ]
-    t0 = time.time()
-    sizes = (
-        _sign_lsh_banded(
-            vecs.select(F.col("vec_id").alias("__id"),
-                        F.col("embedding").alias("__vec")),
-            band_planes,
+    def size_stats(bands, bits, budget_half):
+        rng2 = random.Random(42)
+        planes = [
+            [[rng2.gauss(0, 1) for _ in range(DIM)] for _ in range(bits)]
+            for _ in range(bands)
+        ]
+        t0 = time.time()
+        sizes = (
+            _sign_lsh_banded(
+                vecs.select(F.col("vec_id").alias("__id"),
+                            F.col("embedding").alias("__vec")),
+                planes,
+            )
+            .groupBy("__band", "__bucket")
+            .agg(F.count(F.lit(1)).alias("m"))
+            .persist()
         )
-        .groupBy("__band", "__bucket")
-        .agg(F.count(F.lit(1)).alias("m"))
-    )
-    vol_expr = F.col("m").cast("double") * (F.col("m") - 1.0) / 2.0
-    st = sizes.agg(
-        F.count(F.lit(1)).alias("buckets"),
-        F.max("m").alias("max_m"),
-        F.expr("percentile_approx(m, 0.99)").alias("p99_m"),
-        F.sum(vol_expr).alias("vol_total"),
-        F.sum(F.when(F.col("m") <= 2000, vol_expr)).alias("vol_kept_2000"),
-    ).collect()[0]
-    out["sizes_wall_s"] = round(time.time() - t0, 2)
-    uniform_vol = 4 * n_total * (n_total / 2**bits_pairs) / 2
-    out["realized"] = {
-        "buckets": st["buckets"], "max_m": st["max_m"],
-        "p99_m": st["p99_m"],
-        "vol_total": float(st["vol_total"] or 0),
-        "vol_kept_cap2000": float(st["vol_kept_2000"] or 0),
-        "uniform_estimate": uniform_vol,
-        "heavy_tail_factor": round(
-            float(st["vol_total"] or 0) / max(uniform_vol, 1), 2
-        ),
-    }
-    print(f"-- realized: {out['realized']}", file=sys.stderr)
+        vol_expr = F.col("m").cast("double") * (F.col("m") - 1.0) / 2.0
+        st = sizes.agg(
+            F.count(F.lit(1)).alias("buckets"),
+            F.max("m").alias("max_m"),
+            F.expr("percentile_approx(m, 0.99)").alias("p99_m"),
+            F.sum(vol_expr).alias("vol_total"),
+            F.sum(F.when(F.col("m") <= 2000, vol_expr)).alias("vol_kept"),
+        ).collect()[0]
+        from pyspark.sql import Window as _W
 
-    # -- leg A: near-dup pairs with clamp routing + planted recall ----
+        cum_w = _W.orderBy("m").rowsBetween(_W.unboundedPreceding, 0)
+        fit = (
+            sizes.groupBy("m")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(
+                "m",
+                F.sum(
+                    F.col("c").cast("double") * F.col("m") * (F.col("m") - 1.0) / 2.0
+                ).over(cum_w).alias("cum"),
+            )
+            .where(F.col("cum") <= budget_half)
+            .agg(F.max("m"))
+            .collect()[0][0]
+        )
+        sizes.unpersist()
+        uniform = bands * n_total * (n_total / 2**bits) / 2
+        return {
+            "bands": bands, "bits": bits,
+            "buckets": st["buckets"], "max_m": st["max_m"],
+            "p99_m": st["p99_m"],
+            "vol_total": float(st["vol_total"] or 0),
+            "vol_kept_cap2000": float(st["vol_kept"] or 0),
+            "uniform_estimate": uniform,
+            "heavy_tail_factor": round(
+                float(st["vol_total"] or 0) / max(uniform, 1), 2
+            ),
+            "clamp_cap_at_budget": fit,
+            "budget_half": budget_half,
+            "wall_s": round(time.time() - t0, 2),
+        }
+
+    out["realized_pairs_shape"] = size_stats(4, bits_pairs, 25_000_000)
+    print(f"-- pairs shape: {out['realized_pairs_shape']}", file=sys.stderr)
+    out["realized_hn_shape"] = size_stats(6, bits_hn, 10_000_000)
+    print(f"-- hn shape: {out['realized_hn_shape']}", file=sys.stderr)
+
+    # -- leg A: near-dup pairs, volume-first auto profile -------------
+    # volume_route='raise' (the searcher default) ON PURPOSE: the rung
+    # proves the r14 bit sizing keeps realized volume under the guard
+    # with NO routing — recall 1.0 is exact, not clamped-away
     t0 = time.time()
     pairs = cosine_lsh_pairs(
         vecs, "vec_id", "embedding", threshold=0.9, bands=4,
         bits="auto", max_bucket=2000, on_hot="drop",
-        volume_route="clamp",
+        volume_route="raise",
     ).persist()
     n_pairs = pairs.count()
     out["lsh_pairs_wall_s"] = round(time.time() - t0, 2)

@@ -374,7 +374,20 @@ def forced_broadcast_keyed_agg_violations(logical: str) -> list[str]:
 #: ndcg_at_k's doc promised WindowGroupLimit top-k pushdown while its
 #: OR-of-two-rank-filters plan defeated InferWindowGroupLimit — the
 #: claim class must be machine-checked, like the forced-broadcast rule)
-_CLAIMABLE_NODES = ("WindowGroupLimit",)
+_CLAIMABLE_NODES = ("WindowGroupLimit", "TakeOrderedAndProject")
+
+#: queries whose docstring-claimed node legitimately does NOT appear in
+#: the RETURNED frame's plan because the operator executes it in an
+#: EAGER internal stage (a .collect() at build time) — the claim is
+#: about that stage's plan, which the audit cannot see from the result.
+#: Each entry documents where the claimed node actually runs.
+CLAIM_OK = {
+    # stage-1 candidate generation (brute_force_topk broadcast-probe
+    # scan, TakeOrderedAndProject k=candidates) collects eagerly inside
+    # mmr_rerank; the returned frame is the driver-computed greedy
+    # chain (a LocalTableScan)
+    "p23_mmr_rerank",
+}
 
 
 def claimed_plan_nodes(fn) -> set[str]:
@@ -419,7 +432,14 @@ def claimed_plan_nodes(fn) -> set[str]:
             g = getattr(m, nm, None)
             if callable(g) and getattr(g, "__doc__", None):
                 docs.append(inspect.getdoc(g) or "")
-    return {n for n in _CLAIMABLE_NODES if any(n in d for d in docs)}
+    # a mention of the RULE name (InferWindowGroupLimit) — typically a
+    # docstring explaining when the node does NOT appear — is not a
+    # claim of the node
+    return {
+        n
+        for n in _CLAIMABLE_NODES
+        if any(re.search(rf"(?<!Infer){n}", d) for d in docs)
+    }
 
 
 def documented_claim_violations(fn, plan: str) -> list[str]:
@@ -447,7 +467,7 @@ def audit_issues(
     import re
 
     issues = []
-    if fn is not None:
+    if fn is not None and name not in CLAIM_OK:
         issues.extend(documented_claim_violations(fn, plan))
     if "CartesianProduct" in plan:
         issues.append("CartesianProduct")
