@@ -591,6 +591,15 @@ def minhash_lsh_neardup(
     materialization is the dominant cost, so halving it matters more than
     any join strategy choice.
 
+    PROVISIONING (r13 10M-doc rung, executable in
+    :func:`ixmp_spark.operators.scale.recommended_resources`): the full
+    dedup chain through this operator needs ~3–6 GB of JVM heap per 1M
+    documents (measured — the 16 GB default OOMed at 10M docs; 64 GB
+    completed with the plan unchanged). Size executors with
+    ``recommended_resources(n_docs, "dedup_pipeline", n_executors)``;
+    the scale rehearsal asserts its own configuration against the same
+    rule (``assert_provisioned``), so the constant stays honest.
+
     The persisted frame stores 64-bit shingle HASHES, not strings: the
     signatures need xxhash64(shingle) anyway, and the verification
     Jaccard is a pure cardinality computation, so hashing first gives

@@ -3665,3 +3665,117 @@ def confusion_metrics(
         )
         .orderBy("class")
     )
+
+
+def confusion_cells_trace(
+    df: DataFrame,
+    ts_col: str,
+    label_col: str,
+    pred_col: str,
+    key_col: str,
+    grain: str = "hour",
+) -> DataFrame:
+    """Batch twin of ``streaming.confusion_cells_stream`` (VERDICT r13
+    #6): the CUMULATIVE (label, pred) cell counts at each time-grain
+    checkpoint, per model key — the running confusion grid a live
+    classifier-eval dashboard reads. ``confusion_metrics``'s per-class
+    report is a deterministic function of this grid (its marginal
+    algebra applies to any checkpoint's slice), so pinning the grid
+    pins the report.
+
+    Scale shape: one data-sized aggregate to the (key, cell,
+    checkpoint) grid (map-side partials), then a cumulative-sum window
+    PER CELL over the grain-bounded checkpoint axis — the g16
+    quantization discipline: post-aggregate frames are bounded by
+    |keys|·|classes|²·time-span, never the event count."""
+    trunc = {"minute": "minute", "hour": "hour", "day": "day"}.get(grain)
+    if trunc is None:
+        raise ValueError(f"unsupported grain {grain!r}")
+    base = df.where(
+        F.col(label_col).isNotNull()
+        & F.col(pred_col).isNotNull()
+        & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("k"),
+        F.col(label_col).cast("string").alias("label"),
+        F.col(pred_col).cast("string").alias("pred"),
+        F.date_trunc(trunc, F.col(ts_col)).alias("checkpoint"),
+    )
+    per_cp = base.groupBy("k", "label", "pred", "checkpoint").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    w = (
+        Window.partitionBy("k", "label", "pred")
+        .orderBy("checkpoint")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return per_cp.select(
+        F.col("k").alias(key_col),
+        "label",
+        "pred",
+        "checkpoint",
+        F.sum("_n").over(w).cast("long").alias("n_cum"),
+    ).orderBy(key_col, "label", "pred", "checkpoint")
+
+
+def brier_bins_trace(
+    df: DataFrame,
+    ts_col: str,
+    p_col: str,
+    y_col: str,
+    key_col: str,
+    grain: str = "hour",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Batch twin of ``streaming.brier_bins_stream`` (VERDICT r13 #6):
+    cumulative per-probability-bin sufficient statistics (n, Σp, Σy,
+    Σ(p−y)²) at each time-grain checkpoint per key. The Murphy
+    decomposition and ECE of ``brier_decomposition`` derive from this
+    grid by bounded arithmetic (per-bin means + the global mean), so a
+    live calibration dashboard reads this trace directly.
+
+    Bin assignment is ``round(p·n_bins − 0.5)`` clamped to
+    [0, n_bins−1] — identical to brier_decomposition, the repo's
+    boundary-arithmetic discipline. Sums are rounded to 6 dp on emit
+    (both twins), absorbing float summation-order differences between
+    the batch aggregate and the micro-batch accumulator (the sprt llr
+    precedent)."""
+    trunc = {"minute": "minute", "hour": "hour", "day": "day"}.get(grain)
+    if trunc is None:
+        raise ValueError(f"unsupported grain {grain!r}")
+    p = F.col(p_col).cast("double")
+    y = F.col(y_col).cast("double")
+    bin_ = F.least(
+        F.greatest(F.round(p * n_bins - 0.5, 0).cast("int"), F.lit(0)),
+        F.lit(n_bins - 1),
+    )
+    base = df.where(
+        p.isNotNull() & y.isNotNull() & F.col(ts_col).isNotNull()
+    ).select(
+        F.col(key_col).alias("k"),
+        bin_.alias("bin"),
+        F.date_trunc(trunc, F.col(ts_col)).alias("checkpoint"),
+        p.alias("_p"),
+        y.alias("_y"),
+        ((p - y) * (p - y)).alias("_se"),
+    )
+    per_cp = base.groupBy("k", "bin", "checkpoint").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_p").alias("_sp"),
+        F.sum("_y").alias("_sy"),
+        F.sum("_se").alias("_sse"),
+    )
+    w = (
+        Window.partitionBy("k", "bin")
+        .orderBy("checkpoint")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return per_cp.select(
+        F.col("k").alias(key_col),
+        "bin",
+        "checkpoint",
+        F.sum("_n").over(w).cast("long").alias("n_cum"),
+        F.round(F.sum("_sp").over(w), 6).alias("sum_p"),
+        F.round(F.sum("_sy").over(w), 6).alias("sum_y"),
+        F.round(F.sum("_sse").over(w), 6).alias("sse"),
+    ).orderBy(key_col, "bin", "checkpoint")

@@ -2135,3 +2135,151 @@ def test_streaming_sprt_matches_batch(spark, tmp_path_factory):
         )
         n_rows += len(g)
     assert n_rows == len(got)  # no stray keys/rows
+
+
+def test_streaming_confusion_cells_matches_batch(spark, tmp_path_factory):
+    """confusion_cells_stream (VERDICT r13 #6): the streamed running
+    confusion grid equals the batch confusion_cells_trace per (model,
+    label, pred) cell, minus each cell's final (still-open) checkpoint
+    — across 4 micro-batches with a drifting classifier (the class mix
+    changes mid-stream, so cumulative counts move at every
+    checkpoint)."""
+    import random
+    import time as _time
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import functions as F
+
+    from ixmp_spark.operators.sampling import confusion_cells_trace
+    from ixmp_spark.streaming.ts_stream import (
+        confusion_cells_stream,
+        run_available_now,
+    )
+
+    rng = random.Random(19)
+    t0 = datetime(2024, 6, 1)
+    classes = ["a", "b", "c"]
+    rows = []
+    for model in (1, 2):
+        for i in range(480):  # 1-min spacing -> 8 hours
+            label = classes[rng.randrange(3)]
+            # accuracy decays over time -> the grid drifts
+            ok = rng.random() < (0.9 - 0.5 * i / 480)
+            pred = label if ok else classes[rng.randrange(3)]
+            rows.append((model, t0 + timedelta(minutes=i), label, pred))
+    schema = "model long, ts timestamp, label string, pred string"
+    feed = str(tmp_path_factory.mktemp("confstream") / "ev")
+    import numpy as np
+
+    bounds = np.linspace(0, len(rows), 5, dtype=int)
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        spark.createDataFrame(rows[a:b], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    got = run_available_now(
+        confusion_cells_stream(
+            stream, key_col="model", label_col="label",
+            pred_col="pred", grain="hour",
+        ),
+        "t_confstream",
+        mode="append",
+    ).toPandas()
+
+    batch = spark.read.parquet(feed)
+    want = confusion_cells_trace(
+        batch, "ts", "label", "pred", "model", grain="hour"
+    ).toPandas()
+    # drop each cell's final checkpoint (stream never closes it)
+    want = (
+        want.sort_values(["model", "label", "pred", "checkpoint"])
+        .groupby(["model", "label", "pred"], as_index=False)
+        .apply(lambda g: g.iloc[:-1], include_groups=True)
+        .reset_index(drop=True)
+    )
+    got = got.sort_values(
+        ["model", "label", "pred", "checkpoint"]
+    ).reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    assert got["n_cum"].tolist() == want["n_cum"].tolist()
+    assert [str(c) for c in got["checkpoint"]] == [
+        str(c) for c in want["checkpoint"]
+    ]
+    assert got[["model", "label", "pred"]].values.tolist() == want[
+        ["model", "label", "pred"]
+    ].values.tolist()
+
+
+def test_streaming_brier_bins_matches_batch(spark, tmp_path_factory):
+    """brier_bins_stream (VERDICT r13 #6): the streamed cumulative
+    calibration grid equals brier_bins_trace per (experiment, bin)
+    cell minus each cell's final checkpoint; sums agree at the 6-dp
+    emit rounding both twins share (the sprt llr precedent)."""
+    import random
+    import time as _time
+    from datetime import datetime, timedelta
+
+    from ixmp_spark.operators.sampling import brier_bins_trace
+    from ixmp_spark.streaming.ts_stream import (
+        brier_bins_stream,
+        run_available_now,
+    )
+
+    rng = random.Random(23)
+    t0 = datetime(2024, 6, 2)
+    rows = []
+    for exp in (1, 2):
+        bias = 0.1 if exp == 1 else -0.05  # mis-calibration per arm
+        for i in range(480):
+            p = rng.random()
+            y = 1.0 if rng.random() < min(max(p + bias, 0.0), 1.0) else 0.0
+            rows.append((exp, t0 + timedelta(minutes=i), round(p, 4), y))
+    schema = "experiment long, ts timestamp, p double, y double"
+    feed = str(tmp_path_factory.mktemp("brierstream") / "ev")
+    import numpy as np
+
+    bounds = np.linspace(0, len(rows), 5, dtype=int)
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        spark.createDataFrame(rows[a:b], schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    got = run_available_now(
+        brier_bins_stream(stream, key_col="experiment", grain="hour"),
+        "t_brierstream",
+        mode="append",
+    ).toPandas()
+
+    batch = spark.read.parquet(feed)
+    want = brier_bins_trace(
+        batch, "ts", "p", "y", "experiment", grain="hour"
+    ).toPandas()
+    want = (
+        want.sort_values(["experiment", "bin", "checkpoint"])
+        .groupby(["experiment", "bin"], as_index=False)
+        .apply(lambda g: g.iloc[:-1], include_groups=True)
+        .reset_index(drop=True)
+    )
+    got = got.sort_values(
+        ["experiment", "bin", "checkpoint"]
+    ).reset_index(drop=True)
+    assert len(got) == len(want) > 0
+    assert got["n_cum"].tolist() == want["n_cum"].tolist()
+    assert got["sum_p"].tolist() == want["sum_p"].tolist()
+    assert got["sum_y"].tolist() == want["sum_y"].tolist()
+    assert got["sse"].tolist() == want["sse"].tolist()
+    assert [str(c) for c in got["checkpoint"]] == [
+        str(c) for c in want["checkpoint"]
+    ]

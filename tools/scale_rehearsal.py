@@ -1326,6 +1326,27 @@ def main_dedup_pipeline() -> None:
     base = load(spark, sf_dir, "documents")
     out: list[dict] = []
 
+    # r14 (VERDICT r13 #5): the r13 10M-doc provisioning finding as an
+    # executable gate — fail loudly BEFORE the run if this JVM's heap
+    # is under operators/scale.py's measured rule for the largest
+    # requested rung, instead of dying as a mystery OOM 15 minutes in
+    from ixmp_spark.operators.scale import assert_provisioned
+
+    n_base = base.count()
+    max_docs = max(
+        (int(s.split("x")[0]) * int(s.split("x")[1]) if "x" in s else int(s))
+        for s in specs
+    ) * n_base
+    heap_gb = float(
+        spark.conf.get("spark.driver.memory", "16g").rstrip("gG")
+    )
+    prov = assert_provisioned(max_docs, "dedup_pipeline", heap_gb)
+    print(
+        f"-- provisioning ok: {max_docs} docs needs "
+        f"{prov['heap_gb']} GB, configured {heap_gb} GB",
+        file=sys.stderr,
+    )
+
     for spec in specs:
         # "WxD" = wide x deep (r13 factor-1000 rung: corpus-size
         # scaling with bounded family quadratics); a plain int keeps

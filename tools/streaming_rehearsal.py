@@ -124,7 +124,9 @@ def main() -> None:
     ]
     from ixmp_spark.session import get_spark
     from ixmp_spark.streaming.ts_stream import (
+        brier_bins_stream,
         category_mix_stream,
+        confusion_cells_stream,
         cusum_stream,
         interval_join_stream,
         interval_join_stream_outer,
@@ -167,6 +169,44 @@ def main() -> None:
                     grain="hour",
                 ),
                 f"sprt_{rate}",
+            )
+
+            # r14 (VERDICT r13 #6): the eval-metric twins — state keyed
+            # by the CELL, so rows must equal |models|·|classes|² (≤
+            # 4·6·6 = 144) for the confusion grid and |experiments|·
+            # n_bins (8·10 = 80) for the calibration grid, at every
+            # rate, never event count
+            ev = stream_events(spark, src)
+            row["confusion_cells"] = drive(
+                confusion_cells_stream(
+                    ev.select(
+                        (F.col("user_id") % 4).alias("model"),
+                        "ts",
+                        F.col("event_type").alias("label"),
+                        # a noisy classifier: wrong when value < 0.3
+                        F.when(
+                            F.col("value") < 0.3, F.lit("view")
+                        ).otherwise(F.col("event_type")).alias("pred"),
+                    ),
+                    key_col="model",
+                    grain="hour",
+                ),
+                f"conf_{rate}",
+            )
+
+            ev = stream_events(spark, src)
+            row["brier_bins"] = drive(
+                brier_bins_stream(
+                    ev.select(
+                        (F.col("user_id") % 8).alias("experiment"),
+                        "ts",
+                        F.col("value").alias("p"),
+                        (F.col("value") > 0.45).cast("double").alias("y"),
+                    ),
+                    key_col="experiment",
+                    grain="hour",
+                ),
+                f"brier_{rate}",
             )
 
             ev = stream_events(spark, src)
