@@ -310,8 +310,10 @@ def _auto_bits(
     bucket) AND total raw candidate volume (≈ bands·n·bucket_rows/2 ·
     ``tail_factor``) under ``budget`` rows — sign-LSH bucket sizes are
     heavy-tailed on natural data, so realized volume lands several
-    times the uniform estimate (r13: 5.4× at 500k/bits=16; r14
-    rehearsal: 2.42× at 2M/bits=18). A fixed default past
+    times the uniform estimate, and the factor RISES with n at fixed
+    avg-bucket aim (r13: 5.4× at 500k/bits=16; r14 rungs: 2.42× at
+    2M/bits=18, 3.27× at 2M/bits=21, 4.08× at 5M/bits=23). A fixed
+    default past
     n ≈ 2^bits·max_bucket makes EVERY bucket hot and ``on_hot='drop'``
     silently empties the result (measured at 200k vectors / bits=4).
 
@@ -322,7 +324,7 @@ def _auto_bits(
       (≈ bands·n·8/2) and the clamp routing bounds it — dropping tail
       buckets is the miner's accepted trade.
     - **near-dup search** (:func:`cosine_lsh_pairs` auto,
-      ``min_bucket=1``, ``tail_factor=4``): volume-first — near-dup
+      ``min_bucket=0.25``, ``tail_factor=6``): volume-first — near-dup
       pairs collide because they are angularly near-IDENTICAL, not
       because buckets are populous, so bits can grow with n until the
       tail-adjusted volume fits the budget with no clamping and no
@@ -464,13 +466,16 @@ def cosine_lsh_pairs(
             ).where(F.lit(False))
         dim = len(head[0][0])
     if bits == "auto":
-        # near-dup profile: volume-first (min_bucket=1, measured-tail
-        # headroom 4×) aimed at HALF the guard — see _auto_bits
+        # near-dup profile: volume-first (min_bucket=1) aimed at HALF
+        # the guard with 6× tail headroom — the measured heavy-tail
+        # factor RISES with n (r14 rung curve: 3.27 at 2M/bits=21,
+        # 4.08 at 5M/bits=23), so the old 4× sat exactly at the 5M
+        # realization; see _auto_bits
         bits = _auto_bits(
             df.count(), bands, max_bucket,
-            min_bucket=1.0,
+            min_bucket=0.25,
             budget=(max_candidates or 50_000_000) / 2.0,
-            tail_factor=4.0,
+            tail_factor=6.0,
         )
     rng = random.Random(seed)
     band_planes = [

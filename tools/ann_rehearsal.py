@@ -107,8 +107,8 @@ def main() -> None:
     # profile (min_bucket=8 + clamp routing) — mirror the operators'
     # own auto calls exactly
     bits_pairs = _auto_bits(
-        n_total, 4, 2000, min_bucket=1.0, budget=25_000_000,
-        tail_factor=4.0,
+        n_total, 4, 2000, min_bucket=0.25, budget=25_000_000,
+        tail_factor=6.0,
     )
     bits_hn = _auto_bits(n_total, 6, 2000)
     out["auto_bits_pairs"] = bits_pairs
