@@ -121,10 +121,12 @@ import math
 #: the optimistic edge):
 #: - dedup_pipeline: r13 10M-doc rung (NOTES_r13 §1) — 3–6 GB/1M docs
 #:   observed; 6 recorded.
-#: - ann: r14 2M/5M vector rehearsal (REHEARSAL_ann_r14) — 64-dim
-#:   double vectors are ~0.5 GB/1M raw; the banded-LSH + verify
-#:   pipeline peaked under 4 GB/1M vectors at both rungs with the
-#:   clamp routing bounding the verify join; 4 recorded.
+#: - ann: r14 2M/5M vector rehearsal (REHEARSAL_ann_r14_{2M,5M}) —
+#:   64-dim double vectors are ~0.5 GB/1M raw; the rule's 4 GB/1M is
+#:   the provisioning ASK (8× raw, covering the persisted corpus +
+#:   banded frames + the budget-bounded verify join), not a measured
+#:   peak: both rungs completed inside a 64 GB JVM, satisfying the
+#:   rule's 16/20 GB recommendations with margin.
 PER_MILLION_GB = {
     "dedup_pipeline": 6.0,
     "ann": 4.0,
