@@ -746,3 +746,27 @@ def test_reporter_auto_cse_graph_keys(rep):
 
     r_on.release()
     assert not r_on._cache and not r_on._hits
+
+
+def test_reporter_unrelated_pin_survives_redefinition(rep):
+    """The precision half of the r14 eviction design: when every
+    cached key declares deps (leaves register deps=[]), redefining one
+    key must NOT flush pins on unrelated keys — the conservative
+    full-cache flush is reserved for caches holding bare-add keys."""
+    from pyspark.sql import functions as F
+
+    from ixmp_spark.plans.reporter import Quantity
+
+    r, _ = rep
+    r.persist_key("a:i")  # a declared leaf (deps=[]), pinned
+    r.persist_key("b:j")
+    assert "b:j" in r._cache
+    pinned = r._cache["b:j"]
+
+    full = r.get_quantity("d:i-j")
+    scaled = full.df.withColumn("value", F.col("value") * 2)
+    r.add("d:i-j", lambda: Quantity(scaled, full.dims, full.unit), deps=[])
+    # d's subtree evicted; a/b pins untouched (same object, still pinned)
+    assert r._cache.get("b:j") is pinned
+    assert "a:i" in r._cache
+    r.release()
