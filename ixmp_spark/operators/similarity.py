@@ -1009,7 +1009,16 @@ def hard_negatives(
     (default 2e7 → the documented ~1e7 verify-join aim) at ANY corpus
     size — the guard became routing, exact by construction. Pass
     ``volume_route='raise'`` to restore fail-loud; a non-'drop'
-    ``on_hot`` implies it (clamping IS dropping)."""
+    ``on_hot`` implies it (clamping IS dropping).
+
+    BUDGET SCALING (r14 rung curve): under the FIXED default budget
+    the realized clamp cap falls as n grows — 9 at 2M, 5 at 5M, 3 at
+    10M vectors (REHEARSAL_ann_r14_*) — because total collision volume
+    grows superlinearly while the budget stands still, so per-anchor
+    candidate depth thins toward the bucket-pair floor. On a cluster,
+    scale ``max_candidates`` ≈ 4·n (≈ 4 KB of verify shuffle per
+    corpus row at 64-dim) to hold per-anchor depth roughly constant;
+    the single-box default is sized for the rehearsal host's tmpfs."""
     if bits == "auto":
         n_rows = df.count()
         bits = _auto_bits(n_rows, bands, max_bucket)
