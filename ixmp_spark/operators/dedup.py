@@ -1766,15 +1766,25 @@ def jaccard_prefix_join(
     if on_hot not in ("raise", "drop"):
         raise ValueError(f"on_hot must be 'raise' or 'drop', got {on_hot!r}")
     par = df.sparkSession.sparkContext.defaultParallelism
+    # Filter on the SOURCE column, not the derived array: for non-null
+    # text, size(sh) >= 1 always holds (split returns >= 1 token and
+    # sequence(0, greatest(sz-n, 0)) is never empty), and for null text
+    # the whole array is null — so `text IS NOT NULL` keeps exactly the
+    # same rows. The old `.where(F.size("sh") >= 1)` referenced the
+    # derived column, which Catalyst collapses into the projection and
+    # pushes below it, RE-EVALUATING the full shingle expression for the
+    # predicate — measured 3.3 s vs 0.5 s for the sf0.1 shingle stage
+    # (guide §4.4's duplicate-evaluation class, JVM-expression flavor).
+    # The null filter now also pushes down to the parquet scan.
     sh = (
-        df.repartition(par)
+        df.where(F.col(text_col).isNotNull())
+        .repartition(par)
         .select(
             F.col(id_col),
             F.transform(
                 shingles(text_col, n), lambda s: F.xxhash64(s)
             ).alias("sh"),
         )
-        .where(F.size("sh") >= 1)
         .persist(_level(storage_level))
     )
     ex = sh.select(

@@ -624,12 +624,18 @@ def triangle_count(
         .distinct()
         # e feeds the degree count twice, the rank join, and the node
         # roster; oriented feeds both wedge sides and the closure.
-        # Without cutting lineage each reference re-inlines the whole
-        # upstream (measured: 69 shuffle exchanges on the co-supplier
-        # query, 6 after). Lazy local checkpoints materialize each
-        # shared frame once at first action — the repo's standard
-        # multi-reference discipline (see bpe_train, dedup_clusters).
-        .localCheckpoint(eager=False)
+        # Without sharing each reference re-inlines the whole upstream
+        # (measured: 69 shuffle exchanges on the co-supplier query, 6
+        # after). r14: persist, NOT localCheckpoint — a checkpointed
+        # RDD scan has UnknownPartitioning and no size statistics, so
+        # every downstream join was forced to SortMergeJoin even when
+        # one side is node-sized (guide §3.1: pick the strategy
+        # deliberately); InMemoryRelation keeps stats, letting the
+        # planner/AQE choose broadcast or shuffled-hash where the
+        # sizes warrant (measured: x5 3.35 s -> 1.9 s at sf0.1, 6
+        # SMJ -> 1 SMJ + 5 broadcast). This is not an iterative
+        # operator, so lineage truncation is not needed.
+        .persist()
     )
     deg = (
         e.select(F.col("u").alias("n"))
@@ -655,7 +661,7 @@ def triangle_count(
         F.when(u_first, F.col("deg_v")).otherwise(F.col("deg_u")).alias(
             "deg_b"
         ),
-    ).localCheckpoint(eager=False)
+    ).persist()  # r14: persist, not localCheckpoint — see `e` above
     # wedges from each center a: unordered endpoint pairs, kept once
     # via the same (degree, id) order
     e1 = oriented.alias("e1")
@@ -678,13 +684,17 @@ def triangle_count(
     corner = tris.select(
         F.explode(F.array("a", "x", "y")).alias("n")
     ).groupBy("n").agg(F.count(F.lit(1)).alias("triangles"))
-    return (
+    from ixmp_spark.operators import attach_caches
+
+    return attach_caches(
         deg.select("n")
         .join(corner, "n", "left")
         .select(
             F.col("n").alias("node"),
             F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles"),
-        )
+        ),
+        e,
+        oriented,
     )
 
 

@@ -1020,12 +1020,31 @@ def poisson_bootstrap_ci(
         / F.lit(4294967296.0)
     )
     weighted = reps.withColumn("_w", _poisson1_weight(u).cast("double"))
+    # r14 (guide §2.3/§2.4): the point estimate rides the SAME two
+    # aggregations as the bootstrap instead of a second scan + its own
+    # groupBy + a join back. Replicate 0 visits every input row exactly
+    # once, so its UNWEIGHTED count/avg per group ARE the point stats;
+    # carrying them through the (group, rep) aggregation removes one
+    # full input scan, two exchanges and the group-keyed join (plan:
+    # 5 Exchange + 2 scans + BHJ -> 3 Exchange + 1 scan). Semantics
+    # preserved exactly: percentile() skips the NULL estimates the old
+    # where() removed; the trailing filters reproduce the old INNER
+    # join's behavior (a group with no surviving replicate, or a NULL
+    # group key, never matched and was dropped).
     per_rep = weighted.groupBy(*gs, "_rep").agg(
         F.try_divide(F.sum(F.col("_w") * F.col("_v")), F.sum("_w")).alias(
             "_est"
-        )
+        ),
+        F.count(F.when(F.col("_rep") == 0, F.col("_v"))).alias("_n0"),
+        F.avg(F.when(F.col("_rep") == 0, F.col("_v"))).alias("_m0"),
     )
-    boot = per_rep.where(F.col("_est").isNotNull()).groupBy(*gs).agg(
+    boot = per_rep.groupBy(*gs).agg(
+        F.max(F.when(F.col("_rep") == 0, F.col("_n0")))
+        .cast("long")
+        .alias("n"),
+        F.round(
+            F.max(F.when(F.col("_rep") == 0, F.col("_m0"))), 4
+        ).alias("mean_value"),
         F.round(
             F.percentile(F.col("_est"), F.lit(float(q_low))), 4
         ).alias("ci_low"),
@@ -1033,13 +1052,10 @@ def poisson_bootstrap_ci(
             F.percentile(F.col("_est"), F.lit(float(q_high))), 4
         ).alias("ci_high"),
     )
-    point = df.groupBy(*gs).agg(
-        F.count(v).cast("long").alias("n"),
-        F.round(F.avg(v), 4).alias("mean_value"),
-    )
-    return point.join(boot, gs).select(
-        *gs, "n", "mean_value", "ci_low", "ci_high"
-    )
+    out = boot.where(F.col("ci_low").isNotNull())
+    for g in gs:
+        out = out.where(F.col(g).isNotNull())
+    return out.select(*gs, "n", "mean_value", "ci_low", "ci_high")
 
 
 def quantile_normalize(

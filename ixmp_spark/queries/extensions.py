@@ -4606,23 +4606,48 @@ def x27_bradley_terry(spark, sf_dir):
     recovery, prior=0) + the driver≡distributed equivalence test."""
     from ixmp_spark.operators.joins import bradley_terry
 
+    # r14: the within-order pair grid is generated IN-ARRAY instead of
+    # via a self-join (guide §2.4 — remove shuffles outright): one
+    # explicit repartition on l_orderkey satisfies BOTH groupBys
+    # (subset-key clustering), so the plan is scan → one exchange →
+    # per-(order, supplier) sums → per-order supplier array → map-side
+    # pair explode, replacing the old groupBy-exchange + self-join
+    # exchange pair (measured 1.55 s -> 0.93 s for the duel grid at
+    # sf0.1; identical 696,012-row win grid). The per-order quadratic
+    # is unchanged — suppliers-per-order is domain-bounded exactly as
+    # the join's per-key fan-out was.
     per_supp = (
         load(spark, sf_dir, "lineitem")
+        .repartition("l_orderkey")
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.sum("l_extendedprice").alias("rev"))
     )
-    a, b = per_supp.alias("a"), per_supp.alias("b")
-    duels = (
-        a.join(b, "l_orderkey")
-        .where(
-            (F.col("a.l_suppkey") != F.col("b.l_suppkey"))
-            & (F.col("a.rev") > F.col("b.rev"))
-        )
-        .select(
-            F.col("a.l_suppkey").alias("winner"),
-            F.col("b.l_suppkey").alias("loser"),
-        )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.collect_list(F.struct("l_suppkey", "rev")).alias("ss")
     )
+    duels = per_order.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ss",
+                    lambda x: F.filter(
+                        F.transform(
+                            "ss",
+                            lambda y: F.struct(
+                                x["l_suppkey"].alias("winner"),
+                                y["l_suppkey"].alias("loser"),
+                                (
+                                    (x["l_suppkey"] != y["l_suppkey"])
+                                    & (x["rev"] > y["rev"])
+                                ).alias("ok"),
+                            ),
+                        ),
+                        lambda p: p["ok"],
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select(F.col("p.winner").alias("winner"), F.col("p.loser").alias("loser"))
     return bradley_terry(duels, tol=1e-4).orderBy(
         F.col("strength").desc(), F.col("item")
     )

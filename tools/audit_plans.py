@@ -80,6 +80,17 @@ BCAST_OK = {
 #: d3 = repartition + banded self-join + 2 candidate joins + distinct
 SHUFFLE_OK = {
     "d3_minhash_lsh",
+    # x5 = triangle_count; r14 switched its two shared frames (edges,
+    # oriented) from localCheckpoint to persist so the planner keeps
+    # size statistics and can broadcast the node-sized sides (the
+    # checkpointed-RDD form forced 6 SortMergeJoins). The formatted
+    # plan now re-prints each InMemoryRelation's STORED plan wherever
+    # the cache is referenced (oriented's stored plan re-inlines e's
+    # lineage under fresh node numbers), so the textual Exchange count
+    # rises to ~13 while the EXECUTED count is unchanged-or-lower: each
+    # cached subtree materializes exactly once (measured: x5 3.35 s ->
+    # 1.9 s at sf0.1 after the switch)
+    "x5_supplier_triangles",
     # p13 = t10's bigram-LM pipeline (gram explode + bg/ctx count aggs +
     # two gram-keyed joins + per-doc agg) plus ONE extra lang-keyed
     # ntile window over the per-document perplexity table — the added
