@@ -119,9 +119,13 @@ def jaccard_block_pairs(
     b = toks.select(
         F.col(id_col).alias("id_b"), *block_cols, F.col("toks").alias("toks_b")
     )
-    jac = F.size(F.array_intersect("toks_a", "toks_b")) / F.size(
-        F.array_union("toks_a", "toks_b")
-    )
+    # inclusion–exclusion form (r14): the token arrays are distinct by
+    # construction, so |A∪B| = |A|+|B|−|A∩B| exactly — the filter-
+    # pushdown double evaluation of the verify expression then costs
+    # two array_intersects instead of two intersect+union pairs (the
+    # oracle states the same identity)
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+    jac = inter / (F.size("toks_a") + F.size("toks_b") - inter)
     from ixmp_spark.operators import attach_caches
 
     return attach_caches(
@@ -194,6 +198,7 @@ def lsh_band_pairs(
     df: DataFrame, id_col: str, k: int = 32, bands: int = 8,
     storage_level=None, max_bucket: int | None = None,
     on_hot: str = "raise", max_candidates: int | None = None,
+    _dedup: bool = True,
 ) -> DataFrame:
     """Banded LSH candidate pairs from a ``minhash`` column: hash each band
     of r=k/bands signature values to a bucket (multi-arg xxhash64 — no
@@ -318,17 +323,18 @@ def lsh_band_pairs(
     b = banded.alias("b")
     from ixmp_spark.operators import attach_caches
 
-    return attach_caches(
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.__id") < F.col("b.__id")),
-        )
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .distinct(),
-        cached,
-    )
+    raw = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.__id") < F.col("b.__id")),
+    ).select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+    # ``_dedup=False`` (internal, minhash_lsh_neardup only): the fused
+    # pipeline applies ONE distinct after unioning the short-doc path —
+    # distinct here would shuffle the pair frame a second time for the
+    # same final set (map-side partial aggregation already collapses
+    # band-collision duplicates before either shuffle)
+    return attach_caches(raw.distinct() if _dedup else raw, cached)
 
 
 def ngram_jaccard(
@@ -357,8 +363,12 @@ def ngram_jaccard(
             "id_a",
             "id_b",
             (
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b"))
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / (
+                    F.size("sh_a")
+                    + F.size("sh_b")
+                    - F.size(F.array_intersect("sh_a", "sh_b"))
+                )
             ).alias("jaccard"),
         ),
         sh,
@@ -373,6 +383,7 @@ def _short_doc_pairs(
     max_bucket: int | None,
     on_hot: str,
     storage_level=None,
+    _dedup: bool = True,
 ) -> DataFrame | None:
     """Exact prefix-filter candidate pairs for SHORT documents (see
     minhash_lsh_neardup's routing contract), computed over the
@@ -504,7 +515,7 @@ def _short_doc_pairs(
     )
     from ixmp_spark.operators import attach_caches
 
-    return attach_caches(
+    out = attach_caches(
         pa.join(pb, "__g")
         .where(
             (F.col("__ida") != F.col("__idb"))
@@ -531,10 +542,15 @@ def _short_doc_pairs(
         .select(
             F.least("__ida", "__idb").alias("id_a"),
             F.greatest("__ida", "__idb").alias("id_b"),
-        )
-        .distinct(),
+        ),
         ex_band,
     )
+    # ``_dedup=False`` (minhash_lsh_neardup): the caller's post-union
+    # distinct already collapses the short×short double generation —
+    # see lsh_band_pairs
+    if _dedup:
+        out = attach_caches(out.distinct(), *getattr(out, "_ixmp_spark_caches", ()))
+    return out
 
 
 def _lsh_bands_for_recall(
@@ -673,9 +689,13 @@ def minhash_lsh_neardup(
         "__base", "sh"
     )
     try:
+        # _dedup=False: ONE distinct runs after the short-path union
+        # (r14) — the same final pair set with one pair-frame shuffle
+        # instead of up to three (map-side partial aggregation still
+        # collapses band-collision duplicates before the wire)
         pairs = lsh_band_pairs(
             sigs, id_col, k=k, bands=bands, storage_level=storage_level,
-            max_bucket=max_bucket, on_hot=on_hot,
+            max_bucket=max_bucket, on_hot=on_hot, _dedup=False,
         )
     except BaseException:
         sh.unpersist()  # the guard's fail-fast must not leak the shingles
@@ -684,7 +704,7 @@ def minhash_lsh_neardup(
     try:
         short_pairs = _short_doc_pairs(
             sh, id_col, short_min, threshold, max_bucket, on_hot,
-            storage_level=storage_level,
+            storage_level=storage_level, _dedup=False,
         )
     except BaseException:
         sh.unpersist()
@@ -693,12 +713,15 @@ def minhash_lsh_neardup(
         raise
     if short_pairs is not None:
         lsh_caches += getattr(short_pairs, "_ixmp_spark_caches", ())
-        pairs = pairs.unionByName(short_pairs).distinct()
+        pairs = pairs.unionByName(short_pairs)
+    pairs = pairs.distinct()
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
+    # inclusion–exclusion: |A∪B| = |A|+|B|−|A∩B| for the distinct hash
+    # arrays — one array op instead of two in the (filter-duplicated)
+    # verify expression (r14)
+    _i = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    jac = _i / (F.size("sh_a") + F.size("sh_b") - _i)
     from ixmp_spark.operators import attach_caches
 
     return attach_caches(
@@ -1877,9 +1900,11 @@ def jaccard_prefix_join(
     )
     a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
+    # inclusion–exclusion: |A∪B| = |A|+|B|−|A∩B| for the distinct hash
+    # arrays — one array op instead of two in the (filter-duplicated)
+    # verify expression (r14)
+    _i = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    jac = _i / (F.size("sh_a") + F.size("sh_b") - _i)
     from ixmp_spark.operators import attach_caches
 
     return attach_caches(

@@ -1993,13 +1993,20 @@ def cohens_kappa(
         F.col(rater_a).cast("string").alias("_a"),
         F.col(rater_b).cast("string").alias("_b"),
     )
+    # r14: persist the category-grid frame — it feeds the total/diag
+    # aggregate and BOTH marginals, and without the (tiny, grid-sized)
+    # cache each reference re-ran the full rater scan + cell
+    # aggregation (x33's lang_id rater executed 5x). Also compute
+    # N/diag straight off the grid: the old form joined the marginals
+    # back onto the cells first, two broadcast joins that changed no
+    # row and contributed nothing to either sum (guide §1.2 — don't
+    # compute things you throw away).
     cells = two.groupBy("_a", "_b").agg(
         F.count(F.lit(1)).cast("double").alias("_n")
-    )
+    ).persist()
     ra = cells.groupBy("_a").agg(F.sum("_n").alias("_rt"))
     rb = cells.groupBy("_b").agg(F.sum("_n").alias("_ct"))
-    j = cells.join(F.broadcast(ra), "_a").join(F.broadcast(rb), "_b")
-    agg = j.agg(
+    agg = cells.agg(
         F.sum("_n").alias("_N"),
         F.sum(F.when(F.col("_a") == F.col("_b"), F.col("_n"))
               .otherwise(0.0)).alias("_diag"),
@@ -2026,12 +2033,17 @@ def cohens_kappa(
     po = F.col("_diag") / F.col("_N")
     pe = F.col("_rc") / (F.col("_N") * F.col("_N"))
     kappa = F.when(pe < 1, (po - pe) / (1 - pe))
-    return out.select(
-        F.col("_N").cast("long").alias("n"),
-        "n_categories",
-        F.round(po, 6).alias("p_observed"),
-        F.round(pe, 6).alias("p_expected"),
-        F.round(kappa, 4).alias("kappa"),
+    from ixmp_spark.operators import attach_caches
+
+    return attach_caches(
+        out.select(
+            F.col("_N").cast("long").alias("n"),
+            "n_categories",
+            F.round(po, 6).alias("p_observed"),
+            F.round(pe, 6).alias("p_expected"),
+            F.round(kappa, 4).alias("kappa"),
+        ),
+        cells,
     )
 
 

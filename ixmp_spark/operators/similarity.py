@@ -1542,58 +1542,67 @@ def matryoshka_recall(
     """
     from pyspark.sql import Window
 
-    full_dim = None  # full-dim ranking uses the whole vector
+    ds = sorted(int(d) for d in dims)
+    if any(d <= 0 for d in ds):
+        raise ValueError("dims must be positive")
     p = F.broadcast(
         probes.select(
             F.col(id_col).alias("__pid"), F.col(vec_col).alias("__pv")
         )
     )
     scored = df.crossJoin(p).where(F.col(id_col) != F.col("__pid"))
-
-    def topk(dim: int | None) -> DataFrame:
-        if dim is None:
-            va, vb = F.col(vec_col), F.col("__pv")
-        else:
-            va = F.slice(F.col(vec_col), 1, dim)
-            vb = F.slice(F.col("__pv"), 1, dim)
-        sim = cosine(va, vb)
-        w = Window.partitionBy("__pid").orderBy(
-            F.desc(sim), F.asc(id_col)
+    # r14 (guide §2.4 — one exchange instead of four): the four rankings
+    # (full + each truncation) used to be four separate window branches,
+    # each re-scanning the corpus and paying its own probe-keyed
+    # exchange, with three (pid, nid) joins + a union stitching them
+    # back. One map-side dim explode (sentinel 0 = full vector) ranks
+    # everything under a SINGLE window exchange partitioned by
+    # (probe, dim); the full-dim slice is a broadcast-sized build for
+    # ONE left join, and one aggregation pair emits all dims' rows.
+    # Same rankings (per-(pid, dim) row_number over the same sort key),
+    # same left-join indicator semantics, one corpus scan instead of
+    # |dims|+1.
+    dim_arr = F.array(*[F.lit(d) for d in ([0] + ds)])
+    expl = scored.withColumn("__d", F.explode(dim_arr))
+    va = F.when(F.col("__d") == 0, F.col(vec_col)).otherwise(
+        F.slice(F.col(vec_col), F.lit(1), F.col("__d"))
+    )
+    vb = F.when(F.col("__d") == 0, F.col("__pv")).otherwise(
+        F.slice(F.col("__pv"), F.lit(1), F.col("__d"))
+    )
+    sim = cosine(va, vb)
+    w = Window.partitionBy("__pid", "__d").orderBy(F.desc(sim), F.asc(id_col))
+    ranked = (
+        expl.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select("__d", "__pid", F.col(id_col).alias("__nid"))
+    )
+    # Survivor marking without a join (the ranked frame is
+    # probe×(|dims|+1)×k rows — always tiny): a truncated top-k row
+    # survives iff its (probe, neighbor) group also contains the
+    # full-dim sentinel row. Window-max over that group replaces the
+    # old (pid, nid) LEFT join + indicator with identical semantics —
+    # every truncated row still counts (a probe sharing nothing with
+    # the full top-k keeps recall 0, so n_probes never shrinks).
+    wh = Window.partitionBy("__pid", "__nid")
+    hits = (
+        ranked.withColumn(
+            "__hit",
+            F.max(F.when(F.col("__d") == 0, 1).otherwise(0)).over(wh),
         )
-        return (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") <= k)
-            .select("__pid", F.col(id_col).alias("__nid"))
-        )
-
-    full = topk(full_dim)
-    out = None
-    for d in sorted(int(d) for d in dims):
-        # LEFT join + indicator, NOT semi: a probe whose truncated
-        # top-k shares nothing with the full top-k must still count
-        # (recall 0), or n_probes shrinks and the mean biases up
-        hits = (
-            topk(d)
-            .join(
-                full.withColumn("__hit", F.lit(1)),
-                ["__pid", "__nid"],
-                "left",
-            )
-            .groupBy("__pid")
-            .agg(
-                (
-                    F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
-                    / F.lit(float(k))
-                ).alias("__rec")
-            )
-        )
-        row = hits.agg(
-            F.lit(d).alias("dim"),
+        .where(F.col("__d") != 0)
+        .groupBy("__d", "__pid")
+        .agg((F.sum("__hit") / F.lit(float(k))).alias("__rec"))
+    )
+    return (
+        hits.groupBy("__d")
+        .agg(
             F.count(F.lit(1)).cast("long").alias("n_probes"),
             F.round(F.avg("__rec"), 6).alias("mean_recall"),
         )
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("dim")
+        .select(F.col("__d").alias("dim"), "n_probes", "mean_recall")
+        .orderBy("dim")
+    )
 
 
 def embedding_dispersion(
