@@ -996,18 +996,27 @@ def neighborhood_jaccard(
             F.greatest(src_col, dst_col).alias("v"),
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        # r14: persist, not localCheckpoint — checkpointed RDD scans
+        # lose size statistics and forced SortMergeJoin on the
+        # node-sized degree joins (the triangle_count finding); this
+        # operator is not iterative, so lineage truncation buys nothing
+        .persist()
     )
     adj = e.select(F.col("u").alias("n"), F.col("v").alias("nbr")).unionByName(
         e.select(F.col("v").alias("n"), F.col("u").alias("nbr"))
     )
-    deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint(
-        eager=False
-    )
+    deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("deg")).persist()
     if max_center_degree is not None:
         hot = deg.where(F.col("deg") > int(max_center_degree)).limit(5)
-        offenders = [(r["n"], r["deg"]) for r in hot.collect()]
+        try:
+            offenders = [(r["n"], r["deg"]) for r in hot.collect()]
+        except BaseException:
+            e.unpersist()
+            deg.unpersist()
+            raise
         if offenders:
+            e.unpersist()  # fail-fast must not leak the caches
+            deg.unpersist()
             raise ValueError(
                 "neighborhood_jaccard: wedge centers exceed "
                 f"max_center_degree={max_center_degree}: {offenders} — "
@@ -1023,7 +1032,9 @@ def neighborhood_jaccard(
     )
     da = deg.select(F.col("n").alias("a"), F.col("deg").alias("_da"))
     db = deg.select(F.col("n").alias("b"), F.col("deg").alias("_db"))
-    return (
+    from ixmp_spark.operators import attach_caches
+
+    return attach_caches(
         pairs.join(da, "a")
         .join(db, "b")
         .select(
@@ -1038,7 +1049,9 @@ def neighborhood_jaccard(
                 / (F.col("_da") + F.col("_db") - F.col("common")),
                 6,
             ).alias("jaccard"),
-        )
+        ),
+        e,
+        deg,
     )
 
 
@@ -1197,7 +1210,8 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
                 F.col("dst").alias("_u"), F.col("src").alias("_v")
             )
         )
-        .localCheckpoint(eager=False)
+        # r14: persist, not localCheckpoint (stats, see triangle_count)
+        .persist()
     )
     deg = sym.groupBy("_u").agg(
         F.count(F.lit(1)).cast("double").alias("_d")
@@ -1220,10 +1234,15 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     dx = F.col("_m") * F.col("_sxx") - F.col("_sx") * F.col("_sx")
     dy = F.col("_m") * F.col("_syy") - F.col("_sy") * F.col("_sy")
     r = F.when((dx > 0) & (dy > 0), num / F.sqrt(dx * dy))
-    return agg.select(
-        "n_nodes",
-        (F.col("_m") / 2).cast("long").alias("n_edges"),
-        F.round(r, 4).alias("assortativity"),
+    from ixmp_spark.operators import attach_caches
+
+    return attach_caches(
+        agg.select(
+            "n_nodes",
+            (F.col("_m") / 2).cast("long").alias("n_edges"),
+            F.round(r, 4).alias("assortativity"),
+        ),
+        sym,
     )
 
 

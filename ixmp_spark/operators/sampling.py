@@ -2817,20 +2817,25 @@ def mann_kendall_trend(
         df.where(F.col(t_col).isNotNull() & F.col(value_col).isNotNull())
         .groupBy(F.col(group_col).alias("g"), F.col(t_col).alias("_t"))
         .agg(F.sum(value_col).alias("_v"))
-        # three consumers (guard, both self-join sides, ties) — the
-        # lazy checkpoint materializes the month-grain frame once and
-        # keeps the plan inside the audit's exchange budget (the x5
-        # shared-frame discipline)
-        .localCheckpoint(eager=False)
+        # three consumers (guard, both self-join sides, ties) — persist
+        # materializes the month-grain frame once; r14: persist, not
+        # localCheckpoint, so the planner keeps size statistics for the
+        # self-join strategy (the triangle_count finding)
+        .persist()
     )
-    over = (
-        pts.groupBy("g")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .where(F.col("_n") > max_points)
-        .limit(5)
-        .collect()
-    )
+    try:
+        over = (
+            pts.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > max_points)
+            .limit(5)
+            .collect()
+        )
+    except BaseException:
+        pts.unpersist()
+        raise
     if over:
+        pts.unpersist()  # fail-fast must not leak the cache
         raise ValueError(
             f"mann_kendall_trend: series over max_points={max_points}: "
             f"{[(r['g'], r['_n']) for r in over]} — aggregate the time "
@@ -2870,13 +2875,18 @@ def mann_kendall_trend(
         .when(sgn < 0, (sgn + 1) / F.sqrt(var_s))
         .otherwise(F.lit(0.0))
     )
-    return j.select(
-        "g",
-        n.alias("n"),
-        F.col("s"),
-        F.round(var_s, 4).alias("var_s"),
-        F.round(z, 4).alias("z"),
-    ).orderBy("g")
+    from ixmp_spark.operators import attach_caches
+
+    return attach_caches(
+        j.select(
+            "g",
+            n.alias("n"),
+            F.col("s"),
+            F.round(var_s, 4).alias("var_s"),
+            F.round(z, 4).alias("z"),
+        ).orderBy("g"),
+        pts,
+    )
 
 
 def permutation_test(

@@ -226,7 +226,13 @@ def running_user_totals(
             {"user_id": [key[0]], "n_events": [n], "sum_value": [round(s, 4)]}
         )
 
-    return events.groupBy("user_id").applyInPandasWithState(
+    # project to the two columns the fold reads BEFORE the Python
+    # boundary (guide §4.1): Spark cannot see which columns the opaque
+    # function touches and would otherwise ship every event column
+    # through Arrow each micro-batch
+    return events.select("user_id", "value").groupBy(
+        "user_id"
+    ).applyInPandasWithState(
         fold,
         outputStructType=out_schema,
         stateStructType=state_schema,
@@ -307,7 +313,10 @@ def zscore_stream(
         out_pdf.insert(1, key_col, key[0])
         yield out_pdf
 
-    return events.groupBy(key_col).applyInPandasWithState(
+    # project to the columns the fold reads BEFORE the Python
+    # boundary (guide §4.1) — the opaque function otherwise ships
+    # every input column through Arrow each micro-batch
+    return events.select(*[key_col, ts_col, order_col, value_col]).groupBy(key_col).applyInPandasWithState(
         score,
         outputStructType=out_schema,
         stateStructType=state_schema,
@@ -365,7 +374,10 @@ def ewma_stream(
         out_pdf.insert(1, key_col, key[0])
         yield out_pdf
 
-    return events.groupBy(key_col).applyInPandasWithState(
+    # project to the columns the fold reads BEFORE the Python
+    # boundary (guide §4.1) — the opaque function otherwise ships
+    # every input column through Arrow each micro-batch
+    return events.select(*[key_col, ts_col, order_col, value_col]).groupBy(key_col).applyInPandasWithState(
         fold,
         outputStructType=out_schema,
         stateStructType=state_schema,
@@ -439,7 +451,10 @@ def cusum_stream(
         out_pdf.insert(1, key_col, key[0])
         yield out_pdf
 
-    return events.groupBy(key_col).applyInPandasWithState(
+    # project to the columns the fold reads BEFORE the Python
+    # boundary (guide §4.1) — the opaque function otherwise ships
+    # every input column through Arrow each micro-batch
+    return events.select(*[key_col, ts_col, order_col, value_col]).groupBy(key_col).applyInPandasWithState(
         fold,
         outputStructType=out_schema,
         stateStructType=state_schema,
@@ -519,7 +534,10 @@ def state_durations_stream(
             yield pdf[[key_col, "state", "start_ts", "end_ts",
                        "duration_s", "n_rows"]]
 
-    return events.groupBy(key_col).applyInPandasWithState(
+    # project to the columns the fold reads BEFORE the Python
+    # boundary (guide §4.1) — the opaque function otherwise ships
+    # every input column through Arrow each micro-batch
+    return events.select(*[key_col, ts_col, order_col, state_col]).groupBy(key_col).applyInPandasWithState(
         fold,
         outputStructType=out_schema,
         stateStructType=state_schema,
@@ -956,7 +974,10 @@ def attribution_stream(
         out_pdf.insert(1, key_col, key[0])
         yield out_pdf
 
-    return events.groupBy(key_col).applyInPandasWithState(
+    # project to the columns the fold reads BEFORE the Python
+    # boundary (guide §4.1) — the opaque function otherwise ships
+    # every input column through Arrow each micro-batch
+    return events.select(*[key_col, ts_col, order_col, event_col]).groupBy(key_col).applyInPandasWithState(
         fold,
         outputStructType=out_schema,
         stateStructType=state_schema,
@@ -1022,7 +1043,10 @@ def gap_report_stream(
         out_pdf.insert(0, key_col, key[0])
         yield out_pdf
 
-    return events.groupBy(key_col).applyInPandasWithState(
+    # project to the columns the fold reads BEFORE the Python
+    # boundary (guide §4.1) — the opaque function otherwise ships
+    # every input column through Arrow each micro-batch
+    return events.select(*[key_col, ts_col]).groupBy(key_col).applyInPandasWithState(
         fold,
         outputStructType=out_schema,
         stateStructType=state_schema,
@@ -1143,7 +1167,10 @@ def sprt_stream(
         out_pdf.insert(0, key_col, key[0])
         yield out_pdf
 
-    return events.groupBy(key_col).applyInPandasWithState(
+    # project to the columns the fold reads BEFORE the Python
+    # boundary (guide §4.1) — the opaque function otherwise ships
+    # every input column through Arrow each micro-batch
+    return events.select(*[key_col, ts_col, y_col]).groupBy(key_col).applyInPandasWithState(
         fold,
         outputStructType=out_schema,
         stateStructType=state_schema,
@@ -1486,7 +1513,10 @@ def active_time_stream(
         out_pdf.insert(1, key_col, key[0])
         yield out_pdf
 
-    return events.groupBy(key_col).applyInPandasWithState(
+    # project to the columns the fold reads BEFORE the Python
+    # boundary (guide §4.1) — the opaque function otherwise ships
+    # every input column through Arrow each micro-batch
+    return events.select(*[key_col, ts_col, order_col]).groupBy(key_col).applyInPandasWithState(
         fold,
         outputStructType=out_schema,
         stateStructType=state_schema,

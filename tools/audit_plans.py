@@ -91,6 +91,11 @@ SHUFFLE_OK = {
     # cached subtree materializes exactly once (measured: x5 3.35 s ->
     # 1.9 s at sf0.1 after the switch)
     "x5_supplier_triangles",
+    # x26 = degree_assortativity; same r14 persist-over-checkpoint
+    # switch (sym feeds the degree aggregate and both join sides) —
+    # textual count inflated by cached-subtree re-printing, executed
+    # exchanges unchanged
+    "x26_degree_assortativity",
     # p13 = t10's bigram-LM pipeline (gram explode + bg/ctx count aggs +
     # two gram-keyed joins + per-doc agg) plus ONE extra lang-keyed
     # ntile window over the per-document perplexity table — the added
