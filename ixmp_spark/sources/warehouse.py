@@ -498,6 +498,13 @@ class LocalWarehouse:
                     target,
                     compression="zstd",
                 )
+            elif isinstance(df, pa.Table):
+                # Arrow-native staging (r14 bulk-ingest fast path): the
+                # table is already schema-cast — write it without a
+                # pandas round-trip
+                pq.write_table(
+                    df.cast(SCHEMAS[t]), target, compression="zstd"
+                )
             else:  # Spark DataFrame → distributed directory write
                 cols = [f.name for f in SCHEMAS[t]]
                 keys = BUCKET_KEYS.get(t)
