@@ -352,7 +352,12 @@ def extract_features(
                 )
             yield pd.DataFrame(rows)
 
-    return df.mapInPandas(batches, schema=out_schema)
+    # guide §4.1: select only the two columns the batch fn reads —
+    # Spark cannot see inside the opaque function and would ship
+    # (and scan) every input column otherwise
+    return df.select(id_col, media_col).mapInPandas(
+        batches, schema=out_schema
+    )
 
 
 def resize_images(
@@ -387,7 +392,12 @@ def resize_images(
                 out.append({id_col: i, media_col: m})
             yield pd.DataFrame(out)
 
-    return df.mapInPandas(batches, schema=out_schema)
+    # guide §4.1: select only the two columns the batch fn reads —
+    # Spark cannot see inside the opaque function and would ship
+    # (and scan) every input column otherwise
+    return df.select(id_col, media_col).mapInPandas(
+        batches, schema=out_schema
+    )
 
 
 def chunk_audio(
@@ -445,7 +455,12 @@ def chunk_audio(
                 ],
             )
 
-    return df.mapInPandas(batches, schema=out_schema)
+    # guide §4.1: select only the two columns the batch fn reads —
+    # Spark cannot see inside the opaque function and would ship
+    # (and scan) every input column otherwise
+    return df.select(id_col, media_col).mapInPandas(
+        batches, schema=out_schema
+    )
 
 
 def extract_frames(
@@ -486,7 +501,12 @@ def extract_frames(
                 columns=[id_col, "frame_index", "width", "height", "frame_ppm"],
             )
 
-    return df.mapInPandas(batches, schema=out_schema)
+    # guide §4.1: select only the two columns the batch fn reads —
+    # Spark cannot see inside the opaque function and would ship
+    # (and scan) every input column otherwise
+    return df.select(id_col, media_col).mapInPandas(
+        batches, schema=out_schema
+    )
 
 
 def sample_frames(
@@ -517,7 +537,12 @@ def sample_frames(
                 else pd.DataFrame(columns=[id_col, "frame_index", "mime"])
             )
 
-    return df.mapInPandas(batches, schema=out_schema)
+    # guide §4.1: select only the two columns the batch fn reads —
+    # Spark cannot see inside the opaque function and would ship
+    # (and scan) every input column otherwise
+    return df.select(id_col, media_col).mapInPandas(
+        batches, schema=out_schema
+    )
 
 
 def _dhash64(pixels: np.ndarray) -> int:
@@ -574,7 +599,12 @@ def image_dhash(
                 )
             yield pd.DataFrame(rows)
 
-    return df.mapInPandas(batches, schema=out_schema)
+    # guide §4.1: select only the two columns the batch fn reads —
+    # Spark cannot see inside the opaque function and would ship
+    # (and scan) every input column otherwise
+    return df.select(id_col, media_col).mapInPandas(
+        batches, schema=out_schema
+    )
 
 
 def dhash_neardup_pairs(
@@ -732,4 +762,9 @@ def patchify_images(
                 out, columns=[f.name for f in out_schema.fields]
             )
 
-    return df.mapInPandas(batches, schema=out_schema)
+    # guide §4.1: select only the two columns the batch fn reads —
+    # Spark cannot see inside the opaque function and would ship
+    # (and scan) every input column otherwise
+    return df.select(id_col, media_col).mapInPandas(
+        batches, schema=out_schema
+    )
