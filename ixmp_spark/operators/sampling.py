@@ -480,9 +480,10 @@ def pareto_frontier(
     1. per distinct x, the max y (keyed aggregate — the only pass
        over full data besides the final flag join);
     2. distinct-x rows land in ``buckets`` equal-width x-ranges
-       (bounds ride a broadcast 1-row min/max aggregate — fully lazy,
-       no driver probe); within each bucket a window ordered x desc
-       computes the running max-y over STRICTLY higher x;
+       (bounds ride a broadcast 1-row min/max aggregate over the
+       persisted per-x frame — fully lazy, no driver probe); within
+       each bucket a window ordered x desc computes the running
+       max-y over STRICTLY higher x;
     3. the per-bucket maxima (≤ ``buckets`` rows, from an aggregate)
        take one bounded SinglePartition prefix pass that carries the
        best y of all higher-x buckets into each bucket;
@@ -499,10 +500,24 @@ def pareto_frontier(
     """
     x = F.col(x_col).cast("double")
     y = F.col(y_col).cast("double")
-    pts = df.where(x.isNotNull() & y.isNotNull())
-    per_x = pts.groupBy(x.alias("__x")).agg(F.max(y).alias("__ymax"))
-    bounds = pts.agg(
-        F.min(x).alias("__xlo"), F.max(x).alias("__xhi")
+    # r14: filter on x only. ``max`` already ignores NULL y, so an x
+    # whose ys are all NULL survives as (__x, NULL __ymax): it adds
+    # nothing to any running max and can never flag (y == __ymax is
+    # NULL -> coalesce false) — identical output. Filtering on the
+    # derived y column pushed isnotnull(y-expr) below the aggregate
+    # and re-evaluated the y expression once for the filter and once
+    # for the projection on every scan (p17 tokenized each document
+    # twice per scan); the frontier branches below also re-derived
+    # this aggregate per reference, so persist it (distinct-x-sized)
+    # and take the bucket bounds from it instead of a third df scan.
+    per_x = (
+        df.where(x.isNotNull())
+        .groupBy(x.alias("__x"))
+        .agg(F.max(y).alias("__ymax"))
+        .persist()
+    )
+    bounds = per_x.agg(
+        F.min("__x").alias("__xlo"), F.max("__x").alias("__xhi")
     )
     # equal-width bucket index, 0 = highest-x range; the 1-row bounds
     # frame broadcasts (BroadcastNestedLoopJoin over 1 row is the
@@ -547,12 +562,15 @@ def pareto_frontier(
         ).alias("__xkept"),
     )
     out = df.join(kept_x, x.eqNullSafe(F.col("__x")), "left")
-    return out.withColumn(
+    out = out.withColumn(
         flag_col,
         F.coalesce(
             F.col("__xkept") & (y == F.col("__ymax")), F.lit(False)
         ),
     ).drop("__x", "__ymax", "__xkept")
+    from ixmp_spark.operators import attach_caches
+
+    return attach_caches(out, per_x)
 
 
 def calibration_table(
