@@ -155,20 +155,37 @@ def repetition_signals(df: DataFrame, text_col: str) -> DataFrame:
 
 
 def tfidf_topk(
-    df: DataFrame, id_col: str, text_col: str, k: int = 5
+    df: DataFrame, id_col: str, text_col: str, k: int = 5,
+    cache_tf: bool = False,
 ) -> DataFrame:
     """Per-document top-``k`` keywords by TF-IDF (raw term frequency ×
     ``ln(N / df)``), ties broken lexicographically.
 
     Plan shape for scale: explode → groupBy(doc, term) builds the TF
     table in one keyed shuffle (map-side partial counts); the DF table
-    derives from TF with a second small aggregation keyed on term, so
-    the join back is term-keyed and AQE broadcasts it when the
-    vocabulary is small. The only per-document serialization is the
-    final top-k window, partitioned by document id — never a global
-    sort. N (total documents) is a 1-row aggregate cross-broadcast into
-    the scoring projection, so the whole operator is ONE Spark action —
-    no separate driver-side count job.
+    derives from TF with a second small aggregation keyed on term (a
+    groupBy, NOT a per-term window: partial aggregation collapses a
+    stopword's rows map-side where a window would ship every
+    (doc, term) row of the hot term to one task), so the join back is
+    term-keyed and AQE broadcasts it when the vocabulary is small. The
+    only per-document serialization is the final top-k window,
+    partitioned by document id — never a global sort. N (total
+    documents) is a 1-row aggregate cross-broadcast into the scoring
+    projection, so the whole operator is ONE Spark action — no separate
+    driver-side count job.
+
+    ``cache_tf``: TF is referenced twice (scoring probe side + DF
+    aggregation) and the two subtrees canonicalize differently after
+    column pruning, so ReuseExchange does NOT dedupe them — the corpus
+    is tokenized and (doc, term)-shuffled once per reference. With the
+    default ``False`` both passes run (measured at sf0.1: recomputing
+    the second pass is ~1 s CHEAPER than materializing the TF cache —
+    the frame is aggregate-sized but the cache write dominates when the
+    corpus fits one box). At cluster scale the second pass re-pays a
+    full corpus tokenize plus a network exchange of the token stream,
+    which dwarfs a local MEMORY_AND_DISK cache write: pass ``True`` to
+    persist TF and run one corpus pass (the handle attaches to the
+    result — the d2/d3 discipline; release_cache frees it).
 
     Output: (id, term, rank, score) — rank 1..k, score rounded to 6
     decimals.
@@ -179,6 +196,8 @@ def tfidf_topk(
         F.explode(F.split(F.trim(F.lower(text_col)), r"\s+")).alias("term"),
     )
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    if cache_tf:
+        tf = tf.persist()
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
     scored = (
         tf.join(dfreq, "term")
@@ -190,11 +209,16 @@ def tfidf_topk(
         )
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("__s"), F.asc("term"))
-    return (
+    out = (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select(id_col, "term", "rank", F.round("__s", 6).alias("score"))
     )
+    if cache_tf:
+        from ixmp_spark.operators import attach_caches
+
+        out = attach_caches(out, tf)
+    return out
 
 
 def bigram_perplexity(

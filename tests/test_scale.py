@@ -893,6 +893,30 @@ def test_tfidf_topk_hand_computed(spark):
     assert all(rank <= 2 for rank, _ in out.values())
 
 
+def test_tfidf_topk_cache_tf_identical_and_releasable(spark):
+    """cache_tf=True (one corpus pass via a persisted TF frame) returns
+    the identical result set and attaches exactly one releasable cache
+    handle; the default path attaches none."""
+    from ixmp_spark.operators import release_cache
+    from ixmp_spark.operators.text import tfidf_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple banana apple common"),
+            (2, "banana cherry common"),
+            (3, "dates common"),
+        ],
+        "doc_id long, text string",
+    )
+    plain = tfidf_topk(df, "doc_id", "text", k=2)
+    cached = tfidf_topk(df, "doc_id", "text", k=2, cache_tf=True)
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, cached.collect())
+    )
+    assert release_cache(plain) == 0
+    assert release_cache(cached) == 1
+
+
 def test_bigram_perplexity_semantics(spark):
     """Add-1 bigram LM: a document repeating the corpus's dominant
     pattern scores lower perplexity than off-distribution text; docs
