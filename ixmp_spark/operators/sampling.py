@@ -1467,20 +1467,23 @@ def ks_two_sample(
         .cast("double")
         .alias("_nb"),
     )
+    # max gap in INTEGER space: |ca·n2 − cb·n1|. The group totals
+    # n1/n2 ride the SAME Window node as the cumulative sums via an
+    # unbounded frame (same empty partitioning, same ordering → one
+    # sort, one pass) instead of a second evaluation of the whole
+    # scan→aggregate→window subtree cross-broadcast back in. Values
+    # are integer-valued doubles, exact under any summation order.
     w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     cum = per_v.select(
         F.sum("_na").over(w).alias("_ca"),
         F.sum("_nb").over(w).alias("_cb"),
+        F.sum("_na").over(wt).alias("_n1"),
+        F.sum("_nb").over(wt).alias("_n2"),
     )
-    # max gap in INTEGER space: |ca·n2 − cb·n1|; n1/n2 (the final
-    # cumulative values = group sizes) arrive as a 1-row broadcast
-    gaps = cum.crossJoin(
-        F.broadcast(
-            cum.agg(
-                F.max("_ca").alias("_n1"), F.max("_cb").alias("_n2")
-            )
-        )
-    ).agg(
+    gaps = cum.agg(
         F.max("_n1").alias("n1"),
         F.max("_n2").alias("n2"),
         F.max(

@@ -2070,14 +2070,26 @@ def rolling_active(
     trailing ``window_days`` ending that day; the column is named wau
     for any window (rename at call site for MAU).
     """
+    from ixmp_spark.operators import attach_caches
+
     day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    # persist, not localCheckpoint: the operator is not iterative, so
+    # lineage truncation buys nothing, while a checkpointed-RDD scan
+    # has UnknownPartitioning and no size statistics — the planner
+    # loses the stats that size the dau/wau join (the x5 class).
     pairs = (
         df.select(F.col(entity_col).alias("_e"), day.alias("_d"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .persist()
     )
-    dau = pairs.groupBy(F.col("_d").alias("day")).agg(
-        F.count(F.lit(1)).cast("long").alias("dau")
+    # dau is day-sized (tiny); persisting it lets the clip bound
+    # derive from dau instead of a third full pass over pairs — at
+    # scale pairs is data-sized (distinct entity-days) and max(day)
+    # over dau is the same value for the price of a |days|-row scan.
+    dau = (
+        pairs.groupBy(F.col("_d").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("dau"))
+        .persist()
     )
     votes = pairs.select(
         "_e",
@@ -2088,14 +2100,15 @@ def rolling_active(
             )
         ).alias("day"),
     ).distinct()
-    max_day = pairs.agg(F.max("_d").alias("_max"))
+    max_day = dau.agg(F.max("day").alias("_max"))
     wau = (
         votes.crossJoin(F.broadcast(max_day))
         .where(F.col("day") <= F.col("_max"))
         .groupBy("day")
         .agg(F.count(F.lit(1)).cast("long").alias("wau"))
     )
-    return dau.join(wau, "day", "left").select("day", "dau", "wau")
+    out = dau.join(wau, "day", "left").select("day", "dau", "wau")
+    return attach_caches(out, pairs, dau)
 
 
 def gap_report(

@@ -958,9 +958,26 @@ def dsir_logratio(
         grams = grams.withColumn(
             "__w", F.pmod(F.xxhash64("__w"), F.lit(hash_buckets))
         )
-    counts = grams.groupBy("__w").agg(
-        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("__ct"),
-        F.sum(F.when(~F.col("__t"), 1).otherwise(0)).alias("__cr"),
+    # counts is vocabulary-sized and referenced twice (totals +
+    # weights): unpersisted, each reference re-pays the corpus
+    # scan/explode/aggregate. (The pre-AQE plan may still show the
+    # exploded token stream as the broadcast build side — explode
+    # fan-out is invisible to size estimates, so the raw-parquet
+    # number leaks through. That misestimate is self-limiting: it
+    # only fires when the SOURCE scan estimate is under the 10 MB
+    # broadcast threshold, i.e. small inputs where the broadcast is
+    # harmless, and the AQE-final plan flips the build side to the
+    # weights table — verified in the executed plan at sf0.1. No
+    # join hint: a forced weights broadcast breaks when the open
+    # vocabulary grows data-sized, and a forced merge pins a full
+    # token-stream shuffle in the common small-vocab case.)
+    counts = (
+        grams.groupBy("__w")
+        .agg(
+            F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("__ct"),
+            F.sum(F.when(~F.col("__t"), 1).otherwise(0)).alias("__cr"),
+        )
+        .persist()
     )
     totals = counts.agg(
         F.sum("__ct").cast("double").alias("__nt"),
@@ -972,7 +989,9 @@ def dsir_logratio(
     weights = counts.crossJoin(F.broadcast(totals)).select(
         "__w", F.log(p_t / p_r).alias("__lw")
     )
-    return (
+    from ixmp_spark.operators import attach_caches
+
+    out = (
         grams.join(weights, "__w")
         .groupBy(id_col)
         .agg(
@@ -980,6 +999,7 @@ def dsir_logratio(
             F.round(F.avg("__lw"), 6).alias("logratio"),
         )
     )
+    return attach_caches(out, counts)
 
 
 def perplexity_buckets(
@@ -2030,13 +2050,42 @@ def gopher_repetition_signals(
         ).alias("dup_line_char_frac"),
         F.length(norm).cast("double").alias("_chars"),
     )
-    grams = None
-    for n in (2, 3, 4, 5):
-        g = base.select(
-            "_id", "_chars", F.lit(n).alias("_n"),
-            F.explode(word_ngrams(F.col("_norm"), n)).alias("_g"),
+    # all four gram sizes from ONE scan and ONE tokenize: a per-n
+    # union re-reads the source and re-splits the text once per branch
+    # (4 Scan→Generate chains; subexpression sharing cannot cross plan
+    # branches). One flatten(array(transform…)) projection over a
+    # single split emits the identical (n, gram) multiset — same rows
+    # into the same keyed shuffle — at ~60% of the union's CPU
+    # (measured at sf0.1 on spread input: 1.47 s → 0.76 s warm noop;
+    # the union's LOCAL wall time on the driver's single-split bench
+    # files looks better only because its 4 branches are 4 accidental
+    # tasks — callers restore real parallelism with load_spread).
+    toks = F.split(F.col("_norm"), r"\s+")
+    sz = F.size(toks)
+
+    def _tagged(n: int):
+        starts = F.when(
+            sz >= n, F.sequence(F.lit(1), sz - F.lit(n) + F.lit(1))
+        ).otherwise(F.array().cast("array<int>"))
+        gram_n = F.transform(
+            starts, lambda i: F.array_join(F.slice(toks, i, n), " ")
         )
-        grams = g if grams is None else grams.unionByName(g)
+        # NB: the lambda must stay unary — pyspark passes (element,
+        # index) to two-parameter transform lambdas, so a `n=n`
+        # default capture would silently receive the array index.
+        return F.transform(
+            gram_n,
+            lambda g: F.struct(F.lit(n).alias("_n"), g.alias("_g")),
+        )
+
+    gram_structs = F.flatten(
+        F.array(*[_tagged(n) for n in (2, 3, 4, 5)])
+    )
+    grams = base.select(
+        "_id", "_chars", F.explode(gram_structs).alias("_s")
+    ).select(
+        "_id", "_chars", F.col("_s._n").alias("_n"), F.col("_s._g").alias("_g")
+    )
     cnt = grams.groupBy("_id", "_n", "_g").agg(
         F.count(F.lit(1)).cast("double").alias("_c"),
         F.max("_chars").alias("_chars"),

@@ -1320,5 +1320,8 @@ def t29_repetition(spark, sf_dir):
     max_by tie-break (count, length, gram) literally."""
     from ixmp_spark.operators.text import gopher_repetition_signals
 
-    docs = load(spark, sf_dir, "documents")
+    # load_spread (the x19 precedent): gram construction is per-row
+    # expensive and the bench files are single-split — without the
+    # spread the whole one-pass gram build runs in one task.
+    docs = load_spread(spark, sf_dir, "documents")
     return gopher_repetition_signals(docs, "doc_id", "text")
