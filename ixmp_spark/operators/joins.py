@@ -1313,26 +1313,32 @@ def bradley_terry(
     wins = ordered.groupBy("__w", "__l").agg(
         F.count(F.lit(1)).cast("double").alias("__k")
     ).persist()
-    # ONE limit-probe job materializes the persisted win counts AND
-    # (when they fit) delivers the driver path's data — no separate
-    # count jobs; the probe rides Arrow (toPandas): a row-by-row
-    # collect() of a near-limit grid is py4j-bound (~8 s vs ~0.3 s
-    # for 1M rows). The symmetrize-with-prior step happens in numpy
-    # on the driver path (it is pure per-pair arithmetic) — the r9
-    # profile showed the Spark union+groupBy+join symmetrization
-    # costing more than the whole MM fit at sf0.1.
+    # count() then a full Arrow collect, NOT a limit-probe: the grid
+    # is persisted, so the count is one fully-parallel job that
+    # materializes every cache partition at once, where
+    # CollectLimit's escalating partition waves (1, 4, 16, …
+    # sequential jobs) staged the materialization and swung the wall
+    # time 5× rep-to-rep (measured at sf0.1: probe 1.3–6.2 s vs
+    # count+collect 1.15–1.63 s). Over-cap inputs also no longer
+    # collect cap+1 rows just to learn they must go distributed —
+    # the path decision now precedes any driver transfer. The
+    # collect rides Arrow (toPandas): a row-by-row collect() of a
+    # near-cap grid is py4j-bound (~8 s vs ~0.3 s for 1M rows). The
+    # symmetrize-with-prior step happens in numpy on the driver path
+    # (pure per-pair arithmetic) — the r9 profile showed the Spark
+    # union+groupBy+join symmetrization costing more than the whole
+    # MM fit at sf0.1.
     # item_type derives BEFORE the empty check so the empty frame's
     # schema matches the non-empty paths (a long-keyed empty input must
     # not come back string-keyed — downstream unions would mismatch)
     item_type = wins.schema["__w"].dataType.simpleString()
-    pdf = wins.limit(driver_max_pairs + 1).toPandas()
-    if pdf.empty:
+    n_win_pairs = wins.count()
+    if n_win_pairs == 0:
         wins.unpersist()
         return spark.createDataFrame(
             [], f"item {item_type}, strength double, wins double,"
             " n_comparisons double"
         )
-    n_win_pairs = len(pdf)
     if stats is not None:
         stats.update(
             n_pairs=n_win_pairs,
@@ -1344,6 +1350,7 @@ def bradley_terry(
         # by construction — exact numpy fixpoint, zero per-round jobs
         import numpy as np
 
+        pdf = wins.toPandas()
         wins.unpersist()
         m = len(pdf)
         both = np.concatenate(

@@ -2713,12 +2713,21 @@ def kendall_tau(
         )
         .agg(F.count(F.lit(1)).alias("_c"))
     )
-    rows = cells.limit(max_cells + 1).collect()
-    if len(rows) > max_cells:
+    # persist + count + full collect, not a limit-probe: CollectLimit
+    # stages the materialization in escalating partition waves
+    # (sequential jobs), where count() on the persisted grid is one
+    # fully-parallel job — the bradley_terry finding; the guard also
+    # reports the true cell count.
+    cells = cells.persist()
+    n_cells = cells.count()
+    if n_cells > max_cells:
+        cells.unpersist()
         raise ValueError(
-            f"kendall_tau: {len(rows)}+ distinct (x, y) cells exceed "
+            f"kendall_tau: {n_cells} distinct (x, y) cells exceed "
             f"max_cells={max_cells} — quantize the value domains first"
         )
+    rows = cells.collect()
+    cells.unpersist()
     pts = sorted((r["_x"], r["_y"], r["_c"]) for r in rows)
     conc = disc = 0
     for i, (x1, y1, c1) in enumerate(pts):

@@ -2592,12 +2592,22 @@ def markov_stationary(
         .groupBy(F.col(event_col).alias("_s"), F.col("_dst").alias("_d"))
         .agg(F.count(F.lit(1)).cast("double").alias("_n"))
     )
-    pdf = steps.limit(max_edges + 1).toPandas()
-    if len(pdf) > max_edges:
+    # persist + count + full collect, not a limit-probe: CollectLimit
+    # stages the materialization in escalating partition waves
+    # (sequential jobs), where count() on the persisted grid is one
+    # fully-parallel job — the bradley_terry finding; the guard also
+    # reports the true edge count.
+    steps = steps.persist()
+    n_edges = steps.count()
+    if n_edges > max_edges:
+        steps.unpersist()
         raise ValueError(
-            f"markov_stationary: transition grid exceeds max_edges="
-            f"{max_edges} (src,dst) rows — bucket the event domain first"
+            f"markov_stationary: {n_edges} transition-grid (src,dst)"
+            f" rows exceed max_edges={max_edges} — bucket the event"
+            " domain first"
         )
+    pdf = steps.toPandas()
+    steps.unpersist()
     if pdf.empty:
         return df.sparkSession.createDataFrame(
             [], "state string, stationary_p double"
