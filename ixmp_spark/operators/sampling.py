@@ -2958,11 +2958,13 @@ def permutation_test(
         )
     )
     # deterministic row id: rank by (value, group) — stable across
-    # engines without relying on input order
+    # engines without relying on input order. The global rank window
+    # runs single-task by construction; persist so the observed-stats
+    # aggregate and the permutation branch don't each re-pay it.
     wid = Window.orderBy(F.asc("_v"), F.asc("_g"))
     base = two.select(
         "_g", "_v", F.row_number().over(wid).alias("_rid")
-    )
+    ).persist()
     reps = base.sparkSession.range(1, n_perm + 1).select(
         F.col("id").alias("_rep")
     )
@@ -2970,7 +2972,14 @@ def permutation_test(
         F.asc(F.md5(F.concat_ws("|", F.col("_rid"), F.col("_rep")))),
         F.asc("_rid"),
     )
-    shuffled = base.crossJoin(reps).select(
+    # round-robin BEFORE the ×n_perm cross join: without it the
+    # explode inherits the rank window's SINGLE partition, so all
+    # n·n_perm rows are generated and shuffle-written by one map task
+    # (measured at sf0.1: the per-rep job drops 19.4 s → 2.2 s).
+    spread = base.repartition(
+        base.sparkSession.sparkContext.defaultParallelism
+    )
+    shuffled = spread.crossJoin(reps).select(
         "_rep", "_v", F.row_number().over(wperm).alias("_pos")
     )
     obs = base.agg(
@@ -2987,6 +2996,7 @@ def permutation_test(
     na, ntot, sa_obs, tot = o["_na"], o["_n"], o["_sa"], o["_tot"]
     nb = ntot - na
     if na == 0 or nb == 0:
+        base.unpersist()
         raise ValueError("permutation_test: one group is empty")
     # |mean diff| comparison in integer space: |sa*n - T*na| scaled by
     # the constant 1/(na*nb/n)... both sides share the factor, exact
@@ -3009,6 +3019,7 @@ def permutation_test(
         .agg(F.sum("_ge").cast("long").alias("n_ge"))
     )
     g = per_rep.collect()[0]["n_ge"]
+    base.unpersist()
     spark = df.sparkSession
     # rounding happens in Spark SQL (not Python's banker's round), so
     # both engines apply the same half-up semantics to the same floats

@@ -24,7 +24,14 @@ def x1_sketches(spark, sf_dir):
     exact countDistinct shuffles every distinct value, a sketch ships a
     few KB per partition. Rows-only check; accuracy bounds are asserted
     in unit tests against the exact values."""
-    li = load(spark, sf_dir, "lineitem")
+    # fixed 32-way repartition, deliberately NOT load_spread: the heavy
+    # per-row work (HLL updates, percentile-summary inserts, the
+    # distinct Expand) otherwise serializes in the bench files' single
+    # scan task (measured 9.3 s → 3.7 s), and a FIXED count — unlike
+    # defaultParallelism — keeps approx_percentile's summary-merge
+    # topology, and therefore its value, a pure function of the data
+    # across the driver's different core-count arms.
+    li = load(spark, sf_dir, "lineitem").repartition(32)
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
@@ -110,7 +117,10 @@ def t6_winnow_fingerprints(spark, sf_dir):
     pinned in unit tests."""
     from ixmp_spark.operators.dedup import winnow_fingerprints
 
-    docs = load(spark, sf_dir, "documents")
+    # load_spread: per-character rolling hashes are the most per-row-
+    # expensive transform in the catalog; on the single-split bench
+    # files the whole corpus would hash in one task.
+    docs = load_spread(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         winnow_fingerprints("text", k=5, w=4).alias("fingerprints"),
