@@ -560,25 +560,40 @@ def fuzzy_key_join(
     renamed = {c: (c + "_r" if c in lcols else c) for c in rcols}
     r2 = right.select(*[F.col(c).alias(renamed[c]) for c in rcols])
     rk = renamed[right_key]
-    # per-ROW ids before exploding: a row pair sharing several deletion
-    # variants must emit once, but CONTENT-duplicate rows (common in
-    # denormalized sources) are distinct matches and must all survive —
-    # deduping on the key strings would collapse them
-    lv = left.withColumn("__lid", F.monotonically_increasing_id()).withColumn(
-        "__h", F.explode(F.transform(variants(left_key), lambda v: F.xxhash64(v)))
+    # Block and verify on DISTINCT KEY STRINGS, then expand back to
+    # rows with two equality joins (guide §8: make every shuffle but
+    # the last operate on a lightweight proxy). The first cut exploded
+    # FULL ROWS into their deletion variants, so k content-duplicate
+    # keys paid k² candidate pairs × ~(len+1) shared variants through
+    # two payload-carrying shuffles — 65M joined rows for 7.8M real
+    # pairs on the duplicate-heavy x20 corpus (measured; 67 s noop).
+    # At the name level the same corpus is 64 distinct keys. Row
+    # multiplicity is preserved exactly: every (left row, right row)
+    # pair whose keys verify emits once — content-duplicate rows are
+    # distinct matches and all survive, as before. NULL keys never
+    # match (the equality join drops them; levenshtein(NULL, x)
+    # dropped them before).
+    ln = left.select(F.col(left_key).alias("__lk")).distinct()
+    rn = r2.select(F.col(rk).alias("__rk")).distinct()
+    lv = ln.withColumn(
+        "__h", F.explode(F.transform(variants("__lk"), lambda v: F.xxhash64(v)))
     )
-    rv = r2.withColumn("__rid", F.monotonically_increasing_id()).withColumn(
-        "__h", F.explode(F.transform(variants(rk), lambda v: F.xxhash64(v)))
+    rv = rn.withColumn(
+        "__h", F.explode(F.transform(variants("__rk"), lambda v: F.xxhash64(v)))
     )
-    cand = (
+    dist = F.levenshtein(F.col("__lk"), F.col("__rk"))
+    name_pairs = (
         lv.join(rv, "__h")
         .drop("__h")
-        .dropDuplicates(["__lid", "__rid"])
-        .drop("__lid", "__rid")
+        .dropDuplicates(["__lk", "__rk"])
+        .where(dist <= max_edits)
+        .select("__lk", "__rk", dist.cast("long").alias("edit_distance"))
     )
-    dist = F.levenshtein(F.col(left_key), F.col(rk))
-    return cand.where(dist <= max_edits).withColumn(
-        "edit_distance", dist.cast("long")
+    return (
+        left.join(name_pairs, F.col(left_key) == F.col("__lk"))
+        .join(r2, F.col("__rk") == F.col(rk))
+        .drop("__lk", "__rk")
+        .select(*lcols, *[renamed[c] for c in rcols], "edit_distance")
     )
 
 
