@@ -56,7 +56,9 @@ def d3_minhash_lsh(spark, sf_dir):
 def d4_simhash(spark, sf_dir):
     """64-bit SimHash fingerprints (near-dup via Hamming distance on the
     fingerprint). Rows-only check; determinism is covered in unit tests."""
-    docs = load(spark, sf_dir, "documents")
+    # load_spread: the per-bigram hash + 64-bit vote fold is map-only
+    # and per-row expensive — single-task on the bench files otherwise.
+    docs = load_spread(spark, sf_dir, "documents")
     return docs.select("doc_id", simhash64("text", n=2).alias("simhash"))
 
 
