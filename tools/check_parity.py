@@ -123,6 +123,7 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     sys.path.insert(0, "/root/repo")
+    from ixmp_spark.operators import release_cache
     from ixmp_spark.queries import ORACLES, QUERIES
     from ixmp_spark.session import get_spark
 
@@ -152,6 +153,10 @@ def main() -> int:
             sdf = fn(spark, sf_dir)
             spdf = sdf.toPandas()
             timings[name] = round(time.perf_counter() - t0, 4)
+            # free operator-attached persisted frames: without this the
+            # sweep accumulates every query's internal caches for the
+            # whole session (memory pressure + eviction timing noise)
+            release_cache(sdf, blocking=True)
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
