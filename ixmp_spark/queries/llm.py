@@ -656,7 +656,9 @@ def t21_char_entropy(spark, sf_dir):
     driver hash certifies the fold against the textbook formula."""
     from ixmp_spark.operators.text import char_entropy
 
-    docs = load(spark, sf_dir, "documents")
+    # load_spread: the per-document sorted-char fold is map-only and
+    # per-row expensive — single-task on the single-split bench files.
+    docs = load_spread(spark, sf_dir, "documents")
     h = char_entropy("text")
     return docs.where(F.length("text") > 0).select(
         "doc_id",
