@@ -30,11 +30,27 @@ def get_spark(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
     master = master or f"local[{cpus}]"
-    shuffle = str(shuffle_partitions or int(cpus))
+    # scale-adaptive, not a constant: defaults to the local core count
+    # (AQE coalescing shrinks small stages from there), overridable for
+    # cluster runs where the right number tracks data volume (guide
+    # §2.2: size post-shuffle partitions toward 100 MB-1 GB).
+    shuffle = str(
+        shuffle_partitions
+        or int(os.environ.get("IXMP_SPARK_SHUFFLE_PARTITIONS", 0))
+        or int(cpus)
+    )
+    # shuffle codec: lz4 locally (local dirs are RAM-backed tmpfs, so
+    # shuffle bytes are nearly free and lz4's lower CPU wins — A-B on
+    # the three shuffle-heaviest bench queries showed zstd flat-to-
+    # slower, e.g. d3 warm 1.75 s lz4 vs 2.35 s zstd); on a real
+    # cluster set IXMP_SPARK_IO_CODEC=zstd — the markedly better ratio
+    # pays when shuffle blocks cross a real network (guide §2.3).
+    io_codec = os.environ.get("IXMP_SPARK_IO_CODEC", "lz4")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.io.compression.codec", io_codec)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
