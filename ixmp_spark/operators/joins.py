@@ -582,18 +582,35 @@ def fuzzy_key_join(
         "__h", F.explode(F.transform(variants("__rk"), lambda v: F.xxhash64(v)))
     )
     dist = F.levenshtein(F.col("__lk"), F.col("__rk"))
+    # the computed distance rides a RESERVED name through the joins
+    # (ADVICE r14): a bare "edit_distance" reference in the final select
+    # turned ambiguous (AnalysisException) whenever an input frame
+    # already carried that column — where the pre-r14 withColumn form
+    # silently overwrote it. The alias restores the overwrite semantics:
+    # an input edit_distance column is replaced by the computed one.
     name_pairs = (
         lv.join(rv, "__h")
         .drop("__h")
         .dropDuplicates(["__lk", "__rk"])
         .where(dist <= max_edits)
-        .select("__lk", "__rk", dist.cast("long").alias("edit_distance"))
+        .select("__lk", "__rk", dist.cast("long").alias("__ed"))
     )
+    # same latent class for the blocking helpers: fail loud, not
+    # ambiguous, if an input column shadows a reserved join name
+    reserved = {"__lk", "__rk", "__ed"}
+    shadowed = reserved & (set(lcols) | {renamed[c] for c in rcols})
+    if shadowed:
+        raise ValueError(
+            f"fuzzy_key_join: input columns shadow reserved names "
+            f"{sorted(shadowed)}; rename them before joining"
+        )
+    out_l = [c for c in lcols if c != "edit_distance"]
+    out_r = [renamed[c] for c in rcols if renamed[c] != "edit_distance"]
     return (
         left.join(name_pairs, F.col(left_key) == F.col("__lk"))
         .join(r2, F.col("__rk") == F.col(rk))
         .drop("__lk", "__rk")
-        .select(*lcols, *[renamed[c] for c in rcols], "edit_distance")
+        .select(*out_l, *out_r, F.col("__ed").alias("edit_distance"))
     )
 
 

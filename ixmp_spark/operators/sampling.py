@@ -2719,15 +2719,18 @@ def kendall_tau(
     # fully-parallel job — the bradley_terry finding; the guard also
     # reports the true cell count.
     cells = cells.persist()
-    n_cells = cells.count()
-    if n_cells > max_cells:
+    # count/collect failures release the cache too, not just the
+    # over-budget raise (ADVICE r14 — the permutation_test guard class)
+    try:
+        n_cells = cells.count()
+        if n_cells > max_cells:
+            raise ValueError(
+                f"kendall_tau: {n_cells} distinct (x, y) cells exceed "
+                f"max_cells={max_cells} — quantize the value domains first"
+            )
+        rows = cells.collect()
+    finally:
         cells.unpersist()
-        raise ValueError(
-            f"kendall_tau: {n_cells} distinct (x, y) cells exceed "
-            f"max_cells={max_cells} — quantize the value domains first"
-        )
-    rows = cells.collect()
-    cells.unpersist()
     pts = sorted((r["_x"], r["_y"], r["_c"]) for r in rows)
     conc = disc = 0
     for i, (x1, y1, c1) in enumerate(pts):
@@ -2992,7 +2995,13 @@ def permutation_test(
         F.sum("_v").cast("long").alias("_tot"),
         F.count(F.lit(1)).cast("long").alias("_n"),
     )
-    o = obs.collect()[0]
+    # fail-fast must not leak the cache (ADVICE r14): any failure in the
+    # two collects below — not just the empty-group raise — releases it
+    try:
+        o = obs.collect()[0]
+    except BaseException:
+        base.unpersist()
+        raise
     na, ntot, sa_obs, tot = o["_na"], o["_n"], o["_sa"], o["_tot"]
     nb = ntot - na
     if na == 0 or nb == 0:
@@ -3018,8 +3027,10 @@ def permutation_test(
         )
         .agg(F.sum("_ge").cast("long").alias("n_ge"))
     )
-    g = per_rep.collect()[0]["n_ge"]
-    base.unpersist()
+    try:
+        g = per_rep.collect()[0]["n_ge"]
+    finally:
+        base.unpersist()
     spark = df.sparkSession
     # rounding happens in Spark SQL (not Python's banker's round), so
     # both engines apply the same half-up semantics to the same floats

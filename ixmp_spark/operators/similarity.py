@@ -1542,7 +1542,14 @@ def matryoshka_recall(
     """
     from pyspark.sql import Window
 
-    ds = sorted(int(d) for d in dims)
+    # DEDUPE (set, not list): a duplicated dim would land twice in the
+    # exploded dim array, putting every corpus row in the (probe, dim)
+    # window partition twice — row_number would interleave the copies
+    # and the top-k would silently cover ~k/2 distinct neighbors
+    # (ADVICE r14). The old per-dim loop merely emitted a duplicate
+    # output row; under the single-window form dedup is the only
+    # correct reading of duplicate dims.
+    ds = sorted({int(d) for d in dims})
     if any(d <= 0 for d in ds):
         raise ValueError("dims must be positive")
     p = F.broadcast(

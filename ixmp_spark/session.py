@@ -34,9 +34,12 @@ def get_spark(
     # (AQE coalescing shrinks small stages from there), overridable for
     # cluster runs where the right number tracks data volume (guide
     # §2.2: size post-shuffle partitions toward 100 MB-1 GB).
+    # defensive parse (ADVICE r14): an empty or non-numeric env value
+    # must fall back to the core count, not crash session startup
+    env_shuffle = os.environ.get("IXMP_SPARK_SHUFFLE_PARTITIONS", "")
     shuffle = str(
         shuffle_partitions
-        or int(os.environ.get("IXMP_SPARK_SHUFFLE_PARTITIONS", 0))
+        or (int(env_shuffle) if env_shuffle.strip().isdigit() else 0)
         or int(cpus)
     )
     # shuffle codec: lz4 locally (local dirs are RAM-backed tmpfs, so
