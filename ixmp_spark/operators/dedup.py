@@ -139,11 +139,29 @@ def jaccard_block_pairs(
 
 
 def shingles(col, n: int = 3) -> "F.Column":
-    """Word n-gram shingle set (array<string>, distinct)."""
-    toks = F.split(normalize_text(col), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    """Word n-gram shingle set (array<string>, distinct).
+
+    The token array is LET-BOUND through a one-element array wrapper
+    (the t6 winnow trap, r15): referencing the computed ``split(...)``
+    expression inside the per-gram ``transform`` lambda lets projection
+    collapse re-inline the whole split per gram — O(len²) token
+    re-tokenization per document. As a lambda variable the tokens are a
+    materialized value, so each ``slice`` reads it — measured 1.5× on
+    the sf0.1 shingle pass (0.41 → 0.27 s noop), output bit-identical
+    (incl. null/empty text: both forms yield ``['']``)."""
+    toks_arr = F.array(F.split(normalize_text(col), " "))
     return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+        F.flatten(
+            F.transform(
+                toks_arr,
+                lambda toks: F.transform(
+                    F.sequence(
+                        F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))
+                    ),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+                ),
+            )
+        )
     )
 
 

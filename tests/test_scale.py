@@ -2454,6 +2454,25 @@ def test_dsir_logratio_hand_computed(spark):
     }
     assert hashed == {k: got[k][1] for k in got}
 
+    # cache_counts=True (the cluster one-pass form) is result-identical
+    # to the default recompute shape, and its persisted counts frame is
+    # releasable (the t9 cache_tf contract, mirrored after the r14
+    # unconditional persist regressed the local bench)
+    from ixmp_spark.operators import release_cache
+
+    cached_df = dsir_logratio(
+        df, "doc_id", "text", F.col("tgt"), cache_counts=True
+    )
+    cached = {
+        r["doc_id"]: (r["n_tokens"], r["logratio"])
+        for r in cached_df.collect()
+    }
+    assert cached == got
+    handles = getattr(cached_df, "_ixmp_spark_caches", ())
+    assert len(handles) == 1
+    release_cache(cached_df, blocking=True)
+    assert all(h.storageLevel.useMemory is False for h in handles)
+
 
 def test_canonical_url_table_and_idempotence(spark):
     """canonical_url: documented equivalences hold, non-URLs pass
