@@ -124,6 +124,14 @@ BENCH_QUERIES = [
 # data bound at sf0.1); it would dominate the total without measuring
 # anything the per-iteration queries don't. Its medians are recorded in
 # NOTES_r5 instead.
+#
+# Methodology blind spot, known and kept (VERDICT r14 #4): the count()
+# action lets Catalyst prune columns and sometimes whole subtrees — for
+# x5_supplier_triangles it eliminates the outer join and the entire
+# triangle enumeration (~3 s count vs ~24 s noop at sf0.1), so the bench
+# times the pruned plan. Changing the timed action would break
+# round-over-round comparability; the true per-node cost is tracked via
+# tools/opt_measure.py's noop sink instead.
 
 
 def _ingest_bench(spark, n: int) -> tuple[float, dict[str, float]]:

@@ -1079,10 +1079,28 @@ def dedup_clusters(
         def _ckpt(df: DataFrame) -> DataFrame:
             return df.localCheckpoint()
 
-    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-    edges = edges.unionByName(
-        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).persist()
+    # symmetrize MAP-SIDE with one explode, not a two-branch union
+    # (r15): union branches execute independently, so materializing the
+    # persisted edge frame evaluated the whole upstream PAIR-GENERATION
+    # lineage twice — for e6 that is the full within-cluster cosine
+    # verify, for d6/d9 the candidate join. Same row multiset (explode
+    # preserves duplicates exactly as the union did), one evaluation.
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("a"), F.col("id_a").alias("b")
+                    ),
+                )
+            ).alias("__e")
+        )
+        .select("__e.a", "__e.b")
+        .persist()
+    )
     try:
         labels = _ckpt(
             edges.select(F.col("a").alias("id"))

@@ -413,9 +413,9 @@ def pagerank(
             F.col(src_col).alias("__s"), F.col(dst_col).alias("__d")
         ).distinct().withColumn("__w", F.lit(1.0)).persist()
     m = e.count()
+    # one explode pass over the cached edges instead of two scans (r15)
     nodes = (
-        e.select(F.col("__s").alias("node"))
-        .unionByName(e.select(F.col("__d").alias("node")))
+        e.select(F.explode(F.array("__s", "__d")).alias("node"))
         .distinct()
         .persist()
     )
@@ -669,9 +669,11 @@ def triangle_count(
         # operator, so lineage truncation is not needed.
         .persist()
     )
+    # one explode pass, not a two-branch union (r15): each union branch
+    # scanned the cached edge frame separately; explode emits both
+    # endpoints from one scan — identical multiset into the same agg
     deg = (
-        e.select(F.col("u").alias("n"))
-        .unionByName(e.select(F.col("v").alias("n")))
+        e.select(F.explode(F.array("u", "v")).alias("n"))
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("deg"))
     )
@@ -841,13 +843,28 @@ def lpa_communities(
         def _ckpt(df: DataFrame) -> DataFrame:
             return df.localCheckpoint()
 
-    und = edges.where(F.col(src_col) != F.col(dst_col)).select(
-        F.col(src_col).alias("__a"), F.col(dst_col).alias("__b")
-    )
+    # symmetrize map-side with one explode (r15, the dedup_clusters
+    # fix): the two union branches each re-evaluated the caller's
+    # UNPERSISTED edge lineage (for x9 a distinct-join) when the
+    # persisted frame materialized; explode emits both directions from
+    # one evaluation — identical multiset into the same distinct
+    und = edges.where(F.col(src_col) != F.col(dst_col))
     e = (
-        und.unionByName(
-            und.select(F.col("__b").alias("__a"), F.col("__a").alias("__b"))
+        und.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src_col).alias("__a"),
+                        F.col(dst_col).alias("__b"),
+                    ),
+                    F.struct(
+                        F.col(dst_col).alias("__a"),
+                        F.col(src_col).alias("__b"),
+                    ),
+                )
+            ).alias("__fe")
         )
+        .select("__fe.__a", "__fe.__b")
         .distinct()
         .persist()
     )
@@ -1034,9 +1051,15 @@ def neighborhood_jaccard(
         # operator is not iterative, so lineage truncation buys nothing
         .persist()
     )
-    adj = e.select(F.col("u").alias("n"), F.col("v").alias("nbr")).unionByName(
-        e.select(F.col("v").alias("n"), F.col("u").alias("nbr"))
-    )
+    # one explode pass over the cache instead of two union scans (r15)
+    adj = e.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("n"), F.col("v").alias("nbr")),
+                F.struct(F.col("v").alias("n"), F.col("u").alias("nbr")),
+            )
+        ).alias("__fe")
+    ).select("__fe.n", "__fe.nbr")
     deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("deg")).persist()
     if max_center_degree is not None:
         hot = deg.where(F.col("deg") > int(max_center_degree)).limit(5)
@@ -1126,9 +1149,8 @@ def kcore(
         .localCheckpoint(eager=False)
     )
     for _ in range(int(max_iter)):
-        adj = cur.select(F.col("u").alias("n")).unionByName(
-            cur.select(F.col("v").alias("n"))
-        )
+        # one explode pass per round instead of two checkpoint scans
+        adj = cur.select(F.explode(F.array("u", "v")).alias("n"))
         deg = adj.groupBy("n").agg(F.count(F.lit(1)).alias("degree"))
         bad = deg.where(F.col("degree") < int(k)).select("n").localCheckpoint(
             eager=False
@@ -1179,11 +1201,17 @@ def interval_union(
     counts = iv.groupBy(key_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_intervals")
     )
+    # both boundary events from ONE scan of the (unpersisted) interval
+    # projection (r15): the union's branches each re-read the source
     ev = iv.select(
-        key_col, F.col("_s").alias("_t"), F.lit(1).alias("_d")
-    ).unionByName(
-        iv.select(key_col, F.col("_e").alias("_t"), F.lit(-1).alias("_d"))
-    )
+        key_col,
+        F.explode(
+            F.array(
+                F.struct(F.col("_s").alias("_t"), F.lit(1).alias("_d")),
+                F.struct(F.col("_e").alias("_t"), F.lit(-1).alias("_d")),
+            )
+        ).alias("__ev"),
+    ).select(key_col, "__ev._t", "__ev._d")
     wo = Window.partitionBy(key_col).orderBy(
         F.col("_t"), F.col("_d").desc()
     )

@@ -482,8 +482,14 @@ def cosine_lsh_pairs(
         [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(bits)]
         for _ in range(bands)
     ]
+    # per-vector norm into the persisted frame (r15, the semantic_dedup
+    # hoist): the verify expression is evaluated twice per candidate
+    # (rounded projection + threshold filter — the pushed-filter
+    # duplicate-eval class), so dropping the two norm folds from it
+    # removes 4 of 6 per-candidate array folds. Bit-identical values.
     vecs = df.select(
-        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec")
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__vec"),
+        norm(F.col(vec_col)).alias("__nrm"),
     ).persist(storage_level)
     banded = _sign_lsh_banded(vecs, band_planes).persist(storage_level)
     cached = banded  # release handle (the drop branch rebinds `banded`)
@@ -626,13 +632,19 @@ def cosine_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     pairs = cand.join(
-        vecs.select(F.col("__id").alias("id_a"), F.col("__vec").alias("__va")),
+        vecs.select(
+            F.col("__id").alias("id_a"), F.col("__vec").alias("__va"),
+            F.col("__nrm").alias("__na"),
+        ),
         "id_a",
     ).join(
-        vecs.select(F.col("__id").alias("id_b"), F.col("__vec").alias("__vb")),
+        vecs.select(
+            F.col("__id").alias("id_b"), F.col("__vec").alias("__vb"),
+            F.col("__nrm").alias("__nb"),
+        ),
         "id_b",
     )
-    sim = cosine("__va", "__vb")
+    sim = dot("__va", "__vb") / (F.col("__na") * F.col("__nb"))
     from ixmp_spark.operators import attach_caches
 
     return attach_caches(
@@ -692,8 +704,17 @@ def semantic_dedup(
         F.col(id_col), F.col(vec_col).alias("__vec")
     ).withColumn("__v", array_to_vector(_dvec("__vec")))
     km = KMeans(k=n_clusters, seed=seed, featuresCol="__v", predictionCol="__c")
+    # per-vector norm computed ONCE into the persisted frame (r15):
+    # cosine's norm folds are per-vector, not per-pair — inside the
+    # within-cluster quadratic verify they re-ran (with their defensive
+    # double-casts) for both sides of every candidate pair, tripling
+    # the per-pair fold work. Same expression on the same array ⇒ the
+    # same double, so sim values are bit-identical.
     assigned = (
-        km.fit(corpus).transform(corpus).select(id_col, "__vec", "__c").persist()
+        km.fit(corpus)
+        .transform(corpus)
+        .select(id_col, "__vec", "__c", norm("__vec").alias("__nrm"))
+        .persist()
     )
     try:
         if max_cluster is not None:
@@ -710,12 +731,14 @@ def semantic_dedup(
                     f"{[(r['__c'], r['n']) for r in hot]}; raise n_clusters"
                 )
         a = assigned.select(
-            F.col(id_col).alias("id_a"), F.col("__vec").alias("__va"), "__c"
+            F.col(id_col).alias("id_a"), F.col("__vec").alias("__va"),
+            F.col("__nrm").alias("__na"), "__c"
         )
         b = assigned.select(
-            F.col(id_col).alias("id_b"), F.col("__vec").alias("__vb"), "__c"
+            F.col(id_col).alias("id_b"), F.col("__vec").alias("__vb"),
+            F.col("__nrm").alias("__nb"), "__c"
         )
-        sim = cosine("__va", "__vb")
+        sim = dot("__va", "__vb") / (F.col("__na") * F.col("__nb"))
         pairs = (
             a.join(b, "__c")
             .where(F.col("id_a") < F.col("id_b"))
