@@ -2687,11 +2687,18 @@ def interval_union_length(
         F.col(start_col).cast("long").alias("_s"),
         F.col(end_col).cast("long").alias("_e"),
     )
+    # both boundary events from ONE scan of the unpersisted interval
+    # projection (r15, the interval_union fix): the union's two
+    # branches each re-read the source
     bounds = iv.select(
-        "_k", F.col("_s").alias("_t"), F.lit(1).alias("_d")
-    ).unionByName(
-        iv.select("_k", F.col("_e").alias("_t"), F.lit(-1).alias("_d"))
-    )
+        "_k",
+        F.explode(
+            F.array(
+                F.struct(F.col("_s").alias("_t"), F.lit(1).alias("_d")),
+                F.struct(F.col("_e").alias("_t"), F.lit(-1).alias("_d")),
+            )
+        ).alias("__ev"),
+    ).select("_k", "__ev._t", "__ev._d")
     w = Window.partitionBy("_k").orderBy(F.asc("_t"), F.desc("_d"))
     swept = bounds.withColumn(
         "_active", F.sum("_d").over(w)

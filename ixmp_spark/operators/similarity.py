@@ -1052,17 +1052,25 @@ def hard_negatives(
         seed=seed, max_bucket=max_bucket, on_hot=on_hot,
         max_candidates=max_candidates, volume_route=volume_route,
     ).where(F.col("cosine_sim") < max_sim)
+    # symmetrize map-side with one explode (r15, the dedup_clusters
+    # class): the two union branches each re-executed the ENTIRE
+    # unpersisted LSH candidate-join + cosine-verify lineage; explode
+    # emits both directions from one evaluation — same row multiset
     sym = pairs.select(
-        F.col("id_a").alias("anchor_id"),
-        F.col("id_b").alias("negative_id"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("anchor_id"),
+                    F.col("id_b").alias("negative_id"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("anchor_id"),
+                    F.col("id_a").alias("negative_id"),
+                ),
+            )
+        ).alias("__s"),
         "cosine_sim",
-    ).unionByName(
-        pairs.select(
-            F.col("id_b").alias("anchor_id"),
-            F.col("id_a").alias("negative_id"),
-            "cosine_sim",
-        )
-    )
+    ).select("__s.anchor_id", "__s.negative_id", "cosine_sim")
     from pyspark.sql import Window
 
     w = Window.partitionBy("anchor_id").orderBy(

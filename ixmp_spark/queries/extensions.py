@@ -4625,29 +4625,23 @@ def x27_bradley_terry(spark, sf_dir):
     per_order = per_supp.groupBy("l_orderkey").agg(
         F.collect_list(F.struct("l_suppkey", "rev")).alias("ss")
     )
-    duels = per_order.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    "ss",
-                    lambda x: F.filter(
-                        F.transform(
-                            "ss",
-                            lambda y: F.struct(
-                                x["l_suppkey"].alias("winner"),
-                                y["l_suppkey"].alias("loser"),
-                                (
-                                    (x["l_suppkey"] != y["l_suppkey"])
-                                    & (x["rev"] > y["rev"])
-                                ).alias("ok"),
-                            ),
-                        ),
-                        lambda p: p["ok"],
-                    ),
-                )
-            )
-        ).alias("p")
-    ).select(F.col("p.winner").alias("winner"), F.col("p.loser").alias("loser"))
+    # r15: the pair grid unrolls via TWO map-side Generates instead of
+    # the nested transform→filter→flatten array pipeline — identical
+    # duel multiset (exceptAll 0 both ways), but codegen'd row
+    # iteration instead of per-order array allocation of s² structs;
+    # measured 0.85 → 0.64 s median (4 interleaved noop reps, sf0.1).
+    x = per_order.select(F.explode("ss").alias("x"), "ss")
+    duels = (
+        x.select("x", F.explode("ss").alias("y"))
+        .where(
+            (F.col("x.l_suppkey") != F.col("y.l_suppkey"))
+            & (F.col("x.rev") > F.col("y.rev"))
+        )
+        .select(
+            F.col("x.l_suppkey").alias("winner"),
+            F.col("y.l_suppkey").alias("loser"),
+        )
+    )
     return bradley_terry(duels, tol=1e-4).orderBy(
         F.col("strength").desc(), F.col("item")
     )
