@@ -636,11 +636,13 @@ def test_decontaminate_plan_shape(spark, sf_dir):
     bench = docs.where(F.col("doc_id") % 10 == 0)
     clean = decontaminate(train, bench, "doc_id", "text", n=4)
     plan = clean._jdf.queryExecution().executedPlan().toString()
-    # one shingle computation per corpus: normalize_text inlines its
-    # regexp_replace twice per shingle site (split + size), so 2 sites
-    # (train grams + bench grams) == 4 occurrences; a duplicated train
-    # shingle subtree would push this to 6+
-    assert plan.count("regexp_replace") == 4, plan.count("regexp_replace")
+    # one shingle computation per corpus: since the r15 let-bound
+    # shingles() the tokenization (and its normalize_text
+    # regexp_replace) appears exactly ONCE per shingle site — the
+    # pre-r15 expression inlined it twice (split + size), i.e. 4
+    # occurrences for the 2 sites (train grams + bench grams); a
+    # duplicated train shingle subtree would push this to 4+
+    assert plan.count("regexp_replace") == 2, plan.count("regexp_replace")
     assert "LeftAnti" in plan and "BroadcastExchange" in plan
 
     bad = contaminated_ids(train, bench, "doc_id", "text", n=4)
