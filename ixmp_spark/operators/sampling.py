@@ -2014,57 +2014,68 @@ def cohens_kappa(
         F.col(rater_a).cast("string").alias("_a"),
         F.col(rater_b).cast("string").alias("_b"),
     )
-    # r14: persist the category-grid frame — it feeds the total/diag
-    # aggregate and BOTH marginals, and without the (tiny, grid-sized)
-    # cache each reference re-ran the full rater scan + cell
-    # aggregation (x33's lang_id rater executed 5x). Also compute
-    # N/diag straight off the grid: the old form joined the marginals
-    # back onto the cells first, two broadcast joins that changed no
-    # row and contributed nothing to either sum (guide §1.2 — don't
-    # compute things you throw away).
+    # r14 persisted the grid because N/diag and BOTH marginals read it
+    # (4 consumers). r15: every post-grid statistic folds into ONE
+    # explode → per-category groupBy → global aggregate chain, so the
+    # grid has a single consumer and the persist (and its cache write)
+    # goes too. Each cell emits its row-marginal contribution keyed by
+    # _a and its column-marginal contribution keyed by _b (map-side
+    # explode — no union, no second scan); per category c this yields
+    # rt_c (Σ _n over cells with _a = c), ct_c (same for _b), and the
+    # diagonal mass (carried on the a-side row only, so it is counted
+    # once). The old shape — two marginal groupBys, a full-outer
+    # SortMergeJoin on category, a separate N/diag aggregate, and a
+    # broadcast crossJoin to glue them — collapses from 6 post-grid
+    # stages to 2 (guide §2.4: remove shuffles outright). Identities:
+    # N = Σ_c rt_c (every cell lands in exactly one _a group), diag
+    # rides the a-side rows, n_categories = |{c}| = the full-outer
+    # join's row count (zero-fill semantics preserved: a category
+    # absent from one axis gets a NULL → 0.0 sum on that side, product
+    # 0 — exactly the old coalesce). All sums are integer-valued
+    # doubles, so reassociation is exact (< 2^53).
     cells = two.groupBy("_a", "_b").agg(
         F.count(F.lit(1)).cast("double").alias("_n")
-    ).persist()
-    ra = cells.groupBy("_a").agg(F.sum("_n").alias("_rt"))
-    rb = cells.groupBy("_b").agg(F.sum("_n").alias("_ct"))
-    agg = cells.agg(
-        F.sum("_n").alias("_N"),
-        F.sum(F.when(F.col("_a") == F.col("_b"), F.col("_n"))
-              .otherwise(0.0)).alias("_diag"),
     )
-    # p_e needs Σ_c (row_c · col_c) over the UNION of both axes'
-    # categories — a full-outer join of the two marginal frames
-    # (category-domain-bounded), zero-filling the side a category
-    # never appears on
-    cats = (
-        ra.select(F.col("_a").alias("_c"), F.col("_rt"))
-        .join(
-            rb.select(F.col("_b").alias("_c"), F.col("_ct")),
-            "_c", "full_outer",
-        )
-        .agg(
-            F.sum(
-                F.coalesce(F.col("_rt"), F.lit(0.0))
-                * F.coalesce(F.col("_ct"), F.lit(0.0))
-            ).alias("_rc"),
-            F.count(F.lit(1)).cast("long").alias("n_categories"),
-        )
+    sides = cells.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("_a").alias("_c"),
+                    F.col("_n").alias("_r"),
+                    F.lit(None).cast("double").alias("_co"),
+                    F.when(F.col("_a") == F.col("_b"), F.col("_n"))
+                    .otherwise(0.0)
+                    .alias("_dg"),
+                ),
+                F.struct(
+                    F.col("_b").alias("_c"),
+                    F.lit(None).cast("double").alias("_r"),
+                    F.col("_n").alias("_co"),
+                    F.lit(0.0).alias("_dg"),
+                ),
+            )
+        ).alias("_s")
     )
-    out = agg.crossJoin(F.broadcast(cats))
+    per_cat = sides.groupBy("_s._c").agg(
+        F.coalesce(F.sum("_s._r"), F.lit(0.0)).alias("_rt"),
+        F.coalesce(F.sum("_s._co"), F.lit(0.0)).alias("_ct"),
+        F.sum("_s._dg").alias("_dg"),
+    )
+    out = per_cat.agg(
+        F.sum("_rt").alias("_N"),
+        F.sum("_dg").alias("_diag"),
+        F.sum(F.col("_rt") * F.col("_ct")).alias("_rc"),
+        F.count(F.lit(1)).cast("long").alias("n_categories"),
+    )
     po = F.col("_diag") / F.col("_N")
     pe = F.col("_rc") / (F.col("_N") * F.col("_N"))
     kappa = F.when(pe < 1, (po - pe) / (1 - pe))
-    from ixmp_spark.operators import attach_caches
-
-    return attach_caches(
-        out.select(
-            F.col("_N").cast("long").alias("n"),
-            "n_categories",
-            F.round(po, 6).alias("p_observed"),
-            F.round(pe, 6).alias("p_expected"),
-            F.round(kappa, 4).alias("kappa"),
-        ),
-        cells,
+    return out.select(
+        F.col("_N").cast("long").alias("n"),
+        "n_categories",
+        F.round(po, 6).alias("p_observed"),
+        F.round(pe, 6).alias("p_expected"),
+        F.round(kappa, 4).alias("kappa"),
     )
 
 
