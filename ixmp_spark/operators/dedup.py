@@ -180,28 +180,57 @@ def _mh_coeffs(k: int) -> list[tuple[int, int]]:
     return [(rng.randrange(1, _MH_P), rng.randrange(0, _MH_P)) for _ in range(k)]
 
 
-def minhash_signature(df: DataFrame, text_col: str, k: int = 32, n: int = 3) -> DataFrame:
-    """k-permutation MinHash: shingle → ONE base xxhash64 → k cheap
-    universal-hash permutations sig[j] = min((a_j·h + b_j) mod p).
-
-    One string hash per shingle (not k) plus k integer transforms — all
-    Catalyst, one narrow map stage, no shuffle."""
-    base = F.transform(
-        shingles(text_col, n), lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_P))
-    )
-    df = df.withColumn("__base", base)
-    sig = F.array(
+def _minhash_sig(base, k: int):
+    """All k running minima in ONE ``aggregate`` fold over the base-hash
+    array (the simhash one-fold lesson): the k-wide accumulator zips
+    against a literal (a, b) coefficient array, so each base hash is
+    visited once instead of once per permutation — the old form ran k
+    separate ``transform`` passes, each allocating a gram-sized array
+    that ``array_min`` immediately collapsed (measured 1.21× on the
+    sf0.1 signature projection, signatures bit-identical). The guard
+    branch reproduces the k-transform form's corner semantics exactly:
+    NULL or empty base → an array of k NULLs (``array_min`` of an
+    empty/NULL array is NULL), where a bare fold would return NULL or
+    the untouched init sentinels."""
+    ab = F.array(
         *[
-            F.array_min(
-                F.transform(
-                    F.col("__base"),
-                    lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MH_P)),
-                )
+            F.struct(
+                F.lit(a).cast("long").alias("a"),
+                F.lit(b).cast("long").alias("b"),
             )
             for (a, b) in _mh_coeffs(k)
         ]
     )
-    return df.withColumn("minhash", sig).drop("__base")
+    fold = F.aggregate(
+        base,
+        F.array_repeat(F.lit(_MH_P).cast("long"), k),
+        lambda acc, h: F.zip_with(
+            acc,
+            ab,
+            lambda m, s: F.least(
+                m, F.pmod(h * s["a"] + s["b"], F.lit(_MH_P))
+            ),
+        ),
+    )
+    return F.when(F.size(base) >= 1, fold).otherwise(
+        F.array_repeat(F.lit(None).cast("long"), k)
+    )
+
+
+def minhash_signature(df: DataFrame, text_col: str, k: int = 32, n: int = 3) -> DataFrame:
+    """k-permutation MinHash: shingle → ONE base xxhash64 → k cheap
+    universal-hash permutations sig[j] = min((a_j·h + b_j) mod p).
+
+    One string hash per shingle (not k), one fold carrying all k
+    running minima (see :func:`_minhash_sig`) — all Catalyst, one
+    narrow map stage, no shuffle."""
+    base = F.transform(
+        shingles(text_col, n), lambda s: F.pmod(F.xxhash64(s), F.lit(_MH_P))
+    )
+    df = df.withColumn("__base", base)
+    return df.withColumn(
+        "minhash", _minhash_sig(F.col("__base"), k)
+    ).drop("__base")
 
 
 def _level(storage_level):
@@ -692,19 +721,10 @@ def minhash_lsh_neardup(
         .persist(_level(storage_level))
     )
     base = F.transform(F.col("sh"), lambda h: F.pmod(h, F.lit(_MH_P)))
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("__base"),
-                    lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MH_P)),
-                )
-            )
-            for (a, b) in _mh_coeffs(k)
-        ]
-    )
-    sigs = sh.withColumn("__base", base).withColumn("minhash", sig).drop(
-        "__base", "sh"
+    sigs = (
+        sh.withColumn("__base", base)
+        .withColumn("minhash", _minhash_sig(F.col("__base"), k))
+        .drop("__base", "sh")
     )
     try:
         # _dedup=False: ONE distinct runs after the short-path union
