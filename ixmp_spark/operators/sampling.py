@@ -391,20 +391,36 @@ def corpus_drift(
     per-engine interpolation (the a8 ulp class). Categorical columns
     bin by value.
 
-    Cost: per column one min/max probe over A (numerics) + one
-    per-(column, bin) count aggregate over each snapshot — everything
-    map-side-combining keyed aggregations over codelist-sized results;
-    the two snapshots are never joined row-to-row.
+    Cost: ONE min/max probe over A covering every numeric column
+    (batched — r15; the first form ran one probe pass per column) +
+    one per-(column, bin) count aggregate over each snapshot —
+    everything map-side-combining keyed aggregations over
+    codelist-sized results; the two snapshots are never joined
+    row-to-row. The per-column bin grid is persisted (r15): it feeds
+    both the total-count aggregate and the PSI sum, and without the
+    (bin-bounded, tiny) cache each reference re-ran BOTH snapshots'
+    count aggregations — two extra data-sized passes per column.
 
     Output: (column, kind, psi, n_bins_used) — one row per column.
     """
     frames = []
-    for col in numeric_cols:
-        stats = a.agg(
-            F.min(F.col(col).cast("double")).alias("lo"),
-            F.max(F.col(col).cast("double")).alias("hi"),
+    stats = (
+        a.agg(
+            *[
+                f
+                for col in numeric_cols
+                for f in (
+                    F.min(F.col(col).cast("double")).alias(f"__lo_{col}"),
+                    F.max(F.col(col).cast("double")).alias(f"__hi_{col}"),
+                )
+            ]
         ).collect()[0]
-        lo, hi = float(stats["lo"]), float(stats["hi"])
+        if numeric_cols
+        else None
+    )
+    for col in numeric_cols:
+        lo = float(stats[f"__lo_{col}"])
+        hi = float(stats[f"__hi_{col}"])
         width = (hi - lo) / n_bins if hi > lo else 1.0
 
         def binned(df):
@@ -428,11 +444,17 @@ def corpus_drift(
         frames.append((col, "categorical", pa, pb))
 
     out = None
+    caches = []
     for col, kind, pa, pb in frames:
+        # persist: j has two consumers (tot, the PSI projection), and
+        # the sums' partial/merge structure over the cached partitions
+        # is exactly the uncached one's — float-identical output, two
+        # data passes saved per column. Frame is bin/codelist-bounded.
         j = pa.join(pb, "bin", "full_outer").select(
             F.coalesce("na", F.lit(0)).alias("na"),
             F.coalesce("nb", F.lit(0)).alias("nb"),
-        )
+        ).persist()
+        caches.append(j)
         tot = j.agg(
             F.sum("na").alias("ta"), F.sum("nb").alias("tb"),
             F.count(F.lit(1)).alias("nb_used"),
@@ -457,7 +479,9 @@ def corpus_drift(
             F.col("n_bins_used").cast("long"),
         )
         out = psi_row if out is None else out.unionByName(psi_row)
-    return out
+    from ixmp_spark.operators import attach_caches
+
+    return attach_caches(out, *caches)
 
 
 def pareto_frontier(
