@@ -261,12 +261,20 @@ def temperature_weights(
     (domain cardinality is codelist-sized, so the normalizing sums ride
     a single-row cross-broadcast, not a second scan)."""
     sz = F.col(size_col) if isinstance(size_col, str) else size_col
-    per = df.groupBy(domain_col).agg(F.sum(sz).cast("double").alias("n"))
+    # persist (r15, the p15/x33 multi-consumer class): the
+    # domain-bounded frame feeds the normalizing totals AND the output
+    # projection — unpersisted, the data-sized aggregation ran twice.
+    # Float-identical (pure caching).
+    per = df.groupBy(domain_col).agg(
+        F.sum(sz).cast("double").alias("n")
+    ).persist()
     totals = per.agg(
         F.sum("n").alias("__tot"),
         F.sum(F.pow("n", F.lit(float(alpha)))).alias("__tot_a"),
     )
-    return (
+    from ixmp_spark.operators import attach_caches
+
+    return attach_caches(
         per.crossJoin(F.broadcast(totals))
         .select(
             domain_col,
@@ -280,7 +288,8 @@ def temperature_weights(
                 / (F.col("n") / F.col("__tot")),
                 6,
             ).alias("boost"),
-        )
+        ),
+        per,
     )
 
 
@@ -1179,9 +1188,13 @@ def chisq_independence(
     df = df.where(
         F.col(row_col).isNotNull() & F.col(col_col).isNotNull()
     )
+    # persist (r15, the p15/x33 multi-consumer class): the grid feeds
+    # both marginals, the left join and the total — unpersisted, the
+    # data-sized cell aggregation ran four times. Float-identical by
+    # construction (pure caching).
     cells = df.groupBy(
         F.col(row_col).alias("_r"), F.col(col_col).alias("_c")
-    ).agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    ).agg(F.count(F.lit(1)).cast("double").alias("_n")).persist()
     rows = cells.groupBy("_r").agg(F.sum("_n").alias("_rt"))
     cols = cells.groupBy("_c").agg(F.sum("_n").alias("_ct"))
     grid = rows.crossJoin(F.broadcast(cols)).join(
@@ -1212,13 +1225,18 @@ def chisq_independence(
             * F.least(F.col("n_rows") - 1, F.col("n_cols") - 1)
         )
     )
-    return agg.select(
-        F.col("_N").cast("long").alias("n"),
-        "n_rows",
-        "n_cols",
-        dof.cast("long").alias("dof"),
-        F.round(F.when(dof > 0, F.col("_chi2")), 4).alias("chi2"),
-        F.round(F.when(dof > 0, v), 4).alias("cramers_v"),
+    from ixmp_spark.operators import attach_caches
+
+    return attach_caches(
+        agg.select(
+            F.col("_N").cast("long").alias("n"),
+            "n_rows",
+            "n_cols",
+            dof.cast("long").alias("dof"),
+            F.round(F.when(dof > 0, F.col("_chi2")), 4).alias("chi2"),
+            F.round(F.when(dof > 0, v), 4).alias("cramers_v"),
+        ),
+        cells,
     )
 
 
@@ -1410,9 +1428,12 @@ def mutual_information(
     df = df.where(
         F.col(row_col).isNotNull() & F.col(col_col).isNotNull()
     )
+    # persist (r15, the p15/x33 multi-consumer class): the grid feeds
+    # both marginals and the joint sum — unpersisted, the data-sized
+    # cell aggregation ran three times. Float-identical (pure caching).
     cells = df.groupBy(
         F.col(row_col).alias("_r"), F.col(col_col).alias("_c")
-    ).agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    ).agg(F.count(F.lit(1)).cast("double").alias("_n")).persist()
     rows = cells.groupBy("_r").agg(F.sum("_n").alias("_rt"))
     cols = cells.groupBy("_c").agg(F.sum("_n").alias("_ct"))
     joint = cells.join(F.broadcast(rows), "_r").join(
@@ -1437,12 +1458,17 @@ def mutual_information(
         (hr > 0) & (hc > 0),
         F.greatest(mi / F.sqrt(hr * hc), F.lit(0.0)),
     )
-    return agg.select(
-        F.col("_N").cast("long").alias("n"),
-        F.round(hr, 4).alias("h_row"),
-        F.round(hc, 4).alias("h_col"),
-        F.round(F.greatest(mi, F.lit(0.0)), 4).alias("mi"),
-        F.round(nmi, 4).alias("nmi"),
+    from ixmp_spark.operators import attach_caches
+
+    return attach_caches(
+        agg.select(
+            F.col("_N").cast("long").alias("n"),
+            F.round(hr, 4).alias("h_row"),
+            F.round(hc, 4).alias("h_col"),
+            F.round(F.greatest(mi, F.lit(0.0)), 4).alias("mi"),
+            F.round(nmi, 4).alias("nmi"),
+        ),
+        cells,
     )
 
 
@@ -1560,6 +1586,11 @@ def js_divergence(
         .where(F.col(cat_col).isNotNull())
         .select(F.col(group_col).alias("_g"), F.col(cat_col).alias("_c"))
     )
+    # persist (r15, the p15/x22 multi-consumer class): the
+    # category-bounded cell frame feeds the totals aggregate AND the
+    # term projection — unpersisted, the data-sized count aggregation
+    # ran twice. Caching keeps every sum's partial/merge structure, so
+    # the output is float-identical.
     cells = two.groupBy("_c").agg(
         F.sum(F.when(F.col("_g") == group_a, 1).otherwise(0))
         .cast("double")
@@ -1567,7 +1598,7 @@ def js_divergence(
         F.sum(F.when(F.col("_g") == group_b, 1).otherwise(0))
         .cast("double")
         .alias("_b"),
-    )
+    ).persist()
     tot = cells.agg(
         F.sum("_a").alias("_ta"), F.sum("_b").alias("_tb")
     )
@@ -1587,14 +1618,19 @@ def js_divergence(
         F.sum(term).alias("_jsd"),
     )
     jsd = F.greatest(F.col("_jsd"), F.lit(0.0))
-    return agg.select(
-        F.col("_n1").cast("long").alias("n_a"),
-        F.col("_n2").cast("long").alias("n_b"),
-        "n_categories",
-        F.round(jsd, 4).alias("jsd"),
-        F.round(jsd / float(__import__("math").log(2)), 4).alias(
-            "jsd_norm"
+    from ixmp_spark.operators import attach_caches
+
+    return attach_caches(
+        agg.select(
+            F.col("_n1").cast("long").alias("n_a"),
+            F.col("_n2").cast("long").alias("n_b"),
+            "n_categories",
+            F.round(jsd, 4).alias("jsd"),
+            F.round(jsd / float(__import__("math").log(2)), 4).alias(
+                "jsd_norm"
+            ),
         ),
+        cells,
     )
 
 
@@ -1627,9 +1663,12 @@ def concentration_profile(
     grand total makes every share division NaN or out-of-range, so
     zero-mass keys carry no concentration signal by definition.
     """
+    # persist (r15, the p15/x33 multi-consumer class): the key-bounded
+    # per-key frame feeds both ranking windows — unpersisted, the
+    # data-sized aggregation ran twice. Float-identical (pure caching).
     per = df.groupBy(F.col(key_col).alias("_k")).agg(
         F.sum(weight_col).cast("double").alias("_x")
-    ).where(F.col("_x") > 0)
+    ).where(F.col("_x") > 0).persist()
     wa = Window.orderBy(F.asc("_x"), F.asc("_k"))
     ranked = per.select(
         "_x", F.row_number().over(wa).cast("double").alias("_i")
@@ -1655,15 +1694,20 @@ def concentration_profile(
         2 * F.col("_ix") / (F.col("_n") * F.col("_t"))
         - (F.col("_n") + 1) / F.col("_n")
     )
-    return j.select(
-        F.col("_n").cast("long").alias("n_keys"),
-        F.round(F.col("_t"), 2).alias("total"),
-        F.round(F.col("_xx") / (F.col("_t") * F.col("_t")), 6).alias(
-            "hhi"
+    from ixmp_spark.operators import attach_caches
+
+    return attach_caches(
+        j.select(
+            F.col("_n").cast("long").alias("n_keys"),
+            F.round(F.col("_t"), 2).alias("total"),
+            F.round(F.col("_xx") / (F.col("_t") * F.col("_t")), 6).alias(
+                "hhi"
+            ),
+            F.round(gini, 6).alias("gini"),
+            F.round(F.col("_t1") / F.col("_t"), 6).alias("top1_share"),
+            F.round(F.col("_t10") / F.col("_t"), 6).alias("top10_share"),
         ),
-        F.round(gini, 6).alias("gini"),
-        F.round(F.col("_t1") / F.col("_t"), 6).alias("top1_share"),
-        F.round(F.col("_t10") / F.col("_t"), 6).alias("top10_share"),
+        per,
     )
 
 
@@ -1690,15 +1734,21 @@ def hill_tail_index(
     (n_keys, m, x_threshold, alpha) rounded 6; NULL alpha when fewer
     than m+1 keys or a non-positive threshold.
     """
+    # persist (r15, the p15/x33 multi-consumer class): the key-bounded
+    # per-key frame feeds the top-(m+1) probe AND the n_keys count —
+    # unpersisted, the data-sized aggregation ran twice (and the
+    # ranked frame, read by both sides of its self-cross, re-ran the
+    # TakeOrdered). Both frames are bounded (keys / m+1 rows);
+    # float-identical by construction.
     per = df.groupBy(F.col(key_col).alias("_k")).agg(
         (F.count(F.lit(1)) if weight_col is None
          else F.sum(weight_col)).cast("double").alias("_x")
-    ).where(F.col("_x") > 0)
+    ).where(F.col("_x") > 0).persist()
     topm = per.orderBy(F.desc("_x"), F.asc("_k")).limit(m + 1)
     w = Window.orderBy(F.desc("_x"), F.asc("_k"))
     ranked = topm.select(
         "_x", F.row_number().over(w).alias("_r")
-    )
+    ).persist()
     agg = ranked.crossJoin(
         F.broadcast(
             ranked.where(F.col("_r") == m + 1).select(
@@ -1715,11 +1765,17 @@ def hill_tail_index(
         (F.col("_m") == m) & (F.col("_xt") > 0) & (F.col("_s") > 0),
         F.col("_m") / F.col("_s"),
     )
-    return agg.crossJoin(F.broadcast(n_keys)).select(
-        F.col("n").alias("n_keys"),
-        F.col("_m").alias("m"),
-        F.round("_xt", 6).alias("x_threshold"),
-        F.round(alpha, 6).alias("alpha"),
+    from ixmp_spark.operators import attach_caches
+
+    return attach_caches(
+        agg.crossJoin(F.broadcast(n_keys)).select(
+            F.col("n").alias("n_keys"),
+            F.col("_m").alias("m"),
+            F.round("_xt", 6).alias("x_threshold"),
+            F.round(alpha, 6).alias("alpha"),
+        ),
+        per,
+        ranked,
     )
 
 
@@ -2266,28 +2322,42 @@ def fleiss_kappa(
     ).select(
         F.col(item_col).alias("_i"), F.col(rating_col).alias("_c")
     )
+    # persist (r15, the p15/x33 multi-consumer class): the (item,
+    # category) grid feeds the guard probe, p_bar's per-item sums and
+    # the marginals — unpersisted, the data-sized aggregation ran four
+    # times. Float-identical by construction (pure caching).
     cells = clean.groupBy("_i", "_c").agg(
         F.count(F.lit(1)).cast("double").alias("_n")
-    )
+    ).persist()
     per_item = cells.groupBy("_i").agg(
         F.sum("_n").alias("_m"), F.sum(F.col("_n") * F.col("_n")).alias("_s2")
     )
-    m_check = per_item.agg(
-        F.min("_m").alias("_lo"), F.max("_m").alias("_hi")
-    ).collect()[0]
+    # guard probe + the two downstream consumers all read the cached
+    # grid; every exit that does not return the plan releases it (the
+    # x44/x40 fail-fast discipline)
+    try:
+        m_check = per_item.agg(
+            F.min("_m").alias("_lo"), F.max("_m").alias("_hi")
+        ).collect()[0]
+    except BaseException:
+        cells.unpersist()
+        raise
     if m_check["_lo"] is None:
+        cells.unpersist()
         return df.sparkSession.createDataFrame(
             [],
             "n_items long, n_raters long, n_categories long,"
             " p_bar double, p_e double, kappa double",
         )
     if m_check["_lo"] != m_check["_hi"]:
+        cells.unpersist()
         raise ValueError(
             "fleiss_kappa requires the same number of ratings per item"
             f" (saw {int(m_check['_lo'])}..{int(m_check['_hi'])})"
         )
     m = float(m_check["_hi"])
     if m < 2:
+        cells.unpersist()
         raise ValueError("fleiss_kappa needs at least 2 ratings per item")
     pbar = per_item.agg(
         F.count(F.lit(1)).cast("double").alias("_n_items"),
@@ -2308,15 +2378,20 @@ def fleiss_kappa(
     kappa = (F.col("_p_bar") - F.col("_p_e")) / (
         F.lit(1.0) - F.col("_p_e")
     )
-    return j.select(
-        F.col("_n_items").cast("long").alias("n_items"),
-        F.lit(int(m)).cast("long").alias("n_raters"),
-        F.col("_n_cats").cast("long").alias("n_categories"),
-        F.round("_p_bar", 6).alias("p_bar"),
-        F.round("_p_e", 6).alias("p_e"),
-        F.round(
-            F.when(F.col("_p_e") < 1.0, kappa), 6
-        ).alias("kappa"),
+    from ixmp_spark.operators import attach_caches
+
+    return attach_caches(
+        j.select(
+            F.col("_n_items").cast("long").alias("n_items"),
+            F.lit(int(m)).cast("long").alias("n_raters"),
+            F.col("_n_cats").cast("long").alias("n_categories"),
+            F.round("_p_bar", 6).alias("p_bar"),
+            F.round("_p_e", 6).alias("p_e"),
+            F.round(
+                F.when(F.col("_p_e") < 1.0, kappa), 6
+            ).alias("kappa"),
+        ),
+        cells,
     )
 
 
@@ -3313,17 +3388,23 @@ def filter_yield_curve(
             "score_floor"
         ),
     )
+    # persist (r15, the p15/x33 multi-consumer class): the
+    # threshold-bounded bucket frame feeds the total-weight aggregate
+    # AND the cumulative windows — unpersisted, the data-sized bucket
+    # aggregation ran twice. Float-identical (pure caching).
     per = grid.join(per, "bucket", "left").select(
         "bucket",
         "score_floor",
         F.coalesce("n_docs", F.lit(0)).cast("long").alias("n_docs"),
         F.coalesce("_bw", F.lit(0.0)).alias("_bw"),
-    )
+    ).persist()
     cum = Window.orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     tot = per.agg(F.sum("_bw").alias("_tw"))
-    return (
+    from ixmp_spark.operators import attach_caches
+
+    return attach_caches(
         per.withColumn("cum_docs", F.sum("n_docs").over(cum).cast("long"))
         .withColumn("_cw", F.sum("_bw").over(cum))
         .crossJoin(F.broadcast(tot))
@@ -3335,7 +3416,8 @@ def filter_yield_curve(
             F.round("_cw", 6).alias("cum_weight"),
             F.round(F.col("_cw") / F.col("_tw"), 6).alias("weight_frac"),
         )
-        .orderBy("bucket")
+        .orderBy("bucket"),
+        per,
     )
 
 
@@ -3675,6 +3757,10 @@ def brier_decomposition(
         ),
         F.lit(n_bins - 1),
     )
+    # persist (r15, the p15/x33 multi-consumer class): the bin grid
+    # feeds the global-mean aggregate AND the decomposition sums —
+    # unpersisted, the data-sized aggregation ran twice.
+    # Float-identical (pure caching).
     per_bin = (
         base.withColumn("_b", bin_)
         .groupBy("_b")
@@ -3687,6 +3773,7 @@ def brier_decomposition(
                 * (F.col("_p") - F.col("_y"))
             ).alias("_se"),
         )
+        .persist()
     )
     tot = per_bin.agg(
         F.sum("_n").alias("_ntot"),
@@ -3707,14 +3794,19 @@ def brier_decomposition(
     ece = F.sum(
         F.col("_n") * F.abs(F.col("_pbar") - F.col("_ybar"))
     ) / F.max("_ntot")
-    return j.agg(
-        F.sum("_n").cast("long").alias("n"),
-        F.round(F.sum("_se") / F.sum("_n"), 6).alias("brier_raw"),
-        F.round(rel, 6).alias("reliability"),
-        F.round(res, 6).alias("resolution"),
-        F.round(unc, 6).alias("uncertainty"),
-        F.round(rel - res + unc, 6).alias("brier_binned"),
-        F.round(ece, 6).alias("ece"),
+    from ixmp_spark.operators import attach_caches
+
+    return attach_caches(
+        j.agg(
+            F.sum("_n").cast("long").alias("n"),
+            F.round(F.sum("_se") / F.sum("_n"), 6).alias("brier_raw"),
+            F.round(rel, 6).alias("reliability"),
+            F.round(res, 6).alias("resolution"),
+            F.round(unc, 6).alias("uncertainty"),
+            F.round(rel - res + unc, 6).alias("brier_binned"),
+            F.round(ece, 6).alias("ece"),
+        ),
+        per_bin,
     )
 
 

@@ -1320,7 +1320,12 @@ def cuped_adjust(
     """
     pre = F.col(pre_col).cast("double")
     post = F.col(post_col).cast("double")
-    u = units.where(pre.isNotNull() & post.isNotNull())
+    # persist (r15, the p15/x33 multi-consumer class): the unit frame
+    # feeds the θ/mean aggregate AND the adjustment projection —
+    # unpersisted, the CALLER's unit-building lineage (typically a
+    # data-sized groupBy) ran twice. Unit-cardinality cache;
+    # float-identical (pure caching).
+    u = units.where(pre.isNotNull() & post.isNotNull()).persist()
     stats = u.agg(
         (F.covar_samp(pre, post) / F.var_samp(pre)).alias("__theta"),
         F.avg(pre).alias("__mu_pre"),
@@ -1329,13 +1334,18 @@ def cuped_adjust(
         "__adj",
         post - F.col("__theta") * (pre - F.col("__mu_pre")),
     )
-    return adj.groupBy(arm_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.round(F.avg(post), 6).alias("mean_post"),
-        F.round(F.avg("__adj"), 6).alias("mean_adj"),
-        F.round(F.var_samp(post), 6).alias("var_post"),
-        F.round(F.var_samp("__adj"), 6).alias("var_adj"),
-        F.round(F.max("__theta"), 6).alias("theta"),
+    from ixmp_spark.operators import attach_caches
+
+    return attach_caches(
+        adj.groupBy(arm_col).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.avg(post), 6).alias("mean_post"),
+            F.round(F.avg("__adj"), 6).alias("mean_adj"),
+            F.round(F.var_samp(post), 6).alias("var_post"),
+            F.round(F.var_samp("__adj"), 6).alias("var_adj"),
+            F.round(F.max("__theta"), 6).alias("theta"),
+        ),
+        u,
     )
 
 
@@ -3042,8 +3052,15 @@ def rfm_scores(
         F.count(F.lit(1)).cast("long").alias("frequency"),
         F.round(F.coalesce(F.sum("_v"), F.lit(0.0)), 6).alias("monetary"),
     )
-    mx = ev.agg(F.max("_t").alias("_mx"))
-    base = agg.crossJoin(F.broadcast(mx)).withColumn(
+    # r15: the corpus max event time is the max of the per-user lasts
+    # (max is order-insensitive and exact), so it rides an unbounded
+    # window over the user-cardinality aggregate instead of a second
+    # full scan of the events — the ntile windows below already
+    # collapse this frame to a single partition, so the global window
+    # adds no new exchange.
+    base = agg.withColumn(
+        "_mx", F.max("_last").over(Window.partitionBy())
+    ).withColumn(
         "recency_s", F.round(F.col("_mx") - F.col("_last"), 6)
     )
     r_w = Window.orderBy(F.asc("recency_s"), F.asc("u"))

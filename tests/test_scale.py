@@ -5834,6 +5834,24 @@ def test_association_rules_hand(spark):
     assert ("x", "z") not in {
         (r["antecedent"], r["consequent"]) for r in pruned
     }
+    # cache_base=True (the cluster one-pass form: the distinct basket
+    # frame feeds four consumers) is result-identical and attaches
+    # exactly one releasable handle; the default attaches none (the
+    # t9 cache_tf contract)
+    from ixmp_spark.operators import release_cache
+
+    plain = association_rules(
+        df, "b", "i", min_support=0.0, min_confidence=0.0
+    )
+    cached = association_rules(
+        df, "b", "i", min_support=0.0, min_confidence=0.0,
+        cache_base=True,
+    )
+    assert [tuple(r) for r in plain.collect()] == [
+        tuple(r) for r in cached.collect()
+    ]
+    assert release_cache(plain) == 0
+    assert release_cache(cached) == 1
 
 
 def test_matryoshka_recall_planted(spark):
