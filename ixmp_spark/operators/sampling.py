@@ -3823,10 +3823,18 @@ def confusion_metrics(
     evidence); f1 NULL when either is.
 
     Scale shape: ONE data-sized count aggregation to the (label, pred)
-    cell grid (map-side partials — the x22/x33 discipline), then
-    class-domain-bounded marginal aggregates full-outer-joined on the
-    class codelist. No row leaves the JVM; no forced broadcasts (the
-    marginal frames are codelist-sized and AQE broadcasts them)."""
+    cell grid (map-side partials — the x22/x33 discipline); the
+    marginals then fold in ONE explode → per-class groupBy pass (the
+    x33 r15 rewrite): each cell emits its label-side contribution
+    keyed by _l and its prediction-side contribution keyed by _p, so
+    the two marginal groupBys, the full-outer SortMergeJoin on class
+    and the grid's second/third evaluation all collapse. NULL
+    semantics preserved exactly: a class never predicted has no
+    prediction-side rows, so sum(_prd) is NULL — the same NULL the
+    full-outer join produced (precision stays NULL, not 0); the
+    diagonal rides BOTH sides (tp_l/tp_p), keeping the old
+    coalesce(tp_l, tp_p, 0) fallbacks bit-for-bit. All sums are
+    longs — exact under any grouping."""
     base = df.where(
         F.col(label_col).isNotNull() & F.col(pred_col).isNotNull()
     ).select(
@@ -3836,20 +3844,38 @@ def confusion_metrics(
     cells = base.groupBy("_l", "_p").agg(
         F.count(F.lit(1)).cast("long").alias("_n")
     )
-    by_label = cells.groupBy("_l").agg(
-        F.sum("_n").alias("_support"),
-        F.sum(F.when(F.col("_l") == F.col("_p"), F.col("_n")).otherwise(0))
-        .alias("_tp_l"),
+    diag = F.when(F.col("_l") == F.col("_p"), F.col("_n")).otherwise(
+        F.lit(0).cast("long")
     )
-    by_pred = cells.groupBy("_p").agg(
-        F.sum("_n").alias("_predicted"),
-        F.sum(F.when(F.col("_l") == F.col("_p"), F.col("_n")).otherwise(0))
-        .alias("_tp_p"),
+    nl = F.lit(None).cast("long")
+    sides = cells.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("_l").alias("_c"),
+                    F.col("_n").alias("_sup"),
+                    nl.alias("_prd"),
+                    diag.alias("_dgl"),
+                    nl.alias("_dgp"),
+                ),
+                F.struct(
+                    F.col("_p").alias("_c"),
+                    nl.alias("_sup"),
+                    F.col("_n").alias("_prd"),
+                    nl.alias("_dgl"),
+                    diag.alias("_dgp"),
+                ),
+            )
+        ).alias("_s")
     )
-    j = by_label.join(
-        by_pred, by_label["_l"] == by_pred["_p"], "full_outer"
-    ).select(
-        F.coalesce("_l", "_p").alias("class"),
+    per_cat = sides.groupBy("_s._c").agg(
+        F.sum("_s._sup").alias("_support"),
+        F.sum("_s._prd").alias("_predicted"),
+        F.sum("_s._dgl").alias("_tp_l"),
+        F.sum("_s._dgp").alias("_tp_p"),
+    )
+    j = per_cat.select(
+        F.col("_c").alias("class"),
         F.coalesce(F.col("_tp_l"), F.col("_tp_p"), F.lit(0))
         .cast("long")
         .alias("tp"),
