@@ -671,7 +671,14 @@ def triangle_count(
     )
     # one explode pass, not a two-branch union (r15): each union branch
     # scanned the cached edge frame separately; explode emits both
-    # endpoints from one scan — identical multiset into the same agg
+    # endpoints from one scan — identical multiset into the same agg.
+    # deg feeds both ranking joins AND the output node list (3
+    # evaluations over the edge cache) but is deliberately NOT
+    # persisted (r15): an InMemoryRelation here blocks the
+    # count-action's aggregate-uniqueness join elimination, and the
+    # interleaved bench-surface A-B measured the persist consistently
+    # ~1 s SLOWER (2.2 → 3.3 s median) — the evaluations are cheap
+    # node-bounded aggregates over the already-cached edge frame.
     deg = (
         e.select(F.explode(F.array("u", "v")).alias("n"))
         .groupBy("n")
@@ -951,35 +958,44 @@ def hierarchy_flatten(
         def _ckpt(df: DataFrame) -> DataFrame:
             return df.localCheckpoint()
 
+    # persist (r15, the p15/x33 multi-consumer class): the distinct
+    # edge frame feeds the duplicate-parent guard, both sides of the
+    # root anti-join and the doubling seed — unpersisted, the edge
+    # scan + distinct shuffle ran four times. The checkpoint below is
+    # EAGER, so the cache can release as soon as the seed state is
+    # materialized.
     e = edges.select(
         F.col(child_col).alias("__c"), F.col(parent_col).alias("__p")
-    ).distinct()
-    dupes = (
-        e.groupBy("__c").agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") > 1).limit(5).collect()
-    )
-    if dupes:
-        raise ValueError(
-            f"multiple parents for children {[r['__c'] for r in dupes]}"
+    ).distinct().persist()
+    try:
+        dupes = (
+            e.groupBy("__c").agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > 1).limit(5).collect()
         )
-    roots = (
-        e.select(F.col("__p").alias("node"))
-        .distinct()
-        .join(e.select(F.col("__c").alias("node")), "node", "left_anti")
-    )
-    state = _ckpt(
-        e.select(
-            F.col("__c").alias("node"),
-            F.col("__p").alias("anc"),
-            F.lit(1).cast("long").alias("d"),
-        ).unionByName(
-            roots.select(
-                "node",
-                F.col("node").alias("anc"),
-                F.lit(0).cast("long").alias("d"),
+        if dupes:
+            raise ValueError(
+                f"multiple parents for children {[r['__c'] for r in dupes]}"
+            )
+        roots = (
+            e.select(F.col("__p").alias("node"))
+            .distinct()
+            .join(e.select(F.col("__c").alias("node")), "node", "left_anti")
+        )
+        state = _ckpt(
+            e.select(
+                F.col("__c").alias("node"),
+                F.col("__p").alias("anc"),
+                F.lit(1).cast("long").alias("d"),
+            ).unionByName(
+                roots.select(
+                    "node",
+                    F.col("node").alias("anc"),
+                    F.lit(0).cast("long").alias("d"),
+                )
             )
         )
-    )
+    finally:
+        e.unpersist()
     for _ in range(max_iter):
         s, t = state.alias("s"), state.alias("t")
         new = _ckpt(
@@ -1273,9 +1289,12 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
         # r14: persist, not localCheckpoint (stats, see triangle_count)
         .persist()
     )
+    # persist (r15, the p15/x33 multi-consumer class): deg feeds both
+    # endpoint joins — unpersisted, the aggregate over the symmetric
+    # edge cache ran twice. Node-bounded; float-identical.
     deg = sym.groupBy("_u").agg(
         F.count(F.lit(1)).cast("double").alias("_d")
-    )
+    ).persist()
     du = deg.select(F.col("_u"), F.col("_d").alias("_du"))
     dv = deg.select(
         F.col("_u").alias("_v"), F.col("_d").alias("_dv")
@@ -1303,6 +1322,7 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
             F.round(r, 4).alias("assortativity"),
         ),
         sym,
+        deg,
     )
 
 

@@ -153,7 +153,11 @@ def cap_per_group(
     if cap < 0:
         raise ValueError("cap must be >= 0")
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
-    over = counts.where(F.col("__n") > cap).select(group_col)
+    # persist (r15, the p15/x33 multi-consumer class): the over-cap
+    # group list feeds BOTH the anti and the semi join, and the plan
+    # showed zero exchange reuse — the column-pruned count aggregation
+    # (a full scan) ran twice. Few rows by the cap's definition.
+    over = counts.where(F.col("__n") > cap).select(group_col).persist()
     pass_through = df.join(F.broadcast(over), group_col, "left_anti")
     hot = df.join(F.broadcast(over), group_col, "semi")
     w = Window.partitionBy(group_col).orderBy(
@@ -164,7 +168,9 @@ def cap_per_group(
         .where(F.col("__r") <= cap)
         .drop("__r")
     )
-    return pass_through.unionByName(capped)
+    from ixmp_spark.operators import attach_caches
+
+    return attach_caches(pass_through.unionByName(capped), over)
 
 
 def weighted_sample(

@@ -1078,11 +1078,15 @@ def _cusum_chunked(
     ≥ hot_rows_threshold rows take the bucket-chunked decomposition,
     the rest the plain path (see the operator docstring for the
     measured rationale)."""
+    # persist (r15, the p15/x33 multi-consumer class): the key-bounded
+    # hot-key list feeds BOTH the semi and the anti join — unpersisted,
+    # the data-sized count aggregation ran twice.
     hot_keys = (
         df.groupBy(F.col(key_col))
         .agg(F.count(F.lit(1)).alias("__n"))
         .where(F.col("__n") >= hot_rows_threshold)
         .select(key_col)
+        .persist()
     )
     # NO forced broadcast (r13): hot_keys is a keyed aggregate (usually
     # a handful of rows, but unbounded in adversarial data); AQE turns
@@ -1097,7 +1101,11 @@ def _cusum_chunked(
         hot, key_col, ts_col, value_col, slack_k, threshold_h,
         order_cols, baseline, bucket,
     )
-    return cold_out.unionByName(hot_out.select(*cold_out.columns))
+    from ixmp_spark.operators import attach_caches
+
+    return attach_caches(
+        cold_out.unionByName(hot_out.select(*cold_out.columns)), hot_keys
+    )
 
 
 def _cusum_chunked_core(
@@ -1397,7 +1405,12 @@ def resample_ffill(
             F.col(value_col).cast("double").alias("__v"),
         )
         .groupBy("__k", "__b")
+        # persist (r15, the p15/x33 multi-consumer class): the
+        # (key, bucket)-bounded observation grid feeds the per-key
+        # span probe AND the fill join - unpersisted, the data-sized
+        # bucket aggregation ran twice. Float-identical (pure caching).
         .agg(aggs[agg]("__v").alias("__v"))
+        .persist()
     )
     grid = (
         obs.groupBy("__k")
@@ -1419,13 +1432,18 @@ def resample_ffill(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     joined = grid.join(obs, ["__k", "__b"], "left")
-    return joined.select(
-        F.col("__k").alias(key_col),
-        F.col("__b").alias("bucket_ts"),
-        F.round(
-            F.last("__v", ignorenulls=True).over(w), 6
-        ).alias("value"),
-        F.col("__v").isNull().alias("filled"),
+    from ixmp_spark.operators import attach_caches
+
+    return attach_caches(
+        joined.select(
+            F.col("__k").alias(key_col),
+            F.col("__b").alias("bucket_ts"),
+            F.round(
+                F.last("__v", ignorenulls=True).over(w), 6
+            ).alias("value"),
+            F.col("__v").isNull().alias("filled"),
+        ),
+        obs,
     )
 
 
@@ -1517,7 +1535,12 @@ def resample_interp(
             F.col(value_col).cast("double").alias("__v"),
         )
         .groupBy("__k", "__b")
+        # persist (r15, the p15/x33 multi-consumer class): the
+        # (key, bucket)-bounded observation grid feeds the per-key
+        # span probe AND the fill join - unpersisted, the data-sized
+        # bucket aggregation ran twice. Float-identical (pure caching).
         .agg(aggs[agg]("__v").alias("__v"))
+        .persist()
     )
     grid = (
         obs.groupBy("__k")
@@ -1563,11 +1586,16 @@ def resample_interp(
     # raw double out: lerp at dyadic fractions lands on exact 1e-6
     # midpoints where the engines' round() disagree (the w11 class) —
     # callers canonicalize with floor(v*1e6 + 0.5)/1e6 when hashing
-    return carried.select(
-        F.col("__k").alias(key_col),
-        F.col("__b").alias("bucket_ts"),
-        interp.alias("value"),
-        F.col("__v").isNull().alias("filled"),
+    from ixmp_spark.operators import attach_caches
+
+    return attach_caches(
+        carried.select(
+            F.col("__k").alias(key_col),
+            F.col("__b").alias("bucket_ts"),
+            interp.alias("value"),
+            F.col("__v").isNull().alias("filled"),
+        ),
+        obs,
     )
 
 
@@ -2009,10 +2037,20 @@ def theil_sen(
     x = (F.unix_micros(F.col(ts_col)) / F.lit(1000000.0)).alias("_x")
     v = F.col(value_col).cast("double").alias("_v")
     base = df.select(F.col(key_col), x, v).localCheckpoint(eager=False)
-    counts = base.groupBy(key_col).agg(F.count(F.lit(1)).alias("_n"))
+    # persist (r15, the p15/x33 multi-consumer class): counts feeds
+    # the hot-key guard AND the output join — without the (key-bounded)
+    # cache the aggregation over the checkpointed base ran twice.
+    counts = base.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("_n")
+    ).persist()
     hot = counts.where(F.col("_n") > int(max_points)).limit(5)
-    offenders = [(r[key_col], r["_n"]) for r in hot.collect()]
+    try:
+        offenders = [(r[key_col], r["_n"]) for r in hot.collect()]
+    except BaseException:
+        counts.unpersist()
+        raise
     if offenders:
+        counts.unpersist()
         raise ValueError(
             f"theil_sen: keys exceed max_points={max_points}: "
             f"{offenders} — pairwise slopes are O(n²); sample these "
@@ -2032,17 +2070,23 @@ def theil_sen(
             ).alias("_s"),
         )
     )
+    # persist (r15): slopes feeds the intercept pass AND the output
+    # join — without the (key-bounded) cache the O(n²) pair
+    # enumeration + median ran TWICE (the plan shows zero exchange
+    # reuse across the two references). Pure caching, float-identical.
     slopes = pairs.groupBy(key_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
         F.percentile(F.col("_s"), F.lit(0.5)).alias("_slope"),
-    )
+    ).persist()
     with_slope = base.join(slopes, key_col)
     inter = with_slope.groupBy(key_col).agg(
         F.percentile(
             F.col("_v") - F.col("_slope") * F.col("_x"), F.lit(0.5)
         ).alias("_icpt")
     )
-    return (
+    from ixmp_spark.operators import attach_caches
+
+    return attach_caches(
         counts.join(slopes, key_col)
         .join(inter, key_col)
         .select(
@@ -2051,7 +2095,9 @@ def theil_sen(
             "n_pairs",
             F.round(F.col("_slope"), 8).alias("slope"),
             F.round(F.col("_icpt"), 6).alias("intercept"),
-        )
+        ),
+        counts,
+        slopes,
     )
 
 

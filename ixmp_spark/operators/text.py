@@ -1758,7 +1758,14 @@ def vocab_coverage(df: DataFrame, text_col: str, ks=(10, 100, 1000, 10000)):
             "w"
         )
     ).where(F.col("w") != "")
-    cnt = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    # persist (r15, the p15/x33 multi-consumer class): the
+    # vocabulary-sized count table feeds the top-k probe AND the
+    # total — unpersisted, the corpus tokenize+aggregate ran twice
+    # (interleaved sf0.1 A-B flat locally; the saved pass is
+    # data-sized at scale).
+    cnt = toks.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).persist()
     top = cnt.orderBy(F.desc("c"), "w").limit(ks[-1])
     wr = Window.orderBy(F.desc("c"), "w")
     wc = wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -1767,7 +1774,9 @@ def vocab_coverage(df: DataFrame, text_col: str, ks=(10, 100, 1000, 10000)):
         F.sum("c").over(wc).cast("long").alias("_cum"),
     )
     tot = cnt.agg(F.sum("c").cast("long").alias("_total"))
-    return (
+    from ixmp_spark.operators import attach_caches
+
+    return attach_caches(
         ranked.where(F.col("k").isin(ks))
         .crossJoin(F.broadcast(tot))
         .select(
@@ -1775,7 +1784,8 @@ def vocab_coverage(df: DataFrame, text_col: str, ks=(10, 100, 1000, 10000)):
             F.round(F.col("_cum") * 1.0 / F.col("_total"), 6).alias(
                 "coverage"
             ),
-        )
+        ),
+        cnt,
     )
 
 
@@ -2311,6 +2321,14 @@ def pmi_collocations(
     aggregations — both tables are vocabulary-sized."""
     if min_count < 1 or k < 1:
         raise ValueError("min_count and k must be >= 1")
+    # uni is consumed three times (total + both pair joins) — measured
+    # and deliberately NOT persisted (r15): the three evaluations run
+    # as CONCURRENT broadcast-build jobs that overlap on the cluster,
+    # while a cache serializes them behind one vocabulary-sized cache
+    # write; the interleaved sf0.1 A-B read the persist 1.7× SLOWER
+    # (4.6 → 7.8 s), and caching the pre-filter bigram table to save
+    # n_b's pass measured 1.4× slower the same way (the t9/p12
+    # cache-write-vs-recompute class, both directions rejected).
     uni = (
         df.select(F.explode(word_ngrams(text_col, 1)).alias("w"))
         .where(F.length("w") > 0)
@@ -2383,10 +2401,14 @@ def llr_keyness(
         flag.cast("boolean").alias("__a"),
         F.explode(word_ngrams(text_col, 1)).alias("w"),
     ).where(F.length("w") > 0)
+    # persist (r15, the p15/x33 multi-consumer class): the
+    # vocabulary-sized count table feeds the totals AND the scored
+    # output — unpersisted, the corpus tokenize+aggregate ran twice
+    # (interleaved sf0.1 A-B: 4.14 → 3.22 s median, 1.29×).
     counts = toks.groupBy("w").agg(
         F.sum(F.when(F.col("__a"), 1).otherwise(0)).cast("long").alias("a"),
         F.sum(F.when(F.col("__a"), 0).otherwise(1)).cast("long").alias("b"),
-    )
+    ).persist()
     totals = counts.agg(
         F.sum("a").cast("double").alias("na"),
         F.sum("b").cast("double").alias("nb"),
@@ -2399,7 +2421,9 @@ def llr_keyness(
     term_b = F.when(b > 0, b * F.log(b / eb)).otherwise(F.lit(0.0))
     g2 = 2.0 * (term_a + term_b)
     signed = F.when(a / na >= b / nb, g2).otherwise(-g2)
-    return (
+    from ixmp_spark.operators import attach_caches
+
+    return attach_caches(
         counts.where(F.col("a") + F.col("b") >= min_count)
         .crossJoin(totals)
         .select(
@@ -2409,5 +2433,6 @@ def llr_keyness(
             F.round(signed, 6).alias("keyness"),
         )
         .orderBy(F.desc("keyness"), F.asc("w"))
-        .limit(k)
+        .limit(k),
+        counts,
     )
