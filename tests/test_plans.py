@@ -142,6 +142,41 @@ def test_single_partition_descent_buildleft(spark, sf_dir):
     )
 
 
+def test_single_partition_descent_through_cache(spark, sf_dir):
+    """r15 (the multi-consumer persists): the descent must classify a
+    SinglePartition exchange by the plan INSIDE an InMemoryRelation —
+    a persisted bounded AGGREGATE under a global window is fine (the
+    a14/p28 shape), while a persisted RAW frame under the same window
+    must still flag (caching does not change cardinality class)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from tools.audit_plans import single_partition_violations
+
+    facts = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    w = Window.orderBy("l_linenumber")
+
+    agg = facts.groupBy("l_linenumber").agg(
+        F.count(F.lit(1)).alias("n")
+    ).persist()
+    ok = agg.withColumn("rn", F.row_number().over(w))
+    try:
+        assert not single_partition_violations(formatted_plan(ok)), (
+            "global window over a persisted bounded aggregate must pass"
+        )
+    finally:
+        agg.unpersist()
+
+    raw = facts.select("l_orderkey", "l_linenumber").persist()
+    bad = raw.withColumn("rn", F.row_number().over(w))
+    try:
+        assert single_partition_violations(formatted_plan(bad)), (
+            "global window over a persisted raw frame must still flag"
+        )
+    finally:
+        raw.unpersist()
+
+
 def test_rows_only_queries_have_tests():
     """Every rows-only catalog query (oracle=None) must be NAMED
     somewhere under tests/ — the r8 snapshot guard: an oracle-paired

@@ -197,11 +197,20 @@ _PYTHON_STAGES = (
     "PythonMapInArrow",
 )
 
-#: nodes that pass data through without changing its cardinality class
+#: nodes that pass data through without changing its cardinality class.
+#: InMemoryTableScan/InMemoryRelation/AdaptiveSparkPlan (r15): a cache
+#: preserves its child's cardinality and the formatted explain prints
+#: the cached plan inline beneath InMemoryRelation, so the descent
+#: walks THROUGH the cache into that plan — a persisted bounded
+#: aggregate classifies by its aggregate (fine), while a persisted raw
+#: frame still descends to its scan and flags. Before this, the r15
+#: multi-consumer persists (a14/p28) false-flagged as
+#: "SinglePartition exchange over InMemoryRelation".
 _PASS_THROUGH = {
     "Project", "Filter", "Sort", "Coalesce", "AQEShuffleRead",
     "ShuffleQueryStage", "InputAdapter", "WholeStageCodegen", "ColumnarToRow",
     "Window", "WindowGroupLimit", "Expand",
+    "InMemoryTableScan", "InMemoryRelation", "AdaptiveSparkPlan",
 }
 
 #: a SinglePartition exchange is fine iff it reads a frame whose size is
